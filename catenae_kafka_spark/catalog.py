@@ -1,0 +1,91 @@
+"""Table catalog: named parquet tables under a scale-factor directory.
+
+The engine's batch inputs are the driver-generated star schema
+(FIXTURES.md). At 100 TB these would be partitioned parquet/Delta
+directories; the access path is identical (``spark.read.parquet`` on a
+directory prunes partitions and pushes filters/column projection down to
+the scan — verify with ``.explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from catenae_kafka_spark.session import tune
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins against
+# fact tables: even at 100 TB, region/nation are O(10-100) rows and
+# supplier/part/customer scale far slower than lineitem/orders/events.
+BROADCAST_DIMS: frozenset[str] = frozenset(
+    {"region", "nation", "supplier", "part", "customer"}
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@dataclass
+class Catalog:
+    """Lazy accessor for the tables under one sf_dir.
+
+    ``cat.lineitem`` returns the DataFrame (reader is lazy; nothing is
+    scanned until an action). Attribute access keeps query code terse.
+    """
+
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in TABLES:
+                raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+            self._cache[name] = self.spark.read.parquet(
+                table_path(self.sf_dir, name)
+            )
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+
+def catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Entry point used by every query callable: tune + table access."""
+    tune(spark)
+    return Catalog(spark=spark, sf_dir=sf_dir)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    cat = catalog(spark, sf_dir)
+    return {name: cat.table(name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view (for the SQL entry point)."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,110 @@
+"""Query registry: one QuerySpec per operator in SURVEY.md §2B.
+
+Each spec carries the Spark callable and (when ANSI-SQL-expressible) the
+equivalent DuckDB oracle SQL *side by side*, so the pair can never drift.
+``__spark_entry__.py`` is a thin projection of this registry.
+
+Oracle-parity discipline (SURVEY §5.2 caveats, enforced here by
+convention):
+
+- every computed/aggregate column is aliased identically in the Spark
+  code and the SQL;
+- money-like double aggregates are rounded (2dp) on BOTH sides so float
+  summation order cannot flip the value hash;
+- DuckDB ``SUM(int)`` returns HUGEINT — oracles cast to BIGINT to match
+  Spark's ``sum(long)``;
+- ``events.ts`` is timestamp[ns] in parquet; Spark truncates to µs on
+  read, so oracles never hash raw ``ts`` — only derived/truncated values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # DuckDB SQL; None => driver's weak rows-only check
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+
+
+class Registry:
+    def __init__(self) -> None:
+        self._specs: dict[str, QuerySpec] = {}
+
+    def add(self, spec: QuerySpec) -> None:
+        if spec.name in self._specs:
+            raise ValueError(f"duplicate query name {spec.name!r}")
+        self._specs[spec.name] = spec
+
+    def register(
+        self,
+        name: str,
+        oracle: str | None = None,
+        tags: tuple[str, ...] = (),
+        bench: bool = False,
+    ) -> Callable[[QueryFn], QueryFn]:
+        """Decorator: ``@REGISTRY.register("q_x", oracle="SELECT ...")``."""
+
+        def deco(fn: QueryFn) -> QueryFn:
+            self.add(
+                QuerySpec(
+                    name=name,
+                    fn=fn,
+                    oracle=oracle,
+                    tags=tags,
+                    bench=bench,
+                    doc=(fn.__doc__ or "").strip(),
+                )
+            )
+            return fn
+
+        return deco
+
+    def specs(self) -> dict[str, QuerySpec]:
+        return dict(self._specs)
+
+
+REGISTRY = Registry()
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers specs (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Import for side effect of REGISTRY.register calls.
+    from catenae_kafka_spark import flagship  # noqa: F401
+    from catenae_kafka_spark.operators import (  # noqa: F401
+        aggregates,
+        asof,
+        joins,
+        llm_dedup,
+        llm_similarity,
+        llm_text,
+        projection,
+        setops,
+        sorts,
+        udf_surface,
+        windows,
+    )
+    from catenae_kafka_spark.functions import packs  # noqa: F401
+    from catenae_kafka_spark.sources import scans  # noqa: F401
+
+    _LOADED = True
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_all()
+    return REGISTRY.specs()

@@ -1,0 +1,101 @@
+"""SparkSession factory and runtime tuning.
+
+Two paths:
+
+- ``get_spark()`` builds a session for standalone use (bench.py, tests).
+- ``tune(spark)`` applies the engine's *runtime-settable* configs to an
+  externally-provided session (the driver harness passes its own session
+  into ``entry``/``queries()`` callables, so build-time configs like
+  driver memory cannot be assumed — everything correctness-critical must
+  be a runtime conf).
+
+Scale posture (100 TB design notes):
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  broadcast demotion/promotion replace hand-tuned partition counts when
+  the same plan runs on a 1000-executor cluster.
+- ``spark.sql.shuffle.partitions`` is a *starting* value; with AQE
+  coalescing enabled the effective post-shuffle partition count adapts
+  to data volume, so the same code path works at sf0.001 and at 100 TB
+  (where the initial value should be ~2-3x total cores — set via
+  ``SPARK_GRAFT_SHUFFLE_PARTITIONS``).
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (UTC-naive) and are cluster-location-independent.
+- Arrow enabled for every Python<->JVM exchange (pandas_udf,
+  toPandas) — row-at-a-time pickling is never on the hot path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session the engine touches.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 10k-row fallback batches would kill pandas_udf throughput.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Broadcast anything under 64 MB: at 100 TB the dims (region, nation,
+    # supplier, part, customer) are still tiny next to the fact tables.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus != "*":
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent, cheap)."""
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf locked by the host session is not worth dying over.
+            pass
+    shuffle = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(_default_parallelism())
+    )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "catenae-kafka-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (``local[*]`` when
+    unset) — on a real cluster, pass the cluster master or rely on
+    spark-submit's environment.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(_default_parallelism()))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

@@ -1,0 +1,130 @@
+"""Local oracle harness: mimic the driver's Spark-vs-DuckDB comparison.
+
+Usage:
+    python tools/check.py                 # all registered queries @ sf0.01
+    python tools/check.py q_join_inner    # subset
+    SF_DIR=/root/testdata/sf0.001 python tools/check.py
+
+For each query with an oracle: run the Spark callable and the DuckDB SQL
+on the same parquet tables, then compare row count, column-name set, and
+order-insensitive values (exact for strings/ints, tiny-tolerance check
+reported for floats so near-miss rounding issues surface loudly).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from catenae_kafka_spark.catalog import TABLES, table_path
+from catenae_kafka_spark.registry import all_specs
+from catenae_kafka_spark.session import get_spark
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize values for comparison."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if pd.isna(v):
+            return "<null>"
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+            try:
+                return str([norm(x) for x in list(v)])
+            except Exception:
+                return str(v)
+        return str(v)
+
+    out = df.map(norm)
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    cs, co = canon(sdf), canon(odf)
+    if len(cs) == len(co):
+        neq = (cs != co)
+        bad_cells = int(neq.to_numpy().sum())
+        if bad_cells:
+            cols = [c for c in cs.columns if neq[c].any()]
+            sample_rows = neq.any(axis=1)
+            idx = list(cs.index[sample_rows])[:3]
+            detail = []
+            for i in idx:
+                for col in cols[:3]:
+                    if neq.at[i, col]:
+                        detail.append(f"[{i}]{col}: {cs.at[i, col]!r} vs {co.at[i, col]!r}")
+            problems.append(f"{bad_cells} mismatched cells in {cols[:6]}; e.g. {detail[:4]}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    wanted = set(sys.argv[1:])
+    specs = all_specs()
+    if wanted:
+        specs = {k: v for k, v in specs.items() if k in wanted}
+    spark = get_spark("oracle-check")
+    con = duck_connection(sf_dir)
+    n_pass = n_fail = n_weak = 0
+    failures: list[str] = []
+    for name, spec in sorted(specs.items()):
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            continue
+        if spec.oracle is None:
+            n_weak += 1
+            print(f"weak {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(spec.oracle).df()
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: " + " | ".join(problems))
+        else:
+            n_pass += 1
+            print(f"ok   {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} ok, {n_weak} weak, {n_fail} fail" + (f": {failures}" if failures else ""))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
