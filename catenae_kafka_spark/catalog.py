@@ -59,10 +59,24 @@ class Catalog:
         if name not in self._cache:
             if name not in TABLES:
                 raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-            self._cache[name] = self.spark.read.parquet(
-                table_path(self.sf_dir, name)
-            )
+            self._cache[name] = self._read(name)
         return self._cache[name]
+
+    def _read(self, name: str) -> DataFrame:
+        path = table_path(self.sf_dir, name)
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot
+            # represent (µs internal precision) and refuses by default.
+            # Read the raw int64 nanoseconds and truncate to µs — the
+            # same truncation Spark applied implicitly in 3.x.
+            import pyspark.sql.functions as F
+
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = self.spark.read.parquet(path)
+            return raw.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return self.spark.read.parquet(path)
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

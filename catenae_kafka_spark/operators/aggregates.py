@@ -1,1 +1,303 @@
-"""(placeholder — specs land incrementally)"""
+"""Aggregation operators (SURVEY §2B).
+
+Catenae analog: none native — users accumulated dicts inside ``Link``
+state and flushed on timers. Here every aggregate is Spark's two-phase
+hash aggregation (partial map-side combine → shuffle by group key →
+final), with AQE coalescing post-shuffle partitions.
+
+Oracle-parity rules applied throughout (see functions/compat.py):
+money sums rounded at native decimal precision; DuckDB ``SUM(int)``
+cast to BIGINT; averages/stats rounded where float noise is possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_agg_global",
+    tags=("agg",),
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(l_orderkey) AS n_keys,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+""",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregates over the fact table."""
+    c = catalog(spark, sf_dir)
+    return c.lineitem.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_orderkey").alias("n_keys"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@REGISTRY.register(
+    "q_agg_groupby",
+    tags=("agg",),
+    bench=True,
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped multi-aggregate (2-phase hash agg).
+
+    Rounding scales follow native decimal precision: qty/price 2dp data,
+    disc_price 2dp×2dp→4dp, charge 2dp×2dp×2dp→6dp.
+    """
+    c = catalog(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        c.lineitem.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_agg_distinct",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       ROUND(SUM(DISTINCT l_quantity), 2) AS sum_dist_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) / sum(distinct) (expand + two-phase agg)."""
+    c = catalog(spark, sf_dir)
+    return c.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_dist_qty"),
+    )
+
+
+@REGISTRY.register(
+    "q_agg_approx",
+    tags=("agg", "approx"),
+    oracle=None,  # approximate by design → driver's rows-only check;
+    # tests assert tolerance vs exact counts instead.
+)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx count-distinct (HyperLogLog++): the 100 TB path for
+    cardinality estimation — fixed-size sketch, no shuffle explosion."""
+    c = catalog(spark, sf_dir)
+    return c.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@REGISTRY.register(
+    "q_agg_stats",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+       ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+       ROUND(STDDEV_POP(l_quantity), 6) AS sdp_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qe,
+       ROUND(MEDIAN(l_quantity), 2) AS med_qty,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qd
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/median/covar."""
+    c = catalog(spark, sf_dir)
+    return c.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qe"),
+        F.round(F.median("l_quantity"), 2).alias("med_qty"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qd"),
+    )
+
+
+@REGISTRY.register(
+    "q_agg_having",
+    tags=("agg",),
+    oracle="""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 12
+""",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@REGISTRY.register(
+    "q_grouping_sets",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (Expand + single-pass agg, not N scans)."""
+    c = catalog(spark, sf_dir)
+    c.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@REGISTRY.register(
+    "q_rollup",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    c = catalog(spark, sf_dir)
+    return c.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@REGISTRY.register(
+    "q_cube",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    c = catalog(spark, sf_dir)
+    return c.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@REGISTRY.register(
+    "q_pivot",
+    tags=("agg",),
+    oracle="""
+SELECT user_id % 10 AS user_bucket,
+       ROUND(SUM(value) FILTER (event_type = 'click'), 4) AS evt_click,
+       ROUND(SUM(value) FILTER (event_type = 'view'), 4) AS evt_view,
+       ROUND(SUM(value) FILTER (event_type = 'signup'), 4) AS evt_signup,
+       ROUND(SUM(value) FILTER (event_type = 'purchase'), 4) AS evt_purchase,
+       ROUND(SUM(value) FILTER (event_type = 'error'), 4) AS evt_error
+FROM events
+GROUP BY user_id % 10
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → columns (explicit value list avoids the extra
+    distinct-scan Spark needs to discover pivot values at 100 TB)."""
+    c = catalog(spark, sf_dir)
+    kinds = ["click", "view", "signup", "purchase", "error"]
+    piv = (
+        c.events.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 4))
+    )
+    # prefix pivot columns: "view"/"error" would collide with SQL keywords
+    # in the oracle, and prefixed names keep both sides aligned.
+    return piv.select(
+        "user_bucket", *[F.col(k).alias(f"evt_{k}") for k in kinds]
+    )
+
+
+@REGISTRY.register(
+    "q_collect_agg",
+    tags=("agg",),
+    oracle="""
+SELECT o_orderstatus,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), ',') AS prios,
+       COUNT(DISTINCT o_orderpriority) AS n_prios
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-set per group, emitted as a sorted joined string so the
+    value hash is engine-stable (array stringification differs)."""
+    c = catalog(spark, sf_dir)
+    return c.orders.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "prios"
+        ),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+    )

@@ -1,1 +1,183 @@
-"""(placeholder — specs land incrementally)"""
+"""As-of and range/interval joins (SURVEY §2B + §4.3).
+
+Spark has no native ASOF or interval join. Both are implemented as
+compositions of built-in operators chosen for their 100 TB behavior:
+
+- ``asof_join``: union-both-sides + window ``last(..., ignorenulls)`` —
+  ONE shuffle on the join key, a per-key sort, zero row explosion.
+  The naive alternative (theta join ``l.ts >= r.ts`` then max-per-left)
+  materializes O(n·m) pairs per key; the union-window form is the
+  merge-join an engine like DuckDB runs natively for ASOF.
+- ``interval_join``: bucketize the time axis — explode each interval
+  into the buckets it covers (intervals here are bounded, so the
+  per-interval bucket count is a small constant), equi-join points on
+  bucket, then apply the residual range predicate. Turns a
+  broadcast-nested-loop into a shuffled hash join that scales linearly;
+  bucket_width should be chosen ≈ the typical interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_ts <= left_ts`` within the same ``on`` key group.
+
+    Returns all left columns plus ``right_payload`` columns (null when
+    no prior right row exists). Single shuffle on ``on``.
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip the ts sign and reuse")
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    r = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
+    # align schemas: left lacks right payload, right lacks left extras
+    for col in right_payload:
+        l = l.withColumn(f"_r_{col}", F.lit(None).cast(right.schema[col].dataType))
+        r = r.withColumn(f"_r_{col}", F.col(col))
+    keep = on + ["_side", "_ats"] + [f"_r_{c}" for c in right_payload]
+    l_keep = l.select(*keep, *[c for c in lcols if c not in on])
+    r_keep = r.select(*keep, *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on])
+    u = l_keep.unionByName(r_keep)
+    # right rows (side=0) sort before left rows at equal ts → inclusive <=
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *on,
+        "_side",
+        *[c for c in lcols if c not in on],
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_payload
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_m_{c}").alias(c) for c in right_payload]
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_expr: Column,
+    lo_expr: Column,
+    hi_expr: Column,
+    bucket_width: int,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``lo <= point < hi``, via time-bucket equi-join + residual filter.
+
+    ``point_expr``/``lo_expr``/``hi_expr`` must be integer-valued (e.g.
+    epoch seconds). Output: all columns of both inputs.
+    """
+    p = points.withColumn("_p", point_expr).withColumn(
+        "_bucket", F.floor(F.col("_p") / bucket_width)
+    )
+    i = (
+        intervals.withColumn("_lo", lo_expr)
+        .withColumn("_hi", hi_expr)
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_lo") / bucket_width),
+                    F.floor((F.col("_hi") - 1) / bucket_width),
+                )
+            ),
+        )
+    )
+    joined = p.join(i, "_bucket").filter(
+        (F.col("_p") >= F.col("_lo")) & (F.col("_p") < F.col("_hi"))
+    )
+    return joined.drop("_bucket", "_p", "_lo", "_hi")
+
+
+@REGISTRY.register(
+    "q_join_asof",
+    tags=("join", "asof"),
+    bench=True,
+    oracle="""
+SELECT c.event_id AS event_id, c.user_id AS user_id,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest prior purchase for every click, per user."""
+    c = catalog(spark, sf_dir)
+    ev = c.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_payload=["p_ts", "purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_s"),
+        "purchase_value",
+    )
+
+
+@REGISTRY.register(
+    "q_join_range",
+    tags=("join", "range"),
+    oracle="""
+SELECT o_orderkey, COUNT(*) AS n_in_window
+FROM orders JOIN lineitem
+  ON l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 3 DAY
+WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+  AND o_orderdate < TIMESTAMP '1995-04-01'
+GROUP BY o_orderkey
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems shipped within 3 days of (any) March-1995
+    order's date — bucketed equi-join, not a nested loop."""
+    c = catalog(spark, sf_dir)
+    day = 86400
+    orders = c.orders.filter(
+        (F.col("o_orderdate") >= "1995-03-01") & (F.col("o_orderdate") < "1995-04-01")
+    ).select("o_orderkey", "o_orderdate")
+    points = c.lineitem.select("l_orderkey", "l_linenumber", "l_shipdate")
+    joined = interval_join(
+        points,
+        orders,
+        point_expr=F.unix_timestamp("l_shipdate"),
+        lo_expr=F.unix_timestamp("o_orderdate"),
+        hi_expr=F.unix_timestamp("o_orderdate") + 3 * day,
+        bucket_width=3 * day,
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_in_window"))

@@ -1,1 +1,230 @@
-"""(placeholder — specs land incrementally)"""
+"""Join operators (SURVEY §2B) on the star schema.
+
+Catenae analog: none — joins were hand-rolled KV lookups (Aerospike/Mongo
+connectors) inside ``transform()``. Here they are declarative joins and
+Catalyst/AQE pick the physical strategy.
+
+Scale posture:
+
+- Dimension joins broadcast (region/nation/customer/supplier/part stay
+  small relative to the fact tables at any SF) — no shuffle of the fact
+  side, no skew exposure.
+- Fact-fact joins (lineitem⋈orders) shuffle on the join key; AQE
+  skew-join splitting handles hot orderkeys.
+- Theta joins are written equi-key + residual predicate wherever the
+  semantics allow (hash join + filter instead of a broadcast
+  nested-loop over the full cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_join_inner",
+    tags=("join",),
+    bench=True,
+    oracle="""
+SELECT l_orderkey, l_linenumber, p_partkey, p_brand,
+       ROUND(l_extendedprice - p_retailprice * l_quantity, 4) AS margin
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size > 25
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join lineitem⋈part (part side broadcast)."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.lineitem.join(
+            F.broadcast(c.part.filter(F.col("p_size") > 25)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_partkey",
+            "p_brand",
+            F.round(
+                F.col("l_extendedprice") - F.col("p_retailprice") * F.col("l_quantity"),
+                4,
+            ).alias("margin"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_join_outer",
+    tags=("join",),
+    oracle="""
+SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+FROM orders LEFT JOIN lineitem
+  ON o_orderkey = l_orderkey AND l_quantity > 45
+WHERE o_orderkey % 10 = 0
+""",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with an extra join-side predicate → real NULLs."""
+    c = catalog(spark, sf_dir)
+    orders = c.orders.filter(F.col("o_orderkey") % 10 == 0)
+    li = c.lineitem
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (F.col("l_quantity") > 45)
+    return orders.join(li, cond, "left").select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
+
+
+@REGISTRY.register(
+    "q_join_full",
+    tags=("join",),
+    oracle="""
+WITH cust_n AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+), supp_n AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(cust_n.nationkey, supp_n.nationkey) AS nationkey,
+       n_cust, n_supp
+FROM cust_n FULL OUTER JOIN supp_n USING (nationkey)
+""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated sides (nulls on both)."""
+    c = catalog(spark, sf_dir)
+    cust_n = (
+        c.customer.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp_n = c.supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_supp")
+    )
+    joined = cust_n.join(supp_n, "nationkey", "full")
+    # Spark's USING-style join already coalesces the key column.
+    return joined.select("nationkey", "n_cust", "n_supp")
+
+
+@REGISTRY.register(
+    "q_join_semi",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with a very large order."""
+    c = catalog(spark, sf_dir)
+    big = c.orders.filter(F.col("o_totalprice") > 400000)
+    return c.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@REGISTRY.register(
+    "q_join_anti",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no pending orders."""
+    c = catalog(spark, sf_dir)
+    pending = c.orders.filter(F.col("o_orderstatus") == "P")
+    return c.customer.join(
+        pending, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@REGISTRY.register(
+    "q_join_broadcast",
+    tags=("join",),
+    oracle="""
+SELECT s_suppkey, s_name, n_name, r_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join through two tiny dims (plan-level operator;
+    values match the plain inner join oracle)."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.supplier.join(
+            F.broadcast(c.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(c.region.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+@REGISTRY.register(
+    "q_join_theta",
+    tags=("join",),
+    oracle="""
+SELECT s_suppkey, c_custkey
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+""",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join written equi-key + residual: hash join on nationkey
+    with the inequality as a post-join filter (never a nested loop
+    over the cross product — survives a 100× scale-up)."""
+    c = catalog(spark, sf_dir)
+    cond = (F.col("s_nationkey") == F.col("c_nationkey")) & (
+        F.col("s_acctbal") > F.col("c_acctbal")
+    )
+    return c.supplier.join(c.customer, cond).select("s_suppkey", "c_custkey")
+
+
+@REGISTRY.register(
+    "q_self_join",
+    tags=("join",),
+    oracle="""
+SELECT a.l_orderkey AS l_orderkey,
+       a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+       ROUND(a.l_extendedprice + b.l_extendedprice, 4) AS pair_price
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+""",
+)
+def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join: pairs of lineitems within an order."""
+    c = catalog(spark, sf_dir)
+    a = c.lineitem.alias("a")
+    b = c.lineitem.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        ).select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_linenumber").alias("ln_a"),
+            F.col("b.l_linenumber").alias("ln_b"),
+            F.round(F.col("a.l_extendedprice") + F.col("b.l_extendedprice"), 4).alias(
+                "pair_price"
+            ),
+        )
+    )

@@ -1,1 +1,129 @@
-"""(placeholder — specs land incrementally)"""
+"""Sources & sinks (SURVEY §2B): parquet/CSV/JSON scans, partitioned sink.
+
+Catenae analog: none — catenae had no file-format layer at all (messages
+came only from Kafka). Spark's readers give columnar scans with
+predicate pushdown, column pruning, and partition pruning for free.
+
+CSV/JSON here round-trip a dimension table through text formats with an
+*explicit* schema (schema inference is a full extra pass at 100 TB —
+never on by default in this engine).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+def _work_dir(sf_dir: str, name: str) -> str:
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "catenae_kafka_spark", tag, name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@REGISTRY.register(
+    "q_scan_parquet",
+    tags=("scan",),
+    oracle="""
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity > 40
+""",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with pushed filter + pruned columns (PushedFilters /
+    4-column ReadSchema in the plan — the scan never materializes the
+    other 7 columns)."""
+    c = catalog(spark, sf_dir)
+    return c.lineitem.filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_quantity") > 40)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]
+)
+
+
+@REGISTRY.register(
+    "q_scan_csv_json",
+    tags=("scan",),
+    oracle="""
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON scan with explicit schemas: nation→CSV, region→JSON
+    (text round-trip is lossless for int/string, so the plain-join
+    oracle is exact)."""
+    c = catalog(spark, sf_dir)
+    base = _work_dir(sf_dir, "csv_json")
+    csv_path = os.path.join(base, "nation_csv")
+    json_path = os.path.join(base, "region_json")
+    c.nation.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_path)
+    c.region.coalesce(1).write.mode("overwrite").json(json_path)
+    nation = spark.read.schema(NATION_SCHEMA).option("header", True).csv(csv_path)
+    region = spark.read.schema(REGION_SCHEMA).json(json_path)
+    return nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@REGISTRY.register(
+    "q_sink_parquet",
+    tags=("sink",),
+    oracle="""
+SELECT l_returnflag,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER)
+""",
+)
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + read-back: write the agg partitioned by
+    (l_returnflag, ship_year) — the layout a 100 TB pipeline would use so
+    downstream readers partition-prune — then scan it back. Round-trip
+    is exact, so the agg itself is the oracle."""
+    c = catalog(spark, sf_dir)
+    out = os.path.join(_work_dir(sf_dir, "sink"), "agg_parquet")
+    agg = (
+        c.lineitem.withColumn("ship_year", F.year("l_shipdate"))
+        .groupBy("l_returnflag", "ship_year")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+    agg.write.mode("overwrite").partitionBy("l_returnflag", "ship_year").parquet(out)
+    back = spark.read.parquet(out)
+    # partition columns come back typed by directory inference; restore
+    # exact types + column order
+    return back.select(
+        F.col("l_returnflag").cast("string"),
+        F.col("ship_year").cast("int"),
+        "sum_price",
+        "n",
+    )
