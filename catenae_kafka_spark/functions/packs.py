@@ -1,1 +1,251 @@
-"""(placeholder — specs land incrementally)"""
+"""Scalar function packs (SURVEY §2B): string / date / math / array /
+map / JSON.
+
+Catenae analog: arbitrary per-message Python inside ``transform()``.
+Here every function is a built-in Column expression — JVM-side, inside
+whole-stage codegen, never a Python round-trip.
+
+Oracle note: for array/map packs the DuckDB SQL expresses the *expected
+values* with DuckDB's own list/JSON functions (or plain SQL where
+simpler) — the point is semantic equivalence of results, not syntactic
+mirroring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_str_funcs",
+    tags=("functions", "string"),
+    oracle="""
+SELECT c_custkey,
+       UPPER(c_mktsegment) AS seg_up,
+       LOWER(c_name) AS name_lo,
+       TRIM(c_mktsegment || '  ') AS trimmed,
+       SUBSTRING(c_name, 10, 9) AS cust_num,
+       CAST(REGEXP_EXTRACT(c_name, '([0-9]+)$', 1) AS BIGINT) AS cust_id_parsed,
+       REGEXP_REPLACE(c_name, '0+', '0', 'g') AS squeezed,
+       LENGTH(c_name) AS name_len,
+       LPAD(CAST(c_custkey AS VARCHAR), 12, '*') AS padded,
+       SPLIT_PART(c_name, '#', 1) AS prefix,
+       REVERSE(c_mktsegment) AS seg_rev,
+       REPLACE(c_mktsegment, 'A', '@') AS seg_at,
+       CASE WHEN c_name LIKE 'Customer#%' THEN 1 ELSE 0 END AS is_cust,
+       POSITION('#' IN c_name) AS hash_pos
+FROM customer
+""",
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack: case, trim, substring, regexp, pad, split, find."""
+    c = catalog(spark, sf_dir)
+    return c.customer.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_up"),
+        F.lower("c_name").alias("name_lo"),
+        F.trim(F.concat(F.col("c_mktsegment"), F.lit("  "))).alias("trimmed"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long").alias(
+            "cust_id_parsed"
+        ),
+        F.regexp_replace("c_name", "0+", "0").alias("squeezed"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "*").alias("padded"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("prefix"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("@")).alias("seg_at"),
+        F.when(F.col("c_name").like("Customer#%"), 1).otherwise(0).alias("is_cust"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+    )
+
+
+@REGISTRY.register(
+    "q_date_funcs",
+    tags=("functions", "date"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+       CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+       STRFTIME(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER)
+         AS days_to_2002,
+       STRFTIME(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       STRFTIME(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+       CAST(EXTRACT(doy FROM o_orderdate) AS INTEGER) AS doy
+FROM orders
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date pack: extract, trunc, diff, add, last_day.
+
+    Cross-engine notes: Spark dayofweek is 1(Sun)..7, DuckDB
+    dayofweek is 0(Sun)..6 → +1 in the oracle; EXTRACT returns BIGINT
+    in DuckDB → cast to INTEGER; date arithmetic emitted as formatted
+    strings (date-object pandas dtypes differ between engines).
+    """
+    c = catalog(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return c.orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+        F.dayofyear(d).alias("doy"),
+    )
+
+
+@REGISTRY.register(
+    "q_math_funcs",
+    tags=("functions", "math"),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 0) AS price_r0,
+       CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+       CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+       ABS(l_quantity - 25) AS qty_dev,
+       ROUND(POW(l_quantity, 2), 4) AS qty_sq,
+       ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+       ROUND(LOG10(l_extendedprice + 1), 6) AS price_log10,
+       ROUND(EXP(l_discount), 6) AS disc_exp,
+       CAST(SIGN(l_quantity - 25) AS DOUBLE) AS qty_sign,
+       l_orderkey % 7 AS key_mod,
+       GREATEST(l_quantity, 25.0) AS qty_hi,
+       LEAST(l_quantity, 25.0) AS qty_lo
+FROM lineitem
+""",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack. Transcendentals (pow/sqrt/ln/exp) rounded to 6dp —
+    JVM StrictMath vs C libm can differ in the last ulp."""
+    c = catalog(spark, sf_dir)
+    price = F.col("l_extendedprice")
+    qty = F.col("l_quantity")
+    return c.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price, 0).alias("price_r0"),
+        F.floor(price / 1000).alias("price_k_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(qty - 25).alias("qty_dev"),
+        F.round(F.pow(qty, 2), 4).alias("qty_sq"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.log(price + 1), 6).alias("price_ln"),
+        F.round(F.log10(price + 1), 6).alias("price_log10"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.signum(qty - 25).alias("qty_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.greatest(qty, F.lit(25.0)).alias("qty_hi"),
+        F.least(qty, F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+@REGISTRY.register(
+    "q_array_funcs",
+    tags=("functions", "array"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS INTEGER) AS n_words,
+       CAST(list_contains(words, 'data') AS BOOLEAN) AS has_data,
+       array_to_string(words[1:3], '|') AS first3,
+       list_sort(words)[1] AS first_alpha,
+       array_to_string(list_transform(words[1:1], w -> upper(w)), '') AS head_up,
+       CAST(len(list_filter(words, w -> length(w) > 4)) AS INTEGER) AS n_long,
+       CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_chars
+FROM toks
+""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pack incl. higher-order functions (transform/filter/
+    aggregate) — all JVM-side, no UDFs; scalars out (raw array
+    stringification is not engine-stable)."""
+    c = catalog(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    return c.documents.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.array_join(F.slice(words, 1, 3), "|").alias("first3"),
+        F.array_sort(words)[0].alias("first_alpha"),
+        F.upper(words[0]).alias("head_up"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("total_chars"),
+    )
+
+
+@REGISTRY.register(
+    "q_map_funcs",
+    tags=("functions", "map"),
+    oracle="""
+SELECT event_id,
+       'type,user' AS keys_joined,
+       event_type AS type_val,
+       CAST(user_id AS VARCHAR) AS user_val,
+       2 AS n_entries
+FROM events
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map pack: build a map column, then extract keys/values/size.
+    The oracle states the expected values in plain SQL — it verifies the
+    map operators' *semantics*, not their syntax."""
+    c = catalog(spark, sf_dir)
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("user"),
+        F.col("user_id").cast("string"),
+    )
+    return c.events.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "user").alias("user_val"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@REGISTRY.register(
+    "q_json_funcs",
+    tags=("functions", "json"),
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+       CAST(json_extract(props, '$.k') AS INTEGER) % 5 AS k_bucket,
+       CAST(json_extract(props, '$.missing') AS INTEGER) AS absent
+FROM events
+""",
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON pack: path extraction (get_json_object + from_json schema
+    parse agree), missing path → NULL."""
+    c = catalog(spark, sf_dir)
+    parsed = F.from_json(
+        F.col("props"), T.StructType([T.StructField("k", T.IntegerType())])
+    )
+    return c.events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        (parsed["k"] % 5).alias("k_bucket"),
+        F.get_json_object("props", "$.missing").cast("int").alias("absent"),
+    )

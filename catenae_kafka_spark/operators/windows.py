@@ -1,1 +1,203 @@
-"""(placeholder — specs land incrementally)"""
+"""Window function operators (SURVEY §2B).
+
+Scale posture: every window here partitions by a high-cardinality key
+(custkey/user_id/suppkey) — one shuffle + per-partition sort, state
+bounded per key. No global (unpartitioned) windows: a
+``Window.orderBy`` without partitionBy funnels 100 TB through a single
+task and is banned in this engine outside of final small results.
+
+Determinism: every orderBy carries a unique tiebreaker so rank/lag
+results are engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_window_rank",
+    tags=("window",),
+    bench=True,
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROW_NUMBER() OVER w AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per customer by order value."""
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return c.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@REGISTRY.register(
+    "q_window_lag",
+    tags=("window",),
+    oracle="""
+SELECT event_id, user_id,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+         - LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: previous/next event value and inter-event gap per user.
+
+    ts is emitted/compared as whole epoch seconds (ns-vs-µs parquet
+    truncation makes raw ts un-hashable — FIXTURES.md).
+    """
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp("ts")
+    return c.events.select(
+        "event_id",
+        "user_id",
+        ts_s.alias("ts_s"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (ts_s - F.lag(ts_s).over(w)).alias("gap_s"),
+    )
+
+
+@REGISTRY.register(
+    "q_window_frame",
+    tags=("window",),
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       ROUND(AVG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3,
+       MAX(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_so_far
+FROM orders
+""",
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame specs: running sum, 3-row sliding average, running max."""
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliding = w.rowsBetween(-2, Window.currentRow)
+    return c.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(sliding), 4).alias("avg3"),
+        F.max("o_totalprice").over(running).alias("max_so_far"),
+    )
+
+
+@REGISTRY.register(
+    "q_window_ntile",
+    tags=("window",),
+    oracle="""
+SELECT o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist per order status."""
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return c.orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@REGISTRY.register(
+    "q_topk_per_group",
+    tags=("window", "topk"),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2
+""",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer (row_number + filter — per-group heap,
+    no global sort)."""
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        c.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@REGISTRY.register(
+    "q_window_firstlast",
+    tags=("window",),
+    oracle="""
+SELECT DISTINCT l_orderkey,
+       FIRST_VALUE(l_partkey) OVER w AS first_part,
+       LAST_VALUE(l_partkey) OVER (
+         PARTITION BY l_orderkey
+         ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_part,
+       CAST(COUNT(*) OVER w2 AS BIGINT) AS n_lines
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice),
+       w2 AS (PARTITION BY l_orderkey)
+""",
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value (full-partition frame) / count over.
+
+    l_linenumber repeats within an order in this data — the extra order
+    keys are tiebreakers for engine-stable first/last.
+    """
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wpart = Window.partitionBy("l_orderkey")
+    return (
+        c.lineitem.select(
+            "l_orderkey",
+            F.first("l_partkey").over(w).alias("first_part"),
+            F.last("l_partkey").over(wfull).alias("last_part"),
+            F.count("*").over(wpart).alias("n_lines"),
+        ).distinct()
+    )
