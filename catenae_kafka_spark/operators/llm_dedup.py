@@ -1,1 +1,351 @@
-"""(placeholder — specs land incrementally)"""
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families (north star / BASELINE.json): exact hash, canonical
+(normalized) exact, MinHash+LSH banding, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. All are pure DataFrame compositions — no
+Python UDFs in any hot path.
+
+Scale posture (the whole point of these):
+
+- exact/canonical dedup: one hash-groupBy shuffle; the hash (sha2) is
+  computed map-side so the shuffle carries 32 bytes, not documents.
+- MinHash/LSH: signature computation is per-row (map-only); banding
+  explodes each doc into `bands` rows and shuffles by (band, band_hash)
+  — candidate generation is linear in corpus size, never all-pairs.
+  The only pairwise work happens inside buckets (skew-guarded by AQE).
+- SimHash: explode-tokens + 16 conditional sums per doc = one shuffle.
+- n-gram Jaccard / embedding-cosine: blocked all-pairs — the block key
+  bounds the quadratic term; at 100 TB you'd tighten blocks (LSH
+  buckets) rather than widen them.
+
+This data (FIXTURES.md): 500–5000 docs over a 31-word vocabulary, no
+exact text dupes but many permuted near-dups (same token set), random
+embeddings (max cosine ≈0.51) — thresholds below are set to exercise
+real matches on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+@REGISTRY.register(
+    "q_dedup_exact",
+    tags=("llm", "dedup"),
+    oracle="""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: group on sha2(text) (the shuffle
+    carries the 64-hex digest, not the document), keep the smallest
+    doc_id per group. Oracle groups by the text itself — identical
+    semantics assuming no sha256 collisions."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.documents.groupBy(F.sha2(F.col("text"), 256).alias("_h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .drop("_h")
+    )
+
+
+@REGISTRY.register(
+    "q_dedup_canonical",
+    tags=("llm", "dedup"),
+    oracle="""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+HAVING COUNT(*) > 1
+""",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: canonicalize to the sorted distinct token
+    set before hashing — catches permuted/repeated-word copies (the
+    common crawl-dedup normalization step). Only groups with real
+    duplicates are returned."""
+    c = catalog(spark, sf_dir)
+    sig = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "),
+        256,
+    )
+    return (
+        c.documents.groupBy(sig.alias("_sig"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .drop("_sig")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature over word shingles.
+
+    Map-only: shingling and the num_hashes min-reductions are
+    higher-order array expressions (JVM codegen), no shuffle, no UDF.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.size(toks) - (shingle_len - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(shingle_len)]
+            ),
+        )
+    )
+    # seed must be bound via a factory: a 2-parameter lambda would make
+    # Spark pass the array INDEX as the second argument, silently
+    # overriding the seed and degenerating all signatures to one value
+    def seeded(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    sig = F.array(
+        *[F.array_min(F.transform(shingles, seeded(h))) for h in range(num_hashes)]
+    )
+    return docs.select(F.col(id_col), shingles.alias("shingles"), sig.alias("sig"))
+
+
+def minhash_candidate_pairs(
+    signed: DataFrame, bands: int = 16, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a
+    candidate pair. Linear explode (bands per doc) + shuffle by bucket;
+    pairwise join happens only within buckets.
+
+    16 bands × 2 rows ⇒ candidate threshold (1/b)^(1/r) ≈ 0.25 and miss
+    probability ~1e-11 at J≥0.9 — generous candidates, near-zero missed
+    true dupes; the exact-Jaccard verification step absorbs the false
+    positives."""
+    banded = signed.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+@REGISTRY.register(
+    "q_dedup_minhash",
+    tags=("llm", "dedup"),
+    bench=True,
+    oracle=None,  # LSH banding is probabilistic machinery; verified in
+    # tests against exact shingle-Jaccard ground truth instead.
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified: candidates from banding,
+    then exact shingle-Jaccard on candidates only; keep >= 0.7."""
+    c = catalog(spark, sf_dir)
+    signed = minhash_signatures(c.documents)
+    cands = minhash_candidate_pairs(signed)
+    sa = signed.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = signed.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+@REGISTRY.register(
+    "q_dedup_simhash",
+    tags=("llm", "dedup"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {bit_concat} AS simhash16
+FROM bits
+""".format(
+        bit_sums=",\n         ".join(
+            f"SUM(CASE WHEN substr(md5(w), {i + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{i}"
+            for i in range(16)
+        ),
+        bit_concat=" || ".join(
+            f"(CASE WHEN s{i} > 0 THEN '1' ELSE '0' END)" for i in range(16)
+        ),
+    ),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: per-token md5, one ±1 vote per bit
+    position, sign of the vote sum. Bit i is the high bit of hex nibble
+    i — a construction both engines express exactly (cross-engine
+    portable, unlike builtin hash functions). Near-dup docs (permuted
+    token multisets) get identical signatures."""
+    c = catalog(spark, sf_dir)
+    tok = c.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).withColumn("_md5", F.md5("w"))
+    sums = [
+        F.sum(
+            F.when(F.substring("_md5", i + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    bits = tok.groupBy("doc_id").agg(*sums)
+    sim = F.concat(
+        *[F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(16)]
+    )
+    return bits.select("doc_id", sim.alias("simhash16"))
+
+
+@REGISTRY.register(
+    "q_dedup_ngram_jaccard",
+    tags=("llm", "dedup"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         )) AS bigrams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.bigrams, b.bigrams)) * 1.0
+             / len(list_distinct(a.bigrams || b.bigrams)), 6) AS jaccard
+FROM grams a JOIN grams b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.bigrams, b.bigrams)) * 1.0
+      / len(list_distinct(a.bigrams || b.bigrams)) >= 0.5
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup, blocked by lang (the block key
+    bounds the quadratic pairwise term; at scale swap in LSH buckets as
+    the block)."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    g = c.documents.select("doc_id", "lang", bigrams.alias("bigrams"))
+    a = g.select(
+        F.col("lang"), F.col("doc_id").alias("id_a"), F.col("bigrams").alias("g_a")
+    )
+    b = g.select(
+        F.col("lang"), F.col("doc_id").alias("id_b"), F.col("bigrams").alias("g_b")
+    )
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(
+        F.array_union("g_a", "g_b")
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@REGISTRY.register(
+    "q_dedup_embedding",
+    tags=("llm", "dedup", "similarity"),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_sum(list_transform(generate_series(1, 64),
+                                     i -> a.e[i] * b.e[i]))
+             / (a.nrm * b.nrm), 6) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
+      / (a.nrm * b.nrm) >= 0.35
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (double accumulation on both
+    engines; threshold 0.35 — these fixtures are random vectors with
+    max cosine ≈0.51). All-pairs here; the ANN/LSH query is the scale
+    path for candidate generation."""
+    c = catalog(spark, sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = c.embeddings.select(
+        "vec_id",
+        e.alias("e"),
+        F.sqrt(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("n_a") * F.col("n_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    )

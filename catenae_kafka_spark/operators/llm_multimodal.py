@@ -1,0 +1,120 @@
+"""Multimodal column plumbing (north-star addition).
+
+Media (image/audio/video) is carried as an opaque ``binary`` column plus
+a typed metadata struct — the layout a 100 TB multimodal pipeline uses:
+bytes stay unparsed until a vectorized decode stage needs them, metadata
+supports pruning/partitioning without touching payloads.
+
+The actual codec decode (PIL/ffmpeg et al.) is NOT available in this
+container, so ``decode_media`` is an explicit NotImplementedError stub —
+but everything Spark-side is real and tested: the binary schema, the
+Arrow batch shape through ``mapInPandas``, the deterministic
+featurization path, and partition-count preservation.
+
+This container has no real media files either; ``with_media_column``
+deterministically synthesizes payload bytes from the documents table so
+the plumbing runs on the standard fixtures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Literal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+MEDIA_SCHEMA = (
+    "doc_id long, media binary, "
+    "meta struct<kind: string, n_bytes: long, fake_width: int, fake_height: int>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, first_byte int, byte_sum_mod long, fake_width int"
+)
+
+
+def with_media_column(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    Payload = UTF-8 bytes of the text (a deterministic stand-in for
+    image bytes); metadata derives from the payload only.
+    """
+    media = F.encode(F.col("text"), "UTF-8")
+    n_bytes = F.octet_length(media).cast("long")
+    return docs.select(
+        "doc_id",
+        media.alias("media"),
+        F.struct(
+            F.lit("image/fake").alias("kind"),
+            n_bytes.alias("n_bytes"),
+            (n_bytes % 640).cast("int").alias("fake_width"),
+            (n_bytes % 480).cast("int").alias("fake_height"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, codec: Literal["pil", "ffmpeg"] = "pil") -> DataFrame:
+    """Real media decode — requires codec libraries absent from this
+    container. The Spark plumbing around it (Arrow binary batches via
+    mapInPandas) is exactly what ``featurize_media`` exercises."""
+    raise NotImplementedError(
+        f"media decode via {codec!r} needs codec libs not present in this "
+        "environment; use featurize_media() for the deterministic-fake path"
+    )
+
+
+def featurize_media(media_df: DataFrame) -> DataFrame:
+    """Vectorized 'feature extraction' over binary payloads via
+    mapInPandas: whole Arrow batches of bytes into pandas, per-batch
+    numpy work, columnar out. The deterministic fake stands in for a
+    real image-embedding model; batch shape and schema are the real
+    contract."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["media"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "byte_sum_mod": payloads.map(
+                        lambda b: int(sum(b)) % 65536
+                    ).astype("int64"),
+                    "fake_width": pdf["meta"].map(
+                        lambda m: m["fake_width"]
+                    ).astype("int32"),
+                }
+            )
+
+    return media_df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+@REGISTRY.register(
+    "q_multimodal_features",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(list_sum(list_transform(string_split(text, ''),
+                                    ch -> ascii(ch))) % 65536 AS BIGINT)
+         AS byte_sum_mod,
+       CAST(length(text) % 640 AS INTEGER) AS fake_width
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline end-to-end: attach payload+metadata, run
+    the Arrow-batched featurizer. Payload bytes are ASCII text, so the
+    oracle states the expected features with plain string functions."""
+    c = catalog(spark, sf_dir)
+    return featurize_media(with_media_column(c.documents))

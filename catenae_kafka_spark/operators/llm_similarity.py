@@ -1,1 +1,232 @@
-"""(placeholder — specs land incrementally)"""
+"""Similarity search over embedding columns (north-star addition).
+
+- ``q_knn_cosine``: brute-force cosine top-k — the correctness baseline.
+  Dot products are higher-order array expressions (zip_with/aggregate),
+  JVM-side, double accumulation; top-k via per-query window (per-group
+  heap, no global sort).
+- ``q_knn_lsh``: random-hyperplane LSH bucketing — the 100 TB candidate
+  path. Hyperplane weights are *hash-derived* (xxhash64 of
+  (plane, dim)), so the "random" projections are deterministic,
+  reproducible across engines/runs, and need no stored model. Probing
+  all buckets at Hamming distance <= 1 bounds the recall loss; recall
+  vs brute force is asserted in tests.
+
+At 100 TB: brute force is a crossJoin — linear per query but quadratic
+in corpus for all-pairs; LSH buckets cut candidates by ~2^bits. The
+corpus side shuffles once on bucket id; queries broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+def _as_double(col) -> Column:
+    return F.transform(F.col(col) if isinstance(col, str) else col, lambda x: x.cast("double"))
+
+
+def _norm(e: Column) -> Column:
+    return F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def knn_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query row against every corpus
+    row (corpus broadcast when small; flip to query-broadcast at scale)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("e_q"),
+        _norm(_as_double(vec_col)).alias("n_q"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        _as_double(vec_col).alias("e_c"),
+        _norm(_as_double(vec_col)).alias("n_c"),
+    )
+    cos = _dot(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("cos_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "match_id", "cos_sim", "rn")
+    )
+
+
+@REGISTRY.register(
+    "q_knn_cosine",
+    tags=("llm", "similarity"),
+    bench=True,
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                                       i -> q.e[i] * c.e[i]))
+               / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 8
+), ranked AS (
+  SELECT query_id, match_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, match_id) AS rn
+  FROM scored
+)
+SELECT query_id, match_id, cos_sim, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+""",
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest neighbours (cosine) for query vectors vec_id<8."""
+    c = catalog(spark, sf_dir)
+    emb = c.embeddings
+    return knn_cosine(emb.filter(F.col("vec_id") < 8), emb, k=5)
+
+
+def lsh_signature(
+    vec_col: Column, planes: int = 8, dim: int = 64, table: int = 0
+) -> Column:
+    """Random-hyperplane signature: bit p = sign of <w_p, v> where
+    w_p[d] = xxhash64(table*1000+p, d) mapped to [-0.5, 0.5).
+    Deterministic, no stored model, identical across runs and engines;
+    ``table`` selects an independent plane family for multi-table LSH."""
+    e = F.transform(vec_col, lambda x: x.cast("double"))
+
+    # plane id must be closure-bound via a factory (a 2-param lambda
+    # would receive the array index as its second argument instead)
+    def plane_weights(p: int):
+        seed = table * 1000 + p
+        return lambda d: F.pmod(F.xxhash64(F.lit(seed), d), F.lit(1000)) / 1000.0 - 0.5
+
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    e,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)), plane_weights(p)
+                    ),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        for p in range(planes)
+    ]
+    sig = F.lit(0)
+    for b in bits:
+        sig = sig * 2 + b
+    return sig
+
+
+@REGISTRY.register(
+    "q_knn_lsh",
+    tags=("llm", "similarity", "approx"),
+    oracle=None,  # approximate-by-design; recall vs q_knn_cosine is
+    # asserted in tests/test_llm_ops.py
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via multi-table hyperplane LSH with Hamming<=1 probing:
+    L=4 independent tables of 6 planes each; the corpus is hashed into
+    (table, bucket) cells (map-side, one shuffle), each query probes its
+    cell plus the 6 single-bit flips per table, exact cosine runs only
+    on the unioned candidates. Multi-table is what rescues recall when
+    neighbours are angularly far (these fixtures are random vectors) —
+    L tables cost L× signature work but multiply miss probabilities."""
+    c = catalog(spark, sf_dir)
+    planes, tables = 6, 4
+    emb = c.embeddings
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"),
+        "embedding",
+        *[
+            lsh_signature(F.col("embedding"), planes, table=t).alias(f"sig{t}")
+            for t in range(tables)
+        ],
+    ).select(
+        "match_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("bucket")
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("cell"),
+    ).select("match_id", "embedding", "cell.tbl", "cell.bucket")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        *[
+            lsh_signature(F.col("embedding"), planes, table=t).alias(f"qsig{t}")
+            for t in range(tables)
+        ],
+    )
+    # probe cells: per table, the exact bucket and all Hamming-1 flips
+    probe_cells = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                (
+                    F.col(f"qsig{t}")
+                    if flip < 0
+                    else F.col(f"qsig{t}").bitwiseXOR(F.lit(1 << flip))
+                ).alias("bucket"),
+            )
+            for t in range(tables)
+            for flip in range(-1, planes)
+        ]
+    )
+    probed = queries.select(
+        "query_id", "q_emb", F.explode(probe_cells).alias("cell")
+    ).select("query_id", "q_emb", "cell.tbl", "cell.bucket")
+    e_q = _as_double("q_emb")
+    e_c = _as_double("embedding")
+    cos = _dot(e_q, e_c) / (_norm(e_q) * _norm(e_c))
+    scored = (
+        probed.join(corpus, ["tbl", "bucket"])
+        .select("query_id", "q_emb", "match_id", "embedding")
+        .distinct()  # a pair found by several tables/probes scores once
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("cos_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "match_id", "cos_sim", "rn")
+    )

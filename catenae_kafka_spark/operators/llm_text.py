@@ -1,1 +1,289 @@
-"""(placeholder — specs land incrementally)"""
+"""Text-analysis operators for LLM training-data pipelines (north star).
+
+Language-ID, quality scoring, token counting, fingerprinting — all as
+single declarative plans over the ``documents`` table, no Python in the
+row path. Each has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+# tiny function-word list drawn from the fixtures' 31-word vocabulary
+STOPWORDS = ("the", "a", "value", "row")
+
+FNV_MOD = 2147483647  # 2^31-1, Mersenne prime for the rolling hash
+
+
+@REGISTRY.register(
+    "q_text_stats",
+    tags=("llm", "text"),
+    oracle="""
+WITH d AS (
+  SELECT lang, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_words), 4) AS avg_words,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(n_uniq * 1.0 / n_words), 6) AS avg_uniq_ratio,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY lang
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc counts, word/char averages,
+    unique-token ratio."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    d = c.documents.select(
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.col("n_uniq") / F.col("n_words")), 6).alias("avg_uniq_ratio"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@REGISTRY.register(
+    "q_lang_topwords",
+    tags=("llm", "text"),
+    oracle="""
+WITH w AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+), counted AS (
+  SELECT lang, word, COUNT(*) AS n FROM w GROUP BY lang, word
+), ranked AS (
+  SELECT lang, word, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
+  FROM counted
+)
+SELECT lang, word, n, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def q_lang_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 words per language (explode → count → windowed top-k)."""
+    c = catalog(spark, sf_dir)
+    w = c.documents.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    counted = w.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    win = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "word", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@REGISTRY.register(
+    "q_lang_id",
+    tags=("llm", "text"),
+    bench=True,
+    oracle="""
+WITH w AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+), counted AS (
+  SELECT lang, word, COUNT(*) AS n FROM w GROUP BY lang, word
+), profile AS (
+  SELECT lang, word FROM (
+    SELECT lang, word,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
+    FROM counted
+  ) WHERE rnk <= 10
+), doc_words AS (
+  SELECT doc_id, lang AS true_lang,
+         unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents
+), overlap AS (
+  SELECT d.doc_id, d.true_lang, p.lang AS cand_lang, COUNT(*) AS hits
+  FROM doc_words d JOIN profile p USING (word)
+  GROUP BY d.doc_id, d.true_lang, p.lang
+), best AS (
+  SELECT doc_id, true_lang, cand_lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand_lang) AS rnk
+  FROM overlap
+)
+SELECT doc_id, true_lang, pred_lang,
+       CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS correct
+FROM best WHERE rnk = 1
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: build a top-10-words profile per language
+    from the corpus itself, classify each doc by profile overlap
+    (argmax hits, lexicographic tiebreak). A self-contained n-gram-ish
+    classifier as one declarative plan: explode → count → window top-k
+    → semi-structured join → argmax window."""
+    c = catalog(spark, sf_dir)
+    docs = c.documents
+    w = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    counted = w.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    win = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
+    profile = (
+        counted.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 10)
+        .select(F.col("lang").alias("cand_lang"), "word")
+    )
+    doc_words = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    )
+    overlap = (
+        doc_words.join(F.broadcast(profile), "word")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    best_w = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("cand_lang")
+    )
+    return (
+        overlap.withColumn("rnk", F.row_number().over(best_w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cand_lang").alias("pred_lang"),
+            F.when(F.col("cand_lang") == F.col("true_lang"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_text_quality",
+    tags=("llm", "text"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         n_chars,
+         string_split(text, ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_words,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+         list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+           AS avg_word_len,
+         len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t)))
+           * 1.0 / len(toks) AS stop_ratio
+  FROM d
+)
+SELECT doc_id, n_words,
+       ROUND(uniq_ratio, 6) AS uniq_ratio,
+       ROUND(avg_word_len, 6) AS avg_word_len,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(0.4 * uniq_ratio
+           + 0.3 * LEAST(n_words / 20.0, 1.0)
+           + 0.2 * (1.0 - stop_ratio)
+           + 0.1 * LEAST(avg_word_len / 6.0, 1.0), 6) AS quality_score
+FROM m
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per doc: unique-token ratio, length
+    saturation, stopword ratio, word-length — the
+    Gopher/C4-style filter-feature family as one JVM-side expression."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_words
+    avg_word_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / n_words
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_words
+    )
+    quality = (
+        0.4 * uniq_ratio
+        + 0.3 * F.least(n_words / F.lit(20.0), F.lit(1.0))
+        + 0.2 * (1.0 - stop_ratio)
+        + 0.1 * F.least(avg_word_len / F.lit(6.0), F.lit(1.0))
+    )
+    return c.documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+@REGISTRY.register(
+    "q_token_count",
+    tags=("llm", "text"),
+    oracle="""
+SELECT lang,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS BIGINT)
+         AS re_tokens,
+       CAST(SUM(CAST(CEIL(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways per language: whitespace split,
+    word-regex extraction, and a BPE-ish chars/4 estimate."""
+    c = catalog(spark, sf_dir)
+    ws = F.size(F.split(F.col("text"), " "))
+    re_toks = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z0-9]+"), 0))
+    bpe = F.ceil(F.col("n_chars") / 4.0)
+    return c.documents.groupBy("lang").agg(
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(re_toks).alias("re_tokens"),
+        F.sum(bpe).alias("bpe_est"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@REGISTRY.register(
+    "q_doc_fingerprint",
+    tags=("llm", "text"),
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         [CAST(0 AS BIGINT)] ||
+           list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+         (acc, x) -> (acc * 31 + x) % {FNV_MOD}
+       ) AS fingerprint,
+       length(text) AS n_chars_seen
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    the character stream, acc = (acc*31 + code) mod 2^31-1 — the same
+    arithmetic is expressible exactly in both engines (builtin hash
+    functions are not cross-engine portable)."""
+    c = catalog(spark, sf_dir)
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % FNV_MOD,
+    )
+    return c.documents.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.length("text").alias("n_chars_seen"),
+    )

@@ -1,1 +1,154 @@
-"""(placeholder — specs land incrementally)"""
+"""UDF surface (SURVEY §2B): the declarative escape hatch that replaces
+catenae's per-message ``Link.transform()``.
+
+Preference order at scale: built-in Column expr ≫ pandas_udf (Arrow
+vectorized) ≫ mapInPandas (batch iterator) ≫ never row-at-a-time Python.
+Every UDF here is Arrow-batched; the oracle restates the logic in SQL,
+proving the Python path computes what the declarative path would.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+# NOTE: pandas_udf decorators parse their DDL return type against the
+# active SparkSession, so UDFs are defined inside each query fn — module
+# import must stay session-free (the driver imports before it has one).
+
+
+@REGISTRY.register(
+    "q_udf_scalar",
+    tags=("udf",),
+    oracle="""
+SELECT o_custkey,
+       ROUND((SUM(o_totalprice) / 1000.0)
+             * (1.0 + LEAST(COUNT(*), 10) * 0.05), 7) AS clv
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-vectorized) over aggregated inputs."""
+    c = catalog(spark, sf_dir)
+
+    @F.pandas_udf("double")
+    def _clv_score(total: pd.Series, n_orders: pd.Series) -> pd.Series:
+        return (total / 1000.0) * (1.0 + n_orders.clip(upper=10) * 0.05)
+
+    agg = c.orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total"),
+        F.count("*").alias("n_orders"),
+    )
+    return agg.select(
+        "o_custkey",
+        # 7dp = native precision of (2dp sum / 1000) × (2dp multiplier);
+        # a 4dp round would sit exactly on .xxx50 boundaries here
+        F.round(_clv_score(F.col("total"), F.col("n_orders")), 7).alias("clv"),
+    )
+
+
+@REGISTRY.register(
+    "q_udaf_grouped",
+    tags=("udf",),
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+         AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): per-group Arrow batch in,
+    scalar out. Equivalent SQL proves the semantics; 4dp round absorbs
+    pandas-vs-SQL summation order."""
+    c = catalog(spark, sf_dir)
+
+    @F.pandas_udf("double")
+    def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+        denom = qty.sum()
+        return float((price * qty).sum() / denom) if denom else float("nan")
+
+    return c.lineitem.groupBy("l_returnflag").agg(
+        F.round(
+            _weighted_avg_price(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("wavg_price")
+    )
+
+
+@REGISTRY.register(
+    "q_udtf",
+    tags=("udf",),
+    oracle="""
+SELECT doc_id,
+       unnest(string_split(text, ' ')) AS word,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+FROM documents
+WHERE doc_id < 50
+""",
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function (1 row → N rows) via mapInPandas: tokenizer
+    exploding each doc into word rows, Arrow-batched."""
+    c = catalog(spark, sf_dir)
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words = pdf["text"].str.split(" ")
+            n = words.map(len).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].repeat(n),
+                    "word": [w for ws in words for w in ws],
+                    "n_words": n.repeat(n),
+                }
+            )
+
+    return (
+        c.documents.filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .mapInPandas(tokenize, schema="doc_id long, word string, n_words int")
+    )
+
+
+@REGISTRY.register(
+    "q_apply_in_pandas",
+    tags=("udf",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+         AS price_dev
+FROM orders
+""",
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer pandas frame in/out
+    (demean each customer's order prices). The window-SQL oracle proves
+    the per-group Python path matches the declarative equivalent."""
+    c = catalog(spark, sf_dir)
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["o_custkey", "o_orderkey"]].copy()
+        # raw value out; rounding happens Spark-side — pandas .round is
+        # half-even while SQL ROUND is half-away, and demeaned 2dp
+        # prices land exactly on 4dp boundaries
+        out["price_dev"] = pdf["o_totalprice"] - pdf["o_totalprice"].mean()
+        return out
+
+    return (
+        c.orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            demean, schema="o_custkey long, o_orderkey long, price_dev double"
+        )
+        .withColumn("price_dev", F.round("price_dev", 6))
+    )

@@ -91,6 +91,7 @@ def _load_all() -> None:
         asof,
         joins,
         llm_dedup,
+        llm_multimodal,
         llm_similarity,
         llm_text,
         projection,

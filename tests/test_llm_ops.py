@@ -1,0 +1,117 @@
+"""Property tests for the approximate (weak-oracle) LLM operators:
+MinHash-LSH recall vs exact Jaccard, LSH-ANN recall vs brute force,
+SimHash invariance, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.operators.llm_dedup import (
+    minhash_candidate_pairs,
+    minhash_signatures,
+    q_dedup_minhash,
+    q_dedup_simhash,
+)
+from catenae_kafka_spark.operators.llm_multimodal import (
+    decode_media,
+    featurize_media,
+    with_media_column,
+)
+from catenae_kafka_spark.operators.llm_similarity import q_knn_cosine, q_knn_lsh
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_finds_high_jaccard_pairs(spark):
+    """Every pair with shingle-Jaccard >= 0.9 must surface as an LSH
+    candidate (recall on the near-certain band), and verified output
+    must contain no pair below its threshold."""
+    c = catalog(spark, SF)
+    signed = minhash_signatures(c.documents).cache()
+    sa = signed.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = signed.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    truth = (
+        sa.crossJoin(sb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("j") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    cands = minhash_candidate_pairs(signed).select("id_a", "id_b")
+    missed = truth.subtract(cands).count()
+    n_truth = truth.count()
+    assert n_truth > 0, "fixtures should contain >=0.9 Jaccard pairs"
+    assert missed == 0, f"LSH missed {missed}/{n_truth} high-Jaccard pairs"
+
+    out = q_dedup_minhash(spark, SF)
+    assert out.filter(F.col("jaccard") < 0.7).count() == 0
+
+
+def test_lsh_knn_recall_vs_brute_force(spark):
+    exact = {
+        (r.query_id, r.match_id) for r in q_knn_cosine(spark, SF).collect()
+    }
+    approx = {(r.query_id, r.match_id) for r in q_knn_lsh(spark, SF).collect()}
+    recall = len(exact & approx) / len(exact)
+    # hyperplane LSH with Hamming<=1 probing on random vectors: modest
+    # recall is expected; the operator contract is "top-k are true
+    # near-ties, found cheaply", not exactness
+    assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
+    assert len(approx) > 0
+
+
+def test_simhash_invariant_to_permutation(spark):
+    """Same token multiset (any order) → identical SimHash."""
+    base = q_dedup_simhash(spark, SF)
+    c = catalog(spark, SF)
+    permuted = c.documents.withColumn(
+        "text", F.array_join(F.array_sort(F.split("text", " ")), " ")
+    )
+    from catenae_kafka_spark.registry import all_specs  # noqa: F401
+
+    # recompute simhash on permuted text via the same plan shape
+    tok = permuted.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok = tok.withColumn("_md5", F.md5("w"))
+    sums = [
+        F.sum(
+            F.when(
+                F.substring("_md5", i + 1, 1).isin(*"89abcdef"), 1
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    bits = tok.groupBy("doc_id").agg(*sums)
+    sim = F.concat(
+        *[F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(16)]
+    )
+    perm = bits.select("doc_id", sim.alias("simhash16"))
+    diff = (
+        base.alias("a")
+        .join(perm.alias("b"), "doc_id")
+        .filter(F.col("a.simhash16") != F.col("b.simhash16"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_multimodal_plumbing(spark):
+    c = catalog(spark, SF)
+    media = with_media_column(c.documents)
+    assert dict(media.dtypes)["media"] == "binary"
+    feats = featurize_media(media)
+    rows = feats.limit(5).collect()
+    assert all(r.n_bytes > 0 and r.first_byte >= 0 for r in rows)
+    # partition layout preserved through mapInPandas (no implicit shuffle)
+    assert feats.rdd.getNumPartitions() == media.rdd.getNumPartitions()
+
+
+def test_decode_media_is_explicit_stub(spark):
+    c = catalog(spark, SF)
+    with pytest.raises(NotImplementedError):
+        decode_media(with_media_column(c.documents))
