@@ -102,6 +102,7 @@ def _load_all() -> None:
     )
     from catenae_kafka_spark.functions import packs  # noqa: F401
     from catenae_kafka_spark.sources import scans  # noqa: F401
+    from catenae_kafka_spark.streaming import queries  # noqa: F401
 
     _LOADED = True
 

@@ -1,0 +1,241 @@
+"""Streaming queries for the driver contract.
+
+Each runs a REAL Structured Streaming pipeline — multi-micro-batch file
+replay of the events table, watermarks, state-store aggregation/joins —
+drained synchronously via the AvailableNow trigger, returning the
+materialized result as a batch DataFrame. The DuckDB oracle states the
+same result in batch SQL over the same events, so streaming execution
+is value-hash-checked, not just rows-counted.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+from catenae_kafka_spark.streaming import ops
+from catenae_kafka_spark.streaming.link import Link
+from catenae_kafka_spark.streaming.sinks import run_available_now
+from catenae_kafka_spark.streaming.sources import replay_events
+
+WIN_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _name(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@REGISTRY.register(
+    "q_stream_tumbling",
+    tags=("streaming",),
+    bench=True,
+    oracle="""
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type, computed by a
+    real streaming query over an 8-micro-batch replay with a 10-minute
+    watermark; oracle = batch GROUP BY hour."""
+    stream = replay_events(spark, sf_dir)
+    agg = ops.tumbling_window_agg(
+        stream,
+        "1 hour",
+        [F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")],
+        keys=["event_type"],
+    )
+    out = agg.select(
+        F.date_format(F.col("window.start"), WIN_FMT).alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    return run_available_now(out, "complete", _name("tumbling"))
+
+
+@REGISTRY.register(
+    "q_stream_sliding",
+    tags=("streaming",),
+    oracle="""
+WITH starts AS (
+  SELECT value,
+         unnest([
+           TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+           TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
+         ]) AS win_start
+  FROM events
+)
+SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       COUNT(*) AS n
+FROM starts
+GROUP BY win_start
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (each event lands in 2
+    windows); oracle materializes both window-starts per event."""
+    stream = replay_events(spark, sf_dir)
+    agg = ops.sliding_window_agg(
+        stream, "1 hour", "30 minutes", [F.count("*").alias("n")]
+    )
+    out = agg.select(
+        F.date_format(F.col("window.start"), WIN_FMT).alias("win_start"), "n"
+    )
+    return run_available_now(out, "complete", _name("sliding"))
+
+
+@REGISTRY.register(
+    "q_stream_session",
+    tags=("streaming",),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 2 HOUR
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id,
+       STRFTIME(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S')
+         AS session_start,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (2-hour gap) per user via the streaming
+    session_window operator; oracle = batch gaps-and-islands. catenae
+    had no session concept at all — new semantics.
+
+    Append mode + watermark-flushing sentinel: sessions emit exactly
+    once when the watermark closes them (complete mode silently drops
+    evicted session state — verified empirically)."""
+    stream = replay_events(spark, sf_dir, with_sentinel=True)
+    agg = ops.session_window_agg(
+        stream, "2 hours", [F.count("*").alias("n_events")], keys=["user_id"]
+    )
+    # Drop the sentinel AFTER aggregation via the window column: a
+    # filter on the user_id GROUP KEY would be pushed through the agg
+    # into the scan, silently filtering the sentinel row out before it
+    # can advance the watermark (observed: trailing sessions unflushed).
+    out = agg.filter(F.year(F.col("session_window.start")) < 2030).select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), WIN_FMT).alias("session_start"),
+        "n_events",
+    )
+    return run_available_now(out, "append", _name("session"))
+
+
+@REGISTRY.register(
+    "q_stream_dedup",
+    tags=("streaming",),
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup on (user_id, event_type) with global
+    state (exact; oracle = DISTINCT). The watermark-bounded variant
+    (dropDuplicatesWithinWatermark — catenae's CircularOrderedSet with a
+    principled eviction policy) is exercised in tests; its re-emission
+    after state eviction makes it weak-checkable only."""
+    stream = replay_events(spark, sf_dir)
+    deduped = stream.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_available_now(deduped, "append", _name("dedup"))
+
+
+@REGISTRY.register(
+    "q_stream_enrich",
+    tags=("streaming",),
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (the Aerospike/Mongo-lookup replacement):
+    every micro-batch broadcast-joins the customer dim, then a running
+    aggregation per segment; built with the Link facade."""
+    c = catalog(spark, sf_dir)
+    link = (
+        Link(replay_events(spark, sf_dir))
+        .enrich(c.customer, F.col("user_id") == F.col("c_custkey"))
+        .map(
+            lambda df: df.groupBy("c_mktsegment").agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+    )
+    return link.run_available("complete")
+
+
+@REGISTRY.register(
+    "q_stream_join",
+    tags=("streaming",),
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+""",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join: purchases within 2h after a
+    click, per user. Both sides watermarked → bounded join buffer;
+    impossible in catenae without hand-rolled cross-message state."""
+    clicks = (
+        replay_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        replay_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    # watermark delay must cover the join window (2h) plus cross-source
+    # micro-batch arrival skew, or buffered rows are evicted before
+    # their partner arrives; one replay file spans days → delay
+    # generously exceeds window + one batch's time span
+    l = clicks.withWatermark("c_ts", "8 days")
+    r = purchases.withWatermark("p_ts", "8 days")
+    joined = l.join(
+        r,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select("click_id", "purchase_id", "user_id")
+    return run_available_now(joined, "append", _name("ssjoin"))

@@ -1,0 +1,125 @@
+"""Streaming sinks (catenae A2/A5 analog) + synchronous runners.
+
+Catenae produced pickled messages back to Kafka topics; here a sink is
+a writeStream target: memory (tests/oracles), parquet/partitioned files,
+foreachBatch (the general escape hatch — external KV stores, multi-topic
+routing, idempotent upserts), kafka (when the connector jar is present).
+
+``run_available_now`` is the bridge that lets *streaming* plans satisfy
+the *batch* driver contract: execute the full pipeline with the
+AvailableNow trigger (real micro-batch execution, real state store,
+real watermarks), block until drained, return the materialized result.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def run_available_now(
+    df: DataFrame, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Drain the whole (finite) stream through a memory sink and return
+    the result as a batch DataFrame.
+
+    Uses processAllAvailable() + stop() rather than the AvailableNow
+    trigger: AvailableNow plans one batch per input file, but stateful
+    queries insert no-data maintenance batches (watermark eviction) that
+    consume the planned budget — observed terminating with input files
+    left unread. processAllAvailable blocks until the sources are
+    genuinely drained."""
+    spark = df.sparkSession
+    name = name or f"q_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    checkpoint: str | None = None,
+    output_mode: str = "update",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """catenae's external-connector escape hatch (A10/A11 analog): the
+    callback gets each micro-batch as a batch DataFrame + epoch id, for
+    idempotent writes to any external system."""
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cks_fb_ckpt_")
+    writer = (
+        df.writeStream.foreachBatch(fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str | None = None,
+    partition_by: tuple[str, ...] = (),
+    available_now: bool = False,
+) -> StreamingQuery:
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cks_pq_ckpt_")
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Kafka producer edge (requires the connector jar; see sources)."""
+    from catenae_kafka_spark.streaming.sources import kafka_available
+
+    spark = df.sparkSession
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "Kafka connector jar missing — see KafkaSource docstring"
+        )
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cks_kafka_ckpt_")
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

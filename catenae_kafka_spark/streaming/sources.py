@@ -1,0 +1,205 @@
+"""Streaming source abstraction (catenae A1 analog).
+
+Catenae's only source was a Kafka consumer loop deserializing pickled
+``Electron`` messages. Here sources are declarative and pluggable:
+
+- ``FileReplaySource``: replays a parquet table as a multi-micro-batch
+  stream (``maxFilesPerTrigger``) — the local stand-in for a Kafka
+  topic, and the fixture-replay path for every streaming test/query.
+- ``RateSource``: synthetic rows/sec (catenae A8 timer-generator analog).
+- ``KafkaSource``: the production edge. The spark-sql-kafka connector
+  jar is NOT bundled in this environment (verified — SURVEY §1.2), so
+  it is gated behind ``kafka_available`` with a clear error instead of
+  a hard dependency.
+
+All sources yield a typed streaming DataFrame — schema-on-read columns,
+never schema-less blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from catenae_kafka_spark.catalog import catalog, table_path
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the Kafka connector classes are on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class RateSource:
+    rows_per_second: int = 1000
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", self.rows_per_second)
+            .load()
+        )
+
+
+@dataclass
+class KafkaSource:
+    bootstrap_servers: str
+    subscribe: str
+    starting_offsets: str = "earliest"
+    options: dict[str, str] = field(default_factory=dict)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        if not kafka_available(spark):
+            raise RuntimeError(
+                "spark-sql-kafka-0-10 connector jar is not on the classpath; "
+                "add it via spark.jars.packages="
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+                "or use FileReplaySource/RateSource for local development"
+            )
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("subscribe", self.subscribe)
+            .option("startingOffsets", self.starting_offsets)
+            .options(**self.options)
+            .load()
+        )
+
+
+@dataclass
+class FileReplaySource:
+    """Replay a catalog parquet table as a stream of micro-batches.
+
+    The table is re-laid-out once into ``n_files`` parquet files (sorted
+    by ``order_col`` so replay approximates arrival order), then read
+    with ``maxFilesPerTrigger=1`` → n_files micro-batches.
+
+    ``with_sentinel=True`` appends one final row far in the future
+    (event_id = -1) whose only job is to push the watermark past every
+    real row when the finite stream drains — without it, append-mode
+    windowed/session aggregations never flush their trailing windows
+    (the watermark stops ``delay`` short of max event time). Consumers
+    filter ``event_id >= 0`` / ``user_id >= 0`` after windowing.
+    """
+
+    sf_dir: str
+    table: str = "events"
+    n_files: int = 8
+    order_col: str = "ts"
+    files_per_trigger: int = 1
+    with_sentinel: bool = False
+    sentinel_advance_days: int = 3650
+
+    def _staging_dir(self) -> str:
+        tag = hashlib.sha256(
+            f"{self.sf_dir}|{self.table}|{self.n_files}|{self.order_col}"
+            f"|{self.with_sentinel}".encode()
+        ).hexdigest()[:12]
+        return os.path.join(
+            tempfile.gettempdir(), "catenae_kafka_spark", "replay", tag
+        )
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        out = self._staging_dir()
+        marker = os.path.join(out, "_REPLAY_READY")
+        if not os.path.exists(marker):
+            df = catalog(spark, self.sf_dir).table(self.table)
+            # range-partition by event time: file k holds the k-th time
+            # slice, so maxFilesPerTrigger replays in arrival order
+            df.repartitionByRange(self.n_files, self.order_col).write.mode(
+                "overwrite"
+            ).parquet(out)
+            self._enforce_replay_order(out)
+            if self.with_sentinel:
+                sentinel = (
+                    df.orderBy(F.col(self.order_col).desc())
+                    .limit(1)
+                    .withColumn(
+                        self.order_col,
+                        F.col(self.order_col)
+                        + F.expr(f"INTERVAL {self.sentinel_advance_days} DAYS"),
+                    )
+                )
+                for col in ("event_id", "user_id"):
+                    if col in sentinel.columns:
+                        sentinel = sentinel.withColumn(col, F.lit(-1).cast("long"))
+                # TWO sentinel files, each its own micro-batch: a batch's
+                # watermark is computed from the PREVIOUS batch's data, so
+                # the first sentinel's far-future timestamp only takes
+                # effect (flushing trailing windows/sessions) while the
+                # second sentinel's batch runs. One sentinel would leave
+                # the last `delay` worth of state unflushed.
+                import glob
+                import shutil
+
+                for i in range(2):
+                    shifted = sentinel.withColumn(
+                        self.order_col,
+                        F.col(self.order_col) + F.expr(f"INTERVAL {i} DAYS"),
+                    )
+                    tmp = out + f"_sentinel_tmp{i}"
+                    shifted.coalesce(1).write.mode("overwrite").parquet(tmp)
+                    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+                    shutil.copy(part, os.path.join(out, f"zzz-sentinel-{i}.parquet"))
+                    shutil.rmtree(tmp)
+                self._enforce_replay_order(out)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        schema = spark.read.parquet(out).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", self.files_per_trigger)
+            .parquet(out)
+        )
+
+    @staticmethod
+    def _enforce_replay_order(out: str) -> None:
+        """The file stream source does NOT list files in path order —
+        without intervention micro-batches arrive in arbitrary slice
+        order, the watermark jumps ahead on a late slice, and every
+        earlier slice is then dropped as late data (observed: 60% row
+        loss). Rename slices to zero-padded sequential names AND give
+        them strictly increasing mtimes so every listing order the
+        source may use (path, modification time) equals event-time
+        order."""
+        import glob
+        import time
+
+        parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+        for i, src_path in enumerate(parts):
+            os.replace(src_path, os.path.join(out, f"slice-{i:05d}.parquet"))
+        # re-derive the full slice list (this runs again after sentinel
+        # copy; a fresh time base must cover ALL files or mtimes
+        # interleave and the source replays slices out of order)
+        slices = sorted(glob.glob(os.path.join(out, "slice-*.parquet")))
+        base = time.time() - 86400
+        for i, dst in enumerate(slices):
+            os.utime(dst, (base + i, base + i))
+        for i, sentinel in enumerate(
+            sorted(glob.glob(os.path.join(out, "zzz-sentinel-*.parquet")))
+        ):
+            os.utime(sentinel, (base + len(slices) + 1 + i,) * 2)
+
+
+def replay_events(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 8,
+    with_sentinel: bool = False,
+) -> DataFrame:
+    """Convenience: the events table as a multi-batch stream."""
+    return FileReplaySource(
+        sf_dir=sf_dir, n_files=n_files, with_sentinel=with_sentinel
+    ).load(spark)

@@ -1,0 +1,100 @@
+"""Streaming layer tests: Link facade, foreachBatch, watermark-bounded
+dedup, routing, kafka gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.streaming.link import Link
+from catenae_kafka_spark.streaming.sinks import run_available_now
+from catenae_kafka_spark.streaming.sources import (
+    KafkaSource,
+    RateSource,
+    kafka_available,
+    replay_events,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_link_map_filter_flatmap(spark):
+    link = (
+        Link(replay_events(spark, SF, n_files=4))
+        .filter(F.col("event_type") == "click")
+        .with_column("k", F.get_json_object("props", "$.k").cast("int"))
+        .map(lambda df: df.select("event_id", "user_id", "k"))
+    )
+    out = link.run_available()
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) == {"event_id", "user_id", "k"}
+    assert all(r.k is not None for r in rows)
+
+
+def test_link_route_multi_output(spark):
+    branches = Link(replay_events(spark, SF, n_files=4)).route(
+        clicks=F.col("event_type") == "click",
+        errors=F.col("event_type") == "error",
+    )
+    clicks = branches["clicks"].run_available()
+    errors = branches["errors"].run_available()
+    n_clicks, n_errors = clicks.count(), errors.count()
+    c = catalog(spark, SF)
+    exp_clicks = c.events.filter(F.col("event_type") == "click").count()
+    exp_errors = c.events.filter(F.col("event_type") == "error").count()
+    assert (n_clicks, n_errors) == (exp_clicks, exp_errors)
+
+
+def test_link_dedup_within_watermark_bounds_state(spark):
+    """dropDuplicatesWithinWatermark: within-watermark duplicates are
+    suppressed; keys may legitimately re-emit after state eviction, so
+    output is between n_distinct and n_rows."""
+    link = Link(replay_events(spark, SF, n_files=4)).dedup(
+        ["user_id", "event_type"], watermark="30 minutes"
+    )
+    out = link.run_available()
+    n = out.count()
+    c = catalog(spark, SF)
+    n_rows = c.events.count()
+    n_distinct = c.events.select("user_id", "event_type").distinct().count()
+    assert n_distinct <= n <= n_rows
+    assert n < n_rows  # it actually deduped something
+
+
+def test_foreach_batch_collector(spark):
+    seen: list[int] = []
+    link = Link(replay_events(spark, SF, n_files=4)).select("event_id")
+    q = link.sink_foreach_batch(
+        lambda df, epoch: seen.append(df.count()),
+        output_mode="append",
+        available_now=True,
+    )
+    q.awaitTermination()
+    assert sum(seen) == catalog(spark, SF).events.count()
+    assert len(seen) >= 4  # one batch per replay file
+
+
+def test_kafka_gated_with_clear_error(spark):
+    assert kafka_available(spark) is False  # jar absent in this env
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        KafkaSource("localhost:9092", "topic").load(spark)
+
+
+def test_rate_source_loads(spark):
+    df = RateSource(rows_per_second=10).load(spark)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_stream_static_enrich_via_link(spark):
+    c = catalog(spark, SF)
+    out = (
+        Link(replay_events(spark, SF, n_files=4))
+        .enrich(c.customer, F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "c_mktsegment")
+        .run_available()
+    )
+    assert out.count() > 0
+    assert "c_mktsegment" in out.columns
