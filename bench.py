@@ -1,0 +1,58 @@
+"""Benchmark runner (driver contract: one JSON line to stdout).
+
+Runs the headline query set (bench=True specs: flagship join-agg, fact
+join, TPC-H Q1 agg, as-of join, window rank, MinHash dedup, KNN cosine,
+language-ID, streaming tumbling window) at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], forcing full execution JVM-side via the noop
+sink (no rows cross to Python), and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from catenae_kafka_spark.registry import all_specs
+from catenae_kafka_spark.session import get_spark
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # noop sink executes the complete plan with zero sink overhead
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query-set wall time (batch+streaming), local mode",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -89,13 +89,21 @@ def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     shingle_len: int = 3,
 ) -> DataFrame:
     """Per-doc MinHash signature over word shingles.
 
-    Map-only: shingling and the num_hashes min-reductions are
-    higher-order array expressions (JVM codegen), no shuffle, no UDF.
+    Shape: shingle once → explode → one row per (doc, shingle) with
+    num_hashes plain xxhash64 columns → groupBy(doc).min per hash
+    (partial aggregation map-side) → repack as an array.
+
+    NOT the nested-higher-order-function form
+    (array(array_min(transform(shingles, hash_h)) for h ...)): that
+    builds a 64-lambda mega-projection that falls out of whole-stage
+    codegen into interpreted evaluation — measured 200 s vs ~2 s here at
+    sf0.1. Flat hash columns + partial agg is also the shape that scales:
+    the shuffle carries (id, 64 longs), never shingle arrays.
     """
     toks = F.split(F.col(text_col), " ")
     n_sh = F.greatest(F.size(toks) - (shingle_len - 1), F.lit(1))
@@ -107,29 +115,34 @@ def minhash_signatures(
             ),
         )
     )
-    # seed must be bound via a factory: a 2-parameter lambda would make
-    # Spark pass the array INDEX as the second argument, silently
-    # overriding the seed and degenerating all signatures to one value
-    def seeded(seed: int):
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, seeded(h))) for h in range(num_hashes)]
+    base = docs.select(F.col(id_col), shingles.alias("shingles"))
+    exploded = base.select(id_col, F.explode("shingles").alias("_sh"))
+    hashed = exploded.select(
+        id_col,
+        *[F.xxhash64(F.lit(h), F.col("_sh")).alias(f"_h{h}") for h in range(num_hashes)],
     )
-    return docs.select(F.col(id_col), shingles.alias("shingles"), sig.alias("sig"))
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{h}").alias(f"_m{h}") for h in range(num_hashes)]
+    )
+    packed = sig.select(
+        id_col, F.array(*[F.col(f"_m{h}") for h in range(num_hashes)]).alias("sig")
+    )
+    return base.join(packed, id_col)
 
 
 def minhash_candidate_pairs(
-    signed: DataFrame, bands: int = 16, rows_per_band: int = 2
+    signed: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a
     candidate pair. Linear explode (bands per doc) + shuffle by bucket;
     pairwise join happens only within buckets.
 
-    16 bands × 2 rows ⇒ candidate threshold (1/b)^(1/r) ≈ 0.25 and miss
-    probability ~1e-11 at J≥0.9 — generous candidates, near-zero missed
-    true dupes; the exact-Jaccard verification step absorbs the false
-    positives."""
+    16 bands × 4 rows ⇒ candidate threshold (1/b)^(1/r) ≈ 0.5 and miss
+    probability ~2e-8 at J≥0.9. Band width matters for skew as much as
+    recall: on this corpus (31-word vocabulary) 2-row bands collide so
+    often that a few buckets held hundreds of docs and the in-bucket
+    pair join went quadratic (192 s at sf0.1); 4-row bands keep buckets
+    small (12 s) at the same effective recall."""
     banded = signed.select(
         "doc_id",
         F.posexplode(
@@ -171,9 +184,16 @@ def minhash_candidate_pairs(
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified: candidates from banding,
-    then exact shingle-Jaccard on candidates only; keep >= 0.7."""
+    then exact shingle-Jaccard on candidates only; keep >= 0.7.
+
+    The signature DF is cached before fan-out: banding references
+    element_at(sig, i) 64 times and Catalyst would otherwise INLINE the
+    whole 64-hash minhash pipeline into every reference (observed 40×
+    slowdown). At 100 TB the same principle holds — materialize
+    signatures (storage/cache) before the bucket join, never recompute
+    them per band."""
     c = catalog(spark, sf_dir)
-    signed = minhash_signatures(c.documents)
+    signed = minhash_signatures(c.documents).cache()
     cands = minhash_candidate_pairs(signed)
     sa = signed.select(
         F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")

