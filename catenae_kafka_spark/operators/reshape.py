@@ -1,0 +1,105 @@
+"""Reshape & maintenance operators: unpivot (melt), deterministic hash
+sampling, MERGE-style upsert.
+
+- ``q_unpivot``: the inverse of q_pivot (wide → long) via the native
+  unpivot/melt operator — map-only, no shuffle.
+- ``q_sample_hash``: deterministic sampling. ``df.sample()`` is
+  seed-and-partitioning dependent (not reproducible across engines or
+  even layouts), so the engine's reproducible-sample primitive is a
+  hash-mod filter on a key — portable, stable under repartitioning, and
+  exactly what a 100 TB pipeline wants for holdout splits.
+- ``merge_upsert``: Delta-style MERGE emulated with anti-join + union
+  (the v1 image has no Delta jars). Catenae analog: per-message KV
+  upserts into Aerospike/Mongo — here it is a declarative set operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_unpivot",
+    tags=("reshape",),
+    oracle="""
+WITH wide AS (
+  SELECT o_orderstatus,
+         ROUND(SUM(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS p1,
+         ROUND(SUM(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS p5
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, prio, amount
+FROM wide UNPIVOT INCLUDE NULLS (amount FOR prio IN (p1, p5))
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-priority columns back to long rows."""
+    c = catalog(spark, sf_dir)
+    wide = (
+        c.orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnRenamed("1-URGENT", "p1")
+        .withColumnRenamed("5-LOW", "p5")
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["p1", "p5"],
+        variableColumnName="prio",
+        valueColumnName="amount",
+    )
+
+
+@REGISTRY.register(
+    "q_sample_hash",
+    tags=("sample",),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 10 = 3
+""",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by key mod — reproducible across
+    engines, runs, and data layouts (unlike seed-based df.sample)."""
+    c = catalog(spark, sf_dir)
+    return c.orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO emulation: rows from ``updates`` win on key collision,
+    unmatched target rows are kept (upsert). Anti-join + union — two
+    shuffles max, no per-row lookups."""
+    kept = target.join(updates, key, "left_anti")
+    return kept.unionByName(updates)
+
+
+@REGISTRY.register(
+    "q_merge_upsert",
+    tags=("merge",),
+    oracle="""
+WITH updates AS (
+  SELECT s_suppkey, s_name, ROUND(s_acctbal * 1.10, 4) AS s_acctbal
+  FROM supplier WHERE s_suppkey % 3 = 0
+)
+SELECT s_suppkey, s_name, s_acctbal FROM updates
+UNION ALL
+SELECT s_suppkey, s_name, s_acctbal FROM supplier s
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.s_suppkey = s.s_suppkey)
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert: 10%-raised balances for every third supplier merged over
+    the base table (catenae KV-upsert analog, declaratively)."""
+    c = catalog(spark, sf_dir)
+    base = c.supplier.select("s_suppkey", "s_name", "s_acctbal")
+    updates = base.filter(F.col("s_suppkey") % 3 == 0).withColumn(
+        "s_acctbal", F.round(F.col("s_acctbal") * 1.10, 4)
+    )
+    return merge_upsert(base, updates, "s_suppkey")

@@ -152,3 +152,34 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("price_dev", F.round("price_dev", 6))
     )
+
+
+@REGISTRY.register(
+    "q_udtf_native",
+    tags=("udf",),
+    oracle="""
+SELECT doc_id, unnest(generate_series(1, 3)) AS piece_id,
+       length(text) AS n_chars
+FROM documents WHERE doc_id < 30
+""",
+)
+def q_udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native Python UDTF (@udtf): one input row → N output
+    rows through the registered-table-function path (vs the
+    mapInPandas formulation in q_udtf)."""
+    from pyspark.sql.functions import lit, udtf
+
+    c = catalog(spark, sf_dir)
+
+    @udtf(returnType="doc_id: bigint, piece_id: bigint, n_chars: bigint")
+    class Pieces:
+        def eval(self, doc_id: int, text: str, n: int):
+            for i in range(1, n + 1):
+                yield doc_id, i, len(text)
+
+    spark.udtf.register("pieces", Pieces)
+    c.documents.filter(F.col("doc_id") < 30).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT p.doc_id, p.piece_id, p.n_chars "
+        "FROM _udtf_docs, LATERAL pieces(doc_id, text, 3) p"
+    )

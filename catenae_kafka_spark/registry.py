@@ -95,7 +95,9 @@ def _load_all() -> None:
         llm_similarity,
         llm_text,
         projection,
+        reshape,
         setops,
+        subqueries,
         sorts,
         udf_surface,
         windows,

@@ -22,6 +22,8 @@ from catenae_kafka_spark.streaming.link import Link
 from catenae_kafka_spark.streaming.sinks import run_available_now
 from catenae_kafka_spark.streaming.sources import replay_events
 
+from catenae_kafka_spark.streaming.stateful import circular_dedup, streaming_ema
+
 WIN_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
@@ -239,3 +241,54 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
     ).select("click_id", "purchase_id", "user_id")
     return run_available_now(joined, "append", _name("ssjoin"))
+
+
+@REGISTRY.register(
+    "q_stream_ema",
+    tags=("streaming", "stateful"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
+         COUNT(*) AS n_seen
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       ROUND(list_reduce(vals, (acc, x) -> 0.9 * acc + 0.1 * x), 6) AS ema,
+       n_seen
+FROM ordered
+""",
+)
+def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: per-user
+    exponential moving average folded across micro-batches (order-
+    dependent — no builtin aggregate can express it; catenae analog is
+    Link instance state mutated per message). The oracle folds the same
+    recurrence with DuckDB list_reduce. Update mode emits one row per
+    (user, batch); the max-n_seen row per user is the final state."""
+    stream = replay_events(spark, sf_dir)
+    updates = run_available_now(streaming_ema(stream), "update", _name("ema"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.round("ema", 6).alias("ema"), "n_seen")
+    )
+
+
+@REGISTRY.register(
+    "q_stream_circular_dedup",
+    tags=("streaming", "stateful"),
+    oracle=None,  # FIFO-capacity eviction is order-dependent state-
+    # machine semantics; verified against a python reference model in
+    # tests/test_stateful.py (weak rows-only check here).
+)
+def q_stream_circular_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """catenae CircularOrderedSet re-created as managed streaming state:
+    first-seen dedup per user over a FIFO window of the last 3 distinct
+    event types — capacity-bounded eviction, the exact semantics of the
+    reference's bounded structures (vs watermark-bounded
+    dropDuplicatesWithinWatermark)."""
+    stream = replay_events(spark, sf_dir)
+    return run_available_now(circular_dedup(stream), "update", _name("cdedup"))

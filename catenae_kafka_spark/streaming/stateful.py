@@ -1,0 +1,105 @@
+"""Arbitrary stateful streaming operators (SURVEY §2B streaming:
+``applyInPandasWithState``) — the escape hatch for state machines that
+built-in windowed aggregation cannot express.
+
+Catenae analog: ``Link`` instance attributes mutated per message plus
+``CircularOrderedDict/Set`` bounded structures (A9). Here state is
+explicit, per-key, checkpointed in the state store, and processed in
+Arrow batches:
+
+- ``streaming_ema``: per-user exponential moving average — inherently
+  order-dependent (no builtin agg can express it), carried across
+  micro-batches via GroupState.
+- ``circular_dedup``: catenae's CircularOrderedSet semantics exactly —
+  first-seen-wins dedup over a FIFO-bounded capacity window (capacity
+  eviction, unlike the watermark eviction of
+  dropDuplicatesWithinWatermark).
+
+Scale: state is (key → a few floats / a short list), sharded by the
+groupBy shuffle, RocksDB-backed in production confs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EMA_ALPHA = 0.1
+
+EMA_OUTPUT_SCHEMA = "user_id long, ema double, n_seen long"
+EMA_STATE_SCHEMA = "ema double, n_seen long"
+
+DEDUP_OUTPUT_SCHEMA = "user_id long, event_id long, event_type string"
+DEDUP_STATE_SCHEMA = "recent array<string>"
+
+
+def _ema_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each user's values (ts order) into a running EMA."""
+    ema, n_seen = state.get if state.exists else (None, 0)
+    for pdf in batches:
+        pdf = pdf.sort_values("ts")
+        for v in pdf["value"]:
+            ema = float(v) if ema is None else (1 - EMA_ALPHA) * ema + EMA_ALPHA * float(v)
+            n_seen += 1
+    state.update((ema, n_seen))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "ema": [ema], "n_seen": [n_seen]}
+    )
+
+
+def streaming_ema(events: DataFrame) -> DataFrame:
+    """Per-user EMA over the value column; one row per (user, batch)
+    with the state so far — the latest n_seen row per user is the final
+    answer."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ema_fn,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _circular_dedup_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """catenae CircularOrderedSet.add semantics per key: emit a row iff
+    its signature is not in the set; insertion evicts the oldest entry
+    beyond capacity."""
+    capacity = 3
+    (recent,) = state.get if state.exists else ([],)
+    recent = list(recent)
+    out: list[tuple[int, int, str]] = []
+    for pdf in batches:
+        pdf = pdf.sort_values("ts")
+        for row in pdf.itertuples(index=False):
+            sig = row.event_type
+            if sig not in recent:
+                out.append((key[0], row.event_id, sig))
+                recent.append(sig)
+                if len(recent) > capacity:
+                    recent.pop(0)
+    state.update((recent,))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "event_type"])
+
+
+def circular_dedup(events: DataFrame) -> DataFrame:
+    """Bounded-capacity FIFO dedup (capacity=3 signatures per user)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _circular_dedup_fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -84,8 +84,8 @@ def test_no_python_udfs_in_relational_core(spark):
     explicit UDF-surface queries."""
     from catenae_kafka_spark.registry import all_specs
 
-    udf_allowed = {"q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_apply_in_pandas",
-                   "q_multimodal_features"}
+    udf_allowed = {"q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_udtf_native",
+                   "q_apply_in_pandas", "q_multimodal_features"}
     for name, spec in all_specs().items():
         if name in udf_allowed or "stream" in name:
             continue

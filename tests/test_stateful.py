@@ -1,0 +1,41 @@
+"""Stateful streaming ops vs python reference models."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_circular_dedup_matches_reference_model(spark):
+    """The applyInPandasWithState op must reproduce catenae's
+    CircularOrderedSet semantics exactly: per user, emit an event iff
+    its type is not among the last 3 distinct types seen (FIFO)."""
+    out = all_specs()["q_stream_circular_dedup"].fn(spark, SF)
+    got = {(r.user_id, r.event_id) for r in out.collect()}
+
+    rows = (
+        catalog(spark, SF)
+        .events.select("user_id", "event_id", "event_type", "ts")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    state: dict[int, list[str]] = {}
+    expected = set()
+    for r in rows:
+        recent = state.setdefault(r.user_id, [])
+        if r.event_type not in recent:
+            expected.add((r.user_id, r.event_id))
+            recent.append(r.event_type)
+            if len(recent) > 3:
+                recent.pop(0)
+    assert got == expected
+
+
+def test_ema_final_state_counts_every_event(spark):
+    out = all_specs()["q_stream_ema"].fn(spark, SF)
+    total = out.agg(F.sum("n_seen")).collect()[0][0]
+    assert total == catalog(spark, SF).events.count()
