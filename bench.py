@@ -32,6 +32,11 @@ def sf_from_dir(sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
+    # warm up the JVM/codegen paths on a trivial action so the first
+    # timed query doesn't absorb session spin-up
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
     specs = {n: s for n, s in all_specs().items() if s.bench}
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):

@@ -105,6 +105,13 @@ def minhash_signatures(
     sf0.1. Flat hash columns + partial agg is also the shape that scales:
     the shuffle carries (id, 64 longs), never shingle arrays.
     """
+    # a small single-file parquet table scans as ONE partition; spread
+    # rows first or the CPU-heavy shingle/hash expressions run on one
+    # core (measured 4× of the whole pipeline's cost at sf0.1). The
+    # partition count is explicit because AQE would coalesce a bare
+    # repartition(col) of small data straight back to one partition.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     n_sh = F.greatest(F.size(toks) - (shingle_len - 1), F.lit(1))
     shingles = F.array_distinct(
