@@ -1,0 +1,138 @@
+"""Composite showcase queries: multi-operator DAGs of the kinds users
+actually run, end to end.
+
+- ``q_top_unshipped``: TPC-H Q3 shape — segment filter, 3-way join,
+  grouped revenue, top-10. The classic interactive-BI composite.
+- ``q_llm_pipeline``: an LLM training-data preparation pipeline as ONE
+  declarative DAG: quality-filter → canonical near-dup removal (keep
+  lowest doc_id per token-set group) → per-language token accounting of
+  the surviving corpus. Catenae users wired this as three separate
+  Kafka microservices; here Catalyst fuses it into one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_top_unshipped",
+    tags=("composite", "join", "agg"),
+    bench=True,
+    oracle="""
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-revenue orders taken before 1997
+    but shipped after it, for one market segment."""
+    c = catalog(spark, sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(
+            c.orders.filter(F.col("o_orderdate") < "1997-01-01"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            c.lineitem.filter(F.col("l_shipdate") > "1997-01-01"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@REGISTRY.register(
+    "q_llm_pipeline",
+    tags=("composite", "llm"),
+    bench=True,
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars, text,
+         string_split(text, ' ') AS toks,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents
+), kept AS (
+  SELECT *,
+         array_to_string(list_sort(list_distinct(toks)), ' ') AS sig
+  FROM scored WHERE uniq_ratio >= 0.5 AND n_chars >= 100
+), deduped AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, toks,
+           ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+  FROM deduped GROUP BY lang
+), vocab AS (
+  SELECT lang, CAST(COUNT(DISTINCT w.word) AS BIGINT) AS vocab
+  FROM deduped, LATERAL unnest(toks) AS w(word)
+  GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens, vocab
+FROM per_lang JOIN vocab USING (lang)
+""",
+)
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep in one DAG: quality filter
+    (unique-token ratio + length) → canonical dedup (first doc per
+    sorted-token-set signature) → per-language token & vocab accounting
+    of the surviving corpus."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    scored = c.documents.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        toks.alias("toks"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+    )
+    kept = scored.filter(
+        (F.col("uniq_ratio") >= 0.5) & (F.col("n_chars") >= 100)
+    ).withColumn("sig", F.array_join(F.array_sort(F.array_distinct("toks")), " "))
+    w = Window.partitionBy("sig").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "toks")
+    )
+    per_lang = deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+    )
+    vocab = (
+        deduped.select("lang", F.explode("toks").alias("word"))
+        .groupBy("lang")
+        .agg(F.countDistinct("word").alias("vocab"))
+    )
+    return per_lang.join(vocab, "lang").select(
+        "lang", "n_docs", "total_tokens", "vocab"
+    )

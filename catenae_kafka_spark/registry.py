@@ -89,6 +89,7 @@ def _load_all() -> None:
     from catenae_kafka_spark.operators import (  # noqa: F401
         aggregates,
         asof,
+        composites,
         joins,
         llm_dedup,
         llm_multimodal,

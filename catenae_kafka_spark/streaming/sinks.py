@@ -46,12 +46,21 @@ def run_available_now(
     genuinely drained."""
     spark = df.sparkSession
     name = name or f"q_{uuid.uuid4().hex[:10]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    # Stateful micro-batches pay per-(batch × state-partition) fixed
+    # cost; for a short finite replay 32 state partitions are pure
+    # overhead (measured ~3×). 8 is plenty locally; a production
+    # always-on query sizes this to its key cardinality instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(prev))))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
