@@ -301,3 +301,43 @@ def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("o_orderpriority").alias("n_prios"),
     )
+
+
+@REGISTRY.register(
+    "q_agg_quantiles",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (Spark percentile == DuckDB
+    quantile_cont). The approximate path for 100 TB is
+    q_agg_approx_quantiles (t-digest-style sketch, weak-checked)."""
+    c = catalog(spark, sf_dir)
+    return c.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.90), 4).alias("p90"),
+    )
+
+
+@REGISTRY.register(
+    "q_agg_approx_quantiles",
+    tags=("agg", "approx"),
+    oracle=None,  # approximate by design; tolerance vs exact quantiles
+    # asserted in tests/test_llm_ops.py
+)
+def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the fixed-size-sketch quantile path for scale
+    (exact percentile needs the full sorted group in memory)."""
+    c = catalog(spark, sf_dir)
+    return c.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_p50"),
+    )

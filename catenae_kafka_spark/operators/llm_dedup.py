@@ -376,3 +376,35 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.35)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+@REGISTRY.register(
+    "q_fuzzy_levenshtein",
+    tags=("llm", "dedup", "fuzzy"),
+    oracle="""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical part names (edit distance
+    <= 3) within a brand block. The blocking key bounds the quadratic
+    pair term, the same pattern as every other near-dup operator here."""
+    c = catalog(spark, sf_dir)
+    a = c.part.select(
+        F.col("p_brand"), F.col("p_partkey").alias("id_a"), F.col("p_name").alias("n_a")
+    )
+    b = c.part.select(
+        F.col("p_brand"), F.col("p_partkey").alias("id_b"), F.col("p_name").alias("n_b")
+    )
+    dist = F.levenshtein("n_a", "n_b")
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 3)
+        .select("id_a", "id_b", "dist")
+    )

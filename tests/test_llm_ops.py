@@ -115,3 +115,16 @@ def test_decode_media_is_explicit_stub(spark):
     c = catalog(spark, SF)
     with pytest.raises(NotImplementedError):
         decode_media(with_media_column(c.documents))
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """Weak-oracle approximate aggregates must track their exact
+    counterparts: HLL count-distinct within the configured rsd*3, approx
+    median within 1% relative error."""
+    from catenae_kafka_spark.registry import all_specs
+
+    specs = all_specs()
+    for r in specs["q_agg_approx"].fn(spark, SF).collect():
+        assert abs(r.approx_parts - r.exact_parts) <= max(3, 0.06 * r.exact_parts)
+    for r in specs["q_agg_approx_quantiles"].fn(spark, SF).collect():
+        assert abs(r.approx_p50 - r.exact_p50) <= 0.01 * abs(r.exact_p50)
