@@ -38,30 +38,34 @@ DEDUP_OUTPUT_SCHEMA = "user_id long, event_id long, event_type string"
 DEDUP_STATE_SCHEMA = "recent array<string>"
 
 
-def _ema_fn(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold each user's values (ts order) into a running EMA."""
-    ema, n_seen = state.get if state.exists else (None, 0)
-    for pdf in batches:
-        pdf = pdf.sort_values("ts")
-        for v in pdf["value"]:
-            ema = float(v) if ema is None else (1 - EMA_ALPHA) * ema + EMA_ALPHA * float(v)
-            n_seen += 1
-    state.update((ema, n_seen))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "ema": [ema], "n_seen": [n_seen]}
-    )
-
-
 def streaming_ema(events: DataFrame) -> DataFrame:
     """Per-user EMA over the value column; one row per (user, batch)
     with the state so far — the latest n_seen row per user is the final
-    answer."""
+    answer.
+
+    The state function is a CLOSURE on purpose: module-level functions
+    are cloudpickled by reference, and Python workers (which do not
+    inherit the driver's sys.path insertions) then fail with
+    ModuleNotFoundError when the engine is driven from outside the repo.
+    """
+    alpha = EMA_ALPHA
+
+    def ema_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ema, n_seen = state.get if state.exists else (None, 0)
+        for pdf in batches:
+            pdf = pdf.sort_values("ts")
+            for v in pdf["value"]:
+                ema = float(v) if ema is None else (1 - alpha) * ema + alpha * float(v)
+                n_seen += 1
+        state.update((ema, n_seen))
+        yield pd.DataFrame({"user_id": [key[0]], "ema": [ema], "n_seen": [n_seen]})
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _ema_fn,
+        ema_fn,
         outputStructType=EMA_OUTPUT_SCHEMA,
         stateStructType=EMA_STATE_SCHEMA,
         outputMode="update",
@@ -69,35 +73,34 @@ def streaming_ema(events: DataFrame) -> DataFrame:
     )
 
 
-def _circular_dedup_fn(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """catenae CircularOrderedSet.add semantics per key: emit a row iff
-    its signature is not in the set; insertion evicts the oldest entry
-    beyond capacity."""
-    capacity = 3
-    (recent,) = state.get if state.exists else ([],)
-    recent = list(recent)
-    out: list[tuple[int, int, str]] = []
-    for pdf in batches:
-        pdf = pdf.sort_values("ts")
-        for row in pdf.itertuples(index=False):
-            sig = row.event_type
-            if sig not in recent:
-                out.append((key[0], row.event_id, sig))
-                recent.append(sig)
-                if len(recent) > capacity:
-                    recent.pop(0)
-    state.update((recent,))
-    yield pd.DataFrame(out, columns=["user_id", "event_id", "event_type"])
+def circular_dedup(events: DataFrame, capacity: int = 3) -> DataFrame:
+    """Bounded-capacity FIFO dedup: catenae CircularOrderedSet.add
+    semantics per key — emit a row iff its signature is not in the set;
+    insertion evicts the oldest entry beyond capacity. (Closure for the
+    same worker-import reason as streaming_ema.)"""
 
+    def dedup_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (recent,) = state.get if state.exists else ([],)
+        recent = list(recent)
+        out: list[tuple[int, int, str]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values("ts")
+            for row in pdf.itertuples(index=False):
+                sig = row.event_type
+                if sig not in recent:
+                    out.append((key[0], row.event_id, sig))
+                    recent.append(sig)
+                    if len(recent) > capacity:
+                        recent.pop(0)
+        state.update((recent,))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "event_type"])
 
-def circular_dedup(events: DataFrame) -> DataFrame:
-    """Bounded-capacity FIFO dedup (capacity=3 signatures per user)."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _circular_dedup_fn,
+        dedup_fn,
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="update",
