@@ -98,6 +98,115 @@ def featurize_media(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media_df: DataFrame, width: int = 32, height: int = 8) -> DataFrame:
+    """'Resize' to a fixed width*height byte budget: truncate or
+    zero-pad each payload to exactly width*height bytes, updating the
+    metadata struct. A real image resize (PIL) would slot into the same
+    mapInPandas body — the fixed-output-size contract, Arrow binary
+    batch shape, and metadata rewrite are the real plumbing; the
+    truncate/pad is the deterministic stand-in for pixel resampling."""
+    target = width * height
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["media"].map(
+                lambda b: bytes(b[:target]).ljust(target, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": resized,
+                    "meta": [
+                        {
+                            "kind": "image/fake",
+                            "n_bytes": target,
+                            "fake_width": width,
+                            "fake_height": height,
+                        }
+                        for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return media_df.mapInPandas(do_resize, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_sum long"
+
+
+def sample_frames(
+    media_df: DataFrame, frame_bytes: int = 64, every: int = 2
+) -> DataFrame:
+    """Video frame sampling: treat the payload as a sequence of
+    fixed-size frames (frame_bytes each, trailing partial frame
+    dropped) and emit every ``every``-th frame as its own row — the 1→N
+    expansion a video pipeline runs before per-frame inference. Real
+    ffmpeg frame extraction would replace the byte slicing; the row
+    explosion, per-frame binary column, and checksum are real."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[int, int, bytes, int]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                for idx in range(0, len(b) // frame_bytes, every):
+                    frame = b[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out.append((doc_id, idx, frame, sum(frame)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame", "frame_sum"]
+            )
+
+    return media_df.mapInPandas(do_sample, schema=FRAME_SCHEMA)
+
+
+@REGISTRY.register(
+    "q_multimodal_resize",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(list_sum(list_transform(string_split(substr(text, 1, 256), ''),
+                                    ch -> ascii(ch))) % 65536 AS BIGINT)
+         AS byte_sum_mod,
+       CAST(32 AS INTEGER) AS fake_width
+FROM documents
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline: attach payload, resize to a 32x8 byte budget,
+    then featurize the resized payloads. Every output is exactly 256
+    bytes (zero-padded), so the oracle states the features over the
+    first 256 chars of the text the payload was synthesized from
+    (padding bytes are zero and do not move the checksum)."""
+    c = catalog(spark, sf_dir)
+    return featurize_media(resize_media(with_media_column(c.documents)))
+
+
+@REGISTRY.register(
+    "q_multimodal_frames",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT d.doc_id,
+       CAST(t.idx AS INTEGER) AS frame_idx,
+       CAST(list_sum(list_transform(
+              string_split(substr(d.text, CAST(t.idx AS INTEGER) * 64 + 1, 64), ''),
+              ch -> ascii(ch))) AS BIGINT) AS frame_sum
+FROM documents d,
+     LATERAL unnest(generate_series(
+       0, CAST(length(d.text) // 64 AS BIGINT) - 1, 2)) AS t(idx)
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling pipeline: attach payload, slice into 64-byte
+    frames, keep every 2nd frame (trailing partial dropped), checksum
+    each — one row per sampled frame."""
+    c = catalog(spark, sf_dir)
+    return sample_frames(with_media_column(c.documents)).select(
+        "doc_id", "frame_idx", "frame_sum"
+    )
+
+
 @REGISTRY.register(
     "q_multimodal_features",
     tags=("llm", "multimodal"),

@@ -108,6 +108,96 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_cosine(emb.filter(F.col("vec_id") < 8), emb, k=5)
 
 
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    inverted lists; each query scans only its ``nprobe`` nearest lists.
+
+    The quantizer is training-free and deterministic — centroids are the
+    corpus vectors whose id is a multiple of ``centroid_stride`` (~N/31
+    of them), so results are reproducible across runs/engines with no
+    stored model (same design choice as ``lsh_signature``). A k-means
+    quantizer would slot in by swapping the ``cents`` DataFrame.
+
+    At 100 TB: centroids are tiny (~sqrt(N)) and broadcast; assignment
+    is a map-side broadcast join + per-row argmax (ONE shuffle, on
+    list_id); probing multiplies query fan-out by nprobe but the join
+    touches only nprobe/C of the corpus — the linear-scan term drops by
+    ~C/nprobe vs brute force."""
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        _as_double(vec_col).alias("e_cent"),
+        _norm(_as_double(vec_col)).alias("n_cent"),
+    )
+    cos_cent = _dot(F.col("e_v"), F.col("e_cent")) / (F.col("n_v") * F.col("n_cent"))
+
+    def scored_against_centroids(side: DataFrame, label: str) -> DataFrame:
+        v = side.select(
+            F.col(id_col).alias(label),
+            _as_double(vec_col).alias("e_v"),
+            _norm(_as_double(vec_col)).alias("n_v"),
+        )
+        return v.crossJoin(F.broadcast(cents)).withColumn("cent_cos", cos_cent)
+
+    # corpus → exactly one inverted list each: argmax over centroid cosine
+    assigned = (
+        scored_against_centroids(corpus, "match_id")
+        .groupBy("match_id")
+        .agg(
+            F.max_by("centroid_id", F.struct("cent_cos", "centroid_id")).alias(
+                "list_id"
+            ),
+            F.first("e_v").alias("e_c"),
+            F.first("n_v").alias("n_c"),
+        )
+    )
+    # queries → their nprobe nearest lists
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("centroid_id")
+    )
+    probed = (
+        scored_against_centroids(queries, "query_id")
+        .withColumn("probe_rn", F.row_number().over(wq))
+        .filter(F.col("probe_rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("list_id"), "e_v", "n_v")
+    )
+    cos = _dot(F.col("e_v"), F.col("e_c")) / (F.col("n_v") * F.col("n_c"))
+    scored = (
+        probed.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("cos_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "match_id", "cos_sim", "rn")
+    )
+
+
+@REGISTRY.register(
+    "q_knn_ivf",
+    tags=("llm", "similarity", "approx"),
+    oracle=None,  # approximate-by-design; recall vs q_knn_cosine is
+    # asserted in tests/test_llm_ops.py
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF inverted lists (deterministic coarse quantizer,
+    nprobe=3) — the cluster-then-scan alternative to hyperplane LSH."""
+    c = catalog(spark, sf_dir)
+    emb = c.embeddings
+    return knn_ivf(emb.filter(F.col("vec_id") < 8), emb, k=5, nprobe=3)
+
+
 def lsh_signature(
     vec_col: Column, planes: int = 8, dim: int = 64, table: int = 0
 ) -> Column:

@@ -22,7 +22,12 @@ from catenae_kafka_spark.streaming.link import Link
 from catenae_kafka_spark.streaming.sinks import run_available_now
 from catenae_kafka_spark.streaming.sources import replay_events
 
-from catenae_kafka_spark.streaming.stateful import circular_dedup, streaming_ema
+from catenae_kafka_spark.streaming.stateful import (
+    circular_dedup,
+    streaming_ema,
+    streaming_ema_tws,
+    tws_available,
+)
 
 WIN_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -275,6 +280,49 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", F.round("ema", 6).alias("ema"), "n_seen")
     )
+
+
+def q_stream_ema_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_stream_ema recurrence on Spark 4's transformWithState API
+    v2 (named state variables, timers, TTL) — the modernized successor
+    to applyInPandasWithState. Needs the RocksDB state store (the only
+    provider transformWithState supports), set here as a runtime conf.
+    Registered only where protobuf is importable (tws_available) — this
+    container lacks it, so tests assert the clear gated error instead."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = replay_events(spark, sf_dir)
+    updates = run_available_now(
+        streaming_ema_tws(stream), "update", _name("ematws")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.round("ema", 6).alias("ema"), "n_seen")
+    )
+
+
+if tws_available():  # pragma: no cover — protobuf absent in this container
+    REGISTRY.register(
+        "q_stream_ema_tws",
+        tags=("streaming", "stateful"),
+        oracle="""
+WITH ordered AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals,
+         COUNT(*) AS n_seen
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       ROUND(list_reduce(vals, (acc, x) -> 0.9 * acc + 0.1 * x), 6) AS ema,
+       n_seen
+FROM ordered
+""",
+    )(q_stream_ema_tws)
 
 
 @REGISTRY.register(

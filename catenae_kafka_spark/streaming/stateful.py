@@ -73,6 +73,74 @@ def streaming_ema(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """True when transformWithState's python-side dependency (protobuf,
+    used by its state-server protocol) is importable. Not bundled in
+    this container, so the TWS query registers only where it can run —
+    same gating discipline as the Kafka connector edge."""
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_ema_tws(events: DataFrame) -> DataFrame:
+    """Same per-user EMA, on Spark 4's transformWithState API v2
+    (``transformWithStateInPandas``): named state variables created in
+    ``init`` instead of one opaque state tuple, plus (unused here)
+    timers, TTL, list/map state. Requires the RocksDB state store
+    provider — the caller sets
+    spark.sql.streaming.stateStore.providerClass — and protobuf
+    (``tws_available``; raises a clear error when absent). The
+    processor class is defined inside this function so cloudpickle
+    serializes it by value (same worker-import reason as the closures
+    above)."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package for "
+            "its state-server protocol; it is not installed in this "
+            "environment. Use streaming_ema (applyInPandasWithState) — "
+            "identical semantics, no protobuf dependency."
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    alpha = EMA_ALPHA
+
+    class EmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ema", EMA_STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            ema, n_seen = self._state.get() if self._state.exists() else (None, 0)
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                for v in pdf["value"]:
+                    ema = (
+                        float(v)
+                        if ema is None
+                        else (1 - alpha) * ema + alpha * float(v)
+                    )
+                    n_seen += 1
+            self._state.update((ema, n_seen))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "ema": [ema], "n_seen": [n_seen]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EmaProcessor(),
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def circular_dedup(events: DataFrame, capacity: int = 3) -> DataFrame:
     """Bounded-capacity FIFO dedup: catenae CircularOrderedSet.add
     semantics per key — emit a row iff its signature is not in the set;

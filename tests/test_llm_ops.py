@@ -66,6 +66,27 @@ def test_lsh_knn_recall_vs_brute_force(spark):
     assert len(approx) > 0
 
 
+def test_ivf_knn_recall_and_probe_contract(spark):
+    from catenae_kafka_spark.operators.llm_similarity import q_knn_ivf
+
+    exact = {
+        (r.query_id, r.match_id) for r in q_knn_cosine(spark, SF).collect()
+    }
+    rows = q_knn_ivf(spark, SF).collect()
+    approx = {(r.query_id, r.match_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    # random fixture vectors spread neighbours across lists; the
+    # contract is "true near-ties found while scanning ~nprobe/C of the
+    # corpus", not exactness
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
+    # every query returns a full top-k ranking 1..k with no duplicates
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rn)
+    for qid, rns in by_q.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), (qid, rns)
+
+
 def test_simhash_invariant_to_permutation(spark):
     """Same token multiset (any order) → identical SimHash."""
     base = q_dedup_simhash(spark, SF)

@@ -39,3 +39,23 @@ def test_ema_final_state_counts_every_event(spark):
     out = all_specs()["q_stream_ema"].fn(spark, SF)
     total = out.agg(F.sum("n_seen")).collect()[0][0]
     assert total == catalog(spark, SF).events.count()
+
+
+def test_tws_gated_with_clear_error(spark):
+    """transformWithState needs protobuf (absent here): the op must
+    refuse with an actionable message, not crash mid-query; and the
+    driver contract must only list q_stream_ema_tws where it can run."""
+    import pytest
+
+    from catenae_kafka_spark.streaming.stateful import (
+        streaming_ema_tws,
+        tws_available,
+    )
+
+    if tws_available():
+        out = all_specs()["q_stream_ema_tws"].fn(spark, SF)
+        assert out.count() > 0
+    else:
+        assert "q_stream_ema_tws" not in all_specs()
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_ema_tws(catalog(spark, SF).events)
