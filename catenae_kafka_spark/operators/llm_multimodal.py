@@ -208,6 +208,42 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "q_multimodal_audio_energy",
+    tags=("llm", "multimodal"),
+    oracle="""
+WITH chunks AS (
+  SELECT d.doc_id,
+         list_sum(list_transform(
+           string_split(substr(d.text, CAST(t.idx AS INTEGER) * 32 + 1, 32), ''),
+           ch -> ascii(ch))) AS s
+  FROM documents d,
+       LATERAL unnest(generate_series(
+         0, CAST(length(d.text) // 32 AS BIGINT) - 1, 1)) AS t(idx)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       ROUND(AVG(s), 4) AS avg_energy,
+       CAST(MAX(s) AS BIGINT) AS peak_energy
+FROM chunks GROUP BY doc_id
+""",
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style analysis over opaque payloads: slice each payload
+    into 32-byte chunks (every=1 — no sampling), treat per-chunk byte
+    sums as window energy, aggregate per doc (chunk count, mean, peak).
+    Composes sample_frames + a built-in agg — the same two-stage shape
+    a real loudness/VAD pass has (vectorized chunk DSP, then relational
+    rollup). Payloads shorter than one chunk drop out on both sides."""
+    c = catalog(spark, sf_dir)
+    chunks = sample_frames(with_media_column(c.documents), frame_bytes=32, every=1)
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.round(F.avg("frame_sum"), 4).alias("avg_energy"),
+        F.max("frame_sum").alias("peak_energy"),
+    )
+
+
+@REGISTRY.register(
     "q_multimodal_features",
     tags=("llm", "multimodal"),
     oracle="""
