@@ -91,3 +91,29 @@ def test_no_python_udfs_in_relational_core(spark):
             continue
         plan = plan_of(spec.fn(spark, SF))
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_ivf_broadcasts_centroids_no_big_cartesian(spark):
+    from catenae_kafka_spark.operators.llm_similarity import q_knn_ivf
+
+    plan = plan_of(q_knn_ivf(spark, SF))
+    # both corpus-side and query-side centroid scoring must broadcast
+    # the (tiny) centroid set; the only nested-loop joins allowed are
+    # those broadcasts — never a shuffled cartesian of the corpus
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    # inverted-list probe join is a hash join on list_id
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_multimodal_pipeline_is_shuffle_free(spark):
+    from catenae_kafka_spark.operators.llm_multimodal import (
+        q_multimodal_frames,
+        q_multimodal_resize,
+    )
+
+    for q in (q_multimodal_resize, q_multimodal_frames):
+        plan = plan_of(q(spark, SF))
+        # attach → (resize) → mapInPandas featurize is narrow end-to-end:
+        # binary payloads must never cross a shuffle
+        assert "Exchange hashpartitioning" not in plan, q.__name__
