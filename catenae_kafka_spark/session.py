@@ -43,6 +43,12 @@ RUNTIME_CONF: dict[str, str] = {
     # Broadcast anything under 64 MB: at 100 TB the dims (region, nation,
     # supplier, part, customer) are still tiny next to the fact tables.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # HotSpot refuses to JIT methods over 8000 bytecodes, so a generated
+    # whole-stage method past that limit runs *interpreted* — measured
+    # 2.3x on the 64-hash MinHash stage (27s -> 12s cold at sf0.1).
+    # Demote such stages to the non-codegen path instead of shipping an
+    # un-JIT-able method; plans under the limit keep codegen.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 
