@@ -341,3 +341,31 @@ def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_p50"),
     )
+
+
+@REGISTRY.register(
+    "q_agg_histogram",
+    tags=("agg", "histogram"),
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bucket,
+       COUNT(*) AS n,
+       ROUND(AVG(o_totalprice), 2) AS avg_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY CAST(floor(o_totalprice / 50000) AS INTEGER)
+""",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-division bucketing (portable
+    across engines, unlike width_bucket edge conventions). One 2-phase
+    hash agg; bucket cardinality is bounded by the value range, not the
+    row count, so the reduce side stays tiny at any scale."""
+    c = catalog(spark, sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return c.orders.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

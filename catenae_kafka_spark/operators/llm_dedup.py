@@ -408,3 +408,80 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("id_a", "id_b", "dist")
     )
+
+
+@REGISTRY.register(
+    "q_dedup_clusters",
+    tags=("llm", "dedup", "iterative"),
+    oracle="""
+WITH RECURSIVE grams AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         )) AS bigrams
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.bigrams, b.bigrams)) * 1.0
+        / len(list_distinct(a.bigrams || b.bigrams)) >= 0.5
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS component
+FROM reach GROUP BY id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the bigram-Jaccard
+    pair graph (component id = min doc_id reachable) — the step that
+    turns pairwise near-dup hits into keep-one-per-cluster decisions.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbours' labels (one shuffle per
+    round, converges in graph-diameter rounds — near-dup graphs are
+    shallow). ``localCheckpoint`` truncates the growing lineage so the
+    plan stays flat; the oracle expresses the same closure as a
+    recursive CTE."""
+    edges = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    und = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst")
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(20):
+        nbr = (
+            und.join(labels, und.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))

@@ -287,3 +287,65 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.length("text").alias("n_chars_seen"),
     )
+
+
+@REGISTRY.register(
+    "q_text_tfidf",
+    tags=("llm", "text"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY doc_id, w
+), dl AS (
+  SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id
+), df AS (
+  SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w
+), nd AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.w,
+         ROUND(tf.cnt * 1.0 / dl.len * ln(nd.n * 1.0 / df.df), 6) AS tfidf
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.w = df.w
+  CROSS JOIN nd
+)
+SELECT doc_id, w, tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, w) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. All counting is 2-phase hash
+    agg after one tokenize-explode; corpus size and per-term document
+    frequency join back in (df is vocabulary-sized -> broadcast).
+    Scores are rounded *before* ranking so ordering is engine-stable."""
+    c = catalog(spark, sf_dir)
+    tok = c.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    nd = c.documents.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("cnt") / F.col("len") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "w", "tfidf")
+    )

@@ -18,8 +18,11 @@ query and shuffling it once at write time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
 
 
 def salted_join(
@@ -43,3 +46,36 @@ def salted_join(
     )
     out = salted_large.join(replicated_small, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+@REGISTRY.register(
+    "q_join_salted",
+    tags=("join", "skew"),
+    oracle="""
+SELECT n_name,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join, result-identical to the plain join (the oracle IS
+    the plain join): lineitem's supplier key is salted over 8 buckets,
+    the supplier dim replicated 8x, so one celebrity supplier cannot
+    pin a 100 TB shuffle on a single reducer. AQE skew-split handles
+    the common case; this is the deterministic manual fallback."""
+    c = catalog(spark, sf_dir)
+    dim = c.supplier.join(
+        F.broadcast(c.nation),
+        c.supplier.s_nationkey == c.nation.n_nationkey,
+    ).select(F.col("s_suppkey").alias("l_suppkey"), "n_name")
+    joined = salted_join(c.lineitem, dim, key="l_suppkey")
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -201,3 +201,103 @@ def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(wpart).alias("n_lines"),
         ).distinct()
     )
+
+
+@REGISTRY.register(
+    "q_sessionize",
+    tags=("window", "sessionize"),
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 7200
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, value, ts_s,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM t
+)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       MIN(ts_s) AS start_s,
+       MAX(ts_s) AS end_s,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s
+GROUP BY user_id, session_no
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 2h starts a new session per user
+    (lag -> flag -> running sum -> group). The batch twin of the
+    streaming session_window query — same shuffle shape (partition by
+    user), state bounded per user, no global window."""
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts_s", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = c.events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 7200
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn("session_no", F.sum("new_sess").over(wrun))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@REGISTRY.register(
+    "q_zscore_outliers",
+    tags=("window", "stats"),
+    oracle="""
+WITH st AS (
+  SELECT event_id, event_type, value,
+         AVG(value) OVER (PARTITION BY event_type) AS mu,
+         STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sigma
+  FROM events
+)
+SELECT event_id, event_type, value,
+       ROUND((value - mu) / sigma, 3) AS z
+FROM st
+WHERE ABS((value - mu) / sigma) > 2.5
+""",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection by z-score within event_type: per-group mean
+    and stddev via an unordered window (whole-partition frame — one
+    shuffle, no sort), flag |z| > 2.5. At 100 TB the same plan holds:
+    group cardinality is tiny, value state per group is two doubles."""
+    c = catalog(spark, sf_dir)
+    wp = Window.partitionBy("event_type")
+    st = c.events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(wp).alias("mu"),
+        F.stddev_samp("value").over(wp).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        st.filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 3).alias("z"))
+    )

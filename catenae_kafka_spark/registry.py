@@ -98,6 +98,7 @@ def _load_all() -> None:
         projection,
         reshape,
         setops,
+        skew,
         subqueries,
         sorts,
         udf_surface,

@@ -127,3 +127,32 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_price",
         "n",
     )
+
+
+@REGISTRY.register(
+    "q_scan_orc",
+    tags=("scan", "sink"),
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan read-back: the third columnar round-trip format
+    (parquet/CSV+JSON/ORC). ORC write/read is lossless for
+    long/string/double, so the plain agg over the source is the exact
+    oracle; the read-back path gets ORC's vectorized reader + pushdown
+    just like parquet."""
+    c = catalog(spark, sf_dir)
+    out = os.path.join(_work_dir(sf_dir, "orc"), "events_orc")
+    c.events.select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
