@@ -349,3 +349,68 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "w", "tfidf")
     )
+
+
+@REGISTRY.register(
+    "q_word_pmi",
+    tags=("llm", "text"),
+    oracle="""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), df AS (
+  SELECT w, COUNT(*) AS df FROM dw GROUP BY w
+), nd AS (
+  SELECT COUNT(*) AS n FROM documents
+), cooc AS (
+  SELECT a.w AS w_a, b.w AS w_b, COUNT(*) AS n_ab
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+)
+SELECT w_a, w_b, n_ab,
+       ROUND(ln(n_ab * 1.0 * nd.n / (fa.df * 1.0 * fb.df)), 6) AS pmi
+FROM cooc
+JOIN df fa ON cooc.w_a = fa.w
+JOIN df fb ON cooc.w_b = fb.w
+CROSS JOIN nd
+WHERE n_ab >= 5
+""",
+)
+def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level pointwise mutual information for word pairs:
+    which words co-occur more than chance predicts. The pair space is
+    bounded by the doc-level self-join on doc_id (each doc contributes
+    |vocab_doc|^2/2 pairs, never corpus^2); marginals join back
+    broadcast. Corpus-statistics workhorse for phrase mining /
+    tokenizer construction over training data."""
+    c = catalog(spark, sf_dir)
+    dw = (
+        c.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    df = dw.groupBy("w").agg(F.count("*").alias("df"))
+    nd = c.documents.agg(F.count("*").alias("n"))
+    a = dw.select("doc_id", F.col("w").alias("w_a"))
+    b = dw.select("doc_id", F.col("w").alias("w_b"))
+    cooc = (
+        a.join(b, "doc_id")
+        .filter(F.col("w_a") < F.col("w_b"))
+        .groupBy("w_a", "w_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    fa = df.select(F.col("w").alias("w_a"), F.col("df").alias("df_a"))
+    fb = df.select(F.col("w").alias("w_b"), F.col("df").alias("df_b"))
+    return (
+        cooc.join(F.broadcast(fa), "w_a")
+        .join(F.broadcast(fb), "w_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w_a",
+            "w_b",
+            "n_ab",
+            F.round(
+                F.log(F.col("n_ab") * F.col("n") / (F.col("df_a") * F.col("df_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )

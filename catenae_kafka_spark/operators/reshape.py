@@ -103,3 +103,92 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal", F.round(F.col("s_acctbal") * 1.10, 4)
     )
     return merge_upsert(base, updates, "s_suppkey")
+
+
+# Portable per-row "random": multiplicative hash of the key, mod 100.
+# Both engines compute it bit-identically (doc_id * Knuth constant stays
+# far under 2^63), unlike seed-based df.sample which depends on
+# partitioning. Stable under repartitioning/shuffles => reproducible
+# pipeline reruns at any scale.
+_MIX_HASH_SQL = "(doc_id * 2654435761) % 100"
+
+
+def _mix_hash() -> F.Column:
+    return (F.col("doc_id") * 2654435761) % 100
+
+
+@REGISTRY.register(
+    "q_sample_stratified",
+    tags=("sample", "mix"),
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_MIX_HASH_SQL} < (CASE WHEN lang = 'en' THEN 25 ELSE 50 END)
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling for training-data mixing: keep 25% of the
+    dominant language, 50% of the rest — per-stratum rates on a
+    deterministic hash, the scale-safe form of df.sampleBy (which is
+    seed/layout dependent). Map-side filter only: no shuffle."""
+    c = catalog(spark, sf_dir)
+    rate = F.when(F.col("lang") == "en", 25).otherwise(50)
+    return c.documents.filter(_mix_hash() < rate).select("doc_id", "lang")
+
+
+@REGISTRY.register(
+    "q_split_train_test",
+    tags=("sample", "mix"),
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN {_MIX_HASH_SQL} < 80 THEN 'train'
+            WHEN {_MIX_HASH_SQL} < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment per document.
+    The same document lands in the same split on every run, engine, and
+    cluster layout — the property a multi-epoch 100 TB training
+    pipeline needs from its holdout split."""
+    c = catalog(spark, sf_dir)
+    h = _mix_hash()
+    split = (
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    )
+    return c.documents.select("doc_id", "lang", split.alias("split"))
+
+
+@REGISTRY.register(
+    "q_sample_mix",
+    tags=("sample", "mix"),
+    oracle=f"""
+WITH w(source, keep_pct) AS (
+  VALUES ('src0', 100), ('src1', 50), ('src2', 25)
+), kept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN w ON d.source = w.source
+  WHERE {_MIX_HASH_SQL} < w.keep_pct
+)
+SELECT source, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM kept GROUP BY source
+""",
+)
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: a tiny per-source weights table joins in
+    (broadcast) and gates each document through the deterministic hash —
+    upweight/downweight corpora without materializing intermediates.
+    The weights side is O(#sources); the scan side never shuffles until
+    the final count."""
+    c = catalog(spark, sf_dir)
+    weights = spark.createDataFrame(
+        [("src0", 100), ("src1", 50), ("src2", 25)], ["source", "keep_pct"]
+    )
+    kept = (
+        c.documents.join(F.broadcast(weights), "source")
+        .filter(_mix_hash() < F.col("keep_pct"))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
