@@ -340,3 +340,46 @@ def q_stream_circular_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark)."""
     stream = replay_events(spark, sf_dir)
     return run_available_now(circular_dedup(stream), "update", _name("cdedup"))
+
+
+@REGISTRY.register(
+    "q_stream_route",
+    tags=("streaming", "routing"),
+    oracle="""
+SELECT 'money' AS branch, event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+UNION ALL
+SELECT 'errors' AS branch, event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events WHERE event_type = 'error'
+GROUP BY event_type
+""",
+)
+def q_stream_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-output routing (catenae's Electron-destination-topic
+    semantics, SURVEY 2A A5): one replayed source stream fans out into
+    predicate branches, each branch aggregates independently, results
+    land in per-branch sinks (memory here; Kafka topics in production).
+    Spark plans the branches as independent streaming queries over one
+    source — the fan-out is N filtered writeStreams, not N re-reads of
+    the upstream system when the source supports multiplexing."""
+    branches = Link(replay_events(spark, sf_dir, n_files=2)).route(
+        money=F.col("event_type").isin("purchase", "signup"),
+        errors=F.col("event_type") == "error",
+    )
+    outs = []
+    for name, link in branches.items():
+        agg = link.df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        routed = agg.select(
+            F.lit(name).alias("branch"), "event_type", "n", "total_value"
+        )
+        outs.append(run_available_now(routed, "complete", _name(f"route_{name}")))
+    result = outs[0]
+    for df in outs[1:]:
+        result = result.unionByName(df)
+    return result
