@@ -115,5 +115,41 @@ def test_multimodal_pipeline_is_shuffle_free(spark):
     for q in (q_multimodal_resize, q_multimodal_frames):
         plan = plan_of(q(spark, SF))
         # attach → (resize) → mapInPandas featurize is narrow end-to-end:
-        # binary payloads must never cross a shuffle
-        assert "Exchange hashpartitioning" not in plan, q.__name__
+        # binary payloads must never cross a shuffle ("(n) Exchange" is
+        # formatted mode's shuffle node; broadcast doesn't match)
+        assert plan.count(") Exchange") == 0, q.__name__
+
+
+def test_tfidf_broadcasts_marginals(spark):
+    from catenae_kafka_spark.operators.llm_text import q_text_tfidf
+
+    plan = plan_of(q_text_tfidf(spark, SF))
+    # document-frequency and corpus-size tables join back broadcast —
+    # the big (doc, term) side never shuffles for them
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_shuffle_per_user(spark):
+    from catenae_kafka_spark.operators.windows import q_sessionize
+
+    plan = plan_of(q_sessionize(spark, SF))
+    # lag, running sum, and the session agg all reuse the same
+    # user_id partitioning: exactly one shuffle in the plan (formatted
+    # mode names exchanges as "(n) Exchange"; broadcast would print
+    # "(n) BroadcastExchange" and not match)
+    assert plan.count(") Exchange") == 1
+
+
+def test_mix_sampling_is_map_side(spark):
+    from catenae_kafka_spark.operators.reshape import (
+        q_sample_stratified,
+        q_split_train_test,
+    )
+
+    for q in (q_sample_stratified, q_split_train_test):
+        plan = plan_of(q(spark, SF))
+        # deterministic-hash gating is a pure filter/projection:
+        # no shuffle (and no broadcast) anywhere
+        assert "Exchange" not in plan, q.__name__
+        assert plan.count(") Exchange") == 0, q.__name__
