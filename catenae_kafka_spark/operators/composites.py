@@ -136,3 +136,95 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_lang.join(vocab, "lang").select(
         "lang", "n_docs", "total_tokens", "vocab"
     )
+
+
+@REGISTRY.register(
+    "q_funnel",
+    tags=("composite", "events"),
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(ts) FILTER (event_type = 'signup') AS t_signup,
+         MIN(ts) FILTER (event_type = 'click') AS t_click,
+         MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) FILTER (t_signup IS NOT NULL) AS n_signup,
+       COUNT(*) FILTER (t_signup IS NOT NULL AND t_click > t_signup) AS n_click,
+       COUNT(*) FILTER (t_signup IS NOT NULL AND t_click > t_signup
+                        AND t_purchase > t_click) AS n_purchase
+FROM per_user
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: first
+    occurrence of each stage per user (conditional MIN — one grouped
+    pass over events, no self-joins), then stage counts requiring
+    strictly increasing timestamps. One shuffle on user_id however
+    many stages the funnel has; timestamp comparisons stay µs-exact
+    on both engines, no raw ts is emitted."""
+    c = catalog(spark, sf_dir)
+    per_user = c.events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    signed_up = F.col("t_signup").isNotNull()
+    clicked = signed_up & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(signed_up, 1)).alias("n_signup"),
+        F.count(F.when(clicked, 1)).alias("n_click"),
+        F.count(F.when(purchased, 1)).alias("n_purchase"),
+    )
+
+
+@REGISTRY.register(
+    "q_retention",
+    tags=("composite", "events"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort,
+       day_offset,
+       COUNT(*) AS n_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each of their next 7 active days. The firsts table is
+    user-cardinality (shuffle once, then broadcast-or-shuffle join
+    back); day arithmetic happens on DATE, sidestepping the ns-vs-µs
+    timestamp delta between engines."""
+    c = catalog(spark, sf_dir)
+    ev = c.events.select("user_id", F.col("ts").cast("date").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            "day_offset",
+            "n_users",
+        )
+    )
