@@ -249,3 +249,91 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (parsed["k"] % 5).alias("k_bucket"),
         F.get_json_object("props", "$.missing").cast("int").alias("absent"),
     )
+
+
+@REGISTRY.register(
+    "q_vector_funcs",
+    tags=("functions", "llm", "similarity"),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < 32
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+)
+SELECT id_a, id_b,
+       ROUND(list_sum(list_transform(generate_series(1, 64), i -> ea[i] * eb[i])), 6) AS dot,
+       ROUND(sqrt(list_sum(list_transform(ea, x -> x * x))), 6) AS norm_a,
+       ROUND(list_sum(list_transform(generate_series(1, 64),
+                                     i -> abs(ea[i] - eb[i]))), 6) AS l1_dist,
+       ROUND(sqrt(list_sum(list_transform(generate_series(1, 64),
+                                          i -> (ea[i] - eb[i]) * (ea[i] - eb[i])))), 6) AS l2_dist,
+       ROUND(list_sum(list_transform(generate_series(1, 64), i -> ea[i] * eb[i]))
+             / (sqrt(list_sum(list_transform(ea, x -> x * x)))
+                * sqrt(list_sum(list_transform(eb, x -> x * x)))), 6) AS cos_sim
+FROM pairs
+""",
+)
+def q_vector_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math pack over embedding columns, entirely in higher-order
+    functions (zip_with + aggregate — JVM-side, no UDF): dot product,
+    L2 norm, L1/L2 distance, cosine. The building blocks every
+    embedding-pipeline operator (ANN, near-dup, clustering) composes;
+    consecutive-id pairs keep the check set small and deterministic."""
+    c = catalog(spark, sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = c.embeddings.filter(F.col("vec_id") < 32).select("vec_id", e.alias("e"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+
+    def _sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = _sum(F.zip_with("ea", "eb", lambda x, y: x * y))
+    norm_a = F.sqrt(_sum(F.transform(F.col("ea"), lambda x: x * x)))
+    norm_b = F.sqrt(_sum(F.transform(F.col("eb"), lambda x: x * x)))
+    l1 = _sum(F.zip_with("ea", "eb", lambda x, y: F.abs(x - y)))
+    l2 = F.sqrt(_sum(F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y))))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(dot, 6).alias("dot"),
+        F.round(norm_a, 6).alias("norm_a"),
+        F.round(l1, 6).alias("l1_dist"),
+        F.round(l2, 6).alias("l2_dist"),
+        F.round(dot / (norm_a * norm_b), 6).alias("cos_sim"),
+    )
+
+
+@REGISTRY.register(
+    "q_bitwise_funcs",
+    tags=("functions",),
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 15 AS or15,
+       xor(o_orderkey, 12345) AS xored,
+       o_orderkey << 2 AS shl2,
+       o_orderkey >> 3 AS shr3,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+FROM orders
+WHERE o_orderkey < 500
+""",
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise pack: and/or/xor, shifts, popcount — the primitives
+    SimHash banding, bloom filters, and bitmap indexes are made of.
+    All JVM-side Column ops, codegen-friendly."""
+    c = catalog(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return c.orders.filter(k < 500).select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("low_byte"),
+        k.bitwiseOR(15).alias("or15"),
+        k.bitwiseXOR(12345).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
