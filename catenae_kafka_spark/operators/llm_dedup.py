@@ -485,3 +485,60 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@REGISTRY.register(
+    "q_dedup_apply",
+    tags=("llm", "dedup", "composite"),
+    oracle="""
+WITH RECURSIVE grams AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         )) AS bigrams
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.bigrams, b.bigrams)) * 1.0
+        / len(list_distinct(a.bigrams || b.bigrams)) >= 0.5
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (c.doc_id IS NULL OR c.doc_id = c.component) AS n_kept,
+       COUNT(*) FILTER (c.doc_id IS NOT NULL AND c.doc_id <> c.component) AS n_dropped
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+GROUP BY d.lang
+""",
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup application: cluster near-dups, keep one
+    canonical document per cluster (the component minimum) plus every
+    unclustered document, and account kept/dropped per language — the
+    shape of a real corpus-dedup job's output report. The cluster table
+    is pair-graph-sized (tiny next to the corpus), so the final join is
+    broadcast at any scale."""
+    c = catalog(spark, sf_dir)
+    comp = q_dedup_clusters(spark, sf_dir)
+    keep = F.col("component").isNull() | (F.col("doc_id") == F.col("component"))
+    return (
+        c.documents.join(F.broadcast(comp), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.count(F.when(~keep, 1)).alias("n_dropped"),
+        )
+    )

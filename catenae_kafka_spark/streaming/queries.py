@@ -383,3 +383,36 @@ def q_stream_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         result = result.unionByName(df)
     return result
+
+
+@REGISTRY.register(
+    "q_stream_sink_parquet",
+    tags=("streaming", "sink"),
+    oracle="""
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet file sink with checkpointed exactly-once file
+    commits: the replayed stream appends micro-batch files under a
+    transaction log (_spark_metadata), the batch read-back sees exactly
+    the committed files, and the per-type aggregate over the read-back
+    equals the batch oracle — i.e. no event is lost or doubled across
+    micro-batch commits."""
+    import tempfile
+
+    from catenae_kafka_spark.streaming.sinks import parquet_sink
+
+    stream = replay_events(spark, sf_dir, n_files=2).select(
+        "event_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="cks_stream_pq_")
+    q = parquet_sink(stream, out, available_now=True)
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
