@@ -79,3 +79,56 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_join_bucketed",
+    tags=("join", "bucketing"),
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join: both sides pre-bucketed on the join key
+    at write time (``bucketBy``), so the join itself reads co-located
+    buckets with NO shuffle — the shuffle-once layout that amortizes a
+    100 TB fact table's exchange across every later join. Result is
+    identical to the plain join (the oracle). The zero-Exchange plan
+    property is asserted in tests/test_bucketing.py."""
+    import hashlib
+    import shutil
+
+    c = catalog(spark, sf_dir)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (li_name, ord_name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        c.lineitem.select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(li_name)
+    )
+    (
+        c.orders.select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(ord_name)
+    )
+    li, od = spark.table(li_name), spark.table(ord_name)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )

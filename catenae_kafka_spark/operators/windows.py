@@ -301,3 +301,37 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", F.round(z, 3).alias("z"))
     )
+
+
+@REGISTRY.register(
+    "q_window_range",
+    tags=("window",),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_similar,
+       CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) OVER w AS BIGINT) AS sum_floor
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+""",
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: for each order, how many orders of the
+    same status fall within ±1000 of its price (a sliding value-window,
+    not a row-window — frame membership depends on the ORDER BY value,
+    so peers with equal prices share identical frames on both engines).
+    The frame aggregate is an exact integer sum: double sums inside
+    value-frames are summation-order-sensitive at the last decimal."""
+    c = catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return c.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_similar"),
+        F.sum(F.floor("o_totalprice").cast("long")).over(w).alias("sum_floor"),
+    )
