@@ -65,14 +65,19 @@ class Catalog:
     def _read(self, name: str) -> DataFrame:
         path = table_path(self.sf_dir, name)
         if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot
-            # represent (µs internal precision) and refuses by default.
-            # Read the raw int64 nanoseconds and truncate to µs — the
-            # same truncation Spark applied implicitly in 3.x.
+            # The driver fixture's events.ts is parquet TIMESTAMP(NANOS),
+            # which Spark 4 cannot represent (µs internal precision) and
+            # refuses by default. Read the raw int64 nanoseconds and
+            # truncate to µs — the same truncation Spark applied
+            # implicitly in 3.x. Detected, not assumed: an events table
+            # written with ordinary µs timestamps (e.g. one produced by
+            # this engine) reads straight through.
             import pyspark.sql.functions as F
 
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             raw = self.spark.read.parquet(path)
+            if dict(raw.dtypes).get("ts") != "bigint":
+                return raw
             return raw.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )

@@ -1,0 +1,82 @@
+"""10x scale validation: replicate the sf0.1 fixtures with disjoint key
+offsets (~sf1: 6M lineitem, 1M events, 50k docs), then time headline
+queries at both scales. Measured results live in docs/SCALE.md.
+
+Usage: python tools/scale10x.py [dst_dir]  (default /tmp/sfx1)
+
+Key strides exceed the sf0.1 key ranges, so copies stay disjoint and
+every join key keeps referential integrity (the k-th copy of lineitem
+joins the k-th copy of orders, etc.). Note the replicated documents
+table gives every doc 9 exact clones — a *pathological* near-dup
+distribution (each clone cluster is a 10-clique), so the minhash pair
+OUTPUT grows ~45x while input grows 10x; see the scaling table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import TABLES, catalog
+from catenae_kafka_spark.registry import all_specs
+from catenae_kafka_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+K = 10
+STRIDES = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+HEADLINE = [
+    "q_flagship_revenue",
+    "q_agg_groupby",
+    "q_join_asof",
+    "q_dedup_minhash",
+    "q_knn_cosine",
+    "q_sessionize",
+    "q_window_rank",
+]
+
+
+def replicate(spark, dst: str) -> None:
+    c = catalog(spark, SRC)
+    for t in TABLES:
+        df = c.table(t)
+        if t in STRIDES:
+            i = F.explode(F.array(*[F.lit(j) for j in range(K)])).alias("_i")
+            df = df.select("*", i)
+            for col, stride in STRIDES[t].items():
+                df = df.withColumn(col, F.col(col) + F.col("_i") * stride)
+            df = df.drop("_i")
+        df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
+def main() -> None:
+    dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx1"
+    spark = get_spark("scale10x")
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    if not os.path.exists(f"{dst}/lineitem.parquet"):
+        replicate(spark, dst)
+    specs = all_specs()
+    for sf_dir, label in [(SRC, "sf0.1"), (dst, "sfx1(10x)")]:
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            print(f"{label} {name}: {time.perf_counter() - t0:.2f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
