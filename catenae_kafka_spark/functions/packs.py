@@ -337,3 +337,50 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr3"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@REGISTRY.register(
+    "q_date_spine",
+    tags=("functions", "generator"),
+    oracle="""
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                INTERVAL 1 DAY))::DATE AS day
+)
+SELECT STRFTIME(s.day, '%Y-%m-%d') AS day,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM spine s
+LEFT JOIN orders ON CAST(o_orderdate AS DATE) = s.day
+GROUP BY s.day
+""",
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar spine (sequence + explode — no source table)
+    left-joined to facts, so empty days appear as zero rows: the
+    gap-free time-series scaffold reporting pipelines need. Facts
+    aggregate to per-day counts FIRST (day-cardinality result), and
+    that small aggregate broadcasts into the spine join — a broadcast
+    hint on the spine itself would be ignored (the preserved side of a
+    left join cannot be the build side)."""
+    c = catalog(spark, sf_dir)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    per_day = (
+        c.orders.select(F.col("o_orderdate").cast("date").alias("od"))
+        .groupBy("od")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(F.broadcast(per_day), spine.day == per_day.od, "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+    )

@@ -369,3 +369,27 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@REGISTRY.register(
+    "q_agg_bool",
+    tags=("agg",),
+    oracle="""
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: universal/existential predicates per group
+    (bool_and/bool_or) + conditional counting — all fold map-side like
+    any other partial aggregate."""
+    c = catalog(spark, sf_dir)
+    return c.orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )
