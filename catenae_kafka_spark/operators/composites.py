@@ -228,3 +228,43 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@REGISTRY.register(
+    "q_series_corr",
+    tags=("composite", "events", "stats"),
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ROUND(corr(a.n, b.n), 4) AS r,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM hourly a JOIN hourly b ON a.h = b.h AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+""",
+)
+def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series co-movement: Pearson correlation between the hourly
+    activity series of every event-type pair (EDBT-style streaming
+    similarity, batch form). The series table is bucket-cardinality
+    (hours × types), so the pairwise self-join is bounded by time-range,
+    not event count — events aggregate down FIRST, then correlate."""
+    c = catalog(spark, sf_dir)
+    hourly = (
+        c.events.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).agg(F.count("*").alias("n"))
+    )
+    a = hourly.select("h", F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    b = hourly.select("h", F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.round(F.corr("n_a", "n_b"), 4).alias("r"),
+            F.count("*").alias("n_hours"),
+        )
+    )
