@@ -23,7 +23,7 @@ knowledge of the catenae framework and defined by SURVEY.md §2.
 """
 
 from catenae_kafka_spark.session import get_spark, tune
-from catenae_kafka_spark.catalog import TABLES, load_tables, register_views
+from catenae_kafka_spark.catalog import TABLES, catalog, load_tables, register_views
 from catenae_kafka_spark.registry import QuerySpec, all_specs
 
 __version__ = "0.1.0"
@@ -32,6 +32,7 @@ __all__ = [
     "get_spark",
     "tune",
     "TABLES",
+    "catalog",
     "load_tables",
     "register_views",
     "QuerySpec",
