@@ -156,3 +156,45 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@REGISTRY.register(
+    "q_scan_custom_source",
+    tags=("scan", "source"),
+    oracle="""
+WITH gen AS (
+  SELECT i AS event_id,
+         i % 1000 AS user_id,
+         ['click','view','signup','purchase','error'][(i % 5) + 1] AS event_type,
+         ((i * 2654435761) % 10000) / 100.0 AS value
+  FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM gen
+GROUP BY event_type
+""",
+)
+def q_scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source (Spark 4 pyspark.sql.datasource API):
+    a partition-parallel synthetic-events generator registered as a
+    real spark.read.format(...) source — the pluggable-edge mechanism
+    for wrapping any in-house feed without JVM code. Deterministic
+    arithmetic generation means even a *custom source* is fully
+    oracle-checkable (DuckDB generate_series builds the same table)."""
+    from catenae_kafka_spark.sources.synthetic import register
+
+    register(spark)
+    gen = (
+        spark.read.format("synthetic_events")
+        .option("rows", 10_000)
+        .option("partitions", 8)
+        .load()
+    )
+    return gen.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -1,0 +1,117 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API):
+a deterministic synthetic-events generator, registered as a real
+``spark.read.format(...)`` source.
+
+This is the engine's demonstration of the *pluggable source edge*: the
+same mechanism a production deployment would use to wrap an in-house
+feed (REST pages, proprietary binary logs, a message queue without a
+JVM connector) as a first-class, partition-parallel Spark source —
+entirely in Python, no JVM code. The generator is arithmetic on the row
+index (multiplicative-hash pseudo-randomness, same trick as the
+sampling ops), so the exact same table is expressible in DuckDB SQL via
+``generate_series`` — making a *custom source* fully oracle-checkable.
+
+Scale posture: ``partitions()`` returns disjoint index ranges, so
+generation parallelizes across executors with zero coordination; filter
+pushdown is irrelevant (no IO), and downstream pruning happens in
+Spark. Row production is per-partition and streams through Arrow
+batches like any Python-side source.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+MULT = 2654435761  # Knuth multiplicative-hash constant
+EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
+
+
+@dataclass
+class _Range(InputPartition):
+    start: int
+    end: int
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        step = max(1, self.n_rows // self.n_parts)
+        bounds = list(range(0, self.n_rows, step)) + [self.n_rows]
+        return [
+            _Range(start=bounds[i], end=bounds[i + 1])
+            for i in range(len(bounds) - 1)
+        ]
+
+    def read(self, partition: _Range):
+        for i in range(partition.start, partition.end):
+            h = (i * MULT) % 10_000
+            yield (
+                i,  # event_id
+                i % 1000,  # user_id
+                EVENT_TYPES[i % len(EVENT_TYPES)],  # event_type
+                h / 100.0,  # value: 0.00..99.99, exact at 2dp
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events")`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id long, user_id long, event_type string, value double"
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the custom format."""
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched variant: offsets are plain row indexes, each
+    ``read`` emits the next ``batch_rows`` generated rows, and a drained
+    source reports an unchanged offset (no data) — the minimal honest
+    contract of a replayable streaming source. ``readBetweenOffsets``
+    regenerates any range deterministically, so recovery/replay is
+    exact — what checkpointed sources must guarantee."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batchRows", 250))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def _gen(self, start: int, end: int):
+        for i in range(start, end):
+            h = (i * MULT) % 10_000
+            yield (i, i % 1000, EVENT_TYPES[i % len(EVENT_TYPES)], h / 100.0)
+
+    def read(self, start):
+        lo = start["idx"]
+        hi = min(lo + self.batch_rows, self.n_rows)
+        # a copyable LIST iterator, not a generator: Spark's prefetch
+        # cache copy.copy()s the returned iterator, which generators
+        # don't support
+        return iter(list(self._gen(lo, hi))), {"idx": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(list(self._gen(start["idx"], end["idx"])))

@@ -416,3 +416,43 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@REGISTRY.register(
+    "q_stream_custom_source",
+    tags=("streaming", "source"),
+    oracle="""
+WITH gen AS (
+  SELECT i AS event_id,
+         ['click','view','signup','purchase','error'][(i % 5) + 1] AS event_type,
+         ((i * 2654435761) % 10000) / 100.0 AS value
+  FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM gen
+GROUP BY event_type
+""",
+)
+def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING source (SimpleDataSourceStreamReader):
+    row-index offsets, deterministic regeneration between any two
+    offsets (exact replay on recovery), drained through a multi-batch
+    aggregation. The oracle is the batch SQL over the same arithmetic
+    generation — a custom streaming source, value-hash-checked."""
+    from catenae_kafka_spark.sources.synthetic import register
+    from catenae_kafka_spark.streaming.sinks import run_available_now
+
+    register(spark)
+    gen = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 10_000)
+        .option("batchRows", 2_500)
+        .load()
+    )
+    agg = gen.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_available_now(agg, "complete", _name("custom_src"))
