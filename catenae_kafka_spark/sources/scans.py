@@ -198,3 +198,29 @@ def q_scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@REGISTRY.register(
+    "q_sink_custom_kv",
+    tags=("sink", "source"),
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+""",
+)
+def q_sink_custom_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python sink with two-phase commit (the KV-connector
+    analog): tasks spool partitions, the driver commit publishes them
+    atomically — then read the committed store back. Round-trip equals
+    the source table exactly (the oracle)."""
+    import shutil
+
+    from catenae_kafka_spark.sources.synthetic import register_kv
+
+    register_kv(spark)
+    c = catalog(spark, sf_dir)
+    out = os.path.join(_work_dir(sf_dir, "kv_store"), "nation_kv")
+    shutil.rmtree(out, ignore_errors=True)
+    c.nation.write.format("kv_store").option("path", out).mode("append").save()
+    back = spark.read.schema(NATION_SCHEMA).json(os.path.join(out, "committed"))
+    return back.select("n_nationkey", "n_name", "n_regionkey")

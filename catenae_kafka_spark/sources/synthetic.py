@@ -25,8 +25,10 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 MULT = 2654435761  # Knuth multiplicative-hash constant
@@ -115,3 +117,72 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         return iter(list(self._gen(start["idx"], end["idx"])))
+
+
+class _KVCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class KVStoreWriter(DataSourceWriter):
+    """Two-phase-commit KV sink (the catenae Aerospike/Mongo-connector
+    analog as a first-class Spark sink): each task writes its partition
+    to an uncommitted spool file and reports it in a commit message;
+    only the driver's ``commit`` publishes them atomically (rename into
+    the committed dir). ``abort`` discards spools — a failed/speculated
+    task never half-writes the store. This is exactly the
+    WriterCommitMessage contract JVM sinks use, in Python."""
+
+    def __init__(self, options):
+        self.base = options.get("path")
+        if not self.base:
+            raise ValueError("kv_store sink requires option 'path'")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        spool_dir = os.path.join(self.base, "_spool")
+        os.makedirs(spool_dir, exist_ok=True)
+        path = os.path.join(spool_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _KVCommit(path, n)
+
+    def commit(self, messages):
+        import os
+
+        committed = os.path.join(self.base, "committed")
+        os.makedirs(committed, exist_ok=True)
+        for m in messages:
+            os.rename(m.path, os.path.join(committed, os.path.basename(m.path)))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class KVStoreDataSource(DataSource):
+    """``df.write.format("kv_store").option("path", ...)`` after
+    registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kv_store"
+
+    def writer(self, schema, overwrite: bool):
+        return KVStoreWriter(self.options)
+
+
+def register_kv(spark) -> None:
+    spark.dataSource.register(KVStoreDataSource)
