@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -183,6 +184,58 @@ class KVStoreDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return KVStoreWriter(self.options)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return KVStoreStreamWriter(self.options)
+
 
 def register_kv(spark) -> None:
     spark.dataSource.register(KVStoreDataSource)
+
+
+class KVStoreStreamWriter(DataSourceStreamWriter):
+    """Streaming variant of the KV sink: per-epoch two-phase commit.
+    Tasks spool each micro-batch partition; ``commit(messages, batchId)``
+    publishes the epoch atomically under ``committed/epoch=<id>/``.
+    Re-delivered epochs (restart replay) overwrite the same directory —
+    idempotent, so the sink is exactly-once downstream of Spark's WAL,
+    which is precisely the foreachBatch discipline catenae's external
+    KV writers needed by hand."""
+
+    def __init__(self, options):
+        self.base = options.get("path")
+        if not self.base:
+            raise ValueError("kv_store sink requires option 'path'")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        spool_dir = os.path.join(self.base, "_spool")
+        os.makedirs(spool_dir, exist_ok=True)
+        path = os.path.join(spool_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _KVCommit(path, n)
+
+    def commit(self, messages, batchId):
+        import os
+        import shutil
+
+        epoch = os.path.join(self.base, "committed", f"epoch={batchId}")
+        shutil.rmtree(epoch, ignore_errors=True)  # idempotent re-delivery
+        os.makedirs(epoch, exist_ok=True)
+        for m in messages:
+            os.rename(m.path, os.path.join(epoch, os.path.basename(m.path)))
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass

@@ -456,3 +456,44 @@ def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return run_available_now(agg, "complete", _name("custom_src"))
+
+
+@REGISTRY.register(
+    "q_stream_sink_custom_kv",
+    tags=("streaming", "sink"),
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_sink_custom_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING sink (DataSourceStreamWriter): the
+    replayed stream commits each micro-batch epoch atomically into the
+    KV store (per-epoch two-phase commit, idempotent on re-delivery);
+    the read-back aggregate equals the batch oracle — no event lost or
+    doubled across epochs."""
+    import shutil
+    import tempfile
+
+    from catenae_kafka_spark.sources.synthetic import register_kv
+
+    register_kv(spark)
+    out = tempfile.mkdtemp(prefix="cks_stream_kv_")
+    shutil.rmtree(out, ignore_errors=True)
+    stream = replay_events(spark, sf_dir, n_files=2).select(
+        "event_id", "event_type"
+    )
+    q = (
+        stream.writeStream.format("kv_store")
+        .option("path", out)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="cks_stream_kv_ckpt_")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.json(f"{out}/committed/*/", schema="event_id long, event_type string")
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))
