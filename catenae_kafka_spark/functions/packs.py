@@ -384,3 +384,58 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_explode_outer",
+    tags=("functions", "lateral"),
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN []
+              ELSE string_split(text, ' ')[1:3] END AS toks
+  FROM documents WHERE doc_id < 30
+)
+SELECT s.doc_id, u.tok
+FROM src s LEFT JOIN (
+  SELECT doc_id, unnest(toks) AS tok FROM src
+) u USING (doc_id)
+""",
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive as (id, NULL)
+    instead of vanishing — the join-preserving unnest. Every third doc
+    gets an empty token array to exercise exactly that path."""
+    c = catalog(spark, sf_dir)
+    toks = F.when(
+        F.col("doc_id") % 3 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split("text", " "), 1, 3))
+    src = c.documents.filter(F.col("doc_id") < 30).select(
+        "doc_id", toks.alias("toks")
+    )
+    return src.select("doc_id", F.explode_outer("toks").alias("tok"))
+
+
+@REGISTRY.register(
+    "q_regexp_extract_all",
+    tags=("functions",),
+    oracle="""
+SELECT p_partkey,
+       COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]+a'), '|'), '') AS a_words,
+       CAST(COALESCE(len(regexp_extract_all(p_name, '[a-z]+a')), 0) AS INTEGER) AS n_a_words
+FROM part
+WHERE p_partkey < 200
+""",
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every match as an array (vs the single-match
+    extract in the string pack) — the tokenizer-by-pattern primitive."""
+    c = catalog(spark, sf_dir)
+    pat = r"[a-z]+a"
+    return c.part.filter(F.col("p_partkey") < 200).select(
+        "p_partkey",
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit(pat), 0), "|"
+        ).alias("a_words"),
+        F.size(F.regexp_extract_all("p_name", F.lit(pat), 0)).alias("n_a_words"),
+    )
