@@ -78,8 +78,12 @@ class Catalog:
             raw = self.spark.read.parquet(path)
             if dict(raw.dtypes).get("ts") != "bigint":
                 return raw
+            # integer division: float division of epoch-ns int64s carries
+            # ~2^-53 relative error (~200 ns) — enough to flip a value
+            # sitting just below a second boundary into the next second
+            # and break seconds-formatted oracle parity
             return raw.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return self.spark.read.parquet(path)
 

@@ -34,14 +34,18 @@ def asof_join(
     right_payload: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the right row with the
-    greatest ``right_ts <= left_ts`` within the same ``on`` key group.
+    """As-of join: for each left row, the right row with the greatest
+    ``right_ts <= left_ts`` (``direction="backward"``) or the smallest
+    ``right_ts >= left_ts`` (``direction="forward"``) within the same
+    ``on`` key group.
 
     Returns all left columns plus ``right_payload`` columns (null when
-    no prior right row exists). Single shuffle on ``on``.
+    no matching right row exists). Single shuffle on ``on``; forward is
+    the same merge-scan with the time axis walked in reverse (window
+    ordered descending), not a second algorithm.
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip the ts sign and reuse")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     r = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
@@ -53,10 +57,12 @@ def asof_join(
     l_keep = l.select(*keep, *[c for c in lcols if c not in on])
     r_keep = r.select(*keep, *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on])
     u = l_keep.unionByName(r_keep)
-    # right rows (side=0) sort before left rows at equal ts → inclusive <=
+    # right rows (side=0) sort before left rows at equal ts → inclusive
+    # <= (backward) / >= (forward: time axis walked descending)
+    ats = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .orderBy(ats, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
@@ -141,6 +147,50 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="p_ts",
         right_payload=["p_ts", "purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_s"),
+        "purchase_value",
+    )
+
+
+@REGISTRY.register(
+    "q_join_asof_forward",
+    tags=("join", "asof"),
+    oracle="""
+SELECT c.event_id AS event_id, c.user_id AS user_id,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: EARLIEST subsequent purchase for every click,
+    per user — the event-attribution direction (what did this click lead
+    to). Same single-shuffle merge-scan as backward, time axis
+    reversed."""
+    c = catalog(spark, sf_dir)
+    ev = c.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_payload=["p_ts", "purchase_value"],
+        direction="forward",
     )
     return out.select(
         "event_id",

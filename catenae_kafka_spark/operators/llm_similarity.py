@@ -198,6 +198,101 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb.filter(F.col("vec_id") < 8), emb, k=5, nprobe=3)
 
 
+def hyperplane_cells(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, tbl, bucket) hyperplane-LSH cell per (vector, table), in the
+    codegen-safe explode shape: posexplode the vector, equi-join a tiny
+    broadcast weights table (plane × dim rows, hash-derived so there is
+    no stored model), partial-agg the per-plane dots, then pack sign
+    bits into per-table bucket ids. The per-element work stays inside
+    whole-stage codegen — the nested higher-order-function form
+    (``lsh_signature``) builds planes×tables lambda pipelines that fall
+    out of codegen (STATUS.md fact #5).
+
+    Shuffles: groupBy(id, plane) then groupBy(id, tbl) — both keyed,
+    linear in N·dim·planes·tables; no pairwise term.
+    """
+    spark = vecs.sparkSession
+    n_planes = planes * tables
+    w = spark.range(n_planes * dim).select(
+        F.expr(f"id div {dim}").alias("_p"),
+        (F.col("id") % dim).alias("_d"),
+        (
+            F.pmod(F.xxhash64(F.expr(f"id div {dim}") * 1000 + 7, F.col("id") % dim), F.lit(1000))
+            / 1000.0
+            - 0.5
+        ).alias("_w"),
+    )
+    ex = vecs.select(
+        F.col(id_col).alias("_id"), F.posexplode(F.col(vec_col)).alias("_d", "_x")
+    )
+    dots = (
+        ex.join(F.broadcast(w), "_d")
+        .groupBy("_id", "_p")
+        .agg(F.sum(F.col("_x").cast("double") * F.col("_w")).alias("_dot"))
+    )
+    bits = dots.select(
+        "_id",
+        F.expr(f"_p div {planes}").alias("tbl"),
+        F.expr(
+            f"shiftleft(CAST(_dot > 0 AS INT), CAST(_p % {planes} AS INT))"
+        ).alias("_bitval"),
+    )
+    return bits.groupBy("_id", "tbl").agg(F.sum("_bitval").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Self-join candidate pairs (id_a < id_b) from multi-table
+    hyperplane LSH with Hamming<=1 probing: side A explodes each cell
+    into the exact bucket plus its single-bit flips, side B keeps exact
+    buckets, so any pair whose signatures differ by <=1 bit in ANY table
+    collides. One keyed shuffle on (tbl, bucket); never a cross join.
+
+    Recall tuning: per-plane agreement p = 1 - angle/pi; per-table
+    detection p^planes + planes·p^(planes-1)(1-p); across L tables
+    1-(1-P_table)^L. At real near-dup thresholds (cos >= 0.8) few
+    tables suffice; the fixtures' 0.35 threshold is angularly weak, so
+    defaults here use short buckets + several tables and the recall-vs-
+    brute-force property is asserted in tests."""
+    cells = hyperplane_cells(vecs, id_col, vec_col, planes, tables, dim)
+    probes = cells.select(
+        "_id",
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    a = probes.select(
+        F.col("_id").alias("id_a"), "tbl", "bucket"
+    )
+    b = cells.select(F.col("_id").alias("id_b"), "tbl", "bucket")
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_signature(
     vec_col: Column, planes: int = 8, dim: int = 64, table: int = 0
 ) -> Column:

@@ -146,6 +146,11 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         c.orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        # pre-cluster on the group key with few partitions: the grouped-
+        # map exchange then reuses this partitioning instead of fanning
+        # ~1k tiny pandas groups across 32 shuffle partitions, each
+        # paying Arrow/python-worker fixed cost (measured ~2x)
+        .repartition(8, F.col("o_custkey"))
         .groupBy("o_custkey")
         .applyInPandas(
             demean, schema="o_custkey long, o_orderkey long, price_dev double"

@@ -77,6 +77,42 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``catenae_kafka_spark`` importable inside Python WORKERS.
+
+    Workers do not inherit the driver's ``sys.path`` insertions, so any
+    object pickled BY REFERENCE into a worker (the custom DataSource
+    classes — ``spark.dataSource.register`` pickles the class itself)
+    hits ModuleNotFoundError when the engine is driven from outside the
+    repo. Stateful/UDF closures elsewhere dodge this by-value; class
+    registration cannot, so ship the package the way a cluster
+    deployment would: zip it and ``addPyFile`` (SparkFiles distribution
+    puts it on every worker's sys.path, local mode included).
+    Idempotent per SparkContext."""
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_cks_pkg_shipped", False):
+        return
+    import tempfile
+
+    import catenae_kafka_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(catenae_kafka_spark.__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"cks_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._cks_pkg_shipped = True
+
+
 def get_spark(
     app_name: str = "catenae-kafka-spark",
     master: str | None = None,

@@ -129,6 +129,23 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro connector is on the classpath (NOT in
+    this image — only the core avro jars ship, which don't provide the
+    `avro` DataFrame format). Same gating discipline as Kafka: the
+    format stays a pluggable edge, tests/test_gated_integrations.py
+    runs the real round-trip wherever the jar appears."""
+    try:
+        # functional probe: the AvroFileFormat CLASS ships in the base
+        # image without the DataSource registration, so Class.forName
+        # false-positives; a 1-row write exercises the real lookup
+        probe = os.path.join(tempfile.gettempdir(), "cks_avro_probe")
+        spark.range(1).write.mode("overwrite").format("avro").save(probe)
+        return True
+    except Exception:
+        return False
+
+
 @REGISTRY.register(
     "q_scan_orc",
     tags=("scan", "sink"),

@@ -51,7 +51,7 @@ GROUP BY date_trunc('hour', ts), event_type
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type, computed by a
-    real streaming query over an 8-micro-batch replay with a 10-minute
+    real streaming query over a multi-micro-batch replay with a 10-minute
     watermark; oracle = batch GROUP BY hour."""
     stream = replay_events(spark, sf_dir)
     agg = ops.tumbling_window_agg(

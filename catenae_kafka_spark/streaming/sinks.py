@@ -52,6 +52,11 @@ def run_available_now(
     # always-on query sizes this to its key cardinality instead.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(prev))))
+    # the streaming thread captures session confs asynchronously after
+    # start(), so the reduced partition count must stay in place until
+    # the query has fully drained — restoring in a finally around
+    # start() races the capture and the ~3× state-partition speedup
+    # silently fails to apply on some runs
     try:
         q = (
             df.writeStream.format("memory")
@@ -59,12 +64,13 @@ def run_available_now(
             .outputMode(output_mode)
             .start()
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try:
         q.processAllAvailable()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        try:
+            q.stop()
+        except NameError:
+            pass
     return spark.table(name)
 
 

@@ -94,7 +94,7 @@ class FileReplaySource:
 
     sf_dir: str
     table: str = "events"
-    n_files: int = 8
+    n_files: int = 4
     order_col: str = "ts"
     files_per_trigger: int = 1
     with_sentinel: bool = False
@@ -196,7 +196,7 @@ class FileReplaySource:
 def replay_events(
     spark: SparkSession,
     sf_dir: str,
-    n_files: int = 8,
+    n_files: int = 4,
     with_sentinel: bool = False,
 ) -> DataFrame:
     """Convenience: the events table as a multi-batch stream."""

@@ -57,7 +57,7 @@ def streaming_ema(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         ema, n_seen = state.get if state.exists else (None, 0)
         for pdf in batches:
-            pdf = pdf.sort_values("ts")
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             for v in pdf["value"]:
                 ema = float(v) if ema is None else (1 - alpha) * ema + alpha * float(v)
                 n_seen += 1
@@ -117,7 +117,7 @@ def streaming_ema_tws(events: DataFrame) -> DataFrame:
         ) -> Iterator[pd.DataFrame]:
             ema, n_seen = self._state.get() if self._state.exists() else (None, 0)
             for pdf in rows:
-                pdf = pdf.sort_values("ts")
+                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
                 for v in pdf["value"]:
                     ema = (
                         float(v)
@@ -156,7 +156,7 @@ def circular_dedup(events: DataFrame, capacity: int = 3) -> DataFrame:
         recent = list(recent)
         out: list[tuple[int, int, str]] = []
         for pdf in batches:
-            pdf = pdf.sort_values("ts")
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             for row in pdf.itertuples(index=False):
                 sig = row.event_type
                 if sig not in recent:

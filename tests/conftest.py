@@ -12,6 +12,15 @@ from catenae_kafka_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "gated: environment-gated integration — skips when the "
+        "dependency (kafka jar / spark-avro jar / protobuf) is absent, "
+        "runs the real path when present",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})

@@ -8,16 +8,16 @@ from __future__ import annotations
 import os
 
 from catenae_kafka_spark.sources.synthetic import (
-    SyntheticEventsStreamReader,
     register,
     register_kv,
+    stream_reader,
 )
 
 SF = "/root/testdata/sf0.001"
 
 
 def test_stream_reader_offset_replay_is_exact():
-    r = SyntheticEventsStreamReader({"rows": "100", "batchRows": "30"})
+    r = stream_reader({"rows": "100", "batchRows": "30"})
     # walk the live path
     offsets = [r.initialOffset()]
     batches = []

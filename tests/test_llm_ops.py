@@ -149,3 +149,105 @@ def test_approx_aggregates_within_tolerance(spark):
         assert abs(r.approx_parts - r.exact_parts) <= max(3, 0.06 * r.exact_parts)
     for r in specs["q_agg_approx_quantiles"].fn(spark, SF).collect():
         assert abs(r.approx_p50 - r.exact_p50) <= 0.01 * abs(r.exact_p50)
+
+
+def test_embedding_lsh_recall_is_total_on_fixtures(spark):
+    """The LSH-bucketed q_dedup_embedding must recall EVERY all-pairs
+    cosine>=0.35 pair (signatures are deterministic hash-derived, so
+    this is a stable property, and it is what keeps the query on its
+    exact SQL oracle)."""
+    from catenae_kafka_spark.operators.llm_dedup import (
+        embedding_allpairs,
+        q_dedup_embedding,
+    )
+
+    lsh = {(r.id_a, r.id_b, r.cos_sim) for r in q_dedup_embedding(spark, SF).collect()}
+    truth = {(r.id_a, r.id_b, r.cos_sim) for r in embedding_allpairs(spark, SF).collect()}
+    assert lsh == truth
+    assert len(truth) > 0
+
+
+def test_prefix_filter_candidates_complete_under_both_orders(spark):
+    """Prefix filtering is deterministic-complete under ANY fixed token
+    order: both the map-side hash order and the df order must produce a
+    candidate superset of the true J>=0.5 pairs (and hence identical
+    verified output)."""
+    from catenae_kafka_spark.operators.llm_dedup import (
+        jaccard_prefix_candidates,
+        word_bigrams,
+    )
+
+    c = catalog(spark, SF)
+    g = c.documents.select(
+        "doc_id", "lang", word_bigrams(F.col("text")).alias("bigrams")
+    )
+    ga = g.select("lang", F.col("doc_id").alias("id_a"), F.col("bigrams").alias("g_a"))
+    gb = g.select("lang", F.col("doc_id").alias("id_b"), F.col("bigrams").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ga.join(gb, "lang")
+        .filter((F.col("id_a") < F.col("id_b")) & (jac >= 0.5))
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert len(truth) > 0
+    for order in ("hash", "df"):
+        cands = {
+            (r.id_a, r.id_b)
+            for r in jaccard_prefix_candidates(g, 0.5, order=order).collect()
+        }
+        assert truth <= cands, f"order={order} missed {truth - cands}"
+
+
+def test_fuzzy_levenshtein_length_bucket_equals_brute_force(spark):
+    """The length-bucket prefilter must not change the result set vs
+    the plain brand-blocked quadratic join (dist<=3 ⇒ |Δlen|<=3 is a
+    theorem, not a heuristic)."""
+    from catenae_kafka_spark.operators.llm_dedup import q_fuzzy_levenshtein
+
+    c = catalog(spark, SF)
+    a = c.part.select(
+        "p_brand", F.col("p_partkey").alias("id_a"), F.col("p_name").alias("n_a")
+    )
+    b = c.part.select(
+        "p_brand", F.col("p_partkey").alias("id_b"), F.col("p_name").alias("n_b")
+    )
+    brute = {
+        (r.id_a, r.id_b, r.dist)
+        for r in a.join(b, "p_brand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("n_a", "n_b"))
+        .filter(F.col("dist") <= 3)
+        .select("id_a", "id_b", "dist")
+        .collect()
+    }
+    fast = {
+        (r.id_a, r.id_b, r.dist) for r in q_fuzzy_levenshtein(spark, SF).collect()
+    }
+    assert fast == brute
+    assert len(brute) > 0
+
+
+def test_connected_components_reliable_checkpoint_and_loud_failure(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to storage-backed
+    checkpoints (survives executor loss on a real cluster); max_rounds
+    exhaustion raises instead of silently returning partial labels."""
+    from catenae_kafka_spark.operators.llm_dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    labels = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # a 6-node path cannot converge in 1 round even with pointer jumping
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=1)

@@ -97,40 +97,13 @@ def _cc_ref(edges):
 
 
 def _cc_spark(spark, edges):
-    """Same iterative min-label propagation as q_dedup_clusters, over an
-    explicit edge list."""
+    """The PRODUCTION connected_components (pointer-jumping min-label
+    propagation) over an explicit edge list — property-tested against
+    the union-find reference below."""
+    from catenae_kafka_spark.operators.llm_dedup import connected_components
+
     e = spark.createDataFrame(edges, "id_a long, id_b long")
-    und = e.union(
-        e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).toDF("src", "dst")
-    labels = (
-        und.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    )
-    for _ in range(20):
-        nbr = (
-            und.join(labels, und.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(e)
     return {r["id"]: r["comp"] for r in labels.collect()}
 
 

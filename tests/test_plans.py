@@ -106,6 +106,23 @@ def test_ivf_broadcasts_centroids_no_big_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_dedup_candidate_generation_never_cartesian(spark):
+    """Round-2 scale fixes: the three formerly all-pairs/coarse-blocked
+    near-dup operators must plan as keyed joins — no CartesianProduct
+    and no BroadcastNestedLoopJoin anywhere (prefix-filter, LSH-bucket,
+    and length-bucket candidate generation are all equi-joins)."""
+    from catenae_kafka_spark.operators.llm_dedup import (
+        q_dedup_embedding,
+        q_dedup_ngram_jaccard,
+        q_fuzzy_levenshtein,
+    )
+
+    for q in (q_dedup_ngram_jaccard, q_dedup_embedding, q_fuzzy_levenshtein):
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
 def test_multimodal_pipeline_is_shuffle_free(spark):
     from catenae_kafka_spark.operators.llm_multimodal import (
         q_multimodal_frames,
