@@ -396,7 +396,7 @@ def jaccard_prefix_candidates(
     "q_dedup_ngram_jaccard",
     tags=("llm", "dedup"),
     oracle="""
-WITH grams AS (
+WITH grams AS MATERIALIZED (
   SELECT doc_id, lang,
          list_distinct(list_transform(
            generate_series(1, len(string_split(text,' ')) - 1),
@@ -597,20 +597,20 @@ def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_clusters",
     tags=("llm", "dedup", "iterative"),
     oracle="""
-WITH RECURSIVE grams AS (
+WITH RECURSIVE grams AS MATERIALIZED (
   SELECT doc_id, lang,
          list_distinct(list_transform(
            generate_series(1, len(string_split(text,' ')) - 1),
            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
          )) AS bigrams
   FROM documents
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM grams a JOIN grams b
     ON a.lang = b.lang AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.bigrams, b.bigrams)) * 1.0
         / len(list_distinct(a.bigrams || b.bigrams)) >= 0.5
-), und AS (
+), und AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
   SELECT id_b, id_a FROM pairs
@@ -722,20 +722,20 @@ def connected_components(
     "q_dedup_apply",
     tags=("llm", "dedup", "composite"),
     oracle="""
-WITH RECURSIVE grams AS (
+WITH RECURSIVE grams AS MATERIALIZED (
   SELECT doc_id, lang,
          list_distinct(list_transform(
            generate_series(1, len(string_split(text,' ')) - 1),
            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
          )) AS bigrams
   FROM documents
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM grams a JOIN grams b
     ON a.lang = b.lang AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.bigrams, b.bigrams)) * 1.0
         / len(list_distinct(a.bigrams || b.bigrams)) >= 0.5
-), und AS (
+), und AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
   SELECT id_b, id_a FROM pairs

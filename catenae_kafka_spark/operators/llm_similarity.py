@@ -123,7 +123,7 @@ def knn_ivf(
     The quantizer is training-free and deterministic — centroids are the
     corpus vectors whose id is a multiple of ``centroid_stride`` (~N/31
     of them), so results are reproducible across runs/engines with no
-    stored model (same design choice as ``lsh_signature``). A k-means
+    stored model (same design choice as ``hyperplane_cells``). A k-means
     quantizer would slot in by swapping the ``cents`` DataFrame.
 
     At 100 TB: centroids are tiny (~sqrt(N)) and broadcast; assignment
@@ -293,46 +293,6 @@ def lsh_candidate_pairs(
     )
 
 
-def lsh_signature(
-    vec_col: Column, planes: int = 8, dim: int = 64, table: int = 0
-) -> Column:
-    """Random-hyperplane signature: bit p = sign of <w_p, v> where
-    w_p[d] = xxhash64(table*1000+p, d) mapped to [-0.5, 0.5).
-    Deterministic, no stored model, identical across runs and engines;
-    ``table`` selects an independent plane family for multi-table LSH."""
-    e = F.transform(vec_col, lambda x: x.cast("double"))
-
-    # plane id must be closure-bound via a factory (a 2-param lambda
-    # would receive the array index as its second argument instead)
-    def plane_weights(p: int):
-        seed = table * 1000 + p
-        return lambda d: F.pmod(F.xxhash64(F.lit(seed), d), F.lit(1000)) / 1000.0 - 0.5
-
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    e,
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(dim - 1)), plane_weights(p)
-                    ),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        for p in range(planes)
-    ]
-    sig = F.lit(0)
-    for b in bits:
-        sig = sig * 2 + b
-    return sig
-
-
 @REGISTRY.register(
     "q_knn_lsh",
     tags=("llm", "similarity", "approx"),
@@ -341,71 +301,57 @@ def lsh_signature(
 )
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table hyperplane LSH with Hamming<=1 probing:
-    L=4 independent tables of 6 planes each; the corpus is hashed into
-    (table, bucket) cells (map-side, one shuffle), each query probes its
-    cell plus the 6 single-bit flips per table, exact cosine runs only
-    on the unioned candidates. Multi-table is what rescues recall when
-    neighbours are angularly far (these fixtures are random vectors) —
-    L tables cost L× signature work but multiply miss probabilities."""
-    c = catalog(spark, sf_dir)
+    L=4 independent tables of 6 planes each; corpus vectors hash into
+    (table, bucket) cells (hyperplane_cells — the codegen-safe explode
+    shape, one keyed shuffle), each query probes its cell plus the 6
+    single-bit flips per table, exact cosine runs only on the unioned
+    candidates. Multi-table is what rescues recall when neighbours are
+    angularly far (these fixtures are random vectors) — L tables cost L×
+    signature work but multiply miss probabilities."""
     planes, tables = 6, 4
+    c = catalog(spark, sf_dir)
     emb = c.embeddings
-    corpus = emb.select(
-        F.col("vec_id").alias("match_id"),
+    corpus_cells = hyperplane_cells(
+        emb, "vec_id", "embedding", planes=planes, tables=tables
+    ).select(F.col("_id").alias("match_id"), "tbl", "bucket")
+    q_cells = hyperplane_cells(
+        emb.filter(F.col("vec_id") < 8),
+        "vec_id",
         "embedding",
-        *[
-            lsh_signature(F.col("embedding"), planes, table=t).alias(f"sig{t}")
-            for t in range(tables)
-        ],
-    ).select(
-        "match_id",
-        "embedding",
+        planes=planes,
+        tables=tables,
+    )
+    probes = q_cells.select(
+        F.col("_id").alias("query_id"),
+        "tbl",
         F.explode(
             F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("bucket")
-                    )
-                    for t in range(tables)
-                ]
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(planes)],
             )
-        ).alias("cell"),
-    ).select("match_id", "embedding", "cell.tbl", "cell.bucket")
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        *[
-            lsh_signature(F.col("embedding"), planes, table=t).alias(f"qsig{t}")
-            for t in range(tables)
-        ],
+        ).alias("bucket"),
     )
-    # probe cells: per table, the exact bucket and all Hamming-1 flips
-    probe_cells = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                (
-                    F.col(f"qsig{t}")
-                    if flip < 0
-                    else F.col(f"qsig{t}").bitwiseXOR(F.lit(1 << flip))
-                ).alias("bucket"),
-            )
-            for t in range(tables)
-            for flip in range(-1, planes)
-        ]
-    )
-    probed = queries.select(
-        "query_id", "q_emb", F.explode(probe_cells).alias("cell")
-    ).select("query_id", "q_emb", "cell.tbl", "cell.bucket")
-    e_q = _as_double("q_emb")
-    e_c = _as_double("embedding")
-    cos = _dot(e_q, e_c) / (_norm(e_q) * _norm(e_c))
-    scored = (
-        probed.join(corpus, ["tbl", "bucket"])
-        .select("query_id", "q_emb", "match_id", "embedding")
-        .distinct()  # a pair found by several tables/probes scores once
+    cand = (
+        probes.join(corpus_cells, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cos_sim", F.round(cos, 6))
+        .select("query_id", "match_id")
+        .distinct()  # a pair found by several tables/probes scores once
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("e_q"),
+        _norm(_as_double("embedding")).alias("n_q"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("match_id"),
+        _as_double("embedding").alias("e_c"),
+        _norm(_as_double("embedding")).alias("n_c"),
+    )
+    cos = _dot(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c"))
+    scored = (
+        cand.join(qv, "query_id").join(cv, "match_id").withColumn(
+            "cos_sim", F.round(cos, 6)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("match_id")

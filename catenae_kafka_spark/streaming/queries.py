@@ -365,7 +365,7 @@ def q_stream_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans the branches as independent streaming queries over one
     source — the fan-out is N filtered writeStreams, not N re-reads of
     the upstream system when the source supports multiplexing."""
-    branches = Link(replay_events(spark, sf_dir, n_files=2)).route(
+    branches = Link(replay_events(spark, sf_dir, n_files=4)).route(
         money=F.col("event_type").isin("purchase", "signup"),
         errors=F.col("event_type") == "error",
     )
@@ -405,7 +405,7 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from catenae_kafka_spark.streaming.sinks import parquet_sink
 
-    stream = replay_events(spark, sf_dir, n_files=2).select(
+    stream = replay_events(spark, sf_dir, n_files=4).select(
         "event_id", "event_type", "value"
     )
     out = tempfile.mkdtemp(prefix="cks_stream_pq_")
@@ -481,7 +481,7 @@ def q_stream_sink_custom_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_kv(spark)
     out = tempfile.mkdtemp(prefix="cks_stream_kv_")
     shutil.rmtree(out, ignore_errors=True)
-    stream = replay_events(spark, sf_dir, n_files=2).select(
+    stream = replay_events(spark, sf_dir, n_files=4).select(
         "event_id", "event_type"
     )
     q = (

@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 
+# state/shuffle partition cap for finite-replay streaming queries (see
+# run_available_now); measured on local[32]: 32→8 ≈3×, 8→4 ≈1.6× on the
+# sf0.1 tumbling bench — per-batch per-partition state-store commit cost
+# dominates short replays
+STATE_PARTITIONS = 4
+
+
 def memory_sink(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> StreamingQuery:
@@ -48,10 +55,12 @@ def run_available_now(
     name = name or f"q_{uuid.uuid4().hex[:10]}"
     # Stateful micro-batches pay per-(batch × state-partition) fixed
     # cost; for a short finite replay 32 state partitions are pure
-    # overhead (measured ~3×). 8 is plenty locally; a production
+    # overhead (measured ~3×). A handful is plenty locally; a production
     # always-on query sizes this to its key cardinality instead.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(prev))))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(STATE_PARTITIONS, int(prev)))
+    )
     # the streaming thread captures session confs asynchronously after
     # start(), so the reduced partition count must stay in place until
     # the query has fully drained — restoring in a finally around

@@ -82,7 +82,10 @@ class FileReplaySource:
 
     The table is re-laid-out once into ``n_files`` parquet files (sorted
     by ``order_col`` so replay approximates arrival order), then read
-    with ``maxFilesPerTrigger=1`` → n_files micro-batches.
+    with ``maxFilesPerTrigger=files_per_trigger`` →
+    n_files/files_per_trigger micro-batches (defaults: 8 files, 2 per
+    trigger → 4 real data batches, half of round 1's fixed cost at the
+    same watermark realism).
 
     ``with_sentinel=True`` appends one final row far in the future
     (event_id = -1) whose only job is to push the watermark past every
@@ -94,16 +97,16 @@ class FileReplaySource:
 
     sf_dir: str
     table: str = "events"
-    n_files: int = 4
+    n_files: int = 8
     order_col: str = "ts"
-    files_per_trigger: int = 1
+    files_per_trigger: int = 2
     with_sentinel: bool = False
     sentinel_advance_days: int = 3650
 
     def _staging_dir(self) -> str:
         tag = hashlib.sha256(
             f"{self.sf_dir}|{self.table}|{self.n_files}|{self.order_col}"
-            f"|{self.with_sentinel}".encode()
+            f"|{self.with_sentinel}|{self.files_per_trigger}".encode()
         ).hexdigest()[:12]
         return os.path.join(
             tempfile.gettempdir(), "catenae_kafka_spark", "replay", tag
@@ -135,16 +138,18 @@ class FileReplaySource:
                 for col in ("event_id", "user_id"):
                     if col in sentinel.columns:
                         sentinel = sentinel.withColumn(col, F.lit(-1).cast("long"))
-                # TWO sentinel files, each its own micro-batch: a batch's
-                # watermark is computed from the PREVIOUS batch's data, so
-                # the first sentinel's far-future timestamp only takes
-                # effect (flushing trailing windows/sessions) while the
-                # second sentinel's batch runs. One sentinel would leave
-                # the last `delay` worth of state unflushed.
+                # TWO sentinel BATCHES, each advancing the watermark: a
+                # batch's watermark is computed from the PREVIOUS batch's
+                # data, so the first sentinel batch's far-future timestamp
+                # only takes effect (flushing trailing windows/sessions)
+                # while the second sentinel batch runs. One sentinel batch
+                # would leave the last `delay` worth of state unflushed.
+                # Emit 2×files_per_trigger sentinel FILES so exactly two
+                # sentinel batches exist at any trigger width.
                 import glob
                 import shutil
 
-                for i in range(2):
+                for i in range(2 * self.files_per_trigger):
                     shifted = sentinel.withColumn(
                         self.order_col,
                         F.col(self.order_col) + F.expr(f"INTERVAL {i} DAYS"),
@@ -196,7 +201,7 @@ class FileReplaySource:
 def replay_events(
     spark: SparkSession,
     sf_dir: str,
-    n_files: int = 4,
+    n_files: int = 8,
     with_sentinel: bool = False,
 ) -> DataFrame:
     """Convenience: the events table as a multi-batch stream."""

@@ -73,7 +73,7 @@ def test_foreach_batch_collector(spark):
     )
     q.awaitTermination()
     assert sum(seen) == catalog(spark, SF).events.count()
-    assert len(seen) >= 4  # one batch per replay file
+    assert len(seen) >= 2  # multi-batch (4 files / 2 per trigger)
 
 
 def test_kafka_gated_with_clear_error(spark):
