@@ -1,0 +1,271 @@
+"""Corpus-preparation operators for LLM training pipelines (north star):
+the steps between "deduplicated documents" and "training sequences".
+
+- Benchmark decontamination: drop/flag training docs that share an
+  n-gram with a held-out eval set — the standard guard against test-set
+  leakage into pretraining corpora. Shaped as a broadcast semi-join on
+  exploded shingles: the eval set is always tiny next to the corpus, so
+  the corpus never shuffles.
+- Repetition scoring: duplicated-bigram ratio per doc (the classic
+  boilerplate/spam signal) — map-side only.
+- Sequence packing: concat-and-chunk packing of documents into
+  fixed-token-budget training sequences via a running-sum window within
+  each language shard (the shard key bounds the window's sort; packing
+  is embarrassingly parallel across shards at 100 TB).
+- Document chunking: 1→N fixed-size token windows with overlap (the
+  RAG/pretraining chunker), a pure explode — no Python, no shuffle.
+
+All have full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_decontaminate",
+    tags=("llm", "corpus", "dedup"),
+    oracle="""
+WITH bench AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2]
+         )) AS grams
+  FROM documents WHERE doc_id % 97 = 7
+), bgrams AS MATERIALIZED (
+  SELECT DISTINCT unnest(grams) AS g FROM bench
+), train AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2]
+         )) AS grams
+  FROM documents WHERE doc_id % 97 <> 7
+), hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM train t JOIN bgrams b ON list_contains(t.grams, b.g)
+)
+SELECT tr.lang,
+       COUNT(*) AS n_train,
+       CAST(COUNT(*) FILTER (h.doc_id IS NOT NULL) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(*) FILTER (h.doc_id IS NULL) AS BIGINT) AS n_clean
+FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+GROUP BY tr.lang
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the held-out eval set (doc_id % 97 ==
+    7 — a deterministic stand-in for a real benchmark suite) defines a
+    trigram blocklist; any training doc sharing a trigram with it is
+    contaminated. Report per-language train/contaminated/clean counts.
+
+    Shape: eval trigrams explode → distinct (tiny) → broadcast
+    left-semi join against exploded training trigrams → distinct doc
+    hits → broadcast back onto the corpus. The corpus is touched twice
+    map-side and shuffled only by the final per-language aggregate —
+    at 100 TB the blocklist (benchmarks are MBs, not TBs) broadcasts
+    everywhere and the expensive side never repartitions."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    trigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(toks, i),
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
+            ),
+        )
+    )
+    grams = F.when(F.size(toks) >= 3, trigrams).otherwise(
+        F.expr("CAST(array() AS array<string>)")
+    )
+    docs = c.documents.select("doc_id", "lang", grams.alias("grams"))
+    bench = docs.filter(F.col("doc_id") % 97 == 7)
+    train = docs.filter(F.col("doc_id") % 97 != 7)
+    blocklist = bench.select(F.explode("grams").alias("g")).distinct()
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(blocklist), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "lang")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.count(F.when(F.col("_hit").isNotNull(), 1)).alias("n_contaminated"),
+            F.count(F.when(F.col("_hit").isNull(), 1)).alias("n_clean"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_repetition_score",
+    tags=("llm", "corpus", "quality"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split(text,' ')) - 1 AS n_bigrams,
+         len(list_distinct(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         ))) AS n_uniq_bigrams
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(1.0 - n_uniq_bigrams * 1.0 / n_bigrams), 6) AS avg_rep,
+       CAST(COUNT(*) FILTER (1.0 - n_uniq_bigrams * 1.0 / n_bigrams > 0.2)
+            AS BIGINT) AS n_repetitive
+FROM d GROUP BY lang
+""",
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: duplicated-bigram ratio per doc
+    (1 - distinct/total), averaged per language plus a count of docs
+    over the 0.2 boilerplate threshold — the standard cheap spam/
+    template filter in corpus pipelines. Entirely map-side until the
+    per-language aggregate."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+        ),
+    )
+    d = (
+        c.documents.filter(F.size(toks) >= 2)
+        .select(
+            "lang",
+            (F.size(toks) - 1).alias("n_bigrams"),
+            F.size(F.array_distinct(bigrams)).alias("n_uniq_bigrams"),
+        )
+        .withColumn(
+            "rep", 1.0 - F.col("n_uniq_bigrams") / F.col("n_bigrams")
+        )
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("rep"), 6).alias("avg_rep"),
+        F.count(F.when(F.col("rep") > 0.2, 1)).alias("n_repetitive"),
+    )
+
+
+@REGISTRY.register(
+    "q_seq_pack",
+    tags=("llm", "corpus", "pack"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok FROM documents
+), packed AS (
+  SELECT lang,
+         CAST(floor((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / 512) AS BIGINT) AS seq_id,
+         n_tok
+  FROM d
+)
+SELECT lang, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY lang, seq_id
+""",
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents are concatenated
+    in deterministic doc_id order within each language shard and cut
+    into 512-token training sequences; a doc's sequence id is its
+    starting offset div 512 (running-sum window). Per-sequence doc and
+    token counts come back for fill-ratio accounting.
+
+    Scale: the window sorts within the shard key only — packing is
+    embarrassingly parallel across shards (in production the shard key
+    is (source, path-prefix) and each task packs its shard
+    independently; no global sort exists anywhere)."""
+    c = catalog(spark, sf_dir)
+    d = c.documents.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = d.select(
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).alias("seq_id"),
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+@REGISTRY.register(
+    "q_doc_chunk",
+    tags=("llm", "corpus", "chunk"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+             CAST(ceil(greatest(len(toks) - 16, 1) / 48.0) AS BIGINT) - 1))
+           AS chunk_id,
+         len(toks) AS n_tok
+  FROM d
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 48 + 1 AS BIGINT) AS start_tok,
+       CAST(least(chunk_id * 48 + 64, n_tok) - chunk_id * 48 AS BIGINT)
+         AS chunk_len
+FROM chunks
+""",
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: 64-token windows with 16-token overlap
+    (stride 48) — the RAG/pretraining chunker as a pure 1→N explode.
+    Emits (doc_id, chunk_id, start_tok, chunk_len); chunk text itself
+    would be a slice() of the token array, omitted from the hash-checked
+    output only to keep the oracle compact. No shuffle anywhere — the
+    chunker is a map."""
+    c = catalog(spark, sf_dir)
+    stride, size = 48, 64
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.greatest(F.size(toks) - (size - stride), F.lit(1)) / stride)
+    d = c.documents.select(
+        "doc_id", F.size(toks).alias("n_tok"), n_chunks.alias("n_chunks")
+    )
+    chunks = d.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride + 1).alias("start_tok"),
+        (
+            F.least(F.col("chunk_id") * stride + size, F.col("n_tok"))
+            - F.col("chunk_id") * stride
+        ).alias("chunk_len"),
+    )

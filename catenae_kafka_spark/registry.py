@@ -104,6 +104,7 @@ def _load_all() -> None:
     )
     from catenae_kafka_spark.functions import packs  # noqa: F401
     from catenae_kafka_spark.operators import (  # noqa: F401
+        llm_corpus,
         reshape,
         skew,
         udf_surface,
