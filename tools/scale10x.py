@@ -44,6 +44,22 @@ HEADLINE = [
     "q_knn_cosine",
     "q_sessionize",
     "q_window_rank",
+    # round-2 corpus-prep ops (linear shapes)
+    "q_seq_pack",
+    "q_decontaminate",
+    "q_doc_chunk",
+]
+
+# measured at sf0.1 only: the exact-complete set-similarity/fuzzy ops'
+# candidate volume is Σ df² over prefix/bucket tokens — on the
+# fixtures' 31-word uniform vocabulary (and the replicator's 10-clique
+# clone corpus) that term is intentionally pathological and the 10×
+# run measures output growth, not plan shape. MinHash (probabilistic,
+# in HEADLINE) is the recommended operator for such corpora; the exact
+# ops stay the oracle-checked correctness path.
+SF01_ONLY = [
+    "q_dedup_ngram_jaccard",
+    "q_fuzzy_levenshtein",
 ]
 
 
@@ -69,6 +85,10 @@ def main() -> None:
     if not os.path.exists(f"{dst}/lineitem.parquet"):
         replicate(spark, dst)
     specs = all_specs()
+    for name in SF01_ONLY:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, SRC).write.format("noop").mode("overwrite").save()
+        print(f"sf0.1-only {name}: {time.perf_counter() - t0:.2f}s", flush=True)
     for sf_dir, label in [(SRC, "sf0.1"), (dst, "sfx1(10x)")]:
         for name in HEADLINE:
             t0 = time.perf_counter()
