@@ -414,3 +414,43 @@ def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_text_entropy",
+    tags=("llm", "text"),
+    oracle="""
+WITH w AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+), counted AS (
+  SELECT lang, word, COUNT(*) AS n FROM w GROUP BY lang, word
+), tot AS (
+  SELECT lang, word, n, SUM(n) OVER (PARTITION BY lang) AS t FROM counted
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(-SUM((n * 1.0 / t) * ln(n * 1.0 / t)) / ln(2), 4) AS entropy_bits
+FROM tot GROUP BY lang
+""",
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language unigram Shannon entropy (bits/token) — the corpus
+    diversity measure used to spot template/boilerplate-heavy sources in
+    training-data audits. explode → per-(lang, word) count (partial agg
+    map-side) → per-lang total via an unordered window reusing the same
+    hash partitioning → one final per-lang aggregate. Entropy terms are
+    computed from exact integer counts so both engines see identical
+    doubles before the 4dp round."""
+    import math
+
+    c = catalog(spark, sf_dir)
+    w = c.documents.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    counted = w.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    tot = counted.withColumn("t", F.sum("n").over(Window.partitionBy("lang")))
+    p = F.col("n") / F.col("t")
+    return tot.groupBy("lang").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(-F.sum(p * F.log(p)) / math.log(2), 4).alias("entropy_bits"),
+    )

@@ -1,0 +1,127 @@
+"""Data-profiling operators: the "what is in this table" utilities a
+100 TB ingest pipeline runs before anything else.
+
+- ``q_profile_columns``: per-column null count / exact distinct count /
+  min / max in ONE scan of the table (the oracle re-scans per column;
+  Spark computes all measures in a single pass and unpivots the 1-row
+  aggregate).
+- ``q_hll_sketch``: mergeable HLL sketches (Spark 3.5+ ``hll_sketch_agg``
+  / ``hll_union_agg``) — the partial-aggregate formulation that lets a
+  1000-executor cluster sketch per partition and merge 32-byte-ish
+  states instead of shuffling raw values. Approximate => weak oracle;
+  tolerance vs exact distinct is asserted in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_profile_columns",
+    tags=("profiling",),
+    oracle="""
+SELECT 'o_orderstatus' AS col_name,
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       MIN(o_orderstatus) AS min_s,
+       MAX(o_orderstatus) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       printf('%d', MIN(o_custkey)), printf('%d', MAX(o_custkey))
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       printf('%.2f', MIN(o_totalprice)), printf('%.2f', MAX(o_totalprice))
+FROM orders
+""",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``orders`` (nulls, exact distincts, min/max as
+    printf-normalized strings) in a single table scan: all 4 columns'
+    measures are one ``agg`` (Catalyst's Expand handles the multi-column
+    COUNT DISTINCT), then the 1-row result is unpivoted driver-side-free
+    via an array-of-structs explode. printf ('%d'/'%.2f') renders
+    numeric min/max identically on both engines — raw double→string
+    casts are not format-stable across engines."""
+    c = catalog(spark, sf_dir)
+    o = c.orders
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_orderstatus").alias("c1"),
+        F.countDistinct("o_orderstatus").alias("d1"),
+        F.min("o_orderstatus").alias("mn1"),
+        F.max("o_orderstatus").alias("mx1"),
+        F.count("o_orderpriority").alias("c2"),
+        F.countDistinct("o_orderpriority").alias("d2"),
+        F.min("o_orderpriority").alias("mn2"),
+        F.max("o_orderpriority").alias("mx2"),
+        F.count("o_custkey").alias("c3"),
+        F.countDistinct("o_custkey").alias("d3"),
+        F.format_string("%d", F.min("o_custkey")).alias("mn3"),
+        F.format_string("%d", F.max("o_custkey")).alias("mx3"),
+        F.count("o_totalprice").alias("c4"),
+        F.countDistinct("o_totalprice").alias("d4"),
+        F.format_string("%.2f", F.min("o_totalprice")).alias("mn4"),
+        F.format_string("%.2f", F.max("o_totalprice")).alias("mx4"),
+    )
+
+    def row(name: str, i: int):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            (F.col("n") - F.col(f"c{i}")).alias("n_nulls"),
+            F.col(f"d{i}").alias("n_distinct"),
+            F.col(f"mn{i}").alias("min_s"),
+            F.col(f"mx{i}").alias("max_s"),
+        )
+
+    profiles = F.array(
+        row("o_orderstatus", 1),
+        row("o_orderpriority", 2),
+        row("o_custkey", 3),
+        row("o_totalprice", 4),
+    )
+    return agg.select(F.explode(profiles).alias("p")).select("p.*")
+
+
+@REGISTRY.register(
+    "q_hll_sketch",
+    tags=("profiling", "sketch"),
+    oracle=None,  # approximate sketch estimates — tolerance-tested instead
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: HLL-sketch user_id per
+    event_type, then union the per-type sketches into an overall
+    estimate — the two-level partial-merge shape that works when the
+    raw values are 100 TB: executors ship fixed-size sketch buffers,
+    never user ids. Rows: one per event_type + one 'ALL' union row.
+    Estimates are deterministic for a fixed dataset (HLL++ has no RNG)
+    but engine-specific, hence no SQL oracle; tests assert <5% error
+    vs exact."""
+    c = catalog(spark, sf_dir)
+    per_type = c.events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    typed = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    overall = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return typed.unionByName(overall)

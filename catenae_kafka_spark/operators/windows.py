@@ -335,3 +335,175 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_similar"),
         F.sum(F.floor("o_totalprice").cast("long")).over(w).alias("sum_floor"),
     )
+
+
+@REGISTRY.register(
+    "q_window_time_range",
+    tags=("window", "time"),
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+)
+SELECT event_id, user_id, ts_s,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(SUM(value) OVER w, 4) AS sum_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, rolling 1-hour event count and
+    value sum (frame = all events whose timestamp falls within the
+    preceding 3600 s). Frame membership is decided by the integer
+    epoch-second ORDER BY value, so equal-second peers share identical
+    frames on both engines (events.ts is ns in parquet — raw-ts frames
+    would diverge between Spark's µs and DuckDB's ns). One shuffle on
+    user_id + per-key sort; state is one sliding accumulator per key —
+    the same plan at 100 TB."""
+    c = catalog(spark, sf_dir)
+    ts_s = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return c.events.select(
+        "event_id", "user_id", "value", ts_s.alias("ts_s")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+@REGISTRY.register(
+    "q_gaps_islands",
+    tags=("window", "time"),
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+  FROM events
+), grp AS (
+  SELECT user_id, dn,
+         dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS g
+  FROM days
+), streaks AS (
+  SELECT user_id, g, COUNT(*) AS len FROM grp GROUP BY user_id, g
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY user_id
+""",
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the classic day-number-minus-row-number trick (consecutive days
+    share `dn - row_number()`). Two shuffles total, both on user_id
+    (distinct reuses the window's hash partitioning); streak state per
+    key is O(active days), never O(events)."""
+    c = catalog(spark, sf_dir)
+    days = (
+        c.events.select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("dn"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dn")
+    grp = days.select(
+        "user_id", "dn", (F.col("dn") - F.row_number().over(w)).alias("g")
+    )
+    streaks = grp.groupBy("user_id", "g").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
+@REGISTRY.register(
+    "q_interval_merge",
+    tags=("window", "time"),
+    oracle="""
+WITH iv AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1
+              WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1
+              ELSE 0 END AS new_isl
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM flagged
+), merged AS (
+  SELECT user_id, isl_id, MIN(s) AS ms, MAX(e) AS me
+  FROM isl GROUP BY user_id, isl_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(me - ms) AS BIGINT) AS covered_s
+FROM merged GROUP BY user_id
+""",
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals (each event claims [ts, ts+300s))
+    per user: running-max-of-end over strictly-prior rows marks island
+    starts, a running sum labels islands, then two aggregates produce
+    merged-interval count and total covered seconds. The (s, event_id)
+    tiebreaker makes the row frame engine-stable. All three windows and
+    both aggregates share the user_id partitioning — one shuffle."""
+    c = catalog(spark, sf_dir)
+    ts_s = F.unix_timestamp("ts")
+    iv = c.events.select(
+        "event_id", "user_id", ts_s.alias("s"), (ts_s + 300).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_isl"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = flagged.select(
+        "user_id", "s", "e", F.sum("new_isl").over(w_run).alias("isl_id")
+    )
+    merged = isl.groupBy("user_id", "isl_id").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).alias("covered_s"),
+    )

