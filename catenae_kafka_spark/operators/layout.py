@@ -1,0 +1,118 @@
+"""Storage-layout operators: multi-dimensional clustering (Z-order).
+
+At 100 TB, data layout IS the query optimizer's best friend: parquet
+row-group min/max stats only prune scans when rows with similar values
+are physically adjacent. A table range-partitioned by one column prunes
+that column only; interleaving the bits of TWO columns into a Z-value
+and range-partitioning by it gives both columns locality — each file
+covers a small rectangle of the (custkey, totalprice) plane, so
+predicates on EITHER dimension skip most files.
+
+``q_zorder_layout`` computes the Z-values and proves the locality
+property: grouping by the top-6 Z-bits (64 rectangles) shows each
+bucket spans a narrow range of BOTH dimensions. The write-side usage is
+``df.repartitionByRange(64, col("z")).write.parquet(...)`` — same
+Z-expression, files become the buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+BITS = 10  # each dimension scaled to [0, 1023]
+
+
+def _interleave_sql(xa: str, xb: str) -> str:
+    """DuckDB expression interleaving the low 10 bits of two ints
+    (xa gets even bit positions, xb odd)."""
+    terms = []
+    for i in range(BITS):
+        terms.append(f"((({xa} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({xb} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zvalue(xa: Column, xb: Column) -> Column:
+    """Spark column: interleave the low 10 bits of two int columns."""
+    z = F.lit(0)
+    for i in range(BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xa, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@REGISTRY.register(
+    "q_zorder_layout",
+    tags=("layout",),
+    oracle=f"""
+WITH ext AS (
+  SELECT MIN(o_custkey) AS mnc, MAX(o_custkey) AS mxc,
+         MIN(o_totalprice) AS mnp, MAX(o_totalprice) AS mxp
+  FROM orders
+), scaled AS (
+  SELECT CAST(floor((o_custkey - mnc) * 1023.0 / (mxc - mnc)) AS BIGINT) AS nx,
+         CAST(floor((o_totalprice - mnp) * 1023.0 / (mxp - mnp)) AS BIGINT) AS ny,
+         o_custkey, o_totalprice
+  FROM orders CROSS JOIN ext
+), z AS (
+  SELECT o_custkey, o_totalprice,
+         ({_interleave_sql('nx', 'ny')}) >> 14 AS bucket
+  FROM scaled
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM z GROUP BY bucket
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering: scale (o_custkey, o_totalprice) to 10-bit
+    grid coordinates, interleave into a 20-bit Z-value, and aggregate
+    per top-6-bit bucket — each of the 64 buckets covers a small
+    rectangle of the 2-D space (narrow min/max span in BOTH columns),
+    which is exactly the row-group-stats pruning property a Z-ordered
+    write gives a 100 TB table. The extrema join is a 1-row broadcast;
+    everything else is map-side expression work + one aggregate."""
+    c = catalog(spark, sf_dir)
+    ext = c.orders.agg(
+        F.min("o_custkey").alias("mnc"),
+        F.max("o_custkey").alias("mxc"),
+        F.min("o_totalprice").alias("mnp"),
+        F.max("o_totalprice").alias("mxp"),
+    )
+    scaled = c.orders.crossJoin(F.broadcast(ext)).select(
+        "o_custkey",
+        "o_totalprice",
+        F.floor(
+            (F.col("o_custkey") - F.col("mnc"))
+            * 1023.0
+            / (F.col("mxc") - F.col("mnc"))
+        ).alias("nx"),
+        F.floor(
+            (F.col("o_totalprice") - F.col("mnp"))
+            * 1023.0
+            / (F.col("mxp") - F.col("mnp"))
+        ).alias("ny"),
+    )
+    z = scaled.select(
+        "o_custkey",
+        "o_totalprice",
+        F.shiftright(zvalue(F.col("nx"), F.col("ny")), 14).alias("bucket"),
+    )
+    return z.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

@@ -132,3 +132,41 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_agg_salted",
+    tags=("agg", "skew"),
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for pathologically hot group keys
+    (event_type has ~6 values over ALL rows — at 100 TB each final
+    reducer would receive billions of rows without Spark's partial
+    aggregation; salting makes the two-phase shape explicit and also
+    covers aggregates Spark cannot partially compute in one step).
+    Phase 1 groups by (key, salt-of-row) into 16 partials per key;
+    phase 2 merges the 16 partial rows per key. avg is recomposed as
+    merged-sum / merged-count — never avg-of-avg.
+
+    Results are identical to the plain groupBy (the oracle IS the
+    plain GROUP BY); the salt is derived from event_id (deterministic),
+    not rand(), so re-execution of a failed task cannot re-salt rows
+    differently mid-shuffle."""
+    c = catalog(spark, sf_dir)
+    salted = c.events.withColumn("_salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 4).alias("sum_value"),
+        F.round(F.sum("psum") / F.sum("pn"), 6).alias("avg_value"),
+    )

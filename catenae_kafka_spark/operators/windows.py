@@ -507,3 +507,47 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_intervals"),
         F.sum(F.col("me") - F.col("ms")).alias("covered_s"),
     )
+
+
+@REGISTRY.register(
+    "q_forward_fill",
+    tags=("window", "time"),
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN event_type = 'click' THEN value END AS sparse
+  FROM events
+)
+SELECT event_id, user_id, ts_s,
+       ROUND(LAST_VALUE(sparse IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts_s, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+FROM e
+""",
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series forward fill (LOCF): carry each user's last observed
+    'click' value forward across their other events — the standard
+    gap-fill before feature extraction on irregular series. One window
+    (`last(ignorenulls=True)` over an unbounded-preceding row frame),
+    one shuffle on user_id, per-key state is a single value. Rows
+    before the first observation stay NULL on both engines."""
+    c = catalog(spark, sf_dir)
+    e = c.events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("sparse"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.round(F.last("sparse", ignorenulls=True).over(w), 4).alias("filled"),
+    )

@@ -497,3 +497,48 @@ def q_stream_sink_custom_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     back = spark.read.json(f"{out}/committed/*/", schema="event_id long, event_type string")
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@REGISTRY.register(
+    "q_stream_state_ttl",
+    tags=("streaming", "stateful"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS total_events
+FROM g GROUP BY user_id
+""",
+)
+def q_stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-TTL lifecycle: per-user session accumulators evicted by
+    event-time timeout (watermark passes last-seen + 2 h) or an in-batch
+    gap > 2 h, each eviction emitting a closed-session row; the trailing
+    sentinel batches push the watermark far ahead so every key's state
+    is flushed and the stream ends with ZERO retained state. Because the
+    replay is event-time-ordered, the closed sessions equal the batch
+    TTL-gap partition exactly (see ttl_sessions) — full SQL oracle.
+    Output: per-user session count + total events."""
+    from catenae_kafka_spark.streaming.stateful import ttl_sessions
+
+    stream = replay_events(spark, sf_dir, n_files=4, with_sentinel=True).withWatermark(
+        "ts", "1 hour"
+    )
+    closed = run_available_now(ttl_sessions(stream), "append", _name("ttl"))
+    # sentinel key (-1) dropped AFTER the stateful op: a group-key
+    # filter would be pushed below the watermark node and the flush
+    # batches would never arrive (same lesson as q_stream_session)
+    return (
+        closed.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+        )
+    )

@@ -174,3 +174,94 @@ def circular_dedup(events: DataFrame, capacity: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TTL_OUTPUT_SCHEMA = "user_id long, n_events long, last_us long"
+TTL_STATE_SCHEMA = "n long, last_us long"
+
+
+def ttl_sessions(events: DataFrame, ttl_ms: int = 2 * 3600 * 1000) -> DataFrame:
+    """Event-time TTL state eviction (GroupStateTimeout.EventTimeTimeout):
+    per-user session accumulator whose state is dropped — emitting a
+    final "session closed" row — when either (a) the next event arrives
+    more than TTL after the last one (in-batch split), or (b) the
+    watermark passes last-seen + TTL with no new data (timeout path).
+
+    This is the state-lifecycle pattern an always-on 100 TB stream
+    needs: without TTL, per-key state grows with the keyspace forever;
+    with it, state size tracks the *active* keyset. The closed-row
+    output is the catenae analog of a Link flushing a per-key
+    accumulator when a key goes quiet (timer loop + CircularOrderedDict
+    eviction, A8+A9).
+
+    Because the replay source delivers micro-batches in event-time
+    order, the cross-batch timeout path fires between two events of one
+    key only when their gap really exceeds TTL (an event within TTL of
+    its predecessor but behind an already-advanced watermark would have
+    to time-travel: it belongs to an earlier slice). Combined with the
+    in-batch gap split, the emitted sessions are EXACTLY the event-time
+    TTL-gap partition — so the streaming result has a full batch SQL
+    oracle, while still exercising real timeout eviction (quiet keys
+    are closed by the watermark, and trailing sessions by the sentinel
+    batches).
+
+    The timeout timestamp is clamped to watermark+1: Spark rejects
+    timeouts at or behind the current watermark outright.
+    """
+    ttl_us = ttl_ms * 1000
+
+    def ttl_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "last_us": [last_us]}
+            )
+            return
+        n, last_us = state.get if state.exists else (0, 0)
+        closed_n: list[int] = []
+        closed_last: list[int] = []
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ts = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+                // 1000
+            )  # exact µs
+            prev = np.concatenate(([last_us if n > 0 else ts[0]], ts[:-1]))
+            starts = np.flatnonzero(ts - prev > ttl_us)
+            prev_end = 0
+            for b in starts:
+                closed_n.append(n + int(b) - prev_end)
+                closed_last.append(last_us if b == 0 else int(ts[b - 1]))
+                n = 0
+                prev_end = int(b)
+            n += len(ts) - prev_end
+            last_us = int(ts[-1])
+        if closed_n:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed_n),
+                    "n_events": closed_n,
+                    "last_us": closed_last,
+                }
+            )
+        state.update((n, last_us))
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        ttl_fn,
+        outputStructType=TTL_OUTPUT_SCHEMA,
+        stateStructType=TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

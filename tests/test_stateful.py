@@ -59,3 +59,41 @@ def test_tws_gated_with_clear_error(spark):
         assert "q_stream_ema_tws" not in all_specs()
         with pytest.raises(RuntimeError, match="protobuf"):
             streaming_ema_tws(catalog(spark, SF).events)
+
+
+def test_ttl_sessions_exact_gap_partition(spark):
+    """q_stream_state_ttl: the TTL-evicted streaming sessions equal the
+    batch event-time 2h-gap partition EXACTLY (the property that earns
+    the query its full SQL oracle), and no events are lost or doubled.
+    Gap comparison uses raw µs timestamps (not unix_timestamp, which
+    truncates to seconds and miscounts gaps within 1 s of the 2 h
+    boundary)."""
+    from pyspark.sql import Window
+
+    out = {
+        r.user_id: (r.n_sessions, r.total_events)
+        for r in all_specs()["q_stream_state_ttl"].fn(spark, SF).collect()
+    }
+    events = catalog(spark, SF).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = {
+        r.user_id: (r.ns, r.n)
+        for r in events.select(
+            "user_id",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                    > 7200.0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("ns"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == expected
+    assert any(ns > 1 for ns, _ in out.values())
