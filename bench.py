@@ -47,19 +47,40 @@ def main() -> None:
     # source system)
     from catenae_kafka_spark.streaming.sources import replay_events
 
-    replay_events(spark, sf_dir)
+    try:
+        replay_events(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        # staging failure degrades the streaming queries, not the bench
+        print(f"replay pre-stage failed: {exc}", file=sys.stderr, flush=True)
     specs = {n: s for n, s in all_specs().items() if s.bench}
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
-        runs: list[float] = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # noop sink executes the complete plan with zero sink overhead
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
-    total = round(sum(timings.values()), 3)
+        # Per-query isolation: one raising query must NOT abort the run
+        # and erase every already-measured timing (round 2 lost the
+        # entire bench record to a single streaming failure). Record
+        # null + the error and keep going.
+        try:
+            runs: list[float] = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                # noop sink executes the complete plan with zero sink overhead
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        # incremental flush: a crashed/killed run still leaves per-query
+        # evidence on stderr (stdout stays reserved for the one JSON line)
+        print(
+            json.dumps({"bench_progress": {name: timings[name]}}),
+            file=sys.stderr,
+            flush=True,
+        )
+    measured = [t for t in timings.values() if t is not None]
+    total = round(sum(measured), 3)
     out = {
         "metric": "headline query-set wall time (batch+streaming), local mode",
         "value": total,
@@ -69,11 +90,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
     }
+    if errors:
+        out["errors"] = errors
     # end-to-end streaming throughput: every event replayed through the
     # multi-micro-batch watermark-windowed agg (BASELINE.md streaming
     # target); wall time includes streaming-query spin-up + micro-batch
     # fixed cost, so this is an honest e2e number, not per-batch peak
-    if "q_stream_tumbling" in timings and timings["q_stream_tumbling"] > 0:
+    if timings.get("q_stream_tumbling"):
         n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         out["stream_events_per_s"] = round(
             n_events / timings["q_stream_tumbling"]

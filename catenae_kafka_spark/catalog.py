@@ -65,26 +65,33 @@ class Catalog:
     def _read(self, name: str) -> DataFrame:
         path = table_path(self.sf_dir, name)
         if name == "events":
-            # The driver fixture's events.ts is parquet TIMESTAMP(NANOS),
-            # which Spark 4 cannot represent (µs internal precision) and
-            # refuses by default. Read the raw int64 nanoseconds and
-            # truncate to µs — the same truncation Spark applied
-            # implicitly in 3.x. Detected, not assumed: an events table
-            # written with ordinary µs timestamps (e.g. one produced by
-            # this engine) reads straight through.
+            # The fixture's events.ts encoding has DRIFTED between driver
+            # runs: TIMESTAMP(NANOS) in round 1 (Spark 4 refuses; read as
+            # int64 ns and truncate), timezone-naive timestamp[us] in
+            # round 2 (Spark 4 reads TIMESTAMP_NTZ by default, which
+            # withWatermark rejects — this broke all round-2 streaming).
+            # Normalize EVERY encoding to TIMESTAMP (LTZ) here, the one
+            # chokepoint all batch + replay-staging reads go through.
             import pyspark.sql.functions as F
 
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             raw = self.spark.read.parquet(path)
-            if dict(raw.dtypes).get("ts") != "bigint":
-                return raw
-            # integer division: float division of epoch-ns int64s carries
-            # ~2^-53 relative error (~200 ns) — enough to flip a value
-            # sitting just below a second boundary into the next second
-            # and break seconds-formatted oracle parity
-            return raw.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            ts_type = dict(raw.dtypes).get("ts")
+            if ts_type == "bigint":
+                # integer division: float division of epoch-ns int64s
+                # carries ~2^-53 relative error (~200 ns) — enough to
+                # flip a value sitting just below a second boundary and
+                # break seconds-formatted oracle parity
+                return raw.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            if ts_type == "timestamp_ntz":
+                # belt-and-braces: inferTimestampNTZ=false in RUNTIME_CONF
+                # already prevents this, but the conf can be locked by a
+                # host session. Under the pinned UTC session timezone the
+                # cast is value-identical.
+                return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+            return raw
         return self.spark.read.parquet(path)
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -43,6 +43,14 @@ RUNTIME_CONF: dict[str, str] = {
     # Broadcast anything under 64 MB: at 100 TB the dims (region, nation,
     # supplier, part, customer) are still tiny next to the fact tables.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Timezone-NAIVE parquet timestamps (timestamp[us] with no tz, the
+    # current driver-fixture encoding for events.ts) must read as
+    # TIMESTAMP (LTZ), not TIMESTAMP_NTZ: Spark rejects NTZ event-time
+    # columns in withWatermark (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE),
+    # which in round 2 broke every watermarked streaming query. Under
+    # the pinned UTC session timezone the wall-clock values are
+    # identical either way, so DuckDB oracle parity is unaffected.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # HotSpot refuses to JIT methods over 8000 bytecodes, so a generated
     # whole-stage method past that limit runs *interpreted* — measured
     # 2.3x on the 64-hash MinHash stage (27s -> 12s cold at sf0.1).

@@ -103,10 +103,16 @@ class FileReplaySource:
     with_sentinel: bool = False
     sentinel_advance_days: int = 3650
 
+    # Bump when the staged layout/encoding changes: v2 = ts normalized to
+    # TIMESTAMP (LTZ) in catalog._read — round-2 staging wrote NTZ ts and
+    # the _REPLAY_READY marker would otherwise keep serving it forever.
+    _LAYOUT_VERSION = "v2"
+
     def _staging_dir(self) -> str:
         tag = hashlib.sha256(
             f"{self.sf_dir}|{self.table}|{self.n_files}|{self.order_col}"
-            f"|{self.with_sentinel}|{self.files_per_trigger}".encode()
+            f"|{self.with_sentinel}|{self.files_per_trigger}"
+            f"|{self._LAYOUT_VERSION}".encode()
         ).hexdigest()[:12]
         return os.path.join(
             tempfile.gettempdir(), "catenae_kafka_spark", "replay", tag
@@ -163,11 +169,18 @@ class FileReplaySource:
             with open(marker, "w") as fh:
                 fh.write("ok")
         schema = spark.read.parquet(out).schema
-        return (
+        stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", self.files_per_trigger)
             .parquet(out)
         )
+        # Defensive: if the host session forced NTZ inference back on,
+        # withWatermark downstream would reject the event-time column.
+        # Cast is value-identical under the pinned UTC session timezone.
+        for fname, dtype in stream.dtypes:
+            if dtype == "timestamp_ntz":
+                stream = stream.withColumn(fname, F.col(fname).cast("timestamp"))
+        return stream
 
     @staticmethod
     def _enforce_replay_order(out: str) -> None:

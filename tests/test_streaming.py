@@ -98,3 +98,24 @@ def test_stream_static_enrich_via_link(spark):
     )
     assert out.count() > 0
     assert "c_mktsegment" in out.columns
+
+
+@pytest.mark.parametrize(
+    "sf_path",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_catalog_events_ts_is_watermarkable(spark, sf_path):
+    """Fixture-encoding drift guard (round-2 sev-1): events.ts has been
+    observed as int64-nanos AND as timezone-naive timestamp[us] across
+    driver runs. Whatever the parquet encoding, the catalog must surface
+    TIMESTAMP (LTZ) — TIMESTAMP_NTZ makes withWatermark raise
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE and takes down every watermarked
+    streaming query plus the whole driver bench. Fail HERE at build time,
+    not at driver time."""
+    ev = catalog(spark, sf_path).events
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # must analyze without raising, batch or stream
+    ev.withWatermark("ts", "10 minutes")
+    stream = replay_events(spark, sf_path, n_files=4)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    stream.withWatermark("ts", "10 minutes")
