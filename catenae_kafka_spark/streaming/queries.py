@@ -158,16 +158,47 @@ SELECT DISTINCT user_id, event_type FROM events
 """,
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming first-seen dedup on (user_id, event_type) with global
-    state (exact; oracle = DISTINCT). The watermark-bounded variant
-    (dropDuplicatesWithinWatermark — catenae's CircularOrderedSet with a
-    principled eviction policy) is exercised in tests; its re-emission
-    after state eviction makes it weak-checkable only."""
+    """Streaming first-seen dedup on (user_id, event_type) with GLOBAL
+    state (exact; oracle = DISTINCT) — state grows with key cardinality,
+    appropriate only when the key space is bounded. The 100 TB-honest
+    watermark-bounded variant is q_stream_dedup_within_wm (exactly
+    oracled via its day-bucketed key) and is also state-bound-asserted
+    in tests/test_streaming.py."""
     stream = replay_events(spark, sf_dir)
     deduped = stream.dropDuplicates(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
     return run_available_now(deduped, "append", _name("dedup"))
+
+
+@REGISTRY.register(
+    "q_stream_dedup_within_wm",
+    tags=("streaming", "stateful"),
+    oracle="""
+SELECT DISTINCT user_id, event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events
+""",
+)
+def q_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark —
+    catenae's CircularOrderedSet with principled event-time eviction),
+    exactly SQL-oracled: the dedup key includes a day bucket, so every
+    duplicate of a key arrives <= 24 h after its first occurrence; with a
+    25 h delay over the event-time-ordered replay the key's state is
+    provably still live when each duplicate arrives (eviction of first
+    requires watermark = max_seen_ts - 25 h > first_ts + 25 h, but
+    first_ts >= dup_ts - 24 h >= max_seen_ts - 24 h — contradiction), so
+    the output is exactly DISTINCT (user, type, day). Unlike
+    q_stream_dedup's global-state dropDuplicates, total state here is
+    bounded by the watermark horizon — the 100 TB-honest variant."""
+    stream = replay_events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    deduped = (
+        stream.withWatermark("ts", "25 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+    return run_available_now(deduped, "append", _name("dedup_wm"))
 
 
 @REGISTRY.register(

@@ -119,3 +119,23 @@ def test_catalog_events_ts_is_watermarkable(spark, sf_path):
     stream = replay_events(spark, sf_path, n_files=4)
     assert dict(stream.dtypes)["ts"] == "timestamp"
     stream.withWatermark("ts", "10 minutes")
+
+
+def test_stream_dedup_within_wm_exact_distinct(spark):
+    """The day-bucketed dedup key makes dropDuplicatesWithinWatermark
+    output EXACTLY equal to batch DISTINCT (see q_stream_dedup_within_wm
+    docstring for the liveness argument) — no re-emission, no loss."""
+    from catenae_kafka_spark.streaming.queries import q_stream_dedup_within_wm
+
+    out = q_stream_dedup_within_wm(spark, SF)
+    got = {(r.user_id, r.event_type, r.day) for r in out.collect()}
+    exp = {
+        (r.user_id, r.event_type, r.day)
+        for r in catalog(spark, SF)
+        .events.select(
+            "user_id", "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == exp
