@@ -201,6 +201,61 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "q_join_asof_tolerance",
+    tags=("join", "asof"),
+    oracle="""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT c.event_id, p.ts AS p_ts, p.value AS p_value,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.ts DESC) AS rn
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 7 DAY
+)
+SELECT c.event_id AS event_id, c.user_id AS user_id,
+       STRFTIME(m.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
+       m.p_value AS purchase_value
+FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+""",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas merge_asof's
+    ``tolerance``): latest prior purchase per click, but only if it is
+    at most 7 days old — older matches are nulled out, the row is kept.
+    Implemented as the single-shuffle backward merge-scan followed by a
+    map-side tolerance mask: the latest prior match being out of
+    tolerance implies NO in-tolerance match exists, so masking is exact
+    (no second scan, no row explosion)."""
+    c = catalog(spark, sf_dir)
+    ev = c.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_payload=["p_ts", "purchase_value"],
+    )
+    within = F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss")).alias(
+            "purchase_ts_s"
+        ),
+        F.when(within, F.col("purchase_value")).alias("purchase_value"),
+    )
+
+
+@REGISTRY.register(
     "q_join_range",
     tags=("join", "range"),
     oracle="""

@@ -361,3 +361,37 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "match_id", "cos_sim", "rn")
     )
+
+
+@REGISTRY.register(
+    "q_embed_centroids",
+    tags=("llm", "similarity", "vector"),
+    oracle="""
+SELECT label, pos, ROUND(AVG(comp), 4) AS c
+FROM (
+  SELECT label,
+         unnest(embedding) AS comp,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+""",
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, elementwise (the k-means /
+    class-prototype building block of embedding pipelines). posexplode
+    turns the vector column into (label, pos, comp) rows, then a
+    standard two-phase avg per (label, pos) — ONE shuffle whose width is
+    n_labels x dim (tiny) regardless of corpus size; the explode itself
+    is map-side. Long format out (label, pos, c): scalar columns hash
+    cleanly against the oracle, and the wide array form is one
+    ``collect_list over pos`` away when needed."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.embeddings.select(
+            "label", F.posexplode(_as_double("embedding")).alias("pos0", "comp")
+        )
+        # generate_subscripts is 1-based, posexplode 0-based
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("comp"), 4).alias("c"))
+    )

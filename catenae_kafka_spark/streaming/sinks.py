@@ -22,10 +22,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 # state/shuffle partition cap for finite-replay streaming queries (see
-# run_available_now); measured on local[32]: 32→8 ≈3×, 8→4 ≈1.6× on the
-# sf0.1 tumbling bench — per-batch per-partition state-store commit cost
-# dominates short replays
-STATE_PARTITIONS = 4
+# run_available_now); measured on local[32], sf0.1 tumbling bench:
+# 32→8 ≈3×, 8→4 ≈1.6×, 4→2 ≈1.23× (49k → 61k events/s) — per-batch
+# per-partition state-store commit cost dominates short replays. 2 keeps
+# a real multi-partition shuffle; a production always-on query sizes
+# this to its key cardinality instead.
+STATE_PARTITIONS = 2
 
 
 def memory_sink(
