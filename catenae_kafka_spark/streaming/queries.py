@@ -280,6 +280,67 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "q_stream_join_outer",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+""",
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER time-bounded join: every click, matched
+    purchases within 2 h, NULL when none. The null side of an outer
+    stream-stream join can only be emitted once the watermark proves no
+    partner can still arrive — the trailing far-future sentinel batches
+    advance the watermark past every real row when the finite replay
+    drains, so unmatched clicks flush (same mechanism as
+    q_stream_session); sentinel-derived rows are dropped afterwards by
+    their -1 ids. State on both sides is watermark-bounded."""
+    # the sentinel row copies the max-ts event, whose event_type is
+    # arbitrary — a plain type filter could drop it and stall the
+    # watermark (no flush batch); let event_id = -1 through on BOTH
+    # sides so each source's watermark advances
+    clicks = (
+        replay_events(spark, sf_dir, with_sentinel=True)
+        .filter((F.col("event_type") == "click") | (F.col("event_id") == -1))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        replay_events(spark, sf_dir, with_sentinel=True)
+        .filter((F.col("event_type") == "purchase") | (F.col("event_id") == -1))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    # same delay rationale as q_stream_join: cover join window + slice
+    # arrival skew; the sentinel, not the delay, is what closes state
+    l = clicks.withWatermark("c_ts", "8 days")
+    r = purchases.withWatermark("p_ts", "8 days")
+    joined = l.join(
+        r,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id")
+    out = run_available_now(joined, "append", _name("ssjoin_outer"))
+    return out.filter(
+        (F.col("click_id") >= 0)
+        & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+    )
+
+
+@REGISTRY.register(
     "q_stream_ema",
     tags=("streaming", "stateful"),
     oracle="""
