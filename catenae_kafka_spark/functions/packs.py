@@ -439,3 +439,33 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("a_words"),
         F.size(F.regexp_extract_all("p_name", F.lit(pat), 0)).alias("n_a_words"),
     )
+
+
+@REGISTRY.register(
+    "q_try_funcs",
+    tags=("functions", "ansi"),
+    oracle="""
+SELECT event_id,
+       value / NULLIF(value - value, 0) AS div_by_zero,
+       TRY_CAST(event_type AS INTEGER) AS bad_int,
+       TRY_CAST(event_type AS TIMESTAMP) AS bad_ts,
+       TRY_CAST(CAST(user_id AS VARCHAR) AS INTEGER) AS good_int
+FROM events
+""",
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-tolerant functions (Spark 4 runs under ANSI SQL
+    semantics where /0 and bad casts RAISE): try_divide / try_cast turn
+    per-row failures into NULLs instead of killing a 100 TB job on one
+    malformed record — the ingest-pipeline posture. Oracle states the
+    same null semantics via NULLIF and DuckDB TRY_CAST."""
+    c = catalog(spark, sf_dir)
+    return c.events.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("value") - F.col("value")).alias(
+            "div_by_zero"
+        ),
+        F.col("event_type").try_cast("int").alias("bad_int"),
+        F.col("event_type").try_cast("timestamp").alias("bad_ts"),
+        F.col("user_id").cast("string").try_cast("int").alias("good_int"),
+    )

@@ -393,3 +393,45 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
     )
+
+
+@REGISTRY.register(
+    "q_agg_mode",
+    tags=("agg",),
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM counts
+)
+SELECT user_id, event_type AS mode_type, cnt AS n
+FROM ranked WHERE rn = 1
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent event_type per user,
+    ties broken lexicographically): count-then-top1-window. The built-in
+    ``mode()`` aggregate is tie-NONDETERMINISTIC in both engines, so the
+    explicit form is the one that can be value-hash-checked — and it is
+    the same two-shuffle shape (count agg, then a 1-row-per-group window
+    Spark executes as WindowGroupLimit, a per-partition heap)."""
+    from pyspark.sql import Window
+
+    c = catalog(spark, sf_dir)
+    counts = c.events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("mode_type"), F.col("cnt").alias("n")
+        )
+    )

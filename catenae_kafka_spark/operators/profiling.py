@@ -125,3 +125,47 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
     return typed.unionByName(overall)
+
+
+@REGISTRY.register(
+    "q_histogram",
+    tags=("profiling",),
+    oracle="""
+WITH mm AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+)
+SELECT LEAST(CAST(FLOOR((value - mm.lo) * 16.0 / (mm.hi - mm.lo)) AS BIGINT),
+             15) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 4) AS bin_min,
+       ROUND(MAX(value), 4) AS bin_max
+FROM events, mm
+GROUP BY 1
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 16-bin histogram with DATA-DRIVEN range: one tiny
+    min/max aggregate broadcast to a second single-pass binning scan —
+    the two-pass shape every distributed histogram uses (the range agg
+    output is one row; the corpus never shuffles, the bin groupBy
+    carries 16 groups). Bin arithmetic is written identically in both
+    engines (IEEE double, same parenthesization) so boundary bins hash
+    exactly; the top edge folds into the last bin via LEAST."""
+    c = catalog(spark, sf_dir)
+    mm = c.events.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = c.events.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo")) * 16.0 / (F.col("hi") - F.col("lo"))
+            ).cast("bigint"),
+            F.lit(15).cast("bigint"),
+        ).alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("bin_min"),
+        F.round(F.max("value"), 4).alias("bin_max"),
+    )

@@ -193,3 +193,31 @@ def test_mix_sampling_is_map_side(spark):
         # no shuffle (and no broadcast) anywhere
         assert "Exchange" not in plan, q.__name__
         assert plan.count(") Exchange") == 0, q.__name__
+
+
+def test_asof_tolerance_single_shuffle_no_bnlj(spark):
+    """The tolerance mask must not change the as-of shape: ONE exchange
+    on the join key (union + window merge-scan), mask map-side, no
+    nested-loop join materializing click x purchase pairs."""
+    from catenae_kafka_spark.operators.asof import q_join_asof_tolerance
+
+    plan = plan_of(q_join_asof_tolerance(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # key shuffle (+AQE-inserted read)
+
+
+def test_embed_centroids_two_phase_narrow_shuffle(spark):
+    """posexplode is map-side; the only shuffle is the (label, pos)
+    aggregation, partial-combined before the exchange — shuffle width is
+    labels x dim regardless of corpus size."""
+    from catenae_kafka_spark.operators.llm_similarity import q_embed_centroids
+
+    plan = plan_of(q_embed_centroids(spark, SF))
+    assert "partial_avg" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one explode node (formatted plans print each node twice:
+    # once in the tree, once in the detail section)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") == 1
+    assert tree.count("Exchange") == 1  # only the (label, pos) agg shuffle
