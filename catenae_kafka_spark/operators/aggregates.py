@@ -435,3 +435,30 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("event_type").alias("mode_type"), F.col("cnt").alias("n")
         )
     )
+
+
+@REGISTRY.register(
+    "q_agg_percentile",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (p50/p90/p99 — the SLA /
+    outlier-analysis staple). Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share linear-interpolation semantics, so values
+    hash-match at 4dp. Exact percentile sorts within each group; at
+    100 TB prefer ``percentile_approx`` (fixed-size mergeable sketch,
+    see q_agg_approx_quantiles) unless exactness is contractual."""
+    c = catalog(spark, sf_dir)
+    return c.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
