@@ -202,6 +202,42 @@ def q_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "q_stream_distinct_users",
+    tags=("streaming", "stateful"),
+    oracle="""
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY date_trunc('hour', ts)
+""",
+)
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour via CHAINED STATEFUL OPERATORS in one
+    streaming pipeline (Spark 4 multi-stateful support): watermark →
+    dropDuplicatesWithinWatermark on (user_id, hour) → tumbling window
+    count. The dedup stage makes the downstream count an EXACT distinct
+    (each (user, hour) pair survives exactly once — duplicates of a pair
+    are <1 h apart, far inside the 25 h delay), with both stages' state
+    watermark-bounded; the sentinel batches flush the trailing windows
+    (append mode), then sentinel windows are dropped by their far-future
+    year."""
+    stream = replay_events(spark, sf_dir, with_sentinel=True).withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    uniq = stream.withWatermark("ts", "25 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "hour"]
+    )
+    agg = uniq.groupBy(F.window("ts", "1 hour")).agg(
+        F.count("*").alias("n_users")
+    )
+    out = agg.filter(F.year(F.col("window.start")) < 2030).select(
+        F.date_format(F.col("window.start"), WIN_FMT).alias("win_start"),
+        "n_users",
+    )
+    return run_available_now(out, "append", _name("distinct_users"))
+
+
+@REGISTRY.register(
     "q_stream_enrich",
     tags=("streaming",),
     oracle="""
