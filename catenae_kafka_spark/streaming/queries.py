@@ -471,6 +471,48 @@ def q_stream_circular_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REGISTRY.register(
+    "q_stream_multi_source",
+    tags=("streaming", "source"),
+    oracle="""
+SELECT 'conversions' AS topic, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+UNION ALL
+SELECT 'engagement' AS topic, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events WHERE event_type IN ('click', 'view')
+GROUP BY event_type
+""",
+)
+def q_stream_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-topic consumption (catenae A1 ``parity`` mode: one Link
+    subscribed to N topics): two per-topic streams — filtered replays
+    standing in for Kafka topics — tagged and merged with ``Link.union``
+    (unionByName), one downstream aggregation over the merged stream.
+    Spark plans the union as one streaming query reading both sources
+    per micro-batch; catenae's ``exp`` prioritization mode has no Spark
+    analog and is a documented semantic delta (SURVEY 2A A1)."""
+    conversions = (
+        Link(replay_events(spark, sf_dir))
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .with_column("topic", F.lit("conversions"))
+    )
+    engagement = (
+        Link(replay_events(spark, sf_dir))
+        .filter(F.col("event_type").isin("click", "view"))
+        .with_column("topic", F.lit("engagement"))
+    )
+    merged = conversions.union(engagement).map(
+        lambda df: df.groupBy("topic", "event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return merged.run_available("complete")
+
+
+@REGISTRY.register(
     "q_stream_route",
     tags=("streaming", "routing"),
     oracle="""
