@@ -1,0 +1,157 @@
+"""Modern Spark 4 SQL surfaces, exercised through the SQL entry point:
+VARIANT (semi-structured), recursive CTEs, correlated LATERAL subqueries
+with LIMIT, and collation-aware comparison. Each is verified by probe in
+this environment (Spark 4.1.2):
+
+- recursive CTEs accept UNION ALL only (UNION dedup raises
+  UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the registered recursion is
+  a bounded-depth ladder, not a fixpoint closure — the engine's
+  transitive-closure operator remains the iterative DataFrame
+  connected_components (llm_dedup.py), whose oracle IS a DuckDB
+  recursive CTE.
+- VARIANT is the schema-on-read path for ragged JSON at 100 TB: parse
+  once into a binary-encoded variant column, extract fields lazily —
+  unlike from_json there is no upfront schema to maintain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from catenae_kafka_spark.catalog import register_views
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_variant_funcs",
+    tags=("functions", "json", "variant"),
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+       CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+       json_extract(props, '$.missing') IS NULL AS is_missing
+FROM events
+""",
+)
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion of events.props: parse_json → variant_get typed
+    extraction + missing-path null semantics. The variant column keeps
+    the full document in a binary row format; extraction happens
+    per-query with no declared schema (DuckDB oracle: JSON extraction)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+      SELECT event_id,
+             variant_get(parse_json(props), '$.k', 'int') AS k_val,
+             variant_get(parse_json(props), '$.k', 'string') AS k_str,
+             variant_get(parse_json(props), '$.missing', 'int') IS NULL
+               AS is_missing
+      FROM events
+    """)
+
+
+@REGISTRY.register(
+    "q_recursive_cte",
+    tags=("sql", "recursive"),
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS rev
+  FROM lineitem GROUP BY l_returnflag
+), proj(l_returnflag, rev, month_i, projected) AS (
+  SELECT l_returnflag, rev, 0, rev FROM base
+  UNION ALL
+  SELECT l_returnflag, rev, month_i + 1,
+         ROUND(rev * POWER(1.01, month_i + 1), 2)
+  FROM proj WHERE month_i < 11
+)
+SELECT l_returnflag, month_i, projected FROM proj
+""",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): 12-month 1%-compounded
+    revenue projection per returnflag — a bounded-depth recursion the
+    parser/analyzer executes as an iterative union loop. Identical SQL
+    text runs on both engines (UNION ALL form; see module docstring for
+    the UNION limitation)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+      WITH RECURSIVE base AS (
+        SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) AS rev
+        FROM lineitem GROUP BY l_returnflag
+      ), proj(l_returnflag, rev, month_i, projected) AS (
+        SELECT l_returnflag, rev, 0, rev FROM base
+        UNION ALL
+        SELECT l_returnflag, rev, month_i + 1,
+               ROUND(rev * POWER(1.01, month_i + 1), 2)
+        FROM proj WHERE month_i < 11
+      )
+      SELECT l_returnflag, month_i, projected FROM proj
+    """)
+
+
+@REGISTRY.register(
+    "q_lateral_subquery",
+    tags=("sql", "join", "lateral"),
+    oracle="""
+SELECT r_name, top_nation, n_cust
+FROM region,
+LATERAL (
+  SELECT n_name AS top_nation, CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM nation JOIN customer ON c_nationkey = n_nationkey
+  WHERE n_regionkey = r_regionkey
+  GROUP BY n_name
+  ORDER BY n_cust DESC, n_name
+  LIMIT 1
+) t
+""",
+)
+def q_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: per region,
+    the nation with the most customers — the 'top-1 per outer row'
+    idiom as the SQL standard writes it (the DataFrame twin is
+    q_topk_per_group's WindowGroupLimit). Identical SQL on both
+    engines."""
+    register_views(spark, sf_dir, ("region", "nation", "customer"))
+    return spark.sql("""
+      SELECT r_name, top_nation, n_cust
+      FROM region,
+      LATERAL (
+        SELECT n_name AS top_nation, COUNT(*) AS n_cust
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY n_cust DESC, n_name
+        LIMIT 1
+      ) t
+    """)
+
+
+@REGISTRY.register(
+    "q_collation_distinct",
+    tags=("sql", "collation"),
+    oracle="""
+SELECT user_id % 10 AS bucket,
+       CAST(COUNT(DISTINCT lower(CASE WHEN event_id % 2 = 0
+                                      THEN upper(event_type)
+                                      ELSE event_type END)) AS BIGINT)
+         AS n_types_ci
+FROM events
+GROUP BY user_id % 10
+""",
+)
+def q_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware distinct (Spark 4 COLLATE): event types are
+    case-mangled deterministically, then counted distinct under
+    UTF8_LCASE — the collation, not an explicit lower(), performs the
+    case-folding (oracle states the equivalent lower() semantics).
+    Collations push the comparison rule into the type system, so joins/
+    aggs/sorts inherit it without sprinkling normalizers."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+      SELECT user_id % 10 AS bucket,
+             COUNT(DISTINCT CASE WHEN event_id % 2 = 0
+                                 THEN upper(event_type)
+                                 ELSE event_type END
+                            COLLATE UTF8_LCASE) AS n_types_ci
+      FROM events
+      GROUP BY user_id % 10
+    """)

@@ -98,6 +98,7 @@ def _load_all() -> None:
     from catenae_kafka_spark.sources import scans  # noqa: F401
     from catenae_kafka_spark.operators import (  # noqa: F401
         layout,
+        modern_sql,
         profiling,
         setops,
         sorts,
