@@ -192,3 +192,56 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
     )
+
+
+@REGISTRY.register(
+    "q_shuffle_epoch",
+    tags=("sample", "llm"),
+    oracle="""
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+       ) AS BIGINT) AS train_order,
+       doc_id
+FROM documents
+""",
+)
+def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training-data loaders: a
+    multiplicative-hash permutation key gives every doc a pseudorandom
+    but REPRODUCIBLE position (same order across engines, reruns, and
+    storage layouts — seed-based df.sample/orderBy(rand) are none of
+    those); different epochs = different multiplier/offset.
+
+    Global rank WITHOUT a global single-partition window (the
+    ``Window.orderBy``-no-partitionBy anti-pattern this repo bans):
+    range-shard the permutation key, rank within each shard in
+    parallel, then add broadcast prefix-sum shard offsets — the
+    standard distributed global-ranking decomposition. The only global
+    window runs over the 64-row shard-count table."""
+    from pyspark.sql import Window
+
+    c = catalog(spark, sf_dir)
+    perm = ((F.col("doc_id") * 2654435761) % 4294967296).alias("_perm")
+    n_shards = 64
+    docs = c.documents.select("doc_id", perm).withColumn(
+        "_shard", F.floor(F.col("_perm") / (4294967296 / n_shards))
+    )
+    local_w = Window.partitionBy("_shard").orderBy("_perm", "doc_id")
+    ranked = docs.withColumn("_lrank", F.row_number().over(local_w))
+    # shard offsets: 64 rows — the cumulative-sum window is bounded by
+    # the shard count, not the data
+    counts = docs.groupBy("_shard").agg(F.count("*").alias("_n"))
+    off_w = (
+        Window.orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0))
+    ).select("_shard", "_off")
+    return (
+        ranked.join(F.broadcast(offsets), "_shard")
+        .select(
+            (F.col("_lrank") + F.col("_off")).cast("bigint").alias("train_order"),
+            "doc_id",
+        )
+    )

@@ -224,3 +224,77 @@ def test_metrics_listener_observes_progress_and_bounded_state(spark):
         assert 0 < m["peak_state_rows"] < n_events  # windows, not rows
     finally:
         listener.detach(spark)
+
+
+def test_watermark_drops_late_data_deterministically(spark, tmp_path):
+    """Exact late-data policy, staged so the drop is DETERMINISTIC:
+    batch 1 (hours 0-10) sets watermark 10h-5h = 5h; batch 2 (hours
+    20-24) finalizes + emits the early windows (watermark -> 19h);
+    batch 3 replays a DUPLICATE hour-1 event — its window is long
+    evicted, so the stateful operator's late-row filter must drop it
+    (were it admitted, a fresh hour-1 state entry would re-emit a
+    second hour-1 row when the final watermark flushes). Spark's
+    written guarantee is one-sided (within-delay rows are always
+    aggregated; beyond-delay drop is best-effort BEFORE finalization) —
+    this pins the after-finalization behavior: exactly-once emission,
+    no resurrection. catenae had no event time at all; this is the new
+    semantics the engine adds."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os as _os
+    import time as _time
+
+    from catenae_kafka_spark.streaming import ops
+    from catenae_kafka_spark.streaming.sinks import run_available_now
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    d = tmp_path / "late_src"
+    d.mkdir()
+
+    def write_slice(name, hours, mtime):
+        df = pd.DataFrame(
+            {
+                # \u00b5s precision: Spark 4 refuses parquet TIMESTAMP(NANOS)
+                "ts": pd.Series(
+                    [base + pd.Timedelta(hours=h) for h in hours]
+                ).astype("datetime64[us]"),
+                "v": [1] * len(hours),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(pa.Table.from_pandas(df), path)
+        _os.utime(path, (mtime, mtime))
+
+    t0 = _time.time() - 3600
+    write_slice("slice-00000.parquet", list(range(0, 11)), t0)
+    write_slice("slice-00001.parquet", list(range(20, 25)), t0 + 10)
+    write_slice("slice-00002.parquet", [1, 40], t0 + 20)
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = ops.tumbling_window_agg(
+        stream, "1 hour", [F.count("*").alias("n")], watermark="5 hours"
+    )
+    base_epoch = int(base.timestamp())
+    out = run_available_now(
+        agg.select(
+            # absolute hours since base (F.hour wraps at midnight)
+            ((F.unix_timestamp("window.start") - base_epoch) / 3600)
+            .cast("int")
+            .alias("h"),
+            "n",
+        ),
+        "append",
+        "late_drop_check",
+    )
+    rows = [(r.h, r.n) for r in out.collect()]
+    # final watermark 40h-5h=35h flushes hours 0..10 and 20..24; the
+    # hour-40 window stays open. The late hour-1 duplicate must appear
+    # NOWHERE: not merged (n stays 1) and not resurrected (no second
+    # h=1 row).
+    assert sorted(rows) == [(h, 1) for h in list(range(0, 11)) + list(range(20, 25))]
