@@ -101,7 +101,86 @@ def main() -> None:
         out["stream_events_per_s"] = round(
             n_events / timings["q_stream_tumbling"]
         )
+    # SUSTAINED streaming throughput: same watermark-windowed agg over a
+    # 5x-replicated replay (key-shifted copies, staged once outside the
+    # timed window) — amortizes query spin-up + per-batch fixed cost,
+    # measuring what a long-running stream actually sustains per core.
+    try:
+        out["stream_events_per_s_sustained"] = _sustained_stream_rate(
+            spark, sf_dir
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"sustained-stream bench failed: {exc}", file=sys.stderr, flush=True)
     print(json.dumps(out))
+
+
+def _sustained_stream_rate(spark, sf_dir: str, copies: int = 5) -> int:
+    """Median events/s of the tumbling watermark agg over a replicated
+    stream (copies x events, event_id/user_id key-shifted to stay
+    disjoint, ts preserved so window/watermark behavior is unchanged)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from catenae_kafka_spark.streaming import ops
+    from catenae_kafka_spark.streaming.sinks import run_available_now
+
+    big_dir = _os.path.join(
+        "/tmp", "catenae_kafka_spark", f"bench_big_{sf_from_dir(sf_dir)}_{copies}x"
+    )
+    marker = _os.path.join(big_dir, "_STAGED")
+    if not _os.path.exists(marker):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        copies_df = ev.select(
+            "*", F.explode(F.array(*[F.lit(i) for i in range(copies)])).alias("_i")
+        )
+        shifted = (
+            copies_df.withColumn(
+                "event_id", F.col("event_id") + F.col("_i") * 100_000_000
+            )
+            .withColumn("user_id", F.col("user_id") + F.col("_i") * 100_000_000)
+            .drop("_i")
+        )
+        shifted.write.mode("overwrite").parquet(big_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    n_events = spark.read.parquet(big_dir).count()
+    runs = []
+    for _ in range(N_RUNS):
+        stream = _load_replay_dir(spark, big_dir)
+        agg = ops.tumbling_window_agg(
+            stream,
+            "1 hour",
+            [F.count("*").alias("n")],
+            keys=["event_type"],
+        )
+        t0 = time.perf_counter()
+        run_available_now(agg, "complete", f"bench_sustained_{time.monotonic_ns()}")
+        runs.append(time.perf_counter() - t0)
+    return round(n_events / sorted(runs)[len(runs) // 2])
+
+
+def _load_replay_dir(spark, parquet_dir: str):
+    """Multi-batch ordered replay of an arbitrary parquet dir (the
+    FileReplaySource staging path, minus the catalog table indirection)."""
+    import os as _os
+
+    from catenae_kafka_spark.streaming.sources import FileReplaySource
+
+    staged = parquet_dir + "_replay"
+    marker = _os.path.join(staged, "_REPLAY_READY")
+    if not _os.path.exists(marker):
+        df = spark.read.parquet(parquet_dir)
+        df.repartitionByRange(8, "ts").write.mode("overwrite").parquet(staged)
+        FileReplaySource._enforce_replay_order(staged)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(staged).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
 
 
 if __name__ == "__main__":
