@@ -298,3 +298,34 @@ def test_watermark_drops_late_data_deterministically(spark, tmp_path):
     # NOWHERE: not merged (n stays 1) and not resurrected (no second
     # h=1 row).
     assert sorted(rows) == [(h, 1) for h in list(range(0, 11)) + list(range(20, 25))]
+
+
+def test_stream_dedup_within_wm_exact_under_thin_slices(spark):
+    """The q_stream_dedup_within_wm liveness argument must hold for ANY
+    slicing of the ordered replay (the proof depends only on event-time
+    order, not batch width): re-run the same day-bucketed dedup with
+    16 thin slices x 1 per trigger (16 micro-batches, watermark updated
+    15x) and the output must still be exactly DISTINCT."""
+    from catenae_kafka_spark.streaming.sinks import run_available_now
+    from catenae_kafka_spark.streaming.sources import FileReplaySource
+
+    stream = FileReplaySource(
+        sf_dir=SF, n_files=16, files_per_trigger=1
+    ).load(spark).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    deduped = (
+        stream.withWatermark("ts", "25 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+    out = run_available_now(deduped, "append", "dedup_wm_thin")
+    got = {(r.user_id, r.event_type, r.day) for r in out.collect()}
+    exp = {
+        (r.user_id, r.event_type, r.day)
+        for r in catalog(spark, SF)
+        .events.select(
+            "user_id", "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == exp
