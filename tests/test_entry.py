@@ -46,3 +46,33 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
         df = fn(spark, sf_dir)
         # limit(5) keeps the smoke fast; correctness is tools/check.py's job
         assert df.limit(5).collect() is not None, name
+
+
+def test_oracle_column_names_match_spark_schema(spark, sf_dir):
+    """Alias-drift guard: the driver's compare sorts columns BY NAME
+    before hashing, so a Spark result named (sum_qty) and an oracle
+    named (sum(l_quantity)) hash-mismatch even with identical values.
+    Catch it statically: DuckDB DESCRIBE of each oracle vs the Spark
+    DataFrame's analyzed schema — no data execution on the oracle side,
+    LIMIT-0 semantics."""
+    import duckdb
+
+    from catenae_kafka_spark.catalog import TABLES, table_path
+
+    mod = _load_entry()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, t)}')"
+        )
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    mismatches = {}
+    for name, sql in oracles.items():
+        oracle_cols = sorted(
+            r[0] for r in con.execute(f"DESCRIBE ({sql})").fetchall()
+        )
+        spark_cols = sorted(qs[name](spark, sf_dir).columns)
+        if oracle_cols != spark_cols:
+            mismatches[name] = (spark_cols, oracle_cols)
+    assert not mismatches, f"column-name drift: {mismatches}"
