@@ -188,3 +188,42 @@ def q_udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT p.doc_id, p.piece_id, p.n_chars "
         "FROM _udtf_docs, LATERAL pieces(doc_id, text, 3) p"
     )
+
+
+@REGISTRY.register(
+    "q_udf_arrow",
+    tags=("udf", "arrow"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+""",
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the fastest Python escape hatch — RecordBatches flow
+    straight from the JVM into pyarrow.compute kernels (C++), skipping
+    the Arrow→pandas conversion mapInPandas pays. Use when the logic is
+    expressible in Arrow kernels but not in Column expressions; here a
+    tokenize-count proves the path end-to-end against the SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    c = catalog(spark, sf_dir)
+
+    def count_tokens(batches):
+        for batch in batches:
+            text = batch.column("text")
+            tokens = pc.split_pattern(text, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.list_value_length(tokens), pa.int32()),
+                    pc.cast(pc.utf8_length(text), pa.int32()),
+                ],
+                ["doc_id", "n_tokens", "n_chars"],
+            )
+
+    return c.documents.select("doc_id", "text").mapInArrow(
+        count_tokens, schema="doc_id long, n_tokens int, n_chars int"
+    )
