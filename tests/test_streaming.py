@@ -329,3 +329,38 @@ def test_stream_dedup_within_wm_exact_under_thin_slices(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_rocksdb_state_store_provider(spark):
+    """The production state-store path (SCALE.md: RocksDB provider —
+    keyed state spills to disk instead of executor heap) must produce
+    identical results to the default HDFS-backed provider on the same
+    watermarked windowed agg. Provider swap is a pure conf change."""
+    from catenae_kafka_spark.streaming import ops
+    from catenae_kafka_spark.streaming.sinks import run_available_now
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        agg = ops.tumbling_window_agg(
+            replay_events(spark, SF),
+            "1 hour",
+            [F.count("*").alias("n")],
+            keys=["event_type"],
+        )
+        out = run_available_now(agg, "complete", "rocksdb_check")
+        total = out.agg(F.sum("n")).collect()[0][0]
+        assert total == catalog(spark, SF).events.count()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
