@@ -364,3 +364,41 @@ def test_rocksdb_state_store_provider(spark):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_offline_state_store_inspection(spark, tmp_path):
+    """Spark 4's statestore batch reader: streaming operator state is
+    inspectable OFFLINE from the checkpoint — the ops capability for
+    debugging state growth without touching the running query. The
+    complete-mode windowed agg retains exactly one state row per
+    (window, event_type) group, so the state row count must equal the
+    batch-side distinct group count."""
+    from catenae_kafka_spark.streaming import ops
+
+    ckpt = str(tmp_path / "ckpt")
+    agg = ops.tumbling_window_agg(
+        replay_events(spark, SF),
+        "1 hour",
+        [F.count("*").alias("n")],
+        keys=["event_type"],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_inspect")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    assert meta.filter(F.col("operatorName") == "stateStoreSave").count() == 1
+    state = spark.read.format("statestore").load(ckpt)
+    n_groups = (
+        catalog(spark, SF)
+        .events.select(F.date_trunc("hour", "ts"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert state.count() == n_groups
