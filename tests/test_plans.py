@@ -221,3 +221,29 @@ def test_embed_centroids_two_phase_narrow_shuffle(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Generate") == 1
     assert tree.count("Exchange") == 1  # only the (label, pos) agg shuffle
+
+
+def test_partitioned_layout_prunes_partitions(spark):
+    """Reading the partitioned sink layout with a partition-column
+    filter must prune at the DIRECTORY level (PartitionFilters on the
+    scan), not read-then-filter — the mechanism that lets a 100 TB
+    reader touch one year of one flag instead of the whole table."""
+    from catenae_kafka_spark.sources.scans import q_sink_parquet
+
+    q_sink_parquet(spark, SF)  # materializes the partitioned layout
+    import os
+
+    from catenae_kafka_spark.sources.scans import _work_dir
+
+    out = os.path.join(_work_dir(SF, "sink"), "agg_parquet")
+    back = spark.read.parquet(out).filter(
+        (F.col("ship_year") == 1995) & (F.col("l_returnflag") == "R")
+    )
+    plan = plan_of(back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, "no PartitionFilters in scan"
+    assert "ship_year" in pf[0] and "l_returnflag" in pf[0]
+    # pruning fully replaced data filtering: no post-scan Filter node
+    # (partition-only predicates never materialize as row filters)
+    tree = plan.split("\n\n")[0]
+    assert ") Filter" not in tree
