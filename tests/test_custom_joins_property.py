@@ -101,3 +101,49 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(large, small, "l_orderkey").groupBy("o_orderstatus").count()
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left_rows=_events_strategy(), right_rows=_events_strategy())
+def test_asof_tolerance_matches_pandas(spark, left_rows, right_rows):
+    """The tolerance-masked backward as-of (q_join_asof_tolerance's
+    shape) must equal pandas merge_asof(tolerance=...) on random data:
+    masking the single latest-prior match is exact because an
+    out-of-tolerance latest match implies no in-tolerance match."""
+    TOL = 50
+    left_rows = list({(k, t): (k, t, v) for k, t, v in left_rows}.values())
+    right_rows = list({(k, t): (k, t, v) for k, t, v in right_rows}.values())
+    left = spark.createDataFrame(
+        [(k, t, v) for k, t, v in left_rows] or [(0, 0, 0)],
+        "key long, lts long, lval long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right_rows] or [(0, 1, 0)],
+        "key long, rts long, rval long",
+    )
+    joined = asof_join(
+        left, right, on=["key"], left_ts="lts", right_ts="rts",
+        right_payload=["rts", "rval"],
+    )
+    within = F.col("rts") >= F.col("lts") - F.lit(TOL)
+    got = joined.select(
+        "key", "lts", "lval",
+        F.when(within, F.col("rts")).alias("rts"),
+        F.when(within, F.col("rval")).alias("rval"),
+    ).toPandas()
+
+    lp = left.toPandas().sort_values(["lts", "key"]).reset_index(drop=True)
+    rp = right.toPandas().sort_values(["rts", "key"]).reset_index(drop=True)
+    exp = pd.merge_asof(
+        lp, rp, left_on="lts", right_on="rts", by="key",
+        direction="backward", tolerance=TOL,
+    )
+    g = got.sort_values(["key", "lts"]).reset_index(drop=True)
+    e = exp.sort_values(["key", "lts"]).reset_index(drop=True)
+    g = g[["key", "lts", "lval", "rts", "rval"]].astype("float64")
+    e = e[["key", "lts", "lval", "rts", "rval"]].astype("float64")
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
