@@ -462,3 +462,56 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@REGISTRY.register(
+    "q_agg_regression",
+    tags=("agg", "stats"),
+    oracle="""
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (price ~ quantity per returnflag):
+    regr_slope/intercept/r2/count — single-pass moment accumulation,
+    mergeable partials, exactly the same formulation both engines use
+    (rounded at 6dp against float accumulation order)."""
+    c = catalog(spark, sf_dir)
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return c.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+    )
+
+
+@REGISTRY.register(
+    "q_agg_string",
+    tags=("agg", "string"),
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP):
+    deterministic because the order clause pins element order —
+    unordered listagg/string_agg is shuffle-order-dependent and
+    unhashable across engines."""
+    c = catalog(spark, sf_dir)
+    c.nation.createOrReplaceTempView("nation")
+    return spark.sql("""
+      SELECT n_regionkey,
+             listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+      FROM nation
+      GROUP BY n_regionkey
+    """)
