@@ -515,3 +515,4 @@ def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nation
       GROUP BY n_regionkey
     """)
+
