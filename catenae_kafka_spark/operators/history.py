@@ -1,0 +1,191 @@
+"""History / CDC operators: SCD2 dimension history and streaming upsert.
+
+Two lakehouse-table-maintenance primitives every long-lived pipeline
+needs (catenae's KV-upsert + audit-log analogs, re-expressed
+declaratively):
+
+- ``q_scd2_history``: build a slowly-changing-dimension (type 2) history
+  from an event log — change detection, validity intervals
+  (valid_from/valid_to), current-row flag. The full table shuffles ONCE
+  on the entity key; the interval-stitching second pass runs only over
+  CHANGE rows (orders of magnitude smaller than the log at 100 TB — a
+  user changes state far less often than they emit events).
+- ``q_stream_upsert``: the streaming twin — a foreachBatch CDC merge
+  that maintains latest-state-per-key + cumulative counts across
+  micro-batches in a versioned parquet target (the Delta-MERGE pattern
+  without Delta jars: write-new-version-then-repoint is the atomic
+  primitive object stores give you). Exact-oracled against batch
+  latest-per-key SQL.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+WIN_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@REGISTRY.register(
+    "q_scd2_history",
+    tags=("history", "window"),
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt_user
+  FROM events
+), s AS (
+  SELECT * FROM o WHERE chg = 1
+)
+SELECT user_id,
+       event_type AS state,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       STRFTIME(LEAD(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       LEAD(ts) OVER w2 IS NULL AS is_current,
+       COALESCE(LEAD(rn) OVER w2, cnt_user + 1) - rn AS n_events
+FROM s
+WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+""",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: each user's event_type sequence becomes
+    validity intervals [valid_from, valid_to) with an is_current flag
+    and the number of events observed during the interval.
+
+    Scale shape: ONE shuffle of the full log on user_id feeds change
+    detection, row numbering, and the per-user total (three window
+    specs, same partitioning — single Exchange). Rows are then filtered
+    to CHANGE rows only, so the interval-stitching lead() window
+    shuffles just the state transitions, not the log.
+    """
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    # IS DISTINCT FROM: eqNullSafe-negation flags the first row (lag is
+    # NULL) and every genuine state change, never a null-vs-null pair.
+    chg = (~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))).cast("int")
+    marked = c.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        chg.alias("chg"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wu).alias("cnt_user"),
+    )
+    starts = marked.filter(F.col("chg") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    valid_to_ts = F.lead("ts").over(w2)
+    return starts.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", WIN_FMT).alias("valid_from"),
+        F.date_format(valid_to_ts, WIN_FMT).alias("valid_to"),
+        valid_to_ts.isNull().alias("is_current"),
+        (
+            F.coalesce(F.lead("rn").over(w2), F.col("cnt_user") + F.lit(1))
+            - F.col("rn")
+        ).alias("n_events"),
+    )
+
+
+@REGISTRY.register(
+    "q_stream_upsert",
+    tags=("streaming", "merge"),
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_type,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       n_events
+FROM ranked WHERE rn = 1
+""",
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: a foreachBatch merge maintains the
+    latest-state-per-user table (last event_type/ts by (ts, event_id))
+    plus a cumulative event count across micro-batches.
+
+    Each epoch aggregates its batch map-side small (one row per key),
+    merges with the previous target version, and writes a NEW versioned
+    parquet dir — the write-then-repoint pattern that is atomic on
+    object stores (Delta/Iceberg MERGE formalize exactly this). The
+    result is batch-count independent: max-by over the unique
+    (ts, event_id) ordering commutes across any micro-batch slicing, so
+    the streaming answer hash-matches the batch latest-per-key oracle.
+    """
+    from catenae_kafka_spark.streaming.sinks import (
+        STATE_PARTITIONS,
+        foreach_batch_sink,
+    )
+    from catenae_kafka_spark.streaming.sources import replay_events
+
+    stream = replay_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="cks_upsert_")
+    state: dict[str, str | None] = {"dir": None}
+
+    def _batch_latest(df: DataFrame) -> DataFrame:
+        # struct max orders by (ts, event_id, event_type); (ts, event_id)
+        # is unique, so event_type never decides the comparison
+        return df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type")).alias("m"),
+            F.count("*").alias("n"),
+        ).select("user_id", "m.ts", "m.event_id", "m.event_type", "n")
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        latest = _batch_latest(batch_df)
+        if state["dir"] is not None:
+            target = spark.read.parquet(state["dir"])
+            latest = (
+                target.unionByName(latest)
+                .groupBy("user_id")
+                .agg(
+                    F.max(F.struct("ts", "event_id", "event_type")).alias("m"),
+                    F.sum("n").alias("n"),
+                )
+                .select("user_id", "m.ts", "m.event_id", "m.event_type", "n")
+            )
+        new_dir = f"{base}/v{epoch_id}"
+        latest.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    # finite-replay tuning, same rationale as run_available_now: a short
+    # replay pays per-(epoch x partition) fixed cost
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(STATE_PARTITIONS, int(prev)))
+    )
+    try:
+        q = foreach_batch_sink(
+            stream, _merge, checkpoint=f"{base}/_ckpt_{uuid.uuid4().hex[:8]}"
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    final_dir = state["dir"]
+    if final_dir is None:  # empty stream: keep the contract schema
+        return spark.createDataFrame(
+            [], "user_id long, last_type string, last_ts string, n_events long"
+        )
+    return spark.read.parquet(final_dir).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.date_format("ts", WIN_FMT).alias("last_ts"),
+        F.col("n").cast("long").alias("n_events"),
+    )

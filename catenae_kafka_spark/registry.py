@@ -107,6 +107,7 @@ def _load_all() -> None:
     )
     from catenae_kafka_spark.functions import packs  # noqa: F401
     from catenae_kafka_spark.operators import (  # noqa: F401
+        history,
         llm_corpus,
         reshape,
         skew,
