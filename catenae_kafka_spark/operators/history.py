@@ -31,11 +31,9 @@ from catenae_kafka_spark.registry import REGISTRY
 
 WIN_FMT = "yyyy-MM-dd HH:mm:ss"
 
-
-@REGISTRY.register(
-    "q_scd2_history",
-    tags=("history", "window"),
-    oracle="""
+# Shared by q_scd2_history (batch build) and q_stream_scd2 (streaming
+# maintenance): both must produce this exact table, hash and all.
+_SCD2_ORACLE = """
 WITH o AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -54,8 +52,10 @@ SELECT user_id,
        COALESCE(LEAD(rn) OVER w2, cnt_user + 1) - rn AS n_events
 FROM s
 WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
-""",
-)
+"""
+
+
+@REGISTRY.register("q_scd2_history", tags=("history", "window"), oracle=_SCD2_ORACLE)
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history build: each user's event_type sequence becomes
     validity intervals [valid_from, valid_to) with an is_current flag
@@ -187,5 +187,121 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_type").alias("last_type"),
         F.date_format("ts", WIN_FMT).alias("last_ts"),
+        F.col("n").cast("long").alias("n_events"),
+    )
+
+
+@REGISTRY.register("q_stream_scd2", tags=("streaming", "history"), oracle=_SCD2_ORACLE)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance: a foreachBatch pipeline keeps the
+    dimension-history table (closed intervals + one open interval per
+    user) incrementally up to date as events arrive, producing a result
+    hash-IDENTICAL to the batch SCD2 rebuild (same oracle SQL).
+
+    Per epoch, the open intervals are replayed as weighted pseudo-events
+    ahead of the batch (event_id = -1 sorts them first on ts ties), so
+    change detection seamlessly continues or closes intervals across the
+    micro-batch boundary. Newly closed intervals append to the closed
+    table; the open table is replaced. Because the replay is event-time
+    ordered, the result is invariant to how the stream is sliced into
+    batches.
+
+    Scale shape: per epoch the shuffle carries (batch ∪ open-state)
+    keyed by user — open state is one row per active entity, closed
+    intervals are append-only and never reshuffled.
+    """
+    from catenae_kafka_spark.streaming.sinks import (
+        STATE_PARTITIONS,
+        foreach_batch_sink,
+    )
+    from catenae_kafka_spark.streaming.sources import replay_events
+
+    stream = replay_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="cks_scd2_")
+    # closed intervals are APPEND-ONLY: each epoch overwrites its own
+    # epoch-named subdir (idempotent under micro-batch retry — the
+    # poor-man's transactional append) and is never reshuffled again
+    state: dict = {"open": None, "closed_dirs": []}
+
+    def _advance(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ev = batch_df.select(
+            "user_id", "event_type", "ts", "event_id", F.lit(1).alias("weight")
+        )
+        if state["open"] is not None:
+            pseudo = spark.read.parquet(state["open"]).select(
+                "user_id",
+                F.col("state").alias("event_type"),
+                F.col("valid_from").alias("ts"),
+                F.lit(-1).cast("long").alias("event_id"),
+                F.col("n").alias("weight"),
+            )
+            ev = pseudo.unionByName(ev)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seg = ev.withColumn(
+            "chg",
+            (~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))).cast(
+                "int"
+            ),
+        ).withColumn("seg", F.sum("chg").over(w))
+        ivals = seg.groupBy("user_id", "seg").agg(
+            F.min("event_type").alias("state"),
+            F.min("ts").alias("valid_from"),
+            F.sum("weight").alias("n"),
+        )
+        w2 = Window.partitionBy("user_id").orderBy("seg")
+        stitched = ivals.select(
+            "user_id",
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+            "n",
+        )
+        closed_dir = f"{base}/closed/e{epoch_id:05d}"
+        stitched.filter(F.col("valid_to").isNotNull()).write.mode(
+            "overwrite"
+        ).parquet(closed_dir)
+        open_dir = f"{base}/open_v{epoch_id}"
+        stitched.filter(F.col("valid_to").isNull()).drop("valid_to").write.mode(
+            "overwrite"
+        ).parquet(open_dir)
+        if closed_dir not in state["closed_dirs"]:
+            state["closed_dirs"].append(closed_dir)
+        state["open"] = open_dir
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(STATE_PARTITIONS, int(prev)))
+    )
+    try:
+        q = foreach_batch_sink(
+            stream, _advance, checkpoint=f"{base}/_ckpt_{uuid.uuid4().hex[:8]}"
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    empty_schema = (
+        "user_id long, state string, valid_from string, valid_to string, "
+        "is_current boolean, n_events long"
+    )
+    if state["open"] is None:
+        return spark.createDataFrame([], empty_schema)
+    closed = (
+        spark.read.parquet(*state["closed_dirs"])
+        if state["closed_dirs"]
+        else None
+    )
+    open_df = spark.read.parquet(state["open"]).withColumn(
+        "valid_to", F.lit(None).cast("timestamp")
+    )
+    hist = open_df if closed is None else closed.unionByName(open_df)
+    return hist.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", WIN_FMT).alias("valid_from"),
+        F.date_format("valid_to", WIN_FMT).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
         F.col("n").cast("long").alias("n_events"),
     )

@@ -110,6 +110,7 @@ def _load_all() -> None:
         history,
         llm_corpus,
         reshape,
+        sketches,
         skew,
         udf_surface,
     )
