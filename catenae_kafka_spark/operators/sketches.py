@@ -71,15 +71,14 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     )
 
 
-@REGISTRY.register(
-    "q_heavy_hitters",
-    tags=("sketch", "agg"),
-    oracle="""
+_HH_ORACLE = """
 SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est
 FROM events
 GROUP BY event_type
-""",
-)
+"""
+
+
+@REGISTRY.register("q_heavy_hitters", tags=("sketch", "agg"), oracle=_HH_ORACLE)
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters over events.event_type via the distributed
     Misra–Gries sketch. With 5 distinct types and k = 8 no partition
@@ -88,3 +87,56 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested on synthetic Zipf data (test_sketches.py)."""
     c = catalog(spark, sf_dir)
     return heavy_hitters(c.events, "event_type", k=8)
+
+
+@REGISTRY.register(
+    "q_stream_heavy_hitters", tags=("sketch", "streaming"), oracle=_HH_ORACLE
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a STREAM: each micro-batch's Misra–Gries
+    partials merge into a running sketch (sum per item — the sketch is
+    mergeable across epochs exactly as it is across partitions, with
+    the same additive n/(k+1) undercount bound). Cardinality <= k here,
+    so the streaming sketch stays exact and shares q_heavy_hitters'
+    SQL oracle.
+
+    Scale shape: running state is O(k) rows regardless of stream
+    length; per epoch the shuffle carries <= k rows per batch
+    partition."""
+    import tempfile
+    import uuid
+
+    from catenae_kafka_spark.streaming.sinks import (
+        STATE_PARTITIONS,
+        foreach_batch_sink,
+    )
+    from catenae_kafka_spark.streaming.sources import replay_events
+
+    stream = replay_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="cks_hh_")
+    state: dict[str, str | None] = {"dir": None}
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = misra_gries_partials(batch_df, "event_type", 8)
+        if state["dir"] is not None:
+            partial = spark.read.parquet(state["dir"]).unionByName(partial)
+        merged = partial.groupBy("item").agg(F.sum("est").alias("est"))
+        new_dir = f"{base}/v{epoch_id}"
+        merged.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(STATE_PARTITIONS, int(prev)))
+    )
+    try:
+        q = foreach_batch_sink(
+            stream, _merge, checkpoint=f"{base}/_ckpt_{uuid.uuid4().hex[:8]}"
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if state["dir"] is None:
+        return spark.createDataFrame([], "item string, est long")
+    return spark.read.parquet(state["dir"])

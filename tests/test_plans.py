@@ -247,3 +247,41 @@ def test_partitioned_layout_prunes_partitions(spark):
     # (partition-only predicates never materialize as row filters)
     tree = plan.split("\n\n")[0]
     assert ") Filter" not in tree
+
+
+def test_scd2_history_second_shuffle_carries_only_change_rows(spark):
+    """Both SCD2 windows partition by user_id, so Catalyst must reuse
+    ONE exchange for the full-table change-detection window AND the
+    interval-stitching window above the chg=1 filter — the whole build
+    is a single shuffle of the log."""
+    from catenae_kafka_spark.operators.history import q_scd2_history
+
+    plan = plan_of(q_scd2_history(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+    # stitch window (top) ... Filter ... base window (bottom): the
+    # filter cuts to change rows before the second window's sort
+    lines = tree.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    filt_idx = [i for i, ln in enumerate(lines) if "Filter" in ln]
+    assert win_idx and filt_idx
+    assert min(win_idx) < min(filt_idx) < max(win_idx)
+
+
+def test_heavy_hitters_sketch_shuffles_only_sketch_rows(spark):
+    """The Misra-Gries merge must aggregate mapInPandas partials (<= k
+    rows per partition): exactly one exchange, fed by the Python map
+    stage, never a shuffle of the raw items."""
+    from catenae_kafka_spark.operators.sketches import q_heavy_hitters
+
+    plan = plan_of(q_heavy_hitters(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "MapInPandas" in plan
+    # partial agg sits ABOVE the python stage (sketch rows), and the
+    # exchange above that: bottom-up order scan < MapInPandas < Exchange
+    lines = tree.splitlines()
+    mip = min(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    exch = min(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    assert exch < mip  # formatted tree lists top operators first
