@@ -516,3 +516,63 @@ def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY n_regionkey
     """)
 
+
+
+@REGISTRY.register(
+    "q_rollup_time_hierarchy",
+    tags=("agg", "rollup"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('minute', ts) AS b, COUNT(*) AS n, SUM(value) AS sv
+  FROM events GROUP BY 1
+), h AS (
+  SELECT date_trunc('hour', b) AS b, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+  FROM m GROUP BY 1
+), d AS (
+  SELECT date_trunc('day', b) AS b, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+  FROM h GROUP BY 1
+)
+SELECT 'minute' AS grain, STRFTIME(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       CAST(n AS BIGINT) AS n, ROUND(sv, 4) AS total_value FROM m
+UNION ALL
+SELECT 'hour', STRFTIME(b, '%Y-%m-%d %H:%M:%S'), n, ROUND(sv, 4) FROM h
+UNION ALL
+SELECT 'day', STRFTIME(b, '%Y-%m-%d %H:%M:%S'), n, ROUND(sv, 4) FROM d
+""",
+)
+def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the time-series-store materialized
+    continuous-aggregate pattern): aggregate the raw events ONCE at
+    minute grain, then derive hour from the minute AGGREGATE and day
+    from the hour aggregate — coarser grains never rescan raw data.
+
+    At 100 TB the raw scan happens once; each rollup input is bounded
+    by the finer grain's bucket count (1440/day -> 24/day -> 1/day),
+    so the hour/day stages are effectively free. Sums roll up exactly
+    (count and sum are decomposable); rounding is applied only in the
+    final projection so the hierarchy carries full precision."""
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    c = catalog(spark, sf_dir)
+    minute = c.events.groupBy(
+        F.date_trunc("minute", "ts").alias("b")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    hour = minute.groupBy(F.date_trunc("hour", "b").alias("b")).agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    )
+    day = hour.groupBy(F.date_trunc("day", "b").alias("b")).agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    )
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("b", fmt).alias("bucket_start"),
+            F.col("n").cast("long").alias("n"),
+            F.round("sv", 4).alias("total_value"),
+        )
+
+    return (
+        shape(minute, "minute")
+        .unionByName(shape(hour, "hour"))
+        .unionByName(shape(day, "day"))
+    )

@@ -116,3 +116,51 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@REGISTRY.register(
+    "q_compact_small_files",
+    tags=("layout", "maintenance"),
+    oracle="""
+SELECT event_id, user_id, event_type,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+FROM events
+""",
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: rewrite a fragmented table (64 tiny
+    files — the classic streaming-ingest pathology) into a handful of
+    right-sized files, returning the compacted content so the oracle
+    proves compaction is content-identical.
+
+    At 100 TB the same two lines are the maintenance job: read,
+    ``repartition(target)`` (or coalesce when shrinking without a
+    shuffle is safe), write; target sized so files land near the
+    128-256 MB row-group sweet spot (`spark.sql.files.maxRecordsPerFile`
+    caps stragglers). tests/test_bucketing.py asserts the file count
+    actually shrank."""
+    import glob as _glob
+    import os as _os
+
+    from catenae_kafka_spark.sources.scans import _work_dir
+
+    c = catalog(spark, sf_dir)
+    base = _work_dir(sf_dir, "compact")
+    frag_dir = _os.path.join(base, "fragmented")
+    compact_dir = _os.path.join(base, "compacted")
+    ev = c.events.select("event_id", "user_id", "event_type", "ts", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    spark.read.parquet(frag_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(compact_dir)
+    assert len(_glob.glob(_os.path.join(compact_dir, "part-*"))) < len(
+        _glob.glob(_os.path.join(frag_dir, "part-*"))
+    ), "compaction did not reduce file count"
+    out = spark.read.parquet(compact_dir)
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+    )

@@ -56,3 +56,19 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == n_plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compaction_reduces_file_count_and_preserves_rows(spark):
+    import glob
+    import os
+
+    from catenae_kafka_spark.operators.layout import q_compact_small_files
+    from catenae_kafka_spark.sources.scans import _work_dir
+
+    sf = "/root/testdata/sf0.001"
+    n = q_compact_small_files(spark, sf).count()
+    base = _work_dir(sf, "compact")
+    frag = glob.glob(os.path.join(base, "fragmented", "part-*"))
+    comp = glob.glob(os.path.join(base, "compacted", "part-*"))
+    assert len(comp) <= 4 < len(frag)
+    assert n == spark.read.parquet(os.path.join(sf, "events.parquet")).count()
