@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.operators.asof import asof_join
 from catenae_kafka_spark.registry import REGISTRY
 
 WIN_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -304,4 +305,74 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", WIN_FMT).alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
         F.col("n").cast("long").alias("n_events"),
+    )
+
+
+@REGISTRY.register(
+    "q_join_pointintime",
+    tags=("join", "history"),
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), ch AS (
+  SELECT user_id, ts AS vf, ARG_MAX(event_type, rn) AS state
+  FROM o WHERE chg = 1 GROUP BY user_id, ts
+), probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       ch.state AS state_at
+FROM probes p ASOF LEFT JOIN ch
+  ON p.user_id = ch.user_id AND p.ts >= ch.vf
+""",
+)
+def q_join_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension lookup: for every purchase
+    event, the SCD2 state in effect at its timestamp — the
+    leakage-free feature-lookup join of feature stores (never read a
+    dimension value from the future). Changes effective AT t are
+    visible to lookups at t; same-timestamp changes are deduped to the
+    latest (max rn) so tie semantics are pinned on both engines.
+
+    Runs on the as-of merge-scan (one shuffle on user_id, no interval
+    explosion); the DuckDB oracle states the same join with its native
+    ASOF JOIN. Reference analog: catenae enrich-with-latest-state,
+    here bitemporally correct."""
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = c.events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        (~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))).alias(
+            "chg"
+        ),
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = (
+        marked.filter("chg")
+        .groupBy("user_id", F.col("ts").alias("vf"))
+        .agg(F.max_by("event_type", "rn").alias("state"))
+    )
+    probes = c.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        probes,
+        changes,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="vf",
+        right_payload=["state"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", WIN_FMT).alias("ts_s"),
+        F.col("state").alias("state_at"),
     )

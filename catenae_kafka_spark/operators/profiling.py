@@ -169,3 +169,68 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("bin_min"),
         F.round(F.max("value"), 4).alias("bin_max"),
     )
+
+
+@REGISTRY.register(
+    "q_dq_checks",
+    tags=("profiling", "quality"),
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS c_null,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS c_dup,
+         CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT) AS c_rng,
+         CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS c_dom
+  FROM orders
+), fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c_fk FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'null_custkey' AS check_name, c_null AS violations, c_null = 0 AS passed FROM m
+UNION ALL SELECT 'dup_orderkey', c_dup, c_dup = 0 FROM m
+UNION ALL SELECT 'nonpositive_totalprice', c_rng, c_rng = 0 FROM m
+UNION ALL SELECT 'bad_orderstatus', c_dom, c_dom = 0 FROM m
+UNION ALL SELECT 'fk_orphan_custkey', c_fk, c_fk = 0 FROM fk
+""",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the deequ/dbt-test
+    pattern): completeness, key uniqueness, value range, domain
+    membership, and referential integrity, as one violations table.
+
+    Scale shape: the four table-local checks are ONE aggregation pass
+    over orders (no per-check rescans — a 100 TB audit cannot afford
+    five scans); the FK orphan check is a broadcast LEFT ANTI join
+    against the customer key column only. Every check is exact."""
+    c = catalog(spark, sf_dir)
+    m = c.orders.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("c_null"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("c_dup"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("c_rng"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("c_dom"),
+    )
+    fk = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("c_fk"))
+    )
+    checks = [
+        ("null_custkey", m, "c_null"),
+        ("dup_orderkey", m, "c_dup"),
+        ("nonpositive_totalprice", m, "c_rng"),
+        ("bad_orderstatus", m, "c_dom"),
+        ("fk_orphan_custkey", fk, "c_fk"),
+    ]
+    out = None
+    for name, src, col in checks:
+        row = src.select(
+            F.lit(name).alias("check_name"),
+            F.col(col).cast("long").alias("violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

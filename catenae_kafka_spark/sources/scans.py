@@ -241,3 +241,45 @@ def q_sink_custom_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.nation.write.format("kv_store").option("path", out).mode("append").save()
     back = spark.read.schema(NATION_SCHEMA).json(os.path.join(out, "committed"))
     return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@REGISTRY.register(
+    "q_scan_schema_evolution",
+    tags=("scan",),
+    oracle="""
+SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS region_code
+FROM nation WHERE n_nationkey < 13
+UNION ALL
+SELECT n_nationkey, n_name, CAST(n_regionkey * 10 AS BIGINT)
+FROM nation WHERE n_nationkey >= 13
+""",
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written with different
+    schemas (a column added mid-stream — the normal life of a 100 TB
+    ingest table) unified by ``mergeSchema``; pre-evolution rows surface
+    NULL for the added column.
+
+    mergeSchema reconciles footers at planning time; per-file reads
+    still prune to each file's physical columns. For very wide tables
+    pin the merged schema explicitly instead of paying footer
+    reconciliation on every read."""
+    c = catalog(spark, sf_dir)
+    base = _work_dir(sf_dir, "schema_evo")
+    v1 = os.path.join(base, "data", "batch=1")
+    v2 = os.path.join(base, "data", "batch=2")
+    old = c.nation.filter(F.col("n_nationkey") < 13).select(
+        "n_nationkey", "n_name"
+    )
+    new = c.nation.filter(F.col("n_nationkey") >= 13).select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_regionkey").cast("long") * 10).alias("region_code"),
+    )
+    old.write.mode("overwrite").parquet(v1)
+    new.write.mode("overwrite").parquet(v2)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base, "data"))
+        .select("n_nationkey", "n_name", "region_code")
+    )
