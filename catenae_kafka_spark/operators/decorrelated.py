@@ -1,0 +1,292 @@
+"""Decorrelation-heavy analytic shapes (TPC-H Q2/Q11/Q15/Q17/Q21/Q22).
+
+These pin the engine's handling of the classic correlated-subquery
+benchmark shapes: Catalyst decorrelates each correlated scalar/EXISTS
+subquery into an aggregate + join (SURVEY §4.2), so none of them
+re-executes a subquery per row. The fixture schema has no partsupp /
+l_receiptdate, so each query keeps its benchmark's *shape* (the plan
+topology and decorrelation pattern) on the columns that exist.
+
+Scale notes (100 TB posture):
+
+- per-group "min/avg over my group" correlates become ONE grouped agg
+  reused via join — the agg output is keys × 1 row, always the small
+  broadcastable side;
+- EXISTS/NOT EXISTS become semi/anti joins on the join key — shuffles
+  carry only the key columns;
+- fraction-of-total thresholds are a scalar subquery → one-row
+  broadcast, never a per-row rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog, register_views
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_tpch_q17",
+    tags=("subquery", "tpch"),
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+""",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    scalar AVG per part decorrelated into one grouped agg joined back.
+    The per-part averages table is |parts| rows — broadcast side at any
+    scale — while the fact table is scanned once with the brand filter
+    pushed to parquet."""
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@REGISTRY.register(
+    "q_tpch_q2",
+    tags=("subquery", "tpch"),
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_name, s_name,
+       ROUND(unit_cost, 4) AS best_cost
+FROM cost
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size < 10
+  AND unit_cost = (
+    SELECT MIN(c2.unit_cost) FROM cost c2
+    WHERE c2.l_partkey = cost.l_partkey
+  )
+""",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part): the correlated MIN
+    is a window-min over the per-(part,supplier) cost table — one
+    shuffle on partkey, no re-aggregation join. Equality on the min is
+    float-safe: unit costs are per-row divisions (no summation-order
+    drift), so Spark and the oracle agree bit-for-bit."""
+    c = catalog(spark, sf_dir)
+    cost = c.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.withColumn(
+        "min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    part = c.part.filter(F.col("p_size") < 10).select("p_partkey", "p_name")
+    supp = c.supplier.select("s_suppkey", "s_name")
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("unit_cost", 4).alias("best_cost"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_tpch_q15",
+    tags=("subquery", "tpch"),
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): revenue CTE
+    computed once, the scalar MAX over it broadcast back as a one-row
+    filter. Equality on the max is safe here because supplier revenues
+    are far apart relative to float summation jitter (asserted by the
+    driver hash each round)."""
+    c = catalog(spark, sf_dir)
+    rev = (
+        c.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_rev == max_rev.m)
+        .join(
+            F.broadcast(c.supplier.select("s_suppkey", "s_name")),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+    )
+
+
+@REGISTRY.register(
+    "q_tpch_q11",
+    tags=("subquery", "tpch"),
+    oracle="""
+WITH val AS (
+  SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, ROUND(v, 2) AS part_value
+FROM val
+WHERE v > (SELECT SUM(v) * 0.0007 FROM val)
+""",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value within one
+    region, kept when above a fraction of the regional total. The
+    fraction threshold is a scalar subquery → one-row broadcast; the
+    dims chain (supplier⋈nation⋈region) broadcasts into the fact scan."""
+    c = catalog(spark, sf_dir)
+    dims = (
+        c.supplier.join(
+            F.broadcast(c.nation), c.supplier.s_nationkey == c.nation.n_nationkey
+        )
+        .join(F.broadcast(c.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    val = (
+        c.lineitem.join(
+            F.broadcast(dims), c.lineitem.l_suppkey == dims.s_suppkey, "left_semi"
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+    )
+    threshold = val.agg((F.sum("v") * F.lit(0.0007)).alias("thr"))
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.col("v") > F.col("thr"))
+        .select(F.col("l_partkey").alias("partkey"), F.round("v", 2).alias("part_value"))
+    )
+
+
+@REGISTRY.register(
+    "q_tpch_q21",
+    tags=("subquery", "tpch"),
+    oracle="""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers solely to blame): EXISTS → left-semi,
+    NOT EXISTS → left-anti, both decorrelated by Catalyst from the SQL
+    text — the plan is three joins on l_orderkey, no per-row subquery
+    re-execution. The fixture lacks receipt/commit dates, so 'late' is
+    re-expressed as the returned ('R') line in a finished order."""
+    register_views(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    return spark.sql(
+        """
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        """
+    )
+
+
+@REGISTRY.register(
+    "q_tpch_q22",
+    tags=("subquery", "tpch"),
+    oracle="""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+  )
+GROUP BY n_name
+""",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales dormant accounts): a scalar AVG
+    subquery (one-row broadcast) plus NOT EXISTS → left-anti against
+    orders. Every fixture customer has orders, so dormancy is 'no OPEN
+    order'; nation stands in for the phone-prefix country code."""
+    register_views(spark, sf_dir, ("customer", "nation", "orders"))
+    return spark.sql(
+        """
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+          )
+        GROUP BY n_name
+        """
+    )
