@@ -576,3 +576,38 @@ def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(shape(hour, "hour"))
         .unionByName(shape(day, "day"))
     )
+
+
+@REGISTRY.register(
+    "q_agg_bitmap_distinct",
+    tags=("agg", "bitmap"),
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation — the scale path
+    between plain count(distinct) (expand + full shuffle of every
+    distinct value) and approx_count_distinct (inexact). Each user_id
+    maps to (bucket = id >> 15, bit = id & 32767); a partial
+    bitmap_construct_agg per (key, bucket) turns billions of raw ids
+    into <=4KB bitmaps BEFORE the shuffle, bitmap_or_agg merges
+    partials, and bitmap_count reads the exact cardinality. Shuffle
+    volume is bounded by key x bucket count, not by row count, and the
+    bitmaps are mergeable across days/partitions (incremental rollup).
+    Result is exactly count(distinct) — the oracle IS count(distinct)."""
+    c = catalog(spark, sf_dir)
+    per_bucket = (
+        c.events.select(
+            "event_type",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_users")
+    )

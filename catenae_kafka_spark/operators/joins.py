@@ -228,3 +228,54 @@ def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@REGISTRY.register(
+    "q_join_bloom",
+    tags=("join", "runtime-filter"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+GROUP BY l_returnflag
+""",
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: the selective filter on the
+    orders side is turned into a Bloom filter that Spark injects into
+    the lineitem scan, so the fact table's shuffle carries only rows
+    whose key *might* join — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~1% that survives
+    the dimension's predicate. The MERGE hint keeps the join
+    shuffle-shaped (broadcast joins prune inherently); the application-
+    side threshold is lowered so the optimization fires at test scale
+    (at production scale the 10 GB default fires on its own). Results
+    are identical to the plain join — the oracle IS the plain join;
+    the Bloom-filter plan shape is asserted in tests/test_plans.py."""
+    from catenae_kafka_spark.session import tune
+
+    tune(spark)
+    # InjectRuntimeFilter only fires for probably-SHUFFLE joins (a
+    # broadcast join prunes inherently), so disable auto-broadcast for
+    # this query — the next query's tune() restores it — and let the
+    # filter inject at test scale by zeroing the 10 GB application-side
+    # scan threshold (at 100 TB the default fires on its own).
+    c = catalog(spark, sf_dir)  # catalog() runs tune(); overrides go after
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    urgent = c.orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 400000)
+    ).select("o_orderkey")
+    joined = c.lineitem.join(urgent, c.lineitem.l_orderkey == urgent.o_orderkey)
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

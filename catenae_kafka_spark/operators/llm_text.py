@@ -454,3 +454,104 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_types"),
         F.round(-F.sum(p * F.log(p)) / math.log(2), 4).alias("entropy_bits"),
     )
+
+
+@REGISTRY.register(
+    "q_ngram_lm",
+    tags=("llm", "text", "lm"),
+    oracle="""
+WITH bg AS (
+  SELECT string_split(text, ' ')[i] AS w1,
+         string_split(text, ' ')[i + 1] AS w2
+  FROM documents,
+       unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS t(i)
+), pc AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2
+), tot AS (
+  SELECT w1, SUM(n_pair) AS n_tot FROM pc GROUP BY w1
+), ranked AS (
+  SELECT pc.w1, w2, n_pair, n_tot,
+         ROW_NUMBER() OVER (PARTITION BY pc.w1
+                            ORDER BY n_pair DESC, w2) AS rn
+  FROM pc JOIN tot USING (w1)
+)
+SELECT w1, w2 AS next_word,
+       CAST(n_pair AS BIGINT) AS n_pair,
+       ROUND(n_pair * 1.0 / n_tot, 6) AS prob
+FROM ranked WHERE rn = 1 AND n_tot >= 50
+""",
+)
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model: the most likely next word per word
+    with its conditional probability P(w2|w1) — the statistic behind
+    boilerplate detection and tokenizer/merge-rule construction over
+    training corpora. Bigrams come from a lead() window per document
+    (one shuffle on doc_id, already the parquet layout order); the
+    conditional normalizer is a second window over the per-pair counts
+    (reuses the w1 hash partitioning). Nothing leaves the JVM; pair
+    space is bounded by observed-vocab^2, not corpus size."""
+    c = catalog(spark, sf_dir)
+    toks = c.documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("w2", F.lead("w1").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    tot = pc.withColumn("n_tot", F.sum("n_pair").over(Window.partitionBy("w1")))
+    rw = Window.partitionBy("w1").orderBy(F.col("n_pair").desc(), F.col("w2"))
+    return (
+        tot.withColumn("rn", F.row_number().over(rw))
+        .filter((F.col("rn") == 1) & (F.col("n_tot") >= 50))
+        .select(
+            "w1",
+            F.col("w2").alias("next_word"),
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.col("n_pair") / F.col("n_tot"), 6).alias("prob"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_doc_perplexity",
+    tags=("llm", "text", "lm"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), vocab AS (
+  SELECT word, COUNT(*) AS cw FROM toks GROUP BY word
+), n AS (
+  SELECT COUNT(*) AS total FROM toks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(exp((-SUM(ln(cw * 1.0 / total)) / COUNT(*))), 4) AS ppl
+FROM toks JOIN vocab USING (word) CROSS JOIN n
+GROUP BY doc_id
+""",
+)
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus unigram LM — the
+    classic quality-filter signal (wiki-like text scores low, gibberish
+    and boilerplate score high/low extremes). The vocabulary table
+    (word → corpus count) is vocab-sized and broadcast back onto the
+    token stream; per-doc -mean-log-prob is a single grouped agg. Two
+    passes over the tokens, zero Python, shuffle width bounded by vocab
+    + documents, never raw corpus tokens."""
+    c = catalog(spark, sf_dir)
+    toks = c.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count("*").alias("cw"))
+    total = toks.agg(F.count("*").alias("total"))
+    logp = F.log(F.col("cw") / F.col("total"))
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.exp(-F.sum(logp) / F.count("*")), 4).alias("ppl"),
+        )
+    )

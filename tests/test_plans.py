@@ -285,3 +285,26 @@ def test_heavy_hitters_sketch_shuffles_only_sketch_rows(spark):
     mip = min(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
     exch = min(i for i, ln in enumerate(lines) if "Exchange" in ln)
     assert exch < mip  # formatted tree lists top operators first
+
+
+def test_bloom_join_injects_runtime_filter(spark):
+    from catenae_kafka_spark.operators.joins import q_join_bloom
+
+    plan = plan_of(q_join_bloom(spark, SF))
+    # the selective orders predicate must become a bloom filter probed
+    # by the lineitem scan (might_contain) — fact rows that cannot join
+    # are dropped before the shuffle
+    assert "bloomFilter" in plan or "might_contain" in plan
+    # and the join itself stays shuffle-shaped (merge hint respected)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bitmap_distinct_pre_aggregates_bitmaps(spark):
+    from catenae_kafka_spark.operators.aggregates import q_agg_bitmap_distinct
+
+    plan = plan_of(q_agg_bitmap_distinct(spark, SF))
+    # partial bitmap_construct_agg must appear below the exchange: the
+    # shuffle carries (key, bucket, bitmap) rows, never raw user_ids
+    assert "partial_bitmap_construct_agg" in plan
+    # cardinality read back via bitmapCount (rendered as a static invoke)
+    assert "bitmapCount" in plan or "bitmap_count" in plan
