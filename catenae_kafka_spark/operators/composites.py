@@ -272,3 +272,78 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_hours"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_pattern_negation",
+    tags=("composite", "pattern"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), nxt AS (
+  SELECT e.user_id,
+         MIN(ts) FILTER (event_type = 'purchase') AS p_ts,
+         MIN(ts) FILTER (event_type = 'error') AS e_ts
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+  GROUP BY e.user_id
+)
+SELECT s.user_id,
+       STRFTIME(s_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       ROUND((epoch(date_trunc('second', p_ts))
+              - epoch(date_trunc('second', s_ts))) / 3600.0, 4) AS hours_to_convert
+FROM s JOIN nxt ON s.user_id = nxt.user_id
+WHERE p_ts IS NOT NULL
+  AND p_ts <= s_ts + INTERVAL 7 DAY
+  AND (e_ts IS NULL OR e_ts > p_ts)
+""",
+)
+def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection WITH NEGATION (MATCH_RECOGNIZE's
+    ``A (NOT B)* C`` shape): users whose first signup is followed by a
+    purchase within 7 days with no error event in between — the funnel
+    variant q_funnel cannot express (ordered steps only, no exclusion).
+    Decomposition: first-signup agg per user, then ONE conditional
+    re-aggregation of each user's post-signup events (min purchase ts,
+    min error ts) — the negation is the e_ts > p_ts predicate, no
+    self-join over event pairs, two shuffles total on user_id."""
+    c = catalog(spark, sf_dir)
+    ev = c.events.select("user_id", "ts", "event_type")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    nxt = (
+        ev.join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "p_ts"
+            ),
+            F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+                "e_ts"
+            ),
+        )
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        nxt.filter(
+            F.col("p_ts").isNotNull()
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS"))
+            & (F.col("e_ts").isNull() | (F.col("e_ts") > F.col("p_ts")))
+        )
+        .select(
+            "user_id",
+            F.date_format("s_ts", fmt).alias("signup_ts"),
+            F.date_format("p_ts", fmt).alias("purchase_ts"),
+            F.round(
+                (
+                    F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")
+                ) / 3600.0,
+                4,
+            ).alias("hours_to_convert"),
+        )
+    )

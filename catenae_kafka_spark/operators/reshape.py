@@ -245,3 +245,31 @@ def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
     )
+
+
+@REGISTRY.register(
+    "q_sample_exact_k",
+    tags=("reshape", "sample"),
+    oracle="""
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 100
+""",
+)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic uniform sample: rank every row by the
+    md5 of its key and keep the k smallest — reproducible across
+    engines, runs, and partitionings (no rand(), no seed plumbing),
+    and statistically uniform because md5 scrambles key order. The
+    plan is TakeOrderedAndProject: each partition keeps its local
+    top-k candidates and only k rows per partition reach the driver-
+    side merge — never a global sort, so exact-k sampling of a 100 TB
+    table moves O(k x partitions) rows."""
+    c = catalog(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        c.documents.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+    )

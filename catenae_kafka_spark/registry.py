@@ -98,6 +98,7 @@ def _load_all() -> None:
     from catenae_kafka_spark.sources import scans  # noqa: F401
     from catenae_kafka_spark.operators import (  # noqa: F401
         decorrelated,
+        graph,
         layout,
         modern_sql,
         profiling,

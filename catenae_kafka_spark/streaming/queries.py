@@ -712,3 +712,55 @@ def q_stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("total_events"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_stream_topk",
+    tags=("streaming",),
+    oracle="""
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+), ranked AS (
+  SELECT h, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY h
+                            ORDER BY n DESC, event_type) AS rn
+  FROM counts
+)
+SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 2
+""",
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-2 event types per hour over the stream. The
+    per-(window, type) counts are maintained INCREMENTALLY by the
+    watermarked streaming agg (append mode — each window's counts are
+    final when emitted, state evicted after the 25 h delay; sentinel
+    batches flush the trailing windows); the rank itself runs as a tiny
+    batch pass over the emitted counts, which is windows x types rows —
+    ranking is not incrementally maintainable in append semantics
+    (a late-but-in-watermark event could reorder an already-emitted
+    rank), so emit-final-counts-then-rank is the honest decomposition
+    at any scale."""
+    stream = replay_events(spark, sf_dir, with_sentinel=True)
+    agg = (
+        stream.withWatermark("ts", "25 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = agg.filter(F.year(F.col("window.start")) < 2030).select(
+        F.date_format(F.col("window.start"), WIN_FMT).alias("win_start"),
+        "event_type",
+        "n",
+    )
+    counts = run_available_now(out, "append", _name("topk"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+    )

@@ -308,3 +308,20 @@ def test_bitmap_distinct_pre_aggregates_bitmaps(spark):
     assert "partial_bitmap_construct_agg" in plan
     # cardinality read back via bitmapCount (rendered as a static invoke)
     assert "bitmapCount" in plan or "bitmap_count" in plan
+
+
+def test_exact_k_sample_is_topk_not_global_sort(spark):
+    from catenae_kafka_spark.operators.reshape import q_sample_exact_k
+
+    plan = plan_of(q_sample_exact_k(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_edges_aggregate_once_dims_broadcast(spark):
+    from catenae_kafka_spark.operators.graph import q_pagerank
+
+    plan = plan_of(q_pagerank(spark, SF))
+    # customer/supplier key→nation lookups must be broadcast; the rank
+    # loop must never degenerate into a cartesian product
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
