@@ -551,3 +551,93 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_s",
         F.round(F.last("sparse", ignorenulls=True).over(w), 4).alias("filled"),
     )
+
+
+@REGISTRY.register(
+    "q_rolling_median",
+    tags=("window", "timeseries"),
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(median(CAST(value AS DOUBLE)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+FROM events
+""",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of each user's last 5 readings — the robust
+    (outlier-immune) smoother that rolling averages can't provide.
+    Spark has no native windowed median, so the frame collects into a
+    <=5-element array sorted in-expression and interpolated manually
+    (avg of the two middles on even counts — continuous-median
+    semantics, matching the oracle's windowed median over doubles).
+    The frame is O(1)-bounded so the collect is constant-size per row;
+    one shuffle on user_id, everything else map-side JVM expressions."""
+    c = catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col("value")).over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return c.events.select(
+        "event_id", "user_id", F.round(med, 6).alias("rolling_median")
+    )
+
+
+@REGISTRY.register(
+    "q_dense_grid",
+    tags=("window", "timeseries"),
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+  FROM events
+), days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), counts AS (
+  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY date_trunc('day', ts), event_type
+)
+SELECT STRFTIME(d.day, '%Y-%m-%d') AS day, t.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+""",
+)
+def q_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid densification: every (day, event_type) cell of the full
+    calendar span, zero-filled — the gap-free shape time-series models
+    and charting layers need (a missing day must be an explicit 0, not
+    an absent row). The spine is generated from one min/max agg
+    (sequence + explode, no source re-scan), the type list is a tiny
+    distinct, and their cross join is spine-sized — broadcast against
+    the aggregated counts, never against raw events."""
+    c = catalog(spark, sf_dir)
+    bounds = c.events.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = c.events.select("event_type").distinct()
+    counts = c.events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    grid = days.crossJoin(F.broadcast(types))
+    return grid.join(counts, ["day", "event_type"], "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )

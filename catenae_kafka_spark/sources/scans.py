@@ -283,3 +283,53 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(base, "data"))
         .select("n_nationkey", "n_name", "region_code")
     )
+
+
+@REGISTRY.register(
+    "q_scan_binaryfile",
+    tags=("scan", "multimodal"),
+    oracle="""
+SELECT 'doc_' || doc_id || '.txt' AS fname,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents WHERE doc_id < 20
+""",
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingest via Spark's ``binaryFile`` source — the
+    entry point of the multimodal pipeline (images/audio/video land as
+    files; this scan turns a directory of them into (path, length,
+    content) rows that the llm_multimodal operators consume). Staging
+    writes each sample document's bytes to its own file (one-time
+    fixture setup, 20 files); the scan itself is the real distributed
+    format — partitioned file listing, content read as a binary
+    column, length/path from file metadata without touching content.
+    Output hashes the bytes (md5) so the oracle checks true byte-level
+    round-trip, not just names."""
+    import os as _os
+
+    stage = _os.path.join(_work_dir(sf_dir, "binfiles"), "docs")
+    marker = _os.path.join(stage, "_STAGED")
+    if not _os.path.exists(marker):
+        _os.makedirs(stage, exist_ok=True)
+        sample = (
+            catalog(spark, sf_dir)
+            .documents.filter(F.col("doc_id") < 20)
+            .select("doc_id", "text")
+            .collect()  # fixture staging only: 20 rows, never data-path
+        )
+        for row in sample:
+            with open(_os.path.join(stage, f"doc_{row.doc_id}.txt"), "wb") as fh:
+                fh.write(row.text.encode("utf-8"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(stage)
+    )
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
