@@ -234,3 +234,41 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@REGISTRY.register(
+    "q_observe_metrics",
+    tags=("profiling", "observability"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+         AS n_discounted
+FROM lineitem
+""",
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API: accumulator-
+    backed metrics (row count, value sum, predicate count) collected
+    DURING the main action — at 100 TB this is how a pipeline reports
+    row counts and quality tallies without a second scan of the input
+    (df.observe rides the same pass; a separate .count() would double
+    the IO). The observed values land driver-side as one metrics row;
+    the oracle recomputes them as ordinary aggregates."""
+    from pyspark.sql import Observation
+
+    c = catalog(spark, sf_dir)
+    obs = Observation("metrics")
+    observed = c.lineitem.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    # one real action drives the scan; metrics ride along for free
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], float(row["sum_price"]), row["n_discounted"])],
+        "n_rows long, sum_price double, n_discounted long",
+    )

@@ -227,3 +227,60 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.documents.select("doc_id", "text").mapInArrow(
         count_tokens, schema="doc_id long, n_tokens int, n_chars int"
     )
+
+
+@REGISTRY.register(
+    "q_cogroup_pandas",
+    tags=("udf",),
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+       ROUND(o.o_totalprice, 2) AS total_price,
+       ROUND(COALESCE(SUM(l.l_extendedprice), 0.0), 2) AS sum_line_price
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 450000
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF: the two-sided Python escape hatch
+    (``groupBy(k).cogroup(other.groupBy(k)).applyInPandas``) — each key's
+    rows from BOTH tables arrive as two aligned pandas frames, the
+    catenae analog of a transform over two joined topics. Both sides
+    shuffle once on the key and Arrow-batch into Python; per-group
+    logic (here order-vs-lineitem reconciliation) is free-form pandas.
+    The selective order filter keeps the cogroup at reconciliation
+    scale; the oracle is the equivalent join+aggregate."""
+    import pandas as pd
+
+    c = catalog(spark, sf_dir)
+    orders = c.orders.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    lines = c.lineitem.select("l_orderkey", "l_extendedprice").join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": odf["o_orderkey"].iloc[:1],
+                "n_lines": [len(ldf)],
+                "total_price": [round(float(odf["o_totalprice"].iloc[0]), 2)],
+                "sum_line_price": [
+                    round(float(ldf["l_extendedprice"].sum()), 2)
+                ],
+            }
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, n_lines long, total_price double, "
+            "sum_line_price double",
+        )
+    )

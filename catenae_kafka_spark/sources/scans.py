@@ -333,3 +333,46 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("digest"),
     )
+
+
+@REGISTRY.register(
+    "q_scan_xml",
+    tags=("scan", "format"),
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan round-trip (Spark 4's built-in xml format — the
+    fourth interchange format after parquet/csv+json/orc): write the
+    nation dim as <row> elements, read it back with an EXPLICIT schema
+    (inference on XML is doubly expensive — a schema-discovery pass
+    over every file before the real scan — so production readers always
+    declare). Round-trip is exact, so the source table is the oracle."""
+    import os as _os
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    c = catalog(spark, sf_dir)
+    out = _os.path.join(_work_dir(sf_dir, "xml"), "nation_xml")
+    (
+        c.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(out)
+    )
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(out)
+    )
