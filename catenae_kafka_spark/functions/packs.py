@@ -469,3 +469,59 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").try_cast("timestamp").alias("bad_ts"),
         F.col("user_id").cast("string").try_cast("int").alias("good_int"),
     )
+
+
+@REGISTRY.register(
+    "q_struct_funcs",
+    tags=("functions", "struct"),
+    oracle="""
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items,
+         SUM(l_extendedprice) OVER (PARTITION BY l_orderkey) AS total
+  FROM lineitem
+)
+SELECT l_orderkey,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(l_linenumber AS BIGINT) AS top_ln,
+       ROUND(l_extendedprice, 2) AS top_price,
+       ROUND(total, 4) AS total_price
+FROM ranked WHERE rn = 1
+""",
+)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct pack: nested arrays-of-structs built per group
+    (collect_list(struct)), then consumed entirely by higher-order
+    functions — comparator-lambda array_sort over struct fields (top
+    item = max price, ties by line number) and an aggregate() fold
+    reading a struct field. The nested shape never crosses a second
+    shuffle: one groupBy builds it, expressions tear it down map-side.
+    This is the typed-columnar answer to the reference's pickled
+    nested Python objects (SURVEY §1.2)."""
+    c = catalog(spark, sf_dir)
+    item = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    grouped = c.lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(item)).alias("items")
+    )
+    by_price = F.array_sort(
+        F.col("items"),
+        lambda a, b: F.when(a["price"] < b["price"], 1)
+        .when(a["price"] > b["price"], -1)
+        .otherwise((a["ln"] - b["ln"]).cast("int")),
+    )
+    top = F.element_at(by_price, 1)
+    total = F.aggregate(
+        F.col("items"), F.lit(0.0), lambda acc, x: acc + x["price"]
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        top["ln"].cast("long").alias("top_ln"),
+        F.round(top["price"], 2).alias("top_price"),
+        F.round(total, 4).alias("total_price"),
+    )

@@ -611,3 +611,33 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_users")
     )
+
+
+@REGISTRY.register(
+    "q_grouping_id",
+    tags=("agg", "rollup"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id() over ROLLUP: the robust way to tell a
+    subtotal row from a data row whose key is genuinely NULL — cube/
+    rollup consumers at scale must branch on the grouping bitmask, not
+    on key nullness. Single Expand + one aggregation pass, same as the
+    plain rollup."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+    )

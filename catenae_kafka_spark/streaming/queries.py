@@ -764,3 +764,64 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 2)
     )
+
+
+@REGISTRY.register(
+    "q_stream_join_full",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       COALESCE(c.user_id, p.user_id) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+""",
+)
+def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER time-bounded join: clicks matched to
+    purchases within 2 h AND unmatched rows from BOTH sides as null
+    partners. Each side's null emission waits until its watermark
+    proves no partner can arrive; the far-future sentinel rows (passed
+    through on both sides, dropped afterwards by id) advance both
+    watermarks when the finite replay drains, flushing all buffered
+    state — the stream ends with every unmatched row emitted and zero
+    retained state."""
+    clicks = (
+        replay_events(spark, sf_dir, with_sentinel=True)
+        .filter((F.col("event_type") == "click") | (F.col("event_id") == -1))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        replay_events(spark, sf_dir, with_sentinel=True)
+        .filter((F.col("event_type") == "purchase") | (F.col("event_id") == -1))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    l = clicks.withWatermark("c_ts", "8 days")
+    r = purchases.withWatermark("p_ts", "8 days")
+    joined = l.join(
+        r,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+        "fullOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+    )
+    out = run_available_now(joined, "append", _name("ssjoin_full"))
+    # sentinel rows (id -1) matched nothing real; drop them from both
+    # null-padded sides
+    return out.filter(
+        (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+    )
