@@ -1,0 +1,136 @@
+"""Property tests for the round-3 operator additions: invariants that
+the DuckDB hash-match can't express (probability-mass conservation,
+partitioning-invariance, pandas reference parity, sketch exactness)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_is_a_probability_distribution(spark):
+    from catenae_kafka_spark.operators.graph import q_pagerank
+
+    ranks = q_pagerank(spark, SF).toPandas()
+    assert (ranks["rank"] > 0).all()
+    # teleport + damping conserve mass up to dangling-node leakage;
+    # on the trade graph every nation has out-edges, so sum == 1
+    assert abs(ranks["rank"].sum() - 1.0) < 1e-6
+
+
+def test_rolling_median_matches_pandas_reference(spark):
+    from catenae_kafka_spark.operators.windows import q_rolling_median
+
+    got = (
+        q_rolling_median(spark, SF)
+        .toPandas()
+        .set_index("event_id")["rolling_median"]
+        .sort_index()
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    ).toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ref = (
+        ev.groupby("user_id")["value"]
+        .rolling(5, min_periods=1)
+        .median()
+        .reset_index(level=0, drop=True)
+    )
+    ev["ref"] = ref
+    ref_by_id = ev.set_index("event_id")["ref"].sort_index()
+    assert (got.round(6) - ref_by_id.round(6)).abs().max() < 1e-6
+
+
+def test_exact_k_sample_invariant_under_repartition(spark):
+    """The md5-rank sample must be layout-independent: the same k rows
+    regardless of how the input is partitioned (the property seed-based
+    df.sample does NOT have)."""
+    from catenae_kafka_spark.operators.reshape import q_sample_exact_k
+
+    base = sorted(
+        r.doc_id for r in q_sample_exact_k(spark, SF).select("doc_id").collect()
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(13)
+    h = F.md5(F.col("doc_id").cast("string"))
+    again = sorted(
+        r.doc_id
+        for r in docs.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+        .collect()
+    )
+    assert base == again
+    assert len(base) == 100
+
+
+def test_bitmap_distinct_equals_count_distinct_synthetic(spark):
+    """Exactness beyond the fixture: skewed synthetic ids incl. the
+    32k-bucket boundary values."""
+    from catenae_kafka_spark.operators.aggregates import q_agg_bitmap_distinct  # noqa: F401
+
+    ids = [0, 1, 32767, 32768, 32769, 65535, 65536, 10**12, 10**12 + 1]
+    df = spark.createDataFrame(
+        [(i % 3, v) for i, v in enumerate(ids * 7)], "k int, user_id long"
+    )
+    per_bucket = (
+        df.select(
+            "k",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    got = {
+        r.k: r.n
+        for r in per_bucket.groupBy("k")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()
+    }
+    want = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_ngram_lm_probabilities_normalize(spark):
+    """For every surviving w1 the full conditional distribution sums to
+    1 (checked on the un-top-1-filtered pair table)."""
+    from catenae_kafka_spark.catalog import catalog
+    from pyspark.sql import Window
+
+    c = catalog(spark, SF)
+    toks = c.documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("w1").agg(F.sum("n").alias("t"))
+    sums = (
+        pairs.join(tot, "w1")
+        .groupBy("w1")
+        .agg(F.sum(F.col("n") / F.col("t")).alias("mass"))
+        .toPandas()
+    )
+    assert ((sums["mass"] - 1.0).abs() < 1e-9).all()
+
+
+def test_stream_topk_ranks_are_dense_per_window(spark):
+    from catenae_kafka_spark.streaming.queries import q_stream_topk
+
+    out = q_stream_topk(spark, SF).toPandas()
+    for _, grp in out.groupby("win_start"):
+        assert sorted(grp["rn"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= 2
+        # ranks ordered by count desc
+        ordered = grp.sort_values("rn")["n"].tolist()
+        assert ordered == sorted(ordered, reverse=True)

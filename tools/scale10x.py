@@ -48,6 +48,13 @@ HEADLINE = [
     "q_seq_pack",
     "q_decontaminate",
     "q_doc_chunk",
+    # round-3 scale-path ops
+    "q_agg_bitmap_distinct",  # bitmap partials: shuffle bounded by key x bucket
+    "q_join_bloom",           # runtime bloom pruning of the fact shuffle
+    "q_pagerank",             # iterative joins over node-bounded rank table
+    "q_rolling_median",       # O(k)-bounded frame collect, one keyed shuffle
+    "q_ngram_lm",             # pair space bounded by vocab^2, not corpus
+    "q_sample_exact_k",       # TakeOrdered: O(k x partitions) movement
 ]
 
 # measured at sf0.1 only: the exact-complete set-similarity/fuzzy ops'
