@@ -273,3 +273,64 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "doc_id")
         .limit(100)
     )
+
+
+@REGISTRY.register(
+    "q_merge_cdc",
+    tags=("merge", "cdc"),
+    oracle="""
+WITH dels AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+), upds AS (
+  SELECT o_orderkey, ROUND(o_totalprice * 1.05, 4) AS new_price
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 97 <> 0
+), ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey,
+         ROUND(o_totalprice, 4) AS o_totalprice,
+         'INSERTED' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 1009 = 0
+)
+SELECT o.o_orderkey,
+       ROUND(COALESCE(u.new_price, o.o_totalprice), 4) AS o_totalprice,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN 'UPDATED'
+            ELSE o.o_orderpriority END AS o_orderpriority
+FROM orders o LEFT JOIN upds u ON o.o_orderkey = u.o_orderkey
+WHERE NOT EXISTS (SELECT 1 FROM dels d WHERE d.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderpriority FROM ins
+""",
+)
+def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC merge — inserts, updates AND deletes applied in one
+    pass (the MERGE WHEN MATCHED DELETE/UPDATE WHEN NOT MATCHED INSERT
+    shape; q_merge_upsert covers the upsert-only case). Deletes are a
+    left-anti join (shuffles only keys), updates a left join with
+    column coalesce, inserts a unionByName — at 100 TB this is the
+    foreachBatch body that maintains a mirror table from a change
+    stream, here derived deterministically so the oracle can state the
+    merged result exactly."""
+    c = catalog(spark, sf_dir)
+    orders = c.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    key = F.col("o_orderkey")
+    dels = orders.filter(key % 97 == 0).select("o_orderkey")
+    upds = orders.filter((key % 7 == 0) & (key % 97 != 0)).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 1.05, 4).alias("new_price")
+    )
+    ins = orders.filter(key % 1009 == 0).select(
+        (key + 10_000_000).alias("o_orderkey"),
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.lit("INSERTED").alias("o_orderpriority"),
+    )
+    kept = orders.join(dels, "o_orderkey", "left_anti")
+    merged = kept.join(
+        upds.withColumnRenamed("o_orderkey", "u_key"),
+        kept.o_orderkey == F.col("u_key"),
+        "left",
+    ).select(
+        "o_orderkey",
+        F.round(F.coalesce("new_price", "o_totalprice"), 4).alias("o_totalprice"),
+        F.when(F.col("u_key").isNotNull(), "UPDATED")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return merged.unionByName(ins)

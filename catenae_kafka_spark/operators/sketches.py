@@ -140,3 +140,66 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if state["dir"] is None:
         return spark.createDataFrame([], "item string, est long")
     return spark.read.parquet(state["dir"])
+
+
+@REGISTRY.register(
+    "q_count_min",
+    tags=("sketch", "agg"),
+    oracle="""
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est
+FROM events GROUP BY event_type
+""",
+)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries, entirely in JVM expressions: each
+    row hashes into d=4 rows x w=64 columns (xxhash64 with per-row
+    seeds), cell counts are an ordinary two-phase groupBy (the sketch
+    is d*w cells regardless of input size, mergeable by cell-wise sum
+    across partitions/days), and est(item) = min over its d cells.
+    CMS guarantees est >= true (overestimate only, dual of
+    Misra-Gries); with 5 distinct event types an item collides in ALL
+    4 rows with probability ~(5/64)^4 ~ 4e-5 — and the hash is
+    deterministic, so the fixture's collision-free layout is stable
+    and the plain GROUP BY count is an exact oracle. The overestimate
+    bound on adversarial/Zipf input is property-tested in
+    tests/test_sketches.py."""
+    c = catalog(spark, sf_dir)
+    d, w = 4, 64
+    rows_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.pmod(F.xxhash64(F.col("event_type"), F.lit(r)), F.lit(w))
+                ).alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+    cells = (
+        c.events.select(F.explode(rows_arr).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("n"))
+    )
+    items = c.events.select("event_type").distinct()
+    probes = items.select(
+        F.col("event_type").alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            F.xxhash64(F.col("event_type"), F.lit(r)), F.lit(w)
+                        ).alias("col"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select("item", F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("item")
+        .agg(F.min("n").alias("est"))
+    )

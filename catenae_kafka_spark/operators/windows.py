@@ -641,3 +641,48 @@ def q_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce("n", F.lit(0)).cast("long").alias("n"),
     )
+
+
+@REGISTRY.register(
+    "q_time_weighted_avg",
+    tags=("window", "timeseries"),
+    oracle="""
+WITH stepped AS (
+  SELECT user_id, value,
+         epoch(date_trunc('second', ts)) AS t,
+         LEAD(epoch(date_trunc('second', ts))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events
+)
+SELECT user_id,
+       ROUND(SUM(value * (t_next - t)) / SUM(t_next - t), 6) AS twa,
+       CAST(SUM(t_next - t) AS BIGINT) AS span_s
+FROM stepped WHERE t_next IS NOT NULL
+GROUP BY user_id
+HAVING SUM(t_next - t) > 0
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user: each reading is held
+    until the next one, so its weight is its holding duration — the
+    correct average for irregularly-sampled series, where the row
+    average over-weights bursts. lead() over one user_id shuffle turns
+    each row into a (value, duration) step; the integral is then a
+    plain grouped agg reusing the same partitioning."""
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = c.events.select(
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("t"),
+        F.lead(F.unix_timestamp("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twa"),
+            F.sum(dt).cast("long").alias("span_s"),
+        )
+        .filter(F.col("span_s") > 0)
+    )

@@ -54,3 +54,48 @@ def test_sketch_exact_when_cardinality_below_k(spark, sf_dir):
         .collect()
     }
     assert est == exact
+
+
+def test_count_min_never_underestimates_on_zipf(spark):
+    """CMS structural guarantee: est(item) >= true_freq(item), on a
+    skewed synthetic stream with 200 distinct items over a 4x64 sketch
+    (heavy collisions, unlike the 5-type fixture)."""
+    import pyspark.sql.functions as F
+
+    rows = [(f"item_{j}",) for j in range(200) for _ in range(max(1, 200 // (j + 1)))]
+    df = spark.createDataFrame(rows, "event_type string")
+    d, w = 4, 64
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64(F.col("event_type"), F.lit(r)), F.lit(w)).alias(
+                    "col"
+                ),
+            )
+            for r in range(d)
+        ]
+    )
+    cells = (
+        df.select(F.explode(arr).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("n"))
+    )
+    probes = (
+        df.distinct()
+        .select(F.col("event_type").alias("item"), F.explode(arr).alias("cell"))
+        .select("item", F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
+    )
+    est = {
+        r.item: r.est
+        for r in probes.join(cells, ["r", "col"]).groupBy("item")
+        .agg(F.min("n").alias("est"))
+        .collect()
+    }
+    true = {
+        r.event_type: r.n
+        for r in df.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(true)
+    for item, t in true.items():
+        assert est[item] >= t, item
