@@ -203,3 +203,88 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.min("n").alias("est"))
     )
+
+
+@REGISTRY.register(
+    "q_stream_count_min",
+    tags=("sketch", "streaming"),
+    oracle="""
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min over a STREAM: each micro-batch's d x w cell counts
+    merge into the running sketch by cell-wise SUM — CMS's merge is
+    exactly its partition merge, so the epoch-merged sketch equals the
+    batch sketch over the full stream (same guarantees, same
+    collision-free-on-this-domain exactness as q_count_min; the
+    running state is d*w = 256 cells regardless of stream length).
+    Point queries read the final merged sketch."""
+    import tempfile
+    import uuid
+
+    from catenae_kafka_spark.catalog import catalog as _catalog
+    from catenae_kafka_spark.streaming.sinks import (
+        STATE_PARTITIONS,
+        foreach_batch_sink,
+    )
+    from catenae_kafka_spark.streaming.sources import replay_events
+
+    d, w = 4, 64
+    hash_cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64(F.col("event_type"), F.lit(r)), F.lit(w)).alias(
+                    "col"
+                ),
+            )
+            for r in range(d)
+        ]
+    )
+
+    def cells_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(hash_cells).alias("cell"))
+            .groupBy(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    stream = replay_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="cks_cms_")
+    state: dict[str, str | None] = {"dir": None}
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = cells_of(batch_df)
+        if state["dir"] is not None:
+            partial = spark.read.parquet(state["dir"]).unionByName(partial)
+        merged = partial.groupBy("r", "col").agg(F.sum("n").alias("n"))
+        new_dir = f"{base}/v{epoch_id}"
+        merged.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(STATE_PARTITIONS, int(prev)))
+    )
+    try:
+        q = foreach_batch_sink(
+            stream, _merge, checkpoint=f"{base}/_ckpt_{uuid.uuid4().hex[:8]}"
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if state["dir"] is None:
+        return spark.createDataFrame([], "item string, est long")
+    cells = spark.read.parquet(state["dir"])
+    items = _catalog(spark, sf_dir).events.select("event_type").distinct()
+    probes = items.select(
+        F.col("event_type").alias("item"), F.explode(hash_cells).alias("cell")
+    ).select("item", F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("item")
+        .agg(F.min("n").alias("est"))
+    )

@@ -686,3 +686,106 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_s") > 0)
     )
+
+
+@REGISTRY.register(
+    "q_feature_binning",
+    tags=("window", "feature"),
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.50) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < q1 THEN 0
+            WHEN o_totalprice < q2 THEN 1
+            WHEN o_totalprice < q3 THEN 2
+            ELSE 3 END AS price_bucket,
+       CAST(COUNT(*) OVER (PARTITION BY (
+         CASE WHEN o_totalprice < q1 THEN 0
+              WHEN o_totalprice < q2 THEN 1
+              WHEN o_totalprice < q3 THEN 2
+              ELSE 3 END)) AS BIGINT) AS bucket_size
+FROM orders CROSS JOIN q
+""",
+)
+def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning (the discretizer step of a feature
+    pipeline): global quartile boundaries from ONE exact-percentile
+    aggregate, broadcast back as a one-row cross join, bucket assignment
+    pure map-side CASE. At 100 TB swap the exact percentile for
+    percentile_approx (mergeable sketch) — the plan shape (one tiny
+    broadcast, zero extra shuffles for assignment) is unchanged. The
+    per-bucket size window rides a 4-value hash partitioning."""
+    c = catalog(spark, sf_dir)
+    q = c.orders.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") < F.col("q1"), 0)
+        .when(F.col("o_totalprice") < F.col("q2"), 1)
+        .when(F.col("o_totalprice") < F.col("q3"), 2)
+        .otherwise(3)
+    )
+    binned = c.orders.crossJoin(F.broadcast(q)).select(
+        "o_orderkey", bucket.alias("price_bucket")
+    )
+    wb = Window.partitionBy("price_bucket")
+    return binned.select(
+        "o_orderkey",
+        "price_bucket",
+        F.count("*").over(wb).cast("long").alias("bucket_size"),
+    )
+
+
+@REGISTRY.register(
+    "q_anomaly_mad",
+    tags=("window", "anomaly"),
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       ROUND((d.value - d.med) / (1.4826 * m.mad), 3) AS robust_z
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE abs((d.value - d.med) / (1.4826 * m.mad)) > 3
+""",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the MAD
+    robust-z (1.4826·MAD ≈ σ under normality) that q_zscore_outliers'
+    mean/stddev version lacks: a few extreme points inflate stddev and
+    mask real anomalies; medians don't move. Two grouped exact-median
+    passes (group cardinality is tiny; sub in percentile_approx at
+    100 TB), medians broadcast back both times — the event stream
+    itself never shuffles."""
+    c = catalog(spark, sf_dir)
+    med = c.events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = c.events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    rz = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > 3)
+        .select(
+            "event_id", "event_type", "value", F.round(rz, 3).alias("robust_z")
+        )
+    )
