@@ -105,6 +105,7 @@ def _load_all() -> None:
         setops,
         sorts,
         subqueries,
+        tpch_suite,
         windows,
     )
     from catenae_kafka_spark.functions import packs  # noqa: F401
