@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from catenae_kafka_spark.catalog import register_views
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog, register_views
 from catenae_kafka_spark.registry import REGISTRY
 
 
@@ -114,4 +116,83 @@ def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW explode(split(text, ' ')) t AS word
         WHERE doc_id < 20
         """
+    )
+
+
+@REGISTRY.register(
+    "q_not_in_nulls",
+    tags=("subquery", "semantics"),
+    oracle="""
+SELECT 'with_nulls' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+WHERE c_nationkey NOT IN (
+  SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END
+  FROM supplier
+)
+UNION ALL
+SELECT 'null_free' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+WHERE c_nationkey NOT IN (
+  SELECT s_nationkey FROM supplier WHERE s_acctbal >= 0
+)
+""",
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under tri-valued logic — the classic SQL trap pinned as a
+    semantic contract: a NULL in the subquery result makes `x NOT IN
+    (...)` UNKNOWN for every x, so rows only survive against the
+    non-null complement. Both variants are emitted side by side: the
+    null-containing subquery collapses to 0 matches, the null-free one
+    returns the real anti-join count — both engines must agree on
+    both.
+    Catalyst plans this as a null-aware anti join — single-key
+    special case, one shuffle — not a per-row subquery."""
+    register_views(spark, sf_dir, ("customer", "supplier"))
+    return spark.sql(
+        """
+        SELECT 'with_nulls' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        WHERE c_nationkey NOT IN (
+          SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END
+          FROM supplier
+        )
+        UNION ALL
+        SELECT 'null_free' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        WHERE c_nationkey NOT IN (
+          SELECT s_nationkey FROM supplier WHERE s_acctbal >= 0
+        )
+        """
+    )
+
+
+@REGISTRY.register(
+    "q_distinct_on",
+    tags=("subquery", "dialect"),
+    oracle="""
+SELECT DISTINCT ON (o_custkey)
+       o_custkey, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+""",
+)
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer — DuckDB/Postgres spell it DISTINCT ON,
+    Spark spells it row_number() = 1; this query pins that the two are
+    the same operator (deterministic under the full tiebreak). The
+    Spark plan is the WindowGroupLimit per-group-heap shape, not a full
+    sort."""
+    from pyspark.sql import Window
+
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        c.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
     )

@@ -325,3 +325,16 @@ def test_pagerank_edges_aggregate_once_dims_broadcast(spark):
     # loop must never degenerate into a cartesian product
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_suite_no_cartesian_products(spark):
+    """All 22 TPC-H shapes must plan as keyed joins — no CartesianProduct
+    anywhere in the suite (disjunctive Q19 predicates ride the p_partkey
+    equi join; EXISTS/NOT IN decorrelate to semi/anti)."""
+    from catenae_kafka_spark.registry import all_specs
+
+    for name, spec in all_specs().items():
+        if "tpch" not in spec.tags:
+            continue
+        plan = plan_of(spec.fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
