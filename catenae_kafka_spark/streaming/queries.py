@@ -825,3 +825,57 @@ def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("click_id").isNull() | (F.col("click_id") >= 0))
         & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
     )
+
+
+@REGISTRY.register(
+    "q_stream_pattern",
+    tags=("streaming", "stateful"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), nxt AS (
+  SELECT e.user_id,
+         MIN(ts) FILTER (event_type = 'purchase') AS p_ts,
+         MIN(ts) FILTER (event_type = 'error') AS e_ts
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+  GROUP BY e.user_id
+)
+SELECT s.user_id,
+       STRFTIME(s_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM s JOIN nxt ON s.user_id = nxt.user_id
+WHERE p_ts IS NOT NULL
+  AND p_ts <= s_ts + INTERVAL 7 DAY
+  AND (e_ts IS NULL OR e_ts > p_ts)
+""",
+)
+def q_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING pattern detection with negation: the q_pattern_negation
+    state machine (first signup → first subsequent purchase, poisoned
+    by an error in between) carried across micro-batches as per-user
+    GroupState via applyInPandasWithState. The event-time-ordered
+    replay makes the incremental run equal the batch semantics exactly,
+    so the full SQL oracle applies; the 7-day window and the immutable-
+    once-converted emission are filtered/deduped in the tiny post-pass.
+    The purchase-first edge case (machine records p_ts only when a
+    purchase follows signup un-poisoned) mirrors the oracle's
+    e_ts > p_ts clause."""
+    from catenae_kafka_spark.streaming.stateful import funnel_state_machine
+
+    stream = replay_events(spark, sf_dir)
+    converted = run_available_now(
+        funnel_state_machine(stream), "update", _name("pattern")
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    s_ts = F.timestamp_micros(F.col("s_ts_us"))
+    p_ts = F.timestamp_micros(F.col("p_ts_us"))
+    return (
+        converted.distinct()
+        .filter(p_ts <= s_ts + F.expr("INTERVAL 7 DAYS"))
+        .select(
+            "user_id",
+            F.date_format(s_ts, fmt).alias("signup_ts"),
+            F.date_format(p_ts, fmt).alias("purchase_ts"),
+        )
+    )

@@ -265,3 +265,53 @@ def ttl_sessions(events: DataFrame, ttl_ms: int = 2 * 3600 * 1000) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, s_ts_us long, p_ts_us long"
+FUNNEL_STATE_SCHEMA = "s_ts_us long, p_ts_us long, errored boolean"
+
+
+def funnel_state_machine(events: DataFrame) -> DataFrame:
+    """Per-user conversion state machine (the stateful-streaming twin of
+    the batch q_pattern_negation): track first signup, then the first
+    subsequent purchase, poisoned by any error in between — A (NOT B)* C
+    with per-key state carried across micro-batches. Emits one row per
+    user per batch ONCE converted; the converted state is immutable, so
+    the emitted rows for a user are identical and a distinct() yields
+    the final answer. State is three scalars per user, evicted with the
+    query (finite replay) or by TTL in an always-on deployment.
+
+    Closure on purpose — see streaming_ema's note on cloudpickle and
+    worker sys.path."""
+
+    def fsm(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        s_ts, p_ts, errored = state.get if state.exists else (None, None, False)
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if s_ts is None:
+                    if etype == "signup":
+                        s_ts = ts_us
+                elif p_ts is None:
+                    if etype == "error":
+                        errored = True
+                    elif etype == "purchase" and not errored:
+                        p_ts = ts_us
+        state.update((s_ts, p_ts, bool(errored)))
+        if s_ts is not None and p_ts is not None:
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "s_ts_us": [s_ts], "p_ts_us": [p_ts]}
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fsm,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
