@@ -1,0 +1,163 @@
+"""Data-operations / validation operators: table checksums, version
+diffs, pseudonymization.
+
+The ops half of running a 100 TB lakehouse: prove a migrated/replicated
+table is identical without moving it (order-insensitive checksum),
+explain HOW two versions differ (keyed diff), and tokenize identifiers
+before data leaves a trust boundary (keyed-hash pseudonymization that
+preserves joinability). All three are pure JVM expressions over one
+scan per input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+def _row_digest(cols) -> "F.Column":
+    """First 8 md5 hex digits of the canonical row string as a BIGINT —
+    summable into an order-insensitive table checksum. 32 bits per row
+    keeps the sum far from BIGINT overflow below ~2^31 rows per
+    partition scope; widen to two 8-digit words for bigger tables."""
+    canon = F.concat_ws("|", *cols)
+    return F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+
+
+@REGISTRY.register(
+    "q_checksum_table",
+    tags=("dataops", "validation"),
+    oracle="""
+SELECT 'orders' AS tbl,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(('0x' || substr(md5(concat_ws('|',
+             o_orderkey, o_custkey, o_orderstatus,
+             ROUND(o_totalprice, 2), STRFTIME(o_orderdate, '%Y-%m-%d'),
+             o_orderpriority)), 1, 8))::BIGINT) AS BIGINT) AS checksum
+FROM orders
+""",
+)
+def q_checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: per-row md5 digest of a
+    canonical column string, summed — equal checksums prove a
+    migration/replication byte-identical WITHOUT sorting, shuffling, or
+    co-locating the two copies (each side computes map-side partials +
+    one scalar). The canonical string pins formatting (2dp money,
+    date-only timestamps), so the check is engine-portable — the
+    DuckDB oracle computes the same scalar from the same parquet."""
+    c = catalog(spark, sf_dir)
+    digest = _row_digest(
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.round("o_totalprice", 2),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderpriority"),
+        ]
+    )
+    return c.orders.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum(digest).alias("checksum"),
+    )
+
+
+@REGISTRY.register(
+    "q_table_diff",
+    tags=("dataops", "validation"),
+    oracle="""
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN ROUND(o_totalprice * 1.05, 4) ELSE o_totalprice
+         END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice
+  FROM orders WHERE o_orderkey % 1009 = 0
+), j AS (
+  SELECT v1.o_orderkey AS k1, v2.o_orderkey AS k2,
+         v1.o_totalprice AS p1, v2.o_totalprice AS p2
+  FROM orders v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT CASE WHEN k1 IS NULL THEN 'added'
+            WHEN k2 IS NULL THEN 'removed'
+            WHEN p1 <> p2 THEN 'changed'
+            ELSE 'unchanged' END AS diff_class,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY 1
+""",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff of two table versions (v2 = deterministic
+    update/delete/insert mutation of orders): one full outer join on
+    the key classifies every row as added / removed / changed /
+    unchanged. At 100 TB both sides shuffle once on the key — or zero
+    times if both versions share a bucketed layout — and 'changed'
+    compares row digests, not full payload equality, when columns are
+    wide. The counts summarize a migration review in four rows."""
+    c = catalog(spark, sf_dir)
+    v1 = c.orders.select("o_orderkey", "o_totalprice")
+    key = F.col("o_orderkey")
+    v2 = (
+        c.orders.filter(key % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(key % 7 == 0, F.round(F.col("o_totalprice") * 1.05, 4))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            c.orders.filter(key % 1009 == 0).select(
+                (key + 10_000_000).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    j = v1.select(
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
+    ).join(
+        v2.select(F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("p2")),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    diff_class = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(diff_class.alias("diff_class")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@REGISTRY.register(
+    "q_pseudonymize",
+    tags=("dataops", "privacy"),
+    oracle="""
+SELECT sha256('salt42:' || user_id) AS user_token,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY sha256('salt42:' || user_id)
+""",
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-hash pseudonymization — the privacy step before events
+    leave a trust boundary in a training-data pipeline: user ids become
+    salted sha256 tokens that stay CONSISTENT (the same user maps to
+    the same token everywhere, so joins, sessionization, and per-user
+    aggregation still work downstream) while the raw id never appears.
+    Map-side expression; the aggregation proves token joinability by
+    grouping on the token itself. A real deployment holds the salt in
+    a secret manager and rotates it per release."""
+    c = catalog(spark, sf_dir)
+    token = F.sha2(F.concat(F.lit("salt42:"), F.col("user_id").cast("string")), 256)
+    return c.events.groupBy(token.alias("user_token")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
