@@ -134,3 +134,47 @@ def test_stream_topk_ranks_are_dense_per_window(spark):
         # ranks ordered by count desc
         ordered = grp.sort_values("rn")["n"].tolist()
         assert ordered == sorted(ordered, reverse=True)
+
+
+def test_funnel_state_machine_edge_cases(spark):
+    """Synthetic stream pinning the FSM semantics: error between
+    signup and purchase poisons; purchase before signup is ignored;
+    error after purchase is harmless; second signup doesn't reset."""
+    import pandas as pd
+    from catenae_kafka_spark.streaming.stateful import funnel_state_machine
+
+    base = pd.Timestamp("2024-01-01")
+
+    def ev(uid, minute, etype, eid):
+        return (eid, base + pd.Timedelta(minutes=minute), uid, etype)
+
+    rows = [
+        # u1: clean conversion
+        ev(1, 0, "signup", 10), ev(1, 5, "purchase", 11),
+        # u2: error between -> poisoned, later purchase ignored
+        ev(2, 0, "signup", 20), ev(2, 2, "error", 21), ev(2, 5, "purchase", 22),
+        # u3: purchase BEFORE signup ignored; converts on the later one
+        ev(3, 0, "purchase", 30), ev(3, 2, "signup", 31), ev(3, 9, "purchase", 32),
+        # u4: error after purchase is harmless
+        ev(4, 0, "signup", 40), ev(4, 3, "purchase", 41), ev(4, 6, "error", 42),
+        # u5: signup only, never converts
+        ev(5, 0, "signup", 50),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    src_dir = "/tmp/cks_fsm_test"
+    spark.createDataFrame(pdf).repartition(1).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    from catenae_kafka_spark.streaming.sinks import run_available_now
+
+    out = run_available_now(
+        funnel_state_machine(stream), "update", "fsm_edge_test"
+    ).distinct().toPandas()
+    got = {
+        int(r.user_id): (int(r.s_ts_us), int(r.p_ts_us))
+        for r in out.itertuples()
+    }
+    us = lambda m: int((base + pd.Timedelta(minutes=m)).value // 1000)
+    assert got == {1: (us(0), us(5)), 3: (us(2), us(9)), 4: (us(0), us(3))}
