@@ -275,3 +275,140 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("chunk_id") * stride
         ).alias("chunk_len"),
     )
+
+
+@REGISTRY.register(
+    "q_dedup_paragraph",
+    tags=("llm", "dedup", "corpus"),
+    oracle="""
+WITH chunks AS (
+  SELECT doc_id, i AS chunk_id,
+         md5(array_to_string(
+           string_split(text, ' ')[(i * 32 + 1):((i + 1) * 32)], ' ')) AS h
+  FROM documents,
+       unnest(generate_series(
+         0, CAST(ceil(len(string_split(text, ' ')) / 32.0) AS INT) - 1
+       )) AS t(i)
+), ranked AS (
+  SELECT doc_id, chunk_id,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS survival_rate
+FROM ranked GROUP BY doc_id
+""",
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level (paragraph) dedup — the Dolma/RefinedWeb-style pass
+    that document-level dedup misses: boilerplate paragraphs repeated
+    across distinct documents. Docs split into fixed 32-token spans
+    (stand-in for paragraph breaks the fixture lacks), each span hashed
+    map-side; the first occurrence (lexicographic (doc, position))
+    survives, later copies are dropped. ONE shuffle on the 16-byte span
+    hash — never on text; survival stats per doc are the pipeline's
+    quality report. At 100 TB the span-hash table is the only wide
+    state and it partitions uniformly (hashes are uniform by
+    construction)."""
+    from pyspark.sql import Window
+
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    size = 32
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(size))).cast("int")
+    chunks = c.documents.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("chunk_id") * size + 1, size)
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.round(F.sum(kept) / F.count("*"), 4).alias("survival_rate"),
+    )
+
+
+@REGISTRY.register(
+    "q_contamination_score",
+    tags=("llm", "corpus"),
+    oracle="""
+WITH sp AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+                generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [] END AS gs
+  FROM sp
+), eval_grams AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 7
+), train AS (
+  SELECT doc_id, lang, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 7
+)
+SELECT t.doc_id, t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(e.g) AS BIGINT) AS n_hits,
+       ROUND(COUNT(e.g) * 1.0 / COUNT(*), 4) AS contamination
+FROM train t LEFT JOIN eval_grams e ON t.g = e.g
+GROUP BY t.doc_id, t.lang
+""",
+)
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED contamination scoring: q_decontaminate's binary verdict
+    becomes the fraction of a training doc's distinct trigrams that
+    appear in the held-out eval set — the score pipelines threshold on
+    (drop >X%, flag >Y%) instead of all-or-nothing. The eval-trigram
+    set is benchmark-sized → broadcast; the training side explodes
+    once map-side and shuffles only for its own per-doc aggregate."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    trigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(toks, i),
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
+            ),
+        )
+    )
+    gs = F.when(F.size(toks) >= 3, trigrams).otherwise(
+        F.expr("CAST(array() AS array<string>)")
+    )
+    base = c.documents.repartition(32).select("doc_id", "lang", gs.alias("gs"))
+    eval_grams = (
+        base.filter(F.col("doc_id") % 97 == 7)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = base.filter(F.col("doc_id") % 97 != 7).select(
+        "doc_id", "lang", F.explode("gs").alias("g")
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*"), 4
+            ).alias("contamination"),
+        )
+    )
