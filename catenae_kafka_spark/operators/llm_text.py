@@ -555,3 +555,51 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.sum(logp) / F.count("*")), 4).alias("ppl"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_bpe_pairs",
+    tags=("llm", "text", "tokenizer"),
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+), counted AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n FROM counted
+ORDER BY n DESC, pair
+LIMIT 20
+""",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics: the most frequent adjacent
+    character pairs inside words — iteration 0 of byte-pair-encoding
+    tokenizer training (each BPE round merges the top pair and
+    recounts; the counting plan is identical every round). Words
+    explode map-side into (position, 2-gram) pairs, counts are a
+    2-phase hash agg over a ≤|alphabet|² key space, the top-20 is
+    TakeOrdered — no global sort. At corpus scale the pair-count table
+    is alphabet-bounded, so every BPE round's shuffle is tiny no
+    matter how large the corpus."""
+    c = catalog(spark, sf_dir)
+    words = c.documents.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
