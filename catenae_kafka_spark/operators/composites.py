@@ -347,3 +347,108 @@ def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hours_to_convert"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_basket_lift",
+    tags=("composite", "association"),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets
+), freq AS (
+  SELECT p_brand, COUNT(*) AS f FROM baskets GROUP BY p_brand
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+)
+SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(n_ab * 1.0 * n.n_orders / (fa.f * 1.0 * fb.f), 4) AS lift
+FROM pairs
+JOIN freq fa ON pairs.brand_a = fa.p_brand
+JOIN freq fb ON pairs.brand_b = fb.p_brand
+CROSS JOIN n
+WHERE n_ab >= 50
+""",
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: brand-pair co-occurrence lift
+    (P(a,b) / P(a)P(b)) across orders — the frequent-itemset /
+    recommender statistic. The pair space is bounded by the per-order
+    self-join (each basket contributes |basket|²/2 pairs, never
+    corpus²) exactly like the PMI text op; brand marginals and the
+    order count broadcast back. Support threshold n_ab ≥ 50 prunes
+    the long tail before the lift join."""
+    c = catalog(spark, sf_dir)
+    baskets = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            c.lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = baskets.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = baskets.groupBy("p_brand").agg(F.count("*").alias("f"))
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+    )
+    fa = freq.select(F.col("p_brand").alias("brand_a"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("p_brand").alias("brand_b"), F.col("f").alias("fb"))
+    return (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.col("n_ab") * F.col("n_orders") / (F.col("fa") * F.col("fb")), 4
+            ).alias("lift"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_stat_crosstab",
+    tags=("composite", "stat"),
+    oracle="""
+SELECT c_mktsegment AS seg,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via DataFrame.stat.crosstab (the dedicated
+    stat surface — a pivoted pairwise count in one call): market
+    segment × order status. crosstab plans as the same Expand +
+    two-phase agg as a manual pivot, so the 100 TB shape is a single
+    shuffle on the row dimension; column cardinality (the status
+    domain) must be small, which is the operator's contract. Columns
+    renamed to stable lowercase names for the oracle hash."""
+    c = catalog(spark, sf_dir)
+    joined = c.orders.join(
+        F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+        c.orders.o_custkey == F.col("c_custkey"),
+    )
+    ct = joined.stat.crosstab("c_mktsegment", "o_orderstatus")
+    return ct.select(
+        F.col("c_mktsegment_o_orderstatus").alias("seg"),
+        F.col("F").cast("long").alias("f"),
+        F.col("O").cast("long").alias("o"),
+        F.col("P").cast("long").alias("p"),
+    )
