@@ -286,3 +286,84 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=3 * day,
     )
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_in_window"))
+
+
+@REGISTRY.register(
+    "q_join_asof_nearest",
+    tags=("join", "asof"),
+    oracle="""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT c.event_id, c.user_id, c.ts AS c_ts, p.ts AS b_ts, p.value AS b_val
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+), f AS (
+  SELECT c.event_id, p.ts AS f_ts, p.value AS f_val
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+            WHEN b_ts IS NULL THEN STRFTIME(f_ts, '%Y-%m-%d %H:%M:%S')
+            WHEN f_ts IS NULL THEN STRFTIME(b_ts, '%Y-%m-%d %H:%M:%S')
+            WHEN (c_ts - b_ts) <= (f_ts - c_ts)
+              THEN STRFTIME(b_ts, '%Y-%m-%d %H:%M:%S')
+            ELSE STRFTIME(f_ts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts_s,
+       CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+            WHEN b_ts IS NULL THEN f_val
+            WHEN f_ts IS NULL THEN b_val
+            WHEN (c_ts - b_ts) <= (f_ts - c_ts) THEN b_val
+            ELSE f_val END AS purchase_value
+FROM b JOIN f ON b.event_id = f.event_id
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each click matches its temporally CLOSEST
+    purchase, before or after, ties to the earlier one. Composed as
+    the backward and forward merge-scans (each one shuffle) joined on
+    the probe key — completing the as-of family
+    (backward/forward/tolerance/nearest)."""
+    c = catalog(spark, sf_dir)
+    ev = c.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    back = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="p_ts",
+        right_payload=["p_ts", "purchase_value"],
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("p_ts").alias("b_ts"), F.col("purchase_value").alias("b_val"),
+    )
+    fwd = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="p_ts",
+        right_payload=["p_ts", "purchase_value"], direction="forward",
+    ).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("p_ts").alias("f_ts"), F.col("purchase_value").alias("f_val"),
+    )
+    j = back.join(fwd, back.event_id == fwd.f_event_id)
+    b_gap = F.unix_timestamp("ts") - F.unix_timestamp("b_ts")
+    f_gap = F.unix_timestamp("f_ts") - F.unix_timestamp("ts")
+    pick_b = (
+        F.col("f_ts").isNull()
+        | (F.col("b_ts").isNotNull() & (b_gap <= f_gap))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(), F.lit(None))
+        .when(pick_b, F.date_format("b_ts", fmt))
+        .otherwise(F.date_format("f_ts", fmt))
+        .alias("purchase_ts_s"),
+        F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(), F.lit(None))
+        .when(pick_b, F.col("b_val"))
+        .otherwise(F.col("f_val"))
+        .alias("purchase_value"),
+    )

@@ -150,3 +150,67 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+@REGISTRY.register(
+    "q_triangle_count",
+    tags=("graph",),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), edges AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= 80
+)
+SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((
+         SELECT COUNT(*)
+         FROM edges e1
+         JOIN edges e2 ON e1.v = e2.u
+         JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+       ) AS BIGINT) AS n_triangles
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the brand co-purchase graph — the classic
+    distributed-graph-mining kernel (clustering coefficient, community
+    density). The canonical u<v edge orientation makes each triangle
+    counted exactly once via the two-path + closure join; at scale the
+    standard refinement orders by degree so high-degree hubs never
+    anchor the 2-path explosion, and the closure join stays an
+    equi-join on (u, v) pairs — never a cartesian."""
+    c = catalog(spark, sf_dir)
+    baskets = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            c.lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 80)
+        .select("u", "v")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    paths = e1.join(e2, "v")
+    tri = paths.join(
+        e3, (paths.u == e3.u3) & (paths.w == e3.w3)
+    )
+    n_edges = edges.count()  # scalar graph stat, not data rows
+    return tri.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.count("*").alias("n_triangles"),
+    )

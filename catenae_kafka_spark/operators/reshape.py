@@ -334,3 +334,47 @@ def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_orderpriority"),
     )
     return merged.unionByName(ins)
+
+
+@REGISTRY.register(
+    "q_sample_weighted",
+    tags=("reshape", "sample"),
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, ROUND(k, 6) AS k
+FROM keyed
+ORDER BY k, doc_id
+LIMIT 100
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): each row draws a deterministic uniform u from the md5 of
+    its key and competes with key k = -ln(u)/w — the k smallest rows
+    are a bona-fide weight-proportional sample (here w = document
+    length, the training-data-mixing weight). Deterministic across
+    engines, runs, and partitionings (no seed plumbing), and the
+    selection is TakeOrdered: O(k x partitions) rows move, same as
+    the unweighted exact-k sample."""
+    c = catalog(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    k = -F.log(u) / F.col("n_chars")
+    return (
+        c.documents.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(k, 6).alias("k"),
+        )
+        .orderBy("k", "doc_id")
+        .limit(100)
+    )
