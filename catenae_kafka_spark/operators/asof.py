@@ -367,3 +367,93 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("f_val"))
         .alias("purchase_value"),
     )
+
+
+@REGISTRY.register(
+    "q_interpolate",
+    tags=("asof", "timeseries"),
+    oracle="""
+WITH b AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gt
+  FROM b
+), bwd AS (
+  SELECT g.user_id, g.gt, e.ts AS t0, e.value AS y0
+  FROM grid g ASOF JOIN events e
+    ON g.user_id = e.user_id AND g.gt >= e.ts
+), fwd AS (
+  SELECT g.user_id, g.gt, e.ts AS t1, e.value AS y1
+  FROM grid g ASOF JOIN events e
+    ON g.user_id = e.user_id AND g.gt < e.ts
+)
+SELECT w.user_id, STRFTIME(w.gt, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+       CAST(floor((y0 + (y1 - y0)
+         * (epoch(date_trunc('second', w.gt)) - epoch(date_trunc('second', t0)))
+         / (epoch(date_trunc('second', t1)) - epoch(date_trunc('second', t0))))
+         * 1000000) AS BIGINT) AS v_micro
+FROM bwd w JOIN fwd f ON w.user_id = f.user_id AND w.gt = f.gt
+""",
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling onto a regular hourly grid — the
+    time-series twin of forward-fill (LOCF keeps a stale value;
+    interpolation estimates the in-between). Each user's grid point
+    brackets its neighbors via the backward and forward as-of
+    merge-scans (one user_id shuffle each) and lerps between them;
+    boundary points without both neighbors are dropped, and a grid
+    point landing exactly on a reading degenerates to that reading
+    (the forward neighbor ties back to it)."""
+    c = catalog(spark, sf_dir)
+    bounds = c.events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("gt"),
+    )
+    readings = c.events.select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("value").alias("r_v")
+    )
+    bwd = asof_join(
+        grid, readings, on=["user_id"], left_ts="gt", right_ts="r_ts",
+        right_payload=["r_ts", "r_v"],
+    ).select(
+        "user_id", "gt", F.col("r_ts").alias("t0"), F.col("r_v").alias("y0")
+    )
+    fwd = asof_join(
+        grid, readings, on=["user_id"], left_ts="gt", right_ts="r_ts",
+        right_payload=["r_ts", "r_v"], direction="forward",
+    ).select(
+        F.col("user_id").alias("f_uid"), F.col("gt").alias("f_gt"),
+        F.col("r_ts").alias("t1"), F.col("r_v").alias("y1"),
+    )
+    j = bwd.join(
+        fwd, (bwd.user_id == fwd.f_uid) & (bwd.gt == fwd.f_gt)
+    ).filter(F.col("t0").isNotNull() & F.col("t1").isNotNull())
+    # forward as-of is inclusive (>=): a grid point sitting exactly on a
+    # reading gets t1 == t0 — degenerate bracket, value is y0 itself.
+    # STRICT forward (t1 > gt) rows where gt == t0 interpolate to y0 too,
+    # so both bracketing conventions agree on the emitted value.
+    span = F.unix_timestamp("t1") - F.unix_timestamp("t0")
+    num = F.unix_timestamp("gt") - F.unix_timestamp("t0")
+    # association matches the oracle exactly: (y1-y0)*num THEN /span —
+    # the other grouping differs in the last ulp and flips a 6dp round
+    v = F.when(span == 0, F.col("y0")).otherwise(
+        F.col("y0") + (F.col("y1") - F.col("y0")) * num / span
+    )
+    # drop rows the strict-forward oracle cannot produce: a degenerate
+    # bracket at the very LAST reading has no strict next neighbor
+    strict_ok = (F.col("t1") > F.col("gt")) | (F.col("t0") < F.col("gt"))
+    # micro-unit floor, NOT round: Spark's round(double) goes through the
+    # shortest-decimal string (71.2865775 -> .578) while DuckDB rounds
+    # the exact binary (…74999 -> .577); 2dp inputs make exact-half
+    # results common. floor of the identical IEEE double is engine-proof.
+    return j.filter(strict_ok).select(
+        "user_id",
+        F.date_format("gt", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        F.floor(v * 1_000_000).cast("long").alias("v_micro"),
+    )

@@ -603,3 +603,45 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(20)
     )
+
+
+@REGISTRY.register(
+    "q_inverted_index",
+    tags=("llm", "text", "retrieval"),
+    oracle="""
+WITH postings AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
+  FROM documents
+), df AS (
+  SELECT term, COUNT(*) AS doc_freq FROM postings GROUP BY term
+)
+SELECT p.term,
+       CAST(d.doc_freq AS BIGINT) AS doc_freq,
+       array_to_string(list_sort(list(p.doc_id)), ',') AS posting_list
+FROM postings p JOIN df d ON p.term = d.term
+WHERE d.doc_freq BETWEEN 2 AND 400
+GROUP BY p.term, d.doc_freq
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the retrieval building block
+    (term → sorted posting list of documents). Tokenize-explode-
+    distinct map-side, one shuffle on the term, postings assembled with
+    collect_list + array_sort (emitted as a joined string so the
+    oracle hashes scalars). The doc-freq band filter is what a real
+    index build does too: stopwords (huge lists) and hapaxes (useless
+    lists) are pruned before materialization — at 100 TB the posting
+    lists for unpruned stopwords would be corpus-sized rows."""
+    c = catalog(spark, sf_dir)
+    postings = c.documents.select(
+        F.explode(F.split("text", " ")).alias("term"), "doc_id"
+    ).distinct()
+    lists = postings.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+            "posting_list"
+        ),
+    )
+    return lists.filter(F.col("doc_freq").between(2, 400)).select(
+        "term", F.col("doc_freq").cast("long").alias("doc_freq"), "posting_list"
+    )

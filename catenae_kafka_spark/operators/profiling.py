@@ -272,3 +272,44 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n_rows"], float(row["sum_price"]), row["n_discounted"])],
         "n_rows long, sum_price double, n_discounted long",
     )
+
+
+@REGISTRY.register(
+    "q_benford",
+    tags=("profiling", "dq"),
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT d,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM digits), 6) AS observed,
+       ROUND(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford
+FROM digits GROUP BY d
+""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the forensic data-quality screen for
+    fabricated or truncated numeric columns (natural multi-magnitude
+    amounts follow log10(1+1/d); uniform synthetics don't, which this
+    fixture demonstrates). First digit extracted via integer-string
+    prefix (map-side), one 9-row aggregate, the total broadcast back
+    as a scalar subquery."""
+    c = catalog(spark, sf_dir)
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("long")
+    digits = c.orders.filter(F.col("o_totalprice") >= 1).select(d.alias("d"))
+    total = digits.count()  # scalar: domain is 9 rows, total is one number
+    import math
+
+    benford = F.round(
+        F.log(1.0 + 1.0 / F.col("d")) / math.log(10.0), 6
+    )
+    return digits.groupBy("d").agg(
+        F.count("*").alias("n"),
+        F.round(F.count("*") / F.lit(float(total)), 6).alias("observed"),
+        benford.alias("benford"),
+    )
