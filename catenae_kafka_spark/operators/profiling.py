@@ -313,3 +313,69 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("*") / F.lit(float(total)), 6).alias("observed"),
         benford.alias("benford"),
     )
+
+
+@REGISTRY.register(
+    "q_ri_audit",
+    tags=("profiling", "dq"),
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       CAST((SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+             (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+             (SELECT 1 FROM part WHERE p_partkey = l_partkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+             (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST((SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+             (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+             (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)) AS BIGINT)
+UNION ALL
+SELECT 'events.user_id->customer',
+       CAST((SELECT COUNT(*) FROM events WHERE NOT EXISTS
+             (SELECT 1 FROM customer WHERE c_custkey = user_id)) AS BIGINT)
+""",
+)
+def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of every foreign-key edge in the
+    star schema in one pass: each edge is a left-anti join (orphan
+    probe) counted — the post-load gate a 100 TB warehouse runs before
+    publishing a snapshot. Anti joins shuffle only key columns; dim
+    sides broadcast. (The events.user_id edge is intentionally
+    included even though the fixture may violate it — an audit that
+    can only pass is not an audit.)"""
+    c = catalog(spark, sf_dir)
+    edges = [
+        ("lineitem.l_orderkey->orders", c.lineitem, "l_orderkey",
+         c.orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", c.lineitem, "l_partkey",
+         c.part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", c.lineitem, "l_suppkey",
+         c.supplier, "s_suppkey"),
+        ("orders.o_custkey->customer", c.orders, "o_custkey",
+         c.customer, "c_custkey"),
+        ("customer.c_nationkey->nation", c.customer, "c_nationkey",
+         c.nation, "n_nationkey"),
+        ("events.user_id->customer", c.events, "user_id",
+         c.customer, "c_custkey"),
+    ]
+    out = None
+    for name, fact, fk, dim, pk in edges:
+        orphans = fact.select(F.col(fk)).join(
+            F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
+        )
+        row = orphans.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count("*").alias("n_orphans"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
