@@ -338,3 +338,43 @@ def test_tpch_suite_no_cartesian_products(spark):
             continue
         plan = plan_of(spec.fn(spark, SF))
         assert "CartesianProduct" not in plan, name
+
+
+def test_round3_new_ops_plan_shapes(spark):
+    """Scale-shape audit for the round-3-continuation operators: the
+    claims in their docstrings are plan properties, so pin them."""
+    from catenae_kafka_spark.operators.composites import q_basket_lift
+    from catenae_kafka_spark.operators.llm_text import q_inverted_index
+    from catenae_kafka_spark.operators.profiling import q_ri_audit
+    from catenae_kafka_spark.operators.windows import (
+        q_dense_grid,
+        q_feature_binning,
+    )
+
+    # dense grid: spine x types cross join must be broadcast-shaped,
+    # and the left join hits pre-aggregated counts (an Aggregate below
+    # the final join), never raw events
+    plan = plan_of(q_dense_grid(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    # feature binning: quantile boundaries broadcast back (one-row side)
+    plan = plan_of(q_feature_binning(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    # basket lift: marginals + order count broadcast; the pair join is
+    # keyed on l_orderkey, never cartesian
+    plan = plan_of(q_basket_lift(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+    # inverted index: tokenize map-side, ONE wide shuffle on the term
+    # (distinct + collect reuse the same partitioning)
+    plan = plan_of(q_inverted_index(spark, SF))
+    assert "CartesianProduct" not in plan
+
+    # RI audit: every orphan probe is a broadcast anti join — the fact
+    # side never shuffles for any of the 6 edges
+    plan = plan_of(q_ri_audit(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 6
