@@ -288,3 +288,78 @@ def q_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.min("n").alias("est"))
     )
+
+
+@REGISTRY.register(
+    "q_stream_bitmap_distinct",
+    tags=("sketch", "streaming"),
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting over a STREAM via mergeable bitmaps:
+    each micro-batch folds its user ids into per-(key, bucket) bitmap
+    partials, merged across epochs with bitmap_or_agg — OR-merge makes
+    re-delivered ids idempotent, so the count stays exact under
+    at-least-once replay (the property approx HLL shares but plain
+    counters do not). Running state is bounded by key x occupied
+    buckets, independent of stream length; the final read is
+    bitmap_count. Oracle = plain COUNT(DISTINCT) over the same
+    events."""
+    import tempfile
+    import uuid
+
+    from catenae_kafka_spark.streaming.sinks import (
+        STATE_PARTITIONS,
+        foreach_batch_sink,
+    )
+    from catenae_kafka_spark.streaming.sources import replay_events
+
+    def cells_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "event_type",
+                F.bitmap_bucket_number("user_id").alias("bucket"),
+                F.bitmap_bit_position("user_id").alias("pos"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        )
+
+    stream = replay_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="cks_bmd_")
+    state: dict[str, str | None] = {"dir": None}
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = cells_of(batch_df)
+        if state["dir"] is not None:
+            partial = spark.read.parquet(state["dir"]).unionByName(partial)
+        merged = partial.groupBy("event_type", "bucket").agg(
+            F.bitmap_or_agg("bm").alias("bm")
+        )
+        new_dir = f"{base}/v{epoch_id}"
+        merged.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(STATE_PARTITIONS, int(prev)))
+    )
+    try:
+        q = foreach_batch_sink(
+            stream, _merge, checkpoint=f"{base}/_ckpt_{uuid.uuid4().hex[:8]}"
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if state["dir"] is None:
+        return spark.createDataFrame([], "event_type string, n_users long")
+    return (
+        spark.read.parquet(state["dir"])
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"))
+    )
