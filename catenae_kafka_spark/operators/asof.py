@@ -348,8 +348,12 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_ts").alias("f_ts"), F.col("purchase_value").alias("f_val"),
     )
     j = back.join(fwd, back.event_id == fwd.f_event_id)
-    b_gap = F.unix_timestamp("ts") - F.unix_timestamp("b_ts")
-    f_gap = F.unix_timestamp("f_ts") - F.unix_timestamp("ts")
+    # full µs precision (timestamp→double = fractional epoch seconds):
+    # unix_timestamp truncates to whole seconds and could pick the
+    # other direction than the oracle's interval comparison when the
+    # sub-second parts of the two gaps differ
+    b_gap = F.col("ts").cast("double") - F.col("b_ts").cast("double")
+    f_gap = F.col("f_ts").cast("double") - F.col("ts").cast("double")
     pick_b = (
         F.col("f_ts").isNull()
         | (F.col("b_ts").isNotNull() & (b_gap <= f_gap))
@@ -424,8 +428,18 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "gt", F.col("r_ts").alias("t0"), F.col("r_v").alias("y0")
     )
+    # STRICT forward neighbor (t1 > gt), matching the oracle's
+    # g.gt < e.ts exactly: probe the inclusive forward merge-scan at
+    # gt + 1µs (timestamps are µs resolution, so >= gt+1µs ≡ > gt).
+    # An inclusive probe at gt itself would return the reading AT a
+    # grid point landing on one — a degenerate t1 == t0 bracket the
+    # oracle never produces (it brackets on to the NEXT reading).
+    grid_eps = grid.withColumn(
+        "gt_eps", F.col("gt") + F.expr("INTERVAL 1 MICROSECOND")
+    )
     fwd = asof_join(
-        grid, readings, on=["user_id"], left_ts="gt", right_ts="r_ts",
+        grid_eps.select("user_id", "gt", "gt_eps"),
+        readings, on=["user_id"], left_ts="gt_eps", right_ts="r_ts",
         right_payload=["r_ts", "r_v"], direction="forward",
     ).select(
         F.col("user_id").alias("f_uid"), F.col("gt").alias("f_gt"),
@@ -434,25 +448,16 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = bwd.join(
         fwd, (bwd.user_id == fwd.f_uid) & (bwd.gt == fwd.f_gt)
     ).filter(F.col("t0").isNotNull() & F.col("t1").isNotNull())
-    # forward as-of is inclusive (>=): a grid point sitting exactly on a
-    # reading gets t1 == t0 — degenerate bracket, value is y0 itself.
-    # STRICT forward (t1 > gt) rows where gt == t0 interpolate to y0 too,
-    # so both bracketing conventions agree on the emitted value.
     span = F.unix_timestamp("t1") - F.unix_timestamp("t0")
     num = F.unix_timestamp("gt") - F.unix_timestamp("t0")
     # association matches the oracle exactly: (y1-y0)*num THEN /span —
     # the other grouping differs in the last ulp and flips a 6dp round
-    v = F.when(span == 0, F.col("y0")).otherwise(
-        F.col("y0") + (F.col("y1") - F.col("y0")) * num / span
-    )
-    # drop rows the strict-forward oracle cannot produce: a degenerate
-    # bracket at the very LAST reading has no strict next neighbor
-    strict_ok = (F.col("t1") > F.col("gt")) | (F.col("t0") < F.col("gt"))
+    v = F.col("y0") + (F.col("y1") - F.col("y0")) * num / span
     # micro-unit floor, NOT round: Spark's round(double) goes through the
     # shortest-decimal string (71.2865775 -> .578) while DuckDB rounds
     # the exact binary (…74999 -> .577); 2dp inputs make exact-half
     # results common. floor of the identical IEEE double is engine-proof.
-    return j.filter(strict_ok).select(
+    return j.select(
         "user_id",
         F.date_format("gt", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
         F.floor(v * 1_000_000).cast("long").alias("v_micro"),

@@ -349,6 +349,20 @@ def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def brand_baskets(c) -> DataFrame:
+    """Distinct (order, brand) baskets — shared by the association-lift
+    and triangle-counting graph builders so the basket construction
+    (broadcast part dim, distinct) cannot drift between them."""
+    return (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            c.lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+
+
 @REGISTRY.register(
     "q_basket_lift",
     tags=("composite", "association"),
@@ -384,14 +398,7 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     order count broadcast back. Support threshold n_ab ≥ 50 prunes
     the long tail before the lift join."""
     c = catalog(spark, sf_dir)
-    baskets = (
-        c.lineitem.join(
-            F.broadcast(c.part.select("p_partkey", "p_brand")),
-            c.lineitem.l_partkey == F.col("p_partkey"),
-        )
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    baskets = brand_baskets(c)
     n = baskets.select(F.countDistinct("l_orderkey").alias("n_orders"))
     freq = baskets.groupBy("p_brand").agg(F.count("*").alias("f"))
     a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))

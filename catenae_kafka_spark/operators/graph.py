@@ -183,15 +183,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard refinement orders by degree so high-degree hubs never
     anchor the 2-path explosion, and the closure join stays an
     equi-join on (u, v) pairs — never a cartesian."""
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
     c = catalog(spark, sf_dir)
-    baskets = (
-        c.lineitem.join(
-            F.broadcast(c.part.select("p_partkey", "p_brand")),
-            c.lineitem.l_partkey == F.col("p_partkey"),
-        )
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    baskets = brand_baskets(c)
     a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
     b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
     edges = (

@@ -254,14 +254,12 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at production scale the 10 GB default fires on its own). Results
     are identical to the plain join — the oracle IS the plain join;
     the Bloom-filter plan shape is asserted in tests/test_plans.py."""
-    from catenae_kafka_spark.session import tune
-
-    tune(spark)
     # InjectRuntimeFilter only fires for probably-SHUFFLE joins (a
     # broadcast join prunes inherently), so disable auto-broadcast for
-    # this query — the next query's tune() restores it — and let the
-    # filter inject at test scale by zeroing the 10 GB application-side
-    # scan threshold (at 100 TB the default fires on its own).
+    # this query and zero the 10 GB application-side scan threshold so
+    # the filter injects at test scale (at 100 TB the default fires on
+    # its own). Both keys are in RUNTIME_CONF, so the next query's
+    # tune() restores them.
     c = catalog(spark, sf_dir)  # catalog() runs tune(); overrides go after
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",

@@ -297,20 +297,24 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture demonstrates). First digit extracted via integer-string
     prefix (map-side), one 9-row aggregate, the total broadcast back
     as a scalar subquery."""
+    import math
+
+    from pyspark.sql import Window
+
     c = catalog(spark, sf_dir)
     d = F.substring(
         F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
     ).cast("long")
     digits = c.orders.filter(F.col("o_totalprice") >= 1).select(d.alias("d"))
-    total = digits.count()  # scalar: domain is 9 rows, total is one number
-    import math
-
-    benford = F.round(
-        F.log(1.0 + 1.0 / F.col("d")) / math.log(10.0), 6
-    )
-    return digits.groupBy("d").agg(
-        F.count("*").alias("n"),
-        F.round(F.count("*") / F.lit(float(total)), 6).alias("observed"),
+    benford = F.round(F.log(1.0 + 1.0 / F.col("d")) / math.log(10.0), 6)
+    counted = digits.groupBy("d").agg(F.count("*").alias("n"))
+    # the total comes from the <=9-row aggregate itself (unpartitioned
+    # window over 9 rows), not a second scan of orders
+    total = F.sum("n").over(Window.partitionBy())
+    return counted.select(
+        "d",
+        "n",
+        F.round(F.col("n") / total, 6).alias("observed"),
         benford.alias("benford"),
     )
 

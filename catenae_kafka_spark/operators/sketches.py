@@ -142,6 +142,51 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state["dir"])
 
 
+CMS_D, CMS_W = 4, 64
+
+
+def cms_hash_cells(col: str, d: int = CMS_D, w: int = CMS_W):
+    """The Count-Min hash-cell array for one item column: d (row, col)
+    structs via xxhash64 with per-row seeds. The SINGLE definition of
+    the sketch geometry — batch CMS, streaming CMS, and the property
+    test all build from it, so the hash scheme cannot drift between
+    them (drift would silently break the batch/stream merge
+    equivalence)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(w)).alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+
+
+def cms_cells(df: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Cell counts (r, col, n) of the Count-Min sketch over df[col] —
+    mergeable across partitions/epochs by cell-wise sum."""
+    return (
+        df.select(F.explode(cms_hash_cells(col, d, w)).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_point_estimates(
+    cells: DataFrame, items: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """est(item) = min over the item's d cells (never underestimates)."""
+    probes = items.select(
+        F.col(col).alias("item"), F.explode(cms_hash_cells(col, d, w)).alias("cell")
+    ).select("item", F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("item")
+        .agg(F.min("n").alias("est"))
+    )
+
+
 @REGISTRY.register(
     "q_count_min",
     tags=("sketch", "agg"),
@@ -153,56 +198,20 @@ FROM events GROUP BY event_type
 def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch point queries, entirely in JVM expressions: each
     row hashes into d=4 rows x w=64 columns (xxhash64 with per-row
-    seeds), cell counts are an ordinary two-phase groupBy (the sketch
-    is d*w cells regardless of input size, mergeable by cell-wise sum
-    across partitions/days), and est(item) = min over its d cells.
-    CMS guarantees est >= true (overestimate only, dual of
-    Misra-Gries); with 5 distinct event types an item collides in ALL
-    4 rows with probability ~(5/64)^4 ~ 4e-5 — and the hash is
-    deterministic, so the fixture's collision-free layout is stable
-    and the plain GROUP BY count is an exact oracle. The overestimate
-    bound on adversarial/Zipf input is property-tested in
+    seeds, cms_hash_cells), cell counts are an ordinary two-phase
+    groupBy (the sketch is d*w cells regardless of input size,
+    mergeable by cell-wise sum across partitions/days), and est(item)
+    = min over its d cells. CMS guarantees est >= true (overestimate
+    only, dual of Misra-Gries); with 5 distinct event types an item
+    collides in ALL 4 rows with probability ~(5/64)^4 ~ 4e-5 — and the
+    hash is deterministic, so the fixture's collision-free layout is
+    stable and the plain GROUP BY count is an exact oracle. The
+    overestimate bound on adversarial/Zipf input is property-tested in
     tests/test_sketches.py."""
     c = catalog(spark, sf_dir)
-    d, w = 4, 64
-    rows_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                (
-                    F.pmod(F.xxhash64(F.col("event_type"), F.lit(r)), F.lit(w))
-                ).alias("col"),
-            )
-            for r in range(d)
-        ]
-    )
-    cells = (
-        c.events.select(F.explode(rows_arr).alias("cell"))
-        .groupBy(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
-        .agg(F.count("*").alias("n"))
-    )
+    cells = cms_cells(c.events, "event_type")
     items = c.events.select("event_type").distinct()
-    probes = items.select(
-        F.col("event_type").alias("item"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.pmod(
-                            F.xxhash64(F.col("event_type"), F.lit(r)), F.lit(w)
-                        ).alias("col"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("cell"),
-    ).select("item", F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
-    return (
-        probes.join(F.broadcast(cells), ["r", "col"])
-        .groupBy("item")
-        .agg(F.min("n").alias("est"))
-    )
+    return cms_point_estimates(cells, items, "event_type")
 
 
 @REGISTRY.register(
@@ -231,32 +240,12 @@ def q_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from catenae_kafka_spark.streaming.sources import replay_events
 
-    d, w = 4, 64
-    hash_cells = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                F.pmod(F.xxhash64(F.col("event_type"), F.lit(r)), F.lit(w)).alias(
-                    "col"
-                ),
-            )
-            for r in range(d)
-        ]
-    )
-
-    def cells_of(df: DataFrame) -> DataFrame:
-        return (
-            df.select(F.explode(hash_cells).alias("cell"))
-            .groupBy(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
-            .agg(F.count("*").alias("n"))
-        )
-
     stream = replay_events(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="cks_cms_")
     state: dict[str, str | None] = {"dir": None}
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        partial = cells_of(batch_df)
+        partial = cms_cells(batch_df, "event_type")
         if state["dir"] is not None:
             partial = spark.read.parquet(state["dir"]).unionByName(partial)
         merged = partial.groupBy("r", "col").agg(F.sum("n").alias("n"))
@@ -280,14 +269,7 @@ def q_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "item string, est long")
     cells = spark.read.parquet(state["dir"])
     items = _catalog(spark, sf_dir).events.select("event_type").distinct()
-    probes = items.select(
-        F.col("event_type").alias("item"), F.explode(hash_cells).alias("cell")
-    ).select("item", F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
-    return (
-        probes.join(F.broadcast(cells), ["r", "col"])
-        .groupBy("item")
-        .agg(F.min("n").alias("est"))
-    )
+    return cms_point_estimates(cells, items, "event_type")
 
 
 @REGISTRY.register(

@@ -51,6 +51,12 @@ RUNTIME_CONF: dict[str, str] = {
     # the pinned UTC session timezone the wall-clock values are
     # identical either way, so DuckDB oracle parity is unaffected.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Default application-side scan threshold for runtime Bloom-filter
+    # injection. Listed here so tune() RESTORES it after q_join_bloom
+    # zeroes it to demonstrate the optimization at test scale —
+    # without this, every later query in the session would plan with
+    # the threshold stuck at 0.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
     # HotSpot refuses to JIT methods over 8000 bytecodes, so a generated
     # whole-stage method past that limit runs *interpreted* — measured
     # 2.3x on the 64-hash MinHash stage (27s -> 12s cold at sf0.1).

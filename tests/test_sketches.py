@@ -62,35 +62,19 @@ def test_count_min_never_underestimates_on_zipf(spark):
     (heavy collisions, unlike the 5-type fixture)."""
     import pyspark.sql.functions as F
 
+    from catenae_kafka_spark.operators.sketches import (
+        cms_cells,
+        cms_point_estimates,
+    )
+
     rows = [(f"item_{j}",) for j in range(200) for _ in range(max(1, 200 // (j + 1)))]
     df = spark.createDataFrame(rows, "event_type string")
-    d, w = 4, 64
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                F.pmod(F.xxhash64(F.col("event_type"), F.lit(r)), F.lit(w)).alias(
-                    "col"
-                ),
-            )
-            for r in range(d)
-        ]
-    )
-    cells = (
-        df.select(F.explode(arr).alias("cell"))
-        .groupBy(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
-        .agg(F.count("*").alias("n"))
-    )
-    probes = (
-        df.distinct()
-        .select(F.col("event_type").alias("item"), F.explode(arr).alias("cell"))
-        .select("item", F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
-    )
+    cells = cms_cells(df, "event_type")
     est = {
         r.item: r.est
-        for r in probes.join(cells, ["r", "col"]).groupBy("item")
-        .agg(F.min("n").alias("est"))
-        .collect()
+        for r in cms_point_estimates(
+            cells, df.distinct(), "event_type"
+        ).collect()
     }
     true = {
         r.event_type: r.n
