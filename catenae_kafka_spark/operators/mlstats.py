@@ -1,0 +1,357 @@
+"""ML-evaluation and statistical-audit operators: ROC AUC, Welch's
+t-test, Gini concentration, Markov transition matrices.
+
+The evaluation half of a training-data pipeline: once a model (or a
+labeling heuristic) scores the corpus, the engine must grade it — AUC
+against ground truth, significance tests between experiment arms,
+concentration audits over value distributions, and behavioral
+transition models. All four are exact (not sampled): the parity
+discipline is "quantize doubles to integer micro-units at the source,
+do every aggregation in exact BIGINT arithmetic, divide once at the
+end" — the final IEEE double division of exact integers is
+bit-identical across engines, so these queries hash-match the DuckDB
+oracle without tolerance hacks.
+
+Scale design: the one globally-ordered computation here (the AUC rank
+scan) uses a two-phase bucketed prefix sum — per-bucket partials, a
+tiny cumulative pass over the bucket summary (thousands of rows at any
+data size), broadcast back — so no single-partition window ever sees
+the full score distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+def _cents(col: str) -> "F.Column":
+    """Quantize a 2dp-valued DOUBLE column to exact integer cents.
+
+    ``v * 100`` is the same IEEE double in every engine, so
+    ``FLOOR(v*100 + 0.5)`` is engine-portable even when the product
+    lands at 4900.1999... — the oracle uses the identical expression.
+    """
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+@REGISTRY.register(
+    "q_auc_rank",
+    tags=("mlstats", "evaluation"),
+    oracle="""
+WITH scored AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+  FROM events
+), by_score AS (
+  SELECT s,
+         CAST(SUM(is_pos) AS BIGINT) AS p,
+         CAST(SUM(1 - is_pos) AS BIGINT) AS n
+  FROM scored GROUP BY s
+), ranked AS (
+  SELECT p, n,
+         COALESCE(SUM(n) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below
+  FROM by_score
+), tot AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(n) AS BIGINT) AS n_neg,
+         CAST(SUM(p * (2 * neg_below + n)) AS BIGINT) AS numer2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(numer2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+FROM tot
+""",
+)
+def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC by rank statistic (Mann-Whitney U): P(random positive
+    scores above random negative), ties counted half. Positives are
+    'purchase' events, the score is ``value``.
+
+    Exact at any scale: scores quantize to integer cents, pair counts
+    stay in BIGINT (concordant pairs doubled + tied pairs once), and
+    the single final division is bit-identical across engines. The
+    rank scan is a two-phase bucketed prefix sum — per-score-bucket
+    negative counts cumulate over a bucket summary of ~500 rows
+    regardless of corpus size, then broadcast back — so unlike the
+    textbook ``ORDER BY score`` window, no executor ever materializes
+    a global sort. At 100 TB the only shuffle is the groupBy(score).
+    """
+    c = catalog(spark, sf_dir)
+    scored = c.events.select(
+        _cents("value").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_pos"),
+    )
+    by_score = scored.groupBy("s").agg(
+        F.sum("is_pos").alias("p"),
+        (F.count("*") - F.sum("is_pos")).alias("n"),
+    ).withColumn("bucket", F.floor(F.col("s") / 1000))
+
+    # Phase 1: per-bucket negative totals; Phase 2: tiny cumulative
+    # window over the bucket summary (bounded by the score range, not
+    # the row count); Phase 3: broadcast offsets back, finish with a
+    # per-bucket window.
+    bucket_tot = by_score.groupBy("bucket").agg(F.sum("n").alias("bn"))
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tot.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_buckets), F.lit(0)).alias("offset"),
+    )
+    w_in_bucket = (
+        Window.partitionBy("bucket")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        by_score.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "neg_below",
+            F.col("offset")
+            + F.coalesce(F.sum("n").over(w_in_bucket), F.lit(0)),
+        )
+    )
+    tot = ranked.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+        F.sum(
+            F.col("p") * (2 * F.col("neg_below") + F.col("n"))
+        ).alias("numer2"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("numer2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+@REGISTRY.register(
+    "q_ab_ttest",
+    tags=("mlstats", "evaluation"),
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'view')
+), g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM q GROUP BY event_type
+), w AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+    MAX(CASE WHEN event_type = 'click' THEN s END) AS s1,
+    MAX(CASE WHEN event_type = 'click' THEN ss END) AS ss1,
+    MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+    MAX(CASE WHEN event_type = 'view' THEN s END) AS s2,
+    MAX(CASE WHEN event_type = 'view' THEN ss END) AS ss2
+  FROM g
+), v AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / n1 / 100.0 AS m1,
+         CAST(s2 AS DOUBLE) / n2 / 100.0 AS m2,
+         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+           / (n1 - 1) / 10000.0 AS v1,
+         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+           / (n2 - 1) / 10000.0 AS v2
+  FROM w
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       ROUND(m1 - m2, 6) AS mean_diff,
+       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+       ROUND(
+         (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+         / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+            + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS dof
+FROM v
+""",
+)
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two experiment arms
+    ('click' vs 'view' event values) with Welch-Satterthwaite degrees
+    of freedom — the decision gate of every A/B experiment readout.
+
+    One scan, one tiny two-row aggregate: counts / sums / sums-of-
+    squares accumulate in exact BIGINT cents (order-insensitive, no
+    float drift at any partition count), and the t statistic is
+    assembled on two rows of driver-free arithmetic. At 100 TB this is
+    a map-side partial agg and a 2-row exchange; for sums of squares
+    beyond ~2^63 the partials would widen to DECIMAL(38,0) — noted,
+    not needed at fixture magnitudes.
+    """
+    c = catalog(spark, sf_dir)
+    q = c.events.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type", _cents("value").alias("c")
+    )
+    g = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+
+    def pick(col: str, arm: str) -> "F.Column":
+        return F.max(F.when(F.col("event_type") == arm, F.col(col)))
+
+    w = g.agg(
+        pick("n", "click").alias("n1"),
+        pick("s", "click").alias("s1"),
+        pick("ss", "click").alias("ss1"),
+        pick("n", "view").alias("n2"),
+        pick("s", "view").alias("s2"),
+        pick("ss", "view").alias("ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1") / 100.0
+    m2 = F.col("s2").cast("double") / F.col("n2") / 100.0
+    v1 = (
+        (
+            F.col("ss1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+        )
+        / (F.col("n1") - 1)
+        / 10000.0
+    )
+    v2 = (
+        (
+            F.col("ss2").cast("double")
+            - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
+        )
+        / (F.col("n2") - 1)
+        / 10000.0
+    )
+    se1 = v1 / F.col("n1")
+    se2 = v2 / F.col("n2")
+    return w.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)),
+            4,
+        ).alias("dof"),
+    )
+
+
+@REGISTRY.register(
+    "q_gini",
+    tags=("mlstats", "audit"),
+    oracle="""
+WITH q AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY FLOOR(o_totalprice * 100 + 0.5), o_orderkey) AS rn
+  FROM orders
+), g AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s0,
+         CAST(SUM(rn * c) AS BIGINT) AS s1
+  FROM q GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       (2.0 * s1) / (CAST(n AS DOUBLE) * s0)
+         - (CAST(n AS DOUBLE) + 1.0) / n AS gini
+FROM g
+""",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per priority class — the
+    concentration audit ("do 1% of orders carry 50% of revenue?") that
+    decides whether a key distribution needs skew handling before it
+    hits a 1000-executor shuffle.
+
+    Uses the sorted-rank identity G = 2*Sum(i*x_i)/(n*Sum(x)) -
+    (n+1)/n with prices in exact cents and deterministic (value, key)
+    tie-break, so every sum is integer-exact and the closing double
+    expression — written identically in the oracle — is bit-identical.
+    The rank window partitions by priority class; at scale a heavier
+    partition would reuse the bucketed prefix-sum pattern from
+    q_auc_rank.
+    """
+    c = catalog(spark, sf_dir)
+    cents = _cents("o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy(cents, "o_orderkey")
+    q = c.orders.select(
+        "o_orderpriority",
+        cents.alias("c"),
+        F.row_number().over(w).alias("rn"),
+    )
+    g = q.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s0"),
+        F.sum(F.col("rn") * F.col("c")).alias("s1"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "n",
+        (
+            (F.lit(2.0) * F.col("s1"))
+            / (F.col("n").cast("double") * F.col("s0"))
+            - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n")
+        ).alias("gini"),
+    )
+
+
+@REGISTRY.register(
+    "q_transition_matrix",
+    tags=("mlstats", "behavior"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+)
+SELECT cur, nxt, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur) AS prob
+FROM pairs
+""",
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current event type). The behavioral
+    model behind session simulation, curriculum ordering, and anomaly
+    scoring ("a 'purchase' after 'error' is rare").
+
+    One shuffle on user_id for the lead() window (per-user partitions,
+    event-time ordered with event_id tie-break), then a 25-cell
+    aggregate; the row-count normalization is a window over at most
+    |types| partitions of |types| rows. Counts are exact, the closing
+    probability is one BIGINT division.
+    """
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = c.events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    w_cur = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_cur)).alias("prob"),
+    )

@@ -101,6 +101,7 @@ def _load_all() -> None:
         decorrelated,
         graph,
         layout,
+        mlstats,
         modern_sql,
         profiling,
         setops,

@@ -1,0 +1,79 @@
+"""Property tests for mlstats operators: reference-implementation
+parity (pandas/scipy-free closed forms) beyond the DuckDB hash gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_auc_matches_pandas_rank_reference(spark):
+    from catenae_kafka_spark.operators.mlstats import q_auc_rank
+
+    got = q_auc_rank(spark, SF).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "value"
+    ).toPandas()
+    s = np.floor(ev["value"] * 100 + 0.5)
+    y = (ev["event_type"] == "purchase").astype(int)
+    # Mann-Whitney with average ranks for ties
+    ranks = pd.Series(s).rank(method="average")
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert abs(got["auc"] - auc) < 1e-12
+    assert 0.0 <= got["auc"] <= 1.0
+
+
+def test_gini_bounds_and_pandas_reference(spark):
+    from catenae_kafka_spark.operators.mlstats import q_gini
+
+    got = q_gini(spark, SF).toPandas().set_index("o_orderpriority")["gini"]
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).toPandas()
+    orders["c"] = np.floor(orders["o_totalprice"] * 100 + 0.5)
+    for prio, grp in orders.groupby("o_orderpriority"):
+        x = np.sort(grp["c"].to_numpy())
+        n = len(x)
+        ref = (2 * np.sum((np.arange(1, n + 1)) * x)) / (n * x.sum()) - (
+            n + 1
+        ) / n
+        assert abs(got[prio] - ref) < 1e-12
+        assert 0.0 <= got[prio] < 1.0
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    from catenae_kafka_spark.operators.mlstats import q_transition_matrix
+
+    tm = q_transition_matrix(spark, SF).toPandas()
+    mass = tm.groupby("cur")["prob"].sum()
+    assert np.allclose(mass.to_numpy(), 1.0, atol=1e-12)
+    # counts conserve: total transitions = total events - users
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert tm["n"].sum() == n_events - n_users
+
+
+def test_ab_ttest_welch_reference(spark):
+    from catenae_kafka_spark.operators.mlstats import q_ab_ttest
+
+    got = q_ab_ttest(spark, SF).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "value"
+    ).toPandas()
+    c = np.floor(ev["value"] * 100 + 0.5) / 100.0
+    a = c[ev["event_type"] == "click"].to_numpy()
+    b = c[ev["event_type"] == "view"].to_numpy()
+    se = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se)
+    dof = se**2 / (
+        (a.var(ddof=1) / len(a)) ** 2 / (len(a) - 1)
+        + (b.var(ddof=1) / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["t_stat"] - round(t, 6)) < 1e-6
+    assert abs(got["dof"] - round(dof, 4)) < 1e-3
