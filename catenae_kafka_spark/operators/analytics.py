@@ -1,0 +1,141 @@
+"""Advanced analytics operators: Pareto skyline, running distinct
+counts.
+
+Both replace a naive quadratic / unbounded-memory formulation with a
+linear, shuffle-bounded decomposition:
+
+- skyline: dominance (NOT EXISTS over all pairs) becomes one sorted
+  scan with a strict running max — O(n log n) instead of O(n^2);
+- running distinct: COUNT(DISTINCT) OVER a cumulative window (which no
+  engine executes without holding the full distinct set per frame)
+  becomes a first-touch flag plus a running SUM of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.registry import REGISTRY
+
+
+@REGISTRY.register(
+    "q_skyline",
+    tags=("analytics",),
+    oracle="""
+WITH q AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         STRFTIME(o_orderdate, '%Y-%m-%d') AS order_day
+  FROM orders
+)
+SELECT r.o_orderpriority, r.o_orderkey, r.price_cents, r.order_day
+FROM q r
+WHERE NOT EXISTS (
+  SELECT 1 FROM q s
+  WHERE s.o_orderpriority = r.o_orderpriority
+    AND s.price_cents >= r.price_cents
+    AND s.order_day >= r.order_day
+    AND (s.price_cents > r.price_cents OR s.order_day > r.order_day)
+)
+""",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline per priority class: orders not dominated on
+    (price, recency) — the multi-criteria shortlist behind "best
+    candidate documents" selection when no single score exists.
+
+    The textbook definition is a quadratic NOT EXISTS (the oracle runs
+    it literally); the engine computes the identical set in one sorted
+    scan: group to per-price max day, take a strict running max of day
+    over descending price, and keep a row iff no strictly-higher price
+    reached its day AND no same-price row beats its day. Per-priority
+    windows partition the scan; a heavier dimension would reuse the
+    bucketed prefix pattern from q_auc_rank. Ties on both dimensions
+    are mutually non-dominating and all kept — same as the oracle.
+    """
+    c = catalog(spark, sf_dir)
+    q = c.orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+    per_price = q.groupBy("o_orderpriority", "price_cents").agg(
+        F.max("order_day").alias("gmax_day")
+    )
+    w_above = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("price_cents").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_prices = per_price.withColumn(
+        "max_day_above", F.max("gmax_day").over(w_above)
+    )
+    joined = q.join(
+        frontier_prices, ["o_orderpriority", "price_cents"]
+    )
+    keep = joined.filter(
+        (
+            F.col("max_day_above").isNull()
+            | (F.col("max_day_above") < F.col("order_day"))
+        )
+        & (F.col("gmax_day") <= F.col("order_day"))
+    )
+    return keep.select(
+        "o_orderpriority", "o_orderkey", "price_cents", "order_day"
+    )
+
+
+@REGISTRY.register(
+    "q_running_distinct",
+    tags=("analytics", "windows"),
+    oracle="""
+WITH firsts AS (
+  SELECT event_type, user_id,
+         MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY event_type, user_id
+), per_day AS (
+  SELECT event_type, STRFTIME(first_day, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY event_type, first_day
+)
+SELECT event_type, day, new_users,
+       CAST(SUM(new_users) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_distinct_users
+FROM per_day
+""",
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type by day — the "unique
+    users to date" curve every growth dashboard draws. COUNT(DISTINCT)
+    OVER a cumulative frame would hold the whole distinct set per
+    frame; the first-touch decomposition (each user counts only on
+    their first day, then a running SUM) is exact, one groupBy + one
+    tiny per-type window over days, and is the same trick streaming
+    uses (q_stream_distinct_users' bitmap is its unbounded cousin).
+    """
+    c = catalog(spark, sf_dir)
+    firsts = c.events.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy(
+        "event_type",
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    )

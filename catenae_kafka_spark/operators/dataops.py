@@ -161,3 +161,55 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@REGISTRY.register(
+    "q_incremental_agg",
+    tags=("dataops", "ivm"),
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / COUNT(*) / 100.0 AS avg_price
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by partial-aggregate merge: the
+    pre-aggregated base (orders before 2000-01-01) and the newly
+    arrived delta (orders after) are each reduced to mergeable
+    partials (count, sum-of-cents) and UNIONed into a re-aggregation —
+    the oracle recomputes from scratch and must match exactly.
+
+    This is the 100 TB pattern for keeping a customer-level summary
+    current without re-reading history: the base partials are
+    touched-once artifacts (in production, a stored table keyed the
+    same way), so each refresh shuffles only the delta plus one
+    partial row per affected key. avg is derived from the partials
+    (never averaged-of-averages), which is why the merge is lossless.
+    """
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    split = F.lit("2000-01-01").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("pn"), F.sum(cents).alias("ps")
+        )
+
+    base = partials(c.orders.filter(F.col("o_orderdate") < split))
+    delta = partials(c.orders.filter(F.col("o_orderdate") >= split))
+    merged = base.unionByName(delta).groupBy("o_custkey").agg(
+        F.sum("pn").alias("n_orders"), F.sum("ps").alias("total_cents")
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        "total_cents",
+        (
+            F.col("total_cents").cast("double") / F.col("n_orders") / 100.0
+        ).alias("avg_price"),
+    )

@@ -170,3 +170,51 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("psum"), 4).alias("sum_value"),
         F.round(F.sum("psum") / F.sum("pn"), 6).alias("avg_value"),
     )
+
+
+@REGISTRY.register(
+    "q_skew_report",
+    tags=("skew", "dataops"),
+    oracle="""
+WITH per_key AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_key_rows,
+       quantile_cont(n, 0.5) AS p50_key_rows,
+       quantile_cont(n, 0.99) AS p99_key_rows,
+       CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+         AS skew_ratio
+FROM per_key
+""",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew audit — the diagnostic you run BEFORE
+    pointing a 1000-executor shuffle at a key: per-key row counts
+    reduced to max / avg / p50 / p99 and a max-over-mean skew ratio.
+    A ratio near 1 means hash partitioning balances; >>1 means the
+    hot key needs salting (q_join_salted) or AQE skew splitting.
+
+    Two-phase: per-key counts are a map-side-combined groupBy; the
+    summary aggregates the (distinct-key-sized, not row-sized) count
+    table. Exact percentiles over BIGINT counts interpolate with the
+    same R-7 rule in Spark (`percentile`) and DuckDB (`quantile_cont`),
+    so the audit hash-matches.
+    """
+    c = catalog(spark, sf_dir)
+    per_key = c.lineitem.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        (F.sum("n").cast("double") / F.count("*")).alias("avg_key_rows"),
+        F.expr("percentile(n, 0.5)").alias("p50_key_rows"),
+        F.expr("percentile(n, 0.99)").alias("p99_key_rows"),
+        (
+            F.max("n").cast("double")
+            / (F.sum("n").cast("double") / F.count("*"))
+        ).alias("skew_ratio"),
+    )

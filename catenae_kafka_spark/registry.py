@@ -97,6 +97,7 @@ def _load_all() -> None:
     from catenae_kafka_spark.operators import projection  # noqa: F401
     from catenae_kafka_spark.sources import scans  # noqa: F401
     from catenae_kafka_spark.operators import (  # noqa: F401
+        analytics,
         dataops,
         decorrelated,
         graph,
