@@ -16,7 +16,7 @@ SQL, so the driver hash-checks real numeric parity, not just shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
@@ -209,3 +209,103 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.count("*").alias("n_triangles"),
     )
+
+
+@REGISTRY.register(
+    "q_bfs_khop",
+    tags=("graph",),
+    oracle="""
+WITH RECURSIVE baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), weighted AS (
+  SELECT a.p_brand AS u, b.p_brand AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+), top_edges AS (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn
+    FROM weighted
+  ) WHERE rn <= 40
+), sym AS (
+  SELECT u, v FROM top_edges UNION ALL SELECT v, u FROM top_edges
+), seed AS (
+  SELECT u AS node FROM (
+    SELECT u, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn
+    FROM weighted
+  ) WHERE rn = 1
+), walk AS (
+  SELECT node, 0 AS d FROM seed
+  UNION ALL
+  SELECT s.v, w.d + 1
+  FROM walk w JOIN sym s ON s.u = w.node
+  WHERE w.d < 2
+)
+SELECT node, CAST(MIN(d) AS INT) AS dist
+FROM walk GROUP BY node
+""",
+)
+def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (k = 2 hops) from a seed node over the brand
+    co-purchase graph, returning each reachable node's minimum hop
+    distance — the reachability kernel behind contamination spread,
+    citation expansion, and dedup-cluster neighborhood queries.
+
+    The seed is the heaviest edge's endpoint (deterministic
+    (weight, u, v) rank), so the walk is non-trivial at every scale
+    factor without a hard-coded node name.
+
+    Frontier-expansion shape: each round joins the CURRENT frontier
+    (never the accumulated visited set) against the symmetrized edge
+    list, then one min-dist groupBy folds the new frontier in. At
+    scale the edge list is the big side, partitioned by source node;
+    the frontier is rounds-bounded and broadcastable; k rounds = k
+    keyed shuffles, the same schedule Pregel-style systems run. The
+    graph is sparsified to the top-40 heaviest edges by deterministic
+    (weight, u, v) rank, so sparsity is data-size-independent. The
+    oracle is the identical walk as a depth-bounded recursive CTE.
+    """
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
+    weighted = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    w_rank = Window.orderBy(F.col("w").desc(), "u", "v")
+    top_edges = (
+        weighted.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 40)
+        .select("u", "v")
+    )
+    sym = top_edges.unionByName(
+        top_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+
+    seed = (
+        weighted.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(F.col("u").alias("node"), F.lit(0).alias("d"))
+    )
+    dist = seed
+    frontier = dist
+    for depth in (1, 2):
+        neighbors = (
+            F.broadcast(frontier.select(F.col("node").alias("u")))
+            .join(sym, "u")
+            .select(F.col("v").alias("node"), F.lit(depth).alias("d"))
+            .distinct()
+        )
+        dist = (
+            dist.unionByName(neighbors)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        frontier = dist.filter(F.col("d") == depth)
+    return dist.select("node", F.col("d").cast("int").alias("dist"))

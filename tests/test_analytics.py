@@ -79,3 +79,12 @@ def test_incremental_agg_invariant_to_split_date(spark):
             .sort_index()
         )
         assert merged.equals(full), split
+
+
+def test_bfs_khop_distances_are_valid(spark):
+    from catenae_kafka_spark.operators.graph import q_bfs_khop
+
+    d = q_bfs_khop(spark, SF).toPandas()
+    assert (d["dist"] == 0).sum() == 1  # exactly one seed
+    assert d["dist"].between(0, 2).all()
+    assert d["node"].is_unique
