@@ -879,3 +879,66 @@ def q_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(p_ts, fmt).alias("purchase_ts"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_stream_anomaly",
+    tags=("streaming", "stateful"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) - 1 AS n_prev,
+         COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev,
+         COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                      * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ss_prev
+  FROM events
+), flagged AS (
+  SELECT user_id,
+         CASE WHEN n_prev >= 10
+                   AND (CAST(ss_prev AS DOUBLE)
+                        - CAST(s_prev AS DOUBLE) * s_prev / n_prev)
+                       / (n_prev - 1) > 0
+                   AND (c - CAST(s_prev AS DOUBLE) / n_prev)
+                       * (c - CAST(s_prev AS DOUBLE) / n_prev)
+                     > 9.0 * (CAST(ss_prev AS DOUBLE)
+                              - CAST(s_prev AS DOUBLE) * s_prev / n_prev)
+                           / (n_prev - 1)
+              THEN 1 ELSE 0 END AS is_anomaly
+  FROM seq
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies
+FROM flagged GROUP BY user_id
+""",
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming prequential anomaly detection: each event is z-scored
+    against the user's running mean/variance BEFORE the event, state
+    folded across micro-batches via applyInPandasWithState (four exact
+    BIGINT counters per user). Order-dependent by construction — the
+    oracle replays the identical fold as exclusive prefix sums over
+    the event-time order, exact to the bit because every float derives
+    from the same integer sums. Update mode emits cumulative counters
+    per (user, batch); the max-n_events row per user is the final
+    answer."""
+    from pyspark.sql import Window
+
+    from catenae_kafka_spark.streaming.stateful import streaming_anomaly
+
+    stream = replay_events(spark, sf_dir)
+    updates = run_available_now(
+        streaming_anomaly(stream), "update", _name("anomaly")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "n_anomalies")
+    )

@@ -315,3 +315,64 @@ def funnel_state_machine(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = "user_id long, n_events long, n_anomalies long"
+ANOMALY_STATE_SCHEMA = "n long, s long, ss long, anomalies long"
+ANOMALY_WARMUP = 10
+
+
+def streaming_anomaly(events: DataFrame) -> DataFrame:
+    """Per-user prequential z-score anomaly detector: each event is
+    scored against the running mean/variance of the user's PRIOR
+    events (Welford-style via exact integer sums), then folded into
+    the state. Inherently order-dependent — the same value is normal
+    early (wide prior) and anomalous late (tight prior) — so no
+    builtin aggregate expresses it.
+
+    Parity discipline: values quantize to integer cents, state is
+    exact BIGINT (n, sum, sum-of-squares, anomaly count), and the
+    mean/variance floats are derived from exact integers with the
+    same expression shape as the DuckDB oracle — bit-identical, no
+    tolerance. State per key is four longs; the only shuffle is the
+    groupBy(user_id).
+    """
+    warmup = ANOMALY_WARMUP
+
+    def anomaly_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s, ss, anomalies = state.get if state.exists else (0, 0, 0, 0)
+        import math
+
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for v in pdf["value"]:
+                c = int(math.floor(float(v) * 100 + 0.5))
+                if n >= warmup:
+                    mean = float(s) / n
+                    var = (float(ss) - float(s) * s / n) / (n - 1)
+                    diff = c - mean
+                    if var > 0 and diff * diff > 9.0 * var:
+                        anomalies += 1
+                n += 1
+                s += c
+                ss += c * c
+        state.update((n, s, ss, anomalies))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_anomalies": [anomalies],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        anomaly_fn,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

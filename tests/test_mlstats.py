@@ -77,3 +77,39 @@ def test_ab_ttest_welch_reference(spark):
     assert got["n_a"] == len(a) and got["n_b"] == len(b)
     assert abs(got["t_stat"] - round(t, 6)) < 1e-6
     assert abs(got["dof"] - round(dof, 4)) < 1e-3
+
+
+def test_stream_anomaly_matches_pandas_fold(spark):
+    """The streaming prequential fold must equal a sequential pandas
+    replay of the same integer-state recurrence."""
+    import math
+
+    from catenae_kafka_spark.streaming.queries import q_stream_anomaly
+
+    got = (
+        q_stream_anomaly(spark, SF)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    for uid, grp in ev.groupby("user_id"):
+        n = s = ss = anom = 0
+        for v in grp["value"]:
+            c = int(math.floor(float(v) * 100 + 0.5))
+            if n >= 10:
+                mean = float(s) / n
+                var = (float(ss) - float(s) * s / n) / (n - 1)
+                d = c - mean
+                if var > 0 and d * d > 9.0 * var:
+                    anom += 1
+            n += 1
+            s += c
+            ss += c * c
+        assert got.loc[uid, "n_events"] == n
+        assert got.loc[uid, "n_anomalies"] == anom, uid
