@@ -139,3 +139,62 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_distinct_users"),
     )
+
+
+@REGISTRY.register(
+    "q_impute_group_mean",
+    tags=("analytics", "cleaning"),
+    oracle="""
+WITH holes AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS c
+  FROM events
+), grp AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(COUNT(c) AS BIGINT) AS n
+  FROM holes GROUP BY event_type
+)
+SELECT h.event_id, h.event_type,
+       h.c IS NULL AS was_imputed,
+       COALESCE(CAST(h.c AS DOUBLE),
+                CAST(g.s AS DOUBLE) / g.n) / 100.0 AS value_filled
+FROM holes h JOIN grp g ON h.event_type = g.event_type
+""",
+)
+def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation — the baseline missing-value repair in
+    feature pipelines: nulls (deterministically punched into every
+    13th event so the oracle sees identical holes) are filled with the
+    non-null mean of the row's event_type group.
+
+    Two-phase: per-group (sum, count) partials in exact cents, then a
+    broadcast join back — the corpus never shuffles, only the
+    group-count-sized mean table moves. COUNT(c) counting only
+    non-null values is the load-bearing semantic; the mean derives
+    from exact integers so the filled value hash-matches."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    holes = c.events.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("long"))
+        .otherwise(cents)
+        .alias("c"),
+    )
+    grp = holes.groupBy("event_type").agg(
+        F.sum("c").alias("s"), F.count("c").alias("n")
+    )
+    return holes.join(F.broadcast(grp), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("c").isNull().alias("was_imputed"),
+        (
+            F.coalesce(
+                F.col("c").cast("double"),
+                F.col("s").cast("double") / F.col("n"),
+            )
+            / 100.0
+        ).alias("value_filled"),
+    )

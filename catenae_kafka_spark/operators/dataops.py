@@ -213,3 +213,98 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_cents").cast("double") / F.col("n_orders") / 100.0
         ).alias("avg_price"),
     )
+
+
+@REGISTRY.register(
+    "q_k_anonymity",
+    tags=("dataops", "privacy"),
+    oracle="""
+WITH qid AS (
+  SELECT n_name,
+         STRFTIME(o_orderdate, '%Y') AS order_year,
+         o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS grp_n
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, STRFTIME(o_orderdate, '%Y'), o_orderpriority
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(grp_n) AS BIGINT) AS k_anonymity,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_5,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM qid
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation, order
+    year, priority): the smallest equivalence-class size IS the
+    dataset's k, plus how many classes (and rows) fall below a k=5
+    release threshold. The gate run before any per-customer slice of a
+    corpus is shared: a group of 1 re-identifies a person.
+
+    Shape: one groupBy on the quasi-identifiers (dims broadcast onto
+    the fact table), then a class-count-sized summary — identical to
+    the skew audit's two-phase profile, because k-anonymity IS a skew
+    question (the risky keys are the rare ones, not the hot ones)."""
+    c = catalog(spark, sf_dir)
+    qid = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(c.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+            "o_orderpriority",
+        )
+        .agg(F.count("*").alias("grp_n"))
+    )
+    below = F.col("grp_n") < 5
+    return qid.agg(
+        F.count("*").alias("n_groups"),
+        F.min("grp_n").alias("k_anonymity"),
+        F.sum(below.cast("long")).alias("groups_below_5"),
+        F.sum(F.when(below, F.col("grp_n")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+    )
+
+
+@REGISTRY.register(
+    "q_lineage_files",
+    tags=("dataops", "lineage"),
+    oracle="""
+SELECT 'orders.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders
+""",
+)
+def q_lineage_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level lineage: attach the physical source file to every row
+    (input_file_name) and profile per-file row/key counts — the
+    provenance primitive behind partial-reprocessing ("which files fed
+    this bad aggregate?") and ingest auditing. Zero-shuffle until the
+    per-file rollup; at 100 TB the file count, not the row count,
+    bounds the result. Paths normalize to basenames so the audit is
+    location-relocatable; the fixture stores each table as one file,
+    so the oracle pins the expected basename literally."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.orders.withColumn(
+            "file_name",
+            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1),
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )

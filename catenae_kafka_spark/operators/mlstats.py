@@ -355,3 +355,66 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w_cur)).alias("prob"),
     )
+
+
+@REGISTRY.register(
+    "q_zipf_fit",
+    tags=("mlstats", "text"),
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM words WHERE word <> '' GROUP BY word
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk
+  FROM counts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       ROUND(regr_slope(LN(CAST(n AS DOUBLE)),
+                        LN(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+       ROUND(regr_r2(LN(CAST(n AS DOUBLE)),
+                     LN(CAST(rnk AS DOUBLE))), 4) AS fit_r2
+FROM ranked WHERE rnk <= 500
+""",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: regress log(count)
+    on log(rank) for the top-500 words — slope near -1 is the
+    signature of natural language, and a flat or broken slope is the
+    cheapest corpus-health alarm there is (template spam flattens it,
+    truncation bends it).
+
+    Word counts aggregate exactly; ranking is deterministic under ties
+    via (count desc, word), and the top-500 selection is two-phase so
+    the global window never sees the vocabulary: each of 64 hash
+    buckets keeps its local top-500 (partitioned window), and only the
+    <=32k survivors reach the final rank — any word in the true global
+    top-500 is in its bucket's top-500, so the prune is lossless. The
+    regression then runs over a fixed 500-row set, so the float
+    reduction is tiny and 4dp rounding absorbs summation-order jitter.
+    One shuffle for the word count, one scalar out."""
+    c = catalog(spark, sf_dir)
+    counts = (
+        c.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w_bucket = Window.partitionBy(
+        F.crc32(F.col("word")) % 64
+    ).orderBy(F.col("n").desc(), "word")
+    candidates = counts.withColumn(
+        "_brn", F.row_number().over(w_bucket)
+    ).filter(F.col("_brn") <= 500)
+    w = Window.orderBy(F.col("n").desc(), "word")
+    ranked = candidates.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 500
+    )
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_words"),
+        F.round(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_r), 4).alias("fit_r2"),
+    )

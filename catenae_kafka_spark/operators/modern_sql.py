@@ -155,3 +155,34 @@ def q_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       GROUP BY user_id % 10
     """)
+
+
+_FILTER_CLAUSE_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+         AS n_discounted,
+       CAST(COUNT(*) FILTER (WHERE l_quantity >= 30) AS BIGINT) AS n_bulk,
+       ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
+         AS rev_tax_free,
+       CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
+            AS BIGINT) AS n_supp_f
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@REGISTRY.register(
+    "q_agg_filter_clause",
+    tags=("sql", "aggregation"),
+    oracle=_FILTER_CLAUSE_SQL,
+)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER clause — per-aggregate predicates in one
+    pass (the standard form of the CASE-WHEN conditional-agg idiom,
+    including the FILTER + DISTINCT combination no CASE rewrite
+    expresses cleanly). The same SQL text runs on Spark and DuckDB —
+    dialect-shared, so the oracle IS the query. One scan, one shuffle,
+    map-side partials for every filtered aggregate."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_FILTER_CLAUSE_SQL)
