@@ -198,3 +198,51 @@ def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("value_filled"),
     )
+
+
+@REGISTRY.register(
+    "q_wow_growth",
+    tags=("analytics", "timeseries"),
+    oracle="""
+WITH weekly AS (
+  SELECT event_type,
+         STRFTIME(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('week', ts)
+)
+SELECT event_type, week_start, n,
+       LAG(n) OVER (PARTITION BY event_type ORDER BY week_start)
+         AS prev_n,
+       CASE WHEN LAG(n) OVER (
+              PARTITION BY event_type ORDER BY week_start) IS NULL
+            THEN NULL
+            ELSE CAST(n AS DOUBLE) / LAG(n) OVER (
+              PARTITION BY event_type ORDER BY week_start) - 1.0
+       END AS wow_growth
+FROM weekly
+""",
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth rate per event type — the trend readout
+    behind every ingest/usage dashboard. Weekly counts are exact; the
+    growth ratio is one BIGINT division per row; the lag window runs
+    over |types| x |weeks| rows, never the event table. Monday-start
+    ISO weeks (Spark date_trunc('week') and DuckDB agree)."""
+    c = catalog(spark, sf_dir)
+    weekly = c.events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "week_start",
+        "n",
+        prev.alias("prev_n"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("n").cast("double") / prev - 1.0)
+        .alias("wow_growth"),
+    )

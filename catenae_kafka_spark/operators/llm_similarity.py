@@ -395,3 +395,82 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(F.round(F.avg("comp"), 4).alias("c"))
     )
+
+
+@REGISTRY.register(
+    "q_embed_quantize",
+    tags=("similarity", "compression"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, label,
+         list_max(list_transform(v, x -> ABS(x))) / 127.0 AS scale, v
+  FROM e
+)
+SELECT vec_id, label,
+       ROUND(scale, 6) AS scale,
+       ROUND(list_max(list_transform(v,
+         x -> ABS(x - FLOOR(x / scale + 0.5) * scale))), 6)
+         AS max_abs_err,
+       CAST(list_max(list_transform(v,
+         x -> ABS(FLOOR(x / scale + 0.5)))) AS BIGINT) AS max_code
+FROM scaled
+""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage/bandwidth compression step before ANN indexes ship to a
+    serving tier: per-vector scale = max|x|/127, codes =
+    round(x/scale), plus the per-vector reconstruction-error audit
+    that decides whether int8 is safe for this corpus.
+
+    Entirely JVM-side higher-order array functions (transform /
+    array_max) — no UDF, no shuffle, map-only at any scale. Parity:
+    float32 widens to double exactly, quantization uses the explicit
+    FLOOR(x/scale + 0.5) form (engine-portable round-half-up, unlike
+    ROUND whose half-tie rule differs between engines), and each
+    output row derives from its own vector only — no cross-row float
+    accumulation anywhere.
+
+    Engine gotcha, found the hard way: the error expressions must be
+    computed BEFORE any projection re-aliases a rounded value back to
+    the name ``scale`` — Spark's lateral column alias resolution makes
+    a later expression in the same SELECT see the new alias, silently
+    quantizing against the 6dp-rounded scale."""
+    c = catalog(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scaled = c.embeddings.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        (
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0
+        ).alias("scale"),
+    )
+    code = lambda x: F.floor(x / F.col("scale") + 0.5)  # noqa: E731
+    computed = scaled.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.array_max(
+            F.transform(
+                F.col("v"),
+                lambda x: F.abs(x - code(x) * F.col("scale")),
+            )
+        ).alias("raw_err"),
+        F.array_max(
+            F.transform(F.col("v"), lambda x: F.abs(code(x)))
+        )
+        .cast("long")
+        .alias("max_code"),
+    )
+    return computed.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.round("raw_err", 6).alias("max_abs_err"),
+        "max_code",
+    )

@@ -418,3 +418,93 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
         F.round(F.regr_r2(ln_n, ln_r), 4).alias("fit_r2"),
     )
+
+
+@REGISTRY.register(
+    "q_changepoint",
+    tags=("mlstats", "timeseries"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         ROW_NUMBER() OVER w AS t,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS s_t,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id) AS BIGINT) AS s_n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), scored AS (
+  SELECT user_id, t AS split_idx, n,
+         (CAST(t AS DOUBLE) * (n - t) / n)
+           * (CAST(s_t AS DOUBLE) / t - CAST(s_n - s_t AS DOUBLE) / (n - t))
+           * (CAST(s_t AS DOUBLE) / t - CAST(s_n - s_t AS DOUBLE) / (n - t))
+           AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY (CAST(t AS DOUBLE) * (n - t) / n)
+             * (CAST(s_t AS DOUBLE) / t - CAST(s_n - s_t AS DOUBLE) / (n - t))
+             * (CAST(s_t AS DOUBLE) / t - CAST(s_n - s_t AS DOUBLE) / (n - t))
+             DESC, t
+         ) AS rn
+  FROM seq WHERE t < n
+)
+SELECT user_id, split_idx, n AS n_events,
+       ROUND(score / 10000.0, 6) AS score
+FROM scored WHERE rn = 1
+""",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per user series: the split index
+    maximizing the between-segment variance n_l*n_r/n * (mean_l -
+    mean_r)^2 — the exact-search core of CUSUM/binary-segmentation
+    ("when did this user's behavior change?").
+
+    Every candidate split scores from one pass of prefix sums in exact
+    cents (per-user windows, event-time ordered, event_id tie-break);
+    the argmax is a second per-user window with deterministic (score
+    desc, t) tie-break. Scores are identical doubles from identical
+    integers in both engines, so even the argmax ordering hash-matches.
+    Per-key series keep the windows partitioned; an extreme single-user
+    series would reuse the bucketed prefix pattern from q_auc_rank."""
+    c = catalog(spark, sf_dir)
+    cents = _cents("value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    seq = c.events.select(
+        "user_id",
+        cents.alias("c"),
+        F.row_number().over(w).alias("t"),
+        F.sum(cents)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s_t"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum(cents).over(w_all).alias("s_n"),
+    )
+    mean_l = F.col("s_t").cast("double") / F.col("t")
+    mean_r = (F.col("s_n") - F.col("s_t")).cast("double") / (
+        F.col("n") - F.col("t")
+    )
+    score = (
+        F.col("t").cast("double")
+        * (F.col("n") - F.col("t"))
+        / F.col("n")
+        * (mean_l - mean_r)
+        * (mean_l - mean_r)
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        score.desc(), "t"
+    )
+    scored = (
+        seq.filter(F.col("t") < F.col("n"))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w_best))
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("t").alias("split_idx"),
+        F.col("n").alias("n_events"),
+        F.round(F.col("score") / 10000.0, 6).alias("score"),
+    )
