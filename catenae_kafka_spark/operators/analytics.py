@@ -246,3 +246,69 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n").cast("double") / prev - 1.0)
         .alias("wow_growth"),
     )
+
+
+@REGISTRY.register(
+    "q_top_share",
+    tags=("analytics", "concentration"),
+    oracle="""
+WITH q AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY FLOOR(o_totalprice * 100 + 0.5) DESC, o_orderkey
+         ) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY o_orderpriority) AS BIGINT) AS s
+  FROM orders
+)
+SELECT o_orderpriority,
+       n,
+       CAST(CEIL(n * 0.01) AS BIGINT) AS top_k,
+       CAST(SUM(c) AS BIGINT) AS top_cents,
+       CAST(SUM(c) AS DOUBLE) / ANY_VALUE(s) AS top_share
+FROM q
+WHERE rn <= CEIL(n * 0.01)
+GROUP BY o_orderpriority, n
+""",
+)
+def q_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1% revenue share per priority class — the Lorenz-curve
+    point that pairs with q_gini: "how much of the money sits in the
+    top percentile of orders?" High concentration changes caching,
+    sampling, and skew strategy for the key.
+
+    One per-class rank window with deterministic (price desc, key)
+    tie-break; all sums in exact cents; the share is one division of
+    exact BIGINTs. The rank partitions by class; an extreme class
+    reuses the bucketed prefix pattern."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(
+        cents.desc(), "o_orderkey"
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    q = c.orders.select(
+        "o_orderpriority",
+        cents.alias("c"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum(cents).over(w_all).alias("s"),
+    )
+    return (
+        q.filter(F.col("rn") <= F.ceil(F.col("n") * 0.01))
+        .groupBy("o_orderpriority", "n")
+        .agg(
+            F.ceil(F.first("n") * 0.01).cast("long").alias("top_k"),
+            F.sum("c").alias("top_cents"),
+            (
+                F.sum("c").cast("double") / F.first("s")
+            ).alias("top_share"),
+        )
+        .select(
+            "o_orderpriority", "n", "top_k", "top_cents", "top_share"
+        )
+    )

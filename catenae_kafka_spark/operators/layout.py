@@ -164,3 +164,52 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         "value",
     )
+
+
+@REGISTRY.register(
+    "q_partition_prune",
+    tags=("layout", "pruning"),
+    oracle="""
+SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events
+WHERE event_type = 'click'
+GROUP BY STRFTIME(ts, '%Y-%m-%d')
+""",
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning end to end: write events
+    partitioned by event_type (the layout a 100 TB event table ships
+    with), then read back ONE partition — the filter must resolve at
+    planning time to a directory listing, never a data scan of the
+    other partitions. Proven at runtime, not just asserted in a plan
+    test: every file feeding the result must come from the
+    ``event_type=click`` directory (input_file_name check, computed
+    distributively and reduced to one offending-file count).
+
+    The rollup after the prune aggregates exact cents per day, so the
+    oracle (a WHERE on the unpartitioned source) certifies the
+    partitioned copy is content-complete for the selected key."""
+    import os as _os
+
+    from catenae_kafka_spark.sources.scans import _work_dir
+
+    c = catalog(spark, sf_dir)
+    base = _os.path.join(_work_dir(sf_dir, "partlayout"), "by_type")
+    ev = c.events.select("event_id", "ts", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    pruned = spark.read.parquet(base).filter(
+        F.col("event_type") == "click"
+    )
+    offenders = (
+        pruned.select(F.input_file_name().alias("f"))
+        .filter(~F.col("f").contains("event_type=click"))
+        .count()
+    )
+    assert offenders == 0, "partition pruning read a non-matching file"
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return pruned.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))

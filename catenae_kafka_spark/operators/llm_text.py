@@ -645,3 +645,77 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lists.filter(F.col("doc_freq").between(2, 400)).select(
         "term", F.col("doc_freq").cast("long").alias("doc_freq"), "posting_list"
     )
+
+
+@REGISTRY.register(
+    "q_vocab_coverage",
+    tags=("text", "tokenizer"),
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM words WHERE word <> '' GROUP BY word
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts
+)
+SELECT k,
+       CAST((SELECT SUM(n) FROM ranked WHERE rnk <= k) AS BIGINT)
+         AS covered,
+       (SELECT total FROM tot) AS total,
+       CAST((SELECT SUM(n) FROM ranked WHERE rnk <= k) AS DOUBLE)
+         / (SELECT total FROM tot) AS coverage
+FROM (SELECT unnest([10, 100, 1000]) AS k)
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    occurrences do the top-10 / top-100 / top-1000 words cover? The
+    sizing question every tokenizer/vocab design starts from (a
+    heavy-head curve means a small vocab suffices; a flat one means
+    byte-fallback will fire constantly).
+
+    Exact integer counts end to end. The top-k rank reuses the
+    lossless two-phase hash-bucket prune (per-bucket top-k, then a
+    global window over the <=64k survivors) so no window ever sees the
+    full vocabulary; the three coverage points come from one ranked
+    pass."""
+    from pyspark.sql import Window
+
+    c = catalog(spark, sf_dir)
+    counts = (
+        c.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    max_k = 1000
+    w_bucket = Window.partitionBy(F.crc32(F.col("word")) % 64).orderBy(
+        F.col("n").desc(), "word"
+    )
+    candidates = counts.withColumn(
+        "_brn", F.row_number().over(w_bucket)
+    ).filter(F.col("_brn") <= max_k)
+    w_rank = Window.orderBy(F.col("n").desc(), "word")
+    ranked = candidates.withColumn("rnk", F.row_number().over(w_rank)).filter(
+        F.col("rnk") <= max_k
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    per_k = (
+        F.broadcast(ks)
+        .join(ranked, ranked.rnk <= ks.k)
+        .groupBy("k")
+        .agg(F.sum("n").alias("covered"))
+    )
+    return per_k.crossJoin(F.broadcast(total)).select(
+        "k",
+        "covered",
+        "total",
+        (F.col("covered").cast("double") / F.col("total")).alias(
+            "coverage"
+        ),
+    )
