@@ -378,3 +378,58 @@ def test_round3_new_ops_plan_shapes(spark):
     # side never shuffles for any of the 6 edges
     plan = plan_of(q_ri_audit(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 6
+
+
+def test_session_continuation_ops_plan_shapes(spark):
+    """Scale-shape audit for this session's additions: each docstring's
+    100 TB claim pinned as a physical-plan property."""
+    from catenae_kafka_spark.operators.analytics import (
+        q_impute_group_mean,
+        q_skyline,
+    )
+    from catenae_kafka_spark.operators.dataops import (
+        q_incremental_agg,
+        q_k_anonymity,
+    )
+    from catenae_kafka_spark.operators.graph import q_bfs_khop
+    from catenae_kafka_spark.operators.llm_similarity import q_embed_quantize
+    from catenae_kafka_spark.operators.mlstats import q_auc_rank
+
+    # AUC: the bucket-offset side is broadcast; the only wide exchange
+    # is the groupBy(score) — never a single-partition window over the
+    # event table (the raw table reaches no partition-less Window).
+    plan = plan_of(q_auc_rank(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    # group-mean imputation: the mean table broadcasts back; the events
+    # table itself never shuffles (no row-payload exchange: every
+    # Exchange in the plan feeds the tiny aggregate/broadcast side).
+    plan = plan_of(q_impute_group_mean(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # skyline: sorted-scan form, no quadratic join anywhere
+    plan = plan_of(q_skyline(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # k-anonymity: both dims broadcast onto the fact table
+    plan = plan_of(q_k_anonymity(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+    # IVM merge: partial aggs below the union, final agg above —
+    # two-phase all the way (partial_count/partial_sum markers)
+    plan = plan_of(q_incremental_agg(spark, SF))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+    # BFS: frontier joins are broadcast every round
+    plan = plan_of(q_bfs_khop(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # int8 quantization: map-only — no Exchange at all in the plan
+    plan = plan_of(q_embed_quantize(spark, SF))
+    assert "Exchange" not in plan
