@@ -312,3 +312,86 @@ def q_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority", "n", "top_k", "top_cents", "top_share"
         )
     )
+
+
+@REGISTRY.register(
+    "q_target_encode",
+    tags=("analytics", "features"),
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), grp AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s
+  FROM base GROUP BY user_id
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN g.n > 1
+            THEN CAST(g.s - b.c AS DOUBLE) / (g.n - 1) / 100.0
+       END AS loo_mean
+FROM base b JOIN grp g ON b.user_id = g.user_id
+""",
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of user_id against the value
+    target — the feature-engineering staple that replaces a high-
+    cardinality categorical with the target mean EXCLUDING the row
+    itself (naive group means leak the label into the feature; LOO
+    subtracts the row's own contribution: (sum - y_i)/(n - 1)).
+
+    Two-phase like the imputation op: per-key (sum, count) partials in
+    exact cents, broadcast back, map-side arithmetic — the event table
+    never shuffles, and singleton keys yield NULL (no leak-free
+    encoding exists for them) rather than a fabricated value."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = c.events.select("event_id", "user_id", cents.alias("c"))
+    grp = base.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("c").alias("s")
+    )
+    return base.join(F.broadcast(grp), "user_id").select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("c")).cast("double")
+            / (F.col("n") - 1)
+            / 100.0,
+        ).alias("loo_mean"),
+    )
+
+
+@REGISTRY.register(
+    "q_rare_collapse",
+    tags=("analytics", "features"),
+    oracle="""
+WITH counts AS (
+  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY p_type
+), mapped AS (
+  SELECT CASE WHEN c.n >= 100 THEN p.p_type ELSE '__other__' END
+           AS category
+  FROM part p JOIN counts c ON p.p_type = c.p_type
+)
+SELECT category, CAST(COUNT(*) AS BIGINT) AS n
+FROM mapped GROUP BY category
+""",
+)
+def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapse: part types seen fewer than 100 times
+    fold into '__other__' — the cardinality-control step before
+    one-hot/embedding layers (unbounded tails blow up feature dims and
+    overfit). Category counts broadcast back onto the table; the
+    collapse is a map-side CASE; the final distribution is a second
+    tiny aggregate. The fact table never shuffles."""
+    c = catalog(spark, sf_dir)
+    counts = c.part.groupBy("p_type").agg(F.count("*").alias("n"))
+    mapped = c.part.join(F.broadcast(counts), "p_type").select(
+        F.when(F.col("n") >= 100, F.col("p_type"))
+        .otherwise("__other__")
+        .alias("category")
+    )
+    return mapped.groupBy("category").agg(F.count("*").alias("n"))

@@ -508,3 +508,59 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         F.round(F.col("score") / 10000.0, 6).alias("score"),
     )
+
+
+@REGISTRY.register(
+    "q_calibration_bins",
+    tags=("mlstats", "evaluation"),
+    oracle="""
+WITH scored AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), ext AS (
+  SELECT MAX(c) AS mx FROM scored
+), binned AS (
+  SELECT LEAST(CAST(FLOOR(c * 10.0 / (mx + 1)) AS BIGINT), 9) AS bin,
+         c, y
+  FROM scored CROSS JOIN ext
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100.0 AS mean_score,
+       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
+FROM binned GROUP BY bin
+""",
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table: scores bucketed into 10 equal-
+    width bins, each reporting mean score vs observed positive rate —
+    the companion readout to q_auc_rank (AUC says the ranking is good;
+    calibration says the probabilities mean what they claim).
+
+    The score range comes from a 1-row broadcast extremum, binning is
+    a map-side expression, and both per-bin means divide exact BIGINT
+    sums — one scan, one 10-row aggregate at any scale."""
+    c = catalog(spark, sf_dir)
+    scored = c.events.select(
+        _cents("value").alias("c"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    ext = scored.agg(F.max("c").alias("mx"))
+    binned = scored.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor(F.col("c") * 10.0 / (F.col("mx") + 1)).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+        "c",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        (F.sum("c").cast("double") / F.count("*") / 100.0).alias(
+            "mean_score"
+        ),
+        (F.sum("y").cast("double") / F.count("*")).alias("pos_rate"),
+    )
