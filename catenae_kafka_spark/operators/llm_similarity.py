@@ -474,3 +474,130 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw_err", 6).alias("max_abs_err"),
         "max_code",
     )
+
+
+@REGISTRY.register(
+    "q_cluster_quality",
+    tags=("llm", "similarity", "evaluation"),
+    oracle="""
+WITH comp AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS comp
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, AVG(CAST(comp AS DOUBLE)) AS c
+  FROM comp GROUP BY label, pos
+), vecd AS (
+  SELECT v.vec_id, v.label,
+         SQRT(SUM((CAST(v.comp AS DOUBLE) - cent.c)
+                  * (CAST(v.comp AS DOUBLE) - cent.c))) AS d
+  FROM (
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) AS pos,
+           unnest(embedding) AS comp
+    FROM embeddings
+  ) v
+  JOIN cent ON v.label = cent.label AND v.pos = cent.pos
+  GROUP BY v.vec_id, v.label
+), coh AS (
+  SELECT label,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(d) AS cohesion
+  FROM vecd GROUP BY label
+), cdist AS (
+  SELECT a.label AS l1, b.label AS l2,
+         SQRT(SUM((a.c - b.c) * (a.c - b.c))) AS d
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+  GROUP BY a.label, b.label
+), sep AS (
+  SELECT l1 AS label, l2 AS nearest_label, d AS separation
+  FROM (
+    SELECT l1, l2, d,
+           ROW_NUMBER() OVER (PARTITION BY l1 ORDER BY d, l2) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+)
+SELECT coh.label, coh.n,
+       ROUND(coh.cohesion, 4) AS cohesion,
+       sep.nearest_label,
+       ROUND(sep.separation, 4) AS separation,
+       ROUND(coh.cohesion / sep.separation, 4) AS quality_ratio
+FROM coh JOIN sep ON coh.label = sep.label
+""",
+)
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit over the labeled embedding space: per
+    label, mean distance of members to their own centroid (cohesion)
+    vs distance to the nearest other centroid (separation), and their
+    ratio — a Davies-Bouldin-style health check (<1 = compact,
+    well-separated; >1 = the label bleeds into a neighbor) for
+    auto-labeled / clustered corpora.
+
+    Scale shape: centroids are the posexplode two-phase avg of
+    q_embed_centroids (shuffle width = labels x dim), per-vector
+    distances join the centroid table BROADCAST on (label, pos) so
+    the exploded corpus never shuffles, and the centroid-pair matrix
+    is labels^2 rows — driver-free throughout. Distances are rounded
+    at 4dp — same float-avg tolerance discipline as the centroid op."""
+    c = catalog(spark, sf_dir)
+    comp = c.embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(_as_double("embedding")).alias("pos0", "comp"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "comp")
+    cent = comp.groupBy("label", "pos").agg(F.avg("comp").alias("cc"))
+    vecd = (
+        comp.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("comp") - F.col("cc"))
+                    * (F.col("comp") - F.col("cc"))
+                )
+            ).alias("d")
+        )
+    )
+    coh = vecd.groupBy("label").agg(
+        F.count("*").alias("n"), F.avg("d").alias("cohesion")
+    )
+    a = cent.select(
+        F.col("label").alias("l1"), "pos", F.col("cc").alias("c1")
+    )
+    b = cent.select(
+        F.col("label").alias("l2"), "pos", F.col("cc").alias("c2")
+    )
+    cdist = (
+        a.join(b, "pos")
+        .filter(F.col("l1") != F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("c1") - F.col("c2"))
+                    * (F.col("c1") - F.col("c2"))
+                )
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("l1").orderBy("d", "l2")
+    sep = (
+        cdist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l1").alias("label"),
+            F.col("l2").alias("nearest_label"),
+            F.col("d").alias("separation"),
+        )
+    )
+    return coh.join(sep, "label").select(
+        "label",
+        "n",
+        F.round("cohesion", 4).alias("cohesion"),
+        "nearest_label",
+        F.round("separation", 4).alias("separation"),
+        F.round(F.col("cohesion") / F.col("separation"), 4).alias(
+            "quality_ratio"
+        ),
+    )
