@@ -186,3 +186,29 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials for every filtered aggregate."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@REGISTRY.register(
+    "q_group_by_all",
+    tags=("sql", "aggregation"),
+    oracle=_GROUP_BY_ALL_SQL,
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL — the modern shorthand that infers
+    grouping keys from the non-aggregate select list (no more
+    positional GROUP BY 1,2 drift when columns are added). The same
+    SQL text runs unchanged on Spark 4 and DuckDB; the plan is the
+    ordinary two-phase hash aggregate."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_GROUP_BY_ALL_SQL)

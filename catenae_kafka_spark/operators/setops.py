@@ -147,3 +147,39 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("okey")
     )
     return a.exceptAll(b)
+
+
+@REGISTRY.register(
+    "q_union_by_name",
+    tags=("setop",),
+    oracle="""
+SELECT name, nationkey, acctbal FROM (
+  SELECT c_name AS name, c_nationkey AS nationkey, NULL AS acctbal
+  FROM customer
+  UNION ALL BY NAME
+  SELECT s_acctbal AS acctbal, s_name AS name, s_nationkey AS nationkey
+  FROM supplier
+)
+""",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union BY NAME with schema widening: the two sides present their
+    columns in different orders and the customer side lacks acctbal —
+    positional UNION would silently misalign (or reject); name-based
+    union aligns by column name and null-fills the missing column
+    (``allowMissingColumns``). DuckDB's UNION ALL BY NAME is the exact
+    dialect twin. The everyday guard when appending heterogeneous
+    extracts of an evolving schema."""
+    c = catalog(spark, sf_dir)
+    cust = c.customer.select(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    supp = c.supplier.select(
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True).select(
+        "name", "nationkey", "acctbal"
+    )
