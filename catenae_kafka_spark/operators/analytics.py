@@ -395,3 +395,214 @@ def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("category")
     )
     return mapped.groupBy("category").agg(F.count("*").alias("n"))
+
+
+@REGISTRY.register(
+    "q_spc_control_chart",
+    tags=("analytics", "monitoring"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, STRFTIME(ts, '%Y-%m-%d')
+), stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS ss
+  FROM daily GROUP BY event_type
+), lim AS (
+  SELECT event_type, n_days,
+         CAST(s AS DOUBLE) / n_days AS mu,
+         SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+              / (n_days - 1)) AS sd
+  FROM stats
+)
+SELECT d.event_type, d.day, d.n,
+       ROUND(l.mu, 4) AS center,
+       ROUND(l.mu - 3 * l.sd, 4) AS lcl,
+       ROUND(l.mu + 3 * l.sd, 4) AS ucl,
+       d.n < l.mu - 3 * l.sd OR d.n > l.mu + 3 * l.sd AS out_of_control
+FROM daily d JOIN lim l ON d.event_type = l.event_type
+""",
+)
+def q_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart control chart over daily event volumes: per-type
+    center line and 3-sigma control limits, each day flagged in or out
+    of control — the statistical-process-control view of pipeline
+    health (a day outside the limits means the INGEST changed, not
+    just the traffic).
+
+    Daily counts and their sums of squares stay in exact BIGINTs; mu
+    and sigma derive once per type (a days-count-sized table,
+    broadcast back onto the daily series); the flag is a map-side
+    comparison of identically-computed doubles."""
+    c = catalog(spark, sf_dir)
+    daily = c.events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n_days")
+    sd = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n_days")
+        )
+        / (F.col("n_days") - 1)
+    )
+    lim = stats.select("event_type", mu.alias("mu"), sd.alias("sd"))
+    j = daily.join(F.broadcast(lim), "event_type")
+    return j.select(
+        "event_type",
+        "day",
+        "n",
+        F.round("mu", 4).alias("center"),
+        F.round(F.col("mu") - 3 * F.col("sd"), 4).alias("lcl"),
+        F.round(F.col("mu") + 3 * F.col("sd"), 4).alias("ucl"),
+        (
+            (F.col("n") < F.col("mu") - 3 * F.col("sd"))
+            | (F.col("n") > F.col("mu") + 3 * F.col("sd"))
+        ).alias("out_of_control"),
+    )
+
+
+@REGISTRY.register(
+    "q_dp_noisy_count",
+    tags=("analytics", "privacy"),
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events GROUP BY event_type
+), noised AS (
+  SELECT event_type, true_n,
+         CAST(('0x' || substr(md5(event_type || ':dp-seed-42'), 1, 13))
+              ::BIGINT AS DOUBLE) / 4503599627370496.0 - 0.5 AS u
+  FROM counts
+)
+SELECT event_type,
+       ROUND(true_n + (CASE WHEN u >= 0 THEN -1.0 ELSE 1.0 END)
+             * LN(1.0 - 2.0 * ABS(u)), 4) AS noisy_n
+FROM noised
+""",
+)
+def q_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (epsilon = 1, sensitivity
+    1): Laplace(1) noise added to each category count via inverse-CDF
+    sampling over a uniform in (-0.5, 0.5).
+
+    The uniform draw is derived from md5 of a keyed seed — md5 is the
+    one hash both engines share bit-for-bit (xxhash64 / DuckDB hash
+    are not portable), which makes the release deterministic and
+    oracle-checkable; a production release swaps that single `u`
+    expression for a secure RNG draw, keeping the mechanism,
+    sensitivity bookkeeping, and map-side shape unchanged. The 13 hex
+    digits give 52 uniform bits, exactly a double's mantissa."""
+    c = catalog(spark, sf_dir)
+    counts = c.events.groupBy("event_type").agg(
+        F.count("*").alias("true_n")
+    )
+    # Engine-portable uniform in (-0.5, 0.5): first 13 md5 hex digits
+    # (52 bits) of the keyed seed, scaled. md5 is identical in both
+    # engines, unlike xxhash64/hash.
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_type"), F.lit(":dp-seed-42"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**13))
+        - 0.5
+    )
+    noise = (
+        F.when(u >= 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return counts.select(
+        "event_type",
+        F.round(F.col("true_n") + noise, 4).alias("noisy_n"),
+    )
+
+
+@REGISTRY.register(
+    "q_metric_decomposition",
+    tags=("analytics", "bi"),
+    oracle="""
+WITH per AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 0 ELSE 1 END
+           AS period,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+), wide AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN period = 0 THEN n END) AS n0,
+         MAX(CASE WHEN period = 0 THEN rev END) AS rev0,
+         MAX(CASE WHEN period = 1 THEN n END) AS n1,
+         MAX(CASE WHEN period = 1 THEN rev END) AS rev1
+  FROM per GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n0, n1, rev0, rev1,
+       rev1 - rev0 AS delta_cents,
+       ROUND((n1 - n0) * (CAST(rev0 AS DOUBLE) / n0) / 100.0, 4)
+         AS volume_effect,
+       ROUND(n1 * (CAST(rev1 AS DOUBLE) / n1
+                   - CAST(rev0 AS DOUBLE) / n0) / 100.0, 4)
+         AS price_effect
+FROM wide
+""",
+)
+def q_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of a period-over-period revenue
+    change: delta = (count change x old average) + (new count x
+    average change) — the BI explainer that turns "revenue moved" into
+    "how much was more orders vs bigger orders". The two effects sum
+    to the delta exactly by construction.
+
+    One groupBy over (class, period), a 2-row-per-class pivot, and
+    map-side arithmetic from exact cent sums — no second scan, no
+    window, no shuffle beyond the first aggregate."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    split = F.lit("2000-01-01").cast("timestamp")
+    per = c.orders.groupBy(
+        "o_orderpriority",
+        F.when(F.col("o_orderdate") < split, 0).otherwise(1).alias(
+            "period"
+        ),
+    ).agg(F.count("*").alias("n"), F.sum(cents).alias("rev"))
+
+    def pick(col: str, p: int) -> "F.Column":
+        return F.max(F.when(F.col("period") == p, F.col(col)))
+
+    wide = per.groupBy("o_orderpriority").agg(
+        pick("n", 0).alias("n0"),
+        pick("rev", 0).alias("rev0"),
+        pick("n", 1).alias("n1"),
+        pick("rev", 1).alias("rev1"),
+    )
+    avg0 = F.col("rev0").cast("double") / F.col("n0")
+    avg1 = F.col("rev1").cast("double") / F.col("n1")
+    return wide.select(
+        "o_orderpriority",
+        "n0",
+        "n1",
+        "rev0",
+        "rev1",
+        (F.col("rev1") - F.col("rev0")).alias("delta_cents"),
+        F.round((F.col("n1") - F.col("n0")) * avg0 / 100.0, 4).alias(
+            "volume_effect"
+        ),
+        F.round(F.col("n1") * (avg1 - avg0) / 100.0, 4).alias(
+            "price_effect"
+        ),
+    )

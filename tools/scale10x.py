@@ -55,6 +55,13 @@ HEADLINE = [
     "q_rolling_median",       # O(k)-bounded frame collect, one keyed shuffle
     "q_ngram_lm",             # pair space bounded by vocab^2, not corpus
     "q_sample_exact_k",       # TakeOrdered: O(k x partitions) movement
+    # session-continuation scale-path ops
+    "q_auc_rank",             # bucketed prefix sum, no global sort window
+    "q_skyline",              # dominance as sorted scan, not O(n^2)
+    "q_target_encode",        # broadcast partials, fact never shuffles
+    "q_embed_quantize",       # map-only higher-order array ops
+    "q_incremental_agg",      # partial-agg merge (IVM refresh shape)
+    "q_bfs_khop",             # k broadcast frontier rounds
 ]
 
 # measured at sf0.1 only: the exact-complete set-similarity/fuzzy ops'
