@@ -606,3 +606,59 @@ def q_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_effect"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_attribution_touch",
+    tags=("analytics", "attribution"),
+    oracle="""
+SELECT event_id, user_id,
+       first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS first_touch,
+       last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                  IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS last_touch,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS revenue_cents
+FROM events
+QUALIFY event_type = 'purchase'
+""",
+)
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch marketing attribution: every purchase is
+    credited to the user's first-ever and most-recent preceding
+    non-purchase interaction — the two canonical attribution models,
+    computed in ONE pass (most implementations self-join per model).
+
+    One per-user event-time window with a strictly-preceding frame;
+    IGNORE NULLS first/last over a conditional projection picks the
+    touches without a second scan. Purchases with no prior touch
+    attribute to NULL (organic) — semantics the oracle's QUALIFY form
+    states identically. Revenue stays in exact cents."""
+    c = catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    return (
+        c.events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )

@@ -564,3 +564,99 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum("y").cast("double") / F.count("*")).alias("pos_rate"),
     )
+
+
+@REGISTRY.register(
+    "q_acf_daily",
+    tags=("mlstats", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), lagged AS (
+  SELECT d.event_type, lags.lag AS lag_d, d.c AS x,
+         LAG(d.c, lags.lag) OVER (
+           PARTITION BY d.event_type, lags.lag ORDER BY d.day) AS y
+  FROM daily d CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) lags
+), pairs AS (
+  SELECT event_type, lag_d,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM lagged WHERE y IS NOT NULL
+  GROUP BY event_type, lag_d
+)
+SELECT event_type, lag_d, n,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+             6) AS acf
+FROM pairs
+""",
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1-3 per
+    event type — the seasonality probe run before choosing a
+    forecasting window or a streaming watermark horizon (high lag-7
+    ACF means weekly cycles; near-zero means the series is noise).
+
+    Daily sums are exact cents; each lag's Pearson correlation is
+    assembled from six BIGINT power sums in one aggregate, so the
+    final expression is the same double in both engines. The lag
+    window partitions by (type, lag) over day-count-sized series; the
+    lag fan-out is a 3-row broadcast cross join."""
+    c = catalog(spark, sf_dir)
+    cents = _cents("value")
+    daily = c.events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents).alias("c"))
+    # Spark's lag() needs a literal offset (the oracle's lateral
+    # lag-by-column has no DataFrame twin) — build the three lags
+    # explicitly and union, keeping the plan a per-lag window each.
+    parts = []
+    for k in (1, 2, 3):
+        wk = Window.partitionBy("event_type").orderBy("day")
+        parts.append(
+            daily.select(
+                "event_type",
+                F.lit(k).alias("lag_d"),
+                F.col("c").alias("x"),
+                F.lag("c", k).over(wk).alias("y"),
+            )
+        )
+    lagged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    pairs = (
+        lagged.filter(F.col("y").isNotNull())
+        .groupBy("event_type", "lag_d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return pairs.select(
+        "event_type",
+        "lag_d",
+        "n",
+        F.round(num / den, 6).alias("acf"),
+    )
