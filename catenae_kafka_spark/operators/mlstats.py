@@ -660,3 +660,333 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / den, 6).alias("acf"),
     )
+
+
+@REGISTRY.register(
+    "q_ks_statistic",
+    tags=("mlstats", "evaluation"),
+    oracle="""
+WITH scored AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS s,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+  FROM events WHERE event_type IN ('click', 'view')
+), by_score AS (
+  SELECT s, CAST(SUM(a) AS BIGINT) AS na,
+         CAST(SUM(1 - a) AS BIGINT) AS nb
+  FROM scored GROUP BY s
+), cum AS (
+  SELECT s,
+         CAST(SUM(na) OVER (ORDER BY s) AS BIGINT) AS ca,
+         CAST(SUM(nb) OVER (ORDER BY s) AS BIGINT) AS cb,
+         CAST(SUM(na) OVER () AS BIGINT) AS ta,
+         CAST(SUM(nb) OVER () AS BIGINT) AS tb
+  FROM by_score
+), gap AS (
+  SELECT s, ABS(ca * tb - cb * ta) AS cross_gap, ta, tb,
+         ROW_NUMBER() OVER (
+           ORDER BY ABS(ca * tb - cb * ta) DESC, s) AS rn
+  FROM cum
+)
+SELECT ta AS n_a, tb AS n_b, s AS ks_at_score,
+       CAST(cross_gap AS DOUBLE) / (ta * tb) AS ks_stat
+FROM gap WHERE rn = 1
+""",
+)
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    view value distributions: max |F_a(s) - F_b(s)| over the merged
+    score domain, plus the score where the gap peaks — the
+    distribution-shift test behind drift monitors and A/A checks.
+
+    Fully exact: the sup-gap compares integer CROSS-PRODUCTS
+    (|ca*tb - cb*ta|) so the argmax needs no division at all, ties
+    break on the score, and the single closing division is the only
+    float. Cumulative counts ride the same bucketed-prefix pattern as
+    q_auc_rank at scale; here the distinct-cents domain bounds the
+    window."""
+    c = catalog(spark, sf_dir)
+    scored = c.events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        _cents("value").alias("s"),
+        (F.col("event_type") == "click").cast("long").alias("a"),
+    )
+    by_score = scored.groupBy("s").agg(
+        F.sum("a").alias("na"),
+        (F.count("*") - F.sum("a")).alias("nb"),
+    )
+    w_cum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = by_score.select(
+        "s",
+        F.sum("na").over(w_cum).alias("ca"),
+        F.sum("nb").over(w_cum).alias("cb"),
+        F.sum("na").over(w_all).alias("ta"),
+        F.sum("nb").over(w_all).alias("tb"),
+    )
+    gap = cum.select(
+        "s",
+        "ta",
+        "tb",
+        F.abs(
+            F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")
+        ).alias("cross_gap"),
+    )
+    w_best = Window.orderBy(F.col("cross_gap").desc(), "s")
+    return (
+        gap.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ta").alias("n_a"),
+            F.col("tb").alias("n_b"),
+            F.col("s").alias("ks_at_score"),
+            (
+                F.col("cross_gap").cast("double")
+                / (F.col("ta") * F.col("tb"))
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_gains_deciles",
+    tags=("mlstats", "evaluation"),
+    oracle="""
+WITH scored AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS s,
+         event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), ranked AS (
+  SELECT y, NTILE(10) OVER (ORDER BY s DESC, event_id) AS decile
+  FROM scored
+), tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS tp, CAST(COUNT(*) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) AS DOUBLE) / (SELECT tp FROM tot) AS pos_share,
+       (CAST(SUM(y) AS DOUBLE) / COUNT(*))
+         / (CAST((SELECT tp FROM tot) AS DOUBLE) / (SELECT tn FROM tot))
+         AS lift
+FROM ranked GROUP BY decile
+""",
+)
+def q_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table: rank by score descending, cut into deciles,
+    report each decile's share of all positives and its lift over the
+    base rate — the campaign-targeting readout ("calling the top 10%
+    captures 31% of buyers, 3.1x lift").
+
+    NTILE over a deterministic (score desc, id) order; positives and
+    counts stay integer; both ratios divide exact BIGINTs. The global
+    NTILE is the one rank scan — at scale it becomes the bucketed
+    prefix-sum (rank = offset + within-bucket rank) exactly as in
+    q_auc_rank."""
+    c = catalog(spark, sf_dir)
+    scored = c.events.select(
+        _cents("value").alias("s"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    w = Window.orderBy(F.col("s").desc(), "event_id")
+    ranked = scored.select("y", F.ntile(10).over(w).alias("decile"))
+    tot = scored.agg(
+        F.sum("y").alias("tp"), F.count("*").alias("tn")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("n_pos"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("tp")).alias(
+                "pos_share"
+            ),
+            (
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("tp").cast("double") / F.col("tn"))
+            ).alias("lift"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_psi_drift",
+    tags=("mlstats", "monitoring"),
+    oracle="""
+WITH scored AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END
+           AS period
+  FROM events
+), ext AS (
+  SELECT MAX(c) AS mx FROM scored
+), binned AS (
+  SELECT LEAST(CAST(FLOOR(c * 10.0 / (mx + 1)) AS BIGINT), 9) AS bin,
+         period
+  FROM scored CROSS JOIN ext
+), per AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(SUM(period) AS BIGINT) AS n1
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(n0) AS BIGINT) AS t0, CAST(SUM(n1) AS BIGINT) AS t1
+  FROM per
+)
+SELECT bin, n0, n1,
+       ROUND((GREATEST(CAST(n1 AS DOUBLE) / t1, 0.000001)
+              - GREATEST(CAST(n0 AS DOUBLE) / t0, 0.000001))
+             * LN(GREATEST(CAST(n1 AS DOUBLE) / t1, 0.000001)
+                  / GREATEST(CAST(n0 AS DOUBLE) / t0, 0.000001)),
+             6) AS psi_term
+FROM per CROSS JOIN tot
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    period, per score bin (sum the column for the headline PSI; >0.2
+    is the conventional "investigate" threshold) — the standard drift
+    monitor between a model's training distribution and live traffic.
+
+    Bin populations are exact integers from one pass; each PSI term is
+    (p1-p0)*ln(p1/p0) of exactly-derived proportions, rounded 6dp to
+    absorb the engines' last-ulp ln() difference. Emitted per-bin
+    rather than pre-summed so the monitor can localize WHERE the
+    distribution moved."""
+    c = catalog(spark, sf_dir)
+    scored = c.events.select(
+        _cents("value").alias("c"),
+        F.when(
+            F.to_date("ts") < F.lit("2024-01-16").cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    ext = scored.agg(F.max("c").alias("mx"))
+    binned = scored.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor(F.col("c") * 10.0 / (F.col("mx") + 1)).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+        "period",
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum("period").alias("n1"),
+    )
+    tot = per.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    # epsilon-smoothed proportions: the conventional guard for bins
+    # empty in one period (PSI is undefined at p = 0); mirrored in the
+    # oracle so the smoothing itself is hash-checked
+    p0 = F.greatest(
+        F.col("n0").cast("double") / F.col("t0"), F.lit(0.000001)
+    )
+    p1 = F.greatest(
+        F.col("n1").cast("double") / F.col("t1"), F.lit(0.000001)
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n0",
+        "n1",
+        F.round((p1 - p0) * F.log(p1 / p0), 6).alias("psi_term"),
+    )
+
+
+@REGISTRY.register(
+    "q_survival_km",
+    tags=("mlstats", "survival"),
+    oracle="""
+WITH spans AS (
+  SELECT user_id,
+         DATEDIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           AS t,
+         CASE WHEN MAX(CAST(ts AS DATE)) >= DATE '2024-01-28'
+              THEN 1 ELSE 0 END AS censored
+  FROM events GROUP BY user_id
+), per_t AS (
+  SELECT t,
+         CAST(SUM(1 - censored) AS BIGINT) AS d,
+         CAST(SUM(censored) AS BIGINT) AS c
+  FROM spans GROUP BY t
+), risk AS (
+  SELECT t, d, c,
+         CAST((SELECT COUNT(*) FROM spans) AS BIGINT)
+           - CAST(COALESCE(SUM(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM per_t
+)
+SELECT t AS t_days, n_at_risk, d AS n_deaths, c AS n_censored,
+       ROUND(EXP(SUM(LN(CAST(n_at_risk - d AS DOUBLE) / n_at_risk))
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)), 6) AS survival
+FROM risk
+""",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user retention: "time to
+    churn" is the span from a user's first to last event, users still
+    active near the window's end (last seen on/after Jan 28) are
+    right-CENSORED — they leave the risk set without counting as
+    churn, which is the entire point of KM over a naive churn-rate
+    curve.
+
+    Per-user spans are one groupBy; the risk set at each day is an
+    exclusive prefix sum of exact integer (death + censor) counts; the
+    product-limit estimator runs as exp(running sum of ln survival
+    factors) over the <=31-row day table — a textbook log-domain
+    running product, 6dp-rounded to absorb last-ulp ln() differences.
+    At 100 TB only the per-user groupBy touches the data."""
+    c = catalog(spark, sf_dir)
+    spans = c.events.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+        ).alias("t"),
+        F.when(
+            F.max(F.to_date("ts"))
+            >= F.lit("2024-01-28").cast("date"),
+            1,
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    per_t = spans.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    n_total = spans.count()
+    w_before = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_t.withColumn(
+        "n_at_risk",
+        F.lit(n_total)
+        - F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(w_before), F.lit(0)
+        ),
+    )
+    surv = F.exp(
+        F.sum(
+            F.log(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk")
+            )
+        ).over(w_cum)
+    )
+    return risk.select(
+        F.col("t").alias("t_days"),
+        "n_at_risk",
+        F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        F.round(surv, 6).alias("survival"),
+    )
