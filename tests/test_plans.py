@@ -433,3 +433,27 @@ def test_session_continuation_ops_plan_shapes(spark):
     # int8 quantization: map-only — no Exchange at all in the plan
     plan = plan_of(q_embed_quantize(spark, SF))
     assert "Exchange" not in plan
+
+
+def test_no_cartesian_product_in_any_registered_batch_query(spark):
+    """Engine-wide invariant: NO registered batch query may plan a
+    CartesianProduct — the one join shape that cannot survive 100 TB.
+    Intentional all-pairs baselines are explicitly whitelisted so a
+    new offender fails loudly rather than hiding among them."""
+    from catenae_kafka_spark.registry import all_specs
+
+    WHITELIST = {
+        "q_knn_cosine",  # brute-force baseline: documented all-pairs
+    }
+    offenders = []
+    for name, spec in sorted(all_specs().items()):
+        if "streaming" in spec.tags or name in WHITELIST:
+            continue
+        try:
+            plan = plan_of(spec.fn(spark, SF))
+        except Exception as e:  # building must never fail either
+            offenders.append(f"{name}: build error {e}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
