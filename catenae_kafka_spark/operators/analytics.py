@@ -662,3 +662,63 @@ def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .drop("event_type")
     )
+
+
+@REGISTRY.register(
+    "q_winsorize",
+    tags=("analytics", "cleaning"),
+    oracle="""
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), bounds AS (
+  SELECT event_type,
+         quantile_cont(c, 0.05) AS lo,
+         quantile_cont(c, 0.95) AS hi
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type,
+       ROUND(q.c / 100.0, 2) AS value,
+       ROUND(LEAST(GREATEST(CAST(q.c AS DOUBLE), b.lo), b.hi) / 100.0, 4)
+         AS winsorized,
+       q.c < b.lo OR q.c > b.hi AS was_clipped
+FROM q JOIN bounds b ON q.event_type = b.event_type
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at the 5th/95th percentile per event type — the
+    outlier-taming transform used before mean-based features or losses
+    (unlike trimming, every row survives; the tails just flatten to
+    the fence values).
+
+    Group fences come from one exact-percentile aggregate over integer
+    cents (R-7 interpolation, identical in both engines) and broadcast
+    back; the clip is a map-side LEAST/GREATEST — the event table
+    never shuffles."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    q = c.events.select(
+        "event_id", "event_type", cents.alias("c")
+    )
+    bounds = q.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.05)").alias("lo"),
+        F.expr("percentile(c, 0.95)").alias("hi"),
+    )
+    j = q.join(F.broadcast(bounds), "event_type")
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("c") / 100.0, 2).alias("value"),
+        F.round(
+            F.least(
+                F.greatest(F.col("c").cast("double"), F.col("lo")),
+                F.col("hi"),
+            )
+            / 100.0,
+            4,
+        ).alias("winsorized"),
+        ((F.col("c") < F.col("lo")) | (F.col("c") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )

@@ -990,3 +990,121 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_censored"),
         F.round(surv, 6).alias("survival"),
     )
+
+
+# Poisson(1) inverse-CDF breakpoints (cumulative e^{-1}/k! sums).
+# Written as decimal literals so BOTH engines parse the identical
+# doubles — the bootstrap weights are then bit-reproducible.
+_POIS_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+@REGISTRY.register(
+    "q_bootstrap_ci",
+    tags=("mlstats", "evaluation"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), rep AS (
+  SELECT b.b, base.c,
+         CAST(('0x' || substr(md5(base.event_id || ':' || b.b || ':boot'),
+                              1, 13))::BIGINT AS DOUBLE)
+           / 4503599627370496.0 AS u
+  FROM base CROSS JOIN (SELECT unnest(range(20)) AS b) b
+), weighted AS (
+  SELECT b, c,
+         CASE WHEN u < {_POIS_CUM[0]} THEN 0
+              WHEN u < {_POIS_CUM[1]} THEN 1
+              WHEN u < {_POIS_CUM[2]} THEN 2
+              WHEN u < {_POIS_CUM[3]} THEN 3
+              WHEN u < {_POIS_CUM[4]} THEN 4
+              WHEN u < {_POIS_CUM[5]} THEN 5
+              WHEN u < {_POIS_CUM[6]} THEN 6
+              ELSE 7 END AS w
+  FROM rep
+), means AS (
+  SELECT b,
+         CAST(SUM(w * c) AS DOUBLE) / SUM(w) / 100.0 AS m
+  FROM weighted GROUP BY b HAVING SUM(w) > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       ROUND(AVG(m), 4) AS boot_mean,
+       ROUND(quantile_cont(m, 0.025), 4) AS ci_lo,
+       ROUND(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM means
+""",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean purchase value via
+    the POISSON bootstrap — the one-pass distributed formulation
+    (each row independently draws a Poisson(1) replication weight per
+    replicate; no sampling-with-replacement pass over the data, no
+    global index). 20 replicates, percentile CI.
+
+    The Poisson draw inverts a shared-literal CDF table against an
+    md5-derived uniform, so every weight is bit-reproducible in both
+    engines (fact 21: md5 is the only portable hash). Replicate sums
+    stay in exact BIGINT cents; the CI percentiles interpolate 20
+    exact means with the shared R-7 rule. At 100 TB the explode
+    multiplies the scan by B, but the shuffle carries only B rows of
+    partials — the classic bandwidth/latency trade of the method."""
+    c = catalog(spark, sf_dir)
+    base = c.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", _cents("value").alias("c")
+    )
+    rep = base.select(
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("b"),
+        "event_id",
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "", F.col("event_id").cast("string"),
+                        F.lit(":"), F.col("b").cast("string"),
+                        F.lit(":boot"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**52))
+    )
+    w_expr = F.lit(7)
+    for k in range(6, -1, -1):
+        w_expr = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(
+            w_expr
+        )
+    weighted = rep.select("b", "c", w_expr.alias("w"))
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            (
+                F.col("swc").cast("double") / F.col("sw") / 100.0
+            ).alias("m")
+        )
+    )
+    return means.agg(
+        F.count("*").alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )
