@@ -113,3 +113,65 @@ def test_stream_anomaly_matches_pandas_fold(spark):
             ss += c * c
         assert got.loc[uid, "n_events"] == n
         assert got.loc[uid, "n_anomalies"] == anom, uid
+
+
+def test_ks_statistic_bounds_and_scipy_free_reference(spark):
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_ks_statistic
+
+    got = q_ks_statistic(spark, SF).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    a = np.sort(np.floor(ev.loc[ev.event_type == "click", "value"] * 100 + 0.5))
+    b = np.sort(np.floor(ev.loc[ev.event_type == "view", "value"] * 100 + 0.5))
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    ks = np.abs(fa - fb).max()
+    assert abs(got["ks_stat"] - ks) < 1e-12
+    assert 0.0 <= got["ks_stat"] <= 1.0
+
+
+def test_survival_km_is_monotone_nonincreasing(spark):
+    from catenae_kafka_spark.operators.mlstats import q_survival_km
+
+    km = q_survival_km(spark, SF).toPandas().sort_values("t_days")
+    s = km["survival"].to_numpy()
+    assert (s[1:] <= s[:-1] + 1e-12).all()
+    assert (s > 0).all() and (s <= 1.0).all()
+    # risk-set bookkeeping: deaths+censored along the curve = all users
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert (km["n_deaths"] + km["n_censored"]).sum() == n_users
+
+
+def test_bootstrap_ci_brackets_the_sample_mean(spark):
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_bootstrap_ci
+
+    got = q_bootstrap_ci(spark, SF).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    mean = (
+        np.floor(ev.loc[ev.event_type == "purchase", "value"] * 100 + 0.5)
+        / 100.0
+    ).mean()
+    assert got["ci_lo"] <= got["ci_hi"]
+    assert got["ci_lo"] <= mean <= got["ci_hi"]
+    assert got["n_replicates"] == 20
+
+
+def test_winsorize_only_moves_tails(spark):
+    from catenae_kafka_spark.operators.analytics import q_winsorize
+
+    w = q_winsorize(spark, SF).toPandas()
+    clipped = w[w["was_clipped"]]
+    kept = w[~w["was_clipped"]]
+    assert (kept["winsorized"] == kept["value"].round(4)).all()
+    assert len(clipped) > 0
+    # ~10% of rows clipped at p5/p95 fences
+    assert 0.02 < len(clipped) / len(w) < 0.2
