@@ -719,3 +719,50 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_pii_scan",
+    tags=("text", "privacy"),
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))
+         AS BIGINT) AS n_emails,
+       CAST(SUM(LEN(regexp_extract_all(text, '[0-9]{6,}')))
+         AS BIGINT) AS n_long_digit_runs,
+       CAST(SUM(CASE WHEN LEN(regexp_extract_all(text, '[0-9]{6,}')) > 0
+                     OR LEN(regexp_extract_all(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_docs
+FROM documents GROUP BY source
+""",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-release scan: count email addresses and long digit runs
+    (phone/account-number proxies) per corpus source, plus how many
+    documents are flagged at all — the audit gate before a corpus
+    leaves a trust boundary, and the targeting input for a redaction
+    pass (q_pseudonymize handles structured ids; this catches PII
+    embedded in free text).
+
+    Pure map-side regex extraction (JVM, codegen'd) into a
+    source-count-sized aggregate; patterns are simple enough to parse
+    identically under Java regex and DuckDB's RE2. On the synthetic
+    corpus matches are rare-to-zero — the audit PROVES absence, which
+    is exactly its production job."""
+    c = catalog(spark, sf_dir)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    digits = r"[0-9]{6,}"
+    n_email = F.size(F.regexp_extract_all("text", F.lit(email)))
+    n_digit = F.size(F.regexp_extract_all("text", F.lit(digits)))
+    return c.documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_email).alias("n_emails"),
+        F.sum(n_digit).alias("n_long_digit_runs"),
+        F.sum(
+            ((n_email > 0) | (n_digit > 0)).cast("long")
+        ).alias("n_flagged_docs"),
+    )

@@ -1108,3 +1108,79 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
         F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
     )
+
+
+@REGISTRY.register(
+    "q_chi_square",
+    tags=("mlstats", "evaluation"),
+    oracle="""
+WITH obs AS (
+  SELECT event_type, DAYOFWEEK(ts) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, DAYOFWEEK(ts)
+), marg AS (
+  SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_n FROM obs
+  GROUP BY event_type
+), marg2 AS (
+  SELECT dow, CAST(SUM(o) AS BIGINT) AS col_n FROM obs GROUP BY dow
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs
+), terms AS (
+  SELECT obs.event_type, obs.dow, obs.o,
+         CAST(marg.row_n AS DOUBLE) * marg2.col_n / tot.n AS e
+  FROM obs
+  JOIN marg ON obs.event_type = marg.event_type
+  JOIN marg2 ON obs.dow = marg2.dow
+  CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+       CAST((SELECT COUNT(*) - 1 FROM marg)
+            * (SELECT COUNT(*) - 1 FROM marg2) AS BIGINT) AS dof
+FROM terms
+""",
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and
+    day-of-week — "does behavior depend on the weekday?", the
+    categorical-association sibling of q_ab_ttest.
+
+    Observed counts are exact; expected counts derive from broadcast
+    row/column marginals (the contingency table is |types| x 7, so
+    every join side is tiny); the statistic sums 35 identically-
+    computed doubles, rounded 6dp. Spark's dayofweek and DuckDB's
+    DAYOFWEEK agree on 1=Sunday numbering."""
+    c = catalog(spark, sf_dir)
+    obs = c.events.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    marg = obs.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    marg2 = obs.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    n_rows = marg.count()
+    n_cols = marg2.count()
+    terms = (
+        obs.join(F.broadcast(marg), "event_type")
+        .join(F.broadcast(marg2), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (
+                F.col("row_n").cast("double")
+                * F.col("col_n")
+                / F.col("n")
+            ).alias("e"),
+        )
+    )
+    return terms.agg(
+        F.count("*").alias("n_cells"),
+        F.round(
+            F.sum(
+                (F.col("o") - F.col("e"))
+                * (F.col("o") - F.col("e"))
+                / F.col("e")
+            ),
+            6,
+        ).alias("chi2"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
+    )

@@ -376,3 +376,49 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(schema)
         .load(out)
     )
+
+
+@REGISTRY.register(
+    "q_scan_text",
+    tags=("source", "format"),
+    oracle="""
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words
+FROM documents
+""",
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-format round-trip (``spark.read.text`` — the format
+    every raw-corpus ingest starts from): documents stage to
+    tab-delimited lines, read back as one ``value`` column per line,
+    and parse map-side back into typed columns. The oracle reads the
+    original parquet, so the round-trip proves the line encode/decode
+    is lossless for the corpus (fixture texts contain no tabs or
+    newlines; a production ingest escapes or length-prefixes instead).
+
+    Line-oriented text splits by file block exactly like any other
+    splittable source — the parse is a narrow projection, so the scan
+    parallelizes at any size with zero shuffle."""
+    import os as _os
+
+    c = catalog(spark, sf_dir)
+    base = _os.path.join(_work_dir(sf_dir, "textfmt"), "docs")
+    c.documents.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("text"),
+        ).alias("value")
+    ).write.mode("overwrite").text(base)
+    lines = spark.read.text(base)
+    parts = F.split(F.col("value"), "\t", 3)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        F.length(parts.getItem(2)).cast("long").alias("n_chars"),
+        F.size(F.split(parts.getItem(2), " ")).cast("long").alias(
+            "n_words"
+        ),
+    )
