@@ -525,3 +525,58 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top["price"], 2).alias("top_price"),
         F.round(total, 4).alias("total_price"),
     )
+
+
+@REGISTRY.register(
+    "q_calendar_tz_contract",
+    tags=("functions", "datetime", "contract"),
+    oracle="""
+SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+       CAST(MIN(weekofyear(ts)) AS INT) AS iso_week,
+       CAST(MIN(isoyear(ts)) AS INT) AS iso_year,
+       CAST(MIN(dayofyear(ts)) AS INT) AS day_of_year,
+       CAST(MIN(quarter(ts)) AS INT) AS qtr,
+       CAST(MIN(EXTRACT(hour FROM ts AT TIME ZONE 'UTC'
+                        AT TIME ZONE 'Asia/Tokyo')) AS INT) AS hr_tokyo,
+       CAST(MIN(EXTRACT(hour FROM ts AT TIME ZONE 'UTC'
+                        AT TIME ZONE 'America/New_York')) AS INT)
+         AS hr_nyc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE event_id % 97 = 0
+GROUP BY STRFTIME(ts, '%Y-%m-%d')
+""",
+)
+def q_calendar_tz_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar + timezone semantics contract: ISO week/year,
+    day-of-year, quarter, and wall-clock hours after converting the
+    UTC event time into two IANA zones (one east, one west of UTC,
+    both DST-free in the fixture's January window) — pinned
+    cross-engine because calendar functions are where engines disagree
+    silently (week numbering conventions, 1- vs 0-based weekdays,
+    session-timezone leakage).
+
+    MIN() per day collapses the deterministic per-day values (every
+    event on a day shares them at the hour sampled); the 1/97 row
+    gate keeps the contract cheap. Spark's weekofyear is ISO 8601,
+    matching DuckDB's weekofyear; from_utc_timestamp mirrors the
+    double AT TIME ZONE hop."""
+    c = catalog(spark, sf_dir)
+    ev = c.events.filter(F.col("event_id") % 97 == 0)
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.min(F.weekofyear("ts")).cast("int").alias("iso_week"),
+        F.min(F.expr("extract(yearofweek from ts)")).cast("int").alias("iso_year"),
+        F.min(F.dayofyear("ts")).cast("int").alias("day_of_year"),
+        F.min(F.quarter("ts")).cast("int").alias("qtr"),
+        F.min(
+            F.hour(F.from_utc_timestamp("ts", "Asia/Tokyo"))
+        )
+        .cast("int")
+        .alias("hr_tokyo"),
+        F.min(
+            F.hour(F.from_utc_timestamp("ts", "America/New_York"))
+        )
+        .cast("int")
+        .alias("hr_nyc"),
+        F.count("*").alias("n"),
+    )

@@ -942,3 +942,58 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", "n_anomalies")
     )
+
+
+@REGISTRY.register(
+    "q_kappa_unified_view",
+    tags=("streaming", "architecture"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events
+""",
+)
+def q_kappa_unified_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kappa/lambda unified serving view: the batch HISTORY (events
+    before Jan 16) and a STREAMING TAIL (the rest, replayed through a
+    checkpointed exactly-once parquet sink) merge at query time into
+    one logical table, deduplicated by event_id — the read path of
+    every "stream feeds the lake, queries see one table" deployment.
+
+    The overlap is real, not simulated: the tail replays WITH three
+    days of history re-delivered (late/duplicate delivery), so the
+    event_id dedup is load-bearing — drop it and the oracle (plain
+    batch over the source) catches the double count. The dedup is a
+    hash aggregate on the id, the only shuffle beyond the streaming
+    sink's own commit."""
+    import tempfile
+
+    from catenae_kafka_spark.catalog import catalog
+    from catenae_kafka_spark.streaming.sinks import parquet_sink
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    redeliver_from = F.lit("2024-01-13").cast("timestamp")
+    c = catalog(spark, sf_dir)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    history = c.events.filter(F.col("ts") < cut).select(*cols)
+    tail_stream = replay_events(spark, sf_dir, n_files=4).filter(
+        F.col("ts") >= redeliver_from
+    ).select(*cols)
+    out = tempfile.mkdtemp(prefix="cks_kappa_")
+    q = parquet_sink(tail_stream, out, available_now=True)
+    q.awaitTermination()
+    tail = spark.read.parquet(out)
+    unified = history.unionByName(tail)
+    deduped = unified.groupBy("event_id").agg(
+        F.first("user_id").alias("user_id"),
+        F.first("event_type").alias("event_type"),
+        F.first("value").alias("value"),
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return deduped.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(cents).alias("cents"),
+    )
