@@ -766,3 +766,68 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((n_email > 0) | (n_digit > 0)).cast("long")
         ).alias("n_flagged_docs"),
     )
+
+
+@REGISTRY.register(
+    "q_phrase_search",
+    tags=("text", "search"),
+    oracle="""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents
+), top_bigram AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  GROUP BY a.w, b.w
+  ORDER BY COUNT(*) DESC, a.w, b.w
+  LIMIT 1
+)
+SELECT d.doc_id, t.w1 || ' ' || t.w2 AS phrase
+FROM documents d CROSS JOIN top_bigram t
+WHERE ' ' || d.text || ' ' LIKE '% ' || t.w1 || ' ' || t.w2 || ' %'
+""",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a POSITIONAL inverted index — the
+    search-engine kernel: posting lists carry (doc, position), and a
+    phrase match is a self-join on doc with position adjacency
+    (p2 = p1 + 1). The query phrase is the corpus's most frequent
+    bigram (deterministic tie-break), so the query adapts to any
+    fixture. The oracle verifies with an INDEPENDENT mechanism —
+    padded LIKE substring match — so index-based and scan-based
+    retrieval must agree document-for-document.
+
+    At 100 TB the positional index is built once (one explode + one
+    keyed shuffle); each phrase query touches only the posting lists
+    of its terms — the scan-based oracle is what the index SAVES."""
+    from pyspark.sql import Window
+
+    c = catalog(spark, sf_dir)
+    pos = c.documents.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p", "w"),
+    )
+    a = pos.select("doc_id", F.col("w").alias("w1"), F.col("p").alias("p1"))
+    b = pos.select("doc_id", F.col("w").alias("w2"), F.col("p").alias("p2"))
+    bigrams = a.join(b, "doc_id").filter(F.col("p2") == F.col("p1") + 1)
+    w_rank = Window.orderBy(
+        F.col("cnt").desc(), "w1", "w2"
+    )
+    top = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("w1", "w2")
+    )
+    hits = (
+        bigrams.join(F.broadcast(top), ["w1", "w2"])
+        .select("doc_id")
+        .distinct()
+    )
+    return hits.crossJoin(F.broadcast(top)).select(
+        "doc_id",
+        F.concat_ws(" ", "w1", "w2").alias("phrase"),
+    )

@@ -378,3 +378,58 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k", "doc_id")
         .limit(100)
     )
+
+
+@REGISTRY.register(
+    "q_sample_balanced",
+    tags=("reshape", "sampling"),
+    oracle="""
+WITH sized AS (
+  SELECT MIN(n) AS k FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
+  )
+), ranked AS (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM ranked CROSS JOIN sized
+WHERE rn <= k
+GROUP BY event_type
+""",
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every event type keeps exactly
+    min-class-count rows, selected by md5 rank so the draw is
+    layout-independent and reproducible (the same property
+    q_sample_exact_k pins for the global case) — the standard fix for
+    class imbalance before training a classifier.
+
+    The per-class rank is a partitioned window (no global sort); the
+    target k is a 1-row broadcast. Output is the per-class count table
+    — all equal by construction, which the oracle verifies exactly."""
+    from pyspark.sql import Window
+
+    c = catalog(spark, sf_dir)
+    sized = (
+        c.events.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("k"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = c.events.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sized))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
