@@ -722,3 +722,60 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_user_paths",
+    tags=("analytics", "paths"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS types
+  FROM events GROUP BY user_id
+), paths AS (
+  SELECT array_to_string(types[1:5], '>') AS path
+  FROM ordered
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 10
+""",
+)
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 opening behavior paths: each user's first five events in
+    order, joined into a path string, counted across users — the
+    "how do sessions begin" analysis behind onboarding funnels and
+    bot-pattern detection.
+
+    One per-user shuffle: the window-ranked first-5 filter bounds what
+    collect_list aggregates (never the whole history), the path count
+    is a second small aggregate, and the top-10 is a TakeOrdered —
+    no global sort. Deterministic (ts, event_id) ordering end to end."""
+    from pyspark.sql import Window
+
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = c.events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    paths = (
+        first5.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ).getField("event_type"),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(10)
+    )

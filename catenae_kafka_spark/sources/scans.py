@@ -422,3 +422,65 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_federated_join",
+    tags=("source", "format", "join"),
+    oracle="""
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format federation in one query: the fact table stays
+    parquet, the customer dimension is re-staged as CSV and the nation
+    dimension as JSON-lines, and the join plan treats all three as
+    peers — the everyday lakehouse reality where reference data
+    arrives in whatever format the upstream team ships.
+
+    Format never changes the plan shape: both non-parquet dims still
+    broadcast onto the parquet fact scan, and the oracle (reading the
+    single-source parquet) certifies the staged copies are lossless.
+    CSV/JSON pay a parse cost per read at scale — the documented
+    remedy is exactly this staging step in reverse (convert once to
+    parquet), which q_scan_csv_json's docstring covers."""
+    import os as _os
+
+    c = catalog(spark, sf_dir)
+    base = _work_dir(sf_dir, "federated")
+    csv_dir = _os.path.join(base, "customer_csv")
+    json_dir = _os.path.join(base, "nation_json")
+    c.customer.select("c_custkey", "c_nationkey").write.mode(
+        "overwrite"
+    ).option("header", True).csv(csv_dir)
+    c.nation.select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).json(json_dir)
+    cust = spark.read.option("header", True).schema(
+        "c_custkey long, c_nationkey long"
+    ).csv(csv_dir)
+    nat = spark.read.schema("n_nationkey long, n_name string").json(
+        json_dir
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        c.orders.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("cents"),
+        )
+    )
