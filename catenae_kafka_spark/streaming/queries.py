@@ -997,3 +997,47 @@ def q_kappa_unified_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(cents).alias("cents"),
     )
+
+
+@REGISTRY.register(
+    "q_stream_progress_metrics",
+    tags=("streaming", "observability"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_input_rows,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS distinct_ids
+FROM events
+""",
+)
+def q_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability contract: the sum of numInputRows over
+    every micro-batch progress report must equal the batch row count
+    of the source — rows are neither dropped nor double-counted across
+    micro-batch boundaries. This is the accounting invariant an
+    operations team alerts on (progress metrics ARE the production
+    visibility into a stream); here it is value-checked against the
+    batch oracle instead of eyeballed.
+
+    The distinct-id count rides along through the memory sink to prove
+    the data path agrees with the metrics path."""
+    import uuid as _uuid
+
+    stream = replay_events(spark, sf_dir).select("event_id")
+    name = f"progress_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        metric_rows = sum(
+            p["numInputRows"] for p in (q.recentProgress or [])
+        )
+    finally:
+        q.stop()
+    sunk = spark.table(name)
+    return sunk.agg(
+        F.lit(metric_rows).cast("long").alias("total_input_rows"),
+        F.countDistinct("event_id").alias("distinct_ids"),
+    )
