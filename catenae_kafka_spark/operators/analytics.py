@@ -779,3 +779,174 @@ def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(10)
     )
+
+
+@REGISTRY.register(
+    "q_rfm_segments",
+    tags=("analytics", "orders"),
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         DATEDIFF('day', MAX(CAST(o_orderdate AS DATE)),
+                  (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), bounds AS (
+  SELECT quantile_cont(-recency_days, 0.2) AS r1, quantile_cont(-recency_days, 0.4) AS r2,
+         quantile_cont(-recency_days, 0.6) AS r3, quantile_cont(-recency_days, 0.8) AS r4,
+         quantile_cont(frequency, 0.2) AS f1, quantile_cont(frequency, 0.4) AS f2,
+         quantile_cont(frequency, 0.6) AS f3, quantile_cont(frequency, 0.8) AS f4,
+         quantile_cont(monetary_cents, 0.2) AS m1, quantile_cont(monetary_cents, 0.4) AS m2,
+         quantile_cont(monetary_cents, 0.6) AS m3, quantile_cont(monetary_cents, 0.8) AS m4
+  FROM rfm
+), scored AS (
+  SELECT CAST(1 + CAST(-recency_days > r1 AS INT) + CAST(-recency_days > r2 AS INT)
+                + CAST(-recency_days > r3 AS INT) + CAST(-recency_days > r4 AS INT) AS INT) AS r_score,
+         CAST(1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+                + CAST(frequency > f3 AS INT) + CAST(frequency > f4 AS INT) AS INT) AS f_score,
+         CAST(1 + CAST(monetary_cents > m1 AS INT) + CAST(monetary_cents > m2 AS INT)
+                + CAST(monetary_cents > m3 AS INT) + CAST(monetary_cents > m4 AS INT) AS INT) AS m_score,
+         monetary_cents
+  FROM rfm CROSS JOIN bounds
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS seg_monetary_cents
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    classic CRM scoring: per-customer recency-vs-corpus-anchor, order
+    count, lifetime cents, each scored 1-5 by EXACT quintile-boundary
+    bucketing, rolled up per (r, f, m) segment.
+
+    Scale shape: scores come from VALUE BUCKETING against R-7
+    quantile boundaries (one aggregate pass -> 12 scalars broadcast
+    back -> map-side CASE), NOT from a global NTILE - a windowed NTILE
+    over all customers is a single-partition sort that dies at 100 TB,
+    while boundary bucketing is two shuffles total (per-customer agg +
+    final segment agg) regardless of customer cardinality. Boundary
+    comparisons happen on exact integers (days / counts / cents) vs
+    interpolated midpoints (x.0 / x.5, exactly representable), so the
+    bucket decision is bit-identical across engines."""
+    c = catalog(spark, sf_dir)
+    anchor = c.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("_anchor")
+    )
+    rfm = (
+        c.orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("o_custkey"),
+            (-F.datediff("_anchor", "_last")).alias("neg_recency"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    bounds = rfm.agg(
+        *[
+            F.percentile(col, F.lit(q)).alias(f"{pre}{i}")
+            for pre, col in (
+                ("r", "neg_recency"),
+                ("f", "frequency"),
+                ("m", "monetary_cents"),
+            )
+            for i, q in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+        ]
+    )
+
+    def score(col: str, pre: str):
+        s = F.lit(1)
+        for i in (1, 2, 3, 4):
+            s = s + F.when(F.col(col) > F.col(f"{pre}{i}"), 1).otherwise(0)
+        return s.cast("int")
+
+    return (
+        rfm.crossJoin(F.broadcast(bounds))
+        .select(
+            score("neg_recency", "r").alias("r_score"),
+            score("frequency", "f").alias("f_score"),
+            score("monetary_cents", "m").alias("m_score"),
+            "monetary_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("seg_monetary_cents"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_concurrency_peak",
+    tags=("analytics", "events"),
+    oracle="""
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), deltas AS (
+  SELECT day, t0 AS t, 1 AS d FROM spans
+  UNION ALL
+  SELECT day, t1 AS t, -1 AS d FROM spans
+), sweep AS (
+  SELECT day,
+         SUM(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM deltas
+), peaks AS (
+  SELECT day, CAST(MAX(conc) AS INT) AS peak_concurrent FROM sweep GROUP BY day
+), act AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active FROM spans GROUP BY day
+)
+SELECT STRFTIME(p.day, '%Y-%m-%d') AS day, p.peak_concurrent, a.n_active
+FROM peaks p JOIN act a ON p.day = a.day
+""",
+)
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent active users per day - the interval-counting
+    sweep (server load / capacity planning): each user's daily activity
+    span [first event, last event] becomes a +1/-1 delta pair, a
+    running sum ordered by (time, +1-before--1) counts concurrent
+    spans, and the per-day max is the peak.
+
+    Scale shape: the sweep window is PARTITIONED BY day, so days sweep
+    in parallel and no global sort exists; at 100 TB the same
+    decomposition refines to (day, shard) partial sweeps composed by an
+    exclusive prefix sum over shard totals (the q_stream_anomaly oracle
+    pattern). The peak is order-invariant within timestamp ties (+1s
+    group before -1s; internal tie order cannot change the running-sum
+    maximum), so the result is deterministic across engines."""
+    c = catalog(spark, sf_dir)
+    spans = c.events.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    deltas = spans.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionAll(spans.select("day", F.col("t1").alias("t"), F.lit(-1).alias("d")))
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = deltas.select("day", F.sum("d").over(w).alias("conc"))
+    peaks = sweep.groupBy("day").agg(
+        F.max("conc").cast("int").alias("peak_concurrent")
+    )
+    act = spans.groupBy("day").agg(F.count("*").alias("n_active"))
+    return peaks.join(act, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "peak_concurrent",
+        "n_active",
+    )

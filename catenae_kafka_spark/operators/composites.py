@@ -459,3 +459,72 @@ def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").cast("long").alias("o"),
         F.col("P").cast("long").alias("p"),
     )
+
+
+@REGISTRY.register(
+    "q_funnel_timing",
+    tags=("composite", "events"),
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT epoch_us(t_click) - epoch_us(t_signup) AS us_sc,
+         epoch_us(t_purchase) - epoch_us(t_click) AS us_cp
+  FROM per_user
+  WHERE t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(FLOOR(quantile_cont(us_sc, 0.5) / 1000) AS BIGINT) AS p50_signup_click_ms,
+       CAST(FLOOR(quantile_cont(us_sc, 0.9) / 1000) AS BIGINT) AS p90_signup_click_ms,
+       CAST(FLOOR(quantile_cont(us_cp, 0.5) / 1000) AS BIGINT) AS p50_click_purchase_ms,
+       CAST(FLOOR(quantile_cont(us_cp, 0.9) / 1000) AS BIGINT) AS p90_click_purchase_ms
+FROM conv
+""",
+)
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-latency percentiles: for users who completed
+    signup -> click -> purchase in order (q_funnel's conversion
+    predicate), the p50/p90 wall time between consecutive stages.
+
+    Same one-grouped-pass shape as q_funnel (conditional MIN per stage,
+    one shuffle on user_id); the latency quantiles are a single global
+    aggregate over user-cardinality rows. Deltas are computed in BIGINT
+    epoch-microseconds (exact on both engines), quantiles are R-7
+    interpolated (midpoints are x.0/x.5 us, exactly representable) and
+    floored to whole milliseconds, so the hash comparison never touches
+    a free-form double."""
+    c = catalog(spark, sf_dir)
+    per_user = c.events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    conv = per_user.filter(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_click") > F.col("t_signup"))
+        & (F.col("t_purchase") > F.col("t_click"))
+    ).select(
+        (F.unix_micros("t_click") - F.unix_micros("t_signup")).alias("us_sc"),
+        (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("us_cp"),
+    )
+
+    def ms(col: str, q: float, alias: str):
+        return (
+            F.floor(F.percentile(col, F.lit(q)) / 1000).cast("bigint").alias(alias)
+        )
+
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        ms("us_sc", 0.5, "p50_signup_click_ms"),
+        ms("us_sc", 0.9, "p90_signup_click_ms"),
+        ms("us_cp", 0.5, "p50_click_purchase_ms"),
+        ms("us_cp", 0.9, "p90_click_purchase_ms"),
+    )

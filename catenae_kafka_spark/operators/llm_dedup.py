@@ -819,3 +819,99 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~keep, 1)).alias("n_dropped"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_dedup_containment",
+    tags=("llm", "dedup"),
+    oracle="""
+WITH grams AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         )) AS bigrams
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.bigrams, b.bigrams)) * 1.0
+             / len(a.bigrams), 6) AS containment
+FROM grams a JOIN grams b
+  ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.bigrams, b.bigrams)) * 1.0
+      / len(a.bigrams) >= 0.9
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC set-containment near-dup: C(A->B) = |A∩B| / |A| >= 0.9
+    flags doc A as (near-)contained in doc B — the partial-copy /
+    superset-duplication case that symmetric Jaccard structurally
+    misses (a paragraph pasted into a much longer doc has high
+    containment but low Jaccard, since the union is dominated by B).
+
+    Candidate generation is the containment variant of the AllPairs
+    prefix filter: if |A∩B| >= ceil(t·|A|), then A's prefix of length
+    |A| - ceil(t·|A|) + 1 (under the fixed hash order of the token
+    universe) must hit SOME token of B — so A's prefix tokens are
+    joined against B's FULL token list (the asymmetric side has no
+    size upper bound, only |B| >= t·|A|). Recall is provably 1.0;
+    exact containment is computed on candidates only, never all
+    pairs. At 100 TB candidate volume is bounded by prefix-token
+    collision counts exactly as in q_dedup_ngram_jaccard."""
+    def build() -> DataFrame:
+        c = catalog(spark, sf_dir)
+        t = 0.9
+        par = spark.sparkContext.defaultParallelism
+        g = c.documents.repartition(par, F.col("doc_id")).select(
+            "doc_id", "lang", word_bigrams(F.col("text")).alias("bigrams")
+        )
+        sized = g.withColumn("_s", F.size("bigrams")).filter(F.col("_s") > 0)
+        plen = (F.col("_s") - F.ceil(F.lit(t) * F.col("_s")) + 1).cast("int")
+        pref_arr = F.slice(
+            F.array_sort(
+                F.transform(
+                    "bigrams",
+                    lambda x: F.struct(F.xxhash64(x).alias("h"), x.alias("g")),
+                )
+            ),
+            F.lit(1),
+            plen,
+        )
+        a = sized.select(
+            "lang",
+            F.col("doc_id").alias("id_a"),
+            F.col("_s").alias("_sa"),
+            F.explode(pref_arr).alias("_pg"),
+        ).select("lang", "id_a", "_sa", F.col("_pg.g").alias("_g"))
+        b = sized.select(
+            "lang",
+            F.col("doc_id").alias("id_b"),
+            F.col("_s").alias("_sb"),
+            F.explode("bigrams").alias("_g"),
+        )
+        cands = (
+            a.join(b, ["lang", "_g"])
+            .filter(
+                (F.col("id_a") != F.col("id_b"))
+                & (F.col("_sb") >= F.lit(t) * F.col("_sa"))
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        ga = sized.select(
+            F.col("doc_id").alias("id_a"), F.col("bigrams").alias("g_a")
+        )
+        gb = sized.select(
+            F.col("doc_id").alias("id_b"), F.col("bigrams").alias("g_b")
+        )
+        cont = F.size(F.array_intersect("g_a", "g_b")) / F.size("g_a")
+        return (
+            cands.join(ga, "id_a")
+            .join(gb, "id_b")
+            .withColumn("containment", F.round(cont, 6))
+            .filter(cont >= t)
+            .select("id_a", "id_b", "containment")
+        )
+
+    return _memo(spark, sf_dir, "containment_edges", build)

@@ -1041,3 +1041,57 @@ def q_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(metric_rows).cast("long").alias("total_input_rows"),
         F.countDistinct("event_id").alias("distinct_ids"),
     )
+
+
+@REGISTRY.register(
+    "q_stream_window_chain",
+    tags=("streaming", "stateful"),
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT STRFTIME(TIMESTAMP '1970-01-01 00:00:00'
+         + to_seconds(CAST(floor(epoch(h) / 21600) * 21600 AS BIGINT)),
+         '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(SUM(n) AS BIGINT) AS total_n,
+       CAST(MAX(n) AS BIGINT) AS peak_hour_n,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM hourly GROUP BY 1, 2
+""",
+)
+def q_stream_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED WINDOWED AGGREGATIONS in one streaming pipeline (Spark 4
+    multi-stateful): tumbling 1-hour counts per event_type, re-windowed
+    into 6-hour rollups (total / peak-hour / hour count) by passing the
+    inner window struct straight into the outer ``window()`` — the
+    streaming form of a time-hierarchy rollup (hypertable continuous
+    aggregate chaining). Both stages' state is watermark-bounded; the
+    6-hour stage consumes FINALIZED hourly windows only (append mode),
+    so the rollup never sees a partial hour. Counts stay BIGINT-exact
+    end to end — the oracle is the equivalent two-level batch GROUP BY.
+    Sentinel events flush the trailing windows and are dropped by their
+    far-future year."""
+    stream = replay_events(spark, sf_dir, with_sentinel=True)
+    hourly = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    rollup = hourly.groupBy(
+        F.window(F.col("window"), "6 hours"), F.col("event_type")
+    ).agg(
+        F.sum("n").cast("bigint").alias("total_n"),
+        F.max("n").alias("peak_hour_n"),
+        F.count("*").alias("n_hours"),
+    )
+    out = rollup.filter(F.year(F.col("window.start")) < 2030).select(
+        F.date_format(F.col("window.start"), WIN_FMT).alias("win_start"),
+        "event_type",
+        "total_n",
+        "peak_hour_n",
+        "n_hours",
+    )
+    return run_available_now(out, "append", _name("window_chain"))
