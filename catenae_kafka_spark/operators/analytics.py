@@ -950,3 +950,128 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_concurrent",
         "n_active",
     )
+
+
+@REGISTRY.register(
+    "q_abandoned_clicks",
+    tags=("analytics", "events"),
+    oracle="""
+WITH clicks AS (
+  SELECT e.event_id, CAST(e.ts AS DATE) AS day,
+         EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+         ) AS converted
+  FROM events e WHERE e.event_type = 'click'
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS n_abandoned
+FROM clicks GROUP BY day
+""",
+)
+def q_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart-abandonment: clicks with no purchase by the same user within
+    the following hour, per day — a TIME-BOUNDED EXISTENCE ANTI-JOIN.
+    The oracle states it as a correlated EXISTS over a time range; the
+    Spark plan replaces that per-row probe with ONE window pass: sort
+    each user's events by descending time, keep a running MIN of
+    purchase timestamps (i.e. the earliest purchase at-or-after each
+    row), and compare it to click-ts + 1 h. One shuffle on user_id,
+    O(n log n) per user, no self-join at all — the standard rewrite
+    that survives 100 TB where an EXISTS-per-click range self-join
+    re-shuffles the fact table against itself. The descending running
+    min (rowsBetween UNBOUNDED PRECEDING) avoids Spark's
+    O(partition^2) UnboundedFollowing frame evaluation."""
+    c = catalog(spark, sf_dir)
+    wd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(wd)
+    clicks = (
+        c.events.withColumn("next_p", next_purchase)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            (
+                F.col("next_p").isNotNull()
+                & (
+                    F.unix_micros("next_p")
+                    <= F.unix_micros("ts") + F.lit(3_600_000_000)
+                )
+            ).alias("converted"),
+        )
+    )
+    return clicks.groupBy("day").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converted"),
+        F.sum(F.when(F.col("converted"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_abandoned"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_clicks",
+        "n_converted",
+        "n_abandoned",
+    )
+
+
+@REGISTRY.register(
+    "q_interpurchase_gap",
+    tags=("analytics", "orders"),
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         DATEDIFF('day',
+                  LAG(CAST(o_orderdate AS DATE)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+                  CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+), gaps AS (SELECT * FROM seq WHERE gap_days IS NOT NULL)
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       quantile_cont(gap_days, 0.25) AS p25_gap_days,
+       quantile_cont(gap_days, 0.50) AS p50_gap_days,
+       quantile_cont(gap_days, 0.75) AS p75_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps
+""",
+)
+def q_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: per-customer LAG over the
+    order sequence gives day gaps between consecutive orders; quartiles
+    + max summarize the re-purchase cadence (the input to churn and
+    next-order-date models).
+
+    One shuffle on o_custkey for the LAG, then a single global
+    aggregate over order-cardinality rows. Quantile fractions are
+    dyadic (0.25 / 0.5 / 0.75), so R-7 interpolation a + g*(b-a) over
+    integer day gaps is EXACTLY representable in binary on both
+    engines — the emitted doubles are bit-identical, no rounding
+    needed."""
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = c.orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return seq.agg(
+        F.countDistinct("o_custkey").alias("n_repeat_customers"),
+        F.count("*").alias("n_gaps"),
+        F.percentile("gap_days", F.lit(0.25)).alias("p25_gap_days"),
+        F.percentile("gap_days", F.lit(0.50)).alias("p50_gap_days"),
+        F.percentile("gap_days", F.lit(0.75)).alias("p75_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+    )

@@ -309,3 +309,81 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = dist.filter(F.col("d") == depth)
     return dist.select("node", F.col("d").cast("int").alias("dist"))
+
+
+@REGISTRY.register(
+    "q_graph_common_neighbors",
+    tags=("graph",),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), edges AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= 80
+), sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+), cn AS (
+  SELECT n1.v AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
+  GROUP BY n1.v, n2.v
+)
+SELECT cn.a, cn.b, cn.common,
+       ROUND(cn.common * 1.0 / (da.d + db.d - cn.common), 6) AS nb_jaccard
+FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node
+""",
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity on the brand co-purchase graph:
+    common-neighbor counts + neighborhood Jaccard for every node pair
+    sharing at least one neighbor — the link-prediction / related-item
+    kernel. The pair space is generated by the keyed self-join of the
+    symmetric adjacency on the SHARED NEIGHBOR (each neighbor x
+    contributes deg(x)^2/2 pairs), never nodes x nodes; degrees are a
+    node-cardinality aggregate broadcast back. At scale the standard
+    hub-cap refinement (drop or sample neighbors above a degree
+    ceiling before the self-join) bounds the quadratic term exactly
+    like the basket-size bound in q_basket_lift."""
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 80)
+        .select("u", "v")
+    )
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    n1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    n2 = sym.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    cn = (
+        n1.join(n2, "x")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        cn.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
+            ).alias("nb_jaccard"),
+        )
+    )
