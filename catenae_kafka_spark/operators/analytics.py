@@ -1075,3 +1075,69 @@ def q_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_days", F.lit(0.75)).alias("p75_gap_days"),
         F.max("gap_days").cast("bigint").alias("max_gap_days"),
     )
+
+
+@REGISTRY.register(
+    "q_seasonal_decompose",
+    tags=("analytics", "events"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY CAST(ts AS DATE)
+), trend AS (
+  SELECT day, cents,
+         SUM(cents) OVER w AS ma7_x7,
+         COUNT(*) OVER w AS n_win
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detrended AS (
+  SELECT DATEDIFF('day', DATE '1970-01-01', day) % 7 AS dow,
+         7 * cents - ma7_x7 AS resid_x7
+  FROM trend WHERE n_win = 7
+)
+SELECT dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(resid_x7) AS BIGINT) AS resid_x7_sum,
+       SUM(resid_x7) * 1.0 / (7 * COUNT(*) * 100) AS seasonal_index
+FROM detrended GROUP BY dow
+""",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition (STL-lite) of the daily revenue series:
+    trend = centered 7-day moving average, seasonal = day-of-week mean
+    of the detrended residual — the trend/seasonality split behind
+    forecasting and anomaly baselines.
+
+    Integer-state discipline end to end: cents are BIGINT, the moving
+    average is kept UNDIVIDED as a x7 window sum, the residual
+    7*cents - ma_x7 stays BIGINT-exact, and the only float division
+    happens ONCE on identical BIGINT inputs — so even the double
+    seasonal index is bit-identical across engines. Day-of-week is
+    epoch-day mod 7 (engine-neutral; no locale-dependent dayofweek).
+    The window is a tiny per-day series (days-cardinality), ordered
+    once; at 100 TB the daily rollup is the only big shuffle."""
+    c = catalog(spark, sf_dir)
+    daily = c.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trend = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("ma7_x7"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    detr = trend.filter(F.col("n_win") == 7).select(
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
+        (F.lit(7) * F.col("cents") - F.col("ma7_x7")).alias("resid_x7"),
+    )
+    return detr.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.sum("resid_x7").cast("bigint").alias("resid_x7_sum"),
+        (
+            F.sum("resid_x7") / (F.lit(7) * F.count("*") * F.lit(100))
+        ).alias("seasonal_index"),
+    )

@@ -484,3 +484,79 @@ def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("cents"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_scan_csv_corrupt",
+    tags=("scan",),
+    oracle="""
+SELECT CAST(COUNT(*) + SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rows_total,
+       CAST(COUNT(*) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(n_nationkey) AS BIGINT) AS good_key_sum
+FROM nation
+""",
+)
+def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row ingest contract: PERMISSIVE CSV parsing with a
+    ``_corrupt_record`` column — the real-world raw-feed path where a
+    100 TB ingest cannot abort on one bad line and must instead
+    quarantine it for a dead-letter audit.
+
+    The staged file interleaves well-formed nation rows with
+    deterministically derived garbage lines (one per nationkey
+    divisible by 5: a single unparseable field), all composed and
+    written DISTRIBUTED via concat_ws + text — no driver-side row
+    building. Reading back with an explicit schema + PERMISSIVE mode
+    yields typed rows with NULL-and-quarantined corrupt lines; the
+    oracle states the expected good/corrupt accounting straight from
+    the source table. Spark only populates _corrupt_record when the
+    parsed row is selected WITH the column present in the schema
+    (documented caching caveat: the count must come off the same
+    selected frame)."""
+    c = catalog(spark, sf_dir)
+    base = _work_dir(sf_dir, "csv_corrupt")
+    path = os.path.join(base, "nation_lines")
+    good = c.nation.select(
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    )
+    bad = c.nation.filter(F.col("n_nationkey") % 5 == 0).select(
+        F.concat(F.lit("<<GARBAGE//"), F.col("n_name"), F.lit(">>")).alias("value")
+    )
+    good.unionAll(bad).coalesce(1).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    return parsed.agg(
+        F.count("*").alias("n_rows_total"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))
+        )
+        .cast("bigint")
+        .alias("good_key_sum"),
+    )
