@@ -601,3 +601,213 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_ratio"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_pca_power",
+    tags=("similarity", "ml"),
+    oracle="""
+WITH q AS (
+  SELECT vec_id, t.i,
+         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 15 + 0.5) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, 64) t(i)
+), cov AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS cv
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+), v1 AS (
+  SELECT i, CAST(SUM(cv) AS BIGINT) AS v FROM cov GROUP BY i
+), v2 AS (
+  SELECT cov.i, CAST(SUM(cov.cv * v1.v) AS BIGINT) AS v
+  FROM cov JOIN v1 ON cov.j = v1.i
+  GROUP BY cov.i
+), ref AS (SELECT MAX(ABS(v)) AS m FROM v2)
+SELECT v2.i,
+       CAST(FLOOR(CAST(v2.v AS DOUBLE) / CAST(ref.m AS DOUBLE) * 1000000)
+            AS BIGINT) AS dir_micro
+FROM v2 CROSS JOIN ref
+""",
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus (uncentered
+    Gram matrix) via POWER ITERATION kept EXACT in integers — the
+    distributed-PCA kernel (top component for whitening, drift
+    monitoring, or IVF axis selection), oracle-checked bit-for-bit.
+
+    Components quantize to small integer codes (|code| <= 8), so the
+    64x64 Gram accumulation and BOTH power-iteration rounds
+    (v1 = C*1, v2 = C*v1) are exact BIGINT arithmetic — no float
+    summation order anywhere; the one double division (by the max
+    absolute component) happens on identical BIGINTs in both engines.
+    Scale shape: the Gram outer-product explosion is dim^2 per vector
+    with MAP-SIDE partial aggregation, so the shuffle carries at most
+    dim^2 = 4096 keys per partition regardless of corpus size; the
+    iteration itself runs on a dim-cardinality table with the vector
+    broadcast. BIGINT headroom: |v2| <= n_vecs * dim^2 * 8^4 ~ 1.7e12
+    per 100k vectors — at larger corpora rescale the quantization or
+    shard the Gram accumulation before it nears 2^63."""
+    c = catalog(spark, sf_dir)
+    q = c.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 15 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+    )
+    a = q.select("vec_id", F.col("i"), F.col("c").alias("ca"))
+    b = q.select("vec_id", F.col("i").alias("j"), F.col("c").alias("cb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("cv"))
+    )
+    v1 = cov.groupBy("i").agg(F.sum("cv").cast("bigint").alias("v"))
+    v2 = (
+        cov.join(
+            F.broadcast(v1.select(F.col("i").alias("j"), F.col("v").alias("vj"))),
+            "j",
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("cv") * F.col("vj")).cast("bigint").alias("v"))
+    )
+    ref = v2.agg(F.max(F.abs(F.col("v"))).alias("m"))
+    return v2.crossJoin(F.broadcast(ref)).select(
+        "i",
+        F.floor(
+            F.col("v").cast("double") / F.col("m").cast("double") * 1000000
+        )
+        .cast("bigint")
+        .alias("dir_micro"),
+    )
+
+
+@REGISTRY.register(
+    "q_kmeans_quantized",
+    tags=("similarity", "ml"),
+    oracle="""
+WITH q AS (
+  SELECT vec_id, t.i,
+         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 15 + 0.5) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, 64) t(i)
+), seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS k
+  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 4)
+), c0 AS (
+  SELECT s.k, q.i, q.c FROM seeds s JOIN q ON q.vec_id = s.vec_id
+), d1 AS (
+  SELECT q.vec_id, c0.k, CAST(SUM((q.c - c0.c) * (q.c - c0.c)) AS BIGINT) AS d2
+  FROM q JOIN c0 ON q.i = c0.i GROUP BY q.vec_id, c0.k
+), a1 AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), c1 AS (
+  SELECT a1.k, q.i,
+         CAST(FLOOR((2 * SUM(q.c) + COUNT(*)) * 1.0 / (2 * COUNT(*))) AS BIGINT) AS c
+  FROM a1 JOIN q ON q.vec_id = a1.vec_id
+  GROUP BY a1.k, q.i
+), d2_ AS (
+  SELECT q.vec_id, c1.k, CAST(SUM((q.c - c1.c) * (q.c - c1.c)) AS BIGINT) AS d2
+  FROM q JOIN c1 ON q.i = c1.i GROUP BY q.vec_id, c1.k
+), a2 AS (
+  SELECT vec_id, k, d2 FROM (
+    SELECT vec_id, k, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+    FROM d2_
+  ) WHERE rn = 1
+)
+SELECT a2.k,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(a2.d2) AS BIGINT) AS inertia,
+       CAST((SELECT SUM(c1.c) FROM c1 WHERE c1.k = a2.k) AS BIGINT)
+         AS centroid_checksum
+FROM a2 GROUP BY a2.k
+""",
+)
+def q_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=4, one full update round) over
+    integer-quantized embeddings, EXACT end to end: squared distances,
+    cluster means (integer-rounded via floor((2*sum+n)/(2n)) computed
+    on exactly-representable doubles), and the final inertia are all
+    BIGINT arithmetic — no float summation order anywhere, so the
+    oracle matches bit-for-bit. Deterministic ties: argmin orders by
+    (distance, centroid id); seeds are the k lowest vec_ids.
+
+    Scale shape: centroids are a k x dim table BROADCAST to the
+    assignment join; each assignment is a map-side explode with
+    partial aggregation (shuffle carries n_vecs x k distance rows,
+    never the dim-expanded form); the centroid update is one
+    (k x dim)-key aggregation. This is the canonical
+    broadcast-assign / shuffle-update Lloyd round that runs at any
+    corpus size; more rounds = repeat the same two stages."""
+    c = catalog(spark, sf_dir)
+    q = c.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 15 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+    )
+    seeds = (
+        c.embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(4)
+        .select(
+            "vec_id",
+            F.row_number().over(Window.orderBy("vec_id")).alias("k"),
+        )
+    )
+    c0 = seeds.join(q, "vec_id").select("k", "i", "c")
+
+    def assign(codes: DataFrame, cents: DataFrame) -> DataFrame:
+        cent = cents.select(
+            F.col("k"), F.col("i"), F.col("c").alias("cc")
+        )
+        d = (
+            codes.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "k")
+            .agg(
+                F.sum((F.col("c") - F.col("cc")) * (F.col("c") - F.col("cc")))
+                .cast("bigint")
+                .alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "k")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "k", "d2")
+        )
+
+    a1 = assign(q, c0)
+    c1 = (
+        a1.select("vec_id", "k")
+        .join(q, "vec_id")
+        .groupBy("k", "i")
+        .agg(
+            F.floor(
+                (2 * F.sum("c") + F.count("*"))
+                * F.lit(1.0)
+                / (2 * F.count("*"))
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    a2 = assign(q, c1)
+    checksums = c1.groupBy("k").agg(
+        F.sum("c").cast("bigint").alias("centroid_checksum")
+    )
+    return (
+        a2.groupBy("k")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("d2").cast("bigint").alias("inertia"),
+        )
+        .join(F.broadcast(checksums), "k")
+    )

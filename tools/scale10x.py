@@ -62,6 +62,14 @@ HEADLINE = [
     "q_embed_quantize",       # map-only higher-order array ops
     "q_incremental_agg",      # partial-agg merge (IVM refresh shape)
     "q_bfs_khop",             # k broadcast frontier rounds
+    # round-3 second-continuation ops
+    "q_rfm_segments",         # quantile boundaries broadcast, no global NTILE
+    "q_concurrency_peak",     # sweep partitioned by day, parallel across days
+    "q_abandoned_clicks",     # windowed rewrite of time-range EXISTS
+    "q_interpurchase_gap",    # per-customer LAG + one global agg
+    "q_funnel_timing",        # conditional-MIN grouped pass + global quantiles
+    "q_seasonal_decompose",   # daily rollup is the only big shuffle
+    "q_graph_common_neighbors",  # shared-neighbor keyed self-join
 ]
 
 # measured at sf0.1 only: the exact-complete set-similarity/fuzzy ops'
@@ -74,6 +82,7 @@ HEADLINE = [
 SF01_ONLY = [
     "q_dedup_ngram_jaccard",
     "q_fuzzy_levenshtein",
+    "q_dedup_containment",
 ]
 
 
