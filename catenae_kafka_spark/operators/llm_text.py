@@ -831,3 +831,72 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws(" ", "w1", "w2").alias("phrase"),
     )
+
+
+@REGISTRY.register(
+    "q_ngram_novelty",
+    tags=("llm", "text"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         ))) AS g
+  FROM documents
+  WHERE len(string_split(text,' ')) >= 2
+), df AS (
+  SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM grams GROUP BY g
+), per_doc AS (
+  SELECT grams.doc_id, grams.source,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM grams JOIN df USING (g)
+  GROUP BY grams.doc_id, grams.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_unique) AS BIGINT) AS corpus_unique_grams,
+       ROUND(SUM(n_unique) * 1.0 / SUM(n_grams), 6) AS novelty
+FROM per_doc GROUP BY source
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram novelty per source: the fraction of a document's
+    distinct word bigrams that occur in NO other document — the
+    memorization / boilerplate signal a training-data pipeline tracks
+    per source (low novelty = templated or duplicated content;
+    complements the dedup ops, which only surface pairwise matches).
+
+    Shape: one shuffle on the gram for document frequencies, join back
+    (gram-keyed, the same key — AQE-coalesced), one doc-level and one
+    source-level aggregation. The gram DF table is vocabulary-bounded,
+    not corpus-bounded; ratios are exact integer tallies divided once."""
+    c = catalog(spark, sf_dir)
+    from catenae_kafka_spark.operators.llm_dedup import word_bigrams
+
+    grams = (
+        c.documents.select(
+            "doc_id", "source", word_bigrams(F.col("text")).alias("bigrams")
+        )
+        .filter(F.size("bigrams") > 0)
+        .select("doc_id", "source", F.explode("bigrams").alias("g"))
+    )
+    df = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("d"))
+    per_doc = (
+        grams.join(df, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("total_grams"),
+        F.sum("n_unique").cast("bigint").alias("corpus_unique_grams"),
+        F.round(F.sum("n_unique") / F.sum("n_grams"), 6).alias("novelty"),
+    )

@@ -789,3 +789,88 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "value", F.round(rz, 3).alias("robust_z")
         )
     )
+
+
+@REGISTRY.register(
+    "q_session_bounce",
+    tags=("window", "sessionize"),
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 7200
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts_s,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM t
+), sess AS (
+  SELECT user_id, session_no,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(ts_s) - MIN(ts_s) AS dur_s,
+         CAST(TIMESTAMP '1970-01-01 00:00:00' + to_seconds(MIN(ts_s)) AS DATE) AS day
+  FROM s GROUP BY user_id, session_no
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       quantile_cont(dur_s, 0.5) AS p50_dur_s
+FROM sess GROUP BY day
+""",
+)
+def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate rollup over gap-sessionized activity: sessions are
+    2-hour-gap runs (q_sessionize's exact construction — shared lag +
+    running-sum recipe so the two operators cannot drift), a bounce is
+    a single-event session, grouped by the session's start day with
+    the median session duration.
+
+    Same single user-keyed shuffle as q_sessionize; the day rollup is
+    a small second aggregation. Durations are BIGINT seconds; the
+    median's R-7 midpoint is x.0/x.5, exactly representable, so the
+    double compares bit-identically."""
+    c = catalog(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.floor(F.unix_micros("ts") / 1_000_000).cast("bigint")
+    t = c.events.select(
+        "user_id",
+        "event_id",
+        ts_s.alias("ts_s"),
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | (ts_s - F.lag(ts_s).over(wl) > 7200),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.select(
+        "user_id", "ts_s", F.sum("new_sess").over(wr).alias("session_no")
+    )
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_s") - F.min("ts_s")).alias("dur_s"),
+        F.timestamp_seconds(F.min("ts_s")).cast("date").alias("day"),
+    )
+    return sess.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounce"),
+        F.percentile("dur_s", F.lit(0.5)).alias("p50_dur_s"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_sessions",
+        "n_bounce",
+        "p50_dur_s",
+    )
