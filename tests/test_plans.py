@@ -457,3 +457,111 @@ def test_no_cartesian_product_in_any_registered_batch_query(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_second_continuation_ops_plan_shapes(spark):
+    """Scale-shape audit for the second-continuation operators: each
+    docstring's 100 TB claim pinned as a physical-plan property."""
+    from catenae_kafka_spark.operators.analytics import (
+        q_abandoned_clicks,
+        q_concurrency_peak,
+        q_rfm_segments,
+    )
+    from catenae_kafka_spark.operators.graph import q_graph_common_neighbors
+    from catenae_kafka_spark.operators.llm_similarity import (
+        q_kmeans_quantized,
+        q_pca_power,
+    )
+
+    # RFM: quantile boundaries reach the fact side via broadcast, and
+    # there is NO window operator at all (the whole point vs NTILE)
+    plan = plan_of(q_rfm_segments(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+    # concurrency sweep: the running sum is windowed BY DAY — no
+    # partition-less (global) window spec in the plan
+    plan = plan_of(q_concurrency_peak(spark, SF))
+    assert "Window" in plan
+    assert "[day" in plan.replace("windowspecdefinition(", "[")
+    assert "CartesianProduct" not in plan
+
+    # abandonment: single window pass, no self-join of events
+    plan = plan_of(q_abandoned_clicks(spark, SF))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # common neighbors: degree tables broadcast onto the pair agg
+    plan = plan_of(q_graph_common_neighbors(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+    # PCA + kmeans: the dim-cardinality side is always broadcast;
+    # the corpus-side join keys are vec_id / i (never a cross join)
+    for q in (q_pca_power, q_kmeans_quantized):
+        plan = plan_of(q(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_kmeans_lloyd_inertia_non_increasing(spark):
+    """Lloyd guarantee: re-assignment against the UPDATED centroids
+    cannot raise total inertia vs the same assignment against the
+    seeds — checked end-to-end on real fixtures (integer-exact, so the
+    comparison is noise-free)."""
+    from catenae_kafka_spark.operators.llm_similarity import q_kmeans_quantized
+    from catenae_kafka_spark.catalog import catalog
+    from pyspark.sql import functions as F, Window
+
+    c = catalog(spark, SF)
+    q = c.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 15 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+    )
+    seeds = (
+        c.embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(4)
+        .select("vec_id", F.row_number().over(Window.orderBy("vec_id")).alias("k"))
+    )
+    c0 = seeds.join(q, "vec_id").select("k", "i", "c")
+
+    def inertia(cents):
+        cent = cents.select("k", "i", F.col("c").alias("cc"))
+        d = (
+            q.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "k")
+            .agg(
+                F.sum((F.col("c") - F.col("cc")) * (F.col("c") - F.col("cc")))
+                .cast("bigint")
+                .alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "k")
+        a = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        return a.agg(F.sum("d2")).collect()[0][0], a.select("vec_id", "k")
+
+    i0, a1 = inertia(c0)
+    c1 = (
+        a1.join(q, "vec_id")
+        .groupBy("k", "i")
+        .agg(
+            F.floor(
+                (2 * F.sum("c") + F.count("*")) * F.lit(1.0) / (2 * F.count("*"))
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    i1, _ = inertia(c1)
+    assert i1 <= i0
+    # and the registered query returns exactly k rows with positive counts
+    out = q_kmeans_quantized(spark, SF).collect()
+    assert len(out) == 4 and all(r.n_members > 0 for r in out)
