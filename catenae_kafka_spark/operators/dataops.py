@@ -11,7 +11,7 @@ scan per input.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
@@ -307,4 +307,85 @@ def q_lineage_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.countDistinct("o_custkey").alias("n_custs"),
         )
+    )
+
+
+@REGISTRY.register(
+    "q_l_diversity",
+    tags=("dataops", "privacy"),
+    oracle="""
+WITH qid AS (
+  SELECT n_name,
+         STRFTIME(o_orderdate, '%Y') AS order_year,
+         CAST(COUNT(*) AS BIGINT) AS grp_n,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_div,
+         CAST(MAX(cnt) AS BIGINT) AS top_sensitive_n
+  FROM (
+    SELECT n_name, o_orderdate, o_orderpriority,
+           COUNT(*) OVER (PARTITION BY n_name,
+                          STRFTIME(o_orderdate, '%Y'),
+                          o_orderpriority) AS cnt
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+  )
+  GROUP BY n_name, STRFTIME(o_orderdate, '%Y')
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(l_div) AS BIGINT) AS min_l_diversity,
+       CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_3,
+       CAST(SUM(CASE WHEN top_sensitive_n * 2 > grp_n THEN 1 ELSE 0 END)
+            AS BIGINT) AS groups_majority_leak
+FROM qid
+""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion to q_k_anonymity: within each
+    quasi-identifier group (nation x order year), how many DISTINCT
+    sensitive values (order priority) appear, and in how many groups
+    does a single sensitive value hold the majority (homogeneity-
+    attack exposure even when k-anonymity passes).
+
+    Same broadcast-dim star join as q_k_anonymity; the sensitive-value
+    histogram is a window over the grouped key so the fact table
+    shuffles ONCE on the quasi-identifier (the window and the final
+    group share partitioning — no second exchange)."""
+    c = catalog(spark, sf_dir)
+    base = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(c.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+            "o_orderpriority",
+        )
+    )
+    w = Window.partitionBy("n_name", "order_year", "o_orderpriority")
+    qid = (
+        base.withColumn("cnt", F.count("*").over(w))
+        .groupBy("n_name", "order_year")
+        .agg(
+            F.count("*").alias("grp_n"),
+            F.countDistinct("o_orderpriority").alias("l_div"),
+            F.max("cnt").cast("bigint").alias("top_sensitive_n"),
+        )
+    )
+    return qid.agg(
+        F.count("*").alias("n_groups"),
+        F.min("l_div").cast("bigint").alias("min_l_diversity"),
+        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_3"),
+        F.sum(
+            F.when(F.col("top_sensitive_n") * 2 > F.col("grp_n"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("groups_majority_leak"),
     )

@@ -387,3 +387,91 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nb_jaccard"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_shortest_path_bf",
+    tags=("graph",),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), weighted AS (
+  SELECT a.p_brand AS u, b.p_brand AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= 80
+), sym AS (
+  SELECT u, v, CAST(FLOOR(1000000.0 / w) AS BIGINT) AS cost FROM weighted
+  UNION ALL
+  SELECT v AS u, u AS v, CAST(FLOOR(1000000.0 / w) AS BIGINT) AS cost FROM weighted
+), seed AS (SELECT MIN(u) AS s FROM sym),
+d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS d FROM seed),
+r1 AS (SELECT e.v AS node, MIN(d0.d + e.cost) AS d
+       FROM d0 JOIN sym e ON e.u = d0.node GROUP BY e.v),
+d1 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM
+       (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY node),
+r2 AS (SELECT e.v AS node, MIN(d1.d + e.cost) AS d
+       FROM d1 JOIN sym e ON e.u = d1.node GROUP BY e.v),
+d2 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM
+       (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY node),
+r3 AS (SELECT e.v AS node, MIN(d2.d + e.cost) AS d
+       FROM d2 JOIN sym e ON e.u = d2.node GROUP BY e.v),
+d3 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM
+       (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY node)
+SELECT node, d AS dist_micro FROM d3
+""",
+)
+def q_shortest_path_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths by BOUNDED BELLMAN-FORD (3
+    relaxation rounds) over the brand co-purchase graph, edge cost =
+    floor(1e6 / co-occurrence) so strong associations are short hops —
+    the weighted-reachability kernel (influence radius, related-item
+    distance). Exact: costs and distances are BIGINT throughout;
+    the oracle unrolls the same three relaxations as CTEs.
+
+    Scale shape: the distance table is NODE-cardinality and joins the
+    edge list as the broadcast side each round (identical to
+    q_pagerank's iteration discipline); each relaxation is one keyed
+    aggregation on the destination node. k rounds = k bounded
+    broadcast-join + agg stages, never an unbounded transitive
+    closure; unreached nodes simply stay absent."""
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
+    weighted = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 80)
+    )
+    cost = F.floor(F.lit(1000000.0) / F.col("w")).cast("bigint")
+    sym = weighted.select("u", "v", cost.alias("cost")).unionAll(
+        weighted.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), cost.alias("cost")
+        )
+    )
+    sym = sym.cache()  # reused by all 3 relaxation rounds
+    seed = sym.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("d")
+    )
+    dist = seed
+    for _ in range(3):
+        relaxed = (
+            sym.join(
+                F.broadcast(dist.select(F.col("node").alias("u"), "d")), "u"
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min(F.col("d") + F.col("cost")).alias("d"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").cast("bigint").alias("d"))
+        )
+    return dist.select("node", F.col("d").alias("dist_micro"))
