@@ -1095,3 +1095,45 @@ def q_stream_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hours",
     )
     return run_available_now(out, "append", _name("window_chain"))
+
+
+@REGISTRY.register(
+    "q_stream_sample_k",
+    tags=("streaming", "stateful"),
+    oracle="""
+SELECT event_type, CAST(pos AS INT) AS pos, event_id FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+           AS pos
+  FROM events
+) WHERE pos <= 20
+""",
+)
+def q_stream_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deterministic exact-k sample (k=20 per event type):
+    bounded k-pair state per key maintained across micro-batches
+    (streaming_sample_k). Because membership is min-k of a fixed md5
+    rank, the sample is arrival-order-independent and matches the
+    batch QUALIFY row_number() <= k oracle EXACTLY — the streaming
+    sampler a pipeline can leave running forever and still audit
+    against a batch recompute. Update mode emits a snapshot per
+    (key, batch); the max-n_seen snapshot per key is final, then the
+    arrays explode back to rows."""
+    from catenae_kafka_spark.streaming.stateful import streaming_sample_k
+
+    stream = replay_events(spark, sf_dir)
+    updates = run_available_now(
+        streaming_sample_k(stream), "update", _name("sample_k")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
+    final = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", F.posexplode("ids").alias("pos0", "event_id"))
+    )
+    return final.select(
+        "event_type", (F.col("pos0") + 1).cast("int").alias("pos"), "event_id"
+    )

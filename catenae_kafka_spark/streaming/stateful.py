@@ -376,3 +376,58 @@ def streaming_anomaly(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SAMPLE_K_OUTPUT_SCHEMA = (
+    "event_type string, n_seen long, ranks array<string>, ids array<long>"
+)
+SAMPLE_K_STATE_SCHEMA = "n_seen long, ranks array<string>, ids array<long>"
+
+
+def streaming_sample_k(events: DataFrame, k: int = 20) -> DataFrame:
+    """Bounded-state EXACT-k deterministic sample per key: maintain the
+    k events with the smallest md5(event_id) rank — a streaming
+    reservoir whose result is ORDER-INDEPENDENT (min-k of a fixed hash
+    is the same whatever the arrival order), hence exactly
+    SQL-oracleable, unlike a classic randomized reservoir. State is
+    exactly k (rank, id) pairs per key however long the stream runs —
+    catenae's CircularOrderedDict capacity bound, but with a
+    deterministic, restart-stable membership rule. md5 is the one hash
+    both engines share bit-for-bit (environment fact #21)."""
+    import hashlib
+
+    def sample_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n_seen, ranks, ids = (
+            state.get if state.exists else (0, [], [])
+        )
+        pairs = list(zip(ranks, ids))
+        for pdf in batches:
+            n_seen += len(pdf)
+            for eid in pdf["event_id"]:
+                r = hashlib.md5(str(int(eid)).encode()).hexdigest()
+                pairs.append((r, int(eid)))
+            pairs.sort()
+            del pairs[k:]
+        ranks = [p[0] for p in pairs]
+        ids = [p[1] for p in pairs]
+        state.update((n_seen, ranks, ids))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n_seen],
+                "ranks": [ranks],
+                "ids": [ids],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        sample_fn,
+        outputStructType=SAMPLE_K_OUTPUT_SCHEMA,
+        stateStructType=SAMPLE_K_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
