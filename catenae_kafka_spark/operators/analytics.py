@@ -1141,3 +1141,81 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("resid_x7") / (F.lit(7) * F.count("*") * F.lit(100))
         ).alias("seasonal_index"),
     )
+
+
+@REGISTRY.register(
+    "q_segment_migration",
+    tags=("analytics", "events"),
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events
+), halves AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - epoch_us(t0)
+                   < (epoch_us(t1) - epoch_us(t0)) / 2
+              THEN 0 ELSE 1 END AS half,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events CROSS JOIN bounds
+), per_user AS (
+  SELECT user_id, half, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM halves GROUP BY user_id, half
+), q AS (
+  SELECT half, quantile_cont(cents, 0.5) AS med FROM per_user GROUP BY half
+), seg AS (
+  SELECT p.user_id, p.half,
+         CASE WHEN p.cents > q.med THEN 'hi' ELSE 'lo' END AS tier
+  FROM per_user p JOIN q ON p.half = q.half
+), mig AS (
+  SELECT a.tier AS tier_h1, b.tier AS tier_h2
+  FROM seg a JOIN seg b ON a.user_id = b.user_id
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT tier_h1, tier_h2, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM mig GROUP BY tier_h1, tier_h2
+""",
+)
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment migration: users tiered hi/lo by spend vs the
+    per-period MEDIAN in each half of the observation window, then the
+    2x2 transition matrix of who moved — the cohort-dynamics view
+    behind churn-risk and upsell targeting.
+
+    Tiering is value-vs-broadcast-boundary (the q_rfm_segments
+    discipline — no global NTILE), the two halves are one pass with a
+    broadcast time-bounds scalar, and the migration join is
+    user-keyed. Cents are exact BIGINTs; the median boundary is an
+    R-7 midpoint (x.0/x.5, exactly representable), so tier decisions
+    are bit-identical across engines."""
+    c = catalog(spark, sf_dir)
+    bounds = c.events.agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    halves = c.events.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros("t0"))
+            < (F.unix_micros("t1") - F.unix_micros("t0")) / 2,
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    per_user = halves.groupBy("user_id", "half").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    q = per_user.groupBy("half").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    seg = per_user.join(F.broadcast(q), "half").select(
+        "user_id",
+        "half",
+        F.when(F.col("cents") > F.col("med"), "hi").otherwise("lo").alias("tier"),
+    )
+    a = seg.filter(F.col("half") == 0).select("user_id", F.col("tier").alias("tier_h1"))
+    b = seg.filter(F.col("half") == 1).select("user_id", F.col("tier").alias("tier_h2"))
+    return (
+        a.join(b, "user_id")
+        .groupBy("tier_h1", "tier_h2")
+        .agg(F.count("*").alias("n_users"))
+    )

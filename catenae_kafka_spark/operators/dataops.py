@@ -389,3 +389,61 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("groups_majority_leak"),
     )
+
+
+@REGISTRY.register(
+    "q_incremental_join",
+    tags=("dataops", "ivm"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_tenth_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (the join counterpart of
+    q_incremental_agg's IVM): the lineitem fact is split into a BASE
+    partition (shipdate before the split point) whose join partials a
+    pipeline would have materialized, and a DELTA partition joined
+    fresh — ΔV = ΔA ⋈ B for an insert-only delta against a static
+    dimension. The merged partials must equal the full recompute,
+    which is exactly what the oracle states.
+
+    Each half's join aggregates to partials BEFORE the merge (map-side
+    reduced; the merge is a priority-cardinality union-agg), so the
+    incremental path shuffles only the delta's join output — the whole
+    point of IVM at 100 TB. Revenue folds in BIGINT tenth-cents
+    (4dp-exact money discipline)."""
+    c = catalog(spark, sf_dir)
+    split = "1995-01-01"
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
+    orders = c.orders.select("o_orderkey", "o_orderpriority")
+
+    def partials(fact):
+        return (
+            fact.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(rev).cast("bigint").alias("revenue_tenth_cents"),
+            )
+        )
+
+    base = partials(c.lineitem.filter(F.col("l_shipdate") < F.lit(split)))
+    delta = partials(c.lineitem.filter(F.col("l_shipdate") >= F.lit(split)))
+    return (
+        base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("revenue_tenth_cents")
+            .cast("bigint")
+            .alias("revenue_tenth_cents"),
+        )
+    )

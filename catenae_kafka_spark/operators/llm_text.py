@@ -900,3 +900,76 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_unique").cast("bigint").alias("corpus_unique_grams"),
         F.round(F.sum("n_unique") / F.sum("n_grams"), 6).alias("novelty"),
     )
+
+
+@REGISTRY.register(
+    "q_word_burstiness",
+    tags=("llm", "text"),
+    oracle="""
+WITH counts AS (
+  SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+stats AS (
+  SELECT word,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+         CAST(SUM(n) AS BIGINT) AS s1,
+         CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM counts GROUP BY word
+)
+SELECT word, n_docs_with, s1 AS total_count,
+       CAST(FLOOR((CAST(n_docs AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(n_docs AS DOUBLE) * s1) * 1000000) AS BIGINT)
+         AS vmr_micro
+FROM stats CROSS JOIN tot
+ORDER BY vmr_micro DESC, word LIMIT 15
+""",
+)
+def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (corpus dispersion): variance-to-mean ratio of
+    per-document counts, including the zero-count documents — words
+    with VMR >> 1 are 'bursty' (topical: concentrated in few docs),
+    VMR ~ 1 is Poisson-like (function words). The corpus-linguistics
+    signal behind stopword discovery and keyword weighting, distinct
+    from TF-IDF (which ignores within-doc repetition shape).
+
+    VMR over all N docs reduces to (N*S2 - S1^2) / (N*S1) on two
+    BIGINT power sums (zero rows contribute nothing), so one
+    word-keyed aggregation computes it exactly; the emitted value is
+    floored to micro-units after a deterministic double division of
+    exact integers. Top-15 is a TakeOrdered, not a global sort."""
+    c = catalog(spark, sf_dir)
+    counts = (
+        c.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    n_docs = c.documents.select(F.count("*").alias("n_docs"))
+    stats = counts.groupBy("word").agg(
+        F.count("*").alias("n_docs_with"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "word",
+            "n_docs_with",
+            F.col("s1").alias("total_count"),
+            F.floor(
+                (
+                    F.col("n_docs").cast("double") * F.col("s2")
+                    - F.col("s1").cast("double") * F.col("s1")
+                )
+                / (F.col("n_docs").cast("double") * F.col("s1"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("vmr_micro"),
+        )
+        .orderBy(F.col("vmr_micro").desc(), "word")
+        .limit(15)
+    )
