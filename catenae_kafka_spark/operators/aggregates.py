@@ -641,3 +641,43 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_decimal_money",
+    tags=("agg", "types"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_dec,
+       CAST(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6))
+            AS VARCHAR) AS avg_dec
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType money aggregation contract — the schema-discipline
+    upgrade over the reference's pickle floats (SURVEY §1.2): cast
+    once to DECIMAL(18,2) at the boundary, then SUM/AVG are EXACT
+    base-10 arithmetic with no float summation order anywhere — the
+    native way to make money aggregates reproducible, complementing
+    the cents-BIGINT discipline used elsewhere. Results are emitted as
+    canonical decimal STRINGS so the comparison is representation-
+    exact across engines (Spark sum(DECIMAL(18,2)) widens to (28,2),
+    avg to (22,6); both are re-cast to the oracle's declared types)."""
+    c = catalog(spark, sf_dir)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        c.orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).cast("decimal(18,2)").alias("_sum"),
+            F.avg(dec).cast("decimal(18,6)").alias("_avg"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.col("_sum").cast("string").alias("total_dec"),
+            F.col("_avg").cast("string").alias("avg_dec"),
+        )
+    )

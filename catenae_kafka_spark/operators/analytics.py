@@ -1219,3 +1219,86 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier_h1", "tier_h2")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@REGISTRY.register(
+    "q_cohort_ltv",
+    tags=("analytics", "events"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT e.user_id, f.cohort_day,
+         DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS age,
+         CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  GROUP BY e.user_id, f.cohort_day, DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE))
+), cum AS (
+  SELECT cohort_day, age,
+         SUM(SUM(cents)) OVER (PARTITION BY cohort_day ORDER BY age
+                               ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM daily GROUP BY cohort_day, age
+), sizes AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM firsts GROUP BY cohort_day
+)
+SELECT STRFTIME(c.cohort_day, '%Y-%m-%d') AS cohort, c.age,
+       CAST(c.cum_cents AS BIGINT) AS cum_cents,
+       CAST(FLOOR(CAST(c.cum_cents AS DOUBLE) / s.cohort_n) AS BIGINT)
+         AS ltv_cents_per_user
+FROM cum c JOIN sizes s ON c.cohort_day = s.cohort_day
+WHERE c.age <= 7
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative spend per signup-day
+    cohort by cohort age (days since first touch), normalized per
+    cohort member — the LTV trajectory behind payback-period and
+    cohort-quality decisions (q_retention counts WHO is active; this
+    accumulates WHAT they spend).
+
+    One shuffle to find first-touch days, one join back (both
+    user-keyed — AQE reuses the partitioning), the cumulative sum is
+    windowed PER COHORT (parallel across cohorts, never global), and
+    cents stay BIGINT until one floored division by the broadcast
+    cohort size."""
+    c = catalog(spark, sf_dir)
+    ev = c.events.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    daily = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "user_id", "cohort_day", F.datediff("day", "cohort_day").alias("age")
+        )
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    per_age = daily.groupBy("cohort_day", "age").agg(
+        F.sum("cents").alias("age_cents")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_age.select(
+        "cohort_day", "age", F.sum("age_cents").over(w).alias("cum_cents")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("cohort_n"))
+    return (
+        cum.filter(F.col("age") <= 7)
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            "age",
+            F.col("cum_cents").cast("bigint").alias("cum_cents"),
+            F.floor(
+                F.col("cum_cents").cast("double") / F.col("cohort_n")
+            )
+            .cast("bigint")
+            .alias("ltv_cents_per_user"),
+        )
+    )
