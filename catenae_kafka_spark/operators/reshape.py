@@ -433,3 +433,74 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@REGISTRY.register(
+    "q_split_leakage",
+    tags=("sample", "mix", "dedup"),
+    oracle=f"""
+WITH split AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                             ' ')) AS h,
+         CASE WHEN {_MIX_HASH_SQL} < 80 THEN 'train'
+              WHEN {_MIX_HASH_SQL} < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+), dup AS (
+  SELECT h,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+  FROM split GROUP BY h HAVING COUNT(*) > 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaking_groups,
+       CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+         AS n_leaking_docs
+FROM dup
+""",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: canonical-duplicate document groups
+    (md5 of the sorted distinct word set — q_dedup_canonical's
+    normalization, which catches the word-shuffled near-identical
+    copies an exact byte hash misses) whose members land in DIFFERENT
+    splits under the
+    engine's own deterministic split rule (q_split_train_test's
+    multiplicative hash) — the eval-integrity check a training-data
+    pipeline runs before shipping a split, because a doc-id-keyed
+    split happily separates identical texts into train and test.
+
+    One shuffle on the content digest (map-side md5), then a scalar
+    rollup. The same audit composes with the near-dup pair ops for
+    fuzzy leakage; canonical dups are the always-run cheap tier."""
+    c = catalog(spark, sf_dir)
+    split = F.when(_mix_hash() < 80, "train").when(_mix_hash() < 90, "valid").otherwise(
+        "test"
+    )
+    dup = (
+        c.documents.select(
+            F.md5(
+                F.array_join(
+                    F.array_sort(F.array_distinct(F.split("text", " "))), " "
+                )
+            ).alias("h"),
+            split.alias("split"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return dup.agg(
+        F.count("*").alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaking_groups"),
+        F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaking_docs"),
+    )
