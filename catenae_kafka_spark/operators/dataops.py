@@ -447,3 +447,70 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_tenth_cents"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_forget_users",
+    tags=("dataops", "privacy"),
+    oracle="""
+WITH tomb AS (SELECT DISTINCT user_id FROM events WHERE user_id % 101 = 0),
+kept AS (
+  SELECT e.* FROM events e WHERE e.user_id NOT IN (SELECT user_id FROM tomb)
+)
+SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_before,
+       CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_after,
+       CAST((SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM kept)
+            AS BIGINT) AS n_removed,
+       CAST((SELECT COUNT(*) FROM tomb) AS BIGINT) AS n_users_forgotten,
+       CAST((SELECT COUNT(*) FROM kept k
+             WHERE k.user_id % 101 = 0) AS BIGINT) AS n_residue
+""",
+)
+def q_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten (GDPR/CCPA erasure) as a verifiable
+    pipeline op: a tombstone list of user ids is anti-joined out of the
+    fact table, and the AUDIT — rows before/after/removed, users
+    forgotten, and a residue recount that must be ZERO — is emitted as
+    the result, because compliance needs the proof, not just the
+    delete.
+
+    The tombstone list is broadcast (erasure requests are tiny
+    relative to the fact table), so the delete is one map-side
+    LEFT ANTI join per partition — the rewrite pattern that scales to
+    re-writing only affected partitions at 100 TB; the audit counts
+    are map-side partial aggregations."""
+    c = catalog(spark, sf_dir)
+    tomb = (
+        c.events.filter(F.col("user_id") % 101 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    kept = c.events.join(F.broadcast(tomb), "user_id", "left_anti")
+    n_before = c.events.count()
+    n_after = kept.count()
+    n_users = tomb.count()
+    residue = kept.filter(F.col("user_id") % 101 == 0).count()
+    import pandas as pd  # audit scalars -> one-row frame (not a hot path)
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "n_before": [n_before],
+                "n_after": [n_after],
+                "n_removed": [n_before - n_after],
+                "n_users_forgotten": [n_users],
+                "n_residue": [residue],
+            }
+        )
+    ).select(
+        *[
+            F.col(col).cast("bigint").alias(col)
+            for col in (
+                "n_before",
+                "n_after",
+                "n_removed",
+                "n_users_forgotten",
+                "n_residue",
+            )
+        ]
+    )

@@ -475,3 +475,134 @@ def q_shortest_path_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("d").cast("bigint").alias("d"))
         )
     return dist.select("node", F.col("d").alias("dist_micro"))
+
+
+@REGISTRY.register(
+    "q_collab_filter",
+    tags=("graph", "recommender"),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), edges AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= 80
+), sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+), cn AS (
+  SELECT n1.v AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v <> n2.v
+  GROUP BY n1.v, n2.v
+), sim AS (
+  SELECT cn.a, cn.b,
+         CAST(FLOOR(cn.common * 1000000.0 / (da.d + db.d - cn.common))
+              AS BIGINT) AS sim_micro
+  FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node
+), owned AS (
+  SELECT DISTINCT o.o_custkey, bk.p_brand
+  FROM orders o JOIN baskets bk ON o.o_orderkey = bk.l_orderkey
+), scores AS (
+  SELECT ow.o_custkey, s.b AS rec_brand,
+         CAST(SUM(s.sim_micro) AS BIGINT) AS score_micro
+  FROM owned ow JOIN sim s ON ow.p_brand = s.a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM owned o2
+    WHERE o2.o_custkey = ow.o_custkey AND o2.p_brand = s.b
+  )
+  GROUP BY ow.o_custkey, s.b
+)
+SELECT o_custkey, rec_brand, score_micro FROM (
+  SELECT o_custkey, rec_brand, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY score_micro DESC, rec_brand) AS rn
+  FROM scores
+) WHERE rn = 1
+""",
+)
+def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: recommend each customer the
+    highest-scoring brand they have NOT bought, score = sum of
+    neighborhood-Jaccard similarity (micro-unit BIGINT, so the sum is
+    exact) between the candidate and every brand they have bought —
+    the classic related-item recommender built on
+    q_graph_common_neighbors' similarity edges.
+
+    Scale shape: the item-item similarity table is ITEM-cardinality
+    (tiny vs users) and BROADCAST to the per-customer ownership join;
+    the not-owned exclusion is a LEFT ANTI on (customer, brand); top-1
+    is a per-customer window over candidate-cardinality rows. The
+    user-facing fact table shuffles once on the customer key."""
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 80)
+        .select("u", "v")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    n1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    n2 = sym.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    cn = (
+        n1.join(n2, "x")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sim = (
+        cn.join(F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))), "a")
+        .join(F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))), "b")
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.col("common")
+                * F.lit(1000000.0)
+                / (F.col("da") + F.col("db") - F.col("common"))
+            )
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+    )
+    owned = (
+        c.orders.select("o_custkey", "o_orderkey")
+        .join(baskets, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    cand = owned.join(
+        F.broadcast(sim.select(F.col("a").alias("p_brand"), "b", "sim_micro")),
+        "p_brand",
+    )
+    not_owned = cand.join(
+        owned.select(
+            F.col("o_custkey"), F.col("p_brand").alias("b")
+        ),
+        ["o_custkey", "b"],
+        "left_anti",
+    )
+    scores = not_owned.groupBy("o_custkey", F.col("b").alias("rec_brand")).agg(
+        F.sum("sim_micro").cast("bigint").alias("score_micro")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("score_micro").desc(), "rec_brand"
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "rec_brand", "score_micro")
+    )
