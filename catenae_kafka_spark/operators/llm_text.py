@@ -973,3 +973,142 @@ def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("vmr_micro").desc(), "word")
         .limit(15)
     )
+
+
+@REGISTRY.register(
+    "q_bm25",
+    tags=("llm", "text", "search"),
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM words GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dlen) AS BIGINT) AS total_len
+  FROM dl
+), top3 AS (
+  SELECT w, rnk FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+    FROM words GROUP BY w
+  ) WHERE rnk <= 3
+), tf AS (
+  SELECT words.doc_id, top3.rnk, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words JOIN top3 ON words.w = top3.w
+  GROUP BY words.doc_id, top3.rnk
+), df AS (
+  SELECT rnk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY rnk
+), terms AS (
+  SELECT tf.doc_id, tf.rnk,
+         ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen
+                           / (CAST(corpus.total_len AS DOUBLE) / corpus.n_docs)))
+           AS s
+  FROM tf
+  JOIN df ON tf.rnk = df.rnk
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+), pivoted AS (
+  SELECT doc_id,
+         COALESCE(MAX(CASE WHEN rnk = 1 THEN s END), 0.0) AS s1,
+         COALESCE(MAX(CASE WHEN rnk = 2 THEN s END), 0.0) AS s2,
+         COALESCE(MAX(CASE WHEN rnk = 3 THEN s END), 0.0) AS s3
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(FLOOR((s1 + s2 + s3) * 1000000) AS BIGINT) AS bm25_micro
+FROM pivoted
+ORDER BY bm25_micro DESC, doc_id LIMIT 10
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Okapi, k1=1.2 b=0.75) for a query built
+    from the corpus itself (its 3 globally most frequent words, so the
+    operator is fixture-drift-proof) — the lexical-search scorer that
+    complements the embedding KNN ops; together they are the hybrid
+    retrieval pair every RAG/training-data stack runs.
+
+    Shape: doc lengths and term document-frequencies are one
+    aggregation each; the query-term postings join is
+    term-cardinality-bounded (3 terms) and broadcast; per-term scores
+    PIVOT to columns and add in FIXED order (s1+s2+s3) so the float
+    sum has one evaluation order on both engines — the one
+    order-dependence a GROUP BY SUM would reintroduce. Top-10 is a
+    TakeOrdered. ln/div are correctly-rounded primitives on identical
+    inputs (same discipline as the entropy/TF-IDF ops)."""
+    c = catalog(spark, sf_dir)
+    words = c.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dlen").cast("bigint").alias("total_len")
+    )
+    top3 = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "w"))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    tf = (
+        words.join(F.broadcast(top3), "w")
+        .groupBy("doc_id", "rnk")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("rnk").agg(F.countDistinct("doc_id").alias("df"))
+    terms = (
+        tf.join(F.broadcast(df), "rnk")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "rnk",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dlen")
+                        / (
+                            F.col("total_len").cast("double")
+                            / F.col("n_docs")
+                        )
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    pivoted = terms.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("rnk") == i, F.col("s"))), F.lit(0.0)
+            ).alias(f"s{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    return (
+        pivoted.select(
+            "doc_id",
+            F.floor(
+                (F.col("s1") + F.col("s2") + F.col("s3")) * 1000000
+            )
+            .cast("bigint")
+            .alias("bm25_micro"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(10)
+    )
