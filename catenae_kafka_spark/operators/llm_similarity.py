@@ -811,3 +811,211 @@ def q_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(checksums), "k")
     )
+
+
+@REGISTRY.register(
+    "q_hybrid_rrf",
+    tags=("similarity", "search"),
+    oracle="""
+WITH fusion_domain AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM fusion_domain
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM words GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dlen) AS BIGINT) AS total_len FROM dl
+), top3 AS (
+  SELECT w, rnk FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+    FROM words GROUP BY w
+  ) WHERE rnk <= 3
+), tf AS (
+  SELECT words.doc_id, top3.rnk, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words JOIN top3 ON words.w = top3.w
+  GROUP BY words.doc_id, top3.rnk
+), df AS (
+  SELECT rnk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY rnk
+), terms AS (
+  SELECT tf.doc_id, tf.rnk,
+         ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen
+                           / (CAST(corpus.total_len AS DOUBLE) / corpus.n_docs)))
+           AS s
+  FROM tf JOIN df ON tf.rnk = df.rnk JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+), lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS lex_rank
+  FROM (
+    SELECT fd.doc_id,
+           CAST(FLOOR((COALESCE(MAX(CASE WHEN rnk = 1 THEN s END), 0.0)
+                     + COALESCE(MAX(CASE WHEN rnk = 2 THEN s END), 0.0)
+                     + COALESCE(MAX(CASE WHEN rnk = 3 THEN s END), 0.0))
+                      * 1000000) AS BIGINT) AS bm25_micro
+    FROM fusion_domain fd LEFT JOIN terms ON fd.doc_id = terms.doc_id
+    GROUP BY fd.doc_id
+  )
+), qv AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+  FROM fusion_domain WHERE doc_id = (SELECT MIN(doc_id) FROM fusion_domain)
+), vec AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_micro DESC, doc_id) AS vec_rank
+  FROM (
+    SELECT fd.doc_id,
+           CAST(FLOOR(
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(fd.embedding[i] AS DOUBLE) * qv.q[i]))
+             / (sqrt(list_sum(list_transform(fd.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qv.q, x -> x * x))))
+             * 1000000) AS BIGINT) AS cos_micro
+    FROM fusion_domain fd CROSS JOIN qv
+  )
+)
+SELECT lex.doc_id,
+       CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec.vec_rank AS BIGINT) AS vec_rank,
+       CAST(FLOOR(1000000.0 / (60 + lex.lex_rank))
+            + FLOOR(1000000.0 / (60 + vec.vec_rank)) AS BIGINT) AS rrf_micro
+FROM lex JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf_micro DESC, lex.doc_id LIMIT 10
+""",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL via reciprocal-rank fusion: the lexical ranking
+    (q_bm25's scorer) and the dense ranking (cosine to a deterministic
+    query vector) are fused as floor(1e6/(60+rank)) + floor(1e6/
+    (60+rank)) — integerized RRF, so the fusion score is exact BIGINT
+    arithmetic. This is the retrieval architecture modern RAG /
+    training-data search stacks run; the engine expresses BOTH legs
+    and the fusion as one declarative plan.
+
+    The fusion domain is docs that have embeddings (doc_id = vec_id).
+    Ranks are global row_numbers over that domain — at 100 TB each leg
+    keeps only its top-K via TakeOrdered before fusing (documented
+    truncation; rank fidelity beyond K is irrelevant to RRF's top
+    results), so no global sort survives in the scale path."""
+    c = catalog(spark, sf_dir)
+    fd = c.documents.join(
+        c.embeddings.select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ),
+        "doc_id",
+    ).select("doc_id", "text", "embedding")
+    fd = fd.cache()  # both legs + the query-vector scalar scan it
+    words = fd.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dlen").cast("bigint").alias("total_len"),
+    )
+    top3 = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "w"))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    tf = (
+        words.join(F.broadcast(top3), "w")
+        .groupBy("doc_id", "rnk")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("rnk").agg(F.countDistinct("doc_id").alias("df"))
+    terms = (
+        tf.join(F.broadcast(dfreq), "rnk")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "rnk",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dlen")
+                        / (F.col("total_len").cast("double") / F.col("n_docs"))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    bm25 = (
+        fd.select("doc_id")
+        .join(terms, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("rnk") == i, F.col("s"))), F.lit(0.0)
+                ).alias(f"s{i}")
+                for i in (1, 2, 3)
+            ]
+        )
+        .select(
+            "doc_id",
+            F.floor((F.col("s1") + F.col("s2") + F.col("s3")) * 1000000)
+            .cast("bigint")
+            .alias("bm25_micro"),
+        )
+    )
+    lex = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_micro").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    qv = (
+        fd.orderBy("doc_id")
+        .limit(1)
+        .select(_as_double("embedding").alias("q"))
+    )
+    e = _as_double("embedding")
+    vec = (
+        fd.crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.floor(
+                _dot(e, F.col("q")) / (_norm(e) * _norm(F.col("q"))) * 1000000
+            )
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_micro").desc(), "doc_id"))
+            .alias("vec_rank"),
+        )
+    )
+    return (
+        lex.join(vec, "doc_id")
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+            (
+                F.floor(F.lit(1000000.0) / (60 + F.col("lex_rank")))
+                + F.floor(F.lit(1000000.0) / (60 + F.col("vec_rank")))
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(10)
+    )
