@@ -606,3 +606,126 @@ def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "rec_brand", "score_micro")
     )
+
+
+@REGISTRY.register(
+    "q_graph_assortativity",
+    tags=("graph",),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), weighted AS (
+  SELECT a.p_brand AS u, b.p_brand AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+), edges AS (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn FROM weighted
+  ) WHERE rn <= 60
+), sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+), xy AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM sym JOIN deg du ON sym.u = du.node JOIN deg dv ON sym.v = dv.node
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT n AS n_directed_edges,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) = 0
+            THEN NULL
+            ELSE CAST(FLOOR(
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+              * 1000000) AS BIGINT) END AS assortativity_micro
+FROM s
+""",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson
+    correlation of endpoint degrees over the symmetric edge list —
+    positive = hubs link hubs (assortative), negative = hub-and-spoke
+    (disassortative); the one-number structural summary used to pick
+    partition/sampling strategies for graph workloads.
+
+    All five power sums accumulate in BIGINT over the edge list (one
+    aggregation after two broadcast degree joins), so the correlation
+    is a deterministic function of exact integers — same discipline
+    as q_acf_daily; emitted floored to micro-units."""
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
+    weighted = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    # top-60 strongest edges (the q_bfs_khop construction): the >=80
+    # threshold yields the COMPLETE K25 graph on these fixtures, whose
+    # degree variance is zero - assortativity needs degree spread
+    edges = (
+        weighted.select(
+            "u",
+            "v",
+            F.row_number()
+            .over(Window.orderBy(F.col("w").desc(), "u", "v"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 60)
+        .select("u", "v")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    xy = (
+        sym.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("x"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("y"))),
+            "v",
+        )
+        .select("x", "y")
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    varprod = (n * F.col("sxx") - sx * F.col("sx")) * (
+        n * F.col("syy") - sy * F.col("sy")
+    )
+    # a degree-REGULAR graph (the thresholded sf0.01 fixture graph is
+    # one) has zero degree variance: correlation is undefined -> NULL
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.when(varprod == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                (n * F.col("sxy") - sx * F.col("sy"))
+                / F.sqrt(varprod)
+                * 1000000
+            ).cast("bigint")
+        )
+        .alias("assortativity_micro"),
+    )

@@ -1019,3 +1019,84 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_micro").desc(), "doc_id")
         .limit(10)
     )
+
+
+@REGISTRY.register(
+    "q_embed_outliers",
+    tags=("similarity", "quality"),
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label, t.i,
+         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 15 + 0.5) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, 64) t(i)
+), cent AS (
+  SELECT label, i,
+         CAST(FLOOR((2 * SUM(c) + COUNT(*)) * 1.0 / (2 * COUNT(*))) AS BIGINT) AS c
+  FROM q GROUP BY label, i
+), d AS (
+  SELECT q.vec_id, q.label,
+         CAST(SUM((q.c - cent.c) * (q.c - cent.c)) AS BIGINT) AS d2
+  FROM q JOIN cent ON q.label = cent.label AND q.i = cent.i
+  GROUP BY q.vec_id, q.label
+), thr AS (
+  SELECT label, quantile_cont(d2, 0.95) AS p95 FROM d GROUP BY label
+)
+SELECT d.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN d.d2 > thr.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(MAX(d.d2) AS BIGINT) AS max_d2
+FROM d JOIN thr ON d.label = thr.label
+GROUP BY d.label
+""",
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality outlier detection: per-label squared distance
+    to the label centroid, flagging vectors beyond the label's p95 —
+    the mislabeled-or-corrupt-vector screen a training pipeline runs
+    before contrastive fine-tuning. Centroids use the integer-rounded
+    mean (q_kmeans_quantized's rule) and distances are BIGINT, so
+    everything up to the R-7 threshold is exact; the label-keyed
+    centroid table and thresholds are broadcast back.
+
+    Scale shape: two label-keyed aggregations plus one broadcast join;
+    the vector table shuffles on (label) only for its own partials."""
+    c = catalog(spark, sf_dir)
+    q = c.embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 15 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+    )
+    cent = q.groupBy("label", "i").agg(
+        F.floor(
+            (2 * F.sum("c") + F.count("*")) * F.lit(1.0) / (2 * F.count("*"))
+        )
+        .cast("bigint")
+        .alias("cc")
+    )
+    d = (
+        q.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("c") - F.col("cc")) * (F.col("c") - F.col("cc")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    thr = d.groupBy("label").agg(F.percentile("d2", F.lit(0.95)).alias("p95"))
+    return (
+        d.join(F.broadcast(thr), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("d2") > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("d2").cast("bigint").alias("max_d2"),
+        )
+    )
