@@ -1302,3 +1302,81 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ltv_cents_per_user"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_rolling_wau",
+    tags=("analytics", "events"),
+    oracle="""
+WITH grid AS (
+  SELECT unnest(generate_series(CAST((SELECT MIN(ts) FROM events) AS DATE),
+                                CAST((SELECT MAX(ts) FROM events) AS DATE),
+                                INTERVAL 1 DAY))::DATE AS day
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT STRFTIME(g.day, '%Y-%m-%d') AS day,
+       CAST((SELECT COUNT(DISTINCT a.user_id) FROM active a
+             WHERE a.day BETWEEN g.day - 6 AND g.day) AS BIGINT) AS wau
+FROM grid g
+""",
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) for every day of the
+    observation range — the growth metric whose naive form is a
+    sliding COUNT(DISTINCT) no engine executes cheaply. The Spark plan
+    replaces it with the interval-union decomposition: per user, merge
+    active days into gap<=6 ISLANDS (two islands 7+ days apart can
+    never share a window), each island covers days [start, end+6] in
+    the WAU sense, so +1/-1 deltas at island boundaries and one
+    running sum over the DAY-cardinality grid give every day's exact
+    distinct count without any per-day distinct at all.
+
+    Shapes: one user-keyed shuffle (islands), one day-keyed delta
+    aggregation, and a running sum over ~date-range rows (tiny by
+    construction; shard it by month with carry-in partials if the
+    range were years — the q_stream_anomaly composition). The oracle
+    states the quadratic per-day DISTINCT definition directly."""
+    c = catalog(spark, sf_dir)
+    active = c.events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    wl = Window.partitionBy("user_id").orderBy("day")
+    brk = F.when(
+        F.lag("day").over(wl).isNull()
+        | (F.datediff("day", F.lag("day").over(wl)) > 6),
+        1,
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        active.withColumn("brk", brk)
+        .withColumn("isl", F.sum("brk").over(wrun))
+        .groupBy("user_id", "isl")
+        .agg(F.min("day").alias("start"), F.max("day").alias("end"))
+    )
+    deltas = islands.select(
+        F.col("start").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        islands.select(F.date_add("end", 7).alias("day"), F.lit(-1).alias("d"))
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("d").alias("d"))
+    bounds = c.events.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    wg = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(per_day, "day", "left")
+        .select("day", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+        .select("day", F.sum("d").over(wg).cast("bigint").alias("wau"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
+    )

@@ -915,3 +915,53 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _memo(spark, sf_dir, "containment_edges", build)
+
+
+@REGISTRY.register(
+    "q_dedup_threshold_sweep",
+    tags=("llm", "dedup"),
+    oracle="""
+WITH grams AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         )) AS bigrams
+  FROM documents
+), pairs AS (
+  SELECT len(list_intersect(a.bigrams, b.bigrams)) * 1.0
+         / len(list_distinct(a.bigrams || b.bigrams)) AS j
+  FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.bigrams, b.bigrams)) * 1.0
+        / len(list_distinct(a.bigrams || b.bigrams)) >= 0.5
+), t AS (SELECT unnest([50, 60, 70, 80, 90]) AS thr_pct)
+SELECT t.thr_pct,
+       CAST(COUNT(CASE WHEN pairs.j >= t.thr_pct / 100.0 THEN 1 END) AS BIGINT)
+         AS n_pairs
+FROM t LEFT JOIN pairs ON TRUE
+GROUP BY t.thr_pct
+""",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity: how many candidate pairs survive
+    at Jaccard >= 0.5 / 0.6 / 0.7 / 0.8 / 0.9 — the one-pass analysis
+    that picks a dedup threshold by showing where the pair count
+    plateaus (true clones) vs explodes (topical similarity). Reuses
+    the MEMOIZED exact prefix-filter edge pipeline
+    (q_dedup_ngram_jaccard's candidates), so the sweep costs one
+    broadcast of the tiny threshold list and one re-aggregation —
+    never a recomputation per threshold."""
+    edges = q_dedup_ngram_jaccard(spark, sf_dir)  # memoized (>=0.5 pairs)
+    thr = spark.range(5).select(
+        (F.lit(50) + F.col("id") * 10).cast("int").alias("thr_pct")
+    )
+    return (
+        F.broadcast(thr)
+        .join(
+            edges.select("jaccard"),
+            F.col("jaccard") >= F.col("thr_pct") / 100.0,
+            "left",
+        )
+        .groupBy("thr_pct")
+        .agg(F.count("jaccard").alias("n_pairs"))
+    )
