@@ -1184,3 +1184,70 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2"),
         F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
     )
+
+
+@REGISTRY.register(
+    "q_forecast_baseline",
+    tags=("mlstats", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY CAST(ts AS DATE)
+), split AS (
+  SELECT (SELECT MIN(day) FROM daily) + 21 AS cutoff
+), train AS (
+  SELECT dow, CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily CROSS JOIN split WHERE day < cutoff GROUP BY dow
+), test AS (
+  SELECT day, dow, cents FROM daily CROSS JOIN split WHERE day >= cutoff
+)
+SELECT STRFTIME(t.day, '%Y-%m-%d') AS day,
+       t.cents AS actual_cents,
+       CAST(FLOOR(CAST(tr.s AS DOUBLE) / tr.n) AS BIGINT) AS pred_cents,
+       CAST(FLOOR(ABS(t.cents - CAST(tr.s AS DOUBLE) / tr.n)) AS BIGINT)
+         AS abs_err_cents
+FROM test t JOIN train tr ON t.dow = tr.dow
+""",
+)
+def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: train on the first three weeks
+    of the daily revenue series, predict each held-out day as its
+    day-of-week mean, emit per-day actual / prediction / absolute
+    error — the baseline every forecasting effort must beat, with the
+    error table ready for MAE/MAPE rollup.
+
+    Cents are BIGINT; the per-dow mean is one double division of exact
+    integers and errors are floored per ROW (never a float sum across
+    rows), so the backtest is bit-reproducible. Day-of-week is
+    epoch-day mod 7 (engine-neutral). One day-level rollup shuffle +
+    a broadcast of the 7-row model — the train table IS the model."""
+    c = catalog(spark, sf_dir)
+    daily = c.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    ).select(
+        "day",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
+        "cents",
+    )
+    cutoff = daily.agg(F.date_add(F.min("day"), 21).alias("cutoff"))
+    daily = daily.crossJoin(F.broadcast(cutoff))
+    train = (
+        daily.filter(F.col("day") < F.col("cutoff"))
+        .groupBy("dow")
+        .agg(
+            F.sum("cents").cast("bigint").alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    test = daily.filter(F.col("day") >= F.col("cutoff"))
+    pred = F.col("s").cast("double") / F.col("n")
+    return test.join(F.broadcast(train), "dow").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").alias("actual_cents"),
+        F.floor(pred).cast("bigint").alias("pred_cents"),
+        F.floor(F.abs(F.col("cents") - pred)).cast("bigint").alias("abs_err_cents"),
+    )
