@@ -528,3 +528,90 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ms("us_cp", 0.5, "p50_click_purchase_ms"),
         ms("us_cp", 0.9, "p90_click_purchase_ms"),
     )
+
+
+@REGISTRY.register(
+    "q_spend_vs_activity",
+    tags=("composite", "galaxy"),
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_dollars
+  FROM orders GROUP BY o_custkey
+), act AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+), xy AS (
+  SELECT spend.spend_dollars AS x, act.n_events AS y
+  FROM spend JOIN act ON spend.k = act.k
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT n AS n_matched,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) = 0
+            THEN NULL
+            ELSE CAST(FLOOR(
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+              * 1000000) AS BIGINT) END AS corr_micro
+FROM s
+""",
+)
+def q_spend_vs_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Galaxy-schema cross-fact analysis: the orders fact and the events
+    fact, each pre-aggregated to its conformed key (customer = user),
+    joined ONCE at key cardinality to correlate lifetime spend (whole
+    dollars — cents-squared power sums would overflow BIGINT) with
+    engagement — the canonical two-fact-table question (does activity
+    predict revenue?) done the warehouse-correct way: aggregate each
+    fact FIRST, join the small results, never fact-to-fact row joins.
+
+    Pearson r from five BIGINT power sums (the q_acf_daily /
+    q_graph_assortativity discipline), floored to micro-units, with a
+    NULL guard for the zero-variance edge."""
+    c = catalog(spark, sf_dir)
+    # whole dollars, not cents: sum(x^2) over customer spend in cents
+    # overflows BIGINT (~1.5e19 at sf0.01); dollar granularity keeps the
+    # five power sums inside 2^63 with orders-of-magnitude headroom
+    spend = c.orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    act = c.events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("y")
+    )
+    s = spend.join(act, "k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    varprod = (n * F.col("sxx") - sx * F.col("sx")) * (
+        n * F.col("syy") - sy * F.col("sy")
+    )
+    return s.select(
+        F.col("n").alias("n_matched"),
+        F.when(varprod == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                (n * F.col("sxy") - sx * F.col("sy")) / F.sqrt(varprod) * 1000000
+            ).cast("bigint")
+        )
+        .alias("corr_micro"),
+    )
