@@ -603,13 +603,51 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q_SCALE_SQL = (
+    "(SELECT MAX(list_max(list_transform(embedding, "
+    "x -> ABS(CAST(x AS DOUBLE))))) FROM embeddings)"
+)
+
+
+def quantized_codes(c, with_label: bool = False) -> DataFrame:
+    """Integer quantization of the embedding corpus shared by the exact
+    ML kernels (PCA / k-means / outliers): code = floor(x / max_abs
+    * 15 + 0.5), where max_abs is the CORPUS max absolute component —
+    derived from the data, not assumed, so a fixture-drift that
+    rescales embeddings cannot push products past BIGINT headroom
+    (environment fact #16: fixture encodings drift between rounds).
+    One scalar aggregate broadcast into a map-side expression."""
+    m = c.embeddings.agg(
+        F.max(
+            F.array_max(
+                F.transform("embedding", lambda v: F.abs(v.cast("double")))
+            )
+        ).alias("m")
+    )
+    cols = ["vec_id", "label"] if with_label else ["vec_id"]
+    return (
+        c.embeddings.crossJoin(F.broadcast(m))
+        .select(*cols, "m", F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            *cols,
+            (F.col("pos0") + 1).alias("i"),
+            F.floor(F.col("x").cast("double") / F.col("m") * 15 + F.lit(0.5))
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+
+
 @REGISTRY.register(
     "q_pca_power",
     tags=("similarity", "ml"),
     oracle="""
 WITH q AS (
   SELECT vec_id, t.i,
-         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 15 + 0.5) AS BIGINT) AS c
+         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)
+                    / (SELECT MAX(list_max(list_transform(embedding,
+                         x -> ABS(CAST(x AS DOUBLE))))) FROM embeddings)
+                    * 15 + 0.5) AS BIGINT) AS c
   FROM embeddings, generate_series(1, 64) t(i)
 ), cov AS (
   SELECT a.i AS i, b.i AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS cv
@@ -647,15 +685,7 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     per 100k vectors — at larger corpora rescale the quantization or
     shard the Gram accumulation before it nears 2^63."""
     c = catalog(spark, sf_dir)
-    q = c.embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "x")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("i"),
-        F.floor(F.col("x").cast("double") * 15 + F.lit(0.5))
-        .cast("bigint")
-        .alias("c"),
-    )
+    q = quantized_codes(c)
     a = q.select("vec_id", F.col("i"), F.col("c").alias("ca"))
     b = q.select("vec_id", F.col("i").alias("j"), F.col("c").alias("cb"))
     cov = (
@@ -689,7 +719,10 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (
   SELECT vec_id, t.i,
-         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 15 + 0.5) AS BIGINT) AS c
+         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)
+                    / (SELECT MAX(list_max(list_transform(embedding,
+                         x -> ABS(CAST(x AS DOUBLE))))) FROM embeddings)
+                    * 15 + 0.5) AS BIGINT) AS c
   FROM embeddings, generate_series(1, 64) t(i)
 ), seeds AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS k
@@ -744,15 +777,7 @@ def q_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-assign / shuffle-update Lloyd round that runs at any
     corpus size; more rounds = repeat the same two stages."""
     c = catalog(spark, sf_dir)
-    q = c.embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "x")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("i"),
-        F.floor(F.col("x").cast("double") * 15 + F.lit(0.5))
-        .cast("bigint")
-        .alias("c"),
-    )
+    q = quantized_codes(c)
     seeds = (
         c.embeddings.select("vec_id")
         .orderBy("vec_id")
@@ -1027,7 +1052,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (
   SELECT vec_id, label, t.i,
-         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 15 + 0.5) AS BIGINT) AS c
+         CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)
+                    / (SELECT MAX(list_max(list_transform(embedding,
+                         x -> ABS(CAST(x AS DOUBLE))))) FROM embeddings)
+                    * 15 + 0.5) AS BIGINT) AS c
   FROM embeddings, generate_series(1, 64) t(i)
 ), cent AS (
   SELECT label, i,
@@ -1062,16 +1090,7 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two label-keyed aggregations plus one broadcast join;
     the vector table shuffles on (label) only for its own partials."""
     c = catalog(spark, sf_dir)
-    q = c.embeddings.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("pos0") + 1).alias("i"),
-        F.floor(F.col("x").cast("double") * 15 + F.lit(0.5))
-        .cast("bigint")
-        .alias("c"),
-    )
+    q = quantized_codes(c, with_label=True)
     cent = q.groupBy("label", "i").agg(
         F.floor(
             (2 * F.sum("c") + F.count("*")) * F.lit(1.0) / (2 * F.count("*"))

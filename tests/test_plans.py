@@ -515,16 +515,10 @@ def test_kmeans_lloyd_inertia_non_increasing(spark):
     from catenae_kafka_spark.catalog import catalog
     from pyspark.sql import functions as F, Window
 
+    from catenae_kafka_spark.operators.llm_similarity import quantized_codes
+
     c = catalog(spark, SF)
-    q = c.embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "x")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("i"),
-        F.floor(F.col("x").cast("double") * 15 + F.lit(0.5))
-        .cast("bigint")
-        .alias("c"),
-    )
+    q = quantized_codes(c)
     seeds = (
         c.embeddings.select("vec_id")
         .orderBy("vec_id")
