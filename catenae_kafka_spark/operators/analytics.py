@@ -1380,3 +1380,173 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.sum("d").over(wg).cast("bigint").alias("wau"))
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
     )
+
+
+@REGISTRY.register(
+    "q_market_hhi",
+    tags=("analytics", "orders"),
+    oracle="""
+WITH rev AS (
+  SELECT r_name,
+         n_name,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS dollars
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+), tot AS (
+  SELECT r_name, CAST(SUM(dollars) AS BIGINT) AS total FROM rev GROUP BY r_name
+)
+SELECT rev.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(FLOOR(SUM(
+         (CAST(rev.dollars AS DOUBLE) / tot.total)
+         * (CAST(rev.dollars AS DOUBLE) / tot.total)
+         * 1000000 ORDER BY rev.n_name)) AS BIGINT) AS hhi_micro
+FROM rev JOIN tot ON rev.r_name = tot.r_name
+GROUP BY rev.r_name, tot.total
+""",
+)
+def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per region: sum
+    of squared nation revenue shares (10,000 x in micro units) — the
+    antitrust/concentration statistic complementing Gini and top-share.
+
+    Shares are exact integer dollars over the broadcast region total;
+    the share-squared SUM is over at most 25 nations per region and is
+    accumulated in a DETERMINISTIC order (ORDER BY inside the oracle
+    aggregate; a sorted array fold on the Spark side) so the float sum
+    cannot vary with plan parallelism. Star join = three broadcast
+    dims; one shuffle on (region, nation)."""
+    c = catalog(spark, sf_dir)
+    rev = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(c.nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(c.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("dollars")
+        )
+    )
+    tot = rev.groupBy("r_name").agg(F.sum("dollars").cast("bigint").alias("total"))
+    share2 = lambda s: (
+        F.col(s).getField("dollars").cast("double") / F.col("total")
+    ) * (F.col(s).getField("dollars").cast("double") / F.col("total"))
+    # fold shares in n_name order so the double sum has ONE evaluation
+    # order on both engines regardless of partitioning
+    return (
+        rev.join(F.broadcast(tot), "r_name")
+        .groupBy("r_name", "total")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_sort(
+                F.collect_list(F.struct("n_name", "dollars"))
+            ).alias("_shares"),
+        )
+        .select(
+            "r_name",
+            "n_nations",
+            F.floor(
+                F.aggregate(
+                    "_shares",
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + (s.getField("dollars").cast("double") / F.col("total"))
+                    * (s.getField("dollars").cast("double") / F.col("total"))
+                    * 1000000,
+                )
+            )
+            .cast("bigint")
+            .alias("hhi_micro"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_return_rates",
+    tags=("analytics", "quality"),
+    oracle="""
+WITH r AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ret
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n, ret,
+       CAST(FLOOR(CAST(ret AS DOUBLE) / n * 1000000) AS BIGINT) AS rate_ppm,
+       CAST(FLOOR(
+         ((CAST(ret AS DOUBLE) / n + 3.8416 / (2 * n))
+          / (1 + 3.8416 / n)
+          - 1.96 * sqrt(CAST(ret AS DOUBLE) / n * (1 - CAST(ret AS DOUBLE) / n) / n
+                        + 3.8416 / (4 * CAST(n AS DOUBLE) * n))
+            / (1 + 3.8416 / n)) * 1000000) AS BIGINT) AS wilson_lo_ppm,
+       CAST(FLOOR(
+         ((CAST(ret AS DOUBLE) / n + 3.8416 / (2 * n))
+          / (1 + 3.8416 / n)
+          + 1.96 * sqrt(CAST(ret AS DOUBLE) / n * (1 - CAST(ret AS DOUBLE) / n) / n
+                        + 3.8416 / (4 * CAST(n AS DOUBLE) * n))
+            / (1 + 3.8416 / n)) * 1000000) AS BIGINT) AS wilson_hi_ppm
+FROM r
+""",
+)
+def q_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate monitoring per brand with WILSON 95% score intervals
+    — the proportion-with-uncertainty readout that ranks small-n
+    brands honestly (a raw rate over 50 lineitems is noise; the Wilson
+    lower bound is the sortable quality signal, same statistic that
+    powers rating rankers).
+
+    One broadcast part join + one brand aggregation; the interval is a
+    closed-form expression of the two exact integers (n, returns)
+    written IDENTICALLY on both engines and floored to ppm, so the
+    uncertainty math itself is hash-checked."""
+    c = catalog(spark, sf_dir)
+    r = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ret"),
+        )
+    )
+    p = F.col("ret").cast("double") / F.col("n")
+    z2 = F.lit(3.8416)
+    denom = 1 + z2 / F.col("n")
+    center = (p + z2 / (2 * F.col("n"))) / denom
+    half = (
+        F.lit(1.96)
+        * F.sqrt(
+            p * (1 - p) / F.col("n")
+            + z2 / (4 * F.col("n").cast("double") * F.col("n"))
+        )
+        / denom
+    )
+    ppm = lambda col, alias: F.floor(col * 1000000).cast("bigint").alias(alias)
+    return r.select(
+        "p_brand",
+        "n",
+        "ret",
+        ppm(p, "rate_ppm"),
+        ppm(center - half, "wilson_lo_ppm"),
+        ppm(center + half, "wilson_hi_ppm"),
+    )
