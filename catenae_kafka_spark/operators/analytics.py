@@ -1550,3 +1550,53 @@ def q_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm(center - half, "wilson_lo_ppm"),
         ppm(center + half, "wilson_hi_ppm"),
     )
+
+
+@REGISTRY.register(
+    "q_ship_sla",
+    tags=("analytics", "orders"),
+    oracle="""
+WITH lags AS (
+  SELECT o_orderpriority,
+         DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       quantile_cont(lag_days, 0.5) AS p50_days,
+       quantile_cont(lag_days, 0.75) AS p75_days,
+       CAST(MAX(lag_days) AS BIGINT) AS max_days,
+       CAST(SUM(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breach_60d
+FROM lags GROUP BY o_orderpriority
+""",
+)
+def q_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA distribution per priority class: day lags from
+    order date to each lineitem's ship date, with dyadic quantiles
+    (bit-exact doubles), the max, and a 60-day breach count — the
+    fulfillment-latency readout an operations team pages on.
+
+    One fact-to-fact equi-join on the order key (both sides already
+    keyed; AQE picks the strategy) and one priority-level aggregation
+    of integer day lags."""
+    c = catalog(spark, sf_dir)
+    lags = c.lineitem.join(
+        c.orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lag_days"),
+    )
+    return lags.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.percentile("lag_days", F.lit(0.5)).alias("p50_days"),
+        F.percentile("lag_days", F.lit(0.75)).alias("p75_days"),
+        F.max("lag_days").cast("bigint").alias("max_days"),
+        F.sum(F.when(F.col("lag_days") > 60, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_breach_60d"),
+    )

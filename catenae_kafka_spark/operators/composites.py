@@ -615,3 +615,90 @@ def q_spend_vs_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("corr_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_sessionized_funnel",
+    tags=("composite", "sessionize", "events"),
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 7200
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+  FROM t
+), per_sess AS (
+  SELECT user_id, sess,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM s GROUP BY user_id, sess
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                      AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+FROM per_sess
+""",
+)
+def q_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-consistent conversion funnel: signup → click → purchase
+    counted only when the whole ordered sequence happens INSIDE one
+    2-hour-gap session — the strict attribution variant of q_funnel
+    (which allows days between stages). Composition of the shared
+    sessionization recipe with the conditional-MIN funnel pass: the
+    session id simply joins the grouping key, so the funnel still
+    costs one user-keyed shuffle."""
+    c = catalog(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.floor(F.unix_micros("ts") / 1_000_000).cast("bigint")
+    t = c.events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | (ts_s - F.lag(ts_s).over(wl) > 7200),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.select(
+        "user_id", "event_type", "ts", F.sum("new_sess").over(wrun).alias("sess")
+    )
+    per_sess = s.groupBy("user_id", "sess").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(signed, 1).otherwise(0)).cast("bigint").alias("n_signup"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("bigint").alias("n_click"),
+        F.sum(F.when(purchased, 1).otherwise(0)).cast("bigint").alias("n_purchase"),
+    )
