@@ -559,3 +559,51 @@ def test_kmeans_lloyd_inertia_non_increasing(spark):
     # and the registered query returns exactly k rows with positive counts
     out = q_kmeans_quantized(spark, SF).collect()
     assert len(out) == 4 and all(r.n_members > 0 for r in out)
+
+
+def test_retrieval_and_recommender_plan_shapes(spark):
+    """Scale-shape audit for the retrieval / recommender / econ ops."""
+    from catenae_kafka_spark.operators.analytics import (
+        q_market_hhi,
+        q_rolling_wau,
+    )
+    from catenae_kafka_spark.operators.composites import q_spend_vs_activity
+    from catenae_kafka_spark.operators.graph import (
+        q_collab_filter,
+        q_shortest_path_bf,
+    )
+    from catenae_kafka_spark.operators.llm_text import q_bm25
+    from catenae_kafka_spark.operators.llm_similarity import q_hybrid_rrf
+
+    # BM25: the postings join probes a BROADCAST term list; no
+    # corpus-x-corpus join anywhere
+    plan = plan_of(q_bm25(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # hybrid RRF: both legs share the cached fusion domain; the only
+    # nested-loop is the single-row query-vector broadcast
+    plan = plan_of(q_hybrid_rrf(spark, SF))
+    assert "CartesianProduct" not in plan
+
+    # collaborative filter: the item-item similarity side reaches the
+    # ownership join as a broadcast; exclusion is a LEFT ANTI
+    plan = plan_of(q_collab_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # Bellman-Ford: every relaxation round broadcasts the distance table
+    plan = plan_of(q_shortest_path_bf(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+    # cross-fact correlation: both facts pre-aggregate BEFORE the join
+    # (partial_sum markers below the join), never fact-to-fact rows
+    plan = plan_of(q_spend_vs_activity(spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+    # HHI / WAU: no cartesian, sweeps windowed or folded
+    for q in (q_market_hhi, q_rolling_wau):
+        plan = plan_of(q(spark, SF))
+        assert "CartesianProduct" not in plan
