@@ -729,3 +729,90 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("assortativity_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_kcore_peel",
+    tags=("graph",),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), weighted AS (
+  SELECT a.p_brand AS u, b.p_brand AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+), edges AS (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn FROM weighted
+  ) WHERE rn <= 60
+), sym0 AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), keep1 AS (
+  SELECT u FROM sym0 GROUP BY u HAVING COUNT(*) >= 4
+), sym1 AS (
+  SELECT s.u, s.v FROM sym0 s
+  JOIN keep1 a ON s.u = a.u JOIN keep1 b ON s.v = b.u
+), keep2 AS (
+  SELECT u FROM sym1 GROUP BY u HAVING COUNT(*) >= 4
+), sym2 AS (
+  SELECT s.u, s.v FROM sym1 s
+  JOIN keep2 a ON s.u = a.u JOIN keep2 b ON s.v = b.u
+), keep3 AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym2 GROUP BY u
+  HAVING COUNT(*) >= 4
+)
+SELECT u AS node, deg FROM keep3
+""",
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core extraction by BOUNDED ITERATIVE PEELING (3 rounds) over
+    the top-60-edge co-purchase graph: repeatedly drop nodes with
+    degree < k and the edges touching them — the dense-subgraph kernel
+    behind community seeding and spam-ring detection. The oracle
+    unrolls the same three peels as CTEs; surviving nodes and their
+    final (within-core) degrees are the result.
+
+    Each peel round is one degree aggregation (node-cardinality) plus
+    two BROADCAST semi-joins of the surviving-node list against the
+    edge table — the q_pagerank iteration discipline; k rounds = k
+    bounded stages, and the edge table only ever shrinks."""
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
+    weighted = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    edges = (
+        weighted.select(
+            "u",
+            "v",
+            F.row_number()
+            .over(Window.orderBy(F.col("w").desc(), "u", "v"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 60)
+        .select("u", "v")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    k = 4
+    for rnd in range(3):
+        deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        if rnd == 2:
+            final = deg.filter(F.col("deg") >= k).select(
+                F.col("u").alias("node"), F.col("deg").cast("bigint").alias("deg")
+            )
+            return final
+        sym = sym.join(F.broadcast(keep), "u", "left_semi").join(
+            F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
+        )
