@@ -965,3 +965,51 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("thr_pct")
         .agg(F.count("jaccard").alias("n_pairs"))
     )
+
+
+@REGISTRY.register(
+    "q_dedup_minhash_recall",
+    tags=("llm", "dedup", "eval"),
+    oracle=None,  # minhash banding uses xxhash64 (no DuckDB analog);
+    # the exact side IS oracled via q_dedup_ngram_jaccard, and recall
+    # is additionally lower-bound-asserted in tests/test_llm_ops.py
+)
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED MinHash recall, registered as driver-visible evidence:
+    ground truth = the exact prefix-filter pair set at Jaccard >= 0.7
+    (memoized q_dedup_ngram_jaccard edges), candidates = the banded
+    MinHash LSH pair generation. Both are deterministic (fixed xxhash64
+    seeds), so the emitted recall is a stable number, not a sample —
+    the per-corpus accuracy readout a pipeline records next to every
+    probabilistic dedup run."""
+    truth = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    docs = catalog(spark, sf_dir).documents
+    sigs = minhash_signatures(docs)
+    cands = minhash_candidate_pairs(sigs).select("id_a", "id_b")
+    hit = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    n_truth = truth.count()
+    n_hit = hit.count()
+    import pandas as pd
+
+    return (
+        truth.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {
+                    "n_true_pairs": [n_truth],
+                    "n_found": [n_hit],
+                    "recall_ppm": [
+                        (n_hit * 1_000_000) // n_truth if n_truth else None
+                    ],
+                }
+            )
+        )
+        .select(
+            F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+            F.col("n_found").cast("bigint").alias("n_found"),
+            F.col("recall_ppm").cast("bigint").alias("recall_ppm"),
+        )
+    )

@@ -1251,3 +1251,84 @@ def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(pred).cast("bigint").alias("pred_cents"),
         F.floor(F.abs(F.col("cents") - pred)).cast("bigint").alias("abs_err_cents"),
     )
+
+
+@REGISTRY.register(
+    "q_diff_in_diff",
+    tags=("mlstats", "causal"),
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events
+), cells AS (
+  SELECT (user_id * 2654435761) % 100 < 50 AS is_treated,
+         epoch_us(e.ts) - epoch_us(b.t0)
+           >= (epoch_us(b.t1) - epoch_us(b.t0)) / 2 AS is_post,
+         CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events e
+  CROSS JOIN bounds b
+  GROUP BY 1, 2
+), m AS (
+  SELECT MAX(CASE WHEN is_treated AND is_post THEN CAST(cents AS DOUBLE)/n END) AS tp,
+         MAX(CASE WHEN is_treated AND NOT is_post THEN CAST(cents AS DOUBLE)/n END) AS tr,
+         MAX(CASE WHEN NOT is_treated AND is_post THEN CAST(cents AS DOUBLE)/n END) AS cp,
+         MAX(CASE WHEN NOT is_treated AND NOT is_post THEN CAST(cents AS DOUBLE)/n END) AS cr,
+         CAST(SUM(n) AS BIGINT) AS n_events
+  FROM cells
+)
+SELECT n_events,
+       CAST(FLOOR((tp - tr) * 100) AS BIGINT) AS treated_delta_hcents,
+       CAST(FLOOR((cp - cr) * 100) AS BIGINT) AS control_delta_hcents,
+       CAST(FLOOR(((tp - tr) - (cp - cr)) * 100) AS BIGINT) AS did_hcents
+FROM m
+""",
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate: treated = the deterministic
+    50% rollout bucket (multiplicative-hash assignment — the engine's
+    q_split_train_test discipline; every user has SOME signup, so a
+    behavioral treatment marker would leave an empty control group),
+    periods split at the observation midpoint; the DiD
+    estimator (treated post-pre delta minus control post-pre delta of
+    mean event value) is the workhorse quasi-experimental readout.
+
+    Four cell means from exact BIGINT cents/counts, deterministic
+    double divisions, differences floored to hundredth-cents. One
+    map-side hash assignment + a single 4-cell aggregation — the fact
+    table shuffles once on the two booleans."""
+    c = catalog(spark, sf_dir)
+    bounds = c.events.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    cells = (
+        c.events.crossJoin(F.broadcast(bounds))
+        .select(
+            ((F.col("user_id") * 2654435761) % 100 < 50).alias("is_treated"),
+            (
+                (F.unix_micros("ts") - F.unix_micros("t0"))
+                >= (F.unix_micros("t1") - F.unix_micros("t0")) / 2
+            ).alias("is_post"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("is_treated", "is_post")
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.count("*").alias("n"),
+        )
+    )
+    mean = F.col("cents").cast("double") / F.col("n")
+    m = cells.agg(
+        F.max(F.when(F.col("is_treated") & F.col("is_post"), mean)).alias("tp"),
+        F.max(F.when(F.col("is_treated") & ~F.col("is_post"), mean)).alias("tr"),
+        F.max(F.when(~F.col("is_treated") & F.col("is_post"), mean)).alias("cp"),
+        F.max(F.when(~F.col("is_treated") & ~F.col("is_post"), mean)).alias("cr"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    h = lambda col, alias: F.floor(col * 100).cast("bigint").alias(alias)
+    return m.select(
+        "n_events",
+        h(F.col("tp") - F.col("tr"), "treated_delta_hcents"),
+        h(F.col("cp") - F.col("cr"), "control_delta_hcents"),
+        h(
+            (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr")),
+            "did_hcents",
+        ),
+    )
