@@ -1600,3 +1600,78 @@ def q_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_breach_60d"),
     )
+
+
+@REGISTRY.register(
+    "q_attribution_ushape",
+    tags=("analytics", "attribution"),
+    oracle="""
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS pts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), touches AS (
+  SELECT e.user_id, e.event_type,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY e.user_id) AS n
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.ts < fp.pts AND e.event_type <> 'purchase'
+), credit AS (
+  SELECT event_type,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN pos = 1 OR pos = n THEN
+                CASE WHEN n = 2 THEN 500000 ELSE 400000 END
+              ELSE CAST(FLOOR(200000.0 / (n - 2)) AS BIGINT) END AS w
+  FROM touches
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(w) AS BIGINT) AS credit_ppm
+FROM credit GROUP BY event_type
+""",
+)
+def q_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each user's
+    pre-first-purchase journey credits 40% to the first touch, 40% to
+    the last, and splits 20% across the middles — the standard
+    position-weighted model completing the first/last-touch pair in
+    q_attribution_touch. Credits are integer ppm (documented floor on
+    the middle share), so channel totals aggregate exactly.
+
+    One user-keyed shuffle: the first-purchase timestamp joins back
+    user-keyed (AQE reuses the partitioning), positions and journey
+    lengths come from one window pass, credit is a map-side CASE."""
+    c = catalog(spark, sf_dir)
+    fp = (
+        c.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    touches = (
+        c.events.join(fp, "user_id")
+        .filter((F.col("ts") < F.col("pts")) & (F.col("event_type") != "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("pos"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        )
+    )
+    credit = touches.select(
+        "event_type",
+        F.when(F.col("n") == 1, 1000000)
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.when(F.col("n") == 2, 500000).otherwise(400000),
+        )
+        .otherwise(
+            F.floor(F.lit(200000.0) / (F.col("n") - 2)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    return credit.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("w").cast("bigint").alias("credit_ppm"),
+    )
