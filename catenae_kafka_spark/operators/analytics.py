@@ -1675,3 +1675,69 @@ def q_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_touches"),
         F.sum("w").cast("bigint").alias("credit_ppm"),
     )
+
+
+@REGISTRY.register(
+    "q_new_vs_returning",
+    tags=("analytics", "events"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+)
+SELECT STRFTIME(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_events,
+       CAST(SUM(CASE WHEN CAST(e.ts AS DATE) <> f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_events,
+       CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS new_cents,
+       CAST(SUM(CASE WHEN CAST(e.ts AS DATE) <> f.first_day
+                THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS returning_cents
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY CAST(e.ts AS DATE)
+""",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per day: every event classified by
+    whether it falls on its user's first-seen day, with event counts
+    and exact cents on each side — the acquisition-vs-retention lens
+    on daily activity (q_retention counts cohort survival; this splits
+    the day's volume and revenue).
+
+    One user-keyed shuffle for first-touch days, a user-keyed join
+    back (AQE reuses the partitioning), one day rollup — all tallies
+    BIGINT."""
+    c = catalog(spark, sf_dir)
+    ev = c.events.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.col("day") == F.col("first_day")
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("new_events"),
+            F.sum(F.when(~is_new, 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_events"),
+            F.sum(F.when(is_new, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(F.when(~is_new, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("returning_cents"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_events",
+            "returning_events",
+            "new_cents",
+            "returning_cents",
+        )
+    )
