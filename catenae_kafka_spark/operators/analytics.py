@@ -1741,3 +1741,166 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_cents",
         )
     )
+
+
+@REGISTRY.register(
+    "q_abc_classification",
+    tags=("analytics", "orders"),
+    oracle="""
+WITH rev AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS rev_tc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), ranked AS (
+  SELECT p_brand, rev_tc,
+         SUM(rev_tc) OVER (ORDER BY rev_tc DESC, p_brand
+                           ROWS UNBOUNDED PRECEDING) AS cum_tc,
+         SUM(rev_tc) OVER () AS total_tc
+  FROM rev
+), classed AS (
+  SELECT p_brand, rev_tc,
+         CASE WHEN cum_tc * 100 <= total_tc * 80 THEN 'A'
+              WHEN cum_tc * 100 <= total_tc * 95 THEN 'B'
+              ELSE 'C' END AS klass
+  FROM ranked
+)
+SELECT klass,
+       CAST(COUNT(*) AS BIGINT) AS n_brands,
+       CAST(SUM(rev_tc) AS BIGINT) AS class_rev_tc
+FROM classed GROUP BY klass
+""",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of brands by revenue: A = brands in
+    the first 80% of cumulative revenue, B to 95%, C the tail — the
+    inventory-management / assortment-planning classifier.
+
+    Revenue folds in BIGINT tenth-cents; the cumulative window runs
+    over the BRAND-cardinality rollup (at 100 TB the brand table is
+    thousands of rows — the single-partition cumulative is over the
+    agg, never the fact table), and the 80/95 cuts are exact integer
+    cross-multiplications, so class boundaries cannot float."""
+    c = catalog(spark, sf_dir)
+    rev = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev_tc")
+        )
+    )
+    wcum = Window.orderBy(F.col("rev_tc").desc(), "p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    ranked = rev.select(
+        "p_brand",
+        "rev_tc",
+        F.sum("rev_tc").over(wcum).alias("cum_tc"),
+        F.sum("rev_tc").over(wtot).alias("total_tc"),
+    )
+    klass = (
+        F.when(F.col("cum_tc") * 100 <= F.col("total_tc") * 80, "A")
+        .when(F.col("cum_tc") * 100 <= F.col("total_tc") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(klass.alias("klass"), "rev_tc")
+        .groupBy("klass")
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.sum("rev_tc").cast("bigint").alias("class_rev_tc"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_retention_halflife",
+    tags=("analytics", "events"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id,
+         DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS k
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+), counts AS (
+  SELECT k, ln(CAST(COUNT(*) AS DOUBLE)) AS lnn
+  FROM act WHERE k BETWEEN 1 AND 7 GROUP BY k
+), arr AS (
+  SELECT list(lnn ORDER BY k) AS l FROM counts
+), sums AS (
+  SELECT list_reduce(l, (a, b) -> a + b) AS sy,
+         list_reduce(list_transform(generate_series(1, 7), i -> i * l[i]),
+                     (a, b) -> a + b) AS sxy,
+         len(l) AS n_pts
+  FROM arr
+)
+SELECT CAST(n_pts AS BIGINT) AS n_offsets,
+       CAST(FLOOR((7 * sxy - 28 * sy) / 196 * 1000000) AS BIGINT)
+         AS slope_micro,
+       CASE WHEN (7 * sxy - 28 * sy) / 196 >= 0 THEN NULL
+            ELSE CAST(FLOOR(-ln(2) / ((7 * sxy - 28 * sy) / 196) * 1000)
+                      AS BIGINT) END AS halflife_millidays
+FROM sums
+""",
+)
+def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit ln(active users at cohort-age k) over
+    k = 1..7 by least squares and convert the decay slope to the days
+    until activity halves — the single churn-speed number product
+    teams track (q_retention gives the curve; this fits it).
+
+    The regression sums fold over a k-ORDERED array (one float
+    evaluation order on both engines — the q_market_hhi discipline);
+    x-side moments are closed-form integers (Σx=28, Σxx=140). A
+    non-negative slope (no decay) yields NULL rather than a nonsense
+    negative half-life."""
+    c = catalog(spark, sf_dir)
+    ev = c.events.select("user_id", F.col("ts").cast("date").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        ev.join(firsts, "user_id")
+        .select("user_id", F.datediff("day", "cohort_day").alias("k"))
+        .distinct()
+    )
+    counts = (
+        act.filter((F.col("k") >= 1) & (F.col("k") <= 7))
+        .groupBy("k")
+        .agg(F.log(F.count("*").cast("double")).alias("lnn"))
+    )
+    arr = counts.agg(
+        F.array_sort(F.collect_list(F.struct("k", "lnn"))).alias("pairs")
+    ).select(
+        F.transform("pairs", lambda p: p.getField("lnn")).alias("l")
+    )
+    sums = arr.select(
+        F.aggregate("l", F.lit(0.0), lambda a, b: a + b).alias("sy"),
+        F.aggregate(
+            F.transform("l", lambda x, i: (i + 1) * x),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("sxy"),
+        F.size("l").alias("n_pts"),
+    )
+    slope = (7 * F.col("sxy") - 28 * F.col("sy")) / 196
+    return sums.select(
+        F.col("n_pts").cast("bigint").alias("n_offsets"),
+        F.floor(slope * 1000000).cast("bigint").alias("slope_micro"),
+        F.when(slope >= 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(-F.log(F.lit(2.0)) / slope * 1000).cast("bigint")
+        )
+        .alias("halflife_millidays"),
+    )

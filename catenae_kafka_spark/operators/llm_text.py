@@ -1112,3 +1112,95 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_micro").desc(), "doc_id")
         .limit(10)
     )
+
+
+@REGISTRY.register(
+    "q_keyphrases",
+    tags=("llm", "text"),
+    oracle="""
+WITH grams AS (
+  SELECT source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         ))) AS g
+  FROM documents WHERE len(string_split(text,' ')) >= 2
+), src_counts AS (
+  SELECT source, g, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY source, g
+), src_tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM src_counts GROUP BY source
+), corpus_counts AS (
+  SELECT g, CAST(SUM(n) AS BIGINT) AS cn FROM src_counts GROUP BY g
+), corpus_tot AS (
+  SELECT CAST(SUM(cn) AS BIGINT) AS ctot FROM corpus_counts
+), scored AS (
+  SELECT s.source, s.g, s.n,
+         CAST(FLOOR((CAST(s.n AS DOUBLE) / st.tot)
+                    / (CAST(c.cn AS DOUBLE) / ct.ctot) * 1000000) AS BIGINT)
+           AS lift_micro
+  FROM src_counts s
+  JOIN src_tot st ON s.source = st.source
+  JOIN corpus_counts c ON s.g = c.g
+  CROSS JOIN corpus_tot ct
+  WHERE s.n >= 5
+)
+SELECT source, g AS phrase, n, lift_micro FROM (
+  SELECT source, g, n, lift_micro,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY lift_micro DESC, g) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+)
+def q_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive keyphrases per source: the top-3 word bigrams by
+    LIFT (in-source document rate over corpus rate, min support 5
+    source-docs — sources are 25 docs each on these fixtures) — the
+    source-characterization readout a corpus curator scans before
+    weighting a mixture (complements q_word_pmi's global collocations
+    with per-source distinctiveness).
+
+    Two gram-keyed aggregations (source counts roll up to corpus
+    counts — partial reuse), marginals broadcast back, lift floored to
+    micro from exact integer rates, and top-3 via a per-source window
+    over support-filtered candidates only."""
+    c = catalog(spark, sf_dir)
+    from catenae_kafka_spark.operators.llm_dedup import word_bigrams
+
+    grams = (
+        c.documents.select("source", word_bigrams(F.col("text")).alias("bg"))
+        .filter(F.size("bg") > 0)
+        .select("source", F.explode("bg").alias("g"))
+    )
+    src_counts = grams.groupBy("source", "g").agg(F.count("*").alias("n"))
+    src_tot = src_counts.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    corpus_counts = src_counts.groupBy("g").agg(
+        F.sum("n").cast("bigint").alias("cn")
+    )
+    corpus_tot = corpus_counts.agg(F.sum("cn").cast("bigint").alias("ctot"))
+    scored = (
+        src_counts.filter(F.col("n") >= 5)
+        .join(F.broadcast(src_tot), "source")
+        .join(corpus_counts, "g")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select(
+            "source",
+            "g",
+            "n",
+            F.floor(
+                (F.col("n").cast("double") / F.col("tot"))
+                / (F.col("cn").cast("double") / F.col("ctot"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("lift_micro").desc(), "g")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", F.col("g").alias("phrase"), "n", "lift_micro")
+    )
