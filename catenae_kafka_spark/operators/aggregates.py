@@ -12,7 +12,7 @@ cast to BIGINT; averages/stats rounded where float noise is possible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
@@ -679,5 +679,73 @@ def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.col("_sum").cast("string").alias("total_dec"),
             F.col("_avg").cast("string").alias("avg_dec"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_weighted_median",
+    tags=("agg", "robust"),
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, price_cents, qty,
+         SUM(qty) OVER (PARTITION BY l_returnflag
+                        ORDER BY price_cents, qty
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(qty) OVER (PARTITION BY l_returnflag) AS tw
+  FROM w
+)
+SELECT l_returnflag,
+       CAST(MIN(price_cents) AS BIGINT) AS weighted_median_cents,
+       CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM cum
+WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+""",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED median price per return flag: the smallest
+    price whose cumulative quantity weight reaches half the total —
+    the robust 'typical unit price' (an unweighted median over line
+    items overweights small orders). No built-in aggregate computes
+    this; the engine expresses it as a per-group cumulative-weight
+    window with an exact integer half-crossing test (cw*2 >= tw — no
+    float division anywhere), then MIN over qualifying prices.
+
+    One shuffle on the group key; the window sorts within groups only.
+    Determinism: ties in price are broken by qty in the cumulative
+    order, and the crossing test + MIN are order-insensitive beyond
+    the sort."""
+    c = catalog(spark, sf_dir)
+    w = c.lineitem.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents", "qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("qty").over(wcum).alias("cw"),
+        F.sum("qty").over(wtot).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").cast("bigint").alias("weighted_median_cents"),
+            F.min("tw").cast("bigint").alias("total_weight"),
         )
     )

@@ -702,3 +702,50 @@ def q_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(clicked, 1).otherwise(0)).cast("bigint").alias("n_click"),
         F.sum(F.when(purchased, 1).otherwise(0)).cast("bigint").alias("n_purchase"),
     )
+
+
+@REGISTRY.register(
+    "q_basket_economics",
+    tags=("composite", "orders"),
+    oracle="""
+WITH sizes AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS basket_cents
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(FLOOR(CAST(SUM(basket_cents) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS avg_basket_cents,
+       quantile_cont(basket_cents, 0.5) AS p50_basket_cents
+FROM sizes GROUP BY n_items
+""",
+)
+def q_basket_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size economics: order value distribution by number of
+    line items — the assortment signal behind free-shipping thresholds
+    and bundle pricing (does basket value grow super-linearly with
+    item count?). One order-keyed rollup then a tiny size-keyed
+    aggregation; cents exact, the mean floored from one division, the
+    median an R-7 midpoint."""
+    c = catalog(spark, sf_dir)
+    sizes = c.lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("basket_cents"),
+    )
+    return sizes.groupBy("n_items").agg(
+        F.count("*").alias("n_orders"),
+        F.floor(F.sum("basket_cents").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("avg_basket_cents"),
+        F.percentile("basket_cents", F.lit(0.5)).alias("p50_basket_cents"),
+    )
