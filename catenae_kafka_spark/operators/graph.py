@@ -816,3 +816,110 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym = sym.join(F.broadcast(keep), "u", "left_semi").join(
             F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
         )
+
+
+_LPA_ROUNDS = 2
+
+
+@REGISTRY.register(
+    "q_label_propagation",
+    tags=("graph", "iterative"),
+    oracle="""
+WITH directed AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer c ON o_custkey = c.c_custkey
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY c.c_nationkey, s.s_nationkey
+), edges AS (
+  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src AS u, dst AS v, w FROM directed
+    UNION ALL
+    SELECT dst AS u, src AS v, w FROM directed
+  ) both_dirs GROUP BY u, v
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM edges
+), v1 AS (
+  SELECT e.u, l.label, CAST(SUM(e.w) AS BIGINT) AS s
+  FROM edges e JOIN l0 l ON e.v = l.node GROUP BY e.u, l.label
+), l1 AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY s DESC, label) AS rn
+    FROM v1
+  ) r WHERE rn = 1
+), v2 AS (
+  SELECT e.u, l.label, CAST(SUM(e.w) AS BIGINT) AS s
+  FROM edges e JOIN l1 l ON e.v = l.node GROUP BY e.u, l.label
+), l2 AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY s DESC, label) AS rn
+    FROM v2
+  ) r WHERE rn = 1
+)
+SELECT node, label FROM l2
+""",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection)
+    over the symmetrized nation trade graph, 2 rounds.
+
+    Classic LPA is order-dependent; this is the deterministic batch
+    variant: every round, each node simultaneously adopts the label with
+    the greatest total incident edge weight among its neighbors, ties
+    broken by smallest label — so the recurrence is exactly unrollable
+    in SQL and the driver hash-checks real label parity.
+
+    Scale shape: labels table is O(nodes); each round is one
+    edges-with-labels join + a (node,label) aggregation + a per-node
+    arg-max window. Edge weights aggregate once up front; with a fixed
+    round count nothing iterative leaves the JVM, and the per-round
+    shuffle carries only (node, label, weight) triples — the same
+    bounded-rounds discipline as pagerank/k-core/Bellman-Ford here.
+    """
+    c = catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_nationkey")
+    supp = c.supplier.select("s_suppkey", "s_nationkey")
+    directed = (
+        c.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            c.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = (
+        directed.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        .unionAll(
+            directed.select(
+                F.col("dst").alias("u"), F.col("src").alias("v"), "w"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    pick = Window.partitionBy("u").orderBy(F.col("s").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u", "label")
+            .agg(F.sum("w").cast("bigint").alias("s"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+        )
+    return labels

@@ -1332,3 +1332,94 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did_hcents",
         ),
     )
+
+
+def _det3(a: tuple, b: tuple, c: tuple) -> str:
+    """Cofactor expansion of a 3x3 determinant whose COLUMNS are the
+    named scalar triples a/b/c — emitted as SQL text so the Spark and
+    DuckDB expression trees are character-identical (same literals, same
+    association order ⇒ bit-identical IEEE evaluation)."""
+    a1, a2, a3 = a
+    b1, b2, b3 = b
+    c1, c2, c3 = c
+    return (
+        f"{a1} * ({b2} * {c3} - {b3} * {c2})"
+        f" - {b1} * ({a2} * {c3} - {a3} * {c2})"
+        f" + {c1} * ({a2} * {b3} - {a3} * {b2})"
+    )
+
+
+_C0 = ("fn", "fx1", "fx2")
+_C1 = ("fx1", "fx11", "fx12")
+_C2 = ("fx2", "fx12", "fx22")
+_RHS = ("fy", "fx1y", "fx2y")
+
+_OLS_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey AS ok,
+         CAST(FLOOR(SUM(l_quantity) + 0.5) AS BIGINT) AS x1,
+         CAST(COUNT(*) AS BIGINT) AS x2
+  FROM lineitem GROUP BY l_orderkey
+), joined AS (
+  SELECT p.x1, p.x2,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM per_order p JOIN orders ON o_orderkey = p.ok
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS sx1,
+         CAST(SUM(x2) AS BIGINT) AS sx2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+  FROM joined
+), f AS (
+  SELECT n AS n_orders,
+         CAST(n AS DOUBLE) AS fn,
+         CAST(sx1 AS DOUBLE) AS fx1, CAST(sx2 AS DOUBLE) AS fx2,
+         CAST(sx11 AS DOUBLE) AS fx11, CAST(sx12 AS DOUBLE) AS fx12,
+         CAST(sx22 AS DOUBLE) AS fx22,
+         CAST(sy AS DOUBLE) AS fy,
+         CAST(sx1y AS DOUBLE) AS fx1y, CAST(sx2y AS DOUBLE) AS fx2y
+  FROM sums
+)
+SELECT n_orders,
+       ROUND(({_det3(_RHS, _C1, _C2)}) / ({_det3(_C0, _C1, _C2)}), 6)
+         AS b0_cents,
+       ROUND(({_det3(_C0, _RHS, _C2)}) / ({_det3(_C0, _C1, _C2)}), 6)
+         AS b1_cents_per_qty,
+       ROUND(({_det3(_C0, _C1, _RHS)}) / ({_det3(_C0, _C1, _C2)}), 6)
+         AS b2_cents_per_line
+FROM f
+"""
+
+
+@REGISTRY.register(
+    "q_ols_multi",
+    tags=("mlstats", "regression"),
+    oracle=_OLS_SQL,
+)
+def q_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS with intercept (order total-price in cents ~
+    total quantity + line count) solved in closed form: the 3x3 normal
+    equations by Cramer's rule over nine exact BIGINT power sums.
+
+    Exactness: features and target quantize to integers at the source
+    (quantities are integer-valued; price → cents), every sum folds in
+    BIGINT, and the determinant arithmetic is emitted from ONE Python
+    template into both dialects — identical IEEE expression trees on
+    identical integers ⇒ the driver hash-matches 6dp coefficients with
+    zero tolerance.
+
+    Scale shape: one groupBy(l_orderkey) partial agg, one key-shuffled
+    join to orders, then a nine-column global aggregate (map-side
+    partials → single reducer row). No windows, no iteration — this is
+    how closed-form GLMs over 100 TB actually get fit: power sums are
+    associative, so the whole regression is one tree-reduce.
+    """
+    from catenae_kafka_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(_OLS_SQL)

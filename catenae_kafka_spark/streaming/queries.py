@@ -1137,3 +1137,68 @@ def q_stream_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "event_type", (F.col("pos0") + 1).cast("int").alias("pos"), "event_id"
     )
+
+
+@REGISTRY.register(
+    "q_stream_ohlc",
+    tags=("streaming",),
+    oracle="""
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+       MAX(value) AS high_v,
+       MIN(value) AS low_v,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+       COUNT(*) AS n
+FROM ranked
+GROUP BY h, event_type
+""",
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candlesticks: per (1-hour tumbling window,
+    event_type), the first/max/min/last `value` plus the event count,
+    computed incrementally by min_by/max_by over a (ts, event_id)
+    ordering key inside the watermark-windowed state — the canonical
+    market-data rollup, but on the event stream.
+
+    first()/last() in a streaming agg are arrival-order-dependent;
+    min_by/max_by on the total (ts, event_id) order make open/close
+    deterministic regardless of micro-batch boundaries, which is what
+    lets a DuckDB window oracle hash-match a real multi-batch run.
+
+    Scale shape: pure declarative streaming aggregation — per-key
+    running state is 4 scalars + 2 ordering keys, merged map-side per
+    micro-batch; state is evicted by the watermark. No
+    applyInPandas, no Python in the loop.
+    """
+    stream = replay_events(spark, sf_dir)
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = ops.tumbling_window_agg(
+        stream,
+        "1 hour",
+        [
+            F.min_by("value", order_key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", order_key).alias("close_v"),
+            F.count("*").alias("n"),
+        ],
+        keys=["event_type"],
+    )
+    out = agg.select(
+        F.date_format(F.col("window.start"), WIN_FMT).alias("win_start"),
+        "event_type",
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
+        "n",
+    )
+    return run_available_now(out, "complete", _name("ohlc"))

@@ -178,3 +178,56 @@ def test_funnel_state_machine_edge_cases(spark):
     }
     us = lambda m: int((base + pd.Timedelta(minutes=m)).value // 1000)
     assert got == {1: (us(0), us(5)), 3: (us(2), us(9)), 4: (us(0), us(3))}
+
+
+def test_label_propagation_labels_are_node_ids_and_deterministic(spark):
+    """Labels must be drawn from the node set, cover every node, and be
+    identical across reruns (the deterministic tie-break is the whole
+    point — classic LPA is order-dependent)."""
+    from catenae_kafka_spark.operators.graph import q_label_propagation
+
+    a = q_label_propagation(spark, SF).toPandas().sort_values("node")
+    b = q_label_propagation(spark, SF).toPandas().sort_values("node")
+    assert list(a["node"]) == list(b["node"])
+    assert list(a["label"]) == list(b["label"])
+    nodes = set(a["node"])
+    assert set(a["label"]).issubset(nodes)
+    assert len(a) == len(nodes)
+
+
+def test_ols_multi_matches_numpy_lstsq(spark):
+    """Cramer's-rule coefficients must equal numpy's least-squares
+    solution on the same design matrix (independent reference)."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_ols_multi
+
+    got = q_ols_multi(spark, SF).toPandas().iloc[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    per = li.groupby("l_orderkey").agg(
+        x1=("l_quantity", "sum"), x2=("l_quantity", "count")
+    )
+    j = orders.set_index("o_orderkey").join(per, how="inner")
+    y = np.floor(j["o_totalprice"].to_numpy() * 100 + 0.5)
+    X = np.column_stack(
+        [np.ones(len(j)), j["x1"].to_numpy(), j["x2"].to_numpy()]
+    )
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(got["b0_cents"] - beta[0]) < 1e-3 * max(1.0, abs(beta[0]))
+    assert abs(got["b1_cents_per_qty"] - beta[1]) < 1e-3 * max(1.0, abs(beta[1]))
+    assert abs(got["b2_cents_per_line"] - beta[2]) < 1e-3 * max(1.0, abs(beta[2]))
+    assert got["n_orders"] == len(j)
+
+
+def test_stream_ohlc_high_low_bracket_open_close(spark):
+    from catenae_kafka_spark.streaming.queries import q_stream_ohlc
+
+    df = q_stream_ohlc(spark, SF).toPandas()
+    assert len(df) > 0
+    assert (df["high_v"] >= df["low_v"]).all()
+    assert (df["high_v"] >= df["open_v"]).all()
+    assert (df["high_v"] >= df["close_v"]).all()
+    assert (df["low_v"] <= df["open_v"]).all()
+    assert (df["low_v"] <= df["close_v"]).all()
+    assert (df["n"] >= 1).all()
