@@ -1904,3 +1904,113 @@ def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("halflife_millidays"),
     )
+
+
+@REGISTRY.register(
+    "q_percent_of_parent",
+    tags=("analytics", "hierarchy"),
+    oracle="""
+WITH rev AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS dollars
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, dollars,
+       (dollars * 1000000) // CAST(SUM(dollars) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_of_region_micro,
+       (dollars * 1000000) // CAST(SUM(dollars) OVER () AS BIGINT)
+         AS share_of_total_micro
+FROM rev
+""",
+)
+def q_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent: each nation's revenue share of
+    its region and of the grand total, in exact integer micro-units
+    (floor division of BIGINT dollars — no float anywhere, so the
+    driver hash-matches with zero tolerance; dollars*1e6 stays well
+    under 2^63 up to ~9.2e12 total dollars, i.e. far past 100 TB).
+
+    Scale shape: the star join is three broadcast dims + one shuffle
+    on (region, nation); the window sums then run over the TINY
+    aggregated table (<=125 rows at any scale — the rollup domain is
+    fixed by the dimension hierarchy, not the fact table), so the
+    unpartitioned total window is a non-issue."""
+    c = catalog(spark, sf_dir)
+    rev = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(c.nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(c.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("dollars")
+        )
+    )
+    return rev.select(
+        "r_name",
+        "n_name",
+        "dollars",
+        F.expr(
+            "(dollars * 1000000) div sum(dollars) over (partition by r_name)"
+        ).alias("share_of_region_micro"),
+        F.expr("(dollars * 1000000) div sum(dollars) over ()").alias(
+            "share_of_total_micro"
+        ),
+    )
+
+
+@REGISTRY.register(
+    "q_log2_histogram",
+    tags=("analytics", "profiling"),
+    oracle="""
+SELECT LENGTH(PRINTF('%b', CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)))
+         AS bucket_bits,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM orders
+GROUP BY bucket_bits
+""",
+)
+def q_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact log2 (doubling-bucket) histogram of order totals: the
+    bucket is the BIT LENGTH of the cents value (length of its binary
+    representation), so bucket boundaries are exact powers of two with
+    zero floating-point edge ambiguity — the drift-proof way to build
+    log-scale profiles (floor(log2(x)) flips at boundaries when libm
+    rounding differs between engines; string-length-of-binary cannot).
+
+    Scale shape: pure map + one groupBy on a ~20-value key with
+    map-side partial aggregation — the profile of a 100 TB column
+    costs one scan and a few hundred shuffled bytes."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        c.orders.select(
+            F.length(F.bin(cents)).cast("bigint").alias("bucket_bits"),
+            cents.alias("cents"),
+        )
+        .groupBy("bucket_bits")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )

@@ -874,3 +874,59 @@ def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bounce",
         "p50_dur_s",
     )
+
+
+@REGISTRY.register(
+    "q_window_cume_dist",
+    tags=("window",),
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), w AS (
+  SELECT o_orderkey, o_orderpriority, cents,
+         CAST(FLOOR(PERCENT_RANK() OVER
+           (PARTITION BY o_orderpriority ORDER BY cents) * 1000000) AS BIGINT)
+           AS pr_micro,
+         CAST(FLOOR(CUME_DIST() OVER
+           (PARTITION BY o_orderpriority ORDER BY cents) * 1000000) AS BIGINT)
+           AS cd_micro
+  FROM t
+)
+SELECT * FROM w WHERE o_orderkey % 97 = 0
+""",
+)
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window surface: PERCENT_RANK and CUME_DIST of
+    each order's total (cents) within its priority class, emitted for a
+    deterministic 1/97 key slice so the checked result stays small while
+    the window still runs over the full partition.
+
+    Exactness: percent_rank = (rank-1)/(n-1) and cume_dist = peers<=x/n
+    are single IEEE divisions of identical integers on both engines, and
+    the 1e6-floor is applied to those identical doubles — ties depend
+    only on the cents sort key, so peer groups agree too. One shuffle on
+    the priority key (5 partitions; at 100 TB the same query would salt
+    or sub-bucket the 5-value partition key — documented tradeoff,
+    rank-within-small-domain is inherently a wide partition)."""
+    c = catalog(spark, sf_dir)
+    wp = Window.partitionBy("o_orderpriority").orderBy("cents")
+    t = c.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return t.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.floor(F.percent_rank().over(wp) * 1000000)
+        .cast("bigint")
+        .alias("pr_micro"),
+        F.floor(F.cume_dist().over(wp) * 1000000)
+        .cast("bigint")
+        .alias("cd_micro"),
+    ).filter(F.col("o_orderkey") % 97 == 0)

@@ -231,3 +231,46 @@ def test_stream_ohlc_high_low_bracket_open_close(spark):
     assert (df["low_v"] <= df["open_v"]).all()
     assert (df["low_v"] <= df["close_v"]).all()
     assert (df["n"] >= 1).all()
+
+
+def test_percent_of_parent_shares_sum_to_one(spark):
+    """Micro-shares within each region must sum to ~1e6 (floor division
+    loses at most n_nations micro-units), and dollars must be positive."""
+    from catenae_kafka_spark.operators.analytics import q_percent_of_parent
+
+    df = q_percent_of_parent(spark, SF).toPandas()
+    assert (df["dollars"] > 0).all()
+    by_region = df.groupby("r_name")
+    for _, g in by_region:
+        s = g["share_of_region_micro"].sum()
+        assert 1_000_000 - len(g) <= s <= 1_000_000
+    total = df["share_of_total_micro"].sum()
+    assert 1_000_000 - len(df) <= total <= 1_000_000
+
+
+def test_log2_histogram_buckets_are_exact_bit_lengths(spark):
+    """Every bucket's min/max cents must have exactly bucket_bits bits,
+    and the bucket counts must sum to the table row count."""
+    from catenae_kafka_spark.operators.analytics import q_log2_histogram
+
+    df = q_log2_histogram(spark, SF).toPandas()
+    for _, r in df.iterrows():
+        assert int(r["min_cents"]).bit_length() == r["bucket_bits"]
+        assert int(r["max_cents"]).bit_length() == r["bucket_bits"]
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert df["n"].sum() == n_orders
+
+
+def test_window_cume_dist_bounds_and_monotonicity(spark):
+    """percent_rank and cume_dist stay in [0, 1e6] micro-units and are
+    monotone in cents within each priority class."""
+    from catenae_kafka_spark.operators.windows import q_window_cume_dist
+
+    df = q_window_cume_dist(spark, SF).toPandas()
+    assert len(df) > 0
+    assert df["pr_micro"].between(0, 1_000_000).all()
+    assert df["cd_micro"].between(1, 1_000_000).all()
+    for _, g in df.groupby("o_orderpriority"):
+        g = g.sort_values(["cents", "o_orderkey"])
+        assert g["pr_micro"].is_monotonic_increasing
+        assert g["cd_micro"].is_monotonic_increasing
