@@ -2014,3 +2014,164 @@ def q_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_event_type_affinity",
+    tags=("analytics", "events", "cooccurrence"),
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+), sz AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ud GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ud a
+  JOIN ud b ON a.user_id = b.user_id AND a.day = b.day
+           AND a.event_type < b.event_type
+  GROUP BY ta, tb
+)
+SELECT ta, tb, n_both,
+       (n_both * 1000000) // (sa.n + sb.n - n_both) AS jaccard_micro
+FROM inter
+JOIN sz sa ON ta = sa.event_type
+JOIN sz sb ON tb = sb.event_type
+""",
+)
+def q_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral co-occurrence: Jaccard affinity between event-type
+    pairs over (user, day) activity sets — the market-basket shape on
+    an activity log (which behaviors happen in the same user-day).
+
+    Exact: set sizes and intersections are BIGINT counts of DISTINCT
+    (user, day, type) triples; Jaccard is emitted in floor-division
+    micro-units, so the hash matches with zero tolerance. Date
+    derivation is ns/us-truncation-safe (day boundaries are far from
+    sub-second drift).
+
+    Scale shape: the self-join is keyed on (user_id, day) — a
+    fine-grained key whose per-group width is bounded by the type
+    domain (|types| per user-day), so the join output is at most
+    |types|^2/2 rows per user-day, never quadratic in events. Type
+    sizes are a tiny broadcast. One distinct-shuffle + one keyed
+    self-join shuffle."""
+    c = catalog(spark, sf_dir)
+    ud = c.events.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    sz = ud.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a = ud.alias("a")
+    b = ud.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.withColumnRenamed("event_type", "ta").withColumnRenamed("n", "na")),
+            "ta",
+        )
+        .join(
+            F.broadcast(sz.withColumnRenamed("event_type", "tb").withColumnRenamed("n", "nb")),
+            "tb",
+        )
+        .select(
+            "ta",
+            "tb",
+            "n_both",
+            F.expr("(n_both * 1000000) div (na + nb - n_both)").alias(
+                "jaccard_micro"
+            ),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_apportion_seats",
+    tags=("analytics", "allocation"),
+    oracle="""
+WITH cnt AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+), t AS (
+  SELECT CAST(SUM(n_customers) AS BIGINT) AS total FROM cnt
+), q AS (
+  SELECT n_name, n_customers,
+         (n_customers * 1000) // total AS base,
+         (n_customers * 1000) % total AS rem
+  FROM cnt, t
+), l AS (
+  SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM q
+), r AS (
+  SELECT n_name, n_customers, base,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rk
+  FROM q
+)
+SELECT n_name, n_customers,
+       CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS seats
+FROM r, l
+""",
+)
+def q_apportion_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: allocate exactly
+    1000 sampling slots across nations proportionally to customer
+    count — the canonical exact-integer proportional-allocation
+    operator (quota floors + remainder-ranked top-ups), used for
+    stratified sampling budgets and shard sizing.
+
+    Exact by construction: quotas are BIGINT floor-division, the
+    remainder ranking is ROW_NUMBER with a total-order tie-break
+    (rem DESC, name), so seats sum to exactly 1000 and the driver
+    hash-matches integers only.
+
+    Scale shape: one broadcast-dim groupBy on the fact side; every
+    window/cross step after that runs on the <=25-row nation rollup
+    (the unpartitioned window is over the dimension domain, not
+    data)."""
+    c = catalog(spark, sf_dir)
+    cnt = (
+        c.customer.join(
+            F.broadcast(c.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+    t = cnt.agg(F.sum("n_customers").cast("bigint").alias("total"))
+    q = cnt.crossJoin(F.broadcast(t)).select(
+        "n_name",
+        "n_customers",
+        F.expr("(n_customers * 1000) div total").alias("base"),
+        F.expr("(n_customers * 1000) % total").alias("rem"),
+    )
+    leftover = q.agg(
+        (F.lit(1000) - F.sum("base")).cast("bigint").alias("leftover")
+    )
+    rk = q.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("n_name"))
+        ),
+    )
+    return rk.crossJoin(F.broadcast(leftover)).select(
+        "n_name",
+        "n_customers",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("seats"),
+    )

@@ -1423,3 +1423,65 @@ def q_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem", "orders"))
     return spark.sql(_OLS_SQL)
+
+
+# CUPED shares ONE SQL text across Spark and DuckDB (identical
+# expression tree on identical BIGINT power sums => identical doubles).
+_CUPED_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN EXTRACT(DAY FROM ts) <= 15
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN EXTRACT(DAY FROM ts) > 15
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_user
+)
+SELECT n AS n_users,
+       CAST(FLOOR(
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         * 1000000) AS BIGINT) AS theta_micro,
+       CAST(FLOOR(
+         ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         * 1000000) AS BIGINT) AS var_reduction_micro
+FROM s
+"""
+
+
+@REGISTRY.register(
+    "q_cuped_adjustment",
+    tags=("mlstats", "experimentation"),
+    oracle=_CUPED_SQL,
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for experimentation: theta =
+    cov(pre, post) / var(pre) over per-user pre-period (day-of-month
+    <= 15) and post-period spend, plus the achievable variance
+    reduction rho^2 — the covariate-adjustment every A/B platform
+    applies before the t-test (complements q_ab_ttest / q_diff_in_diff).
+
+    Exactness: per-event cents quantization, per-user BIGINT sums,
+    five exact power sums, and ONE shared SQL text for both engines —
+    the final double arithmetic is the same IEEE expression tree on
+    the same integers, so theta and rho^2 hash-match in floored
+    micro-units with zero tolerance.
+
+    Scale shape: one user-keyed partial agg (map-side combine), then a
+    six-column global tree-reduce — the same one-pass power-sum shape
+    as q_ols_multi; nothing is ever collected or iterated."""
+    from catenae_kafka_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_CUPED_SQL)

@@ -274,3 +274,49 @@ def test_window_cume_dist_bounds_and_monotonicity(spark):
         g = g.sort_values(["cents", "o_orderkey"])
         assert g["pr_micro"].is_monotonic_increasing
         assert g["cd_micro"].is_monotonic_increasing
+
+
+def test_event_type_affinity_jaccard_bounds_and_symmetry_free(spark):
+    """All C(5,2)=10 unordered type pairs appear exactly once (ta < tb),
+    Jaccard stays in (0, 1e6], and n_both <= min set size."""
+    from catenae_kafka_spark.operators.analytics import q_event_type_affinity
+
+    df = q_event_type_affinity(spark, SF).toPandas()
+    assert (df["ta"] < df["tb"]).all()
+    assert len(df) == len(df[["ta", "tb"]].drop_duplicates())
+    assert df["jaccard_micro"].between(1, 1_000_000).all()
+    assert (df["n_both"] >= 1).all()
+
+
+def test_apportion_seats_sums_to_1000_and_respects_quota(spark):
+    """Hamilton apportionment: seats sum to exactly 1000 and every
+    nation gets floor(quota) or floor(quota)+1 (the quota property)."""
+    from catenae_kafka_spark.operators.analytics import q_apportion_seats
+
+    df = q_apportion_seats(spark, SF).toPandas()
+    assert df["seats"].sum() == 1000
+    total = df["n_customers"].sum()
+    base = (df["n_customers"] * 1000) // total
+    assert ((df["seats"] == base) | (df["seats"] == base + 1)).all()
+
+
+def test_cuped_variance_reduction_matches_numpy_corr(spark):
+    """rho^2 from the power sums must equal numpy's corr^2 on the same
+    per-user pre/post vectors, and lie in [0, 1e6]."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_cuped_adjustment
+
+    got = q_cuped_adjustment(spark, SF).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    ev["pre"] = ev["ts"].dt.day <= 15
+    per = ev.pivot_table(
+        index="user_id", columns="pre", values="cents", aggfunc="sum", fill_value=0
+    )
+    x, y = per.get(True), per.get(False)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert 0 <= got["var_reduction_micro"] <= 1_000_000
+    assert abs(got["var_reduction_micro"] - np.floor(rho2 * 1e6)) <= 1
+    theta = np.cov(x, y, ddof=0)[0, 1] / np.var(x)
+    assert abs(got["theta_micro"] / 1e6 - theta) < 1e-5 * max(1.0, abs(theta))
