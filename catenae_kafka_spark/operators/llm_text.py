@@ -1204,3 +1204,95 @@ def q_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", F.col("g").alias("phrase"), "n", "lift_micro")
     )
+
+
+@REGISTRY.register(
+    "q_lang_tvd",
+    tags=("llm", "text", "drift"),
+    oracle="""
+WITH w AS (
+  SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM w WHERE word <> '' GROUP BY lang, word
+), n AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS nw FROM wc GROUP BY lang
+), p AS (
+  SELECT a.lang AS la, b.lang AS lb, a.nw AS na, b.nw AS nb
+  FROM n a JOIN n b ON a.lang < b.lang
+), t AS (
+  SELECT p.la, p.lb, p.na, p.nb, wc.word,
+         CAST(SUM(CASE WHEN wc.lang = p.la THEN wc.c ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN wc.lang = p.lb THEN wc.c ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM p JOIN wc ON wc.lang IN (p.la, p.lb)
+  GROUP BY p.la, p.lb, p.na, p.nb, wc.word
+)
+SELECT la, lb,
+       (CAST(SUM(ABS(ca * nb - cb * na)) AS BIGINT) * 1000000)
+         // (2 * na * nb) AS tvd_micro
+FROM t GROUP BY la, lb, na, nb
+""",
+)
+def q_lang_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between per-language word
+    distributions: TVD(P,Q) = 1/2 * sum_w |P(w) - Q(w)| — the
+    log-free corpus-drift / domain-shift metric (complements the
+    entropy and perplexity signals, which need transcendental
+    functions and so can't be hash-oracled).
+
+    Exact: with common denominators, 2*na*nb*TVD =
+    sum_w |ca*nb - cb*na| is pure BIGINT; the floor-division
+    micro-unit output hash-matches with zero tolerance (safe while
+    per-word count x corpus size < 2^63 — beyond that, TVD over
+    per-mille quantized frequencies).
+
+    Scale shape: one (lang, word) count shuffle; the k(k-1)/2
+    language-pair table is BROADCAST against the sparse count table
+    (each count row fans out to only the k-1 pairs containing its
+    language — absent words contribute via the other side's count, so
+    no dense vocab x pair cross join); final agg is keyed by pair."""
+    c0 = catalog(spark, sf_dir)
+    wc = (
+        c0.documents.select(
+            "lang", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n = wc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("nw"))
+    a = n.select(
+        F.col("lang").alias("la"), F.col("nw").alias("na")
+    )
+    b = n.select(F.col("lang").alias("lb"), F.col("nw").alias("nb"))
+    pairs = a.join(b, F.col("la") < F.col("lb"))
+    t = (
+        wc.join(
+            F.broadcast(pairs),
+            (F.col("lang") == F.col("la")) | (F.col("lang") == F.col("lb")),
+        )
+        .groupBy("la", "lb", "na", "nb", "word")
+        .agg(
+            F.sum(F.when(F.col("lang") == F.col("la"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("lang") == F.col("lb"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    return (
+        t.groupBy("la", "lb", "na", "nb")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            .cast("bigint")
+            .alias("_num")
+        )
+        .select(
+            "la",
+            "lb",
+            F.expr("(_num * 1000000) div (2 * na * nb)").alias("tvd_micro"),
+        )
+    )

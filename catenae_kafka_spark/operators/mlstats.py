@@ -1485,3 +1485,76 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_CUPED_SQL)
+
+
+@REGISTRY.register(
+    "q_haar_energy",
+    tags=("mlstats", "timeseries"),
+    oracle="""
+WITH c AS (
+  SELECT EXTRACT(DAY FROM ts) - 1 AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY d
+), l1 AS (
+  SELECT d // 2 AS k,
+         CAST(SUM(n) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN d % 2 = 0 THEN n ELSE -n END) AS BIGINT) AS dd
+  FROM c GROUP BY k
+), l2 AS (
+  SELECT k // 2 AS k,
+         CAST(SUM(a) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN k % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS dd
+  FROM l1 GROUP BY k // 2
+), l3 AS (
+  SELECT k // 2 AS k,
+         CAST(SUM(a) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN k % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS dd
+  FROM l2 GROUP BY k // 2
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_days,
+       (SELECT CAST(SUM(dd * dd) AS BIGINT) FROM l1) AS energy_l1,
+       (SELECT CAST(SUM(dd * dd) AS BIGINT) FROM l2) AS energy_l2,
+       (SELECT CAST(SUM(dd * dd) AS BIGINT) FROM l3) AS energy_l3
+""",
+)
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution (unnormalized Haar wavelet) energy of the daily
+    event-count series: detail-coefficient energy at 2-day, 4-day and
+    8-day scales — the classic cheap periodicity/burstiness decomposition
+    (a strong weekly rhythm shows up as high l2/l3 energy; spiky traffic
+    as high l1).
+
+    Integer-exact end to end: unnormalized Haar coefficients are
+    pairwise BIGINT sums/differences of counts, energies are BIGINT
+    squares, so the driver hash-matches exactly. (At counts beyond
+    ~3e9/day, pre-scale the series before squaring.)
+
+    Scale shape: ONE fact-table aggregation (counts per day, map-side
+    combined), then three cascaded aggregations on the <=31-row daily
+    series — the decomposition cost is independent of event volume."""
+    c0 = catalog(spark, sf_dir)
+    days = c0.events.groupBy(
+        (F.dayofmonth("ts") - 1).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+    def level(df: DataFrame, key: str, val: str) -> DataFrame:
+        return df.groupBy(F.expr(f"{key} div 2").alias("k")).agg(
+            F.sum(val).cast("bigint").alias("a"),
+            F.sum(
+                F.when(F.col(key) % 2 == 0, F.col(val)).otherwise(-F.col(val))
+            )
+            .cast("bigint")
+            .alias("dd"),
+        )
+
+    l1 = level(days, "d", "n")
+    l2 = level(l1, "k", "a")
+    l3 = level(l2, "k", "a")
+    e = lambda df, name: df.agg(
+        F.sum(F.col("dd") * F.col("dd")).cast("bigint").alias(name)
+    )
+    n_days = days.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        n_days.crossJoin(e(l1, "energy_l1"))
+        .crossJoin(e(l2, "energy_l2"))
+        .crossJoin(e(l3, "energy_l3"))
+    )

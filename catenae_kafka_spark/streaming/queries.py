@@ -1202,3 +1202,49 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     return run_available_now(out, "complete", _name("ohlc"))
+
+
+@REGISTRY.register(
+    "q_stream_argmax",
+    tags=("streaming", "stateful"),
+    oracle="""
+WITH m AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY FLOOR(value * 100 + 0.5) DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, cents AS max_cents, event_id AS argmax_event_id
+FROM m WHERE rn = 1
+""",
+)
+def q_stream_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running argmax per key: the event_id holding the
+    maximum value (cents) seen so far for each event_type, maintained
+    across micro-batches as a single struct-max state row per key —
+    the leaderboard/record-tracking primitive.
+
+    Determinism: a bare max_by is tie-arbitrary; max over the
+    struct (cents, event_id) makes the tie-break total (highest
+    event_id among equal cents), so the final state after ANY
+    micro-batch partitioning equals the batch window oracle exactly.
+
+    Scale shape: declarative global streaming agg, state = one
+    16-byte struct per key (no watermark needed — state is keyed by
+    the type domain, not time), merged map-side each batch."""
+    stream = replay_events(spark, sf_dir)
+    agg = (
+        stream.withColumn(
+            "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .groupBy("event_type")
+        .agg(F.max(F.struct("cents", "event_id")).alias("m"))
+        .select(
+            "event_type",
+            F.col("m.cents").alias("max_cents"),
+            F.col("m.event_id").alias("argmax_event_id"),
+        )
+    )
+    return run_available_now(agg, "complete", _name("argmax"))

@@ -320,3 +320,61 @@ def test_cuped_variance_reduction_matches_numpy_corr(spark):
     assert abs(got["var_reduction_micro"] - np.floor(rho2 * 1e6)) <= 1
     theta = np.cov(x, y, ddof=0)[0, 1] / np.var(x)
     assert abs(got["theta_micro"] / 1e6 - theta) < 1e-5 * max(1.0, abs(theta))
+
+
+def test_stream_argmax_matches_batch_argmax(spark):
+    """The streaming running argmax's final state must equal the batch
+    argmax with the same (cents, event_id) tie-break."""
+    import numpy as np
+
+    from catenae_kafka_spark.streaming.queries import q_stream_argmax
+
+    got = (
+        q_stream_argmax(spark, SF).toPandas().set_index("event_type").sort_index()
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for t, g in ev.groupby("event_type"):
+        top = g.sort_values(["cents", "event_id"]).iloc[-1]
+        assert got.loc[t, "max_cents"] == top["cents"]
+        assert got.loc[t, "argmax_event_id"] == top["event_id"]
+
+
+def test_haar_energy_matches_numpy_reference(spark):
+    """Unnormalized Haar detail energies must equal a direct numpy
+    pairwise sum/difference cascade on the daily counts."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_haar_energy
+
+    got = q_haar_energy(spark, SF).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    days = ev["ts"].dt.day - 1
+    c = days.value_counts().sort_index()
+    full = np.zeros(int(days.max()) + 1, dtype="int64")
+    full[c.index.to_numpy()] = c.to_numpy()
+
+    def cascade(v):
+        if len(v) % 2:
+            v = np.append(v, 0)
+        pairs = v.reshape(-1, 2)
+        return pairs.sum(axis=1), pairs[:, 0] - pairs[:, 1]
+
+    a1, d1 = cascade(full)
+    a2, d2 = cascade(a1)
+    a3, d3 = cascade(a2)
+    assert got["energy_l1"] == int((d1.astype("int64") ** 2).sum())
+    assert got["energy_l2"] == int((d2.astype("int64") ** 2).sum())
+    assert got["energy_l3"] == int((d3.astype("int64") ** 2).sum())
+    assert got["n_days"] == (full > 0).sum()
+
+
+def test_lang_tvd_is_a_bounded_metric(spark):
+    """TVD is in [0, 1e6] micro-units, symmetric pairs appear once, and
+    self-distance is absent; identical distributions give 0."""
+    from catenae_kafka_spark.operators.llm_text import q_lang_tvd
+
+    df = q_lang_tvd(spark, SF).toPandas()
+    assert len(df) > 0
+    assert (df["la"] < df["lb"]).all()
+    assert df["tvd_micro"].between(0, 1_000_000).all()
