@@ -514,3 +514,188 @@ def q_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+@REGISTRY.register(
+    "q_totals_reconciliation",
+    tags=("dataops", "dq"),
+    oracle="""
+WITH line AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS line_cents
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS order_cents,
+         line_cents,
+         (line_cents * 1000000) // CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                        AS BIGINT) AS ratio_micro
+  FROM orders JOIN line ON o_orderkey = l_orderkey
+)
+SELECT ratio_micro // 100000 AS ratio_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(ratio_micro) AS BIGINT) AS min_ratio_micro,
+       CAST(MAX(ratio_micro) AS BIGINT) AS max_ratio_micro
+FROM j GROUP BY ratio_decile
+""",
+)
+def q_totals_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation audit: distribution of (recomputed line
+    revenue) / (order header total) as exact micro-ratios, bucketed in
+    10% bands — the header-vs-detail consistency check every revenue
+    pipeline runs before trusting either table (on these fixtures the
+    two are synthetically independent, which is exactly what the audit
+    surfaces).
+
+    Exactness: revenue is quantized to cents PER LINE (one shared IEEE
+    product expression, then floor), summed in BIGINT, and the ratio
+    is BIGINT floor division — no float summation order anywhere.
+
+    Scale shape: one map-side-combined groupBy(l_orderkey) on the big
+    table, one key-shuffled join to orders, then a tiny 10-bucket agg."""
+    c = catalog(spark, sf_dir)
+    line = c.lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("line_cents")
+    )
+    j = c.orders.join(
+        line, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("order_cents"),
+        "line_cents",
+    ).select(
+        F.expr("(line_cents * 1000000) div order_cents").alias("ratio_micro")
+    )
+    return j.groupBy(
+        F.expr("ratio_micro div 100000").alias("ratio_decile")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.min("ratio_micro").alias("min_ratio_micro"),
+        F.max("ratio_micro").alias("max_ratio_micro"),
+    )
+
+
+@REGISTRY.register(
+    "q_disorder_profile",
+    tags=("dataops", "streaming-config"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) AS ts_us,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max_us
+  FROM events
+), lat AS (
+  SELECT (run_max_us - ts_us) // 1000000 AS late_s FROM seq
+)
+SELECT CASE WHEN late_s = 0 THEN 0
+            ELSE LENGTH(PRINTF('%b', late_s)) END AS late_bucket_bits,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lat GROUP BY late_bucket_bits
+""",
+)
+def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile: for each event, its lateness behind
+    the running event-time high-water mark of its user's arrival
+    sequence (event_id = arrival order), bucketed on an exact log2
+    scale. This is THE empirical input for sizing a streaming
+    watermark delay: the top occupied bucket bounds the out-of-order
+    horizon, and the bucket-0 mass is the fraction already in order.
+
+    Exactness: microsecond BIGINT arithmetic (ns fixtures truncate
+    identically on both engines at whole-second lateness), bit-length
+    buckets (no float log).
+
+    Scale shape: one user-keyed window scan (running max) + a tiny
+    bucket agg — per-key disorder is the right unit because watermark
+    skew at 100 TB is per-source-partition anyway; a global profile
+    would serialize the stream through one partition."""
+    c = catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_us = F.unix_micros("ts")
+    lat = c.events.select(
+        (F.max(ts_us).over(w) - ts_us).alias("late_us")
+    ).select(F.expr("late_us div 1000000").alias("late_s"))
+    return lat.select(
+        F.when(F.col("late_s") == 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("late_s"))))
+        .cast("bigint")
+        .alias("late_bucket_bits")
+    ).groupBy("late_bucket_bits").agg(F.count("*").alias("n"))
+
+
+@REGISTRY.register(
+    "q_nested_assembly",
+    tags=("dataops", "nested"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(MAX(epoch_us(l_shipdate) // 86400000000) AS BIGINT)
+         AS last_ship_day,
+       CAST(MIN(l_linenumber) AS INT) AS first_lineno
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey % 199 = 0
+GROUP BY o_orderkey
+""",
+)
+def q_nested_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested document assembly round-trip: denormalize each order into
+    a single row holding an array<struct> of its lines (sorted by line
+    number — collect_list order is nondeterministic, array_sort makes
+    it canonical), then compute the output metrics BY TRAVERSING THE
+    NESTED VALUE ONLY (size / F.aggregate fold / element_at on the
+    sorted array) — proving the assembled document is lossless against
+    the flat relational oracle. This is the exact shape used to emit
+    JSON-like training examples (order -> document with nested items).
+
+    Scale shape: one groupBy(l_orderkey) shuffle carrying the line
+    payload — identical cost to any per-order rollup; the nested
+    traversal afterwards is map-side expression work (all JVM
+    codegen, no UDF)."""
+    c = catalog(spark, sf_dir)
+    lines = c.lineitem.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("lineno"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.expr("unix_micros(l_shipdate) div 86400000000").alias(
+                "ship_day"
+            ),
+        ).alias("line"),
+    )
+    docs = (
+        lines.filter(F.col("l_orderkey") % 199 == 0)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("line")).alias("lines"))
+    )
+    return docs.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.aggregate(
+            "lines", F.lit(0).cast("bigint"), lambda acc, x: acc + x["qty"]
+        ).alias("total_qty"),
+        F.aggregate(
+            "lines",
+            F.lit(-1).cast("bigint"),
+            lambda acc, x: F.greatest(acc, x["ship_day"]),
+        ).alias("last_ship_day"),
+        F.element_at("lines", 1)["lineno"].cast("int").alias("first_lineno"),
+    )

@@ -378,3 +378,75 @@ def test_lang_tvd_is_a_bounded_metric(spark):
     assert len(df) > 0
     assert (df["la"] < df["lb"]).all()
     assert df["tvd_micro"].between(0, 1_000_000).all()
+
+
+def test_totals_reconciliation_covers_all_orders_with_lines(spark):
+    """Bucket counts must sum to the number of orders having lineitems,
+    and min <= max within every bucket with decile consistency."""
+    from catenae_kafka_spark.operators.dataops import q_totals_reconciliation
+
+    df = q_totals_reconciliation(spark, SF).toPandas()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n_with_lines = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").count()
+    )
+    assert df["n_orders"].sum() == n_with_lines
+    assert (df["min_ratio_micro"] <= df["max_ratio_micro"]).all()
+    assert (df["min_ratio_micro"] // 100000 == df["ratio_decile"]).all()
+    assert (df["max_ratio_micro"] // 100000 == df["ratio_decile"]).all()
+
+
+def test_disorder_profile_conserves_rows_and_detects_synthetic_disorder(spark):
+    """On the (in-order) fixture the whole mass is bucket 0; on a
+    synthetically shuffled frame the same expression shape must report
+    the injected lateness bucket."""
+    from catenae_kafka_spark.operators.dataops import q_disorder_profile
+
+    df = q_disorder_profile(spark, SF).toPandas()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert df["n"].sum() == n_events
+    assert 0 in set(df["late_bucket_bits"])
+
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 100, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, 101, dt.datetime(2024, 1, 1, 0, 1, 40)),  # +100s
+        (1, 102, dt.datetime(2024, 1, 1, 0, 0, 30)),  # 70s late -> 7 bits
+    ]
+    sdf = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_us = F.unix_micros("ts")
+    lat = sdf.select(
+        (F.max(ts_us).over(w) - ts_us).alias("late_us")
+    ).selectExpr("late_us div 1000000 AS late_s")
+    got = sorted(r["late_s"] for r in lat.collect())
+    assert got == [0, 0, 70]
+    assert int(70).bit_length() == 7
+
+
+def test_nested_assembly_roundtrip_is_lossless(spark):
+    """The nested array<struct> traversal must reproduce the flat
+    per-order aggregates computed directly in pandas."""
+    from catenae_kafka_spark.operators.dataops import q_nested_assembly
+
+    got = q_nested_assembly(spark, SF).toPandas().set_index("o_orderkey")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    li = li[li["l_orderkey"] % 199 == 0]
+    ref = li.groupby("l_orderkey").agg(
+        n_lines=("l_linenumber", "size"),
+        total_qty=("l_quantity", "sum"),
+        first_lineno=("l_linenumber", "min"),
+    )
+    assert len(got) == len(ref)
+    for k, r in ref.iterrows():
+        assert got.loc[k, "n_lines"] == r["n_lines"]
+        assert got.loc[k, "total_qty"] == int(r["total_qty"])
+        assert got.loc[k, "first_lineno"] == r["first_lineno"]
