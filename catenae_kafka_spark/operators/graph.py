@@ -923,3 +923,192 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("u").alias("node"), "label")
         )
     return labels
+
+
+@REGISTRY.register(
+    "q_rec_precision",
+    tags=("graph", "recommender", "evaluation"),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), train_o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01'
+), test_o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+), tb AS (
+  SELECT b.l_orderkey, b.p_brand FROM baskets b
+  JOIN train_o t ON b.l_orderkey = t.o_orderkey
+), edges AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM tb a JOIN tb b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand HAVING COUNT(*) >= 50
+), sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+), cn AS (
+  SELECT n1.v AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v <> n2.v
+  GROUP BY n1.v, n2.v
+), sim AS (
+  SELECT cn.a, cn.b,
+         CAST(FLOOR(cn.common * 1000000.0 / (da.d + db.d - cn.common))
+              AS BIGINT) AS sim_micro
+  FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node
+), owned AS (
+  SELECT DISTINCT t.o_custkey, b.p_brand
+  FROM train_o t JOIN baskets b ON t.o_orderkey = b.l_orderkey
+), scores AS (
+  SELECT ow.o_custkey, s.b AS rec_brand,
+         CAST(SUM(s.sim_micro) AS BIGINT) AS score_micro
+  FROM owned ow JOIN sim s ON ow.p_brand = s.a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM owned o2
+    WHERE o2.o_custkey = ow.o_custkey AND o2.p_brand = s.b
+  )
+  GROUP BY ow.o_custkey, s.b
+), top1 AS (
+  SELECT o_custkey, rec_brand FROM (
+    SELECT o_custkey, rec_brand,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY score_micro DESC, rec_brand) AS rn
+    FROM scores
+  ) WHERE rn = 1
+), test_owned AS (
+  SELECT DISTINCT t.o_custkey, b.p_brand
+  FROM test_o t JOIN baskets b ON t.o_orderkey = b.l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users_with_rec,
+       CAST(COUNT(tw.p_brand) AS BIGINT) AS n_hits,
+       CASE WHEN COUNT(*) = 0 THEN NULL
+            ELSE (CAST(COUNT(tw.p_brand) AS BIGINT) * 1000000) // COUNT(*)
+       END AS precision_micro
+FROM top1
+LEFT JOIN test_owned tw
+  ON top1.o_custkey = tw.o_custkey AND top1.rec_brand = tw.p_brand
+""",
+)
+def q_rec_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation with a TEMPORAL train/test split:
+    train the item-item CF of q_collab_filter only on pre-1999 orders,
+    emit each customer's top-1 unowned-brand recommendation, and score
+    precision@1 against what they actually bought from 1999 on — the
+    leakage-free evaluation loop (no future co-occurrence ever reaches
+    the similarity model; complements q_split_leakage's audit).
+
+    Exact: similarity and scores are micro-unit BIGINTs, precision is
+    floor division; the top-1 tie-break (score DESC, brand) is total.
+
+    Scale shape: identical to q_collab_filter (brand-cardinality sim
+    table broadcast, one customer-keyed shuffle) plus one broadcast
+    hash join of the top-1 table against test ownership; the final
+    metric is a 3-column global agg."""
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    split = F.lit("1999-01-01").cast("timestamp")
+    train_o = c.orders.filter(F.col("o_orderdate") < split).select(
+        "o_orderkey", "o_custkey"
+    )
+    test_o = c.orders.filter(F.col("o_orderdate") >= split).select(
+        "o_orderkey", "o_custkey"
+    )
+    tb = baskets.join(
+        train_o.select("o_orderkey"),
+        baskets["l_orderkey"] == F.col("o_orderkey"),
+    ).select("l_orderkey", "p_brand")
+    a = tb.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = tb.select("l_orderkey", F.col("p_brand").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+        .select("u", "v")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    n1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    n2 = sym.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    cn = (
+        n1.join(n2, "x")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sim = (
+        cn.join(
+            F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.col("common")
+                * F.lit(1000000.0)
+                / (F.col("da") + F.col("db") - F.col("common"))
+            )
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+    )
+    owned = (
+        train_o.join(baskets, train_o["o_orderkey"] == baskets["l_orderkey"])
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    cand = owned.join(
+        F.broadcast(sim.select(F.col("a").alias("p_brand"), "b", "sim_micro")),
+        "p_brand",
+    )
+    not_owned = cand.join(
+        owned.select(
+            F.col("o_custkey").alias("ck2"), F.col("p_brand").alias("b2")
+        ),
+        (F.col("o_custkey") == F.col("ck2")) & (F.col("b") == F.col("b2")),
+        "left_anti",
+    )
+    scores = not_owned.groupBy("o_custkey", F.col("b").alias("rec_brand")).agg(
+        F.sum("sim_micro").cast("bigint").alias("score_micro")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("score_micro").desc(), F.col("rec_brand")
+    )
+    top1 = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "rec_brand")
+    )
+    test_owned = (
+        test_o.join(baskets, test_o["o_orderkey"] == baskets["l_orderkey"])
+        .select(F.col("o_custkey").alias("tck"), F.col("p_brand").alias("tb"))
+        .distinct()
+    )
+    hits = top1.join(
+        test_owned,
+        (F.col("o_custkey") == F.col("tck")) & (F.col("rec_brand") == F.col("tb")),
+        "left",
+    )
+    return hits.agg(
+        F.count("*").cast("bigint").alias("n_users_with_rec"),
+        F.count("tb").cast("bigint").alias("n_hits"),
+    ).select(
+        "n_users_with_rec",
+        "n_hits",
+        F.expr(
+            "CASE WHEN n_users_with_rec = 0 THEN NULL "
+            "ELSE (n_hits * 1000000) div n_users_with_rec END"
+        ).alias("precision_micro"),
+    )

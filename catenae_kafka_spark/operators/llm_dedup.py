@@ -31,7 +31,7 @@ real matches on it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
@@ -1012,4 +1012,79 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found").cast("bigint").alias("n_found"),
             F.col("recall_ppm").cast("bigint").alias("recall_ppm"),
         )
+    )
+
+
+@REGISTRY.register(
+    "q_golden_record",
+    tags=("llm", "dedup", "mdm"),
+    oracle="""
+WITH k AS (
+  SELECT doc_id, n_chars, lang,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+             ' ')) AS ck
+  FROM documents
+), g AS (
+  SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+  FROM k GROUP BY ck HAVING COUNT(*) > 1
+), golden AS (
+  SELECT ck, doc_id AS golden_doc_id FROM (
+    SELECT k.ck, k.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY k.ck
+                              ORDER BY k.n_chars DESC, k.doc_id) AS rn
+    FROM k JOIN g ON k.ck = g.ck
+  ) WHERE rn = 1
+)
+SELECT g.ck AS group_key, golden_doc_id, n_members, n_langs, max_chars
+FROM g JOIN golden ON g.ck = golden.ck
+""",
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record (MDM survivorship) selection: group documents by
+    their canonical word-set key (the drift-proof exact-dup tier — see
+    q_dedup_canonical), and for every multi-member group elect ONE
+    surviving record by an explicit survivorship rule (longest text,
+    then lowest doc_id) with group stats for the stewardship report.
+
+    md5 is the only engine-portable hash (environment fact), so the
+    group key itself is hash-checked. The ROW_NUMBER survivorship rule
+    is a total order — no arbitrary first().
+
+    Scale shape: one groupBy on the canonical key (map-side combined
+    counts) + one window over only the multi-member groups (joined
+    back via the small group table — at 100 TB the duplicate-group
+    table is corpus-fraction-sized, so the window input is too)."""
+    c = catalog(spark, sf_dir)
+    k = c.documents.select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("ck"),
+    )
+    g = (
+        k.groupBy("ck")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+    w = Window.partitionBy("ck").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    golden = (
+        k.join(F.broadcast(g.select("ck")), "ck")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ck", F.col("doc_id").alias("golden_doc_id"))
+    )
+    return g.join(golden, "ck").select(
+        F.col("ck").alias("group_key"),
+        "golden_doc_id",
+        "n_members",
+        "n_langs",
+        "max_chars",
     )

@@ -930,3 +930,63 @@ def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cd_micro"),
     ).filter(F.col("o_orderkey") % 97 == 0)
+
+
+@REGISTRY.register(
+    "q_window_ignore_nulls",
+    tags=("window",),
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS pur_cents
+  FROM events
+), w AS (
+  SELECT user_id, event_id, pur_cents,
+         lag(pur_cents IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY event_id) AS prev_pur_cents,
+         nth_value(pur_cents, 2 IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS second_pur_cents
+  FROM t
+)
+SELECT user_id, event_id, pur_cents, prev_pur_cents, second_pur_cents
+FROM w WHERE event_id % 23 = 0
+""",
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window surface: for every event, the previous
+    purchase amount (lag over a sparse column, skipping non-purchase
+    rows) and the user's second-ever purchase amount so far
+    (nth_value(..., 2) ignoring nulls, running frame) — the standard
+    way to carry sparse attributes along a dense event sequence
+    without a self-join. Emitted for a 1/23 event slice; the windows
+    still run over full partitions.
+
+    Exact: cents BIGINTs or NULL; both engines implement the same
+    SQL-standard IGNORE NULLS semantics over the same (user, event_id)
+    total order. One user-keyed shuffle."""
+    c = catalog(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("event_id")
+    wr = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = c.events.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        ).alias("pur_cents"),
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        "pur_cents",
+        F.expr(
+            "lag(pur_cents) IGNORE NULLS OVER "
+            "(PARTITION BY user_id ORDER BY event_id)"
+        ).alias("prev_pur_cents"),
+        F.nth_value("pur_cents", 2, ignoreNulls=True)
+        .over(wr)
+        .alias("second_pur_cents"),
+    ).filter(F.col("event_id") % 23 == 0)
