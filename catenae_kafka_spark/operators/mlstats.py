@@ -1558,3 +1558,187 @@ def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(e(l2, "energy_l2"))
         .crossJoin(e(l3, "energy_l3"))
     )
+
+
+@REGISTRY.register(
+    "q_simpson_check",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH base AS (
+  SELECT p_brand,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), seg AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM base GROUP BY p_brand
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+         CAST(SUM(sx) AS BIGINT) AS tsx, CAST(SUM(sy) AS BIGINT) AS tsy,
+         CAST(SUM(sxy) AS BIGINT) AS tsxy
+  FROM seg
+), osign AS (
+  SELECT CASE WHEN CAST(tn AS DOUBLE) * tsxy
+                   - CAST(tsx AS DOUBLE) * tsy > 0 THEN 1
+              WHEN CAST(tn AS DOUBLE) * tsxy
+                   - CAST(tsx AS DOUBLE) * tsy < 0 THEN -1
+              ELSE 0 END AS overall_sign
+  FROM tot
+)
+SELECT p_brand, n,
+       CASE WHEN n * sxy - sx * sy > 0 THEN 1
+            WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS cov_sign,
+       osign.overall_sign,
+       (CASE WHEN n * sxy - sx * sy > 0 THEN 1
+             WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END)
+         <> osign.overall_sign AS flipped
+FROM seg, osign
+""",
+)
+def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the sign of cov(quantity, revenue)
+    within each brand versus the pooled sign — segments whose
+    association direction contradicts the aggregate are flagged, the
+    first thing an analyst must know before trusting a pooled trend.
+
+    Exactness: per-segment covariance numerators n*Sxy - Sx*Sy are
+    pure BIGINT (dollar-quantized revenue keeps products under 2^63 at
+    the tested scales; at larger scale, quantize coarser — the SIGN is
+    scale-invariant). The pooled numerator can exceed 2^63, so it is
+    evaluated in double — safe for a three-way sign because the
+    magnitude is astronomically far from the rounding boundary unless
+    the data is adversarially near-uncorrelated.
+
+    Scale shape: one broadcast dim join + one brand-keyed partial agg;
+    the pooled sign is a second agg over 25 partial rows broadcast
+    back. Nothing iterates."""
+    c = catalog(spark, sf_dir)
+    base = c.lineitem.join(
+        F.broadcast(c.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    seg = base.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    tot = seg.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sx").cast("bigint").alias("tsx"),
+        F.sum("sy").cast("bigint").alias("tsy"),
+        F.sum("sxy").cast("bigint").alias("tsxy"),
+    )
+    osign = tot.select(
+        F.when(
+            F.col("tn").cast("double") * F.col("tsxy")
+            - F.col("tsx").cast("double") * F.col("tsy")
+            > 0,
+            1,
+        )
+        .when(
+            F.col("tn").cast("double") * F.col("tsxy")
+            - F.col("tsx").cast("double") * F.col("tsy")
+            < 0,
+            -1,
+        )
+        .otherwise(0)
+        .alias("overall_sign")
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    sign = F.when(num > 0, 1).when(num < 0, -1).otherwise(0)
+    return seg.crossJoin(F.broadcast(osign)).select(
+        "p_brand",
+        "n",
+        sign.alias("cov_sign"),
+        "overall_sign",
+        (sign != F.col("overall_sign")).alias("flipped"),
+    )
+
+
+@REGISTRY.register(
+    "q_markov_accuracy",
+    tags=("mlstats", "sequence", "evaluation"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS cur,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), bi AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+), pred AS (
+  SELECT prev, cur AS predicted FROM (
+    SELECT prev, cur,
+           ROW_NUMBER() OVER (PARTITION BY prev ORDER BY n DESC, cur) AS rn
+    FROM bi
+  ) WHERE rn = 1
+)
+SELECT bi.prev,
+       CAST(SUM(bi.n) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN bi.cur = pred.predicted THEN bi.n ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       (CAST(SUM(CASE WHEN bi.cur = pred.predicted THEN bi.n ELSE 0 END)
+             AS BIGINT) * 1000000) // CAST(SUM(bi.n) AS BIGINT)
+         AS accuracy_micro
+FROM bi JOIN pred ON bi.prev = pred.prev
+GROUP BY bi.prev
+""",
+)
+def q_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction accuracy: fit the
+    transition matrix on the event sequence (per-user (ts, event_id)
+    total order), predict argmax-next-type per current type (total
+    tie-break: count DESC, type), and score in-sample accuracy per
+    current type — the sanity baseline every sequence model must beat
+    (complements q_transition_matrix, which reports probabilities but
+    no predictive skill).
+
+    Exact: counts are BIGINT, the argmax tie-break is total, accuracy
+    is floor-division micro-units.
+
+    Scale shape: one user-keyed window pass for bigrams, one tiny
+    (|types|^2) aggregation, prediction table broadcast back onto the
+    bigram counts — fact data shuffles once."""
+    c = catalog(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = c.events.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(wl).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    bi = seq.groupBy("prev", "cur").agg(F.count("*").cast("bigint").alias("n"))
+    wp = Window.partitionBy("prev").orderBy(F.col("n").desc(), F.col("cur"))
+    pred = (
+        bi.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("cur").alias("predicted"))
+    )
+    return (
+        bi.join(F.broadcast(pred), "prev")
+        .groupBy("prev")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_transitions"),
+            F.sum(
+                F.when(F.col("cur") == F.col("predicted"), F.col("n")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "prev",
+            "n_transitions",
+            "n_correct",
+            F.expr("(n_correct * 1000000) div n_transitions").alias(
+                "accuracy_micro"
+            ),
+        )
+    )

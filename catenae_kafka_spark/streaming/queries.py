@@ -1248,3 +1248,77 @@ def q_stream_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "complete", _name("argmax"))
+
+
+@REGISTRY.register(
+    "q_stream_percentile",
+    tags=("streaming", "stateful", "sketch"),
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 1000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, bucket
+), c AS (
+  SELECT event_type, bucket, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM b
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN cum * 2 >= total THEN bucket * 1000 END) AS BIGINT)
+         AS p50_floor_cents,
+       CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN bucket * 1000 END)
+            AS BIGINT) AS p90_floor_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN bucket * 1000 END)
+            AS BIGINT) AS p99_floor_cents
+FROM c GROUP BY event_type
+""",
+)
+def q_stream_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantiles via an exact fixed-width histogram: the
+    stream maintains per-(type, 10-dollar-bucket) counts as mergeable
+    state (a declarative streaming groupBy — the histogram IS the
+    sketch), and p50/p90/p99 are read off the cumulative histogram as
+    bucket lower bounds after the run. Bucketed quantiles trade
+    resolution for EXACTNESS and mergeability — unlike t-digest/KLL the
+    answer is deterministic, so the driver hash-checks it; the rank
+    inequalities (2*cum >= total etc.) are pure BIGINT.
+
+    Scale shape: state is bounded by types x occupied buckets (value
+    domain / 10 dollars), shuffle carries partial counts map-combined
+    per micro-batch; the quantile extraction is a tiny batch window
+    over the final histogram."""
+    stream = replay_events(spark, sf_dir)
+    hist = (
+        stream.withColumn(
+            "bucket",
+            F.expr(
+                "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div 1000"
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    final = run_available_now(hist, "complete", _name("percentile"))
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("event_type").orderBy("bucket")
+    wt = Window.partitionBy("event_type")
+    c = final.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    pick = lambda num, den, name: F.min(
+        F.when(
+            F.col("cum") * num >= F.col("total") * den,
+            F.col("bucket") * 1000,
+        )
+    ).cast("bigint").alias(name)
+    return c.groupBy("event_type").agg(
+        pick(2, 1, "p50_floor_cents"),
+        pick(10, 9, "p90_floor_cents"),
+        pick(100, 99, "p99_floor_cents"),
+    )

@@ -512,3 +512,58 @@ def test_rec_precision_metric_consistency(spark):
     r2 = q_rec_precision(spark, "/root/testdata/sf0.01").toPandas().iloc[0]
     assert r2["n_users_with_rec"] > 0
     assert r2["precision_micro"] == (r2["n_hits"] * 1_000_000) // r2["n_users_with_rec"]
+
+
+def test_stream_percentile_bounds_and_order(spark):
+    """Quantile floors must be non-decreasing (p50<=p90<=p99) and each
+    must be <= the type's true max cents, >= floor-to-bucket of min."""
+    import numpy as np
+
+    from catenae_kafka_spark.streaming.queries import q_stream_percentile
+
+    df = q_stream_percentile(spark, SF).toPandas().set_index("event_type")
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for t, g in ev.groupby("event_type"):
+        row = df.loc[t]
+        assert row["p50_floor_cents"] <= row["p90_floor_cents"] <= row["p99_floor_cents"]
+        assert row["p99_floor_cents"] <= g["cents"].max()
+        assert row["p50_floor_cents"] >= (g["cents"].min() // 1000) * 1000
+        med = g["cents"].median()
+        assert row["p50_floor_cents"] <= med <= row["p50_floor_cents"] + 2000
+
+
+def test_simpson_check_signs_match_pandas_cov(spark):
+    """Per-brand covariance signs must match pandas' covariance on the
+    same integerized columns."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_simpson_check
+
+    got = q_simpson_check(spark, SF).toPandas().set_index("p_brand")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{SF}/part.parquet").toPandas()
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["x"] = j["l_quantity"].astype("int64")
+    j["y"] = np.floor(j["l_extendedprice"] * (1 - j["l_discount"])).astype("int64")
+    for b, g in j.groupby("p_brand"):
+        num = len(g) * (g.x * g.y).sum() - g.x.sum() * g.y.sum()
+        assert got.loc[b, "cov_sign"] == np.sign(num)
+        assert got.loc[b, "n"] == len(g)
+    assert got["flipped"].eq(got["cov_sign"] != got["overall_sign"]).all()
+
+
+def test_markov_accuracy_beats_or_equals_marginal_baseline(spark):
+    """Per-state accuracy must be >= the state's best single-class
+    share by construction (argmax of the row), and counts must total
+    the bigram count."""
+    from catenae_kafka_spark.operators.mlstats import q_markov_accuracy
+
+    df = q_markov_accuracy(spark, SF).toPandas()
+    assert (df["n_correct"] <= df["n_transitions"]).all()
+    assert (df["accuracy_micro"] >= 100000).all()  # 5-class floor ~ 20%
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    n_bigrams = sum(
+        len(g) - 1 for _, g in ev.groupby("user_id") if len(g) > 0
+    )
+    assert df["n_transitions"].sum() == n_bigrams
