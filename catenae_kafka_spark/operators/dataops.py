@@ -699,3 +699,90 @@ def q_nested_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_ship_day"),
         F.element_at("lines", 1)["lineno"].cast("int").alias("first_lineno"),
     )
+
+
+@REGISTRY.register(
+    "q_late_dim_reattribution",
+    tags=("dataops", "warehouse"),
+    oracle="""
+WITH dim_v1 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END
+           AS segment
+  FROM customer
+), v1 AS (
+  SELECT d.segment,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS dollars
+  FROM orders o JOIN dim_v1 d ON o.o_custkey = d.c_custkey
+  GROUP BY d.segment
+), v2 AS (
+  SELECT c_mktsegment AS segment,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS dollars
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT COALESCE(v1.segment, v2.segment) AS segment,
+       COALESCE(v1.dollars, 0) AS v1_dollars,
+       COALESCE(v2.dollars, 0) AS v2_dollars,
+       COALESCE(v2.dollars, 0) - COALESCE(v1.dollars, 0) AS reattributed
+FROM v1 FULL JOIN v2 ON v1.segment = v2.segment
+""",
+)
+def q_late_dim_reattribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension pattern: facts land before their
+    dimension rows do, so v1 attribution routes orders of the missing
+    customers (every 5th key, simulating the late arrivals) to an
+    explicit UNKNOWN member instead of dropping them; once the
+    dimension completes (v2), the report is re-run and the per-segment
+    delta quantifies the re-attribution — revenue CONSERVATION between
+    versions (UNKNOWN drains exactly into the real segments) is the
+    correctness invariant warehouses audit.
+
+    Exact integer dollars end to end. Scale shape: two broadcast-dim
+    joins + keyed aggs, one full outer join on the tiny segment
+    domain."""
+    c = catalog(spark, sf_dir)
+    dim_v1 = c.customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    dollars = F.sum(
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint")
+    ).cast("bigint")
+    v1 = (
+        c.orders.join(
+            F.broadcast(dim_v1), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("segment")
+        .agg(dollars.alias("dollars"))
+    )
+    v2 = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(dollars.alias("dollars"))
+    )
+    j = v1.select(
+        F.col("segment").alias("s1"), F.col("dollars").alias("v1_dollars")
+    ).join(
+        v2.select(
+            F.col("segment").alias("s2"), F.col("dollars").alias("v2_dollars")
+        ),
+        F.col("s1") == F.col("s2"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("s1", "s2").alias("segment"),
+        F.coalesce("v1_dollars", F.lit(0)).alias("v1_dollars"),
+        F.coalesce("v2_dollars", F.lit(0)).alias("v2_dollars"),
+        (
+            F.coalesce("v2_dollars", F.lit(0))
+            - F.coalesce("v1_dollars", F.lit(0))
+        ).alias("reattributed"),
+    )

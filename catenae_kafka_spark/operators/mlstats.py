@@ -1742,3 +1742,81 @@ def q_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@REGISTRY.register(
+    "q_poststratify",
+    tags=("mlstats", "survey"),
+    oracle="""
+WITH pop AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer
+  GROUP BY c_nationkey
+), npop AS (
+  SELECT CAST(SUM(n_cust) AS BIGINT) AS n_total FROM pop
+), strat AS (
+  SELECT c.c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_dollars
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+       CAST(SUM((pop.n_cust * strat.sum_dollars * 1000)
+                // (strat.n_orders * npop.n_total)) AS BIGINT)
+         AS post_strat_milli,
+       (CAST(SUM(strat.sum_dollars) AS BIGINT) * 1000)
+         // CAST(SUM(strat.n_orders) AS BIGINT) AS naive_milli
+FROM strat JOIN pop ON strat.c_nationkey = pop.c_nationkey
+CROSS JOIN npop
+""",
+)
+def q_poststratify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified estimator: mean order value reweighted so every
+    nation contributes by its CUSTOMER POPULATION share rather than its
+    order volume — the survey-sampling correction for when the observed
+    sample (orders) is not proportional to the population (customers).
+    Reported next to the naive unweighted mean so the bias correction
+    is visible.
+
+    Exactness: each stratum's weighted term is floored to integer
+    milli-dollars BEFORE summation — a sum of integers is
+    order-independent, so no float-accumulation-order hazard exists
+    (the trick that makes weighted estimators hash-oracle-able;
+    per-stratum truncation bias is < n_strata milli-dollars, i.e.
+    negligible and deterministic).
+
+    Scale shape: two map-side-combined aggs (population, strata) and a
+    25-row join; the fact table shuffles once on the customer key."""
+    c = catalog(spark, sf_dir)
+    pop = c.customer.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_cust")
+    )
+    npop = pop.agg(F.sum("n_cust").cast("bigint").alias("n_total"))
+    strat = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_dollars"),
+        )
+    )
+    j = strat.join(F.broadcast(pop), "c_nationkey").crossJoin(F.broadcast(npop))
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum(
+            F.expr(
+                "(n_cust * sum_dollars * 1000) div (n_orders * n_total)"
+            )
+        )
+        .cast("bigint")
+        .alias("post_strat_milli"),
+        F.expr(
+            "(sum(sum_dollars) * 1000) div sum(n_orders)"
+        ).cast("bigint").alias("naive_milli"),
+    )

@@ -560,3 +560,78 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("good_key_sum"),
     )
+
+
+@REGISTRY.register(
+    "q_write_audit_publish",
+    tags=("sink", "lakehouse"),
+    oracle="""
+SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events GROUP BY day, event_type
+""",
+)
+def q_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (WAP) sink pattern: the daily rollup is (1)
+    WRITTEN to a staging path invisible to readers, (2) AUDITED by
+    re-reading the staged files and checking row count + exact cents
+    checksum against an independent recomputation, and only then (3)
+    PUBLISHED by an atomic directory swap — the lakehouse discipline
+    that guarantees consumers never observe a partial or failed write.
+    A failed audit raises and leaves the published path untouched.
+
+    The returned DataFrame reads from the PUBLISHED path, so the
+    oracle (the rollup itself) also proves the staged->published
+    round-trip is lossless.
+
+    Scale shape: the rollup is one map-side-combined groupBy; audit
+    cost is one scan of the (tiny) staged output; publish is a
+    metadata operation (at 100 TB: an atomic table-pointer/manifest
+    swap, e.g. Iceberg/Delta commit — here the filesystem rename that
+    models it)."""
+    import shutil
+
+    c = catalog(spark, sf_dir)
+    rollup = (
+        c.events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    base = _work_dir(sf_dir, "wap")
+    staging = os.path.join(base, "_staging")
+    published = os.path.join(base, "published")
+    # 1. WRITE to staging (never the live path)
+    rollup.write.mode("overwrite").parquet(staging)
+    # 2. AUDIT the staged bytes against an independent recomputation
+    staged = spark.read.parquet(staging)
+    audit = staged.agg(
+        F.count("*").alias("rows"), F.sum("cents").alias("checksum")
+    ).collect()[0]
+    expect = rollup.agg(
+        F.count("*").alias("rows"), F.sum("cents").alias("checksum")
+    ).collect()[0]
+    if audit["rows"] == 0 or (audit["rows"], audit["checksum"]) != (
+        expect["rows"],
+        expect["checksum"],
+    ):
+        raise RuntimeError(
+            f"WAP audit failed: staged={tuple(audit)} expected={tuple(expect)};"
+            " publish aborted, previous version remains live"
+        )
+    # 3. PUBLISH atomically (swap the directory pointer)
+    tmp_old = published + "_old"
+    if os.path.exists(published):
+        os.rename(published, tmp_old)
+    os.rename(staging, published)
+    shutil.rmtree(tmp_old, ignore_errors=True)
+    return spark.read.parquet(published)

@@ -567,3 +567,52 @@ def test_markov_accuracy_beats_or_equals_marginal_baseline(spark):
         len(g) - 1 for _, g in ev.groupby("user_id") if len(g) > 0
     )
     assert df["n_transitions"].sum() == n_bigrams
+
+
+def test_write_audit_publish_swaps_atomically_and_survives_reruns(spark):
+    """Two consecutive runs must both succeed (the swap replaces the
+    prior published version) and return identical rollups."""
+    from catenae_kafka_spark.sources.scans import q_write_audit_publish
+
+    a = q_write_audit_publish(spark, SF).toPandas()
+    b = q_write_audit_publish(spark, SF).toPandas()
+    key = ["day", "event_type"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert a["n"].sum() == n_events
+
+
+def test_poststratify_matches_numpy_weighted_mean(spark):
+    """The post-stratified estimate must track the numpy weighted mean
+    within n_strata milli-dollars (the documented floor bias)."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_poststratify
+
+    got = q_poststratify(spark, SF).toPandas().iloc[0]
+    cust = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["dollars"] = np.floor(j["o_totalprice"] + 0.5).astype("int64")
+    strata = j.groupby("c_nationkey")["dollars"].agg(["sum", "count"])
+    pop = cust.groupby("c_nationkey").size()
+    w = pop.loc[strata.index] / pop.sum()
+    est = (w * (strata["sum"] / strata["count"])).sum()
+    assert abs(got["post_strat_milli"] - est * 1000) <= got["n_strata"] + 1
+    naive = j["dollars"].sum() * 1000 // len(j)
+    assert got["naive_milli"] == naive
+
+
+def test_late_dim_reattribution_conserves_revenue(spark):
+    """UNKNOWN must drain exactly into the real segments: summed
+    reattributed deltas are zero and v1/v2 totals agree."""
+    from catenae_kafka_spark.operators.dataops import q_late_dim_reattribution
+
+    df = q_late_dim_reattribution(spark, SF).toPandas()
+    assert df["reattributed"].sum() == 0
+    assert df["v1_dollars"].sum() == df["v2_dollars"].sum()
+    unk = df[df["segment"] == "UNKNOWN"]
+    assert len(unk) == 1 and unk.iloc[0]["v2_dollars"] == 0
+    assert unk.iloc[0]["v1_dollars"] > 0
