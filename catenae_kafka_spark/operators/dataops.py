@@ -786,3 +786,122 @@ def q_late_dim_reattribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce("v1_dollars", F.lit(0))
         ).alias("reattributed"),
     )
+
+
+@REGISTRY.register(
+    "q_subject_access_export",
+    tags=("dataops", "privacy"),
+    oracle="""
+WITH subject AS (
+  SELECT MIN(user_id) AS uid FROM events
+)
+SELECT CAST(uid AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',')
+         AS types_csv
+FROM events, subject WHERE user_id = uid GROUP BY uid
+""",
+)
+def q_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access-request (GDPR Art. 15) export: everything the
+    platform holds about ONE user, assembled into a single portable
+    record — the read-side companion to q_forget_users' erasure. The
+    subject is picked deterministically (MIN user_id) so the oracle
+    can replay the choice.
+
+    Scale shape: the per-user predicate is PUSHED DOWN to the parquet
+    scan (equality filter on a scalar — with the production layout
+    partitioned/bucketed by user, this touches one file group, not
+    100 TB), then a single-group aggregation. The distinct-type list
+    is sorted for determinism."""
+    c = catalog(spark, sf_dir)
+    uid = c.events.agg(F.min("user_id")).collect()[0][0]  # scalar subject id
+    ev = c.events.filter(F.col("user_id") == uid)
+    return ev.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("types_csv"),
+    )
+
+
+@REGISTRY.register(
+    "q_ab_srm_check",
+    tags=("dataops", "experimentation"),
+    oracle="""
+WITH assign AS (
+  SELECT CASE WHEN ('0x' || substr(md5('exp7:' || user_id), 1, 8))::BIGINT
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+), counts AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM assign
+)
+SELECT n_a, n_b,
+       ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) AS chi2_micro,
+       ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) > 3841459
+         AS srm_flag
+FROM counts
+""",
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check — the first data-quality gate
+    of every A/B platform: users are hash-assigned 50/50 (md5, the
+    engine-portable hash), and the observed split is chi-square tested
+    against the designed ratio. chi2 for an equal split reduces to
+    (n_a-n_b)^2/(n_a+n_b) — pure BIGINT in micro-units; the flag fires
+    above the 3.841459 critical value (alpha=0.05, df=1). A flagged
+    SRM means assignment/logging is broken and the experiment's
+    results are untrustworthy, regardless of its metrics.
+
+    Scale shape: one distinct-user shuffle, then a two-counter global
+    tree-reduce; assignment itself is a map-side expression (this is
+    also exactly how the engine's deterministic samplers route)."""
+    c = catalog(spark, sf_dir)
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("exp7:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    counts = (
+        c.events.select("user_id")
+        .distinct()
+        .select(arm.alias("arm"))
+        .agg(
+            F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "((n_a - n_b) * (n_a - n_b) * 1000000) div (n_a + n_b)"
+        ).alias("chi2_micro"),
+        (
+            F.expr("((n_a - n_b) * (n_a - n_b) * 1000000) div (n_a + n_b)")
+            > 3841459
+        ).alias("srm_flag"),
+    )

@@ -213,3 +213,81 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+
+
+@REGISTRY.register(
+    "q_dynamic_partition_pruning",
+    tags=("layout", "scale"),
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT o_orderpriority AS prio,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'expedite' ELSE 'standard' END AS urgency
+  FROM orders
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+         AS dollars
+FROM orders o JOIN dim ON o.o_orderpriority = dim.prio
+WHERE dim.urgency = 'expedite'
+GROUP BY o.o_orderpriority
+""",
+)
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is laid out
+    partitioned by o_orderpriority (staged once); the query filters a
+    DIMENSION attribute (urgency = expedite) — the fact-side partition
+    values are only known at RUNTIME, after the dim filter runs, and
+    Spark injects a dynamicpruning subquery into the fact scan so only
+    the 2 matching partition directories are read. At 100 TB this is
+    the difference between scanning 40% and 100% of the table whenever
+    the selective predicate lives on the dim, which is most star-schema
+    queries. The plan shape (PartitionFilters: dynamicpruning#...) is
+    asserted in tests/test_round3_ops.py.
+
+    Exact integer dollars; the staged copy is the same rows re-laid-out,
+    so the orders-table oracle applies unchanged."""
+    import os as _os
+
+    c = catalog(spark, sf_dir)
+    base = _dpp_dir(sf_dir)
+    marker = _os.path.join(base, "_STAGED")
+    if not _os.path.exists(marker):
+        c.orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            _os.path.join(base, "orders_part")
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    fact = spark.read.parquet(_os.path.join(base, "orders_part"))
+    dim = (
+        c.orders.select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+        .withColumn(
+            "urgency",
+            F.when(
+                F.col("prio").isin("1-URGENT", "2-HIGH"), "expedite"
+            ).otherwise("standard"),
+        )
+    )
+    j = fact.join(
+        F.broadcast(dim.filter(F.col("urgency") == "expedite")),
+        fact["o_orderpriority"] == F.col("prio"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("dollars"),
+    )
+
+
+def _dpp_dir(sf_dir: str) -> str:
+    import hashlib
+    import os as _os
+    import tempfile
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    d = _os.path.join(tempfile.gettempdir(), "catenae_kafka_spark", tag, "dpp")
+    _os.makedirs(d, exist_ok=True)
+    return d

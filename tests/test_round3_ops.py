@@ -616,3 +616,50 @@ def test_late_dim_reattribution_conserves_revenue(spark):
     unk = df[df["segment"] == "UNKNOWN"]
     assert len(unk) == 1 and unk.iloc[0]["v2_dollars"] == 0
     assert unk.iloc[0]["v1_dollars"] > 0
+
+
+def test_subject_access_export_is_complete_for_the_subject(spark):
+    """The export must cover every event of the chosen subject."""
+    from catenae_kafka_spark.operators.dataops import q_subject_access_export
+
+    r = q_subject_access_export(spark, SF).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    uid = ev["user_id"].min()
+    mine = ev[ev["user_id"] == uid]
+    assert r["user_id"] == uid
+    assert r["n_events"] == len(mine)
+    assert r["n_types"] == mine["event_type"].nunique()
+    assert set(r["types_csv"].split(",")) == set(mine["event_type"])
+
+
+def test_ab_srm_check_split_is_balanced_and_deterministic(spark):
+    """The md5 assignment must cover every distinct user, be identical
+    across reruns, and not flag SRM on an honest 50/50 hash split."""
+    from catenae_kafka_spark.operators.dataops import q_ab_srm_check
+
+    a = q_ab_srm_check(spark, SF).toPandas().iloc[0]
+    b = q_ab_srm_check(spark, SF).toPandas().iloc[0]
+    assert (a["n_a"], a["n_b"]) == (b["n_a"], b["n_b"])
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert a["n_a"] + a["n_b"] == n_users
+    assert not a["srm_flag"]
+
+
+def test_dynamic_partition_pruning_plan_has_runtime_filter(spark):
+    """The fact scan must carry a dynamicpruning partition filter and
+    the result must only cover the expedite priorities."""
+    from catenae_kafka_spark.operators.layout import (
+        q_dynamic_partition_pruning,
+    )
+
+    df = q_dynamic_partition_pruning(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    got = df.toPandas()
+    assert set(got["o_orderpriority"]) <= {"1-URGENT", "2-HIGH"}
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    exp = orders[orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])]
+    assert got["n_orders"].sum() == len(exp)
