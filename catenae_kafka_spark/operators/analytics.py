@@ -2175,3 +2175,93 @@ def q_apportion_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seats"),
     )
+
+
+@REGISTRY.register(
+    "q_revenue_bridge",
+    tags=("analytics", "finance"),
+    oracle="""
+WITH per AS (
+  SELECT p_brand,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+              AS BIGINT) AS dollars
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+  GROUP BY p_brand, yr
+), w AS (
+  SELECT a.p_brand,
+         a.qty AS q1, a.dollars AS r1, b.qty AS q2, b.dollars AS r2
+  FROM per a JOIN per b ON a.p_brand = b.p_brand
+  WHERE a.yr = 1997 AND b.yr = 1998
+)
+SELECT p_brand, r1, r2, (r2 - r1) * 1000 AS delta_milli,
+       ((q2 - q1) * r1 * 1000) // q1 AS volume_effect_milli,
+       (r2 - r1) * 1000 - ((q2 - q1) * r1 * 1000) // q1
+         AS price_effect_milli
+FROM w
+""",
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (price/volume waterfall) per brand, 1997 → 1998:
+    the change in revenue decomposed into a VOLUME effect (quantity
+    change at old average price, (Q2-Q1)·R1/Q1) and a PRICE effect
+    (defined as the residual, so the bridge is additive BY
+    CONSTRUCTION — the property finance teams require of a waterfall).
+
+    Exact: integer dollars/quantities, the volume effect is BIGINT
+    floor arithmetic in milli-dollars, and the residual definition
+    transfers the floor error into the price effect instead of leaving
+    a reconciliation gap. (q2-q1)*r1*1000 stays under 2^63 up to
+    ~annual brand revenue x quantity delta of 9e15 — beyond that,
+    bridge in whole dollars.
+
+    Scale shape: one fact aggregation keyed (brand, year) with both
+    dims broadcast, then a self-join on the 25-brand rollup."""
+    c = catalog(spark, sf_dir)
+    per = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(1997, 1998))
+        .groupBy("p_brand", "yr")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("dollars"),
+        )
+    )
+    a = per.filter(F.col("yr") == 1997).select(
+        "p_brand", F.col("qty").alias("q1"), F.col("dollars").alias("r1")
+    )
+    b = per.filter(F.col("yr") == 1998).select(
+        F.col("p_brand").alias("pb2"),
+        F.col("qty").alias("q2"),
+        F.col("dollars").alias("r2"),
+    )
+    w = a.join(b, F.col("p_brand") == F.col("pb2"))
+    return w.select(
+        "p_brand",
+        "r1",
+        "r2",
+        ((F.col("r2") - F.col("r1")) * 1000).alias("delta_milli"),
+        F.expr("((q2 - q1) * r1 * 1000) div q1").alias("volume_effect_milli"),
+        (
+            (F.col("r2") - F.col("r1")) * 1000
+            - F.expr("((q2 - q1) * r1 * 1000) div q1")
+        ).alias("price_effect_milli"),
+    )

@@ -1820,3 +1820,73 @@ def q_poststratify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(sum_dollars) * 1000) div sum(n_orders)"
         ).cast("bigint").alias("naive_milli"),
     )
+
+
+@REGISTRY.register(
+    "q_seasonality_strength",
+    tags=("mlstats", "timeseries"),
+    oracle="""
+WITH c AS (
+  SELECT isodow(ts) - 1 AS dow,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), g AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(cents) AS BIGINT) AS s_g
+  FROM c GROUP BY dow
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         (SELECT CAST(SUM(cents * cents) AS BIGINT) FROM c) AS ss,
+         CAST(SUM((s_g * s_g) // n_g) AS BIGINT) AS between_raw
+  FROM g
+)
+SELECT n,
+       CAST(between_raw - (s * s) // n AS BIGINT) AS ssb_floor,
+       CAST(ss - (s * s) // n AS BIGINT) AS sst_floor,
+       ((between_raw - (s * s) // n) * 1000000)
+         // (ss - (s * s) // n) AS eta2_micro
+FROM tot
+""",
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength: eta-squared (variance
+    explained by the weekday factor) of event value — SS_between /
+    SS_total from the one-way ANOVA identity, the scalar that says
+    whether a weekly profile is worth modeling at all (complements
+    q_seasonal_decompose, which extracts the profile, and q_acf_daily).
+
+    Exactness: all sums of squares are BIGINT power sums; each
+    division is floored BEFORE combination, so every engine computes
+    the identical integers (documented floor bias < 1 cent^2 per term
+    — irrelevant at SS magnitudes). ISO weekday (isodow-1 in DuckDB,
+    weekday() in Spark) pins the same 0=Monday convention.
+
+    Scale shape: one map-side-combined 7-group aggregation plus one
+    global square sum — a single scan, no window, no join."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base = c.events.select(
+        F.weekday("ts").alias("dow"), cents.alias("cents")
+    )
+    g = base.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+    )
+    ss = base.agg(
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss")
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum(F.expr("(s_g * s_g) div n_g")).cast("bigint").alias("between_raw"),
+    ).crossJoin(F.broadcast(ss))
+    return tot.select(
+        "n",
+        F.expr("between_raw - (s * s) div n").cast("bigint").alias("ssb_floor"),
+        F.expr("ss - (s * s) div n").cast("bigint").alias("sst_floor"),
+        F.expr(
+            "((between_raw - (s * s) div n) * 1000000)"
+            " div (ss - (s * s) div n)"
+        ).alias("eta2_micro"),
+    )

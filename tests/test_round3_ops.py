@@ -663,3 +663,50 @@ def test_dynamic_partition_pruning_plan_has_runtime_filter(spark):
     orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
     exp = orders[orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])]
     assert got["n_orders"].sum() == len(exp)
+
+
+def test_revenue_bridge_is_additive(spark):
+    """volume + price effects must sum exactly to the revenue delta."""
+    from catenae_kafka_spark.operators.analytics import q_revenue_bridge
+
+    df = q_revenue_bridge(spark, SF).toPandas()
+    assert len(df) > 0
+    assert (
+        df["volume_effect_milli"] + df["price_effect_milli"]
+        == df["delta_milli"]
+    ).all()
+    assert (df["delta_milli"] == (df["r2"] - df["r1"]) * 1000).all()
+
+
+def test_seasonality_strength_matches_pandas_anova(spark):
+    """eta^2 must track the pandas between/total sum-of-squares ratio
+    and SSB <= SST."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_seasonality_strength
+
+    r = q_seasonality_strength(spark, SF).toPandas().iloc[0]
+    assert 0 <= r["ssb_floor"] <= r["sst_floor"]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    c = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    dow = ev["ts"].dt.weekday
+    grand = c.mean()
+    sst = ((c - grand) ** 2).sum()
+    ssb = sum(
+        len(g) * (g.mean() - grand) ** 2 for _, g in c.groupby(dow)
+    )
+    assert abs(r["eta2_micro"] / 1e6 - ssb / sst) < 1e-4
+
+
+def test_stream_idempotent_sink_survives_repeat_invocations(spark):
+    """Calling the query twice (4 drains total on one checkpoint) must
+    keep the sink stable and equal to the batch projection."""
+    from catenae_kafka_spark.streaming.queries import q_stream_idempotent_sink
+
+    a = q_stream_idempotent_sink(spark, SF).toPandas()
+    b = q_stream_idempotent_sink(spark, SF).toPandas()
+    a = a.sort_values("event_type").reset_index(drop=True)
+    b = b.sort_values("event_type").reset_index(drop=True)
+    assert a.equals(b)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert a["n"].sum() == n_events
