@@ -1890,3 +1890,198 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (ss - (s * s) div n)"
         ).alias("eta2_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_median_ci",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH t AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY FLOOR(value * 100 + 0.5), event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), k AS (
+  SELECT event_type, cents, rn, n,
+         (n + 1) // 2 AS k_med,
+         GREATEST(CAST(FLOOR(n / 2.0 - 0.98 * SQRT(n)) AS BIGINT), 1)
+           AS k_lo,
+         LEAST(CAST(CEIL(n / 2.0 + 1 + 0.98 * SQRT(n)) AS BIGINT), n)
+           AS k_hi
+  FROM t
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = k_med THEN cents END) AS BIGINT)
+         AS median_cents,
+       CAST(MAX(CASE WHEN rn = k_lo THEN cents END) AS BIGINT) AS lo_cents,
+       CAST(MAX(CASE WHEN rn = k_hi THEN cents END) AS BIGINT) AS hi_cents
+FROM k GROUP BY event_type
+""",
+)
+def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median
+    (order-statistic / binomial method): the bounds are the
+    floor(n/2 - 0.98*sqrt(n)) and ceil(n/2 + 1 + 0.98*sqrt(n)) order
+    statistics — no normality assumption, the textbook nonparametric
+    interval, per event type.
+
+    Exactness: ranks are total-ordered (cents, event_id); sqrt is
+    IEEE-754 correctly rounded, so both engines floor the identical
+    double; everything else is BIGINT selection — zero-tolerance
+    hash parity on an inferential statistic.
+
+    Scale shape: one type-keyed window sort (the same shuffle any
+    exact per-group quantile pays) + conditional-agg selection; no
+    second pass, no collect."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    wp = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    t = c.events.select(
+        "event_type", cents.alias("cents"), "event_id"
+    ).select(
+        "event_type",
+        "cents",
+        F.row_number().over(wp).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    k = t.select(
+        "event_type",
+        "cents",
+        "rn",
+        "n",
+        F.expr("(n + 1) div 2").alias("k_med"),
+        F.greatest(
+            F.floor(F.col("n") / 2.0 - 0.98 * F.sqrt("n")).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("k_lo"),
+        F.least(
+            F.ceil(F.col("n") / 2.0 + 1 + 0.98 * F.sqrt("n")).cast("bigint"),
+            F.col("n").cast("bigint"),
+        ).alias("k_hi"),
+    )
+    pick = lambda kc, name: F.max(
+        F.when(F.col("rn") == F.col(kc), F.col("cents"))
+    ).cast("bigint").alias(name)
+    return k.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick("k_med", "median_cents"),
+        pick("k_lo", "lo_cents"),
+        pick("k_hi", "hi_cents"),
+    )
+
+
+@REGISTRY.register(
+    "q_conformal_coverage",
+    tags=("mlstats", "ml-evaluation"),
+    oracle="""
+WITH split AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_id,
+         ('0x' || substr(md5('cal:' || user_id), 1, 8))::BIGINT % 2 = 0
+           AS is_cal
+  FROM events
+), cal AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM split WHERE is_cal
+), band AS (
+  SELECT event_type, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+         CAST(MAX(CASE WHEN rn = GREATEST((n_cal * 5) // 100, 1)
+                       THEN cents END) AS BIGINT) AS lo_cents,
+         CAST(MAX(CASE WHEN rn = LEAST((n_cal * 95 + 99) // 100, n_cal)
+                       THEN cents END) AS BIGINT) AS hi_cents
+  FROM cal GROUP BY event_type
+)
+SELECT s.event_type, band.n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       band.lo_cents, band.hi_cents,
+       (CAST(SUM(CASE WHEN s.cents BETWEEN band.lo_cents AND band.hi_cents
+                      THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*)
+         AS coverage_micro
+FROM split s JOIN band ON s.event_type = band.event_type
+WHERE NOT s.is_cal
+GROUP BY s.event_type, band.n_cal, band.lo_cents, band.hi_cents
+""",
+)
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval + empirical coverage: users are hashed
+    (md5 — engine-portable) into calibration/evaluation halves; the
+    calibration half yields a per-type [5th, 95th] order-statistic
+    band, and the held-out half measures how often reality falls
+    inside it — the distribution-free uncertainty-quantification loop
+    (calibrate on one split, certify coverage on another; honest
+    because the split is by USER, so no leakage through repeated
+    events).
+
+    Exact: order-statistic selection on BIGINT cents, integer rank
+    arithmetic, floor-division coverage.
+
+    Scale shape: one type-keyed window over the calibration half, the
+    tiny band table broadcast onto the evaluation half, one final
+    keyed agg."""
+    c = catalog(spark, sf_dir)
+    is_cal = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cal:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    split = c.events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        "event_id",
+        is_cal.alias("is_cal"),
+    )
+    wp = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    cal = split.filter("is_cal").select(
+        "event_type",
+        "cents",
+        F.row_number().over(wp).alias("rn"),
+        F.count("*").over(wn).alias("n_cal"),
+    )
+    band = cal.groupBy("event_type").agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.expr("(n_cal * 5) div 100"), F.lit(1)),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("lo_cents"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.least(F.expr("(n_cal * 95 + 99) div 100"), F.col("n_cal")),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("hi_cents"),
+    )
+    ev = split.filter(~F.col("is_cal"))
+    j = ev.join(F.broadcast(band), "event_type")
+    return j.groupBy("event_type", "n_cal", "lo_cents", "hi_cents").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.expr(
+            "(sum(CASE WHEN cents BETWEEN lo_cents AND hi_cents"
+            " THEN 1 ELSE 0 END) * 1000000) div count(*)"
+        ).alias("coverage_micro"),
+    ).select(
+        "event_type", "n_cal", "n_eval", "lo_cents", "hi_cents",
+        "coverage_micro",
+    )

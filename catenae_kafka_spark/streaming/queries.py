@@ -1399,3 +1399,71 @@ def q_stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("cents"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_stream_batch_invariance",
+    tags=("streaming", "correctness"),
+    oracle="""
+SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events GROUP BY win_start, event_type
+""",
+)
+def q_stream_batch_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch-boundary invariance proof: the SAME tumbling
+    watermark aggregation is executed twice — once with fine-grained
+    micro-batches (1 file per trigger → 8 batches) and once with the
+    whole replay in a single batch — and the function raises unless the
+    two results are row-identical. Streaming correctness means the
+    answer depends on the DATA and the watermark, never on where the
+    engine happened to cut batches (the invariant that lets you retune
+    trigger intervals / backfill in one shot without changing results).
+
+    The returned (fine-grained) result is additionally hash-checked
+    against the batch SQL oracle.
+
+    Scale shape: the declarative windowed agg of q_stream_tumbling; the
+    double execution is the PROOF harness, not the production shape."""
+    from catenae_kafka_spark.streaming.sources import FileReplaySource
+
+    def run(files_per_trigger: int) -> DataFrame:
+        stream = FileReplaySource(
+            sf_dir=sf_dir, files_per_trigger=files_per_trigger
+        ).load(spark)
+        agg = ops.tumbling_window_agg(
+            stream,
+            "1 hour",
+            [
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("cents"),
+            ],
+            keys=["event_type"],
+        ).select(
+            F.date_format(F.col("window.start"), WIN_FMT).alias("win_start"),
+            "event_type",
+            "n",
+            "cents",
+        )
+        return run_available_now(
+            agg, "complete", _name(f"inv{files_per_trigger}")
+        )
+
+    fine = run(1)
+    coarse = run(8)
+    key = ["win_start", "event_type", "n", "cents"]
+    a = {tuple(r) for r in fine.select(*key).collect()}
+    b = {tuple(r) for r in coarse.select(*key).collect()}
+    if a != b:
+        raise RuntimeError(
+            "micro-batch boundary changed the result: "
+            f"{len(a ^ b)} differing rows between 8-batch and 1-batch runs"
+        )
+    return fine

@@ -710,3 +710,39 @@ def test_stream_idempotent_sink_survives_repeat_invocations(spark):
     assert a.equals(b)
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert a["n"].sum() == n_events
+
+
+def test_stream_batch_invariance_matches_batch_rollup(spark):
+    from catenae_kafka_spark.streaming.queries import q_stream_batch_invariance
+
+    df = q_stream_batch_invariance(spark, SF).toPandas()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert df["n"].sum() == n_events
+
+
+def test_median_ci_brackets_the_true_median(spark):
+    """lo <= median <= hi for every type, and the pandas median lies in
+    [lo, hi] (the CI always contains the point estimate)."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_median_ci
+
+    df = q_median_ci(spark, SF).toPandas().set_index("event_type")
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for t, g in ev.groupby("event_type"):
+        r = df.loc[t]
+        assert r["lo_cents"] <= r["median_cents"] <= r["hi_cents"]
+        assert r["lo_cents"] <= g["cents"].median() <= r["hi_cents"]
+        assert r["n"] == len(g)
+
+
+def test_conformal_coverage_is_near_nominal(spark):
+    """Held-out coverage of a 90% band should land near 90% (within a
+    generous finite-sample margin) and bands must be ordered."""
+    from catenae_kafka_spark.operators.mlstats import q_conformal_coverage
+
+    df = q_conformal_coverage(spark, SF).toPandas()
+    assert (df["lo_cents"] <= df["hi_cents"]).all()
+    assert df["coverage_micro"].between(750000, 1000000).all()
+    assert (df["n_cal"] > 0).all() and (df["n_eval"] > 0).all()
