@@ -1119,3 +1119,89 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d2").cast("bigint").alias("max_d2"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_centroid_similarity",
+    tags=("llm", "similarity", "vector"),
+    oracle="""
+WITH q AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS qc
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, CAST(SUM(qc) AS BIGINT) AS s
+  FROM q GROUP BY label, pos
+), pair AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(SUM(a.s * b.s) AS BIGINT) AS dot,
+         CAST(SUM(a.s * a.s) AS BIGINT) AS na2,
+         CAST(SUM(b.s * b.s) AS BIGINT) AS nb2
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT la, lb,
+       CAST(FLOOR(CAST(dot AS DOUBLE) * 1000000
+                  / (SQRT(na2) * SQRT(nb2))) AS BIGINT) AS cos_micro
+FROM pair WHERE na2 > 0 AND nb2 > 0
+""",
+)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid cosine similarity matrix: how close the classes'
+    prototype vectors sit in embedding space — the confusion-risk /
+    taxonomy-drift signal read before trusting labels for training
+    (near-parallel centroids mean the classes are not separable by
+    this embedding).
+
+    Exactness: components quantize to milli-units per VECTOR (floor of
+    an identical IEEE product), centroid numerators are BIGINT sums
+    (cosine is scale-invariant, so the 1/n and 1/1000 factors cancel
+    and never get computed), and the only float step is the final
+    dot/(|a||b|) with correctly-rounded sqrt — identical on both
+    engines.
+
+    Scale shape: map-side posexplode, ONE shuffle of width
+    labels x dim, then a pairwise join on pos over the tiny centroid
+    table (all downstream work is corpus-size independent)."""
+    c = catalog(spark, sf_dir)
+    q = c.embeddings.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos0", "comp")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("comp") * 1000 + F.lit(0.5)).cast("bigint").alias("qc"),
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.sum("qc").cast("bigint").alias("s")
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "pos", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"),
+        F.col("pos").alias("posb"),
+        F.col("s").alias("sb"),
+    )
+    pair = (
+        a.join(b, (F.col("pos") == F.col("posb")) & (F.col("la") < F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).cast("bigint").alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).cast("bigint").alias("na2"),
+            F.sum(F.col("sb") * F.col("sb")).cast("bigint").alias("nb2"),
+        )
+        .filter((F.col("na2") > 0) & (F.col("nb2") > 0))
+    )
+    return pair.select(
+        "la",
+        "lb",
+        F.floor(
+            F.col("dot").cast("double")
+            * 1000000
+            / (F.sqrt("na2") * F.sqrt("nb2"))
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )

@@ -2085,3 +2085,150 @@ def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_cal", "n_eval", "lo_cents", "hi_cents",
         "coverage_micro",
     )
+
+
+# chi-square df=1 critical values for BH step-up at alpha=0.05, m=5:
+# crit[k] = F^{-1}(1 - 0.05*k/5), public chi-square table constants.
+_BH_CRIT = [6.6349, 5.4119, 4.7093, 4.2179, 3.8415]
+
+
+@REGISTRY.register(
+    "q_multiple_testing_fdr",
+    tags=("mlstats", "experimentation"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END AS wknd
+  FROM events
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(wknd) AS BIGINT) AS n_wknd
+  FROM base
+), per AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_t,
+         CAST(SUM(wknd) AS BIGINT) AS a
+  FROM base GROUP BY event_type
+), cells AS (
+  SELECT event_type, a, n_t - a AS b,
+         n_wknd - a AS c, n - n_t - (n_wknd - a) AS d, n
+  FROM per, tot
+), stat AS (
+  SELECT event_type,
+         CAST(FLOOR(
+           CAST(n AS DOUBLE)
+           * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+           * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+           / ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)
+              * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d))
+           * 1000000) AS BIGINT) AS chi2_micro
+  FROM cells
+), ranked AS (
+  SELECT event_type, chi2_micro,
+         ROW_NUMBER() OVER (ORDER BY chi2_micro DESC, event_type) AS rk
+  FROM stat
+), flagged AS (
+  SELECT *, CASE rk WHEN 1 THEN {int(_BH_CRIT[0] * 1e6)}
+                    WHEN 2 THEN {int(_BH_CRIT[1] * 1e6)}
+                    WHEN 3 THEN {int(_BH_CRIT[2] * 1e6)}
+                    WHEN 4 THEN {int(_BH_CRIT[3] * 1e6)}
+                    ELSE {int(_BH_CRIT[4] * 1e6)} END AS crit_micro
+  FROM ranked
+), cutoff AS (
+  SELECT COALESCE(MAX(CASE WHEN chi2_micro >= crit_micro THEN rk END), 0)
+           AS k_star
+  FROM flagged
+)
+SELECT event_type, chi2_micro, CAST(rk AS BIGINT) AS rk,
+       rk <= cutoff.k_star AS rejected
+FROM flagged, cutoff
+""",
+)
+def q_multiple_testing_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of hypothesis
+    tests: each event type gets a 2x2 chi-square test (is this type's
+    weekend share different from everyone else's?), then the step-up
+    procedure finds the largest rank k whose statistic clears the
+    rank-dependent critical value and rejects ranks 1..k — the
+    multiple-comparisons discipline an experimentation platform needs
+    the moment it runs more than one test per day (a bare alpha=0.05
+    on 5 tests false-positives ~23% of the time).
+
+    Exactness: cells are BIGINT; chi2 is one shared IEEE expression
+    over identical integers, compared in floored micro-units against
+    integerized public chi-square critical constants; the step-up
+    cutoff is an integer max. (p-values never appear — BH on p(k) <=
+    k*alpha/m is equivalent to chi2(k) >= crit(k) since the df=1 CDF
+    is monotone.)
+
+    Scale shape: one map-side-combined groupBy over the fact table +
+    window/agg over the 5-row test family."""
+    c = catalog(spark, sf_dir)
+    base = c.events.select(
+        "event_type",
+        F.when(F.weekday("ts").isin(5, 6), 1).otherwise(0).alias("wknd"),
+    )
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("wknd").cast("bigint").alias("n_wknd"),
+    )
+    per = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_t"),
+        F.sum("wknd").cast("bigint").alias("a"),
+    )
+    cells = per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "a",
+        (F.col("n_t") - F.col("a")).alias("b"),
+        (F.col("n_wknd") - F.col("a")).alias("c"),
+        (F.col("n") - F.col("n_t") - (F.col("n_wknd") - F.col("a"))).alias("d"),
+        "n",
+    )
+    num = F.col("a").cast("double") * F.col("d") - F.col("b").cast(
+        "double"
+    ) * F.col("c")
+    chi2 = (
+        F.col("n").cast("double")
+        * num
+        * num
+        / (
+            (F.col("a").cast("double") + F.col("b"))
+            * (F.col("c").cast("double") + F.col("d"))
+            * (F.col("a").cast("double") + F.col("c"))
+            * (F.col("b").cast("double") + F.col("d"))
+        )
+    )
+    stat = cells.select(
+        "event_type",
+        F.floor(chi2 * 1000000).cast("bigint").alias("chi2_micro"),
+    )
+    ranked = stat.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("chi2_micro").desc(), F.col("event_type"))
+        ),
+    )
+    crit = (
+        F.when(F.col("rk") == 1, int(_BH_CRIT[0] * 1e6))
+        .when(F.col("rk") == 2, int(_BH_CRIT[1] * 1e6))
+        .when(F.col("rk") == 3, int(_BH_CRIT[2] * 1e6))
+        .when(F.col("rk") == 4, int(_BH_CRIT[3] * 1e6))
+        .otherwise(int(_BH_CRIT[4] * 1e6))
+    )
+    flagged = ranked.withColumn("crit_micro", crit)
+    cutoff = flagged.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("chi2_micro") >= F.col("crit_micro"), F.col("rk")
+                )
+            ),
+            F.lit(0),
+        ).alias("k_star")
+    )
+    return flagged.crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        "chi2_micro",
+        F.col("rk").cast("bigint").alias("rk"),
+        (F.col("rk") <= F.col("k_star")).alias("rejected"),
+    )

@@ -746,3 +746,45 @@ def test_conformal_coverage_is_near_nominal(spark):
     assert (df["lo_cents"] <= df["hi_cents"]).all()
     assert df["coverage_micro"].between(750000, 1000000).all()
     assert (df["n_cal"] > 0).all() and (df["n_eval"] > 0).all()
+
+
+def test_centroid_similarity_matches_numpy(spark):
+    """Quantized-centroid cosines must track numpy's exact centroid
+    cosines within quantization error (milli-unit components)."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.llm_similarity import (
+        q_centroid_similarity,
+    )
+
+    got = q_centroid_similarity(spark, SF).toPandas()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = np.stack(emb["embedding"].to_numpy())
+    labels = emb["label"].to_numpy()
+    cents = {
+        l: vecs[labels == l].mean(axis=0) for l in np.unique(labels)
+    }
+    for _, r in got.iterrows():
+        a, b = cents[r["la"]], cents[r["lb"]]
+        ref = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(r["cos_micro"] / 1e6 - ref) < 5e-3
+    n = len(cents)
+    assert len(got) == n * (n - 1) // 2
+
+
+def test_multiple_testing_fdr_is_step_up_consistent(spark):
+    """Rejections must be a prefix of the chi2-descending ranking
+    (step-up property), and every rejected statistic must clear the
+    weakest (rank-m) critical value."""
+    from catenae_kafka_spark.operators.mlstats import (
+        _BH_CRIT,
+        q_multiple_testing_fdr,
+    )
+
+    df = q_multiple_testing_fdr(spark, SF).toPandas().sort_values("rk")
+    rej = df["rejected"].to_numpy()
+    assert all(rej[i] or not rej[i + 1] for i in range(len(rej) - 1))
+    assert (
+        df.loc[df["rejected"], "chi2_micro"] >= int(_BH_CRIT[-1] * 1e6)
+    ).all()
+    assert sorted(df["rk"]) == list(range(1, len(df) + 1))
