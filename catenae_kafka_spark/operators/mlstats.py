@@ -2232,3 +2232,219 @@ def q_multiple_testing_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("bigint").alias("rk"),
         (F.col("rk") <= F.col("k_star")).alias("rejected"),
     )
+
+
+@REGISTRY.register(
+    "q_outlier_kappa",
+    tags=("mlstats", "dq"),
+    oracle="""
+WITH c AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS ss
+  FROM c
+), med AS (
+  SELECT CAST(quantile_disc(cents, 0.5) AS BIGINT) AS m FROM c
+), mad AS (
+  SELECT CAST(quantile_disc(ABS(cents - med.m), 0.5) AS BIGINT) AS d
+  FROM c, med
+), flags AS (
+  SELECT (CAST(cents AS DOUBLE) * n - s) * (CAST(cents AS DOUBLE) * n - s)
+           > 9.0 * n * (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+               / (n - 1) AS z_flag,
+         ABS(cents - med.m) > 3 * mad.d AS mad_flag
+  FROM c, mom, med, mad
+), cells AS (
+  SELECT CAST(SUM(CASE WHEN z_flag AND mad_flag THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN z_flag AND NOT mad_flag THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT z_flag AND mad_flag THEN 1 ELSE 0 END)
+              AS BIGINT) AS cc,
+         CAST(SUM(CASE WHEN NOT z_flag AND NOT mad_flag THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM flags
+)
+SELECT a, b, cc, d,
+       CAST(FLOOR(
+         (CAST(a + d AS DOUBLE) * (a + b + cc + d)
+          - (CAST(a + b AS DOUBLE) * (a + cc)
+             + CAST(cc + d AS DOUBLE) * (b + d)))
+         / (CAST(a + b + cc + d AS DOUBLE) * (a + b + cc + d)
+            - (CAST(a + b AS DOUBLE) * (a + cc)
+               + CAST(cc + d AS DOUBLE) * (b + d)))
+         * 1000000) AS BIGINT) AS kappa_micro
+FROM cells
+""",
+)
+def q_outlier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-method outlier agreement: every event is flagged by BOTH
+    the parametric rule (|z| > 3, evaluated scale-free as
+    (c*n - S)^2 > 9*n*var*(n-1)-scaled) and the robust rule
+    (|c - median| > 3*MAD), and Cohen's kappa scores their
+    chance-corrected agreement — the audit that tells you whether your
+    two anomaly detectors are redundant (kappa ~ 1) or measuring
+    different things (kappa ~ 0), before you page anyone on either.
+
+    Exactness: the MAD flag is pure BIGINT; the z flag and kappa use
+    one shared IEEE expression over identical integer moments; kappa
+    is emitted in floored micro-units.
+
+    Scale shape: one pass for moments (tree-reduced), one exact-median
+    selection, one map-side flag + 4-cell global agg — no per-row
+    window, no join on the fact table."""
+    c0 = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    c = c0.events.select(cents.alias("cents"))
+    mom = c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    med = c.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("m")
+    )
+    mad = c.crossJoin(F.broadcast(med)).agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(cents - m))"
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    flags = (
+        c.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            (
+                (F.col("cents").cast("double") * F.col("n") - F.col("s"))
+                * (F.col("cents").cast("double") * F.col("n") - F.col("s"))
+                > 9.0
+                * F.col("n")
+                * (
+                    F.col("n").cast("double") * F.col("ss")
+                    - F.col("s").cast("double") * F.col("s")
+                )
+                / (F.col("n") - 1)
+            ).alias("z_flag"),
+            (F.abs(F.col("cents") - F.col("m")) > 3 * F.col("d")).alias(
+                "mad_flag"
+            ),
+        )
+    )
+    cells = flags.agg(
+        F.sum(F.when(F.col("z_flag") & F.col("mad_flag"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("z_flag") & ~F.col("mad_flag"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("z_flag") & F.col("mad_flag"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cc"),
+        F.sum(F.when(~F.col("z_flag") & ~F.col("mad_flag"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    agree = F.col("a").cast("double") + F.col("d")
+    n_all = F.col("a") + F.col("b") + F.col("cc") + F.col("d")
+    pe_num = (F.col("a") + F.col("b")).cast("double") * (
+        F.col("a") + F.col("cc")
+    ) + (F.col("cc") + F.col("d")).cast("double") * (F.col("b") + F.col("d"))
+    return cells.select(
+        "a",
+        "b",
+        "cc",
+        "d",
+        F.floor(
+            (agree * n_all - pe_num)
+            / (n_all.cast("double") * n_all - pe_num)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("kappa_micro"),
+    )
+
+
+@REGISTRY.register(
+    "q_segment_ltv_mae",
+    tags=("mlstats", "ml-evaluation"),
+    oracle="""
+WITH labeled AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents,
+         o.o_orderdate < TIMESTAMP '1999-01-01' AS is_train
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY seg, o.o_custkey, is_train
+), model AS (
+  SELECT seg,
+         CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+           AS pred_cents
+  FROM labeled WHERE is_train GROUP BY seg
+)
+SELECT l.seg,
+       CAST(COUNT(*) AS BIGINT) AS n_test_customers,
+       m.pred_cents,
+       CAST(SUM(ABS(l.cents - m.pred_cents)) AS BIGINT)
+         // CAST(COUNT(*) AS BIGINT) AS mae_cents
+FROM labeled l JOIN model m ON l.seg = m.seg
+WHERE NOT l.is_train
+GROUP BY l.seg, m.pred_cents
+""",
+)
+def q_segment_ltv_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline model train/score/evaluate entirely in the engine:
+    predict a customer's period spend by their SEGMENT's historical
+    (pre-1999) per-customer average, score the post-1999 period, and
+    report MAE per segment — the group-mean baseline every LTV model
+    must beat, with the same leakage-free temporal split as
+    q_rec_precision.
+
+    Exact: per-customer cents are BIGINT sums, the model is integer
+    floor-division of train sums, MAE is an integer floor-division of
+    absolute BIGINT residuals.
+
+    Scale shape: one customer-keyed agg (map-side combined), the
+    segment model is a 5-row broadcast, evaluation is a second tiny
+    keyed agg."""
+    c = catalog(spark, sf_dir)
+    split = F.lit("1999-01-01").cast("timestamp")
+    labeled = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            "o_custkey",
+            (F.col("o_orderdate") < split).alias("is_train"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    model = (
+        labeled.filter("is_train")
+        .groupBy("seg")
+        .agg(F.expr("sum(cents) div count(*)").alias("pred_cents"))
+    )
+    test = labeled.filter(~F.col("is_train"))
+    return (
+        test.join(F.broadcast(model), "seg")
+        .groupBy("seg", "pred_cents")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test_customers"),
+            F.expr(
+                "sum(abs(cents - pred_cents)) div count(*)"
+            ).alias("mae_cents"),
+        )
+        .select("seg", "n_test_customers", "pred_cents", "mae_cents")
+    )

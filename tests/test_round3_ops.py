@@ -788,3 +788,42 @@ def test_multiple_testing_fdr_is_step_up_consistent(spark):
         df.loc[df["rejected"], "chi2_micro"] >= int(_BH_CRIT[-1] * 1e6)
     ).all()
     assert sorted(df["rk"]) == list(range(1, len(df) + 1))
+
+
+def test_outlier_kappa_cells_partition_the_events(spark):
+    """The 2x2 agreement cells must partition all events, and kappa
+    must be within [-1e6, 1e6] micro-units."""
+    from catenae_kafka_spark.operators.mlstats import q_outlier_kappa
+
+    r = q_outlier_kappa(spark, SF).toPandas().iloc[0]
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert r["a"] + r["b"] + r["cc"] + r["d"] == n_events
+    assert -1_000_000 <= r["kappa_micro"] <= 1_000_000
+
+
+def test_segment_ltv_mae_matches_pandas_baseline(spark):
+    """MAE per segment must equal the pandas recomputation of the
+    group-mean baseline on the same split."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_segment_ltv_mae
+
+    got = q_segment_ltv_mae(spark, SF).toPandas().set_index("seg")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    cust = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.floor(j["o_totalprice"] * 100 + 0.5).astype("int64")
+    j["is_train"] = j["o_orderdate"] < pd.Timestamp("1999-01-01")
+    per = (
+        j.groupby(["c_mktsegment", "o_custkey", "is_train"])["cents"]
+        .sum()
+        .reset_index()
+    )
+    for seg, g in per.groupby("c_mktsegment"):
+        tr = g[g["is_train"]]
+        te = g[~g["is_train"]]
+        pred = tr["cents"].sum() // len(tr)
+        mae = (te["cents"] - pred).abs().sum() // len(te)
+        assert got.loc[seg, "pred_cents"] == pred
+        assert got.loc[seg, "mae_cents"] == mae
+        assert got.loc[seg, "n_test_customers"] == len(te)

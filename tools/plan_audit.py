@@ -1,0 +1,134 @@
+"""Global physical-plan audit: every registered batch query's executed
+plan is checked against repo-wide scale invariants.
+
+Invariants (the 100 TB discipline the per-family tests assert locally,
+enforced globally here so a NEW query can't silently regress them):
+
+- no CartesianProduct / BroadcastNestedLoopJoin except where a query is
+  explicitly whitelisted with a reason (tiny bounded side, e.g. a
+  1-row scalar broadcast or a <=25-row dimension cross);
+- no row-at-a-time Python UDF (BatchEvalPython) outside the UDF-surface
+  demos — Arrow/Pandas evaluation (ArrowEvalPython / FlatMapsInPandas
+  etc.) is the allowed Python path.
+
+Streaming queries execute inside their fns (run_available_now), so the
+audit inspects the RETURNED batch DataFrame's plan — the post-sink
+shape — and their streaming internals stay covered by
+tests/test_streaming.py; queries tagged 'streaming' are skipped here
+unless AUDIT_STREAMING=1 (they cost a full replay each).
+
+Usage: python tools/plan_audit.py [query ...]   (default: all batch)
+Exit code 1 when any un-whitelisted violation is found.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from catenae_kafka_spark.registry import all_specs
+from catenae_kafka_spark.session import get_spark
+
+# query -> reason a nested-loop/cartesian is acceptable THERE.
+NL_WHITELIST = {
+    "q_join_theta": "theta (non-equi) join IS the operator under test; bounded build side",
+    "q_join_range": "interval containment join; build side is the bounded bucket table",
+    "q_subquery_scalar": "1-row scalar subquery broadcast cross",
+    "q_subquery_correlated": "decorrelated to a 1-row/row-per-key aggregate cross",
+    "q_lateral_subquery": "lateral decorrelates to a bounded per-key aggregate",
+    "q_date_spine": "spine x type-domain cross is dimension-only (rows = days x types)",
+    "q_dense_grid": "spine x type-domain cross is dimension-only",
+    "q_skyline": "dominance filter against a <=100-row broadcast frontier",
+    "q_federated_join": "cross of two 1-row per-source summary aggregates",
+    "q_knn_cosine": "documented brute-force baseline; ANN siblings are the scale path",
+    "q_knn_lsh": "probe set x bucket table nested loop over the TINY probe side",
+    "q_dedup_threshold_sweep": "threshold grid (5 rows) x edge table",
+    "q_bootstrap_ci": "resample-index grid (<=64 rows) x 1-row moment aggregate",
+    "q_chi_square": "1-row total aggregate cross",
+    "q_ks_statistic": "1-row per-sample scalar cross",
+    "q_zscore_outliers": "1-row moment aggregate cross",
+    "q_winsorize": "1-row quantile-bound aggregate cross",
+    "q_anomaly_mad": "1-row median/MAD aggregate cross",
+    "q_feature_binning": "1-row quantile-boundary aggregate cross",
+    "q_psi_drift": "two 1-row period aggregates crossed",
+    "q_gains_deciles": "1-row total aggregate cross",
+    "q_calendar_tz_contract": "constant calendar probe rows",
+    "q_histogram": "1-row min/max aggregate cross for bucket width",
+    "q_agg_histogram": "1-row min/max aggregate cross for bucket width",
+    "q_apportion_seats": "1-row total + 1-row leftover broadcast crosses",
+    "q_basket_lift": "1-row basket-count aggregate cross",
+    "q_bm25": "1-row corpus-stats aggregate cross",
+    "q_calibration_bins": "1-row total aggregate cross",
+    "q_diff_in_diff": "four 1-row period/arm aggregates crossed",
+    "q_doc_perplexity": "1-row corpus-total aggregate cross (unigram LM denominator)",
+    "q_embed_outliers": "1-row moment aggregate cross",
+    "q_forecast_baseline": "1-row split-boundary aggregate cross",
+    "q_haar_energy": "three 1-row level-energy aggregates crossed",
+    "q_hybrid_rrf": "1-row corpus-stats cross feeding both retrieval arms",
+    "q_keyphrases": "1-row corpus-total cross for the contrast denominator",
+    "q_kmeans_quantized": "k-row centroid table broadcast to assignment (k bounded)",
+    "q_knn_ivf": "probe x nearest-centroid shortlist; centroid table bounded by k",
+    "q_lang_tvd": "k(k-1)/2 language-pair table broadcast (non-equi, domain-bounded)",
+    "q_multiple_testing_fdr": "1-row totals + 1-row step-up cutoff crosses",
+    "q_pca_power": "dim^2-bounded Gram/eigvec tables crossed (corpus-independent)",
+    "q_phrase_search": "1-row query-phrase constant cross",
+    "q_poststratify": "1-row population-total aggregate cross",
+    "q_rfm_segments": "1-row quantile-boundary aggregate cross",
+    "q_sample_balanced": "per-class-count table (|classes| rows) broadcast cross",
+    "q_seasonality_strength": "1-row square-sum aggregate cross",
+    "q_segment_migration": "1-row period-boundary aggregate cross",
+    "q_simpson_check": "1-row pooled-sign aggregate cross",
+    "q_text_tfidf": "1-row corpus-size aggregate cross (idf denominator)",
+    "q_tpch_q11": "1-row fraction-of-total threshold cross (Q11 semantics)",
+    "q_vocab_coverage": "vocabulary table broadcast membership probe (domain-bounded)",
+    "q_word_burstiness": "1-row corpus-moment aggregate cross",
+    "q_word_pmi": "1-row corpus-total cross for the PMI denominator",
+    "q_zorder_layout": "1-row min/max range aggregate cross (Z-address scaling)",
+}
+
+# Queries whose registered surface IS the row-at-a-time Python UDF demo.
+PYUDF_WHITELIST = {"q_udf_scalar", "q_udtf", "q_udaf_grouped", "q_udtf_native"}
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    specs = all_specs()
+    if names:
+        specs = {n: specs[n] for n in names}
+    audit_streaming = os.environ.get("AUDIT_STREAMING") == "1"
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("plan_audit")
+    bad: list[str] = []
+    n_checked = 0
+    for name, spec in sorted(specs.items()):
+        if "streaming" in spec.tags and not audit_streaming:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = spec.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            bad.append(f"{name}: PLAN BUILD FAILED: {type(exc).__name__}: {exc}")
+            continue
+        n_checked += 1
+        nested = (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        )
+        if nested and name not in NL_WHITELIST:
+            bad.append(f"{name}: un-whitelisted nested-loop/cartesian join")
+        if "BatchEvalPython" in plan and name not in PYUDF_WHITELIST:
+            bad.append(f"{name}: row-at-a-time Python UDF in plan")
+        dt = time.perf_counter() - t0
+        flag = " NL" if nested else ""
+        print(f"ok   {name}{flag} ({dt:.1f}s)", flush=True)
+    print(f"\n{n_checked} plans checked, {len(bad)} violations")
+    for b in bad:
+        print("VIOLATION:", b)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
