@@ -2265,3 +2265,118 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("((q2 - q1) * r1 * 1000) div q1")
         ).alias("price_effect_milli"),
     )
+
+
+@REGISTRY.register(
+    "q_price_indices",
+    tags=("analytics", "economics"),
+    oracle="""
+WITH per AS (
+  SELECT p_brand,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+              AS BIGINT) AS r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+  GROUP BY p_brand, yr
+), w AS (
+  SELECT a.p_brand, a.q AS q0, a.r AS r0, b.q AS q1, b.r AS r1
+  FROM per a JOIN per b ON a.p_brand = b.p_brand
+  WHERE a.yr = 1997 AND b.yr = 1998
+), terms AS (
+  SELECT CAST(SUM((r1 * q0 * 1000) // q1) AS BIGINT) AS lasp_num,
+         CAST(SUM(r0 * 1000) AS BIGINT) AS lasp_den,
+         CAST(SUM(r1 * 1000) AS BIGINT) AS paas_num,
+         CAST(SUM((r0 * q1 * 1000) // q0) AS BIGINT) AS paas_den,
+         CAST(COUNT(*) AS BIGINT) AS n_brands
+  FROM w
+)
+SELECT n_brands,
+       (lasp_num * 1000000) // lasp_den AS laspeyres_micro,
+       (paas_num * 1000000) // paas_den AS paasche_micro,
+       CAST(FLOOR(SQRT(
+         (CAST((lasp_num * 1000000) // lasp_den AS DOUBLE) / 1000000)
+         * (CAST((paas_num * 1000000) // paas_den AS DOUBLE) / 1000000))
+         * 1000000) AS BIGINT) AS fisher_micro
+FROM terms
+""",
+)
+def q_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices for 1997 → 1998 over
+    brand unit prices (p = revenue/quantity): base-weighted
+    (Laspeyres Σp1q0/Σp0q0), current-weighted (Paasche Σp1q1/Σp0q1)
+    and their geometric mean — the inflation-measurement trio that
+    complements q_revenue_bridge's waterfall with a proper
+    substitution-aware price level.
+
+    Exactness: every Σpq term is integer milli-dollars (per-brand
+    floor division BEFORE the order-independent integer sum); the only
+    float is Fisher's final sqrt of two already-floored micro ratios —
+    IEEE-correctly-rounded and identical on both engines.
+
+    Scale shape: identical to q_revenue_bridge — one (brand, year)
+    fact aggregation with broadcast dims, then arithmetic on the
+    25-row rollup."""
+    c = catalog(spark, sf_dir)
+    per = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(1997, 1998))
+        .groupBy("p_brand", "yr")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    a = per.filter(F.col("yr") == 1997).select(
+        "p_brand", F.col("q").alias("q0"), F.col("r").alias("r0")
+    )
+    b = per.filter(F.col("yr") == 1998).select(
+        F.col("p_brand").alias("pb2"),
+        F.col("q").alias("q1"),
+        F.col("r").alias("r1"),
+    )
+    w = a.join(b, F.col("p_brand") == F.col("pb2"))
+    terms = w.agg(
+        F.sum(F.expr("(r1 * q0 * 1000) div q1")).cast("bigint").alias("lasp_num"),
+        F.sum(F.expr("r0 * 1000")).cast("bigint").alias("lasp_den"),
+        F.sum(F.expr("r1 * 1000")).cast("bigint").alias("paas_num"),
+        F.sum(F.expr("(r0 * q1 * 1000) div q0")).cast("bigint").alias("paas_den"),
+        F.count("*").cast("bigint").alias("n_brands"),
+    )
+    return terms.select(
+        "n_brands",
+        F.expr("(lasp_num * 1000000) div lasp_den").alias("laspeyres_micro"),
+        F.expr("(paas_num * 1000000) div paas_den").alias("paasche_micro"),
+        F.floor(
+            F.sqrt(
+                (
+                    F.expr("(lasp_num * 1000000) div lasp_den").cast("double")
+                    / 1000000
+                )
+                * (
+                    F.expr("(paas_num * 1000000) div paas_den").cast("double")
+                    / 1000000
+                )
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("fisher_micro"),
+    )

@@ -905,3 +905,56 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 3841459
         ).alias("srm_flag"),
     )
+
+
+@REGISTRY.register(
+    "q_join_fanout_audit",
+    tags=("dataops", "dq"),
+    oracle="""
+WITH mult AS (
+  SELECT o_orderkey, CAST(COUNT(l_orderkey) AS BIGINT) AS m
+  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey
+)
+SELECT CASE WHEN m = 0 THEN 0 ELSE LENGTH(PRINTF('%b', m)) END
+         AS fanout_bucket_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(m) AS BIGINT) AS n_joined_rows,
+       CAST(MAX(m) AS BIGINT) AS max_mult
+FROM mult GROUP BY fanout_bucket_bits
+""",
+)
+def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout audit: the per-key multiplicity histogram of the
+    orders->lineitem join (log2 buckets; bucket 0 = keys that match
+    NOTHING) — run BEFORE a big join ships, because a handful of
+    high-multiplicity keys is exactly what detonates a 100 TB shuffle
+    (join explosion) and the max_mult column prices the worst key. The
+    bucket-0 row doubles as an orphan-key (referential) check from the
+    join's own statistics.
+
+    Exact BIGINT counts and bit-length buckets. Scale shape: one
+    keyed outer join + map-side-combined count, then a tiny bucket
+    agg — the audit costs one pass of the join it is auditing."""
+    c = catalog(spark, sf_dir)
+    mult = (
+        c.orders.select("o_orderkey")
+        .join(
+            c.lineitem.select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").cast("bigint").alias("m"))
+    )
+    return mult.select(
+        F.when(F.col("m") == 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("m"))))
+        .cast("bigint")
+        .alias("fanout_bucket_bits"),
+        "m",
+    ).groupBy("fanout_bucket_bits").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("m").cast("bigint").alias("n_joined_rows"),
+        F.max("m").cast("bigint").alias("max_mult"),
+    )

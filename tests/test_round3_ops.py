@@ -827,3 +827,33 @@ def test_segment_ltv_mae_matches_pandas_baseline(spark):
         assert got.loc[seg, "pred_cents"] == pred
         assert got.loc[seg, "mae_cents"] == mae
         assert got.loc[seg, "n_test_customers"] == len(te)
+
+
+def test_price_indices_bracket_fisher(spark):
+    """Fisher must lie between Laspeyres and Paasche (geometric mean),
+    all three positive."""
+    from catenae_kafka_spark.operators.analytics import q_price_indices
+
+    r = q_price_indices(spark, SF).toPandas().iloc[0]
+    lo = min(r["laspeyres_micro"], r["paasche_micro"])
+    hi = max(r["laspeyres_micro"], r["paasche_micro"])
+    assert 0 < lo <= r["fisher_micro"] + 1
+    assert r["fisher_micro"] <= hi + 1
+    assert r["n_brands"] > 0
+
+
+def test_join_fanout_audit_conserves_keys_and_rows(spark):
+    """Bucket key counts must sum to the orders count and joined rows
+    to the lineitem rows that have a parent."""
+    from catenae_kafka_spark.operators.dataops import q_join_fanout_audit
+
+    df = q_join_fanout_audit(spark, SF).toPandas()
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert df["n_keys"].sum() == n_orders
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    matched = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi").count()
+    assert df["n_joined_rows"].sum() == matched
+    for _, r in df.iterrows():
+        if r["fanout_bucket_bits"] > 0:
+            assert int(r["max_mult"]).bit_length() == r["fanout_bucket_bits"]

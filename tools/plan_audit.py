@@ -87,6 +87,7 @@ NL_WHITELIST = {
     "q_word_burstiness": "1-row corpus-moment aggregate cross",
     "q_word_pmi": "1-row corpus-total cross for the PMI denominator",
     "q_zorder_layout": "1-row min/max range aggregate cross (Z-address scaling)",
+    "q_outlier_kappa": "three 1-row moment/median/MAD aggregate crosses",
 }
 
 # Queries whose registered surface IS the row-at-a-time Python UDF demo.
