@@ -749,3 +749,86 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_median_two_phase",
+    tags=("agg", "scale"),
+    oracle="""
+WITH t AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY FLOOR(value * 100 + 0.5), event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+         AS median_cents
+FROM t GROUP BY event_type
+""",
+)
+def q_median_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median without a global sort — the two-phase selection a
+    100 TB engine actually uses: phase 1 aggregates a coarse fixed-width
+    histogram per group (map-side combined, tiny result), the driver
+    locates each group's median BUCKET and within-bucket rank from the
+    cumulative counts, and phase 2 scans ONLY the rows of that one
+    bucket (a pushed-down equality predicate) to select the exact
+    order statistic. Total cost: two scans and a bucket-sized sort,
+    versus the oracle's full per-group window sort.
+
+    The collected histogram is groups x occupied-buckets rows — a
+    driver-scalar-sized artifact (same discipline as k-means
+    centroids), never data.
+
+    Exact: BIGINT cents, lower-median k = (n+1)//2, total (cents,
+    event_id) order; rows outside the median bucket are strictly
+    smaller/larger, so the within-bucket offset-th element IS the
+    global k-th."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base = c.events.select(
+        "event_type", cents.alias("cents"), "event_id"
+    ).withColumn("bucket", F.expr("cents div 1000"))
+    hist = (
+        base.groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_type: dict[str, list] = defaultdict(list)
+    for r in hist:
+        per_type[r["event_type"]].append((r["bucket"], r["cnt"]))
+    targets = []  # (event_type, median_bucket, offset_within_bucket, n)
+    for et, buckets in per_type.items():
+        buckets.sort()
+        n = sum(cnt for _, cnt in buckets)
+        k = (n + 1) // 2
+        cum = 0
+        for b, cnt in buckets:
+            if cum + cnt >= k:
+                targets.append((et, b, k - cum, n))
+                break
+            cum += cnt
+    tdf = spark.createDataFrame(
+        targets, ["event_type", "mbucket", "offset", "n"]
+    )
+    phase2 = base.join(
+        F.broadcast(tdf),
+        (base["event_type"] == tdf["event_type"])
+        & (base["bucket"] == tdf["mbucket"]),
+    ).drop(tdf["event_type"])
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        phase2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("offset"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("cents").alias("median_cents"),
+        )
+    )

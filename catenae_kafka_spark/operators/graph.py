@@ -1112,3 +1112,123 @@ def q_rec_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE (n_hits * 1000000) div n_users_with_rec END"
         ).alias("precision_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_graph_modularity",
+    tags=("graph",),
+    oracle="""
+WITH directed AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer c ON o_custkey = c.c_custkey
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY src, dst
+), sym AS (
+  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src AS u, dst AS v, w FROM directed
+    UNION ALL SELECT dst, src, w FROM directed
+  ) GROUP BY u, v
+), comm AS (
+  SELECT n_nationkey AS node, n_regionkey AS c FROM nation
+), t AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS tw FROM sym
+), per AS (
+  SELECT cu.c,
+         CAST(SUM(CASE WHEN cu.c = cv.c THEN sym.w ELSE 0 END) AS BIGINT)
+           AS intra,
+         CAST(SUM(sym.w) AS BIGINT) AS s_c
+  FROM sym
+  JOIN comm cu ON sym.u = cu.node
+  JOIN comm cv ON sym.v = cv.node
+  GROUP BY cu.c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       (SELECT tw FROM t) AS total_weight_2m,
+       CAST(FLOOR(CAST(SUM(intra * (SELECT tw FROM t) - s_c * s_c)
+                       AS DOUBLE)
+                  / (CAST((SELECT tw FROM t) AS DOUBLE)
+                     * (SELECT tw FROM t))
+                  * 1000000) AS BIGINT) AS modularity_micro
+FROM per
+""",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Newman modularity of the REGION partition over the
+    international trade graph: does trade cluster within regions more
+    than a degree-preserving random graph would predict? Q =
+    sum_c [intra_c/2W - (s_c/2W)^2] — the standard community-quality
+    score, here scoring a GIVEN partition (the dimension hierarchy)
+    rather than a discovered one (complements q_label_propagation,
+    which discovers labels, and q_graph_assortativity).
+
+    Exactness: edge weights, intra-community sums and weighted degrees
+    are BIGINT; Q's numerator sum_c (intra_c*2W - s_c^2) is exact
+    integer; only the final normalization is one shared IEEE division,
+    floored to micro-units.
+
+    Scale shape: the trade graph aggregates once from the fact table
+    (broadcast dims); everything after runs on the <=625-edge nation
+    graph with the 25-row community map broadcast twice."""
+    c0 = catalog(spark, sf_dir)
+    cust = c0.customer.select("c_custkey", "c_nationkey")
+    supp = c0.supplier.select("s_suppkey", "s_nationkey")
+    directed = (
+        c0.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            c0.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    sym = (
+        directed.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        .unionAll(
+            directed.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    comm = c0.nation.select(
+        F.col("n_nationkey").alias("node"), F.col("n_regionkey").alias("c")
+    )
+    t = sym.agg(F.sum("w").cast("bigint").alias("tw"))
+    per = (
+        sym.join(
+            F.broadcast(comm.select(F.col("node").alias("u"), F.col("c").alias("cu"))),
+            "u",
+        )
+        .join(
+            F.broadcast(comm.select(F.col("node").alias("v"), F.col("c").alias("cv"))),
+            "v",
+        )
+        .groupBy(F.col("cu").alias("c"))
+        .agg(
+            F.sum(F.when(F.col("cu") == F.col("cv"), F.col("w")).otherwise(0))
+            .cast("bigint")
+            .alias("intra"),
+            F.sum("w").cast("bigint").alias("s_c"),
+        )
+    )
+    return per.crossJoin(F.broadcast(t)).agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.max("tw").cast("bigint").alias("total_weight_2m"),
+        F.floor(
+            F.sum(
+                F.col("intra") * F.col("tw") - F.col("s_c") * F.col("s_c")
+            ).cast("double")
+            / (F.max("tw").cast("double") * F.max("tw"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("modularity_micro"),
+    )

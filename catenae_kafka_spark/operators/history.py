@@ -376,3 +376,76 @@ def q_join_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", WIN_FMT).alias("ts_s"),
         F.col("state").alias("state_at"),
     )
+
+
+@REGISTRY.register(
+    "q_bitemporal_aswas",
+    tags=("history", "bitemporal"),
+    oracle="""
+WITH corrections AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 105 + 0.5) AS BIGINT) AS new_cents
+  FROM orders WHERE o_orderkey % 7 = 0
+), monthly AS (
+  SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS aswas_cents,
+         CAST(SUM(COALESCE(c.new_cents,
+                           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS asis_cents,
+         CAST(SUM(CASE WHEN c.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_corrected
+  FROM orders o LEFT JOIN corrections c ON o.o_orderkey = c.o_orderkey
+  GROUP BY month
+)
+SELECT month, aswas_cents, asis_cents, n_corrected,
+       asis_cents - aswas_cents AS restatement_cents
+FROM monthly
+""",
+)
+def q_bitemporal_aswas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-was / as-is reporting: monthly revenue BY VALID
+    TIME (order date) under two KNOWLEDGE times — as originally booked,
+    and after a correction feed restated every 7th order (+5%). The
+    restatement column is the audit trail finance asks for ("why did
+    January change since the last board deck?"), which only a
+    bitemporal view can answer; valid-time grouping never moves a
+    corrected order to the correction's month.
+
+    Exact integer cents; the +5% restatement is floored at the ORDER
+    grain on both engines (one shared IEEE product).
+
+    Scale shape: corrections join the fact on its key (broadcast here;
+    key-shuffled at scale), one monthly rollup — the as-of pattern of
+    q_scd2_history applied to measures instead of attributes."""
+    c = catalog(spark, sf_dir)
+    corrections = c.orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 105 + F.lit(0.5))
+        .cast("bigint")
+        .alias("new_cents"),
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    j = c.orders.join(
+        corrections, F.col("o_orderkey") == F.col("ck"), "left"
+    )
+    monthly = j.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(cents).cast("bigint").alias("aswas_cents"),
+        F.sum(F.coalesce(F.col("new_cents"), cents))
+        .cast("bigint")
+        .alias("asis_cents"),
+        F.sum(F.when(F.col("ck").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrected"),
+    )
+    return monthly.select(
+        "month",
+        "aswas_cents",
+        "asis_cents",
+        "n_corrected",
+        (F.col("asis_cents") - F.col("aswas_cents")).alias("restatement_cents"),
+    )

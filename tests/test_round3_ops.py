@@ -857,3 +857,49 @@ def test_join_fanout_audit_conserves_keys_and_rows(spark):
     for _, r in df.iterrows():
         if r["fanout_bucket_bits"] > 0:
             assert int(r["max_mult"]).bit_length() == r["fanout_bucket_bits"]
+
+
+def test_graph_modularity_is_bounded_and_region_partition_complete(spark):
+    from catenae_kafka_spark.operators.graph import q_graph_modularity
+
+    r = q_graph_modularity(spark, SF).toPandas().iloc[0]
+    assert -500000 <= r["modularity_micro"] <= 1_000_000
+    assert r["n_communities"] == 5
+    assert r["total_weight_2m"] > 0
+
+
+def test_median_two_phase_equals_full_sort_median(spark):
+    """The histogram-refinement median must equal the brute-force
+    lower median per type."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.aggregates import q_median_two_phase
+
+    got = q_median_two_phase(spark, SF).toPandas().set_index("event_type")
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for t, g in ev.groupby("event_type"):
+        vals = np.sort(g["cents"].to_numpy())
+        k = (len(vals) + 1) // 2
+        assert got.loc[t, "median_cents"] == vals[k - 1]
+        assert got.loc[t, "n"] == len(vals)
+
+
+def test_bitemporal_aswas_restates_only_corrected_orders(spark):
+    """Restatement must equal 5% (floored per order) of corrected
+    orders only, and as-was totals must match the raw table."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.history import q_bitemporal_aswas
+
+    df = q_bitemporal_aswas(spark, SF).toPandas()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    orders["cents"] = np.floor(orders["o_totalprice"] * 100 + 0.5).astype("int64")
+    assert df["aswas_cents"].sum() == orders["cents"].sum()
+    corr = orders[orders["o_orderkey"] % 7 == 0]
+    expected = (
+        np.floor(corr["o_totalprice"] * 105 + 0.5).astype("int64")
+        - corr["cents"]
+    ).sum()
+    assert df["restatement_cents"].sum() == expected
+    assert df["n_corrected"].sum() == len(corr)

@@ -88,6 +88,7 @@ NL_WHITELIST = {
     "q_word_pmi": "1-row corpus-total cross for the PMI denominator",
     "q_zorder_layout": "1-row min/max range aggregate cross (Z-address scaling)",
     "q_outlier_kappa": "three 1-row moment/median/MAD aggregate crosses",
+    "q_graph_modularity": "1-row total-weight aggregate crossed with the 5-row community rollup",
 }
 
 # Queries whose registered surface IS the row-at-a-time Python UDF demo.
