@@ -412,3 +412,101 @@ def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_bpe_merge_apply",
+    tags=("llm", "corpus", "tokenizer"),
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i + 1])) AS pair
+  FROM words WHERE len(w) >= 2
+), top1 AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+  GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+), applied AS (
+  SELECT d.doc_id,
+         len(string_split(d.text, ' ')) AS n_before,
+         len(string_split(TRIM(REPLACE(REPLACE(
+               ' ' || REPLACE(d.text, ' ', '  ') || ' ',
+               ' ' || REPLACE(t.pair, ' ', '  ') || ' ',
+               ' ' || REPLACE(t.pair, ' ', '_') || ' '),
+             '  ', ' ')), ' ')) AS n_after
+  FROM documents d, top1 t
+)
+SELECT (SELECT pair FROM top1) AS merged_pair,
+       (SELECT n FROM top1) AS pair_count,
+       CAST(SUM(n_before) AS BIGINT) AS tokens_before,
+       CAST(SUM(n_after) AS BIGINT) AS tokens_after,
+       CAST(SUM(n_before - n_after) AS BIGINT) AS n_merges
+FROM applied
+""",
+)
+def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full BPE training step, applied: find the corpus's most
+    frequent adjacent token pair (total tie-break), MERGE every
+    greedy-left-to-right occurrence into a single token, and account
+    the token-count reduction — the inner loop of byte-pair-encoding
+    tokenizer training (q_bpe_pairs ranks candidates; this executes
+    the merge so the next iteration sees the updated corpus).
+
+    The merge itself is pure string algebra: doubling the spaces
+    first makes adjacent occurrences stop sharing boundary characters,
+    so a single non-overlapping REPLACE implements exact greedy
+    left-to-right BPE semantics ('a a a' merges once, 'a b a b'
+    merges twice) identically on both engines — no UDF, no loop.
+
+    Scale shape: pair counting is one map-side explode + count; the
+    1-row winning pair broadcasts to a map-only rewrite of the
+    corpus."""
+    c = catalog(spark, sf_dir)
+    words = c.documents.select("doc_id", F.split("text", " ").alias("w"))
+    pairs = words.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> x || ' ' || w[i + 1])")
+        ).alias("pair")
+    )
+    top1 = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(1)
+    )
+    applied = c.documents.crossJoin(F.broadcast(top1)).select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_before"),
+        F.size(
+            F.split(
+                F.trim(
+                    F.expr(
+                        "replace("
+                        "replace(' ' || replace(text, ' ', '  ') || ' ',"
+                        "        ' ' || replace(pair, ' ', '  ') || ' ',"
+                        "        ' ' || replace(pair, ' ', '_') || ' '),"
+                        "'  ', ' ')"
+                    )
+                ),
+                " ",
+            )
+        )
+        .cast("bigint")
+        .alias("n_after"),
+        "pair",
+        "n",
+    )
+    return applied.groupBy("pair", "n").agg(
+        F.sum("n_before").cast("bigint").alias("tokens_before"),
+        F.sum("n_after").cast("bigint").alias("tokens_after"),
+        F.sum(F.col("n_before") - F.col("n_after"))
+        .cast("bigint")
+        .alias("n_merges"),
+    ).select(
+        F.col("pair").alias("merged_pair"),
+        F.col("n").alias("pair_count"),
+        "tokens_before",
+        "tokens_after",
+        "n_merges",
+    )

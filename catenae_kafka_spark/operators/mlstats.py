@@ -2448,3 +2448,170 @@ def q_segment_ltv_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("seg", "n_test_customers", "pred_cents", "mae_cents")
     )
+
+
+@REGISTRY.register(
+    "q_cusum_alarm",
+    tags=("mlstats", "monitoring"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) - 5000) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM events
+), cusum AS (
+  SELECT user_id,
+         p - LEAST(COALESCE(MIN(p) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS s
+  FROM seq
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(s) AS BIGINT) AS max_cusum,
+       CAST(SUM(CASE WHEN s > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_threshold
+FROM cusum GROUP BY user_id
+""",
+)
+def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM sequential change detection per user (reference k = 5000
+    cents, decision threshold h = 50000): the classic alarm for "this
+    user's spend level shifted upward" that reacts faster than any
+    fixed-window mean.
+
+    The CUSUM recursion S_t = max(0, S_{t-1} + (x_t - k)) LOOKS
+    inherently sequential, but the closed form S_t = P_t - min(0,
+    min_{j<t} P_j) over the prefix sums P makes it two window passes —
+    declarative, exact BIGINT, and parallel over users. This identity
+    is the difference between "needs a stateful UDF" and "runs as
+    whole-stage codegen at 100 TB".
+
+    One user-keyed shuffle; the oracle replays the identical two-window
+    closed form."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    wcur = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = c.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(cents - 5000).over(wcur).alias("p"),
+    )
+    cusum = seq.select(
+        "user_id",
+        (
+            F.col("p")
+            - F.least(
+                F.coalesce(F.min("p").over(wprev), F.lit(0).cast("bigint")),
+                F.lit(0).cast("bigint"),
+            )
+        ).alias("s"),
+    )
+    return cusum.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("s").cast("bigint").alias("max_cusum"),
+        F.sum(F.when(F.col("s") > 50000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_threshold"),
+    )
+
+
+@REGISTRY.register(
+    "q_kendall_tau",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH per AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+              AS BIGINT) AS rev,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), pairs AS (
+  SELECT CASE WHEN (a.rev - b.rev) * (a.qty - b.qty) > 0 THEN 1 ELSE 0 END
+           AS conc,
+         CASE WHEN (a.rev - b.rev) * (a.qty - b.qty) < 0 THEN 1 ELSE 0 END
+           AS disc
+  FROM per a JOIN per b ON a.p_brand < b.p_brand
+)
+SELECT CAST((SELECT COUNT(*) FROM per) AS BIGINT) AS n_brands,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(SUM(disc) AS BIGINT) AS discordant,
+       CAST(FLOOR(CAST(SUM(conc) - SUM(disc) AS DOUBLE)
+                  / COUNT(*) * 1000000) AS BIGINT) AS tau_micro
+FROM pairs
+""",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-a rank correlation between brand revenue and brand
+    quantity rankings: pairwise concordance over the aggregated brand
+    rollup — the robust "do these two metrics order the portfolio the
+    same way" statistic (complements Pearson-style q_series_corr,
+    which ties depend on magnitudes, not order).
+
+    Exactness: concordance is the SIGN of a BIGINT product — no ranks,
+    no floats until the final shared floor division (FLOOR of a double,
+    not integer div, so a negative tau floors identically on both
+    engines — integer `div` truncates toward zero in Spark but floors
+    in DuckDB, an incompatibility this query dodges deliberately).
+
+    Scale shape: the O(n^2) pairwise join runs on the 25-row BRAND
+    ROLLUP, never the fact table (which aggregates once, map-side
+    combined); at item cardinalities where n^2 bites, tau switches to
+    the merge-sort inversion count (O(n log n))."""
+    c = catalog(spark, sf_dir)
+    per = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    a = per.select(
+        F.col("p_brand").alias("ba"), F.col("rev").alias("ra"), F.col("qty").alias("qa")
+    )
+    b = per.select(
+        F.col("p_brand").alias("bb"), F.col("rev").alias("rb"), F.col("qty").alias("qb")
+    )
+    prod = (F.col("ra") - F.col("rb")) * (F.col("qa") - F.col("qb"))
+    pairs = a.join(b, F.col("ba") < F.col("bb")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+    )
+    n_brands = per.agg(F.count("*").cast("bigint").alias("n_brands"))
+    return pairs.agg(
+        F.sum("conc").cast("bigint").alias("concordant"),
+        F.sum("disc").cast("bigint").alias("discordant"),
+        F.floor(
+            (F.sum("conc") - F.sum("disc")).cast("double")
+            / F.count("*")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("tau_micro"),
+    ).crossJoin(F.broadcast(n_brands)).select(
+        "n_brands", "concordant", "discordant", "tau_micro"
+    )

@@ -903,3 +903,72 @@ def test_bitemporal_aswas_restates_only_corrected_orders(spark):
     ).sum()
     assert df["restatement_cents"].sum() == expected
     assert df["n_corrected"].sum() == len(corr)
+
+
+def test_cusum_closed_form_equals_sequential_recursion(spark):
+    """The two-window closed form must equal the textbook sequential
+    S_t = max(0, S_{t-1} + (x_t - k)) fold, per user."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_cusum_alarm
+
+    got = q_cusum_alarm(spark, SF).toPandas().set_index("user_id")
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        s, mx, over = 0, 0, 0
+        for c in g["cents"]:
+            s = max(0, s + (c - 5000))
+            mx = max(mx, s)
+            over += s > 50000
+        assert got.loc[uid, "max_cusum"] == mx
+        assert got.loc[uid, "n_over_threshold"] == over
+
+
+def test_bpe_merge_apply_matches_python_greedy_merge(spark):
+    """Token reduction must equal a pure-python greedy left-to-right
+    merge of the winning pair over every document."""
+    from catenae_kafka_spark.operators.llm_corpus import q_bpe_merge_apply
+
+    r = q_bpe_merge_apply(spark, SF).toPandas().iloc[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    w1, w2 = r["merged_pair"].split(" ")
+    merges = 0
+    before = 0
+    for text in docs["text"]:
+        toks = text.split(" ")
+        before += len(toks)
+        i = 0
+        while i < len(toks) - 1:
+            if toks[i] == w1 and toks[i + 1] == w2:
+                merges += 1
+                i += 2
+            else:
+                i += 1
+    assert r["tokens_before"] == before
+    assert r["n_merges"] == merges
+    assert r["tokens_after"] == before - merges
+
+
+def test_kendall_tau_matches_scipy_style_computation(spark):
+    """tau-a must match a direct pandas pairwise computation."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_kendall_tau
+
+    r = q_kendall_tau(spark, SF).toPandas().iloc[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{SF}/part.parquet").toPandas()
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["rev"] = np.floor(j["l_extendedprice"] * (1 - j["l_discount"])).astype("int64")
+    per = j.groupby("p_brand").agg(rev=("rev", "sum"), qty=("l_quantity", "sum"))
+    rev, qty = per["rev"].to_numpy(), per["qty"].to_numpy().astype("int64")
+    conc = disc = 0
+    n = len(per)
+    for i in range(n):
+        for k in range(i + 1, n):
+            p = (rev[i] - rev[k]) * (qty[i] - qty[k])
+            conc += p > 0
+            disc += p < 0
+    assert r["concordant"] == conc and r["discordant"] == disc
+    assert r["n_brands"] == n
