@@ -2615,3 +2615,247 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(n_brands)).select(
         "n_brands", "concordant", "discordant", "tau_micro"
     )
+
+
+@REGISTRY.register(
+    "q_permutation_test",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH base AS (
+  SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_type
+  FROM events WHERE event_type IN ('purchase', 'click')
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+              AS BIGINT) AS s_a
+  FROM base
+), obs AS (
+  SELECT ABS((n - n_a) * s_a - n_a * (s - s_a)) AS t_obs FROM tot
+), perms AS (
+  SELECT p.i,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(p.i || ':' || b.event_id),
+                                            1, 8))::BIGINT % tot.n < tot.n_a
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pn_a,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(p.i || ':' || b.event_id),
+                                            1, 8))::BIGINT % tot.n < tot.n_a
+                       THEN b.cents ELSE 0 END) AS BIGINT) AS ps_a
+  FROM base b CROSS JOIN tot
+  CROSS JOIN (SELECT unnest(generate_series(1, 19)) AS i) p
+  GROUP BY p.i
+), tstats AS (
+  SELECT i, ABS((tot.n - pn_a) * ps_a - pn_a * (tot.s - ps_a)) AS t_i
+  FROM perms, tot
+)
+SELECT (SELECT t_obs FROM obs) AS t_obs,
+       CAST(SUM(CASE WHEN t_i >= (SELECT t_obs FROM obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_greater,
+       CAST(COUNT(*) AS BIGINT) AS n_perms,
+       ((CAST(SUM(CASE WHEN t_i >= (SELECT t_obs FROM obs)
+                       THEN 1 ELSE 0 END) AS BIGINT) + 1) * 1000)
+         // (COUNT(*) + 1) AS p_milli
+FROM tstats
+""",
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic randomization (permutation-style) test: is the
+    purchase-vs-click mean value difference larger than chance? The
+    scale-free statistic T = |n_b*S_a - n_a*S_b| (pure BIGINT — equals
+    n_a*n_b*|mean difference|) is recomputed under 19 md5-derived
+    pseudo-relabelings of the rows, and the rank of the observed T
+    among them gives the Monte-Carlo p-value (+1 smoothing) — the
+    assumption-free inference tool when t-test normality is in doubt
+    (complements q_ab_ttest), with md5 keeping every 'random' draw
+    engine-portable and rerun-stable.
+
+    Scale shape: ONE pass computes all 19 relabeled statistics (a
+    19-way explode-by-constant, map-side; group count = n_perms), so
+    the cost is ~20x one aggregation, never 20 scans."""
+    c = catalog(spark, sf_dir)
+    base = c.events.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        "event_type",
+    )
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s_a"),
+    )
+    obs = tot.select(
+        F.abs(
+            (F.col("n") - F.col("n_a")) * F.col("s_a")
+            - F.col("n_a") * (F.col("s") - F.col("s_a"))
+        ).alias("t_obs")
+    )
+    perm_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("event_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    perms = (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "event_id",
+            "cents",
+            "n",
+            "s",
+            "n_a",
+            F.explode(F.sequence(F.lit(1), F.lit(19))).alias("i"),
+        )
+        .withColumn("in_a", perm_hash % F.col("n") < F.col("n_a"))
+        .groupBy("i")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pn_a"),
+            F.sum(F.when(F.col("in_a"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("ps_a"),
+        )
+    )
+    tstats = perms.select(
+        F.abs(
+            (F.col("n") - F.col("pn_a")) * F.col("ps_a")
+            - F.col("pn_a") * (F.col("s") - F.col("ps_a"))
+        ).alias("t_i")
+    )
+    return tstats.crossJoin(F.broadcast(obs)).agg(
+        F.max("t_obs").alias("t_obs"),
+        F.sum(F.when(F.col("t_i") >= F.col("t_obs"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_greater"),
+        F.count("*").cast("bigint").alias("n_perms"),
+    ).select(
+        "t_obs",
+        "n_greater",
+        "n_perms",
+        F.expr("((n_greater + 1) * 1000) div (n_perms + 1)").alias("p_milli"),
+    )
+
+
+@REGISTRY.register(
+    "q_kfold_cv",
+    tags=("mlstats", "ml-evaluation"),
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS seg,
+         ('0x' || substr(md5('fold:' || o.o_custkey), 1, 8))::BIGINT % 5
+           AS fold,
+         o.o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY seg, fold, o.o_custkey
+), partials AS (
+  SELECT seg, fold, CAST(COUNT(*) AS BIGINT) AS n_sf,
+         CAST(SUM(cents) AS BIGINT) AS s_sf
+  FROM per_cust GROUP BY seg, fold
+), seg_tot AS (
+  SELECT seg, CAST(SUM(n_sf) AS BIGINT) AS n_s,
+         CAST(SUM(s_sf) AS BIGINT) AS s_s
+  FROM partials GROUP BY seg
+), model AS (
+  SELECT p.seg, p.fold,
+         (t.s_s - p.s_sf) // (t.n_s - p.n_sf) AS pred_cents
+  FROM partials p JOIN seg_tot t ON p.seg = t.seg
+  WHERE t.n_s > p.n_sf
+)
+SELECT m.fold,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(ABS(pc.cents - m.pred_cents)) AS BIGINT) // COUNT(*)
+         AS mae_cents
+FROM per_cust pc
+JOIN model m ON pc.seg = m.seg AND pc.fold = m.fold
+GROUP BY m.fold
+""",
+)
+def q_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the segment-mean spend model in one
+    pass: customers hash (md5) into folds, per-(segment, fold) PARTIAL
+    sums are aggregated once, and each fold's leave-that-fold-out
+    training mean is derived by SUBTRACTING its partial from the
+    segment total — the partial-aggregate trick that makes k-fold CV
+    cost one aggregation instead of k training scans (the same
+    mergeable-partials idea as q_incremental_agg, applied to model
+    evaluation). Per-fold MAE quantifies the baseline's stability
+    (complements the single-split q_segment_ltv_mae).
+
+    Exact: BIGINT partials, floor-division predictions and MAE.
+
+    Scale shape: one customer-keyed agg, one tiny (segments x folds)
+    partial table, evaluation joins the per-customer rollup against
+    the broadcast model."""
+    c = catalog(spark, sf_dir)
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("o_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    per_cust = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            fold.alias("fold"),
+            "o_custkey",
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    partials = per_cust.groupBy("seg", "fold").agg(
+        F.count("*").cast("bigint").alias("n_sf"),
+        F.sum("cents").cast("bigint").alias("s_sf"),
+    )
+    seg_tot = partials.groupBy("seg").agg(
+        F.sum("n_sf").cast("bigint").alias("n_s"),
+        F.sum("s_sf").cast("bigint").alias("s_s"),
+    )
+    model = (
+        partials.join(F.broadcast(seg_tot), "seg")
+        .filter(F.col("n_s") > F.col("n_sf"))
+        .select(
+            "seg",
+            "fold",
+            F.expr("(s_s - s_sf) div (n_s - n_sf)").alias("pred_cents"),
+        )
+    )
+    return (
+        per_cust.join(F.broadcast(model), ["seg", "fold"])
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.expr("sum(abs(cents - pred_cents)) div count(*)").alias(
+                "mae_cents"
+            ),
+        )
+    )

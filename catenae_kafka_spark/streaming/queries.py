@@ -1467,3 +1467,53 @@ def q_stream_batch_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{len(a ^ b)} differing rows between 8-batch and 1-batch runs"
         )
     return fine
+
+
+@REGISTRY.register(
+    "q_stream_cusum",
+    tags=("streaming", "stateful", "monitoring"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) - 5000) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM events
+), cusum AS (
+  SELECT user_id,
+         p - LEAST(COALESCE(MIN(p) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS s
+  FROM seq
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(s) AS BIGINT) AS max_cusum,
+       CAST(SUM(CASE WHEN s > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_threshold
+FROM cusum GROUP BY user_id
+""",
+)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM change detection: the q_cusum_alarm recursion as
+    live per-user state (four BIGINT counters in
+    applyInPandasWithState, folded across micro-batches) — the alarm
+    that actually pages someone runs HERE, on the stream; the batch
+    twin's prefix-sum closed form is the backfill/audit path, and the
+    shared oracle proves they agree exactly on the ordered replay.
+    Update mode emits cumulative counters per (user, batch); the
+    max-n_events snapshot per user is final."""
+    from catenae_kafka_spark.streaming.stateful import streaming_cusum
+
+    from pyspark.sql import Window
+
+    stream = replay_events(spark, sf_dir)
+    updates = run_available_now(
+        streaming_cusum(stream), "update", _name("cusum")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "max_cusum", "n_over_threshold")
+    )

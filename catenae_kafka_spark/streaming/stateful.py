@@ -431,3 +431,58 @@ def streaming_sample_k(events: DataFrame, k: int = 20) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, max_cusum long, n_over_threshold long"
+)
+CUSUM_STATE_SCHEMA = "s long, mx long, n long, over long"
+CUSUM_K = 5000
+CUSUM_H = 50000
+
+
+def streaming_cusum(events: DataFrame) -> DataFrame:
+    """Per-user streaming CUSUM (reference CUSUM_K cents, threshold
+    CUSUM_H): S = max(0, S + (cents - k)) folded across micro-batches
+    as four exact BIGINT counters per key. The batch twin
+    (q_cusum_alarm) evaluates the same recursion via the prefix-sum
+    closed form; HERE the sequential fold is the natural shape because
+    state lives across micro-batches anyway — the two must agree
+    exactly on the ordered replay, which is what the shared oracle
+    asserts.
+
+    State per key is four longs; the only shuffle is groupBy(user)."""
+
+    def cusum_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        s, mx, n, over = state.get if state.exists else (0, 0, 0, 0)
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for v in pdf["value"]:
+                c = int(math.floor(float(v) * 100 + 0.5))
+                s = max(0, s + (c - CUSUM_K))
+                mx = max(mx, s)
+                over += s > CUSUM_H
+                n += 1
+        state.update((s, mx, n, over))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_cusum": [mx],
+                "n_over_threshold": [over],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        cusum_fn,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -972,3 +972,74 @@ def test_kendall_tau_matches_scipy_style_computation(spark):
             disc += p < 0
     assert r["concordant"] == conc and r["discordant"] == disc
     assert r["n_brands"] == n
+
+
+def test_stream_cusum_equals_batch_closed_form(spark):
+    """The stateful streaming fold must equal the batch prefix-sum
+    closed form (q_cusum_alarm) row for row."""
+    from catenae_kafka_spark.operators.mlstats import q_cusum_alarm
+    from catenae_kafka_spark.streaming.queries import q_stream_cusum
+
+    a = (
+        q_stream_cusum(spark, SF)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_cusum_alarm(spark, SF)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert a[["user_id", "max_cusum", "n_over_threshold"]].equals(
+        b[["user_id", "max_cusum", "n_over_threshold"]]
+    )
+
+
+def test_permutation_test_pvalue_bounds(spark):
+    """p must be in (0, 1], n_greater <= n_perms, and t_obs positive
+    on data with a real purchase/click difference."""
+    from catenae_kafka_spark.operators.mlstats import q_permutation_test
+
+    r = q_permutation_test(spark, SF).toPandas().iloc[0]
+    assert r["n_perms"] == 19
+    assert 0 <= r["n_greater"] <= r["n_perms"]
+    assert 1 <= r["p_milli"] <= 1000
+    assert r["t_obs"] >= 0
+
+
+def test_kfold_cv_partitions_customers_and_matches_pandas(spark):
+    """Every fold's MAE must match a pandas leave-fold-out
+    recomputation, and test counts must cover all customers."""
+    import hashlib
+
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_kfold_cv
+
+    got = q_kfold_cv(spark, SF).toPandas().set_index("fold")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    cust = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.floor(j["o_totalprice"] * 100 + 0.5).astype("int64")
+
+    def fold(ck):
+        return int(hashlib.md5(f"fold:{ck}".encode()).hexdigest()[:8], 16) % 5
+
+    per = (
+        j.groupby(["c_mktsegment", "o_custkey"])["cents"].sum().reset_index()
+    )
+    per["fold"] = per["o_custkey"].map(fold)
+    total_test = 0
+    for f in sorted(per["fold"].unique()):
+        test = per[per["fold"] == f]
+        maes = []
+        for _, row in test.iterrows():
+            tr = per[(per["fold"] != f) & (per["c_mktsegment"] == row["c_mktsegment"])]
+            pred = tr["cents"].sum() // len(tr)
+            maes.append(abs(row["cents"] - pred))
+        assert got.loc[f, "mae_cents"] == sum(maes) // len(maes)
+        assert got.loc[f, "n_test"] == len(test)
+        total_test += len(test)
+    assert total_test == len(per)
