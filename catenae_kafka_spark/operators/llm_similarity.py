@@ -1205,3 +1205,79 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cos_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_negative_sampling",
+    tags=("llm", "similarity", "training-data"),
+    oracle="""
+WITH anchors AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id % 11 = 0
+), pos AS (
+  SELECT a.vec_id AS anchor_id,
+         MIN(e.vec_id) AS pos_id
+  FROM anchors a JOIN embeddings e
+    ON e.label = a.label AND e.vec_id <> a.vec_id
+  GROUP BY a.vec_id
+), negs AS (
+  SELECT anchor_id, neg_id, rnk FROM (
+    SELECT a.vec_id AS anchor_id, e.vec_id AS neg_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY md5(a.vec_id || ':' || e.vec_id), e.vec_id) AS rnk
+    FROM anchors a JOIN embeddings e ON e.label <> a.label
+  ) WHERE rnk <= 3
+)
+SELECT p.anchor_id, p.pos_id, n.rnk AS neg_rank, n.neg_id
+FROM pos p JOIN negs n ON p.anchor_id = n.anchor_id
+""",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair generation: for each anchor vector (a
+    1/11 deterministic slice), one POSITIVE (lowest-id same-label
+    neighbor) and three md5-ranked NEGATIVES from other labels — the
+    (anchor, positive, negatives) triples an embedding model trains
+    on, with every 'random' choice engine-portable and rerun-stable
+    (same md5 discipline as the samplers).
+
+    Scale shape: positives are a keyed join + min-agg; negatives rank
+    a per-anchor candidate set — at corpus scale the candidate join is
+    capped by pre-bucketing negatives per label (sample within label
+    shards) so the anchor x corpus product never materializes; here
+    the label table is small enough to rank directly, and the 1/11
+    anchor slice bounds the fan-out."""
+    c = catalog(spark, sf_dir)
+    anchors = c.embeddings.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("alabel")
+    )
+    pos = (
+        anchors.join(
+            c.embeddings.select(F.col("vec_id").alias("pid"), "label"),
+            (F.col("label") == F.col("alabel"))
+            & (F.col("pid") != F.col("anchor_id")),
+        )
+        .groupBy("anchor_id")
+        .agg(F.min("pid").alias("pos_id"))
+    )
+    cand = anchors.join(
+        c.embeddings.select(F.col("vec_id").alias("neg_id"), "label"),
+        F.col("label") != F.col("alabel"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                F.col("neg_id").cast("string"),
+            )
+        ),
+        "neg_id",
+    )
+    negs = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("anchor_id", F.col("rnk").cast("bigint").alias("neg_rank"), "neg_id")
+    )
+    return pos.join(negs, "anchor_id").select(
+        "anchor_id", "pos_id", "neg_rank", "neg_id"
+    )

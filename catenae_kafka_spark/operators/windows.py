@@ -990,3 +990,86 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wr)
         .alias("second_pur_cents"),
     ).filter(F.col("event_id") % 23 == 0)
+
+
+@REGISTRY.register(
+    "q_sessionize_capped",
+    tags=("window", "sessionize"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 AS ts_s,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) // 1000000
+                      - epoch_us(LAG(ts) OVER w) // 1000000 > 7200
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, event_id, ts_s,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS gap_sess
+  FROM s
+), capped AS (
+  SELECT user_id, event_id, ts_s, gap_sess,
+         (ts_s - MIN(ts_s) OVER (PARTITION BY user_id, gap_sess)) // 86400
+           AS sub_sess
+  FROM g
+)
+SELECT user_id, gap_sess, CAST(sub_sess AS BIGINT) AS sub_sess,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS dur_s
+FROM capped GROUP BY user_id, gap_sess, sub_sess
+""",
+)
+def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH boundary rules real trackers use: a
+    2-hour inactivity gap starts a new session AND a 24-hour maximum
+    duration splits marathon sessions (bots, left-open tabs) into
+    sub-sessions — the capped variant q_sessionize deliberately omits.
+    The cap is declarative: sub-session = floor((t - gap-session
+    start) / 24h), no iteration (each sub-session's duration is then
+    <= 24h by construction).
+
+    Exact BIGINT second arithmetic; same single user-keyed shuffle as
+    q_sessionize (the cap adds one more window over the already
+    partitioned data, no extra shuffle)."""
+    c = catalog(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.expr("unix_micros(ts) div 1000000")
+    s = c.events.select(
+        "user_id",
+        "event_id",
+        ts_s.alias("ts_s"),
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | (ts_s - F.expr("unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) div 1000000") > 7200),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = s.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.sum("new_sess").over(wr).alias("gap_sess"),
+    )
+    capped = g.select(
+        "user_id",
+        "gap_sess",
+        "ts_s",
+        F.expr(
+            "(ts_s - min(ts_s) OVER (PARTITION BY user_id, gap_sess)) div 86400"
+        ).alias("sub_sess"),
+    )
+    return capped.groupBy("user_id", "gap_sess", "sub_sess").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.max("ts_s") - F.min("ts_s")).cast("bigint").alias("dur_s"),
+    )

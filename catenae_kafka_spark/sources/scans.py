@@ -635,3 +635,50 @@ def q_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.rename(staging, published)
     shutil.rmtree(tmp_old, ignore_errors=True)
     return spark.read.parquet(published)
+
+
+@REGISTRY.register(
+    "q_csv_roundtrip_quoting",
+    tags=("scan", "format-edge"),
+    oracle="""
+SELECT n_nationkey,
+       'name,"' || n_name || '"
+line2' AS tricky,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+""",
+)
+def q_csv_roundtrip_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quoting torture round-trip: a column is constructed to
+    contain the three things that break naive CSV pipelines — a comma,
+    embedded double quotes, and an EMBEDDED NEWLINE — written to CSV
+    and read back with multiLine parsing. The returned DataFrame is
+    the read-back; matching the oracle (which builds the same values
+    directly) proves quoting, escaping and multiline-record handling
+    are lossless, the contract an interchange format must honor before
+    anyone ships 100 TB of it. (Parquet needs no such proof — one of
+    several reasons it is the default interchange format here.)
+
+    Scale note: multiLine CSV parsing is NOT splittable (a file can't
+    be chunked at arbitrary newlines when newlines appear inside
+    quotes) — a real ingest keeps multiline CSVs small or converts to
+    parquet at the edge, which is exactly what this round-trip
+    models."""
+    c = catalog(spark, sf_dir)
+    out = os.path.join(_work_dir(sf_dir, "csv_quoting"), "nation_tricky")
+    tricky = c.nation.select(
+        "n_nationkey",
+        F.concat(
+            F.lit('name,"'), F.col("n_name"), F.lit('"\nline2')
+        ).alias("tricky"),
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+    tricky.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(out)
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema("n_nationkey bigint, tricky string, n_regionkey bigint")
+        .csv(out)
+    )

@@ -1043,3 +1043,44 @@ def test_kfold_cv_partitions_customers_and_matches_pandas(spark):
         assert got.loc[f, "n_test"] == len(test)
         total_test += len(test)
     assert total_test == len(per)
+
+
+def test_negative_sampling_triples_are_valid(spark):
+    """Positives share the anchor's label, negatives never do, and
+    every anchor emits exactly 3 ranked negatives."""
+    from catenae_kafka_spark.operators.llm_similarity import (
+        q_negative_sampling,
+    )
+
+    df = q_negative_sampling(spark, SF).toPandas()
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .toPandas()
+        .set_index("vec_id")["label"]
+    )
+    for _, r in df.iterrows():
+        assert emb[r["anchor_id"]] == emb[r["pos_id"]]
+        assert emb[r["anchor_id"]] != emb[r["neg_id"]]
+        assert r["pos_id"] != r["anchor_id"]
+    per_anchor = df.groupby("anchor_id")["neg_rank"].agg(["count", "max"])
+    assert (per_anchor["count"] == 3).all()
+    assert (per_anchor["max"] == 3).all()
+
+
+def test_csv_roundtrip_preserves_commas_quotes_newlines(spark):
+    from catenae_kafka_spark.sources.scans import q_csv_roundtrip_quoting
+
+    df = q_csv_roundtrip_quoting(spark, SF).toPandas()
+    assert len(df) == 25
+    sample = df.iloc[0]["tricky"]
+    assert "," in sample and '"' in sample and "\n" in sample
+
+
+def test_sessionize_capped_caps_every_subsession_at_24h(spark):
+    from catenae_kafka_spark.operators.windows import q_sessionize_capped
+
+    df = q_sessionize_capped(spark, SF).toPandas()
+    assert (df["dur_s"] <= 86400).all()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert df["n_events"].sum() == n_events
+    assert (df["sub_sess"] >= 0).all()
