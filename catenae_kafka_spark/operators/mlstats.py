@@ -2859,3 +2859,291 @@ def q_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@REGISTRY.register(
+    "q_quantile_normalize",
+    tags=("mlstats", "feature-engineering"),
+    oracle="""
+WITH src AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, event_id,
+         ROW_NUMBER() OVER (ORDER BY FLOOR(value * 100 + 0.5), event_id)
+           AS rn,
+         COUNT(*) OVER () AS n
+  FROM events WHERE event_type = 'click'
+), tgt AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, event_id,
+         ROW_NUMBER() OVER (ORDER BY FLOOR(value * 100 + 0.5), event_id)
+           AS rn,
+         COUNT(*) OVER () AS n
+  FROM events WHERE event_type = 'purchase'
+), d AS (SELECT unnest(generate_series(1, 9)) AS decile)
+SELECT d.decile,
+       (SELECT cents FROM src WHERE rn = GREATEST((d.decile * n) // 10, 1))
+         AS src_decile_cents,
+       (SELECT cents FROM tgt WHERE rn = GREATEST((d.decile * n) // 10, 1))
+         AS mapped_cents
+FROM d
+""",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization mapping table: the transform that maps
+    the click-value distribution onto the purchase-value distribution
+    by matched rank (decile anchors shown) — the batch-effect /
+    cross-platform score-calibration standard (a source value at its
+    d-th decile is replaced by the target's d-th decile).
+
+    Exact: both deciles are order statistics selected by BIGINT rank
+    arithmetic over a total (cents, event_id) order — no
+    interpolation, no floats.
+
+    Scale shape: two filtered single-column window sorts (in
+    production, the two-phase q_median_two_phase selection replaces
+    the full sort) + a 9-row constant spine."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+
+    def ranked(tp: str) -> DataFrame:
+        w = Window.orderBy("cents", "event_id")
+        return (
+            c.events.filter(F.col("event_type") == tp)
+            .select(cents.alias("cents"), "event_id")
+            .select(
+                "cents",
+                F.row_number().over(w).alias("rn"),
+                F.count("*").over(Window.partitionBy()).alias("n"),
+            )
+        )
+
+    d = spark.range(1, 10).select(F.col("id").cast("bigint").alias("decile"))
+    src = ranked("click").withColumnRenamed("cents", "src_decile_cents")
+    tgt = ranked("purchase").withColumnRenamed("cents", "mapped_cents")
+    pick = lambda t, col: d.join(
+        F.broadcast(t),
+        F.col("rn") == F.greatest(F.expr("(decile * n) div 10"), F.lit(1)),
+    ).select("decile", col)
+    return pick(src, "src_decile_cents").join(
+        pick(tgt, "mapped_cents"), "decile"
+    )
+
+
+# RBO geometric weights (1-p)*p^(d-1) for p=0.9, d=1..10, in nano-units
+# (integerized once so both engines do pure integer arithmetic).
+_RBO_W = [
+    100000000, 90000000, 81000000, 72900000, 65610000,
+    59049000, 53144100, 47829690, 43046721, 38742049,
+]
+_RBO_W_SQL = ", ".join(
+    f"({d + 1}, {w})" for d, w in enumerate(_RBO_W)
+)
+
+
+@REGISTRY.register(
+    "q_rank_biased_overlap",
+    tags=("mlstats", "ir-evaluation"),
+    oracle=f"""
+WITH per AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+              AS BIGINT) AS rev,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), ranked AS (
+  SELECT p_brand,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, p_brand) AS ra,
+         ROW_NUMBER() OVER (ORDER BY qty DESC, p_brand) AS rb
+  FROM per
+), w(d, wt) AS (VALUES {_RBO_W_SQL}),
+ovl AS (
+  SELECT w.d, w.wt,
+         CAST(COUNT(CASE WHEN GREATEST(ra, rb) <= w.d THEN 1 END)
+              AS BIGINT) AS ov
+  FROM w LEFT JOIN ranked ON GREATEST(ra, rb) <= w.d
+  GROUP BY w.d, w.wt
+)
+SELECT CAST(SUM((ov * wt) // d) AS BIGINT) AS rbo_nano,
+       CAST(MAX(CASE WHEN d = 10 THEN ov END) AS BIGINT) AS overlap_at_10
+FROM ovl
+""",
+)
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO, p=0.9, depth 10) between the
+    revenue-ranked and quantity-ranked brand lists — the top-weighted
+    ranking-similarity metric used to compare search/recommendation
+    result lists (unlike Kendall's tau it cares MORE about agreement
+    at the top, and handles top-k truncation gracefully).
+
+    Exactness: the geometric weights are pre-integerized nano-unit
+    constants shared by both dialects; depth-d overlap counts brands
+    with max(rank_a, rank_b) <= d (a closed form that avoids
+    materializing prefixes); every term floors before the
+    order-independent integer sum.
+
+    Scale shape: fact table aggregates once; ranking and the 10-depth
+    spine run on the 25-row rollup."""
+    c = catalog(spark, sf_dir)
+    per = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    ranked = per.select(
+        "p_brand",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), F.col("p_brand")))
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.col("qty").desc(), F.col("p_brand")))
+        .alias("rb"),
+    )
+    w = spark.createDataFrame(
+        [(d + 1, wt) for d, wt in enumerate(_RBO_W)], ["d", "wt"]
+    )
+    overlaps = (
+        w.join(
+            ranked, F.greatest(F.col("ra"), F.col("rb")) <= F.col("d"), "left"
+        )
+        .groupBy("d", "wt")
+        .agg(
+            F.count(
+                F.when(F.greatest(F.col("ra"), F.col("rb")) <= F.col("d"), 1)
+            )
+            .cast("bigint")
+            .alias("ov")
+        )
+    )
+    return overlaps.agg(
+        F.sum(F.expr("(ov * wt) div d")).cast("bigint").alias("rbo_nano"),
+        F.max(F.when(F.col("d") == 10, F.col("ov")))
+        .cast("bigint")
+        .alias("overlap_at_10"),
+    )
+
+
+@REGISTRY.register(
+    "q_absorption_3step",
+    tags=("mlstats", "sequence"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), tr AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+), r AS (
+  SELECT cur, CAST(SUM(c) AS BIGINT) AS rt FROM tr GROUP BY cur
+), q AS (
+  SELECT tr.cur, tr.nxt, (tr.c * 1000000000) // r.rt AS p_nano
+  FROM tr JOIN r ON tr.cur = r.cur
+), p1 AS (
+  SELECT r.cur, COALESCE(MAX(CASE WHEN q.nxt = 'purchase'
+                                  THEN q.p_nano END), 0) AS p
+  FROM r LEFT JOIN q ON r.cur = q.cur GROUP BY r.cur
+), p2 AS (
+  SELECT p1.cur,
+         p1.p + CAST(SUM(CASE WHEN q.nxt <> 'purchase'
+                              THEN (q.p_nano * j.p) // 1000000000
+                              ELSE 0 END) AS BIGINT) AS p
+  FROM p1 JOIN q ON p1.cur = q.cur JOIN p1 j ON q.nxt = j.cur
+  GROUP BY p1.cur, p1.p
+), p3 AS (
+  SELECT p1.cur,
+         p1.p + CAST(SUM(CASE WHEN q.nxt <> 'purchase'
+                              THEN (q.p_nano * j.p) // 1000000000
+                              ELSE 0 END) AS BIGINT) AS p
+  FROM p1 JOIN q ON p1.cur = q.cur JOIN p2 j ON q.nxt = j.cur
+  GROUP BY p1.cur, p1.p
+)
+SELECT p1.cur AS event_type, p1.p AS p1_nano, p2.p AS p2_nano,
+       p3.p AS p3_nano
+FROM p1 JOIN p2 ON p1.cur = p2.cur JOIN p3 ON p1.cur = p3.cur
+""",
+)
+def q_absorption_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorption probability unrolled 3 steps: P(a user's NEXT
+    purchase happens within 1, 2, or 3 transitions) from each starting
+    event type, by the first-step recursion P_k(t) = q(t,purchase) +
+    sum_{j != purchase} q(t,j) * P_{k-1}(j) over the empirical Markov
+    chain — the conversion-horizon planning number q_markov_accuracy's
+    point predictions can't give you.
+
+    Exactness: transition probabilities are nano-unit BIGINT floor
+    divisions; each recursion term floors before the
+    order-independent integer sum — deterministic fixed-point
+    arithmetic, documented bias < |types| nano per level.
+
+    Scale shape: one user-keyed window pass for transitions; all three
+    unrolled steps run on the |types|^2 matrix (tiny, broadcast)."""
+    c = catalog(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = c.events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wl).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = seq.groupBy("cur", "nxt").agg(F.count("*").cast("bigint").alias("c"))
+    r = tr.groupBy("cur").agg(F.sum("c").cast("bigint").alias("rt"))
+    q = tr.join(r, "cur").select(
+        "cur", "nxt", F.expr("(c * 1000000000) div rt").alias("p_nano")
+    )
+    p1 = (
+        r.join(q, "cur", "left")
+        .groupBy("cur")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("nxt") == "purchase", F.col("p_nano"))
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("p")
+        )
+    )
+
+    def step(prev: DataFrame) -> DataFrame:
+        j = prev.select(F.col("cur").alias("jcur"), F.col("p").alias("jp"))
+        return (
+            p1.join(q, "cur")
+            .join(F.broadcast(j), F.col("nxt") == F.col("jcur"))
+            .groupBy("cur", F.col("p").alias("base"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("nxt") != "purchase",
+                        F.expr("(p_nano * jp) div 1000000000"),
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("inc")
+            )
+            .select("cur", (F.col("base") + F.col("inc")).alias("p"))
+        )
+
+    p2 = step(p1)
+    p3 = step(p2)
+    return (
+        p1.select(F.col("cur").alias("event_type"), F.col("p").alias("p1_nano"))
+        .join(
+            p2.select(F.col("cur").alias("event_type"), F.col("p").alias("p2_nano")),
+            "event_type",
+        )
+        .join(
+            p3.select(F.col("cur").alias("event_type"), F.col("p").alias("p3_nano")),
+            "event_type",
+        )
+    )

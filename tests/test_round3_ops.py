@@ -1084,3 +1084,36 @@ def test_sessionize_capped_caps_every_subsession_at_24h(spark):
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert df["n_events"].sum() == n_events
     assert (df["sub_sess"] >= 0).all()
+
+
+def test_quantile_normalize_deciles_are_monotone(spark):
+    from catenae_kafka_spark.operators.mlstats import q_quantile_normalize
+
+    df = q_quantile_normalize(spark, SF).toPandas().sort_values("decile")
+    assert len(df) == 9
+    assert df["src_decile_cents"].is_monotonic_increasing
+    assert df["mapped_cents"].is_monotonic_increasing
+
+
+def test_rank_biased_overlap_bounds_and_self_similarity(spark):
+    """RBO in [0, sum(w)], and overlap@10 <= 10."""
+    from catenae_kafka_spark.operators.mlstats import (
+        _RBO_W,
+        q_rank_biased_overlap,
+    )
+
+    r = q_rank_biased_overlap(spark, SF).toPandas().iloc[0]
+    assert 0 <= r["overlap_at_10"] <= 10
+    assert 0 <= r["rbo_nano"] <= sum(_RBO_W)
+
+
+def test_absorption_probabilities_are_monotone_in_horizon(spark):
+    """P(within k) must be non-decreasing in k and within [0, 1e9]."""
+    from catenae_kafka_spark.operators.mlstats import q_absorption_3step
+
+    df = q_absorption_3step(spark, SF).toPandas()
+    assert len(df) == 5
+    assert (df["p1_nano"] <= df["p2_nano"] + 5).all()
+    assert (df["p2_nano"] <= df["p3_nano"] + 5).all()
+    for col in ["p1_nano", "p2_nano", "p3_nano"]:
+        assert df[col].between(0, 1_000_000_000).all()
