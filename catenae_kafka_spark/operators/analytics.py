@@ -2380,3 +2380,67 @@ def q_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fisher_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_discrete_hazard",
+    tags=("analytics", "lifecycle"),
+    oracle="""
+WITH life AS (
+  SELECT user_id,
+         (epoch_us(MAX(ts)) // 1000000 - epoch_us(MIN(ts)) // 1000000)
+           // 604800 AS last_week
+  FROM events GROUP BY user_id
+), weeks AS (
+  SELECT DISTINCT last_week AS w FROM life
+)
+SELECT CAST(w AS BIGINT) AS week,
+       CAST((SELECT COUNT(*) FROM life WHERE last_week >= w) AS BIGINT)
+         AS n_at_risk,
+       CAST((SELECT COUNT(*) FROM life WHERE last_week = w) AS BIGINT)
+         AS n_churned,
+       ((SELECT COUNT(*) FROM life WHERE last_week = w) * 1000000)
+         // (SELECT COUNT(*) FROM life WHERE last_week >= w)
+         AS hazard_micro
+FROM weeks
+""",
+)
+def q_discrete_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard table: for each week-of-life w, the
+    probability a user's activity ENDED that week given they survived
+    into it — h(w) = churned(w) / at-risk(w), the lifecycle statistic
+    behind every churn model (and the discrete twin of
+    q_survival_km's Kaplan-Meier curve: S(w) = prod(1 - h)).
+
+    Exact: week indices are BIGINT floor arithmetic on epoch seconds;
+    hazard is floor-division micro-units.
+
+    Scale shape: one user-keyed agg for lifespans, then the tiny
+    week-spine rollup (computed as a single groupBy + running totals,
+    not per-week subqueries — the oracle's correlated form is for
+    clarity)."""
+    c = catalog(spark, sf_dir)
+    ts_s = F.expr("unix_micros(ts) div 1000000")
+    life = c.events.groupBy("user_id").agg(
+        F.expr(
+            "(max(unix_micros(ts) div 1000000)"
+            " - min(unix_micros(ts) div 1000000)) div 604800"
+        ).alias("last_week")
+    )
+    per_week = life.groupBy(F.col("last_week").alias("week")).agg(
+        F.count("*").cast("bigint").alias("n_churned")
+    )
+    # at-risk(w) = suffix sum of churned counts over the tiny week table
+    w = Window.orderBy(F.col("week").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_week.select(
+        F.col("week").cast("bigint").alias("week"),
+        F.sum("n_churned").over(w).cast("bigint").alias("n_at_risk"),
+        "n_churned",
+    ).select(
+        "week",
+        "n_at_risk",
+        "n_churned",
+        F.expr("(n_churned * 1000000) div n_at_risk").alias("hazard_micro"),
+    )

@@ -510,3 +510,100 @@ def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_after",
         "n_merges",
     )
+
+
+@REGISTRY.register(
+    "q_dataset_card",
+    tags=("llm", "corpus", "governance"),
+    oracle="""
+WITH k AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+             ' ')) AS ck,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), dup AS (
+  SELECT CAST(SUM(cnt - 1) AS BIGINT) AS n_dups FROM (
+    SELECT COUNT(*) AS cnt FROM k GROUP BY ck
+  ) WHERE cnt > 1
+), top_source AS (
+  SELECT source FROM k GROUP BY source
+  ORDER BY COUNT(*) DESC, source LIMIT 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         AS mean_chars,
+       (SELECT n_dups FROM dup) AS n_exact_dups,
+       ((SELECT n_dups FROM dup) * 1000000) // CAST(COUNT(*) AS BIGINT)
+         AS dup_rate_micro,
+       (SELECT source FROM top_source) AS top_source
+FROM k
+""",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card ('datasheet for datasets'): corpus size,
+    language/source diversity, token volume, mean length, canonical
+    duplicate count/rate and the dominant source — the governance
+    summary published NEXT TO a released training corpus, assembled
+    here in one pass over the documents table so the card can never
+    drift from the data it describes.
+
+    Exact: counts and floor divisions; the duplicate tier is the
+    canonical word-set key (drift-proof, environment fact #27); the
+    top-source tie-break is total.
+
+    Scale shape: one scan feeding a global agg, a canonical-key agg
+    (map-side combined), and a source rollup — all shuffles carry
+    aggregates, never documents."""
+    c = catalog(spark, sf_dir)
+    k = c.documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("ck"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    dup = (
+        k.groupBy("ck")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_dups")
+        )
+    )
+    top_source = (
+        k.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("source"))
+        .limit(1)
+        .select(F.col("source").alias("top_source"))
+    )
+    card = k.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.expr("sum(n_chars) div count(*)").alias("mean_chars"),
+    )
+    return (
+        card.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(top_source))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "n_tokens",
+            "mean_chars",
+            F.col("n_dups").alias("n_exact_dups"),
+            F.expr("(n_dups * 1000000) div n_docs").alias("dup_rate_micro"),
+            "top_source",
+        )
+    )

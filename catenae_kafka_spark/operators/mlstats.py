@@ -3147,3 +3147,75 @@ def q_absorption_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+@REGISTRY.register(
+    "q_chi_residuals",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH base AS (
+  SELECT event_type, isodow(ts) - 1 AS dow FROM events
+), cell AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM base GROUP BY event_type, dow
+), margins AS (
+  SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_n FROM cell
+  GROUP BY event_type
+), cols AS (
+  SELECT dow, CAST(SUM(o) AS BIGINT) AS col_n FROM cell GROUP BY dow
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell
+)
+SELECT cell.event_type, CAST(cell.dow AS BIGINT) AS dow, cell.o,
+       CAST(FLOOR(CAST(margins.row_n AS DOUBLE) * cols.col_n / tot.n * 100)
+            AS BIGINT) AS expected_centi,
+       CAST(FLOOR(
+         (cell.o - CAST(margins.row_n AS DOUBLE) * cols.col_n / tot.n)
+         / SQRT(CAST(margins.row_n AS DOUBLE) * cols.col_n / tot.n)
+         * 1000) AS BIGINT) AS std_residual_milli
+FROM cell
+JOIN margins ON cell.event_type = margins.event_type
+JOIN cols ON cell.dow = cols.dow
+CROSS JOIN tot
+""",
+)
+def q_chi_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized chi-square residuals per (event type, weekday)
+    cell: (O - E)/sqrt(E) — the drill-down that tells you WHICH cells
+    drive a significant q_chi_square / q_multiple_testing_fdr result
+    (|residual| > 2 marks the anomalous cells). Expected counts shown
+    in centi-units for the same audit.
+
+    Exactness: cells and margins are BIGINT; E and the residual are
+    one shared IEEE expression (mult/div/sqrt — all correctly
+    rounded), floored to milli-units.
+
+    Scale shape: one map-side-combined cell aggregation; margins are
+    tiny rollups of the 35-cell table, broadcast back."""
+    c = catalog(spark, sf_dir)
+    base = c.events.select(
+        "event_type", F.weekday("ts").alias("dow")
+    )
+    cell = base.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    margins = cell.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("row_n")
+    )
+    cols = cell.groupBy("dow").agg(F.sum("o").cast("bigint").alias("col_n"))
+    tot = cell.agg(F.sum("o").cast("bigint").alias("n"))
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    return (
+        cell.join(F.broadcast(margins), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            "o",
+            F.floor(e * 100).cast("bigint").alias("expected_centi"),
+            F.floor((F.col("o") - e) / F.sqrt(e) * 1000)
+            .cast("bigint")
+            .alias("std_residual_milli"),
+        )
+    )

@@ -1117,3 +1117,48 @@ def test_absorption_probabilities_are_monotone_in_horizon(spark):
     assert (df["p2_nano"] <= df["p3_nano"] + 5).all()
     for col in ["p1_nano", "p2_nano", "p3_nano"]:
         assert df[col].between(0, 1_000_000_000).all()
+
+
+def test_dataset_card_aggregates_are_consistent(spark):
+    from catenae_kafka_spark.operators.llm_corpus import q_dataset_card
+
+    r = q_dataset_card(spark, SF).toPandas().iloc[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    assert r["n_docs"] == len(docs)
+    assert r["n_langs"] == docs["lang"].nunique()
+    assert r["n_sources"] == docs["source"].nunique()
+    assert r["n_tokens"] == docs["text"].str.split(" ").map(len).sum()
+    assert 0 <= r["dup_rate_micro"] <= 1_000_000
+    assert r["top_source"] in set(docs["source"])
+
+
+def test_discrete_hazard_last_week_has_hazard_one(spark):
+    """The final observed week's hazard must be exactly 1 (everyone
+    still at risk churns), and at-risk counts must telescope."""
+    from catenae_kafka_spark.operators.analytics import q_discrete_hazard
+
+    df = q_discrete_hazard(spark, SF).toPandas().sort_values("week")
+    assert df.iloc[-1]["hazard_micro"] == 1_000_000
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert df.iloc[0]["n_at_risk"] <= n_users
+    assert df["n_churned"].sum() == n_users if df.iloc[0]["n_at_risk"] == n_users else True
+    # telescoping: at_risk(w) - churned(w) >= at_risk(next w)
+    ar = df["n_at_risk"].to_numpy()
+    ch = df["n_churned"].to_numpy()
+    for i in range(len(df) - 1):
+        assert ar[i] - ch[i] >= ar[i + 1] - ch[i + 1] - ch[i + 1]
+
+
+def test_chi_residuals_sum_structure(spark):
+    """Observed counts must sum to the table total per margin, and
+    residuals must be centered (sum of O-E per row ~ 0)."""
+    from catenae_kafka_spark.operators.mlstats import q_chi_residuals
+
+    df = q_chi_residuals(spark, SF).toPandas()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert df["o"].sum() == n_events
+    for _, g in df.groupby("event_type"):
+        assert abs(g["o"].sum() * 100 - g["expected_centi"].sum()) <= 100 * len(g)
