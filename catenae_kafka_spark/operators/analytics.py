@@ -2444,3 +2444,59 @@ def q_discrete_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_churned",
         F.expr("(n_churned * 1000000) div n_at_risk").alias("hazard_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_peak_detection",
+    tags=("analytics", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY day
+), w AS (
+  SELECT day, n,
+         LAG(n) OVER (ORDER BY day) AS prev_n,
+         LEAD(n) OVER (ORDER BY day) AS next_n
+  FROM daily
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, n,
+       n - GREATEST(prev_n, next_n) AS prominence
+FROM w
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n > prev_n AND n > next_n
+""",
+)
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on the daily event-count series: days
+    strictly above both neighbors, with a simple prominence (margin
+    over the taller neighbor) — the first-pass spike finder feeding
+    alerting/annotation pipelines (q_changepoint finds level SHIFTS;
+    this finds isolated SPIKES).
+
+    Exact BIGINT counts and comparisons; the boundary days are
+    excluded (no one-sided peaks), matching the oracle exactly.
+
+    Scale shape: the fact table reduces to <=31 daily rows map-side;
+    the neighbor window runs on that tiny series (a deliberate
+    unpartitioned window over an aggregate, not data)."""
+    c = catalog(spark, sf_dir)
+    daily = c.events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.orderBy("day")
+    t = daily.select(
+        "day",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return t.filter(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        (F.col("n") - F.greatest("prev_n", "next_n")).alias("prominence"),
+    )

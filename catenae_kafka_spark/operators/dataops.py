@@ -958,3 +958,92 @@ def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").cast("bigint").alias("n_joined_rows"),
         F.max("m").cast("bigint").alias("max_mult"),
     )
+
+
+@REGISTRY.register(
+    "q_rendezvous_sharding",
+    tags=("dataops", "distribution"),
+    oracle="""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), scored AS (
+  SELECT u.user_id, s.shard,
+         md5(u.user_id || '@' || s.shard) AS score
+  FROM users u
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS shard) s
+), pick8 AS (
+  SELECT user_id, shard FROM (
+    SELECT user_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, shard) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), pick7 AS (
+  SELECT user_id, shard FROM (
+    SELECT user_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, shard) AS rn
+    FROM scored WHERE shard <> 7
+  ) WHERE rn = 1
+)
+SELECT p8.shard,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN p7.shard <> p8.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_if_shard7_dies
+FROM pick8 p8 JOIN pick7 p7 ON p8.user_id = p7.user_id
+GROUP BY p8.shard
+""",
+)
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding: each user lands on
+    the shard maximizing md5(user@shard) — and the payoff is measured
+    directly: when shard 7 is removed, ONLY its own users move
+    (n_moved is 0 for every surviving shard), versus mod-hashing where
+    ~7/8 of ALL users would reshuffle. This is the assignment
+    discipline behind state-store partitioning, cache routing and
+    sticky consumer groups, made engine-portable via md5.
+
+    Exact: the argmax tie-break is total (hex score DESC, shard); all
+    outputs are BIGINT counts.
+
+    Scale shape: an 8-way constant explode per user (map-side) + one
+    per-user argmax window — in production the argmax is computed
+    inline per record (8 hashes, no window); the window form here
+    keeps the oracle shared."""
+    c = catalog(spark, sf_dir)
+    users = c.events.select("user_id").distinct()
+    shards = spark.range(0, 8).select(F.col("id").cast("bigint").alias("shard"))
+    scored = users.crossJoin(F.broadcast(shards)).select(
+        "user_id",
+        "shard",
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("@"),
+                F.col("shard").cast("string"),
+            )
+        ).alias("score"),
+    )
+    def pick(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("score").desc(), F.col("shard")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "shard")
+        )
+    p8 = pick(scored)
+    p7 = pick(scored.filter(F.col("shard") != 7)).withColumnRenamed(
+        "shard", "shard7"
+    )
+    return (
+        p8.join(p7, "user_id")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum(F.when(F.col("shard7") != F.col("shard"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved_if_shard7_dies"),
+        )
+    )

@@ -3219,3 +3219,83 @@ def q_chi_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("std_residual_milli"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_var_es",
+    tags=("mlstats", "risk"),
+    oracle="""
+WITH t AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY FLOOR(value * 100 + 0.5), event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), var AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(CASE WHEN rn = GREATEST((n * 5) // 100, 1)
+                       THEN cents END) AS BIGINT) AS var5_cents,
+         CAST(MAX(CASE WHEN rn = GREATEST((n * 5) // 100, 1)
+                       THEN rn END) AS BIGINT) AS k
+  FROM t GROUP BY event_type
+)
+SELECT v.event_type, v.n, v.var5_cents,
+       CAST(SUM(t.cents) AS BIGINT) // v.k AS es5_cents
+FROM var v JOIN t ON t.event_type = v.event_type AND t.rn <= v.k
+GROUP BY v.event_type, v.n, v.var5_cents, v.k
+""",
+)
+def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall at the 5% tail,
+    per event type: VaR = the exact 5th-percentile order statistic,
+    ES = the mean of everything at or below it — the coherent tail-risk
+    pair (ES is subadditive; VaR alone is not), computed
+    nonparametrically from the empirical distribution like every
+    historical-simulation risk engine.
+
+    Exact: order-statistic selection and BIGINT tail averaging
+    (floor division) over a total (cents, event_id) order.
+
+    Scale shape: one type-keyed window sort (swap in the
+    q_median_two_phase histogram refinement at 100 TB) and one
+    tail-filtered re-aggregation."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    wp = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    t = c.events.select(
+        "event_type", cents.alias("cents"), "event_id"
+    ).select(
+        "event_type",
+        "cents",
+        F.row_number().over(wp).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    var = t.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(n * 5) div 100"), F.lit(1)),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("var5_cents"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(n * 5) div 100"), F.lit(1)),
+                F.col("rn"),
+            )
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    tail = t.join(
+        F.broadcast(var.select(F.col("event_type").alias("et2"), "k")),
+        (F.col("event_type") == F.col("et2")) & (F.col("rn") <= F.col("k")),
+    )
+    es = tail.groupBy("event_type").agg(
+        F.expr("sum(cents) div max(k)").alias("es5_cents")
+    )
+    return var.select("event_type", "n", "var5_cents").join(es, "event_type")

@@ -1162,3 +1162,57 @@ def test_chi_residuals_sum_structure(spark):
     assert df["o"].sum() == n_events
     for _, g in df.groupby("event_type"):
         assert abs(g["o"].sum() * 100 - g["expected_centi"].sum()) <= 100 * len(g)
+
+
+def test_var_es_tail_coherence(spark):
+    """ES must be <= VaR (it averages the tail at or below it), and
+    VaR must be a real observed value."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_var_es
+
+    df = q_var_es(spark, SF).toPandas().set_index("event_type")
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    for t, g in ev.groupby("event_type"):
+        r = df.loc[t]
+        assert r["es5_cents"] <= r["var5_cents"]
+        assert r["var5_cents"] in set(g["cents"])
+        vals = np.sort(g["cents"].to_numpy())
+        k = max((len(vals) * 5) // 100, 1)
+        assert r["var5_cents"] == vals[k - 1]
+        assert r["es5_cents"] == int(vals[:k].sum()) // k
+
+
+def test_peak_detection_peaks_beat_neighbors(spark):
+    import numpy as np
+
+    from catenae_kafka_spark.operators.analytics import q_peak_detection
+
+    df = q_peak_detection(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    daily = ev["ts"].dt.date.value_counts().sort_index()
+    days = list(daily.index)
+    for _, r in df.iterrows():
+        i = days.index(pd.Timestamp(r["day"]).date())
+        assert 0 < i < len(days) - 1
+        assert daily.iloc[i] > daily.iloc[i - 1]
+        assert daily.iloc[i] > daily.iloc[i + 1]
+        assert r["prominence"] >= 1
+
+
+def test_rendezvous_sharding_minimal_disruption(spark):
+    """No surviving shard's users move when shard 7 is removed, and
+    the assignment covers every user."""
+    from catenae_kafka_spark.operators.dataops import q_rendezvous_sharding
+
+    df = q_rendezvous_sharding(spark, SF).toPandas().set_index("shard")
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert df["n_users"].sum() == n_users
+    survivors = df.drop(index=7, errors="ignore")
+    assert (survivors["n_moved_if_shard7_dies"] == 0).all()
+    if 7 in df.index:
+        assert df.loc[7, "n_moved_if_shard7_dies"] == df.loc[7, "n_users"]

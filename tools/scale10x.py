@@ -70,6 +70,17 @@ HEADLINE = [
     "q_funnel_timing",        # conditional-MIN grouped pass + global quantiles
     "q_seasonal_decompose",   # daily rollup is the only big shuffle
     "q_graph_common_neighbors",  # shared-neighbor keyed self-join
+    # round-3 sixth-pass ops
+    "q_median_two_phase",     # histogram refinement: 2 scans, no global sort
+    "q_cusum_alarm",          # prefix-sum closed form, one keyed window pass
+    "q_lang_tvd",             # sparse common-denominator TVD, pair-broadcast
+    "q_totals_reconciliation",  # keyed partial agg + one join
+    "q_event_type_affinity",  # (user,day)-keyed self-join, type-bounded width
+    "q_markov_accuracy",      # one window pass + |types|^2 rollup
+    "q_kfold_cv",             # partial-subtraction CV: one agg, k models free
+    "q_log2_histogram",       # map + ~20-key agg
+    "q_sessionize_capped",    # one user-keyed shuffle, cap is window math
+    "q_join_fanout_audit",    # the join it audits + tiny bucket agg
 ]
 
 # measured at sf0.1 only: the exact-complete set-similarity/fuzzy ops'
