@@ -2500,3 +2500,97 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") - F.greatest("prev_n", "next_n")).alias("prominence"),
     )
+
+
+@REGISTRY.register(
+    "q_arc_elasticity",
+    tags=("analytics", "economics"),
+    oracle="""
+WITH bands AS (
+  SELECT p_brand,
+         CASE WHEN l_discount <= 0.05 THEN 'low' ELSE 'high' END AS band,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+              AS BIGINT) AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, band
+), w AS (
+  SELECT lo.p_brand, lo.q AS q1, lo.r AS r1, hi.q AS q2, hi.r AS r2
+  FROM bands lo JOIN bands hi
+    ON lo.p_brand = hi.p_brand AND lo.band = 'low' AND hi.band = 'high'
+)
+SELECT p_brand,
+       CAST(FLOOR(
+         (CAST(q2 AS DOUBLE) - q1)
+         * (CAST(r1 AS DOUBLE) * q2 + CAST(r2 AS DOUBLE) * q1)
+         / ((CAST(r2 AS DOUBLE) * q1 - CAST(r1 AS DOUBLE) * q2)
+            * (CAST(q1 AS DOUBLE) + q2))
+         * 1000) AS BIGINT) AS elasticity_milli
+FROM w
+WHERE r2 * q1 <> r1 * q2
+""",
+)
+def q_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc (midpoint) price elasticity of demand per brand between the
+    low-discount (effective-price-high) and high-discount bands:
+    E = (dQ/Q_mid)/(dP/P_mid), with unit prices P_i = R_i/Q_i
+    substituted symbolically so the whole statistic reduces to ONE
+    rational in the four exact BIGINT aggregates — no per-band price
+    average is ever materialized (dividing early would smuggle in
+    float accumulation).
+
+    Elasticity < 0 is the economically sane direction (higher
+    effective price, lower quantity); the magnitude prices the
+    discount lever next to q_revenue_bridge and q_price_indices.
+
+    Exactness: the four aggregates are exact; the final expression is
+    one shared IEEE tree floored to milli-units; the degenerate
+    equal-price case is excluded identically on both engines.
+
+    Scale shape: one (brand, band) fact aggregation with the dim
+    broadcast; the elasticity algebra runs on 25 rows."""
+    c = catalog(spark, sf_dir)
+    bands = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("l_discount") <= 0.05, "low").otherwise("high"),
+        )
+        .groupBy("p_brand", "band")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    lo = bands.filter(F.col("band") == "low").select(
+        "p_brand", F.col("q").alias("q1"), F.col("r").alias("r1")
+    )
+    hi = bands.filter(F.col("band") == "high").select(
+        F.col("p_brand").alias("pb2"),
+        F.col("q").alias("q2"),
+        F.col("r").alias("r2"),
+    )
+    w = lo.join(hi, F.col("p_brand") == F.col("pb2")).filter(
+        F.col("r2") * F.col("q1") != F.col("r1") * F.col("q2")
+    )
+    num = (F.col("q2").cast("double") - F.col("q1")) * (
+        F.col("r1").cast("double") * F.col("q2")
+        + F.col("r2").cast("double") * F.col("q1")
+    )
+    den = (
+        F.col("r2").cast("double") * F.col("q1")
+        - F.col("r1").cast("double") * F.col("q2")
+    ) * (F.col("q1").cast("double") + F.col("q2"))
+    return w.select(
+        "p_brand",
+        F.floor(num / den * 1000).cast("bigint").alias("elasticity_milli"),
+    )

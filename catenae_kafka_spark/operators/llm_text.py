@@ -1296,3 +1296,86 @@ def q_lang_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(_num * 1000000) div (2 * na * nb)").alias("tvd_micro"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_langid_confusion",
+    tags=("llm", "text", "evaluation"),
+    oracle="""
+WITH counted AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+), prof0 AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM counted WHERE word <> '' GROUP BY lang, word
+), profile AS (
+  SELECT lang AS cand_lang, word FROM (
+    SELECT lang, word,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
+    FROM prof0
+  ) WHERE rnk <= 10
+), doc_words AS (
+  SELECT doc_id, lang AS true_lang,
+         unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents
+), overlap AS (
+  SELECT dw.doc_id, dw.true_lang, p.cand_lang,
+         CAST(COUNT(*) AS BIGINT) AS hits
+  FROM doc_words dw JOIN profile p ON dw.word = p.word
+  GROUP BY dw.doc_id, dw.true_lang, p.cand_lang
+), pred AS (
+  SELECT doc_id, true_lang, cand_lang AS pred_lang FROM (
+    SELECT doc_id, true_lang, cand_lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, cand_lang) AS rnk
+    FROM overlap
+  ) WHERE rnk = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY true_lang, pred_lang
+""",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the q_lang_id classifier: (true language,
+    predicted language) counts — the evaluation artifact that turns "we
+    have a language-ID heuristic" into "here is exactly where it
+    confuses es with fr", which decides whether the heuristic is safe
+    to gate corpus routing on. Same profile construction and total
+    argmax tie-break as q_lang_id, so the two can never disagree.
+
+    Scale shape: identical to q_lang_id (broadcast 50-row profile, one
+    doc-keyed argmax) plus a tiny |langs|^2 rollup."""
+    c = catalog(spark, sf_dir)
+    docs = c.documents
+    w = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    counted = (
+        w.filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    win = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
+    profile = (
+        counted.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 10)
+        .select(F.col("lang").alias("cand_lang"), "word")
+    )
+    doc_words = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    )
+    overlap = (
+        doc_words.join(F.broadcast(profile), "word")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    best_w = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("cand_lang")
+    )
+    pred = (
+        overlap.withColumn("rnk", F.row_number().over(best_w))
+        .filter(F.col("rnk") == 1)
+        .select("true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

@@ -1517,3 +1517,61 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", "max_cusum", "n_over_threshold")
     )
+
+
+@REGISTRY.register(
+    "q_stream_sink_partitioned",
+    tags=("streaming", "sink"),
+    oracle="""
+SELECT event_type,
+       CAST(EXTRACT(day FROM ts) AS BIGINT) AS day_of_month,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, day_of_month
+""",
+)
+def q_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PARTITIONED file sink: the event stream lands in a
+    parquet layout partitioned by event_type (checkpointed,
+    exactly-once via the sink's _spark_metadata log), and the
+    read-back aggregates per partition directory — the layout that
+    lets every downstream batch reader partition-prune the streamed
+    data (the streaming half of q_dynamic_partition_pruning's story).
+
+    Scale note: streaming partitionBy multiplies open files per
+    micro-batch by the partition-value count — keep the partition
+    column low-cardinality (type/date, never user)."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    base = _os.path.join(
+        tempfile.gettempdir(), "catenae_kafka_spark", tag, "part_sink_v1"
+    )
+    sink = _os.path.join(base, "data")
+    ckpt = _os.path.join(base, "ckpt")
+    _os.makedirs(base, exist_ok=True)
+    proj = replay_events(spark, sf_dir).select(
+        "event_id", "event_type", F.dayofmonth("ts").alias("day_of_month")
+    )
+    q = (
+        proj.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("event_type")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy(
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("day_of_month").cast("bigint").alias("day_of_month"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

@@ -1216,3 +1216,62 @@ def test_rendezvous_sharding_minimal_disruption(spark):
     assert (survivors["n_moved_if_shard7_dies"] == 0).all()
     if 7 in df.index:
         assert df.loc[7, "n_moved_if_shard7_dies"] == df.loc[7, "n_users"]
+
+
+def test_langid_confusion_diagonal_matches_lang_id_accuracy(spark):
+    """Confusion counts must cover every document and the diagonal
+    must dominate (the profile classifier is better than chance)."""
+    from catenae_kafka_spark.operators.llm_text import q_langid_confusion
+
+    df = q_langid_confusion(spark, SF).toPandas()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert df["n"].sum() == n_docs
+    diag = df[df["true_lang"] == df["pred_lang"]]["n"].sum()
+    assert diag / n_docs > 1 / df["true_lang"].nunique()
+
+
+def test_stream_sink_partitioned_layout_and_counts(spark):
+    """The sink directory must be physically partitioned by event_type
+    and the read-back must cover every event exactly once."""
+    import hashlib
+    import os
+    import tempfile
+
+    from catenae_kafka_spark.streaming.queries import (
+        q_stream_sink_partitioned,
+    )
+
+    df = q_stream_sink_partitioned(spark, SF).toPandas()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert df["n"].sum() == n_events
+    tag = hashlib.sha256(SF.encode()).hexdigest()[:12]
+    sink = os.path.join(
+        tempfile.gettempdir(), "catenae_kafka_spark", tag, "part_sink_v1", "data"
+    )
+    parts = [d for d in os.listdir(sink) if d.startswith("event_type=")]
+    assert len(parts) == 5
+
+
+def test_arc_elasticity_matches_pandas_midpoint_formula(spark):
+    """Elasticities must match a pandas recomputation of the midpoint
+    formula (the fixture's quantities are synthetic, so no sign claim
+    — the invariant is the algebra, checked independently)."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.analytics import q_arc_elasticity
+
+    df = q_arc_elasticity(spark, SF).toPandas().set_index("p_brand")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{SF}/part.parquet").toPandas()
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["band"] = np.where(j["l_discount"] <= 0.05, "low", "high")
+    j["r"] = np.floor(j["l_extendedprice"] * (1 - j["l_discount"])).astype("int64")
+    g = j.groupby(["p_brand", "band"]).agg(
+        q=("l_quantity", "sum"), r=("r", "sum")
+    )
+    for brand in df.index:
+        q1, r1 = g.loc[(brand, "low")]["q"], g.loc[(brand, "low")]["r"]
+        q2, r2 = g.loc[(brand, "high")]["q"], g.loc[(brand, "high")]["r"]
+        p1, p2 = r1 / q1, r2 / q2
+        e = ((q2 - q1) / ((q1 + q2) / 2)) / ((p2 - p1) / ((p1 + p2) / 2))
+        assert abs(df.loc[brand, "elasticity_milli"] / 1000 - e) < 2e-3
