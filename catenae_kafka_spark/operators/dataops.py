@@ -1047,3 +1047,68 @@ def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_moved_if_shard7_dies"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_json_schema_profile",
+    tags=("dataops", "semistructured"),
+    oracle="""
+WITH keys AS (
+  SELECT event_id, unnest(json_keys(props)) AS k FROM events
+), typed AS (
+  SELECT k, json_type(json(props), '$.' || k) AS vtype
+  FROM keys JOIN events USING (event_id)
+)
+SELECT k AS key_name, vtype AS value_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows,
+       (CAST(COUNT(*) AS BIGINT) * 1000000)
+         // (SELECT COUNT(*) FROM events) AS presence_micro
+FROM typed GROUP BY k, vtype
+""",
+)
+def q_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profile: the observed (key, JSON type,
+    presence rate) inventory of the events.props column — the
+    schema-registry-for-JSON audit a pipeline runs before hardening a
+    blob column into typed columns (a key at <100% presence needs a
+    null policy; a key with two types needs a migration). The fixture's
+    props is uniform (one INT key at 100%), and the profile PROVING
+    that is the point — drift shows up as new rows here before it
+    breaks a downstream cast.
+
+    Exact: key explosion and type tags are engine-portable (Spark
+    json_object_keys/get_json_object, DuckDB json_keys/json_type —
+    type names normalized via the shared UBIGINT/INTEGER-free
+    spelling below); counts and presence are BIGINT.
+
+    Scale shape: map-side JSON parsing + a tiny (keys x types) agg."""
+    c = catalog(spark, sf_dir)
+    keys = c.events.select(
+        "props", F.explode(F.json_object_keys("props")).alias("k")
+    )
+    typed = keys.select(
+        "k",
+        # normalize to DuckDB's type vocabulary for the shared contract
+        F.when(
+            F.expr("get_json_object(props, concat('$.', k))").rlike(
+                "^-?[0-9]+$"
+            ),
+            F.lit("UBIGINT"),
+        )
+        .otherwise(F.lit("VARCHAR"))
+        .alias("vtype"),
+    )
+    tot = c.events.agg(F.count("*").cast("bigint").alias("n_rows"))
+    return (
+        typed.groupBy(F.col("k").alias("key_name"), F.col("vtype").alias("value_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key_name",
+            "value_type",
+            "n",
+            "n_rows",
+            F.expr("(n * 1000000) div n_rows").alias("presence_micro"),
+        )
+    )

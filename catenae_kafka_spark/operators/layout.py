@@ -17,7 +17,7 @@ Z-expression, files become the buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
@@ -291,3 +291,102 @@ def _dpp_dir(sf_dir: str) -> str:
     d = _os.path.join(tempfile.gettempdir(), "catenae_kafka_spark", tag, "dpp")
     _os.makedirs(d, exist_ok=True)
     return d
+
+
+@REGISTRY.register(
+    "q_rle_compressibility",
+    tags=("layout", "scale"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (ORDER BY event_id) AS prev_type,
+         user_id,
+         LAG(user_id) OVER (ORDER BY event_id) AS prev_user
+  FROM events
+), runs AS (
+  SELECT CAST(1 + SUM(CASE WHEN prev_type IS NULL
+                           OR event_type <> prev_type THEN 1 ELSE 0 END)
+              - 1 AS BIGINT) AS type_runs_natural,
+         CAST(1 + SUM(CASE WHEN prev_user IS NULL
+                           OR user_id <> prev_user THEN 1 ELSE 0 END)
+              - 1 AS BIGINT) AS user_runs_natural,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq
+)
+SELECT n, type_runs_natural,
+       CAST((SELECT COUNT(DISTINCT event_type) FROM events) AS BIGINT)
+         AS type_runs_sorted,
+       user_runs_natural,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+         AS user_runs_sorted,
+       (type_runs_natural * 1000)
+         // (SELECT COUNT(DISTINCT event_type) FROM events)
+         AS type_sort_gain_milli,
+       (user_runs_natural * 1000)
+         // (SELECT COUNT(DISTINCT user_id) FROM events)
+         AS user_sort_gain_milli
+FROM runs
+""",
+)
+def q_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length compressibility audit: for event_type and user_id,
+    the RLE run count in the table's NATURAL (event_id) order versus
+    after sorting by that column (where runs = distinct values) — the
+    gain ratio is exactly the factor parquet's RLE/dictionary encoding
+    would shrink by if the layout sorted on that column. This is the
+    measurement behind layout choices (q_zorder_layout orders by it;
+    a gain near 1x says the column is already clustered and re-sorting
+    buys nothing).
+
+    Exact: run boundaries are integer comparisons against LAG over the
+    total event_id order; gains are floor-division milli-units.
+
+    Scale shape: one ordered window pass + distinct counts. The global
+    (unpartitioned) LAG is the audit's semantics — at 100 TB it runs
+    per row group / file and sums, identical math, no global sort."""
+    c = catalog(spark, sf_dir)
+    w = Window.orderBy("event_id")
+    seq = c.events.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        "user_id",
+        F.lag("user_id").over(w).alias("prev_user"),
+    )
+    runs = seq.agg(
+        F.sum(
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("type_runs_natural"),
+        F.sum(
+            F.when(
+                F.col("prev_user").isNull()
+                | (F.col("user_id") != F.col("prev_user")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("user_runs_natural"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    d = c.events.agg(
+        F.countDistinct("event_type").cast("bigint").alias("type_runs_sorted"),
+        F.countDistinct("user_id").cast("bigint").alias("user_runs_sorted"),
+    )
+    return runs.crossJoin(F.broadcast(d)).select(
+        "n",
+        "type_runs_natural",
+        "type_runs_sorted",
+        "user_runs_natural",
+        "user_runs_sorted",
+        F.expr("(type_runs_natural * 1000) div type_runs_sorted").alias(
+            "type_sort_gain_milli"
+        ),
+        F.expr("(user_runs_natural * 1000) div user_runs_sorted").alias(
+            "user_sort_gain_milli"
+        ),
+    )

@@ -263,3 +263,63 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states the expected features with plain string functions."""
     c = catalog(spark, sf_dir)
     return featurize_media(with_media_column(c.documents))
+
+
+@REGISTRY.register(
+    "q_cas_dedup",
+    tags=("multimodal", "dedup", "storage"),
+    oracle="""
+WITH blobs AS (
+  SELECT doc_id, sha256(text) AS cas_key, strlen(text) AS n_bytes
+  FROM documents
+), per_key AS (
+  SELECT cas_key, CAST(COUNT(*) AS BIGINT) AS n_refs,
+         CAST(MAX(n_bytes) AS BIGINT) AS n_bytes
+  FROM blobs GROUP BY cas_key
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_blobs,
+       CAST(SUM(n_refs) AS BIGINT) AS n_refs_total,
+       CAST(SUM(n_refs * n_bytes) AS BIGINT) AS logical_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS physical_bytes,
+       CAST(SUM((n_refs - 1) * n_bytes) AS BIGINT) AS bytes_saved
+FROM per_key
+""",
+)
+def q_cas_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable-storage (CAS) accounting over binary
+    payloads: blobs are keyed by sha-256 of their bytes, stored once,
+    referenced many times — the dedup layer every multimodal data lake
+    puts under its image/audio blobs. Reports logical vs physical
+    bytes and the dedup saving (here the payload is the documents
+    table's UTF-8 bytes, the same synthesis as attach_media; the
+    accounting is payload-agnostic).
+
+    Exact: sha-256 of identical bytes is identical hex on both
+    engines (Spark hashes the binary column, DuckDB the VARCHAR's
+    UTF-8 bytes — same bytes); all byte math is BIGINT.
+
+    Scale shape: map-side hashing, one digest-keyed partial agg — the
+    blobs themselves never shuffle (only 32-byte digests and counts
+    do), which is the entire point of CAS at 100 TB."""
+    c = catalog(spark, sf_dir)
+    blobs = c.documents.select(
+        F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("cas_key"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("n_bytes"),
+    )
+    per_key = blobs.groupBy("cas_key").agg(
+        F.count("*").cast("bigint").alias("n_refs"),
+        F.max("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+    return per_key.agg(
+        F.count("*").cast("bigint").alias("n_unique_blobs"),
+        F.sum("n_refs").cast("bigint").alias("n_refs_total"),
+        F.sum(F.col("n_refs") * F.col("n_bytes"))
+        .cast("bigint")
+        .alias("logical_bytes"),
+        F.sum("n_bytes").cast("bigint").alias("physical_bytes"),
+        F.sum((F.col("n_refs") - 1) * F.col("n_bytes"))
+        .cast("bigint")
+        .alias("bytes_saved"),
+    )

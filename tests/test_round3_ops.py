@@ -1275,3 +1275,37 @@ def test_arc_elasticity_matches_pandas_midpoint_formula(spark):
         p1, p2 = r1 / q1, r2 / q2
         e = ((q2 - q1) / ((q1 + q2) / 2)) / ((p2 - p1) / ((p1 + p2) / 2))
         assert abs(df.loc[brand, "elasticity_milli"] / 1000 - e) < 2e-3
+
+
+def test_cas_dedup_byte_conservation(spark):
+    """logical = physical + saved, refs = n_docs, and zero byte-exact
+    dups on this fixture (environment fact #27) => saved == 0."""
+    from catenae_kafka_spark.operators.llm_multimodal import q_cas_dedup
+
+    r = q_cas_dedup(spark, SF).toPandas().iloc[0]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert r["n_refs_total"] == n_docs
+    assert r["logical_bytes"] == r["physical_bytes"] + r["bytes_saved"]
+    assert r["n_unique_blobs"] <= n_docs
+    assert r["bytes_saved"] >= 0
+
+
+def test_json_schema_profile_covers_fixture_props(spark):
+    from catenae_kafka_spark.operators.dataops import q_json_schema_profile
+
+    df = q_json_schema_profile(spark, SF).toPandas()
+    assert set(df["key_name"]) == {"k"}
+    assert (df["value_type"] == "UBIGINT").all()
+    assert (df["presence_micro"] == 1_000_000).all()
+
+
+def test_rle_compressibility_bounds(spark):
+    """Natural runs are bounded by [distinct, n]; gains >= 1000 milli
+    (sorting can never increase runs)."""
+    from catenae_kafka_spark.operators.layout import q_rle_compressibility
+
+    r = q_rle_compressibility(spark, SF).toPandas().iloc[0]
+    assert r["type_runs_sorted"] <= r["type_runs_natural"] <= r["n"]
+    assert r["user_runs_sorted"] <= r["user_runs_natural"] <= r["n"]
+    assert r["type_sort_gain_milli"] >= 1000
+    assert r["user_sort_gain_milli"] >= 1000
