@@ -2594,3 +2594,131 @@ def q_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         F.floor(num / den * 1000).cast("bigint").alias("elasticity_milli"),
     )
+
+
+@REGISTRY.register(
+    "q_palma_ratio",
+    tags=("analytics", "inequality"),
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM per
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN rn > (n * 9) / 10 THEN cents ELSE 0 END)
+            AS BIGINT) AS top10_cents,
+       CAST(SUM(CASE WHEN rn <= (n * 4) / 10 THEN cents ELSE 0 END)
+            AS BIGINT) AS bottom40_cents,
+       (CAST(SUM(CASE WHEN rn > (n * 9) / 10 THEN cents ELSE 0 END)
+             AS BIGINT) * 1000)
+         // CAST(SUM(CASE WHEN rn <= (n * 4) / 10 THEN cents ELSE 0 END)
+                 AS BIGINT) AS palma_milli
+FROM ranked
+""",
+)
+def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma inequality ratio of customer spend: top-10% share over
+    bottom-40% share — the log-free inequality headline that
+    complements q_gini and q_top_share (the Palma captures exactly the
+    tails the Gini averages away).
+
+    Exact: per-customer cents, total-order ranking, integer rank
+    cutoffs ((n*9)/10 with integer division — same on both engines
+    for positive ints), floor-division milli-ratio.
+
+    Scale shape: one customer agg, one single-column rank (two-phase
+    selection at 100 TB), one conditional global sum."""
+    c = catalog(spark, sf_dir)
+    per = c.orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("rn") > F.expr("(n * 9) div 10"), F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("top10_cents"),
+        F.sum(F.when(F.col("rn") <= F.expr("(n * 4) div 10"), F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("bottom40_cents"),
+    ).select(
+        "n_customers",
+        "top10_cents",
+        "bottom40_cents",
+        F.expr("(top10_cents * 1000) div bottom40_cents").alias("palma_milli"),
+    )
+
+
+@REGISTRY.register(
+    "q_simpson_diversity",
+    tags=("analytics", "behavioral"),
+    oracle="""
+WITH mix AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_i
+  FROM events GROUP BY user_id, event_type
+), per_user AS (
+  SELECT user_id,
+         CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(n_i * (n_i - 1)) AS BIGINT) AS same_pairs
+  FROM mix GROUP BY user_id
+), d AS (
+  SELECT user_id,
+         1000000 - (same_pairs * 1000000) // (n * (n - 1)) AS d_micro
+  FROM per_user WHERE n >= 2
+)
+SELECT d_micro // 100000 AS diversity_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(d_micro) AS BIGINT) AS min_d_micro,
+       CAST(MAX(d_micro) AS BIGINT) AS max_d_micro
+FROM d GROUP BY diversity_decile
+""",
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index of each user's activity mix, D = 1 -
+    sum_i n_i(n_i-1)/(n(n-1)) (the probability two random events of
+    the user differ in type), bucketed into a decile histogram — the
+    log-free behavioral-diversity signal (entropy needs transcendental
+    functions and can't be hash-oracled; Simpson's D measures the same
+    concentration exactly).
+
+    Exact: unbiased same-pair counting is pure BIGINT, micro-floored
+    before bucketing.
+
+    Scale shape: one (user, type) agg, one user rollup, one 10-bucket
+    histogram — all map-side combined."""
+    c = catalog(spark, sf_dir)
+    mix = c.events.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_i")
+    )
+    per_user = mix.groupBy("user_id").agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1))
+        .cast("bigint")
+        .alias("same_pairs"),
+    )
+    d = per_user.filter(F.col("n") >= 2).select(
+        F.expr(
+            "1000000 - (same_pairs * 1000000) div (n * (n - 1))"
+        ).alias("d_micro")
+    )
+    return d.groupBy(
+        F.expr("d_micro div 100000").alias("diversity_decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.min("d_micro").cast("bigint").alias("min_d_micro"),
+        F.max("d_micro").cast("bigint").alias("max_d_micro"),
+    )

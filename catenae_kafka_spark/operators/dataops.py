@@ -1112,3 +1112,96 @@ def q_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n * 1000000) div n_rows").alias("presence_micro"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_fk_discovery",
+    tags=("dataops", "discovery"),
+    oracle="""
+WITH cand AS (
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS candidate,
+         CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS BIGINT)
+           AS n_child_distinct,
+         CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+              AS BIGINT) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part.p_partkey',
+         CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS BIGINT),
+         CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+               WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer.c_custkey',
+         CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders
+               WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'orders.o_orderkey->lineitem.l_orderkey',
+         CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders
+               WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+              AS BIGINT)
+)
+SELECT candidate, n_child_distinct, n_orphans,
+       ((n_child_distinct - n_orphans) * 1000000) // n_child_distinct
+         AS containment_micro,
+       n_orphans = 0 AS is_fk
+FROM cand
+""",
+)
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) DISCOVERY: measure, from the
+    data alone, what fraction of each candidate child column's distinct
+    values is contained in the candidate parent column — containment =
+    1.0 certifies a joinable FK, partial containment quantifies
+    orphans (the metadata-mining step that bootstraps q_ri_audit's
+    declared-FK checks on an undocumented lake; the reverse direction
+    orders->lineitem is included to show discovery REJECTING a
+    non-dependency when childless orders exist).
+
+    Exact: distinct counts and anti-join orphan counts, floor-division
+    containment.
+
+    Scale shape: per candidate, one distinct-project of the child and
+    a LEFT ANTI join against the parent key — never a row-level join;
+    the four candidates share scans via reused distinct projections."""
+    c = catalog(spark, sf_dir)
+
+    def probe(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        d = child.select(F.col(ckey).alias("k")).distinct()
+        orphans = d.join(
+            parent.select(F.col(pkey).alias("k")).distinct(), "k", "left_anti"
+        )
+        return (
+            d.agg(F.count("*").cast("bigint").alias("n_child_distinct"))
+            .crossJoin(
+                orphans.agg(F.count("*").cast("bigint").alias("n_orphans"))
+            )
+            .select(
+                F.lit(name).alias("candidate"), "n_child_distinct", "n_orphans"
+            )
+        )
+
+    cand = (
+        probe("lineitem.l_orderkey->orders.o_orderkey", c.lineitem, "l_orderkey", c.orders, "o_orderkey")
+        .unionByName(
+            probe("lineitem.l_partkey->part.p_partkey", c.lineitem, "l_partkey", c.part, "p_partkey")
+        )
+        .unionByName(
+            probe("orders.o_custkey->customer.c_custkey", c.orders, "o_custkey", c.customer, "c_custkey")
+        )
+        .unionByName(
+            probe("orders.o_orderkey->lineitem.l_orderkey", c.orders, "o_orderkey", c.lineitem, "l_orderkey")
+        )
+    )
+    return cand.select(
+        "candidate",
+        "n_child_distinct",
+        "n_orphans",
+        F.expr(
+            "((n_child_distinct - n_orphans) * 1000000) div n_child_distinct"
+        ).alias("containment_micro"),
+        (F.col("n_orphans") == 0).alias("is_fk"),
+    )

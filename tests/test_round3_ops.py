@@ -1309,3 +1309,45 @@ def test_rle_compressibility_bounds(spark):
     assert r["user_runs_sorted"] <= r["user_runs_natural"] <= r["n"]
     assert r["type_sort_gain_milli"] >= 1000
     assert r["user_sort_gain_milli"] >= 1000
+
+
+def test_palma_ratio_matches_pandas(spark):
+    import numpy as np
+
+    from catenae_kafka_spark.operators.analytics import q_palma_ratio
+
+    r = q_palma_ratio(spark, SF).toPandas().iloc[0]
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    orders["cents"] = np.floor(orders["o_totalprice"] * 100 + 0.5).astype("int64")
+    per = orders.groupby("o_custkey")["cents"].sum().sort_values(kind="mergesort")
+    n = len(per)
+    vals = per.to_numpy()
+    top10 = vals[(n * 9) // 10:].sum()
+    bottom40 = vals[: (n * 4) // 10].sum()
+    assert r["n_customers"] == n
+    assert r["top10_cents"] == top10
+    assert r["bottom40_cents"] == bottom40
+    assert r["palma_milli"] == (top10 * 1000) // bottom40
+
+
+def test_fk_discovery_confirms_real_fks_and_rejects_reverse(spark):
+    from catenae_kafka_spark.operators.dataops import q_fk_discovery
+
+    df = q_fk_discovery(spark, SF).toPandas().set_index("candidate")
+    assert bool(df.loc["lineitem.l_orderkey->orders.o_orderkey", "is_fk"])
+    assert bool(df.loc["lineitem.l_partkey->part.p_partkey", "is_fk"])
+    assert bool(df.loc["orders.o_custkey->customer.c_custkey", "is_fk"])
+    rev = df.loc["orders.o_orderkey->lineitem.l_orderkey"]
+    assert rev["containment_micro"] <= 1_000_000
+    assert (df["containment_micro"] >= 0).all()
+
+
+def test_simpson_diversity_histogram_covers_active_users(spark):
+    from catenae_kafka_spark.operators.analytics import q_simpson_diversity
+
+    df = q_simpson_diversity(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    active = (ev.groupby("user_id").size() >= 2).sum()
+    assert df["n_users"].sum() == active
+    assert (df["min_d_micro"] <= df["max_d_micro"]).all()
+    assert df["max_d_micro"].max() <= 1_000_000
