@@ -2722,3 +2722,170 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d_micro").cast("bigint").alias("min_d_micro"),
         F.max("d_micro").cast("bigint").alias("max_d_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_attribution_decay",
+    tags=("analytics", "attribution"),
+    oracle="""
+WITH conv AS (
+  SELECT user_id, MAX(ts) AS conv_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), touches AS (
+  SELECT e.user_id, e.event_type, e.event_id,
+         (epoch_us(c.conv_ts) // 1000000 - epoch_us(e.ts) // 1000000)
+           // 86400 AS age_days
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.ts <= c.conv_ts AND e.event_type <> 'purchase'
+), weighted AS (
+  SELECT user_id, event_type,
+         CAST(SUM(1000000 >> CAST(LEAST(age_days // 7, 19) AS INT))
+              AS BIGINT) AS w
+  FROM touches GROUP BY user_id, event_type
+), per_user AS (
+  SELECT user_id, CAST(SUM(w) AS BIGINT) AS tw FROM weighted
+  GROUP BY user_id
+)
+SELECT w.event_type,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users,
+       CAST(SUM((w.w * 1000000) // p.tw) AS BIGINT) AS credit_micro_total
+FROM weighted w JOIN per_user p ON w.user_id = p.user_id
+GROUP BY w.event_type
+""",
+)
+def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution with a 7-day half-life —
+    EXACTLY: the decay weight is 1e6 >> (age_weeks), i.e. the
+    half-life discretized to weeks becomes a pure integer right-shift
+    (powers of two need no pow()/exp(), which are not
+    engine-bit-portable — this is how to get exponential decay into a
+    hash-checked contract). Each converting user's pre-conversion
+    touches split 1e6 micro-credits proportionally to decayed weight;
+    per-channel totals complete the attribution family
+    (q_attribution_touch: first/last; q_attribution_ushape:
+    position-based; HERE: recency-based).
+
+    Scale shape: one conversion agg, one user-keyed join + weighted
+    rollup; shift/floor arithmetic is map-side."""
+    c = catalog(spark, sf_dir)
+    conv = (
+        c.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("conv_ts"))
+    )
+    touches = (
+        c.events.join(conv.withColumnRenamed("user_id", "cu"), F.col("user_id") == F.col("cu"))
+        .filter(
+            (F.col("ts") <= F.col("conv_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "(unix_micros(conv_ts) div 1000000"
+                " - unix_micros(ts) div 1000000) div 86400"
+            ).alias("age_days"),
+        )
+    )
+    weighted = touches.groupBy("user_id", "event_type").agg(
+        F.sum(
+            F.expr(
+                "shiftright(1000000, CAST(LEAST(age_days div 7, 19) AS INT))"
+            )
+        )
+        .cast("bigint")
+        .alias("w")
+    )
+    per_user = weighted.groupBy("user_id").agg(
+        F.sum("w").cast("bigint").alias("tw")
+    )
+    return (
+        weighted.join(per_user, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.expr("(w * 1000000) div tw"))
+            .cast("bigint")
+            .alias("credit_micro_total"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_newsvendor_quantile",
+    tags=("analytics", "operations"),
+    oracle="""
+WITH daily AS (
+  SELECT p_brand, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, day
+), ranked AS (
+  SELECT p_brand, demand,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY demand, day) AS rn,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n
+  FROM daily
+)
+SELECT p_brand, CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(SUM(demand) AS BIGINT) // CAST(MAX(n) AS BIGINT)
+         AS mean_daily_demand,
+       CAST(MAX(CASE WHEN rn = GREATEST((n * 95 + 99) // 100, 1)
+                     THEN demand END) AS BIGINT) AS p95_daily_demand
+FROM ranked GROUP BY p_brand
+""",
+)
+def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level per brand: the 95th-percentile order
+    statistic of DAILY demand — the critical-fractile answer when
+    understocking costs ~19x overstocking (q* = F^-1(cu/(cu+co))),
+    reported next to mean demand so the safety-stock margin is
+    visible. The operations-research sibling of q_var_es (same exact
+    order-statistic machinery, opposite tail).
+
+    Exact: integer daily demand, ceil-rank selection
+    ((n*95+99)//100), total (demand, day) order.
+
+    Scale shape: one fact aggregation to brand-day (map-side
+    combined), then a per-brand window over <=|days| rows."""
+    c = catalog(spark, sf_dir)
+    daily = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("demand")
+        )
+    )
+    wp = Window.partitionBy("p_brand").orderBy("demand", "day")
+    wn = Window.partitionBy("p_brand")
+    ranked = daily.select(
+        "p_brand",
+        "demand",
+        F.row_number().over(wp).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("p_brand").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.expr("sum(demand) div max(n)").alias("mean_daily_demand"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.expr("(n * 95 + 99) div 100"), F.lit(1)),
+                F.col("demand"),
+            )
+        )
+        .cast("bigint")
+        .alias("p95_daily_demand"),
+    ).select("p_brand", "n_days", "mean_daily_demand", "p95_daily_demand")

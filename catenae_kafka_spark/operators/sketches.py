@@ -345,3 +345,121 @@ def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"))
     )
+
+
+@REGISTRY.register(
+    "q_bloom_fpr",
+    tags=("sketch", "membership"),
+    oracle="""
+WITH members AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0
+), bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT ('0x' || substr(md5('1:' || k), 1, 8))::BIGINT % 4096 AS pos
+    FROM members
+    UNION ALL
+    SELECT ('0x' || substr(md5('2:' || k), 1, 8))::BIGINT % 4096 FROM members
+    UNION ALL
+    SELECT ('0x' || substr(md5('3:' || k), 1, 8))::BIGINT % 4096 FROM members
+  )
+), probes AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 3 <> 0
+), tested AS (
+  SELECT k,
+         ('0x' || substr(md5('1:' || k), 1, 8))::BIGINT % 4096 IN
+           (SELECT pos FROM bits)
+         AND ('0x' || substr(md5('2:' || k), 1, 8))::BIGINT % 4096 IN
+           (SELECT pos FROM bits)
+         AND ('0x' || substr(md5('3:' || k), 1, 8))::BIGINT % 4096 IN
+           (SELECT pos FROM bits) AS maybe
+  FROM probes
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       (CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         // COUNT(*) AS fpr_micro
+FROM tested
+""",
+)
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built from first principles and its false-positive
+    rate MEASURED, not assumed: a 4096-bit / 3-hash filter over every
+    third order key (md5-derived bit positions — engine-portable), then
+    every known NON-member is probed and the observed FPR reported
+    next to the bit occupancy that determines it. This is the sketch
+    inside q_join_bloom's runtime filter, opened up so its accuracy
+    contract is itself a hash-checked result.
+
+    Exact: bit positions, probes and counts are all deterministic
+    integers — the 'probabilistic' structure is fully reproducible.
+
+    Scale shape: the filter is a <=4096-row bit table (broadcast);
+    build and probe are map-side hashing + three broadcast membership
+    joins; at 100 TB the bit table would be an actual bitmap in a
+    broadcast variable, same math."""
+    c = catalog(spark, sf_dir)
+
+    def h(i: int, col) -> "F.Column":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 4096
+        )
+
+    members = (
+        c.orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        members.select(h(1, F.col("k")).alias("pos"))
+        .unionAll(members.select(h(2, F.col("k")).alias("pos")))
+        .unionAll(members.select(h(3, F.col("k")).alias("pos")))
+        .distinct()
+    )
+    probes = (
+        c.orders.filter(F.col("o_orderkey") % 3 != 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .select("k", h(1, F.col("k")).alias("h1"), h(2, F.col("k")).alias("h2"), h(3, F.col("k")).alias("h3"))
+    )
+    b = lambda n: F.broadcast(bits.withColumnRenamed("pos", f"p{n}"))
+    tested = (
+        probes.join(b(1), F.col("h1") == F.col("p1"), "left")
+        .join(b(2), F.col("h2") == F.col("p2"), "left")
+        .join(b(3), F.col("h3") == F.col("p3"), "left")
+        .select(
+            (
+                F.col("p1").isNotNull()
+                & F.col("p2").isNotNull()
+                & F.col("p3").isNotNull()
+            ).alias("maybe")
+        )
+    )
+    nm = members.agg(F.count("*").cast("bigint").alias("n_members"))
+    nb = bits.agg(F.count("*").cast("bigint").alias("n_bits_set"))
+    return (
+        tested.agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_members",
+            "n_bits_set",
+            "n_probes",
+            "n_false_pos",
+            F.expr("(n_false_pos * 1000000) div n_probes").alias("fpr_micro"),
+        )
+    )

