@@ -1205,3 +1205,146 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("containment_micro"),
         (F.col("n_orphans") == 0).alias("is_fk"),
     )
+
+
+@REGISTRY.register(
+    "q_double_charge_scan",
+    tags=("dataops", "fraud"),
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(value + 0.5) AS BIGINT) AS dollars,
+         epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.event_id AS first_event, b.event_id AS second_event,
+       a.dollars,
+       CAST((b.us - a.us) // 1000000 AS BIGINT) AS gap_s
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.dollars = b.dollars
+ AND a.event_id < b.event_id
+ AND b.us - a.us BETWEEN 0 AND 86400000000
+""",
+)
+def q_double_charge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge / duplicate-transaction scan: pairs of purchases
+    by the SAME user for the SAME rounded-dollar amount within 24
+    hours — the payments-fraud/dup-submission rule, expressed as an
+    equi-join on (user, dollars) with a bounded time predicate (the
+    amount granularity and window are the rule's tunables; this
+    fixture's 2dp amounts never collide at cent granularity, which is
+    itself a finding the coarser rule surfaces).
+
+    Exact: dollar quantization and microsecond window arithmetic.
+
+    Scale shape: the join key (user, dollars) bounds candidate pairs
+    to same-user-same-amount groups (tiny multiplicity in honest
+    data); at 100 TB the time bound additionally buckets by day (join
+    on (user, dollars, day) plus the neighbor day) so even a
+    pathological repeat-amount user never goes quadratic across
+    time."""
+    c = catalog(spark, sf_dir)
+    p = c.events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") + F.lit(0.5)).cast("bigint").alias("dollars"),
+        F.unix_micros("ts").alias("us"),
+    )
+    a = p.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_id").alias("first_event"),
+        F.col("dollars").alias("da"),
+        F.col("us").alias("usa"),
+    )
+    b = p.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_id").alias("second_event"),
+        F.col("dollars").alias("db"),
+        F.col("us").alias("usb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("da") == F.col("db"))
+            & (F.col("first_event") < F.col("second_event"))
+            & (F.col("usb") - F.col("usa")).between(0, 86_400_000_000),
+        )
+        .select(
+            F.col("ua").alias("user_id"),
+            "first_event",
+            "second_event",
+            F.col("da").alias("dollars"),
+            F.expr("(usb - usa) div 1000000").alias("gap_s"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_price_dispersion",
+    tags=("dataops", "dq"),
+    oracle="""
+WITH per AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS min_unit_cents,
+         CAST(MAX(CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS max_unit_cents
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY l_partkey HAVING COUNT(*) >= 3
+), flagged AS (
+  SELECT *,
+         ((max_unit_cents - min_unit_cents) * 1000000)
+           // min_unit_cents AS spread_micro
+  FROM per WHERE min_unit_cents > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN spread_micro > 100000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dispersed,
+       CAST(MAX(spread_micro) AS BIGINT) AS max_spread_micro
+FROM flagged
+""",
+)
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog price-consistency audit: per part (with >= 3 sale
+    lines), the spread between its min and max observed UNIT price —
+    parts whose spread exceeds 10% are flagged as dispersed (pricing
+    errors, unauthorized discounts, or unit mix-ups; on this fixture
+    extendedprice is synthetic per line, so dispersion is expected and
+    the audit quantifies it).
+
+    Exact: unit price quantizes to cents per LINE via one shared IEEE
+    division, min/max/spread are BIGINT floor arithmetic.
+
+    Scale shape: one part-keyed partial agg (map-side combined) + a
+    3-column global rollup."""
+    c = catalog(spark, sf_dir)
+    unit = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+    ).cast("bigint")
+    per = (
+        c.lineitem.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.min(unit).cast("bigint").alias("min_unit_cents"),
+            F.max(unit).cast("bigint").alias("max_unit_cents"),
+        )
+        .filter(F.col("n_lines") >= 3)
+        .filter(F.col("min_unit_cents") > 0)
+        .withColumn(
+            "spread_micro",
+            F.expr(
+                "((max_unit_cents - min_unit_cents) * 1000000)"
+                " div min_unit_cents"
+            ),
+        )
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum(F.when(F.col("spread_micro") > 100000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dispersed"),
+        F.max("spread_micro").cast("bigint").alias("max_spread_micro"),
+    )

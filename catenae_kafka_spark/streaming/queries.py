@@ -1575,3 +1575,42 @@ def q_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@REGISTRY.register(
+    "q_stream_gap_alarm",
+    tags=("streaming", "stateful", "monitoring"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+)
+SELECT event_type,
+       CAST(prev_us AS BIGINT) AS gap_start_us,
+       CAST((us - prev_us) // 1000000 AS BIGINT) AS gap_s
+FROM seq
+WHERE prev_us IS NOT NULL AND (us - prev_us) // 1000000 > 600
+""",
+)
+def q_stream_gap_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING heartbeat/outage detection: per event type, alarm on
+    any silence longer than 10 minutes — state is a single timestamp
+    per key carried across micro-batches, so the detector runs forever
+    at constant memory, and the ordered replay makes its alarm set
+    EQUAL the batch LAG oracle (a monitoring rule you can backtest
+    batch-side with the same semantics).
+
+    The gap that matters most — source died mid-stream and nothing
+    arrives again — surfaces at the next event or, on a live stream,
+    via a processing-time timeout on this same state (GroupState
+    timeout; not exercised by the finite replay)."""
+    from catenae_kafka_spark.streaming.stateful import streaming_gap_alarm
+
+    stream = replay_events(spark, sf_dir)
+    out = run_available_now(
+        streaming_gap_alarm(stream), "append", _name("gap_alarm")
+    )
+    return out.select("event_type", "gap_start_us", "gap_s")

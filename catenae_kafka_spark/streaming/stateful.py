@@ -486,3 +486,53 @@ def streaming_cusum(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GAP_OUTPUT_SCHEMA = "event_type string, gap_start_us long, gap_s long"
+GAP_STATE_SCHEMA = "last_us long"
+GAP_THRESHOLD_S = 600
+
+
+def streaming_gap_alarm(events: DataFrame) -> DataFrame:
+    """Heartbeat-gap detector: per event type, remember only the last
+    event time (8 bytes of state per key) and emit an alarm row for
+    every inter-event silence longer than GAP_THRESHOLD_S — the
+    source-outage monitor every ingestion pipeline runs beside its
+    data stream. Exact on the ordered replay: the emitted gaps equal
+    the batch LAG query's, because state carries the last timestamp
+    across micro-batch boundaries."""
+
+    def gap_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (last_us,) = state.get if state.exists else (None,)
+        starts: list[int] = []
+        gaps: list[int] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for ts in pdf["ts"]:
+                us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None:
+                    gap = (us - last_us) // 1_000_000
+                    if gap > GAP_THRESHOLD_S:
+                        starts.append(last_us)
+                        gaps.append(gap)
+                last_us = us
+        state.update((last_us,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(starts),
+                "gap_start_us": starts,
+                "gap_s": gaps,
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        gap_fn,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

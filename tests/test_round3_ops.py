@@ -1405,3 +1405,44 @@ def test_newsvendor_quantile_covers_mean(spark):
     assert len(df) == 25
     assert (df["p95_daily_demand"] >= df["mean_daily_demand"]).all()
     assert (df["n_days"] >= 1).all()
+
+
+def test_stream_gap_alarm_equals_batch_lag_rule(spark):
+    """The streaming alarm set must equal the batch LAG computation."""
+    from catenae_kafka_spark.streaming.queries import q_stream_gap_alarm
+
+    got = (
+        q_stream_gap_alarm(spark, SF)
+        .toPandas()
+        .sort_values(["event_type", "gap_start_us"])
+        .reset_index(drop=True)
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    rows = []
+    for t, g in ev.sort_values(["ts", "event_id"]).groupby("event_type"):
+        us = (g["ts"].astype("int64") // 1000).to_numpy()
+        for i in range(1, len(us)):
+            gap = (us[i] - us[i - 1]) // 1_000_000
+            if gap > 600:
+                rows.append((t, us[i - 1], gap))
+    assert len(got) == len(rows)
+    exp = sorted(rows)
+    for i, (_, r) in enumerate(got.iterrows()):
+        assert (r["event_type"], r["gap_start_us"], r["gap_s"]) == exp[i]
+
+
+def test_double_charge_scan_pairs_are_ordered_and_bounded(spark):
+    from catenae_kafka_spark.operators.dataops import q_double_charge_scan
+
+    df = q_double_charge_scan(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(df) > 0  # the sf0.01 fixture has same-dollar-day repeats
+    assert (df["first_event"] < df["second_event"]).all()
+    assert df["gap_s"].between(0, 86400).all()
+
+
+def test_price_dispersion_spread_is_nonnegative(spark):
+    from catenae_kafka_spark.operators.dataops import q_price_dispersion
+
+    r = q_price_dispersion(spark, SF).toPandas().iloc[0]
+    assert r["n_dispersed"] <= r["n_parts"]
+    assert r["max_spread_micro"] >= 0
