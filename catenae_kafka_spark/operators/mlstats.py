@@ -3299,3 +3299,253 @@ def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(cents) div max(k)").alias("es5_cents")
     )
     return var.select("event_type", "n", "var5_cents").join(es, "event_type")
+
+
+@REGISTRY.register(
+    "q_theil_sen",
+    tags=("mlstats", "regression", "robust"),
+    oracle="""
+WITH per AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+              AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), slopes AS (
+  SELECT (CAST(b.y AS DOUBLE) - a.y) / (CAST(b.x AS DOUBLE) - a.x) AS m
+  FROM per a JOIN per b ON a.p_brand < b.p_brand AND a.x <> b.x
+), ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn, COUNT(*) OVER () AS n
+  FROM slopes
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+       CAST(FLOOR(MAX(CASE WHEN rn = (n + 1) // 2 THEN m END) * 1000)
+            AS BIGINT) AS theil_sen_slope_milli
+FROM ranked
+""",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of brand revenue vs quantity: the MEDIAN
+    of all pairwise slopes — up to ~29% contaminated points cannot move
+    it, unlike q_agg_regression's least-squares slope (one rogue brand
+    drags OLS arbitrarily). The robust-regression member of the robust
+    family (q_anomaly_mad: location/scale; here: trend).
+
+    Exactness: slopes are single IEEE divisions of exact BIGINT
+    aggregates; the median is an order-statistic pick over the pair
+    list (the double ORDER BY is safe — both engines sort identical
+    doubles), floored at milli-units.
+
+    Scale shape: the O(n^2) pair join runs on the 25-row BRAND rollup
+    (300 pairs); at large n Theil-Sen switches to the randomized
+    O(n log n) estimator — documented, not needed at dimension
+    cardinality."""
+    c = catalog(spark, sf_dir)
+    per = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    a = per.select(
+        F.col("p_brand").alias("ba"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = per.select(
+        F.col("p_brand").alias("bb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    slopes = a.join(
+        b, (F.col("ba") < F.col("bb")) & (F.col("xa") != F.col("xb"))
+    ).select(
+        (
+            (F.col("yb").cast("double") - F.col("ya"))
+            / (F.col("xb").cast("double") - F.col("xa"))
+        ).alias("m")
+    )
+    ranked = slopes.select(
+        "m",
+        F.row_number().over(Window.orderBy("m")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.floor(
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("m")))
+            * 1000
+        )
+        .cast("bigint")
+        .alias("theil_sen_slope_milli"),
+    )
+
+
+@REGISTRY.register(
+    "q_survivorship_bias",
+    tags=("mlstats", "methodology"),
+    oracle="""
+WITH life AS (
+  SELECT user_id,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         (epoch_us(MAX(ts)) // 1000000 - epoch_us(MIN(ts)) // 1000000)
+           // 604800 >= 4 AS survivor
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN survivor THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         AS all_users_mean_cents,
+       CAST(SUM(CASE WHEN survivor THEN cents ELSE 0 END) AS BIGINT)
+         // CAST(SUM(CASE WHEN survivor THEN 1 ELSE 0 END) AS BIGINT)
+         AS survivors_mean_cents,
+       (CAST(SUM(CASE WHEN survivor THEN cents ELSE 0 END) AS BIGINT)
+        // CAST(SUM(CASE WHEN survivor THEN 1 ELSE 0 END) AS BIGINT)
+        * 1000)
+         // (CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT))
+         AS bias_ratio_milli
+FROM life
+""",
+)
+def q_survivorship_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-bias audit: mean per-user spend computed the WRONG
+    way (only over users still active in week 4+) next to the honest
+    all-users mean, and the inflation ratio between them — the
+    methodological trap every retention/LTV analysis must check before
+    quoting 'average user' numbers from an active-user table
+    (complements q_discrete_hazard, which models the attrition this
+    audit says you can't ignore).
+
+    Exact: BIGINT cents, week arithmetic, floor divisions.
+
+    Scale shape: one user-keyed agg, one 5-counter global rollup."""
+    c = catalog(spark, sf_dir)
+    life = c.events.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.expr(
+                "(max(unix_micros(ts) div 1000000)"
+                " - min(unix_micros(ts) div 1000000)) div 604800"
+            )
+            >= 4
+        ).alias("survivor"),
+    )
+    return life.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("survivor"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_survivors"),
+        F.expr("sum(cents) div count(*)").alias("all_users_mean_cents"),
+        F.expr(
+            "sum(CASE WHEN survivor THEN cents ELSE 0 END)"
+            " div sum(CASE WHEN survivor THEN 1 ELSE 0 END)"
+        ).alias("survivors_mean_cents"),
+    ).select(
+        "n_users",
+        "n_survivors",
+        "all_users_mean_cents",
+        "survivors_mean_cents",
+        F.expr(
+            "(survivors_mean_cents * 1000) div all_users_mean_cents"
+        ).alias("bias_ratio_milli"),
+    )
+
+
+@REGISTRY.register(
+    "q_cohens_d",
+    tags=("mlstats", "experimentation"),
+    oracle="""
+WITH g AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS grp,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('purchase', 'click')
+), s AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM g GROUP BY grp
+), wide AS (
+  SELECT MAX(CASE WHEN grp = 'a' THEN n END) AS na,
+         MAX(CASE WHEN grp = 'a' THEN sc END) AS sa,
+         MAX(CASE WHEN grp = 'a' THEN ss END) AS qa,
+         MAX(CASE WHEN grp = 'b' THEN n END) AS nb,
+         MAX(CASE WHEN grp = 'b' THEN sc END) AS sb,
+         MAX(CASE WHEN grp = 'b' THEN ss END) AS qb
+  FROM s
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(FLOOR(
+         (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+         / SQRT(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+                 + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb))
+                / (na + nb - 2))
+         * 1000000) AS BIGINT) AS cohens_d_micro
+FROM wide
+""",
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between purchase and click
+    values: mean difference over the pooled standard deviation — the
+    practical-significance number that must accompany q_ab_ttest's
+    p-value (a tiny d with a significant p means you found noise at
+    scale; the experimentation-review checklist item).
+
+    Exactness: three exact BIGINT power sums per group; means,
+    pooled variance and d are ONE shared IEEE expression (sqrt is
+    correctly rounded), floored at micro-units.
+
+    Scale shape: a single two-group aggregation — map-side combined,
+    six numbers total cross the wire."""
+    c = catalog(spark, sf_dir)
+    g = c.events.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.when(F.col("event_type") == "purchase", "a").otherwise("b").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    s = g.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("grp") == "a", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "a", F.col("sc"))).alias("sa"),
+        F.max(F.when(F.col("grp") == "a", F.col("ss"))).alias("qa"),
+        F.max(F.when(F.col("grp") == "b", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "b", F.col("sc"))).alias("sb"),
+        F.max(F.when(F.col("grp") == "b", F.col("ss"))).alias("qb"),
+    )
+    mean_diff = F.col("sa").cast("double") / F.col("na") - F.col("sb").cast(
+        "double"
+    ) / F.col("nb")
+    pooled = (
+        (
+            F.col("qa").cast("double")
+            - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+        )
+        + (
+            F.col("qb").cast("double")
+            - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+        )
+    ) / (F.col("na") + F.col("nb") - 2)
+    return wide.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.floor(mean_diff / F.sqrt(pooled) * 1000000)
+        .cast("bigint")
+        .alias("cohens_d_micro"),
+    )

@@ -1446,3 +1446,54 @@ def test_price_dispersion_spread_is_nonnegative(spark):
     r = q_price_dispersion(spark, SF).toPandas().iloc[0]
     assert r["n_dispersed"] <= r["n_parts"]
     assert r["max_spread_micro"] >= 0
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark):
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_theil_sen
+
+    r = q_theil_sen(spark, SF).toPandas().iloc[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{SF}/part.parquet").toPandas()
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["y"] = np.floor(j["l_extendedprice"] * (1 - j["l_discount"])).astype("int64")
+    per = j.groupby("p_brand").agg(x=("l_quantity", "sum"), y=("y", "sum"))
+    xs, ys = per["x"].to_numpy(), per["y"].to_numpy()
+    slopes = []
+    for i in range(len(xs)):
+        for k in range(i + 1, len(xs)):
+            if xs[i] != xs[k]:
+                slopes.append((ys[k] - ys[i]) / (xs[k] - xs[i]))
+    slopes.sort()
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    assert r["n_pairs"] == len(slopes)
+    assert r["theil_sen_slope_milli"] == np.floor(med * 1000)
+
+
+def test_survivorship_bias_counts_and_ratio(spark):
+    from catenae_kafka_spark.operators.mlstats import q_survivorship_bias
+
+    r = q_survivorship_bias(spark, SF).toPandas().iloc[0]
+    assert 0 < r["n_survivors"] <= r["n_users"]
+    assert r["bias_ratio_milli"] == (
+        r["survivors_mean_cents"] * 1000
+    ) // r["all_users_mean_cents"]
+
+
+def test_cohens_d_matches_scipy_style_pooled(spark):
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_cohens_d
+
+    r = q_cohens_d(spark, SF).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["c"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    a = ev.loc[ev["event_type"] == "purchase", "c"].to_numpy(dtype="float64")
+    b = ev.loc[ev["event_type"] == "click", "c"].to_numpy(dtype="float64")
+    pooled = ((a.var(ddof=0) * len(a)) + (b.var(ddof=0) * len(b))) / (
+        len(a) + len(b) - 2
+    )
+    d = (a.mean() - b.mean()) / np.sqrt(pooled)
+    assert abs(r["cohens_d_micro"] / 1e6 - d) < 1e-4
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)

@@ -101,6 +101,7 @@ NL_WHITELIST = {
     "q_negative_sampling": "anchor-slice x label-table non-equi join; bounded by the 1/11 anchor slice (pre-bucketed sampling at corpus scale, see docstring)",
     "q_bpe_merge_apply": "1-row winning-pair broadcast cross onto the corpus rewrite",
     "q_kendall_tau": "O(n^2) pairwise join on the 25-row brand rollup + 1-row count cross",
+    "q_theil_sen": "O(n^2) pairwise slopes on the 25-row brand rollup",
     "q_graph_modularity": "1-row total-weight aggregate crossed with the 5-row community rollup",
 }
 
