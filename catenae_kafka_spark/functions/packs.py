@@ -580,3 +580,44 @@ def q_calendar_tz_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hr_nyc"),
         F.count("*").alias("n"),
     )
+
+
+@REGISTRY.register(
+    "q_unicode_contract",
+    tags=("functions", "format-edge"),
+    oracle="""
+SELECT n_name,
+       n_name || ' — café 中文 Ümläut' AS decorated,
+       CAST(LENGTH(n_name || ' — café 中文 Ümläut')
+            AS BIGINT) AS n_chars,
+       CAST(strlen(n_name || ' — café 中文 Ümläut')
+            AS BIGINT) AS n_bytes,
+       UPPER('café Ümläut') AS upper_latin,
+       REVERSE('café') AS reversed_accent
+FROM nation WHERE n_nationkey < 5
+""",
+)
+def q_unicode_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode handling contract: strings decorated with multibyte
+    content (em dash, accented Latin, CJK) must agree across engines
+    on CHARACTER length vs BYTE length, case mapping of non-ASCII
+    Latin, and codepoint-wise reversal (a naive byte reversal would
+    shred the UTF-8 sequences) — the i18n floor a text pipeline must
+    clear before any of the text operators upstream can be trusted on
+    non-English corpora.
+
+    Both engines operate on UTF-8 codepoints for LENGTH/UPPER/REVERSE
+    and bytes for octet length; the probe makes that contract a
+    hash-checked fact instead of an assumption.
+
+    Scale shape: map-only expressions on a 5-row dimension slice."""
+    c = catalog(spark, sf_dir)
+    deco = F.concat(F.col("n_name"), F.lit(" — café 中文 Ümläut"))
+    return c.nation.filter(F.col("n_nationkey") < 5).select(
+        "n_name",
+        deco.alias("decorated"),
+        F.length(deco).cast("bigint").alias("n_chars"),
+        F.octet_length(deco).cast("bigint").alias("n_bytes"),
+        F.upper(F.lit("café Ümläut")).alias("upper_latin"),
+        F.reverse(F.lit("café")).alias("reversed_accent"),
+    )

@@ -1348,3 +1348,69 @@ def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dispersed"),
         F.max("spread_micro").cast("bigint").alias("max_spread_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_freshness_slo",
+    tags=("dataops", "slo"),
+    oracle="""
+WITH now_ref AS (
+  SELECT GREATEST(
+    (SELECT MAX(epoch_us(ts)) FROM events),
+    (SELECT MAX(epoch_us(o_orderdate)) FROM orders),
+    (SELECT MAX(epoch_us(l_shipdate)) FROM lineitem)
+  ) AS now_us
+), lag AS (
+  SELECT 'events' AS tbl,
+         (now_us - (SELECT MAX(epoch_us(ts)) FROM events)) // 1000000
+           AS lag_s,
+         86400 AS slo_s
+  FROM now_ref
+  UNION ALL
+  SELECT 'orders',
+         (now_us - (SELECT MAX(epoch_us(o_orderdate)) FROM orders))
+           // 1000000,
+         604800
+  FROM now_ref
+  UNION ALL
+  SELECT 'lineitem',
+         (now_us - (SELECT MAX(epoch_us(l_shipdate)) FROM lineitem))
+           // 1000000,
+         604800
+  FROM now_ref
+)
+SELECT tbl, CAST(lag_s AS BIGINT) AS lag_s, CAST(slo_s AS BIGINT) AS slo_s,
+       lag_s <= slo_s AS within_slo
+FROM lag
+""",
+)
+def q_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLO audit: each table's staleness (lag behind
+    the newest timestamp anywhere in the warehouse — a DETERMINISTIC
+    'now' so the audit itself is reproducible/hash-checkable, unlike a
+    wall-clock now()) against its declared SLO — the first panel of
+    every data-platform health dashboard. Fixture drift surfaces here
+    as an SLO breach before any consumer query goes stale silently.
+
+    Exact: max-timestamp aggregates, BIGINT second arithmetic.
+
+    Scale shape: one MAX per table — min/max column statistics make
+    this a metadata-only read on parquet/lakehouse tables."""
+    c = catalog(spark, sf_dir)
+    ev = c.events.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0]["m"]
+    od = c.orders.agg(
+        F.max(F.unix_micros("o_orderdate")).alias("m")
+    ).collect()[0]["m"]
+    sd = c.lineitem.agg(
+        F.max(F.unix_micros("l_shipdate")).alias("m")
+    ).collect()[0]["m"]
+    now_us = max(ev, od, sd)
+    rows = [
+        ("events", (now_us - ev) // 1_000_000, 86_400),
+        ("orders", (now_us - od) // 1_000_000, 604_800),
+        ("lineitem", (now_us - sd) // 1_000_000, 604_800),
+    ]
+    df = spark.createDataFrame(rows, "tbl string, lag_s long, slo_s long")
+    return df.select(
+        "tbl", "lag_s", "slo_s", (F.col("lag_s") <= F.col("slo_s")).alias("within_slo")
+    )

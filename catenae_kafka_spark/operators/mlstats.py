@@ -3549,3 +3549,68 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cohens_d_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_power_analysis",
+    tags=("mlstats", "experimentation"),
+    oracle="""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS ss
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT n,
+         (CAST(ss AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1)
+           AS var_cents,
+         CAST(sc AS DOUBLE) / n AS mean_cents
+  FROM s
+)
+SELECT n AS n_observed,
+       CAST(FLOOR(mean_cents) AS BIGINT) AS mean_cents_floor,
+       CAST(CEIL(2.0 * (1.96 + 0.84) * (1.96 + 0.84) * var_cents
+                 / (0.05 * mean_cents * 0.05 * mean_cents)) AS BIGINT)
+         AS n_per_arm_5pct_mde,
+       CAST(CEIL(2.0 * (1.96 + 0.84) * (1.96 + 0.84) * var_cents
+                 / (0.01 * mean_cents * 0.01 * mean_cents)) AS BIGINT)
+         AS n_per_arm_1pct_mde
+FROM v
+""",
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power analysis from the data's own variance: the
+    required sample size per arm, n = 2(z_alpha/2 + z_beta)^2 s^2 /
+    delta^2, for detecting a 5% and a 1% relative lift of the purchase
+    mean at alpha=0.05 / power=0.80 — the pre-experiment calculator
+    that q_ab_ttest and q_cohens_d assume someone ran (and the reason
+    a 1% MDE needs ~25x the traffic of a 5% MDE: inverse-square).
+
+    Exactness: variance from exact BIGINT power sums; z constants are
+    public normal quantiles; one shared IEEE expression, ceil'd.
+
+    Scale shape: one filtered global power-sum aggregation."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    s = c.events.filter(F.col("event_type") == "purchase").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("sc"),
+        F.sum(cents * cents).cast("bigint").alias("ss"),
+    )
+    var = (
+        F.col("ss").cast("double")
+        - F.col("sc").cast("double") * F.col("sc") / F.col("n")
+    ) / (F.col("n") - 1)
+    mean = F.col("sc").cast("double") / F.col("n")
+    z2 = (1.96 + 0.84) * (1.96 + 0.84)
+    need = lambda frac: F.ceil(
+        2.0 * z2 * var / (frac * mean * frac * mean)
+    ).cast("bigint")
+    return s.select(
+        F.col("n").alias("n_observed"),
+        F.floor(mean).cast("bigint").alias("mean_cents_floor"),
+        need(0.05).alias("n_per_arm_5pct_mde"),
+        need(0.01).alias("n_per_arm_1pct_mde"),
+    )

@@ -1497,3 +1497,40 @@ def test_cohens_d_matches_scipy_style_pooled(spark):
     d = (a.mean() - b.mean()) / np.sqrt(pooled)
     assert abs(r["cohens_d_micro"] / 1e6 - d) < 1e-4
     assert r["n_a"] == len(a) and r["n_b"] == len(b)
+
+
+def test_power_analysis_inverse_square_law(spark):
+    """1% MDE must need ~25x the 5% MDE sample size."""
+    from catenae_kafka_spark.operators.mlstats import q_power_analysis
+
+    r = q_power_analysis(spark, SF).toPandas().iloc[0]
+    ratio = r["n_per_arm_1pct_mde"] / r["n_per_arm_5pct_mde"]
+    assert 24 <= ratio <= 26
+    assert r["n_per_arm_5pct_mde"] > 0
+
+
+def test_freshness_slo_reference_is_deterministic(spark):
+    """Two runs must agree exactly, and some table must be at lag 0
+    (the one defining the reference 'now')."""
+    from catenae_kafka_spark.operators.dataops import q_freshness_slo
+
+    a = q_freshness_slo(spark, SF).toPandas().sort_values("tbl").reset_index(drop=True)
+    b = q_freshness_slo(spark, SF).toPandas().sort_values("tbl").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["lag_s"] == 0).any()
+    assert (a["lag_s"] >= 0).all()
+
+
+def test_unicode_contract_counts(spark):
+    """Char vs byte counts must differ by exactly the multibyte
+    surplus, and reversal must preserve codepoints."""
+    from catenae_kafka_spark.functions.packs import q_unicode_contract
+
+    df = q_unicode_contract(spark, SF).toPandas()
+    suffix = " — café 中文 Ümläut"
+    surplus = len(suffix.encode()) - len(suffix)
+    for _, r in df.iterrows():
+        assert r["n_chars"] == len(r["n_name"]) + len(suffix)
+        assert r["n_bytes"] - r["n_chars"] == surplus
+        assert r["reversed_accent"] == "éfac"
+        assert r["upper_latin"] == "CAFÉ ÜMLÄUT"
