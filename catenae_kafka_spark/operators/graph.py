@@ -1232,3 +1232,175 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("modularity_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_rec_coverage",
+    tags=("graph", "recommender", "evaluation"),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), edges AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand HAVING COUNT(*) >= 80
+), sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+), cn AS (
+  SELECT n1.v AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v <> n2.v
+  GROUP BY n1.v, n2.v
+), sim AS (
+  SELECT cn.a, cn.b,
+         CAST(FLOOR(cn.common * 1000000.0 / (da.d + db.d - cn.common))
+              AS BIGINT) AS sim_micro
+  FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node
+), owned AS (
+  SELECT DISTINCT o.o_custkey, bk.p_brand
+  FROM orders o JOIN baskets bk ON o.o_orderkey = bk.l_orderkey
+), scores AS (
+  SELECT ow.o_custkey, s.b AS rec_brand,
+         CAST(SUM(s.sim_micro) AS BIGINT) AS score_micro
+  FROM owned ow JOIN sim s ON ow.p_brand = s.a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM owned o2
+    WHERE o2.o_custkey = ow.o_custkey AND o2.p_brand = s.b
+  )
+  GROUP BY ow.o_custkey, s.b
+), top1 AS (
+  SELECT o_custkey, rec_brand FROM (
+    SELECT o_custkey, rec_brand,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY score_micro DESC, rec_brand) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT CAST((SELECT COUNT(DISTINCT o_custkey) FROM owned) AS BIGINT)
+         AS n_users_with_history,
+       CAST((SELECT COUNT(*) FROM top1) AS BIGINT) AS n_users_with_rec,
+       CAST((SELECT COUNT(DISTINCT rec_brand) FROM top1) AS BIGINT)
+         AS n_brands_recommended,
+       CAST((SELECT COUNT(DISTINCT p_brand) FROM baskets) AS BIGINT)
+         AS n_brands_catalog,
+       ((SELECT COUNT(*) FROM top1) * 1000000)
+         // (SELECT COUNT(DISTINCT o_custkey) FROM owned)
+         AS user_coverage_micro,
+       ((SELECT COUNT(DISTINCT rec_brand) FROM top1) * 1000000)
+         // (SELECT COUNT(DISTINCT p_brand) FROM baskets)
+         AS catalog_coverage_micro
+""",
+)
+def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender COVERAGE metrics for the q_collab_filter top-1
+    policy: what fraction of users with any history actually receive a
+    recommendation (cold-start exposure), and what fraction of the
+    catalog ever gets recommended (popularity concentration /
+    filter-bubble risk) — the two health metrics that accuracy numbers
+    like q_rec_precision structurally cannot see (a recommender that
+    only ever suggests the top brand can score fine on precision while
+    covering 4% of the catalog).
+
+    Exact: distinct counts and floor-division coverages over the same
+    CF chain as q_collab_filter (same thresholds, same tie-breaks).
+
+    Scale shape: identical to q_collab_filter plus four tiny distinct
+    aggregates."""
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 80)
+        .select("u", "v")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    n1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    n2 = sym.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    cn = (
+        n1.join(n2, "x")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sim = (
+        cn.join(F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))), "a")
+        .join(F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))), "b")
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.col("common")
+                * F.lit(1000000.0)
+                / (F.col("da") + F.col("db") - F.col("common"))
+            )
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+    )
+    owned = (
+        c.orders.select("o_custkey", "o_orderkey")
+        .join(baskets, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    cand = owned.join(
+        F.broadcast(sim.select(F.col("a").alias("p_brand"), "b", "sim_micro")),
+        "p_brand",
+    )
+    not_owned = cand.join(
+        owned.select(
+            F.col("o_custkey").alias("ck2"), F.col("p_brand").alias("b2")
+        ),
+        (F.col("o_custkey") == F.col("ck2")) & (F.col("b") == F.col("b2")),
+        "left_anti",
+    )
+    scores = not_owned.groupBy("o_custkey", F.col("b").alias("rec_brand")).agg(
+        F.sum("sim_micro").cast("bigint").alias("score_micro")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("score_micro").desc(), F.col("rec_brand")
+    )
+    top1 = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "rec_brand")
+    )
+    m_users = owned.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_users_with_history")
+    )
+    m_rec = top1.agg(
+        F.count("*").cast("bigint").alias("n_users_with_rec"),
+        F.countDistinct("rec_brand").cast("bigint").alias("n_brands_recommended"),
+    )
+    m_cat = baskets.agg(
+        F.countDistinct("p_brand").cast("bigint").alias("n_brands_catalog")
+    )
+    return (
+        m_users.crossJoin(F.broadcast(m_rec))
+        .crossJoin(F.broadcast(m_cat))
+        .select(
+            "n_users_with_history",
+            "n_users_with_rec",
+            "n_brands_recommended",
+            "n_brands_catalog",
+            F.expr(
+                "(n_users_with_rec * 1000000) div n_users_with_history"
+            ).alias("user_coverage_micro"),
+            F.expr(
+                "(n_brands_recommended * 1000000) div n_brands_catalog"
+            ).alias("catalog_coverage_micro"),
+        )
+    )

@@ -3614,3 +3614,172 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         need(0.05).alias("n_per_arm_5pct_mde"),
         need(0.01).alias("n_per_arm_1pct_mde"),
     )
+
+
+@REGISTRY.register(
+    "q_location_ladder",
+    tags=("mlstats", "robust"),
+    oracle="""
+WITH t AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (ORDER BY FLOOR(value * 100 + 0.5), event_id)
+           AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+), k AS (
+  SELECT c, rn, n,
+         GREATEST((n * 5) // 100, 1) AS k_lo,
+         n - GREATEST((n * 5) // 100, 1) + 1 AS k_hi
+  FROM t
+), bounds AS (
+  SELECT MAX(CASE WHEN rn = k_lo THEN c END) AS lo_c,
+         MAX(CASE WHEN rn = k_hi THEN c END) AS hi_c,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) AS median_c
+  FROM k
+)
+SELECT CAST((SELECT MAX(n) FROM t) AS BIGINT) AS n,
+       CAST((SELECT SUM(c) FROM t) // (SELECT MAX(n) FROM t) AS BIGINT)
+         AS mean_cents,
+       CAST(bounds.median_c AS BIGINT) AS median_cents,
+       CAST((SELECT SUM(c) FROM k WHERE rn > k_lo AND rn < k_hi)
+            // (SELECT COUNT(*) FROM k WHERE rn > k_lo AND rn < k_hi)
+            AS BIGINT) AS trimmed5_mean_cents,
+       CAST((SELECT SUM(GREATEST(LEAST(c, bounds.hi_c), bounds.lo_c))
+             FROM t) // (SELECT MAX(n) FROM t) AS BIGINT)
+         AS winsorized5_mean_cents
+FROM bounds
+""",
+)
+def q_location_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-location ladder: the same population summarized four ways
+    — mean, median, 5% trimmed mean (drop both tails), 5% winsorized
+    mean (clamp both tails) — side by side, all as EXACT integer
+    arithmetic over order statistics. The spread across the ladder IS
+    the outlier diagnosis: equal values mean a clean symmetric
+    distribution; a mean far above the median prices the tail's pull
+    (which estimator to publish is then a policy choice, not a guess).
+
+    Exact: every estimator reduces to BIGINT sums/selections over one
+    total (cents, event_id) order; floor-divided means.
+
+    Scale shape: one single-column rank (two-phase at 100 TB), a
+    boundary-row pick, and two conditional re-aggregations."""
+    c0 = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.orderBy("c", "event_id")
+    t = c0.events.select(cents.alias("c"), "event_id").select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    k = t.select(
+        "c",
+        "rn",
+        "n",
+        F.greatest(F.expr("(n * 5) div 100"), F.lit(1)).alias("k_lo"),
+        (F.col("n") - F.greatest(F.expr("(n * 5) div 100"), F.lit(1)) + 1).alias(
+            "k_hi"
+        ),
+    )
+    bounds = k.agg(
+        F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("c"))).alias("lo_c"),
+        F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("c"))).alias("hi_c"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("c"))).alias(
+            "median_c"
+        ),
+        F.max("n").alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("k_lo")) & (F.col("rn") < F.col("k_hi")),
+                F.col("c"),
+            )
+        ).alias("trim_sum"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("k_lo")) & (F.col("rn") < F.col("k_hi")),
+                1,
+            ).otherwise(0)
+        ).alias("trim_n"),
+    )
+    wins = (
+        k.crossJoin(F.broadcast(bounds.select("lo_c", "hi_c")))
+        .agg(
+            F.sum(
+                F.greatest(F.least(F.col("c"), F.col("hi_c")), F.col("lo_c"))
+            ).alias("wsum")
+        )
+    )
+    return bounds.crossJoin(F.broadcast(wins)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("sc div n").cast("bigint").alias("mean_cents"),
+        F.col("median_c").cast("bigint").alias("median_cents"),
+        F.expr("trim_sum div trim_n").cast("bigint").alias(
+            "trimmed5_mean_cents"
+        ),
+        F.expr("wsum div n").cast("bigint").alias("winsorized5_mean_cents"),
+    )
+
+
+@REGISTRY.register(
+    "q_rolling_origin_backtest",
+    tags=("mlstats", "forecasting"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY day
+), idx AS (
+  SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS d,
+         COUNT(*) OVER () AS nd
+  FROM daily
+), folds AS (
+  SELECT f.cutoff, i.d, i.n,
+         lagv.n AS naive_pred
+  FROM (SELECT unnest([14, 18, 22]) AS cutoff) f
+  JOIN idx i ON i.d > f.cutoff AND i.d <= f.cutoff + 7
+  JOIN idx lagv ON lagv.d = i.d - 7
+)
+SELECT CAST(cutoff AS BIGINT) AS cutoff_day,
+       CAST(COUNT(*) AS BIGINT) AS n_forecast_days,
+       CAST(SUM(ABS(n - naive_pred)) AS BIGINT) // COUNT(*) AS mae,
+       CAST(MAX(ABS(n - naive_pred)) AS BIGINT) AS max_abs_err
+FROM folds GROUP BY cutoff
+""",
+)
+def q_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest: the seasonal-naive forecaster
+    (predict day d with day d-7) evaluated at THREE successive cutoffs,
+    each scoring the next 7 days — the honest forecasting evaluation
+    protocol (one split overfits to one week's weather;
+    q_forecast_baseline is the single-split version this generalizes).
+    Per-fold MAE trends reveal whether accuracy is stable or one fold
+    got lucky.
+
+    Exact: integer daily counts, absolute errors, floor-divided MAE.
+
+    Scale shape: the fact table reduces to a <=31-row daily series
+    map-side; every fold joins within that tiny series."""
+    c = catalog(spark, sf_dir)
+    daily = c.events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    idx = daily.select(
+        "day", "n", F.row_number().over(Window.orderBy("day")).alias("d")
+    )
+    folds = spark.createDataFrame([(14,), (18,), (22,)], ["cutoff"])
+    i = idx.select(F.col("d").alias("di"), F.col("n").alias("ni"))
+    l = idx.select(F.col("d").alias("dl"), F.col("n").alias("naive_pred"))
+    j = (
+        folds.join(
+            i,
+            (F.col("di") > F.col("cutoff")) & (F.col("di") <= F.col("cutoff") + 7),
+        )
+        .join(l, F.col("dl") == F.col("di") - 7)
+    )
+    return j.groupBy(F.col("cutoff").cast("bigint").alias("cutoff_day")).agg(
+        F.count("*").cast("bigint").alias("n_forecast_days"),
+        F.expr("sum(abs(ni - naive_pred)) div count(*)").alias("mae"),
+        F.max(F.abs(F.col("ni") - F.col("naive_pred")))
+        .cast("bigint")
+        .alias("max_abs_err"),
+    )

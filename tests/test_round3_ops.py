@@ -1534,3 +1534,46 @@ def test_unicode_contract_counts(spark):
         assert r["n_bytes"] - r["n_chars"] == surplus
         assert r["reversed_accent"] == "éfac"
         assert r["upper_latin"] == "CAFÉ ÜMLÄUT"
+
+
+def test_location_ladder_ordering_properties(spark):
+    """Trimmed/winsorized means lie between min and max; median and
+    trimmed agree with numpy."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.mlstats import q_location_ladder
+
+    r = q_location_ladder(spark, SF).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    c = np.sort(np.floor(ev["value"] * 100 + 0.5).astype("int64").to_numpy())
+    n = len(c)
+    assert r["n"] == n
+    assert r["mean_cents"] == c.sum() // n
+    k = (n + 1) // 2
+    assert r["median_cents"] == c[k - 1]
+    k_lo = max((n * 5) // 100, 1)
+    k_hi = n - k_lo + 1
+    mid = c[k_lo:k_hi - 1]
+    assert r["trimmed5_mean_cents"] == mid.sum() // len(mid)
+    lo, hi = c[k_lo - 1], c[k_hi - 1]
+    wins = np.clip(c, lo, hi)
+    assert r["winsorized5_mean_cents"] == wins.sum() // n
+
+
+def test_rolling_origin_backtest_folds_are_complete(spark):
+    from catenae_kafka_spark.operators.mlstats import q_rolling_origin_backtest
+
+    df = q_rolling_origin_backtest(spark, SF).toPandas()
+    assert sorted(df["cutoff_day"]) == [14, 18, 22]
+    assert (df["n_forecast_days"] == 7).all()
+    assert (df["mae"] <= df["max_abs_err"]).all()
+
+
+def test_rec_coverage_bounds(spark):
+    from catenae_kafka_spark.operators.graph import q_rec_coverage
+
+    r = q_rec_coverage(spark, "/root/testdata/sf0.01").toPandas().iloc[0]
+    assert 0 < r["n_users_with_rec"] <= r["n_users_with_history"]
+    assert 0 < r["n_brands_recommended"] <= r["n_brands_catalog"]
+    assert 0 < r["user_coverage_micro"] <= 1_000_000
+    assert 0 < r["catalog_coverage_micro"] <= 1_000_000
