@@ -3783,3 +3783,146 @@ def q_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_abs_err"),
     )
+
+
+@REGISTRY.register(
+    "q_two_way_anova",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH base AS (
+  SELECT r_name AS a, isodow(o_orderdate) - 1 AS b,
+         CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+), cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(y) AS BIGINT) AS s_c
+  FROM base GROUP BY a, b
+), tot AS (
+  -- (s*s)//n computed overflow-free via s = q*n + r:
+  -- (s*s)//n = q*s + (r*s)//n  (exact; q*n*s divisible by n)
+  SELECT CAST(SUM(n_c) AS BIGINT) AS n, CAST(SUM(s_c) AS BIGINT) AS s,
+         (SELECT CAST(SUM(y * y) AS BIGINT) FROM base) AS ssq,
+         CAST(SUM((s_c // n_c) * s_c + ((s_c % n_c) * s_c) // n_c)
+              AS BIGINT) AS ss_cells_raw
+  FROM cells
+), fa AS (
+  SELECT CAST(SUM((sa // na) * sa + ((sa % na) * sa) // na) AS BIGINT)
+           AS ss_a_raw FROM (
+    SELECT CAST(SUM(s_c) AS BIGINT) AS sa, CAST(SUM(n_c) AS BIGINT) AS na
+    FROM cells GROUP BY a
+  )
+), fb AS (
+  SELECT CAST(SUM((sb // nb) * sb + ((sb % nb) * sb) // nb) AS BIGINT)
+           AS ss_b_raw FROM (
+    SELECT CAST(SUM(s_c) AS BIGINT) AS sb, CAST(SUM(n_c) AS BIGINT) AS nb
+    FROM cells GROUP BY b
+  )
+), cf AS (
+  SELECT (s // n) * s + ((s % n) * s) // n AS cf FROM tot
+)
+SELECT CAST(ss_a_raw - cf AS BIGINT) AS ss_region,
+       CAST(ss_b_raw - cf AS BIGINT) AS ss_weekday,
+       CAST(ss_cells_raw - ss_a_raw - ss_b_raw + cf AS BIGINT)
+         AS ss_interaction,
+       CAST(ssq - ss_cells_raw AS BIGINT) AS ss_error,
+       ((ss_cells_raw - ss_a_raw - ss_b_raw + cf) * 1000000)
+         // (ssq - cf) AS interaction_eta2_micro
+FROM tot, fa, fb, cf
+""",
+)
+def q_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA decomposition of order value over region x
+    weekday: main-effect sums of squares for each factor, their
+    INTERACTION SS (does the weekday pattern differ by region — the
+    question one-way q_seasonality_strength cannot ask), and the error
+    SS, plus the interaction's eta^2.
+
+    Exactness: the same floor-before-combine integer discipline as
+    q_seasonality_strength extended to the two-factor identity
+    (SS_AB = SS_cells - SS_A - SS_B + CF); every term is a BIGINT, so
+    the decomposition hash-matches exactly (documented floor bias per
+    term < 1 dollar^2).
+
+    Scale shape: ONE (region, weekday) cell aggregation over the
+    star join (dims broadcast, map-side combined); every SS after
+    that reduces the 35-cell table."""
+    c = catalog(spark, sf_dir)
+    base = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(c.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(c.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("a"),
+            F.weekday("o_orderdate").alias("b"),
+            F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint").alias("y"),
+        )
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n_c"),
+        F.sum("y").cast("bigint").alias("s_c"),
+    )
+    ssq = base.agg(
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ssq")
+    )
+    # overflow-free (x*x) div m via x = q*m + r: q*x + (r*x) div m
+    tot = cells.agg(
+        F.sum("n_c").cast("bigint").alias("n"),
+        F.sum("s_c").cast("bigint").alias("s"),
+        F.sum(
+            F.expr("(s_c div n_c) * s_c + ((s_c % n_c) * s_c) div n_c")
+        ).cast("bigint").alias("ss_cells_raw"),
+    )
+    fa = (
+        cells.groupBy("a")
+        .agg(
+            F.sum("s_c").cast("bigint").alias("sa"),
+            F.sum("n_c").cast("bigint").alias("na"),
+        )
+        .agg(
+            F.sum(
+                F.expr("(sa div na) * sa + ((sa % na) * sa) div na")
+            ).cast("bigint").alias("ss_a_raw")
+        )
+    )
+    fb = (
+        cells.groupBy("b")
+        .agg(
+            F.sum("s_c").cast("bigint").alias("sb"),
+            F.sum("n_c").cast("bigint").alias("nb"),
+        )
+        .agg(
+            F.sum(
+                F.expr("(sb div nb) * sb + ((sb % nb) * sb) div nb")
+            ).cast("bigint").alias("ss_b_raw")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(ssq))
+        .crossJoin(F.broadcast(fa))
+        .crossJoin(F.broadcast(fb))
+        .withColumn("cf", F.expr("(s div n) * s + ((s % n) * s) div n"))
+        .select(
+            F.expr("ss_a_raw - cf").cast("bigint").alias("ss_region"),
+            F.expr("ss_b_raw - cf").cast("bigint").alias("ss_weekday"),
+            F.expr(
+                "ss_cells_raw - ss_a_raw - ss_b_raw + cf"
+            ).cast("bigint").alias("ss_interaction"),
+            F.expr("ssq - ss_cells_raw").cast("bigint").alias("ss_error"),
+            F.expr(
+                "((ss_cells_raw - ss_a_raw - ss_b_raw + cf)"
+                " * 1000000) div (ssq - cf)"
+            ).alias("interaction_eta2_micro"),
+        )
+    )

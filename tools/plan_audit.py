@@ -103,6 +103,7 @@ NL_WHITELIST = {
     "q_kendall_tau": "O(n^2) pairwise join on the 25-row brand rollup + 1-row count cross",
     "q_theil_sen": "O(n^2) pairwise slopes on the 25-row brand rollup",
     "q_location_ladder": "1-row bound/winsorize aggregates crossed",
+    "q_two_way_anova": "1-row SS aggregates (total/factor) crossed",
     "q_rolling_origin_backtest": "3-row cutoff spine joined to the <=31-row daily series",
     "q_rec_coverage": "three 1-row coverage aggregates crossed",
     "q_graph_modularity": "1-row total-weight aggregate crossed with the 5-row community rollup",
