@@ -1414,3 +1414,78 @@ def q_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "tbl", "lag_s", "slo_s", (F.col("lag_s") <= F.col("slo_s")).alias("within_slo")
     )
+
+
+@REGISTRY.register(
+    "q_rls_policy_audit",
+    tags=("dataops", "governance"),
+    oracle="""
+WITH policy AS (
+  SELECT r_name AS principal, r_regionkey AS allowed_region
+  FROM region
+), visible AS (
+  SELECT p.principal,
+         CAST(COUNT(*) AS BIGINT) AS n_visible,
+         CAST(SUM(CASE WHEN n.n_regionkey <> p.allowed_region
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+  FROM policy p
+  JOIN nation n ON n.n_regionkey = p.allowed_region
+  JOIN customer c ON c.c_nationkey = n.n_nationkey
+  GROUP BY p.principal
+)
+SELECT principal, n_visible, n_leaked,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total,
+       (n_visible * 1000000)
+         // (SELECT COUNT(*) FROM customer) AS visibility_micro
+FROM visible
+""",
+)
+def q_rls_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level-security policy audit: one analyst principal per
+    region, each seeing customers ONLY through the policy predicate
+    (region filter applied as a view, the way RLS is implemented on
+    engines without native policies) — the audit counts what each
+    principal can see and PROVES zero cross-region leakage (n_leaked
+    is computed from the post-policy rows themselves, so a policy bug
+    shows up as a nonzero count, not a silent overshare).
+
+    Exact integer counts and visibility shares.
+
+    Scale shape: policy table is the broadcast region dim; the
+    filtered fact join is the same star shape as any region query —
+    RLS costs one broadcast predicate, which is the point."""
+    c = catalog(spark, sf_dir)
+    policy = c.region.select(
+        F.col("r_name").alias("principal"),
+        F.col("r_regionkey").alias("allowed_region"),
+    )
+    visible = (
+        F.broadcast(policy)
+        .join(
+            c.nation.select("n_nationkey", "n_regionkey"),
+            F.col("n_regionkey") == F.col("allowed_region"),
+        )
+        .join(
+            c.customer.select("c_custkey", "c_nationkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("principal")
+        .agg(
+            F.count("*").cast("bigint").alias("n_visible"),
+            F.sum(
+                F.when(
+                    F.col("n_regionkey") != F.col("allowed_region"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_leaked"),
+        )
+    )
+    tot = c.customer.agg(F.count("*").cast("bigint").alias("n_total"))
+    return visible.crossJoin(F.broadcast(tot)).select(
+        "principal",
+        "n_visible",
+        "n_leaked",
+        "n_total",
+        F.expr("(n_visible * 1000000) div n_total").alias("visibility_micro"),
+    )

@@ -1281,3 +1281,90 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.join(negs, "anchor_id").select(
         "anchor_id", "pos_id", "neg_rank", "neg_id"
     )
+
+
+@REGISTRY.register(
+    "q_embedding_isotropy",
+    tags=("llm", "similarity", "vector", "quality"),
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS qc
+  FROM embeddings
+), cent AS (
+  SELECT pos, CAST(SUM(qc) AS BIGINT) AS s FROM q GROUP BY pos
+), dots AS (
+  SELECT q.vec_id,
+         CAST(SUM(q.qc * cent.s) AS BIGINT) AS dot,
+         CAST(SUM(q.qc * q.qc) AS BIGINT) AS nv2
+  FROM q JOIN cent ON q.pos = cent.pos
+  GROUP BY q.vec_id
+), cnorm AS (
+  SELECT CAST(SUM(s * s) AS BIGINT) AS nc2 FROM cent
+), cos AS (
+  SELECT CAST(FLOOR(CAST(dot AS DOUBLE) * 1000000
+                    / (SQRT(nv2) * SQRT(nc2))) AS BIGINT) AS cos_micro
+  FROM dots, cnorm WHERE nv2 > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(cos_micro) AS BIGINT) // COUNT(*) AS mean_cos_micro,
+       CAST(SUM(CASE WHEN cos_micro > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_cone
+FROM cos
+""",
+)
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy audit: mean cosine of every vector to the
+    corpus MEAN DIRECTION, plus how many sit inside the 60-degree cone
+    around it — the anisotropy pathology check for embedding spaces (a
+    high mean cosine means all vectors share a dominant direction, and
+    cosine similarities compress into a narrow band, degrading every
+    ANN/dedup operator downstream; the usual fix is mean-centering,
+    whose benefit this audit quantifies in advance).
+
+    Exact: milli-quantized components (the 1/n of the mean direction
+    cancels in cosine), BIGINT dots/norms, one shared sqrt/divide
+    expression floored to micro.
+
+    Scale shape: one posexplode pass, a dim-bounded centroid agg
+    (broadcast back), one per-vector rollup."""
+    c = catalog(spark, sf_dir)
+    q = c.embeddings.select(
+        "vec_id", F.posexplode(_as_double("embedding")).alias("pos0", "comp")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("comp") * 1000 + F.lit(0.5)).cast("bigint").alias("qc"),
+    )
+    cent = q.groupBy("pos").agg(F.sum("qc").cast("bigint").alias("s"))
+    dots = (
+        q.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qc") * F.col("s")).cast("bigint").alias("dot"),
+            F.sum(F.col("qc") * F.col("qc")).cast("bigint").alias("nv2"),
+        )
+    )
+    cnorm = cent.agg(F.sum(F.col("s") * F.col("s")).cast("bigint").alias("nc2"))
+    cos = (
+        dots.crossJoin(F.broadcast(cnorm))
+        .filter(F.col("nv2") > 0)
+        .select(
+            F.floor(
+                F.col("dot").cast("double")
+                * 1000000
+                / (F.sqrt("nv2") * F.sqrt("nc2"))
+            )
+            .cast("bigint")
+            .alias("cos_micro")
+        )
+    )
+    return cos.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.expr("sum(cos_micro) div count(*)").alias("mean_cos_micro"),
+        F.sum(F.when(F.col("cos_micro") > 500000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_cone"),
+    )

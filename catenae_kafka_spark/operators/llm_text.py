@@ -1379,3 +1379,66 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+@REGISTRY.register(
+    "q_self_bleu_lite",
+    tags=("llm", "text", "generation-eval"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' '
+                || string_split(text, ' ')[i + 1])) AS bg
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+), pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, a.bg AS ba, b.bg AS bb
+  FROM grams a JOIN grams b
+    ON b.doc_id = a.doc_id + 7 AND a.doc_id % 5 = 0
+), scored AS (
+  SELECT (len(list_intersect(ba, bb)) * 1000000) // len(ba) AS prec_micro
+  FROM pairs WHERE len(ba) > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(prec_micro) AS BIGINT) // COUNT(*) AS self_bleu2_micro,
+       CAST(MAX(prec_micro) AS BIGINT) AS max_pair_micro
+FROM scored
+""",
+)
+def q_self_bleu_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU (bigram precision flavor) over a deterministic pair
+    sample: how much does the corpus repeat ITSELF — the generation-
+    diversity metric for synthetic/model-written data (high Self-BLEU
+    = mode collapse; a dedup'd human corpus sits low). Pairs are the
+    fixed (doc_id, doc_id+7) lattice over every 5th doc — a
+    deterministic sample, so the metric is rerun-stable and
+    hash-checked (sampling pairs is standard; all-pairs Self-BLEU is
+    quadratic and adds nothing).
+
+    Exact: distinct-bigram set intersections over integer micro
+    precision, floor-mean.
+
+    Scale shape: the pair lattice is an equi-join on doc_id+7 (no
+    cross join); bigram sets are map-side."""
+    c = catalog(spark, sf_dir)
+    from catenae_kafka_spark.operators.llm_dedup import word_bigrams
+
+    grams = c.documents.filter(
+        F.size(F.split("text", " ")) >= 2
+    ).select("doc_id", word_bigrams(F.col("text")).alias("bg"))
+    a = grams.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("ida"), F.col("bg").alias("ba")
+    )
+    b = grams.select((F.col("doc_id") - 7).alias("match_id"), F.col("bg").alias("bb"))
+    pairs = a.join(b, F.col("ida") == F.col("match_id"))
+    scored = pairs.filter(F.size("ba") > 0).select(
+        F.expr(
+            "(size(array_intersect(ba, bb)) * 1000000) div size(ba)"
+        ).alias("prec_micro")
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("sum(prec_micro) div count(*)").alias("self_bleu2_micro"),
+        F.max("prec_micro").cast("bigint").alias("max_pair_micro"),
+    )

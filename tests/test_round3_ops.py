@@ -1638,3 +1638,42 @@ def test_two_way_anova_decomposition_sums(spark):
     assert r["ss_error"] > 0
     assert 0 <= r["interaction_eta2_micro"] <= 1_000_000
     assert total > 0
+
+
+def test_self_bleu_lite_bounds_and_determinism(spark):
+    from catenae_kafka_spark.operators.llm_text import q_self_bleu_lite
+
+    a = q_self_bleu_lite(spark, SF).toPandas().iloc[0]
+    b = q_self_bleu_lite(spark, SF).toPandas().iloc[0]
+    assert tuple(a) == tuple(b)
+    assert a["n_pairs"] > 0
+    assert 0 <= a["self_bleu2_micro"] <= a["max_pair_micro"] <= 1_000_000
+
+
+def test_embedding_isotropy_matches_numpy(spark):
+    import numpy as np
+
+    from catenae_kafka_spark.operators.llm_similarity import (
+        q_embedding_isotropy,
+    )
+
+    r = q_embedding_isotropy(spark, SF).toPandas().iloc[0]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    qv = np.floor(vecs * 1000 + 0.5)
+    cvec = qv.sum(axis=0)
+    cos = (qv @ cvec) / (
+        np.linalg.norm(qv, axis=1) * np.linalg.norm(cvec)
+    )
+    assert r["n_vectors"] == len(vecs)
+    assert abs(r["mean_cos_micro"] / 1e6 - cos.mean()) < 2e-3
+    assert r["n_in_cone"] == int((np.floor(cos * 1e6) > 500000).sum())
+
+
+def test_rls_policy_audit_no_leakage_and_partition(spark):
+    from catenae_kafka_spark.operators.dataops import q_rls_policy_audit
+
+    df = q_rls_policy_audit(spark, SF).toPandas()
+    assert len(df) == 5
+    assert (df["n_leaked"] == 0).all()
+    assert df["n_visible"].sum() == df["n_total"].iloc[0]

@@ -104,6 +104,8 @@ NL_WHITELIST = {
     "q_theil_sen": "O(n^2) pairwise slopes on the 25-row brand rollup",
     "q_location_ladder": "1-row bound/winsorize aggregates crossed",
     "q_two_way_anova": "1-row SS aggregates (total/factor) crossed",
+    "q_embedding_isotropy": "1-row centroid-norm aggregate cross",
+    "q_rls_policy_audit": "1-row total-count aggregate cross",
     "q_rolling_origin_backtest": "3-row cutoff spine joined to the <=31-row daily series",
     "q_rec_coverage": "three 1-row coverage aggregates crossed",
     "q_graph_modularity": "1-row total-weight aggregate crossed with the 5-row community rollup",
