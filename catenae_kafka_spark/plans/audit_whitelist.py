@@ -1,0 +1,93 @@
+"""Reviewed plan-shape exceptions, shared by tools/plan_audit.py and
+tests/test_plans.py (single source of truth: a new nested-loop join
+must be justified HERE, with its reason, to pass either gate).
+
+Every entry is a query whose CartesianProduct / BroadcastNestedLoopJoin
+is a reviewed 1-row-aggregate or domain-bounded broadcast cross — never
+a data-x-data product. PYUDF_WHITELIST marks the queries whose
+registered surface IS the row-at-a-time Python UDF demo.
+"""
+
+from __future__ import annotations
+
+# query -> reason a nested-loop/cartesian is acceptable THERE.
+NL_WHITELIST = {
+    "q_join_theta": "theta (non-equi) join IS the operator under test; bounded build side",
+    "q_join_range": "interval containment join; build side is the bounded bucket table",
+    "q_subquery_scalar": "1-row scalar subquery broadcast cross",
+    "q_subquery_correlated": "decorrelated to a 1-row/row-per-key aggregate cross",
+    "q_lateral_subquery": "lateral decorrelates to a bounded per-key aggregate",
+    "q_date_spine": "spine x type-domain cross is dimension-only (rows = days x types)",
+    "q_dense_grid": "spine x type-domain cross is dimension-only",
+    "q_skyline": "dominance filter against a <=100-row broadcast frontier",
+    "q_federated_join": "cross of two 1-row per-source summary aggregates",
+    "q_knn_cosine": "documented brute-force baseline; ANN siblings are the scale path",
+    "q_knn_lsh": "probe set x bucket table nested loop over the TINY probe side",
+    "q_dedup_threshold_sweep": "threshold grid (5 rows) x edge table",
+    "q_bootstrap_ci": "resample-index grid (<=64 rows) x 1-row moment aggregate",
+    "q_chi_square": "1-row total aggregate cross",
+    "q_ks_statistic": "1-row per-sample scalar cross",
+    "q_zscore_outliers": "1-row moment aggregate cross",
+    "q_winsorize": "1-row quantile-bound aggregate cross",
+    "q_anomaly_mad": "1-row median/MAD aggregate cross",
+    "q_feature_binning": "1-row quantile-boundary aggregate cross",
+    "q_psi_drift": "two 1-row period aggregates crossed",
+    "q_gains_deciles": "1-row total aggregate cross",
+    "q_calendar_tz_contract": "constant calendar probe rows",
+    "q_histogram": "1-row min/max aggregate cross for bucket width",
+    "q_agg_histogram": "1-row min/max aggregate cross for bucket width",
+    "q_apportion_seats": "1-row total + 1-row leftover broadcast crosses",
+    "q_basket_lift": "1-row basket-count aggregate cross",
+    "q_bm25": "1-row corpus-stats aggregate cross",
+    "q_calibration_bins": "1-row total aggregate cross",
+    "q_diff_in_diff": "four 1-row period/arm aggregates crossed",
+    "q_doc_perplexity": "1-row corpus-total aggregate cross (unigram LM denominator)",
+    "q_embed_outliers": "1-row moment aggregate cross",
+    "q_forecast_baseline": "1-row split-boundary aggregate cross",
+    "q_haar_energy": "three 1-row level-energy aggregates crossed",
+    "q_hybrid_rrf": "1-row corpus-stats cross feeding both retrieval arms",
+    "q_keyphrases": "1-row corpus-total cross for the contrast denominator",
+    "q_kmeans_quantized": "k-row centroid table broadcast to assignment (k bounded)",
+    "q_knn_ivf": "probe x nearest-centroid shortlist; centroid table bounded by k",
+    "q_lang_tvd": "k(k-1)/2 language-pair table broadcast (non-equi, domain-bounded)",
+    "q_multiple_testing_fdr": "1-row totals + 1-row step-up cutoff crosses",
+    "q_pca_power": "dim^2-bounded Gram/eigvec tables crossed (corpus-independent)",
+    "q_phrase_search": "1-row query-phrase constant cross",
+    "q_poststratify": "1-row population-total aggregate cross",
+    "q_rfm_segments": "1-row quantile-boundary aggregate cross",
+    "q_sample_balanced": "per-class-count table (|classes| rows) broadcast cross",
+    "q_seasonality_strength": "1-row square-sum aggregate cross",
+    "q_segment_migration": "1-row period-boundary aggregate cross",
+    "q_simpson_check": "1-row pooled-sign aggregate cross",
+    "q_text_tfidf": "1-row corpus-size aggregate cross (idf denominator)",
+    "q_tpch_q11": "1-row fraction-of-total threshold cross (Q11 semantics)",
+    "q_vocab_coverage": "vocabulary table broadcast membership probe (domain-bounded)",
+    "q_word_burstiness": "1-row corpus-moment aggregate cross",
+    "q_word_pmi": "1-row corpus-total cross for the PMI denominator",
+    "q_zorder_layout": "1-row min/max range aggregate cross (Z-address scaling)",
+    "q_outlier_kappa": "three 1-row moment/median/MAD aggregate crosses",
+    "q_permutation_test": "1-row totals + 1-row observed-statistic crosses",
+    "q_json_schema_profile": "1-row row-count aggregate cross",
+    "q_fk_discovery": "1-row distinct-count x 1-row orphan-count crosses per candidate",
+    "q_bloom_fpr": "1-row member/bit-count aggregates crossed onto the probe summary",
+    "q_rle_compressibility": "1-row distinct-count aggregate cross",
+    "q_rendezvous_sharding": "8-row shard-constant broadcast cross per user (HRW scoring)",
+    "q_dataset_card": "1-row dup-count + 1-row top-source aggregates crossed",
+    "q_chi_residuals": "1-row grand-total aggregate cross onto the 35-cell table",
+    "q_quantile_normalize": "9-row decile spine joined on a rank inequality (bounded spine)",
+    "q_rank_biased_overlap": "10-row depth spine x 25-row rank table (both constants)",
+    "q_negative_sampling": "anchor-slice x label-table non-equi join; bounded by the 1/11 anchor slice (pre-bucketed sampling at corpus scale, see docstring)",
+    "q_bpe_merge_apply": "1-row winning-pair broadcast cross onto the corpus rewrite",
+    "q_kendall_tau": "O(n^2) pairwise join on the 25-row brand rollup + 1-row count cross",
+    "q_theil_sen": "O(n^2) pairwise slopes on the 25-row brand rollup",
+    "q_location_ladder": "1-row bound/winsorize aggregates crossed",
+    "q_two_way_anova": "1-row SS aggregates (total/factor) crossed",
+    "q_embedding_isotropy": "1-row centroid-norm aggregate cross",
+    "q_rls_policy_audit": "1-row total-count aggregate cross",
+    "q_rolling_origin_backtest": "3-row cutoff spine joined to the <=31-row daily series",
+    "q_rec_coverage": "three 1-row coverage aggregates crossed",
+    "q_graph_modularity": "1-row total-weight aggregate crossed with the 5-row community rollup",
+}
+
+# Queries whose registered surface IS the row-at-a-time Python UDF demo.
+PYUDF_WHITELIST = {"q_udf_scalar", "q_udtf", "q_udaf_grouped", "q_udtf_native"}

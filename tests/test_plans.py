@@ -440,11 +440,10 @@ def test_no_cartesian_product_in_any_registered_batch_query(spark):
     CartesianProduct — the one join shape that cannot survive 100 TB.
     Intentional all-pairs baselines are explicitly whitelisted so a
     new offender fails loudly rather than hiding among them."""
+    from catenae_kafka_spark.plans.audit_whitelist import NL_WHITELIST
     from catenae_kafka_spark.registry import all_specs
 
-    WHITELIST = {
-        "q_knn_cosine",  # brute-force baseline: documented all-pairs
-    }
+    WHITELIST = set(NL_WHITELIST)
     offenders = []
     for name, spec in sorted(all_specs().items()):
         if "streaming" in spec.tags or name in WHITELIST:
