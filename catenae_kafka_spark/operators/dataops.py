@@ -1489,3 +1489,86 @@ def q_rls_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.expr("(n_visible * 1000000) div n_total").alias("visibility_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_hash_chain_audit",
+    tags=("dataops", "integrity"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(event_id AS VARCHAR) ORDER BY ts, event_id) AS ids
+  FROM events GROUP BY user_id
+), chains AS (
+  SELECT user_id, CAST(len(ids) AS BIGINT) AS n_events,
+         CASE WHEN len(ids) = 1 THEN ids[1]
+              ELSE list_reduce(ids, (x, y) -> md5(x || y)) END AS chain
+  FROM ordered
+), top AS (
+  SELECT list_reduce(list(chain ORDER BY user_id), (x, y) -> md5(x || y))
+           AS top_hash
+  FROM chains
+)
+SELECT user_id, n_events, chain, (SELECT top_hash FROM top) AS top_hash
+FROM chains WHERE user_id % 17 = 0
+""",
+)
+def q_hash_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident hash chain over the event log: each user's
+    events fold left-to-right through md5 (chain_i = md5(chain_{i-1}
+    || event_id)), and the per-user chain heads fold again into ONE
+    top hash for the whole table — the append-only-ledger integrity
+    scheme (any reordering, insertion or deletion anywhere changes the
+    top hash). The fold is inherently sequential BY DESIGN — that is
+    what makes it tamper-evident — so it runs as a per-key array fold
+    (F.aggregate / list_reduce), parallel ACROSS users, sequential
+    within.
+
+    Exact: md5 is the engine-portable hash; the fold order is the
+    total (ts, event_id) order. A 1/17 user slice is emitted with the
+    global top hash on every row.
+
+    Scale shape: one user-keyed collect + in-memory fold per user
+    (bounded by per-user event count), one tiny chain-head fold."""
+    c = catalog(spark, sf_dir)
+    ordered = c.events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id"))
+        ).alias("evs")
+    ).select(
+        "user_id",
+        F.expr("transform(evs, e -> CAST(e.event_id AS STRING))").alias("ids"),
+    )
+    chains = ordered.select(
+        "user_id",
+        F.size("ids").cast("bigint").alias("n_events"),
+        F.when(F.size("ids") == 1, F.element_at("ids", 1))
+        .otherwise(
+            F.expr(
+                "aggregate(slice(ids, 2, size(ids) - 1), ids[0],"
+                " (x, y) -> md5(x || y))"
+            )
+        )
+        .alias("chain"),
+    )
+    # top hash: fold the per-user chain heads in user_id order
+    top = (
+        chains.groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(user_id, chain))),"
+                " s -> s.chain)"
+            ).alias("cs")
+        )
+        .select(
+            F.expr(
+                "aggregate(slice(cs, 2, size(cs) - 1), cs[0],"
+                " (x, y) -> md5(x || y))"
+            ).alias("top_hash")
+        )
+    )
+    return (
+        chains.filter(F.col("user_id") % 17 == 0)
+        .crossJoin(F.broadcast(top))
+        .select("user_id", "n_events", "chain", "top_hash")
+    )

@@ -1677,3 +1677,47 @@ def test_rls_policy_audit_no_leakage_and_partition(spark):
     assert len(df) == 5
     assert (df["n_leaked"] == 0).all()
     assert df["n_visible"].sum() == df["n_total"].iloc[0]
+
+
+def test_hash_chain_audit_detects_tampering(spark):
+    """The chain must match a python reimplementation, and flipping a
+    single event id must change the user's chain."""
+    import hashlib
+
+    from catenae_kafka_spark.operators.dataops import q_hash_chain_audit
+
+    df = q_hash_chain_audit(spark, SF).toPandas()
+    assert df["top_hash"].nunique() == 1
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+
+    def fold(ids):
+        acc = ids[0]
+        for x in ids[1:]:
+            acc = hashlib.md5((acc + x).encode()).hexdigest()
+        return acc
+
+    for _, r in df.iterrows():
+        g = ev[ev["user_id"] == r["user_id"]].sort_values(["ts", "event_id"])
+        ids = [str(i) for i in g["event_id"]]
+        assert fold(ids) == r["chain"]
+        assert r["n_events"] == len(ids)
+        tampered = list(ids)
+        tampered[0] = str(int(tampered[0]) + 1)
+        assert fold(tampered) != r["chain"]
+
+
+def test_keyset_pagination_equals_offset_pagination(spark):
+    """Page 3 via keyset must equal page 3 via sort+offset."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.sorts import q_keyset_pagination
+
+    got = q_keyset_pagination(spark, SF).toPandas().reset_index(drop=True)
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    orders["cents"] = np.floor(orders["o_totalprice"] * 100 + 0.5).astype("int64")
+    ref = (
+        orders.sort_values(["cents", "o_orderkey"], kind="mergesort")
+        .iloc[100:150][["o_orderkey", "cents"]]
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref)
