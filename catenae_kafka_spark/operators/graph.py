@@ -1404,3 +1404,82 @@ def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("catalog_coverage_micro"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_graph_reciprocity",
+    tags=("graph",),
+    oracle="""
+WITH directed AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer c ON o_custkey = c.c_custkey
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY src, dst
+), paired AS (
+  SELECT a.src, a.dst, a.w,
+         COALESCE(b.w, 0) AS w_rev
+  FROM directed a
+  LEFT JOIN directed b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(w) AS BIGINT) AS total_weight,
+       CAST(SUM(LEAST(w, w_rev)) AS BIGINT) AS reciprocated_weight,
+       (CAST(SUM(LEAST(w, w_rev)) AS BIGINT) * 1000000)
+         // CAST(SUM(w) AS BIGINT) AS reciprocity_micro
+FROM paired
+""",
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reciprocity of the DIRECTED trade graph: what share of
+    flow is returned along the reverse edge (sum of min(w_uv, w_vu)
+    over outgoing weight) — the trade-balance/mutuality statistic the
+    symmetrized views (modularity, assortativity) erase by
+    construction.
+
+    Exact: edge weights are BIGINT counts; min/sum/floor-division.
+
+    Scale shape: the directed edge table aggregates once from the fact
+    join (broadcast dims); reciprocity is one self-join on the
+    <=600-edge nation graph."""
+    c0 = catalog(spark, sf_dir)
+    cust = c0.customer.select("c_custkey", "c_nationkey")
+    supp = c0.supplier.select("s_suppkey", "s_nationkey")
+    directed = (
+        c0.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            c0.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    rev = directed.select(
+        F.col("dst").alias("rsrc"), F.col("src").alias("rdst"),
+        F.col("w").alias("w_rev"),
+    )
+    paired = directed.join(
+        rev,
+        (F.col("src") == F.col("rsrc")) & (F.col("dst") == F.col("rdst")),
+        "left",
+    ).select("w", F.coalesce("w_rev", F.lit(0)).alias("w_rev"))
+    return paired.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum("w").cast("bigint").alias("total_weight"),
+        F.sum(F.least("w", "w_rev")).cast("bigint").alias("reciprocated_weight"),
+    ).select(
+        "n_edges",
+        "total_weight",
+        "reciprocated_weight",
+        F.expr(
+            "(reciprocated_weight * 1000000) div total_weight"
+        ).alias("reciprocity_micro"),
+    )

@@ -504,3 +504,93 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_leaking_docs"),
     )
+
+
+@REGISTRY.register(
+    "q_horvitz_thompson",
+    tags=("reshape", "sampling"),
+    oracle="""
+WITH rated AS (
+  SELECT o_custkey, c_mktsegment AS seg,
+         CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS dollars,
+         CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY') THEN 2 ELSE 4
+         END AS inv_rate,
+         ('0x' || substr(md5('ht:' || o_orderkey), 1, 8))::BIGINT AS h
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), sampled AS (
+  SELECT * FROM rated WHERE h % inv_rate = 0
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rated) AS n_population,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       (SELECT CAST(SUM(dollars) AS BIGINT) FROM rated) AS true_total,
+       CAST(SUM(dollars * inv_rate) AS BIGINT) AS ht_estimate,
+       CAST((ABS(CAST(SUM(dollars * inv_rate) AS BIGINT)
+            - (SELECT SUM(dollars) FROM rated)) * 1000000)
+         // (SELECT SUM(dollars) FROM rated) AS BIGINT) AS rel_err_micro
+FROM sampled
+""",
+)
+def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation under UNEQUAL sampling rates: two
+    segments sample at 1/2, the rest at 1/4 (md5-deterministic), and
+    the population revenue total is reconstructed by weighting each
+    sampled row by its inverse inclusion probability — the estimator
+    that makes stratified/biased sampling usable for totals (a naive
+    sum of the sample would be ~3x off; HT's relative error here is
+    pure sampling noise, reported in micro-units).
+
+    Exact: integer dollars and integer inverse rates — the estimate
+    itself is a BIGINT sum, the comparison a floor division; md5
+    keeps the 'random' sample identical on both engines.
+
+    Scale shape: map-side rate assignment + one filtered aggregation;
+    the estimator never touches unsampled rows (the point of sampling
+    at 100 TB)."""
+    c = catalog(spark, sf_dir)
+    rated = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.floor(F.col("o_totalprice") + F.lit(0.5))
+            .cast("bigint")
+            .alias("dollars"),
+            F.when(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY"), 2
+            )
+            .otherwise(4)
+            .alias("inv_rate"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ht:"), F.col("o_orderkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    pop = rated.agg(
+        F.count("*").cast("bigint").alias("n_population"),
+        F.sum("dollars").cast("bigint").alias("true_total"),
+    )
+    sampled = rated.filter(F.col("h") % F.col("inv_rate") == 0)
+    est = sampled.agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum(F.col("dollars") * F.col("inv_rate"))
+        .cast("bigint")
+        .alias("ht_estimate"),
+    )
+    return est.crossJoin(F.broadcast(pop)).select(
+        "n_population",
+        "n_sampled",
+        "true_total",
+        "ht_estimate",
+        F.expr(
+            "(abs(ht_estimate - true_total) * 1000000) div true_total"
+        ).alias("rel_err_micro"),
+    )

@@ -9,7 +9,7 @@ engines (ties at the boundary would otherwise be an arbitrary subset).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
@@ -130,4 +130,76 @@ def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cents", "o_orderkey")
         .limit(50)
         .select("o_orderkey", "cents")
+    )
+
+
+@REGISTRY.register(
+    "q_topk_merge_proof",
+    tags=("sort", "topk", "scale"),
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           AS cents,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 8
+           AS bucket
+  FROM orders
+), per_bucket AS (
+  SELECT o_orderkey, cents FROM (
+    SELECT o_orderkey, cents,
+           ROW_NUMBER() OVER (PARTITION BY bucket
+                              ORDER BY cents DESC, o_orderkey) AS rn
+    FROM ranked
+  ) WHERE rn <= 10
+), merged AS (
+  SELECT o_orderkey, cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey) AS rn
+  FROM per_bucket
+)
+SELECT m.o_orderkey, m.cents, CAST(m.rn AS BIGINT) AS rnk
+FROM merged m WHERE m.rn <= 10
+""",
+)
+def q_topk_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k by partial-merge, with the algebra visible:
+    hash the table into 8 'partitions', take each partition's LOCAL
+    top-10, merge the 80 survivors, and the global top-10 of the merge
+    IS the true global top-10 (every true top-k row is top-k within
+    its own partition — the identity that lets TakeOrdered move
+    O(k x partitions) rows instead of sorting 100 TB; the companion
+    test asserts equality against the direct global top-10).
+
+    Exact: integer cents, total (cents DESC, key) order, md5 hash
+    partitioning.
+
+    Scale shape: per-partition window top-k + an 80-row merge — this
+    query demonstrates explicitly what Spark's TakeOrderedAndProject
+    does physically (see q_sort_limit's plan)."""
+    c = catalog(spark, sf_dir)
+    ranked = c.orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 8
+        ).alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey")
+    )
+    per_bucket = (
+        ranked.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "cents")
+    )
+    wm = Window.orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+    return (
+        per_bucket.withColumn("rnk", F.row_number().over(wm))
+        .filter(F.col("rnk") <= 10)
+        .select("o_orderkey", "cents", F.col("rnk").cast("bigint").alias("rnk"))
     )

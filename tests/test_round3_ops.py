@@ -1721,3 +1721,42 @@ def test_keyset_pagination_equals_offset_pagination(spark):
         .reset_index(drop=True)
     )
     assert got.equals(ref)
+
+
+def test_graph_reciprocity_bounds(spark):
+    from catenae_kafka_spark.operators.graph import q_graph_reciprocity
+
+    r = q_graph_reciprocity(spark, SF).toPandas().iloc[0]
+    assert 0 <= r["reciprocated_weight"] <= r["total_weight"]
+    assert 0 <= r["reciprocity_micro"] <= 1_000_000
+    assert r["n_edges"] > 0
+
+
+def test_topk_merge_proof_equals_direct_global_topk(spark):
+    """The partial-merge top-10 must equal the direct global top-10 —
+    the identity the operator demonstrates."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.sorts import q_topk_merge_proof
+
+    got = q_topk_merge_proof(spark, SF).toPandas().sort_values("rnk")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    orders["cents"] = np.floor(orders["o_totalprice"] * 100 + 0.5).astype("int64")
+    ref = orders.sort_values(
+        ["cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    assert list(got["o_orderkey"]) == list(ref["o_orderkey"])
+    assert list(got["cents"]) == list(ref["cents"])
+
+
+def test_horvitz_thompson_is_unbiased_in_design(spark):
+    """Sampled fraction must track the design rates, and the HT
+    estimate must land within a loose sampling-noise band of truth."""
+    from catenae_kafka_spark.operators.reshape import q_horvitz_thompson
+
+    r = q_horvitz_thompson(spark, SF).toPandas().iloc[0]
+    assert 0 < r["n_sampled"] < r["n_population"]
+    # blended design rate is between 1/4 and 1/2
+    frac = r["n_sampled"] / r["n_population"]
+    assert 0.2 < frac < 0.55
+    assert r["rel_err_micro"] < 150_000  # within 15% of truth
