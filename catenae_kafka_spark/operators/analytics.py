@@ -2889,3 +2889,162 @@ def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p95_daily_demand"),
     ).select("p_brand", "n_days", "mean_daily_demand", "p95_daily_demand")
+
+
+# Shapley subset lattice for channels C = {click, error, signup, view}:
+# one row per (channel i, subset S ⊆ C\{i}) with the exact integer
+# weight |S|!(|C|-|S|-1)! (denominator |C|! = 24 applied once at the
+# end). Canonical subset key = comma-joined sorted members ('' = {}).
+_SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _shapley_lattice() -> list[tuple[str, str, str, int]]:
+    import itertools
+    import math
+
+    rows = []
+    for ch in _SHAPLEY_CHANNELS:
+        others = [c for c in _SHAPLEY_CHANNELS if c != ch]
+        for r in range(len(others) + 1):
+            for s in itertools.combinations(others, r):
+                w = math.factorial(len(s)) * math.factorial(
+                    len(_SHAPLEY_CHANNELS) - len(s) - 1
+                )
+                s_without = ",".join(sorted(s))
+                s_with = ",".join(sorted(s + (ch,)))
+                rows.append((ch, s_without, s_with, w))
+    return rows
+
+
+_SHAPLEY_VALUES_SQL = ",\n  ".join(
+    f"('{c}', '{a}', '{b}', {w})" for c, a, b, w in _shapley_lattice()
+)
+
+
+@REGISTRY.register(
+    "q_shapley_attribution",
+    tags=("analytics", "attribution"),
+    oracle=f"""
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS first_p FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), pval AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS conv_cents
+  FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+), exposure AS (
+  SELECT e.user_id,
+         array_to_string(list_sort(list_distinct(list(e.event_type))), ',')
+           AS cs
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts < fp.first_p
+  GROUP BY e.user_id
+), v AS (
+  SELECT ex.cs, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(p.conv_cents) AS BIGINT) // COUNT(*) AS v_cents
+  FROM exposure ex JOIN pval p ON ex.user_id = p.user_id
+  GROUP BY ex.cs
+), lattice(channel, s_without, s_with, w) AS (VALUES
+  {_SHAPLEY_VALUES_SQL}
+), terms AS (
+  SELECT l.channel,
+         l.w * (COALESCE(vw.v_cents, 0) - COALESCE(vo.v_cents, 0)) AS t
+  FROM lattice l
+  LEFT JOIN v vw ON vw.cs = l.s_with
+  LEFT JOIN v vo ON vo.cs = l.s_without AND l.s_without <> ''
+)
+SELECT channel,
+       CAST(FLOOR(CAST(SUM(t) AS DOUBLE) * 1000 / 24) AS BIGINT)
+         AS shapley_milli_cents
+FROM terms GROUP BY channel
+""",
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over channel exposure SETS: the
+    value function v(S) is the mean first-purchase amount among users
+    whose pre-conversion exposure was exactly S, and each channel's
+    Shapley value sums its weighted marginal contributions over all
+    2^(|C|-1) coalitions — the game-theoretically fair split of
+    conversion value (the only attribution satisfying efficiency /
+    symmetry / dummy), computable exactly because |C| = 4 keeps the
+    lattice at 32 rows (the general case samples coalitions; the
+    lattice join shape is identical).
+
+    Exact: integer cents v(S) (floor mean), integer factorial weights
+    (|S|!(|C|-|S|-1)!, /24 applied once via a shared FLOOR(double) —
+    marginals can be negative, so integer div is avoided, fact #37).
+
+    Scale shape: one user-keyed exposure-set agg over the fact table;
+    everything after runs on the <=16-row v(S) table against the
+    32-row constant lattice."""
+    c = catalog(spark, sf_dir)
+    fp = (
+        c.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_p"))
+    )
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pval = (
+        c.events.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("conv_cents"),
+        )
+    )
+    exposure = (
+        c.events.join(fp.withColumnRenamed("user_id", "fu2"), F.col("user_id") == F.col("fu2"))
+        .filter(
+            (F.col("event_type") != "purchase") & (F.col("ts") < F.col("first_p"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ","
+            ).alias("cs")
+        )
+    )
+    v = (
+        exposure.join(pval, "user_id")
+        .groupBy("cs")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr("sum(conv_cents) div count(*)").alias("v_cents"),
+        )
+    )
+    lattice = spark.createDataFrame(
+        _shapley_lattice(), "channel string, s_without string, s_with string, w long"
+    )
+    vw = v.select(F.col("cs").alias("cw"), F.col("v_cents").alias("v_with"))
+    vo = v.select(F.col("cs").alias("co"), F.col("v_cents").alias("v_without"))
+    terms = (
+        F.broadcast(lattice)
+        .join(vw, F.col("s_with") == F.col("cw"), "left")
+        .join(
+            vo,
+            (F.col("s_without") == F.col("co")) & (F.col("s_without") != ""),
+            "left",
+        )
+        .select(
+            "channel",
+            (
+                F.col("w")
+                * (
+                    F.coalesce("v_with", F.lit(0))
+                    - F.coalesce("v_without", F.lit(0))
+                )
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("channel").agg(
+        F.floor(F.sum("t").cast("double") * 1000 / 24)
+        .cast("bigint")
+        .alias("shapley_milli_cents")
+    )

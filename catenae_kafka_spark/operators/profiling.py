@@ -383,3 +383,108 @@ def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@REGISTRY.register(
+    "q_corr_matrix",
+    tags=("profiling", "statistics"),
+    oracle="""
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS x2,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x3
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x3) AS BIGINT) AS s3,
+         CAST(SUM(x1 * x1) AS BIGINT) AS q11,
+         CAST(SUM(x2 * x2) AS BIGINT) AS q22,
+         CAST(SUM(x3 * x3) AS BIGINT) AS q33,
+         CAST(SUM(x1 * x2) AS BIGINT) AS q12,
+         CAST(SUM(x1 * x3) AS BIGINT) AS q13,
+         CAST(SUM(x2 * x3) AS BIGINT) AS q23
+  FROM base
+)
+SELECT pair, CAST(FLOOR(r * 1000000) AS BIGINT) AS r_micro FROM (
+  SELECT 'quantity~price' AS pair,
+         (CAST(n AS DOUBLE) * q12 - CAST(s1 AS DOUBLE) * s2)
+         / (SQRT(CAST(n AS DOUBLE) * q11 - CAST(s1 AS DOUBLE) * s1)
+            * SQRT(CAST(n AS DOUBLE) * q22 - CAST(s2 AS DOUBLE) * s2)) AS r
+  FROM s
+  UNION ALL
+  SELECT 'quantity~discount',
+         (CAST(n AS DOUBLE) * q13 - CAST(s1 AS DOUBLE) * s3)
+         / (SQRT(CAST(n AS DOUBLE) * q11 - CAST(s1 AS DOUBLE) * s1)
+            * SQRT(CAST(n AS DOUBLE) * q33 - CAST(s3 AS DOUBLE) * s3))
+  FROM s
+  UNION ALL
+  SELECT 'price~discount',
+         (CAST(n AS DOUBLE) * q23 - CAST(s2 AS DOUBLE) * s3)
+         / (SQRT(CAST(n AS DOUBLE) * q22 - CAST(s2 AS DOUBLE) * s2)
+            * SQRT(CAST(n AS DOUBLE) * q33 - CAST(s3 AS DOUBLE) * s3))
+  FROM s
+)
+""",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (quantity, price, discount)
+    in ONE pass: all ten power sums accumulate in a single map-side-
+    combined aggregation, and every pairwise r derives from them — the
+    profiling step that finds redundant/leaky columns before feature
+    selection, at one-scan cost no matter how many pairs (vs calling
+    corr() per pair = one scan each).
+
+    Exactness: integer-quantized columns, exact BIGINT power sums, one
+    shared IEEE expression per r (sqrt correctly rounded), micro
+    floors.
+
+    Scale shape: single aggregation, ten numbers cross the wire; the
+    pair expansion is constant-width driver-side arithmetic."""
+    c = catalog(spark, sf_dir)
+    base = c.lineitem.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.floor("l_extendedprice").cast("bigint").alias("x2"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("x3"),
+    )
+    s = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("x3").cast("bigint").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("q11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("q22"),
+        F.sum(F.col("x3") * F.col("x3")).cast("bigint").alias("q33"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("q12"),
+        F.sum(F.col("x1") * F.col("x3")).cast("bigint").alias("q13"),
+        F.sum(F.col("x2") * F.col("x3")).cast("bigint").alias("q23"),
+    )
+
+    def r(qxy: str, sx: str, sy: str, qxx: str, qyy: str):
+        return (
+            F.col("n").cast("double") * F.col(qxy)
+            - F.col(sx).cast("double") * F.col(sy)
+        ) / (
+            F.sqrt(
+                F.col("n").cast("double") * F.col(qxx)
+                - F.col(sx).cast("double") * F.col(sx)
+            )
+            * F.sqrt(
+                F.col("n").cast("double") * F.col(qyy)
+                - F.col(sy).cast("double") * F.col(sy)
+            )
+        )
+
+    rows = [
+        ("quantity~price", r("q12", "s1", "s2", "q11", "q22")),
+        ("quantity~discount", r("q13", "s1", "s3", "q11", "q33")),
+        ("price~discount", r("q23", "s2", "s3", "q22", "q33")),
+    ]
+    out = None
+    for name, expr in rows:
+        part = s.select(
+            F.lit(name).alias("pair"),
+            F.floor(expr * 1000000).cast("bigint").alias("r_micro"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

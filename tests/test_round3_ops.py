@@ -1760,3 +1760,60 @@ def test_horvitz_thompson_is_unbiased_in_design(spark):
     frac = r["n_sampled"] / r["n_population"]
     assert 0.2 < frac < 0.55
     assert r["rel_err_micro"] < 150_000  # within 15% of truth
+
+
+def test_shapley_attribution_efficiency_property(spark):
+    """Shapley values must sum to v(grand coalition) - v(empty) within
+    the documented floor tolerance (efficiency axiom)."""
+    import numpy as np
+
+    from catenae_kafka_spark.operators.analytics import (
+        _SHAPLEY_CHANNELS,
+        q_shapley_attribution,
+    )
+
+    df = q_shapley_attribution(spark, SF).toPandas()
+    assert set(df["channel"]) == set(_SHAPLEY_CHANNELS)
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    pur = ev[ev["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+    first = pur.groupby("user_id").first()
+    first_cents = np.floor(first["value"] * 100 + 0.5).astype("int64")
+    first_ts = first["ts"]
+    vmap = {}
+    rows = []
+    for uid, cents in first_cents.items():
+        pre = ev[
+            (ev["user_id"] == uid)
+            & (ev["event_type"] != "purchase")
+            & (ev["ts"] < first_ts[uid])
+        ]
+        cs = ",".join(sorted(set(pre["event_type"])))
+        rows.append((cs, cents))
+    import collections
+
+    agg = collections.defaultdict(list)
+    for cs, cents in rows:
+        agg[cs].append(cents)
+    v = {cs: sum(vals) // len(vals) for cs, vals in agg.items()}
+    grand = v.get("click,error,signup,view", 0)
+    total = df["shapley_milli_cents"].sum() / 1000
+    assert abs(total - grand) <= 1  # floor bias across 4 channels
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from catenae_kafka_spark.operators.profiling import q_corr_matrix
+
+    df = q_corr_matrix(spark, SF).toPandas().set_index("pair")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    x1 = li["l_quantity"].astype("int64")
+    x2 = np.floor(li["l_extendedprice"]).astype("int64")
+    x3 = np.floor(li["l_discount"] * 100 + 0.5).astype("int64")
+    for pair, (a, b) in {
+        "quantity~price": (x1, x2),
+        "quantity~discount": (x1, x3),
+        "price~discount": (x2, x3),
+    }.items():
+        ref = np.corrcoef(a, b)[0, 1]
+        assert abs(df.loc[pair, "r_micro"] / 1e6 - ref) < 2e-6
