@@ -203,3 +203,60 @@ def q_topk_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("o_orderkey", "cents", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+@REGISTRY.register(
+    "q_null_ordering_contract",
+    tags=("sort", "semantics"),
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+         END AS cents
+  FROM orders WHERE o_orderkey % 41 = 0
+)
+SELECT o_orderkey, cents,
+       ROW_NUMBER() OVER (ORDER BY cents ASC NULLS FIRST, o_orderkey)
+         AS rn_nulls_first,
+       ROW_NUMBER() OVER (ORDER BY cents ASC NULLS LAST, o_orderkey)
+         AS rn_nulls_last,
+       ROW_NUMBER() OVER (ORDER BY cents DESC NULLS LAST, o_orderkey)
+         AS rn_desc_nulls_last
+FROM t
+""",
+)
+def q_null_ordering_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering contract: the same nullable column ranked under
+    explicit NULLS FIRST / NULLS LAST in both directions — pinned
+    EXPLICITLY because the engines' DEFAULTS disagree (Spark sorts
+    nulls first ascending, DuckDB sorts them last), which silently
+    reorders any cross-engine comparison, pagination cursor, or top-k
+    that touches a nullable sort key. Every orderBy in this engine
+    that can see nulls must state its null placement; this query is
+    the executable form of that rule.
+
+    Exact: integer ranks over a total order (key tiebreak); the 1/41
+    slice keeps the checked result small."""
+    c = catalog(spark, sf_dir)
+    t = c.orders.filter(F.col("o_orderkey") % 41 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .alias("cents"),
+    )
+    return t.select(
+        "o_orderkey",
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").asc_nulls_first(), "o_orderkey"))
+        .alias("rn_nulls_first"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").asc_nulls_last(), "o_orderkey"))
+        .alias("rn_nulls_last"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").desc_nulls_last(), "o_orderkey"))
+        .alias("rn_desc_nulls_last"),
+    )

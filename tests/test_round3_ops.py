@@ -1817,3 +1817,17 @@ def test_corr_matrix_matches_numpy(spark):
     }.items():
         ref = np.corrcoef(a, b)[0, 1]
         assert abs(df.loc[pair, "r_micro"] / 1e6 - ref) < 2e-6
+
+
+def test_null_ordering_contract_places_nulls_correctly(spark):
+    from catenae_kafka_spark.operators.sorts import q_null_ordering_contract
+
+    df = q_null_ordering_contract(spark, SF).toPandas()
+    nulls = df[df["cents"].isna()]
+    non = df[df["cents"].notna()]
+    assert len(nulls) > 0 and len(non) > 0
+    # NULLS FIRST: all null ranks precede all non-null ranks
+    assert nulls["rn_nulls_first"].max() < non["rn_nulls_first"].min()
+    # NULLS LAST: all null ranks follow all non-null ranks (both dirs)
+    assert nulls["rn_nulls_last"].min() > non["rn_nulls_last"].max()
+    assert nulls["rn_desc_nulls_last"].min() > non["rn_desc_nulls_last"].max()
