@@ -3048,3 +3048,85 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shapley_milli_cents")
     )
+
+
+@REGISTRY.register(
+    "q_attribution_window_ladder",
+    tags=("analytics", "attribution"),
+    oracle="""
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS first_p FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), touch AS (
+  SELECT e.user_id,
+         MIN(epoch_us(fp.first_p) - epoch_us(e.ts)) // 1000000 AS min_gap_s
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.event_type = 'click' AND e.ts < fp.first_p
+  GROUP BY e.user_id
+), ladder AS (
+  SELECT unnest([1, 7, 30]) AS window_days
+)
+SELECT CAST(window_days AS BIGINT) AS window_days,
+       CAST((SELECT COUNT(*) FROM fp) AS BIGINT) AS n_conversions,
+       CAST((SELECT COUNT(*) FROM touch
+             WHERE min_gap_s <= window_days * 86400) AS BIGINT)
+         AS n_click_credited,
+       ((SELECT COUNT(*) FROM touch
+         WHERE min_gap_s <= window_days * 86400) * 1000000)
+         // (SELECT COUNT(*) FROM fp) AS credited_share_micro
+FROM ladder
+""",
+)
+def q_attribution_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity ladder: how many conversions get
+    click-credit under a 1-day, 7-day and 30-day lookback — the
+    sensitivity table every attribution-policy debate needs on screen
+    BEFORE choosing a window (the credited share can swing wildly, and
+    whoever picks the window picks the answer; the ladder makes that
+    dependence a measured fact).
+
+    Exact: gap seconds in BIGINT microsecond arithmetic, floor
+    divisions.
+
+    Scale shape: one user-keyed min-gap aggregation; the 3-row ladder
+    reuses it by comparison only."""
+    c = catalog(spark, sf_dir)
+    fp = (
+        c.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_p"))
+    )
+    touch = (
+        c.events.join(
+            fp.withColumnRenamed("user_id", "fu"), F.col("user_id") == F.col("fu")
+        )
+        .filter(
+            (F.col("event_type") == "click") & (F.col("ts") < F.col("first_p"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "min(unix_micros(first_p) - unix_micros(ts)) div 1000000"
+            ).alias("min_gap_s")
+        )
+    )
+    ladder = spark.createDataFrame([(1,), (7,), (30,)], ["window_days"])
+    n_conv = fp.agg(F.count("*").cast("bigint").alias("n_conversions"))
+    j = F.broadcast(ladder).crossJoin(F.broadcast(n_conv)).join(
+        touch,
+        F.col("min_gap_s") <= F.col("window_days") * 86400,
+        "left",
+    )
+    return j.groupBy(
+        F.col("window_days").cast("bigint").alias("window_days"),
+        "n_conversions",
+    ).agg(
+        F.count("min_gap_s").cast("bigint").alias("n_click_credited"),
+    ).select(
+        "window_days",
+        "n_conversions",
+        "n_click_credited",
+        F.expr("(n_click_credited * 1000000) div n_conversions").alias(
+            "credited_share_micro"
+        ),
+    )

@@ -3926,3 +3926,196 @@ def q_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("interaction_eta2_micro"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_anomaly_threshold_ladder",
+    tags=("mlstats", "monitoring"),
+    oracle="""
+WITH c AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS ss
+  FROM c
+), ladder AS (
+  SELECT unnest([2, 3, 4]) AS k
+)
+SELECT CAST(k AS BIGINT) AS z_threshold,
+       CAST((SELECT COUNT(*) FROM c, mom
+             WHERE (CAST(cents AS DOUBLE) * n - s)
+                   * (CAST(cents AS DOUBLE) * n - s)
+                 > CAST(k AS DOUBLE) * k * n
+                   * (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                   / (n - 1)) AS BIGINT) AS n_flagged,
+       CAST((SELECT ((SELECT COUNT(*) FROM c, mom
+             WHERE (CAST(cents AS DOUBLE) * n - s)
+                   * (CAST(cents AS DOUBLE) * n - s)
+                 > CAST(k2.k AS DOUBLE) * k2.k * n
+                   * (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                   / (n - 1)) * 1000000) // MAX(mom.n)
+             FROM mom) AS BIGINT) AS flag_rate_micro
+FROM ladder k2
+""",
+)
+def q_anomaly_threshold_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-threshold sensitivity ladder: how many events the |z| > 2,
+    3 and 4 rules would each flag, with rates — the tuning table an
+    on-call rotation needs before enabling an anomaly rule (the jump
+    from z>2 to z>3 is typically an order of magnitude of pages; this
+    measures it on the actual distribution instead of assuming
+    normality).
+
+    Exact: the z-comparison is the scale-free integer-moment form of
+    q_outlier_kappa evaluated under one shared IEEE expression per
+    threshold; counts and rates are BIGINT.
+
+    Scale shape: one moment aggregation + one flag scan reused across
+    the 3-row ladder (a single pass computes all three counts via
+    conditional sums)."""
+    c0 = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    cdf = c0.events.select(cents.alias("cents"))
+    mom = cdf.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    flagged = cdf.crossJoin(F.broadcast(mom))
+    diff2 = (
+        (F.col("cents").cast("double") * F.col("n") - F.col("s"))
+        * (F.col("cents").cast("double") * F.col("n") - F.col("s"))
+    )
+    varterm = (
+        F.col("n").cast("double") * F.col("ss")
+        - F.col("s").cast("double") * F.col("s")
+    ) / (F.col("n") - 1)
+    counts = flagged.agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        *[
+            F.sum(
+                F.when(
+                    diff2 > F.lit(float(k * k)) * F.col("n") * varterm, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"f{k}")
+            for k in (2, 3, 4)
+        ],
+    )
+    ladder = spark.createDataFrame([(2,), (3,), (4,)], ["z_threshold"])
+    j = F.broadcast(ladder).crossJoin(F.broadcast(counts))
+    return j.select(
+        F.col("z_threshold").cast("bigint").alias("z_threshold"),
+        F.when(F.col("z_threshold") == 2, F.col("f2"))
+        .when(F.col("z_threshold") == 3, F.col("f3"))
+        .otherwise(F.col("f4"))
+        .alias("n_flagged"),
+        F.expr(
+            "(CASE WHEN z_threshold = 2 THEN f2"
+            " WHEN z_threshold = 3 THEN f3 ELSE f4 END * 1000000)"
+            " div n_total"
+        ).alias("flag_rate_micro"),
+    )
+
+
+@REGISTRY.register(
+    "q_var_backtest",
+    tags=("mlstats", "risk", "evaluation"),
+    oracle="""
+WITH split AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, event_id,
+         ('0x' || substr(md5('vb:' || event_id), 1, 8))::BIGINT % 2 = 0
+           AS is_cal
+  FROM events
+), cal AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM split WHERE is_cal
+), var5 AS (
+  SELECT CAST(MAX(CASE WHEN rn = GREATEST((n * 5) // 100, 1)
+                       THEN cents END) AS BIGINT) AS v
+  FROM cal
+), ev AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM(CASE WHEN s.cents <= var5.v THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exceed
+  FROM split s, var5 WHERE NOT s.is_cal
+)
+SELECT (SELECT v FROM var5) AS var5_cents, n_eval, n_exceed,
+       CAST(FLOOR(n_eval * 0.05) AS BIGINT) AS expected_exceed,
+       ABS(CAST(n_exceed AS DOUBLE) - n_eval * 0.05)
+         <= 3.0 * SQRT(n_eval * 0.05 * 0.95) AS within_3sigma
+FROM ev
+""",
+)
+def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR backtest (Kupiec-style exceedance count): the 5% VaR
+    estimated on an md5 calibration half is tested on the held-out
+    half — the number of tail breaches must sit within 3 binomial
+    sigmas of the expected 5%, or the risk model is mis-calibrated
+    (too many breaches: VaR understates risk; too few: capital is
+    wasted). The risk-management twin of q_conformal_coverage, closing
+    the loop on q_var_es.
+
+    Exact: order-statistic VaR, BIGINT counts, one shared IEEE
+    binomial-sigma expression (sqrt correctly rounded).
+
+    Scale shape: one rank over the calibration half (two-phase at
+    scale), one broadcast threshold compare on the eval half."""
+    c = catalog(spark, sf_dir)
+    is_cal = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("vb:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    split = c.events.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        "event_id",
+        is_cal.alias("is_cal"),
+    )
+    w = Window.orderBy("cents", "event_id")
+    cal = split.filter("is_cal").select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    var5 = cal.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(n * 5) div 100"), F.lit(1)),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("v")
+    )
+    ev = (
+        split.filter(~F.col("is_cal"))
+        .crossJoin(F.broadcast(var5))
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum(F.when(F.col("cents") <= F.col("v"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exceed"),
+            F.max("v").alias("var5_cents"),
+        )
+    )
+    return ev.select(
+        "var5_cents",
+        "n_eval",
+        "n_exceed",
+        F.floor(F.col("n_eval") * 0.05).cast("bigint").alias("expected_exceed"),
+        (
+            F.abs(F.col("n_exceed").cast("double") - F.col("n_eval") * 0.05)
+            <= 3.0 * F.sqrt(F.col("n_eval") * 0.05 * 0.95)
+        ).alias("within_3sigma"),
+    )

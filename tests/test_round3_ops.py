@@ -1831,3 +1831,44 @@ def test_null_ordering_contract_places_nulls_correctly(spark):
     # NULLS LAST: all null ranks follow all non-null ranks (both dirs)
     assert nulls["rn_nulls_last"].min() > non["rn_nulls_last"].max()
     assert nulls["rn_desc_nulls_last"].min() > non["rn_desc_nulls_last"].max()
+
+
+def test_attribution_window_ladder_is_monotone(spark):
+    from catenae_kafka_spark.operators.analytics import (
+        q_attribution_window_ladder,
+    )
+
+    df = (
+        q_attribution_window_ladder(spark, SF)
+        .toPandas()
+        .sort_values("window_days")
+    )
+    assert list(df["window_days"]) == [1, 7, 30]
+    assert df["n_click_credited"].is_monotonic_increasing
+    assert (df["n_click_credited"] <= df["n_conversions"]).all()
+
+
+def test_anomaly_threshold_ladder_is_monotone_decreasing(spark):
+    from catenae_kafka_spark.operators.mlstats import (
+        q_anomaly_threshold_ladder,
+    )
+
+    df = (
+        q_anomaly_threshold_ladder(spark, SF)
+        .toPandas()
+        .sort_values("z_threshold")
+    )
+    assert list(df["z_threshold"]) == [2, 3, 4]
+    flags = df["n_flagged"].to_numpy()
+    assert flags[0] >= flags[1] >= flags[2]
+    assert (df["flag_rate_micro"] <= 1_000_000).all()
+
+
+def test_var_backtest_counts_are_consistent(spark):
+    from catenae_kafka_spark.operators.mlstats import q_var_backtest
+
+    r = q_var_backtest(spark, SF).toPandas().iloc[0]
+    assert 0 <= r["n_exceed"] <= r["n_eval"]
+    assert r["expected_exceed"] == int(r["n_eval"] * 0.05)
+    # on iid halves the backtest should pass
+    assert bool(r["within_3sigma"])
