@@ -3130,3 +3130,128 @@ def q_attribution_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credited_share_micro"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_trade_balance",
+    tags=("analytics", "graph"),
+    oracle="""
+WITH exports AS (
+  SELECT s.s_nationkey AS nk,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+              AS BIGINT) AS exp_dollars
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer c ON o_custkey = c.c_custkey
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY s.s_nationkey
+), imports AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+              AS BIGINT) AS imp_dollars
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer c ON o_custkey = c.c_custkey
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY c.c_nationkey
+)
+SELECT n_name,
+       COALESCE(e.exp_dollars, 0) AS exp_dollars,
+       COALESCE(i.imp_dollars, 0) AS imp_dollars,
+       COALESCE(e.exp_dollars, 0) - COALESCE(i.imp_dollars, 0) AS balance
+FROM nation
+LEFT JOIN exports e ON n_nationkey = e.nk
+LEFT JOIN imports i ON n_nationkey = i.nk
+""",
+)
+def q_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """International trade balance per nation: cross-border revenue
+    supplied (exports) minus cross-border revenue consumed (imports),
+    from the same fact join as the trade-graph family — the surplus /
+    deficit ledger behind q_graph_reciprocity's mutuality score (and
+    the global invariant that balances sum to exactly zero is the
+    test's conservation check).
+
+    Exact integer dollars. Scale shape: one fact aggregation per
+    direction (shared star join, broadcast dims), merged on the
+    25-row nation dim."""
+    c0 = catalog(spark, sf_dir)
+    cust = c0.customer.select("c_custkey", "c_nationkey")
+    supp = c0.supplier.select("s_suppkey", "s_nationkey")
+    base = (
+        c0.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            c0.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            "c_nationkey",
+            "s_nationkey",
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("bigint")
+            .alias("dollars"),
+        )
+    )
+    exports = base.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.sum("dollars").cast("bigint").alias("exp_dollars")
+    )
+    imports = base.groupBy(F.col("c_nationkey").alias("nk2")).agg(
+        F.sum("dollars").cast("bigint").alias("imp_dollars")
+    )
+    return (
+        c0.nation.select("n_nationkey", "n_name")
+        .join(exports, F.col("n_nationkey") == F.col("nk"), "left")
+        .join(imports, F.col("n_nationkey") == F.col("nk2"), "left")
+        .select(
+            "n_name",
+            F.coalesce("exp_dollars", F.lit(0)).alias("exp_dollars"),
+            F.coalesce("imp_dollars", F.lit(0)).alias("imp_dollars"),
+            (
+                F.coalesce("exp_dollars", F.lit(0))
+                - F.coalesce("imp_dollars", F.lit(0))
+            ).alias("balance"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_hour_profile",
+    tags=("analytics", "timeseries"),
+    oracle="""
+WITH hourly AS (
+  SELECT EXTRACT(hour FROM ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY hr
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM hourly)
+SELECT CAST(hr AS BIGINT) AS hour_of_day, n,
+       (n * 1000000) // tot.t AS share_micro,
+       n = (SELECT MAX(n) FROM hourly) AS is_peak
+FROM hourly, tot
+""",
+)
+def q_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile with the peak hour flagged — the
+    diurnal-rhythm rollup behind capacity planning (when to schedule
+    compaction/backfill) and the within-day complement to the weekday
+    profile of q_seasonality_strength.
+
+    Exact integer counts/shares. Scale shape: one 24-group map-side-
+    combined aggregation."""
+    c = catalog(spark, sf_dir)
+    hourly = c.events.groupBy(F.hour("ts").alias("hr")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = hourly.agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.max("n").cast("bigint").alias("mx"),
+    )
+    return hourly.crossJoin(F.broadcast(tot)).select(
+        F.col("hr").cast("bigint").alias("hour_of_day"),
+        "n",
+        F.expr("(n * 1000000) div t").alias("share_micro"),
+        (F.col("n") == F.col("mx")).alias("is_peak"),
+    )

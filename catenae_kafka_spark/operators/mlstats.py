@@ -4119,3 +4119,118 @@ def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 3.0 * F.sqrt(F.col("n_eval") * 0.05 * 0.95)
         ).alias("within_3sigma"),
     )
+
+
+@REGISTRY.register(
+    "q_markov_order_compare",
+    tags=("mlstats", "sequence", "model-selection"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS cur,
+         LAG(event_type, 1) OVER w AS p1,
+         LAG(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT * FROM seq WHERE p2 IS NOT NULL
+), bi AS (
+  SELECT p1, cur, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY p1, cur
+), pred1 AS (
+  SELECT p1, cur AS pr FROM (
+    SELECT p1, cur, ROW_NUMBER() OVER (PARTITION BY p1
+                                       ORDER BY n DESC, cur) AS rn
+    FROM bi
+  ) WHERE rn = 1
+), tri AS (
+  SELECT p2, p1, cur, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t GROUP BY p2, p1, cur
+), pred2 AS (
+  SELECT p2, p1, cur AS pr FROM (
+    SELECT p2, p1, cur,
+           ROW_NUMBER() OVER (PARTITION BY p2, p1
+                              ORDER BY n DESC, cur) AS rn
+    FROM tri
+  ) WHERE rn = 1
+), scored AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM(CASE WHEN t.cur = pred1.pr THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(SUM(CASE WHEN t.cur = pred2.pr THEN 1 ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM t
+  JOIN pred1 ON t.p1 = pred1.p1
+  JOIN pred2 ON t.p2 = pred2.p2 AND t.p1 = pred2.p1
+)
+SELECT n_eval,
+       (c1 * 1000000) // n_eval AS acc1_micro,
+       (c2 * 1000000) // n_eval AS acc2_micro,
+       (c2 * 1000000) // n_eval - (c1 * 1000000) // n_eval
+         AS lift_micro
+FROM scored
+""",
+)
+def q_markov_order_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-order selection for the next-event predictor: first-order
+    (condition on 1 previous event) versus second-order (condition on
+    2) in-sample accuracy on the SAME evaluation rows — the lift
+    column answers whether the bigger model earns its |types|x state
+    cost (near-zero lift means the sequence is effectively
+    memoryless-beyond-one, and q_markov_accuracy's model suffices).
+
+    Exact: BIGINT counts, total argmax tie-breaks, shared evaluation
+    set (rows with both contexts defined), floor-division accuracies.
+
+    Scale shape: one user-keyed window pass emits both contexts; the
+    models are |types|^2- and |types|^3-bounded broadcast tables."""
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = c.events.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    bi = seq.groupBy("p1", "cur").agg(F.count("*").cast("bigint").alias("n"))
+    w1 = Window.partitionBy("p1").orderBy(F.col("n").desc(), F.col("cur"))
+    pred1 = (
+        bi.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("p1", F.col("cur").alias("pr1"))
+    )
+    tri = seq.groupBy("p2", "p1", "cur").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w2 = Window.partitionBy("p2", "p1").orderBy(F.col("n").desc(), F.col("cur"))
+    pred2 = (
+        tri.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p2").alias("p2b"),
+            F.col("p1").alias("p1b"),
+            F.col("cur").alias("pr2"),
+        )
+    )
+    scored = (
+        seq.join(F.broadcast(pred1), "p1")
+        .join(
+            F.broadcast(pred2),
+            (F.col("p2") == F.col("p2b")) & (F.col("p1") == F.col("p1b")),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum(F.when(F.col("cur") == F.col("pr1"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("cur") == F.col("pr2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    return scored.select(
+        "n_eval",
+        F.expr("(c1 * 1000000) div n_eval").alias("acc1_micro"),
+        F.expr("(c2 * 1000000) div n_eval").alias("acc2_micro"),
+        (
+            F.expr("(c2 * 1000000) div n_eval")
+            - F.expr("(c1 * 1000000) div n_eval")
+        ).alias("lift_micro"),
+    )

@@ -1872,3 +1872,36 @@ def test_var_backtest_counts_are_consistent(spark):
     assert r["expected_exceed"] == int(r["n_eval"] * 0.05)
     # on iid halves the backtest should pass
     assert bool(r["within_3sigma"])
+
+
+def test_trade_balance_conserves_globally(spark):
+    """Cross-border flow is zero-sum: balances must sum to exactly 0."""
+    from catenae_kafka_spark.operators.analytics import q_trade_balance
+
+    df = q_trade_balance(spark, SF).toPandas()
+    assert len(df) == 25
+    assert df["balance"].sum() == 0
+    assert df["exp_dollars"].sum() == df["imp_dollars"].sum()
+
+
+def test_hour_profile_covers_day(spark):
+    from catenae_kafka_spark.operators.analytics import q_hour_profile
+
+    df = q_hour_profile(spark, SF).toPandas()
+    assert len(df) == 24
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert df["n"].sum() == n_events
+    assert df["is_peak"].sum() >= 1
+    assert df.loc[df["is_peak"], "n"].max() == df["n"].max()
+
+
+def test_markov_order_compare_second_order_dominates_in_sample(spark):
+    """In-sample, the richer model can never score worse than the
+    coarser one on the shared evaluation set... per-context argmax
+    guarantees it."""
+    from catenae_kafka_spark.operators.mlstats import q_markov_order_compare
+
+    r = q_markov_order_compare(spark, SF).toPandas().iloc[0]
+    assert r["n_eval"] > 0
+    assert r["acc2_micro"] >= r["acc1_micro"]
+    assert r["lift_micro"] == r["acc2_micro"] - r["acc1_micro"]
