@@ -3255,3 +3255,98 @@ def q_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n * 1000000) div t").alias("share_micro"),
         (F.col("n") == F.col("mx")).alias("is_peak"),
     )
+
+
+@REGISTRY.register(
+    "q_max_drawdown",
+    tags=("analytics", "timeseries", "finance"),
+    oracle="""
+WITH flows AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+              WHEN event_type = 'click'
+              THEN -CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+              ELSE 0 END AS flow_cents
+  FROM events
+), bal AS (
+  SELECT user_id,
+         ts, event_id,
+         CAST(SUM(flow_cents) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS balance
+  FROM flows
+), dd AS (
+  SELECT user_id, balance,
+         CAST(MAX(balance) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - balance AS drawdown
+  FROM bal
+)
+SELECT user_id,
+       CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(balance) AS BIGINT) AS peak_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_flows
+FROM dd GROUP BY user_id
+ORDER BY max_drawdown_cents DESC, user_id
+LIMIT 20
+""",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user ledger: treat purchases as credits
+    and clicks as debits on a per-user running balance, then measure
+    the deepest peak-to-trough fall — the classic risk statistic
+    (worst historical loss from any high-water mark), and the batch
+    ground truth for its streaming twin.
+
+    Declarative shape: drawdown_t = max(balance_1..t) - balance_t, so
+    the whole statistic is two stacked UnboundedPreceding windows
+    (running sum, then running max over it) + one group-by max — both
+    frames are forward-only O(n) scans per partition (environment
+    fact #23: never UnboundedFollowing). Cents are exact BIGINT; the
+    (ts, event_id) sort is total, so the top-20 slice is
+    deterministic.
+
+    Scale shape: one shuffle on user_id; windows scan each user's
+    slice once; TakeOrdered(20) merges per-partition heaps."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    flows = c.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .when(F.col("event_type") == "click", -cents)
+        .otherwise(F.lit(0))
+        .alias("flow_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bal = flows.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("flow_cents").over(w).cast("bigint").alias("balance"),
+    )
+    dd = bal.select(
+        "user_id",
+        "balance",
+        (F.max("balance").over(w).cast("bigint") - F.col("balance")).alias(
+            "drawdown"
+        ),
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.max("drawdown").cast("bigint").alias("max_drawdown_cents"),
+            F.max("balance").cast("bigint").alias("peak_cents"),
+            F.count("*").cast("bigint").alias("n_flows"),
+        )
+        .orderBy(F.col("max_drawdown_cents").desc(), "user_id")
+        .limit(20)
+    )

@@ -4234,3 +4234,223 @@ def q_markov_order_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("(c1 * 1000000) div n_eval")
         ).alias("lift_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_spearman_corr",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH spend AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_cents
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_nationkey, c_acctbal
+), ranked AS (
+  SELECT c_nationkey,
+         2 * RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+           + COUNT(*) OVER (PARTITION BY c_nationkey, c_acctbal) - 1 AS drx,
+         2 * RANK() OVER (PARTITION BY c_nationkey ORDER BY spend_cents)
+           + COUNT(*) OVER (PARTITION BY c_nationkey, spend_cents) - 1 AS dry
+  FROM spend
+), sums AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM(drx) AS BIGINT) AS sx, CAST(SUM(dry) AS BIGINT) AS sy,
+         CAST(SUM(drx * drx) AS BIGINT) AS sxx,
+         CAST(SUM(dry * dry) AS BIGINT) AS syy,
+         CAST(SUM(drx * dry) AS BIGINT) AS sxy
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT n_name, n_cust,
+       ROUND(CAST(n_cust * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n_cust * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n_cust * syy - sy * sy AS DOUBLE)), 0),
+             6) AS spearman_rho
+FROM sums JOIN nation ON c_nationkey = n_nationkey
+""",
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation between a customer's
+    account balance and their lifetime spend — the monotone-association
+    complement to the Pearson family (q_corr_matrix, q_series_corr):
+    rank correlation survives the heavy right tail of spend where
+    Pearson is dominated by a few whales.
+
+    Exactness: ties get textbook average ranks, kept integral by
+    DOUBLING them (2*avg_rank = 2*min_rank + tie_count - 1 — the
+    constant factor cancels in the correlation); all six power sums
+    are exact BIGINT; the final rho is one double division of exact
+    integers with portable IEEE sqrt (environment fact #30), rounded
+    6dp. Degenerate nations (zero rank variance) yield NULL via NULLIF.
+
+    Scale shape: spend is one customer-keyed aggregation; ranks are
+    per-nation windows (each partition is |customers|/25); the power
+    sums reduce to 25 rows. No global sort, no driver loop."""
+    c = catalog(spark, sf_dir)
+    spend = (
+        c.customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .join(
+            c.orders.select("o_custkey", "o_totalprice"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("spend_cents"))
+    )
+    wx = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    wy = Window.partitionBy("c_nationkey").orderBy("spend_cents")
+    ranked = spend.select(
+        "c_nationkey",
+        (
+            2 * F.rank().over(wx)
+            + F.count("*").over(Window.partitionBy("c_nationkey", "c_acctbal"))
+            - 1
+        ).alias("drx"),
+        (
+            2 * F.rank().over(wy)
+            + F.count("*").over(Window.partitionBy("c_nationkey", "spend_cents"))
+            - 1
+        ).alias("dry"),
+    )
+    sums = ranked.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.sum("drx").cast("bigint").alias("sx"),
+        F.sum("dry").cast("bigint").alias("sy"),
+        F.sum(F.col("drx") * F.col("drx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dry") * F.col("dry")).cast("bigint").alias("syy"),
+        F.sum(F.col("drx") * F.col("dry")).cast("bigint").alias("sxy"),
+    )
+    return sums.join(
+        F.broadcast(c.nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "n_name",
+        "n_cust",
+        F.round(
+            (F.col("n_cust") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.nullif(
+                F.sqrt(
+                    (
+                        F.col("n_cust") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n_cust") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@REGISTRY.register(
+    "q_cramers_v",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH obs AS (
+  SELECT c_mktsegment AS seg, r_name,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY seg, r_name
+), rm AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS row_n FROM obs GROUP BY seg),
+cm AS (SELECT r_name, CAST(SUM(o) AS BIGINT) AS col_n FROM obs GROUP BY r_name),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM obs),
+grid AS (
+  SELECT rm.seg, cm.r_name, rm.row_n, cm.col_n, COALESCE(obs.o, 0) AS o
+  FROM rm CROSS JOIN cm
+  LEFT JOIN obs ON obs.seg = rm.seg AND obs.r_name = cm.r_name
+), chi AS (
+  SELECT ROUND(SUM(
+           (o - CAST(row_n AS DOUBLE) * col_n / tot.nn)
+           * (o - CAST(row_n AS DOUBLE) * col_n / tot.nn)
+           / (CAST(row_n AS DOUBLE) * col_n / tot.nn)), 6) AS chi2,
+         CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_seg,
+         CAST(COUNT(DISTINCT r_name) AS BIGINT) AS n_region,
+         MAX(tot.nn) AS n_total
+  FROM grid CROSS JOIN tot
+)
+SELECT n_seg, n_region, n_total, chi2,
+       ROUND(sqrt(chi2 / (n_total * LEAST(n_seg - 1, n_region - 1))), 6)
+         AS cramers_v
+FROM chi
+""",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the market-segment x region
+    contingency table — the "how strong is the association?" companion
+    to q_chi_square's "is there one?" (chi2 grows with n; V is the
+    0..1 normalization that is comparable across table sizes).
+
+    The grid is densified (row-marginal x column-marginal cross join,
+    zero-filled) so structurally-empty cells still contribute their
+    expected count — without this the statistic silently shrinks at
+    small scale factors. chi2 sums 25 identically-computed doubles
+    (6dp round absorbs summation order, same contract as q_chi_square);
+    V takes the portable sqrt of the ALREADY-ROUNDED chi2 so both
+    engines feed sqrt the identical double.
+
+    Scale shape: one fact aggregation to a 25-cell table; everything
+    after is O(cells) on broadcast marginals."""
+    c = catalog(spark, sf_dir)
+    obs = (
+        c.customer.select("c_mktsegment", "c_nationkey")
+        .join(
+            F.broadcast(c.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(c.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "r_name")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    rm = obs.groupBy("seg").agg(F.sum("o").cast("bigint").alias("row_n"))
+    cm = obs.groupBy("r_name").agg(F.sum("o").cast("bigint").alias("col_n"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("nn"))
+    grid = (
+        F.broadcast(rm)
+        .crossJoin(F.broadcast(cm))
+        .join(obs, ["seg", "r_name"], "left")
+        .select(
+            "seg",
+            "r_name",
+            "row_n",
+            "col_n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("nn")
+    chi = grid.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi2"
+        ),
+        F.countDistinct("seg").cast("bigint").alias("n_seg"),
+        F.countDistinct("r_name").cast("bigint").alias("n_region"),
+        F.max("nn").alias("n_total"),
+    )
+    return chi.select(
+        "n_seg",
+        "n_region",
+        "n_total",
+        "chi2",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n_total")
+                    * F.least(F.col("n_seg") - 1, F.col("n_region") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

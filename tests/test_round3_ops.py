@@ -1905,3 +1905,72 @@ def test_markov_order_compare_second_order_dominates_in_sample(spark):
     assert r["n_eval"] > 0
     assert r["acc2_micro"] >= r["acc1_micro"]
     assert r["lift_micro"] == r["acc2_micro"] - r["acc1_micro"]
+
+
+def test_spearman_corr_matches_scipy_style_reference(spark):
+    """Per-nation rho equals pandas' tie-aware Spearman (which uses the
+    same average-rank definition) to 6dp."""
+    from catenae_kafka_spark.operators.mlstats import q_spearman_corr
+
+    got = q_spearman_corr(spark, SF).toPandas().set_index("n_name")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    orders["cents"] = (orders["o_totalprice"] * 100 + 0.5).apply(int)
+    spend = (
+        cust.merge(orders, left_on="c_custkey", right_on="o_custkey")
+        .groupby(["c_custkey", "c_nationkey", "c_acctbal"], as_index=False)[
+            "cents"
+        ]
+        .sum()
+    )
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    for nk, grp in spend.groupby("c_nationkey"):
+        name = nation.loc[nation["n_nationkey"] == nk, "n_name"].iloc[0]
+        if name not in got.index:
+            continue
+        # scipy isn't in the image: Spearman = Pearson on tie-average
+        # ranks, which pandas computes without scipy
+        rx = grp["c_acctbal"].rank(method="average")
+        ry = grp["cents"].rank(method="average")
+        want = rx.corr(ry, method="pearson")
+        have = got.loc[name, "spearman_rho"]
+        if pd.isna(want):
+            assert pd.isna(have)
+        else:
+            assert abs(have - want) < 1e-5, (name, have, want)
+
+
+def test_cramers_v_bounds_and_chi2_consistency(spark):
+    from catenae_kafka_spark.operators.mlstats import q_cramers_v
+
+    r = q_cramers_v(spark, SF).toPandas().iloc[0]
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["chi2"] >= 0.0
+    # V^2 * n * min(r-1, c-1) must reproduce chi2 (up to 6dp rounds)
+    back = r["cramers_v"] ** 2 * r["n_total"] * min(
+        r["n_seg"] - 1, r["n_region"] - 1
+    )
+    assert abs(back - r["chi2"]) < 1e-1
+
+
+def test_max_drawdown_matches_pandas_cummax_reference(spark):
+    from catenae_kafka_spark.operators.analytics import q_max_drawdown
+
+    got = q_max_drawdown(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    cents = (ev["value"] * 100 + 0.5).apply(int)
+    ev["flow"] = 0
+    ev.loc[ev["event_type"] == "purchase", "flow"] = cents
+    ev.loc[ev["event_type"] == "click", "flow"] = -cents
+    for _, row in got.iterrows():
+        g = ev[ev["user_id"] == row["user_id"]]
+        bal = g["flow"].cumsum()
+        dd = (bal.cummax() - bal).max()
+        assert dd == row["max_drawdown_cents"], row["user_id"]
+        assert bal.cummax().max() == row["peak_cents"]
+    # top-20 slice is sorted descending and deterministic
+    assert (
+        got["max_drawdown_cents"].is_monotonic_decreasing
+    ), "top-20 must be sorted"
