@@ -3350,3 +3350,89 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("max_drawdown_cents").desc(), "user_id")
         .limit(20)
     )
+
+
+@REGISTRY.register(
+    "q_bollinger",
+    tags=("analytics", "timeseries", "finance"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY day
+), win AS (
+  SELECT day, rev,
+         CAST(SUM(rev) OVER w AS BIGINT) AS s,
+         CAST(SUM(rev * rev) OVER w AS BIGINT) AS ss,
+         CAST(COUNT(*) OVER w AS BIGINT) AS cnt
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), bands AS (
+  SELECT day, rev,
+         s // 20 AS mid,
+         CAST(FLOOR(2 * sqrt(CAST((20 * ss - s * s) // 400 AS DOUBLE)))
+              AS BIGINT) AS hw
+  FROM win WHERE cnt = 20
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, rev, mid,
+       mid - hw AS lower, mid + hw AS upper,
+       rev < mid - hw OR rev > mid + hw AS breach
+FROM bands
+""",
+)
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily-revenue series: 20-day rolling
+    mean +/- 2 rolling standard deviations, with a breach flag — the
+    volatility envelope used for regime/outlier monitoring on any
+    business metric, complementing q_spc_control_chart's fixed global
+    limits with a LOCAL adaptive band.
+
+    Exactness: whole-dollar daily revenue keeps x^2 sums BIGINT-safe
+    (cents^2 would overflow at sf0.1 — same reasoning as
+    q_spend_vs_activity); rolling variance = (n*Sxx - S^2) div n^2 is
+    exact integer; the band half-width takes one portable sqrt and
+    floors. Rows before the 20th day are excluded (partial windows
+    would make the band meaningless).
+
+    Scale shape: the fact scan reduces to one row per day map-side;
+    the rolling window runs on the day-grain series, whose size is
+    calendar-bounded (thousands of rows at ANY data volume), so the
+    single-partition window is not a scale risk."""
+    c = catalog(spark, sf_dir)
+    daily = (
+        c.orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice")).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-19, Window.currentRow)
+    win = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).over(w).cast("bigint").alias("ss"),
+        F.count("*").over(w).cast("bigint").alias("cnt"),
+    )
+    bands = win.filter(F.col("cnt") == 20).select(
+        "day",
+        "rev",
+        F.expr("s div 20").alias("mid"),
+        F.floor(
+            2 * F.sqrt(F.expr("CAST((20 * ss - s * s) div 400 AS DOUBLE)"))
+        )
+        .cast("bigint")
+        .alias("hw"),
+    )
+    return bands.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev",
+        "mid",
+        (F.col("mid") - F.col("hw")).alias("lower"),
+        (F.col("mid") + F.col("hw")).alias("upper"),
+        (
+            (F.col("rev") < F.col("mid") - F.col("hw"))
+            | (F.col("rev") > F.col("mid") + F.col("hw"))
+        ).alias("breach"),
+    )

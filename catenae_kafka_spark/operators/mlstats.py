@@ -4454,3 +4454,212 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@REGISTRY.register(
+    "q_jackknife_ratio",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH items AS (
+  SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT) AS rev,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), tot AS (
+  SELECT CAST(SUM(rev) AS BIGINT) AS r_tot,
+         CAST(SUM(qty) AS BIGINT) AS q_tot,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM items
+), loo AS (
+  SELECT (1000000 * (r_tot - rev)) // (q_tot - qty) AS r_micro
+  FROM items CROSS JOIN tot
+), center AS (
+  SELECT CAST(SUM(r_micro) AS BIGINT) // MAX(tot.n) AS rbar_micro,
+         MAX(tot.n) AS n
+  FROM loo CROSS JOIN tot
+)
+SELECT tot.n AS n_items,
+       (1000000 * tot.r_tot) // tot.q_tot AS theta_micro,
+       (tot.n - 1) * (center.rbar_micro
+                      - (1000000 * tot.r_tot) // tot.q_tot) AS bias_micro,
+       CAST(FLOOR(sqrt(CAST(
+         ((tot.n - 1) * (SELECT CAST(SUM(
+             (r_micro - center.rbar_micro) * (r_micro - center.rbar_micro)
+           ) AS BIGINT) FROM loo)) // tot.n
+         AS DOUBLE))) AS BIGINT) AS se_micro
+FROM tot CROSS JOIN center
+""",
+)
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error + bias of the ratio estimator
+    revenue-per-unit (sum revenue / sum quantity over lineitem) — the
+    resampling-free uncertainty quantification for a NONLINEAR
+    statistic, where the delta method is an approximation and
+    q_bootstrap_ci needs replicate draws: each leave-one-out ratio is
+    computable in closed form from the totals (r_i = (R-rev_i)/(Q-qty_i)),
+    so the whole n-replicate jackknife is one map-side pass.
+
+    Exactness: every pseudo-value is an integer floor division of
+    exact BIGINT totals (micro units) — no float accumulates anywhere;
+    the one sqrt at the end is IEEE-portable (fact #30). Overflow
+    audit: 1e6*(R-rev) <= ~3e16 at sf0.1, sum of squared deviations
+    <= n * (1e5)^2 = 6e15 — both < 2^63.
+
+    Scale shape: one global total (map-side combine), broadcast back;
+    the LOO column never shuffles — pseudo-values reduce in the same
+    pass. Cites the jackknife literature (Quenouille/Tukey), not any
+    engine."""
+    c = catalog(spark, sf_dir)
+    items = c.lineitem.select(
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("bigint")
+        .alias("rev"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    tot = items.agg(
+        F.sum("rev").cast("bigint").alias("r_tot"),
+        F.sum("qty").cast("bigint").alias("q_tot"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    loo = items.crossJoin(F.broadcast(tot)).select(
+        F.expr("(1000000 * (r_tot - rev)) div (q_tot - qty)").alias("r_micro"),
+        "r_tot",
+        "q_tot",
+        "n",
+    )
+    center = loo.agg(
+        F.expr("CAST(sum(r_micro) AS BIGINT) div max(n)").alias("rbar_micro"),
+    )
+    dev = (
+        loo.crossJoin(F.broadcast(center))
+        .select(
+            "n",
+            "r_tot",
+            "q_tot",
+            "rbar_micro",
+            (
+                (F.col("r_micro") - F.col("rbar_micro"))
+                * (F.col("r_micro") - F.col("rbar_micro"))
+            ).alias("d2"),
+        )
+        .groupBy("n", "r_tot", "q_tot", "rbar_micro")
+        .agg(F.sum("d2").cast("bigint").alias("ss"))
+    )
+    return dev.select(
+        F.col("n").alias("n_items"),
+        F.expr("(1000000 * r_tot) div q_tot").alias("theta_micro"),
+        (
+            (F.col("n") - 1)
+            * (F.col("rbar_micro") - F.expr("(1000000 * r_tot) div q_tot"))
+        ).alias("bias_micro"),
+        F.floor(F.sqrt(F.expr("CAST(((n - 1) * ss) div n AS DOUBLE)")))
+        .cast("bigint")
+        .alias("se_micro"),
+    )
+
+
+@REGISTRY.register(
+    "q_decision_stump",
+    tags=("mlstats", "ml"),
+    oracle="""
+WITH labeled AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+  FROM lineitem
+), per_qty AS (
+  SELECT qty, CAST(COUNT(*) AS BIGINT) AS n_q,
+         CAST(SUM(pos) AS BIGINT) AS pos_q
+  FROM labeled GROUP BY qty
+), cum AS (
+  SELECT qty,
+         CAST(SUM(n_q) OVER (ORDER BY qty) AS BIGINT) AS n_l,
+         CAST(SUM(pos_q) OVER (ORDER BY qty) AS BIGINT) AS pos_l,
+         CAST(SUM(n_q) OVER () AS BIGINT) AS n_tot,
+         CAST(SUM(pos_q) OVER () AS BIGINT) AS pos_tot
+  FROM per_qty
+), cand AS (
+  SELECT qty AS threshold, n_l AS n_left, n_tot - n_l AS n_right,
+         ((n_l * n_l - pos_l * pos_l - (n_l - pos_l) * (n_l - pos_l))
+          * 1000000) // n_l
+         + (((n_tot - n_l) * (n_tot - n_l)
+             - (pos_tot - pos_l) * (pos_tot - pos_l)
+             - ((n_tot - n_l) - (pos_tot - pos_l))
+               * ((n_tot - n_l) - (pos_tot - pos_l))) * 1000000)
+           // (n_tot - n_l) AS impurity_micro
+  FROM cum
+  WHERE n_tot - n_l > 0
+)
+SELECT threshold, n_left, n_right, impurity_micro,
+       impurity_micro = MIN(impurity_micro) OVER () AS is_best
+FROM cand
+""",
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-split search for a one-level decision tree (stump):
+    for every candidate threshold on l_quantity, the weighted Gini
+    impurity of predicting l_returnflag='R' — the greedy step at the
+    heart of every tree/GBM learner, expressed as a prefix-sum scan
+    instead of a per-candidate repartition.
+
+    Exactness: weighted Gini n_L*(1-(p^2+q^2)/n_L^2) multiplies out to
+    (n_L^2 - pos^2 - neg^2)/n_L — numerator/denominator are exact
+    BIGINTs, floored to micro units identically on both engines (all
+    operands non-negative, so Spark div == DuckDB // — fact #37).
+    Overflow: n^2*1e6 <= 3.6e17 at sf0.1 < 2^63.
+
+    Scale shape: one groupBy on the feature value (domain-bounded: 50
+    distinct quantities), then windows over the 50-row candidate
+    table — the scan over the fact table is the only data-sized
+    stage, and it's a map-side-combinable count."""
+    c = catalog(spark, sf_dir)
+    per_qty = (
+        c.lineitem.select(
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("qty")
+        .agg(
+            F.count("*").cast("bigint").alias("n_q"),
+            F.sum("pos").cast("bigint").alias("pos_q"),
+        )
+    )
+    w_cum = Window.orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_qty.select(
+        "qty",
+        F.sum("n_q").over(w_cum).cast("bigint").alias("n_l"),
+        F.sum("pos_q").over(w_cum).cast("bigint").alias("pos_l"),
+        F.sum("n_q").over(w_all).cast("bigint").alias("n_tot"),
+        F.sum("pos_q").over(w_all).cast("bigint").alias("pos_tot"),
+    )
+    cand = cum.filter(F.col("n_tot") - F.col("n_l") > 0).select(
+        F.col("qty").alias("threshold"),
+        F.col("n_l").alias("n_left"),
+        (F.col("n_tot") - F.col("n_l")).alias("n_right"),
+        F.expr(
+            "((n_l * n_l - pos_l * pos_l - (n_l - pos_l) * (n_l - pos_l))"
+            " * 1000000) div n_l"
+            " + (((n_tot - n_l) * (n_tot - n_l)"
+            "     - (pos_tot - pos_l) * (pos_tot - pos_l)"
+            "     - ((n_tot - n_l) - (pos_tot - pos_l))"
+            "       * ((n_tot - n_l) - (pos_tot - pos_l))) * 1000000)"
+            "   div (n_tot - n_l)"
+        ).alias("impurity_micro"),
+    )
+    return cand.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        "impurity_micro",
+        (
+            F.col("impurity_micro")
+            == F.min("impurity_micro").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("is_best"),
+    )

@@ -1974,3 +1974,89 @@ def test_max_drawdown_matches_pandas_cummax_reference(spark):
     assert (
         got["max_drawdown_cents"].is_monotonic_decreasing
     ), "top-20 must be sorted"
+
+
+def test_jackknife_ratio_matches_exact_python_reference(spark):
+    """Python ints are arbitrary-precision: replicate the micro-unit
+    formula exactly and require equality, not tolerance."""
+    import math
+
+    from catenae_kafka_spark.operators.mlstats import q_jackknife_ratio
+
+    r = q_jackknife_ratio(spark, SF).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    rev = [
+        int(math.floor(p * (1 - d)))
+        for p, d in zip(li["l_extendedprice"], li["l_discount"])
+    ]
+    qty = [int(q) for q in li["l_quantity"]]
+    R, Q, n = sum(rev), sum(qty), len(rev)
+    loo = [(1000000 * (R - rv)) // (Q - qt) for rv, qt in zip(rev, qty)]
+    rbar = sum(loo) // n
+    ss = sum((x - rbar) ** 2 for x in loo)
+    assert r["n_items"] == n
+    assert r["theta_micro"] == (1000000 * R) // Q
+    assert r["bias_micro"] == (n - 1) * (rbar - (1000000 * R) // Q)
+    assert r["se_micro"] == int(math.floor(math.sqrt(((n - 1) * ss) // n)))
+
+
+def test_decision_stump_matches_bruteforce_reference(spark):
+    from catenae_kafka_spark.operators.mlstats import q_decision_stump
+
+    got = (
+        q_decision_stump(spark, SF)
+        .toPandas()
+        .set_index("threshold")
+        .sort_index()
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    qty = li["l_quantity"].astype(int)
+    pos = (li["l_returnflag"] == "R").astype(int)
+    n_tot, pos_tot = len(li), int(pos.sum())
+    for t in got.index:
+        left = qty <= t
+        nl, pl = int(left.sum()), int(pos[left].sum())
+        nr, pr = n_tot - nl, pos_tot - pl
+        imp = ((nl * nl - pl * pl - (nl - pl) ** 2) * 1000000) // nl + (
+            (nr * nr - pr * pr - (nr - pr) ** 2) * 1000000
+        ) // nr
+        assert got.loc[t, "impurity_micro"] == imp, t
+        assert got.loc[t, "n_left"] == nl
+    best = got[got["is_best"]]
+    assert len(best) >= 1
+    assert (best["impurity_micro"] == got["impurity_micro"].min()).all()
+
+
+def test_bollinger_band_contains_mid_and_matches_reference(spark):
+    import math
+
+    from catenae_kafka_spark.operators.analytics import q_bollinger
+
+    got = q_bollinger(spark, SF).toPandas()
+    assert len(got) > 0
+    assert (got["lower"] <= got["mid"]).all()
+    assert (got["mid"] <= got["upper"]).all()
+    # breach flag is consistent with the bands
+    breach = (got["rev"] < got["lower"]) | (got["rev"] > got["upper"])
+    assert (got["breach"] == breach).all()
+    # exact integer reference on the daily series
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    od["day"] = od["o_orderdate"].dt.strftime("%Y-%m-%d")
+    daily = (
+        od.assign(rv=od["o_totalprice"].apply(lambda v: int(math.floor(v))))
+        .groupby("day", as_index=False)["rv"]
+        .sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    ref = {}
+    vals = daily["rv"].tolist()
+    for i in range(19, len(vals)):
+        w = vals[i - 19 : i + 1]
+        s, ss = sum(w), sum(x * x for x in w)
+        mid = s // 20
+        hw = int(math.floor(2 * math.sqrt((20 * ss - s * s) // 400)))
+        ref[daily["day"][i]] = (mid, mid - hw, mid + hw)
+    for _, row in got.iterrows():
+        mid, lo, up = ref[row["day"]]
+        assert (row["mid"], row["lower"], row["upper"]) == (mid, lo, up)
