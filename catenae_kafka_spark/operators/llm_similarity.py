@@ -1368,3 +1368,88 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_in_cone"),
     )
+
+
+@REGISTRY.register(
+    "q_knn_label_vote",
+    tags=("llm", "similarity", "ml"),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS match_id, c.label AS cand_label,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                                       i -> q.e[i] * c.e[i]))
+               / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 20
+), ranked AS (
+  SELECT query_id, true_label, cand_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, match_id) AS rn
+  FROM scored
+), votes AS (
+  SELECT query_id, true_label, cand_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM ranked WHERE rn <= 5
+  GROUP BY query_id, true_label, cand_label
+), winner AS (
+  SELECT query_id, true_label, cand_label AS predicted_label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, cand_label) AS vr
+  FROM votes
+)
+SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(predicted_label AS BIGINT) AS predicted_label, n_votes,
+       true_label = predicted_label AS correct
+FROM winner WHERE vr = 1
+""",
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classifier over the embedding space: each
+    query vector (vec_id < 20) takes the modal label of its 5 nearest
+    cosine neighbours — the classic lazy classifier, and the
+    label-propagation primitive used to autolabel a corpus from a
+    small seed set. Builds on q_knn_cosine's exact top-k; adds the
+    vote (count DESC, label ASC tie-break — total, so both engines
+    pick the same winner even on 2-2-1 splits).
+
+    Scale shape: same brute-force baseline as q_knn_cosine over a
+    bounded probe set (the ANN siblings are the corpus-x-corpus scale
+    path); the vote itself is a 5-rows-per-query aggregation."""
+    c = catalog(spark, sf_dir)
+    emb = c.embeddings
+    knn = knn_cosine(emb.filter(F.col("vec_id") < 20), emb, k=5)
+    labels = emb.select("vec_id", F.col("label").cast("bigint").alias("lbl"))
+    votes = (
+        knn.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "match_vid")),
+            F.col("match_id") == F.col("match_vid"),
+        )
+        .groupBy("query_id", F.col("lbl").alias("cand_label"))
+        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label")
+    )
+    winner = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("cand_label").alias("predicted_label"), "n_votes")
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("lbl").alias("true_label")
+    )
+    return winner.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        "n_votes",
+        (F.col("true_label") == F.col("predicted_label")).alias("correct"),
+    )

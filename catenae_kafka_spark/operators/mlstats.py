@@ -4663,3 +4663,101 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_best"),
     )
+
+
+@REGISTRY.register(
+    "q_isotonic_calibration",
+    tags=("mlstats", "ml"),
+    oracle="""
+WITH labeled AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+  FROM lineitem
+), per_qty AS (
+  SELECT qty, CAST(COUNT(*) AS BIGINT) AS n_q,
+         CAST(SUM(pos) AS BIGINT) AS pos_q
+  FROM labeled GROUP BY qty
+), pref AS (
+  SELECT qty, n_q, pos_q,
+         CAST(SUM(n_q) OVER (ORDER BY qty) AS BIGINT) AS np,
+         CAST(SUM(pos_q) OVER (ORDER BY qty) AS BIGINT) AS pp
+  FROM per_qty
+), bounds AS (
+  SELECT np, pp FROM pref
+  UNION ALL SELECT 0, 0
+), mins AS (
+  SELECT i.qty, i.n_q, i.pos_q, k.np AS knp,
+         MIN(((j.pp - k.pp) * 1000000) // (j.np - k.np)) AS mn
+  FROM pref i
+  JOIN bounds k ON k.np < i.np
+  JOIN pref j ON j.np >= i.np
+  GROUP BY i.qty, i.n_q, i.pos_q, k.np
+)
+SELECT qty AS quantity, n_q AS n,
+       (pos_q * 1000000) // n_q AS obs_rate_micro,
+       CAST(MAX(mn) AS BIGINT) AS iso_fit_micro
+FROM mins GROUP BY qty, n_q, pos_q
+""",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of P(returned | quantity) via
+    the minimax characterization of isotonic regression: fit(i) =
+    max_{k<i} min_{j>=i} avg(y on segment (k, j]) — the pool-adjacent-
+    violators solution expressed declaratively (no sequential pooling
+    loop), the calibration step that turns q_decision_stump-style raw
+    rates into a monotone risk curve.
+
+    Exactness: segment averages are floor-divided to micro units;
+    floor is monotone, so it commutes with both the min and the max —
+    the result is EXACTLY floor(1e6 * true PAV fit) (the property
+    test checks against a Fraction-arithmetic PAV). Monotonicity of
+    the output holds for ANY inner function by the nesting of the
+    (k, j) feasible sets.
+
+    Scale shape: the fact table reduces map-side to the 50-value
+    quantity domain; the minimax triple join is domain-bounded
+    (50 x 51 x 50 rows), independent of corpus size."""
+    c = catalog(spark, sf_dir)
+    per_qty = (
+        c.lineitem.select(
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("qty")
+        .agg(
+            F.count("*").cast("bigint").alias("n_q"),
+            F.sum("pos").cast("bigint").alias("pos_q"),
+        )
+    )
+    wq = Window.orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = per_qty.select(
+        "qty",
+        "n_q",
+        "pos_q",
+        F.sum("n_q").over(wq).cast("bigint").alias("np"),
+        F.sum("pos_q").over(wq).cast("bigint").alias("pp"),
+    )
+    bounds = pref.select(F.col("np").alias("knp"), F.col("pp").alias("kpp")).union(
+        spark.createDataFrame([(0, 0)], "knp long, kpp long")
+    )
+    jrows = pref.select(F.col("np").alias("jnp"), F.col("pp").alias("jpp"))
+    mins = (
+        pref.join(F.broadcast(bounds), F.col("knp") < F.col("np"))
+        .join(F.broadcast(jrows), F.col("jnp") >= F.col("np"))
+        .groupBy("qty", "n_q", "pos_q", "knp")
+        .agg(
+            F.expr(
+                "CAST(min(((jpp - kpp) * 1000000) div (jnp - knp)) AS BIGINT)"
+            ).alias("mn")
+        )
+    )
+    return mins.groupBy("qty", "n_q", "pos_q").agg(
+        F.max("mn").cast("bigint").alias("iso_fit_micro")
+    ).select(
+        F.col("qty").alias("quantity"),
+        F.col("n_q").alias("n"),
+        F.expr("(pos_q * 1000000) div n_q").alias("obs_rate_micro"),
+        "iso_fit_micro",
+    )

@@ -1722,3 +1722,63 @@ def q_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("event_type", "n", "cents")
     )
+
+
+@REGISTRY.register(
+    "q_stream_drawdown",
+    tags=("streaming", "stateful", "finance"),
+    oracle="""
+WITH flows AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+              WHEN event_type = 'click'
+              THEN -CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+              ELSE 0 END AS flow_cents
+  FROM events
+), bal AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(flow_cents) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS balance
+  FROM flows
+), dd AS (
+  SELECT user_id, balance,
+         CAST(MAX(balance) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - balance AS drawdown
+  FROM bal
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_flows,
+       CAST(MAX(balance) AS BIGINT) AS peak_cents,
+       CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents
+FROM dd GROUP BY user_id
+""",
+)
+def q_stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maximum drawdown per user: the q_max_drawdown ledger
+    as live per-key state (balance / high-water mark / deepest fall,
+    three exact BIGINTs in applyInPandasWithState) — the risk monitor
+    runs on the stream; the batch twin's stacked running-sum/running-
+    max windows are the backfill path, and the shared oracle proves
+    they agree exactly on the ordered replay.
+
+    Update mode emits cumulative counters per (user, batch); the
+    max-n_flows snapshot per user is final."""
+    from pyspark.sql import Window
+
+    from catenae_kafka_spark.streaming.stateful import streaming_drawdown
+
+    stream = replay_events(spark, sf_dir)
+    updates = run_available_now(
+        streaming_drawdown(stream), "update", _name("drawdown")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_flows").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_flows", "peak_cents", "max_drawdown_cents")
+    )

@@ -536,3 +536,63 @@ def streaming_gap_alarm(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DRAWDOWN_OUTPUT_SCHEMA = (
+    "user_id long, n_flows long, peak_cents long, max_drawdown_cents long"
+)
+DRAWDOWN_STATE_SCHEMA = "balance long, peak long, maxdd long, n long"
+
+
+def streaming_drawdown(events: DataFrame) -> DataFrame:
+    """Per-user streaming maximum drawdown over the credit/debit ledger
+    (purchase = +cents, click = -cents): state is four exact BIGINTs
+    (balance, high-water mark, deepest fall, count) folded across
+    micro-batches — the live risk monitor whose batch twin
+    (q_max_drawdown) is the backfill path; the shared ledger
+    definition makes them agree exactly on the ordered replay.
+
+    Peak initializes to the FIRST observed balance (not zero) to match
+    the batch window semantics, where the running max ranges over
+    observed balances only. State per key is 32 bytes; the only
+    shuffle is groupBy(user)."""
+
+    def dd_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            balance, peak, maxdd, n = state.get
+        else:
+            balance, peak, maxdd, n = 0, None, 0, 0
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for et, v in zip(pdf["event_type"], pdf["value"]):
+                c = int(math.floor(float(v) * 100 + 0.5))
+                if et == "purchase":
+                    balance += c
+                elif et == "click":
+                    balance -= c
+                peak = balance if peak is None else max(peak, balance)
+                maxdd = max(maxdd, peak - balance)
+                n += 1
+        state.update((balance, peak, maxdd, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_flows": [n],
+                "peak_cents": [peak],
+                "max_drawdown_cents": [maxdd],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        dd_fn,
+        outputStructType=DRAWDOWN_OUTPUT_SCHEMA,
+        stateStructType=DRAWDOWN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

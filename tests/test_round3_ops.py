@@ -2060,3 +2060,80 @@ def test_bollinger_band_contains_mid_and_matches_reference(spark):
     for _, row in got.iterrows():
         mid, lo, up = ref[row["day"]]
         assert (row["mid"], row["lower"], row["upper"]) == (mid, lo, up)
+
+
+def test_stream_drawdown_equals_batch_twin(spark):
+    from catenae_kafka_spark.operators.analytics import q_max_drawdown
+    from catenae_kafka_spark.streaming.queries import q_stream_drawdown
+
+    live = (
+        q_stream_drawdown(spark, SF)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    batch = q_max_drawdown(spark, SF).toPandas().set_index("user_id")
+    # batch is top-20 only; every one of those users must agree exactly
+    for uid, row in batch.iterrows():
+        assert live.loc[uid, "max_drawdown_cents"] == row["max_drawdown_cents"]
+        assert live.loc[uid, "peak_cents"] == row["peak_cents"]
+        assert live.loc[uid, "n_flows"] == row["n_flows"]
+
+
+def test_knn_label_vote_votes_sum_and_majority(spark):
+    from catenae_kafka_spark.operators.llm_similarity import q_knn_label_vote
+
+    got = q_knn_label_vote(spark, SF).toPandas()
+    assert len(got) == 20
+    assert got["n_votes"].between(1, 5).all()
+    assert (got["correct"] == (got["true_label"] == got["predicted_label"])).all()
+
+
+def test_isotonic_calibration_is_floor_of_exact_pav(spark):
+    """The minimax-with-floors result must equal floor(1e6 * PAV fit)
+    computed in exact Fraction arithmetic (floor commutes with
+    min/max), and must be monotone non-decreasing."""
+    from fractions import Fraction
+
+    from catenae_kafka_spark.operators.mlstats import q_isotonic_calibration
+
+    got = (
+        q_isotonic_calibration(spark, SF)
+        .toPandas()
+        .sort_values("quantity")
+        .reset_index(drop=True)
+    )
+    assert got["iso_fit_micro"].is_monotonic_increasing or (
+        got["iso_fit_micro"].diff().dropna() >= 0
+    ).all()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["qty"] = li["l_quantity"].astype(int)
+    li["pos"] = (li["l_returnflag"] == "R").astype(int)
+    rollup = (
+        li.groupby("qty")
+        .agg(n=("pos", "size"), p=("pos", "sum"))
+        .sort_index()
+    )
+    # pool-adjacent-violators with exact rationals
+    blocks = [
+        [Fraction(int(p), int(n)), int(n)]
+        for n, p in zip(rollup["n"], rollup["p"])
+    ]
+    stack = []
+    for val, w in blocks:
+        stack.append([val, w])
+        while len(stack) > 1 and stack[-2][0] >= stack[-1][0]:
+            v2, w2 = stack.pop()
+            v1, w1 = stack.pop()
+            stack.append([(v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2])
+    # expand blocks back to per-qty fits
+    expanded = []
+    for val, w in stack:
+        cnt = 0
+        while cnt < w:
+            q_idx = len(expanded)
+            cnt += int(rollup["n"].iloc[q_idx])
+            expanded.append(val)
+    assert len(expanded) == len(rollup)
+    want = [(v.numerator * 1000000) // v.denominator for v in expanded]
+    assert got["iso_fit_micro"].tolist() == want
