@@ -1483,3 +1483,107 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(reciprocated_weight * 1000000) div total_weight"
         ).alias("reciprocity_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_harmonic_centrality",
+    tags=("graph",),
+    oracle="""
+WITH RECURSIVE baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), weighted AS (
+  SELECT a.p_brand AS u, b.p_brand AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+), top_edges AS (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn
+    FROM weighted
+  ) WHERE rn <= 40
+), sym AS (
+  SELECT u, v FROM top_edges UNION ALL SELECT v, u FROM top_edges
+), nodes AS (
+  SELECT DISTINCT u AS node FROM sym
+), walk AS (
+  SELECT node AS origin, node, 0 AS d FROM nodes
+  UNION ALL
+  SELECT w.origin, s.v, w.d + 1
+  FROM walk w JOIN sym s ON s.u = w.node
+  WHERE w.d < 3
+), dmin AS (
+  SELECT origin, node, MIN(d) AS d FROM walk GROUP BY origin, node
+)
+SELECT origin, CAST(COUNT(*) AS BIGINT) AS n_reach_3hop,
+       CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_micro
+FROM dmin WHERE d > 0 GROUP BY origin
+""",
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon harmonic centrality over the brand co-purchase
+    graph: for EVERY node, sum 1/d over nodes within 3 hops — the
+    centrality that stays well-defined on disconnected graphs (a node
+    out of reach contributes 0, not infinity), computed as an
+    all-sources generalization of q_bfs_khop's frontier expansion.
+
+    Exact: distances are integers from the synchronized BFS rounds;
+    1/d is floored to micro units (1e6//1, //2, //3), so the score is
+    a BIGINT — no float anywhere.
+
+    Scale shape: the multi-source frontier is (origin, node) keyed —
+    3 rounds = 3 keyed join+min-fold shuffles over a frontier bounded
+    by |nodes| x |nodes| (the graph is sparsified to 40 edges by
+    deterministic rank, so this stays constant-sized as the fact
+    table grows; at real graph scale the same schedule shards by
+    origin). Oracle = the identical walk as a depth-bounded recursive
+    CTE."""
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
+    weighted = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    w_rank = Window.orderBy(F.col("w").desc(), "u", "v")
+    top_edges = (
+        weighted.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 40)
+        .select("u", "v")
+    )
+    sym = top_edges.unionByName(
+        top_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    dist = nodes.select(
+        F.col("node").alias("origin"), "node", F.lit(0).alias("d")
+    )
+    frontier = dist
+    for depth in (1, 2, 3):
+        neighbors = (
+            F.broadcast(frontier.select("origin", F.col("node").alias("u")))
+            .join(sym, "u")
+            .select("origin", F.col("v").alias("node"), F.lit(depth).alias("d"))
+            .distinct()
+        )
+        dist = (
+            dist.unionByName(neighbors)
+            .groupBy("origin", "node")
+            .agg(F.min("d").alias("d"))
+        )
+        frontier = dist.filter(F.col("d") == depth)
+    return (
+        dist.filter(F.col("d") > 0)
+        .groupBy("origin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_reach_3hop"),
+            F.sum(F.expr("1000000 div d")).cast("bigint").alias(
+                "harmonic_micro"
+            ),
+        )
+    )

@@ -607,3 +607,214 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_source",
         )
     )
+
+
+def _bpe_round_sql(prev: str, idx: int) -> str:
+    """One BPE training round as DuckDB CTE text: top pair of
+    ``{prev}`` -> rewritten corpus ``corpus{idx}`` (doubled-space
+    REPLACE trick, same algebra as q_bpe_merge_apply)."""
+    return f"""
+pairs{idx} AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i + 1])) AS pair
+  FROM (SELECT string_split(text, ' ') AS w FROM {prev})
+  WHERE len(w) >= 2
+), top{idx} AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs{idx}
+  GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+), corpus{idx} AS (
+  SELECT doc_id,
+         TRIM(REPLACE(REPLACE(
+           ' ' || REPLACE(text, ' ', '  ') || ' ',
+           ' ' || REPLACE((SELECT pair FROM top{idx}), ' ', '  ') || ' ',
+           ' ' || REPLACE((SELECT pair FROM top{idx}), ' ', '_') || ' '),
+         '  ', ' ')) AS text
+  FROM {prev}
+)"""
+
+
+_BPE3_ORACLE = (
+    "WITH corpus0 AS (SELECT doc_id, text FROM documents),"
+    + ",".join(_bpe_round_sql(f"corpus{i}", i + 1) for i in range(3))
+    + """
+SELECT * FROM (
+  SELECT 1 AS round, (SELECT pair FROM top1) AS merged_pair,
+         (SELECT n FROM top1) AS pair_count,
+         (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+          FROM corpus1) AS tokens_after
+  UNION ALL
+  SELECT 2, (SELECT pair FROM top2), (SELECT n FROM top2),
+         (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+          FROM corpus2)
+  UNION ALL
+  SELECT 3, (SELECT pair FROM top3), (SELECT n FROM top3),
+         (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+          FROM corpus3)
+)
+"""
+)
+
+
+@REGISTRY.register(
+    "q_bpe_train3",
+    tags=("llm", "corpus", "tokenizer"),
+    oracle=_BPE3_ORACLE,
+)
+def q_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE chained BPE training rounds: each round finds the
+    corpus-wide most frequent adjacent pair (count DESC, pair ASC —
+    total order), merges every greedy-left-to-right occurrence via
+    the doubled-space REPLACE algebra (environment fact #35), and the
+    NEXT round counts pairs on the rewritten corpus — the actual
+    tokenizer-training loop, demonstrating that the iterative
+    algorithm stays declarative end-to-end (q_bpe_merge_apply is one
+    step; this is the loop).
+
+    Returns one row per round: merged pair, its count at selection
+    time, and the corpus token count after the merge (monotone
+    decreasing — property-tested).
+
+    Scale shape: per round, one explode+count (map-side combinable)
+    and one broadcast-scalar rewrite — 3 rounds = 3 such passes. In
+    production each round's corpus would be checkpointed; here the
+    lineage recomputes, which is the right trade at test scale."""
+    c = catalog(spark, sf_dir)
+    corpus = c.documents.select("doc_id", "text")
+    out_rows = []
+    for rnd in (1, 2, 3):
+        words = corpus.select(F.split("text", " ").alias("w"))
+        pairs = words.filter(F.size("w") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1),"
+                    " (x, i) -> x || ' ' || w[i + 1])"
+                )
+            ).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+        )
+        corpus = (
+            corpus.crossJoin(F.broadcast(top))
+            .select(
+                "doc_id",
+                F.trim(
+                    F.expr(
+                        "replace("
+                        "replace(' ' || replace(text, ' ', '  ') || ' ',"
+                        "        ' ' || replace(pair, ' ', '  ') || ' ',"
+                        "        ' ' || replace(pair, ' ', '_') || ' '),"
+                        "'  ', ' ')"
+                    )
+                ).alias("text"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        tokens = corpus.agg(
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias(
+                "tokens_after"
+            )
+        )
+        out_rows.append(
+            top.select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.col("pair").alias("merged_pair"),
+                F.col("n").alias("pair_count"),
+            ).crossJoin(F.broadcast(tokens))
+        )
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+@REGISTRY.register(
+    "q_mixture_rates",
+    tags=("llm", "corpus", "sampling"),
+    oracle="""
+WITH avail AS (
+  SELECT lang,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY lang
+), shares AS (
+  SELECT lang, avail_tokens,
+         1000000 // (SELECT COUNT(*) FROM avail)
+         + CASE WHEN ROW_NUMBER() OVER (ORDER BY lang) = 1
+                THEN 1000000 % (SELECT COUNT(*) FROM avail) ELSE 0 END
+           AS share_micro
+  FROM avail
+), epoch AS (
+  SELECT CAST(MIN((avail_tokens * 1000000) // share_micro) AS BIGINT)
+    AS epoch_tokens
+  FROM shares
+)
+SELECT lang, avail_tokens, CAST(share_micro AS BIGINT) AS share_micro,
+       epoch_tokens,
+       (share_micro * epoch_tokens) // 1000000 AS planned_tokens,
+       (((share_micro * epoch_tokens) // 1000000) * 1000000)
+         // avail_tokens AS sample_rate_micro
+FROM shares CROSS JOIN epoch
+""",
+)
+def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture planner: given the available token count
+    per language and a target mixture (uniform across the observed
+    languages, remainder micro-units assigned to the first language so
+    shares sum to exactly 1e6), compute the LARGEST epoch size that
+    needs no upsampling (epoch = min over languages of
+    available/share) and each language's resulting sampling rate —
+    the arithmetic every pretraining-data pipeline runs before
+    writing its sampling manifest (upsampling-free keeps every
+    example unique; the binding language has rate 1.0-ish and every
+    other language is downsampled).
+
+    Exact integer micro-unit arithmetic throughout; all operands
+    non-negative so Spark div == DuckDB // (fact #37). The target
+    mixture derives from the OBSERVED language set, so the query is
+    fixture-drift-proof.
+
+    Scale shape: one map-side token-count aggregation to |langs|
+    rows; the planner itself is O(langs) on broadcasts."""
+    c = catalog(spark, sf_dir)
+    avail = c.documents.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("avail_tokens")
+    )
+    k = avail.agg(F.count("*").cast("bigint").alias("k"))
+    shares = (
+        avail.crossJoin(F.broadcast(k))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("lang"))
+        )
+        .select(
+            "lang",
+            "avail_tokens",
+            (
+                F.expr("1000000 div k")
+                + F.when(F.col("rn") == 1, F.expr("1000000 % k")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+    )
+    epoch = shares.agg(
+        F.min(F.expr("(avail_tokens * 1000000) div share_micro"))
+        .cast("bigint")
+        .alias("epoch_tokens")
+    )
+    return shares.crossJoin(F.broadcast(epoch)).select(
+        "lang",
+        "avail_tokens",
+        "share_micro",
+        "epoch_tokens",
+        F.expr("(share_micro * epoch_tokens) div 1000000").alias(
+            "planned_tokens"
+        ),
+        F.expr(
+            "(((share_micro * epoch_tokens) div 1000000) * 1000000)"
+            " div avail_tokens"
+        ).alias("sample_rate_micro"),
+    )

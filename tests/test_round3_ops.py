@@ -2137,3 +2137,78 @@ def test_isotonic_calibration_is_floor_of_exact_pav(spark):
     assert len(expanded) == len(rollup)
     want = [(v.numerator * 1000000) // v.denominator for v in expanded]
     assert got["iso_fit_micro"].tolist() == want
+
+
+def test_bpe_train3_token_counts_strictly_decrease(spark):
+    from catenae_kafka_spark.operators.llm_corpus import q_bpe_train3
+
+    got = q_bpe_train3(spark, SF).toPandas().sort_values("round")
+    assert got["round"].tolist() == [1, 2, 3]
+    # every merge removes exactly pair_count tokens from the corpus
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    before = int(docs["text"].str.split(" ").str.len().sum())
+    for _, row in got.iterrows():
+        assert row["tokens_after"] == before - row["pair_count"], row["round"]
+        before = row["tokens_after"]
+    assert (got["pair_count"] > 0).all()
+
+
+def test_mixture_rates_invariants(spark):
+    from catenae_kafka_spark.operators.llm_corpus import q_mixture_rates
+
+    got = q_mixture_rates(spark, SF).toPandas()
+    assert got["share_micro"].sum() == 1_000_000
+    assert (got["planned_tokens"] <= got["avail_tokens"]).all()
+    assert (got["sample_rate_micro"] <= 1_000_000).all()
+    # the binding language is sampled at (near-)full rate: the floor
+    # chain loses < 2 micro
+    assert got["sample_rate_micro"].max() >= 999_990
+    assert got["epoch_tokens"].nunique() == 1
+
+
+def test_harmonic_centrality_matches_networkx_free_reference(spark):
+    """BFS reference with plain python dicts over the same top-40
+    edge graph."""
+    from collections import deque
+
+    from catenae_kafka_spark.operators.graph import q_harmonic_centrality
+
+    got = (
+        q_harmonic_centrality(spark, SF)
+        .toPandas()
+        .set_index("origin")
+        .sort_index()
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    part = pd.read_parquet(f"{SF}/part.parquet")[["p_partkey", "p_brand"]]
+    bk = li.merge(part, left_on="l_partkey", right_on="p_partkey")[
+        ["l_orderkey", "p_brand"]
+    ].drop_duplicates()
+    pairs = bk.merge(bk, on="l_orderkey")
+    pairs = pairs[pairs["p_brand_x"] < pairs["p_brand_y"]]
+    w = (
+        pairs.groupby(["p_brand_x", "p_brand_y"])
+        .size()
+        .reset_index(name="w")
+        .sort_values(["w", "p_brand_x", "p_brand_y"], ascending=[False, True, True])
+        .head(40)
+    )
+    adj: dict[str, set] = {}
+    for _, r in w.iterrows():
+        adj.setdefault(r["p_brand_x"], set()).add(r["p_brand_y"])
+        adj.setdefault(r["p_brand_y"], set()).add(r["p_brand_x"])
+    for origin in adj:
+        dist = {origin: 0}
+        dq = deque([(origin, 0)])
+        while dq:
+            node, d = dq.popleft()
+            if d == 3:
+                continue
+            for nb in adj[node]:
+                if nb not in dist:
+                    dist[nb] = d + 1
+                    dq.append((nb, d + 1))
+        score = sum(1_000_000 // d for n, d in dist.items() if d > 0)
+        n_reach = sum(1 for d in dist.values() if d > 0)
+        assert got.loc[origin, "harmonic_micro"] == score, origin
+        assert got.loc[origin, "n_reach_3hop"] == n_reach
