@@ -390,3 +390,66 @@ def q_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_sort_gain_milli"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_compaction_plan",
+    tags=("layout", "maintenance"),
+    oracle="""
+WITH parts AS (
+  SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS part_hour,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY part_hour
+), packed AS (
+  SELECT part_hour, n_rows,
+         CAST(COALESCE(SUM(n_rows) OVER (
+           ORDER BY part_hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) // 300 AS bin_id
+  FROM parts
+)
+SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       MIN(part_hour) AS from_hour, MAX(part_hour) AS to_hour
+FROM packed GROUP BY bin_id
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLANNER: assign time-adjacent hourly partitions of
+    the event stream to target-sized output bins (greedy next-fit by
+    exclusive prefix sum div target) — the manifest a table-
+    maintenance service computes BEFORE running the rewrite that
+    q_compact_small_files executes. Packing adjacent hours (never a
+    size-sorted shuffle of partitions) preserves time-locality, so
+    every compacted file still prunes on event-time predicates.
+
+    Exact: bin assignment is an integer floor of an exact running
+    row count; the row-count weight stands in for bytes (row width is
+    near-constant per table; a real deployment multiplies by the
+    table's measured bytes-per-row).
+
+    Scale shape: the fact scan reduces to one row per hour map-side;
+    the prefix-sum window runs over the calendar-bounded hour series.
+    The 300-row target is fixture-scaled; production uses
+    target_bytes/bytes_per_row."""
+    c = catalog(spark, sf_dir)
+    parts = c.events.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+            "part_hour"
+        )
+    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+    packed = parts.select(
+        "part_hour",
+        "n_rows",
+        F.expr(
+            "CAST(coalesce(sum(n_rows) OVER (ORDER BY part_hour"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            " AS BIGINT) div 300"
+        ).alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").cast("bigint").alias("n_partitions"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.min("part_hour").alias("from_hour"),
+        F.max("part_hour").alias("to_hour"),
+    )

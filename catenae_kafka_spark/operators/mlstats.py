@@ -4761,3 +4761,259 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(pos_q * 1000000) div n_q").alias("obs_rate_micro"),
         "iso_fit_micro",
     )
+
+
+@REGISTRY.register(
+    "q_mcnemar",
+    tags=("mlstats", "statistics", "dq"),
+    oracle="""
+WITH c AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS ss
+  FROM c
+), med AS (
+  SELECT CAST(quantile_disc(cents, 0.5) AS BIGINT) AS m FROM c
+), mad AS (
+  SELECT CAST(quantile_disc(ABS(cents - med.m), 0.5) AS BIGINT) AS d
+  FROM c, med
+), flags AS (
+  SELECT (CAST(cents AS DOUBLE) * n - s) * (CAST(cents AS DOUBLE) * n - s)
+           > 9.0 * n * (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+               / (n - 1) AS z_flag,
+         ABS(cents - med.m) > 3 * mad.d AS mad_flag
+  FROM c, mom, med, mad
+), disc AS (
+  SELECT CAST(SUM(CASE WHEN z_flag AND NOT mad_flag THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT z_flag AND mad_flag THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM flags
+)
+SELECT b, c2, n_pairs,
+       CASE WHEN b + c2 > 0
+            THEN ((b - c2) * (b - c2) * 1000000) // (b + c2)
+            ELSE NULL END AS mcnemar_micro,
+       CASE WHEN b + c2 > 0
+            THEN ((ABS(b - c2) - 1) * (ABS(b - c2) - 1) * 1000000)
+                 // (b + c2)
+            ELSE NULL END AS mcnemar_cc_micro
+FROM disc
+""",
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the SAME paired outlier flags as
+    q_outlier_kappa (parametric |z|>3 vs robust 3-MAD): where kappa
+    asks "do the two detectors agree?", McNemar asks the sharper
+    marginal question — "does one detector systematically flag MORE
+    than the other?" — using only the discordant cells
+    ((b - c)^2 / (b + c), plus the continuity-corrected variant).
+    Reporting both tests off one contingency table is the standard
+    detector-comparison protocol.
+
+    Exact: the discordant counts are exact integers (the z flag's one
+    shared IEEE comparison is identical on both engines), and the
+    statistic is a pure integer floor division in micro units —
+    NULL-guarded when there are no discordant pairs.
+
+    Scale shape: identical to q_outlier_kappa — one moment pass, one
+    exact median, one map-side flag + global 3-cell agg."""
+    c0 = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    c = c0.events.select(cents.alias("cents"))
+    mom = c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    med = c.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("m")
+    )
+    mad = c.crossJoin(F.broadcast(med)).agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(cents - m))"
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    flags = (
+        c.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            (
+                (F.col("cents").cast("double") * F.col("n") - F.col("s"))
+                * (F.col("cents").cast("double") * F.col("n") - F.col("s"))
+                > 9.0
+                * F.col("n")
+                * (
+                    F.col("n").cast("double") * F.col("ss")
+                    - F.col("s").cast("double") * F.col("s")
+                )
+                / (F.col("n") - 1)
+            ).alias("z_flag"),
+            (F.abs(F.col("cents") - F.col("m")) > 3 * F.col("d")).alias(
+                "mad_flag"
+            ),
+        )
+    )
+    disc = flags.agg(
+        F.sum(F.when(F.col("z_flag") & ~F.col("mad_flag"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("z_flag") & F.col("mad_flag"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    return disc.select(
+        "b",
+        "c2",
+        "n_pairs",
+        F.when(
+            F.col("b") + F.col("c2") > 0,
+            F.expr("((b - c2) * (b - c2) * 1000000) div (b + c2)"),
+        ).alias("mcnemar_micro"),
+        F.when(
+            F.col("b") + F.col("c2") > 0,
+            F.expr(
+                "((abs(b - c2) - 1) * (abs(b - c2) - 1) * 1000000)"
+                " div (b + c2)"
+            ),
+        ).alias("mcnemar_cc_micro"),
+    )
+
+
+# NDCG@5 log2-position discounts in micro units: floor(1e6 / log2(i+1))
+# for i = 1..5. CONSTANTS, so both engines see identical integers and no
+# log() ever executes (log/pow are not cross-engine portable — fact #30).
+_NDCG_DISCOUNTS = (1000000, 630929, 500000, 430676, 386852)
+
+
+@REGISTRY.register(
+    "q_ndcg_at5",
+    tags=("mlstats", "ir-evaluation", "llm"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel,
+         c.vec_id AS match_id, c.label AS clabel,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                                       i -> q.e[i] * c.e[i]))
+               / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 20
+), ranked AS (
+  SELECT query_id,
+         CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, match_id) AS rn
+  FROM scored
+), disc AS (
+  SELECT * FROM (VALUES (1, {_NDCG_DISCOUNTS[0]}), (2, {_NDCG_DISCOUNTS[1]}),
+                        (3, {_NDCG_DISCOUNTS[2]}), (4, {_NDCG_DISCOUNTS[3]}),
+                        (5, {_NDCG_DISCOUNTS[4]})) t(rn, w)
+), dcg AS (
+  SELECT r.query_id,
+         CAST(SUM(r.rel * d.w) AS BIGINT) AS dcg_micro,
+         CAST(SUM(r.rel) AS BIGINT) AS n_rel
+  FROM ranked r JOIN disc d ON r.rn = d.rn
+  WHERE r.rn <= 5
+  GROUP BY r.query_id
+), ideal AS (
+  SELECT query_id, dcg_micro, n_rel,
+         (SELECT CAST(SUM(w) AS BIGINT) FROM disc
+          WHERE disc.rn <= dcg.n_rel) AS idcg_micro
+  FROM dcg
+)
+SELECT query_id, n_rel, dcg_micro,
+       COALESCE(idcg_micro, 0) AS idcg_micro,
+       CASE WHEN n_rel > 0
+            THEN (dcg_micro * 1000000) // idcg_micro
+            ELSE NULL END AS ndcg_micro
+FROM ideal
+""",
+)
+def q_ndcg_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 for the exact cosine kNN ranking, graded by label match
+    (a neighbour sharing the query's class label counts as relevant) —
+    the position-discounted retrieval metric that complements
+    q_rec_precision's flat precision: a relevant hit at rank 1 is
+    worth ~2.6x one at rank 5.
+
+    Portability: the 1/log2(i+1) discounts are PRECOMPUTED micro-unit
+    constants (log is not cross-engine-portable — fact #30), so DCG
+    is an exact BIGINT dot product of relevance with a constant
+    vector, IDCG is a prefix sum of the same constants, and NDCG is
+    one integer floor division. NULL when the query has no relevant
+    neighbour in its top-5.
+
+    Scale shape: same bounded brute-force probe as q_knn_cosine; the
+    metric itself is a 5-rows-per-query aggregation against a 5-row
+    constant table."""
+    from catenae_kafka_spark.operators.llm_similarity import knn_cosine
+
+    c = catalog(spark, sf_dir)
+    emb = c.embeddings
+    labels = emb.select("vec_id", F.col("label").cast("bigint").alias("lbl"))
+    knn = knn_cosine(emb.filter(F.col("vec_id") < 20), emb, k=5)
+    disc = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_NDCG_DISCOUNTS)], "rn int, w long"
+    )
+    ranked = (
+        knn.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "mv")),
+            F.col("match_id") == F.col("mv"),
+        )
+        .withColumnRenamed("lbl", "clabel")
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("lbl").alias("qlabel"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "rn",
+            F.when(F.col("qlabel") == F.col("clabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    dcg = (
+        ranked.join(F.broadcast(disc.withColumnRenamed("rn", "drn")),
+                    F.col("rn") == F.col("drn"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("rel") * F.col("w")).cast("bigint").alias("dcg_micro"),
+            F.sum("rel").cast("bigint").alias("n_rel"),
+        )
+    )
+    idcg = dcg.join(
+        F.broadcast(disc), F.col("rn") <= F.col("n_rel"), "left"
+    ).groupBy("query_id", "dcg_micro", "n_rel").agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("idcg_micro")
+    )
+    return idcg.select(
+        "query_id",
+        "n_rel",
+        "dcg_micro",
+        "idcg_micro",
+        F.when(
+            F.col("n_rel") > 0,
+            F.expr("(dcg_micro * 1000000) div idcg_micro"),
+        ).alias("ndcg_micro"),
+    )

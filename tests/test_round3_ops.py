@@ -2212,3 +2212,52 @@ def test_harmonic_centrality_matches_networkx_free_reference(spark):
         n_reach = sum(1 for d in dist.values() if d > 0)
         assert got.loc[origin, "harmonic_micro"] == score, origin
         assert got.loc[origin, "n_reach_3hop"] == n_reach
+
+
+def test_mcnemar_cells_match_kappa_cells(spark):
+    from catenae_kafka_spark.operators.mlstats import (
+        q_mcnemar,
+        q_outlier_kappa,
+    )
+
+    mc = q_mcnemar(spark, SF).toPandas().iloc[0]
+    ka = q_outlier_kappa(spark, SF).toPandas().iloc[0]
+    assert mc["b"] == ka["b"] and mc["c2"] == ka["cc"]
+    assert mc["n_pairs"] == ka[["a", "b", "cc", "d"]].sum()
+    if mc["b"] + mc["c2"] > 0:
+        b, c2 = int(mc["b"]), int(mc["c2"])
+        assert mc["mcnemar_micro"] == ((b - c2) ** 2 * 1000000) // (b + c2)
+        assert mc["mcnemar_cc_micro"] == (
+            (abs(b - c2) - 1) ** 2 * 1000000
+        ) // (b + c2)
+
+
+def test_ndcg_at5_bounds_and_perfect_ranking(spark):
+    from catenae_kafka_spark.operators.mlstats import q_ndcg_at5
+
+    got = q_ndcg_at5(spark, SF).toPandas()
+    assert len(got) == 20
+    scored = got.dropna(subset=["ndcg_micro"])
+    assert (scored["ndcg_micro"] <= 1_000_000).all()
+    assert (scored["ndcg_micro"] > 0).all()
+    # when every top-5 hit is relevant, DCG == IDCG exactly
+    perfect = scored[scored["n_rel"] == 5]
+    assert (perfect["ndcg_micro"] == 1_000_000).all()
+    # dcg can never exceed ideal
+    assert (scored["dcg_micro"] <= scored["idcg_micro"]).all()
+
+
+def test_compaction_plan_conserves_rows_and_time_order(spark):
+    from catenae_kafka_spark.operators.layout import q_compaction_plan
+
+    got = q_compaction_plan(spark, SF).toPandas().sort_values("bin_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert got["total_rows"].sum() == len(ev)
+    # bins tile the timeline in order: each bin's range precedes the next's
+    assert (got["from_hour"] <= got["to_hour"]).all()
+    assert (
+        got["to_hour"].iloc[:-1].values <= got["from_hour"].iloc[1:].values
+    ).all()
+    # every bin but possibly the last reaches the 300-row target once the
+    # partition that crossed the boundary is included
+    assert (got["total_rows"].iloc[:-1] >= 300 - 59).all()
