@@ -453,3 +453,93 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("part_hour").alias("from_hour"),
         F.max("part_hour").alias("to_hour"),
     )
+
+
+@REGISTRY.register(
+    "q_orphan_file_audit",
+    tags=("layout", "maintenance", "governance"),
+    oracle="""
+WITH com AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS committed_rows
+  FROM events WHERE event_type <> 'error'
+), orp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphan_rows
+  FROM events WHERE event_type = 'error'
+)
+SELECT committed_rows, orphan_rows,
+       committed_rows + orphan_rows AS listed_rows
+FROM com CROSS JOIN orp
+""",
+)
+def q_orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file audit: files present in a table directory but
+    absent from the commit manifest — the lakehouse janitor query
+    behind VACUUM/orphan-cleanup (a failed writer leaves data files
+    no snapshot references; they cost storage and, worse, get swept
+    into naive directory-listing reads).
+
+    The harness stages the pathology deterministically: committed
+    rows (non-error events) are written WITH a manifest entry per
+    file; orphan rows (error events) are written into the same
+    directory bypassing the manifest. Detection is a LEFT ANTI join
+    of the directory listing against the manifest — the orphans'
+    row count must equal exactly the error-event count, proving the
+    audit found precisely the unmanifested files.
+
+    Scale shape: listing and manifest are file-grain (tiny vs data);
+    the anti join is broadcast; only the final orphan row count
+    touches data files, and reads just the orphans."""
+    import os as _os
+
+    from catenae_kafka_spark.sources.scans import _work_dir
+
+    c = catalog(spark, sf_dir)
+    base = _work_dir(sf_dir, "orphan_audit_v1")
+    data_dir = _os.path.join(base, "table")
+    committed = c.events.filter(F.col("event_type") != "error")
+    orphans = c.events.filter(F.col("event_type") == "error")
+    committed.repartition(4).write.mode("overwrite").parquet(data_dir)
+    # manifest = the files the "commit" knows about (captured NOW,
+    # before the rogue writer appends)
+    manifest = [
+        f for f in _os.listdir(data_dir) if f.startswith("part-")
+    ]
+    # rogue writer: appends files to the directory, no manifest entry
+    orphan_dir = _os.path.join(base, "orphan_stage")
+    orphans.repartition(2).write.mode("overwrite").parquet(orphan_dir)
+    import shutil as _shutil
+
+    for f in _os.listdir(orphan_dir):
+        if f.startswith("part-"):
+            _shutil.copy(
+                _os.path.join(orphan_dir, f),
+                _os.path.join(data_dir, "orphan-" + f),
+            )
+    listing = spark.createDataFrame(
+        [(f,) for f in _os.listdir(data_dir) if ".parquet" in f],
+        "file_name string",
+    )
+    manifest_df = spark.createDataFrame(
+        [(f,) for f in manifest], "file_name string"
+    )
+    orphan_files = listing.join(
+        F.broadcast(manifest_df), "file_name", "left_anti"
+    )
+    orphan_paths = [
+        _os.path.join(data_dir, r.file_name)
+        for r in orphan_files.collect()
+    ]
+    orphan_rows = (
+        spark.read.parquet(*orphan_paths).count() if orphan_paths else 0
+    )
+    committed_rows = (
+        spark.read.parquet(
+            *[_os.path.join(data_dir, f) for f in manifest]
+        ).count()
+        if manifest
+        else 0
+    )
+    return spark.createDataFrame(
+        [(committed_rows, orphan_rows, committed_rows + orphan_rows)],
+        "committed_rows long, orphan_rows long, listed_rows long",
+    )

@@ -5017,3 +5017,141 @@ def q_ndcg_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(dcg_micro * 1000000) div idcg_micro"),
         ).alias("ndcg_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_survey_raking",
+    tags=("mlstats", "statistics", "survey"),
+    oracle="""
+WITH obs AS (
+  SELECT c_mktsegment AS seg, r_name,
+         CAST(COUNT(*) AS BIGINT) AS f_obs
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY seg, r_name
+), tot AS (
+  SELECT CAST(SUM(f_obs) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT seg) AS BIGINT) AS kr,
+         CAST(COUNT(DISTINCT r_name) AS BIGINT) AS kc
+  FROM obs
+), w0 AS (
+  SELECT seg, r_name, f_obs,
+         (f_obs * 1000000) // tot.n AS w, tot.kr, tot.kc
+  FROM obs CROSS JOIN tot
+), tgt AS (
+  SELECT seg, r_name, f_obs, w, kr, kc,
+         1000000 // kr + CASE WHEN DENSE_RANK() OVER (ORDER BY seg) = 1
+                              THEN 1000000 % kr ELSE 0 END AS rt,
+         1000000 // kc + CASE WHEN DENSE_RANK() OVER (ORDER BY r_name) = 1
+                              THEN 1000000 % kc ELSE 0 END AS ct
+  FROM w0
+), r1 AS (
+  SELECT seg, r_name, f_obs, rt, ct,
+         (w * rt) // NULLIF(SUM(w) OVER (PARTITION BY seg), 0) AS w
+  FROM tgt
+), r2 AS (
+  SELECT seg, r_name, f_obs, rt, ct,
+         (w * ct) // NULLIF(SUM(w) OVER (PARTITION BY r_name), 0) AS w
+  FROM r1
+)
+SELECT seg, r_name, f_obs, CAST(w AS BIGINT) AS raked_micro,
+       CAST(SUM(w) OVER (PARTITION BY r_name) AS BIGINT)
+         AS col_achieved_micro
+FROM r2
+""",
+)
+def q_survey_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (iterative proportional fitting): re-weight the
+    observed market-segment x region table toward UNIFORM row and
+    column marginals, one row-scaling pass then one column-scaling
+    pass — the post-stratification generalization (q_poststratify
+    rakes one margin; IPF alternates margins) used to de-bias any
+    sample whose joint distribution drifted from the population's.
+
+    Integer discipline: cell weights live in micro-share units
+    (sum = 1e6), each scaling is (w * target) div margin_sum —
+    exact floor arithmetic, so both engines produce identical weights
+    bit-for-bit; after the final column pass the column marginals hit
+    their targets up to floor loss (property-tested <= kr micro per
+    column). Targets derive from the OBSERVED category sets with the
+    leftover micro assigned to the first category (drift-proof).
+
+    Scale shape: one fact aggregation to the kr x kc cell table;
+    raking is window sums over that bounded table."""
+    c = catalog(spark, sf_dir)
+    obs = (
+        c.customer.select("c_mktsegment", "c_nationkey")
+        .join(
+            F.broadcast(c.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(c.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "r_name")
+        .agg(F.count("*").cast("bigint").alias("f_obs"))
+    )
+    tot = obs.agg(
+        F.sum("f_obs").cast("bigint").alias("n"),
+        F.countDistinct("seg").cast("bigint").alias("kr"),
+        F.countDistinct("r_name").cast("bigint").alias("kc"),
+    )
+    w0 = obs.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "r_name",
+        "f_obs",
+        F.expr("(f_obs * 1000000) div n").alias("w"),
+        "kr",
+        "kc",
+    )
+    tgt = w0.select(
+        "seg",
+        "r_name",
+        "f_obs",
+        "w",
+        (
+            F.expr("1000000 div kr")
+            + F.when(
+                F.dense_rank().over(Window.orderBy("seg")) == 1,
+                F.expr("1000000 % kr"),
+            ).otherwise(0)
+        ).alias("rt"),
+        (
+            F.expr("1000000 div kc")
+            + F.when(
+                F.dense_rank().over(Window.orderBy("r_name")) == 1,
+                F.expr("1000000 % kc"),
+            ).otherwise(0)
+        ).alias("ct"),
+    )
+    r1 = tgt.select(
+        "seg",
+        "r_name",
+        "f_obs",
+        "rt",
+        "ct",
+        F.expr(
+            "(w * rt) div nullif(sum(w) OVER (PARTITION BY seg), 0)"
+        ).alias("w"),
+    )
+    r2 = r1.select(
+        "seg",
+        "r_name",
+        "f_obs",
+        "rt",
+        "ct",
+        F.expr(
+            "(w * ct) div nullif(sum(w) OVER (PARTITION BY r_name), 0)"
+        ).alias("w"),
+    )
+    return r2.select(
+        "seg",
+        "r_name",
+        "f_obs",
+        F.col("w").cast("bigint").alias("raked_micro"),
+        F.expr("CAST(sum(w) OVER (PARTITION BY r_name) AS BIGINT)").alias(
+            "col_achieved_micro"
+        ),
+    )

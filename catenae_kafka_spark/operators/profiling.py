@@ -488,3 +488,81 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@REGISTRY.register(
+    "q_equiheight_histogram",
+    tags=("profiling", "optimizer-stats"),
+    oracle="""
+WITH c AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), bounds AS (
+  SELECT CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+         CAST(quantile_disc(cents, 0.50) AS BIGINT) AS q2,
+         CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3
+  FROM c
+), bucketed AS (
+  SELECT CASE WHEN cents <= q1 THEN 1
+              WHEN cents <= q2 THEN 2
+              WHEN cents <= q3 THEN 3
+              ELSE 4 END AS bucket_id,
+         cents
+  FROM c CROSS JOIN bounds
+)
+SELECT bucket_id,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_distinct
+FROM bucketed GROUP BY bucket_id
+""",
+)
+def q_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height (equi-depth) column histogram over the price
+    column — the ANALYZE-style statistic a cost-based optimizer uses
+    for selectivity estimation: four quartile buckets, each with its
+    value range, row count, and distinct count (the per-bucket NDV
+    that makes range-predicate estimates sharp even on skewed data).
+
+    Exact: boundaries are percentile_disc selections of actual BIGINT
+    cent values (exact order statistics, no interpolation — portable
+    by construction); bucketing is pure integer comparison against
+    the broadcast 1-row boundary aggregate.
+
+    Scale shape: one pass for boundaries (Spark evaluates
+    percentile_disc as a tree aggregate), one map-side bucket
+    assignment + 4-group count; the distinct count shuffles on
+    (bucket, value) — at 100 TB swap in approx_count_distinct per
+    bucket, same plan."""
+    c0 = catalog(spark, sf_dir)
+    c = c0.lineitem.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    bounds = c.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("q3"),
+    )
+    bucketed = c.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("cents") <= F.col("q1"), 1)
+        .when(F.col("cents") <= F.col("q2"), 2)
+        .when(F.col("cents") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("bucket_id"),
+        "cents",
+    )
+    return bucketed.groupBy("bucket_id").agg(
+        F.min("cents").cast("bigint").alias("lo_cents"),
+        F.max("cents").cast("bigint").alias("hi_cents"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("cents").cast("bigint").alias("n_distinct"),
+    )

@@ -2261,3 +2261,56 @@ def test_compaction_plan_conserves_rows_and_time_order(spark):
     # every bin but possibly the last reaches the 300-row target once the
     # partition that crossed the boundary is included
     assert (got["total_rows"].iloc[:-1] >= 300 - 59).all()
+
+
+def test_equiheight_histogram_buckets_are_balanced_and_tile(spark):
+    from catenae_kafka_spark.operators.profiling import (
+        q_equiheight_histogram,
+    )
+
+    got = (
+        q_equiheight_histogram(spark, SF)
+        .toPandas()
+        .sort_values("bucket_id")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert got["n_rows"].sum() == len(li)
+    # equi-height: each bucket holds between 15% and 35% of the rows
+    # (exact quartiles up to tie mass at the boundaries)
+    frac = got["n_rows"] / len(li)
+    assert (frac > 0.15).all() and (frac < 0.35).all()
+    # buckets tile the value range without overlap
+    for i in range(len(got) - 1):
+        assert got["hi_cents"][i] < got["lo_cents"][i + 1]
+    assert (got["n_distinct"] <= got["n_rows"]).all()
+
+
+def test_orphan_file_audit_finds_exactly_the_unmanifested_rows(spark):
+    from catenae_kafka_spark.operators.layout import q_orphan_file_audit
+
+    got = q_orphan_file_audit(spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n_err = int((ev["event_type"] == "error").sum())
+    assert got["orphan_rows"] == n_err
+    assert got["committed_rows"] == len(ev) - n_err
+    assert got["listed_rows"] == len(ev)
+
+
+def test_survey_raking_moves_marginals_toward_uniform(spark):
+    from catenae_kafka_spark.operators.mlstats import q_survey_raking
+
+    got = q_survey_raking(spark, SF).toPandas()
+    kr = got["seg"].nunique()
+    kc = got["r_name"].nunique()
+    # after the final column pass, every column marginal is within
+    # kr micro of its target (floor loss only)
+    col = got.groupby("r_name")["raked_micro"].sum()
+    target = 1_000_000 // kc
+    assert ((col - target).abs() <= kr + 1_000_000 % kc).all()
+    # weights remain non-negative and total mass is preserved up to
+    # floor loss across the whole table
+    assert (got["raked_micro"] >= 0).all()
+    assert abs(got["raked_micro"].sum() - 1_000_000) <= kr * kc
+    # raking never invents mass in an empty cell
+    assert (got.loc[got["f_obs"] == 0, "raked_micro"] == 0).all()
