@@ -621,3 +621,68 @@ def q_unicode_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.lit("café Ümläut")).alias("upper_latin"),
         F.reverse(F.lit("café")).alias("reversed_accent"),
     )
+
+
+@REGISTRY.register(
+    "q_month_arithmetic_contract",
+    tags=("functions", "datetime", "contract"),
+    oracle="""
+WITH probes AS (
+  SELECT * FROM (VALUES
+    (DATE '2024-01-31'), (DATE '2024-02-29'), (DATE '2023-02-28'),
+    (DATE '2024-08-31'), (DATE '2024-12-31'), (DATE '2021-01-29'),
+    (DATE '2024-03-31'), (DATE '2024-11-30')
+  ) t(d)
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS probe_day,
+       STRFTIME(d + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_1mo,
+       STRFTIME(d + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+       STRFTIME(d - INTERVAL 1 MONTH, '%Y-%m-%d') AS minus_1mo,
+       STRFTIME(d + INTERVAL 12 MONTH, '%Y-%m-%d') AS plus_1yr,
+       STRFTIME(d + 30, '%Y-%m-%d') AS plus_30d,
+       CAST(d = last_day(d) AS BOOLEAN) AS is_month_end,
+       STRFTIME(last_day(d + INTERVAL 1 MONTH), '%Y-%m-%d')
+         AS next_month_end
+FROM probes
+""",
+)
+def q_month_arithmetic_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-arithmetic semantics contract: end-of-month clamping
+    (Jan 31 + 1 month = Feb 29 in a leap year, Feb 28 otherwise),
+    leap-day year arithmetic (Feb 29 + 12 months = Feb 28), and the
+    add-days / add-months divergence (Jan 31 + 30 days != + 1 month) —
+    pinned across engines on fixed probe dates because month addition
+    is the classic silent-drift spot between calendar libraries
+    (clamp vs overflow vs error), and every billing/retention cohort
+    query depends on which one the engine does.
+
+    Both engines clamp: the hash match IS the proof the contract
+    holds. The probe set covers leap/non-leap Februaries, 31->30 day
+    transitions, and year boundaries. Oracle gotcha (environment
+    fact #38): DuckDB interval CONSTANTS compare equal under calendar
+    equivalence (INTERVAL 1 MONTH == INTERVAL 30 DAY), so common-
+    subexpression elimination silently merges STRFTIME(d + 1 MONTH)
+    with STRFTIME(d + 30 DAY) in one SELECT — day arithmetic in
+    oracles must use date + integer instead.
+
+    Scale: constant 8-row table; the value is the pinned semantics,
+    not throughput."""
+    probes = spark.createDataFrame(
+        [
+            ("2024-01-31",), ("2024-02-29",), ("2023-02-28",),
+            ("2024-08-31",), ("2024-12-31",), ("2021-01-29",),
+            ("2024-03-31",), ("2024-11-30",),
+        ],
+        "ds string",
+    ).select(F.to_date("ds").alias("d"))
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return probes.select(
+        fmt("d").alias("probe_day"),
+        fmt(F.add_months("d", 1)).alias("plus_1mo"),
+        fmt(F.add_months("d", 3)).alias("plus_3mo"),
+        fmt(F.add_months("d", -1)).alias("minus_1mo"),
+        fmt(F.add_months("d", 12)).alias("plus_1yr"),
+        fmt(F.date_add("d", 30)).alias("plus_30d"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+        fmt(F.last_day(F.add_months("d", 1))).alias("next_month_end"),
+    )

@@ -1088,3 +1088,59 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "max_chars",
     )
+
+
+@REGISTRY.register(
+    "q_dedup_waterfall",
+    tags=("llm", "dedup", "report"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS after_exact,
+       CAST(COUNT(DISTINCT array_to_string(
+         list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS BIGINT) AS after_canonical,
+       CAST(COUNT(DISTINCT array_to_string(
+         string_split(text, ' ')[1:8], ' ')) AS BIGINT) AS after_prefix8,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS exact_removed,
+       CAST(COUNT(DISTINCT text) - COUNT(DISTINCT array_to_string(
+         list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS BIGINT) AS canonical_removed
+FROM documents
+""",
+)
+def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup waterfall report: survivors after each successive tier of
+    the dedup cascade — byte-exact, canonical word-set, and the
+    8-token-prefix near-dup screen — in ONE corpus pass. This is the
+    funnel chart every dedup run reports before anyone approves
+    deleting data: each tier's marginal removal count tells you
+    whether the expensive fuzzy tiers (MinHash & friends, measured
+    separately) are even worth scheduling.
+
+    Tier keys match the registered operators exactly (q_dedup_exact's
+    text group, q_dedup_canonical's sorted-distinct-token key), so
+    the waterfall numbers reconcile with the per-tier queries.
+    Survivor counts are monotone non-increasing by construction for
+    the exact->canonical pair (canonical key is a function of text);
+    the prefix screen is reported alongside as the cheap-recall tier.
+
+    Scale shape: one aggregation; each distinct-count shuffles its
+    key digest (at 100 TB, swap COUNT(DISTINCT) for the sha2-digest
+    group pattern of q_dedup_exact — same result, bounded rows)."""
+    c = catalog(spark, sf_dir)
+    canon_key = F.array_join(
+        F.array_sort(F.array_distinct(F.split("text", " "))), " "
+    )
+    prefix_key = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    return c.documents.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("text").cast("bigint").alias("after_exact"),
+        F.countDistinct(canon_key).cast("bigint").alias("after_canonical"),
+        F.countDistinct(prefix_key).cast("bigint").alias("after_prefix8"),
+        (F.count("*") - F.countDistinct("text"))
+        .cast("bigint")
+        .alias("exact_removed"),
+        (F.countDistinct("text") - F.countDistinct(canon_key))
+        .cast("bigint")
+        .alias("canonical_removed"),
+    )

@@ -5155,3 +5155,128 @@ def q_survey_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "col_achieved_micro"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_xcorr_hourly",
+    tags=("mlstats", "timeseries"),
+    oracle="""
+WITH raw AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY hr
+), spine AS (
+  SELECT unnest(generate_series((SELECT MIN(hr) FROM raw),
+                                (SELECT MAX(hr) FROM raw))) AS hr
+), hourly AS (
+  SELECT spine.hr, COALESCE(raw.x, 0) AS x, COALESCE(raw.y, 0) AS y
+  FROM spine LEFT JOIN raw ON spine.hr = raw.hr
+), lags AS (
+  SELECT * FROM (VALUES (-2), (-1), (0), (1), (2)) t(lag_h)
+), paired AS (
+  SELECT l.lag_h, a.x, b.y
+  FROM lags l
+  JOIN hourly a ON TRUE
+  JOIN hourly b ON b.hr = a.hr + l.lag_h
+), sums AS (
+  SELECT lag_h, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM paired GROUP BY lag_h
+)
+SELECT CAST(lag_h AS BIGINT) AS lag_h, n AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+             6) AS xcorr
+FROM sums
+""",
+)
+def q_xcorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly purchase series
+    and the hourly click series at lags -2..+2 hours — the discovery
+    query behind "does click volume LEAD purchases?" (a positive peak
+    at negative lag means clicks predict purchases; the lag-0 column
+    is plain contemporaneous correlation, and the asymmetry around 0
+    is the causal hint q_acf_daily's autocorrelation can't see).
+
+    Exact: integer hour buckets (epoch microseconds div 3600e6), all
+    six power sums in BIGINT, one shared IEEE division + portable
+    sqrt, rounded 6dp — same parity discipline as q_spearman_corr.
+    Hours with no events are ZERO-FILLED on a dense min..max spine —
+    skipping empty hours would silently misalign the lag pairing and
+    bias every lagged coefficient.
+
+    Scale shape: the fact scan reduces map-side to one row per hour;
+    the spine and lag self-join run on the calendar-bounded hourly
+    series keyed by hour+lag."""
+    c = catalog(spark, sf_dir)
+    raw = c.events.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    bounds = raw.agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "mx")).alias("hr")
+    )
+    hourly = spine.join(raw, "hr", "left").select(
+        "hr",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    lags = spark.createDataFrame([(-2,), (-1,), (0,), (1,), (2,)], "lag_h int")
+    b = hourly.select(
+        F.col("hr").alias("bhr"), F.col("y").alias("by")
+    )
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(hourly)
+        .join(b, F.col("bhr") == F.col("hr") + F.col("lag_h"))
+        .select("lag_h", "x", F.col("by").alias("y"))
+    )
+    sums = paired.groupBy("lag_h").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return sums.select(
+        F.col("lag_h").cast("bigint").alias("lag_h"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.nullif(
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("xcorr"),
+    )

@@ -2314,3 +2314,69 @@ def test_survey_raking_moves_marginals_toward_uniform(spark):
     assert abs(got["raked_micro"].sum() - 1_000_000) <= kr * kc
     # raking never invents mass in an empty cell
     assert (got.loc[got["f_obs"] == 0, "raked_micro"] == 0).all()
+
+
+def test_month_arithmetic_clamps_correctly(spark):
+    from catenae_kafka_spark.functions.packs import (
+        q_month_arithmetic_contract,
+    )
+
+    got = (
+        q_month_arithmetic_contract(spark, SF)
+        .toPandas()
+        .set_index("probe_day")
+    )
+    assert got.loc["2024-01-31", "plus_1mo"] == "2024-02-29"
+    assert got.loc["2023-02-28", "plus_1mo"] == "2023-03-28"
+    assert got.loc["2024-02-29", "plus_1yr"] == "2025-02-28"
+    assert got.loc["2024-01-31", "plus_30d"] == "2024-03-01"
+    assert got.loc["2024-03-31", "minus_1mo"] == "2024-02-29"
+    assert bool(got.loc["2024-01-31", "is_month_end"])
+    assert not bool(got.loc["2021-01-29", "is_month_end"])
+
+
+def test_xcorr_hourly_lag0_is_symmetric_pearson(spark):
+    from catenae_kafka_spark.operators.mlstats import q_xcorr_hourly
+
+    got = q_xcorr_hourly(spark, SF).toPandas().set_index("lag_h")
+    assert set(got.index) == {-2, -1, 0, 1, 2}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # parquet may store ts at us or ns precision — normalize to ns first
+    hrs = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // (3600 * 10**9)
+    ).astype(int)
+    df = pd.DataFrame(
+        {
+            "hr": hrs,
+            "x": (ev["event_type"] == "purchase").astype(int),
+            "y": (ev["event_type"] == "click").astype(int),
+        }
+    )
+    hourly = df.groupby("hr")[["x", "y"]].sum()
+    # dense zero-filled spine, matching the operator's contract
+    full = range(hourly.index.min(), hourly.index.max() + 1)
+    hourly = hourly.reindex(full, fill_value=0)
+    want = hourly["x"].corr(hourly["y"], method="pearson")
+    assert abs(got.loc[0, "xcorr"] - want) < 1e-5
+    assert (got["xcorr"].abs() <= 1.0).all()
+    # n_pairs shrinks by |lag| off the full series
+    assert got.loc[0, "n_pairs"] == len(hourly)
+    assert got.loc[2, "n_pairs"] == len(hourly) - 2
+    assert got.loc[-2, "n_pairs"] == len(hourly) - 2
+
+
+def test_dedup_waterfall_is_monotone_and_reconciles(spark):
+    from catenae_kafka_spark.operators.llm_dedup import (
+        q_dedup_exact,
+        q_dedup_waterfall,
+    )
+
+    wf = q_dedup_waterfall(spark, SF).toPandas().iloc[0]
+    assert wf["n_docs"] >= wf["after_exact"] >= wf["after_canonical"]
+    assert wf["exact_removed"] == wf["n_docs"] - wf["after_exact"]
+    assert (
+        wf["canonical_removed"] == wf["after_exact"] - wf["after_canonical"]
+    )
+    # reconciles with the registered per-tier operator
+    exact = q_dedup_exact(spark, SF).toPandas()
+    assert wf["after_exact"] == len(exact)
