@@ -1782,3 +1782,218 @@ def q_stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_flows", "peak_cents", "max_drawdown_cents")
     )
+
+
+@REGISTRY.register(
+    "q_stream_vwap",
+    tags=("streaming", "finance"),
+    oracle="""
+SELECT STRFTIME(TIMESTAMP '1970-01-01 00:00:00'
+         + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)),
+         '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 100)
+            AS BIGINT) AS notional,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 100)
+            AS BIGINT)
+         // CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS vwap_ratio
+FROM events
+GROUP BY win_start, event_type
+""",
+)
+def q_stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING volume-weighted average price: per 15-minute tumbling
+    event-time window and event type, sum(price x volume) / sum(volume)
+    with the event's cent value standing in for both price and size
+    (notional = cents^2/100, the self-weighted mean every market-data
+    pipeline computes) — the weighted-aggregate streaming shape that
+    plain counts/sums (q_stream_tumbling) don't exercise: TWO running
+    numerators folded per window plus a final ratio projection.
+
+    Exact: cents are BIGINT, the notional product floors once per
+    event (identically in both engines), sums fold in BIGINT, and the
+    final ratio is one integer floor division at emit time. Watermark
+    10 minutes; complete mode over the finite replay equals the batch
+    GROUP BY oracle exactly."""
+    stream = replay_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    enriched = stream.withColumn("cents", cents).withColumn(
+        "notional_part", F.expr("cents * cents div 100")
+    )
+    agg = ops.tumbling_window_agg(
+        enriched,
+        "15 minutes",
+        [
+            F.count("*").cast("bigint").alias("n_trades"),
+            F.sum("notional_part").cast("bigint").alias("notional"),
+            F.sum("cents").cast("bigint").alias("vol"),
+        ],
+        keys=["event_type"],
+    )
+    out = agg.select(
+        F.date_format(F.col("window.start"), WIN_FMT).alias("win_start"),
+        "event_type",
+        "n_trades",
+        "notional",
+        F.expr("notional div vol").alias("vwap_ratio"),
+    )
+    return run_available_now(out, "complete", _name("vwap"))
+
+
+@REGISTRY.register(
+    "q_stream_drift_monitor",
+    tags=("streaming", "stateful", "monitoring"),
+    oracle="""
+WITH ordered AS (
+  SELECT event_type, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+  FROM events
+), counts AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS rc,
+         CAST(SUM(CASE WHEN rn > 500 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+  FROM ordered GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(rc) AS BIGINT) AS nr, CAST(SUM(cc) AS BIGINT) AS nc
+  FROM counts
+)
+SELECT nr AS n_ref, nc AS n_cur,
+       CAST(SUM(ABS((rc * 1000000) // nr - (cc * 1000000) // nc)) // 2
+            AS BIGINT) AS tvd_micro
+FROM counts CROSS JOIN tot GROUP BY nr, nc
+""",
+)
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distribution-drift monitor: the first 500 events (in
+    event order) freeze a reference event-type mix; everything after
+    accrues to the current window; the emitted exact total-variation
+    distance (micro units) is the alarm signal for "did the traffic
+    mix shift?" — the streaming sibling of q_psi_drift, with the
+    period split carried as live state instead of a batch WHERE.
+
+    The final update row (max n_ref + n_cur) equals the batch
+    rank-split oracle exactly: floored micro-shares on both sides,
+    ordered replay, one state key (see streaming_drift_monitor's
+    sharding note)."""
+    from pyspark.sql import Window
+
+    from catenae_kafka_spark.streaming.stateful import (
+        streaming_drift_monitor,
+    )
+
+    stream = replay_events(spark, sf_dir)
+    updates = run_available_now(
+        streaming_drift_monitor(stream), "update", _name("drift")
+    )
+    w = Window.orderBy((F.col("n_ref") + F.col("n_cur")).desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("n_ref", "n_cur", "tvd_micro")
+    )
+
+
+@REGISTRY.register(
+    "q_stream_backfill_seam",
+    tags=("streaming", "sink", "lambda"),
+    oracle="""
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS mn_us, epoch_us(MAX(ts)) AS mx_us
+  FROM events
+), cut AS (
+  SELECT ((mn_us + ((mx_us - mn_us) * 3) // 5) // 3600000000)
+           * 3600000000 AS cutoff_us
+  FROM b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CASE WHEN epoch_us(ts) >= cutoff_us - 3600000000
+                      AND epoch_us(ts) < cutoff_us THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap
+FROM events CROSS JOIN cut
+""",
+)
+def q_stream_backfill_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill/live seam audit (the lambda-architecture handoff): a
+    BATCH backfill covers history up to a cutoff; the LIVE stream
+    replays everything from one hour BEFORE that cutoff (deliberate
+    overlap — a seam with a gap loses data, so real handoffs always
+    overlap) into an exactly-once parquet sink; the union is deduped
+    on event_id at the seam. The audit proves the merged table equals
+    the source exactly — count and cent-sum — and reports the overlap
+    row count (nonzero, or the test is vacuous; property-tested).
+
+    The cutoff is data-derived in exact integer microseconds (60% of
+    the time span, truncated to the hour), so the seam is
+    deterministic at every scale factor.
+
+    Scale shape: the dedup shuffles only the seam's key column over
+    the overlap window in production (here the whole fixture for the
+    oracle's sake); the sink is the checkpointed exactly-once file
+    sink proven in q_stream_idempotent_sink."""
+    import os as _os
+
+    from catenae_kafka_spark.sources.scans import _work_dir
+
+    c = catalog(spark, sf_dir)
+    ev = c.events
+    bounds = ev.agg(
+        F.expr("unix_micros(min(ts))").alias("mn_us"),
+        F.expr("unix_micros(max(ts))").alias("mx_us"),
+    ).collect()[0]
+    cutoff_us = (
+        (bounds.mn_us + ((bounds.mx_us - bounds.mn_us) * 3) // 5)
+        // 3600000000
+    ) * 3600000000
+    overlap_us = cutoff_us - 3600000000
+    batch_half = ev.filter(F.expr(f"unix_micros(ts) < {cutoff_us}")).select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    base = _work_dir(sf_dir, "backfill_seam_v1")
+    sink = _os.path.join(base, "live")
+    ckpt = _os.path.join(base, "ckpt")
+    live = (
+        replay_events(spark, sf_dir)
+        .filter(F.expr(f"unix_micros(ts) >= {overlap_us}"))
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            F.expr("unix_micros(ts)").alias("us"),
+        )
+    )
+    q = (
+        live.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    merged = batch_half.unionByName(spark.read.parquet(sink)).dropDuplicates(
+        ["event_id"]
+    )
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(
+            F.when(
+                (F.col("us") >= overlap_us) & (F.col("us") < cutoff_us), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_overlap"),
+    )

@@ -596,3 +596,84 @@ def streaming_drawdown(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DRIFT_REF_N = 500
+DRIFT_OUTPUT_SCHEMA = "n_ref long, n_cur long, tvd_micro long"
+DRIFT_STATE_SCHEMA = (
+    "types array<string>, ref_counts array<long>, cur_counts array<long>,"
+    " n_seen long"
+)
+
+
+def streaming_drift_monitor(events: DataFrame) -> DataFrame:
+    """Reference-window drift monitor: the first DRIFT_REF_N events of
+    the stream (in event order) freeze the reference event-type
+    distribution; every later event accrues to the current window; the
+    emitted statistic is the exact total-variation distance between
+    the two distributions in micro units — the live "did traffic mix
+    shift after the deploy?" alarm, whose batch twin is a rank-split
+    GROUP BY.
+
+    State is the category->count vectors as parallel arrays plus the
+    global event counter; a single state key sees the ordered replay,
+    so the ref/cur split is deterministic (production shards the
+    monitor per feature/segment key; the global mix monitor is
+    inherently one key). TVD uses the same floored micro-shares on
+    both sides, so the hash match is exact."""
+
+    def drift_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            types, refc, curc, n_seen = state.get
+            types = list(types)
+            refc = list(refc)
+            curc = list(curc)
+        else:
+            types, refc, curc, n_seen = [], [], [], 0
+        idx = {t: i for i, t in enumerate(types)}
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for et in pdf["event_type"]:
+                if et not in idx:
+                    idx[et] = len(types)
+                    types.append(et)
+                    refc.append(0)
+                    curc.append(0)
+                if n_seen < DRIFT_REF_N:
+                    refc[idx[et]] += 1
+                else:
+                    curc[idx[et]] += 1
+                n_seen += 1
+        state.update((types, refc, curc, n_seen))
+        nr, nc = sum(refc), sum(curc)
+        if nr > 0 and nc > 0:
+            tvd = (
+                sum(
+                    abs((r * 1000000) // nr - (c * 1000000) // nc)
+                    for r, c in zip(refc, curc)
+                )
+                // 2
+            )
+        else:
+            tvd = 0
+        yield pd.DataFrame(
+            {"n_ref": [nr], "n_cur": [nc], "tvd_micro": [tvd]}
+        )
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            drift_fn,
+            outputStructType=DRIFT_OUTPUT_SCHEMA,
+            stateStructType=DRIFT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -2380,3 +2380,34 @@ def test_dedup_waterfall_is_monotone_and_reconciles(spark):
     # reconciles with the registered per-tier operator
     exact = q_dedup_exact(spark, SF).toPandas()
     assert wf["after_exact"] == len(exact)
+
+
+def test_stream_vwap_ratio_is_bounded_by_window_price_range(spark):
+    from catenae_kafka_spark.streaming.queries import q_stream_vwap
+
+    got = q_stream_vwap(spark, SF).toPandas()
+    assert len(got) > 0
+    # vwap_ratio = sum(cents^2/100)/sum(cents): for positive values
+    # it sits within [min_cents/100 - 1, max_cents/100 + 1] cents
+    assert (got["vwap_ratio"] >= 0).all()
+    assert (got["n_trades"] > 0).all()
+    assert (got["notional"] >= got["vwap_ratio"]).all()
+
+
+def test_stream_drift_monitor_splits_at_500(spark):
+    from catenae_kafka_spark.streaming.queries import q_stream_drift_monitor
+
+    got = q_stream_drift_monitor(spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert got["n_ref"] == min(500, len(ev))
+    assert got["n_cur"] == max(0, len(ev) - 500)
+    assert 0 <= got["tvd_micro"] <= 1_000_000
+
+
+def test_stream_backfill_seam_has_real_overlap_and_no_loss(spark):
+    from catenae_kafka_spark.streaming.queries import q_stream_backfill_seam
+
+    got = q_stream_backfill_seam(spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert got["n_events"] == len(ev), "seam lost or duplicated events"
+    assert got["n_overlap"] > 0, "overlap window is empty - vacuous test"
