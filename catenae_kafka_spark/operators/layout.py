@@ -543,3 +543,71 @@ def q_orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(committed_rows, orphan_rows, committed_rows + orphan_rows)],
         "committed_rows long, orphan_rows long, listed_rows long",
     )
+
+
+@REGISTRY.register(
+    "q_distribute_by_layout",
+    tags=("layout", "sql-surface"),
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders GROUP BY o_custkey
+""",
+)
+def q_distribute_by_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY + SORT BY physical-layout SQL: co-locate every
+    customer's orders in one partition and sort within partitions by
+    (customer, date) — the write-side layout that makes a downstream
+    merge read ("all of customer X's orders, in time order") a single
+    partition-local scan with no shuffle. The aggregation over the
+    laid-out data proves content equality; the companion test asserts
+    the physical property itself: one partition per customer key and
+    within-partition sortedness (via spark_partition_id + a
+    monotonicity window).
+
+    Scale note: DISTRIBUTE BY hashes into
+    spark.sql.shuffle.partitions; pair with bucketed writes
+    (q_join_bucketed) to persist the layout across jobs."""
+    c = catalog(spark, sf_dir)
+    c.orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    ).createOrReplaceTempView("orders_for_layout")
+    laid_out = spark.sql(
+        """
+        SELECT o_custkey, o_orderdate, cents
+        FROM orders_for_layout
+        DISTRIBUTE BY o_custkey
+        SORT BY o_custkey, o_orderdate
+        """
+    )
+    return laid_out.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+def distributed_layout_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The laid-out (pre-aggregation) frame of q_distribute_by_layout,
+    exposed for the physical-property test."""
+    c = catalog(spark, sf_dir)
+    c.orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    ).createOrReplaceTempView("orders_for_layout")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderdate, cents
+        FROM orders_for_layout
+        DISTRIBUTE BY o_custkey
+        SORT BY o_custkey, o_orderdate
+        """
+    )

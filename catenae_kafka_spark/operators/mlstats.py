@@ -5280,3 +5280,81 @@ def q_xcorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     )
+
+
+@REGISTRY.register(
+    "q_delta_method_ci",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH items AS (
+  SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT) AS rev,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev) AS BIGINT) AS sx, CAST(SUM(qty) AS BIGINT) AS sy,
+         CAST(SUM(rev * rev) AS BIGINT) AS sxx,
+         CAST(SUM(qty * qty) AS BIGINT) AS syy,
+         CAST(SUM(rev * qty) AS BIGINT) AS sxy
+  FROM items
+)
+SELECT n,
+       (1000000 * sx) // sy AS theta_micro,
+       ROUND(1000000.0 * sqrt(
+         ((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)
+          - 2.0 * (CAST(sx AS DOUBLE) / sy)
+                * (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)
+          + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                * (CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy))
+         / (CAST(n AS DOUBLE) - 1.0)) / CAST(sy AS DOUBLE), 2)
+         AS se_micro
+FROM s
+""",
+)
+def q_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for the SAME revenue-per-unit ratio
+    as q_jackknife_ratio — the closed-form first-order approximation
+    (se = sqrt(var_x - 2R cov + R^2 var_y) * sqrt(n) / sum_y) that
+    every experimentation platform uses for ratio metrics; running it
+    beside the jackknife is the standard sanity protocol, and the
+    property test asserts the two agree within 1% (they are
+    asymptotically identical).
+
+    Portability: all five power sums are exact BIGINT; the composite
+    IEEE expression is written ONCE and mirrored token-for-token in
+    the oracle, with a 2dp round on the micro-scaled result to absorb
+    association-order effects in the long float chain.
+
+    Scale shape: one map-side-combined moment pass; everything after
+    is O(1)."""
+    c = catalog(spark, sf_dir)
+    items = c.lineitem.select(
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("bigint")
+        .alias("rev"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    s = items.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev").cast("bigint").alias("sx"),
+        F.sum("qty").cast("bigint").alias("sy"),
+        F.sum(F.col("rev") * F.col("rev")).cast("bigint").alias("sxx"),
+        F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("syy"),
+        F.sum(F.col("rev") * F.col("qty")).cast("bigint").alias("sxy"),
+    )
+    return s.select(
+        "n",
+        F.expr("(1000000 * sx) div sy").alias("theta_micro"),
+        F.round(
+            F.expr(
+                "1000000.0 * sqrt("
+                "((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)"
+                " - 2.0 * (CAST(sx AS DOUBLE) / sy)"
+                "       * (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)"
+                " + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)"
+                "       * (CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy))"
+                " / (CAST(n AS DOUBLE) - 1.0)) / CAST(sy AS DOUBLE)"
+            ),
+            2,
+        ).alias("se_micro"),
+    )

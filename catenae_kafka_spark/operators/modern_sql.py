@@ -212,3 +212,82 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinary two-phase hash aggregate."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@REGISTRY.register(
+    "q_sql_pivot_unpivot",
+    tags=("sql-surface", "reshape"),
+    oracle="""
+WITH base AS (
+  SELECT n_name, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), wide AS (
+  SELECT n_name,
+         CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                                THEN cents END), 0) AS BIGINT)
+           AS automobile,
+         CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                                THEN cents END), 0) AS BIGINT) AS building,
+         CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                                THEN cents END), 0) AS BIGINT) AS machinery
+  FROM base GROUP BY n_name
+)
+SELECT n_name, seg, bal_cents FROM (
+  SELECT n_name, 'automobile' AS seg, automobile AS bal_cents FROM wide
+  UNION ALL
+  SELECT n_name, 'building', building FROM wide
+  UNION ALL
+  SELECT n_name, 'machinery', machinery FROM wide
+) WHERE bal_cents <> 0
+""",
+)
+def q_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL PIVOT + UNPIVOT *syntax* round-trip: balances pivot
+    wide by market segment (PIVOT ... FOR ... IN), then UNPIVOT folds
+    the wide columns back to long form — the dialect surface a
+    migrating SQL user reaches for first (the DataFrame .pivot() and
+    .unpivot() APIs are covered by q_pivot / q_unpivot; THIS query
+    proves the SQL statement forms parse and execute). The oracle is
+    plain conditional aggregation + UNION ALL, the dialect-free
+    equivalent.
+
+    UNPIVOT drops zero rows to mirror its NULL-dropping semantics
+    (empty cells never materialize in long form).
+
+    Scale shape: one group-by over the joined dim; pivot columns are
+    an explicit 3-item list (never dynamic at scale)."""
+    from pyspark.sql import functions as F
+
+    from catenae_kafka_spark.catalog import catalog
+
+    c = catalog(spark, sf_dir)
+    c.customer.join(
+        F.broadcast(c.nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "n_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    ).createOrReplaceTempView("pivot_base")
+    return spark.sql(
+        """
+        WITH wide AS (
+          SELECT * FROM (SELECT n_name, c_mktsegment, cents FROM pivot_base)
+          PIVOT (
+            COALESCE(SUM(cents), 0)
+            FOR c_mktsegment IN ('AUTOMOBILE' AS automobile,
+                                 'BUILDING' AS building,
+                                 'MACHINERY' AS machinery)
+          )
+        )
+        SELECT n_name, seg, bal_cents
+        FROM wide
+        UNPIVOT (
+          bal_cents FOR seg IN (automobile, building, machinery)
+        )
+        WHERE bal_cents <> 0
+        """
+    )

@@ -2411,3 +2411,56 @@ def test_stream_backfill_seam_has_real_overlap_and_no_loss(spark):
     ev = pd.read_parquet(f"{SF}/events.parquet")
     assert got["n_events"] == len(ev), "seam lost or duplicated events"
     assert got["n_overlap"] > 0, "overlap window is empty - vacuous test"
+
+
+def test_sql_pivot_unpivot_round_trips_long_form(spark):
+    from catenae_kafka_spark.operators.modern_sql import q_sql_pivot_unpivot
+
+    got = q_sql_pivot_unpivot(spark, SF).toPandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    j = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    import math
+
+    j = j[j["c_mktsegment"].isin(["AUTOMOBILE", "BUILDING", "MACHINERY"])]
+    j["cents"] = (j["c_acctbal"] * 100 + 0.5).apply(math.floor)
+    want = (
+        j.groupby(["n_name", "c_mktsegment"])["cents"].sum().reset_index()
+    )
+    want = want[want["cents"] != 0]
+    assert len(got) == len(want)
+    gm = {
+        (r["n_name"], r["seg"].upper()): r["bal_cents"]
+        for _, r in got.iterrows()
+    }
+    for _, r in want.iterrows():
+        assert gm[(r["n_name"], r["c_mktsegment"])] == r["cents"]
+
+
+def test_distribute_by_layout_colocates_and_sorts(spark):
+    from catenae_kafka_spark.operators.layout import distributed_layout_frame
+
+    laid = distributed_layout_frame(spark, SF).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    pdf = laid.toPandas()
+    # co-location: every customer key maps to exactly one partition
+    assert (pdf.groupby("o_custkey")["pid"].nunique() == 1).all()
+    # within-partition sortedness by (custkey, date) in arrival order
+    for _, g in pdf.groupby("pid"):
+        keys = list(zip(g["o_custkey"], g["o_orderdate"]))
+        assert keys == sorted(keys)
+
+
+def test_delta_method_agrees_with_jackknife(spark):
+    from catenae_kafka_spark.operators.mlstats import (
+        q_delta_method_ci,
+        q_jackknife_ratio,
+    )
+
+    dm = q_delta_method_ci(spark, SF).toPandas().iloc[0]
+    jk = q_jackknife_ratio(spark, SF).toPandas().iloc[0]
+    assert dm["theta_micro"] == jk["theta_micro"]
+    assert dm["se_micro"] > 0
+    # asymptotically identical estimators: within 1% on 6k rows
+    assert abs(dm["se_micro"] - jk["se_micro"]) / jk["se_micro"] < 0.01
