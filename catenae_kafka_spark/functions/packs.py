@@ -686,3 +686,116 @@ def q_month_arithmetic_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") == F.last_day("d")).alias("is_month_end"),
         fmt(F.last_day(F.add_months("d", 1))).alias("next_month_end"),
     )
+
+
+@REGISTRY.register(
+    "q_hof_map_funcs",
+    tags=("functions", "higher-order"),
+    oracle="""
+WITH cells AS (
+  SELECT event_type, DAYOFWEEK(ts) + 1 AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, dow
+)
+SELECT event_type,
+       string_agg('d' || dow || '=' || (n * 2), ',' ORDER BY dow)
+         AS doubled_counts,
+       string_agg('d' || dow || '=' || (cents // n), ',' ORDER BY dow)
+         AS avg_cents_map,
+       CAST(SUM(CASE WHEN n > 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_busy_days,
+       MAX(n) > 100 AS has_busy_day,
+       MIN(n) > 0 AS all_positive
+FROM cells GROUP BY event_type
+""",
+)
+def q_hof_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (the HOF surface q_array_funcs /
+    q_vector_funcs leave out): build a day-of-week -> count map per
+    event type, then transform_keys (int -> 'd'||k label),
+    transform_values (x2), map_zip_with (merge the count map with the
+    cents map into per-day averages), map_filter (busy days only),
+    and exists / forall over the map values — every map-typed lambda
+    executes JVM-side inside the same projection.
+
+    The oracle rebuilds the canonical sorted 'k=v' entry strings with
+    plain GROUP BY + ordered string_agg — proving the map pipeline's
+    CONTENT, not its storage shape (maps are unordered, so equality
+    is only meaningful on the sorted serialization).
+
+    Scale shape: one (type, dow)-grain aggregation; maps are bounded
+    at 7 entries per type, built and torn down map-side. Oracle
+    gotcha: DuckDB DAYOFWEEK is 0=Sunday, Spark dayofweek is
+    1=Sunday — the oracle shifts by +1 (environment fact #39; only
+    bites when the dow VALUE is in the output, which is why
+    q_chi_square never saw it)."""
+    c = catalog(spark, sf_dir)
+    cells = c.events.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    maps = cells.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("dow", "n")))
+        ).alias("cnt_map"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("dow", "cents")))
+        ).alias("cents_map"),
+    )
+    labeled = maps.select(
+        "event_type",
+        F.transform_keys(
+            F.transform_values(
+                F.col("cnt_map"), lambda _, v: v * 2
+            ),
+            lambda k, _: F.concat(F.lit("d"), k.cast("string")),
+        ).alias("doubled"),
+        F.map_zip_with(
+            "cnt_map",
+            "cents_map",
+            # (cents - cents%n)/n is an exactly-representable integer
+            # quotient, so the double division cannot round across a
+            # boundary (plain cents/n cast could)
+            lambda _, n, cents: ((cents - cents % n) / n).cast("bigint"),
+        ).alias("avg_raw"),
+        F.map_filter("cnt_map", lambda _, v: v > 100).alias("busy"),
+        F.exists(F.map_values("cnt_map"), lambda v: v > 100).alias(
+            "has_busy_day"
+        ),
+        F.forall(F.map_values("cnt_map"), lambda v: v > 0).alias(
+            "all_positive"
+        ),
+    )
+
+    def _canon(mcol):
+        entries = F.transform(
+            F.sort_array(F.map_entries(mcol)),
+            lambda e: F.concat(
+                F.lit("d"), e["key"].cast("string"), F.lit("="),
+                e["value"].cast("string"),
+            ),
+        )
+        return F.array_join(entries, ",")
+
+    return labeled.select(
+        "event_type",
+        F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries("doubled")),
+                lambda e: F.concat(
+                    e["key"], F.lit("="), e["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("doubled_counts"),
+        _canon(F.col("avg_raw")).alias("avg_cents_map"),
+        F.size(F.map_keys("busy")).cast("bigint").alias("n_busy_days"),
+        "has_busy_day",
+        "all_positive",
+    )

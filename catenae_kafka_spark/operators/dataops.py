@@ -1572,3 +1572,78 @@ def q_hash_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(top))
         .select("user_id", "n_events", "chain", "top_hash")
     )
+
+
+@REGISTRY.register(
+    "q_error_budget",
+    tags=("dataops", "sre", "monitoring"),
+    oracle="""
+WITH daily AS (
+  SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY day
+), cum AS (
+  SELECT day, n, n_err,
+         CAST(SUM(n) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n,
+         CAST(SUM(n_err) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_err
+  FROM daily
+)
+SELECT day, n, n_err,
+       (n_err * 1000000) // n AS err_share_micro,
+       (n_err * 1000000 * 1000000) // (n * 250000) AS burn_micro,
+       (cum_err * 1000000 * 1000000) // (cum_n * 250000)
+         AS budget_consumed_micro
+FROM cum
+""",
+)
+def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn over the event stream: against a 25%
+    error-rate SLO (the fixture's error share is ~20%, so the budget
+    is realistically contested), compute each day's burn rate
+    (share/SLO — burn > 1e6 means that day spent more than its
+    allotment) and the cumulative budget consumption to date — the
+    exact arithmetic behind multiwindow burn-rate alerting
+    (Google SRE workbook ch. 5 shape), as a declarative query.
+
+    Exact: shares, burn and consumption are integer floor micro
+    units; the cumulative window is the forward-only prefix shape.
+
+    Scale shape: map-side day rollup, then a calendar-bounded daily
+    window."""
+    c = catalog(spark, sf_dir)
+    daily = c.events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        "n",
+        "n_err",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("n_err").over(w).cast("bigint").alias("cum_err"),
+    )
+    return cum.select(
+        "day",
+        "n",
+        "n_err",
+        F.expr("(n_err * 1000000) div n").alias("err_share_micro"),
+        F.expr("(n_err * 1000000 * 1000000) div (n * 250000)").alias(
+            "burn_micro"
+        ),
+        F.expr(
+            "(cum_err * 1000000 * 1000000) div (cum_n * 250000)"
+        ).alias("budget_consumed_micro"),
+    )

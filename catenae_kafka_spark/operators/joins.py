@@ -277,3 +277,58 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@REGISTRY.register(
+    "q_join_null_safe",
+    tags=("join",),
+    oracle="""
+WITH a AS (
+  SELECT NULLIF(o_custkey % 7, 6) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS order_cents
+  FROM orders GROUP BY k
+), b AS (
+  SELECT NULLIF(c_custkey % 7, 6) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY k
+)
+SELECT CAST(a.k AS BIGINT) AS k, n_orders, order_cents, n_customers
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality JOIN (<=> / IS NOT DISTINCT FROM): the join
+    surface where NULL keys MATCH each other instead of silently
+    dropping — what you want when NULL is a real category ("unknown
+    bucket") that both sides share. Plain equality would lose the
+    NULL row on both sides; the null-safe row survives and is part of
+    the hashed result.
+
+    The NULL keys are derived deterministically (bucket 6 -> NULL) so
+    the case is exercised at every scale factor. Both sides aggregate
+    to their 7-row key tables first — the join is
+    dimension-cardinality no matter the fact size.
+
+    Note Spark plans <=> as a regular hash join (null-safe equality
+    is still an equi-join key), not a nested loop."""
+    c = catalog(spark, sf_dir)
+    a = c.orders.groupBy(
+        F.nullif((F.col("o_custkey") % 7).cast("bigint"), F.lit(6)).alias("k")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("order_cents"),
+    )
+    b = c.customer.groupBy(
+        F.nullif((F.col("c_custkey") % 7).cast("bigint"), F.lit(6)).alias(
+            "k2"
+        )
+    ).agg(F.count("*").cast("bigint").alias("n_customers"))
+    return a.join(b, F.col("k").eqNullSafe(F.col("k2"))).select(
+        "k", "n_orders", "order_cents", "n_customers"
+    )

@@ -2464,3 +2464,64 @@ def test_delta_method_agrees_with_jackknife(spark):
     assert dm["se_micro"] > 0
     # asymptotically identical estimators: within 1% on 6k rows
     assert abs(dm["se_micro"] - jk["se_micro"]) / jk["se_micro"] < 0.01
+
+
+def test_hof_map_funcs_against_pandas_reference(spark):
+    from catenae_kafka_spark.functions.packs import q_hof_map_funcs
+
+    got = q_hof_map_funcs(spark, SF).toPandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["dow"] = ev["ts"].astype("datetime64[ns]").dt.dayofweek  # 0=Mon
+    # convert to Spark numbering: 1=Sunday..7=Saturday
+    ev["dow"] = (ev["dow"] + 1) % 7 + 1
+    ev["cents"] = (ev["value"] * 100 + 0.5).apply(int)
+    for et, g in ev.groupby("event_type"):
+        cells = g.groupby("dow").agg(n=("cents", "size"), c=("cents", "sum"))
+        doubled = ",".join(
+            f"d{d}={2 * int(r['n'])}" for d, r in cells.sort_index().iterrows()
+        )
+        avg = ",".join(
+            f"d{d}={int(r['c']) // int(r['n'])}"
+            for d, r in cells.sort_index().iterrows()
+        )
+        assert got.loc[et, "doubled_counts"] == doubled, et
+        assert got.loc[et, "avg_cents_map"] == avg, et
+        assert got.loc[et, "n_busy_days"] == int((cells["n"] > 100).sum())
+        assert bool(got.loc[et, "has_busy_day"]) == bool(
+            (cells["n"] > 100).any()
+        )
+        assert bool(got.loc[et, "all_positive"])
+
+
+def test_join_null_safe_keeps_the_null_bucket(spark):
+    from catenae_kafka_spark.operators.joins import q_join_null_safe
+
+    got = q_join_null_safe(spark, SF).toPandas()
+    assert len(got) == 7
+    null_row = got[got["k"].isna()]
+    assert len(null_row) == 1, "null-safe join must keep the NULL bucket"
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert (
+        null_row["n_orders"].iloc[0]
+        == (orders["o_custkey"] % 7 == 6).sum()
+    )
+
+
+def test_error_budget_burn_identity(spark):
+    from catenae_kafka_spark.operators.dataops import q_error_budget
+
+    got = q_error_budget(spark, SF).toPandas().sort_values("day")
+    assert (got["err_share_micro"] <= 1_000_000).all()
+    # burn = share / SLO in micro: integer identity (floor of the
+    # micro-share scaled by 4 can differ by <4 micro from the direct
+    # division, so recompute exactly instead of comparing shares)
+    for _, r in got.iterrows():
+        assert r["burn_micro"] == (
+            int(r["n_err"]) * 10**12 // (int(r["n"]) * 250000)
+        )
+    # final cumulative consumption reflects the whole fixture
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n, ne = len(ev), int((ev["event_type"] == "error").sum())
+    assert got["budget_consumed_micro"].iloc[-1] == (
+        ne * 10**12 // (n * 250000)
+    )
