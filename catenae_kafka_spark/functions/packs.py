@@ -799,3 +799,58 @@ def q_hof_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_busy_day",
         "all_positive",
     )
+
+
+@REGISTRY.register(
+    "q_parse_url_funcs",
+    tags=("functions", "string", "etl"),
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang
+           || '/' || doc_id || '?chars=' || n_chars || '#frag' AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '://([^/]+)/', 1) AS host,
+       regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?([^#]*)', 1) AS query,
+       regexp_extract(url, 'chars=([0-9]+)', 1) AS chars_param
+FROM urls
+""",
+)
+def q_parse_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (parse_url): protocol, host, path, query
+    string and a single query parameter, extracted from URLs
+    synthesized deterministically off the documents table — the
+    clickstream/weblog ETL function family. Spark's parse_url is a
+    dedicated JVM function (HOST/PATH/QUERY/QUERY:key parts); the
+    oracle proves the same semantics with anchored regexes, which is
+    exactly what an engine WITHOUT parse_url must write by hand —
+    the query doubles as the migration recipe in both directions.
+
+    Scale: map-only projection, no shuffle."""
+    c = catalog(spark, sf_dir)
+    urls = c.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?chars="),
+            F.col("n_chars").cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return urls.select(
+        "doc_id",
+        F.expr("parse_url(url, 'PROTOCOL')").alias("proto"),
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY')").alias("query"),
+        F.expr("parse_url(url, 'QUERY', 'chars')").alias("chars_param"),
+    )

@@ -3436,3 +3436,116 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("rev") > F.col("mid") + F.col("hw"))
         ).alias("breach"),
     )
+
+
+@REGISTRY.register(
+    "q_pareto_coverage",
+    tags=("analytics", "concentration"),
+    oracle="""
+WITH spend AS (
+  SELECT c_nationkey, o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+), ranked AS (
+  SELECT c_nationkey, cents,
+         CAST(SUM(cents) OVER (PARTITION BY c_nationkey
+           ORDER BY cents DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run_cents,
+         CAST(SUM(cents) OVER (PARTITION BY c_nationkey) AS BIGINT)
+           AS tot_cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents DESC, o_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n_cust
+  FROM spend
+)
+SELECT n_name,
+       CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+       CAST(MIN(CASE WHEN run_cents * 5 >= tot_cents * 4 THEN rn END)
+            AS BIGINT) AS n_to_80pct,
+       (CAST(MIN(CASE WHEN run_cents * 5 >= tot_cents * 4 THEN rn END)
+             AS BIGINT) * 1000000) // MAX(n_cust) AS share_of_heads_micro
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) coverage per nation: the minimum number of
+    customers whose descending-sorted spend reaches 80% of the
+    nation's revenue — "how concentrated is each market?", the
+    per-group complement to the global q_gini / q_top_share
+    concentration audits, and the query behind account-tiering
+    decisions (how many accounts must a key-account team own to
+    cover 80% of revenue?).
+
+    Exact: the 80% crossing is the integer comparison
+    run_cents*5 >= tot_cents*4 (no float share), ties in spend are
+    broken by customer id so the running sum is total-ordered.
+
+    Scale shape: one customer-grain aggregation, then per-nation
+    descending windows (forward-only frames); output is
+    dimension-cardinality."""
+    c = catalog(spark, sf_dir)
+    spend = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wrun = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("cents").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("c_nationkey")
+    ranked = spend.select(
+        "c_nationkey",
+        F.sum("cents").over(wrun).cast("bigint").alias("run_cents"),
+        F.sum("cents").over(wall).cast("bigint").alias("tot_cents"),
+        F.row_number()
+        .over(
+            Window.partitionBy("c_nationkey").orderBy(
+                F.col("cents").desc(), "o_custkey"
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(wall).alias("n_cust"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(c.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.max("n_cust").cast("bigint").alias("n_customers"),
+            F.min(
+                F.when(
+                    F.col("run_cents") * 5 >= F.col("tot_cents") * 4,
+                    F.col("rn"),
+                )
+            )
+            .cast("bigint")
+            .alias("n_to_80pct"),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            "n_to_80pct",
+            F.expr("(n_to_80pct * 1000000) div n_customers").alias(
+                "share_of_heads_micro"
+            ),
+        )
+    )

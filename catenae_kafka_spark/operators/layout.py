@@ -611,3 +611,66 @@ def distributed_layout_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         SORT BY o_custkey, o_orderdate
         """
     )
+
+
+@REGISTRY.register(
+    "q_snapshot_rollback",
+    tags=("layout", "lakehouse", "governance"),
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events
+GROUP BY event_type
+""",
+)
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (poor-man's time travel on plain parquet):
+    version v1 (the good rollup) and v2 (a corrupted rewrite that
+    drops a whole event type) are both retained as immutable snapshot
+    directories; a one-line pointer file names the live version.
+    Rolling back = rewriting the pointer to v1 — no data movement,
+    exactly how table formats implement RESTORE. The query reads
+    THROUGH the pointer after rollback and must hash-match the
+    uncorrupted oracle, proving (a) old snapshots stay readable and
+    (b) the pointer flip restores them atomically.
+
+    Scale note: snapshot dirs + a metadata pointer is the layout
+    Iceberg/Delta formalize (manifests + version log); retention GC
+    is then q_orphan_file_audit's job."""
+    import os as _os
+
+    from catenae_kafka_spark.sources.scans import _work_dir
+
+    c = catalog(spark, sf_dir)
+    base = _work_dir(sf_dir, "snapshot_rb_v1")
+    v1 = _os.path.join(base, "v1")
+    v2 = _os.path.join(base, "v2")
+    ptr = _os.path.join(base, "CURRENT")
+    good = c.events.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    good.write.mode("overwrite").parquet(v1)
+    # v2: a bad rewrite silently loses every 'purchase' row
+    good.filter(F.col("event_type") != "purchase").write.mode(
+        "overwrite"
+    ).parquet(v2)
+    with open(ptr, "w") as fh:
+        fh.write("v2\n")  # deploy the bad version...
+    with open(ptr, "w") as fh:
+        fh.write("v1\n")  # ...and ROLL BACK
+    with open(ptr) as fh:
+        live = fh.read().strip()
+    return (
+        spark.read.parquet(_os.path.join(base, live))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )

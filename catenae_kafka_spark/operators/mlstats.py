@@ -4576,17 +4576,20 @@ WITH labeled AS (
          CAST(SUM(n_q) OVER () AS BIGINT) AS n_tot,
          CAST(SUM(pos_q) OVER () AS BIGINT) AS pos_tot
   FROM per_qty
+), frac AS (
+  SELECT qty, n_l, pos_l, n_tot, pos_tot,
+         (pos_l * 1000000) // n_l AS pl,
+         ((n_l - pos_l) * 1000000) // n_l AS ql,
+         ((pos_tot - pos_l) * 1000000) // (n_tot - n_l) AS pr,
+         (((n_tot - n_l) - (pos_tot - pos_l)) * 1000000)
+           // (n_tot - n_l) AS qr
+  FROM cum WHERE n_tot - n_l > 0
 ), cand AS (
   SELECT qty AS threshold, n_l AS n_left, n_tot - n_l AS n_right,
-         ((n_l * n_l - pos_l * pos_l - (n_l - pos_l) * (n_l - pos_l))
-          * 1000000) // n_l
-         + (((n_tot - n_l) * (n_tot - n_l)
-             - (pos_tot - pos_l) * (pos_tot - pos_l)
-             - ((n_tot - n_l) - (pos_tot - pos_l))
-               * ((n_tot - n_l) - (pos_tot - pos_l))) * 1000000)
-           // (n_tot - n_l) AS impurity_micro
-  FROM cum
-  WHERE n_tot - n_l > 0
+         (n_l * 1000000 - pos_l * pl - (n_l - pos_l) * ql)
+         + ((n_tot - n_l) * 1000000 - (pos_tot - pos_l) * pr
+            - ((n_tot - n_l) - (pos_tot - pos_l)) * qr) AS impurity_micro
+  FROM frac
 )
 SELECT threshold, n_left, n_right, impurity_micro,
        impurity_micro = MIN(impurity_micro) OVER () AS is_best
@@ -4600,11 +4603,12 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     heart of every tree/GBM learner, expressed as a prefix-sum scan
     instead of a per-candidate repartition.
 
-    Exactness: weighted Gini n_L*(1-(p^2+q^2)/n_L^2) multiplies out to
-    (n_L^2 - pos^2 - neg^2)/n_L — numerator/denominator are exact
-    BIGINTs, floored to micro units identically on both engines (all
-    operands non-negative, so Spark div == DuckDB // — fact #37).
-    Overflow: n^2*1e6 <= 3.6e17 at sf0.1 < 2^63.
+    Exactness: weighted Gini n_L*(1-(p^2+q^2)/n_L^2) is evaluated as
+    n_L*1e6 - pos*p_micro - neg*q_micro with p_micro = (pos*1e6) div
+    n_L — every intermediate is bounded by n*1e6, so the arithmetic
+    is BIGINT-safe to ~9e12 rows (the naive (n_L^2-...)*1e6 form
+    overflowed at the 10x scale run — caught by tools/scale10x.py);
+    all operands non-negative, so Spark div == DuckDB // (fact #37).
 
     Scale shape: one groupBy on the feature value (domain-bounded: 50
     distinct quantities), then windows over the 50-row candidate
@@ -4635,18 +4639,28 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_q").over(w_all).cast("bigint").alias("n_tot"),
         F.sum("pos_q").over(w_all).cast("bigint").alias("pos_tot"),
     )
-    cand = cum.filter(F.col("n_tot") - F.col("n_l") > 0).select(
+    frac = cum.filter(F.col("n_tot") - F.col("n_l") > 0).select(
+        "qty",
+        "n_l",
+        "pos_l",
+        "n_tot",
+        "pos_tot",
+        F.expr("(pos_l * 1000000) div n_l").alias("pl"),
+        F.expr("((n_l - pos_l) * 1000000) div n_l").alias("ql"),
+        F.expr("((pos_tot - pos_l) * 1000000) div (n_tot - n_l)").alias("pr"),
+        F.expr(
+            "(((n_tot - n_l) - (pos_tot - pos_l)) * 1000000)"
+            " div (n_tot - n_l)"
+        ).alias("qr"),
+    )
+    cand = frac.select(
         F.col("qty").alias("threshold"),
         F.col("n_l").alias("n_left"),
         (F.col("n_tot") - F.col("n_l")).alias("n_right"),
         F.expr(
-            "((n_l * n_l - pos_l * pos_l - (n_l - pos_l) * (n_l - pos_l))"
-            " * 1000000) div n_l"
-            " + (((n_tot - n_l) * (n_tot - n_l)"
-            "     - (pos_tot - pos_l) * (pos_tot - pos_l)"
-            "     - ((n_tot - n_l) - (pos_tot - pos_l))"
-            "       * ((n_tot - n_l) - (pos_tot - pos_l))) * 1000000)"
-            "   div (n_tot - n_l)"
+            "(n_l * 1000000 - pos_l * pl - (n_l - pos_l) * ql)"
+            " + ((n_tot - n_l) * 1000000 - (pos_tot - pos_l) * pr"
+            "    - ((n_tot - n_l) - (pos_tot - pos_l)) * qr)"
         ).alias("impurity_micro"),
     )
     return cand.select(

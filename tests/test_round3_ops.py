@@ -2017,9 +2017,11 @@ def test_decision_stump_matches_bruteforce_reference(spark):
         left = qty <= t
         nl, pl = int(left.sum()), int(pos[left].sum())
         nr, pr = n_tot - nl, pos_tot - pl
-        imp = ((nl * nl - pl * pl - (nl - pl) ** 2) * 1000000) // nl + (
-            (nr * nr - pr * pr - (nr - pr) ** 2) * 1000000
-        ) // nr
+        plm, qlm = (pl * 10**6) // nl, ((nl - pl) * 10**6) // nl
+        prm, qrm = (pr * 10**6) // nr, ((nr - pr) * 10**6) // nr
+        imp = (nl * 10**6 - pl * plm - (nl - pl) * qlm) + (
+            nr * 10**6 - pr * prm - (nr - pr) * qrm
+        )
         assert got.loc[t, "impurity_micro"] == imp, t
         assert got.loc[t, "n_left"] == nl
     best = got[got["is_best"]]
@@ -2525,3 +2527,56 @@ def test_error_budget_burn_identity(spark):
     assert got["budget_consumed_micro"].iloc[-1] == (
         ne * 10**12 // (n * 250000)
     )
+
+
+def test_parse_url_funcs_extracts_consistent_parts(spark):
+    from catenae_kafka_spark.functions.packs import q_parse_url_funcs
+
+    got = q_parse_url_funcs(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert len(got) == len(docs)
+    assert (got["proto"] == "https").all()
+    assert got["host"].str.endswith(".example.com").all()
+    assert got["path"].str.startswith("/docs/").all()
+    assert (got["chars_param"].astype(int) >= 0).all()
+    m = docs.set_index("doc_id")
+    for _, r in got.head(20).iterrows():
+        assert r["host"] == f"{m.loc[r['doc_id'], 'source']}.example.com"
+
+
+def test_snapshot_rollback_restores_v1_content(spark):
+    from catenae_kafka_spark.operators.layout import q_snapshot_rollback
+
+    got = q_snapshot_rollback(spark, SF).toPandas()
+    assert "purchase" in set(got["event_type"]), (
+        "rollback failed: reading the corrupted v2 snapshot"
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    want = ev.groupby("event_type").size()
+    for _, r in got.iterrows():
+        assert r["n"] == want[r["event_type"]]
+
+
+def test_pareto_coverage_crossing_is_minimal(spark):
+    from catenae_kafka_spark.operators.analytics import q_pareto_coverage
+
+    got = q_pareto_coverage(spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j["o_totalprice"] * 100 + 0.5).apply(int)
+    spend = j.groupby(["c_nationkey", "o_custkey"])["cents"].sum()
+    nm = nation.set_index("n_nationkey")["n_name"]
+    for nk, grp in spend.groupby(level=0):
+        vals = sorted(grp.values, reverse=True)
+        tot = sum(vals)
+        run, k = 0, 0
+        for v in vals:
+            run += v
+            k += 1
+            if run * 5 >= tot * 4:
+                break
+        row = got[got["n_name"] == nm[nk]].iloc[0]
+        assert row["n_to_80pct"] == k, nm[nk]
+        assert row["n_customers"] == len(vals)

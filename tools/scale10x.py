@@ -81,6 +81,17 @@ HEADLINE = [
     "q_log2_histogram",       # map + ~20-key agg
     "q_sessionize_capped",    # one user-keyed shuffle, cap is window math
     "q_join_fanout_audit",    # the join it audits + tiny bucket agg
+    # round-3 seventh-pass ops
+    "q_max_drawdown",         # two stacked O(n) per-user window scans
+    "q_spearman_corr",        # per-nation rank windows + 25-row power sums
+    "q_decision_stump",       # fact scan reduces to 50-value domain
+    "q_isotonic_calibration",  # same domain rollup + bounded minimax join
+    "q_jackknife_ratio",      # map-side totals + shuffle-free LOO column
+    "q_equiheight_histogram",  # one boundary pass + bucket agg
+    "q_dedup_waterfall",      # one pass, key-digest distincts
+    "q_error_budget",         # day rollup + calendar-bounded window
+    "q_xcorr_hourly",         # hour rollup + 5-lag spine join
+    "q_bpe_train3",           # 3 explode+count passes, broadcast rewrites
 ]
 
 # measured at sf0.1 only: the exact-complete set-similarity/fuzzy ops'
@@ -119,12 +130,18 @@ def main() -> None:
     if not os.path.exists(f"{dst}/lineitem.parquet"):
         replicate(spark, dst)
     specs = all_specs()
-    for name in SF01_ONLY:
+    only = set(sys.argv[2:])  # optional query-name filter
+    if only:
+        sf01 = [n for n in SF01_ONLY if n in only]
+        headline = [n for n in HEADLINE if n in only]
+    else:
+        sf01, headline = SF01_ONLY, HEADLINE
+    for name in sf01:
         t0 = time.perf_counter()
         specs[name].fn(spark, SRC).write.format("noop").mode("overwrite").save()
         print(f"sf0.1-only {name}: {time.perf_counter() - t0:.2f}s", flush=True)
     for sf_dir, label in [(SRC, "sf0.1"), (dst, "sfx1(10x)")]:
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
