@@ -5372,3 +5372,326 @@ def q_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("se_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_wasserstein_1d",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH pts AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY cents
+), tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+  FROM pts
+), steps AS (
+  SELECT cents,
+         (CAST(SUM(a) OVER w AS BIGINT) * 1000000) // tot.na AS fa,
+         (CAST(SUM(b) OVER w AS BIGINT) * 1000000) // tot.nb AS fb,
+         LEAD(cents) OVER (ORDER BY cents) AS nxt
+  FROM pts CROSS JOIN tot
+  WINDOW w AS (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(SUM(ABS(fa - fb) * (nxt - cents)) AS BIGINT)
+         AS w1_micro_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_support
+FROM steps WHERE nxt IS NOT NULL
+""",
+)
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the purchase and
+    click value distributions: the area between the two empirical CDFs
+    — the drift metric that, unlike q_ks_statistic's max gap, weighs
+    HOW FAR the mass moved (a 1-cent shift of everything is small EMD
+    but may still trip KS). Computed exactly: both CDFs live on the
+    merged support (one value-domain rollup), each step contributes
+    |F_a - F_b| x gap in integer micro x cents units.
+
+    Scale shape: the fact scan reduces map-side to the bounded cent
+    domain; the CDF window runs over that domain (10k rows at ANY
+    data size), not over events. Overflow: |fa-fb| <= 1e6 x gap
+    <= 1e4 x 1e4 support rows = 1e14 < 2^63."""
+    c = catalog(spark, sf_dir)
+    pts = (
+        c.events.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("b"),
+        )
+    )
+    tot = pts.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    steps = pts.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.expr(
+            "(CAST(sum(a) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000) div na"
+        ).alias("fa"),
+        F.expr(
+            "(CAST(sum(b) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000) div nb"
+        ).alias("fb"),
+        F.lead("cents").over(Window.orderBy("cents")).alias("nxt"),
+    )
+    return steps.filter(F.col("nxt").isNotNull()).agg(
+        F.sum(F.abs(F.col("fa") - F.col("fb")) * (F.col("nxt") - F.col("cents")))
+        .cast("bigint")
+        .alias("w1_micro_cents"),
+        F.count("*").cast("bigint").alias("n_support"),
+    )
+
+
+@REGISTRY.register(
+    "q_eb_shrinkage",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH cust AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), grp AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS ss
+  FROM cust GROUP BY c_nationkey
+), gl AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(s) AS BIGINT) AS s_tot,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         ROUND(SUM((CAST(s AS DOUBLE) / n - CAST((SELECT SUM(s) FROM grp)
+                AS DOUBLE) / (SELECT SUM(n) FROM grp))
+               * (CAST(s AS DOUBLE) / n - CAST((SELECT SUM(s) FROM grp)
+                  AS DOUBLE) / (SELECT SUM(n) FROM grp)))
+               / (COUNT(*) - 1), 6) AS tau2,
+         ROUND(SUM((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                   / (CAST(n AS DOUBLE) * n * (n - 1))), 6) / COUNT(*)
+           AS mean_se2
+  FROM grp
+)
+SELECT n_name, grp.n,
+       CAST(FLOOR(CAST(grp.s AS DOUBLE) / grp.n) AS BIGINT)
+         AS raw_mean_cents,
+       CAST(FLOOR(
+         (tau2 / (tau2 + mean_se2)) * (CAST(grp.s AS DOUBLE) / grp.n)
+         + (1.0 - tau2 / (tau2 + mean_se2))
+           * (CAST(gl.s_tot AS DOUBLE) / gl.n_tot)
+       ) AS BIGINT) AS shrunk_mean_cents
+FROM grp JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN gl
+""",
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James-Stein-style) shrinkage of per-nation
+    mean account balances toward the grand mean: small/noisy groups
+    move most, big groups barely — the partial-pooling baseline every
+    per-segment leaderboard should use before ranking groups of
+    unequal size (the top of a raw leaderboard is always a small
+    noisy group). Shrinkage weight B = tau^2/(tau^2 + se^2) with a
+    method-of-moments between-group variance tau^2 and the average
+    within-group variance of the mean.
+
+    Portability: all inputs are exact BIGINT power sums; tau2 and the
+    mean-variance are each rounded 6dp before composing (same
+    shared-IEEE discipline as q_chi_square); the final means floor to
+    integer cents.
+
+    Scale shape: one customer-grain pass to 25 group rows; everything
+    after is O(k) on broadcasts."""
+    c = catalog(spark, sf_dir)
+    cust = c.customer.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    grp = cust.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    tots = grp.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s").cast("bigint").alias("s_tot"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    gm = grp.crossJoin(F.broadcast(tots))
+    glob = gm.agg(
+        F.max("n_tot").alias("n_tot"),
+        F.max("s_tot").alias("s_tot"),
+        F.round(
+            F.sum(
+                (
+                    F.col("s").cast("double") / F.col("n")
+                    - F.col("s_tot").cast("double") / F.col("n_tot")
+                )
+                * (
+                    F.col("s").cast("double") / F.col("n")
+                    - F.col("s_tot").cast("double") / F.col("n_tot")
+                )
+            )
+            / (F.max("k") - 1),
+            6,
+        ).alias("tau2"),
+        (
+            F.round(
+                F.sum(
+                    (
+                        F.col("n").cast("double") * F.col("ss")
+                        - F.col("s").cast("double") * F.col("s")
+                    )
+                    / (
+                        F.col("n").cast("double")
+                        * F.col("n")
+                        * (F.col("n") - 1)
+                    )
+                ),
+                6,
+            )
+            / F.max("k")
+        ).alias("mean_se2"),
+    )
+    b = F.col("tau2") / (F.col("tau2") + F.col("mean_se2"))
+    return (
+        grp.join(
+            F.broadcast(c.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "n_name",
+            "n",
+            F.floor(F.col("s").cast("double") / F.col("n"))
+            .cast("bigint")
+            .alias("raw_mean_cents"),
+            F.floor(
+                b * (F.col("s").cast("double") / F.col("n"))
+                + (F.lit(1.0) - b)
+                * (F.col("s_tot").cast("double") / F.col("n_tot"))
+            )
+            .cast("bigint")
+            .alias("shrunk_mean_cents"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_regression_discontinuity",
+    tags=("mlstats", "causal"),
+    oracle="""
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CASE WHEN l_quantity < 25 THEN 'below' ELSE 'above' END AS side
+  FROM lineitem WHERE l_quantity <> 25
+), sums AS (
+  SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY side
+), fits AS (
+  SELECT side, n,
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 9)
+           AS slope,
+         ROUND((sy - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)) * sx)
+               / CAST(n AS DOUBLE), 9) AS intercept
+  FROM sums
+)
+SELECT side, n, slope, intercept,
+       ROUND(slope * 25 + intercept, 6) AS pred_at_cutoff
+FROM fits
+""",
+)
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-discontinuity design: fit a separate linear
+    probability model of P(returned | quantity) on each side of the
+    quantity-25 cutoff (cutoff rows excluded) and extrapolate both
+    fits TO the cutoff — the jump between the two predictions is the
+    discontinuity estimate, the causal workhorse for threshold-
+    assigned treatments (bulk-handling rules, eligibility cliffs,
+    price breaks). On this fixture the jump should be ~0 (no real
+    threshold effect) — the property test asserts exactly that null
+    result, which is itself the point: an RDD harness must NOT
+    manufacture effects.
+
+    Portability: OLS from exact BIGINT power sums, one shared IEEE
+    expression per coefficient, rounded 9dp (slopes are tiny) before
+    the 6dp prediction round.
+
+    Scale shape: map-side power sums to 2 rows; the fits are O(1)."""
+    c = catalog(spark, sf_dir)
+    pts = c.lineitem.filter(F.col("l_quantity") != 25).select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.when(F.col("l_quantity") < 25, "below")
+        .otherwise("above")
+        .alias("side"),
+    )
+    sums = pts.groupBy("side").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    slope_expr = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        ),
+        9,
+    )
+    fits = sums.select(
+        "side",
+        "n",
+        slope_expr.alias("slope"),
+        F.round(
+            (
+                F.col("sy")
+                - (
+                    (
+                        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+                    ).cast("double")
+                    / (
+                        F.col("n").cast("double") * F.col("sxx")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                )
+                * F.col("sx")
+            )
+            / F.col("n").cast("double"),
+            9,
+        ).alias("intercept"),
+    )
+    return fits.select(
+        "side",
+        "n",
+        "slope",
+        "intercept",
+        F.round(F.col("slope") * 25 + F.col("intercept"), 6).alias(
+            "pred_at_cutoff"
+        ),
+    )

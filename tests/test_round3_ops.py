@@ -2580,3 +2580,66 @@ def test_pareto_coverage_crossing_is_minimal(spark):
         row = got[got["n_name"] == nm[nk]].iloc[0]
         assert row["n_to_80pct"] == k, nm[nk]
         assert row["n_customers"] == len(vals)
+
+
+def test_wasserstein_matches_exact_python_reference(spark):
+    from catenae_kafka_spark.operators.mlstats import q_wasserstein_1d
+
+    got = q_wasserstein_1d(spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["event_type"].isin(["purchase", "click"])].copy()
+    ev["cents"] = (ev["value"] * 100 + 0.5).apply(int)
+    cells = (
+        ev.groupby("cents")["event_type"]
+        .value_counts()
+        .unstack(fill_value=0)
+        .sort_index()
+    )
+    na, nb = int(cells["purchase"].sum()), int(cells["click"].sum())
+    ca = cb = w1 = 0
+    xs = cells.index.tolist()
+    for i, x in enumerate(xs[:-1]):
+        ca += int(cells["purchase"].loc[x])
+        cb += int(cells["click"].loc[x])
+        fa, fb = (ca * 10**6) // na, (cb * 10**6) // nb
+        w1 += abs(fa - fb) * (xs[i + 1] - x)
+    assert got["w1_micro_cents"] == w1
+    assert got["n_support"] == len(xs) - 1
+
+
+def test_eb_shrinkage_pulls_toward_grand_mean(spark):
+    from catenae_kafka_spark.operators.mlstats import q_eb_shrinkage
+
+    got = q_eb_shrinkage(spark, SF).toPandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    grand = int(
+        (cust["c_acctbal"] * 100 + 0.5).apply(int).sum()
+    ) / len(cust)
+    # every shrunk mean lies between its raw mean and the grand mean
+    for _, r in got.iterrows():
+        lo = min(r["raw_mean_cents"], grand)
+        hi = max(r["raw_mean_cents"], grand)
+        assert lo - 1 <= r["shrunk_mean_cents"] <= hi + 1, r["n_name"]
+    # shrinkage reduces between-group spread
+    assert got["shrunk_mean_cents"].std() <= got["raw_mean_cents"].std()
+
+
+def test_regression_discontinuity_null_effect_on_fixture(spark):
+    from catenae_kafka_spark.operators.mlstats import (
+        q_regression_discontinuity,
+    )
+
+    got = (
+        q_regression_discontinuity(spark, SF).toPandas().set_index("side")
+    )
+    assert set(got.index) == {"below", "above"}
+    # the fixture has no quantity-threshold effect: predictions at the
+    # cutoff from both sides agree within 5pp, and slopes are tiny
+    gap = abs(
+        got.loc["above", "pred_at_cutoff"]
+        - got.loc["below", "pred_at_cutoff"]
+    )
+    assert gap < 0.05, f"manufactured discontinuity: {gap}"
+    assert (got["slope"].abs() < 0.01).all()
+    # predictions are valid probabilities
+    assert got["pred_at_cutoff"].between(0, 1).all()
