@@ -3549,3 +3549,199 @@ def q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@REGISTRY.register(
+    "q_fifo_allocation",
+    tags=("analytics", "interval", "finance"),
+    oracle="""
+WITH supply AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS lo
+  FROM events WHERE event_type = 'purchase'
+), demand AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS lo
+  FROM events WHERE event_type = 'click'
+), pairs AS (
+  SELECT s.user_id,
+         LEAST(s.lo + s.cents, d.lo + d.cents)
+           - GREATEST(s.lo, d.lo) AS alloc
+  FROM supply s JOIN demand d
+    ON s.user_id = d.user_id
+   AND s.lo < d.lo + d.cents
+   AND d.lo < s.lo + s.cents
+), tot AS (
+  SELECT user_id,
+         CAST(SUM(alloc) AS BIGINT) AS allocated_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM pairs GROUP BY user_id
+), dem_tot AS (
+  SELECT user_id, CAST(SUM(cents) AS BIGINT) AS demand_cents
+  FROM demand GROUP BY user_id
+)
+SELECT d.user_id,
+       COALESCE(t.n_matches, 0) AS n_matches,
+       COALESCE(t.allocated_cents, 0) AS allocated_cents,
+       d.demand_cents - COALESCE(t.allocated_cents, 0)
+         AS unfunded_cents
+FROM dem_tot d LEFT JOIN tot t ON d.user_id = t.user_id
+""",
+)
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation as a declarative interval intersection — the
+    classic "procedural" matching problem (consume each user's click
+    spend against their purchase credits, oldest first) solved with
+    ZERO loops: each supply lot occupies the cumulative-cents interval
+    [lo, lo+cents) and each demand likewise; FIFO matching is then
+    exactly the pairwise OVERLAP of the two interval sets, and the
+    allocated amount is the overlap length. The same identity powers
+    FIFO inventory costing, tax-lot selection, and payment
+    application.
+
+    Exact BIGINT throughout: prefix sums over the (ts, event_id)
+    total order, LEAST/GREATEST overlap arithmetic, per-user rollup
+    with unfunded remainder = demand - allocated (>= 0 iff demand
+    exceeds supply; conservation is property-tested).
+
+    Scale shape: both interval tables shuffle once on user_id; the
+    overlap join is per-user (each pair of streams is matched within
+    its partition key, never across users) with per-user match counts
+    bounded by supplies+demands-1 — linear, not quadratic, because
+    FIFO intervals are disjoint within each side."""
+    c = catalog(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+
+    def side(event_type: str) -> DataFrame:
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            c.events.filter(F.col("event_type") == event_type)
+            .select("user_id", "ts", "event_id", cents.alias("cents"))
+            .select(
+                "user_id",
+                "cents",
+                F.coalesce(F.sum("cents").over(w), F.lit(0))
+                .cast("bigint")
+                .alias("lo"),
+            )
+        )
+
+    supply = side("purchase").withColumnsRenamed(
+        {"cents": "s_cents", "lo": "s_lo"}
+    )
+    demand = side("click").withColumnsRenamed(
+        {"cents": "d_cents", "lo": "d_lo", "user_id": "d_user"}
+    )
+    pairs = supply.join(
+        demand,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("s_lo") < F.col("d_lo") + F.col("d_cents"))
+        & (F.col("d_lo") < F.col("s_lo") + F.col("s_cents")),
+    ).select(
+        "user_id",
+        (
+            F.least(
+                F.col("s_lo") + F.col("s_cents"),
+                F.col("d_lo") + F.col("d_cents"),
+            )
+            - F.greatest(F.col("s_lo"), F.col("d_lo"))
+        ).alias("alloc"),
+    )
+    tot = pairs.groupBy("user_id").agg(
+        F.sum("alloc").cast("bigint").alias("allocated_cents"),
+        F.count("*").cast("bigint").alias("n_matches"),
+    )
+    dem_tot = demand.groupBy(F.col("d_user").alias("user_id")).agg(
+        F.sum("d_cents").cast("bigint").alias("demand_cents")
+    )
+    return dem_tot.join(tot, "user_id", "left").select(
+        "user_id",
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        F.coalesce("allocated_cents", F.lit(0)).alias("allocated_cents"),
+        (
+            F.col("demand_cents") - F.coalesce("allocated_cents", F.lit(0))
+        ).alias("unfunded_cents"),
+    )
+
+
+@REGISTRY.register(
+    "q_yoy_aligned",
+    tags=("analytics", "timeseries"),
+    oracle="""
+WITH weekly AS (
+  SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iy,
+         CAST(weekofyear(o_orderdate) AS BIGINT) AS iw,
+         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY iy, iw
+)
+SELECT cur.iy AS iso_year, cur.iw AS iso_week, cur.rev AS rev,
+       prior.rev AS rev_prior,
+       CAST(FLOOR(CAST((cur.rev - prior.rev) * 1000000 AS DOUBLE)
+                  / prior.rev) AS BIGINT) AS yoy_micro
+FROM weekly cur
+JOIN weekly prior ON prior.iy = cur.iy - 1 AND prior.iw = cur.iw
+WHERE cur.iw <= 52
+""",
+)
+def q_yoy_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-aligned year-over-year growth: compare each ISO week's
+    revenue against the SAME ISO week a year earlier — the retail
+    convention that keeps Mondays compared to Mondays (a plain
+    365-day offset drifts one weekday per year and two across a leap
+    year, polluting every weekday-seasonal metric with calendar
+    noise). Week 53 is excluded: it has no stable prior-year partner.
+
+    Exact: whole-dollar weekly sums, integer micro growth. ISO
+    week/year semantics are already pinned cross-engine by
+    q_calendar_tz_contract, which this query builds on.
+
+    Scale shape: the fact scan reduces map-side to (year, week)
+    grain; the self-join runs on the calendar-bounded weekly table."""
+    c = catalog(spark, sf_dir)
+    weekly = c.orders.groupBy(
+        F.expr("extract(yearofweek FROM o_orderdate)")
+        .cast("bigint")
+        .alias("iy"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iw"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    prior = weekly.select(
+        F.col("iy").alias("py"),
+        F.col("iw").alias("pw"),
+        F.col("rev").alias("rev_prior"),
+    )
+    return (
+        weekly.filter(F.col("iw") <= 52)
+        .join(
+            prior,
+            (F.col("py") == F.col("iy") - 1) & (F.col("pw") == F.col("iw")),
+        )
+        .select(
+            F.col("iy").alias("iso_year"),
+            F.col("iw").alias("iso_week"),
+            "rev",
+            "rev_prior",
+            # growth can be NEGATIVE: div truncates toward zero in
+            # Spark but // floors in DuckDB (fact #37) — both sides
+            # use FLOOR(double/…) instead
+            F.expr(
+                "CAST(FLOOR(CAST((rev - rev_prior) * 1000000 AS DOUBLE)"
+                " / rev_prior) AS BIGINT)"
+            ).alias("yoy_micro"),
+        )
+    )

@@ -682,3 +682,42 @@ def q_csv_roundtrip_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey bigint, tricky string, n_regionkey bigint")
         .csv(out)
     )
+
+
+@REGISTRY.register(
+    "q_scan_csv_gzip",
+    tags=("scan", "format"),
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation GROUP BY n_nationkey, n_name, n_regionkey
+""",
+)
+def q_scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-CSV round trip: write the nation dim as gzip CSV
+    (codec picked via option, .gz suffix appended by the writer) and
+    read it back through the same schema — the "someone handed us
+    gzipped exports" ingest path. Gzip is NOT splittable: one file =
+    one task regardless of size, which is why the docstring-level
+    guidance is bzip2/zstd (splittable/seekable) or re-staging to
+    parquet for anything bigger than an export drop; the read-back
+    here proves the codec path, the aggregate proves content.
+
+    Scale: dimension-sized by construction."""
+    import glob as _glob
+    import os as _os
+
+    c = catalog(spark, sf_dir)
+    out = _os.path.join(_work_dir(sf_dir, "csv_gzip_v1"), "nation_csv")
+    c.nation.write.mode("overwrite").option("compression", "gzip").option(
+        "header", True
+    ).csv(out)
+    assert _glob.glob(_os.path.join(out, "*.csv.gz")), "gzip codec not applied"
+    back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(out)
+    )
+    return back.groupBy("n_nationkey", "n_name", "n_regionkey").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

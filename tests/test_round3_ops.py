@@ -2643,3 +2643,65 @@ def test_regression_discontinuity_null_effect_on_fixture(spark):
     assert (got["slope"].abs() < 0.01).all()
     # predictions are valid probabilities
     assert got["pred_at_cutoff"].between(0, 1).all()
+
+
+def test_fifo_allocation_conserves_and_matches_sequential_reference(spark):
+    from catenae_kafka_spark.operators.analytics import q_fifo_allocation
+
+    got = q_fifo_allocation(spark, SF).toPandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    ev["cents"] = (ev["value"] * 100 + 0.5).apply(int)
+    for uid, g in ev.groupby("user_id"):
+        sup = g[g["event_type"] == "purchase"]["cents"].tolist()
+        dem = g[g["event_type"] == "click"]["cents"].tolist()
+        if not dem:
+            assert uid not in got.index
+            continue
+        # sequential FIFO reference
+        si, rem_s = 0, sup[0] if sup else 0
+        alloc = 0
+        matches = 0
+        for d in dem:
+            need = d
+            while need > 0 and si < len(sup):
+                take = min(need, rem_s)
+                if take > 0:
+                    alloc += take
+                    matches += 1
+                need -= take
+                rem_s -= take
+                if rem_s == 0:
+                    si += 1
+                    rem_s = sup[si] if si < len(sup) else 0
+        row = got.loc[uid]
+        assert row["allocated_cents"] == alloc, uid
+        assert row["unfunded_cents"] == sum(dem) - alloc, uid
+        assert row["unfunded_cents"] >= 0 or alloc == sum(dem)
+
+
+def test_yoy_aligned_weeks_are_valid(spark):
+    from catenae_kafka_spark.operators.analytics import q_yoy_aligned
+
+    got = q_yoy_aligned(spark, SF).toPandas()
+    if len(got) == 0:
+        return  # single-year fixture window has no prior-year partner
+    assert got["iso_week"].between(1, 52).all()
+    assert (got["rev_prior"] > 0).all()
+    for _, r in got.iterrows():
+        import math
+
+        assert r["yoy_micro"] == math.floor(
+            (r["rev"] - r["rev_prior"]) * 1_000_000 / r["rev_prior"]
+        )
+
+
+def test_scan_csv_gzip_round_trips_content(spark):
+    from catenae_kafka_spark.sources.scans import q_scan_csv_gzip
+
+    got = q_scan_csv_gzip(spark, SF).toPandas()
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    assert len(got) == len(nation)
+    assert (got["n"] == 1).all()
+    assert set(got["n_name"]) == set(nation["n_name"])
