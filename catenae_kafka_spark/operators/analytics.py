@@ -3745,3 +3745,309 @@ def q_yoy_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yoy_micro"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_littles_law",
+    tags=("analytics", "interval", "audit"),
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 7200
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts_s,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts_s, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM t
+), sess AS (
+  SELECT user_id, session_no,
+         CAST(MIN(ts_s) AS BIGINT) AS start_s,
+         CAST(MAX(ts_s) AS BIGINT) AS end_s
+  FROM s GROUP BY user_id, session_no
+), deltas AS (
+  SELECT t_s, CAST(SUM(d) AS BIGINT) AS delta FROM (
+    SELECT start_s AS t_s, 1 AS d FROM sess
+    UNION ALL SELECT end_s AS t_s, -1 AS d FROM sess
+  ) GROUP BY t_s
+), sweep AS (
+  SELECT CAST(SUM(level * (nxt - t_s)) AS BIGINT) AS area_s FROM (
+    SELECT t_s,
+           CAST(SUM(delta) OVER (ORDER BY t_s
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS level,
+           LEAD(t_s) OVER (ORDER BY t_s) AS nxt
+    FROM deltas
+  ) WHERE nxt IS NOT NULL
+), direct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(end_s - start_s) AS BIGINT) AS total_duration_s,
+         CAST(MAX(end_s) - MIN(start_s) AS BIGINT) AS horizon_s
+  FROM sess
+)
+SELECT n_sessions, total_duration_s, area_s AS swept_area_s,
+       area_s = total_duration_s AS conservation_ok,
+       (n_sessions * 1000000) // horizon_s AS lambda_micro,
+       (area_s * 1000000) // horizon_s AS l_micro,
+       (area_s * 1000000) // n_sessions AS w_micro
+FROM direct CROSS JOIN sweep
+""",
+)
+def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law audit over user sessions: time-averaged session
+    concurrency L, arrival rate lambda, and mean session duration W —
+    with L computed TWO independent ways that must agree exactly. The
+    boundary sweep (+1 at session start, -1 at end, level x interval
+    length summed over the merged timeline) measures the area under
+    the concurrency curve; the direct route sums session durations.
+    The two areas are equal by Fubini, so ``conservation_ok`` is a
+    genuine cross-check of the sweep machinery (the same +1/-1 sweep
+    powers q_concurrency_peak and q_rolling_wau) against straight-line
+    arithmetic — on any dataset, at any scale, it must be true.
+
+    Exactness: sessionization matches q_sessionize (gap > 7200 s);
+    all times are integer epoch seconds; area <= horizon x peak
+    concurrency (~3e10 here), so micro-unit ratios stay far inside
+    BIGINT. Zero-length single-event sessions cancel in the delta
+    merge and contribute zero to both routes.
+
+    Scale shape: sessionize shuffles once on user_id; the sweep's
+    global ordered prefix sum runs over the merged boundary table
+    (2 x sessions rows, then grouped by timestamp). At 100 TB the
+    sweep partitions by coarse time range with per-range boundary
+    offsets — the documented range-partitioned prefix-sum pattern."""
+    c = catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = c.events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 7200
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = (
+        flagged.withColumn("session_no", F.sum("new_sess").over(wrun))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts_s").cast("bigint").alias("start_s"),
+            F.max("ts_s").cast("bigint").alias("end_s"),
+        )
+    )
+    deltas = (
+        sess.select(F.col("start_s").alias("t_s"), F.lit(1).alias("d"))
+        .unionAll(
+            sess.select(F.col("end_s").alias("t_s"), F.lit(-1).alias("d"))
+        )
+        .groupBy("t_s")
+        .agg(F.sum("d").cast("bigint").alias("delta"))
+    )
+    wt = Window.orderBy("t_s").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (
+        deltas.select(
+            "t_s",
+            F.sum("delta").over(wt).cast("bigint").alias("level"),
+            F.lead("t_s").over(Window.orderBy("t_s")).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .agg(
+            F.sum(F.col("level") * (F.col("nxt") - F.col("t_s")))
+            .cast("bigint")
+            .alias("area_s")
+        )
+    )
+    direct = sess.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum(F.col("end_s") - F.col("start_s"))
+        .cast("bigint")
+        .alias("total_duration_s"),
+        (F.max("end_s") - F.min("start_s"))
+        .cast("bigint")
+        .alias("horizon_s"),
+    )
+    return direct.crossJoin(F.broadcast(sweep)).select(
+        "n_sessions",
+        "total_duration_s",
+        F.col("area_s").alias("swept_area_s"),
+        (F.col("area_s") == F.col("total_duration_s")).alias(
+            "conservation_ok"
+        ),
+        F.expr("(n_sessions * 1000000) div horizon_s").alias(
+            "lambda_micro"
+        ),
+        F.expr("(area_s * 1000000) div horizon_s").alias("l_micro"),
+        F.expr("(area_s * 1000000) div n_sessions").alias("w_micro"),
+    )
+
+
+@REGISTRY.register(
+    "q_lttb_downsample",
+    tags=("analytics", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), idxed AS (
+  SELECT day, rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS idx,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+), pts AS (
+  SELECT day, rev, idx, n,
+         LEAST((idx * 60) // n, 59) AS b
+  FROM idxed
+), bstats AS (
+  SELECT b, CAST(SUM(idx) AS BIGINT) AS sx,
+         CAST(SUM(rev) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pts GROUP BY b
+), anchored AS (
+  SELECT b,
+         LAG(sx)  OVER (ORDER BY b) AS psx,
+         LAG(sy)  OVER (ORDER BY b) AS psy,
+         LAG(cnt) OVER (ORDER BY b) AS pn,
+         LEAD(sx)  OVER (ORDER BY b) AS nsx,
+         LEAD(sy)  OVER (ORDER BY b) AS nsy,
+         LEAD(cnt) OVER (ORDER BY b) AS nn
+  FROM bstats
+), scored AS (
+  SELECT p.b, p.day, p.rev, p.idx,
+         CASE WHEN a.pn IS NULL OR a.nn IS NULL THEN 0
+              ELSE ABS((a.psx - p.idx * a.pn)
+                         * (a.nsy * a.pn - a.psy * a.nn)
+                       - (a.psx * a.nn - a.nsx * a.pn)
+                         * (a.psy - p.rev * a.pn))
+         END AS area2
+  FROM pts p JOIN anchored a ON p.b = a.b
+), picked AS (
+  SELECT b, day, rev,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY
+           CASE WHEN b = 0 THEN idx
+                WHEN b = 59 THEN -idx
+                ELSE -area2 END, idx) AS rn
+  FROM scored
+)
+SELECT b AS bucket, STRFTIME(day, '%Y-%m-%d') AS day, rev
+FROM picked WHERE rn = 1
+""",
+)
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of the daily
+    revenue series to 60 points — the standard visual-fidelity
+    downsampler (Steinarsson 2013): each bucket keeps the point
+    forming the largest triangle with its neighbor buckets, so peaks
+    and troughs survive where naive bucket-averaging flattens them.
+    This is the FIXED-ANCHOR variant (both anchors are the adjacent
+    buckets' mean points, not the previously selected point), which
+    removes the sequential dependency and makes the pick per bucket
+    independent — fully declarative and embarrassingly parallel.
+
+    Exactness: the triangle area comparison is done on the
+    cross-product magnitude cleared of denominators — with prev-bucket
+    sums (Sx_p, Sy_p, n_p) and next (Sx_n, Sy_n, n_n), area ∝
+    |(Sx_p - x*n_p)(Sy_n*n_p - Sy_p*n_n) - (Sx_p*n_n - Sx_n*n_p)
+    (Sy_p - y*n_p)| / (n_p^2 * n_n); within a bucket the denominator
+    is constant, so the integer numerator ranks candidates exactly
+    (<= ~2.4e17 at 10x here — BIGINT-safe). First/last buckets keep
+    their first/last point per the original algorithm; ties break on
+    the earlier day.
+
+    Scale shape: one map-side daily rollup (calendar-bounded), then
+    60-row bucket stats joined back broadcast — the only data-sized
+    stage is the first scan. The per-bucket argmax shuffles the
+    day table once on bucket id."""
+    c = catalog(spark, sf_dir)
+    daily = c.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    idxed = daily.select(
+        "day",
+        "rev",
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("bigint")
+        .alias("idx"),
+        F.count("*")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    pts = idxed.select(
+        "day",
+        "rev",
+        "idx",
+        F.least(F.expr("(idx * 60) div n"), F.lit(59)).alias("b"),
+    )
+    bstats = pts.groupBy("b").agg(
+        F.sum("idx").cast("bigint").alias("sx"),
+        F.sum("rev").cast("bigint").alias("sy"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    wb = Window.orderBy("b")
+    anchored = bstats.select(
+        "b",
+        F.lag("sx").over(wb).alias("psx"),
+        F.lag("sy").over(wb).alias("psy"),
+        F.lag("cnt").over(wb).alias("pn"),
+        F.lead("sx").over(wb).alias("nsx"),
+        F.lead("sy").over(wb).alias("nsy"),
+        F.lead("cnt").over(wb).alias("nn"),
+    )
+    scored = pts.join(F.broadcast(anchored), "b").select(
+        "b",
+        "day",
+        "rev",
+        "idx",
+        F.when(
+            F.col("pn").isNull() | F.col("nn").isNull(), F.lit(0)
+        )
+        .otherwise(
+            F.abs(
+                (F.col("psx") - F.col("idx") * F.col("pn"))
+                * (F.col("nsy") * F.col("pn") - F.col("psy") * F.col("nn"))
+                - (F.col("psx") * F.col("nn") - F.col("nsx") * F.col("pn"))
+                * (F.col("psy") - F.col("rev") * F.col("pn"))
+            )
+        )
+        .alias("area2"),
+    )
+    sort_key = (
+        F.when(F.col("b") == 0, F.col("idx"))
+        .when(F.col("b") == 59, -F.col("idx"))
+        .otherwise(-F.col("area2"))
+    )
+    picked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("b").orderBy(sort_key, "idx")
+        ),
+    )
+    return picked.filter(F.col("rn") == 1).select(
+        F.col("b").alias("bucket"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev",
+    )

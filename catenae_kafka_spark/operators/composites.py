@@ -749,3 +749,68 @@ def q_basket_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_basket_cents"),
         F.percentile("basket_cents", F.lit(0.5)).alias("p50_basket_cents"),
     )
+
+
+@REGISTRY.register(
+    "q_itemset_triples",
+    tags=("composite", "association"),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), freq1 AS (
+  SELECT p_brand FROM baskets GROUP BY p_brand HAVING COUNT(*) >= 70
+), pruned AS (
+  SELECT b.l_orderkey, b.p_brand
+  FROM baskets b JOIN freq1 f ON b.p_brand = f.p_brand
+)
+SELECT a.p_brand AS x, b.p_brand AS y, c.p_brand AS z,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM pruned a
+JOIN pruned b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+JOIN pruned c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+GROUP BY a.p_brand, b.p_brand, c.p_brand
+HAVING COUNT(*) >= 70
+""",
+)
+def q_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemset mining over order baskets (brand level) with
+    the A-PRIORI downward-closure prune: items below the support
+    threshold are removed BEFORE the pair/triple expansion — lossless
+    (any frequent triple's members are frequent) and the reason the
+    candidate space stays bounded at scale. Extends q_basket_lift
+    (pairs) one level up the lattice; support >= 70 keeps the top ~3%
+    of the triple lattice.
+
+    Scale shape: the basket table shuffles once on orderkey; the
+    two self-joins stay within the order's partition, so candidate
+    fan-out is per-basket C(k,3) bounded by the basket-size cap (the
+    standard hub-cap refinement drops pathological mega-baskets, as
+    documented in q_basket_lift); the frequent-item filter is a
+    broadcast semi-join. The naive unpruned triple join is what this
+    formulation exists to avoid.
+
+    Reference behavior: Agrawal-Srikant a-priori, public algorithm."""
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    freq1 = (
+        baskets.groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 70)
+        .select("p_brand")
+    )
+    pruned = baskets.join(F.broadcast(freq1), "p_brand").select(
+        "l_orderkey", "p_brand"
+    )
+    a = pruned.select("l_orderkey", F.col("p_brand").alias("x"))
+    b = pruned.select("l_orderkey", F.col("p_brand").alias("y"))
+    cc = pruned.select("l_orderkey", F.col("p_brand").alias("z"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("x") < F.col("y"))
+        .join(cc, "l_orderkey")
+        .filter(F.col("y") < F.col("z"))
+        .groupBy("x", "y", "z")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 70)
+    )

@@ -1647,3 +1647,137 @@ def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(cum_err * 1000000 * 1000000) div (cum_n * 250000)"
         ).alias("budget_consumed_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_t_closeness",
+    tags=("dataops", "privacy"),
+    oracle="""
+WITH cust AS (
+  SELECT c_mktsegment AS seg, r_name AS region,
+         CAST(FLOOR((c_acctbal + 1000) / 1000) AS BIGINT) AS bin
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+), spine AS (
+  SELECT UNNEST(generate_series(0, 10)) AS bin
+), grps AS (
+  SELECT seg, region, CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM cust GROUP BY seg, region
+), gb AS (
+  SELECT seg, region, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cust GROUP BY seg, region, bin
+), glob AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS gcnt FROM cust GROUP BY bin
+), gtot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust
+), dense AS (
+  SELECT g.seg, g.region, g.n_g, s.bin,
+         COALESCE(gb.cnt, 0) AS cnt,
+         COALESCE(gl.gcnt, 0) AS gcnt
+  FROM grps g CROSS JOIN spine s
+  LEFT JOIN gb ON gb.seg = g.seg AND gb.region = g.region
+             AND gb.bin = s.bin
+  LEFT JOIN glob gl ON gl.bin = s.bin
+), cum AS (
+  SELECT seg, region, n_g, bin,
+         (CAST(SUM(cnt) OVER (PARTITION BY seg, region ORDER BY bin)
+               AS BIGINT) * 1000000) // n_g AS cp_micro,
+         (CAST(SUM(gcnt) OVER (PARTITION BY seg, region ORDER BY bin)
+               AS BIGINT) * 1000000) // (SELECT n FROM gtot) AS cq_micro
+  FROM dense
+)
+SELECT seg, region, n_g,
+       CAST(SUM(ABS(cp_micro - cq_micro)) // 10 AS BIGINT) AS emd_micro,
+       SUM(ABS(cp_micro - cq_micro)) // 10 > 150000 AS t_breach
+FROM cum GROUP BY seg, region, n_g
+""",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the anonymity ladder
+    after q_k_anonymity (group size) and q_l_diversity (distinct
+    sensitive values): within each quasi-identifier group (market
+    segment x region), the Earth Mover's Distance between the
+    group's distribution of the ORDERED sensitive attribute (account
+    balance, 1k-wide bins) and the global distribution. A group can
+    be k-anonymous and l-diverse yet still leak (all its balances in
+    the top bin); EMD catches exactly that. For a 1-D ordered
+    attribute, EMD = mean |cumulative difference| over bins
+    (normalized by m-1 bin steps).
+
+    Exactness: cumulative fractions are floored micro units of exact
+    BIGINT counts (floor bias < 1e-6 per bin, identical on both
+    engines); the bin spine is the fixed 0..10 domain so every group
+    densifies to the same 11 rows. Threshold t = 0.15.
+
+    Scale shape: one (group, bin) count over the broadcast-dim star
+    join, a 25-group x 11-bin dense grid, windows over the grid —
+    nothing after the first aggregate scales with data volume."""
+    c = catalog(spark, sf_dir)
+    cust = (
+        c.customer.join(
+            F.broadcast(c.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(c.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("r_name").alias("region"),
+            F.floor((F.col("c_acctbal") + 1000) / 1000)
+            .cast("bigint")
+            .alias("bin"),
+        )
+    )
+    spine = spark.range(0, 11).select(F.col("id").alias("bin"))
+    grps = cust.groupBy("seg", "region").agg(
+        F.count("*").cast("bigint").alias("n_g")
+    )
+    gb = cust.groupBy("seg", "region", "bin").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    glob = cust.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("gcnt")
+    )
+    gtot = cust.agg(F.count("*").cast("bigint").alias("n"))
+    dense = (
+        grps.crossJoin(F.broadcast(spine))
+        .join(F.broadcast(gb), ["seg", "region", "bin"], "left")
+        .join(F.broadcast(glob), "bin", "left")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "seg",
+            "region",
+            "n_g",
+            "bin",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("gcnt", F.lit(0)).alias("gcnt"),
+            "n",
+        )
+    )
+    wcum = Window.partitionBy("seg", "region").orderBy("bin")
+    cum = dense.select(
+        "seg",
+        "region",
+        "n_g",
+        F.expr("CAST(0 AS BIGINT)").alias("_z"),
+        (F.sum("cnt").over(wcum).cast("bigint") * 1000000).alias("cpn"),
+        (F.sum("gcnt").over(wcum).cast("bigint") * 1000000).alias("cqn"),
+        "n",
+    ).select(
+        "seg",
+        "region",
+        "n_g",
+        F.expr("cpn div n_g").alias("cp_micro"),
+        F.expr("cqn div n").alias("cq_micro"),
+    )
+    return cum.groupBy("seg", "region", "n_g").agg(
+        F.expr(
+            "CAST(sum(abs(cp_micro - cq_micro)) div 10 AS BIGINT)"
+        ).alias("emd_micro"),
+        F.expr(
+            "sum(abs(cp_micro - cq_micro)) div 10 > 150000"
+        ).alias("t_breach"),
+    )

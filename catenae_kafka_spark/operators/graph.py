@@ -1587,3 +1587,81 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@REGISTRY.register(
+    "q_resource_allocation",
+    tags=("graph", "link-prediction"),
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), edges AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= 80
+), sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+)
+SELECT n1.v AS a, n2.v AS b,
+       CAST(COUNT(*) AS BIGINT) AS common,
+       CAST(SUM(1000000 // g.d) AS BIGINT) AS ra_micro
+FROM sym n1
+JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
+JOIN deg g ON g.node = n1.u
+GROUP BY n1.v, n2.v
+""",
+)
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link-prediction index on the brand
+    co-purchase graph: RA(a,b) = sum over common neighbors z of
+    1/deg(z) — the degree-penalized cousin of q_graph_common_neighbors
+    (a shared HUB says little; a shared low-degree neighbor is strong
+    evidence), and the log-free stand-in for Adamic-Adar (1/log deg is
+    not hash-portable across engines; 1/deg is, in floored micro
+    units — each term is floor(1e6/deg), summed in BIGINT, so the
+    score is exact).
+
+    Scale shape: identical to the common-neighbors kernel — pairs are
+    generated by the keyed self-join on the SHARED neighbor (never
+    nodes x nodes) with the neighbor's degree joined on the
+    generating key before the pair aggregate, so the per-term
+    penalty rides the same shuffle; the degree table is
+    node-cardinality and broadcast. The hub-cap refinement bounds
+    the quadratic term exactly as documented there."""
+    from catenae_kafka_spark.operators.composites import brand_baskets
+
+    c = catalog(spark, sf_dir)
+    baskets = brand_baskets(c)
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
+    b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 80)
+        .select("u", "v")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    n1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    n2 = sym.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    return (
+        n1.join(n2, "x")
+        .filter(F.col("a") < F.col("b"))
+        .join(F.broadcast(deg.withColumnRenamed("node", "x")), "x")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("common"),
+            F.sum(F.expr("1000000 div d")).cast("bigint").alias("ra_micro"),
+        )
+    )

@@ -5695,3 +5695,410 @@ def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pred_at_cutoff"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_runs_test",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), ranked AS (
+  SELECT day, rev,
+         ROW_NUMBER() OVER (ORDER BY rev, day) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+), med AS (
+  SELECT rev AS m FROM ranked WHERE rn = (n + 1) // 2
+), signs AS (
+  SELECT day, CASE WHEN rev > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+  FROM daily
+), runs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(s) AS BIGINT) AS n0,
+         CAST(1 + SUM(CASE WHEN s <> prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS r
+  FROM (SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM signs)
+), stat AS (
+  SELECT n, n1, n0, r,
+         (2 * n1 * n0 * 1000000) // n + 1000000 AS mu_micro,
+         (2 * n1 * n0 * (2 * n1 * n0 - n) * 1000000)
+           // (n * n * (n - 1)) AS var_micro
+  FROM runs
+)
+SELECT n AS n_days, n1 AS n_above, n0 AS n_below, r AS runs,
+       mu_micro, var_micro,
+       CAST(FLOOR(SQRT(CAST(var_micro * 1000000 AS DOUBLE))) AS BIGINT)
+         AS sigma_micro,
+       CAST(FLOOR(CAST((r * 1000000 - mu_micro) * 1000000 AS DOUBLE)
+            / FLOOR(SQRT(CAST(var_micro * 1000000 AS DOUBLE))))
+         AS BIGINT) AS z_micro
+FROM stat
+""",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily-revenue
+    sequence: code each day above/below the series median, count runs
+    of equal signs, and standardize against the exact null moments —
+    the classic order-dependence probe run before trusting an i.i.d.
+    assumption (too few runs = trending, too many = oscillating).
+
+    Exactness: the median is an order statistic of exact whole-dollar
+    daily sums (lower median, rank (n+1) div 2); runs are a lag
+    comparison; mu and sigma^2 are rational in (n, n1, n0) and
+    evaluated in integer micro units. Overflow audit: the variance
+    numerator 2*n1*n0*(2*n1*n0-n)*1e6 <= ~8.4e18 < 2^63 because n is
+    CALENDAR-bounded (~2400 days at every sf — the day count does not
+    grow with data volume). The final z divides two exact-integer
+    doubles (< 2^53), and IEEE division is correctly rounded on both
+    engines (fact #30).
+
+    Scale shape: one map-side-combinable daily aggregate; every
+    window after that runs over the ~2400-row day table."""
+    c = catalog(spark, sf_dir)
+    daily = c.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    ranked = daily.select(
+        "day",
+        "rev",
+        F.row_number().over(Window.orderBy("rev", "day")).alias("rn"),
+        F.count("*")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(F.col("rev").alias("m"))
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "day", (F.col("rev") > F.col("m")).cast("long").alias("s")
+    )
+    lagged = signs.select(
+        "s", F.lag("s").over(Window.orderBy("day")).alias("prev")
+    )
+    runs = lagged.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("bigint").alias("n0"),
+        (
+            1
+            + F.sum(
+                F.when(F.col("s") != F.col("prev"), 1).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    stat = runs.select(
+        "n",
+        "n1",
+        "n0",
+        "r",
+        F.expr(
+            "(2 * n1 * n0 * 1000000) div n + 1000000"
+        ).alias("mu_micro"),
+        F.expr(
+            "(2 * n1 * n0 * (2 * n1 * n0 - n) * 1000000)"
+            " div (n * n * (n - 1))"
+        ).alias("var_micro"),
+    )
+    sigma = F.floor(
+        F.sqrt((F.col("var_micro") * 1000000).cast("double"))
+    ).cast("bigint")
+    return stat.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below"),
+        F.col("r").alias("runs"),
+        "mu_micro",
+        "var_micro",
+        sigma.alias("sigma_micro"),
+        F.floor(
+            (
+                (F.col("r") * 1000000 - F.col("mu_micro")) * 1000000
+            ).cast("double")
+            / sigma
+        )
+        .cast("bigint")
+        .alias("z_micro"),
+    )
+
+
+@REGISTRY.register(
+    "q_levene_test",
+    tags=("mlstats", "statistics"),
+    oracle="""
+WITH cells AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n_c
+  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+), cum AS (
+  SELECT g, qty, n_c,
+         CAST(SUM(n_c) OVER (PARTITION BY g ORDER BY qty) AS BIGINT)
+           AS cum_n,
+         CAST(SUM(n_c) OVER (PARTITION BY g) AS BIGINT) AS n_g
+  FROM cells
+), med AS (
+  SELECT g, CAST(MIN(qty) AS BIGINT) AS med
+  FROM cum WHERE cum_n >= (n_g + 1) // 2 GROUP BY g
+), dev AS (
+  SELECT c.g, c.n_c, ABS(c.qty - m.med) AS z
+  FROM cells c JOIN med m ON c.g = m.g
+), grp AS (
+  SELECT g, CAST(SUM(n_c) AS BIGINT) AS n_g,
+         CAST(SUM(n_c * z) AS BIGINT) AS s_g,
+         CAST(SUM(n_c * z * z) AS BIGINT) AS ssq_g
+  FROM dev GROUP BY g
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(ssq_g) AS BIGINT) AS ssq,
+         CAST(SUM((s_g // n_g) * s_g + ((s_g % n_g) * s_g) // n_g)
+              AS BIGINT) AS ss_grp_raw
+  FROM grp
+), ss AS (
+  SELECT k, n,
+         ss_grp_raw - ((s // n) * s + ((s % n) * s) // n) AS ss_b,
+         ssq - ss_grp_raw AS ss_w
+  FROM tot
+)
+SELECT k AS n_groups, n AS n_total,
+       CAST(ss_b AS BIGINT) AS ss_between,
+       CAST(ss_w AS BIGINT) AS ss_within,
+       CAST((ss_b * (n - k) // ((k - 1) * ss_w)) * 1000000
+            + ((ss_b * (n - k) % ((k - 1) * ss_w)) * 1000000)
+              // ((k - 1) * ss_w) AS BIGINT) AS f_micro
+FROM ss
+""",
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with median centers) for equality
+    of variances of order quantity across return-flag groups: one-way
+    ANOVA on the absolute deviations |x - median_g| — the
+    heteroscedasticity gate run before trusting a pooled-variance
+    t-test or ANOVA (q_ab_ttest sidesteps it with Welch; this query
+    MEASURES it).
+
+    Exactness: quantity is integer 1..50, so per-group medians come
+    from cumulative cell counts (lower median, first qty whose
+    cumulative count reaches (n_g+1) div 2), deviations are exact
+    integers, and the ANOVA decomposition uses the overflow-free
+    (s*s) div n identity (fact #32). The F ratio is emitted in micro
+    units via the exact product decomposition (a*1e6) div d =
+    (a div d)*1e6 + ((a%d)*1e6) div d — a = SS_b*(N-k) <= ~9e14 and
+    the remainder term <= d*1e6 stay far under 2^63; all operands
+    non-negative so Spark div == DuckDB // (fact #37).
+
+    Scale shape: ONE map-side-combinable (group, qty) cell count over
+    the fact table (<= 150 cells); medians, deviations, and the
+    F statistic all reduce the cell table."""
+    c = catalog(spark, sf_dir)
+    cells = c.lineitem.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).agg(F.count("*").cast("bigint").alias("n_c"))
+    cum = cells.select(
+        "g",
+        "qty",
+        "n_c",
+        F.sum("n_c")
+        .over(Window.partitionBy("g").orderBy("qty"))
+        .cast("bigint")
+        .alias("cum_n"),
+        F.sum("n_c")
+        .over(Window.partitionBy("g"))
+        .cast("bigint")
+        .alias("n_g"),
+    )
+    med = (
+        cum.filter(F.col("cum_n") >= F.expr("(n_g + 1) div 2"))
+        .groupBy("g")
+        .agg(F.min("qty").cast("bigint").alias("med"))
+    )
+    dev = cells.join(F.broadcast(med), "g").select(
+        "g", "n_c", F.abs(F.col("qty") - F.col("med")).alias("z")
+    )
+    grp = dev.groupBy("g").agg(
+        F.sum("n_c").cast("bigint").alias("n_g"),
+        F.sum(F.col("n_c") * F.col("z")).cast("bigint").alias("s_g"),
+        F.sum(F.col("n_c") * F.col("z") * F.col("z"))
+        .cast("bigint")
+        .alias("ssq_g"),
+    )
+    tot = grp.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ssq_g").cast("bigint").alias("ssq"),
+        F.sum(
+            F.expr("(s_g div n_g) * s_g + ((s_g % n_g) * s_g) div n_g")
+        )
+        .cast("bigint")
+        .alias("ss_grp_raw"),
+    )
+    ss = tot.select(
+        "k",
+        "n",
+        F.expr(
+            "ss_grp_raw - ((s div n) * s + ((s % n) * s) div n)"
+        ).alias("ss_b"),
+        F.expr("ssq - ss_grp_raw").alias("ss_w"),
+    )
+    return ss.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_total"),
+        F.col("ss_b").cast("bigint").alias("ss_between"),
+        F.col("ss_w").cast("bigint").alias("ss_within"),
+        F.expr(
+            "CAST((ss_b * (n - k) div ((k - 1) * ss_w)) * 1000000"
+            " + ((ss_b * (n - k) % ((k - 1) * ss_w)) * 1000000)"
+            "   div ((k - 1) * ss_w) AS BIGINT)"
+        ).alias("f_micro"),
+    )
+
+
+@REGISTRY.register(
+    "q_brier_decomposition",
+    tags=("mlstats", "evaluation"),
+    oracle="""
+WITH train AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_t
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY CAST(l_quantity AS BIGINT)
+), eval AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_k
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  GROUP BY CAST(l_quantity AS BIGINT)
+), binned AS (
+  SELECT e.qty, e.n_k, e.pos_k,
+         (t.pos_t * 1000) // t.n_t AS p_milli,
+         (e.pos_k * 1000) // e.n_k AS o_milli
+  FROM eval e JOIN train t ON e.qty = t.qty
+), tot AS (
+  SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_bins,
+         (CAST(SUM(pos_k) AS BIGINT) * 1000)
+           // CAST(SUM(n_k) AS BIGINT) AS obar_milli
+  FROM binned
+)
+SELECT tot.n AS n_eval, tot.n_bins, tot.obar_milli,
+       CAST(SUM(n_k * p_milli * p_milli - 2 * p_milli * pos_k * 1000
+                + pos_k * 1000000) AS BIGINT) AS bs_milli2,
+       CAST(SUM(n_k * (p_milli - o_milli) * (p_milli - o_milli))
+            AS BIGINT) AS rel_milli2,
+       CAST(SUM(n_k * (o_milli - obar_milli) * (o_milli - obar_milli))
+            AS BIGINT) AS res_milli2,
+       CAST(tot.n * obar_milli * (1000 - obar_milli) AS BIGINT)
+         AS unc_milli2
+FROM binned CROSS JOIN tot
+GROUP BY tot.n, tot.n_bins, tot.obar_milli
+""",
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for a temporally-split
+    probability model: P(returned | quantity) is FIT on shipments
+    before 1999 and SCORED on shipments after, decomposed into
+    reliability (calibration error of the stale model), resolution
+    (how much the bins separate outcomes), and uncertainty (outcome
+    base-rate entropy term) — the standard readout for whether a
+    model's probabilities drifted (reliability up) vs lost
+    discrimination (resolution down). Complements q_calibration_bins
+    (in-sample table) and q_psi_drift (input drift only).
+
+    Exactness: probabilities are integer milli-units from exact
+    BIGINT counts; every decomposition term is a sum of products of
+    milli-bounded integers (n_k * delta^2 <= N * 1e6 — BIGINT-safe to
+    ~9e12 rows); the totals are emitted per term rather than
+    asserting the floor-perturbed identity BS = REL - RES + UNC.
+
+    Scale shape: two map-side-combinable (qty) aggregates over
+    disjoint date slices of the fact scan (bin domain <= 50), a
+    broadcast join between the 50-row summaries, and a 1-row total."""
+    c = catalog(spark, sf_dir)
+    flag = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    split = F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")
+
+    def side(pred) -> DataFrame:
+        return (
+            c.lineitem.filter(pred)
+            .groupBy(F.col("l_quantity").cast("bigint").alias("qty"))
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(flag).cast("bigint").alias("pos"),
+            )
+        )
+
+    train = side(split).select(
+        "qty", F.expr("(pos * 1000) div n").alias("p_milli")
+    )
+    ev = side(~split).withColumnsRenamed({"n": "n_k", "pos": "pos_k"})
+    binned = ev.join(F.broadcast(train), "qty").select(
+        "qty",
+        "n_k",
+        "pos_k",
+        "p_milli",
+        F.expr("(pos_k * 1000) div n_k").alias("o_milli"),
+    )
+    tot = binned.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.expr(
+            "(CAST(sum(pos_k) AS BIGINT) * 1000)"
+            " div CAST(sum(n_k) AS BIGINT)"
+        ).alias("obar_milli"),
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("n", "n_bins", "obar_milli")
+        .agg(
+            F.sum(
+                F.expr(
+                    "n_k * p_milli * p_milli"
+                    " - 2 * p_milli * pos_k * 1000 + pos_k * 1000000"
+                )
+            )
+            .cast("bigint")
+            .alias("bs_milli2"),
+            F.sum(
+                F.expr("n_k * (p_milli - o_milli) * (p_milli - o_milli)")
+            )
+            .cast("bigint")
+            .alias("rel_milli2"),
+            F.sum(
+                F.expr(
+                    "n_k * (o_milli - obar_milli)"
+                    " * (o_milli - obar_milli)"
+                )
+            )
+            .cast("bigint")
+            .alias("res_milli2"),
+        )
+        .select(
+            F.col("n").alias("n_eval"),
+            "n_bins",
+            "obar_milli",
+            "bs_milli2",
+            "rel_milli2",
+            "res_milli2",
+            F.expr(
+                "CAST(n * obar_milli * (1000 - obar_milli) AS BIGINT)"
+            ).alias("unc_milli2"),
+        )
+    )

@@ -284,3 +284,58 @@ def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_line_price double",
         )
     )
+
+
+@REGISTRY.register(
+    "q_sql_udf",
+    tags=("udf", "sql-surface"),
+    oracle="""
+WITH ext AS (
+  SELECT l_returnflag,
+         l_extendedprice * (1 - l_discount) AS disc,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(disc) AS BIGINT)) AS BIGINT) AS revenue,
+       CAST(SUM(CASE WHEN qty BETWEEN 10 AND 40 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_midrange
+FROM ext GROUP BY l_returnflag
+""",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN
+    expr) — the catalog-registered, pure-SQL user function surface.
+    Unlike the Python/pandas UDFs above, a SQL UDF body is INLINED by
+    the analyzer into the calling plan, so it costs nothing at
+    runtime: predicates through it still push down and codegen still
+    fuses it. Two functions are defined and used in one aggregate
+    (a double expression and an integer band predicate); the oracle
+    is the same logic with the functions expanded by hand — proving
+    the inlining preserves semantics.
+
+    Scale shape: identical to writing the expressions inline — one
+    map-side-combinable aggregate over the fact scan."""
+    from catenae_kafka_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE,"
+        " d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION in_band(q BIGINT,"
+        " lo BIGINT, hi BIGINT) RETURNS INT"
+        " RETURN CASE WHEN q BETWEEN lo AND hi THEN 1 ELSE 0 END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(disc_price(l_extendedprice,
+                                              l_discount)) AS BIGINT))
+                    AS BIGINT) AS revenue,
+               CAST(SUM(in_band(CAST(l_quantity AS BIGINT), 10, 40))
+                    AS BIGINT) AS n_midrange
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
