@@ -49,10 +49,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     specs = all_specs()
     covered = _covered_in_prior_rounds()
-    ordered = [n for n in specs if n not in covered] + [
-        n for n in specs if n in covered
-    ]
+    costs = _query_costs()
+    known = sorted(costs.values())
+    median = known[len(known) // 2] if known else 1.0
+    uncovered = sorted(
+        (n for n in specs if n not in covered),
+        key=lambda n: (costs.get(n, median), n),
+    )
+    ordered = uncovered + [n for n in specs if n in covered]
     return {name: specs[name].fn for name in ordered}
+
+
+def _query_costs() -> dict[str, float]:
+    """Measured sf0.01 wall time per query (tools/query_costs.json,
+    written by tools/check.py sweeps). Cheapest-first ordering of the
+    never-covered group maximizes the count of queries the driver's
+    global time budget reaches each round."""
+    import json
+
+    path = Path(__file__).resolve().parent / "tools" / "query_costs.json"
+    try:
+        return {k: float(v) for k, v in json.loads(path.read_text()).items()}
+    except Exception:  # noqa: BLE001
+        return {}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -3934,7 +3934,7 @@ WITH daily AS (
          CASE WHEN a.pn IS NULL OR a.nn IS NULL THEN 0
               ELSE ABS((a.psx - p.idx * a.pn)
                          * (a.nsy * a.pn - a.psy * a.nn)
-                       - (a.psx * a.nn - a.nsx * a.pn)
+                       - (a.nsx * a.pn - a.psx * a.nn)
                          * (a.psy - p.rev * a.pn))
          END AS area2
   FROM pts p JOIN anchored a ON p.b = a.b
@@ -3964,7 +3964,7 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the triangle area comparison is done on the
     cross-product magnitude cleared of denominators — with prev-bucket
     sums (Sx_p, Sy_p, n_p) and next (Sx_n, Sy_n, n_n), area ∝
-    |(Sx_p - x*n_p)(Sy_n*n_p - Sy_p*n_n) - (Sx_p*n_n - Sx_n*n_p)
+    |(Sx_p - x*n_p)(Sy_n*n_p - Sy_p*n_n) - (Sx_n*n_p - Sx_p*n_n)
     (Sy_p - y*n_p)| / (n_p^2 * n_n); within a bucket the denominator
     is constant, so the integer numerator ranks candidates exactly
     (<= ~2.4e17 at 10x here — BIGINT-safe). First/last buckets keep
@@ -4029,7 +4029,7 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(
                 (F.col("psx") - F.col("idx") * F.col("pn"))
                 * (F.col("nsy") * F.col("pn") - F.col("psy") * F.col("nn"))
-                - (F.col("psx") * F.col("nn") - F.col("nsx") * F.col("pn"))
+                - (F.col("nsx") * F.col("pn") - F.col("psx") * F.col("nn"))
                 * (F.col("psy") - F.col("rev") * F.col("pn"))
             )
         )

@@ -768,7 +768,7 @@ SELECT a.p_brand AS x, b.p_brand AS y, c.p_brand AS z,
        CAST(COUNT(*) AS BIGINT) AS support
 FROM pruned a
 JOIN pruned b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
-JOIN pruned c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+JOIN pruned c ON b.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
 GROUP BY a.p_brand, b.p_brand, c.p_brand
 HAVING COUNT(*) >= 70
 """,
@@ -784,11 +784,18 @@ def q_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the basket table shuffles once on orderkey; the
     two self-joins stay within the order's partition, so candidate
-    fan-out is per-basket C(k,3) bounded by the basket-size cap (the
-    standard hub-cap refinement drops pathological mega-baskets, as
-    documented in q_basket_lift); the frequent-item filter is a
+    fan-out is per-basket C(k,3) — bounded here by the a-priori
+    frequent-item prune plus the fixture's small physical basket
+    sizes (max 7 lineitems/order); at scale the standard hub-cap
+    refinement (drop or sample mega-baskets above a size threshold)
+    would bound it explicitly. The frequent-item filter is a
     broadcast semi-join. The naive unpruned triple join is what this
-    formulation exists to avoid.
+    formulation exists to avoid. Every join in the chain (a-b, b-c)
+    carries an EQUALITY on l_orderkey alongside the brand inequality —
+    an inequality-only join edge lets an optimizer pick that pair
+    first and nested-loop the whole basket table against itself
+    (observed: DuckDB chose the b-c `p_brand <` edge when c was
+    equi-joined to a instead of b, a 55k x 55k blowup at sf0.01).
 
     Reference behavior: Agrawal-Srikant a-priori, public algorithm."""
     c = catalog(spark, sf_dir)

@@ -1667,7 +1667,7 @@ WITH cust AS (
 ), gb AS (
   SELECT seg, region, bin, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM cust GROUP BY seg, region, bin
-), glob AS (
+), gdist AS (
   SELECT bin, CAST(COUNT(*) AS BIGINT) AS gcnt FROM cust GROUP BY bin
 ), gtot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust
@@ -1678,7 +1678,7 @@ WITH cust AS (
   FROM grps g CROSS JOIN spine s
   LEFT JOIN gb ON gb.seg = g.seg AND gb.region = g.region
              AND gb.bin = s.bin
-  LEFT JOIN glob gl ON gl.bin = s.bin
+  LEFT JOIN gdist gl ON gl.bin = s.bin
 ), cum AS (
   SELECT seg, region, n_g, bin,
          (CAST(SUM(cnt) OVER (PARTITION BY seg, region ORDER BY bin)
@@ -1762,7 +1762,6 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         "region",
         "n_g",
-        F.expr("CAST(0 AS BIGINT)").alias("_z"),
         (F.sum("cnt").over(wcum).cast("bigint") * 1000000).alias("cpn"),
         (F.sum("gcnt").over(wcum).cast("bigint") * 1000000).alias("cqn"),
         "n",

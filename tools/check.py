@@ -94,6 +94,7 @@ def main() -> int:
     con = duck_connection(sf_dir)
     n_pass = n_fail = n_weak = 0
     failures: list[str] = []
+    times: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         t0 = time.time()
         try:
@@ -105,7 +106,8 @@ def main() -> int:
             continue
         if spec.oracle is None:
             n_weak += 1
-            print(f"weak {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            times[name] = time.time() - t0
+            print(f"weak {name}: rows={len(sdf)} ({times[name]:.1f}s)")
             continue
         try:
             odf = con.execute(spec.oracle).df()
@@ -115,15 +117,34 @@ def main() -> int:
             print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
             continue
         problems = compare(name, sdf, odf)
+        times[name] = time.time() - t0
         if problems:
             n_fail += 1
             failures.append(name)
             print(f"FAIL {name}: " + " | ".join(problems))
         else:
             n_pass += 1
-            print(f"ok   {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            print(f"ok   {name}: rows={len(sdf)} ({times[name]:.1f}s)")
+    _record_costs(times)
     print(f"\n{n_pass} ok, {n_weak} weak, {n_fail} fail" + (f": {failures}" if failures else ""))
     return 1 if n_fail else 0
+
+
+def _record_costs(times: dict[str, float]) -> None:
+    """Merge measured per-query wall times (Spark + oracle, sf0.01) into
+    tools/query_costs.json. __spark_entry__.queries() orders the driver's
+    never-covered group cheapest-first from this file, so the driver's
+    global time budget covers the maximum number of queries per round."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "query_costs.json")
+    try:
+        costs = json.load(open(path))
+    except Exception:  # noqa: BLE001
+        costs = {}
+    for name, sec in times.items():
+        costs[name] = round(min(sec, costs.get(name, sec)), 2)
+    json.dump(costs, open(path, "w"), indent=0, sort_keys=True)
 
 
 if __name__ == "__main__":
