@@ -5856,8 +5856,8 @@ WITH cells AS (
   FROM cells c JOIN med m ON c.g = m.g
 ), grp AS (
   SELECT g, CAST(SUM(n_c) AS BIGINT) AS n_g,
-         CAST(SUM(n_c * z) AS BIGINT) AS s_g,
-         CAST(SUM(n_c * z * z) AS BIGINT) AS ssq_g
+         CAST(SUM(n_c * z) * 100 AS BIGINT) AS s_g,
+         CAST(SUM(n_c * z * z) * 10000 AS BIGINT) AS ssq_g
   FROM dev GROUP BY g
 ), tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
@@ -5874,11 +5874,11 @@ WITH cells AS (
   FROM tot
 )
 SELECT k AS n_groups, n AS n_total,
-       CAST(ss_b AS BIGINT) AS ss_between,
-       CAST(ss_w AS BIGINT) AS ss_within,
-       CAST((ss_b * (n - k) // ((k - 1) * ss_w)) * 1000000
-            + ((ss_b * (n - k) % ((k - 1) * ss_w)) * 1000000)
-              // ((k - 1) * ss_w) AS BIGINT) AS f_micro
+       CAST(ss_b // 10000 AS BIGINT) AS ss_between,
+       CAST(ss_w // 10000 AS BIGINT) AS ss_within,
+       CAST(FLOOR(CAST(ss_b AS DOUBLE) * (n - k)
+                  / ((k - 1) * CAST(ss_w AS DOUBLE)) * 1000000)
+            AS BIGINT) AS f_micro
 FROM ss
 """,
 )
@@ -5892,13 +5892,20 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: quantity is integer 1..50, so per-group medians come
     from cumulative cell counts (lower median, first qty whose
-    cumulative count reaches (n_g+1) div 2), deviations are exact
-    integers, and the ANOVA decomposition uses the overflow-free
-    (s*s) div n identity (fact #32). The F ratio is emitted in micro
-    units via the exact product decomposition (a*1e6) div d =
-    (a div d)*1e6 + ((a%d)*1e6) div d — a = SS_b*(N-k) <= ~9e14 and
-    the remainder term <= d*1e6 stay far under 2^63; all operands
-    non-negative so Spark div == DuckDB // (fact #37).
+    cumulative count reaches (n_g+1) div 2) and deviations are exact
+    integers. The ANOVA decomposition uses the overflow-free
+    (s*s) div n identity (fact #32) on deviation sums PRE-SCALED by
+    100 (sums of squares by 10^4): SS_between is a tiny difference of
+    two huge per-group terms (~15 vs ~7.5e6 here), so the unscaled
+    identity's <=1-per-term floor loss was a ~10% relative error on
+    SS_b that propagated straight into F (caught by the scalar
+    Brown-Forsythe reference in test_formula_audit); at scale 100 the
+    loss is <=1e-4 per term. F is then one shared IEEE double
+    expression over the exact scaled BIGINTs, floored to micro units
+    (floor-of-double is engine-portable; ROUND of a double is not —
+    shortest-decimal vs exact-binary). Overflow: ssq*10^4 <= 2401e4
+    x N stays under 2^63 to N ~ 4e11 rows; past that drop the scale
+    to 10 (still 100x better than unscaled).
 
     Scale shape: ONE map-side-combinable (group, qty) cell count over
     the fact table (<= 150 cells); medians, deviations, and the
@@ -5931,8 +5938,10 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grp = dev.groupBy("g").agg(
         F.sum("n_c").cast("bigint").alias("n_g"),
-        F.sum(F.col("n_c") * F.col("z")).cast("bigint").alias("s_g"),
-        F.sum(F.col("n_c") * F.col("z") * F.col("z"))
+        (F.sum(F.col("n_c") * F.col("z")) * 100)
+        .cast("bigint")
+        .alias("s_g"),
+        (F.sum(F.col("n_c") * F.col("z") * F.col("z")) * 10000)
         .cast("bigint")
         .alias("ssq_g"),
     )
@@ -5958,12 +5967,12 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ss.select(
         F.col("k").alias("n_groups"),
         F.col("n").alias("n_total"),
-        F.col("ss_b").cast("bigint").alias("ss_between"),
-        F.col("ss_w").cast("bigint").alias("ss_within"),
+        F.expr("CAST(ss_b div 10000 AS BIGINT)").alias("ss_between"),
+        F.expr("CAST(ss_w div 10000 AS BIGINT)").alias("ss_within"),
         F.expr(
-            "CAST((ss_b * (n - k) div ((k - 1) * ss_w)) * 1000000"
-            " + ((ss_b * (n - k) % ((k - 1) * ss_w)) * 1000000)"
-            "   div ((k - 1) * ss_w) AS BIGINT)"
+            "CAST(FLOOR(CAST(ss_b AS DOUBLE) * (n - k)"
+            " / ((k - 1) * CAST(ss_w AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
         ).alias("f_micro"),
     )
 
