@@ -2462,9 +2462,9 @@ WITH seq AS (
   FROM events
 ), cusum AS (
   SELECT user_id,
-         p - LEAST(COALESCE(MIN(p) OVER (
+         p - LEAST(MIN(p) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
   FROM seq
 )
 SELECT user_id,
@@ -2483,10 +2483,14 @@ def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The CUSUM recursion S_t = max(0, S_{t-1} + (x_t - k)) LOOKS
     inherently sequential, but the closed form S_t = P_t - min(0,
-    min_{j<t} P_j) over the prefix sums P makes it two window passes —
+    min_{j<=t} P_j) over the prefix sums P makes it two window passes —
     declarative, exact BIGINT, and parallel over users. This identity
     is the difference between "needs a stateful UDF" and "runs as
-    whole-stage codegen at 100 TB".
+    whole-stage codegen at 100 TB". The prefix min must INCLUDE the
+    current row: with an exclusive (j<t) min, a row whose P_t sets a
+    new minimum below zero gets S < 0 where the recursion pins it to 0
+    (proof by induction in test_formula_audit's direct-recursion
+    reference, which this query is checked against).
 
     One user-keyed shuffle; the oracle replays the identical two-window
     closed form."""
@@ -2496,11 +2500,6 @@ def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wprev = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
     )
     seq = c.events.select(
         "user_id",
@@ -2512,10 +2511,7 @@ def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (
             F.col("p")
-            - F.least(
-                F.coalesce(F.min("p").over(wprev), F.lit(0).cast("bigint")),
-                F.lit(0).cast("bigint"),
-            )
+            - F.least(F.min("p").over(wcur), F.lit(0).cast("bigint"))
         ).alias("s"),
     )
     return cusum.groupBy("user_id").agg(
@@ -4944,15 +4940,22 @@ WITH v AS (
   FROM ranked r JOIN disc d ON r.rn = d.rn
   WHERE r.rn <= 5
   GROUP BY r.query_id
+), rtot AS (
+  SELECT q.vec_id AS query_id,
+         CAST(COUNT(*) AS BIGINT) AS r_tot
+  FROM embeddings q JOIN embeddings c
+    ON c.label = q.label AND c.vec_id != q.vec_id
+  WHERE q.vec_id < 20
+  GROUP BY q.vec_id
 ), ideal AS (
-  SELECT query_id, dcg_micro, n_rel,
+  SELECT dcg.query_id, dcg_micro, n_rel,
          (SELECT CAST(SUM(w) AS BIGINT) FROM disc
-          WHERE disc.rn <= dcg.n_rel) AS idcg_micro
-  FROM dcg
+          WHERE disc.rn <= LEAST(rtot.r_tot, 5)) AS idcg_micro
+  FROM dcg JOIN rtot ON dcg.query_id = rtot.query_id
 )
 SELECT query_id, n_rel, dcg_micro,
        COALESCE(idcg_micro, 0) AS idcg_micro,
-       CASE WHEN n_rel > 0
+       CASE WHEN COALESCE(idcg_micro, 0) > 0
             THEN (dcg_micro * 1000000) // idcg_micro
             ELSE NULL END AS ndcg_micro
 FROM ideal
@@ -4969,8 +4972,13 @@ def q_ndcg_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants (log is not cross-engine-portable — fact #30), so DCG
     is an exact BIGINT dot product of relevance with a constant
     vector, IDCG is a prefix sum of the same constants, and NDCG is
-    one integer floor division. NULL when the query has no relevant
-    neighbour in its top-5.
+    one integer floor division. The ideal is the STANDARD corpus-wide
+    one — the first min(R, 5) discounts where R counts every
+    same-label candidate in the corpus, not just the relevant hits
+    that happened to reach the top-5 (a top-5-local ideal would score
+    1.0 for a ranking that found one of five available relevants, as
+    an earlier draft did). NULL only when the query's label has no
+    other member at all.
 
     Scale shape: same bounded brute-force probe as q_knn_cosine; the
     metric itself is a 5-rows-per-query aggregation against a 5-row
@@ -5016,10 +5024,32 @@ def q_ndcg_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rel").cast("bigint").alias("n_rel"),
         )
     )
-    idcg = dcg.join(
-        F.broadcast(disc), F.col("rn") <= F.col("n_rel"), "left"
-    ).groupBy("query_id", "dcg_micro", "n_rel").agg(
-        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("idcg_micro")
+    rtot = (
+        labels.select(F.col("vec_id").alias("query_id"), "lbl")
+        .filter(F.col("query_id") < 20)
+        .join(
+            F.broadcast(
+                labels.groupBy("lbl").agg(
+                    F.count("*").cast("bigint").alias("lbl_cnt")
+                )
+            ),
+            "lbl",
+        )
+        .select("query_id", (F.col("lbl_cnt") - 1).alias("r_tot"))
+    )
+    idcg = (
+        dcg.join(F.broadcast(rtot), "query_id")
+        .join(
+            F.broadcast(disc),
+            F.col("rn") <= F.least(F.col("r_tot"), F.lit(5)),
+            "left",
+        )
+        .groupBy("query_id", "dcg_micro", "n_rel")
+        .agg(
+            F.coalesce(F.sum("w"), F.lit(0))
+            .cast("bigint")
+            .alias("idcg_micro")
+        )
     )
     return idcg.select(
         "query_id",
@@ -5027,7 +5057,7 @@ def q_ndcg_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dcg_micro",
         "idcg_micro",
         F.when(
-            F.col("n_rel") > 0,
+            F.col("idcg_micro") > 0,
             F.expr("(dcg_micro * 1000000) div idcg_micro"),
         ).alias("ndcg_micro"),
     )

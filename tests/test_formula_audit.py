@@ -360,3 +360,238 @@ def test_lttb_matches_scalar_reference(con):
         for _, r in oracle_df(con, "q_lttb_downsample").iterrows()
     }
     assert got == expect
+
+
+# ---- batch 2: combinatorial / sequential statistics ----
+
+
+def test_cusum_matches_direct_recursion(con):
+    rows = con.execute(
+        """SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    seqs: dict[int, list[int]] = {}
+    for u, cents in rows:
+        seqs.setdefault(u, []).append(int(cents) - 5000)
+    expect = {}
+    for u, ds in seqs.items():
+        s = mx = over = 0
+        for d in ds:
+            s = max(0, s + d)
+            mx = max(mx, s)
+            over += s > 50000
+        expect[u] = (len(ds), mx, over)
+    got = {
+        int(r["user_id"]): (
+            int(r["n_events"]),
+            int(r["max_cusum"]),
+            int(r["n_over_threshold"]),
+        )
+        for _, r in oracle_df(con, "q_cusum_alarm").iterrows()
+    }
+    assert got == expect
+
+
+def test_kendall_tau_a_matches_pairwise(con):
+    rows = con.execute(
+        """SELECT p_brand,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount))
+                                AS BIGINT)) AS BIGINT),
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_brand"""
+    ).fetchall()
+    conc = disc = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            prod = (rows[i][1] - rows[j][1]) * (rows[i][2] - rows[j][2])
+            conc += prod > 0
+            disc += prod < 0
+    n = len(rows)
+    n_pairs = n * (n - 1) // 2
+    got = oracle_df(con, "q_kendall_tau").iloc[0]
+    assert int(got["n_brands"]) == n
+    assert int(got["concordant"]) == conc
+    assert int(got["discordant"]) == disc
+    # tau-a: ties count in the denominator only
+    assert int(got["tau_micro"]) == math.floor((conc - disc) / n_pairs * 1e6)
+
+
+def test_apportion_seats_matches_hamilton(con):
+    rows = con.execute(
+        """SELECT n_name, CAST(COUNT(*) AS BIGINT)
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name"""
+    ).fetchall()
+    total = sum(r[1] for r in rows)
+    base = {g: (c * 1000) // total for g, c in rows}
+    rem = {g: (c * 1000) % total for g, c in rows}
+    leftover = 1000 - sum(base.values())
+    order = sorted(rows, key=lambda r: (-rem[r[0]], r[0]))
+    expect = dict(base)
+    for g, _ in order[:leftover]:
+        expect[g] += 1
+    got = {
+        r["n_name"]: int(r["seats"])
+        for _, r in oracle_df(con, "q_apportion_seats").iterrows()
+    }
+    assert got == expect
+    assert sum(got.values()) == 1000  # Hamilton seats are conserved
+
+
+def test_auc_matches_mann_whitney(con):
+    rows = con.execute(
+        """SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                  CAST(event_type = 'purchase' AS INT)
+           FROM events"""
+    ).fetchall()
+    pos = sorted(s for s, p in rows if p)
+    neg = sorted(s for s, p in rows if not p)
+    import bisect
+
+    u = 0.0
+    for s in pos:
+        below = bisect.bisect_left(neg, s)
+        ties = bisect.bisect_right(neg, s) - below
+        u += below + ties / 2
+    auc = u / (len(pos) * len(neg))
+    got = oracle_df(con, "q_auc_rank").iloc[0]
+    assert int(got["n_pos"]) == len(pos)
+    assert int(got["n_neg"]) == len(neg)
+    assert abs(float(got["auc"]) - auc) < 1e-12
+
+
+def test_mcnemar_matches_formula(con):
+    cents = [
+        int(r[0])
+        for r in con.execute(
+            "SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) FROM events"
+        ).fetchall()
+    ]
+    n = len(cents)
+    s = sum(cents)
+    ss = sum(c * c for c in cents)
+    srt = sorted(cents)
+    med = srt[math.ceil(n * 0.5) - 1]  # quantile_disc semantics
+    absdev = sorted(abs(c - med) for c in cents)
+    mad = absdev[math.ceil(n * 0.5) - 1]
+    var = (n * ss - s * s) / (n - 1)
+    b = c2 = 0
+    for c in cents:
+        z_flag = (c * n - s) ** 2 > 9.0 * n * var
+        mad_flag = abs(c - med) > 3 * mad
+        b += z_flag and not mad_flag
+        c2 += mad_flag and not z_flag
+    got = oracle_df(con, "q_mcnemar").iloc[0]
+    assert int(got["b"]) == b
+    assert int(got["c2"]) == c2
+    assert int(got["mcnemar_micro"]) == ((b - c2) ** 2 * 10**6) // (b + c2)
+    assert int(got["mcnemar_cc_micro"]) == (
+        (abs(b - c2) - 1) ** 2 * 10**6
+    ) // (b + c2)
+
+
+def test_shapley_matches_textbook_phi(con):
+    rows = con.execute(
+        """WITH fp AS (
+             SELECT user_id, MIN(ts) AS first_p FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id
+           ), pval AS (
+             SELECT user_id,
+                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS conv
+             FROM (SELECT user_id, value,
+                          ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                   FROM events WHERE event_type = 'purchase')
+             WHERE rn = 1
+           )
+           SELECT e.user_id,
+                  array_to_string(list_sort(list_distinct(
+                    list(e.event_type))), ','),
+                  ANY_VALUE(p.conv)
+           FROM events e
+           JOIN fp ON e.user_id = fp.user_id
+           JOIN pval p ON e.user_id = p.user_id
+           WHERE e.event_type <> 'purchase' AND e.ts < fp.first_p
+           GROUP BY e.user_id"""
+    ).fetchall()
+    from collections import defaultdict
+    from itertools import combinations
+
+    sums: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for _, cs, conv in rows:
+        sums[cs][0] += 1
+        sums[cs][1] += int(conv)
+    v = {cs: s // n for cs, (n, s) in sums.items()}  # observed coalitions
+
+    def val(subset: tuple[str, ...]) -> int:
+        return v.get(",".join(sorted(subset)), 0)
+
+    channels = ["click", "error", "signup", "view"]
+    fact = [1, 1, 2, 6, 24]
+    expect = {}
+    for ch in channels:
+        others = [c for c in channels if c != ch]
+        total = 0
+        for k in range(len(others) + 1):
+            for sub in combinations(others, k):
+                w = fact[k] * fact[len(channels) - k - 1]
+                total += w * (val(sub + (ch,)) - val(sub))
+        expect[ch] = math.floor(total * 1000 / 24)
+    got = {
+        r["channel"]: int(r["shapley_milli_cents"])
+        for _, r in oracle_df(con, "q_shapley_attribution").iterrows()
+    }
+    assert got == expect
+    # efficiency: Shapley values sum to v(grand coalition) - v(empty)
+    grand = val(tuple(channels))
+    assert abs(sum(got.values()) / 1000 - grand) < 0.01 * len(channels)
+
+
+def test_ndcg_matches_scalar_reference(con):
+    rows = con.execute(
+        """SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE))
+           FROM embeddings"""
+    ).fetchall()
+    vecs = {int(r[0]): (int(r[1]), r[2]) for r in rows}
+    disc = [1000000, 630929, 500000, 430676, 386852]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(num / (na * nb), 6)
+
+    expect = {}
+    for q in [i for i in vecs if i < 20]:
+        qlbl, qe = vecs[q]
+        scored = sorted(
+            (
+                (-cos(qe, ce), m, lbl == qlbl)
+                for m, (lbl, ce) in vecs.items()
+                if m != q
+            ),
+        )[:5]
+        dcg = sum(w for (_, _, rel), w in zip(scored, disc) if rel)
+        n_rel = sum(1 for _, _, rel in scored if rel)
+        r_tot = sum(
+            1 for m, (lbl, _) in vecs.items() if m != q and lbl == qlbl
+        )
+        idcg = sum(disc[: min(r_tot, 5)])
+        expect[q] = (
+            n_rel,
+            dcg,
+            idcg,
+            (dcg * 10**6) // idcg if idcg else None,
+        )
+    got = {
+        int(r["query_id"]): (
+            int(r["n_rel"]),
+            int(r["dcg_micro"]),
+            int(r["idcg_micro"]),
+            None if r["ndcg_micro"] != r["ndcg_micro"] else int(r["ndcg_micro"]),
+        )
+        for _, r in oracle_df(con, "q_ndcg_at5").iterrows()
+    }
+    assert got == expect
