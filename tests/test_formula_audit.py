@@ -595,3 +595,268 @@ def test_ndcg_matches_scalar_reference(con):
         for _, r in oracle_df(con, "q_ndcg_at5").iterrows()
     }
     assert got == expect
+
+
+# ---- batch 3: linear algebra / survival / rank statistics ----
+
+
+def test_ols_multi_matches_lstsq(con):
+    import numpy as np
+
+    rows = con.execute(
+        """WITH per_order AS (
+             SELECT l_orderkey AS ok,
+                    CAST(FLOOR(SUM(l_quantity) + 0.5) AS BIGINT) AS x1,
+                    CAST(COUNT(*) AS BIGINT) AS x2
+             FROM lineitem GROUP BY l_orderkey
+           )
+           SELECT x1, x2, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           FROM per_order JOIN orders ON o_orderkey = ok"""
+    ).fetchall()
+    X = np.array([[1.0, r[0], r[1]] for r in rows])
+    y = np.array([float(r[2]) for r in rows])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    got = oracle_df(con, "q_ols_multi").iloc[0]
+    assert int(got["n_orders"]) == len(rows)
+    # Cramer-rule expansion vs numpy least squares: agree to ~1e-6 rel
+    assert abs(float(got["b0_cents"]) - beta[0]) < 1e-3 * max(1, abs(beta[0]))
+    assert abs(float(got["b1_cents_per_qty"]) - beta[1]) < 1e-4 * abs(beta[1])
+    assert abs(float(got["b2_cents_per_line"]) - beta[2]) < 1e-4 * abs(beta[2])
+
+
+def test_survival_km_matches_product_limit(con):
+    rows = con.execute(
+        """SELECT DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                           MAX(CAST(ts AS DATE))),
+                  CAST(MAX(CAST(ts AS DATE)) >= DATE '2024-01-28' AS INT)
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per_t = defaultdict(lambda: [0, 0])  # t -> [deaths, censored]
+    for t, cens in rows:
+        per_t[int(t)][1 if cens else 0] += 1
+    at_risk = len(rows)
+    surv = 1.0
+    expect = {}
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        surv *= (at_risk - d) / at_risk  # deaths first, censored at t at risk
+        expect[t] = (at_risk, d, c, round(surv, 6))
+        at_risk -= d + c
+    got = {
+        int(r["t_days"]): (
+            int(r["n_at_risk"]),
+            int(r["n_deaths"]),
+            int(r["n_censored"]),
+            float(r["survival"]),
+        )
+        for _, r in oracle_df(con, "q_survival_km").iterrows()
+    }
+    assert set(got) == set(expect)
+    for t in expect:
+        assert got[t][:3] == expect[t][:3], t
+        assert abs(got[t][3] - expect[t][3]) < 2e-6, t
+
+
+def test_spearman_matches_average_ranks(con):
+    rows = con.execute(
+        """SELECT c_nationkey, c_acctbal,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_custkey, c_nationkey, c_acctbal"""
+    ).fetchall()
+    from collections import defaultdict
+
+    by_nat = defaultdict(list)
+    for nk, bal, sp in rows:
+        by_nat[int(nk)].append((float(bal), int(sp)))
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + j + 1) / 2  # average of ranks i+1..j
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    def pearson(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        dx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+        dy = math.sqrt(sum((y - my) ** 2 for y in ys))
+        return num / (dx * dy) if dx and dy else None
+
+    names = dict(
+        con.execute("SELECT n_nationkey, n_name FROM nation").fetchall()
+    )
+    got = {
+        r["n_name"]: (int(r["n_cust"]), float(r["spearman_rho"]))
+        for _, r in oracle_df(con, "q_spearman_corr").iterrows()
+    }
+    for nk, pts in by_nat.items():
+        rho = pearson(
+            avg_ranks([p[0] for p in pts]), avg_ranks([p[1] for p in pts])
+        )
+        n_cust, got_rho = got[names[nk]]
+        assert n_cust == len(pts)
+        assert abs(got_rho - rho) < 2e-6, names[nk]
+
+
+def test_median_ci_matches_order_statistics(con):
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for t, c in rows:
+        groups[t].append(int(c))
+    got = {
+        r["event_type"]: (
+            int(r["n"]),
+            int(r["median_cents"]),
+            int(r["lo_cents"]),
+            int(r["hi_cents"]),
+        )
+        for _, r in oracle_df(con, "q_median_ci").iterrows()
+    }
+    for t, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        # normal-approx 95% order-statistic CI: half-width 1.96*sqrt(n)/2
+        k_med = (n + 1) // 2
+        k_lo = max(math.floor(n / 2 - 0.98 * math.sqrt(n)), 1)
+        k_hi = min(math.ceil(n / 2 + 1 + 0.98 * math.sqrt(n)), n)
+        assert got[t] == (n, vals[k_med - 1], vals[k_lo - 1], vals[k_hi - 1])
+        assert vals[k_lo - 1] <= vals[k_med - 1] <= vals[k_hi - 1]
+
+
+def test_pagerank_matches_iterated_recurrence(con):
+    rows = con.execute(
+        """SELECT c.c_nationkey, s.s_nationkey, COUNT(*)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    out_w = defaultdict(float)
+    edges = []
+    for u, v, w in rows:
+        edges.append((int(u), int(v), float(w)))
+        out_w[int(u)] += w
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        incoming = defaultdict(float)
+        for u, v, w in edges:
+            incoming[v] += (w / out_w[u]) * rank[u]
+        rank = {v: 0.15 / n + 0.85 * incoming[v] for v in nodes}
+    got = {
+        int(r["node"]): float(r["rank"])
+        for _, r in oracle_df(con, "q_pagerank").iterrows()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-7, v
+
+
+def test_theil_sen_matches_median_slope(con):
+    rows = con.execute(
+        """SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT),
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount))
+                                AS BIGINT)) AS BIGINT)
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_brand"""
+    ).fetchall()
+    slopes = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][0] != rows[j][0]:
+                slopes.append(
+                    (rows[j][1] - rows[i][1]) / (rows[j][0] - rows[i][0])
+                )
+    slopes.sort()
+    med = slopes[(len(slopes) + 1) // 2 - 1]  # lower median, as documented
+    got = oracle_df(con, "q_theil_sen").iloc[0]
+    assert int(got["n_pairs"]) == len(slopes)
+    assert int(got["theil_sen_slope_milli"]) == math.floor(med * 1000)
+
+
+def test_acf_daily_matches_lagged_pearson(con):
+    rows = con.execute(
+        """SELECT event_type, CAST(ts AS DATE),
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for t, _, c in rows:
+        series[t].append(int(c))
+
+    def pearson(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        return num / math.sqrt(
+            sum((x - mx) ** 2 for x in xs) * sum((y - my) ** 2 for y in ys)
+        )
+
+    got = {
+        (r["event_type"], int(r["lag_d"])): (int(r["n"]), float(r["acf"]))
+        for _, r in oracle_df(con, "q_acf_daily").iterrows()
+    }
+    for t, xs in series.items():
+        for lag in (1, 2, 3):
+            pairs = [(xs[i], xs[i - lag]) for i in range(lag, len(xs))]
+            n_got, acf_got = got[(t, lag)]
+            assert n_got == len(pairs)
+            ref = pearson([p[0] for p in pairs], [p[1] for p in pairs])
+            assert abs(acf_got - ref) < 2e-6, (t, lag)
+
+
+def test_price_indices_match_textbook(con):
+    rows = con.execute(
+        """SELECT p_brand, CAST(EXTRACT(year FROM o_orderdate) AS INT),
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT),
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount))
+                                AS BIGINT)) AS BIGINT)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+           GROUP BY 1, 2"""
+    ).fetchall()
+    per = {}
+    for b, yr, q, r in rows:
+        per.setdefault(b, {})[yr] = (int(q), int(r))
+    both = {b: v for b, v in per.items() if len(v) == 2}
+    # unit-value prices p = r/q; Laspeyres / Paasche / Fisher
+    lasp = sum(
+        (v[1998][1] / v[1998][0]) * v[1997][0] for v in both.values()
+    ) / sum(v[1997][1] for v in both.values())
+    paas = sum(v[1998][1] for v in both.values()) / sum(
+        (v[1997][1] / v[1997][0]) * v[1998][0] for v in both.values()
+    )
+    fisher = math.sqrt(lasp * paas)
+    got = oracle_df(con, "q_price_indices").iloc[0]
+    assert int(got["n_brands"]) == len(both)
+    assert abs(int(got["laspeyres_micro"]) / 1e6 - lasp) < 1e-3
+    assert abs(int(got["paasche_micro"]) / 1e6 - paas) < 1e-3
+    assert abs(int(got["fisher_micro"]) / 1e6 - fisher) < 1e-3
