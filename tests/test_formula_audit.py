@@ -860,3 +860,285 @@ def test_price_indices_match_textbook(con):
     assert abs(int(got["laspeyres_micro"]) / 1e6 - lasp) < 1e-3
     assert abs(int(got["paasche_micro"]) / 1e6 - paas) < 1e-3
     assert abs(int(got["fisher_micro"]) / 1e6 - fisher) < 1e-3
+
+
+# ---- batch 4: graph metrics / concentration / decomposition ----
+
+
+def _brand_graph(con, min_support):
+    return con.execute(
+        f"""WITH baskets AS (
+              SELECT DISTINCT l_orderkey, p_brand
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT a.p_brand, b.p_brand
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}"""
+    ).fetchall()
+
+
+def test_graph_modularity_matches_newman_q(con):
+    rows = con.execute(
+        """SELECT c.c_nationkey, s.s_nationkey, COUNT(*)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    ).fetchall()
+    comm = dict(
+        con.execute("SELECT n_nationkey, n_regionkey FROM nation").fetchall()
+    )
+    from collections import defaultdict
+
+    # symmetrize: each undirected edge contributes w in both directions
+    wsum = defaultdict(int)
+    for u, v, w in rows:
+        wsum[(u, v)] += w
+        wsum[(v, u)] += w
+    two_m = sum(wsum.values())
+    intra = sum(w for (u, v), w in wsum.items() if comm[u] == comm[v])
+    deg = defaultdict(int)
+    for (u, _), w in wsum.items():
+        deg[u] += w
+    s_c = defaultdict(int)
+    for u, d in deg.items():
+        s_c[comm[u]] += d
+    q = intra / two_m - sum(s * s for s in s_c.values()) / (two_m * two_m)
+    got = oracle_df(con, "q_graph_modularity").iloc[0]
+    assert int(got["total_weight_2m"]) == two_m
+    assert abs(int(got["modularity_micro"]) / 1e6 - q) < 2e-6
+
+
+def test_triangle_count_matches_direct(con):
+    edges = _brand_graph(con, 80)
+    eset = set(edges)
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    tri = 0
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) not in eset:
+                continue
+            for w in nodes:
+                if w > v and (u, w) in eset and (v, w) in eset:
+                    tri += 1
+    got = oracle_df(con, "q_triangle_count").iloc[0]
+    assert int(got["n_edges"]) == len(edges)
+    assert int(got["n_triangles"]) == tri
+
+
+def test_harmonic_centrality_matches_bfs(con):
+    rows = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+           ), weighted AS (
+             SELECT a.p_brand AS u, b.p_brand AS v, COUNT(*) AS w
+             FROM baskets a JOIN baskets b
+               ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+             GROUP BY 1, 2
+           )
+           SELECT u, v FROM (
+             SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn
+             FROM weighted) WHERE rn <= 40"""
+    ).fetchall()
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in rows:
+        adj[u].add(v)
+        adj[v].add(u)
+    expect = {}
+    for origin in adj:
+        dist = {origin: 0}
+        dq = deque([origin])
+        while dq:
+            x = dq.popleft()
+            if dist[x] >= 3:
+                continue
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    dq.append(y)
+        reach = {x: d for x, d in dist.items() if 0 < d <= 3}
+        expect[origin] = (
+            len(reach),
+            sum(10**6 // d for d in reach.values()),
+        )
+    got = {
+        r["origin"]: (int(r["n_reach_3hop"]), int(r["harmonic_micro"]))
+        for _, r in oracle_df(con, "q_harmonic_centrality").iterrows()
+    }
+    assert got == expect
+
+
+def test_rank_biased_overlap_matches_truncated_rbo(con):
+    rows = con.execute(
+        """SELECT p_brand,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount))
+                                AS BIGINT)) AS BIGINT),
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"""
+    ).fetchall()
+    by_rev = [b for b, _, _ in sorted(rows, key=lambda r: (-r[1], r[0]))]
+    by_qty = [b for b, _, _ in sorted(rows, key=lambda r: (-r[2], r[0]))]
+    p = 0.9
+    rbo = 0.0
+    for d in range(1, 11):
+        ov = len(set(by_rev[:d]) & set(by_qty[:d]))
+        rbo += (1 - p) * p ** (d - 1) * ov / d
+    got = oracle_df(con, "q_rank_biased_overlap").iloc[0]
+    ov10 = len(set(by_rev[:10]) & set(by_qty[:10]))
+    assert int(got["overlap_at_10"]) == ov10
+    assert abs(int(got["rbo_nano"]) / 1e9 - rbo) < 1e-6
+
+
+def test_benford_matches_log10_law(con):
+    rows = con.execute(
+        """SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT),
+                  COUNT(*)
+           FROM orders WHERE o_totalprice >= 1 GROUP BY 1"""
+    ).fetchall()
+    total = sum(r[1] for r in rows)
+    got = {
+        int(r["d"]): (int(r["n"]), float(r["observed"]), float(r["benford"]))
+        for _, r in oracle_df(con, "q_benford").iterrows()
+    }
+    for d, n in rows:
+        gn, obs, ben = got[int(d)]
+        assert gn == n
+        assert abs(obs - n / total) < 1e-6
+        assert abs(ben - math.log10(1 + 1 / int(d))) < 1e-6
+
+
+def test_gini_matches_rank_formula(con):
+    rows = con.execute(
+        """SELECT o_orderpriority, CAST(FLOOR(o_totalprice * 100 + 0.5)
+                  AS BIGINT)
+           FROM orders"""
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, c in rows:
+        groups[g].append(int(c))
+    got = {
+        r["o_orderpriority"]: (int(r["n"]), float(r["gini"]))
+        for _, r in oracle_df(con, "q_gini").iterrows()
+    }
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        s1 = sum((i + 1) * v for i, v in enumerate(vals))
+        gini = 2 * s1 / (n * sum(vals)) - (n + 1) / n
+        assert got[g][0] == n
+        assert abs(got[g][1] - gini) < 1e-9
+        # Gini of any nonnegative distribution lives in [0, 1)
+        assert 0 <= got[g][1] < 1
+
+
+def test_weighted_median_matches_definition(con):
+    rows = con.execute(
+        """SELECT l_returnflag,
+                  CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT),
+                  CAST(l_quantity AS BIGINT)
+           FROM lineitem"""
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, price, qty in rows:
+        groups[g].append((int(price), int(qty)))
+    got = {
+        r["l_returnflag"]: (
+            int(r["weighted_median_cents"]),
+            int(r["total_weight"]),
+        )
+        for _, r in oracle_df(con, "q_weighted_median").iterrows()
+    }
+    for g, pts in groups.items():
+        pts.sort()
+        tw = sum(q for _, q in pts)
+        cw = 0
+        for price, q in pts:
+            cw += q
+            if 2 * cw >= tw:
+                assert got[g] == (price, tw)
+                break
+
+
+def test_haar_energy_matches_cascade(con):
+    rows = con.execute(
+        """SELECT EXTRACT(DAY FROM ts) - 1, CAST(COUNT(*) AS BIGINT)
+           FROM events GROUP BY 1"""
+    ).fetchall()
+    level = {int(d): int(n) for d, n in rows}
+    energies = []
+    for _ in range(3):
+        nxt, details = {}, {}
+        for d, n in level.items():
+            nxt[d // 2] = nxt.get(d // 2, 0) + n
+            details[d // 2] = details.get(d // 2, 0) + (
+                n if d % 2 == 0 else -n
+            )
+        energies.append(sum(v * v for v in details.values()))
+        level = nxt
+    got = oracle_df(con, "q_haar_energy").iloc[0]
+    assert int(got["n_days"]) == len(rows)
+    assert int(got["energy_l1"]) == energies[0]
+    assert int(got["energy_l2"]) == energies[1]
+    assert int(got["energy_l3"]) == energies[2]
+
+
+def test_changepoint_matches_argmax(con):
+    rows = con.execute(
+        """SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for u, c in rows:
+        seqs[u].append(int(c))
+    got = {
+        int(r["user_id"]): (int(r["split_idx"]), float(r["score"]))
+        for _, r in oracle_df(con, "q_changepoint").iterrows()
+    }
+    for u, xs in seqs.items():
+        n = len(xs)
+        total = sum(xs)
+        best = None
+        pre = 0
+        for t in range(1, n):
+            pre += xs[t - 1]
+            gap = pre / t - (total - pre) / (n - t)
+            score = (t * (n - t) / n) * gap * gap
+            if best is None or score > best[1] + 1e-12:
+                best = (t, score)
+        assert got[u][0] == best[0], u
+        assert abs(got[u][1] - best[1] / 1e4) < 1e-4, u
+
+
+def test_zipf_fit_matches_loglog_regression(con):
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           WHERE word <> '' GROUP BY word
+           ORDER BY n DESC LIMIT 500"""
+    ).fetchall()
+    ns = np.array([float(r[0]) for r in rows])
+    ranks = np.arange(1, len(ns) + 1, dtype=float)
+    slope, intercept = np.polyfit(np.log(ranks), np.log(ns), 1)
+    pred = slope * np.log(ranks) + intercept
+    ss_res = float(np.sum((np.log(ns) - pred) ** 2))
+    ss_tot = float(np.sum((np.log(ns) - np.log(ns).mean()) ** 2))
+    r2 = 1 - ss_res / ss_tot
+    got = oracle_df(con, "q_zipf_fit").iloc[0]
+    assert int(got["n_words"]) == len(ns)
+    assert abs(float(got["zipf_slope"]) - slope) < 1e-3
+    assert abs(float(got["fit_r2"]) - r2) < 1e-3
