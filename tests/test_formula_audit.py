@@ -1142,3 +1142,266 @@ def test_zipf_fit_matches_loglog_regression(con):
     assert int(got["n_words"]) == len(ns)
     assert abs(float(got["zipf_slope"]) - slope) < 1e-3
     assert abs(float(got["fit_r2"]) - r2) < 1e-3
+
+
+# ---- batch 5: IR/corpus formulas + remaining test statistics ----
+
+
+def test_bm25_matches_robertson_formula(con):
+    rows = con.execute(
+        """SELECT doc_id, string_split(text, ' ') FROM documents"""
+    ).fetchall()
+    docs = {int(d): list(ws) for d, ws in rows}
+    from collections import Counter
+
+    cnt = Counter(w for ws in docs.values() for w in ws)
+    top3 = [
+        w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    ]
+    n_docs = len(docs)
+    avgdl = sum(len(ws) for ws in docs.values()) / n_docs
+    df = {
+        w: sum(1 for ws in docs.values() if w in ws) for w in top3
+    }
+    k1, b = 1.2, 0.75
+    scores = {}
+    for d, ws in docs.items():
+        tf = Counter(ws)
+        s = 0.0
+        for w in top3:
+            if tf[w] == 0:
+                continue
+            idf = math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+            s += idf * tf[w] * (k1 + 1) / (
+                tf[w] + k1 * (1 - b + b * len(ws) / avgdl)
+            )
+        scores[d] = math.floor(s * 10**6)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (int(r["doc_id"]), int(r["bm25_micro"]))
+        for _, r in oracle_df(con, "q_bm25").iterrows()
+    ]
+    assert got == expect
+
+
+def test_word_pmi_matches_definition(con):
+    rows = con.execute(
+        """SELECT doc_id, list_distinct(string_split(text, ' '))
+           FROM documents"""
+    ).fetchall()
+    from collections import Counter
+    from itertools import combinations
+
+    n_docs = len(rows)
+    df = Counter()
+    cooc = Counter()
+    for _, ws in rows:
+        ws = sorted(set(ws))
+        df.update(ws)
+        cooc.update(combinations(ws, 2))
+    expect = {
+        (a, b): (n_ab, round(math.log(n_ab * n_docs / (df[a] * df[b])), 6))
+        for (a, b), n_ab in cooc.items()
+        if n_ab >= 5
+    }
+    got = {
+        (r["w_a"], r["w_b"]): (int(r["n_ab"]), float(r["pmi"]))
+        for _, r in oracle_df(con, "q_word_pmi").iterrows()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 2e-6
+
+
+def test_text_entropy_matches_shannon(con):
+    rows = con.execute(
+        """SELECT lang, string_split(text, ' ') FROM documents"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    by_lang = defaultdict(Counter)
+    for lang, ws in rows:
+        by_lang[lang].update(ws)
+    got = {
+        r["lang"]: (
+            int(r["n_tokens"]),
+            int(r["n_types"]),
+            float(r["entropy_bits"]),
+        )
+        for _, r in oracle_df(con, "q_text_entropy").iterrows()
+    }
+    for lang, c in by_lang.items():
+        t = sum(c.values())
+        h = -sum((n / t) * math.log2(n / t) for n in c.values())
+        assert got[lang][0] == t
+        assert got[lang][1] == len(c)
+        assert abs(got[lang][2] - h) < 1e-3
+        assert h <= math.log2(len(c)) + 1e-9  # bounded by uniform
+
+
+def test_return_rates_match_wilson(con):
+    rows = con.execute(
+        """SELECT p_brand, CAST(COUNT(*) AS BIGINT),
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS BIGINT)
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"""
+    ).fetchall()
+    z = 1.96
+    got = {
+        r["p_brand"]: (
+            int(r["n"]),
+            int(r["ret"]),
+            int(r["wilson_lo_ppm"]),
+            int(r["wilson_hi_ppm"]),
+        )
+        for _, r in oracle_df(con, "q_return_rates").iterrows()
+    }
+    for brand, n, ret in rows:
+        p = ret / n
+        center = (p + z * z / (2 * n)) / (1 + z * z / n)
+        half = (
+            z
+            * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+            / (1 + z * z / n)
+        )
+        gn, gret, lo, hi = got[brand]
+        assert (gn, gret) == (n, ret)
+        assert abs(lo / 1e6 - (center - half)) < 2e-6
+        assert abs(hi / 1e6 - (center + half)) < 2e-6
+        assert lo / 1e6 <= p <= hi / 1e6  # CI contains the point estimate
+
+
+def test_cohens_d_matches_pooled_sd(con):
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events WHERE event_type IN ('purchase', 'click')"""
+    ).fetchall()
+    a = [int(c) for t, c in rows if t == "purchase"]
+    b = [int(c) for t, c in rows if t == "click"]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    ssa = sum((x - ma) ** 2 for x in a)
+    ssb = sum((x - mb) ** 2 for x in b)
+    d = (ma - mb) / math.sqrt((ssa + ssb) / (len(a) + len(b) - 2))
+    got = oracle_df(con, "q_cohens_d").iloc[0]
+    assert int(got["n_a"]) == len(a)
+    assert int(got["n_b"]) == len(b)
+    assert abs(int(got["cohens_d_micro"]) / 1e6 - d) < 2e-6
+
+
+def test_ks_statistic_matches_max_cdf_gap(con):
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events WHERE event_type IN ('click', 'view')"""
+    ).fetchall()
+    import bisect
+
+    a = sorted(c for t, c in rows if t == "click")
+    b = sorted(c for t, c in rows if t == "view")
+    support = sorted(set(a) | set(b))
+    best = (0.0, None)
+    for s in support:
+        gap = abs(
+            bisect.bisect_right(a, s) / len(a)
+            - bisect.bisect_right(b, s) / len(b)
+        )
+        if gap > best[0] + 1e-15:
+            best = (gap, s)
+    got = oracle_df(con, "q_ks_statistic").iloc[0]
+    assert int(got["n_a"]) == len(a)
+    assert int(got["n_b"]) == len(b)
+    assert int(got["ks_at_score"]) == best[1]
+    assert abs(float(got["ks_stat"]) - best[0]) < 1e-12
+
+
+def test_simpson_diversity_matches_unbiased_index(con):
+    rows = con.execute(
+        """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT)
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    mix = defaultdict(dict)
+    for u, t, n in rows:
+        mix[int(u)][t] = int(n)
+    deciles = defaultdict(lambda: [0, None, None])
+    for u, cnts in mix.items():
+        n = sum(cnts.values())
+        if n < 2:
+            continue
+        same = sum(c * (c - 1) for c in cnts.values())
+        d = 10**6 - (same * 10**6) // (n * (n - 1))
+        dec = d // 100000
+        cell = deciles[dec]
+        cell[0] += 1
+        cell[1] = d if cell[1] is None else min(cell[1], d)
+        cell[2] = d if cell[2] is None else max(cell[2], d)
+    got = {
+        int(r["diversity_decile"]): (
+            int(r["n_users"]),
+            int(r["min_d_micro"]),
+            int(r["max_d_micro"]),
+        )
+        for _, r in oracle_df(con, "q_simpson_diversity").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in deciles.items()}
+
+
+def test_palma_ratio_matches_decile_shares(con):
+    rows = con.execute(
+        """SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM orders GROUP BY o_custkey"""
+    ).fetchall()
+    cents = sorted(int(r[0]) for r in rows)
+    n = len(cents)
+    bottom40 = sum(cents[: (n * 4) // 10])
+    top10 = sum(cents[(n * 9) // 10 :])
+    got = oracle_df(con, "q_palma_ratio").iloc[0]
+    assert int(got["n_customers"]) == n
+    assert int(got["top10_cents"]) == top10
+    assert int(got["bottom40_cents"]) == bottom40
+    assert int(got["palma_milli"]) == (top10 * 1000) // bottom40
+
+
+def test_seasonality_strength_matches_eta2(con):
+    rows = con.execute(
+        """SELECT isodow(ts) - 1, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for dow, c in rows:
+        groups[int(dow)].append(int(c))
+    n = sum(len(v) for v in groups.values())
+    mean = Fraction(sum(sum(v) for v in groups.values()), n)
+    ssb = sum(
+        Fraction(len(v)) * (Fraction(sum(v), len(v)) - mean) ** 2
+        for v in groups.values()
+    )
+    sst = sum(
+        (Fraction(x) - mean) ** 2 for v in groups.values() for x in v
+    )
+    got = oracle_df(con, "q_seasonality_strength").iloc[0]
+    assert int(got["n"]) == n
+    assert abs(int(got["ssb_floor"]) - float(ssb)) <= len(groups) + 1
+    assert abs(int(got["sst_floor"]) - float(sst)) <= len(groups) + 1
+    # eta2 floors propagate the (small) SSB error; bound it explicitly
+    eta2 = float(ssb / sst)
+    tol = (len(groups) + 1) / float(sst) + 2e-6
+    assert abs(int(got["eta2_micro"]) / 1e6 - eta2) <= max(tol, 1e-4)
+
+
+def test_two_way_anova_decomposition_is_consistent(con):
+    got = oracle_df(con, "q_two_way_anova").iloc[0]
+    ss_a = int(got["ss_region"])
+    ss_b = int(got["ss_weekday"])
+    ss_ab = int(got["ss_interaction"])
+    ss_e = int(got["ss_error"])
+    # every component nonnegative up to floor slack, and eta2 consistent
+    assert ss_a >= 0 and ss_b >= 0 and ss_e >= 0
+    assert ss_ab >= -100  # floor slack on a small interaction term
+    sst = ss_a + ss_b + ss_ab + ss_e
+    eta2 = int(got["interaction_eta2_micro"])
+    assert abs(eta2 - (ss_ab * 10**6) // sst) <= 2000
