@@ -92,6 +92,15 @@ HEADLINE = [
     "q_error_budget",         # day rollup + calendar-bounded window
     "q_xcorr_hourly",         # hour rollup + 5-lag spine join
     "q_bpe_train3",           # 3 explode+count passes, broadcast rewrites
+    # round-3 snapshot / round-4 ops
+    "q_lttb_downsample",      # calendar-bounded daily rollup + 60-bucket argmax
+    "q_itemset_triples",      # a-priori pruned in-basket triple expansion
+    "q_t_closeness",          # star join to 25x11 dense grid
+    "q_levene_test",          # (group, qty) cell rollup, <=150 cells
+    "q_runs_test",            # daily rollup + day-table windows
+    "q_littles_law",          # sessionize + boundary sweep
+    "q_brier_decomposition",  # two disjoint-slice qty rollups
+    "q_resource_allocation",  # shared-neighbor keyed self-join + degree join
 ]
 
 # measured at sf0.1 only: the exact-complete set-similarity/fuzzy ops'
