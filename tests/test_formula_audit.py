@@ -1405,3 +1405,246 @@ def test_two_way_anova_decomposition_is_consistent(con):
     sst = ss_a + ss_b + ss_ab + ss_e
     eta2 = int(got["interaction_eta2_micro"])
     assert abs(eta2 - (ss_ab * 10**6) // sst) <= 2000
+
+
+# ---- batch 6: drift / risk / matrix kernels ----
+
+
+def test_corr_matrix_matches_numpy(con):
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT CAST(l_quantity AS BIGINT),
+                  CAST(FLOOR(l_extendedprice) AS BIGINT),
+                  CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
+           FROM lineitem"""
+    ).fetchall()
+    m = np.array(rows, dtype=float)
+    c = np.corrcoef(m.T)
+    expect = {
+        "quantity~price": c[0, 1],
+        "quantity~discount": c[0, 2],
+        "price~discount": c[1, 2],
+    }
+    got = {
+        r["pair"]: int(r["r_micro"]) / 1e6
+        for _, r in oracle_df(con, "q_corr_matrix").iterrows()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 2e-6, k
+
+
+def test_psi_drift_matches_definition(con):
+    rows = con.execute(
+        """SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                  CAST(CAST(ts AS DATE) >= DATE '2024-01-16' AS INT)
+           FROM events"""
+    ).fetchall()
+    mx = max(r[0] for r in rows)
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0])
+    for c, period in rows:
+        b = min(int(c) * 10 // (mx + 1), 9)
+        per[b][period] += 1
+    t0 = sum(v[0] for v in per.values())
+    t1 = sum(v[1] for v in per.values())
+    got = {
+        int(r["bin"]): (int(r["n0"]), int(r["n1"]), float(r["psi_term"]))
+        for _, r in oracle_df(con, "q_psi_drift").iterrows()
+    }
+    for b, (n0, n1) in per.items():
+        p0 = max(n0 / t0, 1e-6)
+        p1 = max(n1 / t1, 1e-6)
+        term = (p1 - p0) * math.log(p1 / p0)
+        assert got[b][0] == n0 and got[b][1] == n1
+        assert abs(got[b][2] - term) < 2e-6
+        assert got[b][2] >= -1e-12  # each PSI term is nonnegative
+
+
+def test_chi_square_matches_contingency(con):
+    rows = con.execute(
+        """SELECT event_type, DAYOFWEEK(ts), CAST(COUNT(*) AS BIGINT)
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    obs = {}
+    row_n = defaultdict(int)
+    col_n = defaultdict(int)
+    for t, d, o in rows:
+        obs[(t, int(d))] = int(o)
+        row_n[t] += int(o)
+        col_n[int(d)] += int(o)
+    n = sum(obs.values())
+    chi2 = sum(
+        (o - row_n[t] * col_n[d] / n) ** 2 / (row_n[t] * col_n[d] / n)
+        for (t, d), o in obs.items()
+    )
+    got = oracle_df(con, "q_chi_square").iloc[0]
+    assert int(got["n_cells"]) == len(obs)
+    assert int(got["dof"]) == (len(row_n) - 1) * (len(col_n) - 1)
+    assert abs(float(got["chi2"]) - chi2) < 1e-4
+
+
+def test_discrete_hazard_matches_life_table(con):
+    rows = con.execute(
+        """SELECT (epoch_us(MAX(ts)) // 1000000
+                   - epoch_us(MIN(ts)) // 1000000) // 604800
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    weeks = [int(r[0]) for r in rows]
+    got = {
+        int(r["week"]): (
+            int(r["n_at_risk"]),
+            int(r["n_churned"]),
+            int(r["hazard_micro"]),
+        )
+        for _, r in oracle_df(con, "q_discrete_hazard").iterrows()
+    }
+    for w in set(weeks):
+        at_risk = sum(1 for x in weeks if x >= w)
+        churned = sum(1 for x in weeks if x == w)
+        assert got[w] == (at_risk, churned, churned * 10**6 // at_risk)
+    # hazards are probabilities; the last observed week's hazard is 1
+    assert got[max(weeks)][2] == 10**6
+
+
+def test_var_es_match_order_statistics(con):
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for t, c in rows:
+        groups[t].append(int(c))
+    got = {
+        r["event_type"]: (int(r["n"]), int(r["var5_cents"]), int(r["es5_cents"]))
+        for _, r in oracle_df(con, "q_var_es").iterrows()
+    }
+    for t, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        k = max(n * 5 // 100, 1)
+        var5 = vals[k - 1]
+        es5 = sum(vals[:k]) // k
+        assert got[t] == (n, var5, es5)
+        assert got[t][2] <= got[t][1]  # ES is deeper in the tail than VaR
+
+
+def test_pca_power_matches_numpy_iterations(con):
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+           FROM embeddings"""
+    ).fetchall()
+    m = np.array([r[1] for r in rows])
+    maxabs = np.abs(m).max()
+    q = np.floor(m / maxabs * 15 + 0.5)
+    g = q.T @ q  # quantized Gram (uncentered), 64x64
+    v = g @ (g @ np.ones(64))
+    ref = np.abs(v).max()
+    expect = {i + 1: math.floor(v[i] / ref * 10**6) for i in range(64)}
+    got = {
+        int(r["i"]): int(r["dir_micro"])
+        for _, r in oracle_df(con, "q_pca_power").iterrows()
+    }
+    assert got == expect
+
+
+def test_bollinger_matches_rolling_bands(con):
+    rows = daily_rev(con)
+    revs = [int(r[1]) for r in rows]
+    days = [str(r[0]) for r in rows]
+    got = {
+        r["day"]: (
+            int(r["rev"]),
+            int(r["mid"]),
+            int(r["lower"]),
+            int(r["upper"]),
+            bool(r["breach"]),
+        )
+        for _, r in oracle_df(con, "q_bollinger").iterrows()
+    }
+    assert len(got) == len(revs) - 19
+    for i in range(19, len(revs)):
+        w = revs[i - 19 : i + 1]
+        s, ss = sum(w), sum(x * x for x in w)
+        mid = s // 20
+        hw = math.floor(2 * math.sqrt((20 * ss - s * s) // 400))
+        rev = revs[i]
+        assert got[days[i]] == (
+            rev,
+            mid,
+            mid - hw,
+            mid + hw,
+            rev < mid - hw or rev > mid + hw,
+        ), days[i]
+
+
+def test_doc_perplexity_matches_unigram_lm(con):
+    rows = con.execute(
+        "SELECT doc_id, string_split(text, ' ') FROM documents"
+    ).fetchall()
+    from collections import Counter
+
+    vocab = Counter(w for _, ws in rows for w in ws)
+    total = sum(vocab.values())
+    got = {
+        int(r["doc_id"]): (int(r["n_tokens"]), float(r["ppl"]))
+        for _, r in oracle_df(con, "q_doc_perplexity").iterrows()
+    }
+    for d, ws in rows:
+        ppl = math.exp(-sum(math.log(vocab[w] / total) for w in ws) / len(ws))
+        assert got[int(d)][0] == len(ws)
+        assert abs(got[int(d)][1] - ppl) < max(1e-3, ppl * 1e-5)
+        assert got[int(d)][1] <= total  # ppl bounded by corpus size
+
+
+def test_transition_matrix_rows_normalize(con):
+    rows = con.execute(
+        """SELECT user_id, event_type FROM events
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    pairs = defaultdict(int)
+    prev_u = prev_t = None
+    for u, t in rows:
+        if u == prev_u:
+            pairs[(prev_t, t)] += 1
+        prev_u, prev_t = u, t
+    row_tot = defaultdict(int)
+    for (cur, _), n in pairs.items():
+        row_tot[cur] += n
+    got = {
+        (r["cur"], r["nxt"]): (int(r["n"]), float(r["prob"]))
+        for _, r in oracle_df(con, "q_transition_matrix").iterrows()
+    }
+    assert set(got) == set(pairs)
+    for k, n in pairs.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - n / row_tot[k[0]]) < 1e-12
+
+
+def test_horvitz_thompson_matches_weighted_expansion(con):
+    rows = con.execute(
+        """SELECT CAST(FLOOR(o_totalprice + 0.5) AS BIGINT),
+                  CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+                       THEN 2 ELSE 4 END,
+                  ('0x' || substr(md5('ht:' || o_orderkey), 1, 8))::BIGINT
+           FROM orders JOIN customer ON o_custkey = c_custkey"""
+    ).fetchall()
+    true_total = sum(r[0] for r in rows)
+    sampled = [(d, ir) for d, ir, h in rows if h % ir == 0]
+    ht = sum(d * ir for d, ir in sampled)
+    got = oracle_df(con, "q_horvitz_thompson").iloc[0]
+    assert int(got["n_population"]) == len(rows)
+    assert int(got["n_sampled"]) == len(sampled)
+    assert int(got["true_total"]) == true_total
+    assert int(got["ht_estimate"]) == ht
+    assert int(got["rel_err_micro"]) == abs(ht - true_total) * 10**6 // true_total
