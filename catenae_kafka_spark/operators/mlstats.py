@@ -6141,3 +6141,207 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unc_milli2"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_pinball_loss",
+    tags=("mlstats", "evaluation", "forecast"),
+    oracle="""
+WITH split AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_id, CAST(ts AS DATE) < DATE '2024-01-16' AS is_train
+  FROM events
+), tr AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM split WHERE is_train
+), fc AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_train,
+         CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.5) AS BIGINT), 1)
+                       THEN cents END) AS BIGINT) AS f50_cents,
+         CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.9) AS BIGINT), 1)
+                       THEN cents END) AS BIGINT) AS f90_cents
+  FROM tr GROUP BY event_type
+)
+SELECT s.event_type, fc.n_train,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       fc.f50_cents, fc.f90_cents,
+       CAST(SUM(GREATEST(5 * (s.cents - fc.f50_cents),
+                         -5 * (s.cents - fc.f50_cents)) )
+            // COUNT(*) AS BIGINT) AS loss50_deci,
+       CAST(SUM(GREATEST(9 * (s.cents - fc.f90_cents),
+                         -1 * (s.cents - fc.f90_cents)))
+            // COUNT(*) AS BIGINT) AS loss90_deci
+FROM split s JOIN fc ON s.event_type = fc.event_type
+WHERE NOT s.is_train
+GROUP BY s.event_type, fc.n_train, fc.f50_cents, fc.f90_cents
+""",
+)
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss evaluation of a temporally-split
+    quantile forecast: per event type, the train period's exact 0.5
+    and 0.9 order-statistic quantiles become the forecasts, scored on
+    the eval period with L_tau(y,f) = max(tau(y-f), (tau-1)(y-f)) —
+    the metric that makes quantile forecasts comparable (a 0.9
+    forecast is penalized 9:1 for under- vs over-prediction, so
+    "always forecast high" cannot win). Complements q_forecast_baseline
+    (point MAE) and q_newsvendor_quantile (the decision side of the
+    same asymmetry).
+
+    Exactness: forecasts are order statistics of integer cents (rank
+    ceil(tau*n), the quantile_disc convention); tau in tenths makes
+    each loss term an integer deci-cent product (tau=0.5 -> max(5d,-5d)
+    = 5|d|; tau=0.9 -> max(9d,-d)); sums are BIGINT, the mean floors
+    once. The 0.9 loss < 0.5 loss iff the distribution's upper tail is
+    tight — asserted in the audit test.
+
+    Scale shape: one map-side (type, cents) reduction feeds the
+    order-stat window over the bounded cent domain; eval scoring is a
+    broadcast join of the 5-row forecast table against the fact scan."""
+    c = catalog(spark, sf_dir)
+    split = c.events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        "event_id",
+        (F.to_date("ts") < F.lit("2024-01-16")).alias("is_train"),
+    )
+    wtr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    tr = split.filter("is_train").select(
+        "event_type",
+        "cents",
+        F.row_number().over(wtr).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    fc = tr.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_train"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.ceil(F.col("n") * 0.5), F.lit(1)),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("f50_cents"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.ceil(F.col("n") * 0.9), F.lit(1)),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("f90_cents"),
+    )
+    ev = split.filter(~F.col("is_train")).join(F.broadcast(fc), "event_type")
+    d50 = F.col("cents") - F.col("f50_cents")
+    d90 = F.col("cents") - F.col("f90_cents")
+    return ev.groupBy(
+        "event_type", "n_train", "f50_cents", "f90_cents"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.expr(
+            "CAST(SUM(GREATEST(5 * (cents - f50_cents),"
+            " -5 * (cents - f50_cents))) div COUNT(*) AS BIGINT)"
+        ).alias("loss50_deci"),
+        F.expr(
+            "CAST(SUM(GREATEST(9 * (cents - f90_cents),"
+            " -1 * (cents - f90_cents))) div COUNT(*) AS BIGINT)"
+        ).alias("loss90_deci"),
+    ).select(
+        "event_type",
+        "n_train",
+        "n_eval",
+        "f50_cents",
+        "f90_cents",
+        "loss50_deci",
+        "loss90_deci",
+    )
+
+
+@REGISTRY.register(
+    "q_mutual_information",
+    tags=("mlstats", "statistics", "information"),
+    oracle="""
+WITH obs AS (
+  SELECT event_type AS x, DAYOFWEEK(ts) AS y,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY x, y
+), rx AS (
+  SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY x
+), cy AS (
+  SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY y
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs
+), ents AS (
+  SELECT
+    (SELECT ROUND(LN(CAST(MIN(n) AS DOUBLE))
+                  - SUM(r * LN(CAST(r AS DOUBLE))) / MIN(n), 6)
+     FROM rx CROSS JOIN tot) AS h_x,
+    (SELECT ROUND(LN(CAST(MIN(n) AS DOUBLE))
+                  - SUM(c * LN(CAST(c AS DOUBLE))) / MIN(n), 6)
+     FROM cy CROSS JOIN tot) AS h_y,
+    (SELECT ROUND(SUM((CAST(o AS DOUBLE) / n)
+                      * LN(CAST(o AS DOUBLE) * n
+                           / (CAST(r AS DOUBLE) * c))), 6)
+     FROM obs JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot) AS mi,
+    (SELECT CAST(n AS BIGINT) FROM tot) AS n
+)
+SELECT n, h_x AS h_type_nats, h_y AS h_dow_nats, mi AS mi_nats,
+       ROUND(mi / LEAST(h_x, h_y), 6) AS nmi
+FROM ents
+""",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week, with the
+    marginal entropies and min-normalized MI — the model-free
+    dependence measure that complements q_chi_square (significance)
+    and q_cramers_v (effect size): MI says how many NATS of the
+    weekday are learnable from the event type. Entropies use
+    H = ln N - (1/N) SUM r ln r so every log argument is an exact
+    BIGINT count (no tiny fractions).
+
+    Portability note: the dow LABELS differ across engines (Spark
+    dayofweek is 1=Sunday, DuckDB's 0=Sunday — environment fact #39),
+    but MI, H, and NMI are invariant under relabeling of either
+    margin, so the outputs hash-match without aligning the encodings.
+
+    Scale shape: one map-side (type, dow) contingency rollup (35
+    cells); everything after is O(cells) on broadcasts."""
+    from catenae_kafka_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+      WITH obs AS (
+        SELECT event_type AS x, dayofweek(ts) AS y,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY x, y
+      ), rx AS (
+        SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY x
+      ), cy AS (
+        SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY y
+      ), tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs
+      ), ents AS (
+        SELECT
+          (SELECT ROUND(LN(CAST(MIN(n) AS DOUBLE))
+                        - SUM(r * LN(CAST(r AS DOUBLE))) / MIN(n), 6)
+           FROM rx CROSS JOIN tot) AS h_x,
+          (SELECT ROUND(LN(CAST(MIN(n) AS DOUBLE))
+                        - SUM(c * LN(CAST(c AS DOUBLE))) / MIN(n), 6)
+           FROM cy CROSS JOIN tot) AS h_y,
+          (SELECT ROUND(SUM((CAST(o AS DOUBLE) / n)
+                            * LN(CAST(o AS DOUBLE) * n
+                                 / (CAST(r AS DOUBLE) * c))), 6)
+           FROM obs JOIN rx USING (x) JOIN cy USING (y)
+           CROSS JOIN tot) AS mi,
+          (SELECT CAST(n AS BIGINT) FROM tot) AS n
+      )
+      SELECT n, h_x AS h_type_nats, h_y AS h_dow_nats, mi AS mi_nats,
+             ROUND(mi / LEAST(h_x, h_y), 6) AS nmi
+      FROM ents
+    """)

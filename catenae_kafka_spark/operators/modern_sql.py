@@ -291,3 +291,47 @@ def q_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE bal_cents <> 0
         """
     )
+
+
+@REGISTRY.register(
+    "q_sql_pipe_syntax",
+    tags=("sql", "surface"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity > 10
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) >= 100
+""",
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (|>): the same pricing-summary rollup as
+    a left-to-right operator chain — FROM |> WHERE |> AGGREGATE ...
+    GROUP BY |> WHERE (post-aggregation, i.e. HAVING) |> SELECT. The
+    pipe form parses to the identical logical plan as the classic
+    query (the oracle is that classic form), so Catalyst optimizes
+    both the same way; the surface matters because pipelined SQL is
+    the natural authoring style for multi-stage transforms and the
+    engine must accept it anywhere plain SQL is accepted.
+
+    Verified in-environment: AGGREGATE requires its GROUP BY inline,
+    post-aggregation filters are plain |> WHERE (there is no HAVING
+    stage), and aliases bind left-to-right (a later stage sees only
+    the previous stage's columns)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+      FROM lineitem
+      |> WHERE l_quantity > 10
+      |> AGGREGATE
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         GROUP BY l_returnflag, l_linestatus
+      |> WHERE n_items >= 100
+      |> SELECT l_returnflag, l_linestatus, rev_cents, n_items, sum_qty
+    """)

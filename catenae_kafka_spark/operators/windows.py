@@ -1073,3 +1073,59 @@ def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         (F.max("ts_s") - F.min("ts_s")).cast("bigint").alias("dur_s"),
     )
+
+
+@REGISTRY.register(
+    "q_session_window_batch",
+    tags=("window", "events", "sessionization"),
+    oracle="""
+WITH t AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 7200
+                OR LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts_s,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM t
+)
+SELECT user_id,
+       CAST(MIN(ts_s) AS BIGINT) AS sess_start_s,
+       CAST(MAX(ts_s) + 7200 AS BIGINT) AS sess_end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sess_no
+""",
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization through the BUILT-IN ``session_window``
+    grouping expression (the same operator the streaming path uses in
+    q_stream_session) rather than the hand-rolled gaps-and-islands of
+    q_sessionize — proving the two formulations agree event-for-event.
+    Semantics delta worth pinning: session_window merges events whose
+    gap is STRICTLY LESS than the 2 h timeout (a gap of exactly 7200 s
+    starts a new session, hence ``>= 7200`` in the oracle's island
+    flag, where q_sessionize uses ``> 7200``), and the emitted window
+    end is last_event + gap, not last_event.
+
+    Scale shape: one user-keyed shuffle into the session-window
+    aggregation — identical to the streaming plan minus the state
+    store; no windows over the raw event table afterward."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.events.groupBy(
+            "user_id", F.session_window("ts", "2 hours").alias("w")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("sess_start_s"),
+            F.unix_timestamp("w.end").alias("sess_end_s"),
+            "n_events",
+        )
+    )

@@ -1648,3 +1648,104 @@ def test_horvitz_thompson_matches_weighted_expansion(con):
     assert int(got["true_total"]) == true_total
     assert int(got["ht_estimate"]) == ht
     assert int(got["rel_err_micro"]) == abs(ht - true_total) * 10**6 // true_total
+
+
+# ---- round-4 additions ----
+
+
+def test_pinball_loss_matches_quantile_loss(con):
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                  CAST(CAST(ts AS DATE) < DATE '2024-01-16' AS INT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    train = defaultdict(list)
+    ev = defaultdict(list)
+    for t, c, is_tr in rows:
+        (train if is_tr else ev)[t].append(int(c))
+    got = {
+        r["event_type"]: (
+            int(r["n_train"]),
+            int(r["n_eval"]),
+            int(r["f50_cents"]),
+            int(r["f90_cents"]),
+            int(r["loss50_deci"]),
+            int(r["loss90_deci"]),
+        )
+        for _, r in oracle_df(con, "q_pinball_loss").iterrows()
+    }
+    for t in train:
+        vals = sorted(train[t])
+        n = len(vals)
+        f50 = vals[max(math.ceil(n * 0.5), 1) - 1]
+        f90 = vals[max(math.ceil(n * 0.9), 1) - 1]
+        evs = ev[t]
+        l50 = sum(max(5 * (y - f50), -5 * (y - f50)) for y in evs) // len(evs)
+        l90 = sum(max(9 * (y - f90), -1 * (y - f90)) for y in evs) // len(evs)
+        assert got[t] == (n, len(evs), f50, f90, l50, l90), t
+        # float cross-check of the pinball definition at tau=0.9
+        ref = sum(
+            0.9 * (y - f90) if y >= f90 else 0.1 * (f90 - y) for y in evs
+        ) / len(evs)
+        assert abs(l90 / 10 - ref) < 1
+
+
+def test_mutual_information_matches_definition(con):
+    rows = con.execute(
+        """SELECT event_type, DAYOFWEEK(ts), CAST(COUNT(*) AS BIGINT)
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    obs = {}
+    rx = defaultdict(int)
+    cy = defaultdict(int)
+    for t, d, o in rows:
+        obs[(t, int(d))] = int(o)
+        rx[t] += int(o)
+        cy[int(d)] += int(o)
+    n = sum(obs.values())
+    h_x = -sum((r / n) * math.log(r / n) for r in rx.values())
+    h_y = -sum((c / n) * math.log(c / n) for c in cy.values())
+    mi = sum(
+        (o / n) * math.log(o * n / (rx[t] * cy[d]))
+        for (t, d), o in obs.items()
+    )
+    got = oracle_df(con, "q_mutual_information").iloc[0]
+    assert int(got["n"]) == n
+    assert abs(float(got["h_type_nats"]) - h_x) < 2e-6
+    assert abs(float(got["h_dow_nats"]) - h_y) < 2e-6
+    assert abs(float(got["mi_nats"]) - mi) < 2e-6
+    # MI bounds: 0 <= MI <= min(H)
+    assert -1e-9 <= mi <= min(h_x, h_y) + 1e-9
+    assert abs(float(got["nmi"]) - mi / min(h_x, h_y)) < 1e-4
+
+
+def test_session_window_batch_matches_gaps_islands(con):
+    rows = con.execute(
+        """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    expect = set()
+    cur_u, start, last, cnt = None, None, None, 0
+    for u, t in rows:
+        # session_window: a gap of EXACTLY the timeout starts a new session
+        if u != cur_u or t - last >= 7200:
+            if cur_u is not None:
+                expect.add((cur_u, start, last + 7200, cnt))
+            cur_u, start, cnt = u, t, 0
+        last = t
+        cnt += 1
+    expect.add((cur_u, start, last + 7200, cnt))
+    got = {
+        (
+            int(r["user_id"]),
+            int(r["sess_start_s"]),
+            int(r["sess_end_s"]),
+            int(r["n_events"]),
+        )
+        for _, r in oracle_df(con, "q_session_window_batch").iterrows()
+    }
+    assert got == expect
