@@ -854,3 +854,104 @@ def q_parse_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("parse_url(url, 'QUERY')").alias("query"),
         F.expr("parse_url(url, 'QUERY', 'chars')").alias("chars_param"),
     )
+
+
+@REGISTRY.register(
+    "q_regr_funcs",
+    tags=("functions", "statistics"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+       ROUND(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_regr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in linear-regression AGGREGATES (regr_slope / intercept /
+    r2 / count / avgx / avgy) — the SQL-standard one-pass OLS family
+    both engines ship natively, here fitting price ~ quantity per
+    return flag. Complements q_agg_regression (hand-built from power
+    sums) by exercising the engine-native aggregate path: partial
+    aggregation and merge come from the engine's own regr state, so
+    the fit runs map-side-combinable at any scale.
+
+    Portability: the two engines accumulate regr state differently
+    (ULP-level drift observed in probes), so every statistic is
+    rounded 6dp; values here are O(1)-O(1e5), far from the round
+    boundary."""
+    c = catalog(spark, sf_dir)
+    c.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql("""
+      SELECT l_returnflag,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+             ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
+               AS intercept,
+             ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+             ROUND(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+      FROM lineitem GROUP BY l_returnflag
+    """)
+
+
+@REGISTRY.register(
+    "q_hof_array_lambdas",
+    tags=("functions", "array", "hof"),
+    oracle="""
+WITH arr AS (
+  SELECT l_orderkey,
+         list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber, l_quantity) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       array_to_string(list_sort(qtys, 'DESC'), ',') AS sorted_desc,
+       array_to_string(list_transform(qtys, (x, i) -> x * i), ',')
+         AS idx_weighted,
+       COALESCE(array_to_string(list_filter(qtys, x -> x % 2 = 0), ','),
+                '') AS evens,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qtys),
+                        (acc, x) -> (acc * 31 + x) % 1000000007)
+            AS BIGINT) AS checksum,
+       list_has_any(qtys, [1, 50]) AS has_extreme
+FROM arr
+""",
+)
+def q_hof_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface beyond q_array_funcs:
+    COMPARATOR array_sort (custom (a,b) lambda, here descending),
+    index-aware transform ((x, i) lambda — Spark indexes from 0 and
+    DuckDB from 1, so the Spark side uses i+1 to pin ONE documented
+    semantics), filter, seeded fold (aggregate with a 31x polynomial
+    checksum — DuckDB's list_reduce has no seed, so the oracle
+    prepends the zero seed), and arrays_overlap/list_has_any. All
+    evaluate inside whole-stage codegen on the per-order array — no
+    explode, no shuffle beyond the orderkey rollup."""
+    c = catalog(spark, sf_dir)
+    arr = c.lineitem.groupBy("l_orderkey").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(l_linenumber, "
+            "CAST(l_quantity AS BIGINT) AS q))), s -> s.q)"
+        ).alias("qtys")
+    )
+    return arr.select(
+        "l_orderkey",
+        F.expr(
+            "array_join(array_sort(qtys, (a, b) -> CASE WHEN a < b THEN 1 "
+            "WHEN a > b THEN -1 ELSE 0 END), ',')"
+        ).alias("sorted_desc"),
+        F.expr(
+            "array_join(transform(qtys, (x, i) -> x * (i + 1)), ',')"
+        ).alias("idx_weighted"),
+        F.expr("array_join(filter(qtys, x -> x % 2 = 0), ',')").alias(
+            "evens"
+        ),
+        F.expr(
+            "aggregate(qtys, CAST(0 AS BIGINT),"
+            " (acc, x) -> (acc * 31 + x) % 1000000007)"
+        ).alias("checksum"),
+        F.expr("arrays_overlap(qtys, array(1, 50))").alias("has_extreme"),
+    )

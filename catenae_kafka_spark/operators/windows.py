@@ -1129,3 +1129,96 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@REGISTRY.register(
+    "q_time_window_batch",
+    tags=("window", "events", "timeseries"),
+    oracle="""
+SELECT event_type,
+       CAST((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS BIGINT)
+         AS win_start_s,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY event_type, win_start_s
+""",
+)
+def q_time_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLING event-time windows in BATCH through the built-in
+    ``window()`` grouping expression — the same operator the streaming
+    tumbling query uses, proving the batch/stream twin computes
+    identical buckets (the oracle is plain epoch-floor arithmetic:
+    window start = (epoch div 21600) * 21600 for 6-hour windows
+    aligned to the epoch).
+
+    Scale shape: window() is just a computed grouping column — one
+    map-side-combinable aggregate, no shuffle beyond the groupBy, and
+    the bucket count is calendar-bounded."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.events.groupBy(
+            "event_type", F.window("ts", "6 hours").alias("w")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("w.start").alias("win_start_s"),
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_hopping_window_batch",
+    tags=("window", "events", "timeseries"),
+    oracle="""
+WITH shifted AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         unnest([0, 1]) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(((ts_s - k * 10800) // 21600) * 21600 + k * 10800 AS BIGINT)
+         AS win_start_s,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM shifted
+GROUP BY event_type, win_start_s
+""",
+)
+def q_hopping_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) event-time windows in batch: 6-hour windows
+    every 3 hours via ``window(ts, '6 hours', '3 hours')`` — each
+    event lands in exactly windowSize/slide = 2 windows. The oracle
+    derives the same assignment from first principles: for hop k in
+    {0, 1}, the start is floor((t - k*slide) / size) * size + k*slide
+    — i.e. a hopping window is a union of slide-shifted tumbling
+    grids, which is also exactly how the operator behaves at scale
+    (input amplification factor = size/slide on the shuffle).
+
+    Scale note: keep size/slide small — a 24h/1h hop writes every
+    event 24x into the aggregate. For high-ratio hops, aggregate to
+    the slide-grain tumbling grid first and roll the 2..k grains up
+    from that (the q_rollup_time_hierarchy composition)."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.events.groupBy(
+            "event_type",
+            F.window("ts", "6 hours", "3 hours").alias("w"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            F.unix_timestamp("w.start").alias("win_start_s"),
+            "n",
+        )
+    )
