@@ -1749,3 +1749,200 @@ def test_session_window_batch_matches_gaps_islands(con):
         for _, r in oracle_df(con, "q_session_window_batch").iterrows()
     }
     assert got == expect
+
+
+# ---- batch 7: experimentation / resampling / absorption ----
+
+
+def test_absorption_3step_matches_recursion(con):
+    rows = con.execute(
+        """WITH seq AS (
+             SELECT event_type AS cur,
+                    LEAD(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS nxt
+             FROM events)
+           SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) FROM seq
+           WHERE nxt IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    row_tot = defaultdict(int)
+    p = defaultdict(dict)
+    for cur, nxt, c in rows:
+        row_tot[cur] += int(c)
+    for cur, nxt, c in rows:
+        p[cur][nxt] = int(c) / row_tot[cur]
+    pk = {cur: p[cur].get("purchase", 0.0) for cur in p}
+    probs = [dict(pk)]
+    for _ in range(2):
+        nxt_p = {
+            cur: probs[0][cur]
+            + sum(
+                q * probs[-1][n]
+                for n, q in p[cur].items()
+                if n != "purchase"
+            )
+            for cur in p
+        }
+        probs.append(nxt_p)
+    got = {
+        r["event_type"]: (
+            int(r["p1_nano"]) / 1e9,
+            int(r["p2_nano"]) / 1e9,
+            int(r["p3_nano"]) / 1e9,
+        )
+        for _, r in oracle_df(con, "q_absorption_3step").iterrows()
+    }
+    for cur in p:
+        for k in range(3):
+            assert abs(got[cur][k] - probs[k][cur]) < 1e-6, (cur, k)
+        # absorption probabilities are monotone in horizon
+        assert got[cur][0] <= got[cur][1] + 1e-9 <= got[cur][2] + 2e-9
+
+
+def test_poststratify_matches_weighted_mean(con):
+    pop = dict(
+        con.execute(
+            "SELECT c_nationkey, COUNT(*) FROM customer GROUP BY 1"
+        ).fetchall()
+    )
+    strat = {
+        r[0]: (int(r[1]), int(r[2]))
+        for r in con.execute(
+            """SELECT c_nationkey, COUNT(*),
+                      SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY 1"""
+        ).fetchall()
+    }
+    n_total = sum(pop.values())
+    post = sum(
+        (pop[k] / n_total) * (s / n) for k, (n, s) in strat.items()
+    )
+    naive = sum(s for _, s in strat.values()) / sum(
+        n for n, _ in strat.values()
+    )
+    got = oracle_df(con, "q_poststratify").iloc[0]
+    assert int(got["n_strata"]) == len(strat)
+    # integer milli floors: each stratum term floors once
+    assert abs(int(got["post_strat_milli"]) / 1000 - post) < len(strat) / 1000
+    assert abs(int(got["naive_milli"]) / 1000 - naive) < 1e-3
+
+
+def test_cuped_matches_regression_adjustment(con):
+    rows = con.execute(
+        """SELECT CAST(SUM(CASE WHEN EXTRACT(DAY FROM ts) <= 15
+                               THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                               ELSE 0 END) AS BIGINT),
+                  CAST(SUM(CASE WHEN EXTRACT(DAY FROM ts) > 15
+                               THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                               ELSE 0 END) AS BIGINT)
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    xs = [int(r[0]) for r in rows]
+    ys = [int(r[1]) for r in rows]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    theta = cov / vx
+    rho2 = cov * cov / (vx * vy)
+    got = oracle_df(con, "q_cuped_adjustment").iloc[0]
+    assert int(got["n_users"]) == n
+    assert abs(int(got["theta_micro"]) / 1e6 - theta) < 2e-6
+    assert abs(int(got["var_reduction_micro"]) / 1e6 - rho2) < 2e-6
+    assert 0 <= rho2 <= 1
+
+
+def test_kfold_cv_matches_leave_fold_out(con):
+    rows = con.execute(
+        """SELECT c.c_mktsegment,
+                  ('0x' || substr(md5('fold:' || o.o_custkey), 1, 8))::BIGINT
+                    % 5,
+                  o.o_custkey,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2, 3"""
+    ).fetchall()
+    from collections import defaultdict
+
+    seg_tot = defaultdict(lambda: [0, 0])
+    fold_seg = defaultdict(lambda: [0, 0])
+    for seg, fold, _, cents in rows:
+        seg_tot[seg][0] += 1
+        seg_tot[seg][1] += int(cents)
+        fold_seg[(seg, int(fold))][0] += 1
+        fold_seg[(seg, int(fold))][1] += int(cents)
+    per_fold = defaultdict(lambda: [0, 0])
+    for seg, fold, _, cents in rows:
+        n_s, s_s = seg_tot[seg]
+        n_sf, s_sf = fold_seg[(seg, int(fold))]
+        if n_s == n_sf:
+            continue
+        pred = (s_s - s_sf) // (n_s - n_sf)
+        per_fold[int(fold)][0] += 1
+        per_fold[int(fold)][1] += abs(int(cents) - pred)
+    got = {
+        int(r["fold"]): (int(r["n_test"]), int(r["mae_cents"]))
+        for _, r in oracle_df(con, "q_kfold_cv").iterrows()
+    }
+    for f, (n, tot) in per_fold.items():
+        assert got[f] == (n, tot // n), f
+
+
+def test_power_analysis_matches_sample_size_formula(con):
+    from statistics import NormalDist
+
+    rows = con.execute(
+        """SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events WHERE event_type = 'purchase'"""
+    ).fetchall()
+    vals = [int(r[0]) for r in rows]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = (sum(v * v for v in vals) - sum(vals) ** 2 / n) / (n - 1)
+    # 1.96 and 0.84 are the canonical rounded z values; verify they ARE
+    # the alpha=0.05 two-sided and 80%-power quantiles to 2dp
+    assert abs(NormalDist().inv_cdf(0.975) - 1.96) < 0.005
+    assert abs(NormalDist().inv_cdf(0.80) - 0.84) < 0.005
+    for mde, col in [(0.05, "n_per_arm_5pct_mde"), (0.01, "n_per_arm_1pct_mde")]:
+        expect = math.ceil(2 * (1.96 + 0.84) ** 2 * var / (mde * mean) ** 2)
+        assert int(oracle_df(con, "q_power_analysis").iloc[0][col]) == expect
+
+
+def test_fdr_criticals_and_step_up(con):
+    from statistics import NormalDist
+
+    # the hard-coded chi2(1) criticals must equal (z_{1-p/2})^2 for
+    # p = 0.05*k/5, k = 1..5 (BH step-up thresholds, m = 5 tests)
+    crits = {1: 6.6349, 2: 5.4119, 3: 4.7093, 4: 4.2179, 5: 3.8415}
+    for k, c in crits.items():
+        p = 0.05 * k / 5
+        z = NormalDist().inv_cdf(1 - p / 2)
+        assert abs(z * z - c) < 5e-4, k
+    df = oracle_df(con, "q_multiple_testing_fdr")
+    rows = sorted(
+        (int(r["rk"]), int(r["chi2_micro"]), bool(r["rejected"]))
+        for _, r in df.iterrows()
+    )
+    # BH: rejected iff rk <= k* where k* = max rank passing its critical
+    passing = [rk for rk, chi2, _ in rows if chi2 >= crits[rk] * 1e6 - 50]
+    k_star = max(passing, default=0)
+    for rk, chi2, rejected in rows:
+        assert rejected == (rk <= k_star), rk
+
+
+def test_survey_raking_margins(con):
+    df = oracle_df(con, "q_survey_raking")
+    kr = df["seg"].nunique()
+    kc = df["r_name"].nunique()
+    # after the column pass, each column marginal hits its target
+    # (uniform 1e6/kc + remainder on the first column) up to floor loss
+    col_sum = df.groupby("r_name")["raked_micro"].sum()
+    base = 10**6 // kc
+    for r_name, s in col_sum.items():
+        assert base - kr <= s <= base + 10**6 % kc + kr, r_name
+    # total mass stays ~1e6
+    assert abs(df["raked_micro"].sum() - 10**6) <= kr * kc
