@@ -955,3 +955,99 @@ def q_hof_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("checksum"),
         F.expr("arrays_overlap(qtys, array(1, 50))").alias("has_extreme"),
     )
+
+
+@REGISTRY.register(
+    "q_listagg_ordered",
+    tags=("functions", "agg", "string"),
+    oracle="""
+SELECT n_name,
+       string_agg(seg, ',' ORDER BY cents DESC, seg) AS segs_by_balance,
+       string_agg(DISTINCT seg, '|' ORDER BY seg) AS segs_distinct
+FROM (
+  SELECT n_name, c_mktsegment AS seg,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_mktsegment
+)
+GROUP BY n_name
+""",
+)
+def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (ORDER BY ...) — the SQL:2016 ordered
+    string aggregation Spark gained in 4.0, here emitting each
+    nation's market segments ordered by total balance plus the
+    DISTINCT variant. The deterministic ORDER BY inside the aggregate
+    is the point: collect_list + array_join gives no ordering
+    guarantee after a shuffle, while listagg's sort is part of the
+    aggregate's contract on both engines (DuckDB spells it
+    string_agg(... ORDER BY ...)).
+
+    Note listagg DISTINCT requires the sort key to BE the aggregated
+    expression — a distinct list can only be ordered by itself."""
+    c = catalog(spark, sf_dir)
+    c.customer.createOrReplaceTempView("customer")
+    c.nation.createOrReplaceTempView("nation")
+    return spark.sql("""
+      SELECT n_name,
+             listagg(seg, ',')
+               WITHIN GROUP (ORDER BY cents DESC, seg) AS segs_by_balance,
+             listagg(DISTINCT seg, '|')
+               WITHIN GROUP (ORDER BY seg) AS segs_distinct
+      FROM (
+        SELECT n_name, c_mktsegment AS seg,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, c_mktsegment
+      )
+      GROUP BY n_name
+    """)
+
+
+@REGISTRY.register(
+    "q_stack_inline",
+    tags=("functions", "generator"),
+    oracle="""
+WITH per AS (
+  SELECT o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+  FROM orders GROUP BY prio
+)
+SELECT prio, metric, val FROM (
+  SELECT prio, 'n_orders' AS metric, n_orders AS val FROM per
+  UNION ALL SELECT prio, 'cents', cents FROM per
+  UNION ALL SELECT prio, 'n_cust', n_cust FROM per
+)
+""",
+)
+def q_stack_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STACK generator: widen-then-unpivot an aggregate row into
+    (metric, value) pairs — the generator-function route to the same
+    reshape q_unpivot does with the UNPIVOT clause and q_sql_pivot_
+    unpivot does in SQL, completing the trio. stack(n, k1, v1, ...)
+    emits n rows per input row inside whole-stage codegen (no join,
+    no shuffle); the oracle is the UNION ALL it desugars to."""
+    c = catalog(spark, sf_dir)
+    per = c.orders.groupBy(
+        F.col("o_orderpriority").alias("prio")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
+    )
+    return per.select(
+        "prio",
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'cents', cents,"
+            " 'n_cust', n_cust)"
+        ).alias("metric", "val"),
+    )

@@ -1084,7 +1084,7 @@ WITH t AS (
          CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
                    - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id)
-                   >= 7200
+                   > 7200
                 OR LAG(ts) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_sess
@@ -1107,11 +1107,13 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping expression (the same operator the streaming path uses in
     q_stream_session) rather than the hand-rolled gaps-and-islands of
     q_sessionize — proving the two formulations agree event-for-event.
-    Semantics delta worth pinning: session_window merges events whose
-    gap is STRICTLY LESS than the 2 h timeout (a gap of exactly 7200 s
-    starts a new session, hence ``>= 7200`` in the oracle's island
-    flag, where q_sessionize uses ``> 7200``), and the emitted window
-    end is last_event + gap, not last_event.
+    Boundary semantics, pinned by synthetic probe (the fixture's
+    microsecond timestamps never land exactly on the gap, so parity
+    alone cannot distinguish): a gap of EXACTLY the timeout MERGES —
+    two events 7200 s apart form one session (sessions touching at
+    the boundary union), matching q_sessionize's strict ``> 7200``
+    island flag; and the emitted window end is last_event + gap, not
+    last_event.
 
     Scale shape: one user-keyed shuffle into the session-window
     aggregation — identical to the streaming plan minus the state

@@ -1997,3 +1997,65 @@ def q_stream_backfill_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_overlap"),
     )
+
+
+@REGISTRY.register(
+    "q_stream_session_dynamic",
+    tags=("streaming", "sessionization"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN event_type = 'click' THEN 3600 ELSE 7200 END AS gap_s,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w)
+                   > CASE WHEN event_type = 'click' THEN 3600 ELSE 7200 END
+              OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, ts,
+         SUM(new_session) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ROWS UNBOUNDED PRECEDING)
+           AS session_id
+  FROM g
+)
+SELECT user_id, event_type,
+       STRFTIME(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S')
+         AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, event_type, session_id
+""",
+)
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP session windows: the session timeout is an
+    EXPRESSION, not a constant — clicks close after 1 h of silence,
+    everything else after 2 h (``session_window(ts, CASE WHEN ...)``,
+    the Spark 4 per-row gap form). This is the streaming operator for
+    mixed-cadence telemetry where one timeout either shreds slow
+    signals or glues fast ones; the batch oracle is gaps-and-islands
+    with the same per-type gap. The gap expression must be constant
+    WITHIN a group key here (event_type is part of the key), keeping
+    the merge semantics identical to the fixed-gap proof in
+    q_session_window_batch (equal-to-gap deltas merge, hence the
+    oracle's strict ``>``).
+
+    Scale shape: same (user, type)-keyed shuffle and watermark-bounded
+    session state as q_stream_session; the dynamic gap costs nothing
+    extra — it rides the row."""
+    stream = replay_events(spark, sf_dir, with_sentinel=True)
+    gap = F.when(F.col("event_type") == "click", F.lit("1 hour")).otherwise(
+        F.lit("2 hours")
+    )
+    wm = stream.withWatermark("ts", "10 minutes")
+    agg = wm.groupBy(
+        F.session_window("ts", gap), "user_id", "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    out = agg.filter(F.year(F.col("session_window.start")) < 2030).select(
+        "user_id",
+        "event_type",
+        F.date_format(F.col("session_window.start"), WIN_FMT).alias(
+            "session_start"
+        ),
+        "n_events",
+    )
+    return run_available_now(out, "append", _name("session_dyn"))

@@ -1731,8 +1731,9 @@ def test_session_window_batch_matches_gaps_islands(con):
     expect = set()
     cur_u, start, last, cnt = None, None, None, 0
     for u, t in rows:
-        # session_window: a gap of EXACTLY the timeout starts a new session
-        if u != cur_u or t - last >= 7200:
+        # session_window: a gap of EXACTLY the timeout MERGES (probe-
+        # verified; boundary-touching sessions union), so strict >
+        if u != cur_u or t - last > 7200:
             if cur_u is not None:
                 expect.add((cur_u, start, last + 7200, cnt))
             cur_u, start, cnt = u, t, 0
