@@ -1947,3 +1947,272 @@ def test_survey_raking_margins(con):
         assert base - kr <= s <= base + 10**6 % kc + kr, r_name
     # total mass stays ~1e6
     assert abs(df["raked_micro"].sum() - 10**6) <= kr * kc
+
+
+# ---- batch 8: econ / attribution / ops ----
+
+
+def test_markov_accuracy_matches_argmax_predictor(con):
+    rows = con.execute(
+        """SELECT user_id, event_type FROM events
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    bi = defaultdict(int)
+    prev_u = prev_t = None
+    for u, t in rows:
+        if u == prev_u:
+            bi[(prev_t, t)] += 1
+        prev_u, prev_t = u, t
+    by_prev = defaultdict(dict)
+    for (p, c), n in bi.items():
+        by_prev[p][c] = n
+    got = {
+        r["prev"]: (
+            int(r["n_transitions"]),
+            int(r["n_correct"]),
+            int(r["accuracy_micro"]),
+        )
+        for _, r in oracle_df(con, "q_markov_accuracy").iterrows()
+    }
+    for p, nexts in by_prev.items():
+        pred = min(nexts, key=lambda c: (-nexts[c], c))
+        tot = sum(nexts.values())
+        correct = nexts[pred]
+        assert got[p] == (tot, correct, correct * 10**6 // tot), p
+        # the argmax predictor can never beat the modal share... or lose to it
+        assert correct == max(nexts.values())
+
+
+def test_attribution_decay_matches_half_life_weights(con):
+    rows = con.execute(
+        """WITH conv AS (
+             SELECT user_id, MAX(ts) AS conv_ts FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id
+           )
+           SELECT e.user_id, e.event_type,
+                  (epoch_us(c.conv_ts) // 1000000
+                   - epoch_us(e.ts) // 1000000) // 86400
+           FROM events e JOIN conv c ON e.user_id = c.user_id
+           WHERE e.ts <= c.conv_ts AND e.event_type <> 'purchase'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for u, t, age in rows:
+        w[(int(u), t)] += 10**6 >> min(int(age) // 7, 19)
+    tw = defaultdict(int)
+    for (u, _), v in w.items():
+        tw[u] += v
+    credit = defaultdict(lambda: [set(), 0])
+    for (u, t), v in w.items():
+        credit[t][0].add(u)
+        credit[t][1] += v * 10**6 // tw[u]
+    got = {
+        r["event_type"]: (int(r["n_users"]), int(r["credit_micro_total"]))
+        for _, r in oracle_df(con, "q_attribution_decay").iterrows()
+    }
+    assert got == {t: (len(us), c) for t, (us, c) in credit.items()}
+
+
+def test_revenue_bridge_is_additive(con):
+    df = oracle_df(con, "q_revenue_bridge")
+    for _, r in df.iterrows():
+        # residual definition: volume + price == total delta exactly
+        assert int(r["delta_milli"]) == int(r["volume_effect_milli"]) + int(
+            r["price_effect_milli"]
+        )
+        assert int(r["delta_milli"]) == (int(r["r2"]) - int(r["r1"])) * 1000
+
+
+def test_arc_elasticity_matches_midpoint_formula(con):
+    rows = con.execute(
+        """SELECT p_brand,
+                  CASE WHEN l_discount <= 0.05 THEN 'low' ELSE 'high' END,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT),
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount))
+                                AS BIGINT)) AS BIGINT)
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    per = {}
+    for b, band, q, r in rows:
+        per.setdefault(b, {})[band] = (int(q), int(r))
+    got = {
+        r["p_brand"]: int(r["elasticity_milli"])
+        for _, r in oracle_df(con, "q_arc_elasticity").iterrows()
+    }
+    for b, d in per.items():
+        if "low" not in d or "high" not in d:
+            continue
+        (q1, r1), (q2, r2) = d["low"], d["high"]
+        p1, p2 = r1 / q1, r2 / q2
+        if p2 * q1 == p1 * q2:
+            continue
+        e = ((q2 - q1) / (q1 + q2)) / ((p2 - p1) / (p1 + p2))
+        assert abs(got[b] / 1000 - e) < 2e-3, b
+        # discounted (cheaper) band should not sell LESS: demand curve
+        # slopes down => elasticity negative
+        assert e < 0 or q2 < q1
+
+
+def test_newsvendor_matches_service_level_quantile(con):
+    rows = con.execute(
+        """SELECT p_brand, CAST(o_orderdate AS DATE),
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    demand = defaultdict(list)
+    for b, _, d in rows:
+        demand[b].append(int(d))
+    got = {
+        r["p_brand"]: (
+            int(r["n_days"]),
+            int(r["mean_daily_demand"]),
+            int(r["p95_daily_demand"]),
+        )
+        for _, r in oracle_df(con, "q_newsvendor_quantile").iterrows()
+    }
+    for b, ds in demand.items():
+        ds.sort()
+        n = len(ds)
+        p95 = ds[max(math.ceil(n * 0.95), 1) - 1]
+        assert got[b] == (n, sum(ds) // n, p95), b
+        assert sum(1 for d in ds if d <= p95) >= math.ceil(n * 0.95)
+
+
+def test_market_hhi_matches_share_squares(con):
+    rows = con.execute(
+        """SELECT r_name, n_name,
+                  CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(dict)
+    for r, n, d in rows:
+        per[r][n] = int(d)
+    got = {
+        r["r_name"]: (int(r["n_nations"]), int(r["hhi_micro"]))
+        for _, r in oracle_df(con, "q_market_hhi").iterrows()
+    }
+    for region, nations in per.items():
+        total = sum(nations.values())
+        hhi = sum((d / total) ** 2 for d in nations.values())
+        assert got[region][0] == len(nations)
+        assert abs(got[region][1] / 1e6 - hhi) < 2e-6
+        # HHI lives in [1/k, 1]
+        assert 1 / len(nations) - 1e-9 <= hhi <= 1
+
+
+def test_abc_classification_matches_pareto_cut(con):
+    rows = con.execute(
+        """SELECT p_brand,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                      * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"""
+    ).fetchall()
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(r[1] for r in ranked)
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    cum = 0
+    for b, rev in ranked:
+        cum += rev
+        k = "A" if cum * 100 <= total * 80 else (
+            "B" if cum * 100 <= total * 95 else "C"
+        )
+        agg[k][0] += 1
+        agg[k][1] += rev
+    got = {
+        r["klass"]: (int(r["n_brands"]), int(r["class_rev_tc"]))
+        for _, r in oracle_df(con, "q_abc_classification").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_skew_report_matches_r7_percentiles(con):
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem GROUP BY l_partkey"
+    ).fetchall()
+    ns = np.array([int(r[0]) for r in rows], dtype=float)
+    got = oracle_df(con, "q_skew_report").iloc[0]
+    assert int(got["n_rows"]) == int(ns.sum())
+    assert int(got["n_keys"]) == len(ns)
+    assert int(got["max_key_rows"]) == int(ns.max())
+    assert abs(float(got["p50_key_rows"]) - np.percentile(ns, 50)) < 1e-9
+    assert abs(float(got["p99_key_rows"]) - np.percentile(ns, 99)) < 1e-9
+    assert abs(
+        float(got["skew_ratio"]) - ns.max() / ns.mean()
+    ) < 1e-9
+
+
+def test_winsorize_matches_r7_bounds(con):
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT event_id, event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for _, t, c in rows:
+        groups[t].append(int(c))
+    bounds = {
+        t: (np.percentile(v, 5), np.percentile(v, 95))
+        for t, v in groups.items()
+    }
+    df = oracle_df(con, "q_winsorize")
+    sample = df.sample(n=min(500, len(df)), random_state=4)
+    for _, r in sample.iterrows():
+        lo, hi = bounds[r["event_type"]]
+        c = round(float(r["value"]) * 100)
+        w = min(max(c, lo), hi)
+        assert abs(float(r["winsorized"]) - round(w / 100, 4)) < 5e-5
+        assert bool(r["was_clipped"]) == (c < lo or c > hi)
+
+
+def test_funnel_counts_are_ordered(con):
+    rows = con.execute(
+        """SELECT user_id,
+                  MIN(ts) FILTER (event_type = 'signup'),
+                  MIN(ts) FILTER (event_type = 'click'),
+                  MIN(ts) FILTER (event_type = 'purchase')
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    n_s = sum(1 for _, s, c, p in rows if s is not None)
+    n_c = sum(
+        1 for _, s, c, p in rows if s is not None and c is not None and c > s
+    )
+    n_p = sum(
+        1
+        for _, s, c, p in rows
+        if s is not None
+        and c is not None
+        and c > s
+        and p is not None
+        and p > c
+    )
+    got = oracle_df(con, "q_funnel").iloc[0]
+    assert (int(got["n_signup"]), int(got["n_click"]), int(got["n_purchase"])) == (
+        n_s,
+        n_c,
+        n_p,
+    )
+    assert n_s >= n_c >= n_p  # funnel monotonicity
