@@ -2216,3 +2216,245 @@ def test_funnel_counts_are_ordered(con):
         n_p,
     )
     assert n_s >= n_c >= n_p  # funnel monotonicity
+
+
+# ---- batch 9: corpus-prep formulas ----
+
+
+def _docs(con):
+    return con.execute(
+        "SELECT doc_id, lang, source, text, n_chars FROM documents"
+    ).fetchall()
+
+
+def test_token_count_matches_three_tokenizers(con):
+    import re
+
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for _, lang, _, text, n_chars in _docs(con):
+        a = agg[lang]
+        a[0] += len(text.split(" "))
+        a[1] += len(re.findall(r"[a-zA-Z0-9]+", text))
+        a[2] += math.ceil(n_chars / 4)
+        a[3] += 1
+    got = {
+        r["lang"]: (
+            int(r["ws_tokens"]),
+            int(r["re_tokens"]),
+            int(r["bpe_est"]),
+            int(r["n_docs"]),
+        )
+        for _, r in oracle_df(con, "q_token_count").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_doc_fingerprint_matches_rolling_hash(con):
+    got = {
+        int(r["doc_id"]): (int(r["fingerprint"]), int(r["n_chars_seen"]))
+        for _, r in oracle_df(con, "q_doc_fingerprint").iterrows()
+    }
+    for doc_id, _, _, text, _ in _docs(con):
+        h = 0
+        for ch in text:
+            h = (h * 31 + ord(ch)) % 2147483647
+        assert got[int(doc_id)] == (h, len(text))
+
+
+def test_text_quality_matches_weighted_score(con):
+    got = {
+        int(r["doc_id"]): r for _, r in oracle_df(con, "q_text_quality").iterrows()
+    }
+    stop = {"the", "a", "value", "row"}
+    for doc_id, _, _, text, _ in _docs(con):
+        toks = text.split(" ")
+        uniq = len(set(toks)) / len(toks)
+        awl = sum(len(t) for t in toks) / len(toks)
+        sr = sum(1 for t in toks if t in stop) / len(toks)
+        score = (
+            0.4 * uniq
+            + 0.3 * min(len(toks) / 20, 1.0)
+            + 0.2 * (1 - sr)
+            + 0.1 * min(awl / 6, 1.0)
+        )
+        r = got[int(doc_id)]
+        assert int(r["n_words"]) == len(toks)
+        assert abs(float(r["quality_score"]) - score) < 2e-6
+        assert 0 <= score <= 1
+
+
+def test_repetition_score_matches_bigram_dup_ratio(con):
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0, 0])
+    for _, lang, _, text, _ in _docs(con):
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        rep = 1 - len(set(bigrams)) / len(bigrams)
+        a = agg[lang]
+        a[0] += 1
+        a[1] += rep
+        a[2] += rep > 0.2
+    got = {
+        r["lang"]: (int(r["n_docs"]), float(r["avg_rep"]), int(r["n_repetitive"]))
+        for _, r in oracle_df(con, "q_repetition_score").iterrows()
+    }
+    for lang, (n, tot, nrep) in agg.items():
+        assert got[lang][0] == n
+        assert abs(got[lang][1] - tot / n) < 2e-6
+        assert got[lang][2] == nrep
+
+
+def test_seq_pack_conserves_tokens(con):
+    from collections import defaultdict
+
+    docs = sorted(_docs(con))
+    cum = defaultdict(int)
+    packs = defaultdict(lambda: [0, 0])
+    for doc_id, lang, _, text, _ in docs:
+        n_tok = len(text.split(" "))
+        seq = cum[lang] // 512
+        cum[lang] += n_tok
+        packs[(lang, seq)][0] += 1
+        packs[(lang, seq)][1] += n_tok
+    got = {
+        (r["lang"], int(r["seq_id"])): (int(r["n_docs"]), int(r["n_tokens"]))
+        for _, r in oracle_df(con, "q_seq_pack").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in packs.items()}
+    # conservation: packed token totals equal raw totals per lang
+    per_lang_packed = defaultdict(int)
+    for (lang, _), (_, t) in got.items():
+        per_lang_packed[lang] += t
+    assert per_lang_packed == dict(cum)
+
+
+def test_split_leakage_matches_canonical_hash_grouping(con):
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for doc_id, _, _, text, _ in _docs(con):
+        key = " ".join(sorted(set(text.split(" "))))
+        m = (int(doc_id) * 2654435761) % 100
+        split = "train" if m < 80 else ("valid" if m < 90 else "test")
+        groups[key].append(split)
+    dup = [v for v in groups.values() if len(v) > 1]
+    leak = [v for v in dup if len(set(v)) > 1]
+    got = oracle_df(con, "q_split_leakage").iloc[0]
+    assert int(got["n_dup_groups"]) == len(dup)
+    assert int(got["n_leaking_groups"]) == len(leak)
+    assert int(got["n_leaking_docs"]) == sum(len(v) for v in leak)
+
+
+def test_vocab_coverage_matches_topk_mass(con):
+    from collections import Counter
+
+    cnt = Counter()
+    for _, _, _, text, _ in _docs(con):
+        cnt.update(w for w in text.split(" ") if w)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    got = {
+        int(r["k"]): (int(r["covered"]), int(r["total"]), float(r["coverage"]))
+        for _, r in oracle_df(con, "q_vocab_coverage").iterrows()
+    }
+    prev = 0
+    for k in (10, 100, 1000):
+        covered = sum(n for _, n in ranked[:k])
+        assert got[k][0] == covered
+        assert got[k][1] == total
+        assert abs(got[k][2] - covered / total) < 1e-9
+        assert covered >= prev  # coverage is monotone in k
+        prev = covered
+
+
+def test_word_burstiness_matches_vmr(con):
+    from collections import Counter, defaultdict
+
+    n_docs = len(_docs(con))
+    per_word = defaultdict(list)
+    for _, _, _, text, _ in _docs(con):
+        for w, n in Counter(text.split(" ")).items():
+            per_word[w].append(n)
+    scored = []
+    for w, ns in per_word.items():
+        s1 = sum(ns)
+        s2 = sum(n * n for n in ns)
+        vmr = math.floor((n_docs * s2 - s1 * s1) / (n_docs * s1) * 10**6)
+        scored.append((-vmr, w, len(ns), s1, vmr))
+    scored.sort()
+    expect = [
+        (w, d, s1, vmr) for _, w, d, s1, vmr in scored[:15]
+    ]
+    got = [
+        (r["word"], int(r["n_docs_with"]), int(r["total_count"]), int(r["vmr_micro"]))
+        for _, r in oracle_df(con, "q_word_burstiness").iterrows()
+    ]
+    assert got == expect
+
+
+def test_ngram_novelty_matches_df1_share(con):
+    from collections import defaultdict
+
+    doc_grams = {}
+    df = defaultdict(set)
+    src = {}
+    for doc_id, _, source, text, _ in _docs(con):
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        gs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        doc_grams[int(doc_id)] = gs
+        src[int(doc_id)] = source
+        for g in gs:
+            df[g].add(int(doc_id))
+    agg = defaultdict(lambda: [0, 0, 0])
+    for d, gs in doc_grams.items():
+        a = agg[src[d]]
+        a[0] += 1
+        a[1] += len(gs)
+        a[2] += sum(1 for g in gs if len(df[g]) == 1)
+    got = {
+        r["source"]: (
+            int(r["n_docs"]),
+            int(r["total_grams"]),
+            int(r["corpus_unique_grams"]),
+            float(r["novelty"]),
+        )
+        for _, r in oracle_df(con, "q_ngram_novelty").iterrows()
+    }
+    for s, (n, tg, ug) in agg.items():
+        assert got[s][:3] == (n, tg, ug)
+        assert abs(got[s][3] - ug / tg) < 2e-6
+
+
+def test_contamination_score_matches_trigram_hits(con):
+    eval_grams = set()
+    train = {}
+    for doc_id, lang, _, text, _ in _docs(con):
+        toks = text.split(" ")
+        gs = (
+            {
+                " ".join(toks[i : i + 3])
+                for i in range(len(toks) - 2)
+            }
+            if len(toks) >= 3
+            else set()
+        )
+        if int(doc_id) % 97 == 7:
+            eval_grams |= gs
+        else:
+            train[int(doc_id)] = (lang, gs)
+    got = {
+        int(r["doc_id"]): (int(r["n_grams"]), int(r["n_hits"]))
+        for _, r in oracle_df(con, "q_contamination_score").iterrows()
+    }
+    for d, (lang, gs) in train.items():
+        if not gs:
+            continue
+        hits = sum(1 for g in gs if g in eval_grams)
+        assert got[d] == (len(gs), hits), d
