@@ -1051,3 +1051,43 @@ def q_stack_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'n_cust', n_cust)"
         ).alias("metric", "val"),
     )
+
+
+@REGISTRY.register(
+    "q_binary_encoding_funcs",
+    tags=("functions", "binary"),
+    oracle="""
+SELECT doc_id,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       base64(text::BLOB) AS b64,
+       lower(hex(substr(text, 1, 8))) AS head_hex,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       CAST(bit_length(text) AS BIGINT) AS n_bits
+FROM documents
+""",
+)
+def q_binary_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding/digest function pack: md5 + sha256 digests,
+    base64 round-trip encoding, hex of a byte prefix, and byte/bit
+    lengths — the content-addressing primitives under q_cas_dedup and
+    every artifact checksum. Both engines emit identical digests for
+    identical bytes (the fixtures are ASCII, so text == utf8 bytes);
+    hex case is normalized (Spark upper, DuckDB lower), and Spark's
+    base64 is the MIME variant that inserts CRLF every 76 chars —
+    stripped here, since DuckDB (and RFC 4648) emit one unbroken
+    line.
+
+    Scale shape: map-only, whole-stage codegen, zero shuffle."""
+    c = catalog(spark, sf_dir)
+    return c.documents.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+        F.regexp_replace(
+            F.base64(F.col("text").cast("binary")), "[\\r\\n]", ""
+        ).alias("b64"),
+        F.lower(F.hex(F.substring("text", 1, 8))).alias("head_hex"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.bit_length("text").cast("bigint").alias("n_bits"),
+    )

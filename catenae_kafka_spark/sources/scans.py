@@ -721,3 +721,45 @@ def q_scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("n_nationkey", "n_name", "n_regionkey").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+@REGISTRY.register(
+    "q_scan_file_metadata",
+    tags=("scan", "source", "lineage"),
+    oracle="""
+SELECT 'lineitem.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+FROM lineitem
+""",
+)
+def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` struct column of file-based scans:
+    per-FILE row counts and key ranges straight from the reader
+    (file_path/file_name/file_size/row_index with no extra scan or
+    join) — the lineage primitive behind incremental pipelines
+    ("which files feed this partition") that q_lineage_files builds
+    with input_file_name(); _metadata is the typed, documented
+    successor and also carries row_index for stable intra-file row
+    ids. The fixture stores each table as ONE parquet file, so the
+    oracle states that expectation as a constant file name over the
+    registered view — if the layout ever splits, the Spark side will
+    return one row per file and the row-count mismatch flags it.
+
+    Scale shape: metadata columns are populated by the scan itself —
+    the aggregate is the only operator, map-side-combinable on the
+    file-name key (bounded by file count, not rows)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        df.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            "l_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").cast("bigint").alias("min_orderkey"),
+            F.max("l_orderkey").cast("bigint").alias("max_orderkey"),
+        )
+    )
