@@ -2458,3 +2458,164 @@ def test_contamination_score_matches_trigram_hits(con):
             continue
         hits = sum(1 for g in gs if g in eval_grams)
         assert got[d] == (len(gs), hits), d
+
+
+# ---- batch 10: retention / streaks / intervals ----
+
+
+def test_retention_matches_cohort_counts(con):
+    rows = con.execute(
+        "SELECT user_id, CAST(ts AS DATE) FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    first = {}
+    for u, d in rows:
+        if u not in first or d < first[u]:
+            first[u] = d
+    cells = defaultdict(set)
+    for u, d in rows:
+        off = (d - first[u]).days
+        if off <= 7:
+            cells[(str(first[u]), off)].add(u)
+    got = {
+        (r["cohort"], int(r["day_offset"])): int(r["n_users"])
+        for _, r in oracle_df(con, "q_retention").iterrows()
+    }
+    assert got == {k: len(v) for k, v in cells.items()}
+    # day-0 retention is every cohort member: n_users at offset 0 is max
+    for (cohort, off), n in got.items():
+        assert n <= got[(cohort, 0)]
+
+
+def test_retention_halflife_matches_loglinear_fit(con):
+    rows = con.execute(
+        """WITH firsts AS (
+             SELECT user_id, MIN(CAST(ts AS DATE)) AS c FROM events
+             GROUP BY user_id)
+           SELECT DISTINCT e.user_id,
+                  DATEDIFF('day', f.c, CAST(e.ts AS DATE))
+           FROM events e JOIN firsts f ON e.user_id = f.user_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per_k = defaultdict(int)
+    for _, k in rows:
+        if 1 <= int(k) <= 7:
+            per_k[int(k)] += 1
+    ys = [math.log(per_k[k]) for k in range(1, 8)]
+    xs = list(range(1, 8))
+    n = 7
+    slope = (n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(x * x for x in xs) - sum(xs) ** 2
+    )
+    got = oracle_df(con, "q_retention_halflife").iloc[0]
+    assert int(got["n_offsets"]) == 7
+    assert abs(int(got["slope_micro"]) / 1e6 - slope) < 2e-6
+    if slope < 0:
+        hl = -math.log(2) / slope
+        assert abs(int(got["halflife_millidays"]) / 1000 - hl) < 0.01
+
+
+def test_interpurchase_gap_matches_quantiles(con):
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT o_custkey, CAST(o_orderdate AS DATE), o_orderkey FROM orders"
+        " ORDER BY o_custkey, o_orderdate, o_orderkey"
+    ).fetchall()
+    from collections import defaultdict
+
+    gaps = []
+    repeat = set()
+    prev = {}
+    for c, d, _ in rows:
+        if c in prev:
+            gaps.append((d - prev[c]).days)
+            repeat.add(c)
+        prev[c] = d
+    got = oracle_df(con, "q_interpurchase_gap").iloc[0]
+    assert int(got["n_repeat_customers"]) == len(repeat)
+    assert int(got["n_gaps"]) == len(gaps)
+    a = np.array(gaps, dtype=float)
+    for q, col in [(25, "p25_gap_days"), (50, "p50_gap_days"), (75, "p75_gap_days")]:
+        assert abs(float(got[col]) - np.percentile(a, q)) < 1e-9, col
+    assert int(got["max_gap_days"]) == max(gaps)
+
+
+def test_gaps_islands_matches_streaks(con):
+    rows = con.execute(
+        "SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events"
+        " ORDER BY user_id, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    days = defaultdict(list)
+    for u, d in rows:
+        days[int(u)].append(d)
+    got = {
+        int(r["user_id"]): (
+            int(r["max_streak"]),
+            int(r["n_streaks"]),
+            int(r["n_active_days"]),
+        )
+        for _, r in oracle_df(con, "q_gaps_islands").iterrows()
+    }
+    for u, ds in days.items():
+        streaks = [1]
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                streaks[-1] += 1
+            else:
+                streaks.append(1)
+        assert got[u] == (max(streaks), len(streaks), len(ds)), u
+
+
+def test_interval_merge_matches_union_length(con):
+    rows = con.execute(
+        """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT)
+           FROM events ORDER BY user_id, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    ivs = defaultdict(list)
+    for u, s in rows:
+        ivs[int(u)].append((int(s), int(s) + 300))
+    got = {
+        int(r["user_id"]): (int(r["n_intervals"]), int(r["covered_s"]))
+        for _, r in oracle_df(con, "q_interval_merge").iterrows()
+    }
+    for u, spans in ivs.items():
+        spans.sort()
+        merged = []
+        for s, e in spans:
+            # strict > : touching intervals (s == prev e) merge
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        covered = sum(e - s for s, e in merged)
+        assert got[u] == (len(merged), covered), u
+
+
+def test_forward_fill_matches_locf(con):
+    rows = con.execute(
+        """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT),
+                  CASE WHEN event_type = 'click' THEN value END
+           FROM events ORDER BY user_id, 3, event_id"""
+    ).fetchall()
+    expect = {}
+    cur_u, last = None, None
+    for eid, u, ts, sparse in rows:
+        if u != cur_u:
+            cur_u, last = u, None
+        if sparse is not None:
+            last = sparse
+        expect[int(eid)] = None if last is None else round(last, 4)
+    got = {
+        int(r["event_id"]): (
+            None if r["filled"] != r["filled"] else round(float(r["filled"]), 4)
+        )
+        for _, r in oracle_df(con, "q_forward_fill").iterrows()
+    }
+    assert got == expect
