@@ -2619,3 +2619,169 @@ def test_forward_fill_matches_locf(con):
         for _, r in oracle_df(con, "q_forward_fill").iterrows()
     }
     assert got == expect
+
+
+# ---- batch 11: embedding / similarity kernels ----
+
+
+def _vecs(con):
+    rows = con.execute(
+        """SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE))
+           FROM embeddings"""
+    ).fetchall()
+    return {int(r[0]): (int(r[1]), list(r[2])) for r in rows}
+
+
+def test_embedding_isotropy_matches_centroid_cone(con):
+    import numpy as np
+
+    vecs = _vecs(con)
+    q = np.array(
+        [np.floor(np.array(v) * 1000 + 0.5) for _, v in vecs.values()]
+    )
+    cent = q.sum(axis=0)
+    nc = math.sqrt(float(cent @ cent))
+    cos = []
+    for row in q:
+        nv = math.sqrt(float(row @ row))
+        if nv > 0:
+            cos.append(math.floor(float(row @ cent) * 10**6 / (nv * nc)))
+    got = oracle_df(con, "q_embedding_isotropy").iloc[0]
+    assert int(got["n_vectors"]) == len(cos)
+    assert int(got["mean_cos_micro"]) == sum(cos) // len(cos)
+    assert int(got["n_in_cone"]) == sum(1 for c in cos if c > 500000)
+
+
+def test_cluster_quality_matches_cohesion_separation(con):
+    import numpy as np
+
+    vecs = _vecs(con)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for vid, (lbl, v) in vecs.items():
+        groups[lbl].append(np.array(v))
+    cents = {l: np.mean(vs, axis=0) for l, vs in groups.items()}
+    got = {
+        int(r["label"]): r for _, r in oracle_df(con, "q_cluster_quality").iterrows()
+    }
+    for l, vs in groups.items():
+        coh = float(np.mean([np.linalg.norm(v - cents[l]) for v in vs]))
+        dists = sorted(
+            (float(np.linalg.norm(cents[l] - cents[m])), m)
+            for m in cents
+            if m != l
+        )
+        sep, nearest = dists[0]
+        r = got[l]
+        assert int(r["n"]) == len(vs)
+        assert abs(float(r["cohesion"]) - coh) < 1e-3
+        assert int(r["nearest_label"]) == nearest
+        assert abs(float(r["separation"]) - sep) < 1e-3
+        assert abs(float(r["quality_ratio"]) - coh / sep) < 1e-3
+
+
+def test_embed_outliers_matches_distance_tail(con):
+    import numpy as np
+
+    vecs = _vecs(con)
+    maxabs = max(abs(x) for _, v in vecs.values() for x in v)
+    from collections import defaultdict
+
+    groups = defaultdict(dict)
+    for vid, (lbl, v) in vecs.items():
+        q = np.floor(np.array(v) / maxabs * 15 + 0.5)
+        groups[lbl][vid] = q
+    got = {
+        int(r["label"]): (int(r["n_vecs"]), int(r["n_outliers"]), int(r["max_d2"]))
+        for _, r in oracle_df(con, "q_embed_outliers").iterrows()
+    }
+    for lbl, members in groups.items():
+        m = np.array(list(members.values()))
+        # rounded-to-nearest integer centroid: floor((2*sum + n) / (2n))
+        s = m.sum(axis=0)
+        n = len(m)
+        cent = np.floor((2 * s + n) / (2 * n))
+        d2 = ((m - cent) ** 2).sum(axis=1)
+        p95 = np.percentile(d2, 95)
+        assert got[lbl] == (
+            n,
+            int((d2 > p95).sum()),
+            int(d2.max()),
+        ), lbl
+
+
+def test_centroid_similarity_matches_cosine(con):
+    import numpy as np
+
+    vecs = _vecs(con)
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: None)
+    for _, (lbl, v) in vecs.items():
+        q = np.floor(np.array(v) * 1000 + 0.5)
+        sums[lbl] = q if sums[lbl] is None else sums[lbl] + q
+    got = {
+        (int(r["la"]), int(r["lb"])): int(r["cos_micro"])
+        for _, r in oracle_df(con, "q_centroid_similarity").iterrows()
+    }
+    labels = sorted(sums)
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            dot = float(sums[a] @ sums[b])
+            na = math.sqrt(float(sums[a] @ sums[a]))
+            nb = math.sqrt(float(sums[b] @ sums[b]))
+            assert got[(a, b)] == math.floor(dot * 10**6 / (na * nb))
+
+
+def test_embed_quantize_matches_int8_bounds(con):
+    vecs = _vecs(con)
+    got = {
+        int(r["vec_id"]): (
+            float(r["scale"]),
+            float(r["max_abs_err"]),
+            int(r["max_code"]),
+        )
+        for _, r in oracle_df(con, "q_embed_quantize").iterrows()
+    }
+    for vid, (_, v) in vecs.items():
+        scale = max(abs(x) for x in v) / 127.0
+        codes = [math.floor(x / scale + 0.5) for x in v]
+        err = max(abs(x - c * scale) for x, c in zip(v, codes))
+        s, e, mc = got[vid]
+        assert abs(s - round(scale, 6)) < 1e-9
+        assert abs(e - err) < 2e-6
+        assert mc == max(abs(c) for c in codes)
+        assert mc <= 127  # int8 admissible
+        assert err <= scale / 2 + 1e-12  # round-to-nearest error bound
+
+
+def test_knn_cosine_matches_brute_force(con):
+    vecs = _vecs(con)
+    got = {}
+    for _, r in oracle_df(con, "q_knn_cosine").iterrows():
+        got.setdefault(int(r["query_id"]), []).append(
+            (int(r["rn"]), int(r["match_id"]), float(r["cos_sim"]))
+        )
+    for q in [i for i in vecs if i < 8]:
+        _, qe = vecs[q]
+        nq = math.sqrt(sum(x * x for x in qe))
+        scored = sorted(
+            (
+                -round(
+                    sum(a * b for a, b in zip(qe, ce))
+                    / (nq * math.sqrt(sum(x * x for x in ce))),
+                    6,
+                ),
+                m,
+            )
+            for m, (_, ce) in vecs.items()
+            if m != q
+        )[:5]
+        expect = [
+            (i + 1, m, -negcos) for i, (negcos, m) in enumerate(scored)
+        ]
+        assert [
+            (rn, m, round(c, 6)) for rn, m, c in sorted(got[q])
+        ] == expect, q
