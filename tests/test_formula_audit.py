@@ -2785,3 +2785,126 @@ def test_knn_cosine_matches_brute_force(con):
         assert [
             (rn, m, round(c, 6)) for rn, m, c in sorted(got[q])
         ] == expect, q
+
+
+# ---- batch 12: language ID / text generation metrics ----
+
+
+def test_lang_id_matches_profile_vote(con):
+    from collections import Counter, defaultdict
+
+    docs = _docs(con)
+    prof_counts = defaultdict(Counter)
+    for _, lang, _, text, _ in docs:
+        prof_counts[lang].update(text.split(" "))
+    profiles = {
+        lang: {
+            w
+            for w, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        }
+        for lang, c in prof_counts.items()
+    }
+    got = {
+        int(r["doc_id"]): (r["true_lang"], r["pred_lang"], int(r["correct"]))
+        for _, r in oracle_df(con, "q_lang_id").iterrows()
+    }
+    confusion = Counter()
+    for doc_id, lang, _, text, _ in docs:
+        words = set(text.split(" "))
+        hits = {
+            cand: len(words & prof)
+            for cand, prof in profiles.items()
+            if words & prof
+        }
+        if not hits:
+            assert int(doc_id) not in got
+            continue
+        pred = min(hits, key=lambda c: (-hits[c], c))
+        assert got[int(doc_id)] == (lang, pred, int(pred == lang)), doc_id
+        confusion[(lang, pred)] += 1
+    # q_langid_confusion must be the exact aggregation of q_lang_id
+    got_conf = {
+        (r["true_lang"], r["pred_lang"]): int(r["n"])
+        for _, r in oracle_df(con, "q_langid_confusion").iterrows()
+    }
+    assert got_conf == dict(confusion)
+
+
+def test_self_bleu_lite_matches_bigram_precision(con):
+    docs = {int(d): t for d, _, _, t, _ in _docs(con)}
+    grams = {
+        d: {f"{a} {b}" for a, b in zip(t.split(" "), t.split(" ")[1:])}
+        for d, t in docs.items()
+        if len(t.split(" ")) >= 2
+    }
+    precs = []
+    for d, ba in grams.items():
+        if d % 5 == 0 and (d + 7) in grams and ba:
+            bb = grams[d + 7]
+            precs.append(len(ba & bb) * 10**6 // len(ba))
+    got = oracle_df(con, "q_self_bleu_lite").iloc[0]
+    assert int(got["n_pairs"]) == len(precs)
+    assert int(got["self_bleu2_micro"]) == sum(precs) // len(precs)
+    assert int(got["max_pair_micro"]) == max(precs)
+
+
+def test_quantile_normalize_matches_decile_map(con):
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events WHERE event_type IN ('click', 'purchase')"""
+    ).fetchall()
+    src = sorted(c for t, c in rows if t == "click")
+    tgt = sorted(c for t, c in rows if t == "purchase")
+    got = {
+        int(r["decile"]): (int(r["src_decile_cents"]), int(r["mapped_cents"]))
+        for _, r in oracle_df(con, "q_quantile_normalize").iterrows()
+    }
+    prev = None
+    for d in range(1, 10):
+        s = src[max(d * len(src) // 10, 1) - 1]
+        t = tgt[max(d * len(tgt) // 10, 1) - 1]
+        assert got[d] == (s, t), d
+        # the mapping is monotone by construction
+        if prev is not None:
+            assert got[d][1] >= prev
+        prev = got[d][1]
+
+
+def test_negative_sampling_matches_md5_ranks(con):
+    vecs = {
+        int(r[0]): int(r[1])
+        for r in con.execute("SELECT vec_id, label FROM embeddings").fetchall()
+    }
+    import hashlib
+
+    got = {}
+    for _, r in oracle_df(con, "q_negative_sampling").iterrows():
+        got.setdefault(int(r["anchor_id"]), {})[int(r["neg_rank"])] = (
+            int(r["pos_id"]),
+            int(r["neg_id"]),
+        )
+    anchors = [v for v in vecs if v % 11 == 0]
+    for a in anchors:
+        same = [v for v in vecs if vecs[v] == vecs[a] and v != a]
+        if not same:
+            assert a not in got
+            continue
+        pos = min(same)
+        ranked = sorted(
+            (hashlib.md5(f"{a}:{v}".encode()).hexdigest(), v)
+            for v in vecs
+            if vecs[v] != vecs[a]
+        )[:3]
+        for i, (_, neg) in enumerate(ranked, 1):
+            assert got[a][i] == (pos, neg), (a, i)
+            assert vecs[neg] != vecs[a]  # negatives are cross-label
+
+
+def test_rec_precision_invariants(con):
+    got = oracle_df(con, "q_rec_precision").iloc[0]
+    n_users = int(got["n_users_with_rec"])
+    n_hits = int(got["n_hits"])
+    assert 0 <= n_hits <= n_users
+    if n_users:
+        col = [c for c in got.index if "precision" in c][0]
+        assert abs(float(got[col]) / 1e6 - n_hits / n_users) < 1e-5
