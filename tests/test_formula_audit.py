@@ -2908,3 +2908,178 @@ def test_rec_precision_invariants(con):
     if n_users:
         col = [c for c in got.index if "precision" in c][0]
         assert abs(float(got[col]) / 1e6 - n_hits / n_users) < 1e-5
+
+
+# ---- batch 13: sequence / calendar / allocation ----
+
+
+def test_user_paths_matches_prefix_counts(con):
+    rows = con.execute(
+        """SELECT user_id, event_type FROM events
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for u, t in rows:
+        seqs[u].append(t)
+    paths = Counter(">".join(s[:5]) for s in seqs.values())
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["path"], int(r["n_users"]))
+        for _, r in oracle_df(con, "q_user_paths").iterrows()
+    ]
+    assert got == expect
+
+
+def test_peak_detection_matches_local_maxima(con):
+    rows = con.execute(
+        "SELECT CAST(ts AS DATE), COUNT(*) FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ns = [int(r[1]) for r in rows]
+    days = [str(r[0]) for r in rows]
+    expect = {}
+    for i in range(1, len(ns) - 1):
+        if ns[i] > ns[i - 1] and ns[i] > ns[i + 1]:
+            expect[days[i]] = (ns[i], ns[i] - max(ns[i - 1], ns[i + 1]))
+    got = {
+        r["day"]: (int(r["n"]), int(r["prominence"]))
+        for _, r in oracle_df(con, "q_peak_detection").iterrows()
+    }
+    assert got == expect
+    for _, (n, prom) in got.items():
+        assert prom >= 1
+
+
+def test_seasonal_decompose_matches_x7_residuals(con):
+    rows = con.execute(
+        """SELECT CAST(ts AS DATE),
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    days = [r[0] for r in rows]
+    cents = [int(r[1]) for r in rows]
+    from collections import defaultdict
+    from datetime import date
+
+    agg = defaultdict(lambda: [0, 0])
+    for i in range(3, len(cents) - 3):
+        ma7x7 = sum(cents[i - 3 : i + 4])
+        resid = 7 * cents[i] - ma7x7
+        dow = (days[i] - date(1970, 1, 1)).days % 7
+        agg[dow][0] += 1
+        agg[dow][1] += resid
+    got = {
+        int(r["dow"]): (
+            int(r["n_days"]),
+            int(r["resid_x7_sum"]),
+            float(r["seasonal_index"]),
+        )
+        for _, r in oracle_df(con, "q_seasonal_decompose").iterrows()
+    }
+    for dow, (n, tot) in agg.items():
+        assert got[dow][:2] == (n, tot)
+        assert abs(got[dow][2] - tot / (7 * n * 100)) < 1e-9
+    # x7 residuals of a moving average sum to ~0 across all days
+    assert abs(sum(t for _, t in agg.values())) < 7 * max(cents)
+
+
+def test_time_weighted_avg_matches_step_integral(con):
+    rows = con.execute(
+        """SELECT user_id, value, epoch(date_trunc('second', ts))
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for u, v, t in rows:
+        seqs[int(u)].append((float(v), int(t)))
+    got = {
+        int(r["user_id"]): (float(r["twa"]), int(r["span_s"]))
+        for _, r in oracle_df(con, "q_time_weighted_avg").iterrows()
+    }
+    for u, pts in seqs.items():
+        num = den = 0.0
+        for (v, t), (_, tn) in zip(pts, pts[1:]):
+            num += v * (tn - t)
+            den += tn - t
+        if den <= 0:
+            assert u not in got
+            continue
+        assert got[u][1] == int(den)
+        assert abs(got[u][0] - num / den) < 1e-4
+        lo = min(v for v, _ in pts[:-1])
+        hi = max(v for v, _ in pts[:-1])
+        assert lo - 1e-6 <= got[u][0] <= hi + 1e-6  # mean-value bound
+
+
+def test_yoy_aligned_matches_iso_weeks(con):
+    rows = con.execute(
+        """SELECT CAST(isoyear(o_orderdate) AS BIGINT),
+                  CAST(weekofyear(o_orderdate) AS BIGINT),
+                  CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+           FROM orders GROUP BY 1, 2"""
+    ).fetchall()
+    weekly = {(int(r[0]), int(r[1])): int(r[2]) for r in rows}
+    got = {
+        (int(r["iso_year"]), int(r["iso_week"])): (
+            int(r["rev"]),
+            int(r["rev_prior"]),
+            int(r["yoy_micro"]),
+        )
+        for _, r in oracle_df(con, "q_yoy_aligned").iterrows()
+    }
+    expect = {}
+    for (iy, iw), rev in weekly.items():
+        if iw <= 52 and (iy - 1, iw) in weekly:
+            prior = weekly[(iy - 1, iw)]
+            expect[(iy, iw)] = (
+                rev,
+                prior,
+                math.floor((rev - prior) * 10**6 / prior),
+            )
+    assert got == expect
+
+
+def test_fifo_allocation_matches_queue_simulation(con):
+    """The declarative interval-intersection FIFO must equal an actual
+    sequential queue simulation — the genuinely independent check of
+    the prefix-interval identity."""
+    rows = con.execute(
+        """SELECT user_id, event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events WHERE event_type IN ('purchase', 'click')
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict, deque
+
+    sup = defaultdict(deque)
+    dem = defaultdict(deque)
+    for u, t, c in rows:
+        (sup if t == "purchase" else dem)[int(u)].append(int(c))
+    got = {
+        int(r["user_id"]): (
+            int(r["n_matches"]),
+            int(r["allocated_cents"]),
+            int(r["unfunded_cents"]),
+        )
+        for _, r in oracle_df(con, "q_fifo_allocation").iterrows()
+    }
+    for u in dem:
+        s = deque(sup.get(u, []))
+        d = deque(dem[u])
+        demand_total = sum(d)
+        alloc = matches = 0
+        while s and d:
+            take = min(s[0], d[0])
+            if take > 0:
+                alloc += take
+                matches += 1
+            s[0] -= take
+            d[0] -= take
+            if s[0] == 0:
+                s.popleft()
+            if d[0] == 0:
+                d.popleft()
+        assert got[u] == (matches, alloc, demand_total - alloc), u
