@@ -3083,3 +3083,185 @@ def test_fifo_allocation_matches_queue_simulation(con):
             if d[0] == 0:
                 d.popleft()
         assert got[u] == (matches, alloc, demand_total - alloc), u
+
+
+# ---- batch 14: data-ops / sharding / DQ ----
+
+
+def test_rle_compressibility_matches_run_counts(con):
+    rows = con.execute(
+        "SELECT event_type, user_id FROM events ORDER BY event_id"
+    ).fetchall()
+    type_runs = 1 + sum(
+        1 for a, b in zip(rows, rows[1:]) if a[0] != b[0]
+    )
+    user_runs = 1 + sum(
+        1 for a, b in zip(rows, rows[1:]) if a[1] != b[1]
+    )
+    n_types = len({r[0] for r in rows})
+    n_users = len({r[1] for r in rows})
+    got = oracle_df(con, "q_rle_compressibility").iloc[0]
+    assert int(got["n"]) == len(rows)
+    assert int(got["type_runs_natural"]) == type_runs
+    assert int(got["type_runs_sorted"]) == n_types
+    assert int(got["user_runs_natural"]) == user_runs
+    assert int(got["user_runs_sorted"]) == n_users
+    # sorting can only reduce run count
+    assert n_types <= type_runs and n_users <= user_runs
+
+
+def test_bloom_fpr_matches_bit_simulation(con):
+    import hashlib
+
+    keys = [
+        int(r[0])
+        for r in con.execute(
+            "SELECT DISTINCT o_orderkey FROM orders"
+        ).fetchall()
+    ]
+
+    def h(seed, k):
+        return int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:8], 16) % 4096
+
+    members = [k for k in keys if k % 3 == 0]
+    probes = [k for k in keys if k % 3 != 0]
+    bits = {h(s, k) for k in members for s in (1, 2, 3)}
+    fp = sum(
+        1
+        for k in probes
+        if all(h(s, k) in bits for s in (1, 2, 3))
+    )
+    got = oracle_df(con, "q_bloom_fpr").iloc[0]
+    assert int(got["n_members"]) == len(members)
+    assert int(got["n_bits_set"]) == len(bits)
+    assert int(got["n_probes"]) == len(probes)
+    assert int(got["n_false_pos"]) == fp
+    # observed FPR should be in the ballpark of (bits_set/m)^3
+    theo = (len(bits) / 4096) ** 3
+    assert abs(fp / len(probes) - theo) < max(0.05, 3 * theo)
+
+
+def test_rendezvous_sharding_matches_hrw(con):
+    import hashlib
+
+    users = [
+        int(r[0])
+        for r in con.execute(
+            "SELECT DISTINCT user_id FROM events"
+        ).fetchall()
+    ]
+
+    def pick(u, shards):
+        return max(
+            shards,
+            key=lambda s: (hashlib.md5(f"{u}@{s}".encode()).hexdigest(), -s),
+        )
+
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for u in users:
+        s8 = pick(u, range(8))
+        s7 = pick(u, [s for s in range(8) if s != 7])
+        agg[s8][0] += 1
+        agg[s8][1] += s7 != s8
+    got = {
+        int(r["shard"]): (int(r["n_users"]), int(r["n_moved_if_shard7_dies"]))
+        for _, r in oracle_df(con, "q_rendezvous_sharding").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # HRW minimal disruption: ONLY shard-7 residents move
+    for shard, (n, moved) in got.items():
+        assert moved == (n if shard == 7 else 0)
+
+
+def test_double_charge_scan_matches_pair_rules(con):
+    rows = con.execute(
+        """SELECT user_id, event_id, CAST(FLOOR(value + 0.5) AS BIGINT),
+                  epoch_us(ts)
+           FROM events WHERE event_type = 'purchase'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, e, d, us in rows:
+        per_user[int(u)].append((int(e), int(d), int(us)))
+    expect = set()
+    for u, evs in per_user.items():
+        for i, (e1, d1, t1) in enumerate(evs):
+            for e2, d2, t2 in evs:
+                if e1 < e2 and d1 == d2 and 0 <= t2 - t1 <= 86400_000_000:
+                    expect.add((u, e1, e2, d1, (t2 - t1) // 10**6))
+    got = {
+        (
+            int(r["user_id"]),
+            int(r["first_event"]),
+            int(r["second_event"]),
+            int(r["dollars"]),
+            int(r["gap_s"]),
+        )
+        for _, r in oracle_df(con, "q_double_charge_scan").iterrows()
+    }
+    assert got == expect
+
+
+def test_price_dispersion_matches_spread_rule(con):
+    rows = con.execute(
+        """SELECT l_partkey,
+                  CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5)
+                       AS BIGINT)
+           FROM lineitem WHERE l_quantity > 0"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for p, c in rows:
+        per[int(p)].append(int(c))
+    n_parts = n_disp = 0
+    max_spread = 0
+    for p, cs in per.items():
+        if len(cs) < 3 or min(cs) <= 0:
+            continue
+        n_parts += 1
+        spread = (max(cs) - min(cs)) * 10**6 // min(cs)
+        n_disp += spread > 100000
+        max_spread = max(max_spread, spread)
+    got = oracle_df(con, "q_price_dispersion").iloc[0]
+    assert int(got["n_parts"]) == n_parts
+    assert int(got["n_dispersed"]) == n_disp
+    assert int(got["max_spread_micro"]) == max_spread
+
+
+def test_error_budget_matches_burn_rates(con):
+    rows = con.execute(
+        """SELECT STRFTIME(ts, '%Y-%m-%d'),
+                  COUNT(*),
+                  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    got = {
+        r["day"]: (
+            int(r["n"]),
+            int(r["n_err"]),
+            int(r["err_share_micro"]),
+            int(r["burn_micro"]),
+            int(r["budget_consumed_micro"]),
+        )
+        for _, r in oracle_df(con, "q_error_budget").iterrows()
+    }
+    cum_n = cum_e = 0
+    for day, n, e in rows:
+        n, e = int(n), int(e)
+        cum_n += n
+        cum_e += e
+        assert got[day] == (
+            n,
+            e,
+            e * 10**6 // n,
+            e * 10**12 // (n * 250000),
+            cum_e * 10**12 // (cum_n * 250000),
+        ), day
+    # burn rate of 1.0 (1e6 micro) means consuming the 0.025% SLO: burn
+    # is share x4 up to the two expressions' different floor points
+    for day, (n, e, share, burn, _) in got.items():
+        assert abs(burn - share * 4) <= 4
