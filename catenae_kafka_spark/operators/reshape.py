@@ -343,12 +343,12 @@ def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH keyed AS (
   SELECT doc_id, n_chars,
          -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-              + 0.5) / 4294967296.0) / n_chars AS k
+              + 0.5) / 4294967296.0) / n_chars AS kr
   FROM documents WHERE n_chars > 0
 )
-SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, ROUND(k, 6) AS k
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, ROUND(kr, 6) AS k
 FROM keyed
-ORDER BY k, doc_id
+ORDER BY kr, doc_id
 LIMIT 100
 """,
 )
@@ -360,7 +360,10 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, the training-data-mixing weight). Deterministic across
     engines, runs, and partitionings (no seed plumbing), and the
     selection is TakeOrdered: O(k x partitions) rows move, same as
-    the unweighted exact-k sample."""
+    the unweighted exact-k sample. The rank runs on the RAW key —
+    rounding for display happens after the top-k cut (an ORDER BY on
+    the rounded output alias silently reorders 6dp ties and can swap
+    the sample boundary; caught by the scalar A-ES reference)."""
     c = catalog(spark, sf_dir)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -373,10 +376,13 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_chars").cast("long").alias("n_chars"),
-            F.round(k, 6).alias("k"),
+            k.alias("_kraw"),
         )
-        .orderBy("k", "doc_id")
+        .orderBy("_kraw", "doc_id")
         .limit(100)
+        .select(
+            "doc_id", "n_chars", F.round(F.col("_kraw"), 6).alias("k")
+        )
     )
 
 

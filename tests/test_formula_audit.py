@@ -3265,3 +3265,159 @@ def test_error_budget_matches_burn_rates(con):
     # is share x4 up to the two expressions' different floor points
     for day, (n, e, share, burn, _) in got.items():
         assert abs(burn - share * 4) <= 4
+
+
+# ---- batch 15: BPE / rolling / sampling / anonymity / graph ----
+
+
+def test_bpe_pairs_matches_char_bigrams(con):
+    from collections import Counter
+
+    cnt = Counter()
+    for _, _, _, text, _ in _docs(con):
+        for w in text.split(" "):
+            for i in range(len(w) - 1):
+                cnt[w[i : i + 2]] += 1
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["pair"], int(r["n"]))
+        for _, r in oracle_df(con, "q_bpe_pairs").iterrows()
+    ]
+    assert got == expect
+
+
+def test_bpe_merge_apply_matches_greedy_merge(con):
+    from collections import Counter
+
+    docs = {int(d): t.split(" ") for d, _, _, t, _ in _docs(con)}
+    cnt = Counter()
+    for ws in docs.values():
+        cnt.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    pair, n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    a, b = pair.split(" ")
+    before = after = merges = 0
+    for ws in docs.values():
+        before += len(ws)
+        out = []
+        i = 0
+        while i < len(ws):
+            # greedy left-to-right adjacent merge
+            if i + 1 < len(ws) and ws[i] == a and ws[i + 1] == b:
+                out.append(f"{a}_{b}")
+                i += 2
+                merges += 1
+            else:
+                out.append(ws[i])
+                i += 1
+        after += len(out)
+    got = oracle_df(con, "q_bpe_merge_apply").iloc[0]
+    assert got["merged_pair"] == pair
+    assert int(got["pair_count"]) == n
+    assert int(got["tokens_before"]) == before
+    assert int(got["tokens_after"]) == after
+    assert int(got["n_merges"]) == merges == before - after
+
+
+def test_rolling_median_matches_window_scan(con):
+    rows = con.execute(
+        """SELECT event_id, user_id, CAST(value AS DOUBLE)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    import statistics
+
+    from collections import defaultdict
+
+    got = {
+        int(r["event_id"]): float(r["rolling_median"])
+        for _, r in oracle_df(con, "q_rolling_median").iterrows()
+    }
+    hist = defaultdict(list)
+    for eid, u, v in rows:
+        h = hist[int(u)]
+        h.append(float(v))
+        med = statistics.median(h[-5:])
+        assert abs(got[int(eid)] - round(med, 6)) < 1e-6, eid
+
+
+def test_sample_weighted_matches_efraimidis_spirakis(con):
+    import hashlib
+
+    rows = con.execute(
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0"
+    ).fetchall()
+    keyed = []
+    for d, n in rows:
+        u = (
+            int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16) + 0.5
+        ) / 4294967296.0
+        keyed.append((-math.log(u) / int(n), int(d), int(n)))
+    keyed.sort()
+    expect = [(d, n, round(k, 6)) for k, d, n in keyed[:100]]
+    got = [
+        (int(r["doc_id"]), int(r["n_chars"]), round(float(r["k"]), 6))
+        for _, r in oracle_df(con, "q_sample_weighted").iterrows()
+    ]
+    assert got == expect
+    # bigger docs should be overrepresented relative to uniform: the
+    # mean sampled size exceeds the corpus mean
+    corpus_mean = sum(n for _, n in rows) / len(rows)
+    sample_mean = sum(n for _, n, _ in got) / len(got)
+    assert sample_mean > corpus_mean
+
+
+def test_k_anonymity_and_l_diversity_match_group_scan(con):
+    rows = con.execute(
+        """SELECT n_name, STRFTIME(o_orderdate, '%Y'), o_orderpriority
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    cells = Counter((n, y, p) for n, y, p in rows)
+    k_groups = Counter()
+    for (n, y, p), c in cells.items():
+        k_groups[(n, y, p)] = c
+    got_k = oracle_df(con, "q_k_anonymity").iloc[0]
+    assert int(got_k["n_groups"]) == len(k_groups)
+    assert int(got_k["k_anonymity"]) == min(k_groups.values())
+    assert int(got_k["groups_below_5"]) == sum(
+        1 for c in k_groups.values() if c < 5
+    )
+    assert int(got_k["rows_at_risk"]) == sum(
+        c for c in k_groups.values() if c < 5
+    )
+    ldiv = defaultdict(Counter)
+    for (n, y, p), c in cells.items():
+        ldiv[(n, y)][p] += c
+    got_l = oracle_df(con, "q_l_diversity").iloc[0]
+    assert int(got_l["n_groups"]) == len(ldiv)
+    assert int(got_l["min_l_diversity"]) == min(len(c) for c in ldiv.values())
+    assert int(got_l["groups_below_3"]) == sum(
+        1 for c in ldiv.values() if len(c) < 3
+    )
+    assert int(got_l["groups_majority_leak"]) == sum(
+        1
+        for c in ldiv.values()
+        if max(c.values()) * 2 > sum(c.values())
+    )
+
+
+def test_graph_reciprocity_matches_min_pairing(con):
+    rows = con.execute(
+        """SELECT c.c_nationkey, s.s_nationkey, CAST(COUNT(*) AS BIGINT)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    ).fetchall()
+    w = {(int(a), int(b)): int(n) for a, b, n in rows}
+    total = sum(w.values())
+    recip = sum(min(n, w.get((b, a), 0)) for (a, b), n in w.items())
+    got = oracle_df(con, "q_graph_reciprocity").iloc[0]
+    assert int(got["n_edges"]) == len(w)
+    assert int(got["total_weight"]) == total
+    assert int(got["reciprocated_weight"]) == recip
+    assert int(got["reciprocity_micro"]) == recip * 10**6 // total
+    assert recip <= total  # reciprocated mass is a subset
