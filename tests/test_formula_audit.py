@@ -3421,3 +3421,194 @@ def test_graph_reciprocity_matches_min_pairing(con):
     assert int(got["reciprocated_weight"]) == recip
     assert int(got["reciprocity_micro"]) == recip * 10**6 // total
     assert recip <= total  # reciprocated mass is a subset
+
+
+# ---- batch 16: behavioral analytics ----
+
+
+def test_rolling_wau_matches_window_distinct(con):
+    rows = con.execute(
+        "SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events"
+    ).fetchall()
+    from collections import defaultdict
+    from datetime import timedelta
+
+    by_day = defaultdict(set)
+    for u, d in rows:
+        by_day[d].add(u)
+    lo = min(by_day)
+    hi = max(by_day)
+    got = {
+        r["day"]: int(r["wau"])
+        for _, r in oracle_df(con, "q_rolling_wau").iterrows()
+    }
+    day = lo
+    dau_seen = 0
+    while day <= hi:
+        wau = len(
+            set().union(
+                *(by_day.get(day - timedelta(days=k), set()) for k in range(7))
+            )
+        )
+        assert got[str(day)] == wau, day
+        dau_seen = max(dau_seen, len(by_day.get(day, set())))
+        assert wau >= len(by_day.get(day, set()))  # WAU >= DAU
+        day += timedelta(days=1)
+
+
+def test_concurrency_peak_matches_interval_sweep(con):
+    rows = con.execute(
+        """SELECT user_id, CAST(ts AS DATE), MIN(ts), MAX(ts)
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per_day = defaultdict(list)
+    for _, day, t0, t1 in rows:
+        per_day[day].append((t0, t1))
+    got = {
+        r["day"]: (int(r["peak_concurrent"]), int(r["n_active"]))
+        for _, r in oracle_df(con, "q_concurrency_peak").iterrows()
+    }
+    for day, spans in per_day.items():
+        # +1 sorts before -1 at equal t (zero-length spans still count)
+        events = sorted(
+            [(t0, 0, 1) for t0, _ in spans]
+            + [(t1, 1, -1) for _, t1 in spans]
+        )
+        peak = cur = 0
+        for _, _, d in events:
+            cur += d
+            peak = max(peak, cur)
+        assert got[str(day)] == (peak, len(spans)), day
+        assert peak <= len(spans)
+
+
+def test_abandoned_clicks_matches_conversion_window(con):
+    rows = con.execute(
+        """SELECT user_id, event_type, ts, CAST(ts AS DATE)
+           FROM events WHERE event_type IN ('click', 'purchase')"""
+    ).fetchall()
+    from collections import defaultdict
+    from datetime import timedelta
+
+    purchases = defaultdict(list)
+    for u, t, ts, _ in rows:
+        if t == "purchase":
+            purchases[u].append(ts)
+    for u in purchases:
+        purchases[u].sort()
+    import bisect
+
+    agg = defaultdict(lambda: [0, 0])
+    for u, t, ts, day in rows:
+        if t != "click":
+            continue
+        ps = purchases.get(u, [])
+        i = bisect.bisect_left(ps, ts)
+        conv = i < len(ps) and ps[i] <= ts + timedelta(hours=1)
+        agg[day][0] += 1
+        agg[day][1] += conv
+    got = {
+        r["day"]: (int(r["n_clicks"]), int(r["n_converted"]), int(r["n_abandoned"]))
+        for _, r in oracle_df(con, "q_abandoned_clicks").iterrows()
+    }
+    assert got == {
+        str(d): (n, c, n - c) for d, (n, c) in agg.items()
+    }
+
+
+def test_attribution_touch_matches_first_last(con):
+    rows = con.execute(
+        """SELECT event_id, user_id, event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    expect = {}
+    cur_u, first, last = None, None, None
+    for eid, u, t, cents in rows:
+        if u != cur_u:
+            cur_u, first, last = u, None, None
+        if t == "purchase":
+            expect[int(eid)] = (first, last, int(cents))
+        else:
+            if first is None:
+                first = t
+            last = t
+    got = {
+        int(r["event_id"]): (
+            r["first_touch"] if r["first_touch"] == r["first_touch"] else None,
+            r["last_touch"] if r["last_touch"] == r["last_touch"] else None,
+            int(r["revenue_cents"]),
+        )
+        for _, r in oracle_df(con, "q_attribution_touch").iterrows()
+    }
+    assert got == expect
+
+
+def test_new_vs_returning_matches_first_day_split(con):
+    rows = con.execute(
+        """SELECT user_id, CAST(ts AS DATE),
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    first = {}
+    for u, d, _ in rows:
+        if u not in first or d < first[u]:
+            first[u] = d
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for u, d, c in rows:
+        a = agg[str(d)]
+        if d == first[u]:
+            a[0] += 1
+            a[2] += int(c)
+        else:
+            a[1] += 1
+            a[3] += int(c)
+    got = {
+        r["day"]: (
+            int(r["new_events"]),
+            int(r["returning_events"]),
+            int(r["new_cents"]),
+            int(r["returning_cents"]),
+        )
+        for _, r in oracle_df(con, "q_new_vs_returning").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_xcorr_hourly_matches_lagged_pearson(con):
+    rows = con.execute(
+        """SELECT epoch_us(ts) // 3600000000,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           FROM events GROUP BY 1"""
+    ).fetchall()
+    raw = {int(r[0]): (int(r[1]), int(r[2])) for r in rows}
+    lo, hi = min(raw), max(raw)
+    xs = {h: raw.get(h, (0, 0))[0] for h in range(lo, hi + 1)}
+    ys = {h: raw.get(h, (0, 0))[1] for h in range(lo, hi + 1)}
+
+    def pearson(pairs):
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        num = n * sum(a * b for a, b in pairs) - sx * sy
+        dx = math.sqrt(n * sum(a * a for a, _ in pairs) - sx * sx)
+        dy = math.sqrt(n * sum(b * b for _, b in pairs) - sy * sy)
+        return num / (dx * dy)
+
+    got = {
+        int(r["lag_h"]): (int(r["n_pairs"]), float(r["xcorr"]))
+        for _, r in oracle_df(con, "q_xcorr_hourly").iterrows()
+    }
+    for lag in (-2, -1, 0, 1, 2):
+        pairs = [
+            (xs[h], ys[h + lag])
+            for h in range(lo, hi + 1)
+            if lo <= h + lag <= hi
+        ]
+        assert got[lag][0] == len(pairs)
+        assert abs(got[lag][1] - pearson(pairs)) < 2e-6, lag
