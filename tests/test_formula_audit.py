@@ -3612,3 +3612,167 @@ def test_xcorr_hourly_matches_lagged_pearson(con):
         ]
         assert got[lag][0] == len(pairs)
         assert abs(got[lag][1] - pearson(pairs)) < 2e-6, lag
+
+
+# ---- batch 17: dedup tiers / search / CAS ----
+
+
+def test_dedup_canonical_matches_wordset_key(con):
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for doc_id, _, _, text, _ in _docs(con):
+        groups[" ".join(sorted(set(text.split(" "))))].append(int(doc_id))
+    expect = {
+        min(v): len(v) for v in groups.values() if len(v) > 1
+    }
+    got = {
+        int(r["keep_id"]): int(r["n_copies"])
+        for _, r in oracle_df(con, "q_dedup_canonical").iterrows()
+    }
+    assert got == expect
+
+
+def test_dedup_paragraph_matches_chunk_hashes(con):
+    import hashlib
+
+    from collections import defaultdict
+
+    chunks = []  # (doc_id, chunk_id, hash)
+    for doc_id, _, _, text, _ in _docs(con):
+        toks = text.split(" ")
+        for i in range(math.ceil(len(toks) / 32)):
+            h = hashlib.md5(
+                " ".join(toks[i * 32 : (i + 1) * 32]).encode()
+            ).hexdigest()
+            chunks.append((int(doc_id), i, h))
+    first = {}
+    for d, c, h in sorted(chunks):
+        first.setdefault(h, (d, c))
+    agg = defaultdict(lambda: [0, 0])
+    for d, c, h in chunks:
+        agg[d][0] += 1
+        agg[d][1] += first[h] == (d, c)
+    got = {
+        int(r["doc_id"]): (int(r["n_chunks"]), int(r["n_kept"]))
+        for _, r in oracle_df(con, "q_dedup_paragraph").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_cas_dedup_matches_content_addressing(con):
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for _, _, _, text, _ in _docs(con):
+        per_key[text].append(len(text))
+    got = oracle_df(con, "q_cas_dedup").iloc[0]
+    assert int(got["n_unique_blobs"]) == len(per_key)
+    assert int(got["n_refs_total"]) == sum(len(v) for v in per_key.values())
+    logical = sum(len(v) * v[0] for v in per_key.values())
+    physical = sum(v[0] for v in per_key.values())
+    assert int(got["logical_bytes"]) == logical
+    assert int(got["physical_bytes"]) == physical
+    assert int(got["bytes_saved"]) == logical - physical
+
+
+def test_golden_record_matches_survivorship(con):
+    import hashlib
+
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for doc_id, lang, _, text, n_chars in _docs(con):
+        ck = hashlib.md5(
+            " ".join(sorted(set(text.split(" ")))).encode()
+        ).hexdigest()
+        groups[ck].append((int(doc_id), lang, int(n_chars)))
+    expect = {}
+    for ck, members in groups.items():
+        if len(members) < 2:
+            continue
+        golden = min(members, key=lambda m: (-m[2], m[0]))[0]
+        expect[ck] = (
+            golden,
+            len(members),
+            len({m[1] for m in members}),
+            max(m[2] for m in members),
+        )
+    got = {
+        r["group_key"]: (
+            int(r["golden_doc_id"]),
+            int(r["n_members"]),
+            int(r["n_langs"]),
+            int(r["max_chars"]),
+        )
+        for _, r in oracle_df(con, "q_golden_record").iterrows()
+    }
+    assert got == expect
+
+
+def test_inverted_index_matches_postings(con):
+    from collections import defaultdict
+
+    postings = defaultdict(set)
+    for doc_id, _, _, text, _ in _docs(con):
+        for w in set(text.split(" ")):
+            postings[w].add(int(doc_id))
+    got = {
+        r["term"]: (int(r["doc_freq"]), r["posting_list"])
+        for _, r in oracle_df(con, "q_inverted_index").iterrows()
+    }
+    expect = {
+        w: (len(ds), ",".join(map(str, sorted(ds))))
+        for w, ds in postings.items()
+        if 2 <= len(ds) <= 400
+    }
+    assert got == expect
+
+
+def test_phrase_search_matches_adjacency(con):
+    from collections import Counter
+
+    big = Counter()
+    for _, _, _, text, _ in _docs(con):
+        toks = text.split(" ")
+        big.update((a, b) for a, b in zip(toks, toks[1:]))
+    (w1, w2), _ = min(big.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = {
+        int(d)
+        for d, _, _, text, _ in _docs(con)
+        if f" {w1} {w2} " in f" {text} "
+    }
+    df = oracle_df(con, "q_phrase_search")
+    assert set(df["phrase"]) == {f"{w1} {w2}"}
+    assert {int(x) for x in df["doc_id"]} == expect
+
+
+def test_keyphrases_match_lift_ranking(con):
+    from collections import Counter, defaultdict
+
+    src_counts = defaultdict(Counter)
+    for _, _, source, text, _ in _docs(con):
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        src_counts[source].update(
+            {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        )
+    corpus = Counter()
+    for c in src_counts.values():
+        corpus.update(c)
+    ctot = sum(corpus.values())
+    got = defaultdict(list)
+    for _, r in oracle_df(con, "q_keyphrases").iterrows():
+        got[r["source"]].append((r["phrase"], int(r["n"]), int(r["lift_micro"])))
+    for source, counts in src_counts.items():
+        tot = sum(counts.values())
+        scored = []
+        for g, n in counts.items():
+            if n < 5:
+                continue
+            lift = math.floor((n / tot) / (corpus[g] / ctot) * 10**6)
+            scored.append((-lift, g, n, lift))
+        scored.sort()
+        expect = [(g, n, lift) for _, g, n, lift in scored[:3]]
+        assert sorted(got[source]) == sorted(expect), source
