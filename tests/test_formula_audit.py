@@ -3776,3 +3776,165 @@ def test_keyphrases_match_lift_ranking(con):
         scored.sort()
         expect = [(g, n, lift) for _, g, n, lift in scored[:3]]
         assert sorted(got[source]) == sorted(expect), source
+
+
+# ---- batch 18: funnels / cohorts / trade / backtests ----
+
+
+def test_funnel_timing_matches_quantiles(con):
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT user_id,
+                  MIN(CASE WHEN event_type = 'signup' THEN ts END),
+                  MIN(CASE WHEN event_type = 'click' THEN ts END),
+                  MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    sc, cp = [], []
+    for _, s, c, p in rows:
+        if s is not None and c is not None and c > s and p is not None and p > c:
+            sc.append((c - s).total_seconds() * 1e6)
+            cp.append((p - c).total_seconds() * 1e6)
+    got = oracle_df(con, "q_funnel_timing").iloc[0]
+    assert int(got["n_converted"]) == len(sc)
+    for arr, p, col in [
+        (sc, 50, "p50_signup_click_ms"),
+        (sc, 90, "p90_signup_click_ms"),
+        (cp, 50, "p50_click_purchase_ms"),
+        (cp, 90, "p90_click_purchase_ms"),
+    ]:
+        expect = math.floor(np.percentile(np.array(arr), p) / 1000)
+        assert abs(int(got[col]) - expect) <= 1, col
+
+
+def test_cohort_ltv_matches_cumulative_revenue(con):
+    rows = con.execute(
+        """SELECT user_id, CAST(ts AS DATE),
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    first = {}
+    for u, d, _ in rows:
+        if u not in first or d < first[u]:
+            first[u] = d
+    cohort_n = defaultdict(int)
+    for u, d in first.items():
+        cohort_n[d] += 1
+    by_age = defaultdict(int)
+    for u, d, c in rows:
+        by_age[(first[u], (d - first[u]).days)] += int(c)
+    got = {
+        (r["cohort"], int(r["age"])): (
+            int(r["cum_cents"]),
+            int(r["ltv_cents_per_user"]),
+        )
+        for _, r in oracle_df(con, "q_cohort_ltv").iterrows()
+    }
+    from itertools import groupby
+
+    for cohort in cohort_n:
+        ages = sorted(a for (c, a) in by_age if c == cohort)
+        cum = 0
+        for a in ages:
+            cum += by_age[(cohort, a)]
+            if a <= 7:
+                key = (str(cohort), a)
+                assert got[key] == (
+                    cum,
+                    math.floor(cum / cohort_n[cohort]),
+                ), key
+    # LTV curves are non-decreasing in age per cohort
+    for (cohort, age), (cum, _) in got.items():
+        if (cohort, age + 1) in got:
+            assert got[(cohort, age + 1)][0] >= cum
+
+
+def test_trade_balance_is_zero_sum(con):
+    df = oracle_df(con, "q_trade_balance")
+    # every export is someone's import: global balance nets to zero
+    assert int(df["balance"].sum()) == 0
+    assert int(df["exp_dollars"].sum()) == int(df["imp_dollars"].sum())
+    rows = con.execute(
+        """SELECT s.s_nationkey,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount))
+                                AS BIGINT)) AS BIGINT)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1"""
+    ).fetchall()
+    names = dict(
+        con.execute("SELECT n_nationkey, n_name FROM nation").fetchall()
+    )
+    exp = {names[int(k)]: int(v) for k, v in rows}
+    got_exp = dict(zip(df["n_name"], df["exp_dollars"].astype(int)))
+    for n, v in exp.items():
+        assert got_exp[n] == v
+
+
+def test_hour_profile_matches_shares(con):
+    rows = con.execute(
+        "SELECT EXTRACT(hour FROM ts), COUNT(*) FROM events GROUP BY 1"
+    ).fetchall()
+    per = {int(r[0]): int(r[1]) for r in rows}
+    tot = sum(per.values())
+    peak = max(per.values())
+    got = {
+        int(r["hour_of_day"]): (int(r["n"]), int(r["share_micro"]), bool(r["is_peak"]))
+        for _, r in oracle_df(con, "q_hour_profile").iterrows()
+    }
+    assert got == {
+        h: (n, n * 10**6 // tot, n == peak) for h, n in per.items()
+    }
+    assert sum(1 for _, _, p in got.values() if p) >= 1
+
+
+def test_rolling_origin_backtest_matches_naive_lag7(con):
+    rows = con.execute(
+        "SELECT CAST(ts AS DATE), COUNT(*) FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ns = [int(r[1]) for r in rows]
+    got = {
+        int(r["cutoff_day"]): (
+            int(r["n_forecast_days"]),
+            int(r["mae"]),
+            int(r["max_abs_err"]),
+        )
+        for _, r in oracle_df(con, "q_rolling_origin_backtest").iterrows()
+    }
+    for cutoff in (14, 18, 22):
+        errs = [
+            abs(ns[d - 1] - ns[d - 8])
+            for d in range(cutoff + 1, min(cutoff + 8, len(ns) + 1))
+            if d - 8 >= 1
+        ]
+        assert got[cutoff] == (len(errs), sum(errs) // len(errs), max(errs))
+
+
+def test_segment_ltv_mae_matches_group_mean_baseline(con):
+    rows = con.execute(
+        """SELECT c.c_mktsegment, o.o_custkey,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT),
+                  o.o_orderdate < TIMESTAMP '1999-01-01'
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2, 4"""
+    ).fetchall()
+    from collections import defaultdict
+
+    train = defaultdict(list)
+    test = defaultdict(list)
+    for seg, cust, cents, is_train in rows:
+        (train if is_train else test)[seg].append(int(cents))
+    got = {
+        r["seg"]: (int(r["n_test_customers"]), int(r["pred_cents"]), int(r["mae_cents"]))
+        for _, r in oracle_df(con, "q_segment_ltv_mae").iterrows()
+    }
+    for seg, tests in test.items():
+        pred = sum(train[seg]) // len(train[seg])
+        mae = sum(abs(c - pred) for c in tests) // len(tests)
+        assert got[seg] == (len(tests), pred, mae), seg
