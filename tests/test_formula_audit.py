@@ -3938,3 +3938,162 @@ def test_segment_ltv_mae_matches_group_mean_baseline(con):
         pred = sum(train[seg]) // len(train[seg])
         mae = sum(abs(c - pred) for c in tests) // len(tests)
         assert got[seg] == (len(tests), pred, mae), seg
+
+
+# ---- batch 19: integrity / governance ----
+
+
+def test_checksum_table_matches_row_hash_sum(con):
+    import hashlib
+
+    rows = con.execute(
+        """SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                            ROUND(o_totalprice, 2),
+                            STRFTIME(o_orderdate, '%Y-%m-%d'),
+                            o_orderpriority)
+           FROM orders"""
+    ).fetchall()
+    total = sum(
+        int(hashlib.md5(r[0].encode()).hexdigest()[:8], 16) for r in rows
+    )
+    got = oracle_df(con, "q_checksum_table").iloc[0]
+    assert int(got["n_rows"]) == len(rows)
+    assert int(got["checksum"]) == total
+
+
+def test_table_diff_matches_set_algebra(con):
+    keys = {
+        int(r[0]): float(r[1])
+        for r in con.execute(
+            "SELECT o_orderkey, o_totalprice FROM orders"
+        ).fetchall()
+    }
+    v2 = {}
+    for k, p in keys.items():
+        if k % 97 != 0:
+            v2[k] = round(p * 1.05, 4) if k % 7 == 0 else p
+        if k % 1009 == 0:
+            v2[k + 10000000] = p
+    added = sum(1 for k in v2 if k not in keys)
+    removed = sum(1 for k in keys if k not in v2)
+    changed = sum(
+        1 for k in keys if k in v2 and v2[k] != keys[k]
+    )
+    unchanged = sum(
+        1 for k in keys if k in v2 and v2[k] == keys[k]
+    )
+    got = {
+        r["diff_class"]: int(r["n"])
+        for _, r in oracle_df(con, "q_table_diff").iterrows()
+    }
+    assert got == {
+        "added": added,
+        "removed": removed,
+        "changed": changed,
+        "unchanged": unchanged,
+    }
+
+
+def test_topk_merge_proof_matches_global_topk(con):
+    rows = con.execute(
+        """SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           FROM orders"""
+    ).fetchall()
+    # distributed merge of per-bucket top-10s == global top-10, because
+    # every global winner survives its own bucket's cut (k per bucket)
+    global_top = sorted(((-c, k) for k, c in rows))[:10]
+    expect = [
+        (k, -negc, i + 1) for i, (negc, k) in enumerate(global_top)
+    ]
+    got = sorted(
+        (int(r["o_orderkey"]), int(r["cents"]), int(r["rnk"]))
+        for _, r in oracle_df(con, "q_topk_merge_proof").iterrows()
+    )
+    assert got == sorted(expect)
+
+
+def test_totals_reconciliation_matches_ratio_deciles(con):
+    rows = con.execute(
+        """WITH line AS (
+             SELECT l_orderkey,
+                    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                        * (1 + l_tax) * 100 + 0.5)
+                                  AS BIGINT)) AS BIGINT) AS lc
+             FROM lineitem GROUP BY l_orderkey)
+           SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), lc
+           FROM orders JOIN line ON o_orderkey = l_orderkey"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, None, None])
+    for oc, lc in rows:
+        ratio = int(lc) * 10**6 // int(oc)
+        d = ratio // 100000
+        a = agg[d]
+        a[0] += 1
+        a[1] = ratio if a[1] is None else min(a[1], ratio)
+        a[2] = ratio if a[2] is None else max(a[2], ratio)
+    got = {
+        int(r["ratio_decile"]): (
+            int(r["n_orders"]),
+            int(r["min_ratio_micro"]),
+            int(r["max_ratio_micro"]),
+        )
+        for _, r in oracle_df(con, "q_totals_reconciliation").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_compaction_plan_matches_bin_packing(con):
+    rows = con.execute(
+        """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:00'),
+                  CAST(COUNT(*) AS BIGINT)
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    from collections import defaultdict
+
+    bins = defaultdict(lambda: [0, 0, None, None])
+    cum = 0
+    for hour, n in rows:
+        b = cum // 300
+        cum += int(n)
+        cell = bins[b]
+        cell[0] += 1
+        cell[1] += int(n)
+        cell[2] = hour if cell[2] is None else min(cell[2], hour)
+        cell[3] = hour if cell[3] is None else max(cell[3], hour)
+    got = {
+        int(r["bin_id"]): (
+            int(r["n_partitions"]),
+            int(r["total_rows"]),
+            r["from_hour"],
+            r["to_hour"],
+        )
+        for _, r in oracle_df(con, "q_compaction_plan").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in bins.items()}
+    # conservation: bins partition all rows
+    assert sum(v[1] for v in got.values()) == sum(int(n) for _, n in rows)
+
+
+def test_pseudonymize_matches_salted_tokens(con):
+    import hashlib
+
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, set()])
+    for u, t in rows:
+        tok = hashlib.sha256(f"salt42:{int(u)}".encode()).hexdigest()
+        per[tok][0] += 1
+        per[tok][1].add(t)
+    got = {
+        r["user_token"]: (int(r["n_events"]), int(r["n_types"]))
+        for _, r in oracle_df(con, "q_pseudonymize").iterrows()
+    }
+    assert got == {k: (n, len(ts)) for k, (n, ts) in per.items()}
+    # tokens must not leak the raw id
+    for tok in got:
+        assert len(tok) == 64 and not tok.isdigit()
