@@ -4097,3 +4097,170 @@ def test_pseudonymize_matches_salted_tokens(con):
     # tokens must not leak the raw id
     for tok in got:
         assert len(tok) == 64 and not tok.isdigit()
+
+
+# ---- batch 20: sessions / feature engineering / privacy ----
+
+
+def test_sessionized_funnel_matches_per_session_replay(con):
+    rows = con.execute(
+        """SELECT user_id, event_type, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    sessions = []
+    cur_u, last = None, None
+    cur = None
+    for u, t, ts, s in rows:
+        if u != cur_u or s - last > 7200:
+            if cur is not None:
+                sessions.append(cur)
+            cur = {}
+            cur_u = u
+        last = s
+        if t in ("signup", "click", "purchase") and t not in cur:
+            cur[t] = ts
+        cur.setdefault("_n", 0)
+    if cur is not None:
+        sessions.append(cur)
+    n_signup = sum(1 for s in sessions if "signup" in s)
+    n_click = sum(
+        1
+        for s in sessions
+        if "signup" in s and "click" in s and s["click"] > s["signup"]
+    )
+    n_purchase = sum(
+        1
+        for s in sessions
+        if "signup" in s
+        and "click" in s
+        and s["click"] > s["signup"]
+        and "purchase" in s
+        and s["purchase"] > s["click"]
+    )
+    got = oracle_df(con, "q_sessionized_funnel").iloc[0]
+    assert int(got["n_sessions"]) == len(sessions)
+    assert int(got["n_signup"]) == n_signup
+    assert int(got["n_click"]) == n_click
+    assert int(got["n_purchase"]) == n_purchase
+
+
+def test_dp_noisy_count_matches_inverse_cdf_laplace(con):
+    import hashlib
+
+    rows = con.execute(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) FROM events GROUP BY 1"
+    ).fetchall()
+    got = {
+        r["event_type"]: float(r["noisy_n"])
+        for _, r in oracle_df(con, "q_dp_noisy_count").iterrows()
+    }
+    for t, n in rows:
+        u = (
+            int(
+                hashlib.md5(f"{t}:dp-seed-42".encode()).hexdigest()[:13], 16
+            )
+            / 4503599627370496.0
+            - 0.5
+        )
+        noise = (-1.0 if u >= 0 else 1.0) * math.log(1 - 2 * abs(u))
+        assert abs(got[t] - round(int(n) + noise, 4)) < 1e-9
+        # Laplace(b=1) noise: |noisy - true| is almost surely < 40
+        assert abs(got[t] - int(n)) < 40
+
+
+def test_target_encode_matches_leave_one_out(con):
+    rows = con.execute(
+        """SELECT event_id, user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    grp = defaultdict(lambda: [0, 0])
+    for _, u, c in rows:
+        grp[int(u)][0] += 1
+        grp[int(u)][1] += int(c)
+    got = {
+        int(r["event_id"]): (
+            None if r["loo_mean"] != r["loo_mean"] else float(r["loo_mean"])
+        )
+        for _, r in oracle_df(con, "q_target_encode").iterrows()
+    }
+    for eid, u, c in rows:
+        n, s = grp[int(u)]
+        expect = None if n <= 1 else (s - int(c)) / (n - 1) / 100.0
+        g = got[int(eid)]
+        if expect is None:
+            assert g is None
+        else:
+            assert abs(g - expect) < 1e-9
+
+
+def test_impute_group_mean_matches_definition(con):
+    rows = con.execute(
+        """SELECT event_id, event_type,
+                  CASE WHEN event_id % 13 = 0 THEN NULL
+                       ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    grp = defaultdict(lambda: [0, 0])
+    for _, t, c in rows:
+        if c is not None:
+            grp[t][0] += 1
+            grp[t][1] += int(c)
+    got = {
+        int(r["event_id"]): (bool(r["was_imputed"]), float(r["value_filled"]))
+        for _, r in oracle_df(con, "q_impute_group_mean").iterrows()
+    }
+    for eid, t, c in rows:
+        n, s = grp[t]
+        if c is None:
+            assert got[int(eid)] == (True, pytest.approx(s / n / 100.0))
+        else:
+            assert got[int(eid)] == (False, pytest.approx(int(c) / 100.0))
+
+
+def test_rare_collapse_matches_threshold(con):
+    rows = con.execute(
+        "SELECT p_type, CAST(COUNT(*) AS BIGINT) FROM part GROUP BY 1"
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(int)
+    for t, n in rows:
+        agg[t if int(n) >= 100 else "__other__"] += int(n)
+    got = {
+        r["category"]: int(r["n"])
+        for _, r in oracle_df(con, "q_rare_collapse").iterrows()
+    }
+    assert got == dict(agg)
+    # collapse conserves rows
+    assert sum(got.values()) == sum(int(n) for _, n in rows)
+
+
+def test_zscore_outliers_matches_group_standardization(con):
+    rows = con.execute(
+        "SELECT event_id, event_type, CAST(value AS DOUBLE) FROM events"
+    ).fetchall()
+    from collections import defaultdict
+    import statistics
+
+    groups = defaultdict(list)
+    for _, t, v in rows:
+        groups[t].append(v)
+    mu = {t: statistics.fmean(v) for t, v in groups.items()}
+    sd = {t: statistics.stdev(v) for t, v in groups.items()}
+    expect = {}
+    for eid, t, v in rows:
+        z = (v - mu[t]) / sd[t]
+        if abs(z) > 2.5:
+            expect[int(eid)] = round(z, 3)
+    got = {
+        int(r["event_id"]): float(r["z"])
+        for _, r in oracle_df(con, "q_zscore_outliers").iterrows()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 2e-3
