@@ -4264,3 +4264,231 @@ def test_zscore_outliers_matches_group_standardization(con):
     assert set(got) == set(expect)
     for k in expect:
         assert abs(got[k] - expect[k]) < 2e-3
+
+
+# ---- batch 21: histograms / resampling machinery ----
+
+
+def test_median_two_phase_matches_order_stat(con):
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for t, c in rows:
+        groups[t].append(int(c))
+    got = {
+        r["event_type"]: (int(r["n"]), int(r["median_cents"]))
+        for _, r in oracle_df(con, "q_median_two_phase").iterrows()
+    }
+    for t, vals in groups.items():
+        vals.sort()
+        assert got[t] == (len(vals), vals[(len(vals) + 1) // 2 - 1])
+
+
+def test_equiheight_histogram_matches_quartile_cuts(con):
+    rows = [
+        int(r[0])
+        for r in con.execute(
+            """SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               FROM lineitem"""
+        ).fetchall()
+    ]
+    vals = sorted(rows)
+    n = len(vals)
+    q = {p: vals[math.ceil(p * n) - 1] for p in (0.25, 0.5, 0.75)}
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [None, None, 0, set()])
+    for c in rows:
+        b = 1 if c <= q[0.25] else (2 if c <= q[0.5] else (3 if c <= q[0.75] else 4))
+        a = agg[b]
+        a[0] = c if a[0] is None else min(a[0], c)
+        a[1] = c if a[1] is None else max(a[1], c)
+        a[2] += 1
+        a[3].add(c)
+    got = {
+        int(r["bucket_id"]): (
+            int(r["lo_cents"]),
+            int(r["hi_cents"]),
+            int(r["n_rows"]),
+            int(r["n_distinct"]),
+        )
+        for _, r in oracle_df(con, "q_equiheight_histogram").iterrows()
+    }
+    assert got == {
+        b: (lo, hi, nr, len(ds)) for b, (lo, hi, nr, ds) in agg.items()
+    }
+    # equi-height: every bucket holds >= 1/8 of rows (quartiles of a
+    # heavily-tied distribution can drift, but not past 2x)
+    for _, (_, _, nr, _) in got.items():
+        assert nr >= n / 8
+
+
+def test_anomaly_mad_matches_robust_z(con):
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT event_id, event_type, CAST(value AS DOUBLE) FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for _, t, v in rows:
+        groups[t].append(v)
+    med = {t: float(np.percentile(v, 50)) for t, v in groups.items()}
+    mad = {
+        t: float(np.percentile([abs(x - med[t]) for x in v], 50))
+        for t, v in groups.items()
+    }
+    expect = {}
+    for eid, t, v in rows:
+        z = (v - med[t]) / (1.4826 * mad[t])
+        if abs(z) > 3:
+            expect[int(eid)] = round(z, 3)
+    got = {
+        int(r["event_id"]): float(r["robust_z"])
+        for _, r in oracle_df(con, "q_anomaly_mad").iterrows()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 2e-3
+
+
+def test_feature_binning_matches_quartiles(con):
+    import numpy as np
+
+    prices = [
+        float(r[0])
+        for r in con.execute("SELECT o_totalprice FROM orders").fetchall()
+    ]
+    q1, q2, q3 = (np.percentile(prices, p) for p in (25, 50, 75))
+    from collections import Counter
+
+    buckets = Counter(
+        0 if p < q1 else (1 if p < q2 else (2 if p < q3 else 3))
+        for p in prices
+    )
+    df = oracle_df(con, "q_feature_binning")
+    got = df.groupby("price_bucket")["bucket_size"].first()
+    assert {int(k): int(v) for k, v in got.items()} == dict(buckets)
+    assert len(df) == len(prices)
+
+
+def test_var_backtest_matches_kupiec_band(con):
+    import hashlib
+
+    rows = con.execute(
+        """SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    cal, ev = [], []
+    for eid, c in rows:
+        h = int(hashlib.md5(f"vb:{int(eid)}".encode()).hexdigest()[:8], 16)
+        (cal if h % 2 == 0 else ev).append(int(c))
+    cal.sort()
+    v = cal[max(len(cal) * 5 // 100, 1) - 1]
+    exceed = sum(1 for c in ev if c <= v)
+    got = oracle_df(con, "q_var_backtest").iloc[0]
+    assert int(got["var5_cents"]) == v
+    assert int(got["n_eval"]) == len(ev)
+    assert int(got["n_exceed"]) == exceed
+    within = abs(exceed - len(ev) * 0.05) <= 3 * math.sqrt(
+        len(ev) * 0.05 * 0.95
+    )
+    assert bool(got["within_3sigma"]) == within
+
+
+def test_bootstrap_ci_poisson_constants_and_replicates(con):
+    # the hard-coded thresholds must be the Poisson(1) CDF
+    cdf = []
+    acc = 0.0
+    for k in range(7):
+        acc += math.exp(-1) / math.factorial(k)
+        cdf.append(acc)
+    hard = [
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+        0.9994058151824183,
+        0.9999167588507119,
+    ]
+    for a, b in zip(cdf, hard):
+        assert abs(a - b) < 1e-12
+    import hashlib
+
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events WHERE event_type = 'purchase'"""
+    ).fetchall()
+
+    def w_of(u):
+        for k, t in enumerate(hard):
+            if u < t:
+                return k
+        return 7
+
+    means = []
+    for b in range(20):
+        num = den = 0
+        for eid, c in rows:
+            u = (
+                int(
+                    hashlib.md5(f"{int(eid)}:{b}:boot".encode()).hexdigest()[
+                        :13
+                    ],
+                    16,
+                )
+                / 4503599627370496.0
+            )
+            w = w_of(u)
+            num += w * int(c)
+            den += w
+        if den > 0:
+            means.append(num / den / 100.0)
+    got = oracle_df(con, "q_bootstrap_ci").iloc[0]
+    assert int(got["n_replicates"]) == len(means)
+    assert abs(float(got["boot_mean"]) - sum(means) / len(means)) < 1e-3
+    lo = float(np.percentile(np.array(means), 2.5))
+    hi = float(np.percentile(np.array(means), 97.5))
+    assert abs(float(got["ci_lo"]) - lo) < 1e-3
+    assert abs(float(got["ci_hi"]) - hi) < 1e-3
+    assert float(got["ci_lo"]) <= float(got["boot_mean"]) <= float(got["ci_hi"])
+
+
+def test_permutation_test_matches_relabeling(con):
+    import hashlib
+
+    rows = con.execute(
+        """SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                  event_type
+           FROM events WHERE event_type IN ('purchase', 'click')"""
+    ).fetchall()
+    n = len(rows)
+    s = sum(int(r[1]) for r in rows)
+    n_a = sum(1 for r in rows if r[2] == "purchase")
+    s_a = sum(int(r[1]) for r in rows if r[2] == "purchase")
+    t_obs = abs((n - n_a) * s_a - n_a * (s - s_a))
+    greater = 0
+    for i in range(1, 20):
+        pn = ps = 0
+        for eid, c, _ in rows:
+            h = int(
+                hashlib.md5(f"{i}:{int(eid)}".encode()).hexdigest()[:8], 16
+            )
+            if h % n < n_a:
+                pn += 1
+                ps += int(c)
+        t_i = abs((n - pn) * ps - pn * (s - ps))
+        greater += t_i >= t_obs
+    got = oracle_df(con, "q_permutation_test").iloc[0]
+    assert int(got["t_obs"]) == t_obs
+    assert int(got["n_perms"]) == 19
+    assert int(got["n_greater"]) == greater
+    assert int(got["p_milli"]) == (greater + 1) * 1000 // 20
