@@ -4492,3 +4492,153 @@ def test_permutation_test_matches_relabeling(con):
     assert int(got["n_perms"]) == 19
     assert int(got["n_greater"]) == greater
     assert int(got["p_milli"]) == (greater + 1) * 1000 // 20
+
+
+# ---- batch 22: DQ / governance / pagination / robust location ----
+
+
+def test_json_schema_profile_matches_key_census(con):
+    import json as pyjson
+
+    rows = con.execute("SELECT props FROM events").fetchall()
+    from collections import Counter
+
+    census = Counter()
+    for (p,) in rows:
+        d = pyjson.loads(p)
+        for k, v in d.items():
+            t = (
+                "UBIGINT"
+                if isinstance(v, int) and v >= 0
+                else type(v).__name__
+            )
+            census[(k, t)] += 1
+    got = {
+        (r["key_name"], r["value_type"]): (
+            int(r["n"]),
+            int(r["presence_micro"]),
+        )
+        for _, r in oracle_df(con, "q_json_schema_profile").iterrows()
+    }
+    # same key set and counts (value_type names are DuckDB's)
+    assert sum(n for n, _ in got.values()) == sum(census.values())
+    for (k, _), n in census.items():
+        match = [v for (gk, _), v in got.items() if gk == k]
+        assert sum(m[0] for m in match) == n
+        for gn, pres in match:
+            assert pres == gn * 10**6 // len(rows)
+
+
+def test_ri_audit_and_dq_checks_pass_on_fixture(con):
+    ri = oracle_df(con, "q_ri_audit")
+    orphans = dict(zip(ri["fk_edge"], ri["n_orphans"].astype(int)))
+    # star-schema edges hold on the fixture; the events edge is the
+    # deliberately unconstrained one (user_id is not a customer FK)
+    for edge, n in orphans.items():
+        if edge != "events.user_id->customer":
+            assert n == 0, edge
+    dq = oracle_df(con, "q_dq_checks")
+    stat = dict(zip(dq["check_name"], dq["passed"]))
+    # independently recompute two checks
+    n_dup = con.execute(
+        "SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders"
+    ).fetchone()[0]
+    assert bool(stat["dup_orderkey"]) == (int(n_dup) == 0)
+    n_bad = con.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')"
+    ).fetchone()[0]
+    assert bool(stat["bad_orderstatus"]) == (int(n_bad) == 0)
+
+
+def test_late_dim_reattribution_conserves_dollars(con):
+    df = oracle_df(con, "q_late_dim_reattribution")
+    # total dollars conserved across dim versions; UNKNOWN fully drains
+    assert int(df["v1_dollars"].sum()) == int(df["v2_dollars"].sum())
+    unk = df[df["segment"] == "UNKNOWN"]
+    assert len(unk) == 1
+    assert int(unk["v2_dollars"].iloc[0]) == 0
+    assert int(unk["reattributed"].iloc[0]) == -int(unk["v1_dollars"].iloc[0])
+    # every non-UNKNOWN segment gains exactly what it lost to UNKNOWN
+    rows = con.execute(
+        """SELECT c_mktsegment,
+                  CAST(SUM(CASE WHEN c_custkey % 5 = 0
+                           THEN CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT)
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1"""
+    ).fetchall()
+    masked = {r[0]: int(r[1]) for r in rows}
+    for _, r in df[df["segment"] != "UNKNOWN"].iterrows():
+        assert int(r["reattributed"]) == masked[r["segment"]]
+
+
+def test_freshness_slo_matches_watermarks(con):
+    ev = con.execute("SELECT MAX(epoch_us(ts)) FROM events").fetchone()[0]
+    od = con.execute(
+        "SELECT MAX(epoch_us(o_orderdate)) FROM orders"
+    ).fetchone()[0]
+    ls = con.execute(
+        "SELECT MAX(epoch_us(l_shipdate)) FROM lineitem"
+    ).fetchone()[0]
+    now = max(ev, od, ls)
+    expect = {
+        "events": ((now - ev) // 10**6, 86400),
+        "orders": ((now - od) // 10**6, 604800),
+        "lineitem": ((now - ls) // 10**6, 604800),
+    }
+    got = {
+        r["tbl"]: (int(r["lag_s"]), int(r["slo_s"]), bool(r["within_slo"]))
+        for _, r in oracle_df(con, "q_freshness_slo").iterrows()
+    }
+    for t, (lag, slo) in expect.items():
+        assert got[t] == (lag, slo, lag <= slo), t
+    # the reference clock is data-derived: at least one table is fresh
+    assert any(lag == 0 for lag, _, _ in got.values())
+
+
+def test_keyset_pagination_matches_offset_page(con):
+    rows = sorted(
+        (int(r[1]), int(r[0]))
+        for r in con.execute(
+            """SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5)
+                      AS BIGINT)
+               FROM orders"""
+        ).fetchall()
+    )
+    # cursor = 100th row; page 3 = next 50 under (cents, key) order
+    expect = [(k, c) for c, k in rows[100:150]]
+    got = [
+        (int(r["o_orderkey"]), int(r["cents"]))
+        for _, r in oracle_df(con, "q_keyset_pagination").iterrows()
+    ]
+    assert got == expect
+
+
+def test_location_ladder_matches_robust_means(con):
+    rows = sorted(
+        int(r[0])
+        for r in con.execute(
+            "SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) FROM events"
+        ).fetchall()
+    )
+    n = len(rows)
+    k_lo = max(n * 5 // 100, 1)
+    k_hi = n - k_lo + 1
+    lo_c, hi_c = rows[k_lo - 1], rows[k_hi - 1]
+    med = rows[(n + 1) // 2 - 1]
+    trimmed = rows[k_lo:k_hi - 1]
+    wins = [min(max(c, lo_c), hi_c) for c in rows]
+    got = oracle_df(con, "q_location_ladder").iloc[0]
+    assert int(got["n"]) == n
+    assert int(got["mean_cents"]) == sum(rows) // n
+    assert int(got["median_cents"]) == med
+    assert int(got["trimmed5_mean_cents"]) == sum(trimmed) // len(trimmed)
+    assert int(got["winsorized5_mean_cents"]) == sum(wins) // n
+    # the ladder orders sensibly: trimmed/winsorized lie between the
+    # extremes of mean and median neighborhoods
+    vals = [
+        int(got["mean_cents"]),
+        int(got["trimmed5_mean_cents"]),
+        int(got["winsorized5_mean_cents"]),
+    ]
+    assert max(vals) - min(vals) < (rows[-1] - rows[0])
