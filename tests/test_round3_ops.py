@@ -2241,8 +2241,14 @@ def test_ndcg_at5_bounds_and_perfect_ranking(spark):
     assert len(got) == 20
     scored = got.dropna(subset=["ndcg_micro"])
     assert (scored["ndcg_micro"] <= 1_000_000).all()
-    assert (scored["ndcg_micro"] > 0).all()
-    # when every top-5 hit is relevant, DCG == IDCG exactly
+    # corpus-wide ideal (standard NDCG): a query that surfaced none of
+    # its available relevants scores exactly 0, not NULL/positive
+    assert (scored["ndcg_micro"] >= 0).all()
+    assert (
+        (scored["ndcg_micro"] > 0) == (scored["n_rel"] > 0)
+    ).all()
+    # with >=5 relevant available corpus-wide, a full-relevant top-5
+    # is a perfect ranking: DCG == IDCG exactly
     perfect = scored[scored["n_rel"] == 5]
     assert (perfect["ndcg_micro"] == 1_000_000).all()
     # dcg can never exceed ideal
