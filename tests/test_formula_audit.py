@@ -4642,3 +4642,157 @@ def test_location_ladder_matches_robust_means(con):
         int(got["winsorized5_mean_cents"]),
     ]
     assert max(vals) - min(vals) < (rows[-1] - rows[0])
+
+
+# ---- batch 23: threshold ladders / histograms / deterministic sampling ----
+
+
+def test_anomaly_threshold_ladder_is_monotone_and_exact(con):
+    rows = [
+        int(r[0])
+        for r in con.execute(
+            "SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) FROM events"
+        ).fetchall()
+    ]
+    n = len(rows)
+    s = sum(rows)
+    ss = sum(c * c for c in rows)
+    var = (n * ss - s * s) / (n - 1)
+    got = {
+        int(r["z_threshold"]): (int(r["n_flagged"]), int(r["flag_rate_micro"]))
+        for _, r in oracle_df(con, "q_anomaly_threshold_ladder").iterrows()
+    }
+    prev = None
+    for k in (2, 3, 4):
+        flagged = sum(
+            1 for c in rows if (c * n - s) ** 2 > k * k * n * var
+        )
+        assert got[k] == (flagged, flagged * 10**6 // n), k
+        if prev is not None:
+            assert got[k][0] <= prev  # higher threshold flags fewer
+        prev = got[k][0]
+
+
+def test_log2_histogram_matches_bit_lengths(con):
+    rows = [
+        int(r[0])
+        for r in con.execute(
+            "SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " FROM orders"
+        ).fetchall()
+    ]
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, None, None])
+    for c in rows:
+        b = c.bit_length()
+        a = agg[b]
+        a[0] += 1
+        a[1] = c if a[1] is None else min(a[1], c)
+        a[2] = c if a[2] is None else max(a[2], c)
+    got = {
+        int(r["bucket_bits"]): (
+            int(r["n"]),
+            int(r["min_cents"]),
+            int(r["max_cents"]),
+        )
+        for _, r in oracle_df(con, "q_log2_histogram").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # each bucket's range lives inside [2^(b-1), 2^b)
+    for b, (_, lo, hi) in got.items():
+        assert 2 ** (b - 1) <= lo <= hi < 2**b
+
+
+def test_histogram_matches_fixed_width_bins(con):
+    rows = [
+        float(r[0])
+        for r in con.execute("SELECT value FROM events").fetchall()
+    ]
+    lo, hi = min(rows), max(rows)
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, None, None])
+    for v in rows:
+        b = min(int((v - lo) * 16.0 / (hi - lo)), 15)
+        a = agg[b]
+        a[0] += 1
+        a[1] = v if a[1] is None else min(a[1], v)
+        a[2] = v if a[2] is None else max(a[2], v)
+    got = {
+        int(r["bin"]): (int(r["n"]), float(r["bin_min"]), float(r["bin_max"]))
+        for _, r in oracle_df(con, "q_histogram").iterrows()
+    }
+    assert set(got) == set(agg)
+    for b, (n, mn, mx) in agg.items():
+        assert got[b][0] == n
+        assert abs(got[b][1] - round(mn, 4)) < 1e-9
+        assert abs(got[b][2] - round(mx, 4)) < 1e-9
+    assert sum(n for n, _, _ in agg.values()) == len(rows)
+
+
+def test_deterministic_sampling_family_matches_hash_gates(con):
+    docs = con.execute("SELECT doc_id, lang, source FROM documents").fetchall()
+    K = 2654435761
+    # q_sample_hash: orderkey % 10 == 3
+    orders = [
+        int(r[0])
+        for r in con.execute("SELECT o_orderkey FROM orders").fetchall()
+    ]
+    got_hash = {
+        int(r["o_orderkey"])
+        for _, r in oracle_df(con, "q_sample_hash").iterrows()
+    }
+    assert got_hash == {k for k in orders if k % 10 == 3}
+    # q_sample_mix: per-source keep percentages
+    pct = {"src0": 100, "src1": 50, "src2": 25}
+    from collections import defaultdict
+
+    mix = defaultdict(list)
+    for d, _, src in docs:
+        if src in pct and (int(d) * K) % 100 < pct[src]:
+            mix[src].append(int(d))
+    got_mix = {
+        r["source"]: (int(r["n_docs"]), int(r["min_doc"]))
+        for _, r in oracle_df(con, "q_sample_mix").iterrows()
+    }
+    assert got_mix == {s: (len(v), min(v)) for s, v in mix.items()}
+    # q_sample_stratified: per-lang rates
+    strat = {
+        int(d)
+        for d, lang, _ in docs
+        if (int(d) * K) % 100 < (25 if lang == "en" else 50)
+    }
+    got_strat = {
+        int(r["doc_id"])
+        for _, r in oracle_df(con, "q_sample_stratified").iterrows()
+    }
+    assert got_strat == strat
+    # q_split_train_test: 80/10/10 multiplicative-hash split
+    got_split = {
+        int(r["doc_id"]): r["split"]
+        for _, r in oracle_df(con, "q_split_train_test").iterrows()
+    }
+    for d, _, _ in docs:
+        m = (int(d) * K) % 100
+        expect = "train" if m < 80 else ("valid" if m < 90 else "test")
+        assert got_split[int(d)] == expect
+    # splits partition the corpus
+    assert len(got_split) == len(docs)
+
+
+def test_shuffle_epoch_matches_hash_permutation(con):
+    docs = [
+        int(r[0])
+        for r in con.execute("SELECT doc_id FROM documents").fetchall()
+    ]
+    K = 2654435761
+    order = sorted(docs, key=lambda d: ((d * K) % 4294967296, d))
+    expect = {d: i + 1 for i, d in enumerate(order)}
+    got = {
+        int(r["doc_id"]): int(r["train_order"])
+        for _, r in oracle_df(con, "q_shuffle_epoch").iterrows()
+    }
+    assert got == expect
+    # a permutation: ranks are exactly 1..n
+    assert sorted(got.values()) == list(range(1, len(docs) + 1))
