@@ -4796,3 +4796,192 @@ def test_shuffle_epoch_matches_hash_permutation(con):
     assert got == expect
     # a permutation: ranks are exactly 1..n
     assert sorted(got.values()) == list(range(1, len(docs) + 1))
+
+
+# ---- batch 24: the exact dedup chain ----
+
+
+def _bigram_sets(con):
+    out = {}
+    for doc_id, lang, _, text, _ in _docs(con):
+        toks = text.split(" ")
+        out[int(doc_id)] = (
+            lang,
+            {f"{a} {b}" for a, b in zip(toks, toks[1:])},
+        )
+    return out
+
+
+def _jaccard_pairs(con, thr=0.5):
+    grams = _bigram_sets(con)
+    ids = sorted(grams)
+    pairs = set()
+    for i, a in enumerate(ids):
+        la, ga = grams[a]
+        for b in ids[i + 1 :]:
+            lb, gb = grams[b]
+            if la != lb or not (ga and gb):
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= thr:
+                pairs.add((a, b))
+    return pairs
+
+
+def test_dedup_exact_matches_byte_groups(con):
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for doc_id, _, _, text, _ in _docs(con):
+        groups[text].append(int(doc_id))
+    expect = {min(v): len(v) for v in groups.values()}
+    got = {
+        int(r["keep_id"]): int(r["n_copies"])
+        for _, r in oracle_df(con, "q_dedup_exact").iterrows()
+    }
+    assert got == expect
+
+
+def test_dedup_ngram_jaccard_matches_pair_set(con):
+    expect = _jaccard_pairs(con)
+    got = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for _, r in oracle_df(con, "q_dedup_ngram_jaccard").iterrows()
+    }
+    assert got == expect
+    # and the reported similarity values are the true Jaccard
+    grams = _bigram_sets(con)
+    for _, r in oracle_df(con, "q_dedup_ngram_jaccard").iterrows():
+        ga = grams[int(r["id_a"])][1]
+        gb = grams[int(r["id_b"])][1]
+        assert abs(float(r["jaccard"]) - len(ga & gb) / len(ga | gb)) < 2e-6
+
+
+def test_dedup_containment_matches_asymmetric_pairs(con):
+    grams = _bigram_sets(con)
+    expect = set()
+    for a, (la, ga) in grams.items():
+        if not ga:
+            continue
+        for b, (lb, gb) in grams.items():
+            if a == b or la != lb:
+                continue
+            if len(ga & gb) / len(ga) >= 0.9:
+                expect.add((a, b))
+    got = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for _, r in oracle_df(con, "q_dedup_containment").iterrows()
+    }
+    assert got == expect
+
+
+def test_fuzzy_levenshtein_matches_dp(con):
+    rows = con.execute(
+        "SELECT p_partkey, p_brand, p_name FROM part"
+    ).fetchall()
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 3:
+            return 4
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+            if min(prev) > 3:
+                return 4
+        return prev[-1]
+
+    from collections import defaultdict
+
+    brands = defaultdict(list)
+    for k, b, n in rows:
+        brands[b].append((int(k), n))
+    expect = {}
+    for b, parts in brands.items():
+        parts.sort()
+        for i, (k1, n1) in enumerate(parts):
+            for k2, n2 in parts[i + 1 :]:
+                d = lev(n1, n2)
+                if d <= 3:
+                    expect[(k1, k2)] = d
+    got = {
+        (int(r["id_a"]), int(r["id_b"])): int(r["dist"])
+        for _, r in oracle_df(con, "q_fuzzy_levenshtein").iterrows()
+    }
+    assert got == expect
+
+
+def test_dedup_clusters_match_union_find(con):
+    pairs = _jaccard_pairs(con)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    expect = {}
+    for members in comp.values():
+        rep = min(members)
+        for m in members:
+            expect[m] = rep
+    got = {
+        int(r["doc_id"]): int(r["component"])
+        for _, r in oracle_df(con, "q_dedup_clusters").iterrows()
+    }
+    assert got == expect
+
+
+def test_dedup_apply_matches_representative_policy(con):
+    pairs = _jaccard_pairs(con)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    rep = {}
+    for members in comp.values():
+        r = min(members)
+        for m in members:
+            rep[m] = r
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for doc_id, lang, _, _, _ in _docs(con):
+        d = int(doc_id)
+        a = agg[lang]
+        a[0] += 1
+        if d not in rep or rep[d] == d:
+            a[1] += 1
+        else:
+            a[2] += 1
+    got = {
+        r["lang"]: (int(r["n_docs"]), int(r["n_kept"]), int(r["n_dropped"]))
+        for _, r in oracle_df(con, "q_dedup_apply").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # kept + dropped == total per lang
+    for n, k, d in got.values():
+        assert k + d == n
