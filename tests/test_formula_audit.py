@@ -4985,3 +4985,267 @@ def test_dedup_apply_matches_representative_policy(con):
     # kept + dropped == total per lang
     for n, k, d in got.values():
         assert k + d == n
+
+
+# ---- batch 25: remaining ML-stats kernels ----
+
+
+def test_series_corr_matches_pairwise_pearson(con):
+    rows = con.execute(
+        """SELECT date_trunc('hour', ts), event_type, COUNT(*)
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    by_type = defaultdict(dict)
+    for h, t, n in rows:
+        by_type[t][h] = int(n)
+    types = sorted(by_type)
+    got = {
+        (r["type_a"], r["type_b"]): (float(r["r"]), int(r["n_hours"]))
+        for _, r in oracle_df(con, "q_series_corr").iterrows()
+    }
+    import statistics
+
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            common = sorted(set(by_type[a]) & set(by_type[b]))
+            xs = [by_type[a][h] for h in common]
+            ys = [by_type[b][h] for h in common]
+            r = statistics.correlation(xs, ys)
+            assert got[(a, b)][1] == len(common)
+            assert abs(got[(a, b)][0] - round(r, 4)) < 2e-4
+
+
+def test_markov_order_compare_matches_predictors(con):
+    rows = con.execute(
+        """SELECT user_id, event_type FROM events
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    trips = []
+    hist = defaultdict(list)
+    for u, t in rows:
+        hist[u].append(t)
+    for u, seq in hist.items():
+        for i in range(2, len(seq)):
+            trips.append((seq[i - 2], seq[i - 1], seq[i]))
+    bi = Counter((p1, c) for _, p1, c in trips)
+    tri = Counter(trips)
+    pred1 = {}
+    for (p1, c), n in bi.items():
+        if p1 not in pred1 or (n, c) < (0,):
+            pass
+    by_p1 = defaultdict(dict)
+    for (p1, c), n in bi.items():
+        by_p1[p1][c] = n
+    pred1 = {
+        p1: min(cs, key=lambda c: (-cs[c], c)) for p1, cs in by_p1.items()
+    }
+    by_p2 = defaultdict(dict)
+    for (p2, p1, c), n in tri.items():
+        by_p2[(p2, p1)][c] = n
+    pred2 = {
+        k: min(cs, key=lambda c: (-cs[c], c)) for k, cs in by_p2.items()
+    }
+    c1 = sum(1 for p2, p1, c in trips if pred1[p1] == c)
+    c2 = sum(1 for p2, p1, c in trips if pred2[(p2, p1)] == c)
+    got = oracle_df(con, "q_markov_order_compare").iloc[0]
+    assert int(got["n_eval"]) == len(trips)
+    assert int(got["acc1_micro"]) == c1 * 10**6 // len(trips)
+    assert int(got["acc2_micro"]) == c2 * 10**6 // len(trips)
+    # order-2 context can only help an argmax predictor in-sample
+    assert c2 >= c1
+
+
+def test_chi_residuals_match_standardization(con):
+    rows = con.execute(
+        """SELECT event_type, isodow(ts) - 1, CAST(COUNT(*) AS BIGINT)
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    obs = {}
+    row_n = defaultdict(int)
+    col_n = defaultdict(int)
+    for t, d, o in rows:
+        obs[(t, int(d))] = int(o)
+        row_n[t] += int(o)
+        col_n[int(d)] += int(o)
+    n = sum(obs.values())
+    got = {
+        (r["event_type"], int(r["dow"])): (
+            int(r["o"]),
+            int(r["expected_centi"]),
+            int(r["std_residual_milli"]),
+        )
+        for _, r in oracle_df(con, "q_chi_residuals").iterrows()
+    }
+    for (t, d), o in obs.items():
+        e = row_n[t] * col_n[d] / n
+        res = (o - e) / math.sqrt(e)
+        go, ge, gr = got[(t, d)]
+        assert go == o
+        assert ge == math.floor(e * 100)
+        assert gr == math.floor(res * 1000)
+    # standardized residuals roughly sum to 0 across the table
+    assert abs(sum(r for _, _, r in got.values())) < 1000 * len(got)
+
+
+def test_outlier_kappa_matches_cohens_kappa(con):
+    import numpy as np
+
+    cents = np.array(
+        [
+            int(r[0])
+            for r in con.execute(
+                "SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) FROM events"
+            ).fetchall()
+        ]
+    )
+    n = len(cents)
+    mean = cents.mean()
+    sd = cents.std(ddof=1)
+    z_flag = np.abs(cents - mean) > 3 * sd
+    med = np.sort(cents)[math.ceil(n * 0.5) - 1]
+    mad = np.sort(np.abs(cents - med))[math.ceil(n * 0.5) - 1]
+    mad_flag = np.abs(cents - med) > 3 * mad
+    a = int((z_flag & mad_flag).sum())
+    b = int((z_flag & ~mad_flag).sum())
+    c = int((~z_flag & mad_flag).sum())
+    d = int((~z_flag & ~mad_flag).sum())
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    got = oracle_df(con, "q_outlier_kappa").iloc[0]
+    assert (int(got["a"]), int(got["b"]), int(got["cc"]), int(got["d"])) == (
+        a,
+        b,
+        c,
+        d,
+    )
+    assert abs(int(got["kappa_micro"]) / 1e6 - kappa) < 2e-6
+
+
+def test_conformal_coverage_hits_nominal_rate(con):
+    import hashlib
+
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                  user_id
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    cal = defaultdict(list)
+    ev = defaultdict(list)
+    for t, c, u in rows:
+        h = int(hashlib.md5(f"cal:{int(u)}".encode()).hexdigest()[:8], 16)
+        (cal if h % 2 == 0 else ev)[t].append(int(c))
+    got = {
+        r["event_type"]: (
+            int(r["n_cal"]),
+            int(r["lo_cents"]),
+            int(r["hi_cents"]),
+            int(r["coverage_micro"]),
+        )
+        for _, r in oracle_df(con, "q_conformal_coverage").iterrows()
+    }
+    for t, cs in cal.items():
+        cs.sort()
+        n_cal = len(cs)
+        lo = cs[max(n_cal * 5 // 100, 1) - 1]
+        hi = cs[min((n_cal * 95 + 99) // 100, n_cal) - 1]
+        evs = ev[t]
+        cov = sum(1 for c in evs if lo <= c <= hi) * 10**6 // len(evs)
+        assert got[t] == (n_cal, lo, hi, cov), t
+        # split-conformal band should land near 90% nominal coverage
+        assert 0.8 < cov / 1e6 < 0.99
+
+
+def test_knn_label_vote_matches_majority(con):
+    vecs = _vecs(con)
+    got = {
+        int(r["query_id"]): (
+            int(r["true_label"]),
+            int(r["predicted_label"]),
+            int(r["n_votes"]),
+            bool(r["correct"]),
+        )
+        for _, r in oracle_df(con, "q_knn_label_vote").iterrows()
+    }
+    from collections import Counter
+
+    for q in [i for i in vecs if i < 20]:
+        qlbl, qe = vecs[q]
+        nq = math.sqrt(sum(x * x for x in qe))
+        top5 = sorted(
+            (
+                -round(
+                    sum(a * b for a, b in zip(qe, ce))
+                    / (nq * math.sqrt(sum(x * x for x in ce))),
+                    6,
+                ),
+                m,
+                lbl,
+            )
+            for m, (lbl, ce) in vecs.items()
+            if m != q
+        )[:5]
+        votes = Counter(lbl for _, _, lbl in top5)
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        assert got[q] == (qlbl, pred, votes[pred], pred == qlbl), q
+
+
+def test_decision_stump_matches_weighted_gini(con):
+    rows = con.execute(
+        """SELECT CAST(l_quantity AS BIGINT),
+                  CAST(l_returnflag = 'R' AS INT)
+           FROM lineitem"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0])
+    for q, p in rows:
+        per[int(q)][0] += 1
+        per[int(q)][1] += int(p)
+    n_tot = sum(v[0] for v in per.values())
+    pos_tot = sum(v[1] for v in per.values())
+    got = {
+        int(r["threshold"]): (int(r["impurity_micro"]), bool(r["is_best"]))
+        for _, r in oracle_df(con, "q_decision_stump").iterrows()
+    }
+    n_l = pos_l = 0
+    best_float = None
+    float_imp = {}
+    for q in sorted(per):
+        n_l += per[q][0]
+        pos_l += per[q][1]
+        if n_tot - n_l <= 0:
+            continue
+        pl = pos_l * 10**6 // n_l
+        ql = (n_l - pos_l) * 10**6 // n_l
+        pr = (pos_tot - pos_l) * 10**6 // (n_tot - n_l)
+        qr = ((n_tot - n_l) - (pos_tot - pos_l)) * 10**6 // (n_tot - n_l)
+        imp = (
+            n_l * 10**6
+            - pos_l * pl
+            - (n_l - pos_l) * ql
+            + (n_tot - n_l) * 10**6
+            - (pos_tot - pos_l) * pr
+            - ((n_tot - n_l) - (pos_tot - pos_l)) * qr
+        )
+        assert got[q][0] == imp, q
+        # float weighted Gini for the argmin cross-check
+        p_lf = pos_l / n_l
+        p_rf = (pos_tot - pos_l) / (n_tot - n_l)
+        float_imp[q] = n_l * 2 * p_lf * (1 - p_lf) + (n_tot - n_l) * 2 * p_rf * (
+            1 - p_rf
+        )
+    best_int = min(v for v, _ in got.values())
+    marked = {q for q, (v, b) in got.items() if b}
+    assert marked == {q for q, (v, _) in got.items() if v == best_int}
+    # the integer argmin agrees with the float weighted-Gini argmin
+    best_q_float = min(float_imp, key=float_imp.get)
+    assert best_q_float in marked
