@@ -5249,3 +5249,173 @@ def test_decision_stump_matches_weighted_gini(con):
     # the integer argmin agrees with the float weighted-Gini argmin
     best_q_float = min(float_imp, key=float_imp.get)
     assert best_q_float in marked
+
+
+# ---- batch 26: aggregates / bias audits / hash chains ----
+
+
+def test_agg_stats_matches_statistics_module(con):
+    import statistics
+
+    rows = con.execute(
+        """SELECT l_returnflag, CAST(l_quantity AS DOUBLE),
+                  CAST(l_extendedprice AS DOUBLE),
+                  CAST(l_discount AS DOUBLE)
+           FROM lineitem"""
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for f, q, e, d in rows:
+        groups[f].append((q, e, d))
+    got = {
+        r["l_returnflag"]: r for _, r in oracle_df(con, "q_agg_stats").iterrows()
+    }
+    for f, pts in groups.items():
+        qs = [p[0] for p in pts]
+        es = [p[1] for p in pts]
+        ds = [p[2] for p in pts]
+        r = got[f]
+        assert abs(float(r["sd_qty"]) - statistics.stdev(qs)) < 1e-4
+        assert abs(float(r["var_qty"]) - statistics.variance(qs)) < 1e-4
+        assert abs(float(r["sdp_qty"]) - statistics.pstdev(qs)) < 1e-4
+        assert abs(float(r["corr_qe"]) - statistics.correlation(qs, es)) < 1e-4
+        assert abs(float(r["med_qty"]) - statistics.median(qs)) < 1e-9
+        assert abs(float(r["cov_qd"]) - statistics.covariance(qs, ds)) < 1e-4
+
+
+def test_simpson_check_matches_cov_signs(con):
+    rows = con.execute(
+        """SELECT p_brand, CAST(l_quantity AS BIGINT),
+                  CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT)
+           FROM lineitem JOIN part ON l_partkey = p_partkey"""
+    ).fetchall()
+    from collections import defaultdict
+
+    seg = defaultdict(lambda: [0, 0, 0, 0])
+    for b, x, y in rows:
+        a = seg[b]
+        a[0] += 1
+        a[1] += int(x)
+        a[2] += int(y)
+        a[3] += int(x) * int(y)
+    tn = sum(v[0] for v in seg.values())
+    tsx = sum(v[1] for v in seg.values())
+    tsy = sum(v[2] for v in seg.values())
+    tsxy = sum(v[3] for v in seg.values())
+    ov = tn * tsxy - tsx * tsy
+    osign = 1 if ov > 0 else (-1 if ov < 0 else 0)
+    got = {
+        r["p_brand"]: (int(r["cov_sign"]), int(r["overall_sign"]), bool(r["flipped"]))
+        for _, r in oracle_df(con, "q_simpson_check").iterrows()
+    }
+    for b, (n, sx, sy, sxy) in seg.items():
+        c = n * sxy - sx * sy
+        s = 1 if c > 0 else (-1 if c < 0 else 0)
+        assert got[b] == (s, osign, s != osign), b
+
+
+def test_survivorship_bias_matches_cohort_split(con):
+    rows = con.execute(
+        """SELECT user_id,
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT),
+                  COUNT(*),
+                  (epoch_us(MAX(ts)) // 1000000
+                   - epoch_us(MIN(ts)) // 1000000) // 604800 >= 4
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    cents = [int(r[1]) for r in rows]
+    surv = [int(r[1]) for r in rows if r[3]]
+    got = oracle_df(con, "q_survivorship_bias").iloc[0]
+    all_mean = sum(cents) // len(cents)
+    surv_mean = sum(surv) // len(surv)
+    assert int(got["n_users"]) == len(cents)
+    assert int(got["n_survivors"]) == len(surv)
+    assert int(got["all_users_mean_cents"]) == all_mean
+    assert int(got["survivors_mean_cents"]) == surv_mean
+    assert int(got["bias_ratio_milli"]) == surv_mean * 1000 // all_mean
+    # survivors accumulate over longer windows: bias ratio > 1
+    assert surv_mean > all_mean
+
+
+def test_hash_chain_audit_matches_fold(con):
+    import hashlib
+
+    rows = con.execute(
+        """SELECT user_id, CAST(event_id AS VARCHAR)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    ids = defaultdict(list)
+    for u, e in rows:
+        ids[int(u)].append(e)
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    chains = {}
+    for u, es in ids.items():
+        if len(es) == 1:
+            chains[u] = es[0]
+        else:
+            acc = es[0]
+            for e in es[1:]:
+                acc = md5(acc + e)
+            chains[u] = acc
+    top = None
+    ordered = [chains[u] for u in sorted(chains)]
+    acc = ordered[0]
+    for c in ordered[1:]:
+        acc = md5(acc + c)
+    top = acc
+    got = {
+        int(r["user_id"]): (int(r["n_events"]), r["chain"], r["top_hash"])
+        for _, r in oracle_df(con, "q_hash_chain_audit").iterrows()
+    }
+    for u, (n, chain, top_hash) in got.items():
+        assert u % 17 == 0
+        assert n == len(ids[u])
+        assert chain == chains[u]
+        assert top_hash == top
+
+
+def test_date_spine_matches_calendar(con):
+    from collections import Counter
+    from datetime import date, timedelta
+
+    counts = Counter(
+        r[0]
+        for r in con.execute(
+            """SELECT CAST(o_orderdate AS DATE) FROM orders
+               WHERE o_orderdate >= DATE '1995-01-01'
+                 AND o_orderdate <= DATE '1995-03-31'"""
+        ).fetchall()
+    )
+    got = {
+        r["day"]: int(r["n_orders"])
+        for _, r in oracle_df(con, "q_date_spine").iterrows()
+    }
+    d = date(1995, 1, 1)
+    n_days = 0
+    while d <= date(1995, 3, 31):
+        assert got[str(d)] == counts.get(d, 0), d
+        n_days += 1
+        d += timedelta(days=1)
+    assert len(got) == n_days == 90  # 1995 Q1 has 90 days
+
+
+def test_rec_coverage_invariants(con):
+    got = oracle_df(con, "q_rec_coverage").iloc[0]
+    cols = {c.lower(): c for c in got.index}
+    n_hist = int(got[cols[[c for c in cols if "users" in c][0]]])
+    # distinct recommended brands cannot exceed the catalog's brand count
+    n_brands = con.execute(
+        "SELECT COUNT(DISTINCT p_brand) FROM part"
+    ).fetchone()[0]
+    rec_cols = [c for c in cols if "brand" in c or "catalog" in c or "rec" in c]
+    for c in rec_cols:
+        v = got[cols[c]]
+        if isinstance(v, (int, float)) and v == v and "micro" not in c:
+            assert 0 <= v <= max(n_brands, n_hist)
