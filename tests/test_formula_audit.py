@@ -5419,3 +5419,143 @@ def test_rec_coverage_invariants(con):
         v = got[cols[c]]
         if isinstance(v, (int, float)) and v == v and "micro" not in c:
             assert 0 <= v <= max(n_brands, n_hist)
+
+
+# ---- batch 27: semantics contracts / erasure / bitemporal ----
+
+
+def test_not_in_nulls_matches_three_valued_logic(con):
+    cust = [
+        int(r[0])
+        for r in con.execute("SELECT c_nationkey FROM customer").fetchall()
+    ]
+    supp = con.execute(
+        "SELECT s_nationkey, s_acctbal FROM supplier"
+    ).fetchall()
+    null_free = {int(k) for k, b in supp if float(b) >= 0}
+    has_null = any(float(b) < 0 for _, b in supp)
+    got = {
+        r["variant"]: int(r["n"])
+        for _, r in oracle_df(con, "q_not_in_nulls").iterrows()
+    }
+    # NOT IN with a NULL in the subquery collapses to zero rows
+    assert got["with_nulls"] == (
+        0 if has_null else sum(1 for c in cust if c not in null_free)
+    )
+    assert got["null_free"] == sum(1 for c in cust if c not in null_free)
+    assert has_null  # the fixture exercises the trap
+
+
+def test_distinct_on_matches_latest_order(con):
+    rows = con.execute(
+        """SELECT o_custkey, o_orderkey, o_orderdate,
+                  ROUND(o_totalprice, 2)
+           FROM orders"""
+    ).fetchall()
+    best = {}
+    for ck, ok, od, tp in rows:
+        key = int(ck)
+        cand = (od, int(ok))
+        if key not in best or cand > best[key][0]:
+            best[key] = (cand, int(ok), float(tp))
+    got = {
+        int(r["o_custkey"]): (int(r["o_orderkey"]), float(r["o_totalprice"]))
+        for _, r in oracle_df(con, "q_distinct_on").iterrows()
+    }
+    assert got == {k: (ok, tp) for k, (_, ok, tp) in best.items()}
+
+
+def test_null_ordering_contract_matches_explicit_ranks(con):
+    rows = con.execute(
+        """SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                       ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                  END
+           FROM orders WHERE o_orderkey % 41 = 0"""
+    ).fetchall()
+    items = [(int(k), None if c is None else int(c)) for k, c in rows]
+
+    def ranks(key):
+        order = sorted(items, key=key)
+        return {k: i + 1 for i, (k, _) in enumerate(order)}
+
+    rf = ranks(lambda kv: (0 if kv[1] is None else 1, kv[1] or 0, kv[0]))
+    rl = ranks(lambda kv: (1 if kv[1] is None else 0, kv[1] or 0, kv[0]))
+    rd = ranks(
+        lambda kv: (1 if kv[1] is None else 0, -(kv[1] or 0), kv[0])
+    )
+    got = {
+        int(r["o_orderkey"]): (
+            int(r["rn_nulls_first"]),
+            int(r["rn_nulls_last"]),
+            int(r["rn_desc_nulls_last"]),
+        )
+        for _, r in oracle_df(con, "q_null_ordering_contract").iterrows()
+    }
+    for k, _ in items:
+        assert got[k] == (rf[k], rl[k], rd[k]), k
+
+
+def test_month_arithmetic_contract_clamps_to_month_end(con):
+    got = {
+        r["probe_day"]: r
+        for _, r in oracle_df(con, "q_month_arithmetic_contract").iterrows()
+    }
+    # the canonical clamping cases
+    assert got["2024-01-31"]["plus_1mo"] == "2024-02-29"  # leap clamp
+    assert got["2023-02-28"]["plus_1mo"] == "2023-03-28"  # no snap-to-end
+    assert got["2024-02-29"]["plus_1yr"] == "2025-02-28"  # leap -> non-leap
+    assert got["2024-08-31"]["plus_3mo"] == "2024-11-30"
+    assert got["2024-12-31"]["plus_1mo"] == "2025-01-31"
+    # day arithmetic never clamps
+    assert got["2024-01-31"]["plus_30d"] == "2024-03-01"
+    from datetime import date, timedelta
+
+    for probe, r in got.items():
+        y, m, d = map(int, probe.split("-"))
+        assert r["plus_30d"] == str(date(y, m, d) + timedelta(days=30))
+
+
+def test_forget_users_matches_erasure_accounting(con):
+    rows = con.execute("SELECT user_id FROM events").fetchall()
+    users = [int(r[0]) for r in rows]
+    tomb = {u for u in users if u % 101 == 0}
+    removed = sum(1 for u in users if u in tomb)
+    got = oracle_df(con, "q_forget_users").iloc[0]
+    assert int(got["n_before"]) == len(users)
+    assert int(got["n_removed"]) == removed
+    assert int(got["n_after"]) == len(users) - removed
+    assert int(got["n_users_forgotten"]) == len(tomb)
+    assert int(got["n_residue"]) == 0  # erasure is complete
+
+
+def test_bitemporal_aswas_matches_restatement(con):
+    rows = con.execute(
+        """SELECT o_orderkey, STRFTIME(date_trunc('month', o_orderdate),
+                  '%Y-%m'),
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                  CAST(FLOOR(o_totalprice * 105 + 0.5) AS BIGINT)
+           FROM orders"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for ok, month, old, new in rows:
+        a = agg[month]
+        a[0] += int(old)
+        corrected = int(ok) % 7 == 0
+        a[1] += int(new) if corrected else int(old)
+        a[2] += corrected
+    got = {
+        r["month"]: (
+            int(r["aswas_cents"]),
+            int(r["asis_cents"]),
+            int(r["n_corrected"]),
+            int(r["restatement_cents"]),
+        )
+        for _, r in oracle_df(con, "q_bitemporal_aswas").iterrows()
+    }
+    for month, (aswas, asis, nc) in agg.items():
+        assert got[month] == (aswas, asis, nc, asis - aswas), month
+        # a 5% upward correction can only restate upward
+        assert asis >= aswas
