@@ -5559,3 +5559,158 @@ def test_bitemporal_aswas_matches_restatement(con):
         assert got[month] == (aswas, asis, nc, asis - aswas), month
         # a 5% upward correction can only restate upward
         assert asis >= aswas
+
+
+# ---- batch 28: the bench headline queries ----
+
+
+def test_flagship_revenue_matches_star_rollup(con):
+    rows = con.execute(
+        """SELECT r_name, n_name, l_extendedprice, l_discount
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0.0, 0])
+    for r, n, e, d in rows:
+        a = agg[(r, n)]
+        a[0] += float(e) * (1 - float(d))
+        a[1] += 1
+    got = {
+        (r["r_name"], r["n_name"]): (float(r["revenue"]), int(r["n_items"]))
+        for _, r in oracle_df(con, "q_flagship_revenue").iterrows()
+    }
+    assert set(got) == set(agg)
+    for k, (rev, n) in agg.items():
+        assert got[k][1] == n
+        assert abs(got[k][0] - rev) < max(1e-3, abs(rev) * 1e-9), k
+
+
+def test_top_unshipped_matches_shipping_priority(con):
+    rows = con.execute(
+        """SELECT l_orderkey, l_extendedprice, l_discount,
+                  STRFTIME(o_orderdate, '%Y-%m-%d'), o_orderpriority
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+             AND l_shipdate > TIMESTAMP '1997-01-01'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0.0, None, None])
+    for ok, e, d, od, op in rows:
+        a = agg[int(ok)]
+        a[0] += float(e) * (1 - float(d))
+        a[1], a[2] = od, op
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    got = [
+        (int(r["l_orderkey"]), float(r["revenue"]))
+        for _, r in oracle_df(con, "q_top_unshipped").iterrows()
+    ]
+    assert [k for k, _ in got] == [k for k, _ in ranked]
+    for (gk, grev), (k, (rev, _, _)) in zip(got, ranked):
+        assert abs(grev - rev) < 1e-3
+
+
+def test_llm_pipeline_matches_filter_dedup_rollup(con):
+    from collections import defaultdict
+
+    kept = {}
+    for doc_id, lang, _, text, n_chars in _docs(con):
+        toks = text.split(" ")
+        uniq = len(set(toks)) / len(toks)
+        if uniq >= 0.5 and int(n_chars) >= 100:
+            kept[int(doc_id)] = (lang, toks, " ".join(sorted(set(toks))))
+    first_by_sig = {}
+    for d in sorted(kept):
+        sig = kept[d][2]
+        first_by_sig.setdefault(sig, d)
+    deduped = set(first_by_sig.values())
+    per_lang = defaultdict(lambda: [0, 0, set()])
+    for d in deduped:
+        lang, toks, _ = kept[d]
+        a = per_lang[lang]
+        a[0] += 1
+        a[1] += len(toks)
+        a[2].update(toks)
+    got = {
+        r["lang"]: (int(r["n_docs"]), int(r["total_tokens"]), int(r["vocab"]))
+        for _, r in oracle_df(con, "q_llm_pipeline").iterrows()
+    }
+    assert got == {
+        lang: (n, t, len(v)) for lang, (n, t, v) in per_lang.items()
+    }
+
+
+def test_agg_groupby_matches_tpch_q1(con):
+    rows = con.execute(
+        """SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+                  l_discount, l_tax
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0.0, 0.0, 0.0, 0.0, 0.0, 0])
+    for f, st, q, e, d, t in rows:
+        a = agg[(f, st)]
+        a[0] += float(q)
+        a[1] += float(e)
+        a[2] += float(e) * (1 - float(d))
+        a[3] += float(e) * (1 - float(d)) * (1 + float(t))
+        a[4] += float(d)
+        a[5] += 1
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for _, r in oracle_df(con, "q_agg_groupby").iterrows()
+    }
+    for k, (sq, sb, sd, sc, sdisc, n) in agg.items():
+        r = got[k]
+        assert int(r["count_order"]) == n
+        assert abs(float(r["sum_qty"]) - sq) < 0.01
+        assert abs(float(r["sum_disc_price"]) - sd) < 0.01
+        assert abs(float(r["avg_qty"]) - sq / n) < 1e-4
+        assert abs(float(r["avg_disc"]) - sdisc / n) < 1e-4
+
+
+def test_join_asof_matches_backward_scan(con):
+    rows = con.execute(
+        """SELECT event_id, user_id, event_type, ts, value FROM events
+           WHERE event_type IN ('click', 'purchase')
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    purchases = defaultdict(list)
+    for eid, u, t, ts, v in rows:
+        if t == "purchase":
+            purchases[int(u)].append((ts, float(v)))
+    import bisect
+
+    got = {
+        int(r["event_id"]): (
+            None if r["purchase_ts_s"] is None else r["purchase_ts_s"],
+            None
+            if r["purchase_value"] != r["purchase_value"]
+            else round(float(r["purchase_value"]), 6),
+        )
+        for _, r in oracle_df(con, "q_join_asof").iterrows()
+    }
+    for eid, u, t, ts, _ in rows:
+        if t != "click":
+            continue
+        ps = purchases.get(int(u), [])
+        i = bisect.bisect_right([p[0] for p in ps], ts)
+        if i == 0:
+            assert got[int(eid)][1] is None, eid
+        else:
+            pts, pv = ps[i - 1]
+            assert got[int(eid)][0] == pts.strftime("%Y-%m-%d %H:%M:%S"), eid
+            assert abs(got[int(eid)][1] - round(pv, 6)) < 1e-9, eid
