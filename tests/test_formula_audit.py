@@ -5714,3 +5714,127 @@ def test_join_asof_matches_backward_scan(con):
             pts, pv = ps[i - 1]
             assert got[int(eid)][0] == pts.strftime("%Y-%m-%d %H:%M:%S"), eid
             assert abs(got[int(eid)][1] - round(pv, 6)) < 1e-9, eid
+
+
+# ---- batch 29: core window / sort / set-op surface ----
+
+
+def test_window_rank_family_matches_replay(con):
+    rows = con.execute(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for ok, ck, tp in rows:
+        per[int(ck)].append((-float(tp), int(ok)))
+    got = {
+        int(r["o_orderkey"]): (int(r["rnk"]), int(r["drnk"]), int(r["rn"]))
+        for _, r in oracle_df(con, "q_window_rank").iterrows()
+    }
+    for ck, items in per.items():
+        items.sort()
+        rank = drank = 0
+        prev_price = None
+        for i, (negtp, ok) in enumerate(items, 1):
+            if negtp != prev_price:
+                rank = i
+                drank += 1
+                prev_price = negtp
+            assert got[ok] == (rank, drank, i), ok
+
+
+def test_topk_per_group_matches_top2(con):
+    rows = con.execute(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for ck, ok, tp in rows:
+        per[int(ck)].append((-float(tp), int(ok)))
+    expect = set()
+    for ck, items in per.items():
+        for negtp, ok in sorted(items)[:2]:
+            expect.add((ck, ok))
+    got = {
+        (int(r["o_custkey"]), int(r["o_orderkey"]))
+        for _, r in oracle_df(con, "q_topk_per_group").iterrows()
+    }
+    assert got == expect
+
+
+def test_window_frame_matches_running_aggregates(con):
+    rows = con.execute(
+        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+           FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""
+    ).fetchall()
+    got = {
+        int(r["o_orderkey"]): (
+            float(r["running_spend"]),
+            float(r["avg3"]),
+            float(r["max_so_far"]),
+        )
+        for _, r in oracle_df(con, "q_window_frame").iterrows()
+    }
+    cur_c, hist = None, []
+    for ok, ck, tp, _ in rows:
+        if ck != cur_c:
+            cur_c, hist = ck, []
+        hist.append(float(tp))
+        run = sum(hist)
+        avg3 = sum(hist[-3:]) / len(hist[-3:])
+        mx = max(hist)
+        g = got[int(ok)]
+        assert abs(g[0] - round(run, 2)) < 0.02, ok
+        assert abs(g[1] - avg3) < 1e-2, ok
+        assert abs(g[2] - mx) < 1e-9, ok
+
+
+def test_sort_limit_matches_top25(con):
+    rows = con.execute(
+        "SELECT o_orderkey, o_totalprice FROM orders"
+    ).fetchall()
+    expect = sorted(((-float(tp), int(ok)) for ok, tp in rows))[:25]
+    got = [
+        int(r["o_orderkey"])
+        for _, r in oracle_df(con, "q_sort_limit").iterrows()
+    ]
+    assert got == [ok for _, ok in expect]
+
+
+def test_setops_match_multiset_algebra(con):
+    cust = {
+        int(r[0])
+        for r in con.execute(
+            "SELECT c_nationkey FROM customer WHERE c_acctbal > 8000"
+        ).fetchall()
+    }
+    supp = {
+        int(r[0])
+        for r in con.execute("SELECT s_nationkey FROM supplier").fetchall()
+    }
+    got_union = {
+        int(r["nationkey"])
+        for _, r in oracle_df(con, "q_union_distinct").iterrows()
+    }
+    assert got_union == cust | supp
+    from collections import Counter
+
+    a = Counter(
+        int(r[0])
+        for r in con.execute(
+            "SELECT l_orderkey FROM lineitem WHERE l_quantity >= 30"
+        ).fetchall()
+    )
+    b = Counter(
+        int(r[0])
+        for r in con.execute(
+            "SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05"
+        ).fetchall()
+    )
+    inter = Counter({k: min(a[k], b[k]) for k in a if k in b})
+    got_inter = Counter(
+        int(r["okey"]) for _, r in oracle_df(con, "q_intersect_all").iterrows()
+    )
+    assert got_inter == +inter
