@@ -5838,3 +5838,171 @@ def test_setops_match_multiset_algebra(con):
         int(r["okey"]) for _, r in oracle_df(con, "q_intersect_all").iterrows()
     )
     assert got_inter == +inter
+
+
+# ---- batch 30: streaming-twin window semantics ----
+
+
+def test_stream_tumbling_oracle_matches_hour_rollup(con):
+    rows = con.execute(
+        """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+                  event_type, value
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for h, t, v in rows:
+        agg[(h, t)][0] += 1
+        agg[(h, t)][1] += float(v)
+    got = {
+        (r["win_start"], r["event_type"]): (int(r["n"]), float(r["total_value"]))
+        for _, r in oracle_df(con, "q_stream_tumbling").iterrows()
+    }
+    assert set(got) == set(agg)
+    for k, (n, tv) in agg.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - tv) < 1e-2
+
+
+def test_stream_sliding_oracle_is_two_shifted_grids(con):
+    rows = con.execute(
+        "SELECT CAST(floor(epoch(ts)) AS BIGINT) FROM events"
+    ).fetchall()
+    from collections import Counter
+    from datetime import datetime, timezone
+
+    cnt = Counter()
+    for (s,) in rows:
+        base = int(s) // 1800 * 1800
+        for start in (base, base - 1800):
+            cnt[start] += 1
+    got = {
+        r["win_start"]: int(r["n"])
+        for _, r in oracle_df(con, "q_stream_sliding").iterrows()
+    }
+    expect = {
+        datetime.fromtimestamp(s, tz=timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        ): n
+        for s, n in cnt.items()
+    }
+    assert got == expect
+    # each event lands in exactly windowSize/slide = 2 windows
+    assert sum(got.values()) == 2 * len(rows)
+
+
+def test_stream_ohlc_matches_bar_semantics(con):
+    rows = con.execute(
+        """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+                  event_type, value, ts, event_id
+           FROM events ORDER BY ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    bars = defaultdict(list)
+    for h, t, v, ts, eid in rows:
+        bars[(h, t)].append(float(v))
+    got = {
+        (r["win_start"], r["event_type"]): (
+            float(r["open_v"]),
+            float(r["high_v"]),
+            float(r["low_v"]),
+            float(r["close_v"]),
+            int(r["n"]),
+        )
+        for _, r in oracle_df(con, "q_stream_ohlc").iterrows()
+    }
+    for k, vs in bars.items():
+        o, h, l, c, n = got[k]
+        assert (o, c, n) == (vs[0], vs[-1], len(vs))
+        assert h == max(vs) and l == min(vs)
+        assert l <= o <= h and l <= c <= h  # bar invariant
+
+
+def test_stream_vwap_oracle_matches_integer_notional(con):
+    rows = con.execute(
+        """SELECT CAST(floor(epoch(ts)) AS BIGINT) // 900 * 900,
+                  event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+    from datetime import datetime, timezone
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for w, t, c in rows:
+        a = agg[(int(w), t)]
+        a[0] += 1
+        a[1] += int(c) * int(c) // 100
+        a[2] += int(c)
+    got = {
+        (r["win_start"], r["event_type"]): (
+            int(r["n_trades"]),
+            int(r["notional"]),
+            int(r["vwap_ratio"]),
+        )
+        for _, r in oracle_df(con, "q_stream_vwap").iterrows()
+    }
+    for (w, t), (n, notional, vol) in agg.items():
+        key = (
+            datetime.fromtimestamp(w, tz=timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            t,
+        )
+        assert got[key] == (n, notional, notional // vol), key
+
+
+def test_stream_drawdown_matches_ledger_replay(con):
+    rows = con.execute(
+        """SELECT user_id, event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    expect = {}
+    cur_u = None
+    for u, t, c in rows:
+        flow = int(c) if t == "purchase" else (-int(c) if t == "click" else 0)
+        if u != cur_u:
+            cur_u = u
+            bal = flow
+            # the ledger's running max starts at the FIRST observed
+            # balance (no implicit zero start), matching the batch twin
+            peak = bal
+            maxdd = 0
+            n = 1
+        else:
+            bal += flow
+            peak = max(peak, bal)
+            maxdd = max(maxdd, peak - bal)
+            n += 1
+        expect[int(u)] = (n, peak, maxdd)
+    got = {
+        int(r["user_id"]): (
+            int(r["n_flows"]),
+            int(r["peak_cents"]),
+            int(r["max_drawdown_cents"]),
+        )
+        for _, r in oracle_df(con, "q_stream_drawdown").iterrows()
+    }
+    assert got == expect
+
+
+def test_stream_argmax_matches_total_tiebreak(con):
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                  event_id
+           FROM events"""
+    ).fetchall()
+    best = {}
+    for t, c, eid in rows:
+        cand = (int(c), int(eid))
+        if t not in best or cand > best[t]:
+            best[t] = cand
+    got = {
+        r["event_type"]: (int(r["max_cents"]), int(r["argmax_event_id"]))
+        for _, r in oracle_df(con, "q_stream_argmax").iterrows()
+    }
+    assert got == best
