@@ -6006,3 +6006,105 @@ def test_stream_argmax_matches_total_tiebreak(con):
         for _, r in oracle_df(con, "q_stream_argmax").iterrows()
     }
     assert got == best
+
+
+# ---- batch 31: TPC-H spot audits (shared-SQL queries get a true
+# independent check here: the same text runs on both engines, so
+# parity alone proves nothing about the formula) ----
+
+
+def test_tpch_q6_matches_scalar_sum(con):
+    rows = con.execute(
+        """SELECT l_extendedprice, l_discount FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1996-01-01'
+             AND l_discount BETWEEN 0.05 AND 0.07
+             AND l_quantity < 24"""
+    ).fetchall()
+    revenue = sum(float(e) * float(d) for e, d in rows)
+    got = oracle_df(con, "q_tpch_q6").iloc[0]
+    assert abs(float(got["revenue"]) - revenue) < 0.02
+
+
+def test_tpch_q14_matches_promo_share(con):
+    rows = con.execute(
+        """SELECT p_type, l_extendedprice, l_discount
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1995-04-01'"""
+    ).fetchall()
+    promo = sum(
+        float(e) * (1 - float(d)) for t, e, d in rows if t == "PROMO"
+    )
+    total = sum(float(e) * (1 - float(d)) for _, e, d in rows)
+    got = oracle_df(con, "q_tpch_q14").iloc[0]
+    share = 100.0 * promo / total
+    assert abs(float(got["promo_revenue"]) - share) < 1e-3
+    assert 0 < share < 100
+
+
+def test_tpch_q12_matches_priority_split(con):
+    rows = con.execute(
+        """SELECT l_returnflag, o_orderpriority
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for f, p in rows:
+        agg[f][0 if p in ("1-URGENT", "2-HIGH") else 1] += 1
+    got = {
+        r["l_returnflag"]: (int(r["high_line_count"]), int(r["low_line_count"]))
+        for _, r in oracle_df(con, "q_tpch_q12").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_tpch_q13_matches_order_count_distribution(con):
+    orders = con.execute(
+        """SELECT o_custkey, COUNT(*) FROM orders
+           WHERE o_orderpriority <> '1-URGENT' GROUP BY 1"""
+    ).fetchall()
+    n_cust = con.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    cust_keys = {
+        int(r[0])
+        for r in con.execute("SELECT c_custkey FROM customer").fetchall()
+    }
+    from collections import Counter
+
+    per_cust = {int(k): int(n) for k, n in orders if int(k) in cust_keys}
+    dist = Counter(per_cust.values())
+    dist[0] += n_cust - len(per_cust)
+    got = {
+        int(r["c_count"]): int(r["custdist"])
+        for _, r in oracle_df(con, "q_tpch_q13").iterrows()
+    }
+    assert got == {k: v for k, v in dist.items() if v > 0}
+    # distribution covers every customer exactly once
+    assert sum(got.values()) == n_cust
+
+
+def test_tpch_q4_matches_exists_semantics(con):
+    late = {
+        int(r[0])
+        for r in con.execute(
+            """SELECT DISTINCT l_orderkey
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY"""
+        ).fetchall()
+    }
+    rows = con.execute(
+        """SELECT o_orderkey, o_orderpriority FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+             AND o_orderdate < TIMESTAMP '1995-10-01'"""
+    ).fetchall()
+    from collections import Counter
+
+    cnt = Counter(p for k, p in rows if int(k) in late)
+    got = {
+        r["o_orderpriority"]: int(r["order_count"])
+        for _, r in oracle_df(con, "q_tpch_q4").iterrows()
+    }
+    assert got == dict(cnt)
