@@ -6108,3 +6108,198 @@ def test_tpch_q4_matches_exists_semantics(con):
         for _, r in oracle_df(con, "q_tpch_q4").iterrows()
     }
     assert got == dict(cnt)
+
+
+# ---- batch 32: Welch t / LM / graph algorithms / SPC ----
+
+
+def test_ab_ttest_matches_welch_satterthwaite(con):
+    import statistics
+
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events WHERE event_type IN ('click', 'view')"""
+    ).fetchall()
+    a = [int(c) / 100 for t, c in rows if t == "click"]
+    b = [int(c) / 100 for t, c in rows if t == "view"]
+    m1, m2 = statistics.fmean(a), statistics.fmean(b)
+    v1, v2 = statistics.variance(a), statistics.variance(b)
+    n1, n2 = len(a), len(b)
+    se2 = v1 / n1 + v2 / n2
+    t_stat = (m1 - m2) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    got = oracle_df(con, "q_ab_ttest").iloc[0]
+    assert (int(got["n_a"]), int(got["n_b"])) == (n1, n2)
+    assert abs(float(got["mean_diff"]) - (m1 - m2)) < 1e-4
+    assert abs(float(got["t_stat"]) - t_stat) < 1e-3
+    assert abs(float(got["dof"]) - dof) < 0.5
+    # Welch dof lies between min(n)-1 and n1+n2-2
+    assert min(n1, n2) - 1 <= dof <= n1 + n2 - 2
+
+
+def test_ngram_lm_matches_conditional_argmax(con):
+    from collections import Counter, defaultdict
+
+    pairs = Counter()
+    for _, _, _, text, _ in _docs(con):
+        toks = text.split(" ")
+        pairs.update(zip(toks, toks[1:]))
+    by_w1 = defaultdict(dict)
+    for (w1, w2), n in pairs.items():
+        by_w1[w1][w2] = n
+    got = {
+        r["w1"]: (r["next_word"], int(r["n_pair"]), float(r["prob"]))
+        for _, r in oracle_df(con, "q_ngram_lm").iterrows()
+    }
+    expect = {}
+    for w1, nexts in by_w1.items():
+        tot = sum(nexts.values())
+        if tot < 50:
+            continue
+        w2 = min(nexts, key=lambda w: (-nexts[w], w))
+        expect[w1] = (w2, nexts[w2], round(nexts[w2] / tot, 6))
+    assert set(got) == set(expect)
+    for w1 in expect:
+        assert got[w1][0] == expect[w1][0]
+        assert got[w1][1] == expect[w1][1]
+        assert abs(got[w1][2] - expect[w1][2]) < 2e-6
+
+
+def test_shortest_path_bf_matches_bounded_bellman_ford(con):
+    edges = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey)
+           SELECT a.p_brand, b.p_brand, COUNT(*)
+           FROM baskets a JOIN baskets b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1, 2 HAVING COUNT(*) >= 80"""
+    ).fetchall()
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for u, v, w in edges:
+        c = math.floor(1000000.0 / int(w))
+        adj[u].append((v, c))
+        adj[v].append((u, c))
+        nodes |= {u, v}
+    seed = min(nodes)
+    dist = {seed: 0}
+    for _ in range(3):  # exactly 3 relaxation rounds, as registered
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, c in adj[u]:
+                if v not in nxt or d + c < nxt[v]:
+                    nxt[v] = min(nxt.get(v, d + c), d + c)
+        dist = nxt
+    got = {
+        r["node"]: int(r["dist_micro"])
+        for _, r in oracle_df(con, "q_shortest_path_bf").iterrows()
+    }
+    assert got == dist
+    assert got[seed] == 0
+
+
+def test_kcore_peel_matches_three_rounds(con):
+    edges = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey),
+           weighted AS (
+             SELECT a.p_brand AS u, b.p_brand AS v, COUNT(*) AS w
+             FROM baskets a JOIN baskets b
+               ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+             GROUP BY 1, 2)
+           SELECT u, v FROM (
+             SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn
+             FROM weighted) WHERE rn <= 60"""
+    ).fetchall()
+    sym = set()
+    for u, v in edges:
+        sym.add((u, v))
+        sym.add((v, u))
+    cur = sym
+    for _ in range(3):
+        from collections import Counter
+
+        deg = Counter(u for u, _ in cur)
+        keep = {u for u, d in deg.items() if d >= 4}
+        cur = {(u, v) for u, v in cur if u in keep and v in keep}
+    from collections import Counter
+
+    deg = Counter(u for u, _ in cur)
+    expect = {u: d for u, d in deg.items() if d >= 4}
+    got = {
+        r["node"]: int(r["deg"])
+        for _, r in oracle_df(con, "q_kcore_peel").iterrows()
+    }
+    assert got == expect
+    for d in got.values():
+        assert d >= 4
+
+
+def test_graph_common_neighbors_matches_jaccard(con):
+    pairs = _brand_graph(con, 80)
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    got = {
+        (r["a"], r["b"]): (int(r["common"]), float(r["nb_jaccard"]))
+        for _, r in oracle_df(con, "q_graph_common_neighbors").iterrows()
+    }
+    nodes = sorted(adj)
+    expect = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            common = adj[a] & adj[b]
+            if common:
+                expect[(a, b)] = (
+                    len(common),
+                    round(
+                        len(common) / (len(adj[a]) + len(adj[b]) - len(common)),
+                        6,
+                    ),
+                )
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 2e-6
+
+
+def test_spc_control_chart_matches_3sigma_limits(con):
+    import statistics
+
+    rows = con.execute(
+        """SELECT event_type, STRFTIME(ts, '%Y-%m-%d'), COUNT(*)
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    daily = defaultdict(dict)
+    for t, d, n in rows:
+        daily[t][d] = int(n)
+    got = {
+        (r["event_type"], r["day"]): (
+            float(r["center"]),
+            float(r["lcl"]),
+            float(r["ucl"]),
+            bool(r["out_of_control"]),
+        )
+        for _, r in oracle_df(con, "q_spc_control_chart").iterrows()
+    }
+    for t, days in daily.items():
+        ns = list(days.values())
+        mu = statistics.fmean(ns)
+        sd = statistics.stdev(ns)
+        for d, n in days.items():
+            c, lcl, ucl, ooc = got[(t, d)]
+            assert abs(c - mu) < 1e-3
+            assert abs(lcl - (mu - 3 * sd)) < 1e-3
+            assert abs(ucl - (mu + 3 * sd)) < 1e-3
+            assert ooc == (n < mu - 3 * sd or n > mu + 3 * sd)
