@@ -6303,3 +6303,166 @@ def test_spc_control_chart_matches_3sigma_limits(con):
             assert abs(lcl - (mu - 3 * sd)) < 1e-3
             assert abs(ucl - (mu + 3 * sd)) < 1e-3
             assert ooc == (n < mu - 3 * sd or n > mu + 3 * sd)
+
+
+# ---- batch 33: the as-of join family / pattern negation ----
+
+
+def _click_purchase_series(con):
+    rows = con.execute(
+        """SELECT event_id, user_id, event_type, ts, value FROM events
+           WHERE event_type IN ('click', 'purchase')
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    clicks = []
+    purchases = defaultdict(list)
+    for eid, u, t, ts, v in rows:
+        if t == "click":
+            clicks.append((int(eid), int(u), ts))
+        else:
+            purchases[int(u)].append((ts, float(v)))
+    return clicks, purchases
+
+
+def test_join_asof_forward_matches_next_purchase(con):
+    import bisect
+
+    clicks, purchases = _click_purchase_series(con)
+    got = {
+        int(r["event_id"]): (
+            r["purchase_ts_s"],
+            None
+            if r["purchase_value"] != r["purchase_value"]
+            else round(float(r["purchase_value"]), 6),
+        )
+        for _, r in oracle_df(con, "q_join_asof_forward").iterrows()
+    }
+    for eid, u, ts in clicks:
+        ps = purchases.get(u, [])
+        i = bisect.bisect_left([p[0] for p in ps], ts)
+        if i == len(ps):
+            assert got[eid][1] is None, eid
+        else:
+            pts, pv = ps[i]
+            assert got[eid][0] == pts.strftime("%Y-%m-%d %H:%M:%S"), eid
+            assert abs(got[eid][1] - round(pv, 6)) < 1e-9, eid
+
+
+def test_join_asof_nearest_prefers_backward_on_ties(con):
+    import bisect
+
+    clicks, purchases = _click_purchase_series(con)
+    got = {
+        int(r["event_id"]): r["purchase_ts_s"]
+        for _, r in oracle_df(con, "q_join_asof_nearest").iterrows()
+    }
+    for eid, u, ts in clicks:
+        ps = purchases.get(u, [])
+        tss = [p[0] for p in ps]
+        i = bisect.bisect_right(tss, ts)
+        back = tss[i - 1] if i > 0 else None
+        j = bisect.bisect_left(tss, ts)
+        fwd = tss[j] if j < len(tss) else None
+        if back is None and fwd is None:
+            expect = None
+        elif back is None:
+            expect = fwd
+        elif fwd is None:
+            expect = back
+        elif (ts - back) <= (fwd - ts):  # backward wins ties
+            expect = back
+        else:
+            expect = fwd
+        g = got[eid]
+        if expect is None:
+            assert g is None, eid
+        else:
+            assert g == expect.strftime("%Y-%m-%d %H:%M:%S"), eid
+
+
+def test_join_asof_tolerance_bounds_staleness(con):
+    import bisect
+    from datetime import timedelta
+
+    clicks, purchases = _click_purchase_series(con)
+    got = {
+        int(r["event_id"]): r["purchase_ts_s"]
+        for _, r in oracle_df(con, "q_join_asof_tolerance").iterrows()
+    }
+    for eid, u, ts in clicks:
+        ps = purchases.get(u, [])
+        tss = [p[0] for p in ps]
+        i = bisect.bisect_right(tss, ts)
+        back = tss[i - 1] if i > 0 else None
+        in_tol = back is not None and back >= ts - timedelta(days=7)
+        g = got[eid]
+        if not in_tol:
+            assert g is None, eid
+        else:
+            assert g == back.strftime("%Y-%m-%d %H:%M:%S"), eid
+
+
+def test_join_range_matches_interval_containment(con):
+    rows = con.execute(
+        """SELECT o_orderkey, o_orderdate FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+             AND o_orderdate < TIMESTAMP '1995-04-01'"""
+    ).fetchall()
+    ships = con.execute("SELECT l_shipdate FROM lineitem").fetchall()
+    from datetime import timedelta
+
+    ship_list = sorted(s[0] for s in ships)
+    import bisect
+
+    got = {
+        int(r["o_orderkey"]): int(r["n_in_window"])
+        for _, r in oracle_df(con, "q_join_range").iterrows()
+    }
+    for ok, od in rows:
+        lo = bisect.bisect_left(ship_list, od)
+        hi = bisect.bisect_left(ship_list, od + timedelta(days=3))
+        n = hi - lo
+        if n > 0:
+            assert got[int(ok)] == n, ok
+        else:
+            assert int(ok) not in got
+
+
+def test_pattern_negation_matches_sequence_rules(con):
+    rows = con.execute(
+        """SELECT user_id, event_type, ts FROM events
+           WHERE event_type IN ('signup', 'purchase', 'error')
+           ORDER BY user_id, ts"""
+    ).fetchall()
+    from collections import defaultdict
+    from datetime import timedelta
+
+    first_signup = {}
+    events = defaultdict(list)
+    for u, t, ts in rows:
+        if t == "signup" and int(u) not in first_signup:
+            first_signup[int(u)] = ts
+        events[int(u)].append((t, ts))
+    expect = set()
+    for u, s_ts in first_signup.items():
+        p_ts = min(
+            (ts for t, ts in events[u] if t == "purchase" and ts > s_ts),
+            default=None,
+        )
+        e_ts = min(
+            (ts for t, ts in events[u] if t == "error" and ts > s_ts),
+            default=None,
+        )
+        if (
+            p_ts is not None
+            and p_ts <= s_ts + timedelta(days=7)
+            and (e_ts is None or e_ts > p_ts)
+        ):
+            expect.add(u)
+    got = {
+        int(r["user_id"])
+        for _, r in oracle_df(con, "q_pattern_negation").iterrows()
+    }
+    assert got == expect
