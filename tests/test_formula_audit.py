@@ -6466,3 +6466,219 @@ def test_pattern_negation_matches_sequence_rules(con):
         for _, r in oracle_df(con, "q_pattern_negation").iterrows()
     }
     assert got == expect
+
+
+# ---- batch 34: remaining analytics ----
+
+
+def test_calibration_bins_match_score_buckets(con):
+    rows = con.execute(
+        """SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                  CAST(event_type = 'purchase' AS INT)
+           FROM events"""
+    ).fetchall()
+    mx = max(int(r[0]) for r in rows)
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for c, y in rows:
+        b = min(int(c) * 10 // (mx + 1), 9)
+        a = agg[b]
+        a[0] += 1
+        a[1] += int(y)
+        a[2] += int(c)
+    got = {
+        int(r["bin"]): (
+            int(r["n"]),
+            int(r["n_pos"]),
+            float(r["mean_score"]),
+            float(r["pos_rate"]),
+        )
+        for _, r in oracle_df(con, "q_calibration_bins").iterrows()
+    }
+    for b, (n, pos, sc) in agg.items():
+        assert got[b][0] == n
+        assert got[b][1] == pos
+        assert abs(got[b][2] - sc / n / 100) < 1e-9
+        assert abs(got[b][3] - pos / n) < 1e-12
+
+
+def test_gains_deciles_lift_averages_to_one(con):
+    df = oracle_df(con, "q_gains_deciles")
+    total = int(df["n"].sum())
+    total_pos = int(df["n_pos"].sum())
+    # deciles tile the population and shares sum to 1
+    assert abs(float(df["pos_share"].sum()) - 1.0) < 1e-9
+    # lift identity: sum(n_d * lift_d) == total
+    weighted = sum(
+        float(r["lift"]) * int(r["n"]) for _, r in df.iterrows()
+    )
+    assert abs(weighted - total) < 1e-6 * total
+    # recompute decile 1 by hand (largest scores first, NTILE sizing)
+    rows = con.execute(
+        """SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT), event_id,
+                  CAST(event_type = 'purchase' AS INT)
+           FROM events"""
+    ).fetchall()
+    ordered = sorted(rows, key=lambda r: (-int(r[0]), int(r[1])))
+    d1 = math.ceil(len(ordered) / 10)
+    pos1 = sum(int(y) for _, _, y in ordered[:d1])
+    r1 = df[df["decile"] == 1].iloc[0]
+    assert int(r1["n"]) == d1
+    assert int(r1["n_pos"]) == pos1
+
+
+def test_forecast_baseline_matches_dow_means(con):
+    rows = con.execute(
+        """SELECT CAST(ts AS DATE),
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    from collections import defaultdict
+    from datetime import date, timedelta
+
+    cutoff = rows[0][0] + timedelta(days=21)
+    train = defaultdict(lambda: [0, 0])
+    for d, c in rows:
+        if d < cutoff:
+            dow = (d - date(1970, 1, 1)).days % 7
+            train[dow][0] += int(c)
+            train[dow][1] += 1
+    got = {
+        r["day"]: (int(r["actual_cents"]), int(r["pred_cents"]), int(r["abs_err_cents"]))
+        for _, r in oracle_df(con, "q_forecast_baseline").iterrows()
+    }
+    for d, c in rows:
+        if d < cutoff:
+            continue
+        dow = (d - date(1970, 1, 1)).days % 7
+        s, n = train[dow]
+        pred = math.floor(s / n)
+        err = math.floor(abs(int(c) - s / n))
+        assert got[str(d)] == (int(c), pred, err), d
+
+
+def test_metric_decomposition_is_additive(con):
+    df = oracle_df(con, "q_metric_decomposition")
+    for _, r in df.iterrows():
+        delta = int(r["delta_cents"]) / 100
+        vol = float(r["volume_effect"])
+        price = float(r["price_effect"])
+        # volume + price decomposition reconstructs the delta exactly
+        # (up to the display rounding of the two effects)
+        assert abs((vol + price) - delta) < 0.02, r["o_orderpriority"]
+
+
+def test_top_share_matches_top1pct(con):
+    rows = con.execute(
+        """SELECT o_orderpriority,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                  o_orderkey
+           FROM orders"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for p, c, ok in rows:
+        per[p].append((-int(c), int(ok)))
+    got = {
+        r["o_orderpriority"]: (
+            int(r["n"]),
+            int(r["top_k"]),
+            int(r["top_cents"]),
+            float(r["top_share"]),
+        )
+        for _, r in oracle_df(con, "q_top_share").iterrows()
+    }
+    for p, items in per.items():
+        items.sort()
+        n = len(items)
+        k = math.ceil(n * 0.01)
+        top = sum(-c for c, _ in items[:k])
+        s = sum(-c for c, _ in items)
+        assert got[p] == (n, k, top, top / s), p
+        assert got[p][3] >= k / n  # top-1% holds at least its pro-rata share
+
+
+def test_running_distinct_matches_first_touch(con):
+    rows = con.execute(
+        "SELECT event_type, user_id, MIN(CAST(ts AS DATE)) FROM events"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    per_day = defaultdict(int)
+    for t, u, d in rows:
+        per_day[(t, str(d))] += 1
+    got = {
+        (r["event_type"], r["day"]): (int(r["new_users"]), int(r["cum_distinct_users"]))
+        for _, r in oracle_df(con, "q_running_distinct").iterrows()
+    }
+    from itertools import groupby
+
+    keys = sorted(per_day)
+    for t, grp in groupby(keys, key=lambda k: k[0]):
+        cum = 0
+        for key in grp:
+            cum += per_day[key]
+            assert got[key] == (per_day[key], cum), key
+
+
+def test_ship_sla_matches_lag_quantiles(con):
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT o_orderpriority,
+                  DATEDIFF('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE))
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+    ).fetchall()
+    from collections import defaultdict
+
+    lags = defaultdict(list)
+    for p, d in rows:
+        lags[p].append(int(d))
+    got = {
+        r["o_orderpriority"]: (
+            int(r["n_lines"]),
+            float(r["p50_days"]),
+            float(r["p75_days"]),
+            int(r["max_days"]),
+            int(r["n_breach_60d"]),
+        )
+        for _, r in oracle_df(con, "q_ship_sla").iterrows()
+    }
+    for p, ds in lags.items():
+        a = np.array(ds, dtype=float)
+        assert got[p][0] == len(ds)
+        assert abs(got[p][1] - np.percentile(a, 50)) < 1e-9
+        assert abs(got[p][2] - np.percentile(a, 75)) < 1e-9
+        assert got[p][3] == max(ds)
+        assert got[p][4] == sum(1 for d in ds if d > 60)
+
+
+def test_diff_in_diff_matches_four_cell_means(con):
+    rows = con.execute(
+        """SELECT user_id, epoch_us(ts),
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    t0 = min(r[1] for r in rows)
+    t1 = max(r[1] for r in rows)
+    mid = (t1 - t0) / 2
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0])
+    for u, us, c in rows:
+        treated = (int(u) * 2654435761) % 100 < 50
+        post = (us - t0) >= mid
+        cells[(treated, post)][0] += int(c)
+        cells[(treated, post)][1] += 1
+    mean = {k: v[0] / v[1] for k, v in cells.items()}
+    did = (mean[(True, True)] - mean[(True, False)]) - (
+        mean[(False, True)] - mean[(False, False)]
+    )
+    got = oracle_df(con, "q_diff_in_diff").iloc[0]
+    assert int(got["n_events"]) == len(rows)
+    assert int(got["did_hcents"]) == math.floor(did * 100)
