@@ -6682,3 +6682,217 @@ def test_diff_in_diff_matches_four_cell_means(con):
     got = oracle_df(con, "q_diff_in_diff").iloc[0]
     assert int(got["n_events"]) == len(rows)
     assert int(got["did_hcents"]) == math.floor(did * 100)
+
+
+# ---- batch 35: effect sizes / ratio SEs / attribution shapes ----
+
+
+def test_cramers_v_matches_effect_size(con):
+    rows = con.execute(
+        """SELECT c_mktsegment, r_name, CAST(COUNT(*) AS BIGINT)
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    obs = {}
+    rm = defaultdict(int)
+    cm = defaultdict(int)
+    for s, r, o in rows:
+        obs[(s, r)] = int(o)
+        rm[s] += int(o)
+        cm[r] += int(o)
+    n = sum(obs.values())
+    chi2 = 0.0
+    for s in rm:
+        for r in cm:
+            e = rm[s] * cm[r] / n
+            chi2 += (obs.get((s, r), 0) - e) ** 2 / e
+    v = math.sqrt(chi2 / (n * min(len(rm) - 1, len(cm) - 1)))
+    got = oracle_df(con, "q_cramers_v").iloc[0]
+    assert int(got["n_total"]) == n
+    assert abs(float(got["chi2"]) - chi2) < 1e-3
+    assert abs(float(got["cramers_v"]) - v) < 1e-5
+    assert 0 <= v <= 1
+
+
+def test_jackknife_and_delta_method_agree(con):
+    rows = con.execute(
+        """SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT),
+                  CAST(l_quantity AS BIGINT)
+           FROM lineitem"""
+    ).fetchall()
+    r_tot = sum(int(r[0]) for r in rows)
+    q_tot = sum(int(r[1]) for r in rows)
+    n = len(rows)
+    theta = 10**6 * r_tot // q_tot
+    # leave-one-out jackknife replicated with integer floors
+    loo = [
+        10**6 * (r_tot - int(r)) // (q_tot - int(q)) for r, q in rows
+    ]
+    rbar = sum(loo) // n
+    se2 = (n - 1) * sum((x - rbar) ** 2 for x in loo) // n
+    se_jk = math.floor(math.sqrt(float(se2)))
+    got_jk = oracle_df(con, "q_jackknife_ratio").iloc[0]
+    assert int(got_jk["n_items"]) == n
+    assert int(got_jk["theta_micro"]) == theta
+    assert int(got_jk["se_micro"]) == se_jk
+    got_dm = oracle_df(con, "q_delta_method_ci").iloc[0]
+    assert int(got_dm["theta_micro"]) == theta
+    # the two ratio-SE methods agree within ~1% (registered property)
+    se_dm = float(got_dm["se_micro"])
+    assert abs(se_dm - se_jk) / se_jk < 0.02
+
+
+def test_max_drawdown_matches_ledger_top20(con):
+    rows = con.execute(
+        """SELECT user_id, event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    stats = {}
+    cur_u = None
+    for u, t, c in rows:
+        flow = int(c) if t == "purchase" else (-int(c) if t == "click" else 0)
+        if u != cur_u:
+            cur_u = u
+            bal = flow
+            peak = bal
+            maxdd = 0
+            n = 1
+        else:
+            bal += flow
+            peak = max(peak, bal)
+            maxdd = max(maxdd, peak - bal)
+            n += 1
+        stats[int(u)] = (maxdd, peak, n)
+    top = sorted(stats.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    got = [
+        (int(r["user_id"]), int(r["max_drawdown_cents"]), int(r["peak_cents"]))
+        for _, r in oracle_df(con, "q_max_drawdown").iterrows()
+    ]
+    assert got == [(u, dd, pk) for u, (dd, pk, _) in top]
+
+
+def test_lang_tvd_matches_distribution_distance(con):
+    from collections import Counter
+
+    per_lang = {}
+    for _, lang, _, text, _ in _docs(con):
+        per_lang.setdefault(lang, Counter()).update(
+            w for w in text.split(" ") if w
+        )
+    langs = sorted(per_lang)
+    got = {
+        (r["la"], r["lb"]): int(r["tvd_micro"])
+        for _, r in oracle_df(con, "q_lang_tvd").iterrows()
+    }
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            na = sum(per_lang[a].values())
+            nb = sum(per_lang[b].values())
+            num = sum(
+                abs(per_lang[a].get(w, 0) * nb - per_lang[b].get(w, 0) * na)
+                for w in set(per_lang[a]) | set(per_lang[b])
+            )
+            tvd = num * 10**6 // (2 * na * nb)
+            assert got[(a, b)] == tvd, (a, b)
+            assert 0 <= tvd <= 10**6  # TVD is a probability distance
+
+
+def test_attribution_ushape_conserves_credit(con):
+    rows = con.execute(
+        """WITH fp AS (
+             SELECT user_id, MIN(ts) AS pts FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id)
+           SELECT e.user_id, e.event_type
+           FROM events e JOIN fp ON e.user_id = fp.user_id
+           WHERE e.ts < fp.pts AND e.event_type <> 'purchase'
+           ORDER BY e.user_id, e.ts, e.event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, t in rows:
+        per_user[int(u)].append(t)
+    credit = defaultdict(lambda: [0, 0])
+    for u, seq in per_user.items():
+        n = len(seq)
+        for pos, t in enumerate(seq, 1):
+            if n == 1:
+                w = 1000000
+            elif pos in (1, n):
+                w = 500000 if n == 2 else 400000
+            else:
+                w = math.floor(200000.0 / (n - 2))
+            credit[t][0] += 1
+            credit[t][1] += w
+    got = {
+        r["event_type"]: (int(r["n_touches"]), int(r["credit_ppm"]))
+        for _, r in oracle_df(con, "q_attribution_ushape").iterrows()
+    }
+    assert got == {t: tuple(v) for t, v in credit.items()}
+    # U-shape credit per user sums to ~1e6 (floors lose < n ppm)
+    total_ppm = sum(v[1] for v in credit.values())
+    assert abs(total_ppm - 10**6 * len(per_user)) < sum(
+        len(s) for s in per_user.values()
+    )
+
+
+def test_basket_lift_matches_support_ratio(con):
+    rows = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey)
+           SELECT l_orderkey, p_brand FROM baskets"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    per_order = defaultdict(set)
+    for ok, b in rows:
+        per_order[int(ok)].add(b)
+    n_orders = len(per_order)
+    freq = Counter(b for s in per_order.values() for b in s)
+    pair = Counter()
+    for s in per_order.values():
+        bs = sorted(s)
+        for i, a in enumerate(bs):
+            for b in bs[i + 1 :]:
+                pair[(a, b)] += 1
+    got = {
+        (r["brand_a"], r["brand_b"]): (int(r["n_ab"]), float(r["lift"]))
+        for _, r in oracle_df(con, "q_basket_lift").iterrows()
+    }
+    expect = {
+        k: (n, round(n * n_orders / (freq[k[0]] * freq[k[1]]), 4))
+        for k, n in pair.items()
+        if n >= 50
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 2e-4
+
+
+def test_ab_srm_check_matches_binomial_chi2(con):
+    import hashlib
+
+    users = [
+        int(r[0])
+        for r in con.execute(
+            "SELECT DISTINCT user_id FROM events"
+        ).fetchall()
+    ]
+    n_a = sum(
+        1
+        for u in users
+        if int(hashlib.md5(f"exp7:{u}".encode()).hexdigest()[:8], 16) % 2 == 0
+    )
+    n_b = len(users) - n_a
+    chi2 = (n_a - n_b) ** 2 * 10**6 // (n_a + n_b)
+    got = oracle_df(con, "q_ab_srm_check").iloc[0]
+    assert (int(got["n_a"]), int(got["n_b"])) == (n_a, n_b)
+    assert int(got["chi2_micro"]) == chi2
+    assert bool(got["srm_flag"]) == (chi2 > 3841459)
