@@ -6896,3 +6896,200 @@ def test_ab_srm_check_matches_binomial_chi2(con):
     assert (int(got["n_a"]), int(got["n_b"])) == (n_a, n_b)
     assert int(got["chi2_micro"]) == chi2
     assert bool(got["srm_flag"]) == (chi2 > 3841459)
+
+
+# ---- batch 36: mixtures / affinity / hierarchy shares ----
+
+
+def test_embed_centroids_match_componentwise_means(con):
+    import numpy as np
+
+    vecs = _vecs(con)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for _, (lbl, v) in vecs.items():
+        groups[lbl].append(v)
+    got = {}
+    for _, r in oracle_df(con, "q_embed_centroids").iterrows():
+        got[(int(r["label"]), int(r["pos"]))] = float(r["c"])
+    for lbl, vs in groups.items():
+        m = np.mean(np.array(vs), axis=0)
+        for pos in range(len(m)):
+            assert abs(got[(lbl, pos + 1)] - round(float(m[pos]), 4)) < 1e-6
+
+
+def test_mixture_rates_respect_scarcest_language(con):
+    rows = con.execute(
+        """SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           FROM documents GROUP BY lang"""
+    ).fetchall()
+    avail = {lang: int(n) for lang, n in rows}
+    k = len(avail)
+    shares = {}
+    for i, lang in enumerate(sorted(avail)):
+        shares[lang] = 10**6 // k + (10**6 % k if i == 0 else 0)
+    epoch = min(
+        avail[lang] * 10**6 // shares[lang] for lang in avail
+    )
+    got = {
+        r["lang"]: (
+            int(r["avail_tokens"]),
+            int(r["share_micro"]),
+            int(r["epoch_tokens"]),
+            int(r["planned_tokens"]),
+            int(r["sample_rate_micro"]),
+        )
+        for _, r in oracle_df(con, "q_mixture_rates").iterrows()
+    }
+    for lang in avail:
+        planned = shares[lang] * epoch // 10**6
+        rate = planned * 10**6 // avail[lang]
+        assert got[lang] == (avail[lang], shares[lang], epoch, planned, rate)
+        # no language is oversampled: rate <= 1
+        assert rate <= 10**6
+
+
+def test_event_type_affinity_matches_userday_jaccard(con):
+    rows = con.execute(
+        "SELECT DISTINCT user_id, CAST(ts AS DATE), event_type FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    sets = defaultdict(set)
+    for u, d, t in rows:
+        sets[t].add((int(u), d))
+    types = sorted(sets)
+    got = {
+        (r["ta"], r["tb"]): (int(r["n_both"]), int(r["jaccard_micro"]))
+        for _, r in oracle_df(con, "q_event_type_affinity").iterrows()
+    }
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            union = len(sets[a] | sets[b])
+            assert got[(a, b)] == (inter, inter * 10**6 // union), (a, b)
+
+
+def test_percent_of_parent_shares_sum_to_one(con):
+    df = oracle_df(con, "q_percent_of_parent")
+    # within each region, child shares sum to ~1e6 (floor loss < children)
+    for region, grp in df.groupby("r_name"):
+        assert abs(int(grp["share_of_region_micro"].sum()) - 10**6) < len(grp)
+    assert abs(int(df["share_of_total_micro"].sum()) - 10**6) < len(df)
+    # replicate one region by hand
+    rows = con.execute(
+        """SELECT r_name, n_name,
+                  CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(dict)
+    for r, n, d in rows:
+        per[r][n] = int(d)
+    region = sorted(per)[0]
+    tot = sum(per[region].values())
+    got = {
+        (r["r_name"], r["n_name"]): int(r["share_of_region_micro"])
+        for _, r in df.iterrows()
+    }
+    for n, d in per[region].items():
+        assert got[(region, n)] == d * 10**6 // tot
+
+
+def test_pareto_coverage_matches_head_count(con):
+    rows = con.execute(
+        """SELECT c_nationkey, o_custkey,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    names = dict(
+        con.execute("SELECT n_nationkey, n_name FROM nation").fetchall()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for nk, ck, c in rows:
+        per[int(nk)].append((-int(c), int(ck)))
+    got = {
+        r["n_name"]: (int(r["n_customers"]), int(r["n_to_80pct"]))
+        for _, r in oracle_df(con, "q_pareto_coverage").iterrows()
+    }
+    for nk, items in per.items():
+        items.sort()
+        tot = sum(-c for c, _ in items)
+        run = 0
+        n80 = None
+        for i, (negc, _) in enumerate(items, 1):
+            run += -negc
+            if run * 5 >= tot * 4:
+                n80 = i
+                break
+        assert got[names[nk]] == (len(items), n80), nk
+        # Pareto: the 80% head is always a minority of customers here
+        assert n80 <= len(items) * 0.8
+
+
+def test_fk_discovery_matches_containment(con):
+    child_parent = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ]
+    got = {
+        r["candidate"]: (
+            int(r["n_child_distinct"]),
+            int(r["n_orphans"]),
+            int(r["containment_micro"]),
+        )
+        for _, r in oracle_df(con, "q_fk_discovery").iterrows()
+    }
+    for ct, cc, pt, pc in child_parent:
+        child = {
+            int(r[0])
+            for r in con.execute(f"SELECT DISTINCT {cc} FROM {ct}").fetchall()
+        }
+        parent = {
+            int(r[0])
+            for r in con.execute(f"SELECT DISTINCT {pc} FROM {pt}").fetchall()
+        }
+        orphans = len(child - parent)
+        key = f"{ct}.{cc}->{pt}.{pc}"
+        assert got[key] == (
+            len(child),
+            orphans,
+            (len(child) - orphans) * 10**6 // len(child),
+        ), key
+
+
+def test_stat_crosstab_matches_counts(con):
+    rows = con.execute(
+        """SELECT c_mktsegment, o_orderstatus, CAST(COUNT(*) AS BIGINT)
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    grid = defaultdict(dict)
+    for s, st, n in rows:
+        grid[s][st] = int(n)
+    got = {
+        r["seg"]: (int(r["f"]), int(r["o"]), int(r["p"]))
+        for _, r in oracle_df(con, "q_stat_crosstab").iterrows()
+    }
+    assert got == {
+        s: (d.get("F", 0), d.get("O", 0), d.get("P", 0))
+        for s, d in grid.items()
+    }
