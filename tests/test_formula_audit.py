@@ -7093,3 +7093,159 @@ def test_stat_crosstab_matches_counts(con):
         s: (d.get("F", 0), d.get("O", 0), d.get("P", 0))
         for s, d in grid.items()
     }
+
+
+# ---- batch 37: sessionization tiers / SCD2 / dedup waterfall ----
+
+
+def _sessions(con, gap=7200):
+    rows = con.execute(
+        """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT), value
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    out = []
+    cur = None
+    for u, eid, s, v in rows:
+        if cur is None or u != cur["u"] or s - cur["last"] > gap:
+            if cur is not None:
+                out.append(cur)
+            cur = {"u": int(u), "no": 1 if cur is None or u != cur["u"] else cur["no"] + 1,
+                   "start": int(s), "n": 0, "sum": 0.0}
+            if out and out[-1]["u"] == int(u):
+                cur["no"] = out[-1]["no"] + 1
+        cur["last"] = int(s)
+        cur["n"] += 1
+        cur["sum"] += float(v)
+    out.append(cur)
+    return out
+
+
+def test_sessionize_matches_replay(con):
+    sessions = _sessions(con)
+    got = {
+        (int(r["user_id"]), int(r["session_no"])): (
+            int(r["n_events"]),
+            int(r["start_s"]),
+            int(r["end_s"]),
+            float(r["sum_value"]),
+        )
+        for _, r in oracle_df(con, "q_sessionize").iterrows()
+    }
+    assert len(got) == len(sessions)
+    for s in sessions:
+        g = got[(s["u"], s["no"])]
+        assert g[0] == s["n"]
+        assert g[1] == s["start"]
+        assert g[2] == s["last"]
+        assert abs(g[3] - round(s["sum"], 4)) < 1e-2
+
+
+def test_session_bounce_matches_session_stats(con):
+    import numpy as np
+    from datetime import datetime, timezone
+
+    sessions = _sessions(con)
+    from collections import defaultdict
+
+    per_day = defaultdict(list)
+    for s in sessions:
+        day = datetime.fromtimestamp(s["start"], tz=timezone.utc).strftime(
+            "%Y-%m-%d"
+        )
+        per_day[day].append((s["n"], s["last"] - s["start"]))
+    got = {
+        r["day"]: (int(r["n_sessions"]), int(r["n_bounce"]), float(r["p50_dur_s"]))
+        for _, r in oracle_df(con, "q_session_bounce").iterrows()
+    }
+    for day, ss in per_day.items():
+        durs = np.array([d for _, d in ss], dtype=float)
+        assert got[day][0] == len(ss)
+        assert got[day][1] == sum(1 for n, _ in ss if n == 1)
+        assert abs(got[day][2] - np.percentile(durs, 50)) < 1e-9
+        # bounces cannot exceed sessions
+        assert got[day][1] <= got[day][0]
+
+
+def test_sessionize_capped_splits_on_24h(con):
+    df = oracle_df(con, "q_sessionize_capped")
+    # sub-sessions never span more than 24 h by construction
+    assert (df["dur_s"] < 86400).all()
+    # and the capped rollup conserves events vs the uncapped one
+    total_events = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert int(df["n_events"].sum()) == int(total_events)
+
+
+def test_scd2_history_matches_state_runs(con):
+    rows = con.execute(
+        """SELECT user_id, event_type, ts FROM events
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    runs = defaultdict(list)  # user -> [(state, start_ts, n_events)]
+    for u, t, ts in rows:
+        r = runs[int(u)]
+        if not r or r[-1][0] != t:
+            r.append([t, ts, 1])
+        else:
+            r[-1][2] += 1
+    got = defaultdict(dict)
+    for _, r in oracle_df(con, "q_scd2_history").iterrows():
+        got[int(r["user_id"])][r["valid_from"]] = (
+            r["state"],
+            r["valid_to"],
+            bool(r["is_current"]),
+            int(r["n_events"]),
+        )
+    for u, rs in runs.items():
+        assert len(got[u]) == len(rs)
+        for i, (state, start, n) in enumerate(rs):
+            key = start.strftime("%Y-%m-%d %H:%M:%S")
+            g = got[u][key]
+            assert g[0] == state
+            assert g[3] == n
+            assert g[2] == (i == len(rs) - 1)  # last run is current
+            if i < len(rs) - 1:
+                assert g[1] == rs[i + 1][1].strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_segment_migration_partition_users(con):
+    df = oracle_df(con, "q_segment_migration")
+    total = int(df["n_users"].sum())
+    # only users active in BOTH halves migrate; the 2x2 cells tile them
+    both = con.execute(
+        """WITH bounds AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events),
+           halves AS (
+             SELECT DISTINCT user_id,
+                    CASE WHEN epoch_us(ts) - epoch_us(t0)
+                              < (epoch_us(t1) - epoch_us(t0)) / 2
+                         THEN 0 ELSE 1 END AS half
+             FROM events CROSS JOIN bounds)
+           SELECT COUNT(*) FROM (
+             SELECT user_id FROM halves GROUP BY user_id
+             HAVING COUNT(DISTINCT half) = 2)"""
+    ).fetchone()[0]
+    assert total == int(both)
+    assert set(map(tuple, df[["tier_h1", "tier_h2"]].values)) <= {
+        ("hi", "hi"),
+        ("hi", "lo"),
+        ("lo", "hi"),
+        ("lo", "lo"),
+    }
+
+
+def test_dedup_waterfall_tiers_are_monotone(con):
+    docs = [t for _, _, _, t, _ in _docs(con)]
+    n = len(docs)
+    exact = len(set(docs))
+    canonical = len({" ".join(sorted(set(t.split(" ")))) for t in docs})
+    prefix8 = len({" ".join(t.split(" ")[:8]) for t in docs})
+    got = oracle_df(con, "q_dedup_waterfall").iloc[0]
+    assert int(got["n_docs"]) == n
+    assert int(got["after_exact"]) == exact
+    assert int(got["after_canonical"]) == canonical
+    assert int(got["after_prefix8"]) == prefix8
+    assert int(got["exact_removed"]) == n - exact
+    assert int(got["canonical_removed"]) == exact - canonical
+    # each coarser key can only merge more: monotone waterfall
+    assert n >= exact >= canonical
