@@ -7249,3 +7249,139 @@ def test_dedup_waterfall_tiers_are_monotone(con):
     assert int(got["canonical_removed"]) == exact - canonical
     # each coarser key can only merge more: monotone waterfall
     assert n >= exact >= canonical
+
+
+# ---- batch 38: text statistics / money / galaxy-schema correlation ----
+
+
+def test_text_tfidf_matches_definition(con):
+    from collections import Counter
+
+    docs = {int(d): t.split(" ") for d, _, _, t, _ in _docs(con)}
+    n_docs = len(docs)
+    df = Counter()
+    for ws in docs.values():
+        df.update(set(ws))
+    got = {}
+    for _, r in oracle_df(con, "q_text_tfidf").iterrows():
+        got.setdefault(int(r["doc_id"]), {})[r["w"]] = float(r["tfidf"])
+    for d, ws in docs.items():
+        tf = Counter(ws)
+        scored = sorted(
+            (
+                -round(tf[w] / len(ws) * math.log(n_docs / df[w]), 6),
+                w,
+            )
+            for w in tf
+        )[:3]
+        expect = {w: -s for s, w in scored}
+        assert set(got[d]) == set(expect), d
+        for w in expect:
+            assert abs(got[d][w] - expect[w]) < 2e-6
+
+
+def test_text_stats_and_topwords_match(con):
+    from collections import Counter, defaultdict
+
+    stats = defaultdict(lambda: [0, 0, 0, 0.0, 0])
+    words = defaultdict(Counter)
+    for _, lang, _, text, n_chars in _docs(con):
+        ws = text.split(" ")
+        a = stats[lang]
+        a[0] += 1
+        a[1] += len(ws)
+        a[2] += int(n_chars)
+        a[3] += len(set(ws)) / len(ws)
+        words[lang].update(ws)
+    got = {
+        r["lang"]: r for _, r in oracle_df(con, "q_text_stats").iterrows()
+    }
+    for lang, (n, w, c, uq, _) in stats.items():
+        r = got[lang]
+        assert int(r["n_docs"]) == n
+        assert abs(float(r["avg_words"]) - round(w / n, 4)) < 1e-9
+        assert abs(float(r["avg_chars"]) - round(c / n, 4)) < 1e-9
+        assert abs(float(r["avg_uniq_ratio"]) - uq / n) < 1e-5
+        assert int(r["total_chars"]) == c
+    got_top = defaultdict(dict)
+    for _, r in oracle_df(con, "q_lang_topwords").iterrows():
+        got_top[r["lang"]][int(r["rnk"])] = (r["word"], int(r["n"]))
+    for lang, cnt in words.items():
+        top3 = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for i, (w, n) in enumerate(top3, 1):
+            assert got_top[lang][i] == (w, n), (lang, i)
+
+
+def test_heavy_hitters_and_mode_match_counts(con):
+    from collections import Counter, defaultdict
+
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events"
+    ).fetchall()
+    types = Counter(t for _, t in rows)
+    got_hh = {
+        r["item"]: int(r["est"])
+        for _, r in oracle_df(con, "q_heavy_hitters").iterrows()
+    }
+    assert got_hh == dict(types)
+    per_user = defaultdict(Counter)
+    for u, t in rows:
+        per_user[int(u)][t] += 1
+    got_mode = {
+        int(r["user_id"]): (r["mode_type"], int(r["n"]))
+        for _, r in oracle_df(con, "q_agg_mode").iterrows()
+    }
+    for u, cnt in per_user.items():
+        t = min(cnt, key=lambda x: (-cnt[x], x))
+        assert got_mode[u] == (t, cnt[t]), u
+
+
+def test_decimal_money_matches_exact_decimal(con):
+    from decimal import Decimal
+
+    rows = con.execute(
+        "SELECT o_orderpriority, CAST(o_totalprice AS VARCHAR) FROM orders"
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(list)
+    for p, v in rows:
+        agg[p].append(Decimal(v).quantize(Decimal("0.01")))
+    got = {
+        r["o_orderpriority"]: (int(r["n"]), r["total_dec"], r["avg_dec"])
+        for _, r in oracle_df(con, "q_decimal_money").iterrows()
+    }
+    for p, vals in agg.items():
+        total = sum(vals)
+        avg = (total / len(vals)).quantize(Decimal("0.000001"))
+        n, gt, ga = got[p]
+        assert n == len(vals)
+        assert Decimal(gt) == total
+        assert Decimal(ga) == avg
+
+
+def test_spend_vs_activity_matches_cross_fact_pearson(con):
+    spend = dict(
+        con.execute(
+            """SELECT o_custkey,
+                      CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+                           AS BIGINT)
+               FROM orders GROUP BY 1"""
+        ).fetchall()
+    )
+    act = dict(
+        con.execute(
+            "SELECT user_id, COUNT(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    xs, ys = [], []
+    for k in spend:
+        if k in act:
+            xs.append(int(spend[k]))
+            ys.append(int(act[k]))
+    import statistics
+
+    r = statistics.correlation(xs, ys)
+    got = oracle_df(con, "q_spend_vs_activity").iloc[0]
+    assert int(got["n_matched"]) == len(xs)
+    assert abs(int(got["corr_micro"]) / 1e6 - r) < 2e-6
