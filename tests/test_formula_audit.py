@@ -7385,3 +7385,223 @@ def test_spend_vs_activity_matches_cross_fact_pearson(con):
     got = oracle_df(con, "q_spend_vs_activity").iloc[0]
     assert int(got["n_matched"]) == len(xs)
     assert abs(int(got["corr_micro"]) / 1e6 - r) < 2e-6
+
+
+# ---- batch 39: graph ML / k-means / collaborative filtering / chunking ----
+
+
+def test_label_propagation_matches_two_rounds(con):
+    rows = con.execute(
+        """SELECT c.c_nationkey, s.s_nationkey, COUNT(*)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for u, v, n in rows:
+        w[(int(u), int(v))] += int(n)
+        w[(int(v), int(u))] += int(n)
+    nodes = {u for u, _ in w}
+    labels = {v: v for v in nodes}
+    for _ in range(2):
+        nxt = {}
+        for u in nodes:
+            votes = defaultdict(int)
+            for (a, b), wt in w.items():
+                if a == u:
+                    votes[labels[b]] += wt
+            nxt[u] = min(votes, key=lambda l: (-votes[l], l))
+        labels = nxt
+    got = {
+        int(r["node"]): int(r["label"])
+        for _, r in oracle_df(con, "q_label_propagation").iterrows()
+    }
+    assert got == labels
+
+
+def test_graph_assortativity_matches_degree_pearson(con):
+    rows = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey),
+           weighted AS (
+             SELECT a.p_brand AS u, b.p_brand AS v, COUNT(*) AS w
+             FROM baskets a JOIN baskets b
+               ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+             GROUP BY 1, 2)
+           SELECT u, v FROM (
+             SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn
+             FROM weighted) WHERE rn <= 60"""
+    ).fetchall()
+    from collections import Counter
+
+    sym = [(u, v) for u, v in rows] + [(v, u) for u, v in rows]
+    deg = Counter(u for u, _ in sym)
+    xs = [deg[u] for u, _ in sym]
+    ys = [deg[v] for _, v in sym]
+    got = oracle_df(con, "q_graph_assortativity").iloc[0]
+    assert int(got["n_directed_edges"]) == len(sym)
+    n = len(xs)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    dx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    dy = n * sum(y * y for y in ys) - sum(ys) ** 2
+    if dx * dy == 0:
+        assert got["assortativity_micro"] != got["assortativity_micro"] or (
+            got["assortativity_micro"] is None
+        )
+    else:
+        r = num / math.sqrt(dx * dy)
+        assert abs(int(got["assortativity_micro"]) / 1e6 - r) < 2e-6
+
+
+def test_kmeans_quantized_matches_one_lloyd_round(con):
+    import numpy as np
+
+    vecs = _vecs(con)
+    maxabs = max(abs(x) for _, v in vecs.values() for x in v)
+    q = {
+        vid: np.floor(np.array(v) / maxabs * 15 + 0.5)
+        for vid, (_, v) in vecs.items()
+    }
+    seeds = sorted(q)[:4]
+    cents = {k + 1: q[vid] for k, vid in enumerate(seeds)}
+
+    def assign(cents):
+        out = {}
+        for vid, vec in q.items():
+            best = min(
+                ((int(((vec - c) ** 2).sum()), k) for k, c in cents.items()),
+            )
+            out[vid] = (best[1], best[0])
+        return out
+
+    a1 = assign(cents)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for vid, (k, _) in a1.items():
+        members[k].append(q[vid])
+    c1 = {
+        k: np.floor((2 * np.sum(m, axis=0) + len(m)) / (2 * len(m)))
+        for k, m in members.items()
+    }
+    a2 = assign(c1)
+    agg = defaultdict(lambda: [0, 0])
+    for vid, (k, d2) in a2.items():
+        agg[k][0] += 1
+        agg[k][1] += d2
+    got = {
+        int(r["k"]): (
+            int(r["n_members"]),
+            int(r["inertia"]),
+            int(r["centroid_checksum"]),
+        )
+        for _, r in oracle_df(con, "q_kmeans_quantized").iterrows()
+    }
+    for k, (n, inertia) in agg.items():
+        assert got[k][:2] == (n, inertia), k
+        assert got[k][2] == int(c1[k].sum()), k
+
+
+def test_collab_filter_matches_item_item_scores(con):
+    pairs = _brand_graph(con, 80)
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    sim = {}
+    for a in adj:
+        for b in adj:
+            if a == b:
+                continue
+            common = adj[a] & adj[b]
+            if common:
+                sim[(a, b)] = math.floor(
+                    len(common) * 10**6 / (len(adj[a]) + len(adj[b]) - len(common))
+                )
+    owned_rows = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey)
+           SELECT DISTINCT o.o_custkey, bk.p_brand
+           FROM orders o JOIN baskets bk ON o.o_orderkey = bk.l_orderkey"""
+    ).fetchall()
+    owned = defaultdict(set)
+    for c, b in owned_rows:
+        owned[int(c)].add(b)
+    got = {
+        int(r["o_custkey"]): (r["rec_brand"], int(r["score_micro"]))
+        for _, r in oracle_df(con, "q_collab_filter").iterrows()
+    }
+    import random
+
+    random.seed(4)
+    sample = random.sample(sorted(owned), min(150, len(owned)))
+    for c in sample:
+        scores = defaultdict(int)
+        for a in owned[c]:
+            for (x, b), s in sim.items():
+                if x == a and b not in owned[c]:
+                    scores[b] += s
+        if not scores:
+            assert c not in got
+            continue
+        best = min(scores, key=lambda b: (-scores[b], b))
+        assert got[c] == (best, scores[best]), c
+
+
+def test_decontaminate_matches_trigram_blocklist(con):
+    bench_grams = set()
+    train = {}
+    for doc_id, lang, _, text, _ in _docs(con):
+        toks = text.split(" ")
+        gs = (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else set()
+        )
+        if int(doc_id) % 97 == 7:
+            bench_grams |= gs
+        else:
+            train[int(doc_id)] = (lang, gs)
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for d, (lang, gs) in train.items():
+        hit = bool(gs & bench_grams)
+        a = agg[lang]
+        a[0] += 1
+        a[1] += hit
+        a[2] += not hit
+    got = {
+        r["lang"]: (int(r["n_train"]), int(r["n_contaminated"]), int(r["n_clean"]))
+        for _, r in oracle_df(con, "q_decontaminate").iterrows()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_doc_chunk_matches_sliding_chunks(con):
+    got = {}
+    for _, r in oracle_df(con, "q_doc_chunk").iterrows():
+        got.setdefault(int(r["doc_id"]), {})[int(r["chunk_id"])] = (
+            int(r["start_tok"]),
+            int(r["chunk_len"]),
+        )
+    for doc_id, _, _, text, _ in _docs(con):
+        n = len(text.split(" "))
+        n_chunks = math.ceil(max(n - 16, 1) / 48)
+        chunks = got[int(doc_id)]
+        assert len(chunks) == n_chunks, doc_id
+        for cid in range(n_chunks):
+            start = cid * 48 + 1
+            length = min(cid * 48 + 64, n) - cid * 48
+            assert chunks[cid] == (start, length), (doc_id, cid)
+        # 64-token chunks with stride 48 => 16-token overlap everywhere
+        # except the tail, and full coverage of the document
+        assert chunks[n_chunks - 1][0] + chunks[n_chunks - 1][1] - 1 == n
