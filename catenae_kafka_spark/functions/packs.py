@@ -1091,3 +1091,322 @@ def q_binary_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("bigint").alias("n_bytes"),
         F.bit_length("text").cast("bigint").alias("n_bits"),
     )
+
+
+@REGISTRY.register(
+    "q_timestamp_delta_funcs",
+    tags=("functions", "date"),
+    oracle="""
+SELECT event_id,
+       STRFTIME(ts + INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_month,
+       STRFTIME(ts + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS plus_week,
+       STRFTIME(ts - INTERVAL 3 HOUR, '%Y-%m-%d %H:%M:%S') AS minus_3h,
+       CAST(date_sub('day', ts, TIMESTAMP '2025-01-01 00:00:00') AS BIGINT)
+         AS days_to_anchor,
+       CAST(date_sub('hour', ts, TIMESTAMP '2025-01-01 00:00:00') AS BIGINT)
+         AS hours_to_anchor,
+       CAST(date_sub('minute', ts, TIMESTAMP '2025-01-01 00:00:00') AS BIGINT)
+         AS minutes_to_anchor
+FROM events
+""",
+)
+def q_timestamp_delta_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp interval arithmetic pack: ``timestampadd`` (including
+    the end-of-month clamp — Jan 31 + 1 month = Feb 29, probed to agree
+    with DuckDB's ``+ INTERVAL`` in both engines) and ``timestampdiff``
+    in DAY/HOUR/MINUTE units against a fixed anchor, signed in both
+    directions. DuckDB's complete-units counterpart is ``date_sub``
+    (``date_diff`` counts boundary *crossings* — a different function).
+    MONTH-unit timestampdiff is deliberately excluded: the engines
+    disagree on partial-month handling (Spark compares day-of-month,
+    DuckDB adds whole intervals), so a portable query must not rely
+    on it — that pinned divergence is the point of this contract.
+
+    Scale shape: map-only projection over the fact table, zero shuffle,
+    whole-stage codegen throughout."""
+    c = catalog(spark, sf_dir)
+    anchor = "timestamp'2025-01-01 00:00:00'"
+    return c.events.select(
+        "event_id",
+        F.date_format(
+            F.expr("timestampadd(MONTH, 1, ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("plus_month"),
+        F.date_format(
+            F.expr("timestampadd(DAY, 7, ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("plus_week"),
+        F.date_format(
+            F.expr("timestampadd(HOUR, -3, ts)"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("minus_3h"),
+        F.expr(f"timestampdiff(DAY, ts, {anchor})")
+        .cast("bigint")
+        .alias("days_to_anchor"),
+        F.expr(f"timestampdiff(HOUR, ts, {anchor})")
+        .cast("bigint")
+        .alias("hours_to_anchor"),
+        F.expr(f"timestampdiff(MINUTE, ts, {anchor})")
+        .cast("bigint")
+        .alias("minutes_to_anchor"),
+    )
+
+
+@REGISTRY.register(
+    "q_str_overlay_funcs",
+    tags=("functions", "string"),
+    oracle="""
+SELECT c_custkey,
+       substr(c_name, 1, 9) || '###' || substr(c_name, 13) AS masked,
+       substr(c_name, 1, 9) || 'VIP-' || substr(c_name, 10) AS inserted,
+       format('{:,}', c_custkey * 1000003) AS grouped,
+       format('{:,}', c_custkey) || '.4' AS money_1dp,
+       c_mktsegment AS seg_from_map,
+       CAST(c_custkey AS VARCHAR) AS key_from_map,
+       translate(c_mktsegment, 'AEIOU', '@3!0U') AS seg_translated
+FROM customer
+""",
+)
+def q_str_overlay_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surgery pack: ANSI ``OVERLAY`` in both replace (FOR 3)
+    and pure-insertion (FOR 0) forms, locale-grouped ``format_number``
+    (oracled with DuckDB's ``format('{:,}')`` — probed to group
+    identically; the fractional case is pinned to a .37 fraction so
+    Java's HALF_EVEN and arithmetic rounding cannot disagree),
+    ``str_to_map`` round-trip lookups, and ``translate``. The masked /
+    inserted columns are the PII-masking idiom (q_pseudonymize's
+    lightweight cousin) expressed with the standard-SQL operator.
+
+    Scale shape: map-only projection, zero shuffle."""
+    c = catalog(spark, sf_dir)
+    kv = F.expr(
+        "str_to_map(concat('seg:', c_mktsegment, ',key:', c_custkey), ',', ':')"
+    )
+    return c.customer.select(
+        "c_custkey",
+        F.expr("overlay(c_name PLACING '###' FROM 10 FOR 3)").alias("masked"),
+        F.expr("overlay(c_name PLACING 'VIP-' FROM 10 FOR 0)").alias("inserted"),
+        F.format_number(F.col("c_custkey") * F.lit(1000003).cast("bigint"), 0).alias(
+            "grouped"
+        ),
+        F.format_number(F.col("c_custkey") + F.lit(0.37), 1).alias("money_1dp"),
+        kv.getItem("seg").alias("seg_from_map"),
+        kv.getItem("key").alias("key_from_map"),
+        F.translate("c_mktsegment", "AEIOU", "@3!0U").alias("seg_translated"),
+    )
+
+
+@REGISTRY.register(
+    "q_luhn_url_codec",
+    tags=("functions", "string", "etl"),
+    oracle="""
+WITH t AS (
+  SELECT c_custkey, c_mktsegment || ' ' || c_name AS raw,
+         LPAD(CAST(c_custkey * 7919 AS VARCHAR), 12, '0') AS digits
+  FROM customer
+)
+SELECT c_custkey, digits,
+       list_sum(list_transform(generate_series(1, LENGTH(digits)), i ->
+         CASE WHEN (LENGTH(digits) - i) % 2 = 1
+              THEN CASE WHEN CAST(digits[i] AS INT) * 2 > 9
+                        THEN CAST(digits[i] AS INT) * 2 - 9
+                        ELSE CAST(digits[i] AS INT) * 2 END
+              ELSE CAST(digits[i] AS INT) END)) % 10 = 0 AS luhn_ok,
+       replace(replace(raw, '#', '%23'), ' ', '+') AS enc,
+       raw AS dec
+FROM t
+""",
+)
+def q_luhn_url_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum + URL-codec pack: ``luhn_check`` over deterministic
+    12-digit account numbers (the oracle re-derives the Luhn mod-10
+    sum digit-by-digit from first principles — double every second
+    digit from the right, subtract 9 above 9 — so the engine's builtin
+    is checked against the algorithm, not against itself), and
+    ``url_encode``/``url_decode`` round-tripped over a
+    restricted-charset string where form-encoding is expressible as
+    two replaces (space→'+', '#'→'%23'; DuckDB has no url_encode, so
+    the oracle derives it). The decode column must reproduce the
+    original string exactly.
+
+    Scale shape: map-only projection, zero shuffle."""
+    c = catalog(spark, sf_dir)
+    base = c.customer.select(
+        "c_custkey",
+        F.concat("c_mktsegment", F.lit(" "), "c_name").alias("raw"),
+        F.lpad(
+            (F.col("c_custkey") * F.lit(7919).cast("bigint")).cast("string"),
+            12,
+            "0",
+        ).alias("digits"),
+    )
+    return base.select(
+        "c_custkey",
+        "digits",
+        F.expr("luhn_check(digits)").alias("luhn_ok"),
+        F.expr("url_encode(raw)").alias("enc"),
+        F.expr("url_decode(url_encode(raw))").alias("dec"),
+    )
+
+
+@REGISTRY.register(
+    "q_xpath_funcs",
+    tags=("functions", "string", "etl"),
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name AS name_x,
+       CAST(n_nationkey AS BIGINT) AS key_x,
+       TRUE AS has_region,
+       CAST(3 AS INT) AS n_children
+FROM nation
+""",
+)
+def q_xpath_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction pack over per-row XML documents synthesized
+    from the nation dim (names are uppercase ASCII — XML-safe by
+    construction): ``xpath_string`` / ``xpath_long`` scalar extraction,
+    ``xpath_boolean`` existence, and node-set counting via ``xpath``
+    — the semi-structured-ingest surface for XML payloads (the
+    row-level complement of the q_scan_xml source). The oracle states
+    the expected values directly from the columns the XML was built
+    from, so the extraction round-trip is what's under test.
+
+    Scale shape: map-only; XML parse per row stays in the JVM."""
+    c = catalog(spark, sf_dir)
+    xml = F.concat(
+        F.lit("<nation><name>"),
+        F.col("n_name"),
+        F.lit("</name><key>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</key><region>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</region></nation>"),
+    ).alias("xml")
+    base = c.nation.select(F.col("n_nationkey").cast("bigint").alias("n_nationkey"), xml)
+    return base.select(
+        "n_nationkey",
+        F.expr("xpath_string(xml, '/nation/name')").alias("name_x"),
+        F.expr("xpath_long(xml, '/nation/key')").alias("key_x"),
+        F.expr("xpath_boolean(xml, '/nation/region')").alias("has_region"),
+        F.size(F.expr("xpath(xml, '/nation/*/text()')")).alias("n_children"),
+    )
+
+
+@REGISTRY.register(
+    "q_soundex_phonetic",
+    tags=("functions", "string", "fuzzy"),
+    oracle="""
+WITH d AS (
+  SELECT c_custkey, c_mktsegment AS seg,
+    c_mktsegment[1] AS first_char,
+    regexp_replace(
+      translate(upper(c_mktsegment),
+                'BFPVCGJKQSXZDTLMNRAEIOUYHW', '111122222222334556000000'),
+      '(\\d)\\1+', '\\1', 'g') AS collapsed
+  FROM customer
+)
+SELECT c_custkey, seg,
+       first_char ||
+         rpad(substr(replace(substr(collapsed, 2), '0', ''), 1, 3), 3, '0')
+         AS seg_soundex
+FROM d
+""",
+)
+def q_soundex_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic encoding (American Soundex) — the classic blocking key
+    for fuzzy entity matching (the cheap sibling of
+    q_fuzzy_levenshtein's brand blocks). The oracle re-derives Soundex
+    from the algorithm itself: consonant classes via translate (H/W
+    deleted — which, combined with adjacent-duplicate collapsing,
+    implements the 'same code across h/w merges' rule), vowels to 0 as
+    separators, first letter kept verbatim, zeros stripped, padded to
+    4. Verified character-exact against Spark's builtin on the whole
+    segment vocabulary (incl. the H-initial HOUSEHOLD case); the input
+    set is restricted to alphabetic uppercase words, where the
+    derivation is exact.
+
+    Scale shape: map-only projection, zero shuffle."""
+    c = catalog(spark, sf_dir)
+    return c.customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.soundex("c_mktsegment").alias("seg_soundex"),
+    )
+
+
+@REGISTRY.register(
+    "q_regexp_advanced",
+    tags=("functions", "string"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs,
+       CASE WHEN regexp_matches(text, '[A-Z][a-z]+')
+            THEN CAST(strpos(text, regexp_extract(text, '[A-Z][a-z]+')) AS INT)
+            ELSE 0 END AS first_cap_pos,
+       regexp_extract(text, '[a-z]{7,}') AS first_long_word,
+       regexp_matches(text, '\\.$') AS ends_with_period
+FROM documents
+""",
+)
+def q_regexp_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advanced regex surface beyond extract/replace: ``regexp_count``
+    (occurrence counting), ``regexp_instr`` (1-based match position, 0
+    when absent), ``regexp_substr`` (first-match extraction, Spark's
+    NULL normalized to '' to match DuckDB's no-match ''), and anchored
+    ``rlike``. The oracle derives each from DuckDB's extract-all /
+    strpos primitives — the portable recipe for engines without the
+    counting/position variants. Patterns stay in the RE2∩Java common
+    subset (no backrefs, no lookaround) so both engines parse them
+    identically.
+
+    Scale shape: map-only projection over documents, zero shuffle."""
+    c = catalog(spark, sf_dir)
+    return c.documents.select(
+        "doc_id",
+        F.expr("regexp_count(text, '[aeiou]+')").alias("n_vowel_runs"),
+        F.expr("regexp_instr(text, '[A-Z][a-z]+')").alias("first_cap_pos"),
+        F.coalesce(
+            F.expr("regexp_substr(text, '[a-z]{7,}')"), F.lit("")
+        ).alias("first_long_word"),
+        F.col("text").rlike("\\.$").alias("ends_with_period"),
+    )
+
+
+@REGISTRY.register(
+    "q_numbase_funcs",
+    tags=("functions", "math"),
+    oracle="""
+SELECT c_custkey,
+       bin(c_custkey) AS key_bin,
+       to_hex(c_custkey) AS key_hex,
+       CAST(('0x' || to_hex(c_custkey))::BIGINT AS VARCHAR) AS hex_roundtrip,
+       ascii(c_mktsegment[1]) AS first_code,
+       chr(65 + CAST(c_custkey % 26 AS INT)) AS key_letter,
+       CAST((c_custkey >> 3) & 1 AS INT) AS bit3,
+       CAST(bit_count(c_custkey) AS INT) AS popcount
+FROM customer
+""",
+)
+def q_numbase_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number-base / character-code pack: binary and hex rendering
+    (``bin``, ``conv`` — Spark's conv(·,10,16) emits uppercase,
+    matching DuckDB's to_hex), a base-16 round-trip back to decimal,
+    ``ascii``/``char`` code-point conversion, single-bit extraction
+    (``getbit``, oracled as shift-and-mask — the portable form), and
+    ``bit_count`` popcount. This is the key-encoding surface under
+    sharding schemes (q_rendezvous_sharding renders hex shard ids;
+    bitmap sketches count bits).
+
+    Scale shape: map-only projection, zero shuffle."""
+    c = catalog(spark, sf_dir)
+    return c.customer.select(
+        "c_custkey",
+        F.bin("c_custkey").alias("key_bin"),
+        F.conv(F.col("c_custkey").cast("string"), 10, 16).alias("key_hex"),
+        F.conv(
+            F.conv(F.col("c_custkey").cast("string"), 10, 16), 16, 10
+        ).alias("hex_roundtrip"),
+        F.ascii(F.substring("c_mktsegment", 1, 1)).alias("first_code"),
+        F.char(F.lit(65) + (F.col("c_custkey") % 26).cast("int")).alias(
+            "key_letter"
+        ),
+        F.expr("getbit(c_custkey, 3)").cast("int").alias("bit3"),
+        F.bit_count("c_custkey").cast("int").alias("popcount"),
+    )
