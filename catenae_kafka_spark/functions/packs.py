@@ -1410,3 +1410,153 @@ def q_numbase_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("getbit(c_custkey, 3)").cast("int").alias("bit3"),
         F.bit_count("c_custkey").cast("int").alias("popcount"),
     )
+
+
+@REGISTRY.register(
+    "q_mask_redact_funcs",
+    tags=("functions", "string", "privacy"),
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[a-z]', 'x', 'g'), '[A-Z]', 'X', 'g'), '[0-9]', 'n', 'g')
+         AS masked_default,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[a-z]', '.', 'g'), '[A-Z]', '#', 'g'), '[0-9]', '*', 'g')
+         AS masked_custom,
+       regexp_replace(c_name, '[0-9]', '*', 'g') AS digits_only,
+       c_mktsegment || ' ' ||
+         regexp_replace(c_name, '[0-9]', 'n', 'g') AS seg_tagged
+FROM customer
+""",
+)
+def q_mask_redact_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction via Spark's ``mask`` function: default X/x/n
+    masking, fully-custom replacement characters, and digits-only
+    masking with letters kept (NULL upper/lower args) — the
+    display-layer counterpart of q_pseudonymize's irreversible hashing
+    and q_pii_scan's detection. The oracle derives each mask as chained
+    character-class regexp_replaces (lowercase first so the substituted
+    'x' is never re-hit by the uppercase pass) — the portable recipe
+    for engines without the builtin.
+
+    Scale shape: map-only projection, zero shuffle."""
+    c = catalog(spark, sf_dir)
+    return c.customer.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked_default"),
+        F.expr("mask(c_name, '#', '.', '*')").alias("masked_custom"),
+        F.expr("mask(c_name, NULL, NULL, '*')").alias("digits_only"),
+        F.concat(
+            "c_mktsegment", F.lit(" "), F.expr("mask(c_name, NULL, NULL, 'n')")
+        ).alias("seg_tagged"),
+    )
+
+
+@REGISTRY.register(
+    "q_str_slice_pack",
+    tags=("functions", "string"),
+    oracle="""
+SELECT c_custkey,
+       left(c_name, 8) AS name_left,
+       right(c_name, 4) AS name_right,
+       list_aggregate(list_transform(string_split(lower(c_mktsegment) ||
+           ' ' || lower(c_name), ' '),
+         w -> upper(w[1]) || substr(w, 2)), 'string_agg', ' ') AS title_cased,
+       repeat('=', CAST(c_custkey % 5 + 1 AS INT)) AS bar,
+       array_to_string(list_slice(string_split(c_name, '0'), 1, 2), '0')
+         AS upto_second_zero
+FROM customer
+""",
+)
+def q_str_slice_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String slicing pack: ANSI ``left``/``right``, ``initcap`` title
+    casing (oracled as a per-word transform over split — exact on the
+    single-space fixtures; Spark's initcap lowercases the tail of each
+    word, which the oracle reproduces by pre-lowering), data-driven
+    ``repeat`` (the text-bar idiom under q_log2_histogram displays),
+    and ``substring_index`` (first-N-delimited-fields extraction,
+    oracled as split→slice→join — the portable form).
+
+    Scale shape: map-only projection, zero shuffle."""
+    c = catalog(spark, sf_dir)
+    return c.customer.select(
+        "c_custkey",
+        F.expr("left(c_name, 8)").alias("name_left"),
+        F.expr("right(c_name, 4)").alias("name_right"),
+        F.initcap(
+            F.concat(F.lower("c_mktsegment"), F.lit(" "), F.lower("c_name"))
+        ).alias("title_cased"),
+        F.repeat(F.lit("="), (F.col("c_custkey") % 5 + 1).cast("int")).alias(
+            "bar"
+        ),
+        F.substring_index("c_name", "0", 2).alias("upto_second_zero"),
+    )
+
+
+@REGISTRY.register(
+    "q_array_edit_funcs",
+    tags=("functions", "array"),
+    oracle="""
+WITH t AS (
+  SELECT c_custkey,
+         [CAST(c_custkey % 7 AS BIGINT), CAST(c_custkey % 5 AS BIGINT),
+          CAST(c_custkey % 3 AS BIGINT)] AS arr,
+         [CAST(c_custkey % 7 AS BIGINT), NULL,
+          CAST(c_custkey % 3 AS BIGINT), NULL] AS holey
+  FROM customer
+)
+SELECT c_custkey,
+       array_to_string(list_concat(list_slice(arr, 1, 1),
+                   list_concat([CAST(99 AS BIGINT)], list_slice(arr, 2, 3))),
+         ',') AS inserted_at_2,
+       array_to_string(list_append(arr, CAST(-1 AS BIGINT)), ',')
+         AS appended_via_neg_insert,
+       array_to_string(list_filter(holey, x -> x IS NOT NULL), ',')
+         AS compacted,
+       array_to_string(list_prepend(CAST(0 AS BIGINT), arr), ',')
+         AS prepended,
+       array_to_string([CAST(c_custkey % 7 AS BIGINT),
+                        CAST(c_custkey % 7 AS BIGINT),
+                        CAST(c_custkey % 7 AS BIGINT)], ',') AS repeated
+FROM t
+""",
+)
+def q_array_edit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array editing pack: positional ``array_insert`` (oracled as
+    slice-concat-slice; Spark's NEGATIVE index -1 APPENDS at the end —
+    a pinned-by-probe semantic, not splice-before-last as one might
+    expect), NULL-stripping ``array_compact``, ``array_prepend`` /
+    ``array_append``, and ``array_repeat`` (oracled as an explicit
+    list literal — DuckDB's list_resize raises bad_array_new_length
+    on column-valued pad arguments, a pinned engine defect).
+    Arrays are synthesized deterministically from key residues so every
+    row exercises different content.
+
+    Scale shape: map-only projection, zero shuffle."""
+    c = catalog(spark, sf_dir)
+    k = F.col("c_custkey")
+    arr = F.array(
+        (k % 7).cast("bigint"), (k % 5).cast("bigint"), (k % 3).cast("bigint")
+    )
+    holey = F.array(
+        (k % 7).cast("bigint"),
+        F.lit(None).cast("bigint"),
+        (k % 3).cast("bigint"),
+        F.lit(None).cast("bigint"),
+    )
+    return c.customer.select(
+        "c_custkey",
+        F.array_join(
+            F.array_insert(arr, 2, F.lit(99).cast("bigint")), ","
+        ).alias("inserted_at_2"),
+        F.array_join(
+            F.array_insert(arr, -1, F.lit(-1).cast("bigint")), ","
+        ).alias("appended_via_neg_insert"),
+        F.array_join(F.array_compact(holey), ",").alias("compacted"),
+        F.array_join(
+            F.array_prepend(arr, F.lit(0).cast("bigint")), ","
+        ).alias("prepended"),
+        F.array_join(F.array_repeat((k % 7).cast("bigint"), 3), ",").alias(
+            "repeated"
+        ),
+    )
