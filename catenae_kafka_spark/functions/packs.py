@@ -1560,3 +1560,44 @@ def q_array_edit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeated"
         ),
     )
+
+
+@REGISTRY.register(
+    "q_try_agg_funcs",
+    tags=("functions", "aggregate", "semantics"),
+    oracle="""
+SELECT c_mktsegment,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_ok,
+       CAST(NULL AS BIGINT) AS sum_overflowed,
+       ROUND(AVG(c_custkey), 4) AS avg_ok,
+       c_mktsegment AS seg_any
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_try_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe aggregate contract: ``try_sum`` returns the exact sum
+    on clean data but NULL (instead of raising) when the BIGINT
+    accumulator overflows — demonstrated by summing Long.MAX_VALUE
+    across every group — while ``try_avg`` survives the same input
+    because it accumulates in double; ``any_value`` is pinned on a
+    column constant within each group, the only shape where its result
+    is deterministic. At 100 TB this is the difference between a
+    2-hour aggregation job dying at 99% on one dirty partition and it
+    completing with an auditable NULL; the oracle states the overflow
+    outcome literally (DuckDB would promote to HUGEINT instead — a
+    pinned engine divergence).
+
+    Scale shape: standard two-phase hash aggregate, one shuffle on the
+    group key."""
+    c = catalog(spark, sf_dir)
+    return (
+        c.customer.groupBy("c_mktsegment")
+        .agg(
+            F.expr("try_sum(c_custkey)").cast("bigint").alias("sum_ok"),
+            F.expr("try_sum(9223372036854775807L)")
+            .cast("bigint")
+            .alias("sum_overflowed"),
+            F.round(F.expr("try_avg(c_custkey)"), 4).alias("avg_ok"),
+            F.any_value("c_mktsegment").alias("seg_any"),
+        )
+    )
