@@ -7605,3 +7605,205 @@ def test_doc_chunk_matches_sliding_chunks(con):
         # 64-token chunks with stride 48 => 16-token overlap everywhere
         # except the tail, and full coverage of the document
         assert chunks[n_chunks - 1][0] + chunks[n_chunks - 1][1] - 1 == n
+
+
+# ---------------------------------------------------------------------------
+# Batch 40: the round-4 continuation function packs — builtin functions
+# (Luhn, Soundex, url_encode, mask, timestamp deltas, number bases,
+# array edits, regexps, overlay/format_number, try-agg overflow) checked
+# against independent pure-Python reference implementations.
+# ---------------------------------------------------------------------------
+
+
+def test_luhn_oracle_matches_python_reference(con):
+    import urllib.parse
+
+    def luhn_ok(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    df = oracle_df(con, "q_luhn_url_codec")
+    assert len(df) > 0
+    trues = 0
+    for _, r in df.iterrows():
+        assert bool(r["luhn_ok"]) == luhn_ok(r["digits"]), r["digits"]
+        trues += bool(r["luhn_ok"])
+        # form-encoding reference: Python quote_plus == Java URLEncoder
+        assert r["enc"] == urllib.parse.quote_plus(r["dec"]), r["dec"]
+    # the residue construction must exercise both outcomes
+    assert 0 < trues < len(df)
+
+
+def test_soundex_oracle_matches_python_reference(con):
+    codes = {}
+    for cls, digit in (
+        ("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+        ("L", "4"), ("MN", "5"), ("R", "6"),
+    ):
+        for ch in cls:
+            codes[ch] = digit
+
+    def soundex(word: str) -> str:
+        first = word[0]
+        out = []
+        prev = codes.get(first, "")
+        for ch in word[1:]:
+            if ch in "HW":
+                continue  # skipped; same-code letters across h/w merge
+            code = codes.get(ch)
+            if code is None:
+                prev = ""  # vowel separator
+                continue
+            if code != prev:
+                out.append(code)
+            prev = code
+        return (first + "".join(out) + "000")[:4]
+
+    df = oracle_df(con, "q_soundex_phonetic")
+    segs = {r["seg"]: r["seg_soundex"] for _, r in df.iterrows()}
+    assert len(segs) == 5
+    for seg, sdx in segs.items():
+        assert sdx == soundex(seg), seg
+
+
+def test_timestamp_delta_oracle_matches_python_reference(con):
+    import calendar
+    from datetime import datetime, timedelta
+
+    anchor = datetime(2025, 1, 1)
+
+    def trunc_units(ts: datetime, unit_us: int) -> int:
+        d = anchor - ts
+        total_us = (d.days * 86_400_000_000
+                    + d.seconds * 1_000_000 + d.microseconds)
+        q, r = divmod(total_us, unit_us)
+        if total_us < 0 and r != 0:
+            q += 1  # complete units truncate toward zero
+        return int(q)
+
+    def plus_month(ts: datetime) -> datetime:
+        y, m = (ts.year + 1, 1) if ts.month == 12 else (ts.year, ts.month + 1)
+        day = min(ts.day, calendar.monthrange(y, m)[1])
+        return ts.replace(year=y, month=m, day=day)
+
+    raw = {r[0]: r[1] for r in con.execute(
+        "SELECT event_id, ts FROM events").fetchall()}
+    df = oracle_df(con, "q_timestamp_delta_funcs")
+    assert len(df) == len(raw)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for _, r in df.head(2000).iterrows():
+        ts = raw[r["event_id"]]
+        assert int(r["days_to_anchor"]) == trunc_units(ts, 86_400_000_000)
+        assert int(r["hours_to_anchor"]) == trunc_units(ts, 3_600_000_000)
+        assert int(r["minutes_to_anchor"]) == trunc_units(ts, 60_000_000)
+        assert r["plus_month"] == plus_month(ts).strftime(fmt)
+        assert r["plus_week"] == (ts + timedelta(days=7)).strftime(fmt)
+        assert r["minus_3h"] == (ts - timedelta(hours=3)).strftime(fmt)
+
+
+def test_mask_and_overlay_oracles_match_python_reference(con):
+    names = {r[0]: (r[1], r[2]) for r in con.execute(
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer").fetchall()}
+
+    def mask(s, up="X", lo="x", dig="n"):
+        out = []
+        for ch in s:
+            if ch.isupper():
+                out.append(up)
+            elif ch.islower():
+                out.append(lo)
+            elif ch.isdigit():
+                out.append(dig)
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    df = oracle_df(con, "q_mask_redact_funcs")
+    for _, r in df.head(500).iterrows():
+        name, seg = names[int(r["c_custkey"])]
+        assert r["masked_default"] == mask(name)
+        assert r["masked_custom"] == mask(name, "#", ".", "*")
+        assert r["digits_only"] == "".join(
+            "*" if ch.isdigit() else ch for ch in name
+        )
+        assert r["seg_tagged"] == seg + " " + "".join(
+            "n" if ch.isdigit() else ch for ch in name
+        )
+
+    df2 = oracle_df(con, "q_str_overlay_funcs")
+    for _, r in df2.head(500).iterrows():
+        name, seg = names[int(r["c_custkey"])]
+        k = int(r["c_custkey"])
+        assert r["masked"] == name[:9] + "###" + name[12:]
+        assert r["inserted"] == name[:9] + "VIP-" + name[9:]
+        assert r["grouped"] == f"{k * 1000003:,}"
+        assert r["money_1dp"] == f"{k:,}" + ".4"
+        assert r["seg_from_map"] == seg
+        assert r["key_from_map"] == str(k)
+
+
+def test_numbase_and_array_edit_oracles_match_python_reference(con):
+    df = oracle_df(con, "q_numbase_funcs")
+    for _, r in df.head(500).iterrows():
+        k = int(r["c_custkey"])
+        assert r["key_bin"] == bin(k)[2:]
+        assert r["key_hex"] == format(k, "X")
+        assert r["hex_roundtrip"] == str(k)
+        assert int(r["bit3"]) == (k >> 3) & 1
+        assert int(r["popcount"]) == bin(k).count("1")
+        assert r["key_letter"] == chr(65 + k % 26)
+
+    df2 = oracle_df(con, "q_array_edit_funcs")
+    for _, r in df2.head(500).iterrows():
+        k = int(r["c_custkey"])
+        a = [k % 7, k % 5, k % 3]
+        join = lambda xs: ",".join(str(x) for x in xs)  # noqa: E731
+        assert r["inserted_at_2"] == join([a[0], 99] + a[1:])
+        assert r["appended_via_neg_insert"] == join(a + [-1])
+        assert r["compacted"] == join([k % 7, k % 3])
+        assert r["prepended"] == join([0] + a)
+        assert r["repeated"] == join([k % 7] * 3)
+
+
+def test_regexp_advanced_oracle_matches_python_reference(con):
+    import re
+
+    texts = {r[0]: r[1] for r in con.execute(
+        "SELECT doc_id, text FROM documents").fetchall()}
+    df = oracle_df(con, "q_regexp_advanced")
+    assert len(df) == len(texts)
+    for _, r in df.head(300).iterrows():
+        t = texts[int(r["doc_id"])]
+        assert int(r["n_vowel_runs"]) == len(re.findall(r"[aeiou]+", t))
+        m = re.search(r"[A-Z][a-z]+", t)
+        assert int(r["first_cap_pos"]) == (m.start() + 1 if m else 0)
+        m2 = re.search(r"[a-z]{7,}", t)
+        assert r["first_long_word"] == (m2.group(0) if m2 else "")
+        assert bool(r["ends_with_period"]) == t.endswith(".")
+
+
+def test_try_agg_oracle_matches_python_reference(con):
+    rows = con.execute(
+        "SELECT c_mktsegment, c_custkey FROM customer").fetchall()
+    sums: dict[str, int] = {}
+    cnts: dict[str, int] = {}
+    for seg, k in rows:
+        sums[seg] = sums.get(seg, 0) + int(k)
+        cnts[seg] = cnts.get(seg, 0) + 1
+    df = oracle_df(con, "q_try_agg_funcs")
+    assert len(df) == len(sums)
+    for _, r in df.iterrows():
+        seg = r["c_mktsegment"]
+        assert int(r["sum_ok"]) == sums[seg]
+        assert r["sum_overflowed"] is None or str(r["sum_overflowed"]) in (
+            "nan", "<NA>", "None",
+        )
+        assert abs(float(r["avg_ok"]) - round(sums[seg] / cnts[seg], 4)) < 1e-9
+        assert r["seg_any"] == seg
