@@ -4940,13 +4940,16 @@ WITH v AS (
   FROM ranked r JOIN disc d ON r.rn = d.rn
   WHERE r.rn <= 5
   GROUP BY r.query_id
+), lblcnt AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS lbl_cnt
+  FROM embeddings GROUP BY label
 ), rtot AS (
-  SELECT q.vec_id AS query_id,
-         CAST(COUNT(*) AS BIGINT) AS r_tot
-  FROM embeddings q JOIN embeddings c
-    ON c.label = q.label AND c.vec_id != q.vec_id
+  -- per-label GROUP BY count minus one (never drops a singleton-label
+  -- query: lbl_cnt >= 1 always, r_tot = 0 -> empty discount prefix ->
+  -- idcg NULL -> COALESCE 0 -> ndcg NULL, matching the Spark side)
+  SELECT q.vec_id AS query_id, l.lbl_cnt - 1 AS r_tot
+  FROM embeddings q JOIN lblcnt l ON q.label = l.label
   WHERE q.vec_id < 20
-  GROUP BY q.vec_id
 ), ideal AS (
   SELECT dcg.query_id, dcg_micro, n_rel,
          (SELECT CAST(SUM(w) AS BIGINT) FROM disc

@@ -1080,9 +1080,10 @@ def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "events", "sessionization"),
     oracle="""
 WITH t AS (
-  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN epoch(ts)
+                   - LAG(epoch(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id)
                    > 7200
                 OR LAG(ts) OVER (PARTITION BY user_id
@@ -1091,7 +1092,7 @@ WITH t AS (
   FROM events
 ), s AS (
   SELECT user_id, ts_s,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_no
   FROM t
 )

@@ -2004,7 +2004,7 @@ def q_stream_backfill_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "sessionization"),
     oracle="""
 WITH g AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          CASE WHEN event_type = 'click' THEN 3600 ELSE 7200 END AS gap_s,
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w)
                    > CASE WHEN event_type = 'click' THEN 3600 ELSE 7200 END
@@ -2015,7 +2015,8 @@ WITH g AS (
 ), s AS (
   SELECT user_id, event_type, ts,
          SUM(new_session) OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)
            AS session_id
   FROM g
 )
