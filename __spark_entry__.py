@@ -38,25 +38,59 @@ def _covered_in_prior_rounds() -> set[str]:
     return covered
 
 
+# SURVEY-§2B-named and north-star-named operators: these are the queries
+# the coverage checklist names EXPLICITLY, so a driver-correctness row for
+# them is worth more than one for a cheaper registry query. Any of these
+# still uncovered are pinned to the very front of the rotation (in this
+# order); the rest of the uncovered group stays cost-ordered behind them.
+_PINNED_FIRST = (
+    # §2B UDF surface — never driver-sampled in rounds 1-4
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    "q_udtf",
+    # north-star LLM-pipeline components without a driver row yet
+    "q_dedup_containment",
+    "q_dedup_waterfall",
+    "q_golden_record",
+    "q_dedup_threshold_sweep",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_multimodal_audio_energy",
+    "q_text_tfidf",
+    "q_word_pmi",
+    "q_text_entropy",
+    "q_decontaminate",
+    "q_repetition_score",
+    "q_sample_mix",
+    # streaming contract proofs
+    "q_stream_idempotent_sink",
+    "q_stream_restart_recovery",
+    "q_stream_batch_invariance",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER IS EVIDENCE POLICY: the driver walks this dict in insertion
     order under a global time budget, so queries with no driver row in
-    any prior round go FIRST (registration order within each group is
-    preserved). Self-rotating — each round's CORRECTNESS file pushes its
-    newly-covered queries behind the still-uncovered ones.
+    any prior round go FIRST — SURVEY/north-star-named pins leading,
+    then the rest cheapest-first. Self-rotating — each round's
+    CORRECTNESS file pushes its newly-covered queries behind the
+    still-uncovered ones.
     """
     specs = all_specs()
     covered = _covered_in_prior_rounds()
     costs = _query_costs()
     known = sorted(costs.values())
     median = known[len(known) // 2] if known else 1.0
-    uncovered = sorted(
-        (n for n in specs if n not in covered),
+    pinned = [n for n in _PINNED_FIRST if n in specs and n not in covered]
+    rest = sorted(
+        (n for n in specs if n not in covered and n not in set(pinned)),
         key=lambda n: (costs.get(n, median), n),
     )
-    ordered = uncovered + [n for n in specs if n in covered]
+    ordered = pinned + rest + [n for n in specs if n in covered]
     return {name: specs[name].fn for name in ordered}
 
 
