@@ -38,6 +38,48 @@ def _cents(col: str) -> "F.Column":
     return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
 
 
+def _select_order_stats(per_v: DataFrame, ks: DataFrame) -> DataFrame:
+    """Select exact order statistics WITHOUT a global row sort.
+
+    ``per_v`` is a per-value count summary ``(cents, cnt)`` (already
+    aggregated — its row count is the number of DISTINCT values, never
+    the corpus size); ``ks`` is a tiny broadcastable rank spine with a
+    BIGINT ``k`` column (plus any passthrough columns). Returns one row
+    per ``ks`` row: the spine columns plus the ``cents`` value whose
+    global ascending rank interval ``(cum_before, cum_before + cnt]``
+    contains ``k``. Ties share a value, so no row-level tiebreaker can
+    change the selected VALUE — the result equals a
+    ``ROW_NUMBER() OVER (ORDER BY cents, anything)`` selection.
+
+    Scale shape (the q_auc_rank two-phase discipline): per-bucket
+    totals cumulate over a ~score-range/1000-row bucket summary, then a
+    per-bucket window over the distinct-value summary finishes the
+    prefix — no single-partition window ever sees raw fact rows."""
+    s = per_v.withColumn("bucket", F.expr("cents div 1000"))
+    bt = s.groupBy("bucket").agg(F.sum("cnt").alias("bn"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bt.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_b), F.lit(0)).alias("boff")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        s.join(F.broadcast(boff), "bucket")
+        .withColumn(
+            "cum_before",
+            F.col("boff") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0)),
+        )
+    )
+    return cum.join(
+        F.broadcast(ks),
+        (F.col("k") > F.col("cum_before"))
+        & (F.col("k") <= F.col("cum_before") + F.col("cnt")),
+    )
+
+
 @REGISTRY.register(
     "q_auc_rank",
     tags=("mlstats", "evaluation"),
@@ -780,21 +822,69 @@ def q_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     base rate — the campaign-targeting readout ("calling the top 10%
     captures 31% of buyers, 3.1x lift").
 
-    NTILE over a deterministic (score desc, id) order; positives and
-    counts stay integer; both ratios divide exact BIGINTs. The global
-    NTILE is the one rank scan — at scale it becomes the bucketed
-    prefix-sum (rank = offset + within-bucket rank) exactly as in
-    q_auc_rank."""
+    NTILE semantics reproduced WITHOUT the global single-partition
+    sort: the global descending rank decomposes as
+    (rows in strictly-higher score-buckets) + (rows in the same bucket
+    with strictly-higher scores) + (row_number within the tied score,
+    ordered by event_id) — the first two via windows over bucket /
+    distinct-score summaries (q_auc_rank discipline), the last a
+    per-tie-group partitioned window. NTILE's tile boundary is then
+    the closed form: the first N%10 deciles take ceil(N/10) rows,
+    the rest floor(N/10). Positives and counts stay integer; both
+    ratios divide exact BIGINTs."""
     c = catalog(spark, sf_dir)
     scored = c.events.select(
         _cents("value").alias("s"),
         "event_id",
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
-    w = Window.orderBy(F.col("s").desc(), "event_id")
-    ranked = scored.select("y", F.ntile(10).over(w).alias("decile"))
+    per_s = scored.groupBy("s").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    ).withColumn("bucket", F.expr("s div 1000"))
+    bt = per_s.groupBy("bucket").agg(F.sum("cnt").alias("bn"))
+    w_b = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = bt.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_b), F.lit(0)).alias("boff")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        per_s.join(F.broadcast(boff), "bucket")
+        .select(
+            "s",
+            (
+                F.col("boff")
+                + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+            ).alias("above"),
+        )
+    )
+    w_tie = Window.partitionBy("s").orderBy("event_id")
     tot = scored.agg(
-        F.sum("y").alias("tp"), F.count("*").alias("tn")
+        F.sum("y").cast("bigint").alias("tp"),
+        F.count("*").cast("bigint").alias("tn"),
+    )
+    ranked = (
+        scored.withColumn("rn_tie", F.row_number().over(w_tie))
+        .join(F.broadcast(offsets), "s")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.col("above") + F.col("rn_tie"))
+        .withColumn("qq", F.expr("tn div 10"))
+        .withColumn("rr", F.expr("tn % 10"))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("rn") <= F.col("rr") * (F.col("qq") + 1),
+                F.expr("(rn + qq) div (qq + 1)"),
+            ).otherwise(
+                F.expr("rr + ((rn - rr * (qq + 1) + qq - 1) div qq)")
+            ).cast("int"),
+        )
+        .select("y", "decile")
     )
     return (
         ranked.groupBy("decile")
@@ -2890,36 +2980,36 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d-th decile is replaced by the target's d-th decile).
 
     Exact: both deciles are order statistics selected by BIGINT rank
-    arithmetic over a total (cents, event_id) order — no
-    interpolation, no floats.
+    arithmetic — ties share a cents value, so the oracle's
+    (cents, event_id) ROW_NUMBER selection picks the identical VALUE.
 
-    Scale shape: two filtered single-column window sorts (in
-    production, the two-phase q_median_two_phase selection replaces
-    the full sort) + a 9-row constant spine."""
+    Scale shape: NO global row sort — each side is a groupBy(cents)
+    count summary fed through the two-phase bucketed prefix-sum
+    selection (_select_order_stats, the q_auc_rank discipline); the
+    only windows run over distinct-value/bucket summaries, and the
+    9-row decile spine broadcasts onto the summary."""
     c = catalog(spark, sf_dir)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    d = spark.range(1, 10).select(F.col("id").cast("bigint").alias("decile"))
 
-    def ranked(tp: str) -> DataFrame:
-        w = Window.orderBy("cents", "event_id")
-        return (
-            c.events.filter(F.col("event_type") == tp)
-            .select(cents.alias("cents"), "event_id")
-            .select(
-                "cents",
-                F.row_number().over(w).alias("rn"),
-                F.count("*").over(Window.partitionBy()).alias("n"),
-            )
+    def pick(tp: str, out_col: str) -> DataFrame:
+        vals = c.events.filter(F.col("event_type") == tp).select(
+            cents.alias("cents")
+        )
+        per_v = vals.groupBy("cents").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        n = vals.agg(F.count("*").cast("bigint").alias("n"))
+        ks = d.crossJoin(F.broadcast(n)).select(
+            "decile",
+            F.greatest(F.expr("(decile * n) div 10"), F.lit(1)).alias("k"),
+        )
+        return _select_order_stats(per_v, ks).select(
+            "decile", F.col("cents").alias(out_col)
         )
 
-    d = spark.range(1, 10).select(F.col("id").cast("bigint").alias("decile"))
-    src = ranked("click").withColumnRenamed("cents", "src_decile_cents")
-    tgt = ranked("purchase").withColumnRenamed("cents", "mapped_cents")
-    pick = lambda t, col: d.join(
-        F.broadcast(t),
-        F.col("rn") == F.greatest(F.expr("(decile * n) div 10"), F.lit(1)),
-    ).select("decile", col)
-    return pick(src, "src_decile_cents").join(
-        pick(tgt, "mapped_cents"), "decile"
+    return pick("click", "src_decile_cents").join(
+        pick("purchase", "mapped_cents"), "decile"
     )
 
 
@@ -4057,8 +4147,10 @@ def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact: order-statistic VaR, BIGINT counts, one shared IEEE
     binomial-sigma expression (sqrt correctly rounded).
 
-    Scale shape: one rank over the calibration half (two-phase at
-    scale), one broadcast threshold compare on the eval half."""
+    Scale shape: the calibration-half rank is the two-phase bucketed
+    prefix-sum selection (_select_order_stats — windows only over
+    distinct-value/bucket summaries, never raw rows), then one
+    broadcast threshold compare on the eval half."""
     c = catalog(spark, sf_dir)
     is_cal = (
         F.conv(
@@ -4078,21 +4170,15 @@ def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         is_cal.alias("is_cal"),
     )
-    w = Window.orderBy("cents", "event_id")
-    cal = split.filter("is_cal").select(
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    cal = split.filter("is_cal")
+    per_v = cal.groupBy("cents").agg(
+        F.count("*").cast("bigint").alias("cnt")
     )
-    var5 = cal.agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.greatest(F.expr("(n * 5) div 100"), F.lit(1)),
-                F.col("cents"),
-            )
-        )
-        .cast("bigint")
-        .alias("v")
+    ks = cal.agg(F.count("*").cast("bigint").alias("n")).select(
+        F.greatest(F.expr("(n * 5) div 100"), F.lit(1)).alias("k")
+    )
+    var5 = _select_order_stats(per_v, ks).select(
+        F.col("cents").cast("bigint").alias("v")
     )
     ev = (
         split.filter(~F.col("is_cal"))

@@ -116,3 +116,10 @@ NL_WHITELIST = {
 
 # Queries whose registered surface IS the row-at-a-time Python UDF demo.
 PYUDF_WHITELIST = {"q_udf_scalar", "q_udtf", "q_udaf_grouped", "q_udtf_native"}
+
+# query -> reason an UNPARTITIONED window over raw fact rows is acceptable
+# THERE (see plans/shape.py). Empty is the goal: every global rank scan
+# should be the two-phase bucketed prefix sum (q_auc_rank /
+# _select_order_stats) instead. Add an entry only with a reviewed reason
+# why the window's input is bounded despite coming from a fact scan.
+GW_WHITELIST: dict[str, str] = {}

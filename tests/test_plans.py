@@ -606,3 +606,29 @@ def test_retrieval_and_recommender_plan_shapes(spark):
     for q in (q_market_hhi, q_rolling_wau):
         plan = plan_of(q(spark, SF))
         assert "CartesianProduct" not in plan
+
+
+def test_no_global_window_over_raw_fact_rows(spark):
+    """Round-5 scale fix (VERDICT r4 #2): the three queries that used to
+    run a single-partition window over raw event rows now use the
+    q_auc_rank two-phase bucketed prefix-sum selection. The checker
+    walks the physical tree: an unpartitioned Window whose subtree
+    reaches a fact scan with no aggregate in between is the 100 TB
+    killer shape. A deliberate offender proves the checker sees it."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from catenae_kafka_spark.operators.mlstats import (
+        q_gains_deciles,
+        q_quantile_normalize,
+        q_var_backtest,
+    )
+    from catenae_kafka_spark.plans.shape import global_windows_over_fact_rows
+
+    # positive control: the checker must flag a real global raw-row sort
+    ev = spark.read.parquet(SF + "/events.parquet")
+    offender = ev.select(F.row_number().over(W.orderBy("value")).alias("rn"))
+    assert global_windows_over_fact_rows(offender), "checker is blind"
+
+    for q in (q_quantile_normalize, q_gains_deciles, q_var_backtest):
+        assert global_windows_over_fact_rows(q(spark, SF)) == [], q.__name__

@@ -9,7 +9,11 @@ enforced globally here so a NEW query can't silently regress them):
   1-row scalar broadcast or a <=25-row dimension cross);
 - no row-at-a-time Python UDF (BatchEvalPython) outside the UDF-surface
   demos — Arrow/Pandas evaluation (ArrowEvalPython / FlatMapsInPandas
-  etc.) is the allowed Python path.
+  etc.) is the allowed Python path;
+- no UNPARTITIONED window whose input is raw fact-table rows (a global
+  single-partition sort of the corpus) — global windows must run over
+  aggregate summaries (the q_auc_rank two-phase bucketed prefix sum);
+  see plans/shape.py.
 
 Streaming queries execute inside their fns (run_available_now), so the
 audit inspects the RETURNED batch DataFrame's plan — the post-sink
@@ -33,8 +37,12 @@ from catenae_kafka_spark.registry import all_specs
 from catenae_kafka_spark.session import get_spark
 
 from catenae_kafka_spark.plans.audit_whitelist import (  # noqa: E402
+    GW_WHITELIST,
     NL_WHITELIST,
     PYUDF_WHITELIST,
+)
+from catenae_kafka_spark.plans.shape import (  # noqa: E402
+    global_windows_over_fact_rows,
 )
 
 def main() -> None:
@@ -65,6 +73,9 @@ def main() -> None:
             bad.append(f"{name}: un-whitelisted nested-loop/cartesian join")
         if "BatchEvalPython" in plan and name not in PYUDF_WHITELIST:
             bad.append(f"{name}: row-at-a-time Python UDF in plan")
+        gw = global_windows_over_fact_rows(df)
+        if gw and name not in GW_WHITELIST:
+            bad.append(f"{name}: {gw[0]}")
         dt = time.perf_counter() - t0
         flag = " NL" if nested else ""
         print(f"ok   {name}{flag} ({dt:.1f}s)", flush=True)
