@@ -341,37 +341,49 @@ def q_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact: run boundaries are integer comparisons against LAG over the
     total event_id order; gains are floor-division milli-units.
 
-    Scale shape: one ordered window pass + distinct counts. The global
-    (unpartitioned) LAG is the audit's semantics — at 100 TB it runs
-    per row group / file and sums, identical math, no global sort."""
+    Scale shape: the run count DECOMPOSES over id-range blocks —
+    runs = n − (adjacent equal pairs), and every adjacent pair either
+    lies within one block (a PARTITIONED lag counts it in parallel) or
+    spans two consecutive non-empty blocks (the per-block first/last
+    summary, ~n/65536 rows, catches it with one summary-ordered lag).
+    No unpartitioned window ever sees raw rows — this IS the per-row-
+    group formulation parquet statistics would use at 100 TB."""
     c = catalog(spark, sf_dir)
-    w = Window.orderBy("event_id")
-    seq = c.events.select(
-        "event_type",
-        F.lag("event_type").over(w).alias("prev_type"),
-        "user_id",
-        F.lag("user_id").over(w).alias("prev_user"),
+    blk = F.expr("event_id div 65536")
+    blocked = c.events.select(
+        "event_type", "user_id", "event_id", blk.alias("blk")
     )
-    runs = seq.agg(
-        F.sum(
-            F.when(
-                F.col("prev_type").isNull()
-                | (F.col("event_type") != F.col("prev_type")),
-                1,
-            ).otherwise(0)
-        )
+    w = Window.partitionBy("blk").orderBy("event_id")
+    within = blocked.select(
+        (F.col("event_type") == F.lag("event_type").over(w)).alias("eq_t"),
+        (F.col("user_id") == F.lag("user_id").over(w)).alias("eq_u"),
+    ).agg(
+        F.sum(F.col("eq_t").cast("long")).alias("eq_t"),
+        F.sum(F.col("eq_u").cast("long")).alias("eq_u"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    edges = blocked.groupBy("blk").agg(
+        F.expr("min_by(event_type, event_id)").alias("first_t"),
+        F.expr("max_by(event_type, event_id)").alias("last_t"),
+        F.expr("min_by(user_id, event_id)").alias("first_u"),
+        F.expr("max_by(user_id, event_id)").alias("last_u"),
+    )
+    wb = Window.orderBy("blk")
+    cross = edges.select(
+        (F.lag("last_t").over(wb) == F.col("first_t")).alias("eq_t"),
+        (F.lag("last_u").over(wb) == F.col("first_u")).alias("eq_u"),
+    ).agg(
+        F.coalesce(F.sum(F.col("eq_t").cast("long")), F.lit(0)).alias("xt"),
+        F.coalesce(F.sum(F.col("eq_u").cast("long")), F.lit(0)).alias("xu"),
+    )
+    runs = within.crossJoin(F.broadcast(cross)).select(
+        (F.col("n") - F.col("eq_t") - F.col("xt"))
         .cast("bigint")
         .alias("type_runs_natural"),
-        F.sum(
-            F.when(
-                F.col("prev_user").isNull()
-                | (F.col("user_id") != F.col("prev_user")),
-                1,
-            ).otherwise(0)
-        )
+        (F.col("n") - F.col("eq_u") - F.col("xu"))
         .cast("bigint")
         .alias("user_runs_natural"),
-        F.count("*").cast("bigint").alias("n"),
+        "n",
     )
     d = c.events.agg(
         F.countDistinct("event_type").cast("bigint").alias("type_runs_sorted"),

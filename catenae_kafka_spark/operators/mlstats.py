@@ -55,6 +55,20 @@ def _select_order_stats(per_v: DataFrame, ks: DataFrame) -> DataFrame:
     totals cumulate over a ~score-range/1000-row bucket summary, then a
     per-bucket window over the distinct-value summary finishes the
     prefix — no single-partition window ever sees raw fact rows."""
+    return _cum_counts(per_v).join(
+        F.broadcast(ks),
+        (F.col("k") > F.col("cum_before"))
+        & (F.col("k") <= F.col("cum_before") + F.col("cnt")),
+    )
+
+
+def _cum_counts(per_v: DataFrame) -> DataFrame:
+    """Attach ``cum_before`` (count of rows with strictly smaller value)
+    to a per-value count summary ``(cents, cnt)`` via the two-phase
+    bucketed prefix sum: bucket totals cumulate over the bucket summary,
+    a per-bucket window over the distinct-value summary finishes the
+    prefix. Value ``cents`` occupies global ascending ranks
+    ``(cum_before, cum_before + cnt]``."""
     s = per_v.withColumn("bucket", F.expr("cents div 1000"))
     bt = s.groupBy("bucket").agg(F.sum("cnt").alias("bn"))
     w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -66,17 +80,13 @@ def _select_order_stats(per_v: DataFrame, ks: DataFrame) -> DataFrame:
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum = (
+    return (
         s.join(F.broadcast(boff), "bucket")
         .withColumn(
             "cum_before",
             F.col("boff") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0)),
         )
-    )
-    return cum.join(
-        F.broadcast(ks),
-        (F.col("k") > F.col("cum_before"))
-        & (F.col("k") <= F.col("cum_before") + F.col("cnt")),
+        .drop("bucket", "boff")
     )
 
 
@@ -3746,57 +3756,93 @@ def q_location_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which estimator to publish is then a policy choice, not a guess).
 
     Exact: every estimator reduces to BIGINT sums/selections over one
-    total (cents, event_id) order; floor-divided means.
+    total cents order; floor-divided means. Boundary ties are handled
+    by rank-interval OVERLAP arithmetic (a value whose rank interval
+    straddles k_lo keeps exactly its in-trim rows), so the result is
+    identical to the oracle's per-row ROW_NUMBER formulation.
 
-    Scale shape: one single-column rank (two-phase at 100 TB), a
-    boundary-row pick, and two conditional re-aggregations."""
+    Scale shape: NO per-row rank — everything runs over the
+    groupBy(cents) distinct-value summary with the two-phase bucketed
+    prefix sum (_cum_counts): order statistics by rank-interval
+    membership, trimmed sum by interval overlap, winsorized sum by
+    clamping the summary values."""
     c0 = catalog(spark, sf_dir)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    w = Window.orderBy("c", "event_id")
-    t = c0.events.select(cents.alias("c"), "event_id").select(
-        "c",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    per_v = (
+        c0.events.select(cents.alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    k = t.select(
-        "c",
-        "rn",
+    cum = _cum_counts(per_v)
+    tot = per_v.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cents") * F.col("cnt")).cast("bigint").alias("sc"),
+    ).select(
         "n",
+        "sc",
         F.greatest(F.expr("(n * 5) div 100"), F.lit(1)).alias("k_lo"),
-        (F.col("n") - F.greatest(F.expr("(n * 5) div 100"), F.lit(1)) + 1).alias(
-            "k_hi"
-        ),
+        (
+            F.col("n")
+            - F.greatest(F.expr("(n * 5) div 100"), F.lit(1))
+            + 1
+        ).alias("k_hi"),
+        F.expr("(n + 1) div 2").alias("k_med"),
     )
-    bounds = k.agg(
-        F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("c"))).alias("lo_c"),
-        F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("c"))).alias("hi_c"),
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("c"))).alias(
-            "median_c"
-        ),
-        F.max("n").alias("n"),
-        F.sum("c").alias("sc"),
-        F.sum(
+    j = cum.crossJoin(F.broadcast(tot))
+    picked = j.agg(
+        F.max(
             F.when(
-                (F.col("rn") > F.col("k_lo")) & (F.col("rn") < F.col("k_hi")),
-                F.col("c"),
+                (F.col("k_lo") > F.col("cum_before"))
+                & (F.col("k_lo") <= F.col("cum_before") + F.col("cnt")),
+                F.col("cents"),
             )
+        ).alias("lo_c"),
+        F.max(
+            F.when(
+                (F.col("k_hi") > F.col("cum_before"))
+                & (F.col("k_hi") <= F.col("cum_before") + F.col("cnt")),
+                F.col("cents"),
+            )
+        ).alias("hi_c"),
+        F.max(
+            F.when(
+                (F.col("k_med") > F.col("cum_before"))
+                & (F.col("k_med") <= F.col("cum_before") + F.col("cnt")),
+                F.col("cents"),
+            )
+        ).alias("median_c"),
+        # in-trim row count for each value = |(cum_before, cum_before+cnt]
+        # ∩ (k_lo, k_hi)| — exact even when a tie block straddles a bound
+        F.sum(
+            F.greatest(
+                F.least(F.col("cum_before") + F.col("cnt"), F.col("k_hi") - 1)
+                - F.greatest(F.col("cum_before"), F.col("k_lo")),
+                F.lit(0),
+            )
+            * F.col("cents")
         ).alias("trim_sum"),
         F.sum(
-            F.when(
-                (F.col("rn") > F.col("k_lo")) & (F.col("rn") < F.col("k_hi")),
-                1,
-            ).otherwise(0)
+            F.greatest(
+                F.least(F.col("cum_before") + F.col("cnt"), F.col("k_hi") - 1)
+                - F.greatest(F.col("cum_before"), F.col("k_lo")),
+                F.lit(0),
+            )
         ).alias("trim_n"),
+        F.max("n").alias("n"),
+        F.max("sc").alias("sc"),
     )
     wins = (
-        k.crossJoin(F.broadcast(bounds.select("lo_c", "hi_c")))
+        cum.crossJoin(F.broadcast(picked.select("lo_c", "hi_c")))
         .agg(
             F.sum(
-                F.greatest(F.least(F.col("c"), F.col("hi_c")), F.col("lo_c"))
+                F.greatest(
+                    F.least(F.col("cents"), F.col("hi_c")), F.col("lo_c")
+                )
+                * F.col("cnt")
             ).alias("wsum")
         )
     )
-    return bounds.crossJoin(F.broadcast(wins)).select(
+    return picked.crossJoin(F.broadcast(wins)).select(
         F.col("n").cast("bigint").alias("n"),
         F.expr("sc div n").cast("bigint").alias("mean_cents"),
         F.col("median_c").cast("bigint").alias("median_cents"),

@@ -214,7 +214,7 @@ WITH t AS (
          CASE WHEN o_orderkey % 5 = 0 THEN NULL
               ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
          END AS cents
-  FROM orders WHERE o_orderkey % 41 = 0
+  FROM orders WHERE o_orderkey % 41 = 0 AND o_orderkey < 1000000
 )
 SELECT o_orderkey, cents,
        ROW_NUMBER() OVER (ORDER BY cents ASC NULLS FIRST, o_orderkey)
@@ -236,10 +236,16 @@ def q_null_ordering_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     that can see nulls must state its null placement; this query is
     the executable form of that rule.
 
-    Exact: integer ranks over a total order (key tiebreak); the 1/41
-    slice keeps the checked result small."""
+    Exact: integer ranks over a total order (key tiebreak).
+
+    Scale shape: the probe slice is CONSTANT-bounded — the pushed
+    ``o_orderkey < 1e6`` cap (a no-op at fixture scale, ~24k rows max
+    at any scale) keeps the three global rank windows over a bounded
+    input, so the contract stays runnable on a 100 TB orders table."""
     c = catalog(spark, sf_dir)
-    t = c.orders.filter(F.col("o_orderkey") % 41 == 0).select(
+    t = c.orders.filter(
+        (F.col("o_orderkey") % 41 == 0) & (F.col("o_orderkey") < 1000000)
+    ).select(
         "o_orderkey",
         F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("bigint"))
         .otherwise(

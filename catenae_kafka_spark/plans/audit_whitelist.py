@@ -122,4 +122,17 @@ PYUDF_WHITELIST = {"q_udf_scalar", "q_udtf", "q_udaf_grouped", "q_udtf_native"}
 # should be the two-phase bucketed prefix sum (q_auc_rank /
 # _select_order_stats) instead. Add an entry only with a reviewed reason
 # why the window's input is bounded despite coming from a fact scan.
-GW_WHITELIST: dict[str, str] = {}
+GW_WHITELIST: dict[str, str] = {
+    "q_topk_merge_proof": (
+        "the global merge window's input is the <=80-row union of "
+        "per-bucket top-10 survivors (WindowGroupLimit bounds the first "
+        "window; the checker's path walk cannot see rank-filter bounds) "
+        "— demonstrating that merge identity is the query's purpose"
+    ),
+    "q_null_ordering_contract": (
+        "semantics probe over a constant-bounded slice: the pushed "
+        "o_orderkey < 1e6 cap holds the ranked input under ~24k rows at "
+        "any corpus size (filters don't bound rows in the checker's "
+        "model, so this is reviewed here)"
+    ),
+}

@@ -59,17 +59,33 @@ def global_windows_over_fact_rows(df: DataFrame) -> list[str]:
                 continue
         except Exception:  # noqa: BLE001 — non-WindowExec lookalike
             continue
-        sub = list(_walk(node))[1:]
-        if any("Aggregate" in m.nodeName() for m in sub):
-            continue
-        for m in sub:
-            if "Scan" not in m.nodeName():
-                continue
-            s = m.simpleString(500)
-            hit = [t for t in FACT_TABLES if f"{t}.parquet" in s]
-            if hit:
-                bad.append(
-                    "unpartitioned Window over raw rows of "
-                    f"{','.join(hit)} (no aggregate between scan and sort)"
-                )
+        hits: list[str] = []
+        for child in _children(node):
+            hits.extend(_unbounded_fact_scans(child))
+        for hit in hits:
+            bad.append(
+                "unpartitioned Window over raw rows of "
+                f"{hit} (no aggregate/limit between scan and sort)"
+            )
     return bad
+
+
+#: A node whose output row count no longer tracks the corpus: aggregates
+#: (bounded by the key domain) and limits (bounded by k). A path from a
+#: global window down to a fact scan that crosses one of these is fine.
+_BOUNDING = ("Aggregate", "Limit", "TakeOrderedAndProject")
+
+
+def _unbounded_fact_scans(node) -> list[str]:
+    """Fact tables reachable from ``node`` along a path with no bounding
+    (aggregate/limit) node — i.e. raw corpus rows flowing upward."""
+    name = node.nodeName()
+    if any(b in name for b in _BOUNDING):
+        return []
+    if "Scan" in name:
+        s = node.simpleString(500)
+        return [t for t in FACT_TABLES if f"{t}.parquet" in s]
+    out: list[str] = []
+    for c in _children(node):
+        out.extend(_unbounded_fact_scans(c))
+    return out
