@@ -402,3 +402,35 @@ def test_offline_state_store_inspection(spark, tmp_path):
         .count()
     )
     assert state.count() == n_groups
+
+
+def test_state_partition_count_invariance(spark):
+    """The bench ladder bottoms STATE_PARTITIONS at 1 (per-batch
+    per-partition state-commit cost dominates short finite replays);
+    this test is the standing proof that the SAME stateful plan is
+    correct under a real multi-partition state shuffle — the tumbling
+    watermark agg must produce identical results at 1 and 4 state
+    partitions."""
+    import catenae_kafka_spark.streaming.sinks as sinks
+    from catenae_kafka_spark.streaming import ops
+
+    results = {}
+    orig = sinks.STATE_PARTITIONS
+    try:
+        for sp in (1, 4):
+            sinks.STATE_PARTITIONS = sp
+            agg = ops.tumbling_window_agg(
+                replay_events(spark, SF, n_files=4),
+                "1 hour",
+                [F.count("*").alias("n"),
+                 F.sum("user_id").alias("s")],
+                keys=["event_type"],
+            )
+            out = run_available_now(agg, "complete", f"sp_invariance_{sp}")
+            results[sp] = {
+                tuple(str(v) for v in r) for r in out.collect()
+            }
+    finally:
+        sinks.STATE_PARTITIONS = orig
+    assert results[1] == results[4]
+    assert len(results[1]) > 0
