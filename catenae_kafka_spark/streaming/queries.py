@@ -1354,9 +1354,14 @@ def q_stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile
 
+    from catenae_kafka_spark.streaming.sources import replay_tag
+
+    # the checkpoint pins the replay staging path it first saw — fold
+    # the staging tag in so a replay re-layout invalidates it in lockstep
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     base = _os.path.join(
-        tempfile.gettempdir(), "catenae_kafka_spark", tag, "idem_sink_v1"
+        tempfile.gettempdir(), "catenae_kafka_spark", tag,
+        f"idem_sink_{replay_tag(sf_dir)}"
     )
     sink = _os.path.join(base, "data")
     ckpt = _os.path.join(base, "ckpt")
@@ -1544,9 +1549,12 @@ def q_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile
 
+    from catenae_kafka_spark.streaming.sources import replay_tag
+
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     base = _os.path.join(
-        tempfile.gettempdir(), "catenae_kafka_spark", tag, "part_sink_v1"
+        tempfile.gettempdir(), "catenae_kafka_spark", tag,
+        f"part_sink_{replay_tag(sf_dir)}"
     )
     sink = _os.path.join(base, "data")
     ckpt = _os.path.join(base, "ckpt")
@@ -1957,7 +1965,9 @@ def q_stream_backfill_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.expr("unix_micros(ts)").alias("us"),
     )
-    base = _work_dir(sf_dir, "backfill_seam_v1")
+    from catenae_kafka_spark.streaming.sources import replay_tag
+
+    base = _work_dir(sf_dir, f"backfill_seam_{replay_tag(sf_dir)}")
     sink = _os.path.join(base, "live")
     ckpt = _os.path.join(base, "ckpt")
     live = (

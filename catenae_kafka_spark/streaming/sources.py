@@ -83,9 +83,16 @@ class FileReplaySource:
     The table is re-laid-out once into ``n_files`` parquet files (sorted
     by ``order_col`` so replay approximates arrival order), then read
     with ``maxFilesPerTrigger=files_per_trigger`` →
-    n_files/files_per_trigger micro-batches (defaults: 8 files, 2 per
-    trigger → 4 real data batches, half of round 1's fixed cost at the
-    same watermark realism).
+    n_files/files_per_trigger micro-batches (defaults: 8 files, 4 per
+    trigger → 2 real data batches + watermark-advance no-data batches).
+    Per-batch fixed cost (planning + state commit + sink epoch) is
+    ~0.5 s on this host and dominates a finite replay — the round-5
+    re-measure of the ladder: 4 batches 47.9k ev/s, 2 batches 97.2k,
+    1 batch 168.6k at sf0.1. Two data batches is the floor that still
+    exercises real mid-stream watermark advancement, and
+    q_stream_batch_invariance separately PROVES result invariance
+    between 1-file-per-trigger (8 batches) and single-batch replays of
+    the same pipeline.
 
     ``with_sentinel=True`` appends one final row far in the future
     (event_id = -1) whose only job is to push the watermark past every
@@ -99,7 +106,7 @@ class FileReplaySource:
     table: str = "events"
     n_files: int = 8
     order_col: str = "ts"
-    files_per_trigger: int = 2
+    files_per_trigger: int = 4
     with_sentinel: bool = False
     sentinel_advance_days: int = 3650
 
@@ -221,3 +228,19 @@ def replay_events(
     return FileReplaySource(
         sf_dir=sf_dir, n_files=n_files, with_sentinel=with_sentinel
     ).load(spark)
+
+
+def replay_tag(sf_dir: str, n_files: int = 8, with_sentinel: bool = False) -> str:
+    """Identity tag of the default replay staging layout for ``sf_dir``.
+
+    Stable-checkpoint proof queries (idempotent sink, restart recovery,
+    backfill seam) must fold this into their checkpoint paths: a Spark
+    streaming checkpoint pins the SOURCE path it first saw, so a replay
+    re-layout (files_per_trigger / encoding bump) with an unversioned
+    checkpoint fails with 'Wrong basePath' on the next run. Deriving the
+    checkpoint dir from the staging tag invalidates it in lockstep."""
+    return os.path.basename(
+        FileReplaySource(
+            sf_dir=sf_dir, n_files=n_files, with_sentinel=with_sentinel
+        )._staging_dir()
+    )

@@ -7807,3 +7807,251 @@ def test_try_agg_oracle_matches_python_reference(con):
         )
         assert abs(float(r["avg_ok"]) - round(sums[seg] / cnts[seg], 4)) < 1e-9
         assert r["seg_any"] == seg
+
+
+# ---------------------------------------------------------------------------
+# Batch 41: graph recurrence, as-of join semantics, SCD2 edge dates —
+# the families VERDICT r4 named as still relying on parity alone. Each
+# reference here is a different ENGINE (plain-Python dicts / pandas
+# merge_asof), not a re-expression of the oracle SQL.
+# ---------------------------------------------------------------------------
+
+
+def _asof_frames(con):
+    import pandas as pd
+
+    clicks = con.execute(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type='click'"
+        " ORDER BY ts, event_id"
+    ).df()
+    purch = con.execute(
+        "SELECT user_id, ts, value FROM events WHERE event_type='purchase'"
+        " ORDER BY ts, user_id"
+    ).df()
+    # the fixture guarantees unique (user_id, ts) within purchases —
+    # merge_asof's last-of-ties and DuckDB ASOF's arbitrary-of-ties
+    # would otherwise diverge legitimately
+    assert not purch.duplicated(["user_id", "ts"]).any()
+    clicks["ts"] = pd.to_datetime(clicks["ts"])
+    purch["ts"] = pd.to_datetime(purch["ts"])
+    return clicks, purch
+
+
+def _fmt_ts(series):
+    return series.dt.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_join_asof_backward_matches_pandas_merge_asof(con):
+    import pandas as pd
+
+    clicks, purch = _asof_frames(con)
+    ref = pd.merge_asof(
+        clicks,
+        purch.rename(columns={"ts": "p_ts", "value": "p_val"}),
+        left_on="ts",
+        right_on="p_ts",
+        by="user_id",
+        direction="backward",
+    )
+    got = oracle_df(con, "q_join_asof").set_index("event_id").sort_index()
+    ref = ref.set_index("event_id").sort_index()
+    assert len(got) == len(ref)
+    assert (
+        got["purchase_ts_s"].fillna("<null>").tolist()
+        == _fmt_ts(ref["p_ts"]).fillna("<null>").tolist()
+    )
+    rv = ref["p_val"].tolist()
+    gv = got["purchase_value"].tolist()
+    assert all(
+        (pd.isna(a) and pd.isna(b)) or abs(a - b) < 1e-9
+        for a, b in zip(gv, rv)
+    )
+    # at least one click must be matched and at least one unmatched for
+    # the test to be discriminating
+    assert got["purchase_ts_s"].notna().any()
+
+
+def test_join_asof_forward_matches_pandas_merge_asof(con):
+    import pandas as pd
+
+    clicks, purch = _asof_frames(con)
+    ref = pd.merge_asof(
+        clicks,
+        purch.rename(columns={"ts": "p_ts", "value": "p_val"}),
+        left_on="ts",
+        right_on="p_ts",
+        by="user_id",
+        direction="forward",
+    )
+    got = (
+        oracle_df(con, "q_join_asof_forward")
+        .set_index("event_id")
+        .sort_index()
+    )
+    ref = ref.set_index("event_id").sort_index()
+    assert len(got) == len(ref)
+    assert (
+        got["purchase_ts_s"].fillna("<null>").tolist()
+        == _fmt_ts(ref["p_ts"]).fillna("<null>").tolist()
+    )
+
+
+def test_join_asof_tolerance_matches_pandas_merge_asof(con):
+    import pandas as pd
+
+    clicks, purch = _asof_frames(con)
+    ref = pd.merge_asof(
+        clicks,
+        purch.rename(columns={"ts": "p_ts", "value": "p_val"}),
+        left_on="ts",
+        right_on="p_ts",
+        by="user_id",
+        direction="backward",
+        tolerance=pd.Timedelta(days=7),
+    )
+    got = (
+        oracle_df(con, "q_join_asof_tolerance")
+        .set_index("event_id")
+        .sort_index()
+    )
+    ref = ref.set_index("event_id").sort_index()
+    assert len(got) == len(ref)
+    assert (
+        got["purchase_ts_s"].fillna("<null>").tolist()
+        == _fmt_ts(ref["p_ts"]).fillna("<null>").tolist()
+    )
+    # the tolerance must actually drop something vs plain backward,
+    # or this fixture proves nothing
+    plain = oracle_df(con, "q_join_asof")
+    assert (
+        got["purchase_ts_s"].notna().sum()
+        < plain["purchase_ts_s"].notna().sum()
+    )
+
+
+def test_join_asof_nearest_matches_hand_rolled_tie_rule(con):
+    """Nearest = min(|delta|), ties to the BACKWARD match (the
+    documented rule). Hand-rolled from independent backward+forward
+    pandas merges rather than pandas' own 'nearest' so the tie-break
+    is explicit."""
+    import pandas as pd
+
+    clicks, purch = _asof_frames(con)
+    b = pd.merge_asof(
+        clicks,
+        purch.rename(columns={"ts": "b_ts", "value": "b_val"}),
+        left_on="ts",
+        right_on="b_ts",
+        by="user_id",
+        direction="backward",
+    )
+    f = pd.merge_asof(
+        clicks,
+        purch.rename(columns={"ts": "f_ts", "value": "f_val"}),
+        left_on="ts",
+        right_on="f_ts",
+        by="user_id",
+        direction="forward",
+    )
+    m = b.merge(f[["event_id", "f_ts", "f_val"]], on="event_id")
+
+    def choose(r):
+        if pd.isna(r.b_ts) and pd.isna(r.f_ts):
+            return None
+        if pd.isna(r.b_ts):
+            return r.f_ts
+        if pd.isna(r.f_ts):
+            return r.b_ts
+        return r.b_ts if (r.ts - r.b_ts) <= (r.f_ts - r.ts) else r.f_ts
+
+    m["n_ts"] = m.apply(choose, axis=1)
+    got = (
+        oracle_df(con, "q_join_asof_nearest")
+        .set_index("event_id")
+        .sort_index()
+    )
+    ref = m.set_index("event_id").sort_index()
+    assert len(got) == len(ref)
+    assert (
+        got["purchase_ts_s"].fillna("<null>").tolist()
+        == _fmt_ts(pd.to_datetime(ref["n_ts"])).fillna("<null>").tolist()
+    )
+    # forward-only and backward-only cases must both occur in-fixture
+    assert (ref["n_ts"] == ref["f_ts"]).any()
+    assert (ref["n_ts"] == ref["b_ts"]).any()
+
+
+def test_pagerank_matches_python_power_iteration(con):
+    """q_pagerank's declared semantics: weighted out-normalized PageRank,
+    d=0.85, uniform init 1/N, exactly 3 synchronous iterations, no
+    dangling-mass redistribution (every node in this graph has out-edges,
+    asserted below). Recomputed with plain-Python dicts."""
+    edges = con.execute(
+        """SELECT c.c_nationkey, s.s_nationkey, COUNT(*)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    out_w: dict[int, float] = {}
+    for u, v, w in edges:
+        out_w[u] = out_w.get(u, 0.0) + float(w)
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    assert all(n in out_w for n in nodes), "dangling node: formula differs"
+    rank = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(3):
+        nxt = {n: (1 - 0.85) / len(nodes) for n in nodes}
+        for u, v, w in edges:
+            nxt[v] += 0.85 * (float(w) / out_w[u]) * rank[u]
+        rank = nxt
+    got = oracle_df(con, "q_pagerank").set_index("node")["rank"]
+    assert len(got) == len(nodes)
+    for n in nodes:
+        assert abs(float(got.loc[n]) - rank[n]) < 5e-8, n
+    # mass conservation sanity: sum of ranks ~ 1 without dangling leak
+    assert abs(sum(rank.values()) - 1.0) < 1e-9
+
+
+def test_scd2_history_matches_python_interval_builder(con):
+    """SCD2 edge dates: per-user state intervals built by a plain-Python
+    scan — valid_from = first ts of the changed state, valid_to = next
+    change's ts (NULL on the open current row), n_events counts rows in
+    the interval. Verifies the oracle's LAG/LEAD edge arithmetic."""
+    rows = con.execute(
+        """SELECT user_id, ts, event_id, event_type FROM events
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, ts, eid, et in rows:
+        per_user[u].append((ts, eid, et))
+    ref = {}
+    for u, seq in per_user.items():
+        ivals = []
+        for ts, eid, et in seq:
+            if not ivals or ivals[-1][0] != et:
+                ivals.append([et, ts, None, 0])
+            ivals[-1][3] += 1
+        for i in range(len(ivals) - 1):
+            ivals[i][2] = ivals[i + 1][1]
+        for st, vfrom, vto, n in ivals:
+            key = (u, vfrom.strftime("%Y-%m-%d %H:%M:%S"))
+            ref[key] = (
+                st,
+                vto.strftime("%Y-%m-%d %H:%M:%S") if vto else None,
+                vto is None,
+                n,
+            )
+    got = oracle_df(con, "q_scd2_history")
+    assert len(got) == len(ref)
+    import pandas as pd
+
+    for r in got.itertuples():
+        st, vto, cur, n = ref[(r.user_id, r.valid_from)]
+        assert r.state == st
+        assert (r.valid_to if not pd.isna(r.valid_to) else None) == vto
+        assert bool(r.is_current) == cur
+        assert int(r.n_events) == n

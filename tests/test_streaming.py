@@ -65,7 +65,10 @@ def test_link_dedup_within_watermark_bounds_state(spark):
 
 def test_foreach_batch_collector(spark):
     seen: list[int] = []
-    link = Link(replay_events(spark, SF, n_files=4)).select("event_id")
+    from catenae_kafka_spark.streaming.sources import FileReplaySource
+
+    src = FileReplaySource(sf_dir=SF, n_files=4, files_per_trigger=2)
+    link = Link(src.load(spark)).select("event_id")
     q = link.sink_foreach_batch(
         lambda df, epoch: seen.append(df.count()),
         output_mode="append",
