@@ -8055,3 +8055,360 @@ def test_scd2_history_matches_python_interval_builder(con):
         assert (r.valid_to if not pd.isna(r.valid_to) else None) == vto
         assert bool(r.is_current) == cur
         assert int(r.n_events) == n
+
+
+# ---------------------------------------------------------------------------
+# Batch 42: risk, survey-statistics and cohort families — plain-Python
+# recomputation from raw fixture rows.
+# ---------------------------------------------------------------------------
+
+
+def test_var_es_matches_sorted_tail_average(con):
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for et, c in rows:
+        per[et].append(int(c))
+    got = oracle_df(con, "q_var_es").set_index("event_type")
+    assert len(got) == len(per)
+    for et, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        k = max((n * 5) // 100, 1)
+        var5 = vals[k - 1]
+        es5 = sum(vals[:k]) // k
+        r = got.loc[et]
+        assert int(r["n"]) == n
+        assert int(r["var5_cents"]) == var5, et
+        assert int(r["es5_cents"]) == es5, et
+        # ES must not exceed VaR (left-tail average of the worst k)
+        assert es5 <= var5
+
+
+def test_discrete_hazard_matches_life_table(con):
+    rows = con.execute(
+        """SELECT user_id,
+                  epoch_us(MIN(ts)) // 1000000,
+                  epoch_us(MAX(ts)) // 1000000
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    lives = [int((mx - mn) // 604800) for _, mn, mx in rows]
+    got = oracle_df(con, "q_discrete_hazard").set_index("week").sort_index()
+    weeks = sorted(set(lives))
+    assert list(got.index) == weeks
+    for w in weeks:
+        at_risk = sum(1 for lw in lives if lw >= w)
+        churned = sum(1 for lw in lives if lw == w)
+        r = got.loc[w]
+        assert int(r["n_at_risk"]) == at_risk
+        assert int(r["n_churned"]) == churned
+        assert int(r["hazard_micro"]) == (churned * 10**6) // at_risk
+    # life-table identity: at_risk(w) = sum of churned over weeks >= w
+    assert int(got["n_churned"].sum()) == len(lives)
+
+
+def test_retention_halflife_matches_loglinear_fit(con):
+    rows = con.execute(
+        """WITH firsts AS (
+             SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+             FROM events GROUP BY user_id)
+           SELECT DISTINCT e.user_id,
+                  DATEDIFF('day', f.d0, CAST(e.ts AS DATE))
+           FROM events e JOIN firsts f ON e.user_id = f.user_id"""
+    ).fetchall()
+    from collections import Counter
+
+    counts = Counter(k for _, k in rows if 1 <= k <= 7)
+    assert sorted(counts) == list(range(1, 8)), (
+        "fixture must populate all 7 offsets for the declared formula"
+    )
+    lnn = {k: math.log(counts[k]) for k in range(1, 8)}
+    sy = sum(lnn.values())
+    sxy = sum(k * lnn[k] for k in range(1, 8))
+    slope = (7 * sxy - 28 * sy) / 196
+    got = oracle_df(con, "q_retention_halflife").iloc[0]
+    assert int(got["n_offsets"]) == 7
+    assert int(got["slope_micro"]) == math.floor(slope * 10**6)
+    if slope >= 0:
+        assert got["halflife_millidays"] is None
+    else:
+        assert int(got["halflife_millidays"]) == math.floor(
+            -math.log(2) / slope * 1000
+        )
+
+
+def test_bollinger_matches_rolling_moments(con):
+    rows = con.execute(
+        """SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    days = [d for d, _ in rows]
+    revs = [int(r) for _, r in rows]
+    got = oracle_df(con, "q_bollinger").set_index("day").sort_index()
+    assert len(got) == max(len(revs) - 19, 0)
+    n_breach = 0
+    for i in range(19, len(revs)):
+        w = revs[i - 19 : i + 1]
+        s, ss = sum(w), sum(x * x for x in w)
+        mid = s // 20
+        hw = math.floor(2 * math.sqrt((20 * ss - s * s) // 400))
+        r = got.loc[days[i].strftime("%Y-%m-%d")]
+        assert int(r["rev"]) == revs[i]
+        assert int(r["mid"]) == mid
+        assert int(r["lower"]) == mid - hw
+        assert int(r["upper"]) == mid + hw
+        breach = revs[i] < mid - hw or revs[i] > mid + hw
+        assert bool(r["breach"]) == breach
+        n_breach += breach
+    # a band that nothing ever breaches (or everything does) checks nothing
+    assert 0 < n_breach < len(got)
+
+
+def test_horvitz_thompson_matches_hash_sample_estimator(con):
+    import hashlib as _h
+
+    rows = con.execute(
+        """SELECT o_orderkey, c_mktsegment,
+                  CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)
+           FROM orders JOIN customer ON o_custkey = c_custkey"""
+    ).fetchall()
+    true_total = sum(int(d) for _, _, d in rows)
+    ht = 0
+    n_sampled = 0
+    for ok, seg, d in rows:
+        inv = 2 if seg in ("BUILDING", "MACHINERY") else 4
+        h = int(_h.md5(f"ht:{ok}".encode()).hexdigest()[:8], 16)
+        if h % inv == 0:
+            ht += int(d) * inv
+            n_sampled += 1
+    got = oracle_df(con, "q_horvitz_thompson").iloc[0]
+    assert int(got["n_population"]) == len(rows)
+    assert int(got["n_sampled"]) == n_sampled
+    assert int(got["true_total"]) == true_total
+    assert int(got["ht_estimate"]) == ht
+    assert int(got["rel_err_micro"]) == (
+        abs(ht - true_total) * 10**6
+    ) // true_total
+    # both rates must actually fire or the two-rate design is untested
+    assert 0 < n_sampled < len(rows)
+
+
+def test_poststratify_matches_weighted_stratum_means(con):
+    pop = dict(
+        con.execute(
+            "SELECT c_nationkey, COUNT(*) FROM customer GROUP BY 1"
+        ).fetchall()
+    )
+    rows = con.execute(
+        """SELECT c_nationkey, COUNT(*),
+                  SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1"""
+    ).fetchall()
+    n_total = sum(pop.values())
+    post = sum(
+        (pop[nk] * int(sd) * 1000) // (int(no) * n_total)
+        for nk, no, sd in rows
+    )
+    naive = (sum(int(sd) for _, _, sd in rows) * 1000) // sum(
+        int(no) for _, no, _ in rows
+    )
+    got = oracle_df(con, "q_poststratify").iloc[0]
+    assert int(got["n_strata"]) == len(rows)
+    assert int(got["post_strat_milli"]) == post
+    assert int(got["naive_milli"]) == naive
+    # reweighting must move the estimate on this fixture
+    assert post != naive
+
+
+def test_cohort_ltv_matches_cumulative_python(con):
+    rows = con.execute(
+        """WITH firsts AS (
+             SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+             FROM events GROUP BY user_id)
+           SELECT e.user_id, f.d0,
+                  DATEDIFF('day', f.d0, CAST(e.ts AS DATE)),
+                  CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)
+           FROM events e JOIN firsts f ON e.user_id = f.user_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    cents = defaultdict(int)
+    cohort_users = defaultdict(set)
+    for u, d0, age, c in rows:
+        cents[(d0, int(age))] += int(c)
+        cohort_users[d0].add(u)
+    got = oracle_df(con, "q_cohort_ltv")
+    ref = {}
+    for d0 in cohort_users:
+        ages = sorted(a for (dd, a) in cents if dd == d0)
+        cum = 0
+        for a in ages:
+            cum += cents[(d0, a)]
+            if a <= 7:
+                ref[(d0.strftime("%Y-%m-%d"), a)] = (
+                    cum,
+                    math.floor(cum / len(cohort_users[d0])),
+                )
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        cum, ltv = ref[(r.cohort, int(r.age))]
+        assert int(r.cum_cents) == cum
+        assert int(r.ltv_cents_per_user) == ltv
+
+
+# ---------------------------------------------------------------------------
+# Batch 43: Markov-chain family and IPF raking — plain-Python dict
+# implementations of the declared recurrences.
+# ---------------------------------------------------------------------------
+
+
+def _user_sequences(con):
+    rows = con.execute(
+        """SELECT user_id, event_type FROM events
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    seq = defaultdict(list)
+    for u, et in rows:
+        seq[u].append(et)
+    return seq
+
+
+def test_transition_matrix_matches_bigram_counts(con):
+    from collections import Counter
+
+    pairs = Counter()
+    for s in _user_sequences(con).values():
+        for a, b in zip(s, s[1:]):
+            pairs[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in pairs.items():
+        row_tot[a] += n
+    got = oracle_df(con, "q_transition_matrix")
+    assert len(got) == len(pairs)
+    for r in got.itertuples():
+        assert int(r.n) == pairs[(r.cur, r.nxt)]
+        assert abs(r.prob - pairs[(r.cur, r.nxt)] / row_tot[r.cur]) < 1e-12
+    # probabilities per row must sum to 1
+    sums = got.groupby("cur")["prob"].sum()
+    assert all(abs(v - 1.0) < 1e-9 for v in sums)
+
+
+def test_markov_accuracy_matches_argmax_predictor(con):
+    from collections import Counter
+
+    pairs = Counter()
+    for s in _user_sequences(con).values():
+        for a, b in zip(s, s[1:]):
+            pairs[(a, b)] += 1
+    prevs = {a for a, _ in pairs}
+    got = oracle_df(con, "q_markov_accuracy").set_index("prev")
+    assert len(got) == len(prevs)
+    for p in prevs:
+        outs = {b: n for (a, b), n in pairs.items() if a == p}
+        pred = min(outs, key=lambda b: (-outs[b], b))  # n desc, name asc
+        tot = sum(outs.values())
+        correct = outs[pred]
+        r = got.loc[p]
+        assert int(r["n_transitions"]) == tot
+        assert int(r["n_correct"]) == correct
+        assert int(r["accuracy_micro"]) == (correct * 10**6) // tot
+
+
+def test_absorption_3step_matches_python_recurrence(con):
+    """p_k(cur) = P(reach 'purchase' within k steps) — integer-nano
+    recurrence p_k = p(cur,purchase) + Σ_{s≠purchase} ⌊p(cur,s)·p_{k-1}(s)/1e9⌋,
+    verified direction-sensitive (a transposed transition matrix fails)."""
+    from collections import Counter
+
+    pairs = Counter()
+    for s in _user_sequences(con).values():
+        for a, b in zip(s, s[1:]):
+            pairs[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in pairs.items():
+        row_tot[a] += n
+    p_nano = {
+        (a, b): (n * 10**9) // row_tot[a] for (a, b), n in pairs.items()
+    }
+    states = sorted(row_tot)
+    p1 = {s: p_nano.get((s, "purchase"), 0) for s in states}
+
+    def step(prev):
+        out = {}
+        for s in states:
+            acc = p1[s]
+            for t in states:
+                if t != "purchase" and (s, t) in p_nano:
+                    acc += (p_nano[(s, t)] * prev[t]) // 10**9
+            out[s] = acc
+        return out
+
+    p2 = step(p1)
+    p3 = step(p2)
+    got = oracle_df(con, "q_absorption_3step").set_index("event_type")
+    assert len(got) == len(states)
+    for s in states:
+        r = got.loc[s]
+        assert int(r["p1_nano"]) == p1[s], s
+        assert int(r["p2_nano"]) == p2[s], s
+        assert int(r["p3_nano"]) == p3[s], s
+        # more steps can only increase absorption probability
+        assert p1[s] <= p2[s] <= p3[s]
+
+
+def test_survey_raking_matches_python_ipf_pass(con):
+    """One IPF row-pass + col-pass in integer micro weights, with the
+    largest-remainder uniform targets (the alphabetically first
+    seg/region absorbs the 1e6 % k remainder)."""
+    obs = {
+        (seg, rn): int(n)
+        for seg, rn, n in con.execute(
+            """SELECT c_mktsegment, r_name, COUNT(*)
+               FROM customer
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    segs = sorted({s for s, _ in obs})
+    regs = sorted({r for _, r in obs})
+    n = sum(obs.values())
+    kr, kc = len(segs), len(regs)
+    rt = {
+        s: 10**6 // kr + (10**6 % kr if i == 0 else 0)
+        for i, s in enumerate(segs)
+    }
+    ct = {
+        r: 10**6 // kc + (10**6 % kc if i == 0 else 0)
+        for i, r in enumerate(regs)
+    }
+    w = {k: (v * 10**6) // n for k, v in obs.items()}
+    for s in segs:  # row pass
+        tot = sum(w[(s, r)] for r in regs if (s, r) in w)
+        for r in regs:
+            if (s, r) in w:
+                w[(s, r)] = (w[(s, r)] * rt[s]) // tot
+    for r in regs:  # col pass
+        tot = sum(w[(s, r)] for s in segs if (s, r) in w)
+        for s in segs:
+            if (s, r) in w:
+                w[(s, r)] = (w[(s, r)] * ct[r]) // tot
+    col_achieved = {
+        r: sum(w[(s, r)] for s in segs if (s, r) in w) for r in regs
+    }
+    got = oracle_df(con, "q_survey_raking")
+    assert len(got) == len(obs)
+    for row in got.itertuples():
+        assert int(row.f_obs) == obs[(row.seg, row.r_name)]
+        assert int(row.raked_micro) == w[(row.seg, row.r_name)]
+        assert int(row.col_achieved_micro) == col_achieved[row.r_name]
+        # after the col pass each column hits its target to floor slack
+        assert abs(col_achieved[row.r_name] - ct[row.r_name]) <= kr
