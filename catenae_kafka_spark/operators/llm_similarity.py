@@ -293,33 +293,29 @@ def lsh_candidate_pairs(
     )
 
 
-@REGISTRY.register(
-    "q_knn_lsh",
-    tags=("llm", "similarity", "approx"),
-    oracle=None,  # approximate-by-design; recall vs q_knn_cosine is
-    # asserted in tests/test_llm_ops.py
-)
-def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via multi-table hyperplane LSH with Hamming<=1 probing:
-    L=4 independent tables of 6 planes each; corpus vectors hash into
-    (table, bucket) cells (hyperplane_cells — the codegen-safe explode
-    shape, one keyed shuffle), each query probes its cell plus the 6
-    single-bit flips per table, exact cosine runs only on the unioned
-    candidates. Multi-table is what rescues recall when neighbours are
-    angularly far (these fixtures are random vectors) — L tables cost L×
-    signature work but multiply miss probabilities."""
-    planes, tables = 6, 4
-    c = catalog(spark, sf_dir)
-    emb = c.embeddings
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: int = 6,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k via multi-table hyperplane LSH with Hamming<=1 probing:
+    L independent tables of ``planes`` planes each; corpus vectors hash
+    into (table, bucket) cells (hyperplane_cells — the codegen-safe
+    explode shape, one keyed shuffle), each query probes its cell plus
+    the single-bit flips per table, exact cosine runs only on the
+    unioned candidates. Multi-table is what rescues recall when
+    neighbours are angularly far — L tables cost L× signature work but
+    multiply miss probabilities."""
     corpus_cells = hyperplane_cells(
-        emb, "vec_id", "embedding", planes=planes, tables=tables
+        corpus, id_col, vec_col, planes=planes, tables=tables, dim=dim
     ).select(F.col("_id").alias("match_id"), "tbl", "bucket")
     q_cells = hyperplane_cells(
-        emb.filter(F.col("vec_id") < 8),
-        "vec_id",
-        "embedding",
-        planes=planes,
-        tables=tables,
+        queries, id_col, vec_col, planes=planes, tables=tables, dim=dim
     )
     probes = q_cells.select(
         F.col("_id").alias("query_id"),
@@ -337,15 +333,15 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "match_id")
         .distinct()  # a pair found by several tables/probes scores once
     )
-    qv = emb.select(
-        F.col("vec_id").alias("query_id"),
-        _as_double("embedding").alias("e_q"),
-        _norm(_as_double("embedding")).alias("n_q"),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("e_q"),
+        _norm(_as_double(vec_col)).alias("n_q"),
     )
-    cv = emb.select(
-        F.col("vec_id").alias("match_id"),
-        _as_double("embedding").alias("e_c"),
-        _norm(_as_double("embedding")).alias("n_c"),
+    cv = corpus.select(
+        F.col(id_col).alias("match_id"),
+        _as_double(vec_col).alias("e_c"),
+        _norm(_as_double(vec_col)).alias("n_c"),
     )
     cos = _dot(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c"))
     scored = (
@@ -358,8 +354,26 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= k)
         .select("query_id", "match_id", "cos_sim", "rn")
+    )
+
+
+@REGISTRY.register(
+    "q_knn_lsh",
+    tags=("llm", "similarity", "approx"),
+    oracle=None,  # approximate-by-design; recall vs q_knn_cosine is
+    # asserted in tests/test_llm_ops.py (fixtures + planted clusters)
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via multi-table hyperplane LSH (L=4 tables × 6 planes,
+    Hamming<=1 probing) — see ``knn_lsh``; these fixtures are random
+    vectors, so the discriminating recall proof runs on planted
+    clusters in tests/test_llm_ops.py."""
+    c = catalog(spark, sf_dir)
+    emb = c.embeddings
+    return knn_lsh(
+        emb.filter(F.col("vec_id") < 8), emb, k=5, planes=6, tables=4
     )
 
 

@@ -1486,9 +1486,9 @@ WITH seq AS (
   FROM events
 ), cusum AS (
   SELECT user_id,
-         p - LEAST(COALESCE(MIN(p) OVER (
+         p - LEAST(MIN(p) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
   FROM seq
 )
 SELECT user_id,

@@ -8412,3 +8412,382 @@ def test_survey_raking_matches_python_ipf_pass(con):
         assert int(row.col_achieved_micro) == col_achieved[row.r_name]
         # after the col pass each column hits its target to floor slack
         assert abs(col_achieved[row.r_name] - ct[row.r_name]) <= kr
+
+
+# ---------------------------------------------------------------------------
+# Batch 44: retrieval fusion, interpolation, privacy EMD, graph BFS
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_matches_python_bm25_cosine_fusion(con):
+    """Full independent rerun of the hybrid retrieval pipeline: BM25
+    (k1=1.2, b=0.75) over the 3 globally-most-frequent words, cosine
+    against the min-doc_id query vector, reciprocal-rank fusion with
+    k=60 — all in plain Python from raw fixture rows."""
+    rows = con.execute(
+        """SELECT d.doc_id, d.text, e.embedding
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           ORDER BY d.doc_id"""
+    ).fetchall()
+    toks = {did: text.split(" ") for did, text, _ in rows}
+    from collections import Counter
+
+    wc = Counter(w for ws in toks.values() for w in ws)
+    top3 = [w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    dl = {did: len(ws) for did, ws in toks.items()}
+    n_docs = len(rows)
+    avgdl = sum(dl.values()) / n_docs
+    df = {
+        w: sum(1 for ws in toks.values() if w in ws) for w in top3
+    }
+    lex_scores = {}
+    for did, ws in toks.items():
+        s = 0.0
+        cnt = Counter(ws)
+        for w in top3:
+            tf = cnt.get(w, 0)
+            if tf == 0:
+                continue
+            idf = math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl[did] / avgdl))
+        lex_scores[did] = math.floor(s * 1000000)
+    lex_rank = {
+        did: i + 1
+        for i, (did, _) in enumerate(
+            sorted(lex_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    q = [float(x) for x in rows[0][2]]  # min doc_id is first (ORDER BY)
+    qn = math.sqrt(sum(x * x for x in q))
+    cos = {}
+    for did, _, emb in rows:
+        v = [float(x) for x in emb]
+        dot = sum(a * b for a, b in zip(v, q))
+        cos[did] = math.floor(
+            dot / (math.sqrt(sum(a * a for a in v)) * qn) * 1000000
+        )
+    vec_rank = {
+        did: i + 1
+        for i, (did, _) in enumerate(
+            sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    rrf = {
+        did: math.floor(1000000.0 / (60 + lex_rank[did]))
+        + math.floor(1000000.0 / (60 + vec_rank[did]))
+        for did, _, _ in rows
+    }
+    want = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = oracle_df(con, "q_hybrid_rrf")
+    assert len(got) == 10
+    for row, (did, score) in zip(got.itertuples(), want):
+        assert row.doc_id == did
+        assert int(row.rrf_micro) == score
+        assert int(row.lex_rank) == lex_rank[did]
+        assert int(row.vec_rank) == vec_rank[did]
+
+
+def test_interpolate_matches_python_linear_grid(con):
+    """Hourly-grid linear interpolation per user: for every grid point
+    with both a backward and a forward neighbor, v = y0 +
+    (y1-y0)*(t-t0)/(t1-t0) on second-truncated epochs, floored to
+    micro — recomputed with plain float arithmetic per grid point."""
+    rows = con.execute(
+        """SELECT user_id, epoch_us(ts), value
+           FROM events ORDER BY user_id, ts"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for uid, us, val in rows:
+        per[uid].append((int(us), float(val)))
+    want = {}
+    for uid, pts in per.items():
+        # neighbor SELECTION is on full-microsecond ts (the ASOF join
+        # compares raw timestamps); only the interpolation arithmetic
+        # truncates to seconds
+        lo = (pts[0][0] // 3_600_000_000) * 3600
+        hi = (pts[-1][0] // 3_600_000_000) * 3600
+        times = [t for t, _ in pts]
+        import bisect
+
+        for gt in range(lo, hi + 1, 3600):
+            i = bisect.bisect_right(times, gt * 1_000_000)  # first ts > gt
+            if i == 0 or i == len(times):
+                continue  # needs both neighbors (inner joins)
+            t0us, y0 = pts[i - 1]
+            t1us, y1 = pts[i]
+            t0, t1 = t0us // 1_000_000, t1us // 1_000_000
+            v = math.floor(
+                (y0 + (y1 - y0) * float(gt - t0) / float(t1 - t0)) * 1000000
+            )
+            want[(uid, gt)] = v
+    got = oracle_df(con, "q_interpolate")
+    assert len(got) == len(want)
+    import datetime as _dt
+
+    for row in got.itertuples():
+        gt = int(
+            _dt.datetime.strptime(row.grid_ts, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+        )
+        assert int(row.v_micro) == want[(row.user_id, gt)], (row.user_id, gt)
+
+
+def test_t_closeness_matches_python_emd(con):
+    """t-closeness: ordered-attribute Earth-Mover's Distance between
+    each (segment, region) acctbal-bin distribution and the global
+    one, exact integer micro arithmetic, 11 bins, /10 normalizer."""
+    rows = con.execute(
+        """SELECT c_mktsegment, r_name,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT)
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey"""
+    ).fetchall()
+    from collections import Counter
+
+    gbins = Counter()
+    grp = Counter()
+    cells = Counter()
+    for seg, rn, cents in rows:
+        b = (int(cents) + 100000) // 100000
+        gbins[b] += 1
+        grp[(seg, rn)] += 1
+        cells[(seg, rn, b)] += 1
+    n = len(rows)
+    got = oracle_df(con, "q_t_closeness")
+    assert len(got) == len(grp)
+    for row in got.itertuples():
+        n_g = grp[(row.seg, row.region)]
+        assert int(row.n_g) == n_g
+        emd = 0
+        cp = cq = 0
+        for b in range(0, 11):
+            cp += cells.get((row.seg, row.region, b), 0)
+            cq += gbins.get(b, 0)
+            emd += abs((cp * 10**6) // n_g - (cq * 10**6) // n)
+        assert int(row.emd_micro) == emd // 10
+        assert bool(row.t_breach) == (emd // 10 > 150000)
+
+
+def test_bfs_khop_matches_python_bfs(con):
+    """2-hop BFS from the heaviest co-occurrence edge's source over the
+    top-40 brand co-purchase edges — graph build and breadth-first
+    distances recomputed in plain Python."""
+    rows = con.execute(
+        """SELECT DISTINCT l_orderkey, p_brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    per_order = defaultdict(set)
+    for ok, b in rows:
+        per_order[ok].add(b)
+    w = Counter()
+    for brands in per_order.values():
+        bl = sorted(brands)
+        for i in range(len(bl)):
+            for j in range(i + 1, len(bl)):
+                w[(bl[i], bl[j])] += 1
+    ranked = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = [uv for uv, _ in ranked[:40]]
+    adj = defaultdict(set)
+    for u, v in top:
+        adj[u].add(v)
+        adj[v].add(u)
+    seed = ranked[0][0][0]
+    dist = {seed: 0}
+    frontier = [seed]
+    for d in (1, 2):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    got = oracle_df(con, "q_bfs_khop")
+    assert {(r.node, int(r.dist)) for r in got.itertuples()} == set(
+        dist.items()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 45: RFM quantile binning, WoW growth, attribution, BPE merges
+# ---------------------------------------------------------------------------
+
+
+def _quantile_cont(sorted_vals, p):
+    """DuckDB quantile_cont: linear interpolation at rank (n-1)*p,
+    exact Fraction arithmetic."""
+    n = len(sorted_vals)
+    h = Fraction(p).limit_denominator(10) * (n - 1)
+    i = int(h)  # floor (h >= 0)
+    frac = h - i
+    if i + 1 >= n:
+        return Fraction(sorted_vals[-1])
+    return sorted_vals[i] + frac * (sorted_vals[i + 1] - sorted_vals[i])
+
+
+def test_rfm_segments_matches_python_quintile_scoring(con):
+    """RFM 1-5 scoring: each dimension scored 1 + count of strictly
+    exceeded quintile bounds (quantile_cont), recomputed with exact
+    Fractions so boundary customers land in the same bin."""
+    rows = con.execute(
+        """SELECT o_custkey, CAST(o_orderdate AS DATE), COUNT(*),
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)"""
+    ).fetchall()
+    from collections import defaultdict
+
+    last = {}
+    freq = defaultdict(int)
+    mon = defaultdict(int)
+    for ck, day, n, cents in rows:
+        last[ck] = max(last.get(ck, day), day)
+        freq[ck] += int(n)
+        mon[ck] += int(cents)
+    maxday = max(last.values())
+    negrec = {ck: -((maxday - d).days) for ck, d in last.items()}
+    custs = sorted(last)
+
+    def scores(vals):
+        s = sorted(vals.values())
+        bounds = [_quantile_cont(s, Fraction(k, 5)) for k in (1, 2, 3, 4)]
+        return {
+            ck: 1 + sum(1 for b in bounds if Fraction(vals[ck]) > b)
+            for ck in custs
+        }
+
+    r_s, f_s, m_s = scores(negrec), scores(freq), scores(mon)
+    from collections import Counter
+
+    want_n = Counter()
+    want_m = Counter()
+    for ck in custs:
+        key = (r_s[ck], f_s[ck], m_s[ck])
+        want_n[key] += 1
+        want_m[key] += mon[ck]
+    got = oracle_df(con, "q_rfm_segments")
+    assert len(got) == len(want_n)
+    for row in got.itertuples():
+        key = (int(row.r_score), int(row.f_score), int(row.m_score))
+        assert int(row.n_customers) == want_n[key], key
+        assert int(row.seg_monetary_cents) == want_m[key], key
+    # every score in 1..5 and all customers accounted for
+    assert int(got["n_customers"].sum()) == len(custs)
+    assert got[["r_score", "f_score", "m_score"]].min().min() >= 1
+    assert got[["r_score", "f_score", "m_score"]].max().max() <= 5
+
+
+def test_wow_growth_matches_python_weekly_lag(con):
+    """Week-over-week growth: ISO-Monday week truncation, per-type
+    ordered LAG over existing weeks (gaps still compare against the
+    previous EXISTING week), growth = n/prev - 1 in float."""
+    rows = con.execute(
+        "SELECT event_type, epoch_us(ts) // 1000000 FROM events"
+    ).fetchall()
+    import datetime as _dt
+    from collections import Counter
+
+    weekly = Counter()
+    for et, sec in rows:
+        d = _dt.datetime.fromtimestamp(int(sec), _dt.timezone.utc).date()
+        monday = d - _dt.timedelta(days=d.weekday())
+        weekly[(et, monday.strftime("%Y-%m-%d"))] += 1
+    got = oracle_df(con, "q_wow_growth")
+    assert len(got) == len(weekly)
+    per_type = {}
+    for row in got.sort_values(["event_type", "week_start"]).itertuples():
+        key = (row.event_type, row.week_start)
+        assert int(row.n) == weekly[key], key
+        prev = per_type.get(row.event_type)
+        if prev is None:
+            assert row.prev_n is None or (
+                isinstance(row.prev_n, float) and math.isnan(row.prev_n)
+            )
+            assert row.wow_growth is None or math.isnan(row.wow_growth)
+        else:
+            assert int(row.prev_n) == prev
+            assert abs(row.wow_growth - (weekly[key] / prev - 1.0)) < 1e-12
+        per_type[row.event_type] = weekly[key]
+
+
+def test_attribution_ladder_matches_python_window_counts(con):
+    """Click-to-first-purchase attribution at 1/7/30-day windows: the
+    credited count per rung recomputed from raw (user, type, ts)
+    triples."""
+    rows = con.execute(
+        "SELECT user_id, event_type, epoch_us(ts) FROM events "
+        "WHERE event_type IN ('purchase', 'click')"
+    ).fetchall()
+    first_p = {}
+    for uid, et, us in rows:
+        if et == "purchase":
+            first_p[uid] = min(first_p.get(uid, us), us)
+    min_gap = {}
+    for uid, et, us in rows:
+        if et == "click" and uid in first_p and us < first_p[uid]:
+            gap_s = (first_p[uid] - us) // 1_000_000
+            min_gap[uid] = min(min_gap.get(uid, gap_s), gap_s)
+    got = oracle_df(con, "q_attribution_window_ladder").set_index(
+        "window_days"
+    )
+    assert sorted(got.index) == [1, 7, 30]
+    for wd in (1, 7, 30):
+        credited = sum(1 for g in min_gap.values() if g <= wd * 86400)
+        r = got.loc[wd]
+        assert int(r["n_conversions"]) == len(first_p)
+        assert int(r["n_click_credited"]) == credited
+        assert int(r["credited_share_micro"]) == (
+            credited * 10**6
+        ) // len(first_p)
+    # wider window can only credit more
+    assert (
+        got.loc[1, "n_click_credited"]
+        <= got.loc[7, "n_click_credited"]
+        <= got.loc[30, "n_click_credited"]
+    )
+
+
+def test_bpe_train3_matches_python_merge_rounds(con):
+    """Three greedy BPE merge rounds at word level: pair counts are
+    OVERLAPPING adjacency counts, the winner is (count desc, pair asc),
+    and replacement is the textbook left-to-right NON-overlapping merge
+    — token-list walk, no string tricks."""
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    corpus = {did: t.split(" ") for did, t in rows}
+    from collections import Counter
+
+    want = []
+    for _ in range(3):
+        pc = Counter()
+        for ws in corpus.values():
+            for a, b in zip(ws, ws[1:]):
+                pc[(a, b)] += 1
+        (wa, wb), n = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )[0]
+        merged_tok = wa + "_" + wb
+        total = 0
+        for did, ws in corpus.items():
+            out = []
+            i = 0
+            while i < len(ws):
+                if i + 1 < len(ws) and ws[i] == wa and ws[i + 1] == wb:
+                    out.append(merged_tok)
+                    i += 2
+                else:
+                    out.append(ws[i])
+                    i += 1
+            corpus[did] = out
+            total += len(out)
+        want.append((wa + " " + wb, n, total))
+    got = oracle_df(con, "q_bpe_train3").sort_values("round")
+    for row, (pair, n, total) in zip(got.itertuples(), want):
+        assert row.merged_pair == pair, row.round
+        assert int(row.pair_count) == n
+        assert int(row.tokens_after) == total

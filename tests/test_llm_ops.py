@@ -271,3 +271,57 @@ def test_hll_sketch_tolerance(spark):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+
+
+def _planted_clusters(spark, n_clusters=12, per=40, dim=64, sigma=0.05):
+    """Deterministic clustered vectors: unit-ish cluster centers plus
+    small noise, ids sequential by cluster, so each vector's true
+    nearest neighbours are its cluster-mates. Random fixtures can't
+    discriminate a healthy ANN from a broken one (recall floor ~0.3);
+    planted clusters demand recall near 1."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + sigma * rng.normal(size=(per, dim))
+        for i in range(per):
+            rows.append((c * per + i, [float(x) for x in pts[i]]))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+
+def test_lsh_and_ivf_recall_on_planted_clusters(spark):
+    """On clustered data (the regime ANN exists for), both index
+    structures must recover nearly all true top-5 neighbours; this is
+    the discriminating twin of the loose random-fixture recall floors."""
+    from catenae_kafka_spark.operators.llm_similarity import (
+        knn_cosine,
+        knn_ivf,
+        knn_lsh,
+    )
+
+    vecs = _planted_clusters(spark)
+    queries = vecs.filter(F.col("vec_id") % 40 == 0)  # one per cluster
+    exact = {
+        (r.query_id, r.match_id)
+        for r in knn_cosine(queries, vecs, k=5).collect()
+    }
+    lsh = {
+        (r.query_id, r.match_id)
+        for r in knn_lsh(queries, vecs, k=5, planes=6, tables=4).collect()
+    }
+    ivf = {
+        (r.query_id, r.match_id)
+        for r in knn_ivf(
+            queries, vecs, k=5, nprobe=3, centroid_stride=31
+        ).collect()
+    }
+    assert len(exact) == 12 * 5
+    lsh_recall = len(exact & lsh) / len(exact)
+    ivf_recall = len(exact & ivf) / len(exact)
+    assert lsh_recall >= 0.9, f"LSH recall on planted clusters: {lsh_recall:.2f}"
+    assert ivf_recall >= 0.9, f"IVF recall on planted clusters: {ivf_recall:.2f}"
