@@ -24,17 +24,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+# query -> round in which its implementation was REWRITTEN: a driver
+# row from an earlier round verified the OLD code path, so it doesn't
+# count as coverage — only a CORRECTNESS_r{N}.json row with N >= the
+# listed round re-establishes Spark-vs-oracle equality for the current
+# code. (Round-5 scale rewrites: global single-partition sorts -> the
+# bucketed two-phase shape; their only prior rows are rounds 1-4.)
+_REVERIFY_FROM_ROUND = {
+    "q_gains_deciles": 5,
+    "q_quantile_normalize": 5,
+    "q_location_ladder": 5,
+    "q_var_backtest": 5,
+    "q_rle_compressibility": 6,  # eqNullSafe run-boundary fix, round 6
+}
+
+
 def _covered_in_prior_rounds() -> set[str]:
-    """Query names that already have a driver-correctness row in ANY
-    prior round's CORRECTNESS_r*.json."""
+    """Query names that already have a driver-correctness row in a
+    prior round's CORRECTNESS_r*.json — excluding rows that predate a
+    rewrite of the query (see _REVERIFY_FROM_ROUND)."""
     import json
+    import re
 
     covered: set[str] = set()
     for path in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
-            covered.update(json.loads(path.read_text()).keys())
+            names = json.loads(path.read_text()).keys()
         except Exception:  # noqa: BLE001
             continue
+        covered.update(
+            n for n in names if rnd >= _REVERIFY_FROM_ROUND.get(n, 0)
+        )
     return covered
 
 
@@ -44,6 +66,13 @@ def _covered_in_prior_rounds() -> set[str]:
 # still uncovered are pinned to the very front of the rotation (in this
 # order); the rest of the uncovered group stays cost-ordered behind them.
 _PINNED_FIRST = (
+    # round-5/6 rewrites needing oracle RE-verification (ADVICE r5):
+    # their old driver rows verified the pre-rewrite code paths
+    "q_gains_deciles",
+    "q_quantile_normalize",
+    "q_location_ladder",
+    "q_var_backtest",
+    "q_rle_compressibility",
     # §2B UDF surface — never driver-sampled in rounds 1-4
     "q_udf_scalar",
     "q_udaf_grouped",

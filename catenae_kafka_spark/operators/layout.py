@@ -301,15 +301,16 @@ WITH seq AS (
   SELECT event_type,
          LAG(event_type) OVER (ORDER BY event_id) AS prev_type,
          user_id,
-         LAG(user_id) OVER (ORDER BY event_id) AS prev_user
+         LAG(user_id) OVER (ORDER BY event_id) AS prev_user,
+         LAG(event_id) OVER (ORDER BY event_id) AS prev_id
   FROM events
 ), runs AS (
-  SELECT CAST(1 + SUM(CASE WHEN prev_type IS NULL
-                           OR event_type <> prev_type THEN 1 ELSE 0 END)
-              - 1 AS BIGINT) AS type_runs_natural,
-         CAST(1 + SUM(CASE WHEN prev_user IS NULL
-                           OR user_id <> prev_user THEN 1 ELSE 0 END)
-              - 1 AS BIGINT) AS user_runs_natural,
+  SELECT CAST(COUNT(*) - SUM(CASE WHEN prev_id IS NOT NULL
+                  AND event_type IS NOT DISTINCT FROM prev_type
+                  THEN 1 ELSE 0 END) AS BIGINT) AS type_runs_natural,
+         CAST(COUNT(*) - SUM(CASE WHEN prev_id IS NOT NULL
+                  AND user_id IS NOT DISTINCT FROM prev_user
+                  THEN 1 ELSE 0 END) AS BIGINT) AS user_runs_natural,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM seq
 )
@@ -338,8 +339,11 @@ def q_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     a gain near 1x says the column is already clustered and re-sorting
     buys nothing).
 
-    Exact: run boundaries are integer comparisons against LAG over the
-    total event_id order; gains are floor-division milli-units.
+    Exact: run boundaries are NULL-SAFE comparisons against LAG over
+    the total event_id order (NULL<->NULL extends a run, value<->NULL
+    breaks one — matching the oracle's IS NOT DISTINCT FROM, so the
+    audit stays correct if the fact columns ever admit NULLs); gains
+    are floor-division milli-units.
 
     Scale shape: the run count DECOMPOSES over id-range blocks —
     runs = n − (adjacent equal pairs), and every adjacent pair either
@@ -353,10 +357,22 @@ def q_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = c.events.select(
         "event_type", "user_id", "event_id", blk.alias("blk")
     )
+    # Null-safe run boundaries: a pair counts as "same run" only when a
+    # previous row EXISTS (lag of the never-null event_id) AND the values
+    # are null-safe equal — so a NULL<->NULL adjacency extends a run and
+    # a non-null<->NULL adjacency breaks one, matching the oracle's
+    # IS NOT DISTINCT FROM. (Plain == made any NULL adjacency a boundary.)
     w = Window.partitionBy("blk").orderBy("event_id")
+    has_prev = F.lag("event_id").over(w).isNotNull()
     within = blocked.select(
-        (F.col("event_type") == F.lag("event_type").over(w)).alias("eq_t"),
-        (F.col("user_id") == F.lag("user_id").over(w)).alias("eq_u"),
+        (
+            has_prev
+            & F.col("event_type").eqNullSafe(F.lag("event_type").over(w))
+        ).alias("eq_t"),
+        (
+            has_prev
+            & F.col("user_id").eqNullSafe(F.lag("user_id").over(w))
+        ).alias("eq_u"),
     ).agg(
         F.sum(F.col("eq_t").cast("long")).alias("eq_t"),
         F.sum(F.col("eq_u").cast("long")).alias("eq_u"),
@@ -369,9 +385,16 @@ def q_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(user_id, event_id)").alias("last_u"),
     )
     wb = Window.orderBy("blk")
+    has_prev_blk = F.lag("blk").over(wb).isNotNull()
     cross = edges.select(
-        (F.lag("last_t").over(wb) == F.col("first_t")).alias("eq_t"),
-        (F.lag("last_u").over(wb) == F.col("first_u")).alias("eq_u"),
+        (
+            has_prev_blk
+            & F.col("first_t").eqNullSafe(F.lag("last_t").over(wb))
+        ).alias("eq_t"),
+        (
+            has_prev_blk
+            & F.col("first_u").eqNullSafe(F.lag("last_u").over(wb))
+        ).alias("eq_u"),
     ).agg(
         F.coalesce(F.sum(F.col("eq_t").cast("long")), F.lit(0)).alias("xt"),
         F.coalesce(F.sum(F.col("eq_u").cast("long")), F.lit(0)).alias("xu"),

@@ -118,21 +118,15 @@ NL_WHITELIST = {
 PYUDF_WHITELIST = {"q_udf_scalar", "q_udtf", "q_udaf_grouped", "q_udtf_native"}
 
 # query -> reason an UNPARTITIONED window over raw fact rows is acceptable
-# THERE (see plans/shape.py). Empty is the goal: every global rank scan
-# should be the two-phase bucketed prefix sum (q_auc_rank /
-# _select_order_stats) instead. Add an entry only with a reviewed reason
-# why the window's input is bounded despite coming from a fact scan.
-GW_WHITELIST: dict[str, str] = {
-    "q_topk_merge_proof": (
-        "the global merge window's input is the <=80-row union of "
-        "per-bucket top-10 survivors (WindowGroupLimit bounds the first "
-        "window; the checker's path walk cannot see rank-filter bounds) "
-        "— demonstrating that merge identity is the query's purpose"
-    ),
-    "q_null_ordering_contract": (
-        "semantics probe over a constant-bounded slice: the pushed "
-        "o_orderkey < 1e6 cap holds the ranked input under ~24k rows at "
-        "any corpus size (filters don't bound rows in the checker's "
-        "model, so this is reviewed here)"
-    ),
-}
+# THERE (see plans/shape.py). EMPTY, and the goal is keeping it empty:
+# every global rank scan is either the two-phase bucketed prefix sum
+# (q_auc_rank / _select_order_stats) or bounded by a node the checker
+# models (aggregate / limit / WindowGroupLimit / unique-key range
+# filter). The two former entries were retired in round 6 by teaching
+# plans/shape.py their bounding shapes: q_topk_merge_proof's merge input
+# is capped by WindowGroupLimit + TakeOrderedAndProject (exact node
+# matching), and q_null_ordering_contract's probe slice is capped by the
+# pushed ``o_orderkey < 1e6`` unique-key range filter. Add an entry only
+# with a reviewed reason why the window's input is bounded despite the
+# checker not seeing it.
+GW_WHITELIST: dict[str, str] = {}

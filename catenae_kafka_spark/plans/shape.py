@@ -14,6 +14,8 @@ operators/mlstats.py:_select_order_stats).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 #: Tables big enough that a single-partition sort of their raw rows is a
@@ -29,6 +31,19 @@ FACT_TABLES = (
     "supplier",
 )
 
+#: The unique (primary-key) column of each fact table, used by the
+#: key-range-filter bounding rule below. lineitem has no single unique
+#: column (its PK is composite), so a key-range filter never bounds it.
+UNIQUE_KEY = {
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
 
 def _children(node):
     ch = node.children()
@@ -43,12 +58,13 @@ def _walk(node):
 
 def global_windows_over_fact_rows(df: DataFrame) -> list[str]:
     """Return a violation string per unpartitioned Window node whose
-    subtree reaches a fact-table scan with NO aggregate in between.
+    subtree reaches a fact-table scan with NO bounding node in between.
 
     Inspects ``queryExecution().sparkPlan()`` (the physical tree before
-    adaptive wrapping, so it walks as a real tree). An intervening
-    Aggregate means the window's input is a groupBy summary — bounded
-    by the key domain — which is the sanctioned two-phase shape."""
+    adaptive wrapping, so it walks as a real tree). Bounding nodes —
+    aggregates, limits, WindowGroupLimit, and constant key-range
+    filters — mean the window's input no longer tracks the corpus size;
+    see ``_unbounded_fact_scans`` for the exact rules."""
     plan = df._jdf.queryExecution().sparkPlan()  # noqa: SLF001
     bad: list[str] = []
     for node in _walk(plan):
@@ -65,27 +81,69 @@ def global_windows_over_fact_rows(df: DataFrame) -> list[str]:
         for hit in hits:
             bad.append(
                 "unpartitioned Window over raw rows of "
-                f"{hit} (no aggregate/limit between scan and sort)"
+                f"{hit} (no aggregate/limit/key-bound between scan and sort)"
             )
     return bad
 
 
-#: A node whose output row count no longer tracks the corpus: aggregates
-#: (bounded by the key domain) and limits (bounded by k). A path from a
-#: global window down to a fact scan that crosses one of these is fine.
-_BOUNDING = ("Aggregate", "Limit", "TakeOrderedAndProject")
+#: Exact physical node names whose output row count no longer tracks
+#: the corpus. Limits are bounded by k; TakeOrderedAndProject is Spark's
+#: fused top-k; WindowGroupLimit emits at most k rows PER PARTITION KEY,
+#: which is the same soundness class as an aggregate (bounded by the key
+#: domain, not the corpus). Matched EXACTLY — substring matching would
+#: make 'Limit' silently absorb future node types (it used to match
+#: WindowGroupLimit by accident, making a whitelist entry dead code).
+_LIMIT_NODES = frozenset(
+    {
+        "GlobalLimit",
+        "LocalLimit",
+        "CollectLimit",
+        "TakeOrderedAndProject",
+        "WindowGroupLimit",
+    }
+)
+
+#: ``col#123L <op> <intlit>`` with the column reference IMMEDIATELY left
+#: of the operator — `(o_orderkey#14L % 41) = 0` must NOT match.
+_KEY_BOUND_RE = re.compile(r"(\w+)#\d+L? (?:<|<=|=) (\d+)")
 
 
-def _unbounded_fact_scans(node) -> list[str]:
+def _is_aggregate(name: str) -> bool:
+    # HashAggregate / ObjectHashAggregate / SortAggregate
+    return name.endswith("Aggregate")
+
+
+def _key_bounded_tables(filter_node) -> set[str]:
+    """Fact tables whose UNIQUE key is capped by an integer literal in
+    this Filter's condition (``key < C`` / ``key <= C`` / ``key = C``).
+    A unique key admits at most C rows below C regardless of corpus
+    size, so a window over such a slice is constant-bounded — this is
+    the q_null_ordering_contract shape (pushed ``o_orderkey < 1e6``)."""
+    try:
+        cond = filter_node.condition().toString()
+    except Exception:  # noqa: BLE001
+        return set()
+    bounded_cols = {m.group(1) for m in _KEY_BOUND_RE.finditer(cond)}
+    return {t for t, key in UNIQUE_KEY.items() if key in bounded_cols}
+
+
+def _unbounded_fact_scans(node, bounded: frozenset[str] = frozenset()) -> list[str]:
     """Fact tables reachable from ``node`` along a path with no bounding
-    (aggregate/limit) node — i.e. raw corpus rows flowing upward."""
+    node — i.e. raw corpus rows flowing upward. ``bounded`` carries the
+    tables a key-range Filter above this node already capped."""
     name = node.nodeName()
-    if any(b in name for b in _BOUNDING):
+    if name in _LIMIT_NODES or _is_aggregate(name):
         return []
+    if name == "Filter":
+        bounded = bounded | _key_bounded_tables(node)
     if "Scan" in name:
         s = node.simpleString(500)
-        return [t for t in FACT_TABLES if f"{t}.parquet" in s]
+        return [
+            t
+            for t in FACT_TABLES
+            if f"{t}.parquet" in s and t not in bounded
+        ]
     out: list[str] = []
     for c in _children(node):
-        out.extend(_unbounded_fact_scans(c))
+        out.extend(_unbounded_fact_scans(c, bounded))
     return out

@@ -233,12 +233,15 @@ def replay_events(
 def replay_tag(sf_dir: str, n_files: int = 8, with_sentinel: bool = False) -> str:
     """Identity tag of the default replay staging layout for ``sf_dir``.
 
-    Stable-checkpoint proof queries (idempotent sink, restart recovery,
-    backfill seam) must fold this into their checkpoint paths: a Spark
-    streaming checkpoint pins the SOURCE path it first saw, so a replay
-    re-layout (files_per_trigger / encoding bump) with an unversioned
-    checkpoint fails with 'Wrong basePath' on the next run. Deriving the
-    checkpoint dir from the staging tag invalidates it in lockstep."""
+    Stable-checkpoint proof queries that REUSE a checkpoint across
+    invocations (idempotent sink, backfill seam) must fold this into
+    their checkpoint paths: a Spark streaming checkpoint pins the SOURCE
+    path it first saw, so a replay re-layout (files_per_trigger /
+    encoding bump) with an unversioned checkpoint fails with 'Wrong
+    basePath' on the next run. Deriving the checkpoint dir from the
+    staging tag invalidates it in lockstep. (q_stream_restart_recovery
+    is exempt: it stages its own source dir and resets its checkpoint
+    every invocation, so nothing survives a re-layout there.)"""
     return os.path.basename(
         FileReplaySource(
             sf_dir=sf_dir, n_files=n_files, with_sentinel=with_sentinel

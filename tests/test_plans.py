@@ -632,3 +632,41 @@ def test_no_global_window_over_raw_fact_rows(spark):
 
     for q in (q_quantile_normalize, q_gains_deciles, q_var_backtest):
         assert global_windows_over_fact_rows(q(spark, SF)) == [], q.__name__
+
+
+def test_global_window_checker_bounding_rules(spark):
+    """Round-6: GW_WHITELIST is empty because the checker now models the
+    two bounding shapes its former entries relied on — WindowGroupLimit
+    (k rows per partition key, same soundness class as an aggregate) and
+    a unique-key range filter (``o_orderkey < C`` admits at most C rows
+    at any corpus size). Positive controls prove each rule is narrow:
+    a NON-unique-key filter must NOT bound, and a modulo-equality on the
+    unique key (``key % 41 = 0`` — unbounded output) must NOT bound."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from catenae_kafka_spark.operators.sorts import (
+        q_null_ordering_contract,
+        q_topk_merge_proof,
+    )
+    from catenae_kafka_spark.plans.audit_whitelist import GW_WHITELIST
+    from catenae_kafka_spark.plans.shape import global_windows_over_fact_rows
+
+    assert GW_WHITELIST == {}
+    for q in (q_topk_merge_proof, q_null_ordering_contract):
+        assert global_windows_over_fact_rows(q(spark, SF)) == [], q.__name__
+
+    orders = spark.read.parquet(SF + "/orders.parquet")
+    rn = F.row_number().over(W.orderBy("o_totalprice")).alias("rn")
+
+    # unique-key cap bounds the slice -> clean
+    capped = orders.filter(F.col("o_orderkey") < 1000000).select(rn)
+    assert global_windows_over_fact_rows(capped) == []
+
+    # non-unique column cap does NOT bound -> flagged
+    value_cap = orders.filter(F.col("o_totalprice") < 1000.0).select(rn)
+    assert global_windows_over_fact_rows(value_cap), "value filter bounded"
+
+    # modulo-equality on the unique key does NOT bound -> flagged
+    mod = orders.filter(F.col("o_orderkey") % 41 == 0).select(rn)
+    assert global_windows_over_fact_rows(mod), "modulo filter bounded"
