@@ -113,6 +113,35 @@ def main() -> None:
         print(f"sustained-stream bench failed: {exc}", file=sys.stderr, flush=True)
     print(json.dumps(out))
 
+    # Regression guard (VERDICT r5 #7): the round-5 streaming gains came
+    # from replay batching + state-partition floors; hold that line. The
+    # floors sit well below the measured record (e2e 95.8k, sustained
+    # 315k at sf0.1) but well above any pre-fix number, so a regression
+    # to the old fixed-cost behavior fails the bench run loudly instead
+    # of drifting. Calibrated at the driver's sf0.1 — other SFs skip.
+    if abs(sf_from_dir(sf_dir) - 0.1) < 1e-9:
+        floors = {
+            "stream_events_per_s": int(
+                os.environ.get("BENCH_MIN_STREAM_EPS", 60_000)
+            ),
+            "stream_events_per_s_sustained": int(
+                os.environ.get("BENCH_MIN_SUSTAINED_EPS", 250_000)
+            ),
+        }
+        broken = {
+            k: (out.get(k), floor)
+            for k, floor in floors.items()
+            if out.get(k) is not None and out[k] < floor
+        }
+        if broken:
+            for k, (got, floor) in broken.items():
+                print(
+                    f"BENCH GUARD: {k}={got} below floor {floor}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            sys.exit(1)
+
 
 def _sustained_stream_rate(spark, sf_dir: str, copies: int = 5) -> int:
     """Median events/s of the tumbling watermark agg over a replicated

@@ -8089,7 +8089,7 @@ def test_var_es_matches_sorted_tail_average(con):
         assert es5 <= var5
 
 
-def test_discrete_hazard_matches_life_table(con):
+def test_discrete_hazard_matches_life_table_v2(con):
     rows = con.execute(
         """SELECT user_id,
                   epoch_us(MIN(ts)) // 1000000,
@@ -8111,7 +8111,7 @@ def test_discrete_hazard_matches_life_table(con):
     assert int(got["n_churned"].sum()) == len(lives)
 
 
-def test_retention_halflife_matches_loglinear_fit(con):
+def test_retention_halflife_matches_loglinear_fit_v2(con):
     rows = con.execute(
         """WITH firsts AS (
              SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
@@ -8301,7 +8301,7 @@ def test_transition_matrix_matches_bigram_counts(con):
     assert all(abs(v - 1.0) < 1e-9 for v in sums)
 
 
-def test_markov_accuracy_matches_argmax_predictor(con):
+def test_markov_accuracy_matches_argmax_predictor_v2(con):
     from collections import Counter
 
     pairs = Counter()
@@ -8791,3 +8791,672 @@ def test_bpe_train3_matches_python_merge_rounds(con):
         assert row.merged_pair == pair, row.round
         assert int(row.pair_count) == n
         assert int(row.tokens_after) == total
+
+
+# ---- batch 44: streaming sessionization / state / seam replays ----
+# (VERDICT r5 #5: the round-5 ADVICE bugs — floored session gaps,
+# missing tiebreaks — lived exactly in this family; these replays
+# recompute each streaming-twin oracle from raw ns-epoch rows.)
+
+_NS_2H = 2 * 3600 * 10**9
+
+
+def _fmt_s(ns: int) -> str:
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(ns // 10**9, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
+def _events_ns(con, cols="user_id"):
+    return con.execute(
+        f"SELECT {cols}, epoch_ns(ts) FROM events"
+    ).fetchall()
+
+
+def test_stream_session_matches_python_replay(con):
+    """2h-gap sessionization per user: session membership depends only
+    on the sorted ts VALUE sequence (a strict > boundary), so the
+    (user, start, n_events) multiset is deterministic even under ts
+    ties. Replayed with integer-ns gap splits."""
+    from collections import Counter, defaultdict
+
+    per_user = defaultdict(list)
+    for u, t in _events_ns(con):
+        per_user[int(u)].append(int(t))
+    expect: Counter = Counter()
+    for u, ts_list in per_user.items():
+        ts_list.sort()
+        start, n, prev = ts_list[0], 0, None
+        for t in ts_list:
+            if prev is not None and t - prev > _NS_2H:
+                expect[(u, _fmt_s(start), n)] += 1
+                start, n = t, 0
+            n += 1
+            prev = t
+        expect[(u, _fmt_s(start), n)] += 1
+    got = Counter(
+        (int(r.user_id), r.session_start, int(r.n_events))
+        for r in oracle_df(con, "q_stream_session").itertuples()
+    )
+    assert got == expect
+
+
+def test_stream_session_conserves_events(con):
+    n_events = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    df = oracle_df(con, "q_stream_session")
+    assert int(df["n_events"].sum()) == n_events
+    # every session_start is a real event timestamp of that user
+    starts = {
+        (int(r.user_id), r.session_start) for r in df.itertuples()
+    }
+    real = {
+        (int(u), _fmt_s(int(t))) for u, t in _events_ns(con)
+    }
+    assert starts <= real
+
+
+def test_stream_session_dynamic_matches_python_replay(con):
+    """Type-dependent gaps (click 3600s / else 7200s) per (user, type)
+    with the (ts, event_id) tiebreak, strict > boundary on epoch-second
+    diffs. The oracle compares epoch(ts) DOUBLEs; the replay compares
+    exact ns scaled to seconds — agreement also certifies the fixture
+    has no sub-second adjacency inside the float error band."""
+    from collections import Counter, defaultdict
+
+    rows = con.execute(
+        "SELECT user_id, event_type, epoch_ns(ts), event_id FROM events"
+    ).fetchall()
+    groups = defaultdict(list)
+    for u, et, t, eid in rows:
+        groups[(int(u), et)].append((int(t), int(eid)))
+    expect: Counter = Counter()
+    for (u, et), lst in groups.items():
+        lst.sort()
+        gap_ns = (3600 if et == "click" else 7200) * 10**9
+        start, n, prev = lst[0][0], 0, None
+        for t, _eid in lst:
+            if prev is not None and t - prev > gap_ns:
+                expect[(u, et, _fmt_s(start), n)] += 1
+                start, n = t, 0
+            n += 1
+            prev = t
+        expect[(u, et, _fmt_s(start), n)] += 1
+    got = Counter(
+        (int(r.user_id), r.event_type, r.session_start, int(r.n_events))
+        for r in oracle_df(con, "q_stream_session_dynamic").itertuples()
+    )
+    assert got == expect
+
+
+def test_stream_state_ttl_matches_python_replay(con):
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, t in _events_ns(con):
+        per_user[int(u)].append(int(t))
+    got = {
+        int(r.user_id): (int(r.n_sessions), int(r.total_events))
+        for r in oracle_df(con, "q_stream_state_ttl").itertuples()
+    }
+    assert set(got) == set(per_user)
+    for u, ts_list in per_user.items():
+        ts_list.sort()
+        n_sessions = 1 + sum(
+            1
+            for a, b in zip(ts_list, ts_list[1:])
+            if b - a > _NS_2H
+        )
+        assert got[u] == (n_sessions, len(ts_list)), u
+
+
+def test_stream_state_ttl_consistent_with_stream_session(con):
+    """Same 2h gap rule, two oracles: per-user session COUNTS must
+    agree between the TTL state view and the sessionization view."""
+    from collections import Counter
+
+    sess = oracle_df(con, "q_stream_session")
+    by_user = Counter(int(u) for u in sess["user_id"])
+    ttl = oracle_df(con, "q_stream_state_ttl")
+    for r in ttl.itertuples():
+        assert by_user[int(r.user_id)] == int(r.n_sessions)
+    ev_by_user = sess.groupby("user_id")["n_events"].sum()
+    for r in ttl.itertuples():
+        assert int(ev_by_user[r.user_id]) == int(r.total_events)
+
+
+def test_stream_backfill_seam_matches_closed_form(con):
+    """Seam bookkeeping replayed with integer µs: cutoff is the 3/5
+    point of the [min, max] span floored to the hour; the overlap
+    window is the half-open hour [cutoff-1h, cutoff)."""
+    rows = con.execute(
+        "SELECT epoch_us(ts), value FROM events"
+    ).fetchall()
+    us = [int(t) for t, _ in rows]
+    mn, mx = min(us), max(us)
+    hour = 3_600_000_000
+    cutoff = ((mn + (mx - mn) * 3 // 5) // hour) * hour
+    n_overlap = sum(1 for t in us if cutoff - hour <= t < cutoff)
+    total_cents = sum(
+        int(math.floor(v * 100 + 0.5)) for _, v in rows
+    )
+    r = oracle_df(con, "q_stream_backfill_seam").iloc[0]
+    assert int(r["n_events"]) == len(us)
+    assert int(r["total_cents"]) == total_cents
+    assert int(r["n_overlap"]) == n_overlap
+    # the overlap hour must be non-trivial for the seam proof to bite
+    assert 0 < n_overlap < len(us)
+
+
+def test_stream_pattern_matches_python_replay(con):
+    """signup -> purchase-within-7d with no intervening error, replayed
+    per user from raw ns rows: p_ts = first purchase strictly after the
+    FIRST signup, e_ts = first error strictly after it; keep when
+    p_ts <= s_ts + 7d AND (no error OR error strictly after purchase)."""
+    rows = con.execute(
+        "SELECT user_id, event_type, epoch_ns(ts) FROM events "
+        "WHERE event_type IN ('signup', 'purchase', 'error')"
+    ).fetchall()
+    from collections import defaultdict
+
+    s_ts: dict[int, int] = {}
+    for u, et, t in rows:
+        if et == "signup":
+            u = int(u)
+            s_ts[u] = min(s_ts.get(u, int(t)), int(t))
+    p_ts: dict[int, int] = {}
+    e_ts: dict[int, int] = {}
+    for u, et, t in rows:
+        u, t = int(u), int(t)
+        if u not in s_ts or t <= s_ts[u]:
+            continue
+        if et == "purchase":
+            p_ts[u] = min(p_ts.get(u, t), t)
+        elif et == "error":
+            e_ts[u] = min(e_ts.get(u, t), t)
+    week_ns = 7 * 86400 * 10**9
+    expect = {
+        u: (_fmt_s(s_ts[u]), _fmt_s(p_ts[u]))
+        for u in s_ts
+        if u in p_ts
+        and p_ts[u] <= s_ts[u] + week_ns
+        and (u not in e_ts or e_ts[u] > p_ts[u])
+    }
+    got = {
+        int(r.user_id): (r.signup_ts, r.purchase_ts)
+        for r in oracle_df(con, "q_stream_pattern").itertuples()
+    }
+    assert got == expect
+    assert expect, "fixture must produce at least one matched funnel"
+
+
+# ---- batch 45: boundary semantics on synthetic fixtures ----
+# The fixture corpus rarely lands EXACTLY on a threshold, so parity
+# alone can't certify strict-vs-inclusive boundaries. These run the
+# REGISTERED oracle SQL over a crafted events view where every row sits
+# on a boundary, pinning the documented semantics.
+
+
+def _synth_events(rows):
+    """duckdb connection whose `events` view is the given rows:
+    (event_id, ts_us_epoch, user_id, event_type, value)."""
+    import pandas as pd
+
+    c = duckdb.connect()
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"], unit="us", utc=True).dt.tz_localize(
+        None
+    )
+    c.register("events_synth", df)
+    c.execute("CREATE VIEW events AS SELECT * FROM events_synth")
+    return c
+
+
+_H = 3_600_000_000  # one hour in µs
+
+
+def test_session_gap_exactly_2h_extends_session(con):
+    """The 2h session gap is STRICT: a pair exactly 2h apart shares a
+    session; 2h + 1µs splits. (The round-5 ADVICE bug class: a floored
+    gap silently turns strict boundaries into off-by-one-second ones.)"""
+    c = _synth_events(
+        [
+            (1, 0, 1, "click", 1.0),
+            (2, 2 * _H, 1, "click", 1.0),  # exactly 2h -> same session
+            (3, 10 * _H, 2, "click", 1.0),
+            (4, 12 * _H + 1, 2, "click", 1.0),  # 2h + 1µs -> new session
+        ]
+    )
+    df = c.execute(all_specs()["q_stream_session"].oracle).df()
+    per_user = df.groupby("user_id").size().to_dict()
+    assert per_user == {1: 1, 2: 2}
+    ttl = c.execute(all_specs()["q_stream_state_ttl"].oracle).df()
+    got = {
+        int(r.user_id): int(r.n_sessions) for r in ttl.itertuples()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_session_dynamic_thresholds_per_type(con):
+    """click splits at >3600s, other types at >7200s — one second past
+    each threshold splits, the exact threshold does not."""
+    c = _synth_events(
+        [
+            # clicks 3600s apart -> one session
+            (1, 0, 1, "click", 1.0),
+            (2, 3600 * 10**6, 1, "click", 1.0),
+            # clicks 3601s apart -> two sessions
+            (3, 0, 2, "click", 1.0),
+            (4, 3601 * 10**6, 2, "click", 1.0),
+            # purchases 7200s apart -> one session
+            (5, 0, 1, "purchase", 1.0),
+            (6, 7200 * 10**6, 1, "purchase", 1.0),
+            # purchases 7201s apart -> two sessions
+            (7, 0, 2, "purchase", 1.0),
+            (8, 7201 * 10**6, 2, "purchase", 1.0),
+        ]
+    )
+    df = c.execute(all_specs()["q_stream_session_dynamic"].oracle).df()
+    got = {
+        (int(r.user_id), r.event_type): 0 for r in df.itertuples()
+    }
+    for r in df.itertuples():
+        got[(int(r.user_id), r.event_type)] += 1
+    assert got == {
+        (1, "click"): 1,
+        (2, "click"): 2,
+        (1, "purchase"): 1,
+        (2, "purchase"): 2,
+    }
+
+
+def test_backfill_seam_overlap_window_is_half_open(con):
+    """Overlap hour [cutoff-1h, cutoff): with span [0h, 10h] the cutoff
+    lands at 6h, so 5h counts, 6h-1µs counts, 4h59:59.999999 and 6h do
+    not."""
+    c = _synth_events(
+        [
+            (1, 0, 1, "click", 0.0),  # pins mn
+            (2, 5 * _H - 1, 1, "click", 0.0),  # just below window
+            (3, 5 * _H, 1, "click", 0.25),  # in
+            (4, 6 * _H - 1, 1, "click", 0.25),  # in (last µs)
+            (5, 6 * _H, 1, "click", 0.0),  # at cutoff: out
+            (6, 10 * _H, 1, "click", 0.0),  # pins mx
+        ]
+    )
+    r = c.execute(all_specs()["q_stream_backfill_seam"].oracle).df().iloc[0]
+    assert int(r["n_events"]) == 6
+    assert int(r["n_overlap"]) == 2
+    # floor(0.25*100 + 0.5) = 25 cents each
+    assert int(r["total_cents"]) == 50
+
+
+def test_stream_pattern_7day_boundary_and_error_tie(con):
+    """purchase AT signup+7d converts (<=); +7d+1µs does not; an error
+    at EXACTLY the purchase ts kills the funnel (strict e_ts > p_ts);
+    an error 1µs after the purchase does not."""
+    d7 = 7 * 24 * _H
+    c = _synth_events(
+        [
+            # u1: purchase exactly at +7d -> kept
+            (1, 0, 1, "signup", 0.0),
+            (2, d7, 1, "purchase", 1.0),
+            # u2: purchase at +7d+1µs -> dropped
+            (3, 0, 2, "signup", 0.0),
+            (4, d7 + 1, 2, "purchase", 1.0),
+            # u3: error ties the purchase ts -> dropped
+            (5, 0, 3, "signup", 0.0),
+            (6, _H, 3, "purchase", 1.0),
+            (7, _H, 3, "error", 1.0),
+            # u4: error 1µs after the purchase -> kept
+            (8, 0, 4, "signup", 0.0),
+            (9, _H, 4, "purchase", 1.0),
+            (10, _H + 1, 4, "error", 1.0),
+        ]
+    )
+    df = c.execute(all_specs()["q_stream_pattern"].oracle).df()
+    assert sorted(int(u) for u in df["user_id"]) == [1, 4]
+
+
+def test_stream_pattern_ignores_pre_signup_activity(con):
+    """Purchases/errors BEFORE (or at) the first signup are invisible:
+    the join keeps only e.ts > s_ts rows."""
+    c = _synth_events(
+        [
+            # u1: purchase before signup only -> no conversion
+            (1, 0, 1, "purchase", 1.0),
+            (2, _H, 1, "signup", 0.0),
+            # u2: error before signup must not kill the later funnel
+            (3, 0, 2, "error", 1.0),
+            (4, _H, 2, "signup", 0.0),
+            (5, 2 * _H, 2, "purchase", 1.0),
+            # u3: purchase AT the signup ts is not "after" -> dropped
+            (6, _H, 3, "signup", 0.0),
+            (7, _H, 3, "purchase", 1.0),
+        ]
+    )
+    df = c.execute(all_specs()["q_stream_pattern"].oracle).df()
+    assert sorted(int(u) for u in df["user_id"]) == [2]
+
+
+# ---- batch 46: as-of boundary ties on synthetic fixtures ----
+
+
+def test_asof_backward_and_forward_include_equal_ts(con):
+    """A purchase at EXACTLY the click ts matches in BOTH directions
+    (>= / <= are inclusive) — the classic off-by-one a strict rewrite
+    would break."""
+    rows = [
+        (1, 10 * _H, 1, "click", 0.0),
+        (2, 10 * _H, 1, "purchase", 42.0),
+    ]
+    c = _synth_events(rows)
+    for q in ("q_join_asof", "q_join_asof_forward", "q_join_asof_nearest"):
+        df = c.execute(all_specs()[q].oracle).df()
+        assert len(df) == 1, q
+        assert df.iloc[0]["purchase_value"] == 42.0, q
+
+
+def test_asof_tolerance_boundary_inclusive_at_7d(con):
+    """tolerance = 7 days, inclusive at the bound: a purchase exactly
+    7d old matches; 7d + 1µs old does not (NULL row kept by the left
+    join)."""
+    d7 = 7 * 24 * _H
+    c = _synth_events(
+        [
+            (1, d7, 1, "click", 0.0),
+            (2, 0, 1, "purchase", 1.0),  # exactly 7d stale -> kept
+            (3, d7 + 1, 2, "click", 0.0),
+            (4, 0, 2, "purchase", 2.0),  # 7d + 1µs stale -> dropped
+        ]
+    )
+    df = (
+        c.execute(all_specs()["q_join_asof_tolerance"].oracle)
+        .df()
+        .set_index("event_id")
+    )
+    assert df.loc[1, "purchase_value"] == 1.0
+    assert df.loc[3, "purchase_ts_s"] is None or (
+        isinstance(df.loc[3, "purchase_ts_s"], float)
+    )
+
+
+def test_asof_tolerance_picks_latest_of_multiple_candidates(con):
+    c = _synth_events(
+        [
+            (1, 10 * _H, 1, "click", 0.0),
+            (2, 1 * _H, 1, "purchase", 1.0),
+            (3, 9 * _H, 1, "purchase", 2.0),  # latest within tolerance
+            (4, 11 * _H, 1, "purchase", 3.0),  # future: not backward
+        ]
+    )
+    df = c.execute(all_specs()["q_join_asof_tolerance"].oracle).df()
+    assert len(df) == 1
+    assert df.iloc[0]["purchase_value"] == 2.0
+
+
+def test_asof_nearest_midpoint_tie_prefers_backward(con):
+    """Equidistant candidates (10s back, 10s forward): the documented
+    rule resolves to the BACKWARD match."""
+    s10 = 10 * 10**6
+    c = _synth_events(
+        [
+            (1, 10 * _H, 1, "click", 0.0),
+            (2, 10 * _H - s10, 1, "purchase", 1.0),  # 10s back
+            (3, 10 * _H + s10, 1, "purchase", 2.0),  # 10s forward
+        ]
+    )
+    df = c.execute(all_specs()["q_join_asof_nearest"].oracle).df()
+    assert len(df) == 1
+    assert df.iloc[0]["purchase_value"] == 1.0
+
+
+def test_asof_nearest_falls_back_across_directions(con):
+    """Backward-missing uses the forward match and vice versa; a user
+    with no purchases at all keeps a NULL row (left join)."""
+    c = _synth_events(
+        [
+            (1, 1 * _H, 1, "click", 0.0),
+            (2, 5 * _H, 1, "purchase", 7.0),  # only-forward
+            (3, 9 * _H, 2, "click", 0.0),
+            (4, 2 * _H, 2, "purchase", 8.0),  # only-backward
+            (5, 3 * _H, 3, "click", 0.0),  # no purchases at all
+        ]
+    )
+    df = (
+        c.execute(all_specs()["q_join_asof_nearest"].oracle)
+        .df()
+        .set_index("event_id")
+    )
+    assert df.loc[1, "purchase_value"] == 7.0
+    assert df.loc[3, "purchase_value"] == 8.0
+    import pandas as pd
+
+    assert pd.isna(df.loc[5, "purchase_value"])
+
+
+def test_asof_backward_unmatched_click_keeps_null_row(con):
+    c = _synth_events(
+        [
+            (1, 1 * _H, 1, "click", 0.0),
+            (2, 5 * _H, 1, "purchase", 7.0),  # future-only
+        ]
+    )
+    import pandas as pd
+
+    b = c.execute(all_specs()["q_join_asof"].oracle).df()
+    assert len(b) == 1 and pd.isna(b.iloc[0]["purchase_value"])
+    f = c.execute(all_specs()["q_join_asof_forward"].oracle).df()
+    assert len(f) == 1 and f.iloc[0]["purchase_value"] == 7.0
+
+
+def test_asof_forward_picks_earliest_future(con):
+    c = _synth_events(
+        [
+            (1, 1 * _H, 1, "click", 0.0),
+            (2, 2 * _H, 1, "purchase", 5.0),  # earliest future
+            (3, 3 * _H, 1, "purchase", 6.0),
+        ]
+    )
+    df = c.execute(all_specs()["q_join_asof_forward"].oracle).df()
+    assert len(df) == 1
+    assert df.iloc[0]["purchase_value"] == 5.0
+
+
+# ---- batch 47: streaming state-machine kernels (EMA / CUSUM / gap
+# alarm / windowed top-k / bucketed percentile / window chain) ----
+
+
+def test_stream_ema_matches_python_recursion(con):
+    """EMA(0.1) folded left over each user's (ts, event_id)-ordered
+    values: acc = 0.9*acc + 0.1*x seeded with the FIRST value as acc
+    (list_reduce seeds with the head element)."""
+    rows = con.execute(
+        "SELECT user_id, value, epoch_ns(ts), event_id FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, v, t, eid in rows:
+        per_user[int(u)].append((int(t), int(eid), float(v)))
+    got = {
+        int(r.user_id): (float(r.ema), int(r.n_seen))
+        for r in oracle_df(con, "q_stream_ema").itertuples()
+    }
+    assert set(got) == set(per_user)
+    for u, lst in per_user.items():
+        lst.sort()
+        acc = lst[0][2]
+        for _, _, v in lst[1:]:
+            acc = 0.9 * acc + 0.1 * v
+        assert abs(got[u][0] - round(acc, 6)) < 1e-6, u
+        assert got[u][1] == len(lst)
+
+
+def test_stream_gap_alarm_matches_python_scan(con):
+    """Per-type silence alarm: consecutive (ts, event_id)-ordered events
+    whose µs gap FLOOR-divided to seconds exceeds 600."""
+    rows = con.execute(
+        "SELECT event_type, epoch_us(ts), event_id FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    per_type = defaultdict(list)
+    for et, us, eid in rows:
+        per_type[et].append((int(us), int(eid)))
+    expect = set()
+    for et, lst in per_type.items():
+        lst.sort()
+        for (a, _), (b, _) in zip(lst, lst[1:]):
+            if (b - a) // 1_000_000 > 600:
+                expect.add((et, a, (b - a) // 1_000_000))
+    got = {
+        (r.event_type, int(r.gap_start_us), int(r.gap_s))
+        for r in oracle_df(con, "q_stream_gap_alarm").itertuples()
+    }
+    assert got == expect
+    assert expect, "fixture must contain at least one >600s silence"
+
+
+def test_stream_gap_alarm_floor_boundary(con):
+    """The 600s threshold applies AFTER flooring µs to whole seconds:
+    a 600.999999s gap is NOT an alarm, 601.000000s is."""
+    c = _synth_events(
+        [
+            (1, 0, 1, "click", 0.0),
+            (2, 600_999_999, 1, "click", 0.0),  # floors to 600 -> quiet
+            (3, 0, 1, "purchase", 0.0),
+            (4, 601_000_000, 1, "purchase", 0.0),  # 601 -> alarm
+        ]
+    )
+    df = c.execute(all_specs()["q_stream_gap_alarm"].oracle).df()
+    assert df["event_type"].tolist() == ["purchase"]
+    assert int(df.iloc[0]["gap_s"]) == 601
+
+
+def test_stream_cusum_matches_python_reset_scan(con):
+    """One-sided CUSUM with reset-at-zero, computed the textbook way
+    (s = max(0, s + x - target)) — the oracle's prefix-minus-running-min
+    closed form must equal the sequential recursion exactly (integer
+    cents, target 5000)."""
+    rows = con.execute(
+        "SELECT user_id, value, epoch_ns(ts), event_id FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, v, t, eid in rows:
+        per_user[int(u)].append((int(t), int(eid), float(v)))
+    got = {
+        int(r.user_id): (
+            int(r.n_events),
+            int(r.max_cusum),
+            int(r.n_over_threshold),
+        )
+        for r in oracle_df(con, "q_stream_cusum").itertuples()
+    }
+    assert set(got) == set(per_user)
+    for u, lst in per_user.items():
+        lst.sort()
+        s = 0
+        mx = 0
+        n_over = 0
+        for _, _, v in lst:
+            s = max(0, s + int(math.floor(v * 100 + 0.5)) - 5000)
+            mx = max(mx, s)
+            if s > 50000:
+                n_over += 1
+        assert got[u] == (len(lst), mx, n_over), u
+
+
+def test_stream_topk_matches_python_hour_ranking(con):
+    """Hourly top-2 event types with the (count desc, type asc)
+    tiebreak."""
+    rows = con.execute(
+        "SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),"
+        " event_type FROM events"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    cnt = Counter(rows)
+    by_hour = defaultdict(list)
+    for (h, et), n in cnt.items():
+        by_hour[h].append((-n, et))
+    expect = set()
+    for h, lst in by_hour.items():
+        for rn, (neg_n, et) in enumerate(sorted(lst)[:2], start=1):
+            expect.add((h, et, -neg_n, rn))
+    got = {
+        (r.win_start, r.event_type, int(r.n), int(r.rn))
+        for r in oracle_df(con, "q_stream_topk").itertuples()
+    }
+    assert got == expect
+
+
+def test_stream_percentile_matches_python_bucket_cdf(con):
+    """Bucketed floor-percentiles: smallest 1000-cent bucket whose
+    cumulative count reaches q of the total, reported as the bucket
+    FLOOR (cum*2 >= total is the ceil-rank median on the bucket CDF)."""
+    rows = con.execute(
+        "SELECT event_type, value FROM events"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    buckets = Counter(
+        (et, int(math.floor(v * 100 + 0.5)) // 1000) for et, v in rows
+    )
+    per_type = defaultdict(list)
+    for (et, b), n in buckets.items():
+        per_type[et].append((b, n))
+    got = {
+        r.event_type: (
+            int(r.p50_floor_cents),
+            int(r.p90_floor_cents),
+            int(r.p99_floor_cents),
+        )
+        for r in oracle_df(con, "q_stream_percentile").itertuples()
+    }
+    assert set(got) == set(per_type)
+    for et, lst in per_type.items():
+        lst.sort()
+        total = sum(n for _, n in lst)
+        out = []
+        for mul, of in ((2, 1), (10, 9), (100, 99)):
+            cum = 0
+            for b, n in lst:
+                cum += n
+                if cum * mul >= total * of:
+                    out.append(b * 1000)
+                    break
+        assert got[et] == tuple(out), et
+
+
+def test_stream_window_chain_matches_python_two_level_rollup(con):
+    """Chained windows: hourly counts re-aggregated into 6h windows —
+    total, peak hour, and distinct-hour count per (window, type)."""
+    rows = con.execute(
+        "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT),"
+        " event_type FROM events"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    hourly = Counter(rows)
+    chain = defaultdict(lambda: [0, 0, 0])
+    for (hs, et), n in hourly.items():
+        k = (_fmt_s((hs // 21600 * 21600) * 10**9), et)
+        c = chain[k]
+        c[0] += n
+        c[1] = max(c[1], n)
+        c[2] += 1
+    got = {
+        (r.win_start, r.event_type): (
+            int(r.total_n),
+            int(r.peak_hour_n),
+            int(r.n_hours),
+        )
+        for r in oracle_df(con, "q_stream_window_chain").itertuples()
+    }
+    assert got == {k: tuple(v) for k, v in chain.items()}
