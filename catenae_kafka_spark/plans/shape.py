@@ -147,3 +147,53 @@ def _unbounded_fact_scans(node, bounded: frozenset[str] = frozenset()) -> list[s
     for c in _children(node):
         out.extend(_unbounded_fact_scans(c, bounded))
     return out
+
+
+#: Physical join nodes with no join keys: cost is |left| x |right|
+#: unless one side is a constant-row build.
+_NL_JOINS = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def unbounded_nested_loop_joins(df: DataFrame) -> list[str]:
+    """Return a violation string per nested-loop/cartesian join with NO
+    scalar-bounded side.
+
+    A nested loop whose build side is provably <= a constant number of
+    rows (an UNGROUPED aggregate, or a constant limit) is the reviewed
+    "1-row aggregate cross" shape — cost |fact| x O(1), fine at any
+    scale — and is accepted mechanically, no whitelist entry needed.
+    Everything else (spine tables, bounded-domain rollups, deliberate
+    all-pairs baselines) still requires a reviewed NL_WHITELIST reason:
+    a GROUPED aggregate is bounded by its key domain, which may itself
+    scale with the corpus, so it never auto-passes here."""
+    plan = df._jdf.queryExecution().sparkPlan()  # noqa: SLF001
+    bad: list[str] = []
+    for node in _walk(plan):
+        name = node.nodeName()
+        if name not in _NL_JOINS:
+            continue
+        if any(_scalar_bounded(c) for c in _children(node)):
+            continue
+        bad.append(f"{name} with no scalar-bounded side")
+    return bad
+
+
+def _scalar_bounded(node) -> bool:
+    """True when this subtree provably emits a CONSTANT number of rows:
+    an ungrouped aggregate (exactly 1), a constant limit (<= k), or a
+    composition of such through row-preserving operators. Scans, joins,
+    windows, and generators are data-sized — False."""
+    name = node.nodeName()
+    if _is_aggregate(name):
+        try:
+            return bool(node.groupingExpressions().isEmpty())
+        except Exception:  # noqa: BLE001 — aggregate lookalike
+            return False
+    if name in _LIMIT_NODES:
+        return True
+    if "Scan" in name or "Join" in name or name in ("Window", "Generate"):
+        return False
+    ch = _children(node)
+    if not ch:
+        return False
+    return all(_scalar_bounded(c) for c in ch)

@@ -435,13 +435,33 @@ def test_session_continuation_ops_plan_shapes(spark):
     assert "Exchange" not in plan
 
 
-def test_no_cartesian_product_in_any_registered_batch_query(spark):
+def test_no_unbounded_nested_loop_in_any_registered_batch_query(spark):
     """Engine-wide invariant: NO registered batch query may plan a
-    CartesianProduct — the one join shape that cannot survive 100 TB.
-    Intentional all-pairs baselines are explicitly whitelisted so a
-    new offender fails loudly rather than hiding among them."""
+    nested-loop/cartesian join without a provably scalar side — the one
+    join shape that cannot survive 100 TB. A scalar (ungrouped
+    aggregate / constant limit) build side auto-passes mechanically;
+    domain-bounded spines and deliberate all-pairs baselines are
+    explicitly whitelisted so a new offender fails loudly rather than
+    hiding among them."""
+    from pyspark.sql import functions as F
+
     from catenae_kafka_spark.plans.audit_whitelist import NL_WHITELIST
+    from catenae_kafka_spark.plans.shape import unbounded_nested_loop_joins
     from catenae_kafka_spark.registry import all_specs
+
+    # positive control 1: a data-x-data cross must be flagged
+    ev = spark.read.parquet(SF + "/events.parquet")
+    orders = spark.read.parquet(SF + "/orders.parquet")
+    assert unbounded_nested_loop_joins(ev.crossJoin(orders)), (
+        "checker is blind to a raw cartesian"
+    )
+    # positive control 2: a GROUPED-aggregate side must NOT auto-pass
+    # (its row count is bounded by the key domain, which scales)
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    assert unbounded_nested_loop_joins(orders.crossJoin(per_user))
+    # negative control: a scalar-aggregate cross is the sanctioned shape
+    total = ev.agg(F.count("*").alias("n"))
+    assert unbounded_nested_loop_joins(orders.crossJoin(total)) == []
 
     WHITELIST = set(NL_WHITELIST)
     offenders = []
@@ -449,12 +469,12 @@ def test_no_cartesian_product_in_any_registered_batch_query(spark):
         if "streaming" in spec.tags or name in WHITELIST:
             continue
         try:
-            plan = plan_of(spec.fn(spark, SF))
+            bad = unbounded_nested_loop_joins(spec.fn(spark, SF))
         except Exception as e:  # building must never fail either
             offenders.append(f"{name}: build error {e}")
             continue
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+        if bad:
+            offenders.append(f"{name}: {bad[0]}")
     assert not offenders, offenders
 
 

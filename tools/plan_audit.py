@@ -4,9 +4,11 @@ plan is checked against repo-wide scale invariants.
 Invariants (the 100 TB discipline the per-family tests assert locally,
 enforced globally here so a NEW query can't silently regress them):
 
-- no CartesianProduct / BroadcastNestedLoopJoin except where a query is
-  explicitly whitelisted with a reason (tiny bounded side, e.g. a
-  1-row scalar broadcast or a <=25-row dimension cross);
+- no CartesianProduct / BroadcastNestedLoopJoin lacking a provably
+  scalar side (ungrouped-aggregate/constant-limit builds auto-pass —
+  plans/shape.py:unbounded_nested_loop_joins) except where a query is
+  explicitly whitelisted with a reason (<=25-row dimension cross,
+  constant spine, deliberate brute-force baseline);
 - no row-at-a-time Python UDF (BatchEvalPython) outside the UDF-surface
   demos — Arrow/Pandas evaluation (ArrowEvalPython / FlatMapsInPandas
   etc.) is the allowed Python path;
@@ -43,6 +45,7 @@ from catenae_kafka_spark.plans.audit_whitelist import (  # noqa: E402
 )
 from catenae_kafka_spark.plans.shape import (  # noqa: E402
     global_windows_over_fact_rows,
+    unbounded_nested_loop_joins,
 )
 
 def main() -> None:
@@ -66,11 +69,12 @@ def main() -> None:
             bad.append(f"{name}: PLAN BUILD FAILED: {type(exc).__name__}: {exc}")
             continue
         n_checked += 1
+        nl = unbounded_nested_loop_joins(df)
         nested = (
             "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
         )
-        if nested and name not in NL_WHITELIST:
-            bad.append(f"{name}: un-whitelisted nested-loop/cartesian join")
+        if nl and name not in NL_WHITELIST:
+            bad.append(f"{name}: un-whitelisted {nl[0]}")
         if "BatchEvalPython" in plan and name not in PYUDF_WHITELIST:
             bad.append(f"{name}: row-at-a-time Python UDF in plan")
         gw = global_windows_over_fact_rows(df)
