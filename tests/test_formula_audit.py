@@ -9460,3 +9460,438 @@ def test_stream_window_chain_matches_python_two_level_rollup(con):
         for r in oracle_df(con, "q_stream_window_chain").itertuples()
     }
     assert got == {k: tuple(v) for k, v in chain.items()}
+
+
+# ---- batch 48: sketches / similarity / order statistics / mining ----
+
+
+def test_agg_bitmap_distinct_equals_exact_sets(con):
+    """The bitmap-partial distinct must equal plain set cardinality."""
+    rows = con.execute("SELECT event_type, user_id FROM events").fetchall()
+    from collections import defaultdict
+
+    sets = defaultdict(set)
+    for et, u in rows:
+        sets[et].add(u)
+    got = {
+        r.event_type: int(r.n_users)
+        for r in oracle_df(con, "q_agg_bitmap_distinct").itertuples()
+    }
+    assert got == {et: len(s) for et, s in sets.items()}
+
+
+def test_dedup_simhash_matches_python_md5_bits(con):
+    """16-bit SimHash replayed: per doc, each WHITESPACE token (with
+    multiplicity) votes +1/-1 on bit i by md5 hex digit i >= 8; the
+    final bit is 1 iff the vote sum is STRICTLY positive (ties -> 0)."""
+    import hashlib
+
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    bit_cache: dict[str, list[int]] = {}
+
+    def bits(w: str) -> list[int]:
+        b = bit_cache.get(w)
+        if b is None:
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = [1 if h[i] in "89abcdef" else -1 for i in range(16)]
+            bit_cache[w] = b
+        return b
+
+    expect = {}
+    for did, text in rows:
+        sums = [0] * 16
+        for w in text.split(" "):
+            for i, v in enumerate(bits(w)):
+                sums[i] += v
+        expect[int(did)] = "".join("1" if s > 0 else "0" for s in sums)
+    got = {
+        int(r.doc_id): r.simhash16
+        for r in oracle_df(con, "q_dedup_simhash").itertuples()
+    }
+    assert got == expect
+
+
+def test_dedup_embedding_matches_numpy_brute_force(con):
+    """Near-dup pairs at cosine >= 0.35 recomputed with numpy over all
+    O(n^2) pairs — the independent check that the LSH-bucketed engine
+    path and its SQL oracle both sit on the true exact-cosine set."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows])
+    m = np.array([list(map(float, r[1])) for r in rows])
+    normed = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = normed @ normed.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = sim[iu] >= 0.35
+    expect = {
+        (int(ids[a]), int(ids[b]), round(float(sim[a, b]), 6))
+        for a, b in zip(iu[0][mask], iu[1][mask])
+    }
+    got = {
+        (int(r.id_a), int(r.id_b), round(float(r.cos_sim), 6))
+        for r in oracle_df(con, "q_dedup_embedding").itertuples()
+    }
+    assert got == expect
+    assert got, "fixture must contain at least one near-dup pair"
+
+
+def test_skyline_matches_pareto_scan(con):
+    """Per-priority Pareto front on (price_cents, order_day): a row is
+    dominated iff some row in its group is >= on both axes and > on at
+    least one. O(n log n) sweep: max day among strictly-higher prices,
+    max day within the same price."""
+    rows = con.execute(
+        """SELECT o_orderpriority, o_orderkey,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                  STRFTIME(o_orderdate, '%Y-%m-%d')
+           FROM orders"""
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for pri, key, cents, day in rows:
+        groups[pri].append((int(cents), day, int(key)))
+    expect = set()
+    for pri, lst in groups.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        by_price = defaultdict(list)
+        for cents, day, key in lst:
+            by_price[cents].append((day, key))
+        best_above = ""  # max day among strictly higher prices
+        for cents in sorted(by_price, reverse=True):
+            days = [d for d, _ in by_price[cents]]
+            mx_same = max(days)
+            for day, key in by_price[cents]:
+                dominated = (best_above >= day) or (mx_same > day)
+                if not dominated:
+                    expect.add((pri, key, cents, day))
+            best_above = max(best_above, mx_same)
+    got = {
+        (r.o_orderpriority, int(r.o_orderkey), int(r.price_cents), r.order_day)
+        for r in oracle_df(con, "q_skyline").itertuples()
+    }
+    assert got == expect
+
+
+def test_sample_exact_k_matches_md5_order(con):
+    import hashlib
+
+    rows = con.execute("SELECT doc_id FROM documents").fetchall()
+    ranked = sorted(
+        (hashlib.md5(str(int(d)).encode()).hexdigest(), int(d))
+        for (d,) in rows
+    )
+    expect = [(d, h) for h, d in ranked[:100]]
+    got = [
+        (int(r.doc_id), r.h)
+        for r in oracle_df(con, "q_sample_exact_k").itertuples()
+    ]
+    assert sorted(got) == sorted(expect)
+
+
+def test_window_cume_dist_matches_rank_formulas(con):
+    """percent_rank = (rank-1)/(n-1); cume_dist = #(<= current)/n —
+    recomputed per priority partition from the sorted cents list, then
+    floored to micro-units."""
+    rows = con.execute(
+        """SELECT o_orderpriority, o_orderkey,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           FROM orders"""
+    ).fetchall()
+    from bisect import bisect_left, bisect_right
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for pri, key, cents in rows:
+        groups[pri].append(int(cents))
+    for pri in groups:
+        groups[pri].sort()
+    got = oracle_df(con, "q_window_cume_dist")
+    assert len(got) > 0
+    for r in got.itertuples():
+        lst = groups[r.o_orderpriority]
+        n = len(lst)
+        c = int(r.cents)
+        rank = bisect_left(lst, c) + 1
+        le = bisect_right(lst, c)
+        pr = Fraction(rank - 1, n - 1) if n > 1 else Fraction(0)
+        cd = Fraction(le, n)
+        assert int(r.pr_micro) == (pr.numerator * 10**6) // pr.denominator
+        assert int(r.cd_micro) == (cd.numerator * 10**6) // cd.denominator
+        assert int(r.o_orderkey) % 97 == 0
+
+
+def test_window_ignore_nulls_matches_prefix_scan(con):
+    """lag IGNORE NULLS = most recent non-null BEFORE the row;
+    nth_value(2) over the unbounded-preceding frame = second non-null
+    in the prefix INCLUDING the row."""
+    rows = con.execute(
+        """SELECT user_id, event_id,
+                  CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END
+           FROM events ORDER BY user_id, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    expect = {}
+    hist = defaultdict(list)
+    for u, eid, cents in rows:
+        u, eid = int(u), int(eid)
+        h = hist[u]
+        prev = next((x for x in reversed(h) if x is not None), None)
+        h.append(None if cents is None else int(cents))
+        non_null = [x for x in h if x is not None]
+        second = non_null[1] if len(non_null) >= 2 else None
+        if eid % 23 == 0:
+            expect[(u, eid)] = (
+                None if cents is None else int(cents),
+                prev,
+                second,
+            )
+    import pandas as pd
+
+    got = {}
+    for r in oracle_df(con, "q_window_ignore_nulls").itertuples():
+        def _i(v):
+            return None if pd.isna(v) else int(v)
+        got[(int(r.user_id), int(r.event_id))] = (
+            _i(r.pur_cents), _i(r.prev_pur_cents), _i(r.second_pur_cents)
+        )
+    assert got == expect
+
+
+def test_agg_percentile_matches_linear_interpolation(con):
+    """quantile_cont is the textbook linear-interpolated quantile:
+    h = (n-1)*q, result = x[floor(h)] + frac(h)*(x[floor(h)+1]-x[floor(h)])."""
+    rows = con.execute(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem"
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for f, p in rows:
+        groups[f].append(float(p))
+    got = {
+        r.l_returnflag: (float(r.p50), float(r.p90), float(r.p99))
+        for r in oracle_df(con, "q_agg_percentile").itertuples()
+    }
+    assert set(got) == set(groups)
+    for f, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        out = []
+        for q in (0.5, 0.9, 0.99):
+            h = (n - 1) * q
+            lo = int(math.floor(h))
+            hi = min(lo + 1, n - 1)
+            out.append(round(vals[lo] + (h - lo) * (vals[hi] - vals[lo]), 4))
+        for a, b in zip(got[f], out):
+            assert abs(a - b) < 1e-6, f
+
+
+def test_agg_regression_matches_fraction_least_squares(con):
+    """regr_slope/intercept/r2 recomputed with exact Fractions over
+    (quantity, extendedprice) pairs per returnflag."""
+    rows = con.execute(
+        "SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem"
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for f, x, y in rows:
+        groups[f].append((Fraction(x).limit_denominator(10**9),
+                          Fraction(y).limit_denominator(10**9)))
+    got = {
+        r.l_returnflag: (
+            float(r.slope), float(r.intercept), float(r.r2), int(r.n_pairs)
+        )
+        for r in oracle_df(con, "q_agg_regression").itertuples()
+    }
+    assert set(got) == set(groups)
+    for f, pts in groups.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        syy = sum(y * y for _, y in pts)
+        cov = sxy - sx * sy / n
+        varx = sxx - sx * sx / n
+        vary = syy - sy * sy / n
+        slope = cov / varx
+        intercept = sy / n - slope * sx / n
+        r2 = (cov * cov) / (varx * vary)
+        g = got[f]
+        assert abs(g[0] - round(float(slope), 6)) < 1e-6
+        assert abs(g[1] - round(float(intercept), 6)) < 1e-6
+        assert abs(g[2] - round(float(r2), 6)) < 1e-6
+        assert g[3] == n
+
+
+def test_itemset_triples_matches_apriori_replay(con):
+    """Frequent brand triples (support >= 70) with the >= 70 singleton
+    prune, replayed with Counter over per-order distinct-brand
+    baskets."""
+    rows = con.execute(
+        """SELECT DISTINCT l_orderkey, p_brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    baskets = defaultdict(set)
+    brand_n = Counter()
+    for ok, b in rows:
+        baskets[ok].add(b)
+        brand_n[b] += 1
+    freq1 = {b for b, n in brand_n.items() if n >= 70}
+    triples = Counter()
+    for bs in baskets.values():
+        kept = sorted(b for b in bs if b in freq1)
+        for t in combinations(kept, 3):
+            triples[t] += 1
+    expect = {t: n for t, n in triples.items() if n >= 70}
+    got = {
+        (r.x, r.y, r.z): int(r.support)
+        for r in oracle_df(con, "q_itemset_triples").itertuples()
+    }
+    assert got == expect
+
+
+def test_pii_scan_matches_python_regex(con):
+    """Email and long-digit-run counts per source replayed with python
+    regex (non-overlapping matches, same patterns)."""
+    import re as _re
+
+    rows = con.execute("SELECT source, text FROM documents").fetchall()
+    email = _re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    digits = _re.compile(r"[0-9]{6,}")
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for src, text in rows:
+        ne = len(email.findall(text))
+        nd = len(digits.findall(text))
+        a = agg[src]
+        a[0] += 1
+        a[1] += ne
+        a[2] += nd
+        a[3] += 1 if (ne or nd) else 0
+    got = {
+        r.source: (
+            int(r.n_docs),
+            int(r.n_emails),
+            int(r.n_long_digit_runs),
+            int(r.n_flagged_docs),
+        )
+        for r in oracle_df(con, "q_pii_scan").itertuples()
+    }
+    assert got == {s: tuple(v) for s, v in agg.items()}
+
+
+def test_vector_funcs_match_numpy(con):
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32 "
+        "ORDER BY vec_id"
+    ).fetchall()
+    vecs = {int(i): np.array(list(map(float, e))) for i, e in rows}
+    got = oracle_df(con, "q_vector_funcs")
+    assert len(got) > 0
+    for r in got.itertuples():
+        a, b = vecs[int(r.id_a)], vecs[int(r.id_b)]
+        assert int(r.id_b) == int(r.id_a) + 1
+        assert abs(float(r.dot) - round(float(a @ b), 6)) < 1e-6
+        assert abs(float(r.norm_a) - round(float(np.linalg.norm(a)), 6)) < 1e-6
+        assert abs(float(r.l1_dist) - round(float(np.abs(a - b).sum()), 6)) < 1e-6
+        assert abs(float(r.l2_dist) - round(float(np.linalg.norm(a - b)), 6)) < 1e-6
+        cs = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(float(r.cos_sim) - round(cs, 6)) < 1e-6
+
+
+def test_recursive_cte_matches_compounding(con):
+    """12-month projection: projected(m) = ROUND(base * 1.01^m, 2) with
+    the BASE revenue (not the compounded value) carried through the
+    recursion."""
+    rows = con.execute(
+        """SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2)
+           FROM lineitem GROUP BY l_returnflag"""
+    ).fetchall()
+    expect = {}
+    for f, rev in rows:
+        for m in range(12):
+            expect[(f, m)] = round(float(rev) * 1.01**m, 2)
+    got = {
+        (r.l_returnflag, int(r.month_i)): float(r.projected)
+        for r in oracle_df(con, "q_recursive_cte").itertuples()
+    }
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 0.011, k  # one cent per rounding step
+
+
+def test_isotonic_calibration_matches_pava(con):
+    """The oracle's minimax closed form must equal the textbook
+    pool-adjacent-violators fit on the per-quantity (n, positives)
+    sequence, in exact Fractions, floored to micro-units."""
+    rows = con.execute(
+        """SELECT CAST(l_quantity AS BIGINT) AS qty,
+                  COUNT(*) AS n,
+                  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+           FROM lineitem GROUP BY qty ORDER BY qty"""
+    ).fetchall()
+    # PAVA: merge adjacent blocks while the left mean exceeds the right
+    blocks = []  # [pos, n]
+    for _, n, pos in rows:
+        blocks.append([int(pos), int(n)])
+        while len(blocks) > 1 and (
+            Fraction(blocks[-2][0], blocks[-2][1])
+            > Fraction(blocks[-1][0], blocks[-1][1])
+        ):
+            p, n2 = blocks.pop()
+            blocks[-1][0] += p
+            blocks[-1][1] += n2
+    # expand block fits back to per-qty rows
+    per_qty_fit = []
+    i = 0
+    for p, n in blocks:
+        covered = 0
+        while covered < n:
+            qty, nq, _ = rows[i]
+            per_qty_fit.append((int(qty), Fraction(p, n)))
+            covered += int(nq)
+            i += 1
+    got = {
+        int(r.quantity): int(r.iso_fit_micro)
+        for r in oracle_df(con, "q_isotonic_calibration").itertuples()
+    }
+    assert len(got) == len(per_qty_fit)
+    for qty, fit in per_qty_fit:
+        assert got[qty] == (fit.numerator * 10**6) // fit.denominator, qty
+    # monotone non-decreasing by construction — assert on the output too
+    fits_sorted = [got[q] for q, _ in per_qty_fit]
+    assert fits_sorted == sorted(fits_sorted)
+
+
+def test_tpch_q17_matches_python_replay(con):
+    rows = con.execute(
+        """SELECT l_partkey, l_quantity, l_extendedprice, p_brand
+           FROM lineitem JOIN part ON p_partkey = l_partkey"""
+    ).fetchall()
+    from collections import defaultdict
+
+    qty = defaultdict(list)
+    for pk, q, _, _ in rows:
+        qty[pk].append(float(q))
+    total = 0.0
+    for pk, q, price, brand in rows:
+        if brand == "Brand#3" and float(q) < 0.5 * (
+            sum(qty[pk]) / len(qty[pk])
+        ):
+            total += float(price)
+    r = oracle_df(con, "q_tpch_q17").iloc[0]
+    assert abs(float(r["avg_yearly"]) - round(total / 7.0, 2)) < 0.01
