@@ -9895,3 +9895,334 @@ def test_tpch_q17_matches_python_replay(con):
             total += float(price)
     r = oracle_df(con, "q_tpch_q17").iloc[0]
     assert abs(float(r["avg_yearly"]) - round(total / 7.0, 2)) < 0.01
+
+
+# ---- batch 49: time hierarchies / CDC / SCD2 / point-in-time / TPC-H ----
+
+
+def test_time_window_batch_matches_bucket_counter(con):
+    from collections import Counter, defaultdict
+
+    rows = con.execute(
+        "SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT), value "
+        "FROM events"
+    ).fetchall()
+    cnt: Counter = Counter()
+    cents = defaultdict(int)
+    for et, s, v in rows:
+        k = (et, int(s) // 21600 * 21600)
+        cnt[k] += 1
+        cents[k] += int(math.floor(float(v) * 100 + 0.5))
+    got = {
+        (r.event_type, int(r.win_start_s)): (int(r.n), int(r.sum_cents))
+        for r in oracle_df(con, "q_time_window_batch").itertuples()
+    }
+    assert got == {k: (n, cents[k]) for k, n in cnt.items()}
+
+
+def test_hopping_window_batch_matches_double_grid(con):
+    """6h windows hopping every 3h: every event lands in EXACTLY two
+    windows (k=0 grid and the 3h-shifted grid)."""
+    from collections import Counter
+
+    rows = con.execute(
+        "SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) FROM events"
+    ).fetchall()
+    cnt: Counter = Counter()
+    for et, s in rows:
+        s = int(s)
+        for k in (0, 1):
+            cnt[(et, (s - k * 10800) // 21600 * 21600 + k * 10800)] += 1
+    got = {
+        (r.event_type, int(r.win_start_s)): int(r.n)
+        for r in oracle_df(con, "q_hopping_window_batch").itertuples()
+    }
+    assert got == dict(cnt)
+    assert sum(got.values()) == 2 * len(rows)
+
+
+def test_rollup_time_hierarchy_is_consistent_recursively(con):
+    """minute->hour->day rollup: each grain's rows must re-aggregate
+    EXACTLY from the grain below (counts integer-equal, values to
+    1e-4), and the minute grain must match raw rows."""
+    from collections import Counter, defaultdict
+
+    rows = con.execute(
+        "SELECT STRFTIME(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S'),"
+        " value FROM events"
+    ).fetchall()
+    mn_n: Counter = Counter()
+    mn_v = defaultdict(float)
+    for b, v in rows:
+        mn_n[b] += 1
+        mn_v[b] += float(v)
+    df = oracle_df(con, "q_rollup_time_hierarchy")
+    grains = {g: d for g, d in df.groupby("grain")}
+    m = grains["minute"]
+    assert {
+        r.bucket_start: int(r.n) for r in m.itertuples()
+    } == dict(mn_n)
+    for r in m.itertuples():
+        assert abs(float(r.total_value) - round(mn_v[r.bucket_start], 4)) < 1e-3
+    # hour from minute, day from hour
+    for child, parent, trunc in (
+        ("minute", "hour", 13),
+        ("hour", "day", 10),
+    ):
+        agg_n: Counter = Counter()
+        agg_v = defaultdict(float)
+        for r in grains[child].itertuples():
+            key = r.bucket_start[:trunc]
+            key = key + {13: ":00:00", 10: " 00:00:00"}[trunc]
+            agg_n[key] += int(r.n)
+            agg_v[key] += float(r.total_value)
+        got_n = {
+            r.bucket_start: int(r.n) for r in grains[parent].itertuples()
+        }
+        assert got_n == dict(agg_n), parent
+        for r in grains[parent].itertuples():
+            assert abs(float(r.total_value) - agg_v[r.bucket_start]) < 1e-2
+
+
+def test_merge_cdc_matches_python_apply(con):
+    """MERGE semantics replayed: deletes win over updates, updates
+    rewrite price + priority, inserts append with shifted keys."""
+    rows = con.execute(
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders"
+    ).fetchall()
+    expect = {}
+    for k, p, pri in rows:
+        k = int(k)
+        if k % 97 == 0:
+            continue  # deleted
+        if k % 7 == 0:
+            expect[k] = (round(float(p) * 1.05, 4), "UPDATED")
+        else:
+            expect[k] = (round(float(p), 4), pri)
+    for k, p, pri in rows:
+        k = int(k)
+        if k % 1009 == 0:
+            expect[k + 10_000_000] = (round(float(p), 4), "INSERTED")
+    got = {
+        int(r.o_orderkey): (
+            round(float(r.o_totalprice), 4),
+            r.o_orderpriority,
+        )
+        for r in oracle_df(con, "q_merge_cdc").itertuples()
+    }
+    assert got == expect
+    # all three CDC verbs must actually fire on the fixture
+    assert any(v[1] == "UPDATED" for v in got.values())
+    assert any(v[1] == "INSERTED" for v in got.values())
+    assert len(got) < len(rows) + sum(1 for k, _, _ in rows if int(k) % 1009 == 0)
+
+
+def _scd2_intervals(con):
+    """Per-user SCD2 state intervals replayed from raw rows: a new
+    version opens whenever event_type differs from the previous row in
+    (ts, event_id) order."""
+    rows = con.execute(
+        "SELECT user_id, epoch_ns(ts), event_id, event_type FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, t, eid, et in rows:
+        per_user[int(u)].append((int(t), int(eid), et))
+    intervals = {}
+    for u, lst in per_user.items():
+        lst.sort()
+        versions = []  # (state, start_ns, n_events)
+        for t, _eid, et in lst:
+            if not versions or versions[-1][0] != et:
+                versions.append([et, t, 1])
+            else:
+                versions[-1][2] += 1
+        intervals[u] = versions
+    return intervals
+
+
+def test_stream_scd2_matches_version_replay(con):
+    intervals = _scd2_intervals(con)
+    expect = set()
+    for u, versions in intervals.items():
+        for i, (state, start, n) in enumerate(versions):
+            nxt = versions[i + 1][1] if i + 1 < len(versions) else None
+            expect.add(
+                (
+                    u,
+                    state,
+                    _fmt_s(start),
+                    _fmt_s(nxt) if nxt is not None else None,
+                    nxt is None,
+                    n,
+                )
+            )
+    import pandas as pd
+
+    got = set()
+    for r in oracle_df(con, "q_stream_scd2").itertuples():
+        vt = r.valid_to if isinstance(r.valid_to, str) else None
+        got.add(
+            (
+                int(r.user_id),
+                r.state,
+                r.valid_from,
+                vt,
+                bool(r.is_current),
+                int(r.n_events),
+            )
+        )
+    assert got == expect
+
+
+def test_join_pointintime_matches_scd2_lookup(con):
+    """Point-in-time enrichment: each purchase probe picks the state
+    whose validity interval contains its ts (inclusive start) — cross-
+    checked against the SCD2 interval replay. Probes at a version
+    boundary take the NEW version (p.ts >= vf)."""
+    intervals = _scd2_intervals(con)
+    probes = con.execute(
+        "SELECT event_id, user_id, epoch_ns(ts) FROM events "
+        "WHERE event_type = 'purchase'"
+    ).fetchall()
+    expect = {}
+    for eid, u, t in probes:
+        u, t = int(u), int(t)
+        state = None
+        for st, start, _n in intervals.get(u, []):
+            if start <= t:
+                state = st
+            else:
+                break
+        expect[int(eid)] = (u, _fmt_s(t), state)
+    got = {
+        int(r.event_id): (int(r.user_id), r.ts_s, r.state_at)
+        for r in oracle_df(con, "q_join_pointintime").itertuples()
+    }
+    assert got == expect
+    # every purchase probe resolves (it is itself a state change or
+    # lives inside one), so no NULL states on this fixture
+    assert all(s is not None for _, _, s in got.values())
+
+
+def test_basket_economics_matches_python_rollup(con):
+    rows = con.execute(
+        "SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem"
+    ).fetchall()
+    from collections import defaultdict
+
+    baskets = defaultdict(lambda: [0, 0])
+    for ok, p, d in rows:
+        b = baskets[int(ok)]
+        b[0] += 1
+        b[1] += int(math.floor(float(p) * (1 - float(d)) * 100 + 0.5))
+    by_size = defaultdict(list)
+    for n_items, cents in baskets.values():
+        by_size[n_items].append(cents)
+    got = {
+        int(r.n_items): (
+            int(r.n_orders),
+            int(r.avg_basket_cents),
+            float(r.p50_basket_cents),
+        )
+        for r in oracle_df(con, "q_basket_economics").itertuples()
+    }
+    assert set(got) == set(by_size)
+    for n_items, lst in by_size.items():
+        lst.sort()
+        n = len(lst)
+        h = (n - 1) * 0.5
+        lo = int(math.floor(h))
+        hi = min(lo + 1, n - 1)
+        p50 = lst[lo] + (h - lo) * (lst[hi] - lst[lo])
+        g = got[n_items]
+        assert g[0] == n
+        assert g[1] == int(math.floor(sum(lst) / n))
+        assert abs(g[2] - p50) < 1e-6
+
+
+def test_profile_columns_matches_python_stats(con):
+    rows = con.execute(
+        "SELECT o_orderstatus, o_orderpriority, o_custkey, o_totalprice "
+        "FROM orders"
+    ).fetchall()
+    cols = list(zip(*rows))
+    got = {
+        r.col_name: (int(r.n_nulls), int(r.n_distinct), r.min_s, r.max_s)
+        for r in oracle_df(con, "q_profile_columns").itertuples()
+    }
+    st, pri, ck, tp = cols
+    assert got["o_orderstatus"] == (0, len(set(st)), min(st), max(st))
+    assert got["o_orderpriority"] == (0, len(set(pri)), min(pri), max(pri))
+    assert got["o_custkey"] == (
+        0, len(set(ck)), str(int(min(ck))), str(int(max(ck)))
+    )
+    assert got["o_totalprice"] == (
+        0,
+        len(set(tp)),
+        f"{float(min(tp)):.2f}",
+        f"{float(max(tp)):.2f}",
+    )
+
+
+def test_tpch_q18_matches_python_replay(con):
+    li = con.execute(
+        "SELECT l_orderkey, l_quantity FROM lineitem"
+    ).fetchall()
+    from collections import defaultdict
+
+    qty = defaultdict(float)
+    for ok, q in li:
+        qty[int(ok)] += float(q)
+    big = {ok for ok, s in qty.items() if s > 300}
+    meta = con.execute(
+        """SELECT o_orderkey, c_name, c_custkey, o_totalprice
+           FROM orders JOIN customer ON c_custkey = o_custkey"""
+    ).fetchall()
+    expect = {}
+    for ok, cn, ck, tp in meta:
+        ok = int(ok)
+        if ok in big:
+            expect[ok] = (cn, int(ck), round(float(tp), 2), round(qty[ok], 1))
+    got = {
+        int(r.o_orderkey): (
+            r.c_name,
+            int(r.c_custkey),
+            round(float(r.o_totalprice), 2),
+            round(float(r.total_qty), 1),
+        )
+        for r in oracle_df(con, "q_tpch_q18").itertuples()
+    }
+    assert got == expect
+    assert got, "fixture must contain at least one >300-qty order"
+
+
+def test_tpch_q22_matches_python_replay(con):
+    cust = con.execute(
+        """SELECT c_custkey, c_acctbal, n_name
+           FROM customer JOIN nation ON c_nationkey = n_nationkey"""
+    ).fetchall()
+    bal_avg_pool = [float(b) for _, b, _ in cust if float(b) > 0.0]
+    threshold = sum(bal_avg_pool) / len(bal_avg_pool)
+    open_cust = {
+        int(k)
+        for (k,) in con.execute(
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+        ).fetchall()
+    }
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for k, b, nn in cust:
+        if float(b) > threshold and int(k) not in open_cust:
+            agg[nn][0] += 1
+            agg[nn][1] += float(b)
+    got = {
+        r.n_name: (int(r.numcust), float(r.totacctbal))
+        for r in oracle_df(con, "q_tpch_q22").itertuples()
+    }
+    assert set(got) == set(agg)
+    for nn, (n, tot) in agg.items():
+        assert got[nn][0] == n
+        assert abs(got[nn][1] - round(tot, 2)) < 0.011
