@@ -10226,3 +10226,242 @@ def test_tpch_q22_matches_python_replay(con):
     for nn, (n, tot) in agg.items():
         assert got[nn][0] == n
         assert abs(got[nn][1] - round(tot, 2)) < 0.011
+
+
+# ---- batch 50: semantics contracts (bag set-ops, grouping bits,
+# RANGE frames, ordered string aggs, outer explode, salted/bloom
+# equivalence) ----
+
+
+def test_except_all_matches_multiset_subtraction(con):
+    """EXCEPT ALL is BAG subtraction: each key survives
+    max(0, count_left - count_right) times, not set difference."""
+    from collections import Counter
+
+    left = Counter(
+        int(k)
+        for (k,) in con.execute(
+            "SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25"
+        ).fetchall()
+    )
+    right = Counter(
+        int(k)
+        for (k,) in con.execute(
+            "SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'"
+        ).fetchall()
+    )
+    expect = Counter()
+    for k, n in left.items():
+        keep = n - right.get(k, 0)
+        if keep > 0:
+            expect[k] = keep
+    got = Counter(
+        int(r.okey) for r in oracle_df(con, "q_except_all").itertuples()
+    )
+    assert got == expect
+    # discriminating: some key must survive with MULTIPLICITY > 1 and
+    # some key present on both sides must survive partially
+    assert any(n > 1 for n in got.values())
+
+
+def test_grouping_id_matches_bit_convention(con):
+    """GROUPING_ID(a, b) = 2*GROUPING(a) + GROUPING(b), where
+    GROUPING(x) = 1 iff x is the rolled-up (NULL-filled) axis; ROLLUP
+    emits gids {0, 1, 3} and counts re-aggregate exactly."""
+    from collections import Counter
+
+    rows = con.execute(
+        "SELECT l_returnflag, l_linestatus FROM lineitem"
+    ).fetchall()
+    base = Counter(rows)
+    df = oracle_df(con, "q_grouping_id")
+    import pandas as pd
+
+    got = {}
+    for r in df.itertuples():
+        f = None if pd.isna(r.l_returnflag) else r.l_returnflag
+        s = None if pd.isna(r.l_linestatus) else r.l_linestatus
+        got[(f, s)] = (int(r.gid), int(r.g_flag), int(r.g_status), int(r.n))
+    for (f, s), (gid, gf, gs, n) in got.items():
+        assert gf == (1 if f is None else 0)
+        assert gs == (1 if s is None else 0)
+        assert gid == 2 * gf + gs
+        if gid == 0:
+            assert n == base[(f, s)]
+        elif gid == 1:
+            assert n == sum(v for (bf, _), v in base.items() if bf == f)
+        else:
+            assert gid == 3 and n == len(rows)
+    assert {g for g, _, _, _ in got.values()} == {0, 1, 3}
+
+
+def test_window_range_frame_is_value_based(con):
+    """RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING is VALUE-based:
+    the frame holds every PEER row whose o_totalprice lies within
+    +-1000 of the current row's, regardless of row position."""
+    rows = con.execute(
+        "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders"
+    ).fetchall()
+    from bisect import bisect_left, bisect_right
+    from collections import defaultdict
+    from itertools import accumulate
+
+    groups = defaultdict(list)
+    for st, key, p in rows:
+        groups[st].append((float(p), int(math.floor(float(p)))))
+    pref = {}
+    for st in groups:
+        groups[st].sort()
+        floors = [f for _, f in groups[st]]
+        pref[st] = [0, *accumulate(floors)]
+    got = oracle_df(con, "q_window_range")
+    assert len(got) == len(rows)
+    status_of = {int(k): st for st, k, _ in rows}
+    for r in got.sample(n=400, random_state=7).itertuples():
+        st = status_of[int(r.o_orderkey)]
+        vals = [p for p, _ in groups[st]]
+        p = float(r.o_totalprice)
+        lo = bisect_left(vals, p - 1000)
+        hi = bisect_right(vals, p + 1000)
+        assert int(r.n_similar) == hi - lo
+        assert int(r.sum_floor) == pref[st][hi] - pref[st][lo]
+
+
+def test_window_time_range_matches_sliding_hour(con):
+    """RANGE 3600 PRECEDING over epoch seconds = all of the user's
+    events in the trailing hour INCLUSIVE of both endpoints (value
+    range [t-3600, t] — peers at the same second all share the frame)."""
+    rows = con.execute(
+        "SELECT event_id, user_id, value, CAST(floor(epoch(ts)) AS BIGINT) "
+        "FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for eid, u, v, s in rows:
+        per_user[int(u)].append((int(s), float(v)))
+    for u in per_user:
+        per_user[u].sort()
+    got = oracle_df(con, "q_window_time_range")
+    assert len(got) == len(rows)
+    from bisect import bisect_left, bisect_right
+
+    for r in got.sample(n=400, random_state=7).itertuples():
+        lst = per_user[int(r.user_id)]
+        ts = [s for s, _ in lst]
+        t = int(r.ts_s)
+        lo = bisect_left(ts, t - 3600)
+        hi = bisect_right(ts, t)
+        assert int(r.n_1h) == hi - lo
+        s = sum(v for _, v in lst[lo:hi])
+        assert abs(float(r.sum_1h) - round(s, 4)) < 1e-3
+
+
+def test_listagg_ordered_matches_python_sort_join(con):
+    rows = con.execute(
+        """SELECT n_name, c_mktsegment,
+                  CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                       AS BIGINT)
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name, c_mktsegment"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per_nation = defaultdict(list)
+    for nn, seg, cents in rows:
+        per_nation[nn].append((int(cents), seg))
+    got = {
+        r.n_name: (r.segs_by_balance, r.segs_distinct)
+        for r in oracle_df(con, "q_listagg_ordered").itertuples()
+    }
+    assert set(got) == set(per_nation)
+    for nn, lst in per_nation.items():
+        by_bal = ",".join(
+            seg for _, seg in sorted(lst, key=lambda t: (-t[0], t[1]))
+        )
+        distinct = "|".join(sorted({seg for _, seg in lst}))
+        assert got[nn] == (by_bal, distinct), nn
+
+
+def test_explode_outer_keeps_empty_array_rows(con):
+    """explode_outer contract: a doc with an EMPTY token array still
+    yields one row with a NULL token; non-empty docs yield one row per
+    token (here the first 3 whitespace tokens)."""
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 30"
+    ).fetchall()
+    expect = set()
+    counts = {}
+    for did, text in rows:
+        did = int(did)
+        toks = [] if did % 3 == 0 else text.split(" ")[:3]
+        counts[did] = max(1, len(toks))
+        if not toks:
+            expect.add((did, None))
+        for t in toks:
+            expect.add((did, t))
+    import pandas as pd
+
+    df = oracle_df(con, "q_explode_outer")
+    got = {
+        (int(r.doc_id), None if pd.isna(r.tok) else r.tok)
+        for r in df.itertuples()
+    }
+    assert got == expect
+    assert len(df) == sum(counts.values())
+    assert any(t is None for _, t in got), "empty-array doc must appear"
+
+
+def test_agg_salted_equals_plain_group_by(con):
+    """The salted two-phase aggregate's oracle IS the plain group-by —
+    replayed independently so salting can never change results."""
+    rows = con.execute("SELECT event_type, value FROM events").fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for et, v in rows:
+        agg[et][0] += 1
+        agg[et][1] += float(v)
+    got = {
+        r.event_type: (int(r.n), float(r.sum_value), float(r.avg_value))
+        for r in oracle_df(con, "q_agg_salted").itertuples()
+    }
+    assert set(got) == set(agg)
+    for et, (n, sv) in agg.items():
+        g = got[et]
+        assert g[0] == n
+        assert abs(g[1] - round(sv, 4)) < 1e-3
+        assert abs(g[2] - round(sv / n, 6)) < 1e-5
+
+
+def test_join_bloom_matches_filtered_join_replay(con):
+    """The bloom-pruned join's oracle is the plain filtered join —
+    replayed from raw rows so runtime filtering can never change
+    results."""
+    urgent = {
+        int(k)
+        for (k,) in con.execute(
+            """SELECT o_orderkey FROM orders
+               WHERE o_orderpriority = '1-URGENT'
+                 AND o_totalprice > 400000"""
+        ).fetchall()
+    }
+    rows = con.execute(
+        "SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount "
+        "FROM lineitem"
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for ok, f, p, d in rows:
+        if int(ok) in urgent:
+            agg[f][0] += 1
+            agg[f][1] += float(p) * (1 - float(d))
+    got = {
+        r.l_returnflag: (int(r.n_lines), float(r.revenue))
+        for r in oracle_df(con, "q_join_bloom").itertuples()
+    }
+    assert set(got) == set(agg)
+    for f, (n, rev) in agg.items():
+        assert got[f][0] == n
+        assert abs(got[f][1] - round(rev, 2)) < 0.02
