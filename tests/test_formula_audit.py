@@ -10465,3 +10465,219 @@ def test_join_bloom_matches_filtered_join_replay(con):
     for f, (n, rev) in agg.items():
         assert got[f][0] == n
         assert abs(got[f][1] - round(rev, 2)) < 0.02
+
+
+# ---- batch 51: streaming stateful kernels II (anomaly / drift /
+# sample-k / upsert / disorder / routing) ----
+
+
+def test_stream_anomaly_matches_welford_replay(con):
+    """Online 3-sigma anomaly flag: each event is tested against the
+    mean/variance of the user's STRICT PREFIX (>=10 prior events,
+    sample variance > 0), in integer cents. Replayed sequentially."""
+    rows = con.execute(
+        "SELECT user_id, value, epoch_ns(ts), event_id FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, v, t, eid in rows:
+        per_user[int(u)].append((int(t), int(eid), float(v)))
+    got = {
+        int(r[0]): tuple(int(x) for x in r[1:])
+        for r in oracle_df(con, "q_stream_anomaly").itertuples(index=False)
+    }
+    assert set(got) == set(per_user)
+    for u, lst in per_user.items():
+        lst.sort()
+        n = s = ss = 0
+        flags = 0
+        for _, _, v in lst:
+            c = int(math.floor(v * 100 + 0.5))
+            if n >= 10:
+                var = (ss - s * s / n) / (n - 1)
+                if var > 0 and (c - s / n) ** 2 > 9.0 * var:
+                    flags += 1
+            n += 1
+            s += c
+            ss += c * c
+        assert got[u][0] == len(lst), u
+        assert got[u][-1] == flags, u
+
+
+def test_stream_drift_monitor_matches_tvd_replay(con):
+    """Reference = first 500 events in (ts, event_id) order, current =
+    the rest; TVD = half the L1 distance between the two event-type
+    distributions, in floored micro-units per term."""
+    rows = con.execute(
+        "SELECT event_type FROM events ORDER BY ts, event_id"
+    ).fetchall()
+    from collections import Counter
+
+    ref = Counter(et for (et,) in rows[:500])
+    cur = Counter(et for (et,) in rows[500:])
+    nr, nc = sum(ref.values()), sum(cur.values())
+    tvd = sum(
+        abs((ref.get(t, 0) * 10**6) // nr - (cur.get(t, 0) * 10**6) // nc)
+        for t in set(ref) | set(cur)
+    ) // 2
+    r = oracle_df(con, "q_stream_drift_monitor").iloc[0]
+    assert (int(r["n_ref"]), int(r["n_cur"])) == (nr, nc)
+    assert int(r["tvd_micro"]) == tvd
+
+
+def test_stream_sample_k_matches_md5_ranking(con):
+    """Deterministic k=20 sample per type: lowest (md5(event_id),
+    event_id) ranks win — the hash makes it order-insensitive, the key
+    tiebreak makes it total."""
+    import hashlib
+
+    rows = con.execute("SELECT event_type, event_id FROM events").fetchall()
+    from collections import defaultdict
+
+    per_type = defaultdict(list)
+    for et, eid in rows:
+        eid = int(eid)
+        per_type[et].append(
+            (hashlib.md5(str(eid).encode()).hexdigest(), eid)
+        )
+    expect = set()
+    for et, lst in per_type.items():
+        lst.sort()
+        for pos, (_, eid) in enumerate(lst[:20], start=1):
+            expect.add((et, pos, eid))
+    got = {
+        (r.event_type, int(r.pos), int(r.event_id))
+        for r in oracle_df(con, "q_stream_sample_k").itertuples()
+    }
+    assert got == expect
+
+
+def test_stream_dedup_within_wm_matches_distinct_triples(con):
+    rows = con.execute(
+        "SELECT user_id, event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d')"
+        " FROM events"
+    ).fetchall()
+    expect = {(int(u), et, d) for u, et, d in rows}
+    got = {
+        (int(r.user_id), r.event_type, r.day)
+        for r in oracle_df(con, "q_stream_dedup_within_wm").itertuples()
+    }
+    assert got == expect
+    assert len(expect) < len(rows), "dedup must drop something in-fixture"
+
+
+def test_stream_distinct_users_matches_hourly_sets(con):
+    rows = con.execute(
+        "SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),"
+        " user_id FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    sets = defaultdict(set)
+    for h, u in rows:
+        sets[h].add(int(u))
+    got = {
+        r.win_start: int(r.n_users)
+        for r in oracle_df(con, "q_stream_distinct_users").itertuples()
+    }
+    assert got == {h: len(s) for h, s in sets.items()}
+
+
+def test_stream_upsert_keeps_latest_version_per_key(con):
+    """Upsert view = the (ts, event_id)-LATEST row per user plus the
+    per-user event count; ties on ts resolve to the larger event_id."""
+    rows = con.execute(
+        "SELECT user_id, event_type, epoch_ns(ts), event_id FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, et, t, eid in rows:
+        per_user[int(u)].append((int(t), int(eid), et))
+    expect = {}
+    for u, lst in per_user.items():
+        t, _eid, et = max(lst)
+        expect[u] = (et, _fmt_s(t), len(lst))
+    got = {
+        int(r.user_id): (r.last_type, r.last_ts, int(r.n_events))
+        for r in oracle_df(con, "q_stream_upsert").itertuples()
+    }
+    assert got == expect
+
+
+def test_disorder_profile_matches_lateness_histogram(con):
+    """Event-time disorder: lateness of each event vs the running max
+    over ARRIVAL (event_id) order, floor-divided to seconds, bucketed
+    by bit length (0 stays 0). This is the watermark-design histogram."""
+    rows = con.execute(
+        "SELECT user_id, event_id, epoch_us(ts) FROM events"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    per_user = defaultdict(list)
+    for u, eid, us in rows:
+        per_user[int(u)].append((int(eid), int(us)))
+    buckets: Counter = Counter()
+    for u, lst in per_user.items():
+        lst.sort()
+        run_max = -(10**30)
+        for _, us in lst:
+            run_max = max(run_max, us)
+            late_s = (run_max - us) // 1_000_000
+            buckets[late_s.bit_length()] += 1
+    got = {
+        int(r.late_bucket_bits): int(r.n)
+        for r in oracle_df(con, "q_disorder_profile").itertuples()
+    }
+    assert got == dict(buckets)
+    assert sum(got.values()) == len(rows)
+    # the fixture arrives in-order per user (all mass in bucket 0);
+    # the synthetic test below exercises the non-zero buckets
+
+
+def test_disorder_profile_buckets_synthetic_lateness(con):
+    """Bit-length bucketing pinned on crafted disorder: an event 1s
+    late lands in bucket 1, 2-3s in bucket 2, 500s in bucket 9, and
+    sub-second lateness floors to bucket 0."""
+    c = _synth_events(
+        [
+            # event_id is the ARRIVAL order; ts walks backwards
+            (1, 1000 * 10**6, 1, "click", 0.0),  # run max
+            (2, 1000 * 10**6 - 999_999, 1, "click", 0.0),  # 0.999s -> 0
+            (3, 999 * 10**6, 1, "click", 0.0),  # 1s late -> bucket 1
+            (4, 997 * 10**6, 1, "click", 0.0),  # 3s late -> bucket 2
+            (5, 500 * 10**6, 1, "click", 0.0),  # 500s late -> bucket 9
+        ]
+    )
+    got = {
+        int(r.late_bucket_bits): int(r.n)
+        for r in c.execute(
+            all_specs()["q_disorder_profile"].oracle
+        ).df().itertuples()
+    }
+    assert got == {0: 2, 1: 1, 2: 1, 9: 1}
+
+
+def test_stream_route_partitions_by_branch(con):
+    rows = con.execute("SELECT event_type, value FROM events").fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for et, v in rows:
+        if et in ("purchase", "signup"):
+            k = ("money", et)
+        elif et == "error":
+            k = ("errors", et)
+        else:
+            continue
+        agg[k][0] += 1
+        agg[k][1] += float(v)
+    got = {
+        (r.branch, r.event_type): (int(r.n), float(r.total_value))
+        for r in oracle_df(con, "q_stream_route").itertuples()
+    }
+    assert set(got) == set(agg)
+    for k, (n, tv) in agg.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - round(tv, 4)) < 1e-3
