@@ -10681,3 +10681,171 @@ def test_stream_route_partitions_by_branch(con):
     for k, (n, tv) in agg.items():
         assert got[k][0] == n
         assert abs(got[k][1] - round(tv, 4)) < 1e-3
+
+
+# ---- batch 52: IVM / lakehouse maintenance invariants ----
+# These queries' Spark sides do the interesting work (partial-agg
+# merge, WAP staging, snapshot round-trips, compaction); their oracles
+# are full recomputes. The audit replays each full recompute so the
+# maintenance path is pinned against an independent third computation.
+
+
+def test_incremental_agg_matches_full_recompute(con):
+    rows = con.execute(
+        "SELECT o_custkey, o_totalprice FROM orders"
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for ck, p in rows:
+        a = agg[int(ck)]
+        a[0] += 1
+        a[1] += int(math.floor(float(p) * 100 + 0.5))
+    got = {
+        int(r.o_custkey): (
+            int(r.n_orders),
+            int(r.total_cents),
+            float(r.avg_price),
+        )
+        for r in oracle_df(con, "q_incremental_agg").itertuples()
+    }
+    assert set(got) == set(agg)
+    for ck, (n, cents) in agg.items():
+        g = got[ck]
+        assert (g[0], g[1]) == (n, cents)
+        assert abs(g[2] - cents / n / 100.0) < 1e-9
+
+
+def test_incremental_join_matches_full_recompute(con):
+    pri = dict(
+        con.execute(
+            "SELECT o_orderkey, o_orderpriority FROM orders"
+        ).fetchall()
+    )
+    rows = con.execute(
+        "SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem"
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for ok, p, d in rows:
+        pr = pri.get(ok)
+        if pr is None:
+            continue
+        a = agg[pr]
+        a[0] += 1
+        a[1] += int(math.floor(float(p) * (1 - float(d)) * 10000 + 0.5))
+    got = {
+        r.o_orderpriority: (int(r.n_rows), int(r.revenue_tenth_cents))
+        for r in oracle_df(con, "q_incremental_join").itertuples()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_kappa_and_snapshot_and_wap_conserve_totals(con):
+    """Three maintenance views over the same events corpus must agree
+    on the conserved totals: global (kappa), by type (snapshot
+    rollback), and by (day, type) (write-audit-publish) — all equal to
+    the raw replay."""
+    rows = con.execute(
+        "SELECT user_id, event_type,"
+        " STRFTIME(date_trunc('day', ts), '%Y-%m-%d'), value FROM events"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    n = len(rows)
+    users = len({u for u, _, _, _ in rows})
+    cents = lambda v: int(math.floor(float(v) * 100 + 0.5))  # noqa: E731
+    total = sum(cents(v) for _, _, _, v in rows)
+
+    k = oracle_df(con, "q_kappa_unified_view").iloc[0]
+    assert (int(k["n"]), int(k["n_users"]), int(k["cents"])) == (
+        n, users, total,
+    )
+
+    by_type = defaultdict(lambda: [0, 0])
+    for _, et, _, v in rows:
+        by_type[et][0] += 1
+        by_type[et][1] += cents(v)
+    got_t = {
+        r.event_type: (int(r.n), int(r.cents))
+        for r in oracle_df(con, "q_snapshot_rollback").itertuples()
+    }
+    assert got_t == {k2: tuple(v) for k2, v in by_type.items()}
+
+    by_day_type = defaultdict(lambda: [0, 0])
+    for _, et, day, v in rows:
+        by_day_type[(day, et)][0] += 1
+        by_day_type[(day, et)][1] += cents(v)
+    got_d = {
+        (r.day, r.event_type): (int(r.n), int(r.cents))
+        for r in oracle_df(con, "q_write_audit_publish").itertuples()
+    }
+    assert got_d == {k2: tuple(v) for k2, v in by_day_type.items()}
+    # cross-view conservation
+    assert sum(c for _, c in got_t.values()) == total
+    assert sum(c for _, c in got_d.values()) == total
+
+
+def test_compact_small_files_is_row_identity(con):
+    """Compaction must be a pure LAYOUT change: the row multiset is the
+    events table verbatim."""
+    rows = con.execute(
+        """SELECT event_id, user_id, event_type,
+                  STRFTIME(ts, '%Y-%m-%d %H:%M:%S'), value
+           FROM events"""
+    ).fetchall()
+    expect = {
+        (int(e), int(u), t, s, round(float(v), 9))
+        for e, u, t, s, v in rows
+    }
+    got = {
+        (
+            int(r.event_id),
+            int(r.user_id),
+            r.event_type,
+            r.ts_s,
+            round(float(r.value), 9),
+        )
+        for r in oracle_df(con, "q_compact_small_files").itertuples()
+    }
+    assert got == expect
+
+
+def test_agg_bool_matches_python_predicates(con):
+    rows = con.execute(
+        "SELECT o_orderstatus, o_totalprice, o_orderpriority FROM orders"
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [True, False, 0])
+    for st, p, pri in rows:
+        a = agg[st]
+        a[0] = a[0] and float(p) > 1000
+        a[1] = a[1] or float(p) > 400000
+        a[2] += 1 if pri == "1-URGENT" else 0
+    got = {
+        r.o_orderstatus: (
+            bool(r.all_over_1k),
+            bool(r.any_over_400k),
+            int(r.n_urgent),
+        )
+        for r in oracle_df(con, "q_agg_bool").itertuples()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_agg_string_matches_sorted_join(con):
+    rows = con.execute("SELECT n_regionkey, n_name FROM nation").fetchall()
+    from collections import defaultdict
+
+    per_region = defaultdict(list)
+    for rk, nn in rows:
+        per_region[int(rk)].append(nn)
+    got = {
+        int(r.n_regionkey): r.nations
+        for r in oracle_df(con, "q_agg_string").itertuples()
+    }
+    assert got == {
+        rk: ",".join(sorted(ns)) for rk, ns in per_region.items()
+    }
