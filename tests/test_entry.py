@@ -76,3 +76,38 @@ def test_oracle_column_names_match_spark_schema(spark, sf_dir):
         if oracle_cols != spark_cols:
             mismatches[name] = (spark_cols, oracle_cols)
     assert not mismatches, f"column-name drift: {mismatches}"
+
+
+def test_rotation_reverifies_rewritten_queries():
+    """Evidence-policy guard (ADVICE r5): a driver-correctness row
+    RECORDED BEFORE a query's rewrite round must not count as coverage
+    — the rotation must resurface the query until a round >= the
+    rewrite round re-establishes Spark-vs-oracle equality."""
+    mod = _load_entry()
+    order = list(mod.queries())
+    covered = mod._covered_in_prior_rounds()
+    pos = {n: i for i, n in enumerate(order)}
+    n_uncovered = len(order) - len(covered)
+    for name, rnd in mod._REVERIFY_FROM_ROUND.items():
+        # has prior rows only from rounds < rnd -> must NOT be covered
+        import json
+        import re
+        from pathlib import Path
+
+        rows = []
+        for p in Path(ROOT).glob("CORRECTNESS_r*.json"):
+            m = re.search(r"CORRECTNESS_r(\d+)", p.name)
+            try:
+                if name in json.loads(p.read_text()):
+                    rows.append(int(m.group(1)))
+            except Exception:  # noqa: BLE001
+                continue
+        if rows and max(rows) < rnd:
+            assert name not in covered, name
+            # and it must sit in the uncovered (front) segment
+            assert pos[name] < n_uncovered, name
+    # every uncovered query precedes every covered one
+    statuses = [n in covered for n in order]
+    assert statuses == sorted(statuses), (
+        "rotation must order uncovered before covered"
+    )
