@@ -10849,3 +10849,121 @@ def test_agg_string_matches_sorted_join(con):
     assert got == {
         rk: ",".join(sorted(ns)) for rk, ns in per_region.items()
     }
+
+
+# ---- batch 53: stream-stream interval joins ----
+
+
+def _click_purchase_pairs(con):
+    """All (click, purchase) pairs of the same user with the purchase
+    inside (click.ts, click.ts + 2h] ... actually [ts, ts+2h] INCLUSIVE
+    both ends, replayed from ns-exact timestamps."""
+    rows = con.execute(
+        "SELECT event_type, event_id, user_id, epoch_ns(ts) FROM events "
+        "WHERE event_type IN ('click', 'purchase')"
+    ).fetchall()
+    from collections import defaultdict
+
+    clicks = defaultdict(list)
+    purchases = defaultdict(list)
+    for et, eid, u, t in rows:
+        (clicks if et == "click" else purchases)[int(u)].append(
+            (int(t), int(eid))
+        )
+    two_h = 2 * 3600 * 10**9
+    pairs = set()
+    matched_clicks = set()
+    matched_purchases = set()
+    all_clicks = set()
+    all_purchases = set()
+    for u, cl in clicks.items():
+        for _, ceid in cl:
+            all_clicks.add((ceid, u))
+    for u, pl in purchases.items():
+        for _, peid in pl:
+            all_purchases.add((peid, u))
+    for u, cl in clicks.items():
+        for ct, ceid in cl:
+            for pt, peid in purchases.get(u, []):
+                if ct <= pt <= ct + two_h:
+                    pairs.add((ceid, peid, u))
+                    matched_clicks.add((ceid, u))
+                    matched_purchases.add((peid, u))
+    return pairs, all_clicks, matched_clicks, all_purchases, matched_purchases
+
+
+def test_stream_join_inner_matches_interval_replay(con):
+    pairs, _, _, _, _ = _click_purchase_pairs(con)
+    got = {
+        (int(r.click_id), int(r.purchase_id), int(r.user_id))
+        for r in oracle_df(con, "q_stream_join").itertuples()
+    }
+    assert got == pairs
+    assert pairs, "fixture must produce at least one in-window pair"
+
+
+def test_stream_join_outer_adds_unmatched_clicks(con):
+    """LEFT interval join = inner pairs + one NULL-purchase row per
+    never-matched click (matched clicks contribute NO null row)."""
+    import pandas as pd
+
+    pairs, all_clicks, matched_clicks, _, _ = _click_purchase_pairs(con)
+    expect = {(c, p, u) for c, p, u in pairs}
+    expect |= {
+        (c, None, u) for c, u in all_clicks - matched_clicks
+    }
+    got = set()
+    for r in oracle_df(con, "q_stream_join_outer").itertuples():
+        pid = None if pd.isna(r.purchase_id) else int(r.purchase_id)
+        got.add((int(r.click_id), pid, int(r.user_id)))
+    assert got == expect
+    assert any(p is None for _, p, _ in got)
+
+
+def test_stream_join_full_adds_both_unmatched_sides(con):
+    import pandas as pd
+
+    (
+        pairs,
+        all_clicks,
+        matched_clicks,
+        all_purchases,
+        matched_purchases,
+    ) = _click_purchase_pairs(con)
+    expect = set(pairs)
+    expect |= {(c, None, u) for c, u in all_clicks - matched_clicks}
+    expect |= {(None, p, u) for p, u in all_purchases - matched_purchases}
+    got = set()
+    for r in oracle_df(con, "q_stream_join_full").itertuples():
+        cid = None if pd.isna(r.click_id) else int(r.click_id)
+        pid = None if pd.isna(r.purchase_id) else int(r.purchase_id)
+        got.add((cid, pid, int(r.user_id)))
+    assert got == expect
+    assert any(c is None for c, _, _ in got)
+    assert any(p is None for _, p, _ in got)
+
+
+def test_stream_enrich_matches_dim_lookup(con):
+    seg = dict(
+        con.execute(
+            "SELECT c_custkey, c_mktsegment FROM customer"
+        ).fetchall()
+    )
+    rows = con.execute("SELECT user_id, value FROM events").fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for u, v in rows:
+        s = seg.get(u)
+        if s is None:
+            continue
+        agg[s][0] += 1
+        agg[s][1] += float(v)
+    got = {
+        r.c_mktsegment: (int(r.n), float(r.total_value))
+        for r in oracle_df(con, "q_stream_enrich").itertuples()
+    }
+    assert set(got) == set(agg)
+    for s, (n, tv) in agg.items():
+        assert got[s][0] == n
+        assert abs(got[s][1] - round(tv, 4)) < 1e-3
