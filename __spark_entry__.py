@@ -36,6 +36,7 @@ _REVERIFY_FROM_ROUND = {
     "q_location_ladder": 5,
     "q_var_backtest": 5,
     "q_rle_compressibility": 6,  # eqNullSafe run-boundary fix, round 6
+    "q_embed_centroids": 6,  # integer-micro centroid rewrite, round 6
 }
 
 

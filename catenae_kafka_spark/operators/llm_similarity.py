@@ -381,10 +381,13 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embed_centroids",
     tags=("llm", "similarity", "vector"),
     oracle="""
-SELECT label, pos, ROUND(AVG(comp), 4) AS c
+SELECT label, pos,
+       CAST(FLOOR(
+         CAST(SUM(CAST(FLOOR(comp * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / COUNT(*)) AS BIGINT) AS c_micro
 FROM (
   SELECT label,
-         unnest(embedding) AS comp,
+         CAST(unnest(embedding) AS DOUBLE) AS comp,
          generate_subscripts(embedding, 1) AS pos
   FROM embeddings
 )
@@ -395,19 +398,42 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, elementwise (the k-means /
     class-prototype building block of embedding pipelines). posexplode
     turns the vector column into (label, pos, comp) rows, then a
-    standard two-phase avg per (label, pos) — ONE shuffle whose width is
-    n_labels x dim (tiny) regardless of corpus size; the explode itself
-    is map-side. Long format out (label, pos, c): scalar columns hash
-    cleanly against the oracle, and the wide array form is one
-    ``collect_list over pos`` away when needed."""
+    standard two-phase sum/count per (label, pos) — ONE shuffle whose
+    width is n_labels x dim (tiny) regardless of corpus size; the
+    explode itself is map-side. Long format out (label, pos, c_micro).
+
+    Exact: components quantized to integer micro-units up front
+    (round-half-up), centroid = FLOOR-divided integer mean. The
+    previous ROUND(AVG(double), 4) form was float-summation-order
+    sensitive: at sf0.1 the per-position means shrink toward 0 and
+    several landed within one double ulp of a 4dp rounding midpoint,
+    flipping the last digit between engines (caught by the sf0.1
+    sweep, round 6). Integer sums commute — any order, any engine,
+    same result. Floor division spelled explicitly on BOTH engines
+    because their integer-division defaults disagree on negatives:
+    Spark's ``div`` truncates toward zero (hence (s - pmod(s, n)) div
+    n), and DuckDB's integer ``//`` also truncates (hence
+    FLOOR(double(s)/n) — safe: a non-multiple s/n sits >= 1/n from any
+    integer, far beyond double error at these magnitudes)."""
     c = catalog(spark, sf_dir)
+    comp_micro = (
+        F.floor(F.col("comp") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    )
     return (
         c.embeddings.select(
             "label", F.posexplode(_as_double("embedding")).alias("pos0", "comp")
         )
         # generate_subscripts is 1-based, posexplode 0-based
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-        .agg(F.round(F.avg("comp"), 4).alias("c"))
+        .agg(
+            F.sum(comp_micro).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.expr("(s - pmod(s, n)) div n").cast("bigint").alias("c_micro"),
+        )
     )
 
 

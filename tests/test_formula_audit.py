@@ -6902,21 +6902,25 @@ def test_ab_srm_check_matches_binomial_chi2(con):
 
 
 def test_embed_centroids_match_componentwise_means(con):
-    import numpy as np
-
+    """Integer-exact replay: component -> round-half-up micro-units,
+    centroid = floor-divided integer mean (python big-int floor
+    division, no float summation anywhere)."""
     vecs = _vecs(con)
     from collections import defaultdict
 
     groups = defaultdict(list)
     for _, (lbl, v) in vecs.items():
-        groups[lbl].append(v)
+        groups[lbl].append(
+            [int(math.floor(float(x) * 1_000_000 + 0.5)) for x in v]
+        )
     got = {}
     for _, r in oracle_df(con, "q_embed_centroids").iterrows():
-        got[(int(r["label"]), int(r["pos"]))] = float(r["c"])
+        got[(int(r["label"]), int(r["pos"]))] = int(r["c_micro"])
     for lbl, vs in groups.items():
-        m = np.mean(np.array(vs), axis=0)
-        for pos in range(len(m)):
-            assert abs(got[(lbl, pos + 1)] - round(float(m[pos]), 4)) < 1e-6
+        n = len(vs)
+        for pos in range(len(vs[0])):
+            s = sum(v[pos] for v in vs)
+            assert got[(lbl, pos + 1)] == s // n, (lbl, pos)
 
 
 def test_mixture_rates_respect_scarcest_language(con):

@@ -214,7 +214,7 @@ def test_embed_centroids_two_phase_narrow_shuffle(spark):
     from catenae_kafka_spark.operators.llm_similarity import q_embed_centroids
 
     plan = plan_of(q_embed_centroids(spark, SF))
-    assert "partial_avg" in plan
+    assert "partial_sum" in plan and "partial_count" in plan
     assert "CartesianProduct" not in plan
     # exactly one explode node (formatted plans print each node twice:
     # once in the tree, once in the detail section)
