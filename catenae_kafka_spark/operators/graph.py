@@ -76,7 +76,7 @@ def pagerank(
     "q_pagerank",
     tags=("graph", "iterative"),
     oracle=f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          COUNT(*) * 1.0 AS w
   FROM lineitem
@@ -85,20 +85,20 @@ WITH edges AS (
   JOIN supplier s ON l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY c.c_nationkey, s.s_nationkey
-), outw AS (
+), outw AS MATERIALIZED (
   SELECT src, SUM(w) AS ow FROM edges GROUP BY src
-), norm AS (
+), norm AS MATERIALIZED (
   SELECT e.src AS u, e.dst AS v, e.w / o.ow AS p
   FROM edges e JOIN outw o ON e.src = o.src
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM edges UNION SELECT dst FROM edges
   )
-), n AS (
+), n AS MATERIALIZED (
   SELECT COUNT(*) AS cnt FROM nodes
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT node, 1.0 / n.cnt AS rank FROM nodes CROSS JOIN n
-), r1 AS (
+), r1 AS MATERIALIZED (
   SELECT nodes.node,
          (1 - {DAMPING}) / n.cnt
            + {DAMPING} * COALESCE(SUM(norm.p * r0.rank), 0) AS rank
@@ -106,7 +106,7 @@ WITH edges AS (
   LEFT JOIN norm ON norm.v = nodes.node
   LEFT JOIN r0 ON r0.node = norm.u
   GROUP BY nodes.node, n.cnt
-), r2 AS (
+), r2 AS MATERIALIZED (
   SELECT nodes.node,
          (1 - {DAMPING}) / n.cnt
            + {DAMPING} * COALESCE(SUM(norm.p * r1.rank), 0) AS rank
@@ -114,7 +114,7 @@ WITH edges AS (
   LEFT JOIN norm ON norm.v = nodes.node
   LEFT JOIN r1 ON r1.node = norm.u
   GROUP BY nodes.node, n.cnt
-), r3 AS (
+), r3 AS MATERIALIZED (
   SELECT nodes.node,
          (1 - {DAMPING}) / n.cnt
            + {DAMPING} * COALESCE(SUM(norm.p * r2.rank), 0) AS rank

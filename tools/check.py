@@ -30,6 +30,13 @@ from catenae_kafka_spark.session import get_spark
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Cap the oracle engine so a pathological plan fails loudly instead
+    # of thrashing the host: q_pagerank's pre-round-6 oracle re-inlined
+    # its CTE chain exponentially at sf0.1 and ate 105 GB before the
+    # fix (AS MATERIALIZED). Override with DUCKDB_MEMORY_LIMIT.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCKDB_MEMORY_LIMIT', '24GB')}'"
+    )
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
