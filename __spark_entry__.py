@@ -37,6 +37,7 @@ _REVERIFY_FROM_ROUND = {
     "q_var_backtest": 5,
     "q_rle_compressibility": 6,  # eqNullSafe run-boundary fix, round 6
     "q_embed_centroids": 6,  # integer-micro centroid rewrite, round 6
+    "q_tpch_q2": 6,  # best_cost -> integer e4 units, round 6
 }
 
 

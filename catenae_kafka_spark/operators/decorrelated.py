@@ -70,7 +70,7 @@ WITH cost AS (
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
 SELECT p_partkey, p_name, s_name,
-       ROUND(unit_cost, 4) AS best_cost
+       CAST(FLOOR(unit_cost * 10000 + 0.5) AS BIGINT) AS best_cost_e4
 FROM cost
 JOIN part ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -86,7 +86,12 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a window-min over the per-(part,supplier) cost table — one
     shuffle on partkey, no re-aggregation join. Equality on the min is
     float-safe: unit costs are per-row divisions (no summation-order
-    drift), so Spark and the oracle agree bit-for-bit."""
+    drift), so Spark and the oracle agree bit-for-bit on the DOUBLE.
+    The OUTPUT is reported in integer 1e-4 units via FLOOR(x*1e4+0.5)
+    rather than ROUND(x, 4): division-derived doubles land on 4dp
+    midpoints where the engines' ROUND implementations disagree
+    (caught by the sf0.1 sweep, round 6 — 5 of ~1500 rows flipped);
+    floor-of-shifted is pure IEEE arithmetic on bit-identical inputs."""
     c = catalog(spark, sf_dir)
     cost = c.lineitem.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
@@ -103,7 +108,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             "s_name",
-            F.round("unit_cost", 4).alias("best_cost"),
+            F.floor(F.col("unit_cost") * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("best_cost_e4"),
         )
     )
 
