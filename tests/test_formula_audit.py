@@ -10971,3 +10971,254 @@ def test_stream_enrich_matches_dim_lookup(con):
     for s, (n, tv) in agg.items():
         assert got[s][0] == n
         assert abs(got[s][1] - round(tv, 4)) < 1e-3
+
+
+# ---- batch 54: TPC-H replays II (Q7/Q8/Q9/Q10/Q11/Q16/Q20/Q21) ----
+# Python joins over raw fixture rows with string-sliced years — no SQL
+# date/engine machinery shared with either engine.
+
+
+def _year(s) -> int:
+    return int(str(s)[:4])
+
+
+def test_tpch_q7_matches_python_replay(con):
+    rows = con.execute(
+        """SELECT n1.n_name, n2.n_name, CAST(l_shipdate AS VARCHAR),
+                  l_extendedprice, l_discount
+           FROM supplier
+           JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(float)
+    for sn, cn, ship, p, d in rows:
+        if {sn, cn} != {"NATION_1", "NATION_2"} or sn == cn:
+            continue
+        if not ("1995-01-01" <= ship[:10] < "1997-01-01"):
+            continue
+        agg[(sn, cn, _year(ship))] += float(p) * (1 - float(d))
+    got = {
+        (r.supp_nation, r.cust_nation, int(r.l_year)): float(r.revenue)
+        for r in oracle_df(con, "q_tpch_q7").itertuples()
+    }
+    assert set(got) == set(agg)
+    for k, v in agg.items():
+        assert abs(got[k] - round(v, 2)) < 0.02, k
+
+
+def test_tpch_q8_matches_python_replay(con):
+    rows = con.execute(
+        """SELECT CAST(o_orderdate AS VARCHAR), n2.n_name,
+                  l_extendedprice, l_discount
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE r_name = 'ASIA' AND p_type = 'PROMO'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    num = defaultdict(float)
+    den = defaultdict(float)
+    for od, sn, p, d in rows:
+        v = float(p) * (1 - float(d))
+        y = _year(od)
+        den[y] += v
+        if sn == "NATION_5":
+            num[y] += v
+    got = {
+        int(r.o_year): float(r.mkt_share)
+        for r in oracle_df(con, "q_tpch_q8").itertuples()
+    }
+    assert set(got) == set(den)
+    for y in den:
+        assert abs(got[y] - round(num[y] / den[y], 6)) < 1e-5, y
+
+
+def test_tpch_q9_matches_python_replay(con):
+    rows = con.execute(
+        """SELECT n_name, CAST(o_orderdate AS VARCHAR),
+                  l_extendedprice, l_discount, p_retailprice, l_quantity
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE p_name LIKE '%red%'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(float)
+    for nn, od, p, d, rp, q in rows:
+        agg[(nn, _year(od))] += float(p) * (1 - float(d)) - float(
+            rp
+        ) * 0.6 * float(q)
+    got = {
+        (r.nation, int(r.o_year)): float(r.sum_profit)
+        for r in oracle_df(con, "q_tpch_q9").itertuples()
+    }
+    assert set(got) == set(agg)
+    for k, v in agg.items():
+        assert abs(got[k] - round(v, 2)) < 0.05, k
+
+
+def test_tpch_q10_matches_python_replay(con):
+    rows = con.execute(
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+                  CAST(o_orderdate AS VARCHAR), l_returnflag,
+                  l_extendedprice, l_discount
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation ON c_nationkey = n_nationkey"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(float)
+    meta = {}
+    for ck, cn, bal, nn, od, rf, p, d in rows:
+        if rf != "R" or not ("1995-01-01" <= od[:10] < "1995-07-01"):
+            continue
+        agg[int(ck)] += float(p) * (1 - float(d))
+        meta[int(ck)] = (cn, round(float(bal), 2), nn)
+    top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = oracle_df(con, "q_tpch_q10")
+    assert len(got) == min(20, len(agg))
+    for r, (ck, rev) in zip(got.itertuples(), top):
+        assert int(r.c_custkey) == ck
+        assert abs(float(r.revenue) - round(rev, 2)) < 0.02
+        assert (r.c_name, round(float(r.c_acctbal), 2), r.n_name) == meta[ck]
+
+
+def test_tpch_q11_matches_python_replay(con):
+    rows = con.execute(
+        """SELECT l_partkey, l_extendedprice, l_quantity
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    val = defaultdict(float)
+    for pk, p, q in rows:
+        val[int(pk)] += float(p) * float(q)
+    cutoff = sum(val.values()) * 0.0007
+    expect = {pk for pk, v in val.items() if v > cutoff}
+    got = {
+        int(r.partkey): float(r.part_value)
+        for r in oracle_df(con, "q_tpch_q11").itertuples()
+    }
+    assert set(got) == expect
+    for pk in expect:
+        assert abs(got[pk] - round(val[pk], 2)) < 0.02
+    # the threshold must actually prune for the test to discriminate
+    assert len(expect) < len(val)
+
+
+def test_tpch_q16_matches_python_replay(con):
+    bad_supp = {
+        int(k)
+        for (k,) in con.execute(
+            "SELECT s_suppkey FROM supplier WHERE s_acctbal < 0"
+        ).fetchall()
+    }
+    rows = con.execute(
+        """SELECT p_brand, p_type, p_size, l_suppkey
+           FROM lineitem JOIN part ON p_partkey = l_partkey"""
+    ).fetchall()
+    from collections import defaultdict
+
+    sizes = {1, 5, 9, 13, 17, 21, 25, 29}
+    sets = defaultdict(set)
+    for b, t, sz, sk in rows:
+        if b == "Brand#1" or int(sz) not in sizes or int(sk) in bad_supp:
+            continue
+        sets[(b, t, int(sz))].add(int(sk))
+    got = {
+        (r.p_brand, r.p_type, int(r.p_size)): int(r.supplier_cnt)
+        for r in oracle_df(con, "q_tpch_q16").itertuples()
+    }
+    assert got == {k: len(s) for k, s in sets.items()}
+
+
+def test_tpch_q20_matches_python_replay(con):
+    rows = con.execute(
+        """SELECT l_partkey, l_suppkey, l_quantity,
+                  CAST(l_shipdate AS VARCHAR)
+           FROM lineitem"""
+    ).fetchall()
+    from collections import defaultdict
+
+    pq = defaultdict(float)
+    for pk, sk, q, ship in rows:
+        if "1995-01-01" <= ship[:10] < "1996-01-01":
+            pq[(int(pk), int(sk))] += float(q)
+    pt = defaultdict(float)
+    for (pk, _), sq in pq.items():
+        pt[pk] += sq
+    names = dict(
+        con.execute("SELECT s_suppkey, s_name FROM supplier").fetchall()
+    )
+    expect = {
+        (sk, names[sk])
+        for (pk, sk), sq in pq.items()
+        if sq > 0.5 * pt[pk]
+    }
+    got = {
+        (int(r.s_suppkey), r.s_name)
+        for r in oracle_df(con, "q_tpch_q20").itertuples()
+    }
+    assert got == expect
+
+
+def test_tpch_q21_matches_python_replay(con):
+    """Q21 shape: F-status orders where supplier s is the ONLY supplier
+    with a returned ('R') line, and the order is multi-supplier."""
+    li = con.execute(
+        "SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    supps = defaultdict(set)
+    r_supps = defaultdict(set)
+    for ok, sk, rf in li:
+        ok, sk = int(ok), int(sk)
+        supps[ok].add(sk)
+        if rf == "R":
+            r_supps[ok].add(sk)
+    f_orders = {
+        int(k)
+        for (k,) in con.execute(
+            "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'"
+        ).fetchall()
+    }
+    names = dict(
+        con.execute("SELECT s_suppkey, s_name FROM supplier").fetchall()
+    )
+    numwait: Counter = Counter()
+    for ok, sk, rf in li:
+        ok, sk = int(ok), int(sk)
+        if (
+            rf == "R"
+            and ok in f_orders
+            and len(supps[ok]) > 1
+            and r_supps[ok] == {sk}
+        ):
+            numwait[names[sk]] += 1
+    got = {
+        r.s_name: int(r.numwait)
+        for r in oracle_df(con, "q_tpch_q21").itertuples()
+    }
+    assert got == dict(numwait)
+    assert got, "fixture must contain at least one lone-fault supplier"
