@@ -11222,3 +11222,185 @@ def test_tpch_q21_matches_python_replay(con):
     }
     assert got == dict(numwait)
     assert got, "fixture must contain at least one lone-fault supplier"
+
+
+# ---- batch 55: multimodal plumbing / dataset card / layout math ----
+
+
+def test_multimodal_features_match_byte_stats(con):
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    got = {
+        int(r.doc_id): (
+            int(r.n_bytes),
+            int(r.first_byte),
+            int(r.byte_sum_mod),
+            int(r.fake_width),
+        )
+        for r in oracle_df(con, "q_multimodal_features").itertuples()
+    }
+    assert len(got) == len(rows)
+    for did, text in rows:
+        b = text.encode("ascii")  # fixture text is ASCII by construction
+        expect = (len(b), b[0], sum(b) % 65536, len(b) % 640)
+        assert got[int(did)] == expect, did
+
+
+def test_multimodal_audio_energy_matches_chunk_replay(con):
+    """32-byte chunk 'energy': per chunk the byte sum; per doc the
+    chunk count, average (4dp), and peak — TRUNCATED tail bytes beyond
+    the last full 32-byte chunk are excluded."""
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    got = {
+        int(r.doc_id): (
+            int(r.n_chunks),
+            float(r.avg_energy),
+            int(r.peak_energy),
+        )
+        for r in oracle_df(con, "q_multimodal_audio_energy").itertuples()
+    }
+    for did, text in rows:
+        b = text.encode("ascii")
+        chunks = [
+            sum(b[i * 32 : (i + 1) * 32]) for i in range(len(b) // 32)
+        ]
+        if not chunks:
+            assert int(did) not in got
+            continue
+        g = got[int(did)]
+        assert g[0] == len(chunks)
+        assert abs(g[1] - round(sum(chunks) / len(chunks), 4)) < 1e-6
+        assert g[2] == max(chunks)
+
+
+def test_dataset_card_matches_python_replay(con):
+    import hashlib
+
+    rows = con.execute(
+        "SELECT doc_id, lang, source, n_chars, text FROM documents"
+    ).fetchall()
+    from collections import Counter
+
+    cks = Counter()
+    n_tok = 0
+    n_chars = 0
+    src = Counter()
+    langs = set()
+    for _, lang, source, nc, text in rows:
+        toks = text.split(" ")
+        n_tok += len(toks)
+        n_chars += int(nc)
+        langs.add(lang)
+        src[source] += 1
+        canon = " ".join(sorted(set(toks)))
+        cks[hashlib.md5(canon.encode()).hexdigest()] += 1
+    n_dups = sum(c - 1 for c in cks.values() if c > 1)
+    r = oracle_df(con, "q_dataset_card").iloc[0]
+    assert int(r["n_docs"]) == len(rows)
+    assert int(r["n_langs"]) == len(langs)
+    assert int(r["n_sources"]) == len(src)
+    assert int(r["n_tokens"]) == n_tok
+    assert int(r["mean_chars"]) == n_chars // len(rows)
+    assert int(r["n_exact_dups"]) == n_dups
+    assert int(r["dup_rate_micro"]) == (n_dups * 10**6) // len(rows)
+    assert r["top_source"] == sorted(
+        src.items(), key=lambda kv: (-kv[1], kv[0])
+    )[0][0]
+    assert n_dups > 0, "fixture must contain exact dups for the card"
+
+
+def test_join_fanout_audit_matches_multiplicity_histogram(con):
+    """Join-fanout DQ audit: per order, lineitem multiplicity (0 kept
+    by the left join), bucketed by bit length."""
+    from collections import Counter
+
+    li = Counter(
+        int(k)
+        for (k,) in con.execute("SELECT l_orderkey FROM lineitem").fetchall()
+    )
+    orders = [
+        int(k)
+        for (k,) in con.execute("SELECT o_orderkey FROM orders").fetchall()
+    ]
+    buckets = Counter()
+    joined = Counter()
+    mx = Counter()
+    for ok in orders:
+        m = li.get(ok, 0)
+        bb = m.bit_length()
+        buckets[bb] += 1
+        joined[bb] += m
+        mx[bb] = max(mx[bb], m)
+    got = {
+        int(r.fanout_bucket_bits): (
+            int(r.n_keys),
+            int(r.n_joined_rows),
+            int(r.max_mult),
+        )
+        for r in oracle_df(con, "q_join_fanout_audit").itertuples()
+    }
+    assert got == {b: (buckets[b], joined[b], mx[b]) for b in buckets}
+    # multiplicities conserved against raw lineitem
+    assert sum(j for _, j, _ in got.values()) == sum(
+        li[ok] for ok in orders
+    )
+
+
+def test_sample_balanced_takes_min_class_k_everywhere(con):
+    from collections import Counter
+
+    rows = con.execute("SELECT event_type FROM events").fetchall()
+    sizes = Counter(et for (et,) in rows)
+    k = min(sizes.values())
+    got = {
+        r.event_type: int(r.n)
+        for r in oracle_df(con, "q_sample_balanced").itertuples()
+    }
+    assert got == {et: k for et in sizes}
+
+
+def test_zorder_layout_matches_python_morton_interleave(con):
+    """Z-order bucketing: 10-bit scale of (custkey, price) to [0,1023],
+    bit-interleave x into even and y into odd positions, keep the top
+    6 bits (>> 14) — the Morton math replayed with python ints."""
+    rows = con.execute(
+        "SELECT o_custkey, o_totalprice FROM orders"
+    ).fetchall()
+    mnc = min(int(c) for c, _ in rows)
+    mxc = max(int(c) for c, _ in rows)
+    mnp = min(float(p) for _, p in rows)
+    mxp = max(float(p) for _, p in rows)
+    from collections import Counter
+
+    def z(c, p):
+        nx = int(math.floor((int(c) - mnc) * 1023.0 / (mxc - mnc)))
+        ny = int(math.floor((float(p) - mnp) * 1023.0 / (mxp - mnp)))
+        m = 0
+        for i in range(10):
+            m |= ((nx >> i) & 1) << (2 * i)
+            m |= ((ny >> i) & 1) << (2 * i + 1)
+        return m >> 14
+
+    buckets = Counter(z(c, p) for c, p in rows)
+    mins = {}
+    for c, p in rows:
+        b = z(c, p)
+        cur = mins.get(b)
+        if cur is None:
+            mins[b] = [int(c), int(c), float(p), float(p)]
+        else:
+            cur[0] = min(cur[0], int(c))
+            cur[1] = max(cur[1], int(c))
+            cur[2] = min(cur[2], float(p))
+            cur[3] = max(cur[3], float(p))
+    got = oracle_df(con, "q_zorder_layout")
+    assert len(got) == len(buckets)
+    for r in got.itertuples():
+        b = int(r.bucket)
+        assert int(r.n) == buckets[b]
+        assert int(r.min_cust) == mins[b][0]
+        assert int(r.max_cust) == mins[b][1]
+        assert abs(float(r.min_price) - round(mins[b][2], 2)) < 1e-6
+        assert abs(float(r.max_price) - round(mins[b][3], 2)) < 1e-6
+    # Z-order property worth asserting: >=32 of the 64 possible top-6
+    # buckets are populated (the interleave actually spreads both dims)
+    assert len(buckets) >= 32
