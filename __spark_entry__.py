@@ -75,6 +75,8 @@ _PINNED_FIRST = (
     "q_location_ladder",
     "q_var_backtest",
     "q_rle_compressibility",
+    "q_embed_centroids",
+    "q_tpch_q2",
     # §2B UDF surface — never driver-sampled in rounds 1-4
     "q_udf_scalar",
     "q_udaf_grouped",
