@@ -11404,3 +11404,161 @@ def test_zorder_layout_matches_python_morton_interleave(con):
     # Z-order property worth asserting: >=32 of the 64 possible top-6
     # buckets are populated (the interleave actually spreads both dims)
     assert len(buckets) >= 32
+
+
+# ---- batch 56: governance / layout / nested-assembly contracts ----
+
+
+def test_nested_assembly_matches_per_order_rollup(con):
+    rows = con.execute(
+        """SELECT l_orderkey, l_quantity, epoch_us(l_shipdate),
+                  l_linenumber
+           FROM lineitem"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = {}
+    for ok, q, ship_us, ln in rows:
+        ok = int(ok)
+        if ok % 199 != 0:
+            continue
+        a = agg.setdefault(ok, [0, 0, -(10**18), 10**9])
+        a[0] += 1
+        a[1] += int(q)
+        a[2] = max(a[2], int(ship_us) // 86_400_000_000)
+        a[3] = min(a[3], int(ln))
+    got = {
+        int(r.o_orderkey): (
+            int(r.n_lines),
+            int(r.total_qty),
+            int(r.last_ship_day),
+            int(r.first_lineno),
+        )
+        for r in oracle_df(con, "q_nested_assembly").itertuples()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_subject_access_export_matches_full_history(con):
+    """GDPR subject-access export for the lowest user id: counts,
+    first/last seen, money total, and the sorted distinct type list."""
+    rows = con.execute(
+        "SELECT user_id, event_type, epoch_ns(ts), value FROM events"
+    ).fetchall()
+    uid = min(int(u) for u, _, _, _ in rows)
+    mine = [(et, int(t), float(v)) for u, et, t, v in rows if int(u) == uid]
+    r = oracle_df(con, "q_subject_access_export").iloc[0]
+    assert int(r["user_id"]) == uid
+    assert int(r["n_events"]) == len(mine)
+    assert int(r["n_types"]) == len({et for et, _, _ in mine})
+    assert r["first_seen"] == _fmt_s(min(t for _, t, _ in mine))
+    assert r["last_seen"] == _fmt_s(max(t for _, t, _ in mine))
+    assert int(r["total_cents"]) == sum(
+        int(math.floor(v * 100 + 0.5)) for _, _, v in mine
+    )
+    assert r["types_csv"] == ",".join(sorted({et for et, _, _ in mine}))
+
+
+def test_unpivot_keeps_null_cells(con):
+    """UNPIVOT INCLUDE NULLS contract: every (status, prio) cell
+    appears exactly once, including statuses with no orders at that
+    priority (NULL amount)."""
+    rows = con.execute(
+        "SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders"
+    ).fetchall()
+    from collections import defaultdict
+
+    cells = defaultdict(float)
+    seen = defaultdict(bool)
+    statuses = set()
+    for st, pri, p in rows:
+        statuses.add(st)
+        if pri == "1-URGENT":
+            cells[(st, "p1")] += float(p)
+            seen[(st, "p1")] = True
+        elif pri == "5-LOW":
+            cells[(st, "p5")] += float(p)
+            seen[(st, "p5")] = True
+    import pandas as pd
+
+    got = {}
+    for r in oracle_df(con, "q_unpivot").itertuples():
+        amt = None if pd.isna(r.amount) else round(float(r.amount), 2)
+        got[(r.o_orderstatus, r.prio)] = amt
+    assert set(got) == {(st, p) for st in statuses for p in ("p1", "p5")}
+    for k, amt in got.items():
+        if seen[k]:
+            assert amt is not None and abs(amt - round(cells[k], 2)) < 0.02
+        else:
+            assert amt is None
+
+
+def test_observe_metrics_matches_totals(con):
+    rows = con.execute(
+        "SELECT l_extendedprice, l_discount FROM lineitem"
+    ).fetchall()
+    r = oracle_df(con, "q_observe_metrics").iloc[0]
+    assert int(r["n_rows"]) == len(rows)
+    assert abs(
+        float(r["sum_price"]) - round(sum(float(p) for p, _ in rows), 2)
+    ) < 0.02
+    assert int(r["n_discounted"]) == sum(
+        1 for _, d in rows if float(d) > 0.05
+    )
+
+
+def test_partition_prune_matches_day_rollup(con):
+    from collections import Counter, defaultdict
+
+    rows = con.execute(
+        "SELECT STRFTIME(ts, '%Y-%m-%d'), value FROM events "
+        "WHERE event_type = 'click'"
+    ).fetchall()
+    n = Counter()
+    cents = defaultdict(int)
+    for d, v in rows:
+        n[d] += 1
+        cents[d] += int(math.floor(float(v) * 100 + 0.5))
+    got = {
+        r.day: (int(r.n), int(r.cents))
+        for r in oracle_df(con, "q_partition_prune").itertuples()
+    }
+    assert got == {d: (n[d], cents[d]) for d in n}
+
+
+def test_dynamic_partition_pruning_matches_expedite_filter(con):
+    from collections import Counter, defaultdict
+
+    rows = con.execute(
+        "SELECT o_orderpriority, o_totalprice FROM orders"
+    ).fetchall()
+    n = Counter()
+    dollars = defaultdict(int)
+    for pri, p in rows:
+        if pri in ("1-URGENT", "2-HIGH"):
+            n[pri] += 1
+            dollars[pri] += int(math.floor(float(p) + 0.5))
+    got = {
+        r.o_orderpriority: (int(r.n_orders), int(r.dollars))
+        for r in oracle_df(con, "q_dynamic_partition_pruning").itertuples()
+    }
+    assert got == {pri: (n[pri], dollars[pri]) for pri in n}
+
+
+def test_lineage_and_orphan_audits_conserve_rows(con):
+    n_orders = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    n_custs = con.execute(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    r = oracle_df(con, "q_lineage_files").iloc[0]
+    assert (r["file_name"], int(r["n_rows"]), int(r["n_custs"])) == (
+        "orders.parquet", n_orders, n_custs,
+    )
+    n_events = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    n_err = con.execute(
+        "SELECT COUNT(*) FROM events WHERE event_type = 'error'"
+    ).fetchone()[0]
+    o = oracle_df(con, "q_orphan_file_audit").iloc[0]
+    assert int(o["orphan_rows"]) == n_err
+    assert int(o["committed_rows"]) == n_events - n_err
+    assert int(o["listed_rows"]) == n_events
