@@ -11562,3 +11562,114 @@ def test_lineage_and_orphan_audits_conserve_rows(con):
     assert int(o["orphan_rows"]) == n_err
     assert int(o["committed_rows"]) == n_events - n_err
     assert int(o["listed_rows"]) == n_events
+
+
+# ---- batch 57: NULL / collation / ANSI-try semantics contracts ----
+
+
+def test_filter_like_null_matches_three_valued_logic(con):
+    """NULLIF + IS DISTINCT FROM contract: Brand#1 rows survive (their
+    NULL is DISTINCT from 'Brand#2'), Brand#2 rows drop, everything
+    else passes — replayed with explicit three-valued logic."""
+    rows = con.execute(
+        "SELECT p_partkey, p_type, p_name, p_brand FROM part"
+    ).fetchall()
+    expect = {}
+    for pk, pt, pn, pb in rows:
+        if "O" not in pt or pn is None:
+            continue
+        brand_or_null = None if pb == "Brand#1" else pb
+        # IS DISTINCT FROM 'Brand#2': NULL is distinct; equal is not
+        if brand_or_null == "Brand#2":
+            continue
+        expect[int(pk)] = (pt, brand_or_null)
+    import pandas as pd
+
+    got = {}
+    for r in oracle_df(con, "q_filter_like_null").itertuples():
+        b = None if (not isinstance(r.brand_or_null, str)) else r.brand_or_null
+        got[int(r.p_partkey)] = (r.p_type, b)
+    assert got == expect
+    assert any(b is None for _, b in got.values()), "Brand#1 rows must survive as NULL"
+
+
+def test_window_firstlast_matches_total_order_scan(con):
+    """FIRST_VALUE with the default frame and LAST_VALUE with the full
+    frame, over a TOTAL order (4-column tiebreak) — replayed from the
+    sorted per-order line list."""
+    rows = con.execute(
+        """SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice,
+                  l_linenumber
+           FROM lineitem"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per_order = defaultdict(list)
+    for ok, pk, sk, ep, ln in rows:
+        per_order[int(ok)].append((int(ln), int(pk), int(sk), float(ep)))
+    got = {
+        int(r.l_orderkey): (
+            int(r.first_part),
+            int(r.last_part),
+            int(r.n_lines),
+        )
+        for r in oracle_df(con, "q_window_firstlast").itertuples()
+    }
+    assert set(got) == set(per_order)
+    for ok, lst in per_order.items():
+        lst.sort()
+        assert got[ok] == (lst[0][1], lst[-1][1], len(lst)), ok
+
+
+def test_collation_distinct_is_case_insensitive(con):
+    """Distinct-by-case-insensitive-collation: upper-casing half the
+    rows must not change the distinct count (replayed by lowercasing
+    everything)."""
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    sets = defaultdict(set)
+    for u, et in rows:
+        sets[int(u) % 10].add(et.lower())
+    got = {
+        int(r.bucket): int(r.n_types_ci)
+        for r in oracle_df(con, "q_collation_distinct").itertuples()
+    }
+    assert got == {b: len(s) for b, s in sets.items()}
+
+
+def test_try_funcs_null_on_failure_contract(con):
+    """ANSI try semantics: div-by-zero and failed casts yield NULL
+    (never an error, never a sentinel); a valid numeric string casts
+    exactly."""
+    import pandas as pd
+
+    rows = dict(
+        con.execute("SELECT event_id, user_id FROM events").fetchall()
+    )
+    df = oracle_df(con, "q_try_funcs")
+    assert len(df) == len(rows)
+    assert df["div_by_zero"].isna().all()
+    assert df["bad_int"].isna().all()
+    assert df["bad_ts"].isna().all()
+    for r in df.itertuples():
+        assert int(r.good_int) == int(rows[r.event_id])
+
+
+def test_group_by_all_matches_explicit_grouping(con):
+    df = oracle_df(con, "q_group_by_all")
+    # GROUP BY ALL must resolve to exactly the non-aggregate select
+    # columns — pin the two known grouping columns explicitly
+    rows = con.execute(
+        "SELECT l_returnflag, l_linestatus FROM lineitem"
+    ).fetchall()
+    from collections import Counter
+
+    base = Counter(rows)
+    key_cols = [c for c in ("l_returnflag", "l_linestatus") if c in df.columns]
+    assert len(key_cols) == 2, df.columns.tolist()
+    pairs = {(r.l_returnflag, r.l_linestatus) for r in df.itertuples()}
+    assert pairs == set(base)
+    assert len(df) == len(base)
