@@ -128,15 +128,23 @@ def main() -> None:
                 os.environ.get("BENCH_MIN_SUSTAINED_EPS", 250_000)
             ),
         }
+        # A MISSING metric is a guard failure too (ADVICE r6): the
+        # streaming bench swallows its exception above, and a collapse
+        # to crash must fail as loudly as a collapse in throughput.
         broken = {
             k: (out.get(k), floor)
             for k, floor in floors.items()
-            if out.get(k) is not None and out[k] < floor
+            if out.get(k) is None or out[k] < floor
         }
         if broken:
             for k, (got, floor) in broken.items():
+                msg = (
+                    f"metric missing (streaming bench failed?), floor {floor}"
+                    if got is None
+                    else f"{got} below floor {floor}"
+                )
                 print(
-                    f"BENCH GUARD: {k}={got} below floor {floor}",
+                    f"BENCH GUARD: {k}={msg}",
                     file=sys.stderr,
                     flush=True,
                 )

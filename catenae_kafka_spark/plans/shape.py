@@ -103,6 +103,18 @@ _LIMIT_NODES = frozenset(
     }
 )
 
+#: Strict subset for the nested-loop auditor's ``_scalar_bounded``:
+#: nodes whose TOTAL output is <= a constant k, regardless of how many
+#: partitions or partition keys the input has. WindowGroupLimit (k rows
+#: PER key — key domain can scale with the corpus, same class as a
+#: grouped aggregate) and bare LocalLimit (k rows PER partition) are
+#: deliberately excluded: they bound a global window's sort input in
+#: ``_unbounded_fact_scans``, but they do NOT make a nested-loop build
+#: side constant-sized.
+_CONSTANT_LIMIT_NODES = frozenset(
+    {"GlobalLimit", "CollectLimit", "TakeOrderedAndProject"}
+)
+
 #: ``col#123L <op> <intlit>`` with the column reference IMMEDIATELY left
 #: of the operator — `(o_orderkey#14L % 41) = 0` must NOT match.
 _KEY_BOUND_RE = re.compile(r"(\w+)#\d+L? (?:<|<=|=) (\d+)")
@@ -113,17 +125,66 @@ def _is_aggregate(name: str) -> bool:
     return name.endswith("Aggregate")
 
 
+def _top_level_conjuncts(cond: str) -> list[str]:
+    """Split a physical Filter condition string into its TOP-LEVEL
+    conjuncts (pieces ANDed at parenthesis depth 0 after stripping any
+    fully-enclosing parens). A bound that only appears under an OR or a
+    NOT does not cap the row count, so the caller must see each
+    conjunct in isolation and reject the disjunctive/negated ones."""
+    cond = cond.strip()
+    # strip balanced fully-enclosing parens: '((a) AND (b))' -> '(a) AND (b)'
+    while cond.startswith("(") and cond.endswith(")"):
+        depth = 0
+        enclosing = True
+        for i, ch in enumerate(cond):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0 and i < len(cond) - 1:
+                enclosing = False
+                break
+        if not enclosing:
+            break
+        cond = cond[1:-1].strip()
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    while i < len(cond):
+        ch = cond[i]
+        depth += ch == "("
+        depth -= ch == ")"
+        if depth == 0 and cond.startswith(" AND ", i):
+            parts.append(cond[start:i])
+            i += 5
+            start = i
+            continue
+        i += 1
+    parts.append(cond[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _key_bounded_tables(filter_node) -> set[str]:
     """Fact tables whose UNIQUE key is capped by an integer literal in
     this Filter's condition (``key < C`` / ``key <= C`` / ``key = C``).
     A unique key admits at most C rows below C regardless of corpus
     size, so a window over such a slice is constant-bounded — this is
-    the q_null_ordering_contract shape (pushed ``o_orderkey < 1e6``)."""
+    the q_null_ordering_contract shape (pushed ``o_orderkey < 1e6``).
+
+    The bound must be a TOP-LEVEL CONJUNCT: ``key < C OR ...`` admits
+    every row matching the other disjunct, and ``NOT (key < C)`` admits
+    the unbounded complement, so matches inside a disjunction or a
+    negation are rejected (ADVICE r6)."""
     try:
         cond = filter_node.condition().toString()
     except Exception:  # noqa: BLE001
         return set()
-    bounded_cols = {m.group(1) for m in _KEY_BOUND_RE.finditer(cond)}
+    bounded_cols: set[str] = set()
+    for conjunct in _top_level_conjuncts(cond):
+        if " OR " in conjunct or conjunct.startswith("NOT"):
+            continue
+        bounded_cols.update(
+            m.group(1) for m in _KEY_BOUND_RE.finditer(conjunct)
+        )
     return {t for t, key in UNIQUE_KEY.items() if key in bounded_cols}
 
 
@@ -180,16 +241,19 @@ def unbounded_nested_loop_joins(df: DataFrame) -> list[str]:
 
 def _scalar_bounded(node) -> bool:
     """True when this subtree provably emits a CONSTANT number of rows:
-    an ungrouped aggregate (exactly 1), a constant limit (<= k), or a
-    composition of such through row-preserving operators. Scans, joins,
-    windows, and generators are data-sized — False."""
+    an ungrouped aggregate (exactly 1), a GLOBAL constant limit (<= k
+    total — see _CONSTANT_LIMIT_NODES; per-key WindowGroupLimit and
+    per-partition LocalLimit do NOT qualify, their output scales with
+    the key/partition count), or a composition of such through
+    row-preserving operators. Scans, joins, windows, and generators are
+    data-sized — False."""
     name = node.nodeName()
     if _is_aggregate(name):
         try:
             return bool(node.groupingExpressions().isEmpty())
         except Exception:  # noqa: BLE001 — aggregate lookalike
             return False
-    if name in _LIMIT_NODES:
+    if name in _CONSTANT_LIMIT_NODES:
         return True
     if "Scan" in name or "Join" in name or name in ("Window", "Generate"):
         return False

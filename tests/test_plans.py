@@ -690,3 +690,89 @@ def test_global_window_checker_bounding_rules(spark):
     # modulo-equality on the unique key does NOT bound -> flagged
     mod = orders.filter(F.col("o_orderkey") % 41 == 0).select(rn)
     assert global_windows_over_fact_rows(mod), "modulo filter bounded"
+
+
+def test_scalar_bounded_uses_strict_constant_limits(spark):
+    """ADVICE r6 (medium): the nested-loop auditor's _scalar_bounded
+    must accept only GLOBAL constant limits. WindowGroupLimit emits k
+    rows PER PARTITION KEY and LocalLimit k rows PER PARTITION — both
+    scale with the data, so a nested-loop build side made of either
+    must NOT auto-pass without an NL_WHITELIST review."""
+    from pyspark.sql import Window as W
+
+    from catenae_kafka_spark.plans.shape import _scalar_bounded, _walk
+
+    ev = spark.read.parquet(SF + "/events.parquet")
+
+    # top-3-per-user rank filter plans a WindowGroupLimit node
+    w = W.partitionBy("user_id").orderBy("ts")
+    topk = ev.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+    nodes = {
+        n.nodeName(): n
+        for n in _walk(topk._jdf.queryExecution().sparkPlan())  # noqa: SLF001
+    }
+    assert "WindowGroupLimit" in nodes, "fixture no longer plans WindowGroupLimit"
+    assert not _scalar_bounded(nodes["WindowGroupLimit"]), (
+        "per-key WindowGroupLimit auto-passed as constant-bounded"
+    )
+
+    # a non-terminal limit plans GlobalLimit over LocalLimit (a terminal
+    # one fuses to CollectLimit): the global node is constant-bounded,
+    # the bare per-partition local node is not
+    lim = ev.limit(5).groupBy("event_type").count()
+    nodes = {
+        n.nodeName(): n
+        for n in _walk(lim._jdf.queryExecution().sparkPlan())  # noqa: SLF001
+    }
+    assert _scalar_bounded(nodes["GlobalLimit"])
+    assert not _scalar_bounded(nodes["LocalLimit"]), (
+        "per-partition LocalLimit auto-passed as constant-bounded"
+    )
+
+
+def test_key_bound_filter_requires_top_level_conjunct(spark):
+    """ADVICE r6 (low): a unique-key cap inside a disjunction or a
+    negation does not cap the row count, so it must not silence
+    global_windows_over_fact_rows; as a top-level conjunct it still
+    must (no regression on the sanctioned q_null_ordering_contract
+    shape)."""
+    from pyspark.sql import Window as W
+
+    from catenae_kafka_spark.plans.shape import (
+        _top_level_conjuncts,
+        global_windows_over_fact_rows,
+    )
+
+    orders = spark.read.parquet(SF + "/orders.parquet")
+    rn = F.row_number().over(W.orderBy("o_totalprice")).alias("rn")
+
+    # bound under an OR admits every priority-matching row -> flagged
+    disj = orders.filter(
+        (F.col("o_orderkey") < 1000000) | F.col("o_orderpriority").contains("U")
+    ).select(rn)
+    assert global_windows_over_fact_rows(disj), "OR-nested bound silenced checker"
+
+    # bound as one of several top-level conjuncts still bounds -> clean
+    conj = orders.filter(
+        (F.col("o_orderkey") < 1000000) & F.col("o_orderpriority").contains("U")
+    ).select(rn)
+    assert global_windows_over_fact_rows(conj) == []
+
+    # string-level unit controls for the conjunct splitter itself,
+    # including the NOT shape Catalyst usually rewrites away before
+    # the physical plan (the checker must stay sound if it ever doesn't)
+    assert _top_level_conjuncts(
+        "((a#1L < 5) AND (b#2 OR (c#3L < 9)))"
+    ) == ["(a#1L < 5)", "(b#2 OR (c#3L < 9))"]
+    assert _top_level_conjuncts("NOT (o_orderkey#4L < 100)") == [
+        "NOT (o_orderkey#4L < 100)"
+    ]
+    from catenae_kafka_spark.plans.shape import _KEY_BOUND_RE
+
+    for cond in ("NOT (o_orderkey#4L < 100)", "(x#1 OR (o_orderkey#4L < 100))"):
+        kept = [
+            c
+            for c in _top_level_conjuncts(cond)
+            if " OR " not in c and not c.startswith("NOT")
+        ]
+        assert all(not _KEY_BOUND_RE.search(c) for c in kept), cond
