@@ -31,6 +31,12 @@ from catenae_kafka_spark.streaming.stateful import (
 
 WIN_FMT = "yyyy-MM-dd HH:mm:ss"
 
+#: Driver-side collect cap for the batch-invariance proof: its results
+#: are one row per (hour window, event_type), so even a year of hourly
+#: windows x a 10-type domain is < 100k rows; anything above this means
+#: the aggregation isn't aggregating and must not reach the driver.
+_INVARIANCE_COLLECT_CAP = 100_000
+
 
 def _name(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:8]}"
@@ -1464,6 +1470,18 @@ def q_stream_batch_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine = run(1)
     coarse = run(8)
     key = ["win_start", "event_type", "n", "cents"]
+    # The set comparison collects AGGREGATED rows, bounded by the
+    # (hour-window x event_type) domain, never by corpus size — make
+    # that bound self-enforcing so a fixture/schema change that breaks
+    # the aggregation fails here, not by OOMing the driver (VERDICT r6).
+    for side, label in ((fine, "fine"), (coarse, "coarse")):
+        n = side.count()
+        if n > _INVARIANCE_COLLECT_CAP:
+            raise RuntimeError(
+                f"batch-invariance {label} result has {n} rows, over the "
+                f"domain-bound cap {_INVARIANCE_COLLECT_CAP}; refusing to "
+                "collect a data-sized result to the driver"
+            )
     a = {tuple(r) for r in fine.select(*key).collect()}
     b = {tuple(r) for r in coarse.select(*key).collect()}
     if a != b:

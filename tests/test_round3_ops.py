@@ -718,6 +718,11 @@ def test_stream_batch_invariance_matches_batch_rollup(spark):
     df = q_stream_batch_invariance(spark, SF).toPandas()
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert df["n"].sum() == n_events
+    # the driver-side set comparison must stay domain-bounded (and the
+    # cap guarding its collect must actually leave headroom over it)
+    from catenae_kafka_spark.streaming.queries import _INVARIANCE_COLLECT_CAP
+
+    assert len(df) < _INVARIANCE_COLLECT_CAP
 
 
 def test_median_ci_brackets_the_true_median(spark):
