@@ -11789,3 +11789,330 @@ def test_union_by_name_positional_independence(con):
     for c in cols:
         assert df[c].notna().any(), c
     assert len(df) > 0
+
+
+# ---- batch 59: never-driver-covered SQL-surface + sketch-stream oracles ----
+# (VERDICT r6 #5: these 19 queries had neither a driver CORRECTNESS row
+# nor any formula-audit mention — their only evidence was the builder's
+# own sweep, the exact place a shared-author oracle bug could hide.
+# Each check recomputes the oracle's documented answer from raw fixture
+# rows with plain Python.)
+
+
+def test_agg_filter_clause_matches_python_conditional_counts(con):
+    rows = con.execute(
+        """SELECT l_returnflag, l_discount, l_quantity, l_extendedprice,
+                  l_tax, l_suppkey, l_linestatus FROM lineitem"""
+    ).fetchall()
+    agg: dict[str, list] = {}
+    for rf, disc, qty, price, tax, supp, ls in rows:
+        a = agg.setdefault(rf, [0, 0, 0, 0.0, set()])
+        a[0] += 1
+        if disc > 0.05:
+            a[1] += 1
+        if qty >= 30:
+            a[2] += 1
+        if tax == 0:
+            a[3] += float(price)
+        if ls == "F":
+            a[4].add(supp)
+    got = {
+        r.l_returnflag: r
+        for r in oracle_df(con, "q_agg_filter_clause").itertuples()
+    }
+    assert set(got) == set(agg)
+    for rf, (n_all, n_disc, n_bulk, rev, supps) in agg.items():
+        g = got[rf]
+        assert int(g.n_all) == n_all, rf
+        assert int(g.n_discounted) == n_disc, rf
+        assert int(g.n_bulk) == n_bulk, rf
+        assert abs(float(g.rev_tax_free) - rev) < 0.01, rf
+        assert int(g.n_supp_f) == len(supps), rf
+
+
+def test_hof_array_lambdas_match_python_list_ops(con):
+    rows = con.execute(
+        """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)
+           FROM lineitem WHERE l_orderkey < 4000"""
+    ).fetchall()
+    orders: dict[int, list] = {}
+    for ok, ln, q in rows:
+        orders.setdefault(int(ok), []).append((int(ln), int(q)))
+    got = {
+        int(r.l_orderkey): r
+        for r in oracle_df(con, "q_hof_array_lambdas").itertuples()
+    }
+    for ok, pairs in orders.items():
+        qtys = [q for _, q in sorted(pairs)]
+        g = got[ok]
+        assert g.sorted_desc == ",".join(
+            str(x) for x in sorted(qtys, reverse=True)
+        ), ok
+        # DuckDB list_transform (x, i): i is the 1-BASED element index
+        assert g.idx_weighted == ",".join(
+            str(x * (i + 1)) for i, x in enumerate(qtys)
+        ), ok
+        assert g.evens == ",".join(str(x) for x in qtys if x % 2 == 0), ok
+        acc = 0
+        for x in qtys:
+            acc = (acc * 31 + x) % 1000000007
+        assert int(g.checksum) == acc, ok
+        assert bool(g.has_extreme) == any(x in (1, 50) for x in qtys), ok
+
+
+def test_hof_map_funcs_match_python_dow_cells(con):
+    import math as _m
+
+    rows = con.execute("SELECT event_type, ts, value FROM events").fetchall()
+    cells: dict[tuple, list] = {}
+    for et, ts, v in rows:
+        dow = (ts.weekday() + 1) % 7 + 1  # Spark convention: Sunday=1
+        c = cells.setdefault((et, dow), [0, 0])
+        c[0] += 1
+        c[1] += _m.floor(v * 100 + 0.5)
+    per_type: dict[str, dict[int, list]] = {}
+    for (et, dow), (n, cents) in cells.items():
+        per_type.setdefault(et, {})[dow] = [n, cents]
+    got = {
+        r.event_type: r for r in oracle_df(con, "q_hof_map_funcs").itertuples()
+    }
+    assert set(got) == set(per_type)
+    for et, dows in per_type.items():
+        g = got[et]
+        ks = sorted(dows)
+        assert g.doubled_counts == ",".join(
+            f"d{d}={dows[d][0] * 2}" for d in ks
+        ), et
+        assert g.avg_cents_map == ",".join(
+            f"d{d}={dows[d][1] // dows[d][0]}" for d in ks
+        ), et
+        assert int(g.n_busy_days) == sum(1 for d in ks if dows[d][0] > 100), et
+        assert bool(g.has_busy_day) == (max(dows[d][0] for d in ks) > 100), et
+        assert bool(g.all_positive) is True, et
+
+
+def test_struct_funcs_pick_top_line_per_order(con):
+    rows = con.execute(
+        """SELECT l_orderkey, l_linenumber, l_extendedprice
+           FROM lineitem WHERE l_orderkey < 6000"""
+    ).fetchall()
+    orders: dict[int, list] = {}
+    for ok, ln, p in rows:
+        orders.setdefault(int(ok), []).append((float(p), int(ln)))
+    got = {
+        int(r.l_orderkey): r
+        for r in oracle_df(con, "q_struct_funcs").itertuples()
+    }
+    for ok, items in orders.items():
+        top_price, top_ln = max(items, key=lambda t: (t[0], -t[1]))
+        g = got[ok]
+        assert int(g.n_items) == len(items), ok
+        assert int(g.top_ln) == top_ln, ok
+        assert abs(float(g.top_price) - top_price) < 0.01, ok
+        assert abs(float(g.total_price) - sum(p for p, _ in items)) < 0.01, ok
+
+
+def test_lateral_subquery_picks_top_nation_per_region(con):
+    nat = dict(
+        con.execute("SELECT n_nationkey, (n_name, n_regionkey) FROM nation").fetchall()
+    )
+    cust = con.execute("SELECT c_nationkey FROM customer").fetchall()
+    per_nation: dict[int, int] = {}
+    for (nk,) in cust:
+        per_nation[int(nk)] = per_nation.get(int(nk), 0) + 1
+    regions = dict(con.execute("SELECT r_regionkey, r_name FROM region").fetchall())
+    expect = {}
+    for rk, rname in regions.items():
+        cands = [
+            (-per_nation.get(int(nk), 0), name)
+            for nk, (name, nrk) in nat.items()
+            if int(nrk) == int(rk)
+        ]
+        neg_n, name = min(cands)
+        expect[rname] = (name, -neg_n)
+    got = {
+        r.r_name: (r.top_nation, int(r.n_cust))
+        for r in oracle_df(con, "q_lateral_subquery").itertuples()
+    }
+    assert got == expect
+
+
+def test_bucketed_and_salted_join_oracles_match_python_joins(con):
+    li = con.execute(
+        """SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT),
+                  l_extendedprice, l_discount FROM lineitem"""
+    ).fetchall()
+    ostat = dict(con.execute("SELECT o_orderkey, o_orderstatus FROM orders").fetchall())
+    s_nat = dict(con.execute("SELECT s_suppkey, s_nationkey FROM supplier").fetchall())
+    n_name = dict(con.execute("SELECT n_nationkey, n_name FROM nation").fetchall())
+    by_status: dict[str, list] = {}
+    by_nation: dict[str, list] = {}
+    for ok, sk, qty, price, disc in li:
+        st = ostat[ok]
+        a = by_status.setdefault(st, [0, 0])
+        a[0] += 1
+        a[1] += int(qty)
+        nn = n_name[s_nat[sk]]
+        b = by_nation.setdefault(nn, [0, 0.0])
+        b[0] += 1
+        b[1] += float(price) * (1 - float(disc))
+    got_b = {
+        r.o_orderstatus: (int(r.n_lines), int(r.total_qty))
+        for r in oracle_df(con, "q_join_bucketed").itertuples()
+    }
+    assert got_b == {k: tuple(v) for k, v in by_status.items()}
+    got_s = {
+        r.n_name: r for r in oracle_df(con, "q_join_salted").itertuples()
+    }
+    assert set(got_s) == set(by_nation)
+    for nn, (n, rev) in by_nation.items():
+        assert int(got_s[nn].n_lines) == n, nn
+        assert abs(float(got_s[nn].revenue) - rev) < 0.01, nn
+
+
+def test_sketch_stream_oracles_are_exact_counts(con):
+    rows = con.execute("SELECT event_type, user_id FROM events").fetchall()
+    counts: dict[str, int] = {}
+    users: dict[str, set] = {}
+    for et, uid in rows:
+        counts[et] = counts.get(et, 0) + 1
+        users.setdefault(et, set()).add(uid)
+    for qname in ("q_count_min", "q_stream_count_min", "q_stream_heavy_hitters"):
+        got = {
+            r.item: int(r.est) for r in oracle_df(con, qname).itertuples()
+        }
+        assert got == counts, qname
+    got_u = {
+        r.event_type: int(r.n_users)
+        for r in oracle_df(con, "q_stream_bitmap_distinct").itertuples()
+    }
+    assert got_u == {k: len(v) for k, v in users.items()}
+
+
+def test_apply_in_pandas_oracle_is_group_demeaning(con):
+    rows = con.execute(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders"
+    ).fetchall()
+    tot: dict[int, list] = {}
+    for ck, _, p in rows:
+        t = tot.setdefault(int(ck), [0.0, 0])
+        t[0] += float(p)
+        t[1] += 1
+    got = {
+        int(r.o_orderkey): float(r.price_dev)
+        for r in oracle_df(con, "q_apply_in_pandas").itertuples()
+    }
+    assert len(got) == len(rows)
+    import random
+
+    rng = random.Random(59)
+    for ck, ok, p in rng.sample(rows, 200):
+        s, n = tot[int(ck)]
+        assert abs(got[int(ok)] - (float(p) - s / n)) < 1e-4, ok
+
+
+def test_cogroup_pandas_oracle_joins_high_value_orders(con):
+    orders = con.execute(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000"
+    ).fetchall()
+    li = con.execute(
+        "SELECT l_orderkey, l_extendedprice FROM lineitem"
+    ).fetchall()
+    lines: dict[int, list] = {}
+    for ok, p in li:
+        l = lines.setdefault(int(ok), [0, 0.0])
+        l[0] += 1
+        l[1] += float(p)
+    got = {
+        int(r.o_orderkey): r
+        for r in oracle_df(con, "q_cogroup_pandas").itertuples()
+    }
+    assert set(got) == {int(ok) for ok, _ in orders}
+    for ok, tp in orders:
+        n, s = lines.get(int(ok), [0, 0.0])
+        g = got[int(ok)]
+        assert int(g.n_lines) == n, ok
+        assert abs(float(g.total_price) - float(tp)) < 0.01, ok
+        assert abs(float(g.sum_line_price) - s) < 0.01, ok
+
+
+def test_stream_dedup_and_progress_oracles(con):
+    rows = con.execute(
+        "SELECT user_id, event_type, event_id FROM events"
+    ).fetchall()
+    pairs = {(u, t) for u, t, _ in rows}
+    df = oracle_df(con, "q_stream_dedup")
+    assert len(df) == len(pairs)
+    assert {(r.user_id, r.event_type) for r in df.itertuples()} == pairs
+    g = oracle_df(con, "q_stream_progress_metrics").iloc[0]
+    assert int(g.total_input_rows) == len(rows)
+    assert int(g.distinct_ids) == len({e for _, _, e in rows})
+
+
+def test_stream_multi_source_routes_types_to_topics(con):
+    import math as _m
+
+    rows = con.execute("SELECT event_type, value FROM events").fetchall()
+    agg: dict[str, list] = {}
+    for et, v in rows:
+        a = agg.setdefault(et, [0, 0.0])
+        a[0] += 1
+        a[1] += float(v)
+    topic_of = {
+        "purchase": "conversions",
+        "signup": "conversions",
+        "click": "engagement",
+        "view": "engagement",
+    }
+    df = oracle_df(con, "q_stream_multi_source")
+    got = {
+        (r.topic, r.event_type): (int(r.n), float(r.total_value))
+        for r in df.itertuples()
+    }
+    expect_keys = {(t, et) for et, t in topic_of.items() if et in agg}
+    assert set(got) == expect_keys
+    for (t, et), (n, tv) in got.items():
+        assert n == agg[et][0], et
+        assert abs(tv - agg[et][1]) < 1e-3, et
+    assert not _m.isnan(sum(v for _, v in got.values()))
+
+
+def test_stream_custom_source_generator_identity(con):
+    types = ["click", "view", "signup", "purchase", "error"]
+    agg: dict[str, list] = {}
+    for i in range(10000):
+        et = types[i % 5]
+        v = ((i * 2654435761) % 10000) / 100.0
+        a = agg.setdefault(et, [0, 0.0])
+        a[0] += 1
+        a[1] += v
+    got = {
+        r.event_type: (int(r.n), float(r.total_value))
+        for r in oracle_df(con, "q_stream_custom_source").itertuples()
+    }
+    assert set(got) == set(agg)
+    for et, (n, tv) in agg.items():
+        assert got[et][0] == n, et
+        assert abs(got[et][1] - tv) < 0.01, et
+
+
+def test_stream_sink_oracles_per_type_rollups(con):
+    rows = con.execute("SELECT event_type, value FROM events").fetchall()
+    agg: dict[str, list] = {}
+    for et, v in rows:
+        a = agg.setdefault(et, [0, 0.0])
+        a[0] += 1
+        a[1] += float(v)
+    got_p = {
+        r.event_type: (int(r.n), float(r.sum_value))
+        for r in oracle_df(con, "q_stream_sink_parquet").itertuples()
+    }
+    assert set(got_p) == set(agg)
+    for et, (n, sv) in agg.items():
+        assert got_p[et][0] == n, et
+        assert abs(got_p[et][1] - sv) < 1e-3, et
+    got_kv = {
+        r.event_type: int(r.n)
+        for r in oracle_df(con, "q_stream_sink_custom_kv").itertuples()
+    }
+    assert got_kv == {et: a[0] for et, a in agg.items()}
