@@ -12116,3 +12116,478 @@ def test_stream_sink_oracles_per_type_rollups(con):
         for r in oracle_df(con, "q_stream_sink_custom_kv").itertuples()
     }
     assert got_kv == {et: a[0] for et, a in agg.items()}
+
+
+# ---- batch 60: never-driver-covered boundary semantics + recomputes ----
+# (VERDICT r6 #5 continued: each check targets a query with NO driver
+# CORRECTNESS row and at most one prior audit mention — synthetic
+# fixtures pin the strict-vs-inclusive boundaries the corpus never
+# hits; real-fixture checks recompute the full statistic in Python.)
+
+
+def _synth_oracle(c, name):
+    return c.execute(all_specs()[name].oracle).df()
+
+
+def test_stream_argmax_breaks_cent_ties_on_higher_event_id():
+    c = _synth_events(
+        [
+            (5, 10 * _H, 1, "a", 9.99),
+            (7, 11 * _H, 1, "a", 9.99),  # same cents, higher id wins
+            (3, 12 * _H, 1, "a", 2.344),  # 234 cents
+            (9, 13 * _H, 2, "b", 2.345),  # 234.5+0.5 -> 235 if exact
+        ]
+    )
+    df = _synth_oracle(c, "q_stream_argmax").set_index("event_type")
+    import math as _m
+
+    assert int(df.loc["a", "max_cents"]) == _m.floor(9.99 * 100 + 0.5)
+    assert int(df.loc["a", "argmax_event_id"]) == 7
+    assert int(df.loc["b", "max_cents"]) == _m.floor(2.345 * 100 + 0.5)
+
+
+def test_stream_gap_alarm_600s_boundary_is_strict_after_floor():
+    base = 1_000_000_000_000  # µs
+    c = _synth_events(
+        [
+            (1, base, 1, "g", 1.0),
+            (2, base + 600_000_000, 1, "g", 1.0),  # exactly 600s: quiet
+            (3, base + 600_000_000 + 600_999_999, 1, "g", 1.0),  # floors to 600
+            (4, base + 600_000_000 + 600_999_999 + 601_000_000, 1, "g", 1.0),
+        ]
+    )
+    df = _synth_oracle(c, "q_stream_gap_alarm")
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert int(r.gap_s) == 601
+    assert int(r.gap_start_us) == base + 600_000_000 + 600_999_999
+
+
+def test_sessionize_capped_gap_inclusive_and_day_split():
+    base = 2_000_000_000_000
+    rows = [(i + 1, base + i * 7200 * 1_000_000, 1, "x", 1.0) for i in range(14)]
+    # 13 gaps of EXACTLY 7200s never split (oracle splits on > 7200);
+    # event 12 sits at +86400s -> sub-session 1 ((ts - min) // 86400)
+    rows.append((99, base + 13 * 7200 * 1_000_000 + 7_201_000_000, 1, "x", 1.0))
+    c = _synth_events(rows)
+    df = _synth_oracle(c, "q_sessionize_capped")
+    got = {
+        (int(r.gap_sess), int(r.sub_sess)): (int(r.n_events), int(r.dur_s))
+        for r in df.itertuples()
+    }
+    # session 1 day 0: events 0..11 (ts 0..79200s), day 1: events 12,13
+    assert got == {
+        (1, 0): (12, 11 * 7200),
+        (1, 1): (2, 7200),
+        (2, 0): (1, 0),
+    }
+
+
+def test_stream_ohlc_open_close_ties_follow_event_id():
+    t = 3_600_000_000_000  # on the hour
+    c = _synth_events(
+        [
+            (1, t, 1, "o", 10.0),
+            (2, t, 1, "o", 20.0),  # same ts: open stays id 1
+            (3, t + 60_000_000, 1, "o", 15.0),
+            (4, t + 120_000_000, 1, "o", 7.0),
+            (5, t + 120_000_000, 1, "o", 9.0),  # same ts: close = id 5
+        ]
+    )
+    df = _synth_oracle(c, "q_stream_ohlc")
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert float(r.open_v) == 10.0
+    assert float(r.close_v) == 9.0
+    assert float(r.high_v) == 20.0
+    assert float(r.low_v) == 7.0
+    assert int(r.n) == 5
+
+
+def test_anomaly_mad_flags_strictly_above_3():
+    # [0 x5, 1 x5, 2 x5, v]: median = 1, MAD = 1 (quantile_cont on the
+    # 16 abs deviations [0 x5, 1 x10, |v-1|] interpolates two 1s), so
+    # robust_z(v) = (v-1)/1.4826 exactly.
+    def group(etype, v, base_id):
+        vals = [0.0] * 5 + [1.0] * 5 + [2.0] * 5 + [v]
+        return [
+            (base_id + i, (10 + i) * _H, base_id, etype, x)
+            for i, x in enumerate(vals)
+        ]
+
+    v_lo = 1 + 2.99 * 1.4826  # |z| = 2.99 -> quiet
+    v_hi = 1 + 3.01 * 1.4826  # |z| = 3.01 -> flagged
+    c = _synth_events(group("lo", v_lo, 100) + group("hi", v_hi, 200))
+    df = _synth_oracle(c, "q_anomaly_mad")
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert r.event_type == "hi"
+    assert int(r.event_id) == 215
+    assert abs(float(r.robust_z) - 3.01) < 5e-3
+
+
+def test_anomaly_threshold_ladder_matches_python_ladder():
+    import math as _m
+
+    vals = [1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 50.0, 0.2, 2.2, 2.8, 1.8]
+    c = _synth_events(
+        [(i, (5 + i) * _H, 1, "t", v) for i, v in enumerate(vals)]
+    )
+    cents = [_m.floor(v * 100 + 0.5) for v in vals]
+    n = len(cents)
+    s = sum(cents)
+    ss = sum(x * x for x in cents)
+    expect = {}
+    for k in (2, 3, 4):
+        flagged = sum(
+            1
+            for x in cents
+            if (float(x) * n - s) * (float(x) * n - s)
+            > float(k) * k * n * (float(n) * ss - float(s) * s) / (n - 1)
+        )
+        expect[k] = (flagged, flagged * 1_000_000 // n)
+    df = _synth_oracle(c, "q_anomaly_threshold_ladder")
+    got = {
+        int(r.z_threshold): (int(r.n_flagged), int(r.flag_rate_micro))
+        for r in df.itertuples()
+    }
+    assert got == expect
+    assert got[2][0] >= got[3][0] >= got[4][0]
+
+
+def test_freshness_slo_lag_is_floored_and_inclusive(con):
+    mx_e = con.execute("SELECT MAX(epoch_us(ts)) FROM events").fetchone()[0]
+    mx_o = con.execute(
+        "SELECT MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) FROM orders"
+    ).fetchone()[0]
+    mx_l = con.execute(
+        "SELECT MAX(epoch_us(CAST(l_shipdate AS TIMESTAMP))) FROM lineitem"
+    ).fetchone()[0]
+    now = max(mx_e, mx_o, mx_l)
+    expect = {
+        "events": ((now - mx_e) // 1_000_000, 86400),
+        "orders": ((now - mx_o) // 1_000_000, 604800),
+        "lineitem": ((now - mx_l) // 1_000_000, 604800),
+    }
+    df = oracle_df(con, "q_freshness_slo")
+    got = {r.tbl: (int(r.lag_s), int(r.slo_s), bool(r.within_slo)) for r in df.itertuples()}
+    assert set(got) == set(expect)
+    for tbl, (lag, slo) in expect.items():
+        assert got[tbl] == (lag, slo, lag <= slo), tbl
+
+
+def test_feature_binning_strict_quantile_edges(con):
+    prices = [
+        float(p)
+        for (p,) in con.execute("SELECT o_totalprice FROM orders").fetchall()
+    ]
+    srt = sorted(prices)
+    n = len(srt)
+
+    def qcont(q):
+        pos = (n - 1) * q
+        lo, hi = int(pos), min(int(pos) + 1, n - 1)
+        return srt[lo] + (pos - int(pos)) * (srt[hi] - srt[lo])
+
+    q1, q2, q3 = qcont(0.25), qcont(0.50), qcont(0.75)
+
+    def bucket(p):
+        return 0 if p < q1 else 1 if p < q2 else 2 if p < q3 else 3
+
+    sizes = {b: 0 for b in range(4)}
+    for p in prices:
+        sizes[bucket(p)] += 1
+    df = oracle_df(con, "q_feature_binning")
+    assert len(df) == n
+    got_sizes = (
+        df.groupby("price_bucket")["bucket_size"].first().to_dict()
+    )
+    assert {int(k): int(v) for k, v in got_sizes.items()} == sizes
+    counts = df.groupby("price_bucket").size().to_dict()
+    assert {int(k): int(v) for k, v in counts.items()} == sizes
+
+
+def test_stream_vwap_per_row_floor_then_sum(con):
+    import math as _m
+
+    rows = con.execute("SELECT ts, event_type, value FROM events").fetchall()
+    agg: dict[tuple, list] = {}
+    for ts, et, v in rows:
+        win = int(ts.timestamp() // 900 * 900)
+        c = _m.floor(v * 100 + 0.5)
+        a = agg.setdefault((win, et), [0, 0, 0])
+        a[0] += 1
+        a[1] += c * c // 100  # floor PER ROW, then sum
+        a[2] += c
+    df = oracle_df(con, "q_stream_vwap")
+    assert len(df) == len(agg)
+    import datetime as _dt
+
+    for r in df.itertuples():
+        win = int(
+            _dt.datetime.strptime(r.win_start, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+        )
+        n, notional, csum = agg[(win, r.event_type)]
+        assert int(r.n_trades) == n
+        assert int(r.notional) == notional
+        assert int(r.vwap_ratio) == notional // csum
+
+
+def test_stream_drawdown_running_peak_minus_balance(con):
+    import math as _m
+
+    rows = con.execute(
+        """SELECT user_id, ts, event_id, event_type, value
+           FROM events WHERE user_id < 50
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    per_user: dict[int, list] = {}
+    for uid, ts, eid, et, v in rows:
+        flow = (
+            _m.floor(v * 100 + 0.5)
+            if et == "purchase"
+            else -_m.floor(v * 100 + 0.5)
+            if et == "click"
+            else 0
+        )
+        per_user.setdefault(int(uid), []).append(flow)
+    got = {
+        int(r.user_id): r
+        for r in oracle_df(con, "q_stream_drawdown").itertuples()
+    }
+    for uid, flows in per_user.items():
+        bal = peak = None
+        max_bal = max_dd = None
+        run = 0
+        for f in flows:
+            run += f
+            peak = run if peak is None else max(peak, run)
+            max_bal = run if max_bal is None else max(max_bal, run)
+            dd = peak - run
+            max_dd = dd if max_dd is None else max(max_dd, dd)
+        g = got[uid]
+        assert int(g.n_flows) == len(flows), uid
+        assert int(g.peak_cents) == max_bal, uid
+        assert int(g.max_drawdown_cents) == max_dd, uid
+
+
+def test_stream_percentile_bucket_cdf_inclusive(con):
+    import math as _m
+
+    rows = con.execute("SELECT event_type, value FROM events").fetchall()
+    hist: dict[str, dict[int, int]] = {}
+    for et, v in rows:
+        b = _m.floor(v * 100 + 0.5) // 1000
+        hist.setdefault(et, {})[b] = hist.setdefault(et, {}).get(b, 0) + 1
+
+    def pick(bh, num, den):
+        total = sum(bh.values())
+        cum = 0
+        for b in sorted(bh):
+            cum += bh[b]
+            if cum * den >= total * num:
+                return b * 1000
+        raise AssertionError("no bucket")
+
+    df = oracle_df(con, "q_stream_percentile")
+    got = {r.event_type: r for r in df.itertuples()}
+    assert set(got) == set(hist)
+    for et, bh in hist.items():
+        g = got[et]
+        assert int(g.p50_floor_cents) == pick(bh, 1, 2), et
+        assert int(g.p90_floor_cents) == pick(bh, 9, 10), et
+        assert int(g.p99_floor_cents) == pick(bh, 99, 100), et
+
+
+def test_forecast_baseline_dow_means_and_floored_error(con):
+    import math as _m
+
+    rows = con.execute(
+        """SELECT CAST(ts AS DATE) AS day,
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    days = [(d, int(c)) for d, c in rows]
+    min_day = min(d for d, _ in days)
+    import datetime as _dt
+
+    cutoff = min_day + _dt.timedelta(days=21)
+    epoch = _dt.date(1970, 1, 1)
+    train: dict[int, list] = {}
+    for d, c in days:
+        if d < cutoff:
+            t = train.setdefault((d - epoch).days % 7, [0, 0])
+            t[0] += c
+            t[1] += 1
+    df = oracle_df(con, "q_forecast_baseline")
+    test_days = [(d, c) for d, c in days if d >= cutoff]
+    assert len(df) == len(test_days)
+    got = {r.day: r for r in df.itertuples()}
+    for d, c in test_days:
+        dow = (d - epoch).days % 7
+        s, n = train[dow]
+        pred = _m.floor(s / n)
+        g = got[d.strftime("%Y-%m-%d")]
+        assert int(g.actual_cents) == c, d
+        assert int(g.pred_cents) == pred, d
+        assert int(g.abs_err_cents) == _m.floor(abs(c - s / n)), d
+
+
+def test_changepoint_argmax_between_variance(con):
+    import math as _m
+
+    rows = con.execute(
+        """SELECT user_id, value FROM events WHERE user_id < 30
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    per_user: dict[int, list] = {}
+    for uid, v in rows:
+        per_user.setdefault(int(uid), []).append(_m.floor(v * 100 + 0.5))
+    got = {
+        int(r.user_id): r
+        for r in oracle_df(con, "q_changepoint").itertuples()
+    }
+    for uid, cs in per_user.items():
+        n = len(cs)
+        s_n = sum(cs)
+        best = None
+        run = 0
+        for t in range(1, n):
+            run += cs[t - 1]
+            mean_l = run / t
+            mean_r = (s_n - run) / (n - t)
+            score = (t * (n - t) / n) * (mean_l - mean_r) ** 2
+            if best is None or score > best[0] + 1e-12:
+                best = (score, t)
+        g = got[uid]
+        assert int(g.split_idx) == best[1], uid
+        assert int(g.n_events) == n, uid
+        assert abs(float(g.score) - best[0] / 10000.0) < 1e-4, uid
+
+
+def test_dq_checks_and_ri_audit_match_python_sets(con):
+    orders = con.execute(
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders"
+    ).fetchall()
+    custkeys = {c for (c,) in con.execute("SELECT c_custkey FROM customer").fetchall()}
+    oks = [o[0] for o in orders]
+    expect_dq = {
+        "null_custkey": sum(1 for o in orders if o[1] is None),
+        "dup_orderkey": len(oks) - len(set(oks)),
+        "nonpositive_totalprice": sum(1 for o in orders if float(o[2]) <= 0),
+        "bad_orderstatus": sum(1 for o in orders if o[3] not in ("O", "F", "P")),
+        "fk_orphan_custkey": sum(1 for o in orders if o[1] not in custkeys),
+    }
+    df = oracle_df(con, "q_dq_checks")
+    got = {r.check_name: (int(r.violations), bool(r.passed)) for r in df.itertuples()}
+    assert got == {k: (v, v == 0) for k, v in expect_dq.items()}
+
+    li = con.execute(
+        "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem"
+    ).fetchall()
+    okeys = set(oks)
+    pkeys = {p for (p,) in con.execute("SELECT p_partkey FROM part").fetchall()}
+    skeys = {s for (s,) in con.execute("SELECT s_suppkey FROM supplier").fetchall()}
+    ri = {r.fk_edge: int(r.n_orphans) for r in oracle_df(con, "q_ri_audit").itertuples()}
+    assert ri["lineitem.l_orderkey->orders"] == sum(1 for l in li if l[0] not in okeys)
+    assert ri["lineitem.l_partkey->part"] == sum(1 for l in li if l[1] not in pkeys)
+    assert ri["lineitem.l_suppkey->supplier"] == sum(1 for l in li if l[2] not in skeys)
+    assert ri["orders.o_custkey->customer"] == expect_dq["fk_orphan_custkey"]
+
+
+def test_totals_reconciliation_ratio_deciles(con):
+    import math as _m
+
+    li = con.execute(
+        "SELECT l_orderkey, l_extendedprice, l_discount, l_tax FROM lineitem"
+    ).fetchall()
+    line: dict[int, int] = {}
+    for ok, p, d, t in li:
+        line[int(ok)] = line.get(int(ok), 0) + _m.floor(
+            float(p) * (1 - float(d)) * (1 + float(t)) * 100 + 0.5
+        )
+    orders = con.execute("SELECT o_orderkey, o_totalprice FROM orders").fetchall()
+    buckets: dict[int, list] = {}
+    for ok, tp in orders:
+        if int(ok) not in line:
+            continue
+        oc = _m.floor(float(tp) * 100 + 0.5)
+        ratio = line[int(ok)] * 1_000_000 // oc
+        b = buckets.setdefault(ratio // 100_000, [0, None, None])
+        b[0] += 1
+        b[1] = ratio if b[1] is None else min(b[1], ratio)
+        b[2] = ratio if b[2] is None else max(b[2], ratio)
+    df = oracle_df(con, "q_totals_reconciliation")
+    got = {
+        int(r.ratio_decile): (int(r.n_orders), int(r.min_ratio_micro), int(r.max_ratio_micro))
+        for r in df.itertuples()
+    }
+    assert got == {k: tuple(v) for k, v in buckets.items()}
+
+
+def test_rendezvous_sharding_matches_hashlib_hrw(con):
+    import hashlib as _hl
+
+    users = [
+        u for (u,) in con.execute("SELECT DISTINCT user_id FROM events").fetchall()
+    ]
+
+    def pick(uid, shards):
+        return max(
+            shards,
+            key=lambda s: (_hl.md5(f"{uid}@{s}".encode()).hexdigest(), -s),
+        )
+
+    per_shard: dict[int, list] = {}
+    for u in users:
+        p8 = pick(u, range(8))
+        p7 = pick(u, [s for s in range(8) if s != 7])
+        a = per_shard.setdefault(p8, [0, 0])
+        a[0] += 1
+        a[1] += p7 != p8
+    df = oracle_df(con, "q_rendezvous_sharding")
+    got = {
+        int(r.shard): (int(r.n_users), int(r.n_moved_if_shard7_dies))
+        for r in df.itertuples()
+    }
+    assert got == {k: tuple(v) for k, v in per_shard.items()}
+    # HRW contract: only shard-7 residents move when shard 7 dies
+    for s, (n, moved) in got.items():
+        assert moved == (n if s == 7 else 0), s
+
+
+def test_fifo_allocation_interval_overlap(con):
+    import math as _m
+
+    rows = con.execute(
+        """SELECT user_id, ts, event_id, event_type, value FROM events
+           WHERE event_type IN ('purchase', 'click') AND user_id < 80
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    supply: dict[int, list] = {}
+    demand: dict[int, list] = {}
+    for uid, ts, eid, et, v in rows:
+        c = _m.floor(v * 100 + 0.5)
+        side = supply if et == "purchase" else demand
+        lst = side.setdefault(int(uid), [])
+        lo = lst[-1][1] if lst else 0
+        lst.append((lo, lo + c, c))
+    got = {
+        int(r.user_id): r
+        for r in oracle_df(con, "q_fifo_allocation").itertuples()
+    }
+    for uid, dem in demand.items():
+        sup = supply.get(uid, [])
+        n_matches = 0
+        allocated = 0
+        for s_lo, s_hi, _ in sup:
+            for d_lo, d_hi, _ in dem:
+                if s_lo < d_hi and d_lo < s_hi:
+                    n_matches += 1
+                    allocated += min(s_hi, d_hi) - max(s_lo, d_lo)
+        g = got[uid]
+        assert int(g.n_matches) == n_matches, uid
+        assert int(g.allocated_cents) == allocated, uid
+        assert int(g.unfunded_cents) == sum(c for _, _, c in dem) - allocated, uid
