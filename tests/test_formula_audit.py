@@ -12591,3 +12591,258 @@ def test_fifo_allocation_interval_overlap(con):
         assert int(g.n_matches) == n_matches, uid
         assert int(g.allocated_cents) == allocated, uid
         assert int(g.unfunded_cents) == sum(c for _, _, c in dem) - allocated, uid
+
+
+# ---- batch 61: never-driver-covered privacy / calibration / CDC oracles ----
+
+
+def test_k_anonymity_matches_python_grouping(con):
+    rows = con.execute(
+        """SELECT n_name, STRFTIME(o_orderdate, '%Y'), o_orderpriority
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey"""
+    ).fetchall()
+    groups: dict[tuple, int] = {}
+    for key in rows:
+        groups[key] = groups.get(key, 0) + 1
+    g = oracle_df(con, "q_k_anonymity").iloc[0]
+    assert int(g.n_groups) == len(groups)
+    assert int(g.k_anonymity) == min(groups.values())
+    assert int(g.groups_below_5) == sum(1 for v in groups.values() if v < 5)
+    assert int(g.rows_at_risk) == sum(v for v in groups.values() if v < 5)
+
+
+def test_k_anonymity_below_5_boundary_is_strict():
+    import pandas as pd
+
+    c = duckdb.connect()
+    c.register("nation_s", pd.DataFrame({"n_nationkey": [1], "n_name": ["N1"],
+                                         "n_regionkey": [0]}))
+    c.register("customer_s", pd.DataFrame({"c_custkey": [10], "c_nationkey": [1]}))
+    # one group of EXACTLY 5 (not below), one of 4 (below)
+    c.register(
+        "orders_s",
+        pd.DataFrame(
+            {
+                "o_orderkey": range(9),
+                "o_custkey": [10] * 9,
+                "o_orderdate": pd.to_datetime(["2024-03-01"] * 9),
+                "o_orderpriority": ["P1"] * 5 + ["P2"] * 4,
+            }
+        ),
+    )
+    for t in ("nation", "customer", "orders"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM {t}_s")
+    g = c.execute(all_specs()["q_k_anonymity"].oracle).df().iloc[0]
+    assert int(g.n_groups) == 2
+    assert int(g.k_anonymity) == 4
+    assert int(g.groups_below_5) == 1  # the 5-group is NOT below 5
+    assert int(g.rows_at_risk) == 4
+
+
+def test_l_diversity_majority_leak_is_strict_double(con):
+    rows = con.execute(
+        """SELECT n_name, STRFTIME(o_orderdate, '%Y'), o_orderpriority
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey"""
+    ).fetchall()
+    per_group: dict[tuple, dict] = {}
+    for n, y, p in rows:
+        per_group.setdefault((n, y), {})[p] = per_group.setdefault((n, y), {}).get(p, 0) + 1
+    g = oracle_df(con, "q_l_diversity").iloc[0]
+    assert int(g.n_groups) == len(per_group)
+    assert int(g.min_l_diversity) == min(len(d) for d in per_group.values())
+    assert int(g.groups_below_3) == sum(1 for d in per_group.values() if len(d) < 3)
+    # majority leak: top sensitive count STRICTLY more than half the group
+    assert int(g.groups_majority_leak) == sum(
+        1 for d in per_group.values() if max(d.values()) * 2 > sum(d.values())
+    )
+
+
+def test_merge_cdc_delete_beats_update_and_inserts_append(con):
+    orders = con.execute(
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders"
+    ).fetchall()
+    expect: dict[int, tuple] = {}
+    for ok, tp, pr in orders:
+        ok = int(ok)
+        if ok % 97 == 0:
+            continue  # deleted — even when also % 7 == 0
+        if ok % 7 == 0:
+            expect[ok] = (round(float(tp) * 1.05, 4), "UPDATED")
+        else:
+            expect[ok] = (round(float(tp), 4), pr)
+    for ok, tp, pr in orders:
+        if int(ok) % 1009 == 0:
+            expect[int(ok) + 10_000_000] = (round(float(tp), 4), "INSERTED")
+    df = oracle_df(con, "q_merge_cdc")
+    got = {
+        int(r.o_orderkey): (float(r.o_totalprice), r.o_orderpriority)
+        for r in df.itertuples()
+    }
+    assert set(got) == set(expect)
+    # a key divisible by BOTH 7 and 97 must be gone, not updated
+    both = [ok for ok, *_ in orders if int(ok) % (7 * 97) == 0]
+    for ok in both:
+        assert int(ok) not in got
+    import random
+
+    rng = random.Random(61)
+    for ok in rng.sample(sorted(expect), 300):
+        assert abs(got[ok][0] - expect[ok][0]) < 5e-4, ok
+        assert got[ok][1] == expect[ok][1], ok
+
+
+def test_bloom_fpr_matches_hashlib_filter(con):
+    import hashlib as _hl
+
+    keys = [int(k) for (k,) in con.execute("SELECT o_orderkey FROM orders").fetchall()]
+    members = sorted({k for k in keys if k % 3 == 0})
+    probes = sorted({k for k in keys if k % 3 != 0})
+
+    def pos(i, k):
+        return int(_hl.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16) % 4096
+
+    bits = {pos(i, k) for k in members for i in (1, 2, 3)}
+    fp = sum(1 for k in probes if all(pos(i, k) in bits for i in (1, 2, 3)))
+    g = oracle_df(con, "q_bloom_fpr").iloc[0]
+    assert int(g.n_members) == len(members)
+    assert int(g.n_bits_set) == len(bits)
+    assert int(g.n_probes) == len(probes)
+    assert int(g.n_false_pos) == fp
+    assert int(g.fpr_micro) == fp * 1_000_000 // len(probes)
+
+
+def test_conformal_coverage_band_and_inclusive_interval(con):
+    import hashlib as _hl
+    import math as _m
+
+    rows = con.execute(
+        "SELECT event_type, user_id, event_id, value FROM events"
+    ).fetchall()
+    cal: dict[str, list] = {}
+    ev: dict[str, list] = {}
+    for et, uid, eid, v in rows:
+        cents = _m.floor(v * 100 + 0.5)
+        is_cal = int(_hl.md5(f"cal:{uid}".encode()).hexdigest()[:8], 16) % 2 == 0
+        (cal if is_cal else ev).setdefault(et, []).append((cents, int(eid)))
+    df = oracle_df(con, "q_conformal_coverage")
+    got = {r.event_type: r for r in df.itertuples()}
+    for et, pts in cal.items():
+        pts.sort()
+        n = len(pts)
+        lo = pts[max(n * 5 // 100, 1) - 1][0]
+        hi = pts[min((n * 95 + 99) // 100, n) - 1][0]
+        evs = ev.get(et, [])
+        covered = sum(1 for c, _ in evs if lo <= c <= hi)
+        g = got[et]
+        assert int(g.n_cal) == n, et
+        assert int(g.lo_cents) == lo, et
+        assert int(g.hi_cents) == hi, et
+        assert int(g.n_eval) == len(evs), et
+        assert int(g.coverage_micro) == covered * 1_000_000 // len(evs), et
+
+
+def test_pinball_loss_asymmetric_deci_units(con):
+    import math as _m
+
+    rows = con.execute(
+        "SELECT event_type, CAST(ts AS DATE), event_id, value FROM events"
+    ).fetchall()
+    import datetime as _dt
+
+    cutoff = _dt.date(2024, 1, 16)
+    tr: dict[str, list] = {}
+    te: dict[str, list] = {}
+    for et, d, eid, v in rows:
+        cents = _m.floor(v * 100 + 0.5)
+        (tr if d < cutoff else te).setdefault(et, []).append((cents, int(eid)))
+    df = oracle_df(con, "q_pinball_loss")
+    got = {r.event_type: r for r in df.itertuples()}
+    for et, pts in tr.items():
+        pts.sort()
+        n = len(pts)
+        f50 = pts[max(_m.ceil(n * 0.5), 1) - 1][0]
+        f90 = pts[max(_m.ceil(n * 0.9), 1) - 1][0]
+        evs = [c for c, _ in te.get(et, [])]
+        loss50 = sum(max(5 * (c - f50), -5 * (c - f50)) for c in evs) // len(evs)
+        loss90 = sum(max(9 * (c - f90), -1 * (c - f90)) for c in evs) // len(evs)
+        g = got[et]
+        assert int(g.n_train) == n, et
+        assert int(g.f50_cents) == f50, et
+        assert int(g.f90_cents) == f90, et
+        assert int(g.loss50_deci) == loss50, et
+        assert int(g.loss90_deci) == loss90, et
+
+
+def test_interpolate_linear_identity_on_grid(con):
+    import math as _m
+
+    rows = con.execute(
+        """SELECT user_id, ts, value FROM events WHERE user_id < 12
+           ORDER BY user_id, ts"""
+    ).fetchall()
+    per_user: dict[int, list] = {}
+    for uid, ts, v in rows:
+        per_user.setdefault(int(uid), []).append((ts, float(v)))
+    df = oracle_df(con, "q_interpolate")
+    sub = df[df.user_id < 12]
+    got = {
+        (int(r.user_id), r.grid_ts): int(r.v_micro) for r in sub.itertuples()
+    }
+    import datetime as _dt
+
+    checked = 0
+    for uid, pts in per_user.items():
+        if len({t for t, _ in pts}) != len(pts):
+            continue  # duplicate ts: ASOF pick is ambiguous
+        lo = pts[0][0].replace(minute=0, second=0, microsecond=0)
+        hi = pts[-1][0].replace(minute=0, second=0, microsecond=0)
+        g = lo
+        while g <= hi:
+            # bwd: last point with ts <= g; fwd: first with ts > g
+            bwd = [(t, y) for t, y in pts if t <= g]
+            fwd = [(t, y) for t, y in pts if t > g]
+            key = (uid, g.strftime("%Y-%m-%d %H:%M:%S"))
+            if bwd and fwd:
+                t0, y0 = bwd[-1]
+                t1, y1 = fwd[0]
+                e = lambda t: int(t.replace(microsecond=0).timestamp())
+                v = y0 + (y1 - y0) * (e(g) - e(t0)) / (e(t1) - e(t0))
+                assert got[key] == _m.floor(v * 1_000_000), key
+                checked += 1
+            else:
+                assert key not in got, key
+            g += _dt.timedelta(hours=1)
+    assert checked > 50
+
+
+def test_equiheight_histogram_inverted_cdf_boundaries(con):
+    import math as _m
+
+    cents = sorted(
+        _m.floor(float(p) * 100 + 0.5)
+        for (p,) in con.execute("SELECT l_extendedprice FROM lineitem").fetchall()
+    )
+    n = len(cents)
+    # DuckDB quantile_disc = inverted CDF: 1-based rank ceil(q*n)
+    # (pinned empirically: [1..10] @ 0.75 -> 8; [1,2,3,4] @ 0.5 -> 2)
+    q1, q2, q3 = (cents[max(_m.ceil(q * n), 1) - 1] for q in (0.25, 0.50, 0.75))
+    buckets: dict[int, list] = {}
+    for c in cents:
+        b = 1 if c <= q1 else 2 if c <= q2 else 3 if c <= q3 else 4
+        a = buckets.setdefault(b, [None, None, 0, set()])
+        a[0] = c if a[0] is None else min(a[0], c)
+        a[1] = c if a[1] is None else max(a[1], c)
+        a[2] += 1
+        a[3].add(c)
+    df = oracle_df(con, "q_equiheight_histogram")
+    got = {
+        int(r.bucket_id): (int(r.lo_cents), int(r.hi_cents), int(r.n_rows), int(r.n_distinct))
+        for r in df.itertuples()
+    }
+    assert got == {
+        b: (a[0], a[1], a[2], len(a[3])) for b, a in buckets.items()
+    }
