@@ -12846,3 +12846,199 @@ def test_equiheight_histogram_inverted_cdf_boundaries(con):
     assert got == {
         b: (a[0], a[1], a[2], len(a[3])) for b, a in buckets.items()
     }
+
+
+# ---- batch 62: never-driver-covered markov / shrinkage / FDR / RBO /
+# jackknife / wavelet oracles ----
+
+
+def test_markov_order_compare_matches_python_predictors(con):
+    rows = con.execute(
+        """SELECT user_id, event_type FROM events
+           ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    seqs: dict[int, list] = {}
+    for uid, et in rows:
+        seqs.setdefault(int(uid), []).append(et)
+    trips = []
+    for s in seqs.values():
+        for i in range(2, len(s)):
+            trips.append((s[i - 2], s[i - 1], s[i]))
+    bi: dict[str, dict] = {}
+    tri: dict[tuple, dict] = {}
+    for p2, p1, cur in trips:
+        bi.setdefault(p1, {})[cur] = bi.setdefault(p1, {}).get(cur, 0) + 1
+        tri.setdefault((p2, p1), {})[cur] = tri.setdefault((p2, p1), {}).get(cur, 0) + 1
+    pred1 = {p1: min(d.items(), key=lambda kv: (-kv[1], kv[0]))[0] for p1, d in bi.items()}
+    pred2 = {k: min(d.items(), key=lambda kv: (-kv[1], kv[0]))[0] for k, d in tri.items()}
+    c1 = sum(1 for p2, p1, cur in trips if pred1[p1] == cur)
+    c2 = sum(1 for p2, p1, cur in trips if pred2[(p2, p1)] == cur)
+    n = len(trips)
+    g = oracle_df(con, "q_markov_order_compare").iloc[0]
+    assert int(g.n_eval) == n
+    assert int(g.acc1_micro) == c1 * 1_000_000 // n
+    assert int(g.acc2_micro) == c2 * 1_000_000 // n
+    assert int(g.lift_micro) == c2 * 1_000_000 // n - c1 * 1_000_000 // n
+
+
+def test_eb_shrinkage_pulls_toward_global_mean(con):
+    import math as _m
+
+    rows = con.execute(
+        """SELECT n_name, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+           FROM customer JOIN nation ON c_nationkey = n_nationkey"""
+    ).fetchall()
+    grp: dict[str, list] = {}
+    for nn, c in rows:
+        grp.setdefault(nn, []).append(int(c))
+    k = len(grp)
+    n_tot = sum(len(v) for v in grp.values())
+    s_tot = sum(sum(v) for v in grp.values())
+    gmean = s_tot / n_tot
+    tau2 = round(
+        sum((sum(v) / len(v) - gmean) ** 2 for v in grp.values()) / (k - 1), 6
+    )
+    mean_se2 = (
+        round(
+            sum(
+                (len(v) * sum(x * x for x in v) - sum(v) ** 2)
+                / (len(v) ** 2 * (len(v) - 1))
+                for v in grp.values()
+            ),
+            6,
+        )
+        / k
+    )
+    w = tau2 / (tau2 + mean_se2)
+    df = oracle_df(con, "q_eb_shrinkage")
+    got = {r.n_name: r for r in df.itertuples()}
+    assert set(got) == set(grp)
+    for nn, v in grp.items():
+        raw = sum(v) / len(v)
+        g = got[nn]
+        assert int(g.n) == len(v), nn
+        assert int(g.raw_mean_cents) == _m.floor(raw), nn
+        assert int(g.shrunk_mean_cents) == _m.floor(w * raw + (1 - w) * gmean), nn
+        # shrinkage contract: the estimate lies between raw and global
+        lo, hi = sorted((raw, gmean))
+        assert lo - 1 <= int(g.shrunk_mean_cents) <= hi + 1, nn
+
+
+def test_multiple_testing_fdr_bh_step_up(con):
+    import math as _m
+
+    rows = con.execute(
+        "SELECT event_type, isodow(ts) IN (6, 7) FROM events"
+    ).fetchall()
+    n = len(rows)
+    n_wknd = sum(1 for _, w in rows if w)
+    per: dict[str, list] = {}
+    for et, w in rows:
+        p = per.setdefault(et, [0, 0])
+        p[0] += 1
+        p[1] += bool(w)
+    chi: dict[str, int] = {}
+    for et, (n_t, a) in per.items():
+        b = n_t - a
+        c = n_wknd - a
+        d = n - n_t - c
+        chi[et] = _m.floor(
+            n * (a * d - b * c) ** 2
+            / ((a + b) * (c + d) * (a + c) * (b + d))
+            * 1_000_000
+        )
+    order = sorted(chi, key=lambda e: (-chi[e], e))
+    crit = {1: 6634900, 2: 5411900, 3: 4709300, 4: 4217900}
+    k_star = 0
+    for rk, et in enumerate(order, 1):
+        if chi[et] >= crit.get(rk, 3841500):
+            k_star = rk
+    df = oracle_df(con, "q_multiple_testing_fdr")
+    got = {r.event_type: r for r in df.itertuples()}
+    assert set(got) == set(chi)
+    for rk, et in enumerate(order, 1):
+        g = got[et]
+        assert int(g.chi2_micro) == chi[et], et
+        assert int(g.rk) == rk, et
+        assert bool(g.rejected) == (rk <= k_star), et
+
+
+def test_rank_biased_overlap_geometric_weights(con):
+    per: dict[str, list] = {}
+    import math as _m
+
+    rows = con.execute(
+        """SELECT p_brand, l_extendedprice, l_discount, CAST(l_quantity AS BIGINT)
+           FROM lineitem JOIN part ON l_partkey = p_partkey"""
+    ).fetchall()
+    for br, p, d, q in rows:
+        a = per.setdefault(br, [0, 0])
+        a[0] += _m.floor(float(p) * (1 - float(d)))
+        a[1] += int(q)
+    ra = {b: i + 1 for i, b in enumerate(sorted(per, key=lambda b: (-per[b][0], b)))}
+    rb = {b: i + 1 for i, b in enumerate(sorted(per, key=lambda b: (-per[b][1], b)))}
+    wts = {1: 100000000, 2: 90000000, 3: 81000000, 4: 72900000, 5: 65610000,
+           6: 59049000, 7: 53144100, 8: 47829690, 9: 43046721, 10: 38742049}
+    rbo_nano = 0
+    ov10 = None
+    for d, wt in wts.items():
+        ov = sum(1 for b in per if max(ra[b], rb[b]) <= d)
+        rbo_nano += ov * wt // d
+        if d == 10:
+            ov10 = ov
+    g = oracle_df(con, "q_rank_biased_overlap").iloc[0]
+    assert int(g.rbo_nano) == rbo_nano
+    assert int(g.overlap_at_10) == ov10
+
+
+def test_jackknife_ratio_bias_and_se(con):
+    import math as _m
+
+    items = [
+        (_m.floor(float(p) * (1 - float(d))), int(q))
+        for p, d, q in con.execute(
+            "SELECT l_extendedprice, l_discount, CAST(l_quantity AS BIGINT) FROM lineitem"
+        ).fetchall()
+    ]
+    n = len(items)
+    r_tot = sum(r for r, _ in items)
+    q_tot = sum(q for _, q in items)
+    loo = [1_000_000 * (r_tot - r) // (q_tot - q) for r, q in items]
+    rbar = sum(loo) // n
+    theta = 1_000_000 * r_tot // q_tot
+    bias = (n - 1) * (rbar - theta)
+    se = _m.floor(
+        _m.sqrt(float((n - 1) * sum((x - rbar) ** 2 for x in loo) // n))
+    )
+    g = oracle_df(con, "q_jackknife_ratio").iloc[0]
+    assert int(g.n_items) == n
+    assert int(g.theta_micro) == theta
+    assert int(g.bias_micro) == bias
+    assert int(g.se_micro) == se
+
+
+def test_haar_energy_three_level_pyramid(con):
+    rows = con.execute(
+        """SELECT EXTRACT(DAY FROM ts) - 1 AS d, CAST(COUNT(*) AS BIGINT)
+           FROM events GROUP BY d"""
+    ).fetchall()
+    c = {int(d): int(n) for d, n in rows}
+
+    def level(vals):
+        ks = sorted(vals)
+        approx: dict[int, int] = {}
+        detail: dict[int, int] = {}
+        for k in ks:
+            kk = k // 2
+            approx[kk] = approx.get(kk, 0) + vals[k]
+            detail[kk] = detail.get(kk, 0) + (vals[k] if k % 2 == 0 else -vals[k])
+        return approx, detail
+
+    a1, d1 = level(c)
+    a2, d2 = level(a1)
+    a3, d3 = level(a2)
+    g = oracle_df(con, "q_haar_energy").iloc[0]
+    assert int(g.n_days) == len(c)
+    assert int(g.energy_l1) == sum(v * v for v in d1.values())
+    assert int(g.energy_l2) == sum(v * v for v in d2.values())
+    assert int(g.energy_l3) == sum(v * v for v in d3.values())
