@@ -13042,3 +13042,260 @@ def test_haar_energy_three_level_pyramid(con):
     assert int(g.energy_l1) == sum(v * v for v in d1.values())
     assert int(g.energy_l2) == sum(v * v for v in d2.values())
     assert int(g.energy_l3) == sum(v * v for v in d3.values())
+
+
+# ---- batch 63: never-driver-covered resampling / calibration-decomp /
+# stump / agreement oracles ----
+
+
+def test_brier_decomposition_reliability_resolution_uncertainty(con):
+    rows = con.execute(
+        """SELECT CAST(l_quantity AS BIGINT), l_returnflag,
+                  l_shipdate < TIMESTAMP '1999-01-01'
+           FROM lineitem"""
+    ).fetchall()
+    train: dict[int, list] = {}
+    ev: dict[int, list] = {}
+    for q, rf, is_tr in rows:
+        d = train if is_tr else ev
+        a = d.setdefault(int(q), [0, 0])
+        a[0] += 1
+        a[1] += rf == "R"
+    binned = []
+    for q, (n_k, pos_k) in sorted(ev.items()):
+        if q not in train:
+            continue
+        n_t, pos_t = train[q]
+        binned.append((n_k, pos_k, pos_t * 1000 // n_t, pos_k * 1000 // n_k))
+    n = sum(b[0] for b in binned)
+    obar = sum(b[1] for b in binned) * 1000 // n
+    g = oracle_df(con, "q_brier_decomposition").iloc[0]
+    assert int(g.n_eval) == n
+    assert int(g.n_bins) == len(binned)
+    assert int(g.obar_milli) == obar
+    assert int(g.bs_milli2) == sum(
+        nk * p * p - 2 * p * pk * 1000 + pk * 1_000_000
+        for nk, pk, p, _ in binned
+    )
+    assert int(g.rel_milli2) == sum(
+        nk * (p - o) ** 2 for nk, _, p, o in binned
+    )
+    assert int(g.res_milli2) == sum(
+        nk * (o - obar) ** 2 for nk, _, _, o in binned
+    )
+    assert int(g.unc_milli2) == n * obar * (1000 - obar)
+
+
+def test_decision_stump_gini_argmin(con):
+    rows = con.execute(
+        "SELECT CAST(l_quantity AS BIGINT), l_returnflag FROM lineitem"
+    ).fetchall()
+    per: dict[int, list] = {}
+    for q, rf in rows:
+        a = per.setdefault(int(q), [0, 0])
+        a[0] += 1
+        a[1] += rf == "R"
+    n_tot = sum(a[0] for a in per.values())
+    pos_tot = sum(a[1] for a in per.values())
+    n_l = pos_l = 0
+    expect = {}
+    for q in sorted(per):
+        n_l += per[q][0]
+        pos_l += per[q][1]
+        if n_tot - n_l <= 0:
+            continue
+        pl = pos_l * 1_000_000 // n_l
+        ql = (n_l - pos_l) * 1_000_000 // n_l
+        pr = (pos_tot - pos_l) * 1_000_000 // (n_tot - n_l)
+        qr = ((n_tot - n_l) - (pos_tot - pos_l)) * 1_000_000 // (n_tot - n_l)
+        imp = (n_l * 1_000_000 - pos_l * pl - (n_l - pos_l) * ql) + (
+            (n_tot - n_l) * 1_000_000
+            - (pos_tot - pos_l) * pr
+            - ((n_tot - n_l) - (pos_tot - pos_l)) * qr
+        )
+        expect[q] = (n_l, n_tot - n_l, imp)
+    best = min(v[2] for v in expect.values())
+    df = oracle_df(con, "q_decision_stump")
+    got = {
+        int(r.threshold): (int(r.n_left), int(r.n_right), int(r.impurity_micro), bool(r.is_best))
+        for r in df.itertuples()
+    }
+    assert got == {
+        q: (nl, nr, imp, imp == best) for q, (nl, nr, imp) in expect.items()
+    }
+
+
+def test_outlier_kappa_agreement_between_detectors(con):
+    import math as _m
+
+    cents = [
+        _m.floor(v * 100 + 0.5)
+        for (v,) in con.execute("SELECT value FROM events").fetchall()
+    ]
+    n = len(cents)
+    s = sum(cents)
+    ss = sum(c * c for c in cents)
+    srt = sorted(cents)
+    med = srt[max(_m.ceil(0.5 * n), 1) - 1]  # quantile_disc inverted CDF
+    devs = sorted(abs(c - med) for c in cents)
+    mad = devs[max(_m.ceil(0.5 * n), 1) - 1]
+    a = b = cc = d = 0
+    for c in cents:
+        zf = (float(c) * n - s) ** 2 > 9.0 * n * (float(n) * ss - float(s) * s) / (n - 1)
+        mf = abs(c - med) > 3 * mad
+        if zf and mf:
+            a += 1
+        elif zf:
+            b += 1
+        elif mf:
+            cc += 1
+        else:
+            d += 1
+    tot = a + b + cc + d
+    pe_num = float(a + b) * (a + cc) + float(cc + d) * (b + d)
+    kappa = _m.floor(
+        (float(a + d) * tot - pe_num) / (float(tot) * tot - pe_num) * 1_000_000
+    )
+    g = oracle_df(con, "q_outlier_kappa").iloc[0]
+    assert (int(g.a), int(g.b), int(g.cc), int(g.d)) == (a, b, cc, d)
+    assert int(g.kappa_micro) == kappa
+
+
+def test_poststratify_weights_by_population_share(con):
+    import math as _m
+
+    pop: dict[int, int] = {}
+    for (nk,) in con.execute("SELECT c_nationkey FROM customer").fetchall():
+        pop[int(nk)] = pop.get(int(nk), 0) + 1
+    n_total = sum(pop.values())
+    strat: dict[int, list] = {}
+    for nk, tp in con.execute(
+        """SELECT c_nationkey, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey"""
+    ).fetchall():
+        a = strat.setdefault(int(nk), [0, 0])
+        a[0] += 1
+        a[1] += _m.floor(float(tp) + 0.5)
+    g = oracle_df(con, "q_poststratify").iloc[0]
+    assert int(g.n_strata) == len(strat)
+    assert int(g.post_strat_milli) == sum(
+        pop[nk] * s * 1000 // (n * n_total) for nk, (n, s) in strat.items()
+    )
+    assert int(g.naive_milli) == sum(s for _, s in strat.values()) * 1000 // sum(
+        n for n, _ in strat.values()
+    )
+
+
+def test_kfold_cv_md5_folds_and_loo_fold_means(con):
+    import hashlib as _hl
+    import math as _m
+
+    rows = con.execute(
+        """SELECT c_mktsegment, o_custkey, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey"""
+    ).fetchall()
+    per_cust: dict[tuple, int] = {}
+    seg_of: dict[int, str] = {}
+    for seg, ck, tp in rows:
+        ck = int(ck)
+        seg_of[ck] = seg
+        per_cust[ck] = per_cust.get(ck, 0) + _m.floor(float(tp) * 100 + 0.5)
+    fold_of = {
+        ck: int(_hl.md5(f"fold:{ck}".encode()).hexdigest()[:8], 16) % 5
+        for ck in per_cust
+    }
+    partials: dict[tuple, list] = {}
+    for ck, cents in per_cust.items():
+        a = partials.setdefault((seg_of[ck], fold_of[ck]), [0, 0])
+        a[0] += 1
+        a[1] += cents
+    seg_tot: dict[str, list] = {}
+    for (seg, f), (n, sm) in partials.items():
+        t = seg_tot.setdefault(seg, [0, 0])
+        t[0] += n
+        t[1] += sm
+    errs: dict[int, list] = {}
+    for ck, cents in per_cust.items():
+        seg, f = seg_of[ck], fold_of[ck]
+        n_sf, s_sf = partials[(seg, f)]
+        n_s, s_s = seg_tot[seg]
+        if n_s <= n_sf:
+            continue
+        pred = (s_s - s_sf) // (n_s - n_sf)
+        e = errs.setdefault(f, [0, 0])
+        e[0] += 1
+        e[1] += abs(cents - pred)
+    df = oracle_df(con, "q_kfold_cv")
+    got = {int(r.fold): (int(r.n_test), int(r.mae_cents)) for r in df.itertuples()}
+    assert got == {f: (n, tot // n) for f, (n, tot) in errs.items()}
+
+
+def test_permutation_test_md5_relabeling(con):
+    import hashlib as _hl
+    import math as _m
+
+    rows = con.execute(
+        """SELECT event_id, event_type, value FROM events
+           WHERE event_type IN ('purchase', 'click')"""
+    ).fetchall()
+    base = [(int(e), t, _m.floor(v * 100 + 0.5)) for e, t, v in rows]
+    n = len(base)
+    s = sum(c for _, _, c in base)
+    n_a = sum(1 for _, t, _ in base if t == "purchase")
+    s_a = sum(c for _, t, c in base if t == "purchase")
+    t_obs = abs((n - n_a) * s_a - n_a * (s - s_a))
+    n_greater = 0
+    for i in range(1, 20):
+        pn_a = ps_a = 0
+        for eid, _, c in base:
+            if int(_hl.md5(f"{i}:{eid}".encode()).hexdigest()[:8], 16) % n < n_a:
+                pn_a += 1
+                ps_a += c
+        t_i = abs((n - pn_a) * ps_a - pn_a * (s - ps_a))
+        n_greater += t_i >= t_obs
+    g = oracle_df(con, "q_permutation_test").iloc[0]
+    assert int(g.t_obs) == t_obs
+    assert int(g.n_perms) == 19
+    assert int(g.n_greater) == n_greater
+    assert int(g.p_milli) == (n_greater + 1) * 1000 // 20
+
+
+def test_bootstrap_ci_poisson_weights_from_md5(con):
+    import hashlib as _hl
+    import math as _m
+
+    rows = con.execute(
+        "SELECT event_id, value FROM events WHERE event_type = 'purchase'"
+    ).fetchall()
+    cdf = [
+        0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+        0.9999167588507119,
+    ]
+    means = []
+    for b in range(20):
+        num = den = 0
+        for eid, v in rows:
+            u = int(
+                _hl.md5(f"{int(eid)}:{b}:boot".encode()).hexdigest()[:13], 16
+            ) / 4503599627370496.0
+            w = next((i for i, t in enumerate(cdf) if u < t), 7)
+            c = _m.floor(v * 100 + 0.5)
+            num += w * c
+            den += w
+        if den > 0:
+            means.append(num / den / 100.0)
+    means.sort()
+    nm = len(means)
+
+    def qcont(q):
+        pos = (nm - 1) * q
+        lo = int(pos)
+        hi = min(lo + 1, nm - 1)
+        return means[lo] + (pos - lo) * (means[hi] - means[lo])
+
+    g = oracle_df(con, "q_bootstrap_ci").iloc[0]
+    assert int(g.n_replicates) == nm
+    assert abs(float(g.boot_mean) - sum(means) / nm) <= 5.1e-5
+    assert abs(float(g.ci_lo) - qcont(0.025)) <= 5.1e-5
+    assert abs(float(g.ci_hi) - qcont(0.975)) <= 5.1e-5
