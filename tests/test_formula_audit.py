@@ -13299,3 +13299,217 @@ def test_bootstrap_ci_poisson_weights_from_md5(con):
     assert abs(float(g.boot_mean) - sum(means) / nm) <= 5.1e-5
     assert abs(float(g.ci_lo) - qcont(0.025)) <= 5.1e-5
     assert abs(float(g.ci_hi) - qcont(0.975)) <= 5.1e-5
+
+
+# ---- batch 64: never-driver-covered DiD / contamination / backtest /
+# LTV / schema-profile / cluster-quality oracles ----
+
+
+def test_diff_in_diff_four_cell_means(con):
+    import math as _m
+
+    rows = con.execute("SELECT user_id, ts, value FROM events").fetchall()
+    t0 = min(ts for _, ts, _ in rows)
+    t1 = max(ts for _, ts, _ in rows)
+    mid_us = (t1 - t0).total_seconds() * 1_000_000 / 2
+    cells: dict[tuple, list] = {}
+    for uid, ts, v in rows:
+        treated = (int(uid) * 2654435761) % 100 < 50
+        post = (ts - t0).total_seconds() * 1_000_000 >= mid_us
+        a = cells.setdefault((treated, post), [0, 0])
+        a[0] += _m.floor(v * 100 + 0.5)
+        a[1] += 1
+    tp = cells[(True, True)][0] / cells[(True, True)][1]
+    tr = cells[(True, False)][0] / cells[(True, False)][1]
+    cp = cells[(False, True)][0] / cells[(False, True)][1]
+    cr = cells[(False, False)][0] / cells[(False, False)][1]
+    g = oracle_df(con, "q_diff_in_diff").iloc[0]
+    assert int(g.n_events) == len(rows)
+    assert int(g.treated_delta_hcents) == _m.floor((tp - tr) * 100)
+    assert int(g.control_delta_hcents) == _m.floor((cp - cr) * 100)
+    assert int(g.did_hcents) == _m.floor(((tp - tr) - (cp - cr)) * 100)
+
+
+def test_contamination_score_trigram_containment(con):
+    rows = con.execute("SELECT doc_id, lang, text FROM documents").fetchall()
+    grams = {}
+    for did, lang, text in rows:
+        toks = text.split(" ")
+        gs = (
+            {
+                " ".join(toks[i : i + 3])
+                for i in range(len(toks) - 2)
+            }
+            if len(toks) >= 3
+            else set()
+        )
+        grams[int(did)] = (lang, gs)
+    eval_g = set()
+    for did, (_, gs) in grams.items():
+        if did % 97 == 7:
+            eval_g |= gs
+    df = oracle_df(con, "q_contamination_score")
+    got = {int(r.doc_id): r for r in df.itertuples()}
+    train_ids = [d for d in grams if d % 97 != 7 and grams[d][1]]
+    assert set(got) == set(train_ids)
+    for did in train_ids:
+        lang, gs = grams[did]
+        hits = len(gs & eval_g)
+        g = got[did]
+        assert g.lang == lang, did
+        assert int(g.n_grams) == len(gs), did
+        assert int(g.n_hits) == hits, did
+        assert abs(float(g.contamination) - hits / len(gs)) <= 5.1e-5, did
+
+
+def test_rolling_origin_backtest_naive_lag7(con):
+    rows = con.execute(
+        "SELECT CAST(ts AS DATE), CAST(COUNT(*) AS BIGINT) FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    n_by_d = {i + 1: int(n) for i, (_, n) in enumerate(rows)}
+    df = oracle_df(con, "q_rolling_origin_backtest")
+    got = {int(r.cutoff_day): r for r in df.itertuples()}
+    for cutoff in (14, 18, 22):
+        errs = [
+            abs(n_by_d[d] - n_by_d[d - 7])
+            for d in range(cutoff + 1, cutoff + 8)
+            if d in n_by_d and d - 7 in n_by_d
+        ]
+        g = got[cutoff]
+        assert int(g.n_forecast_days) == len(errs), cutoff
+        assert int(g.mae) == sum(errs) // len(errs), cutoff
+        assert int(g.max_abs_err) == max(errs), cutoff
+
+
+def test_segment_ltv_mae_train_means(con):
+    import math as _m
+
+    rows = con.execute(
+        """SELECT c_mktsegment, o_custkey, o_totalprice,
+                  o_orderdate < TIMESTAMP '1999-01-01'
+           FROM orders JOIN customer ON o_custkey = c_custkey"""
+    ).fetchall()
+    per: dict[tuple, int] = {}
+    seg_of = {}
+    for seg, ck, tp, is_tr in rows:
+        key = (int(ck), bool(is_tr))
+        seg_of[int(ck)] = seg
+        per[key] = per.get(key, 0) + _m.floor(float(tp) * 100 + 0.5)
+    model: dict[str, list] = {}
+    for (ck, is_tr), cents in per.items():
+        if is_tr:
+            m = model.setdefault(seg_of[ck], [0, 0])
+            m[0] += cents
+            m[1] += 1
+    pred = {seg: s // n for seg, (s, n) in model.items()}
+    errs: dict[str, list] = {}
+    for (ck, is_tr), cents in per.items():
+        seg = seg_of[ck]
+        if not is_tr and seg in pred:
+            e = errs.setdefault(seg, [0, 0])
+            e[0] += 1
+            e[1] += abs(cents - pred[seg])
+    df = oracle_df(con, "q_segment_ltv_mae")
+    got = {r.seg: r for r in df.itertuples()}
+    assert set(got) == set(errs)
+    for seg, (n, tot) in errs.items():
+        g = got[seg]
+        assert int(g.n_test_customers) == n, seg
+        assert int(g.pred_cents) == pred[seg], seg
+        assert int(g.mae_cents) == tot // n, seg
+
+
+def test_json_schema_profile_key_type_presence(con):
+    import json as _json
+
+    rows = con.execute("SELECT props FROM events").fetchall()
+    n_rows = len(rows)
+    duck_type = {
+        str: "VARCHAR",
+        bool: "BOOLEAN",
+        int: "UBIGINT",
+        float: "DOUBLE",
+        list: "ARRAY",
+        dict: "OBJECT",
+        type(None): "NULL",
+    }
+    counts: dict[tuple, int] = {}
+    for (p,) in rows:
+        d = _json.loads(p)
+        for k, v in d.items():
+            t = duck_type[type(v)]
+            if isinstance(v, bool):
+                t = "BOOLEAN"
+            elif isinstance(v, int):
+                t = "UBIGINT" if v >= 0 else "BIGINT"
+            counts[(k, t)] = counts.get((k, t), 0) + 1
+    df = oracle_df(con, "q_json_schema_profile")
+    got = {
+        (r.key_name, r.value_type): (int(r.n), int(r.n_rows), int(r.presence_micro))
+        for r in df.itertuples()
+    }
+    assert set(got) == set(counts)
+    for key, n in counts.items():
+        assert got[key] == (n, n_rows, n * 1_000_000 // n_rows), key
+
+
+def test_orphan_audit_and_snapshot_rollback_recount(con):
+    import math as _m
+
+    rows = con.execute("SELECT event_type, value FROM events").fetchall()
+    n_err = sum(1 for t, _ in rows if t == "error")
+    g = oracle_df(con, "q_orphan_file_audit").iloc[0]
+    assert int(g.committed_rows) == len(rows) - n_err
+    assert int(g.orphan_rows) == n_err
+    assert int(g.listed_rows) == len(rows)
+    agg: dict[str, list] = {}
+    for t, v in rows:
+        a = agg.setdefault(t, [0, 0])
+        a[0] += 1
+        a[1] += _m.floor(v * 100 + 0.5)
+    got = {
+        r.event_type: (int(r.n), int(r.cents))
+        for r in oracle_df(con, "q_snapshot_rollback").itertuples()
+    }
+    assert got == {t: tuple(a) for t, a in agg.items()}
+
+
+def test_cluster_quality_cohesion_over_separation(con):
+    import math as _m
+
+    rows = con.execute("SELECT vec_id, label, embedding FROM embeddings").fetchall()
+    by_label: dict = {}
+    for vid, lab, emb in rows:
+        by_label.setdefault(lab, []).append([float(x) for x in emb])
+    cent = {
+        lab: [sum(col) / len(vs) for col in zip(*vs)]
+        for lab, vs in by_label.items()
+    }
+    coh = {}
+    for lab, vs in by_label.items():
+        c = cent[lab]
+        ds = [
+            _m.sqrt(sum((x - y) ** 2 for x, y in zip(v, c))) for v in vs
+        ]
+        coh[lab] = (len(vs), sum(ds) / len(ds))
+    sep = {}
+    for l1 in cent:
+        cands = sorted(
+            (
+                (_m.sqrt(sum((a - b) ** 2 for a, b in zip(cent[l1], cent[l2]))), l2)
+                for l2 in cent
+                if l2 != l1
+            )
+        )
+        sep[l1] = cands[0]
+    df = oracle_df(con, "q_cluster_quality")
+    got = {r.label: r for r in df.itertuples()}
+    assert set(got) == set(coh)
+    for lab, (n, cohesion) in coh.items():
+        d, nearest = sep[lab]
+        g = got[lab]
+        assert int(g.n) == n, lab
+        assert abs(float(g.cohesion) - cohesion) <= 1e-3, lab
+        assert g.nearest_label == nearest, lab
+        assert abs(float(g.separation) - d) <= 1e-3, lab
+        assert abs(float(g.quality_ratio) - cohesion / d) <= 1e-3, lab
