@@ -100,6 +100,17 @@ _PINNED_FIRST = (
     "q_stream_idempotent_sink",
     "q_stream_restart_recovery",
     "q_stream_batch_invariance",
+    # round-7 replay-harness change (sentinel_batches 2 -> 1): these are
+    # the eight sentinel-dependent queries — all still uncovered, so a
+    # driver row for them verifies the NEW flush path first
+    "q_stream_state_ttl",
+    "q_stream_join_full",
+    "q_stream_join_outer",
+    "q_stream_topk",
+    "q_stream_session",
+    "q_stream_session_dynamic",
+    "q_stream_distinct_users",
+    "q_stream_window_chain",
 )
 
 
