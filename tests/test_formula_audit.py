@@ -13513,3 +13513,192 @@ def test_cluster_quality_cohesion_over_separation(con):
         assert g.nearest_label == nearest, lab
         assert abs(float(g.separation) - d) <= 1e-3, lab
         assert abs(float(g.quality_ratio) - cohesion / d) <= 1e-3, lab
+
+
+# ---- batch 65: never-driver-covered MI / TVD / order-stat / market-
+# basket / FK-profiling oracles ----
+
+
+def test_mutual_information_nats_and_nmi(con):
+    import math as _m
+
+    rows = con.execute(
+        "SELECT event_type, DAYOFWEEK(ts) FROM events"
+    ).fetchall()
+    n = len(rows)
+    joint: dict[tuple, int] = {}
+    rx: dict[str, int] = {}
+    cy: dict[int, int] = {}
+    for x, y in rows:
+        joint[(x, y)] = joint.get((x, y), 0) + 1
+        rx[x] = rx.get(x, 0) + 1
+        cy[y] = cy.get(y, 0) + 1
+    h_x = round(_m.log(n) - sum(r * _m.log(r) for r in rx.values()) / n, 6)
+    h_y = round(_m.log(n) - sum(c * _m.log(c) for c in cy.values()) / n, 6)
+    mi = round(
+        sum(
+            (o / n) * _m.log(o * n / (rx[x] * cy[y]))
+            for (x, y), o in joint.items()
+        ),
+        6,
+    )
+    g = oracle_df(con, "q_mutual_information").iloc[0]
+    assert int(g.n) == n
+    assert abs(float(g.h_type_nats) - h_x) <= 2e-6
+    assert abs(float(g.h_dow_nats) - h_y) <= 2e-6
+    assert abs(float(g.mi_nats) - mi) <= 2e-6
+    assert abs(float(g.nmi) - mi / min(h_x, h_y)) <= 1e-5
+    # information-theory contracts: 0 <= MI <= min(H_X, H_Y)
+    assert -1e-9 <= mi <= min(h_x, h_y) + 1e-9
+
+
+def test_lang_tvd_half_l1_in_integer_micro(con):
+    rows = con.execute("SELECT lang, text FROM documents").fetchall()
+    wc: dict[str, dict] = {}
+    for lang, text in rows:
+        d = wc.setdefault(lang, {})
+        for w in text.split(" "):
+            if w:
+                d[w] = d.get(w, 0) + 1
+    langs = sorted(wc)
+    df = oracle_df(con, "q_lang_tvd")
+    got = {(r.la, r.lb): int(r.tvd_micro) for r in df.itertuples()}
+    expect = {}
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            na = sum(wc[la].values())
+            nb = sum(wc[lb].values())
+            words = set(wc[la]) | set(wc[lb])
+            s = sum(
+                abs(wc[la].get(w, 0) * nb - wc[lb].get(w, 0) * na)
+                for w in words
+            )
+            expect[(la, lb)] = s * 1_000_000 // (2 * na * nb)
+    assert got == expect
+
+
+def test_median_two_phase_is_lower_median(con):
+    import math as _m
+
+    rows = con.execute(
+        "SELECT event_type, event_id, value FROM events"
+    ).fetchall()
+    per: dict[str, list] = {}
+    for et, eid, v in rows:
+        per.setdefault(et, []).append((_m.floor(v * 100 + 0.5), int(eid)))
+    df = oracle_df(con, "q_median_two_phase")
+    got = {r.event_type: (int(r.n), int(r.median_cents)) for r in df.itertuples()}
+    assert set(got) == set(per)
+    for et, pts in per.items():
+        pts.sort()
+        n = len(pts)
+        assert got[et] == (n, pts[(n + 1) // 2 - 1][0]), et
+
+
+def test_auc_rank_equals_pairwise_mann_whitney(con):
+    import math as _m
+
+    rows = con.execute("SELECT event_type, value FROM events").fetchall()
+    pos = {}
+    neg = {}
+    for et, v in rows:
+        s = _m.floor(v * 100 + 0.5)
+        d = pos if et == "purchase" else neg
+        d[s] = d.get(s, 0) + 1
+    n_pos = sum(pos.values())
+    n_neg = sum(neg.values())
+    # exact Mann-Whitney with half credit for ties, via score histogram
+    numer2 = 0  # 2x (wins + 0.5*ties)
+    neg_below = 0
+    for s in sorted(set(pos) | set(neg)):
+        p = pos.get(s, 0)
+        nn = neg.get(s, 0)
+        numer2 += p * (2 * neg_below + nn)
+        neg_below += nn
+    g = oracle_df(con, "q_auc_rank").iloc[0]
+    assert int(g.n_pos) == n_pos
+    assert int(g.n_neg) == n_neg
+    assert abs(float(g.auc) - numer2 / (2.0 * n_pos * n_neg)) <= 1e-9
+
+
+def test_basket_lift_and_itemset_triples_support(con):
+    rows = con.execute(
+        """SELECT DISTINCT l_orderkey, p_brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey"""
+    ).fetchall()
+    baskets: dict[int, set] = {}
+    freq: dict[str, int] = {}
+    for ok, br in rows:
+        baskets.setdefault(int(ok), set()).add(br)
+        freq[br] = freq.get(br, 0) + 1
+    n_orders = len(baskets)
+    pair_n: dict[tuple, int] = {}
+    tri_n: dict[tuple, int] = {}
+    freq1 = {b for b, f in freq.items() if f >= 70}
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_n[(s[i], s[j])] = pair_n.get((s[i], s[j]), 0) + 1
+        sp = [b for b in s if b in freq1]
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                for k in range(j + 1, len(sp)):
+                    key = (sp[i], sp[j], sp[k])
+                    tri_n[key] = tri_n.get(key, 0) + 1
+    lifts = {
+        k: (v, round(v * n_orders / (freq[k[0]] * freq[k[1]]), 4))
+        for k, v in pair_n.items()
+        if v >= 50
+    }
+    df = oracle_df(con, "q_basket_lift")
+    got = {
+        (r.brand_a, r.brand_b): (int(r.n_ab), float(r.lift))
+        for r in df.itertuples()
+    }
+    assert set(got) == set(lifts)
+    for k, (nab, lift) in lifts.items():
+        assert got[k][0] == nab, k
+        assert abs(got[k][1] - lift) <= 5.1e-5, k
+    tri_expect = {k: v for k, v in tri_n.items() if v >= 70}
+    df3 = oracle_df(con, "q_itemset_triples")
+    got3 = {(r.x, r.y, r.z): int(r.support) for r in df3.itertuples()}
+    assert got3 == tri_expect
+
+
+def test_stat_crosstab_and_fk_discovery(con):
+    rows = con.execute(
+        """SELECT c_mktsegment, o_orderstatus
+           FROM orders JOIN customer ON o_custkey = c_custkey"""
+    ).fetchall()
+    ct: dict[str, dict] = {}
+    for seg, st in rows:
+        d = ct.setdefault(seg, {"F": 0, "O": 0, "P": 0})
+        d[st] += 1
+    df = oracle_df(con, "q_stat_crosstab")
+    got = {r.seg: (int(r.f), int(r.o), int(r.p)) for r in df.itertuples()}
+    assert got == {s: (d["F"], d["O"], d["P"]) for s, d in ct.items()}
+
+    li_ok = {int(k) for (k,) in con.execute("SELECT DISTINCT l_orderkey FROM lineitem").fetchall()}
+    li_pk = {int(k) for (k,) in con.execute("SELECT DISTINCT l_partkey FROM lineitem").fetchall()}
+    o_ok = {int(k) for (k,) in con.execute("SELECT DISTINCT o_orderkey FROM orders").fetchall()}
+    o_ck = {int(k) for (k,) in con.execute("SELECT DISTINCT o_custkey FROM orders").fetchall()}
+    p_pk = {int(k) for (k,) in con.execute("SELECT DISTINCT p_partkey FROM part").fetchall()}
+    c_ck = {int(k) for (k,) in con.execute("SELECT DISTINCT c_custkey FROM customer").fetchall()}
+    expect = {
+        "lineitem.l_orderkey->orders.o_orderkey": (len(li_ok), len(li_ok - o_ok)),
+        "lineitem.l_partkey->part.p_partkey": (len(li_pk), len(li_pk - p_pk)),
+        "orders.o_custkey->customer.c_custkey": (len(o_ck), len(o_ck - c_ck)),
+        "orders.o_orderkey->lineitem.l_orderkey": (len(o_ok), len(o_ok - li_ok)),
+    }
+    fk = oracle_df(con, "q_fk_discovery")
+    gotf = {
+        r.candidate: (int(r.n_child_distinct), int(r.n_orphans),
+                      int(r.containment_micro), bool(r.is_fk))
+        for r in fk.itertuples()
+    }
+    assert set(gotf) == set(expect)
+    for cand, (nd, orph) in expect.items():
+        assert gotf[cand] == (
+            nd, orph, (nd - orph) * 1_000_000 // nd, orph == 0
+        ), cand
