@@ -38,14 +38,25 @@ from catenae_kafka_spark.registry import all_specs
 from catenae_kafka_spark.session import get_spark
 
 
-def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+def duck_connection(sf_dir: str, jobs: int = 1) -> duckdb.DuckDBPyConnection:
+    import tempfile
+
     con = duckdb.connect()
     # Cap the oracle engine so a pathological plan fails loudly instead
     # of thrashing the host: q_pagerank's pre-round-6 oracle re-inlined
     # its CTE chain exponentially at sf0.1 and ate 105 GB before the
-    # fix (AS MATERIALIZED). Override with DUCKDB_MEMORY_LIMIT.
+    # fix (AS MATERIALIZED). Override with DUCKDB_MEMORY_LIMIT_GB. Under
+    # --jobs the cap is divided across workers so N connections cannot
+    # oversubscribe the host together.
+    cap_gb = int(os.environ.get("DUCKDB_MEMORY_LIMIT_GB", "24"))
+    con.execute(f"SET memory_limit='{max(cap_gb // max(jobs, 1), 2)}GB'")
+    # Every connection must get its OWN spill directory: the default is
+    # the cwd-relative '.tmp', and two concurrent connections spilling
+    # there race on the same duckdb_temp_storage-*.tmp files — observed
+    # as an uncatchable C++ abort ("Could not remove file ... .tmp/
+    # duckdb_temp_storage-0.tmp") that killed a whole sf0.1 sweep.
     con.execute(
-        f"SET memory_limit='{os.environ.get('DUCKDB_MEMORY_LIMIT', '24GB')}'"
+        f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'"
     )
     for name in TABLES:
         con.execute(
@@ -165,11 +176,17 @@ def main() -> int:
         def worker(item):
             name, spec = item
             if not hasattr(tls, "con"):
-                tls.con = duck_connection(sf_dir)
+                tls.con = duck_connection(sf_dir, jobs)
             return (name, *_run_one(spark, sf_dir, name, spec, tls.con))
 
+        from concurrent.futures import as_completed
+
         pool = ThreadPoolExecutor(max_workers=jobs)
-        results = pool.map(worker, sorted(specs.items()))
+        futures = [pool.submit(worker, item) for item in sorted(specs.items())]
+        # as_completed, not map: map yields in submission order, so one
+        # slow query silently freezes the progress log even while later
+        # queries finish
+        results = (f.result() for f in as_completed(futures))
 
     for name, status, line, dt in results:
         print(line, flush=True)
