@@ -13702,3 +13702,196 @@ def test_stat_crosstab_and_fk_discovery(con):
         assert gotf[cand] == (
             nd, orph, (nd - orph) * 1_000_000 // nd, orph == 0
         ), cand
+
+
+# ---- batch 66: never-driver-covered text-LM / retrieval-metric /
+# t-closeness oracles ----
+
+
+def test_doc_perplexity_unigram_lm(con):
+    import math as _m
+
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    vocab: dict[str, int] = {}
+    toks: dict[int, list] = {}
+    for did, text in rows:
+        ws = text.split(" ")
+        toks[int(did)] = ws
+        for w in ws:
+            vocab[w] = vocab.get(w, 0) + 1
+    total = sum(vocab.values())
+    df = oracle_df(con, "q_doc_perplexity")
+    got = {int(r.doc_id): (int(r.n_tokens), float(r.ppl)) for r in df.itertuples()}
+    assert set(got) == set(toks)
+    import random
+
+    rng = random.Random(66)
+    for did in rng.sample(sorted(toks), 120):
+        ws = toks[did]
+        ppl = _m.exp(-sum(_m.log(vocab[w] / total) for w in ws) / len(ws))
+        assert got[did][0] == len(ws), did
+        assert abs(got[did][1] - ppl) <= max(1e-4, ppl * 1e-6), did
+
+
+def test_ngram_lm_bigram_argmax(con):
+    rows = con.execute("SELECT text FROM documents").fetchall()
+    pc: dict[tuple, int] = {}
+    for (text,) in rows:
+        ws = text.split(" ")
+        for i in range(len(ws) - 1):
+            pc[(ws[i], ws[i + 1])] = pc.get((ws[i], ws[i + 1]), 0) + 1
+    tot: dict[str, int] = {}
+    for (w1, _), n in pc.items():
+        tot[w1] = tot.get(w1, 0) + n
+    expect = {}
+    for w1, n_tot in tot.items():
+        if n_tot < 50:
+            continue
+        w2, n_pair = min(
+            ((w2, n) for (a, w2), n in pc.items() if a == w1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        expect[w1] = (w2, n_pair, round(n_pair / n_tot, 6))
+    df = oracle_df(con, "q_ngram_lm")
+    got = {
+        r.w1: (r.next_word, int(r.n_pair), float(r.prob))
+        for r in df.itertuples()
+    }
+    assert set(got) == set(expect)
+    for w1, (w2, n_pair, prob) in expect.items():
+        assert got[w1][0] == w2, w1
+        assert got[w1][1] == n_pair, w1
+        assert abs(got[w1][2] - prob) <= 1e-6, w1
+
+
+def test_self_bleu_lite_bigram_precision(con):
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    bg = {}
+    for did, text in rows:
+        ws = text.split(" ")
+        if len(ws) >= 2:
+            bg[int(did)] = {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)}
+    precs = []
+    for ida, ba in sorted(bg.items()):
+        if ida % 5 != 0 or (ida + 7) not in bg or not ba:
+            continue
+        bb = bg[ida + 7]
+        precs.append(len(ba & bb) * 1_000_000 // len(ba))
+    g = oracle_df(con, "q_self_bleu_lite").iloc[0]
+    assert int(g.n_pairs) == len(precs)
+    assert int(g.self_bleu2_micro) == sum(precs) // len(precs)
+    assert int(g.max_pair_micro) == max(precs)
+
+
+def test_keyphrases_top3_lift_per_source(con):
+    import math as _m
+
+    rows = con.execute("SELECT source, text FROM documents").fetchall()
+    src_counts: dict[tuple, int] = {}
+    for src, text in rows:
+        ws = text.split(" ")
+        if len(ws) < 2:
+            continue
+        for g in {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)}:
+            src_counts[(src, g)] = src_counts.get((src, g), 0) + 1
+    src_tot: dict[str, int] = {}
+    corpus: dict[str, int] = {}
+    for (src, g), n in src_counts.items():
+        src_tot[src] = src_tot.get(src, 0) + n
+        corpus[g] = corpus.get(g, 0) + n
+    ctot = sum(corpus.values())
+    scored: dict[str, list] = {}
+    for (src, g), n in src_counts.items():
+        if n < 5:
+            continue
+        lift = _m.floor((n / src_tot[src]) / (corpus[g] / ctot) * 1_000_000)
+        scored.setdefault(src, []).append((-lift, g, n))
+    expect = {}
+    for src, cands in scored.items():
+        for neg_l, g, n in sorted(cands)[:3]:
+            expect[(src, g)] = (n, -neg_l)
+    df = oracle_df(con, "q_keyphrases")
+    got = {
+        (r.source, r.phrase): (int(r.n), int(r.lift_micro))
+        for r in df.itertuples()
+    }
+    assert got == expect
+
+
+def test_t_closeness_emd_over_bins(con):
+    import math as _m
+
+    rows = con.execute(
+        """SELECT c_mktsegment, r_name, c_acctbal
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey"""
+    ).fetchall()
+    per_group: dict[tuple, dict] = {}
+    gdist: dict[int, int] = {}
+    for seg, reg, bal in rows:
+        b = _m.floor((float(bal) + 1000) / 1000)
+        per_group.setdefault((seg, reg), {})[b] = (
+            per_group.setdefault((seg, reg), {}).get(b, 0) + 1
+        )
+        gdist[b] = gdist.get(b, 0) + 1
+    n = len(rows)
+    df = oracle_df(con, "q_t_closeness")
+    got = {
+        (r.seg, r.region): (int(r.n_g), int(r.emd_micro), bool(r.t_breach))
+        for r in df.itertuples()
+    }
+    assert set(got) == set(per_group)
+    for key, bins in per_group.items():
+        n_g = sum(bins.values())
+        cp = cq = 0
+        s = 0
+        for b in range(11):
+            cp += bins.get(b, 0)
+            cq += gdist.get(b, 0)
+            s += abs(cp * 1_000_000 // n_g - cq * 1_000_000 // n)
+        emd = s // 10
+        assert got[key] == (n_g, emd, emd > 150_000), key
+
+
+def test_ndcg_at5_cosine_ranked(con):
+    import math as _m
+
+    rows = con.execute("SELECT vec_id, label, embedding FROM embeddings").fetchall()
+    vecs = {int(v): ([float(x) for x in e], lab) for v, lab, e in rows}
+    lbl_cnt: dict[str, int] = {}
+    for _, (_, lab) in vecs.items():
+        lbl_cnt[lab] = lbl_cnt.get(lab, 0) + 1
+    w = {1: 1000000, 2: 630929, 3: 500000, 4: 430676, 5: 386852}
+
+    def rnd6(x):
+        return _m.copysign(_m.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    df = oracle_df(con, "q_ndcg_at5")
+    got = {int(r.query_id): r for r in df.itertuples()}
+    queries = [v for v in vecs if v < 20]
+    assert set(got) == set(queries)
+    for q in queries:
+        qe, qlab = vecs[q]
+        qn = _m.sqrt(sum(x * x for x in qe))
+        scored = []
+        for c, (ce, clab) in vecs.items():
+            if c == q:
+                continue
+            cos = rnd6(
+                sum(a * b for a, b in zip(qe, ce))
+                / (qn * _m.sqrt(sum(x * x for x in ce)))
+            )
+            scored.append((-cos, c, clab == qlab))
+        scored.sort()
+        top5 = scored[:5]
+        dcg = sum(w[i + 1] for i, (_, _, rel) in enumerate(top5) if rel)
+        n_rel = sum(1 for _, _, rel in top5 if rel)
+        r_tot = lbl_cnt[qlab] - 1
+        idcg = sum(w[i] for i in range(1, min(r_tot, 5) + 1))
+        g = got[q]
+        assert int(g.n_rel) == n_rel, q
+        assert int(g.dcg_micro) == dcg, q
+        assert int(g.idcg_micro) == idcg, q
+        if idcg > 0:
+            assert int(g.ndcg_micro) == dcg * 1_000_000 // idcg, q
