@@ -1246,12 +1246,20 @@ def test_stream_sink_partitioned_layout_and_counts(spark):
         q_stream_sink_partitioned,
     )
 
+    from catenae_kafka_spark.streaming.sources import replay_tag
+
     df = q_stream_sink_partitioned(spark, SF).toPandas()
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert df["n"].sum() == n_events
     tag = hashlib.sha256(SF.encode()).hexdigest()[:12]
+    # derive the sink path exactly as the query does — the replay tag is
+    # a layout hash now, not a fixed version string
     sink = os.path.join(
-        tempfile.gettempdir(), "catenae_kafka_spark", tag, "part_sink_v1", "data"
+        tempfile.gettempdir(),
+        "catenae_kafka_spark",
+        tag,
+        f"part_sink_{replay_tag(SF)}",
+        "data",
     )
     parts = [d for d in os.listdir(sink) if d.startswith("event_type=")]
     assert len(parts) == 5
