@@ -188,8 +188,8 @@ def main() -> int:
         # queries finish
         results = (f.result() for f in as_completed(futures))
 
-    for name, status, line, dt in results:
-        print(line, flush=True)
+    def count(name: str, status: str, dt: float) -> None:
+        nonlocal n_pass, n_weak, n_fail
         if status == "ok":
             n_pass += 1
             times[name] = dt
@@ -199,6 +199,34 @@ def main() -> int:
         else:
             n_fail += 1
             failures.append(name)
+
+    # Oracle spill-disk failures under --jobs are retried SEQUENTIALLY:
+    # N concurrent DuckDB connections each get cap/N memory, so the
+    # heavy graph/recursive-CTE oracles at sf0.1 all spill to disk at
+    # once and can exhaust /tmp together ("No space left on device" —
+    # observed round 7: 4 such fails in a --jobs 8 sf0.1 sweep, all 4
+    # pass sequentially with the full memory budget). A genuine
+    # mismatch is NOT retried — only the oracle-side disk failure.
+    spill_failed: list[str] = []
+    for name, status, line, dt in results:
+        if (
+            jobs > 1
+            and status == "fail"
+            and "No space left on device" in line
+        ):
+            spill_failed.append(name)
+            print(line + "  [queued for sequential retry]", flush=True)
+            continue
+        print(line, flush=True)
+        count(name, status, dt)
+    if spill_failed:
+        retry_con = duck_connection(sf_dir)
+        for name in sorted(spill_failed):
+            status, line, dt = _run_one(
+                spark, sf_dir, name, specs[name], retry_con
+            )
+            print(line + "  [sequential retry]", flush=True)
+            count(name, status, dt)
     if jobs <= 1:
         _record_costs(times)
     print(f"\n{n_pass} ok, {n_weak} weak, {n_fail} fail" + (f": {failures}" if failures else ""))
