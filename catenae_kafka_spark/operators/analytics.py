@@ -24,7 +24,7 @@ from catenae_kafka_spark.registry import REGISTRY
     "q_skyline",
     tags=("analytics",),
     oracle="""
-WITH q AS (
+WITH q AS MATERIALIZED (
   SELECT o_orderpriority, o_orderkey,
          CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
          STRFTIME(o_orderdate, '%Y-%m-%d') AS order_day

@@ -156,10 +156,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_triangle_count",
     tags=("graph",),
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
@@ -215,22 +215,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bfs_khop",
     tags=("graph",),
     oracle="""
-WITH RECURSIVE baskets AS (
+WITH RECURSIVE baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), weighted AS (
+), weighted AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v, CAST(COUNT(*) AS BIGINT) AS w
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand
-), top_edges AS (
+), top_edges AS MATERIALIZED (
   SELECT u, v FROM (
     SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn
     FROM weighted
   ) WHERE rn <= 40
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v FROM top_edges UNION ALL SELECT v, u FROM top_edges
-), seed AS (
+), seed AS MATERIALIZED (
   SELECT u AS node FROM (
     SELECT u, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn
     FROM weighted
@@ -315,20 +315,20 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_graph_common_neighbors",
     tags=("graph",),
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand
   HAVING COUNT(*) >= 80
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
-), cn AS (
+), cn AS MATERIALIZED (
   SELECT n1.v AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
   FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
   GROUP BY n1.v, n2.v
@@ -393,32 +393,32 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shortest_path_bf",
     tags=("graph",),
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), weighted AS (
+), weighted AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v, CAST(COUNT(*) AS BIGINT) AS w
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand
   HAVING COUNT(*) >= 80
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v, CAST(FLOOR(1000000.0 / w) AS BIGINT) AS cost FROM weighted
   UNION ALL
   SELECT v AS u, u AS v, CAST(FLOOR(1000000.0 / w) AS BIGINT) AS cost FROM weighted
-), seed AS (SELECT MIN(u) AS s FROM sym),
-d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS d FROM seed),
-r1 AS (SELECT e.v AS node, MIN(d0.d + e.cost) AS d
+), seed AS MATERIALIZED (SELECT MIN(u) AS s FROM sym),
+d0 AS MATERIALIZED (SELECT s AS node, CAST(0 AS BIGINT) AS d FROM seed),
+r1 AS MATERIALIZED (SELECT e.v AS node, MIN(d0.d + e.cost) AS d
        FROM d0 JOIN sym e ON e.u = d0.node GROUP BY e.v),
-d1 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM
+d1 AS MATERIALIZED (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM
        (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY node),
-r2 AS (SELECT e.v AS node, MIN(d1.d + e.cost) AS d
+r2 AS MATERIALIZED (SELECT e.v AS node, MIN(d1.d + e.cost) AS d
        FROM d1 JOIN sym e ON e.u = d1.node GROUP BY e.v),
-d2 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM
+d2 AS MATERIALIZED (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM
        (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY node),
-r3 AS (SELECT e.v AS node, MIN(d2.d + e.cost) AS d
+r3 AS MATERIALIZED (SELECT e.v AS node, MIN(d2.d + e.cost) AS d
        FROM d2 JOIN sym e ON e.u = d2.node GROUP BY e.v),
-d3 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM
+d3 AS MATERIALIZED (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM
        (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY node)
 SELECT node, d AS dist_micro FROM d3
 """,
@@ -481,32 +481,32 @@ def q_shortest_path_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_collab_filter",
     tags=("graph", "recommender"),
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand
   HAVING COUNT(*) >= 80
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
-), cn AS (
+), cn AS MATERIALIZED (
   SELECT n1.v AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
   FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v <> n2.v
   GROUP BY n1.v, n2.v
-), sim AS (
+), sim AS MATERIALIZED (
   SELECT cn.a, cn.b,
          CAST(FLOOR(cn.common * 1000000.0 / (da.d + db.d - cn.common))
               AS BIGINT) AS sim_micro
   FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node
-), owned AS (
+), owned AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey, bk.p_brand
   FROM orders o JOIN baskets bk ON o.o_orderkey = bk.l_orderkey
-), scores AS (
+), scores AS MATERIALIZED (
   SELECT ow.o_custkey, s.b AS rec_brand,
          CAST(SUM(s.sim_micro) AS BIGINT) AS score_micro
   FROM owned ow JOIN sim s ON ow.p_brand = s.a
@@ -612,26 +612,26 @@ def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_graph_assortativity",
     tags=("graph",),
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), weighted AS (
+), weighted AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v, CAST(COUNT(*) AS BIGINT) AS w
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT u, v FROM (
     SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn FROM weighted
   ) WHERE rn <= 60
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
-), xy AS (
+), xy AS MATERIALIZED (
   SELECT du.d AS x, dv.d AS y
   FROM sym JOIN deg du ON sym.u = du.node JOIN deg dv ON sym.v = dv.node
-), s AS (
+), s AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
          CAST(SUM(x * y) AS BIGINT) AS sxy,
@@ -735,31 +735,31 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kcore_peel",
     tags=("graph",),
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), weighted AS (
+), weighted AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v, CAST(COUNT(*) AS BIGINT) AS w
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT u, v FROM (
     SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn FROM weighted
   ) WHERE rn <= 60
-), sym0 AS (
+), sym0 AS MATERIALIZED (
   SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-), keep1 AS (
+), keep1 AS MATERIALIZED (
   SELECT u FROM sym0 GROUP BY u HAVING COUNT(*) >= 4
-), sym1 AS (
+), sym1 AS MATERIALIZED (
   SELECT s.u, s.v FROM sym0 s
   JOIN keep1 a ON s.u = a.u JOIN keep1 b ON s.v = b.u
-), keep2 AS (
+), keep2 AS MATERIALIZED (
   SELECT u FROM sym1 GROUP BY u HAVING COUNT(*) >= 4
-), sym2 AS (
+), sym2 AS MATERIALIZED (
   SELECT s.u, s.v FROM sym1 s
   JOIN keep2 a ON s.u = a.u JOIN keep2 b ON s.v = b.u
-), keep3 AS (
+), keep3 AS MATERIALIZED (
   SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym2 GROUP BY u
   HAVING COUNT(*) >= 4
 )
@@ -825,7 +825,7 @@ _LPA_ROUNDS = 2
     "q_label_propagation",
     tags=("graph", "iterative"),
     oracle="""
-WITH directed AS (
+WITH directed AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
@@ -833,24 +833,24 @@ WITH directed AS (
   JOIN supplier s ON l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY c.c_nationkey, s.s_nationkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
     SELECT src AS u, dst AS v, w FROM directed
     UNION ALL
     SELECT dst AS u, src AS v, w FROM directed
   ) both_dirs GROUP BY u, v
-), l0 AS (
+), l0 AS MATERIALIZED (
   SELECT DISTINCT u AS node, u AS label FROM edges
-), v1 AS (
+), v1 AS MATERIALIZED (
   SELECT e.u, l.label, CAST(SUM(e.w) AS BIGINT) AS s
   FROM edges e JOIN l0 l ON e.v = l.node GROUP BY e.u, l.label
-), l1 AS (
+), l1 AS MATERIALIZED (
   SELECT u AS node, label FROM (
     SELECT u, label,
            ROW_NUMBER() OVER (PARTITION BY u ORDER BY s DESC, label) AS rn
     FROM v1
   ) r WHERE rn = 1
-), v2 AS (
+), v2 AS MATERIALIZED (
   SELECT e.u, l.label, CAST(SUM(e.w) AS BIGINT) AS s
   FROM edges e JOIN l1 l ON e.v = l.node GROUP BY e.u, l.label
 ), l2 AS (
@@ -929,39 +929,39 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rec_precision",
     tags=("graph", "recommender", "evaluation"),
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), train_o AS (
+), train_o AS MATERIALIZED (
   SELECT o_orderkey, o_custkey FROM orders
   WHERE o_orderdate < TIMESTAMP '1999-01-01'
-), test_o AS (
+), test_o AS MATERIALIZED (
   SELECT o_orderkey, o_custkey FROM orders
   WHERE o_orderdate >= TIMESTAMP '1999-01-01'
-), tb AS (
+), tb AS MATERIALIZED (
   SELECT b.l_orderkey, b.p_brand FROM baskets b
   JOIN train_o t ON b.l_orderkey = t.o_orderkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v
   FROM tb a JOIN tb b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand HAVING COUNT(*) >= 50
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
-), cn AS (
+), cn AS MATERIALIZED (
   SELECT n1.v AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
   FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v <> n2.v
   GROUP BY n1.v, n2.v
-), sim AS (
+), sim AS MATERIALIZED (
   SELECT cn.a, cn.b,
          CAST(FLOOR(cn.common * 1000000.0 / (da.d + db.d - cn.common))
               AS BIGINT) AS sim_micro
   FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node
-), owned AS (
+), owned AS MATERIALIZED (
   SELECT DISTINCT t.o_custkey, b.p_brand
   FROM train_o t JOIN baskets b ON t.o_orderkey = b.l_orderkey
-), scores AS (
+), scores AS MATERIALIZED (
   SELECT ow.o_custkey, s.b AS rec_brand,
          CAST(SUM(s.sim_micro) AS BIGINT) AS score_micro
   FROM owned ow JOIN sim s ON ow.p_brand = s.a
@@ -970,14 +970,14 @@ WITH baskets AS (
     WHERE o2.o_custkey = ow.o_custkey AND o2.p_brand = s.b
   )
   GROUP BY ow.o_custkey, s.b
-), top1 AS (
+), top1 AS MATERIALIZED (
   SELECT o_custkey, rec_brand FROM (
     SELECT o_custkey, rec_brand,
            ROW_NUMBER() OVER (PARTITION BY o_custkey
                               ORDER BY score_micro DESC, rec_brand) AS rn
     FROM scores
   ) WHERE rn = 1
-), test_owned AS (
+), test_owned AS MATERIALIZED (
   SELECT DISTINCT t.o_custkey, b.p_brand
   FROM test_o t JOIN baskets b ON t.o_orderkey = b.l_orderkey
 )
@@ -1118,7 +1118,7 @@ def q_rec_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_graph_modularity",
     tags=("graph",),
     oracle="""
-WITH directed AS (
+WITH directed AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          CAST(COUNT(*) AS BIGINT) AS w
   FROM lineitem
@@ -1127,16 +1127,16 @@ WITH directed AS (
   JOIN supplier s ON l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY src, dst
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
     SELECT src AS u, dst AS v, w FROM directed
     UNION ALL SELECT dst, src, w FROM directed
   ) GROUP BY u, v
-), comm AS (
+), comm AS MATERIALIZED (
   SELECT n_nationkey AS node, n_regionkey AS c FROM nation
-), t AS (
+), t AS MATERIALIZED (
   SELECT CAST(SUM(w) AS BIGINT) AS tw FROM sym
-), per AS (
+), per AS MATERIALIZED (
   SELECT cu.c,
          CAST(SUM(CASE WHEN cu.c = cv.c THEN sym.w ELSE 0 END) AS BIGINT)
            AS intra,
@@ -1238,31 +1238,31 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rec_coverage",
     tags=("graph", "recommender", "evaluation"),
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand HAVING COUNT(*) >= 80
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
-), cn AS (
+), cn AS MATERIALIZED (
   SELECT n1.v AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
   FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v <> n2.v
   GROUP BY n1.v, n2.v
-), sim AS (
+), sim AS MATERIALIZED (
   SELECT cn.a, cn.b,
          CAST(FLOOR(cn.common * 1000000.0 / (da.d + db.d - cn.common))
               AS BIGINT) AS sim_micro
   FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node
-), owned AS (
+), owned AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey, bk.p_brand
   FROM orders o JOIN baskets bk ON o.o_orderkey = bk.l_orderkey
-), scores AS (
+), scores AS MATERIALIZED (
   SELECT ow.o_custkey, s.b AS rec_brand,
          CAST(SUM(s.sim_micro) AS BIGINT) AS score_micro
   FROM owned ow JOIN sim s ON ow.p_brand = s.a
@@ -1271,7 +1271,7 @@ WITH baskets AS (
     WHERE o2.o_custkey = ow.o_custkey AND o2.p_brand = s.b
   )
   GROUP BY ow.o_custkey, s.b
-), top1 AS (
+), top1 AS MATERIALIZED (
   SELECT o_custkey, rec_brand FROM (
     SELECT o_custkey, rec_brand,
            ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -1489,22 +1489,22 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_harmonic_centrality",
     tags=("graph",),
     oracle="""
-WITH RECURSIVE baskets AS (
+WITH RECURSIVE baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), weighted AS (
+), weighted AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v, CAST(COUNT(*) AS BIGINT) AS w
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand
-), top_edges AS (
+), top_edges AS MATERIALIZED (
   SELECT u, v FROM (
     SELECT u, v, ROW_NUMBER() OVER (ORDER BY w DESC, u, v) AS rn
     FROM weighted
   ) WHERE rn <= 40
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v FROM top_edges UNION ALL SELECT v, u FROM top_edges
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT DISTINCT u AS node FROM sym
 ), walk AS (
   SELECT node AS origin, node, 0 AS d FROM nodes
@@ -1512,7 +1512,7 @@ WITH RECURSIVE baskets AS (
   SELECT w.origin, s.v, w.d + 1
   FROM walk w JOIN sym s ON s.u = w.node
   WHERE w.d < 3
-), dmin AS (
+), dmin AS MATERIALIZED (
   SELECT origin, node, MIN(d) AS d FROM walk GROUP BY origin, node
 )
 SELECT origin, CAST(COUNT(*) AS BIGINT) AS n_reach_3hop,
@@ -1593,18 +1593,18 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_resource_allocation",
     tags=("graph", "link-prediction"),
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.p_brand AS u, b.p_brand AS v
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand
   HAVING COUNT(*) >= 80
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
 )
 SELECT n1.v AS a, n2.v AS b,

@@ -55,9 +55,18 @@ def duck_connection(sf_dir: str, jobs: int = 1) -> duckdb.DuckDBPyConnection:
     # there race on the same duckdb_temp_storage-*.tmp files — observed
     # as an uncatchable C++ abort ("Could not remove file ... .tmp/
     # duckdb_temp_storage-0.tmp") that killed a whole sf0.1 sweep.
-    con.execute(
-        f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'"
-    )
+    spill_dir = tempfile.mkdtemp(prefix="duck_spill_")
+    con.execute(f"SET temp_directory='{spill_dir}'")
+    # Spill dirs must be reclaimed at process exit: a quadratic oracle
+    # can spill tens of GB, and a sweep that leaks them fills the root
+    # filesystem within a few runs (observed: 27 GB of orphaned
+    # duck_spill_* dirs → "No space left on device" killed 4 queries of
+    # an sf0.1 sweep). DuckDB removes its temp files on clean close but
+    # not the directory, and nothing removed either on abort.
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
