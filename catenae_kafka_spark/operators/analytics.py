@@ -1606,17 +1606,17 @@ def q_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_attribution_ushape",
     tags=("analytics", "attribution"),
     oracle="""
-WITH fp AS (
+WITH fp AS MATERIALIZED (
   SELECT user_id, MIN(ts) AS pts FROM events
   WHERE event_type = 'purchase' GROUP BY user_id
-), touches AS (
+), touches AS MATERIALIZED (
   SELECT e.user_id, e.event_type,
          ROW_NUMBER() OVER (PARTITION BY e.user_id
                             ORDER BY e.ts, e.event_id) AS pos,
          COUNT(*) OVER (PARTITION BY e.user_id) AS n
   FROM events e JOIN fp ON e.user_id = fp.user_id
   WHERE e.ts < fp.pts AND e.event_type <> 'purchase'
-), credit AS (
+), credit AS MATERIALIZED (
   SELECT event_type,
          CASE WHEN n = 1 THEN 1000000
               WHEN pos = 1 OR pos = n THEN
@@ -2728,21 +2728,21 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_attribution_decay",
     tags=("analytics", "attribution"),
     oracle="""
-WITH conv AS (
+WITH conv AS MATERIALIZED (
   SELECT user_id, MAX(ts) AS conv_ts FROM events
   WHERE event_type = 'purchase' GROUP BY user_id
-), touches AS (
+), touches AS MATERIALIZED (
   SELECT e.user_id, e.event_type, e.event_id,
          (epoch_us(c.conv_ts) // 1000000 - epoch_us(e.ts) // 1000000)
            // 86400 AS age_days
   FROM events e JOIN conv c ON e.user_id = c.user_id
   WHERE e.ts <= c.conv_ts AND e.event_type <> 'purchase'
-), weighted AS (
+), weighted AS MATERIALIZED (
   SELECT user_id, event_type,
          CAST(SUM(1000000 >> CAST(LEAST(age_days // 7, 19) AS INT))
               AS BIGINT) AS w
   FROM touches GROUP BY user_id, event_type
-), per_user AS (
+), per_user AS MATERIALIZED (
   SELECT user_id, CAST(SUM(w) AS BIGINT) AS tw FROM weighted
   GROUP BY user_id
 )
@@ -3054,16 +3054,16 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_attribution_window_ladder",
     tags=("analytics", "attribution"),
     oracle="""
-WITH fp AS (
+WITH fp AS MATERIALIZED (
   SELECT user_id, MIN(ts) AS first_p FROM events
   WHERE event_type = 'purchase' GROUP BY user_id
-), touch AS (
+), touch AS MATERIALIZED (
   SELECT e.user_id,
          MIN(epoch_us(fp.first_p) - epoch_us(e.ts)) // 1000000 AS min_gap_s
   FROM events e JOIN fp ON e.user_id = fp.user_id
   WHERE e.event_type = 'click' AND e.ts < fp.first_p
   GROUP BY e.user_id
-), ladder AS (
+), ladder AS MATERIALIZED (
   SELECT unnest([1, 7, 30]) AS window_days
 )
 SELECT CAST(window_days AS BIGINT) AS window_days,

@@ -377,18 +377,18 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_interpolate",
     tags=("asof", "timeseries"),
     oracle="""
-WITH b AS (
+WITH b AS MATERIALIZED (
   SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
          date_trunc('hour', MAX(ts)) AS hi
   FROM events GROUP BY user_id
-), grid AS (
+), grid AS MATERIALIZED (
   SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gt
   FROM b
-), bwd AS (
+), bwd AS MATERIALIZED (
   SELECT g.user_id, g.gt, e.ts AS t0, e.value AS y0
   FROM grid g ASOF JOIN events e
     ON g.user_id = e.user_id AND g.gt >= e.ts
-), fwd AS (
+), fwd AS MATERIALIZED (
   SELECT g.user_id, g.gt, e.ts AS t1, e.value AS y1
   FROM grid g ASOF JOIN events e
     ON g.user_id = e.user_id AND g.gt < e.ts

@@ -367,14 +367,14 @@ def brand_baskets(c) -> DataFrame:
     "q_basket_lift",
     tags=("composite", "association"),
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), n AS (
+), n AS MATERIALIZED (
   SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets
-), freq AS (
+), freq AS MATERIALIZED (
   SELECT p_brand, COUNT(*) AS f FROM baskets GROUP BY p_brand
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand

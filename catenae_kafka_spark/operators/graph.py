@@ -1410,7 +1410,7 @@ def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_graph_reciprocity",
     tags=("graph",),
     oracle="""
-WITH directed AS (
+WITH directed AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          CAST(COUNT(*) AS BIGINT) AS w
   FROM lineitem
@@ -1419,7 +1419,7 @@ WITH directed AS (
   JOIN supplier s ON l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY src, dst
-), paired AS (
+), paired AS MATERIALIZED (
   SELECT a.src, a.dst, a.w,
          COALESCE(b.w, 0) AS w_rev
   FROM directed a

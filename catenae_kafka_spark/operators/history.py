@@ -35,14 +35,14 @@ WIN_FMT = "yyyy-MM-dd HH:mm:ss"
 # Shared by q_scd2_history (batch build) and q_stream_scd2 (streaming
 # maintenance): both must produce this exact table, hash and all.
 _SCD2_ORACLE = """
-WITH o AS (
+WITH o AS MATERIALIZED (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY user_id) AS cnt_user
   FROM events
-), s AS (
+), s AS MATERIALIZED (
   SELECT * FROM o WHERE chg = 1
 )
 SELECT user_id,

@@ -42,7 +42,7 @@ WITH bench AS MATERIALIZED (
   FROM documents WHERE doc_id % 97 = 7
 ), bgrams AS MATERIALIZED (
   SELECT DISTINCT unnest(grams) AS g FROM bench
-), train AS (
+), train AS MATERIALIZED (
   SELECT doc_id, lang,
          list_distinct(list_transform(
            generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
@@ -51,7 +51,7 @@ WITH bench AS MATERIALIZED (
                 string_split(text,' ')[i+2]
          )) AS grams
   FROM documents WHERE doc_id % 97 <> 7
-), hits AS (
+), hits AS MATERIALIZED (
   SELECT DISTINCT t.doc_id
   FROM train t JOIN bgrams b ON list_contains(t.grams, b.g)
 )
@@ -346,18 +346,18 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_contamination_score",
     tags=("llm", "corpus"),
     oracle="""
-WITH sp AS (
+WITH sp AS MATERIALIZED (
   SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
-), grams AS (
+), grams AS MATERIALIZED (
   SELECT doc_id, lang,
          CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
                 generate_series(1, len(toks) - 2),
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
               ELSE [] END AS gs
   FROM sp
-), eval_grams AS (
+), eval_grams AS MATERIALIZED (
   SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 7
-), train AS (
+), train AS MATERIALIZED (
   SELECT doc_id, lang, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 7
 )
 SELECT t.doc_id, t.lang,
@@ -614,16 +614,16 @@ def _bpe_round_sql(prev: str, idx: int) -> str:
     ``{prev}`` -> rewritten corpus ``corpus{idx}`` (doubled-space
     REPLACE trick, same algebra as q_bpe_merge_apply)."""
     return f"""
-pairs{idx} AS (
+pairs{idx} AS MATERIALIZED (
   SELECT unnest(list_transform(
            generate_series(1, len(w) - 1),
            i -> w[i] || ' ' || w[i + 1])) AS pair
   FROM (SELECT string_split(text, ' ') AS w FROM {prev})
   WHERE len(w) >= 2
-), top{idx} AS (
+), top{idx} AS MATERIALIZED (
   SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs{idx}
   GROUP BY pair ORDER BY n DESC, pair LIMIT 1
-), corpus{idx} AS (
+), corpus{idx} AS MATERIALIZED (
   SELECT doc_id,
          TRIM(REPLACE(REPLACE(
            ' ' || REPLACE(text, ' ', '  ') || ' ',
@@ -635,7 +635,7 @@ pairs{idx} AS (
 
 
 _BPE3_ORACLE = (
-    "WITH corpus0 AS (SELECT doc_id, text FROM documents),"
+    "WITH corpus0 AS MATERIALIZED (SELECT doc_id, text FROM documents),"
     + ",".join(_bpe_round_sql(f"corpus{i}", i + 1) for i in range(3))
     + """
 SELECT * FROM (

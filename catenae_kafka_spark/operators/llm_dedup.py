@@ -484,10 +484,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_embedding",
     tags=("llm", "dedup", "similarity"),
     oracle="""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
-), n AS (
+), n AS MATERIALIZED (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -928,13 +928,13 @@ WITH grams AS MATERIALIZED (
            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
          )) AS bigrams
   FROM documents
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT len(list_intersect(a.bigrams, b.bigrams)) * 1.0
          / len(list_distinct(a.bigrams || b.bigrams)) AS j
   FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
   WHERE len(list_intersect(a.bigrams, b.bigrams)) * 1.0
         / len(list_distinct(a.bigrams || b.bigrams)) >= 0.5
-), t AS (SELECT unnest([50, 60, 70, 80, 90]) AS thr_pct)
+), t AS MATERIALIZED (SELECT unnest([50, 60, 70, 80, 90]) AS thr_pct)
 SELECT t.thr_pct,
        CAST(COUNT(CASE WHEN pairs.j >= t.thr_pct / 100.0 THEN 1 END) AS BIGINT)
          AS n_pairs

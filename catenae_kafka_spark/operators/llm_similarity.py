@@ -79,19 +79,19 @@ def knn_cosine(
     tags=("llm", "similarity"),
     bench=True,
     oracle="""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
-), n AS (
+), n AS MATERIALIZED (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
-), scored AS (
+), scored AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.vec_id AS match_id,
          ROUND(list_sum(list_transform(generate_series(1, 64),
                                        i -> q.e[i] * c.e[i]))
                / (q.nrm * c.nrm), 6) AS cos_sim
   FROM n q JOIN n c ON q.vec_id != c.vec_id
   WHERE q.vec_id < 8
-), ranked AS (
+), ranked AS MATERIALIZED (
   SELECT query_id, match_id, cos_sim,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos_sim DESC, match_id) AS rn
@@ -757,35 +757,35 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kmeans_quantized",
     tags=("similarity", "ml"),
     oracle="""
-WITH q AS (
+WITH q AS MATERIALIZED (
   SELECT vec_id, t.i,
          CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)
                     / (SELECT MAX(list_max(list_transform(embedding,
                          x -> ABS(CAST(x AS DOUBLE))))) FROM embeddings)
                     * 15 + 0.5) AS BIGINT) AS c
   FROM embeddings, generate_series(1, 64) t(i)
-), seeds AS (
+), seeds AS MATERIALIZED (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS k
   FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 4)
-), c0 AS (
+), c0 AS MATERIALIZED (
   SELECT s.k, q.i, q.c FROM seeds s JOIN q ON q.vec_id = s.vec_id
-), d1 AS (
+), d1 AS MATERIALIZED (
   SELECT q.vec_id, c0.k, CAST(SUM((q.c - c0.c) * (q.c - c0.c)) AS BIGINT) AS d2
   FROM q JOIN c0 ON q.i = c0.i GROUP BY q.vec_id, c0.k
-), a1 AS (
+), a1 AS MATERIALIZED (
   SELECT vec_id, k FROM (
     SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
     FROM d1
   ) WHERE rn = 1
-), c1 AS (
+), c1 AS MATERIALIZED (
   SELECT a1.k, q.i,
          CAST(FLOOR((2 * SUM(q.c) + COUNT(*)) * 1.0 / (2 * COUNT(*))) AS BIGINT) AS c
   FROM a1 JOIN q ON q.vec_id = a1.vec_id
   GROUP BY a1.k, q.i
-), d2_ AS (
+), d2_ AS MATERIALIZED (
   SELECT q.vec_id, c1.k, CAST(SUM((q.c - c1.c) * (q.c - c1.c)) AS BIGINT) AS d2
   FROM q JOIN c1 ON q.i = c1.i GROUP BY q.vec_id, c1.k
-), a2 AS (
+), a2 AS MATERIALIZED (
   SELECT vec_id, k, d2 FROM (
     SELECT vec_id, k, d2,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn

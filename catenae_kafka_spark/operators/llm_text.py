@@ -837,7 +837,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_novelty",
     tags=("llm", "text"),
     oracle="""
-WITH grams AS (
+WITH grams AS MATERIALIZED (
   SELECT doc_id, source,
          unnest(list_distinct(list_transform(
            generate_series(1, len(string_split(text,' ')) - 1),
@@ -845,9 +845,9 @@ WITH grams AS (
          ))) AS g
   FROM documents
   WHERE len(string_split(text,' ')) >= 2
-), df AS (
+), df AS MATERIALIZED (
   SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM grams GROUP BY g
-), per_doc AS (
+), per_doc AS MATERIALIZED (
   SELECT grams.doc_id, grams.source,
          CAST(COUNT(*) AS BIGINT) AS n_grams,
          CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
@@ -979,15 +979,15 @@ def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bm25",
     tags=("llm", "text", "search"),
     oracle="""
-WITH words AS (
+WITH words AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-), dl AS (
+), dl AS MATERIALIZED (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM words GROUP BY doc_id
-), corpus AS (
+), corpus AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(dlen) AS BIGINT) AS total_len
   FROM dl
-), top3 AS (
+), top3 AS MATERIALIZED (
   SELECT w, rnk FROM (
     SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
     FROM words GROUP BY w
@@ -998,7 +998,7 @@ WITH words AS (
   GROUP BY words.doc_id, top3.rnk
 ), df AS (
   SELECT rnk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY rnk
-), terms AS (
+), terms AS MATERIALIZED (
   SELECT tf.doc_id, tf.rnk,
          ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
          * (tf.tf * 2.2)
@@ -1009,7 +1009,7 @@ WITH words AS (
   JOIN df ON tf.rnk = df.rnk
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN corpus
-), pivoted AS (
+), pivoted AS MATERIALIZED (
   SELECT doc_id,
          COALESCE(MAX(CASE WHEN rnk = 1 THEN s END), 0.0) AS s1,
          COALESCE(MAX(CASE WHEN rnk = 2 THEN s END), 0.0) AS s2,
@@ -1118,22 +1118,22 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_keyphrases",
     tags=("llm", "text"),
     oracle="""
-WITH grams AS (
+WITH grams AS MATERIALIZED (
   SELECT source,
          unnest(list_distinct(list_transform(
            generate_series(1, len(string_split(text,' ')) - 1),
            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
          ))) AS g
   FROM documents WHERE len(string_split(text,' ')) >= 2
-), src_counts AS (
+), src_counts AS MATERIALIZED (
   SELECT source, g, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY source, g
-), src_tot AS (
+), src_tot AS MATERIALIZED (
   SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM src_counts GROUP BY source
-), corpus_counts AS (
+), corpus_counts AS MATERIALIZED (
   SELECT g, CAST(SUM(n) AS BIGINT) AS cn FROM src_counts GROUP BY g
-), corpus_tot AS (
+), corpus_tot AS MATERIALIZED (
   SELECT CAST(SUM(cn) AS BIGINT) AS ctot FROM corpus_counts
-), scored AS (
+), scored AS MATERIALIZED (
   SELECT s.source, s.g, s.n,
          CAST(FLOOR((CAST(s.n AS DOUBLE) / st.tot)
                     / (CAST(c.cn AS DOUBLE) / ct.ctot) * 1000000) AS BIGINT)

@@ -919,24 +919,24 @@ def q_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_psi_drift",
     tags=("mlstats", "monitoring"),
     oracle="""
-WITH scored AS (
+WITH scored AS MATERIALIZED (
   SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
          CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END
            AS period
   FROM events
-), ext AS (
+), ext AS MATERIALIZED (
   SELECT MAX(c) AS mx FROM scored
-), binned AS (
+), binned AS MATERIALIZED (
   SELECT LEAST(CAST(FLOOR(c * 10.0 / (mx + 1)) AS BIGINT), 9) AS bin,
          period
   FROM scored CROSS JOIN ext
-), per AS (
+), per AS MATERIALIZED (
   SELECT bin,
          CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n0,
          CAST(SUM(period) AS BIGINT) AS n1
   FROM binned GROUP BY bin
-), tot AS (
+), tot AS MATERIALIZED (
   SELECT CAST(SUM(n0) AS BIGINT) AS t0, CAST(SUM(n1) AS BIGINT) AS t1
   FROM per
 )
@@ -2077,19 +2077,19 @@ def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_conformal_coverage",
     tags=("mlstats", "ml-evaluation"),
     oracle="""
-WITH split AS (
+WITH split AS MATERIALIZED (
   SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
          event_id,
          ('0x' || substr(md5('cal:' || user_id), 1, 8))::BIGINT % 2 = 0
            AS is_cal
   FROM events
-), cal AS (
+), cal AS MATERIALIZED (
   SELECT event_type, cents,
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY cents, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n_cal
   FROM split WHERE is_cal
-), band AS (
+), band AS MATERIALIZED (
   SELECT event_type, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
          CAST(MAX(CASE WHEN rn = GREATEST((n_cal * 5) // 100, 1)
                        THEN cents END) AS BIGINT) AS lo_cents,
@@ -2849,7 +2849,7 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kfold_cv",
     tags=("mlstats", "ml-evaluation"),
     oracle="""
-WITH per_cust AS (
+WITH per_cust AS MATERIALIZED (
   SELECT c.c_mktsegment AS seg,
          ('0x' || substr(md5('fold:' || o.o_custkey), 1, 8))::BIGINT % 5
            AS fold,
@@ -2858,15 +2858,15 @@ WITH per_cust AS (
               AS BIGINT) AS cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY seg, fold, o.o_custkey
-), partials AS (
+), partials AS MATERIALIZED (
   SELECT seg, fold, CAST(COUNT(*) AS BIGINT) AS n_sf,
          CAST(SUM(cents) AS BIGINT) AS s_sf
   FROM per_cust GROUP BY seg, fold
-), seg_tot AS (
+), seg_tot AS MATERIALIZED (
   SELECT seg, CAST(SUM(n_sf) AS BIGINT) AS n_s,
          CAST(SUM(s_sf) AS BIGINT) AS s_s
   FROM partials GROUP BY seg
-), model AS (
+), model AS MATERIALIZED (
   SELECT p.seg, p.fold,
          (t.s_s - p.s_sf) // (t.n_s - p.n_sf) AS pred_cents
   FROM partials p JOIN seg_tot t ON p.seg = t.seg
@@ -2961,19 +2961,19 @@ def q_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_quantile_normalize",
     tags=("mlstats", "feature-engineering"),
     oracle="""
-WITH src AS (
+WITH src AS MATERIALIZED (
   SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, event_id,
          ROW_NUMBER() OVER (ORDER BY FLOOR(value * 100 + 0.5), event_id)
            AS rn,
          COUNT(*) OVER () AS n
   FROM events WHERE event_type = 'click'
-), tgt AS (
+), tgt AS MATERIALIZED (
   SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, event_id,
          ROW_NUMBER() OVER (ORDER BY FLOOR(value * 100 + 0.5), event_id)
            AS rn,
          COUNT(*) OVER () AS n
   FROM events WHERE event_type = 'purchase'
-), d AS (SELECT unnest(generate_series(1, 9)) AS decile)
+), d AS MATERIALIZED (SELECT unnest(generate_series(1, 9)) AS decile)
 SELECT d.decile,
        (SELECT cents FROM src WHERE rn = GREATEST((d.decile * n) // 10, 1))
          AS src_decile_cents,

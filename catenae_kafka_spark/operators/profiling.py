@@ -278,7 +278,7 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_benford",
     tags=("profiling", "dq"),
     oracle="""
-WITH digits AS (
+WITH digits AS MATERIALIZED (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
               AS BIGINT) AS d
   FROM orders WHERE o_totalprice >= 1

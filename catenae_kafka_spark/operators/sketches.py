@@ -351,9 +351,9 @@ def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bloom_fpr",
     tags=("sketch", "membership"),
     oracle="""
-WITH members AS (
+WITH members AS MATERIALIZED (
   SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0
-), bits AS (
+), bits AS MATERIALIZED (
   SELECT DISTINCT pos FROM (
     SELECT ('0x' || substr(md5('1:' || k), 1, 8))::BIGINT % 4096 AS pos
     FROM members
@@ -362,9 +362,9 @@ WITH members AS (
     UNION ALL
     SELECT ('0x' || substr(md5('3:' || k), 1, 8))::BIGINT % 4096 FROM members
   )
-), probes AS (
+), probes AS MATERIALIZED (
   SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 3 <> 0
-), tested AS (
+), tested AS MATERIALIZED (
   SELECT k,
          ('0x' || substr(md5('1:' || k), 1, 8))::BIGINT % 4096 IN
            (SELECT pos FROM bits)

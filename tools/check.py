@@ -236,7 +236,12 @@ def main() -> int:
             )
             print(line + "  [sequential retry]", flush=True)
             count(name, status, dt)
-    if jobs <= 1:
+    if jobs <= 1 and os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+        # Record ONLY at the driver's scale: the costs file orders the
+        # driver rotation, and min-merge means one sequential sf0.001
+        # sweep would otherwise clobber every entry with near-zero times
+        # (sf0.1 runs were merely ineffective — larger times lose the
+        # min — but the small-sf direction silently corrupts).
         _record_costs(times)
     print(f"\n{n_pass} ok, {n_weak} weak, {n_fail} fail" + (f": {failures}" if failures else ""))
     return 1 if n_fail else 0
