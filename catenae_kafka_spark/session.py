@@ -154,4 +154,20 @@ def get_spark(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Register the engine's custom Python data sources EAGERLY, before
+    # any query thread runs: Spark's DataSourceManager races a
+    # registerPython of one source against a concurrent lookup of
+    # ANOTHER (reproduced on local[32]: lookups of an already-registered
+    # kv_store fail DATA_SOURCE_NOT_FOUND while synthetic_events
+    # registers on a sibling thread). Registering both here means a
+    # parallel sweep never registers concurrently with a lookup. The
+    # per-query register calls stay (sessions the driver builds itself
+    # don't pass through get_spark) but are once-per-session memo no-ops.
+    try:
+        from catenae_kafka_spark.sources.synthetic import register, register_kv
+
+        register(spark)
+        register_kv(spark)
+    except Exception:  # noqa: BLE001 — source registration must never block a session
+        pass
     return tune(spark)

@@ -254,10 +254,55 @@ def stream_reader(options: dict):
     return _build_events_source()(options).simpleStreamReader(None)
 
 
+_REGISTER_LOCK = __import__("threading").Lock()
+_REGISTERED: set[tuple[int, str]] = set()
+
+
+def _ensure_active_session(spark) -> None:
+    """Pin ``spark`` as the JVM's thread-local active session.
+
+    Python data-source WRITE lookups resolve through the JVM's
+    active-session thread-local, and py4j child threads start with none
+    — so ``df.write.format("kv_store").save()`` fails
+    DATA_SOURCE_NOT_FOUND from any Python thread other than the one
+    that created the session, even though the source is registered
+    (reproduced deterministically on local[32]: main thread ok, child
+    thread fails; reads are unaffected). Must run in the CALLING
+    thread, before the write."""
+    try:
+        jvm = spark._jvm
+        try:
+            jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+        except Exception:  # noqa: BLE001 — pre-4.0 class location
+            jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+    except Exception:  # noqa: BLE001 — session pinning must never block a query
+        pass
+
+
+def _register_once(spark, name: str, build) -> None:
+    """Thread-safe, once-per-session registration: a process-wide lock
+    serializes ``spark.dataSource.register`` calls (registration
+    replaces the registry entry and is not meant to race lookups) and a
+    per-session memo avoids re-pickling the class on every query."""
+    key = (id(spark), name)
+    with _REGISTER_LOCK:
+        if key in _REGISTERED:
+            return
+        spark.dataSource.register(build())
+        _REGISTERED.add(key)
+
+
 def register(spark) -> None:
-    """Idempotent registration of the custom format."""
-    spark.dataSource.register(_build_events_source())
+    """Idempotent registration of the custom format (call from the
+    thread that will use it — see _ensure_active_session)."""
+    _ensure_active_session(spark)
+    _register_once(spark, "synthetic_events", _build_events_source)
 
 
 def register_kv(spark) -> None:
-    spark.dataSource.register(_build_kv_source())
+    _ensure_active_session(spark)
+    _register_once(spark, "kv_store", _build_kv_source)

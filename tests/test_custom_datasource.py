@@ -64,3 +64,35 @@ def test_kv_sink_two_phase_commit_hygiene(spark, tmp_path):
     assert os.listdir(spool) == []
     back = spark.read.json(committed)
     assert back.count() == nation.count()
+
+
+def test_kv_sink_write_from_child_thread(spark, tmp_path):
+    """Python data-source WRITE lookups resolve through the JVM's
+    thread-local active session, which py4j child threads start
+    without — stock PySpark fails DATA_SOURCE_NOT_FOUND on any
+    ``.write.format("kv_store").save()`` off the session-creating
+    thread (reads are unaffected). register_kv must pin the active
+    session in the calling thread so parallel harnesses (check.py
+    --jobs) and multi-threaded user code can use the sink."""
+    import threading
+
+    from catenae_kafka_spark.catalog import catalog
+
+    result: dict[str, object] = {}
+
+    def _save() -> None:
+        try:
+            register_kv(spark)  # pins the active session in THIS thread
+            out = str(tmp_path / "kv_thread")
+            catalog(spark, SF).nation.write.format("kv_store").option(
+                "path", out
+            ).mode("append").save()
+            result["rows"] = spark.read.json(os.path.join(out, "committed")).count()
+        except Exception as exc:  # noqa: BLE001
+            result["err"] = exc
+
+    t = threading.Thread(target=_save)
+    t.start()
+    t.join()
+    assert "err" not in result, result.get("err")
+    assert result["rows"] == 25

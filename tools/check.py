@@ -221,7 +221,15 @@ def main() -> int:
         if (
             jobs > 1
             and status == "fail"
-            and "No space left on device" in line
+            and (
+                "No space left on device" in line
+                # Concurrency-only failure class, not a correctness
+                # signal: Python data-source registration raced under
+                # --jobs (DATA_SOURCE_NOT_FOUND for a format registered
+                # moments earlier) — serialized in sources/synthetic.py,
+                # retried here in case Spark's registry races internally.
+                or "DATA_SOURCE_NOT_FOUND" in line
+            )
         ):
             spill_failed.append(name)
             print(line + "  [queued for sequential retry]", flush=True)
