@@ -3136,26 +3136,27 @@ def q_attribution_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_trade_balance",
     tags=("analytics", "graph"),
     oracle="""
-WITH exports AS (
-  SELECT s.s_nationkey AS nk,
+WITH flows AS MATERIALIZED (
+  -- one pass over the 4-way fact join, aggregated to the (importer,
+  -- exporter) pair grid (<= nations^2 rows); exports/imports are
+  -- rollups of the SAME flows — the old twin-CTE form ran the full
+  -- join twice and thrashed spill under a divided memory cap (720s in
+  -- a --jobs 8 sf0.1 sweep vs 19s sequential)
+  SELECT c.c_nationkey AS imp_nk, s.s_nationkey AS exp_nk,
          CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
-              AS BIGINT) AS exp_dollars
+              AS BIGINT) AS d
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer c ON o_custkey = c.c_custkey
   JOIN supplier s ON l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
-  GROUP BY s.s_nationkey
-), imports AS (
-  SELECT c.c_nationkey AS nk,
-         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
-              AS BIGINT) AS imp_dollars
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer c ON o_custkey = c.c_custkey
-  JOIN supplier s ON l_suppkey = s.s_suppkey
-  WHERE c.c_nationkey <> s.s_nationkey
-  GROUP BY c.c_nationkey
+  GROUP BY c.c_nationkey, s.s_nationkey
+), exports AS MATERIALIZED (
+  SELECT exp_nk AS nk, CAST(SUM(d) AS BIGINT) AS exp_dollars
+  FROM flows GROUP BY exp_nk
+), imports AS MATERIALIZED (
+  SELECT imp_nk AS nk, CAST(SUM(d) AS BIGINT) AS imp_dollars
+  FROM flows GROUP BY imp_nk
 )
 SELECT n_name,
        COALESCE(e.exp_dollars, 0) AS exp_dollars,
