@@ -13895,3 +13895,73 @@ def test_ndcg_at5_cosine_ranked(con):
         assert int(g.idcg_micro) == idcg, q
         if idcg > 0:
             assert int(g.ndcg_micro) == dcg * 1_000_000 // idcg, q
+
+
+# ---------------------------------------------------------------- BATCH 67
+# Round-7 continuation: independent recomputes for oracles rewritten or
+# newly materialized this round that had no direct audit check yet.
+
+
+def test_dedup_threshold_sweep_counts_from_scratch(con):
+    """q_dedup_threshold_sweep: pure-Python bigram-Jaccard all-pairs
+    recompute (within-lang blocking, doc_id order), counted at each
+    threshold — the oracle's pair set and the Spark side's prefix-filter
+    candidate generation must both equal this naive enumeration."""
+    rows = con.execute("SELECT doc_id, lang, text FROM documents").fetchall()
+    by_lang: dict[str, list] = {}
+    for doc_id, lang, text in rows:
+        ws = text.split(" ")
+        grams = {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)}
+        by_lang.setdefault(lang, []).append((doc_id, grams))
+    js: list[float] = []
+    for docs in by_lang.values():
+        docs.sort()
+        for i in range(len(docs)):
+            for k in range(i + 1, len(docs)):
+                a, b = docs[i][1], docs[k][1]
+                inter = len(a & b)
+                if inter == 0:
+                    continue
+                j = inter / len(a | b)
+                if j >= 0.5:
+                    js.append(j)
+    expect = {
+        thr: sum(1 for j in js if j >= thr / 100.0)
+        for thr in (50, 60, 70, 80, 90)
+    }
+    df = oracle_df(con, "q_dedup_threshold_sweep")
+    got = {int(r.thr_pct): int(r.n_pairs) for r in df.itertuples()}
+    assert got == expect
+
+
+def test_trade_balance_flows_from_scratch(con):
+    """q_trade_balance post-rewrite: recompute per-nation export/import
+    dollars from raw joined rows with plain dict accumulation — proves
+    the pair-grid rollup (flows -> exports/imports) equals the direct
+    double aggregation it replaced."""
+    rows = con.execute(
+        """SELECT c.c_nationkey, s.s_nationkey,
+                  CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey"""
+    ).fetchall()
+    exp: dict[int, int] = {}
+    imp: dict[int, int] = {}
+    for cnk, snk, d in rows:
+        exp[snk] = exp.get(snk, 0) + int(d)
+        imp[cnk] = imp.get(cnk, 0) + int(d)
+    names = dict(
+        con.execute("SELECT n_nationkey, n_name FROM nation").fetchall()
+    )
+    df = oracle_df(con, "q_trade_balance")
+    assert len(df) == len(names)
+    got = {
+        r.n_name: (int(r.exp_dollars), int(r.imp_dollars), int(r.balance))
+        for r in df.itertuples()
+    }
+    for nk, name in names.items():
+        e, i = exp.get(nk, 0), imp.get(nk, 0)
+        assert got[name] == (e, i, e - i), name
