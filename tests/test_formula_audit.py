@@ -13965,3 +13965,105 @@ def test_trade_balance_flows_from_scratch(con):
     for nk, name in names.items():
         e, i = exp.get(nk, 0), imp.get(nk, 0)
         assert got[name] == (e, i, e - i), name
+
+
+# ---------------------------------------------------------------- BATCH 68
+# Surface-aggregate/window oracles whose only prior evidence was
+# two-engine parity: recompute quantile interpolation, histogram
+# buckets, grid densification, and rank-function definitions from raw
+# rows with scalar references.
+
+
+def test_agg_quantiles_linear_interpolation(con):
+    rows = con.execute(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem"
+    ).fetchall()
+    groups: dict[str, list[float]] = {}
+    for f, p in rows:
+        groups.setdefault(f, []).append(float(p))
+
+    def qcont(vals, q):
+        vals = sorted(vals)
+        h = (len(vals) - 1) * q  # R-7 / quantile_cont: lo + g*(hi-lo)
+        lo = int(math.floor(h))
+        g = h - lo
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + g * (vals[hi] - vals[lo])
+
+    df = oracle_df(con, "q_agg_quantiles")
+    got = {r.l_returnflag: (r.p25, r.p50, r.p90) for r in df.itertuples()}
+    assert set(got) == set(groups)
+    for f, vals in groups.items():
+        for want, q in zip(got[f], (0.25, 0.50, 0.90)):
+            assert abs(want - round(qcont(vals, q), 4)) < 1e-9, (f, q)
+
+
+def test_agg_histogram_buckets_from_scratch(con):
+    rows = con.execute("SELECT o_totalprice FROM orders").fetchall()
+    buckets: dict[int, list[float]] = {}
+    for (p,) in rows:
+        buckets.setdefault(int(math.floor(float(p) / 50000)), []).append(float(p))
+    df = oracle_df(con, "q_agg_histogram")
+    assert len(df) == len(buckets)
+    for r in df.itertuples():
+        vals = buckets[int(r.bucket)]
+        assert int(r.n) == len(vals)
+        assert abs(r.avg_price - round(sum(vals) / len(vals), 2)) < 1e-6
+        assert r.min_price == round(min(vals), 2)
+        assert r.max_price == round(max(vals), 2)
+
+
+def test_dense_grid_is_days_cross_types(con):
+    import datetime
+
+    rows = con.execute(
+        "SELECT CAST(date_trunc('day', ts) AS DATE), event_type FROM events"
+    ).fetchall()
+    counts: dict[tuple, int] = {}
+    days_seen = set()
+    types = set()
+    for day, et in rows:
+        counts[(day, et)] = counts.get((day, et), 0) + 1
+        days_seen.add(day)
+        types.add(et)
+    lo, hi = min(days_seen), max(days_seen)
+    all_days = [lo + datetime.timedelta(days=i) for i in range((hi - lo).days + 1)]
+    df = oracle_df(con, "q_dense_grid")
+    assert len(df) == len(all_days) * len(types)  # fully densified
+    got = {
+        (r.day, r.event_type): int(r.n) for r in df.itertuples()
+    }
+    for d in all_days:
+        for t in types:
+            assert got[(d.strftime("%Y-%m-%d"), t)] == counts.get((d, t), 0)
+
+
+def test_window_ntile_pct_rank_cume_definitions(con):
+    rows = con.execute(
+        "SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders"
+    ).fetchall()
+    parts: dict[str, list] = {}
+    for st, p, k in rows:
+        parts.setdefault(st, []).append((float(p), int(k)))
+    expect = {}
+    for st, items in parts.items():
+        items.sort()
+        n = len(items)
+        base, rem = divmod(n, 4)  # NTILE: first rem tiles get base+1 rows
+        for i, (_p, k) in enumerate(items):
+            if i < rem * (base + 1):
+                tile = i // (base + 1) + 1
+            else:
+                tile = rem + (i - rem * (base + 1)) // base + 1
+            # (o_totalprice, o_orderkey) is a unique sort key, so
+            # rank == row position and peers are singletons
+            pct = 0.0 if n == 1 else i / (n - 1)
+            cume = (i + 1) / n
+            expect[k] = (tile, round(pct, 6), round(cume, 6))
+    df = oracle_df(con, "q_window_ntile")
+    assert len(df) == len(expect)
+    for r in df.itertuples():
+        want = expect[int(r.o_orderkey)]
+        assert int(r.quartile) == want[0], r.o_orderkey
+        assert abs(r.pct_rank - want[1]) < 1e-9
+        assert abs(r.cume - want[2]) < 1e-9
