@@ -14067,3 +14067,61 @@ def test_window_ntile_pct_rank_cume_definitions(con):
         assert int(r.quartile) == want[0], r.o_orderkey
         assert abs(r.pct_rank - want[1]) < 1e-9
         assert abs(r.cume - want[2]) < 1e-9
+
+
+# ---------------------------------------------------------------- BATCH 69
+# Engine-native OLS aggregates vs numpy, correlated-subquery semantics
+# vs a dict recompute, LATERAL explode vs plain tokenization.
+
+
+def test_regr_funcs_match_numpy_ols(con):
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem"
+    ).fetchall()
+    groups: dict[str, list] = {}
+    for f, x, y in rows:
+        groups.setdefault(f, []).append((float(x), float(y)))
+    df = oracle_df(con, "q_regr_funcs")
+    assert len(df) == len(groups)
+    for r in df.itertuples():
+        pts = groups[r.l_returnflag]
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        assert int(r.n) == len(pts)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope - slope) < 1e-4
+        assert abs(r.intercept - intercept) < 1e-2  # intercept ~1e4 scale
+        cc = np.corrcoef(x, y)[0, 1]
+        assert abs(r.r2 - cc * cc) < 1e-6
+        assert abs(r.avg_x - x.mean()) < 1e-4
+        assert abs(r.avg_y - y.mean()) < 1e-2
+
+
+def test_subquery_correlated_vs_dict_recompute(con):
+    rows = con.execute(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    ).fetchall()
+    sums: dict[int, list] = {}
+    for _k, c, p in rows:
+        s = sums.setdefault(c, [0.0, 0])
+        s[0] += float(p)
+        s[1] += 1
+    expect = {
+        int(k) for k, c, p in rows if float(p) > 2 * (sums[c][0] / sums[c][1])
+    }
+    df = oracle_df(con, "q_subquery_correlated")
+    assert {int(k) for k in df.o_orderkey} == expect
+
+
+def test_lateral_explode_is_plain_tokenization(con):
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 20"
+    ).fetchall()
+    expect: list[tuple] = []
+    for doc_id, text in rows:
+        expect.extend((doc_id, w) for w in text.split(" "))
+    df = oracle_df(con, "q_lateral_explode")
+    got = sorted((int(r.doc_id), r.word) for r in df.itertuples())
+    assert got == sorted(expect)
