@@ -14125,3 +14125,59 @@ def test_lateral_explode_is_plain_tokenization(con):
     df = oracle_df(con, "q_lateral_explode")
     got = sorted((int(r.doc_id), r.word) for r in df.itertuples())
     assert got == sorted(expect)
+
+
+# ---------------------------------------------------------------- BATCH 70
+# TPC-H replay gaps: Q15 (top-revenue supplier via scalar MAX) and Q19
+# (disjunctive brand/size/quantity predicate) recomputed from raw rows
+# — the shared-SQL suite's parity proves nothing for these two, so the
+# scalar replay is the only independent evidence.
+
+
+def test_tpch_q15_top_supplier_from_scratch(con):
+    rows = con.execute(
+        """SELECT l_suppkey, l_extendedprice, l_discount, l_shipdate
+           FROM lineitem"""
+    ).fetchall()
+    import datetime
+
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1995, 4, 1)
+    rev: dict[int, float] = {}
+    for sk, p, d, ship in rows:
+        s = ship if isinstance(ship, datetime.datetime) else datetime.datetime.combine(ship, datetime.time())
+        if lo <= s < hi:
+            rev[sk] = rev.get(sk, 0.0) + float(p) * (1 - float(d))
+    top = max(rev.values())
+    winners = {sk for sk, v in rev.items() if v == top}
+    names = dict(con.execute("SELECT s_suppkey, s_name FROM supplier").fetchall())
+    df = oracle_df(con, "q_tpch_q15")
+    assert {int(k) for k in df.s_suppkey} == winners
+    for r in df.itertuples():
+        assert r.s_name == names[int(r.s_suppkey)]
+        assert abs(r.total_rev - round(top, 2)) < 1e-6
+
+
+def test_tpch_q19_disjunctive_predicate_from_scratch(con):
+    parts = {
+        pk: (brand, int(size))
+        for pk, brand, size in con.execute(
+            "SELECT p_partkey, p_brand, p_size FROM part"
+        ).fetchall()
+    }
+    rows = con.execute(
+        "SELECT l_partkey, l_quantity, l_extendedprice, l_discount FROM lineitem"
+    ).fetchall()
+    total = 0.0
+    for pk, q, p, d in rows:
+        brand, size = parts[pk]
+        q = float(q)
+        if (
+            (brand == "Brand#1" and 1 <= size <= 5 and 1 <= q <= 11)
+            or (brand == "Brand#2" and 1 <= size <= 10 and 10 <= q <= 20)
+            or (brand == "Brand#3" and 1 <= size <= 15 and 20 <= q <= 30)
+        ):
+            total += float(p) * (1 - float(d))
+    df = oracle_df(con, "q_tpch_q19")
+    assert len(df) == 1
+    assert abs(df.revenue[0] - round(total, 2)) < 1e-4
