@@ -255,7 +255,6 @@ def stream_reader(options: dict):
 
 
 _REGISTER_LOCK = __import__("threading").Lock()
-_REGISTERED: set[tuple[int, str]] = set()
 
 
 def _ensure_active_session(spark) -> None:
@@ -287,13 +286,20 @@ def _register_once(spark, name: str, build) -> None:
     """Thread-safe, once-per-session registration: a process-wide lock
     serializes ``spark.dataSource.register`` calls (registration
     replaces the registry entry and is not meant to race lookups) and a
-    per-session memo avoids re-pickling the class on every query."""
-    key = (id(spark), name)
+    per-session memo avoids re-pickling the class on every query. The
+    memo lives ON the session object — a module-level set keyed by
+    id(spark) would go stale when a stopped session's address is reused
+    by a new one (id() is only unique among LIVE objects), silently
+    skipping registration on the fresh session."""
     with _REGISTER_LOCK:
-        if key in _REGISTERED:
+        done = getattr(spark, "_cks_registered_sources", None)
+        if done is None:
+            done = set()
+            spark._cks_registered_sources = done
+        if name in done:
             return
         spark.dataSource.register(build())
-        _REGISTERED.add(key)
+        done.add(name)
 
 
 def register(spark) -> None:
