@@ -992,11 +992,11 @@ WITH words AS MATERIALIZED (
     SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
     FROM words GROUP BY w
   ) WHERE rnk <= 3
-), tf AS (
+), tf AS MATERIALIZED (
   SELECT words.doc_id, top3.rnk, CAST(COUNT(*) AS BIGINT) AS tf
   FROM words JOIN top3 ON words.w = top3.w
   GROUP BY words.doc_id, top3.rnk
-), df AS (
+), df AS MATERIALIZED (
   SELECT rnk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY rnk
 ), terms AS MATERIALIZED (
   SELECT tf.doc_id, tf.rnk,

@@ -168,6 +168,16 @@ def get_spark(
 
         register(spark)
         register_kv(spark)
-    except Exception:  # noqa: BLE001 — source registration must never block a session
-        pass
+    except Exception as exc:  # noqa: BLE001 — registration must never block a session
+        # ... but a swallowed failure here re-opens the register-vs-
+        # lookup race this eager call exists to prevent (the first query
+        # touching the source would register from a worker thread), so
+        # say why before falling back to the lazy per-query path.
+        import sys
+
+        print(
+            f"get_spark: eager data-source registration failed ({exc!r}); "
+            "falling back to per-query registration",
+            file=sys.stderr,
+        )
     return tune(spark)

@@ -254,7 +254,9 @@ def stream_reader(options: dict):
     return _build_events_source()(options).simpleStreamReader(None)
 
 
-_REGISTER_LOCK = __import__("threading").Lock()
+import threading
+
+_REGISTER_LOCK = threading.Lock()
 
 
 def _ensure_active_session(spark) -> None:

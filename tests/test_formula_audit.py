@@ -13995,7 +13995,12 @@ def test_agg_quantiles_linear_interpolation(con):
     assert set(got) == set(groups)
     for f, vals in groups.items():
         for want, q in zip(got[f], (0.25, 0.50, 0.90)):
-            assert abs(want - round(qcont(vals, q), 4)) < 1e-9, (f, q)
+            # compare against the RAW quantile with a half-ulp-of-4dp
+            # band: Python round() is half-even while SQL ROUND is
+            # half-away, so asserting exact equality of the two rounded
+            # values would flake on .xxxx5 midpoints (memory:
+            # cross-engine-rounding-hazards)
+            assert abs(want - qcont(vals, q)) <= 0.5e-4 + 1e-9, (f, q)
 
 
 def test_agg_histogram_buckets_from_scratch(con):
@@ -14008,9 +14013,12 @@ def test_agg_histogram_buckets_from_scratch(con):
     for r in df.itertuples():
         vals = buckets[int(r.bucket)]
         assert int(r.n) == len(vals)
-        assert abs(r.avg_price - round(sum(vals) / len(vals), 2)) < 1e-6
-        assert r.min_price == round(min(vals), 2)
-        assert r.max_price == round(max(vals), 2)
+        # half-ulp-of-2dp band, not round-vs-round: Python half-even vs
+        # SQL half-away diverge on exact .xx5 midpoints (quarter-cent
+        # prices make those reachable)
+        assert abs(r.avg_price - sum(vals) / len(vals)) <= 0.5e-2 + 1e-9
+        assert abs(r.min_price - min(vals)) <= 0.5e-2 + 1e-9
+        assert abs(r.max_price - max(vals)) <= 0.5e-2 + 1e-9
 
 
 def test_dense_grid_is_days_cross_types(con):
@@ -14149,13 +14157,23 @@ def test_tpch_q15_top_supplier_from_scratch(con):
         if lo <= s < hi:
             rev[sk] = rev.get(sk, 0.0) + float(p) * (1 - float(d))
     top = max(rev.values())
-    winners = {sk for sk, v in rev.items() if v == top}
+    # tolerance band, not exact float equality: the oracle's SQL SUM
+    # accumulates in a different order, so a near-tie (or Q15's
+    # documented exact-tie case) must not flip the winner set on float
+    # noise alone — every oracle winner must sit within the band of the
+    # recomputed max, and no non-winner may exceed it
+    eps = 1e-6 * max(abs(top), 1.0)
     names = dict(con.execute("SELECT s_suppkey, s_name FROM supplier").fetchall())
     df = oracle_df(con, "q_tpch_q15")
-    assert {int(k) for k in df.s_suppkey} == winners
+    oracle_winners = {int(k) for k in df.s_suppkey}
+    for sk in oracle_winners:
+        assert rev[sk] >= top - eps, sk
+    for sk, v in rev.items():
+        if v > top - eps:
+            assert sk in oracle_winners, sk
     for r in df.itertuples():
         assert r.s_name == names[int(r.s_suppkey)]
-        assert abs(r.total_rev - round(top, 2)) < 1e-6
+        assert abs(r.total_rev - top) <= 0.5e-2 + eps
 
 
 def test_tpch_q19_disjunctive_predicate_from_scratch(con):

@@ -38,6 +38,32 @@ from catenae_kafka_spark.registry import all_specs
 from catenae_kafka_spark.session import get_spark
 
 
+#: the scale the DRIVER verifies at; cost recording and spill hygiene
+#: key off it (keep in sync with the SF_DIR default in main()).
+DRIVER_SF = "sf0.01"
+
+
+def _reclaim_stale_spill_dirs(max_age_s: float = 6 * 3600) -> None:
+    """Remove orphaned duck_spill_* dirs from crashed runs.
+
+    The atexit cleanup only covers clean process exits — DuckDB's
+    uncatchable C++ abort (and SIGKILL/OOM) strands the spill dir with
+    everything in it, and those stranded dirs are what actually filled
+    the disk. Anything untouched for hours belongs to no live sweep
+    (a live spilling query keeps its dir's mtime fresh)."""
+    import glob
+    import shutil
+    import tempfile
+
+    now = time.time()
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "duck_spill_*")):
+        try:
+            if now - os.path.getmtime(d) > max_age_s:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def duck_connection(sf_dir: str, jobs: int = 1) -> duckdb.DuckDBPyConnection:
     import tempfile
 
@@ -55,6 +81,7 @@ def duck_connection(sf_dir: str, jobs: int = 1) -> duckdb.DuckDBPyConnection:
     # there race on the same duckdb_temp_storage-*.tmp files — observed
     # as an uncatchable C++ abort ("Could not remove file ... .tmp/
     # duckdb_temp_storage-0.tmp") that killed a whole sf0.1 sweep.
+    _reclaim_stale_spill_dirs()
     spill_dir = tempfile.mkdtemp(prefix="duck_spill_")
     con.execute(f"SET temp_directory='{spill_dir}'")
     # Spill dirs must be reclaimed at process exit: a quadratic oracle
@@ -144,7 +171,7 @@ def _run_one(spark, sf_dir: str, name: str, spec, con) -> tuple[str, str, float]
 
 
 def main() -> int:
-    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = os.environ.get("SF_DIR", f"/root/testdata/{DRIVER_SF}")
     args = sys.argv[1:]
     jobs = int(os.environ.get("CHECK_JOBS", "1"))
     if "--jobs" in args:
@@ -244,13 +271,17 @@ def main() -> int:
             )
             print(line + "  [sequential retry]", flush=True)
             count(name, status, dt)
-    if jobs <= 1 and os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+    if jobs <= 1 and os.path.basename(os.path.normpath(sf_dir)) == DRIVER_SF:
         # Record ONLY at the driver's scale: the costs file orders the
         # driver rotation, and min-merge means one sequential sf0.001
         # sweep would otherwise clobber every entry with near-zero times
         # (sf0.1 runs were merely ineffective — larger times lose the
         # min — but the small-sf direction silently corrupts).
         _record_costs(times)
+    elif jobs <= 1 and times:
+        print(
+            f"(costs not recorded: {sf_dir} is not the driver scale {DRIVER_SF})"
+        )
     print(f"\n{n_pass} ok, {n_weak} weak, {n_fail} fail" + (f": {failures}" if failures else ""))
     return 1 if n_fail else 0
 
