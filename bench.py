@@ -107,7 +107,11 @@ def main() -> None:
     medians: dict[str, float | None] = {}
     for name in specs:
         runs = runs_by_query[name]
-        if name in errors or not runs:
+        # A query that succeeded in early rounds but raised later keeps
+        # the min/median of its successful samples — real evidence —
+        # with the error recorded alongside (ADVICE r7). Only a query
+        # with ZERO successful samples reports null timings.
+        if not runs:
             timings[name] = None
             medians[name] = None
             errors.setdefault(name, "no successful runs")
@@ -121,7 +125,13 @@ def main() -> None:
         "metric": "headline query-set wall time (batch+streaming), local mode",
         "value": total,
         "unit": "sec",
-        "n": N_RUNS_BATCH,
+        # per-class sample counts (ADVICE r7): batch queries get
+        # N_RUNS_BATCH interleaved samples, streaming ones N_RUNS;
+        # n_samples records what each query ACTUALLY contributed
+        # (fewer if later rounds errored); floor-guard retry samples
+        # are reported separately under retry_samples.
+        "n": {"batch": N_RUNS_BATCH, "stream": N_RUNS},
+        "n_samples": {n: len(r) for n, r in runs_by_query.items()},
         "stat": "min",
         "queries": timings,
         "value_median": round(sum(med_measured), 3),
@@ -134,8 +144,15 @@ def main() -> None:
     # multi-micro-batch watermark-windowed agg (BASELINE.md streaming
     # target); wall time includes streaming-query spin-up + micro-batch
     # fixed cost, so this is an honest e2e number, not per-batch peak
-    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    if timings.get("q_stream_tumbling"):
+    # A missing/unreadable events file must degrade the streaming
+    # metrics, not erase the whole bench record (ADVICE r7): the one
+    # JSON line on stdout is the round's only evidence.
+    n_events = None
+    try:
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"events count failed: {exc}", file=sys.stderr, flush=True)
+    if n_events and timings.get("q_stream_tumbling"):
         out["stream_events_per_s"] = round(
             n_events / timings["q_stream_tumbling"]
         )
@@ -181,6 +198,11 @@ def main() -> None:
         # failing the whole bench record, re-measure only the breached
         # metrics up to twice, keeping the best observation — a real
         # code regression stays below the floor on every attempt.
+        # Every retry observation is recorded in the JSON record
+        # (ADVICE r7): a metric that only passed via best-of-retries is
+        # visible to the driver as retry_samples — an intermittent
+        # regression (slow most runs, occasionally fast) can't hide.
+        retry_samples: dict[str, list] = {}
         for attempt in range(2):
             broken = _breached()
             if not broken:
@@ -197,10 +219,14 @@ def main() -> None:
                         "noop"
                     ).mode("overwrite").save()
                     dt = time.perf_counter() - t0
+                    retry_samples.setdefault("q_stream_tumbling_sec", []).append(
+                        round(dt, 3)
+                    )
                     best = min(
                         dt, timings.get("q_stream_tumbling") or float("inf")
                     )
-                    out["stream_events_per_s"] = round(n_events / best)
+                    if n_events:
+                        out["stream_events_per_s"] = round(n_events / best)
                     # keep queries/value coherent with the rescued metric
                     if dt < (timings.get("q_stream_tumbling") or float("inf")):
                         timings["q_stream_tumbling"] = round(dt, 3)
@@ -209,6 +235,9 @@ def main() -> None:
                         )
                 if "stream_events_per_s_sustained" in broken:
                     rate = _sustained_stream_rate(spark, sf_dir)
+                    retry_samples.setdefault(
+                        "stream_events_per_s_sustained", []
+                    ).append(rate)
                     out["stream_events_per_s_sustained"] = max(
                         rate, out.get("stream_events_per_s_sustained") or 0
                     )
@@ -218,6 +247,8 @@ def main() -> None:
                     file=sys.stderr,
                     flush=True,
                 )
+        if retry_samples:
+            out["retry_samples"] = retry_samples
         broken = _breached()
         if broken:
             for k, (got, floor) in broken.items():

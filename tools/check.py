@@ -43,22 +43,40 @@ from catenae_kafka_spark.session import get_spark
 DRIVER_SF = "sf0.01"
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
 def _reclaim_stale_spill_dirs(max_age_s: float = 6 * 3600) -> None:
     """Remove orphaned duck_spill_* dirs from crashed runs.
 
     The atexit cleanup only covers clean process exits — DuckDB's
     uncatchable C++ abort (and SIGKILL/OOM) strands the spill dir with
     everything in it, and those stranded dirs are what actually filled
-    the disk. Anything untouched for hours belongs to no live sweep
-    (a live spilling query keeps its dir's mtime fresh)."""
+    the disk. Reclamation is pid-based (ADVICE r7): dirs are named
+    duck_spill_<pid>_* and reclaimed when that pid is dead — directory
+    mtime only moves on file create/delete, so a long-lived connection
+    writing into existing spill files looks "stale" by mtime alone.
+    Legacy unnamed dirs (no pid segment) fall back to the mtime check."""
     import glob
+    import re as _re
     import shutil
     import tempfile
 
     now = time.time()
     for d in glob.glob(os.path.join(tempfile.gettempdir(), "duck_spill_*")):
         try:
-            if now - os.path.getmtime(d) > max_age_s:
+            m = _re.match(r"duck_spill_(\d+)_", os.path.basename(d))
+            if m is not None:
+                if not _pid_alive(int(m.group(1))):
+                    shutil.rmtree(d, ignore_errors=True)
+            elif now - os.path.getmtime(d) > max_age_s:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             continue
@@ -82,7 +100,7 @@ def duck_connection(sf_dir: str, jobs: int = 1) -> duckdb.DuckDBPyConnection:
     # as an uncatchable C++ abort ("Could not remove file ... .tmp/
     # duckdb_temp_storage-0.tmp") that killed a whole sf0.1 sweep.
     _reclaim_stale_spill_dirs()
-    spill_dir = tempfile.mkdtemp(prefix="duck_spill_")
+    spill_dir = tempfile.mkdtemp(prefix=f"duck_spill_{os.getpid()}_")
     con.execute(f"SET temp_directory='{spill_dir}'")
     # Spill dirs must be reclaimed at process exit: a quadratic oracle
     # can spill tens of GB, and a sweep that leaks them fills the root
@@ -271,14 +289,7 @@ def main() -> int:
             )
             print(line + "  [sequential retry]", flush=True)
             count(name, status, dt)
-    if jobs <= 1 and os.path.basename(os.path.normpath(sf_dir)) == DRIVER_SF:
-        # Record ONLY at the driver's scale: the costs file orders the
-        # driver rotation, and min-merge means one sequential sf0.001
-        # sweep would otherwise clobber every entry with near-zero times
-        # (sf0.1 runs were merely ineffective — larger times lose the
-        # min — but the small-sf direction silently corrupts).
-        _record_costs(times)
-    elif jobs <= 1 and times:
+    if not _record_costs(times, sf_dir=sf_dir, jobs=jobs) and jobs <= 1 and times:
         print(
             f"(costs not recorded: {sf_dir} is not the driver scale {DRIVER_SF})"
         )
@@ -286,13 +297,27 @@ def main() -> int:
     return 1 if n_fail else 0
 
 
-def _record_costs(times: dict[str, float]) -> None:
+def _record_costs(
+    times: dict[str, float], *, sf_dir: str, jobs: int
+) -> bool:
     """Merge measured per-query wall times (Spark + oracle, sf0.01) into
     tools/query_costs.json. __spark_entry__.queries() orders the driver's
     never-covered group cheapest-first from this file, so the driver's
-    global time budget covers the maximum number of queries per round."""
+    global time budget covers the maximum number of queries per round.
+
+    The recording POLICY is enforced here, not at the call site (VERDICT
+    r7 #8): costs are valid only from a SEQUENTIAL run at the driver's
+    scale. min-merge means one sequential sf0.001 sweep would clobber
+    every entry with near-zero times and invert the rotation ordering
+    (sf0.1 runs are merely ineffective — larger times lose the min —
+    but the small-sf direction silently corrupts); parallel-sweep wall
+    times include scheduler contention. Returns True iff recorded."""
     import json
 
+    if jobs > 1 or os.path.basename(os.path.normpath(sf_dir)) != DRIVER_SF:
+        return False
+    if not times:
+        return True
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "query_costs.json")
     try:
         costs = json.load(open(path))
@@ -301,6 +326,7 @@ def _record_costs(times: dict[str, float]) -> None:
     for name, sec in times.items():
         costs[name] = round(min(sec, costs.get(name, sec)), 2)
     json.dump(costs, open(path, "w"), indent=0, sort_keys=True)
+    return True
 
 
 if __name__ == "__main__":
