@@ -14199,3 +14199,1242 @@ def test_tpch_q19_disjunctive_predicate_from_scratch(con):
     df = oracle_df(con, "q_tpch_q19")
     assert len(df) == 1
     assert abs(df.revenue[0] - round(total, 2)) < 1e-4
+
+
+# ---- batch 71: second-facet audits for the never-driver-covered set ----
+# (VERDICT r7 #4). Each test attacks a DIFFERENT facet than the query's
+# existing audit: cross-oracle identities, alternative algorithms
+# (Dijkstra vs bounded Bellman-Ford, PAVA stack vs minimax, factorial
+# Shapley weights vs the hard-coded lattice), and conservation laws.
+
+
+def _sym_adj(edges):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    return adj
+
+
+def test_triangle_count_consistent_with_common_neighbors(con):
+    """Cross-oracle identity: 3 * n_triangles == sum of common-neighbor
+    counts over pairs that are themselves edges (both graphs use the
+    same min_support=80 brand graph)."""
+    eset = {tuple(e) for e in _brand_graph(con, 80)}
+    cn = oracle_df(con, "q_graph_common_neighbors")
+    common_on_edges = sum(
+        int(r.common) for r in cn.itertuples() if (r.a, r.b) in eset
+    )
+    tri = int(oracle_df(con, "q_triangle_count").iloc[0]["n_triangles"])
+    assert common_on_edges == 3 * tri
+
+
+def test_graph_common_neighbors_jaccard_exact_fraction(con):
+    """nb_jaccard recomputed as an exact Fraction from Python set
+    intersections, rounded 6dp the way DuckDB ROUND does."""
+    adj = _sym_adj(_brand_graph(con, 80))
+    df = oracle_df(con, "q_graph_common_neighbors")
+    assert len(df) > 0
+    for r in df.itertuples():
+        common = len(adj[r.a] & adj[r.b])
+        union = len(adj[r.a]) + len(adj[r.b]) - common
+        assert int(r.common) == common and common > 0
+        assert abs(float(r.nb_jaccard) - common / union) < 5.1e-7
+
+
+def test_resource_allocation_matches_python_ra(con):
+    """RA index: per-common-neighbor integer floor 1e6 // deg(z), summed
+    — recomputed from Python adjacency, full row-set equality."""
+    adj = _sym_adj(_brand_graph(con, 80))
+    expect = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            zs = adj[a] & adj[b]
+            if zs:
+                expect[(a, b)] = (
+                    len(zs),
+                    sum(1_000_000 // len(adj[z]) for z in zs),
+                )
+    df = oracle_df(con, "q_resource_allocation")
+    got = {
+        (r.a, r.b): (int(r.common), int(r.ra_micro)) for r in df.itertuples()
+    }
+    assert got == expect
+
+
+def test_bfs_khop_frontier_structure(con):
+    """Structural facet: dist-0 is exactly the seed; every dist-1 node is
+    adjacent to the seed; every dist-2 node is adjacent to a dist-1 node
+    and NOT adjacent to the seed (else its min distance would be 1)."""
+    rows = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+           )
+           SELECT a.p_brand, b.p_brand, COUNT(*) AS w
+           FROM baskets a JOIN baskets b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1, 2 ORDER BY w DESC, 1, 2 LIMIT 40"""
+    ).fetchall()
+    seed = rows[0][0]
+    adj = _sym_adj([(u, v) for u, v, _ in rows])
+    df = oracle_df(con, "q_bfs_khop")
+    by_d = {}
+    for r in df.itertuples():
+        by_d.setdefault(int(r.dist), set()).add(r.node)
+    assert by_d[0] == {seed}
+    assert by_d[1] == adj[seed]
+    for node in by_d.get(2, ()):
+        assert node not in adj[seed] and node != seed
+        assert adj[node] & by_d[1]
+
+
+def test_kcore_peel_degrees_within_surviving_subgraph(con):
+    """Property: after the oracle's 3 peel rounds, every reported degree
+    equals the node's degree inside the surviving node set, and is >= 4
+    — recomputed by running the peel in Python on the top-60 edge graph."""
+    rows = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+           )
+           SELECT a.p_brand, b.p_brand, COUNT(*) AS w
+           FROM baskets a JOIN baskets b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1, 2 ORDER BY w DESC, 1, 2 LIMIT 60"""
+    ).fetchall()
+    adj = _sym_adj([(u, v) for u, v, _ in rows])
+    alive = set(adj)
+    for _ in range(3):
+        alive = {u for u in alive if len(adj[u] & alive) >= 4}
+    df = oracle_df(con, "q_kcore_peel")
+    got = {r.node: int(r.deg) for r in df.itertuples()}
+    assert set(got) == alive
+    for u in alive:
+        assert got[u] == len(adj[u] & alive)
+        assert got[u] >= 4
+
+
+def test_label_propagation_python_two_rounds(con):
+    """Independent two-round LPA replay: weighted neighbor vote, ties by
+    (sum DESC, label ASC), starting from identity labels."""
+    rows = con.execute(
+        """SELECT c.c_nationkey, s.s_nationkey, COUNT(*)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for u, v, n in rows:
+        w[(u, v)] += n
+        w[(v, u)] += n
+    nodes = sorted({u for u, _ in w})
+    labels = {u: u for u in nodes}
+    for _ in range(2):
+        nxt = {}
+        for u in nodes:
+            votes = defaultdict(int)
+            for v in nodes:
+                if (u, v) in w:
+                    votes[labels[v]] += w[(u, v)]
+            nxt[u] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = nxt
+    df = oracle_df(con, "q_label_propagation")
+    assert {r.node: r.label for r in df.itertuples()} == labels
+
+
+def test_shortest_path_bf_dijkstra_bound(con):
+    """Alternative-algorithm facet: true Dijkstra distances lower-bound
+    the oracle's 3-round Bellman-Ford, with equality whenever the
+    shortest path uses <= 3 edges."""
+    import heapq
+
+    rows = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+           )
+           SELECT a.p_brand, b.p_brand, COUNT(*) AS w
+           FROM baskets a JOIN baskets b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1, 2 HAVING COUNT(*) >= 80"""
+    ).fetchall()
+    cost = {}
+    for u, v, w in rows:
+        c = int(1_000_000 // w)
+        cost.setdefault(u, {})[v] = min(c, cost.get(u, {}).get(v, c))
+        cost.setdefault(v, {})[u] = min(c, cost.get(v, {}).get(u, c))
+    seed = min(cost)
+    dist = {seed: 0}
+    hops = {seed: 0}
+    pq = [(0, 0, seed)]
+    while pq:
+        d, h, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, c in cost[u].items():
+            if d + c < dist.get(v, float("inf")):
+                dist[v] = d + c
+                hops[v] = h + 1
+                heapq.heappush(pq, (d + c, h + 1, v))
+    df = oracle_df(con, "q_shortest_path_bf")
+    got = {r.node: int(r.dist_micro) for r in df.itertuples()}
+    for node, d3 in got.items():
+        assert d3 >= dist[node]
+        if hops[node] <= 3:
+            assert d3 == dist[node], node
+
+
+def test_pagerank_conserves_probability_mass(con):
+    """With every node having out-weight (no dangling mass), each
+    iteration preserves total rank = 1; the emitted 8dp ranks must sum
+    to 1 within rounding slack."""
+    df = oracle_df(con, "q_pagerank")
+    assert len(df) >= 2
+    assert abs(float(df["rank"].sum()) - 1.0) < len(df) * 5.1e-9
+    assert (df["rank"] > 0).all()
+
+
+def test_graph_reciprocity_unordered_identity(con):
+    """Identity facet: the ordered-edge min-pairing sum equals twice the
+    unordered-pair sum of min(w_uv, w_vu); reciprocity_micro is the
+    exact integer floor of their ratio."""
+    rows = con.execute(
+        """SELECT c.c_nationkey, s.s_nationkey, COUNT(*)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    ).fetchall()
+    w = {(u, v): n for u, v, n in rows}
+    total = sum(w.values())
+    recip_ordered = sum(min(n, w.get((v, u), 0)) for (u, v), n in w.items())
+    recip_unordered = sum(
+        min(w[(u, v)], w[(v, u)])
+        for (u, v) in w
+        if u < v and (v, u) in w
+    )
+    assert recip_ordered == 2 * recip_unordered
+    got = oracle_df(con, "q_graph_reciprocity").iloc[0]
+    assert int(got["n_edges"]) == len(w)
+    assert int(got["total_weight"]) == total
+    assert int(got["reciprocated_weight"]) == recip_ordered
+    assert int(got["reciprocity_micro"]) == (recip_ordered * 1_000_000) // total
+
+
+def test_ab_ttest_matches_numpy_welch(con):
+    """Welch t recomputed with numpy (float path) instead of the
+    integer-moment path the oracle and the original audit use."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events WHERE event_type IN ('click', 'view')"""
+    ).fetchall()
+    a = np.array([c for t, c in rows if t == "click"], dtype=np.float64) / 100
+    b = np.array([c for t, c in rows if t == "view"], dtype=np.float64) / 100
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    got = oracle_df(con, "q_ab_ttest").iloc[0]
+    assert int(got["n_a"]) == len(a) and int(got["n_b"]) == len(b)
+    assert abs(float(got["mean_diff"]) - (a.mean() - b.mean())) < 1e-6
+    assert abs(float(got["t_stat"]) - t) < 1e-4
+    assert abs(float(got["dof"]) - dof) < 0.01
+
+
+def test_acf_daily_matches_numpy_corrcoef(con):
+    """Each (event_type, lag) ACF equals numpy's Pearson correlation of
+    the day-ordered series against its lag-shifted self."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    series = {}
+    for t, _, c in rows:
+        series.setdefault(t, []).append(int(c))
+    df = oracle_df(con, "q_acf_daily")
+    assert len(df) == 3 * len(series)
+    for r in df.itertuples():
+        x = np.array(series[r.event_type], dtype=np.float64)
+        lag = int(r.lag_d)
+        corr = np.corrcoef(x[lag:], x[:-lag])[0, 1]
+        assert int(r.n) == len(x) - lag
+        assert abs(float(r.acf) - corr) < 1.5e-6
+
+
+def test_chi_square_expected_from_margin_outer_product(con):
+    """chi2 recomputed with numpy from the observed contingency table:
+    expected = outer(row margins, col margins) / n."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT event_type, DAYOFWEEK(ts), COUNT(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    types = sorted({t for t, _, _ in rows})
+    dows = sorted({d for _, d, _ in rows})
+    obs = np.zeros((len(types), len(dows)))
+    for t, d, n in rows:
+        obs[types.index(t), dows.index(d)] = n
+    exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / obs.sum()
+    # the oracle sums only over OBSERVED cells; the fixture has every cell
+    assert (obs > 0).all(), "fixture must populate every cell for this identity"
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    got = oracle_df(con, "q_chi_square").iloc[0]
+    assert int(got["n_cells"]) == obs.size
+    assert int(got["dof"]) == (len(types) - 1) * (len(dows) - 1)
+    assert abs(float(got["chi2"]) - chi2) < 1e-4
+
+
+def test_chi_residuals_margin_zero_sum(con):
+    """Margin identity: per event_type (and per dow), sum of (observed -
+    expected) is exactly zero; floors recomputed from raw counts."""
+    rows = con.execute(
+        "SELECT event_type, isodow(ts) - 1, COUNT(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    row_n, col_n, o = defaultdict(int), defaultdict(int), {}
+    for t, d, n in rows:
+        row_n[t] += n
+        col_n[d] += n
+        o[(t, d)] = n
+    n_tot = sum(row_n.values())
+    df = oracle_df(con, "q_chi_residuals")
+    assert len(df) == len(o)
+    by_row, by_col = defaultdict(float), defaultdict(float)
+    for r in df.itertuples():
+        e = row_n[r.event_type] * col_n[int(r.dow)] / n_tot
+        assert int(r.expected_centi) == math.floor(e * 100)
+        assert int(r.std_residual_milli) == math.floor(
+            (int(r.o) - e) / math.sqrt(e) * 1000
+        )
+        by_row[r.event_type] += int(r.o) - e
+        by_col[int(r.dow)] += int(r.o) - e
+    for v in list(by_row.values()) + list(by_col.values()):
+        assert abs(v) < 1e-6
+
+
+def test_cramers_v_definition_and_bounds(con):
+    """V recomputed from its own chi2 via the definitional identity
+    V = sqrt(chi2 / (n * min(r-1, c-1))), plus the 0<=V<=1 bound."""
+    got = oracle_df(con, "q_cramers_v").iloc[0]
+    v = math.sqrt(
+        float(got["chi2"])
+        / (int(got["n_total"]) * min(int(got["n_seg"]) - 1, int(got["n_region"]) - 1))
+    )
+    assert abs(float(got["cramers_v"]) - v) < 1e-6
+    assert 0.0 <= float(got["cramers_v"]) <= 1.0
+    # margins recomputed from raw
+    rows = con.execute(
+        """SELECT c_mktsegment, r_name, COUNT(*)
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2"""
+    ).fetchall()
+    assert int(got["n_total"]) == sum(n for _, _, n in rows)
+    assert int(got["n_seg"]) == len({s for s, _, _ in rows})
+    assert int(got["n_region"]) == len({r for _, r, _ in rows})
+
+
+def test_kendall_tau_pair_accounting_identity(con):
+    """Accounting facet: concordant + discordant + ties == C(n,2), with
+    ties counted independently; tau_micro is the exact floor of
+    (C - D) / C(n,2) in micro units."""
+    rows = con.execute(
+        """SELECT p_brand,
+                  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT)),
+                  SUM(CAST(l_quantity AS BIGINT))
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"""
+    ).fetchall()
+    pts = [(int(r), int(q)) for _, r, q in rows]
+    n = len(pts)
+    conc = disc = ties = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+            else:
+                ties += 1
+    got = oracle_df(con, "q_kendall_tau").iloc[0]
+    assert int(got["n_brands"]) == n
+    assert int(got["concordant"]) == conc
+    assert int(got["discordant"]) == disc
+    assert conc + disc + ties == n * (n - 1) // 2
+    assert int(got["tau_micro"]) == math.floor(
+        (conc - disc) / (n * (n - 1) // 2) * 1_000_000
+    )
+
+
+def test_survival_km_risk_set_accounting(con):
+    """Risk-set accounting: n_at_risk(t) = N - sum of (deaths+censored)
+    at earlier times, survival is the Fraction-exact product limit, and
+    the curve is nonincreasing."""
+    rows = con.execute(
+        """SELECT user_id,
+                  DATEDIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))),
+                  CASE WHEN MAX(CAST(ts AS DATE)) >= DATE '2024-01-28'
+                       THEN 1 ELSE 0 END
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    d_t, c_t = defaultdict(int), defaultdict(int)
+    for _, t, cens in rows:
+        (c_t if cens else d_t)[int(t)] += 1
+    times = sorted(set(d_t) | set(c_t))
+    total = len(rows)
+    df = oracle_df(con, "q_survival_km").sort_values("t_days")
+    assert list(df["t_days"]) == times
+    at_risk = total
+    surv = Fraction(1)
+    prev = 1.0
+    for r in df.itertuples():
+        t = int(r.t_days)
+        assert int(r.n_at_risk) == at_risk
+        assert int(r.n_deaths) == d_t.get(t, 0)
+        assert int(r.n_censored) == c_t.get(t, 0)
+        surv *= Fraction(at_risk - d_t.get(t, 0), at_risk)
+        assert abs(float(r.survival) - float(surv)) < 5.1e-7
+        assert float(r.survival) <= prev + 1e-9
+        prev = float(r.survival)
+        at_risk -= d_t.get(t, 0) + c_t.get(t, 0)
+    assert at_risk == 0
+
+
+def test_theil_sen_lower_median_of_sorted_slopes(con):
+    """The slope is the LOWER median (rank (n+1)//2) of all pairwise
+    slopes — recomputed by materializing and sorting every slope."""
+    rows = con.execute(
+        """SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)),
+                  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+           ORDER BY 1"""
+    ).fetchall()
+    pts = [(int(x), int(y)) for _, x, y in rows]
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+        if x1 != x2
+    )
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    got = oracle_df(con, "q_theil_sen").iloc[0]
+    assert int(got["n_pairs"]) == len(slopes)
+    assert int(got["theil_sen_slope_milli"]) == math.floor(med * 1000)
+
+
+def test_simpson_check_numpy_cov_signs(con):
+    """Covariance signs per brand and overall recomputed with numpy
+    (population covariance sign == sign of n*sxy - sx*sy)."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT p_brand, CAST(l_quantity AS BIGINT),
+                  CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT)
+           FROM lineitem JOIN part ON l_partkey = p_partkey"""
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for b, x, y in rows:
+        groups[b].append((int(x), int(y)))
+    allx = np.array([x for _, x, _ in rows], dtype=np.float64)
+    ally = np.array([y for _, _, y in rows], dtype=np.float64)
+    overall = int(np.sign(np.mean(allx * ally) - allx.mean() * ally.mean()))
+    df = oracle_df(con, "q_simpson_check")
+    assert len(df) == len(groups)
+    for r in df.itertuples():
+        xs = np.array([x for x, _ in groups[r.p_brand]], dtype=np.float64)
+        ys = np.array([y for _, y in groups[r.p_brand]], dtype=np.float64)
+        sign = int(np.sign(np.mean(xs * ys) - xs.mean() * ys.mean()))
+        assert int(r.cov_sign) == sign
+        assert int(r.overall_sign) == overall
+        assert bool(r.flipped) == (sign != overall)
+        assert int(r.n) == len(xs)
+
+
+def test_two_way_anova_sum_of_squares_additivity(con):
+    """Decomposition identity from raw integer rows: SS_A + SS_B +
+    SS_interaction + SS_error == SS_total, each term replayed with the
+    oracle's overflow-free (s*s)//n arithmetic in exact Python ints."""
+    rows = con.execute(
+        """SELECT r_name, isodow(o_orderdate) - 1,
+                  CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey"""
+    ).fetchall()
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0])
+    ssq = 0
+    for a, b, y in rows:
+        y = int(y)
+        cells[(a, int(b))][0] += 1
+        cells[(a, int(b))][1] += y
+        ssq += y * y
+
+    def sq_over(s, n):
+        return (s // n) * s + ((s % n) * s) // n
+
+    n = sum(c[0] for c in cells.values())
+    s = sum(c[1] for c in cells.values())
+    ss_cells = sum(sq_over(sc, nc) for nc, sc in cells.values())
+    aa, bb = defaultdict(lambda: [0, 0]), defaultdict(lambda: [0, 0])
+    for (a, b), (nc, sc) in cells.items():
+        aa[a][0] += nc
+        aa[a][1] += sc
+        bb[b][0] += nc
+        bb[b][1] += sc
+    ss_a = sum(sq_over(sc, nc) for nc, sc in aa.values())
+    ss_b = sum(sq_over(sc, nc) for nc, sc in bb.values())
+    cf = sq_over(s, n)
+    got = oracle_df(con, "q_two_way_anova").iloc[0]
+    ss_region = ss_a - cf
+    ss_weekday = ss_b - cf
+    ss_inter = ss_cells - ss_a - ss_b + cf
+    ss_error = ssq - ss_cells
+    assert int(got["ss_region"]) == ss_region
+    assert int(got["ss_weekday"]) == ss_weekday
+    assert int(got["ss_interaction"]) == ss_inter
+    assert int(got["ss_error"]) == ss_error
+    # additivity: the four parts reassemble SS_total exactly
+    assert ss_region + ss_weekday + ss_inter + ss_error == ssq - cf
+    assert int(got["interaction_eta2_micro"]) == (ss_inter * 1_000_000) // (
+        ssq - cf
+    )
+
+
+def test_isotonic_calibration_matches_pava_stack(con):
+    """Alternative-algorithm facet: the oracle's minimax formulation
+    (max over lower cuts of min over upper cuts of the floored pooled
+    rate) must equal classic stack-based PAVA with exact Fractions —
+    floor commutes with min/max, so floor(PAVA) == minimax-of-floors."""
+    rows = con.execute(
+        """SELECT CAST(l_quantity AS BIGINT), COUNT(*),
+                  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           FROM lineitem GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    blocks = []  # (n, pos) pooled blocks
+    for _, n, p in rows:
+        blocks.append([int(n), int(p)])
+        while len(blocks) >= 2 and Fraction(blocks[-2][1], blocks[-2][0]) >= Fraction(
+            blocks[-1][1], blocks[-1][0]
+        ):
+            n2, p2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+    # expand blocks back over the qty grid
+    expanded = []
+    bi = 0
+    remaining = blocks[0][0] if blocks else 0
+    counts = [int(n) for _, n, _ in rows]
+    for n_q in counts:
+        take = n_q
+        while take > 0:
+            if remaining == 0:
+                bi += 1
+                remaining = blocks[bi][0]
+            used = min(take, remaining)
+            take -= used
+            remaining -= used
+        expanded.append(Fraction(blocks[bi][1], blocks[bi][0]))
+    df = oracle_df(con, "q_isotonic_calibration").sort_values("quantity")
+    assert len(df) == len(rows)
+    prev = Fraction(-1)
+    for (qty, n_q, pos_q), iso, r in zip(rows, expanded, df.itertuples()):
+        assert int(r.quantity) == int(qty) and int(r.n) == int(n_q)
+        assert int(r.obs_rate_micro) == (int(pos_q) * 1_000_000) // int(n_q)
+        assert int(r.iso_fit_micro) == (iso.numerator * 1_000_000) // iso.denominator
+        assert iso >= prev  # monotone fit
+        prev = iso
+    # mean preservation: the weighted mean of the PAVA fit equals the
+    # overall positive rate exactly (a defining property of isotonic
+    # regression with L2 loss)
+    tot_n = sum(int(n) for _, n, _ in rows)
+    tot_p = sum(int(p) for _, _, p in rows)
+    assert sum(
+        f * int(n) for f, (_, n, _) in zip(expanded, rows)
+    ) == Fraction(tot_p)
+    assert Fraction(tot_p, tot_n) == sum(
+        f * int(n) for f, (_, n, _) in zip(expanded, rows)
+    ) / tot_n
+
+
+def test_xcorr_hourly_matches_numpy_on_dense_grid(con):
+    """Cross-correlation per lag recomputed with numpy over the
+    zero-filled hourly grid (the spine densification is replayed too)."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT epoch_us(ts) // 3600000000,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    lo, hi = int(rows[0][0]), int(rows[-1][0])
+    x = np.zeros(hi - lo + 1)
+    y = np.zeros(hi - lo + 1)
+    for h, px, cy in rows:
+        x[int(h) - lo] = int(px)
+        y[int(h) - lo] = int(cy)
+    df = oracle_df(con, "q_xcorr_hourly")
+    assert sorted(df["lag_h"]) == [-2, -1, 0, 1, 2]
+    for r in df.itertuples():
+        lag = int(r.lag_h)
+        if lag >= 0:
+            a, b = x[: len(x) - lag or None], y[lag:]
+        else:
+            a, b = x[-lag:], y[:lag]
+        assert int(r.n_pairs) == len(a)
+        corr = np.corrcoef(a, b)[0, 1]
+        assert abs(float(r.xcorr) - corr) < 1.5e-6
+
+
+def _bm25_python(doc_rows):
+    """Counter-based BM25 replay over (doc_id, text) rows: top-3 corpus
+    terms, k1=1.2 b=0.75 (the 2.2/1.2/0.25+0.75 constants in the
+    oracle), floored to micro units. Returns {doc_id: bm25_micro}."""
+    from collections import Counter
+
+    tok = {d: t.split(" ") for d, t in doc_rows}
+    corpus_counts = Counter(w for ws in tok.values() for w in ws)
+    top3 = sorted(corpus_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    terms = [w for w, _ in top3]
+    n_docs = len(tok)
+    avg_len = sum(len(ws) for ws in tok.values()) / n_docs
+    df_t = {
+        w: sum(1 for ws in tok.values() if w in set(ws)) for w in terms
+    }
+    out = {}
+    for d, ws in tok.items():
+        c = Counter(ws)
+        s = 0.0
+        for w in terms:
+            tf = c.get(w, 0)
+            if tf == 0:
+                continue
+            idf = math.log((n_docs - df_t[w] + 0.5) / (df_t[w] + 0.5) + 1.0)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avg_len))
+        out[d] = math.floor(s * 1_000_000)
+    return out
+
+
+def test_bm25_counter_replay_top10_with_ties(con):
+    """Second-facet BM25 audit: full Counter-based replay (independent
+    tokenization and df/tf accounting) reproducing the top-10 rows AND
+    their (bm25_micro DESC, doc_id) tie ordering."""
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    scores = _bm25_python(docs)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    df = oracle_df(con, "q_bm25")
+    got = [(int(r.doc_id), int(r.bm25_micro)) for r in df.itertuples()]
+    assert got == expect
+
+
+def test_ngram_novelty_counter_replay(con):
+    """Novelty per source replayed with a Counter over distinct bigrams:
+    corpus_unique_grams counts per-doc distinct bigrams whose corpus
+    document-frequency is exactly 1."""
+    from collections import Counter
+
+    docs = con.execute(
+        "SELECT doc_id, source, text FROM documents"
+    ).fetchall()
+    grams = {}
+    for d, src, t in docs:
+        ws = t.split(" ")
+        if len(ws) < 2:
+            continue
+        grams[(d, src)] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    df_count = Counter(g for gs in grams.values() for g in gs)
+    per_source = {}
+    for (d, src), gs in grams.items():
+        tot, uniq, nd = per_source.setdefault(src, [0, 0, 0])
+        per_source[src][0] += len(gs)
+        per_source[src][1] += sum(1 for g in gs if df_count[g] == 1)
+        per_source[src][2] += 1
+    df = oracle_df(con, "q_ngram_novelty")
+    assert len(df) == len(per_source)
+    for r in df.itertuples():
+        tot, uniq, nd = per_source[r.source]
+        assert int(r.n_docs) == nd
+        assert int(r.total_grams) == tot
+        assert int(r.corpus_unique_grams) == uniq
+        assert abs(float(r.novelty) - uniq / tot) < 5.1e-7
+
+
+def test_langid_confusion_python_vote_replay(con):
+    """Full language-ID replay: top-10 profile per language (count DESC,
+    word ASC), distinct-word overlap vote per doc, argmax by (hits DESC,
+    lang ASC); confusion cells must match exactly, and each row's total
+    equals the number of docs of that language with any profile overlap."""
+    from collections import Counter, defaultdict
+
+    docs = con.execute("SELECT doc_id, lang, text FROM documents").fetchall()
+    counts = defaultdict(Counter)
+    for _, lang, t in docs:
+        for w in t.split(" "):
+            if w:
+                counts[lang][w] += 1
+    profile = defaultdict(set)
+    for lang, c in counts.items():
+        for w, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]:
+            profile[lang].add(w)
+    confusion = Counter()
+    per_lang_overlap = Counter()
+    for _, true_lang, t in docs:
+        ws = set(t.split(" "))
+        hits = {
+            lang: len(ws & prof)
+            for lang, prof in profile.items()
+            if ws & prof
+        }
+        if not hits:
+            continue
+        # tie rule: hits DESC then cand_lang ASC
+        best = max(hits.values())
+        pred = min(lang for lang, h in hits.items() if h == best)
+        confusion[(true_lang, pred)] += 1
+        per_lang_overlap[true_lang] += 1
+    df = oracle_df(con, "q_langid_confusion")
+    got = {(r.true_lang, r.pred_lang): int(r.n) for r in df.itertuples()}
+    assert got == dict(confusion)
+    from collections import defaultdict as dd
+
+    row_tot = dd(int)
+    for (tl, _), n in got.items():
+        row_tot[tl] += n
+    assert dict(row_tot) == dict(per_lang_overlap)
+
+
+def test_vocab_coverage_counter_replay_and_monotone(con):
+    """Top-k token mass replayed with a Counter (rank ties broken by
+    word ASC — irrelevant to the covered SUM, asserted anyway via exact
+    equality); coverage must be monotone nondecreasing in k."""
+    from collections import Counter
+
+    words = Counter()
+    for (t,) in con.execute("SELECT text FROM documents").fetchall():
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    ranked = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(words.values())
+    df = oracle_df(con, "q_vocab_coverage").sort_values("k")
+    prev = -1.0
+    for r in df.itertuples():
+        k = int(r.k)
+        covered = sum(n for _, n in ranked[:k])
+        assert int(r.covered) == covered
+        assert int(r.total) == total
+        assert abs(float(r.coverage) - covered / total) < 1e-12
+        assert float(r.coverage) >= prev
+        prev = float(r.coverage)
+
+
+def test_phrase_search_string_containment_replay(con):
+    """Replay: the corpus' most frequent adjacent bigram (count DESC,
+    then w1, w2 ASC) and the exact ' w1 w2 ' padded-string containment
+    — pure Python string ops, no SQL LIKE."""
+    from collections import Counter
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    bigrams = Counter()
+    for _, t in docs:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] += 1
+    (w1, w2), _ = sorted(bigrams.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    expect = {
+        d for d, t in docs if f" {w1} {w2} " in f" {t} "
+    }
+    df = oracle_df(con, "q_phrase_search")
+    assert set(df["phrase"]) == {f"{w1} {w2}"}
+    assert set(int(x) for x in df["doc_id"]) == expect
+
+
+def _quantized_embeddings(con):
+    """embeddings quantized the oracle way: floor(x*1000 + 0.5)."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(v) for v, _, _ in rows]
+    labels = [l for _, l, _ in rows]
+    mat = np.floor(np.array([e for _, _, e in rows], dtype=np.float64) * 1000 + 0.5)
+    return ids, labels, mat
+
+
+def test_centroid_similarity_numpy_sum_vectors(con):
+    """Label-centroid cosine replayed with numpy over integer-quantized
+    SUM vectors (the oracle's s = SUM(qc) per (label, pos))."""
+    import numpy as np
+
+    _, labels, mat = _quantized_embeddings(con)
+    sums = {}
+    for lab, row in zip(labels, mat):
+        sums[lab] = sums.get(lab, 0) + row
+    labs = sorted(sums)
+    df = oracle_df(con, "q_centroid_similarity")
+    assert len(df) == len(labs) * (len(labs) - 1) // 2
+    for r in df.itertuples():
+        a, b = sums[r.la], sums[r.lb]
+        cos = float(a @ b) / (math.sqrt(float(a @ a)) * math.sqrt(float(b @ b)))
+        assert int(r.cos_micro) == math.floor(cos * 1_000_000)
+
+
+def test_embedding_isotropy_numpy_cone(con):
+    """Isotropy replayed with numpy: per-vector cosine to the corpus SUM
+    centroid, floored micro; mean via integer division; cone census at
+    cos > 0.5."""
+    import numpy as np
+
+    ids, _, mat = _quantized_embeddings(con)
+    cent = mat.sum(axis=0)
+    nc = math.sqrt(float(cent @ cent))
+    cos_micro = []
+    for row in mat:
+        nv = math.sqrt(float(row @ row))
+        if nv == 0:
+            continue
+        cos_micro.append(math.floor(float(row @ cent) / (nv * nc) * 1_000_000))
+    got = oracle_df(con, "q_embedding_isotropy").iloc[0]
+    assert int(got["n_vectors"]) == len(cos_micro)
+    assert int(got["mean_cos_micro"]) == sum(cos_micro) // len(cos_micro)
+    assert int(got["n_in_cone"]) == sum(1 for c in cos_micro if c > 500_000)
+
+
+def test_embed_outliers_numpy_quantile_replay(con):
+    """Outlier census replayed with numpy: the 15-level quantization,
+    round-half-up integer centroid, squared distances, and DuckDB's
+    quantile_cont (linear interpolation) at p95."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    gmax = max(
+        max(abs(float(x)) for x in e) for _, _, e in rows
+    )
+    by_label = {}
+    for _, lab, e in rows:
+        q = np.floor(np.array(e, dtype=np.float64) / gmax * 15 + 0.5)
+        by_label.setdefault(lab, []).append(q)
+    df = oracle_df(con, "q_embed_outliers")
+    assert len(df) == len(by_label)
+    for r in df.itertuples():
+        vecs = np.stack(by_label[r.label])
+        s = vecs.sum(axis=0)
+        cnt = len(vecs)
+        cent = np.floor((2 * s + cnt) / (2 * cnt))
+        d2 = ((vecs - cent) ** 2).sum(axis=1)
+        p95 = np.percentile(d2, 95, method="linear")
+        assert int(r.n_vecs) == cnt
+        assert int(r.max_d2) == int(d2.max())
+        assert int(r.n_outliers) == int((d2 > p95).sum())
+
+
+def test_knn_label_vote_numpy_top5_majority(con):
+    """KNN vote replayed with numpy: 6dp-rounded cosine, top-5 by
+    (cos DESC, match_id ASC), majority by (votes DESC, label ASC)."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([int(v) for v, _, _ in rows])
+    labels = {int(v): int(l) for v, l, _ in rows}
+    mat = np.array([e for _, _, e in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    df = oracle_df(con, "q_knn_label_vote")
+    expect = {}
+    for qi, qid in enumerate(ids):
+        if qid >= 20:
+            continue
+        cos = np.round(mat @ mat[qi] / (norms * norms[qi]), 6)
+        cands = [
+            (-cos[ci], int(cid))
+            for ci, cid in enumerate(ids)
+            if cid != qid
+        ]
+        top5 = sorted(cands)[:5]
+        from collections import Counter
+
+        votes = Counter(labels[cid] for _, cid in top5)
+        best = max(votes.values())
+        pred = min(l for l, v in votes.items() if v == best)
+        expect[int(qid)] = (pred, best)
+    got = {
+        int(r.query_id): (int(r.predicted_label), int(r.n_votes))
+        for r in df.itertuples()
+    }
+    assert got == expect
+    for r in df.itertuples():
+        assert bool(r.correct) == (int(r.true_label) == int(r.predicted_label))
+
+
+def test_pca_power_numpy_two_iterations(con):
+    """Power iteration replayed with numpy integer matrices: cov = QᵀQ
+    on the 15-level quantization, v2 = cov(cov·1), direction normalized
+    by max |v| and floored to micro."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    gmax = max(max(abs(float(x)) for x in e) for _, e in rows)
+    q = np.floor(
+        np.array([e for _, e in rows], dtype=np.float64) / gmax * 15 + 0.5
+    ).astype(np.int64)
+    cov = q.T @ q  # 64x64 int
+    v1 = cov.sum(axis=1)
+    v2 = cov @ v1
+    m = np.abs(v2).max()
+    df = oracle_df(con, "q_pca_power").sort_values("i")
+    assert len(df) == 64
+    for r in df.itertuples():
+        v = int(v2[int(r.i) - 1])
+        assert int(r.dir_micro) == math.floor(v / m * 1_000_000)
+
+
+def test_hybrid_rrf_fusion_replay(con):
+    """RRF fusion replayed end-to-end: BM25 ranks (Counter replay over
+    the doc∩embedding domain), cosine ranks against the min-doc_id
+    query vector, floor(1e6/(60+rank)) summed, top-10 with ties by
+    doc_id."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT d.doc_id, d.text, e.embedding
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           ORDER BY d.doc_id"""
+    ).fetchall()
+    scores = _bm25_python([(d, t) for d, t, _ in rows])
+    lex_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    ids = [int(d) for d, _, _ in rows]
+    mat = np.array([e for _, _, e in rows], dtype=np.float64)
+    qv = mat[0]  # min doc_id (rows ordered)
+    cos_micro = {}
+    for i, d in enumerate(ids):
+        c = float(mat[i] @ qv) / (
+            math.sqrt(float(mat[i] @ mat[i])) * math.sqrt(float(qv @ qv))
+        )
+        cos_micro[d] = math.floor(c * 1_000_000)
+    vec_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(cos_micro.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    rrf = {
+        d: math.floor(1_000_000 / (60 + lex_rank[d]))
+        + math.floor(1_000_000 / (60 + vec_rank[d]))
+        for d in lex_rank
+    }
+    expect = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    df = oracle_df(con, "q_hybrid_rrf")
+    got = [(int(r.doc_id), int(r.rrf_micro)) for r in df.itertuples()]
+    assert got == expect
+    for r in df.itertuples():
+        assert int(r.lex_rank) == lex_rank[int(r.doc_id)]
+        assert int(r.vec_rank) == vec_rank[int(r.doc_id)]
+
+
+def test_littles_law_python_sessionization(con):
+    """Little's-law instrumentation replayed in Python: 2h-gap
+    sessionization per user (ordered by ts, event_id), sweep-line area,
+    and the exact integer-micro L, λ, W with the L = λ·W identity."""
+    rows = con.execute(
+        """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    sessions = []
+    cur_user, start, last = None, None, None
+    for uid, _, t in rows:
+        t = int(t)
+        if uid != cur_user or t - last > 7200:
+            if cur_user is not None:
+                sessions.append((start, last))
+            cur_user, start = uid, t
+        last = t
+    sessions.append((start, last))
+    deltas = {}
+    for s, e in sessions:
+        deltas[s] = deltas.get(s, 0) + 1
+        deltas[e] = deltas.get(e, 0) - 1
+    ts_sorted = sorted(deltas)
+    area = 0
+    level = 0
+    for t0, t1 in zip(ts_sorted, ts_sorted[1:]):
+        level += deltas[t0]
+        area += level * (t1 - t0)
+    n_sess = len(sessions)
+    total_dur = sum(e - s for s, e in sessions)
+    horizon = max(e for _, e in sessions) - min(s for s, _ in sessions)
+    got = oracle_df(con, "q_littles_law").iloc[0]
+    assert int(got["n_sessions"]) == n_sess
+    assert int(got["total_duration_s"]) == total_dur
+    assert int(got["swept_area_s"]) == area == total_dur
+    assert bool(got["conservation_ok"])
+    assert int(got["lambda_micro"]) == (n_sess * 1_000_000) // horizon
+    assert int(got["l_micro"]) == (area * 1_000_000) // horizon
+    assert int(got["w_micro"]) == (area * 1_000_000) // n_sess
+
+
+def test_pareto_coverage_prefix_minimality(con):
+    """Pareto heads replayed per nation: sort by (spend DESC, custkey),
+    n_to_80pct is the FIRST prefix reaching 80% of total — minimality
+    asserted by checking the prefix one shorter falls below 80%."""
+    rows = con.execute(
+        """SELECT n_name, o_custkey,
+                  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per_nation = defaultdict(list)
+    for name, ck, cents in rows:
+        per_nation[name].append((int(ck), int(cents)))
+    df = oracle_df(con, "q_pareto_coverage")
+    assert len(df) == len(per_nation)
+    for r in df.itertuples():
+        custs = sorted(per_nation[r.n_name], key=lambda kv: (-kv[1], kv[0]))
+        tot = sum(c for _, c in custs)
+        run = 0
+        k = None
+        for i, (_, c) in enumerate(custs, start=1):
+            run += c
+            if run * 5 >= tot * 4:
+                k = i
+                break
+        assert int(r.n_customers) == len(custs)
+        assert int(r.n_to_80pct) == k
+        if k > 1:
+            assert sum(c for _, c in custs[: k - 1]) * 5 < tot * 4
+        assert int(r.share_of_heads_micro) == (k * 1_000_000) // len(custs)
+
+
+def test_shapley_lattice_weights_match_factorial_formula(con):
+    """Audits the oracle's HARD-CODED 4-player lattice against the
+    textbook weight |S|!·(n−|S|−1)!: enumerating coalitions with
+    itertools must reproduce every (channel, with, without, weight) row
+    and the final per-channel φ in milli-cents, including the
+    efficiency axiom Σφ = v(grand coalition)."""
+    from itertools import combinations
+
+    chans = ["click", "error", "signup", "view"]
+    # v(S) replayed from raw: mean first-purchase cents per exposure set
+    v_rows = con.execute(
+        """WITH fp AS (
+             SELECT user_id, MIN(ts) AS first_p FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id
+           ), pval AS (
+             SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+             FROM (
+               SELECT user_id, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events WHERE event_type = 'purchase') WHERE rn = 1
+           ), exposure AS (
+             SELECT e.user_id,
+                    array_to_string(list_sort(list_distinct(list(e.event_type))),
+                                    ',') AS cs
+             FROM events e JOIN fp ON e.user_id = fp.user_id
+             WHERE e.event_type <> 'purchase' AND e.ts < fp.first_p
+             GROUP BY e.user_id
+           )
+           SELECT ex.cs, SUM(p.cents) // COUNT(*)
+           FROM exposure ex JOIN pval p ON ex.user_id = p.user_id
+           GROUP BY ex.cs"""
+    ).fetchall()
+    v = {cs: int(val) for cs, val in v_rows}
+
+    def val(subset):
+        if not subset:
+            return 0
+        return v.get(",".join(sorted(subset)), 0)
+
+    fact = [1, 1, 2, 6, 24]
+    phi = {}
+    for ch in chans:
+        others = [c for c in chans if c != ch]
+        total = 0
+        for k in range(4):
+            for s in combinations(others, k):
+                w = fact[len(s)] * fact[4 - len(s) - 1]  # |S|!(n-|S|-1)!
+                total += w * (val(set(s) | {ch}) - val(set(s)))
+        phi[ch] = math.floor(total * 1000 / 24)
+    df = oracle_df(con, "q_shapley_attribution")
+    got = {r.channel: int(r.shapley_milli_cents) for r in df.itertuples()}
+    assert got == phi
+    # efficiency: Σφ = v(grand) − v(∅), up to the 4 per-channel floors
+    grand_milli = val(set(chans)) * 1000
+    assert 0 <= grand_milli - sum(phi.values()) < 4
+
+
+def test_forget_users_conservation_and_zero_residue(con):
+    """Erasure accounting from raw user_id counts: removed rows ==
+    sum of tombstoned users' row counts, residue is zero, and
+    before − after == removed."""
+    from collections import Counter
+
+    counts = Counter(
+        int(u)
+        for (u,) in con.execute("SELECT user_id FROM events").fetchall()
+    )
+    tomb = {u for u in counts if u % 101 == 0}
+    got = oracle_df(con, "q_forget_users").iloc[0]
+    assert int(got["n_before"]) == sum(counts.values())
+    assert int(got["n_users_forgotten"]) == len(tomb)
+    assert int(got["n_removed"]) == sum(counts[u] for u in tomb)
+    assert int(got["n_before"]) - int(got["n_after"]) == int(got["n_removed"])
+    assert int(got["n_residue"]) == 0
+
+
+def test_stream_ema_float_recursion_and_bounds(con):
+    """EMA replayed with Python float64 (same op order as the oracle's
+    list_reduce): exact 6dp match, plus min ≤ EMA ≤ max bounds (EMA is
+    a convex combination once seeded by the first value)."""
+    rows = con.execute(
+        "SELECT user_id, value FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for u, v in rows:
+        series[int(u)].append(float(v))
+    df = oracle_df(con, "q_stream_ema")
+    assert len(df) == len(series)
+    for r in df.itertuples():
+        vals = series[int(r.user_id)]
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = 0.9 * acc + 0.1 * x
+        assert int(r.n_seen) == len(vals)
+        assert abs(float(r.ema) - round(acc, 6)) < 1e-9
+        assert min(vals) - 1e-9 <= float(r.ema) <= max(vals) + 1e-9
+
+
+def test_stream_enrich_join_conservation(con):
+    """Enrichment conservation: the per-segment counts partition exactly
+    the events whose user_id exists in customer (replayed with a dict
+    lookup), and Σ n == matched events."""
+    seg = dict(
+        con.execute("SELECT c_custkey, c_mktsegment FROM customer").fetchall()
+    )
+    from collections import Counter, defaultdict
+
+    n_per = Counter()
+    val_per = defaultdict(float)
+    matched = 0
+    for u, v in con.execute("SELECT user_id, value FROM events").fetchall():
+        s = seg.get(int(u))
+        if s is not None:
+            matched += 1
+            n_per[s] += 1
+            val_per[s] += float(v)
+    df = oracle_df(con, "q_stream_enrich")
+    assert int(df["n"].sum()) == matched
+    for r in df.itertuples():
+        assert int(r.n) == n_per[r.c_mktsegment]
+        assert abs(float(r.total_value) - round(val_per[r.c_mktsegment], 4)) < 1e-3
+
+
+def test_stream_route_branches_partition_types(con):
+    """Routing is a partition: the money branch carries exactly the
+    purchase+signup rows, errors exactly the error rows, branches are
+    disjoint, and unrouted types (click/view) appear nowhere."""
+    from collections import Counter
+
+    type_counts = Counter(
+        t for (t,) in con.execute("SELECT event_type FROM events").fetchall()
+    )
+    df = oracle_df(con, "q_stream_route")
+    by_branch = {}
+    for r in df.itertuples():
+        by_branch.setdefault(r.branch, {})[r.event_type] = int(r.n)
+    assert set(by_branch) == {"money", "errors"}
+    assert by_branch["money"] == {
+        t: type_counts[t] for t in ("purchase", "signup") if type_counts[t]
+    }
+    assert by_branch["errors"] == {"error": type_counts["error"]}
+    routed_types = {t for d in by_branch.values() for t in d}
+    assert "click" not in routed_types and "view" not in routed_types
+
+
+def test_stream_tumbling_conserves_event_census(con):
+    """Window totals conserve the corpus: Σn over all (window, type)
+    cells == total events, and each cell matches a Python Counter keyed
+    on the µs-truncated hour."""
+    from collections import Counter
+
+    rows = con.execute(
+        """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+                  event_type FROM events"""
+    ).fetchall()
+    census = Counter(rows)
+    df = oracle_df(con, "q_stream_tumbling")
+    assert int(df["n"].sum()) == sum(census.values())
+    assert len(df) == len(census)
+    for r in df.itertuples():
+        assert int(r.n) == census[(r.win_start, r.event_type)]
+
+
+def test_minhash_recall_truth_pairs_from_python_jaccard(con):
+    """q_dedup_minhash_recall's ground-truth DENOMINATOR audited from
+    scratch: all same-language doc pairs with distinct-bigram Jaccard
+    >= 0.7 recomputed with pure Python sets, compared as a pair SET
+    against the q_dedup_ngram_jaccard oracle filtered to >= 0.7 (the
+    exact edge list the recall metric divides by)."""
+    docs = con.execute("SELECT doc_id, lang, text FROM documents").fetchall()
+    grams = {}
+    for d, lang, t in docs:
+        ws = t.split(" ")
+        grams[(int(d), lang)] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    keys = sorted(grams)
+    expect = set()
+    for i, (da, la) in enumerate(keys):
+        for db, lb in keys[i + 1 :]:
+            if la != lb:
+                continue
+            ga, gb = grams[(da, la)], grams[(db, lb)]
+            inter = len(ga & gb)
+            if inter and inter / len(ga | gb) >= 0.7:
+                expect.add((da, db))
+    df = oracle_df(con, "q_dedup_ngram_jaccard")
+    got = {
+        (int(r.id_a), int(r.id_b))
+        for r in df.itertuples()
+        if float(r.jaccard) >= 0.7
+    }
+    assert got == expect
+    assert len(expect) > 0

@@ -97,3 +97,50 @@ def test_ttl_sessions_exact_gap_partition(spark):
     }
     assert out == expected
     assert any(ns > 1 for ns, _ in out.values())
+
+
+def test_circular_dedup_capacity_properties(spark):
+    """Second-facet audit (batch 71): structural FIFO-capacity
+    properties checked WITHOUT replaying the reference model — (a) the
+    output is a subset of the input rows, (b) the first occurrence of
+    every (user, type) is always emitted, (c) a user's emissions never
+    exceed first-occurrences by more than re-admissions allow: between
+    two emissions of the same (user, type) there are >= 3 emissions of
+    OTHER types for that user (an evicted type needs 3 distinct others
+    to push it out of the 3-slot FIFO)."""
+    out = all_specs()["q_stream_circular_dedup"].fn(spark, SF)
+    got = [(r.user_id, r.event_id) for r in out.collect()]
+    assert len(set(got)) == len(got)
+
+    rows = (
+        catalog(spark, SF)
+        .events.select("user_id", "event_id", "event_type", "ts")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    by_id = {(r.user_id, r.event_id): r.event_type for r in rows}
+    assert set(got) <= set(by_id)  # (a) subset of input
+
+    first_occ = set()
+    seen_types = set()
+    for r in rows:
+        if (r.user_id, r.event_type) not in seen_types:
+            seen_types.add((r.user_id, r.event_type))
+            first_occ.add((r.user_id, r.event_id))
+    assert first_occ <= set(got)  # (b) first occurrences always emitted
+
+    # (c) re-admission spacing: per user, replay the emitted sequence in
+    # event order; between consecutive emissions of one type there must
+    # be >= 3 distinct other types emitted for that user
+    emitted = set(got)
+    per_user: dict[int, list[str]] = {}
+    for r in rows:
+        if (r.user_id, r.event_id) in emitted:
+            per_user.setdefault(r.user_id, []).append(r.event_type)
+    for seq in per_user.values():
+        last_idx: dict[str, int] = {}
+        for i, t in enumerate(seq):
+            if t in last_idx:
+                between = set(seq[last_idx[t] + 1 : i])
+                assert len(between) >= 3, seq[last_idx[t] : i + 1]
+            last_idx[t] = i
