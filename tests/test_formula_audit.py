@@ -15438,3 +15438,518 @@ def test_minhash_recall_truth_pairs_from_python_jaccard(con):
     }
     assert got == expect
     assert len(expect) > 0
+
+
+# ---- batch 72: more second-facet audits over the uncovered set ----
+
+
+def test_agg_filter_clause_distinct_and_subset_facets(con):
+    """FILTER-clause facets the count replay doesn't touch: the DISTINCT
+    filtered count (suppliers with linestatus F) recomputed with Python
+    sets, the tax-free revenue sum, and subset inequalities."""
+    rows = con.execute(
+        """SELECT l_returnflag, l_discount, l_quantity, l_extendedprice,
+                  l_tax, l_linestatus, l_suppkey FROM lineitem"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0.0, set()])
+    for rf, disc, qty, price, tax, ls, sk in rows:
+        a = agg[rf]
+        a[0] += 1
+        if float(disc) > 0.05:
+            a[1] += 1
+        if float(qty) >= 30:
+            a[2] += 1
+        if float(tax) == 0:
+            a[3] += float(price)
+        if ls == "F":
+            a[4].add(sk)
+    df = oracle_df(con, "q_agg_filter_clause")
+    assert len(df) == len(agg)
+    for r in df.itertuples():
+        n_all, n_disc, n_bulk, rev_tf, supp_f = agg[r.l_returnflag]
+        assert int(r.n_all) == n_all
+        assert int(r.n_discounted) == n_disc <= n_all
+        assert int(r.n_bulk) == n_bulk <= n_all
+        assert abs(float(r.rev_tax_free) - round(rev_tf, 2)) < 0.02
+        assert int(r.n_supp_f) == len(supp_f)
+
+
+def test_apply_in_pandas_deviations_zero_sum_per_group(con):
+    """Group-demeaning invariant: within every customer, the price
+    deviations sum to zero (the defining property of demeaning),
+    checked at float tolerance over the 6dp-rounded output."""
+    df = oracle_df(con, "q_apply_in_pandas")
+    sums = df.groupby("o_custkey")["price_dev"].sum()
+    n = df.groupby("o_custkey")["price_dev"].count()
+    assert (sums.abs() <= n * 5e-7 + 1e-6).all()
+
+
+def test_cogroup_pandas_python_dict_join(con):
+    """Cogrouped join replayed with a dict: per high-value order, line
+    count and line-price sum; plus the threshold predicate itself."""
+    from collections import defaultdict
+
+    lines = defaultdict(lambda: [0, 0.0])
+    for ok, p in con.execute(
+        "SELECT l_orderkey, l_extendedprice FROM lineitem"
+    ).fetchall():
+        lines[ok][0] += 1
+        lines[ok][1] += float(p)
+    orders = {
+        ok: float(tp)
+        for ok, tp in con.execute(
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000"
+        ).fetchall()
+    }
+    df = oracle_df(con, "q_cogroup_pandas")
+    assert set(int(x) for x in df["o_orderkey"]) == set(orders)
+    for r in df.itertuples():
+        n, s = lines.get(int(r.o_orderkey), [0, 0.0])
+        assert int(r.n_lines) == n
+        assert float(r.total_price) > 450000
+        assert abs(float(r.sum_line_price) - round(s, 2)) < 0.02
+
+
+def test_attribution_ladder_monotone_and_exact_shares(con):
+    """Ladder facets: credited counts are nondecreasing in window size,
+    bounded by conversions, and the micro shares are exact integer
+    divisions of the replayed gap census."""
+    rows = con.execute(
+        """WITH fp AS (
+             SELECT user_id, MIN(ts) AS first_p FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id
+           )
+           SELECT e.user_id,
+                  MIN(epoch_us(fp.first_p) - epoch_us(e.ts)) // 1000000
+           FROM events e JOIN fp ON e.user_id = fp.user_id
+           WHERE e.event_type = 'click' AND e.ts < fp.first_p
+           GROUP BY e.user_id"""
+    ).fetchall()
+    n_conv = con.execute(
+        """SELECT COUNT(DISTINCT user_id) FROM events
+           WHERE event_type = 'purchase'"""
+    ).fetchone()[0]
+    gaps = [int(g) for _, g in rows]
+    df = oracle_df(con, "q_attribution_window_ladder").sort_values("window_days")
+    prev = -1
+    for r in df.itertuples():
+        w = int(r.window_days)
+        credited = sum(1 for g in gaps if g <= w * 86400)
+        assert int(r.n_conversions) == n_conv
+        assert int(r.n_click_credited) == credited <= n_conv
+        assert credited >= prev
+        prev = credited
+        assert int(r.credited_share_micro) == (credited * 1_000_000) // n_conv
+
+
+def test_observe_metrics_agrees_with_filter_clause_oracle(con):
+    """Cross-oracle conservation: the Observation API's global totals
+    equal the per-returnflag FILTER-clause oracle summed over flags."""
+    fc = oracle_df(con, "q_agg_filter_clause")
+    om = oracle_df(con, "q_observe_metrics").iloc[0]
+    assert int(om["n_rows"]) == int(fc["n_all"].sum())
+    assert int(om["n_discounted"]) == int(fc["n_discounted"].sum())
+    # sum_price is over ALL rows; recompute from raw to close the loop
+    raw = con.execute("SELECT ROUND(SUM(l_extendedprice), 2) FROM lineitem").fetchone()[0]
+    assert abs(float(om["sum_price"]) - float(raw)) < 0.02
+
+
+def test_partition_prune_day_census_conservation(con):
+    """Day-partition census: Σn over days == total click events; each
+    day's cents matches a Counter keyed on the strftime day."""
+    from collections import Counter
+
+    rows = con.execute(
+        """SELECT STRFTIME(ts, '%Y-%m-%d'),
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events WHERE event_type = 'click'"""
+    ).fetchall()
+    n_per, cents_per = Counter(), Counter()
+    for d, c in rows:
+        n_per[d] += 1
+        cents_per[d] += int(c)
+    df = oracle_df(con, "q_partition_prune")
+    assert int(df["n"].sum()) == len(rows)
+    assert len(df) == len(n_per)
+    for r in df.itertuples():
+        assert int(r.n) == n_per[r.day]
+        assert int(r.cents) == cents_per[r.day]
+
+
+def test_join_pointintime_agrees_with_scd2_intervals(con):
+    """Cross-oracle: every point-in-time probe's state equals the
+    q_stream_scd2 interval that contains its timestamp (valid_from <=
+    ts < valid_to, or the current open interval)."""
+    scd = oracle_df(con, "q_stream_scd2")
+    from collections import defaultdict
+
+    intervals = defaultdict(list)
+    for r in scd.itertuples():
+        intervals[int(r.user_id)].append(
+            (r.valid_from, r.valid_to, r.state)
+        )
+    pit = oracle_df(con, "q_join_pointintime")
+    assert len(pit) > 0
+    for r in pit.itertuples():
+        ts = r.ts_s
+        matches = [
+            s
+            for vf, vt, s in intervals[int(r.user_id)]
+            if vf <= ts and (vt is None or not isinstance(vt, str) or ts < vt)
+        ]
+        # the latest interval starting at/before ts is the SCD2 answer
+        cands = [
+            (vf, s)
+            for vf, vt, s in intervals[int(r.user_id)]
+            if vf <= ts
+        ]
+        assert cands, (r.user_id, ts)
+        expect = max(cands)[1]
+        assert r.state_at == expect, (r.user_id, ts, matches)
+
+
+def test_join_bloom_python_filtered_join(con):
+    """Bloom-filtered join replayed with a dict of qualifying orders."""
+    keep = {
+        ok
+        for (ok,) in con.execute(
+            """SELECT o_orderkey FROM orders
+               WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000"""
+        ).fetchall()
+    }
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for ok, rf, p, d in con.execute(
+        "SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount FROM lineitem"
+    ).fetchall():
+        if ok in keep:
+            agg[rf][0] += 1
+            agg[rf][1] += float(p) * (1 - float(d))
+    df = oracle_df(con, "q_join_bloom")
+    assert len(df) == len(agg)
+    for r in df.itertuples():
+        n, rev = agg[r.l_returnflag]
+        assert int(r.n_lines) == n
+        assert abs(float(r.revenue) - round(rev, 2)) < 0.02
+
+
+def test_recursive_cte_compounding_closed_form(con):
+    """Every projected value equals the closed form round(rev·1.01^m, 2)
+    — 12 months per returnflag, month 0 returning rev itself."""
+    df = oracle_df(con, "q_recursive_cte")
+    base = {
+        r.l_returnflag: float(r.projected)
+        for r in df.itertuples()
+        if int(r.month_i) == 0
+    }
+    raw = dict(
+        con.execute(
+            "SELECT l_returnflag, ROUND(SUM(l_extendedprice), 2) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert {k: round(v, 2) for k, v in base.items()} == {
+        k: float(v) for k, v in raw.items()
+    }
+    from collections import Counter
+
+    months = Counter(r.l_returnflag for r in df.itertuples())
+    assert set(months.values()) == {12}
+    for r in df.itertuples():
+        expect = round(base[r.l_returnflag] * 1.01 ** int(r.month_i), 2)
+        assert abs(float(r.projected) - expect) < 0.011
+
+
+def test_hof_array_lambdas_python_replay(con):
+    """Higher-order-function pack replayed in Python: 1-based indexed
+    transform, even filter, Horner-mod checksum seeded at 0, and the
+    extreme-membership flag."""
+    rows = con.execute(
+        """SELECT l_orderkey,
+                  list(CAST(l_quantity AS BIGINT)
+                       ORDER BY l_linenumber, l_quantity)
+           FROM lineitem GROUP BY l_orderkey"""
+    ).fetchall()
+    df = oracle_df(con, "q_hof_array_lambdas")
+    assert len(df) == len(rows)
+    got = {int(r.l_orderkey): r for r in df.itertuples()}
+    for ok, qtys in rows:
+        qtys = [int(q) for q in qtys]
+        r = got[int(ok)]
+        assert r.sorted_desc == ",".join(map(str, sorted(qtys, reverse=True)))
+        assert r.idx_weighted == ",".join(
+            str(x * i) for i, x in enumerate(qtys, start=1)
+        )
+        assert r.evens == ",".join(str(x) for x in qtys if x % 2 == 0)
+        acc = 0
+        for x in qtys:
+            acc = (acc * 31 + x) % 1_000_000_007
+        assert int(r.checksum) == acc
+        assert bool(r.has_extreme) == bool({1, 50} & set(qtys))
+
+
+def test_struct_funcs_top_line_argmax_replay(con):
+    """Top line per order: argmax by (price DESC, linenumber ASC)
+    replayed with Python max(), plus the order-total sum."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for ok, ln, p in con.execute(
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem"
+    ).fetchall():
+        per[int(ok)].append((float(p), -int(ln)))
+    df = oracle_df(con, "q_struct_funcs")
+    assert len(df) == len(per)
+    for r in df.itertuples():
+        lines = per[int(r.l_orderkey)]
+        p, negln = max(lines)
+        assert int(r.n_items) == len(lines)
+        assert int(r.top_ln) == -negln
+        assert abs(float(r.top_price) - round(p, 2)) < 1e-9
+        assert abs(float(r.total_price) - round(sum(x for x, _ in lines), 4)) < 5e-4
+
+
+def test_stream_cusum_reset_recurrence_equivalence(con):
+    """Algorithm-equivalence facet: the oracle's prefix-min formulation
+    s = p − min(0, running-min(p)) equals the classic one-sided CUSUM
+    reset recurrence s_i = max(0, s_{i−1} + x_i − k)."""
+    rows = con.execute(
+        """SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    stats = defaultdict(lambda: [0, 0, 0])  # n, max_s, n_over
+    cur = defaultdict(int)
+    for u, c in rows:
+        s = max(0, cur[u] + int(c) - 5000)
+        cur[u] = s
+        st = stats[u]
+        st[0] += 1
+        st[1] = max(st[1], s)
+        if s > 50000:
+            st[2] += 1
+    df = oracle_df(con, "q_stream_cusum")
+    assert len(df) == len(stats)
+    for r in df.itertuples():
+        n, mx, over = stats[int(r.user_id)]
+        assert int(r.n_events) == n
+        assert int(r.max_cusum) == mx
+        assert int(r.n_over_threshold) == over
+
+
+def test_stream_drift_monitor_tvd_bounds_and_split(con):
+    """TVD facets: the 500-row reference/current split is replayed with
+    a Counter over the (ts, event_id) global order, the integer-micro
+    TVD matches, and TVD ∈ [0, 1e6]."""
+    rows = con.execute(
+        "SELECT event_type FROM events ORDER BY ts, event_id"
+    ).fetchall()
+    from collections import Counter
+
+    ref = Counter(t for (t,) in rows[:500])
+    cur = Counter(t for (t,) in rows[500:])
+    nr, nc = sum(ref.values()), sum(cur.values())
+    tvd = (
+        sum(
+            abs((ref[t] * 1_000_000) // nr - (cur[t] * 1_000_000) // nc)
+            for t in set(ref) | set(cur)
+        )
+        // 2
+    )
+    got = oracle_df(con, "q_stream_drift_monitor").iloc[0]
+    assert int(got["n_ref"]) == nr == 500
+    assert int(got["n_cur"]) == nc
+    assert int(got["tvd_micro"]) == tvd
+    assert 0 <= tvd <= 1_000_000
+
+
+def test_stream_sample_k_hashlib_membership(con):
+    """The md5-ranked deterministic sample replayed with hashlib: per
+    event type, exactly min(20, n_type) rows, and the sampled ids are
+    THE lexicographically-least-md5 ids (ties by event_id)."""
+    import hashlib
+
+    rows = con.execute("SELECT event_type, event_id FROM events").fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for t, e in rows:
+        per[t].append(
+            (hashlib.md5(str(int(e)).encode()).hexdigest(), int(e))
+        )
+    expect = {}
+    for t, lst in per.items():
+        for pos, (_, e) in enumerate(sorted(lst)[:20], start=1):
+            expect[(t, pos)] = e
+    df = oracle_df(con, "q_stream_sample_k")
+    got = {(r.event_type, int(r.pos)): int(r.event_id) for r in df.itertuples()}
+    assert got == expect
+    from collections import Counter
+
+    n_per_type = Counter(t for t, _ in rows)
+    out_per_type = Counter(t for t, _ in got)
+    assert out_per_type == {t: min(20, n) for t, n in n_per_type.items()}
+
+
+def test_stream_scd2_interval_partition(con):
+    """SCD2 structural facets: per user the intervals chain exactly
+    (valid_to == next valid_from), exactly one open current interval,
+    and n_events sums to the user's raw event count."""
+    df = oracle_df(con, "q_stream_scd2")
+    import pandas as pd
+
+    raw = dict(
+        con.execute(
+            "SELECT user_id, COUNT(*) FROM events GROUP BY user_id"
+        ).fetchall()
+    )
+    for uid, grp in df.groupby("user_id"):
+        g = grp.sort_values("valid_from")
+        vt = list(g["valid_to"])
+        vf = list(g["valid_from"])
+        cur = list(g["is_current"])
+        assert sum(bool(c) for c in cur) == 1 and bool(cur[-1])
+        for i in range(len(vf) - 1):
+            assert vt[i] == vf[i + 1]
+        assert pd.isna(vt[-1]) or vt[-1] is None
+        assert int(g["n_events"].sum()) == raw[int(uid)]
+
+
+def test_stream_anomaly_warmup_and_conservation(con):
+    """Anomaly-census facets: Σ n_events == corpus size, and because the
+    detector needs a 10-event warm-up, n_anomalies <= max(0, n−10)."""
+    df = oracle_df(con, "q_stream_anomaly")
+    total = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert int(df["n_events"].sum()) == total
+    for r in df.itertuples():
+        assert 0 <= int(r.n_anomalies) <= max(0, int(r.n_events) - 10)
+
+
+def test_graph_modularity_mixing_matrix_formulation(con):
+    """Alternative formulation: Q = Σ_c (e_cc − a_c²) over the community
+    mixing matrix (e = fraction of edge weight inside c, a = fraction
+    incident to c), computed with numpy from raw flows."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT c.c_nationkey, s.s_nationkey, COUNT(*)
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer c ON o_custkey = c.c_custkey
+           JOIN supplier s ON l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2"""
+    ).fetchall()
+    comm = dict(
+        con.execute("SELECT n_nationkey, n_regionkey FROM nation").fetchall()
+    )
+    cs = sorted(set(comm.values()))
+    e = np.zeros((len(cs), len(cs)))
+    for u, v, w in rows:
+        # symmetrized directed flows: each contributes w both ways
+        e[cs.index(comm[u]), cs.index(comm[v])] += w
+        e[cs.index(comm[v]), cs.index(comm[u])] += w
+    e /= e.sum()
+    q = float(np.trace(e) - (e.sum(axis=1) ** 2).sum())
+    got = oracle_df(con, "q_graph_modularity").iloc[0]
+    assert abs(int(got["modularity_micro"]) / 1e6 - q) < 2e-6
+    assert int(got["n_communities"]) == len(cs)
+
+
+def test_bpe_merge_token_conservation(con):
+    """Merge accounting: tokens_after == tokens_before − n_merges, and
+    n_merges <= pair_count (overlapping occurrences can only reduce the
+    greedy non-overlapping merge count); top pair replayed by Counter."""
+    from collections import Counter
+
+    docs = con.execute("SELECT text FROM documents").fetchall()
+    pairs = Counter()
+    for (t,) in docs:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            pairs[f"{a} {b}"] += 1
+    top_pair, top_n = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    got = oracle_df(con, "q_bpe_merge_apply").iloc[0]
+    assert got["merged_pair"] == top_pair
+    assert int(got["pair_count"]) == top_n
+    assert int(got["tokens_after"]) == int(got["tokens_before"]) - int(
+        got["n_merges"]
+    )
+    assert 0 < int(got["n_merges"]) <= top_n
+
+
+def test_rec_coverage_agrees_with_collab_filter(con):
+    """Cross-oracle: q_rec_coverage's counters are exactly the shape of
+    q_collab_filter's output (same graph, same top-1 rule) — users with
+    a rec, distinct recommended brands — plus catalog bounds."""
+    cf = oracle_df(con, "q_collab_filter")
+    cov = oracle_df(con, "q_rec_coverage").iloc[0]
+    assert int(cov["n_users_with_rec"]) == len(cf)
+    assert int(cov["n_brands_recommended"]) == cf["rec_brand"].nunique()
+    assert int(cov["n_brands_recommended"]) <= int(cov["n_brands_catalog"])
+    assert int(cov["n_users_with_rec"]) <= int(cov["n_users_with_history"])
+    assert int(cov["user_coverage_micro"]) == (
+        len(cf) * 1_000_000
+    ) // int(cov["n_users_with_history"])
+
+
+def test_kmeans_membership_conservation_and_checksums(con):
+    """k-means facets: every vector lands in exactly one cluster
+    (Σ n_members == corpus size) and each centroid checksum matches a
+    numpy replay of assign→update→assign."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    gmax = max(max(abs(float(x)) for x in e) for _, e in rows)
+    q = np.floor(
+        np.array([e for _, e in rows], dtype=np.float64) / gmax * 15 + 0.5
+    ).astype(np.int64)
+    seeds = q[:4]  # first 4 vec_ids
+    d = ((q[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    a1 = d.argmin(axis=1)  # ties: argmin picks lowest k — matches ORDER BY d2, k
+    c1 = np.stack(
+        [
+            np.floor(
+                (2 * q[a1 == k].sum(axis=0) + (a1 == k).sum())
+                / (2 * (a1 == k).sum())
+            )
+            for k in range(4)
+        ]
+    )
+    d2 = ((q[:, None, :] - c1[None, :, :]) ** 2).sum(axis=2)
+    a2 = d2.argmin(axis=1)
+    df = oracle_df(con, "q_kmeans_quantized").sort_values("k")
+    assert int(df["n_members"].sum()) == len(rows)
+    for r in df.itertuples():
+        k = int(r.k) - 1
+        assert int(r.n_members) == int((a2 == k).sum())
+        assert int(r.inertia) == int(d2[a2 == k, k].sum())
+        assert int(r.centroid_checksum) == int(c1[k].sum())
+
+
+def test_lttb_endpoints_and_bucket_membership(con):
+    """LTTB structural facets: bucket 0 keeps the FIRST point, the last
+    bucket keeps the LAST point, one point per non-empty bucket, and
+    every picked point belongs to its bucket's index range."""
+    rows = con.execute(
+        """SELECT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d'),
+                  CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    n = len(rows)
+    buckets = {}
+    for idx, (day, rev) in enumerate(rows):
+        b = min((idx * 60) // n, 59)
+        buckets.setdefault(b, []).append((idx, day, int(rev)))
+    df = oracle_df(con, "q_lttb_downsample").sort_values("bucket")
+    assert len(df) == len(buckets)
+    got = {int(r.bucket): (r.day, int(r.rev)) for r in df.itertuples()}
+    assert got[0] == (rows[0][0], int(rows[0][1]))  # first point kept
+    last_b = max(buckets)
+    assert got[last_b] == (rows[-1][0], int(rows[-1][1]))  # last point kept
+    for b, (day, rev) in got.items():
+        assert (day, rev) in {(d, v) for _, d, v in buckets[b]}
