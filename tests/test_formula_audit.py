@@ -15953,3 +15953,526 @@ def test_lttb_endpoints_and_bucket_membership(con):
     assert got[last_b] == (rows[-1][0], int(rows[-1][1]))  # last point kept
     for b, (day, rev) in got.items():
         assert (day, rev) in {(d, v) for _, d, v in buckets[b]}
+
+
+# ---- batch 73: thin-coverage uncovered queries, second facets ----
+
+
+def test_ab_srm_check_hashlib_assignment_replay(con):
+    """Arm assignment replayed with hashlib md5 (first 8 hex chars,
+    parity) and the chi2 integer-floor identity + the 3.841459
+    (chi2_0.95, df=1) flag threshold."""
+    import hashlib
+
+    users = [
+        int(u)
+        for (u,) in con.execute(
+            "SELECT DISTINCT user_id FROM events"
+        ).fetchall()
+    ]
+    n_a = sum(
+        1
+        for u in users
+        if int(hashlib.md5(f"exp7:{u}".encode()).hexdigest()[:8], 16) % 2 == 0
+    )
+    n_b = len(users) - n_a
+    got = oracle_df(con, "q_ab_srm_check").iloc[0]
+    assert int(got["n_a"]) == n_a and int(got["n_b"]) == n_b
+    chi2 = ((n_a - n_b) ** 2 * 1_000_000) // (n_a + n_b)
+    assert int(got["chi2_micro"]) == chi2
+    assert bool(got["srm_flag"]) == (chi2 > 3_841_459)
+
+
+def test_graph_assortativity_numpy_pearson(con):
+    """Degree assortativity as numpy Pearson over the directed-edge
+    endpoint-degree pairs (top-60 weighted edges, symmetrized)."""
+    import numpy as np
+
+    rows = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+           )
+           SELECT a.p_brand, b.p_brand, COUNT(*) AS w
+           FROM baskets a JOIN baskets b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1, 2 ORDER BY w DESC, 1, 2 LIMIT 60"""
+    ).fetchall()
+    adj = _sym_adj([(u, v) for u, v, _ in rows])
+    deg = {u: len(vs) for u, vs in adj.items()}
+    xs, ys = [], []
+    for u, v, _ in rows:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    r = float(np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1])
+    got = oracle_df(con, "q_graph_assortativity").iloc[0]
+    assert int(got["n_directed_edges"]) == 2 * len(rows)
+    assert int(got["assortativity_micro"]) == math.floor(r * 1_000_000)
+
+
+def test_harmonic_centrality_reach_symmetry(con):
+    """Undirected-graph facet: the ≤3-hop reachability relation is
+    symmetric (u reaches v iff v reaches u), so the oracle's per-origin
+    counts must equal the row sums of a symmetric boolean matrix built
+    by Python BFS; harmonic uses the exact integer floors 1e6//d."""
+    rows = con.execute(
+        """WITH baskets AS (
+             SELECT DISTINCT l_orderkey, p_brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+           )
+           SELECT a.p_brand, b.p_brand, COUNT(*) AS w
+           FROM baskets a JOIN baskets b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+           GROUP BY 1, 2 ORDER BY w DESC, 1, 2 LIMIT 40"""
+    ).fetchall()
+    from collections import deque
+
+    adj = _sym_adj([(u, v) for u, v, _ in rows])
+    dist = {}
+    for o in adj:
+        d = {o: 0}
+        dq = deque([o])
+        while dq:
+            x = dq.popleft()
+            if d[x] >= 3:
+                continue
+            for y in adj[x]:
+                if y not in d:
+                    d[y] = d[x] + 1
+                    dq.append(y)
+        dist[o] = d
+    for u in adj:
+        for v in adj:
+            assert (v in dist[u]) == (u in dist[v])
+            if v in dist[u]:
+                assert dist[u][v] == dist[v][u]
+    df = oracle_df(con, "q_harmonic_centrality")
+    assert len(df) == len(adj)
+    for r in df.itertuples():
+        reach = {v: d for v, d in dist[r.origin].items() if d > 0}
+        assert int(r.n_reach_3hop) == len(reach)
+        assert int(r.harmonic_micro) == sum(
+            1_000_000 // d for d in reach.values()
+        )
+
+
+def test_bucketed_salted_join_conservation(con):
+    """Conservation facet for the bucketed/salted join pair: every
+    lineitem row lands in exactly one group (Σ n_lines == |lineitem|
+    for both), and the grand totals equal the raw global sums."""
+    n_lines = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    qty_tot = con.execute(
+        "SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem"
+    ).fetchone()[0]
+    bucketed = oracle_df(con, "q_join_bucketed")
+    assert int(bucketed["n_lines"].sum()) == n_lines
+    assert int(bucketed["total_qty"].sum()) == int(qty_tot)
+    salted = oracle_df(con, "q_join_salted")
+    assert int(salted["n_lines"].sum()) == n_lines
+    rev_tot = con.execute(
+        "SELECT SUM(l_extendedprice * (1 - l_discount)) FROM lineitem"
+    ).fetchone()[0]
+    assert abs(float(salted["revenue"].sum()) - float(rev_tot)) < 0.5
+
+
+def test_mcnemar_discordant_replay_and_cc_identity(con):
+    """Discordant cells replayed in Python with DuckDB's quantile_disc
+    semantics (element at rank ceil(n/2)); the continuity-corrected
+    statistic must satisfy its (|b−c|−1)² definition exactly."""
+    cents = sorted(
+        int(c)
+        for (c,) in con.execute(
+            "SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) FROM events"
+        ).fetchall()
+    )
+    n = len(cents)
+    s = sum(cents)
+    ss = sum(c * c for c in cents)
+    med = cents[(n + 1) // 2 - 1]  # quantile_disc(0.5): rank ceil(n/2)
+    devs = sorted(abs(c - med) for c in cents)
+    mad = devs[(n + 1) // 2 - 1]
+    b = c2 = 0
+    for c in cents:
+        z_flag = (float(c) * n - s) ** 2 > 9.0 * n * (
+            float(n) * ss - float(s) * s
+        ) / (n - 1)
+        mad_flag = abs(c - med) > 3 * mad
+        if z_flag and not mad_flag:
+            b += 1
+        elif mad_flag and not z_flag:
+            c2 += 1
+    got = oracle_df(con, "q_mcnemar").iloc[0]
+    assert int(got["b"]) == b and int(got["c2"]) == c2
+    assert int(got["n_pairs"]) == n
+    if b + c2:
+        assert int(got["mcnemar_micro"]) == ((b - c2) ** 2 * 1_000_000) // (b + c2)
+        assert int(got["mcnemar_cc_micro"]) == (
+            (abs(b - c2) - 1) ** 2 * 1_000_000
+        ) // (b + c2)
+
+
+def test_rec_precision_split_and_bounds(con):
+    """Temporal-split facets: train/test order sets are disjoint and
+    exhaustive, hits ≤ users-with-rec, and precision_micro is the exact
+    integer division of the two emitted counters."""
+    n_orders = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    n_train = con.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'"
+    ).fetchone()[0]
+    n_test = con.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'"
+    ).fetchone()[0]
+    assert n_train + n_test == n_orders and n_train > 0 and n_test > 0
+    got = oracle_df(con, "q_rec_precision").iloc[0]
+    assert 0 <= int(got["n_hits"]) <= int(got["n_users_with_rec"])
+    assert int(got["precision_micro"]) == (
+        int(got["n_hits"]) * 1_000_000
+    ) // int(got["n_users_with_rec"])
+
+
+def test_rollup_time_hierarchy_grain_conservation(con):
+    """Hierarchy conservation: Σn is identical at every grain (== total
+    events), each hour equals the sum of its minutes, each day the sum
+    of its hours — replayed with Counters on truncated keys."""
+    from collections import Counter
+
+    rows = con.execute(
+        "SELECT STRFTIME(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') FROM events"
+    ).fetchall()
+    total = len(rows)
+    df = oracle_df(con, "q_rollup_time_hierarchy")
+    for grain in ("minute", "hour", "day"):
+        assert int(df[df["grain"] == grain]["n"].sum()) == total
+    minute = {
+        r.bucket_start: int(r.n)
+        for r in df[df["grain"] == "minute"].itertuples()
+    }
+    hour = {
+        r.bucket_start: int(r.n)
+        for r in df[df["grain"] == "hour"].itertuples()
+    }
+    day = {
+        r.bucket_start: int(r.n) for r in df[df["grain"] == "day"].itertuples()
+    }
+    roll_h = Counter()
+    for m, n in minute.items():
+        roll_h[m[:13] + ":00:00"] += n
+    assert dict(roll_h) == hour
+    roll_d = Counter()
+    for h, n in hour.items():
+        roll_d[h[:10] + " 00:00:00"] += n
+    assert dict(roll_d) == day
+    mcount = Counter(m for (m,) in rows)
+    assert dict(mcount) == minute
+
+
+def test_spearman_corr_average_rank_pearson(con):
+    """Spearman per nation as plain Pearson over AVERAGE ranks computed
+    independently in Python (the oracle uses doubled ranks 2R+ties−1;
+    average ranks are exactly half, so rho is identical)."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT c_nationkey, c_acctbal,
+                  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_custkey, c_nationkey, c_acctbal"""
+    ).fetchall()
+    names = dict(
+        con.execute("SELECT n_nationkey, n_name FROM nation").fetchall()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for nk, bal, sp in rows:
+        per[names[nk]].append((float(bal), int(sp)))
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = avg
+            i = j + 1
+        return ranks
+
+    df = oracle_df(con, "q_spearman_corr")
+    assert len(df) == len(per)
+    for r in df.itertuples():
+        pts = per[r.n_name]
+        rx = avg_ranks([x for x, _ in pts])
+        ry = avg_ranks([y for _, y in pts])
+        rho = float(np.corrcoef(rx, ry)[0, 1])
+        assert int(r.n_cust) == len(pts)
+        assert abs(float(r.spearman_rho) - rho) < 1.5e-6
+
+
+def test_sketch_stream_oracles_cross_agree(con):
+    """The three sketch-stream oracles must agree with each other and
+    with raw sets: count-min est == heavy-hitters est (both exact
+    per-type counts), Σ est == |events|, and per-type distinct users
+    ≤ per-type event count."""
+    cm = {
+        r.item: int(r.est)
+        for r in oracle_df(con, "q_stream_count_min").itertuples()
+    }
+    hh = {
+        r.item: int(r.est)
+        for r in oracle_df(con, "q_stream_heavy_hitters").itertuples()
+    }
+    assert cm == hh
+    total = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert sum(cm.values()) == total
+    bd = {
+        r.event_type: int(r.n_users)
+        for r in oracle_df(con, "q_stream_bitmap_distinct").itertuples()
+    }
+    assert set(bd) == set(cm)
+    for t, users in bd.items():
+        assert 0 < users <= cm[t]
+
+
+def test_stream_dedup_family_set_replays(con):
+    """Set-algebra replays: |distinct (user,type)|, |distinct
+    (user,type,day)| (necessarily >= the former), and the progress
+    metrics' unique-event-id invariant."""
+    rows = con.execute(
+        """SELECT user_id, event_type,
+                  STRFTIME(CAST(ts AS DATE), '%Y-%m-%d'), event_id
+           FROM events"""
+    ).fetchall()
+    pairs = {(u, t) for u, t, _, _ in rows}
+    triples = {(u, t, d) for u, t, d, _ in rows}
+    assert len(oracle_df(con, "q_stream_dedup")) == len(pairs)
+    assert len(oracle_df(con, "q_stream_dedup_within_wm")) == len(triples)
+    assert len(triples) >= len(pairs)
+    pm = oracle_df(con, "q_stream_progress_metrics").iloc[0]
+    assert int(pm["total_input_rows"]) == len(rows)
+    assert int(pm["distinct_ids"]) == len({e for _, _, _, e in rows})
+    assert int(pm["distinct_ids"]) == len(rows)  # event ids are unique
+
+
+def test_stream_join_interval_replay_ns(con):
+    """The 2h click→purchase interval join replayed at NANOSECOND
+    precision (events.ts is ns in parquet; the ±2h bound must not be
+    compared at truncated precision) — full pair-set equality."""
+    rows = con.execute(
+        "SELECT user_id, event_type, event_id, epoch_ns(ts) FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    clicks, purchases = defaultdict(list), defaultdict(list)
+    for u, t, e, ns in rows:
+        if t == "click":
+            clicks[u].append((int(e), int(ns)))
+        elif t == "purchase":
+            purchases[u].append((int(e), int(ns)))
+    expect = set()
+    two_h = 2 * 3600 * 10**9
+    for u, cs in clicks.items():
+        for ce, cns in cs:
+            for pe, pns in purchases.get(u, ()):
+                if cns <= pns <= cns + two_h:
+                    expect.add((ce, pe))
+    df = oracle_df(con, "q_stream_join")
+    got = {(int(r.click_id), int(r.purchase_id)) for r in df.itertuples()}
+    assert got == expect and len(df) == len(expect)
+
+
+def test_stream_multi_source_agrees_with_route(con):
+    """Cross-oracle: the multi-source 'conversions' topic and the
+    router's 'money' branch filter the SAME types (purchase, signup),
+    so their per-type rows must be identical; engagement covers the
+    complement (click, view) exactly."""
+    ms = oracle_df(con, "q_stream_multi_source")
+    rt = oracle_df(con, "q_stream_route")
+    conv = {
+        r.event_type: (int(r.n), float(r.total_value))
+        for r in ms[ms["topic"] == "conversions"].itertuples()
+    }
+    money = {
+        r.event_type: (int(r.n), float(r.total_value))
+        for r in rt[rt["branch"] == "money"].itertuples()
+    }
+    assert conv == money
+    from collections import Counter
+
+    types = Counter(
+        t for (t,) in con.execute("SELECT event_type FROM events").fetchall()
+    )
+    eng = {
+        r.event_type: int(r.n)
+        for r in ms[ms["topic"] == "engagement"].itertuples()
+    }
+    assert eng == {t: types[t] for t in ("click", "view") if types[t]}
+
+
+def test_stream_sliding_double_count_conservation(con):
+    """A 1h window sliding by 30min covers every event exactly twice:
+    Σn == 2·|events|, and each window's count matches the two-shifted
+    half-hour-grid Counter."""
+    from collections import Counter
+
+    rows = con.execute(
+        "SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) FROM events"
+    ).fetchall()
+    import datetime as dt
+
+    census = Counter()
+    for (half,) in rows:
+        for start in (int(half), int(half) - 1800):
+            census[
+                dt.datetime.utcfromtimestamp(start).strftime("%Y-%m-%d %H:%M:%S")
+            ] += 1
+    df = oracle_df(con, "q_stream_sliding")
+    assert int(df["n"].sum()) == 2 * len(rows)
+    got = {r.win_start: int(r.n) for r in df.itertuples()}
+    assert got == dict(census)
+
+
+def test_stream_upsert_latest_wins_replay(con):
+    """Upsert semantics: per user the surviving row is the max by
+    (ts, event_id) — replayed from raw ns timestamps — and n_events
+    conserves the corpus."""
+    rows = con.execute(
+        "SELECT user_id, event_type, epoch_ns(ts), event_id FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    latest = {}
+    counts = defaultdict(int)
+    for u, t, ns, e in rows:
+        u = int(u)
+        counts[u] += 1
+        key = (int(ns), int(e))
+        if u not in latest or key > latest[u][0]:
+            latest[u] = (key, t)
+    df = oracle_df(con, "q_stream_upsert")
+    assert len(df) == len(latest)
+    assert int(df["n_events"].sum()) == len(rows)
+    for r in df.itertuples():
+        assert r.last_type == latest[int(r.user_id)][1]
+        assert int(r.n_events) == counts[int(r.user_id)]
+
+
+def test_tpch_q7_symmetric_pair_replay(con):
+    """Q7 facets: only the two named nations appear (both directions),
+    years limited to 1995-1996, and each cell's revenue matches a raw
+    Python accumulation."""
+    rows = con.execute(
+        """SELECT n1.n_name, n2.n_name,
+                  EXTRACT(YEAR FROM l_shipdate),
+                  l_extendedprice * (1 - l_discount)
+           FROM supplier
+           JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    cells = defaultdict(float)
+    for sn, cn, yr, vol in rows:
+        if (sn, cn) in (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")):
+            cells[(sn, cn, int(yr))] += float(vol)
+    df = oracle_df(con, "q_tpch_q7")
+    assert set(df["l_year"].astype(int)) <= {1995, 1996}
+    assert {(r.supp_nation, r.cust_nation) for r in df.itertuples()} == {
+        ("NATION_1", "NATION_2"),
+        ("NATION_2", "NATION_1"),
+    }
+    assert len(df) == len(cells)
+    for r in df.itertuples():
+        assert (
+            abs(
+                float(r.revenue)
+                - round(cells[(r.supp_nation, r.cust_nation, int(r.l_year))], 2)
+            )
+            < 0.02
+        )
+
+
+def test_tpch_q8_share_bounds_and_replay(con):
+    """Q8 facets: market share ∈ [0,1] by construction, and both the
+    numerator and denominator replay from raw PROMO-part Asia flows."""
+    rows = con.execute(
+        """SELECT EXTRACT(YEAR FROM o_orderdate), n2.n_name,
+                  l_extendedprice * (1 - l_discount)
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE r_name = 'ASIA' AND p_type = 'PROMO'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    num, den = defaultdict(float), defaultdict(float)
+    for yr, sn, vol in rows:
+        den[int(yr)] += float(vol)
+        if sn == "NATION_5":
+            num[int(yr)] += float(vol)
+    df = oracle_df(con, "q_tpch_q8")
+    assert len(df) == len(den)
+    for r in df.itertuples():
+        share = num[int(r.o_year)] / den[int(r.o_year)]
+        assert 0.0 <= float(r.mkt_share) <= 1.0
+        assert abs(float(r.mkt_share) - share) < 1.5e-6
+
+
+def test_tpch_q9_profit_replay(con):
+    """Q9 profit cells replayed from raw red-part flows: revenue minus
+    the 60%-of-retail supply cost, per (nation, year)."""
+    rows = con.execute(
+        """SELECT n_name, EXTRACT(YEAR FROM o_orderdate),
+                  l_extendedprice * (1 - l_discount)
+                    - p_retailprice * 0.6 * l_quantity
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE p_name LIKE '%red%'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    cells = defaultdict(float)
+    for n, yr, amt in rows:
+        cells[(n, int(yr))] += float(amt)
+    df = oracle_df(con, "q_tpch_q9")
+    assert len(df) == len(cells)
+    for r in df.itertuples():
+        assert abs(float(r.sum_profit) - round(cells[(r.nation, int(r.o_year))], 2)) < 0.02
+
+
+def test_tpch_q11_threshold_completeness(con):
+    """Q11 facets: every emitted part value clears the 0.07% threshold,
+    and NO omitted part does (completeness — the usual replay only
+    checks the emitted side)."""
+    rows = con.execute(
+        """SELECT l_partkey, SUM(l_extendedprice * l_quantity)
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA' GROUP BY 1"""
+    ).fetchall()
+    vals = {int(pk): float(v) for pk, v in rows}
+    thr = sum(vals.values()) * 0.0007
+    expect = {pk for pk, v in vals.items() if v > thr}
+    df = oracle_df(con, "q_tpch_q11")
+    got = {int(r.partkey) for r in df.itertuples()}
+    assert got == expect
+    for r in df.itertuples():
+        assert abs(float(r.part_value) - round(vals[int(r.partkey)], 2)) < 0.02
