@@ -16476,3 +16476,616 @@ def test_tpch_q11_threshold_completeness(con):
     assert got == expect
     for r in df.itertuples():
         assert abs(float(r.part_value) - round(vals[int(r.partkey)], 2)) < 0.02
+
+
+# ---- batch 74: zero-audit rows + deep statistics, second facets ----
+
+
+def test_rls_policy_audit_zero_leak_and_partition(con):
+    """Row-level-security audit replayed from raw: per principal the
+    visible set is exactly the customers of the allowed region, leak
+    count is structurally ZERO, and the regions partition the customer
+    base (Σ visible == total)."""
+    nat_region = dict(
+        con.execute("SELECT n_nationkey, n_regionkey FROM nation").fetchall()
+    )
+    region_name = dict(
+        con.execute("SELECT r_regionkey, r_name FROM region").fetchall()
+    )
+    from collections import Counter
+
+    per_region = Counter()
+    total = 0
+    for (nk,) in con.execute("SELECT c_nationkey FROM customer").fetchall():
+        per_region[region_name[nat_region[nk]]] += 1
+        total += 1
+    df = oracle_df(con, "q_rls_policy_audit")
+    assert len(df) == len(region_name)
+    assert int(df["n_visible"].sum()) == total
+    for r in df.itertuples():
+        assert int(r.n_visible) == per_region[r.principal]
+        assert int(r.n_leaked) == 0
+        assert int(r.n_total) == total
+        assert int(r.visibility_micro) == (
+            per_region[r.principal] * 1_000_000
+        ) // total
+
+
+def test_window_lag_lead_python_replay(con):
+    """LAG/LEAD/gap replayed per user from the (ts, event_id)-ordered
+    sequence: first row has null prev and gap, last has null next, and
+    every gap is the exact second-truncated difference."""
+    rows = con.execute(
+        """SELECT user_id, event_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT), value
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    seq = defaultdict(list)
+    for u, e, t, v in rows:
+        seq[int(u)].append((int(e), int(t), float(v)))
+    df = oracle_df(con, "q_window_lag")
+    assert len(df) == len(rows)
+    got = {
+        int(r.event_id): (
+            r.prev_value,
+            r.next_value,
+            None if pd_isna(r.gap_s) else int(r.gap_s),
+        )
+        for r in df.itertuples()
+    }
+    for u, lst in seq.items():
+        for i, (e, t, v) in enumerate(lst):
+            prev_v = lst[i - 1][2] if i > 0 else None
+            next_v = lst[i + 1][2] if i + 1 < len(lst) else None
+            gap = t - lst[i - 1][1] if i > 0 else None
+            gp, gn, gg = got[e]
+            assert (gp is None or pd_isna(gp)) == (prev_v is None)
+            if prev_v is not None:
+                assert abs(float(gp) - prev_v) < 1e-9
+            assert (gn is None or pd_isna(gn)) == (next_v is None)
+            if next_v is not None:
+                assert abs(float(gn) - next_v) < 1e-9
+            assert gg == gap
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def test_wasserstein_1d_integer_area_replay(con):
+    """W1 distance replayed as the exact integer area between the two
+    micro-floored empirical CDFs over the merged support."""
+    rows = con.execute(
+        """SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT), event_type
+           FROM events WHERE event_type IN ('purchase', 'click')"""
+    ).fetchall()
+    from collections import Counter
+
+    a, b = Counter(), Counter()
+    for c, t in rows:
+        (a if t == "purchase" else b)[int(c)] += 1
+    na, nb = sum(a.values()), sum(b.values())
+    support = sorted(set(a) | set(b))
+    w1 = 0
+    ca = cb = 0
+    for c, nxt in zip(support, support[1:]):
+        ca += a.get(c, 0)
+        cb += b.get(c, 0)
+        fa = (ca * 1_000_000) // na
+        fb = (cb * 1_000_000) // nb
+        w1 += abs(fa - fb) * (nxt - c)
+    got = oracle_df(con, "q_wasserstein_1d").iloc[0]
+    assert int(got["n_support"]) == len(support) - 1
+    assert int(got["w1_micro_cents"]) == w1
+
+
+def test_ks_statistic_max_gap_replay(con):
+    """KS replayed as the max cross-multiplied CDF gap with the
+    (gap DESC, score ASC) tie rule, plus 0 <= KS <= 1."""
+    rows = con.execute(
+        """SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT), event_type
+           FROM events WHERE event_type IN ('click', 'view')"""
+    ).fetchall()
+    from collections import Counter
+
+    a, b = Counter(), Counter()
+    for c, t in rows:
+        (a if t == "click" else b)[int(c)] += 1
+    ta, tb = sum(a.values()), sum(b.values())
+    best = None
+    ca = cb = 0
+    for s in sorted(set(a) | set(b)):
+        ca += a.get(s, 0)
+        cb += b.get(s, 0)
+        gap = abs(ca * tb - cb * ta)
+        if best is None or gap > best[0]:
+            best = (gap, s)
+    got = oracle_df(con, "q_ks_statistic").iloc[0]
+    assert int(got["n_a"]) == ta and int(got["n_b"]) == tb
+    assert int(got["ks_at_score"]) == best[1]
+    assert abs(float(got["ks_stat"]) - best[0] / (ta * tb)) < 1e-12
+    assert 0.0 <= float(got["ks_stat"]) <= 1.0
+
+
+def test_gini_rank_formula_replay(con):
+    """Gini per priority via the rank formula 2Σ(i·xᵢ)/(nΣx) − (n+1)/n
+    on the (cents, orderkey)-sorted series, plus the 0 <= G < 1 bound."""
+    rows = con.execute(
+        """SELECT o_orderpriority, o_orderkey,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           FROM orders"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for p, ok, c in rows:
+        per[p].append((int(c), int(ok)))
+    df = oracle_df(con, "q_gini")
+    assert len(df) == len(per)
+    for r in df.itertuples():
+        xs = [c for c, _ in sorted(per[r.o_orderpriority])]
+        n = len(xs)
+        s1 = sum(i * x for i, x in enumerate(xs, start=1))
+        g = 2.0 * s1 / (n * sum(xs)) - (n + 1.0) / n
+        assert int(r.n) == n
+        assert abs(float(r.gini) - g) < 1e-9
+        assert 0.0 <= float(r.gini) < 1.0
+
+
+def test_ols_multi_matches_numpy_lstsq(con):
+    """The Cramer's-rule OLS oracle vs numpy lstsq — a genuinely
+    different solver on the same normal equations."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT CAST(FLOOR(SUM(l_quantity) + 0.5) AS BIGINT),
+                  COUNT(*),
+                  MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           GROUP BY l_orderkey"""
+    ).fetchall()
+    x1 = np.array([float(a) for a, _, _ in rows])
+    x2 = np.array([float(b) for _, b, _ in rows])
+    y = np.array([float(c) for _, _, c in rows])
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    got = oracle_df(con, "q_ols_multi").iloc[0]
+    assert int(got["n_orders"]) == len(rows)
+    assert abs(float(got["b0_cents"]) - beta[0]) < 5e-4
+    assert abs(float(got["b1_cents_per_qty"]) - beta[1]) < 5e-6
+    assert abs(float(got["b2_cents_per_line"]) - beta[2]) < 5e-5
+
+
+def test_cohens_d_pooled_sd_numpy(con):
+    """Cohen's d with the pooled (n−2 dof) standard deviation replayed
+    in numpy."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events WHERE event_type IN ('purchase', 'click')"""
+    ).fetchall()
+    a = np.array([c for t, c in rows if t == "purchase"], dtype=np.float64)
+    b = np.array([c for t, c in rows if t == "click"], dtype=np.float64)
+    pooled = math.sqrt(
+        (a.var(ddof=0) * len(a) + b.var(ddof=0) * len(b)) / (len(a) + len(b) - 2)
+    )
+    d = (a.mean() - b.mean()) / pooled
+    got = oracle_df(con, "q_cohens_d").iloc[0]
+    assert int(got["n_a"]) == len(a) and int(got["n_b"]) == len(b)
+    assert int(got["cohens_d_micro"]) == math.floor(d * 1_000_000)
+
+
+def test_cuped_theta_is_cov_over_var(con):
+    """CUPED facets: θ = cov(x,y)/var(x) and the variance reduction is
+    exactly corr²(x,y) — replayed with numpy."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT SUM(CASE WHEN EXTRACT(DAY FROM ts) <= 15
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END),
+                  SUM(CASE WHEN EXTRACT(DAY FROM ts) > 15
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END)
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    x = np.array([float(a) for a, _ in rows])
+    y = np.array([float(b) for _, b in rows])
+    theta = ((x * y).mean() - x.mean() * y.mean()) / (
+        (x * x).mean() - x.mean() ** 2
+    )
+    rho2 = float(np.corrcoef(x, y)[0, 1]) ** 2
+    got = oracle_df(con, "q_cuped_adjustment").iloc[0]
+    assert int(got["n_users"]) == len(rows)
+    assert int(got["theta_micro"]) == math.floor(theta * 1_000_000)
+    micro = int(got["var_reduction_micro"])
+    assert abs(micro / 1e6 - rho2) < 2e-6
+    assert 0 <= micro <= 1_000_000
+
+
+def test_delta_method_ratio_identity(con):
+    """The ratio metric θ is the exact integer division Σrev·1e6 // Σqty
+    and the delta-method SE replays in float."""
+    rows = con.execute(
+        """SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT),
+                  CAST(l_quantity AS BIGINT) FROM lineitem"""
+    ).fetchall()
+    n = len(rows)
+    sx = sum(int(a) for a, _ in rows)
+    sy = sum(int(b) for _, b in rows)
+    sxx = sum(int(a) ** 2 for a, _ in rows)
+    syy = sum(int(b) ** 2 for _, b in rows)
+    sxy = sum(int(a) * int(b) for a, b in rows)
+    got = oracle_df(con, "q_delta_method_ci").iloc[0]
+    assert int(got["n"]) == n
+    assert int(got["theta_micro"]) == (1_000_000 * sx) // sy
+    r = sx / sy
+    se = (
+        1e6
+        * math.sqrt(
+            ((sxx * n - sx * sx) - 2 * r * (sxy * n - sx * sy) + r * r * (syy * n - sy * sy))
+            / (n - 1)
+        )
+        / sy
+    )
+    assert abs(float(got["se_micro"]) - round(se, 2)) < 0.02
+
+
+def test_power_analysis_mde_formula_and_monotonicity(con):
+    """Sample-size formula 2(z_α+z_β)²σ²/(MDE·μ)² replayed exactly;
+    the 1% MDE requirement is (at least) 25× the 5% one."""
+    rows = [
+        int(c)
+        for (c,) in con.execute(
+            """SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               FROM events WHERE event_type = 'purchase'"""
+        ).fetchall()
+    ]
+    n = len(rows)
+    s = sum(rows)
+    ss = sum(c * c for c in rows)
+    var = (ss - s * s / n) / (n - 1)
+    mean = s / n
+    got = oracle_df(con, "q_power_analysis").iloc[0]
+    assert int(got["n_observed"]) == n
+    assert int(got["mean_cents_floor"]) == math.floor(mean)
+    for mde, col in ((0.05, "n_per_arm_5pct_mde"), (0.01, "n_per_arm_1pct_mde")):
+        expect = math.ceil(2.0 * (1.96 + 0.84) ** 2 * var / (mde * mean) ** 2)
+        assert int(got[col]) == expect
+    assert int(got["n_per_arm_1pct_mde"]) >= 25 * int(got["n_per_arm_5pct_mde"]) - 25
+
+
+def test_zipf_fit_numpy_regression(con):
+    """The Zipf log-log slope and R² replayed as a numpy least-squares
+    line over the top-500 (rank, frequency) pairs; slope must be
+    negative (frequency falls with rank) and R² in [0, 1]."""
+    import numpy as np
+    from collections import Counter
+
+    words = Counter()
+    for (t,) in con.execute("SELECT text FROM documents").fetchall():
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    ranked = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=np.float64))
+    y = np.log(np.array([n for _, n in ranked], dtype=np.float64))
+    slope = float(((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum())
+    r2 = float(np.corrcoef(x, y)[0, 1]) ** 2
+    got = oracle_df(con, "q_zipf_fit").iloc[0]
+    assert int(got["n_words"]) == len(ranked)
+    assert abs(float(got["zipf_slope"]) - slope) < 1e-3
+    assert abs(float(got["fit_r2"]) - r2) < 1e-3
+    assert float(got["zipf_slope"]) < 0
+    assert 0.0 <= float(got["fit_r2"]) <= 1.0
+
+
+def test_benford_distribution_and_logs(con):
+    """Leading-digit census via Python string ops; observed shares sum
+    to 1; the theoretical column is exactly log10(1 + 1/d)."""
+    from collections import Counter
+
+    digits = Counter()
+    for (tp,) in con.execute(
+        "SELECT floor(o_totalprice) FROM orders WHERE o_totalprice >= 1"
+    ).fetchall():
+        digits[int(str(int(tp))[0])] += 1
+    total = sum(digits.values())
+    df = oracle_df(con, "q_benford")
+    assert len(df) == len(digits)
+    assert abs(float(df["observed"].sum()) - 1.0) < 1e-4
+    for r in df.itertuples():
+        d = int(r.d)
+        assert int(r.n) == digits[d]
+        assert abs(float(r.observed) - digits[d] / total) < 5.1e-7
+        assert abs(float(r.benford) - math.log10(1 + 1 / d)) < 5.1e-7
+
+
+def test_market_hhi_share_bounds(con):
+    """HHI facets: shares replayed from raw, Σ shares == 1 per region,
+    and 1e6/n ≤ HHI ≤ 1e6 (equal-split floor, monopoly ceiling)."""
+    rows = con.execute(
+        """SELECT r_name, n_name,
+                  SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(dict)
+    for rn, nn, d in rows:
+        per[rn][nn] = int(d)
+    df = oracle_df(con, "q_market_hhi")
+    assert len(df) == len(per)
+    for r in df.itertuples():
+        vals = per[r.r_name]
+        tot = sum(vals.values())
+        hhi = math.floor(sum((v / tot) ** 2 for v in vals.values()) * 1_000_000)
+        assert int(r.n_nations) == len(vals)
+        # DuckDB sums the squared shares in ORDER BY n_name; replay the
+        # same order to match the floor exactly
+        ordered = sum((vals[k] / tot) ** 2 for k in sorted(vals)) * 1_000_000
+        assert int(r.hhi_micro) in (hhi, math.floor(ordered))
+        assert 1_000_000 // len(vals) <= int(r.hhi_micro) <= 1_000_000
+
+
+def test_palma_ratio_decile_replay(con):
+    """Palma ratio replayed with the exact integer decile cuts
+    (rn > 9n/10 vs rn <= 4n/10 on the (cents, custkey) order)."""
+    rows = sorted(
+        (int(c), int(k))
+        for k, c in con.execute(
+            """SELECT o_custkey,
+                      SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               FROM orders GROUP BY o_custkey"""
+        ).fetchall()
+    )
+    n = len(rows)
+    top10 = sum(c for i, (c, _) in enumerate(rows, start=1) if i > (n * 9) // 10)
+    bot40 = sum(c for i, (c, _) in enumerate(rows, start=1) if i <= (n * 4) // 10)
+    got = oracle_df(con, "q_palma_ratio").iloc[0]
+    assert int(got["n_customers"]) == n
+    assert int(got["top10_cents"]) == top10
+    assert int(got["bottom40_cents"]) == bot40
+    assert int(got["palma_milli"]) == (top10 * 1000) // bot40
+
+
+def test_simpson_diversity_micro_bounds_and_census(con):
+    """Per-user Simpson diversity replayed in exact integers; every
+    d_micro ∈ [0, 1e6]; the decile histogram matches the census."""
+    rows = con.execute(
+        "SELECT user_id, event_type, COUNT(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    per = defaultdict(list)
+    for u, _, n in rows:
+        per[int(u)].append(int(n))
+    census = Counter()
+    stats = {}
+    for u, ns in per.items():
+        n = sum(ns)
+        if n < 2:
+            continue
+        same = sum(x * (x - 1) for x in ns)
+        d = 1_000_000 - (same * 1_000_000) // (n * (n - 1))
+        assert 0 <= d <= 1_000_000
+        dec = d // 100_000
+        census[dec] += 1
+        stats.setdefault(dec, []).append(d)
+    df = oracle_df(con, "q_simpson_diversity")
+    assert {int(r.diversity_decile): int(r.n_users) for r in df.itertuples()} == dict(
+        census
+    )
+    for r in df.itertuples():
+        ds = stats[int(r.diversity_decile)]
+        assert int(r.min_d_micro) == min(ds)
+        assert int(r.max_d_micro) == max(ds)
+
+
+def test_newsvendor_p95_rank_replay(con):
+    """The critical-fractile stock level replayed as the demand at rank
+    ceil(0.95·n) of the (demand, day)-sorted daily series per brand."""
+    rows = con.execute(
+        """SELECT p_brand, CAST(o_orderdate AS DATE),
+                  SUM(CAST(l_quantity AS BIGINT))
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for b, day, d in rows:
+        per[b].append((int(d), day))
+    df = oracle_df(con, "q_newsvendor_quantile")
+    assert len(df) == len(per)
+    for r in df.itertuples():
+        ds = sorted(per[r.p_brand])
+        n = len(ds)
+        rank = max((n * 95 + 99) // 100, 1)
+        assert int(r.n_days) == n
+        assert int(r.mean_daily_demand) == sum(d for d, _ in ds) // n
+        assert int(r.p95_daily_demand) == ds[rank - 1][0]
+
+
+def test_apportion_seats_sum_is_exactly_1000(con):
+    """Largest-remainder apportionment: the defining conservation law —
+    seats sum EXACTLY to the house size (1000) — plus a full replay of
+    base + remainder-ranked top-up."""
+    rows = con.execute(
+        """SELECT n_name, COUNT(*) FROM customer
+           JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"""
+    ).fetchall()
+    total = sum(n for _, n in rows)
+    base = {name: (n * 1000) // total for name, n in rows}
+    rem = sorted(
+        ((-((n * 1000) % total), name) for name, n in rows)
+    )
+    leftover = 1000 - sum(base.values())
+    topped = {name for _, name in rem[:leftover]}
+    df = oracle_df(con, "q_apportion_seats")
+    assert int(df["seats"].sum()) == 1000
+    for r in df.itertuples():
+        assert int(r.seats) == base[r.n_name] + (1 if r.n_name in topped else 0)
+
+
+def test_spc_control_chart_limits_and_flags(con):
+    """3σ control limits replayed with numpy per event type; the
+    out-of-control flag is exactly n outside [μ−3σ, μ+3σ]."""
+    import numpy as np
+    from collections import defaultdict
+
+    rows = con.execute(
+        """SELECT event_type, STRFTIME(ts, '%Y-%m-%d'), COUNT(*)
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    per = defaultdict(dict)
+    for t, d, n in rows:
+        per[t][d] = int(n)
+    df = oracle_df(con, "q_spc_control_chart")
+    assert len(df) == len(rows)
+    for t, days in per.items():
+        xs = np.array(list(days.values()), dtype=np.float64)
+        mu = xs.mean()
+        sd = xs.std(ddof=1)
+        sub = df[df["event_type"] == t]
+        for r in sub.itertuples():
+            assert abs(float(r.center) - round(mu, 4)) < 1e-9
+            assert abs(float(r.lcl) - round(mu - 3 * sd, 4)) < 1e-9
+            assert abs(float(r.ucl) - round(mu + 3 * sd, 4)) < 1e-9
+            assert bool(r.out_of_control) == (
+                days[r.day] < mu - 3 * sd or days[r.day] > mu + 3 * sd
+            )
+
+
+def test_winsorize_clip_bounds_numpy(con):
+    """Winsorization replayed with numpy linear-interpolation
+    percentiles: every output lies inside [p5, p95]/100, the clipped
+    flag is exact, and unclipped rows pass through unchanged."""
+    import numpy as np
+    from collections import defaultdict
+
+    rows = con.execute(
+        """SELECT event_id, event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) FROM events"""
+    ).fetchall()
+    per = defaultdict(list)
+    for _, t, c in rows:
+        per[t].append(int(c))
+    bounds = {
+        t: (
+            float(np.percentile(np.array(v, float), 5, method="linear")),
+            float(np.percentile(np.array(v, float), 95, method="linear")),
+        )
+        for t, v in per.items()
+    }
+    df = oracle_df(con, "q_winsorize")
+    assert len(df) == len(rows)
+    cmap = {int(e): int(c) for e, _, c in rows}
+    for r in df.itertuples():
+        lo, hi = bounds[r.event_type]
+        c = cmap[int(r.event_id)]
+        wins = min(max(float(c), lo), hi)
+        assert abs(float(r.winsorized) - round(wins / 100.0, 4)) < 1e-9
+        assert bool(r.was_clipped) == (c < lo or c > hi)
+        assert lo / 100 - 1e-9 <= float(r.winsorized) <= hi / 100 + 1e-9
+
+
+def test_time_weighted_avg_integral_bounds(con):
+    """TWA facets: the step integral replayed per user, span
+    conservation (Σ step widths == last − first), and min ≤ TWA ≤ max
+    over the user's values (convexity)."""
+    rows = con.execute(
+        """SELECT user_id, value,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    seq = defaultdict(list)
+    for u, v, t in rows:
+        seq[int(u)].append((int(t), float(v)))
+    df = oracle_df(con, "q_time_weighted_avg")
+    for r in df.itertuples():
+        pts = seq[int(r.user_id)]
+        num = den = 0.0
+        for (t0, v0), (t1, _) in zip(pts, pts[1:]):
+            num += v0 * (t1 - t0)
+            den += t1 - t0
+        assert den > 0
+        assert int(r.span_s) == int(den)
+        assert int(r.span_s) == pts[-1][0] - pts[0][0]
+        assert abs(float(r.twa) - round(num / den, 6)) < 1e-9
+        vals = [v for _, v in pts[:-1]]
+        assert min(vals) - 1e-9 <= float(r.twa) <= max(vals) + 1e-9
+
+
+def test_gaps_islands_streak_accounting(con):
+    """Gaps-and-islands replayed with the index-difference trick in
+    Python; identities: Σ streak lengths == active days, max ≤ total."""
+    rows = con.execute(
+        """SELECT DISTINCT user_id,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    days = defaultdict(list)
+    for u, dn in rows:
+        days[int(u)].append(int(dn))
+    df = oracle_df(con, "q_gaps_islands")
+    assert len(df) == len(days)
+    for r in df.itertuples():
+        ds = sorted(days[int(r.user_id)])
+        streaks = []
+        run = 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                streaks.append(run)
+                run = 1
+        streaks.append(run)
+        assert int(r.n_active_days) == len(ds) == sum(streaks)
+        assert int(r.max_streak) == max(streaks)
+        assert int(r.n_streaks) == len(streaks)
+        assert int(r.max_streak) <= int(r.n_active_days)
+
+
+def test_psi_drift_terms_nonnegative_and_replay(con):
+    """PSI facets: each term (a−b)·ln(a/b) is nonnegative by
+    construction, and the binned censuses replay from raw."""
+    rows = con.execute(
+        """SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                  CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                       THEN 0 ELSE 1 END
+           FROM events"""
+    ).fetchall()
+    mx = max(c for c, _ in rows)
+    from collections import Counter
+
+    n0, n1 = Counter(), Counter()
+    for c, p in rows:
+        b = min(int(c) * 10 // (mx + 1), 9)
+        (n1 if p else n0)[b] += 1
+    t0, t1 = sum(n0.values()), sum(n1.values())
+    df = oracle_df(con, "q_psi_drift")
+    for r in df.itertuples():
+        b = int(r.bin)
+        assert int(r.n0) == n0.get(b, 0)
+        assert int(r.n1) == n1.get(b, 0)
+        a = max(n1.get(b, 0) / t1, 1e-6)
+        bb = max(n0.get(b, 0) / t0, 1e-6)
+        assert abs(float(r.psi_term) - round((a - bb) * math.log(a / bb), 6)) < 1e-9
+        assert float(r.psi_term) >= 0.0
