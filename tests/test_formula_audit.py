@@ -17089,3 +17089,660 @@ def test_psi_drift_terms_nonnegative_and_replay(con):
         bb = max(n0.get(b, 0) / t0, 1e-6)
         assert abs(float(r.psi_term) - round((a - bb) * math.log(a / bb), 6)) < 1e-9
         assert float(r.psi_term) >= 0.0
+
+
+# ---- batch 75: windows / funnels / dataops second facets ----
+
+
+def _sessions_python(con, gap_s=7200):
+    """Replay the 2h-gap sessionization on second-truncated timestamps:
+    returns {(user, session_no): [(ts_s, event_id, value), ...]}."""
+    rows = con.execute(
+        """SELECT user_id, event_id, value,
+                  CAST(floor(epoch(ts)) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    out = {}
+    cur_user, sess_no, last = None, 0, None
+    for u, e, v, t in rows:
+        u, t = int(u), int(t)
+        if u != cur_user:
+            cur_user, sess_no = u, 1
+        elif t - last > gap_s:
+            sess_no += 1
+        last = t
+        out.setdefault((u, sess_no), []).append((t, int(e), float(v)))
+    return out
+
+
+def test_sessionize_gap_properties_and_replay(con):
+    """Sessionization facets: conservation (Σ n_events == corpus),
+    within-session gaps <= 2h, between-session gaps > 2h, and the full
+    per-session stats replay."""
+    sess = _sessions_python(con)
+    df = oracle_df(con, "q_sessionize")
+    assert len(df) == len(sess)
+    total = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert int(df["n_events"].sum()) == total
+    for r in df.itertuples():
+        evs = sess[(int(r.user_id), int(r.session_no))]
+        ts = [t for t, _, _ in evs]
+        assert int(r.n_events) == len(evs)
+        assert int(r.start_s) == min(ts) and int(r.end_s) == max(ts)
+        assert abs(float(r.sum_value) - round(sum(v for _, _, v in evs), 4)) < 1e-3
+        for a, b in zip(ts, ts[1:]):
+            assert b - a <= 7200
+    # between consecutive sessions of one user: gap > 2h
+    by_user = {}
+    for (u, sn), evs in sess.items():
+        by_user.setdefault(u, []).append((sn, evs))
+    for u, lst in by_user.items():
+        lst.sort()
+        assert [sn for sn, _ in lst] == list(range(1, len(lst) + 1))
+        for (_, a), (_, b) in zip(lst, lst[1:]):
+            assert b[0][0] - a[-1][0] > 7200
+
+
+def test_session_window_batch_agrees_with_sessionize(con):
+    """Cross-oracle: the batch session-window twin carries the same
+    sessions — identical per-user n_events multisets, start == min ts,
+    end == max ts + the 2h gap."""
+    sess = _sessions_python(con)
+    expect = sorted(
+        (u, min(t for t, _, _ in evs), max(t for t, _, _ in evs) + 7200, len(evs))
+        for (u, _), evs in sess.items()
+    )
+    df = oracle_df(con, "q_session_window_batch")
+    got = sorted(
+        (int(r.user_id), int(r.sess_start_s), int(r.sess_end_s), int(r.n_events))
+        for r in df.itertuples()
+    )
+    assert got == expect
+
+
+def test_session_bounce_census_and_p50(con):
+    """Bounce census per day replayed from the sessionization; bounce
+    count <= session count; p50 duration via numpy linear quantile."""
+    import numpy as np
+    import datetime as dt
+    from collections import defaultdict
+
+    sess = _sessions_python(con)
+    per_day = defaultdict(list)
+    for (_, _), evs in sess.items():
+        ts = [t for t, _, _ in evs]
+        day = dt.datetime.utcfromtimestamp(min(ts)).strftime("%Y-%m-%d")
+        per_day[day].append((len(evs), max(ts) - min(ts)))
+    df = oracle_df(con, "q_session_bounce")
+    assert len(df) == len(per_day)
+    for r in df.itertuples():
+        lst = per_day[r.day]
+        assert int(r.n_sessions) == len(lst)
+        assert int(r.n_bounce) == sum(1 for n, _ in lst if n == 1)
+        assert int(r.n_bounce) <= int(r.n_sessions)
+        p50 = float(np.percentile(np.array([d for _, d in lst], float), 50, method="linear"))
+        assert abs(float(r.p50_dur_s) - p50) < 1e-9
+
+
+def test_rolling_median_trailing_window_replay(con):
+    """Trailing 5-row median replayed with statistics.median per user."""
+    import statistics
+
+    rows = con.execute(
+        """SELECT user_id, event_id, CAST(value AS DOUBLE)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    seq = defaultdict(list)
+    expect = {}
+    for u, e, v in rows:
+        seq[int(u)].append(float(v))
+        window = seq[int(u)][-5:]
+        expect[int(e)] = round(statistics.median(window), 6)
+    df = oracle_df(con, "q_rolling_median")
+    assert len(df) == len(rows)
+    for r in df.itertuples():
+        assert abs(float(r.rolling_median) - expect[int(r.event_id)]) < 1e-9
+
+
+def test_forward_fill_last_click_replay(con):
+    """LAST_VALUE IGNORE NULLS replayed as a running last-click-value
+    scan per user; rows before the first click stay null."""
+    rows = con.execute(
+        """SELECT user_id, event_id, event_type, value,
+                  CAST(floor(epoch(ts)) AS BIGINT)
+           FROM events ORDER BY user_id, CAST(floor(epoch(ts)) AS BIGINT), event_id"""
+    ).fetchall()
+    expect = {}
+    cur_user, last = None, None
+    for u, e, t, v, _ in rows:
+        if int(u) != cur_user:
+            cur_user, last = int(u), None
+        if t == "click":
+            last = float(v)
+        expect[int(e)] = None if last is None else round(last, 4)
+    df = oracle_df(con, "q_forward_fill")
+    assert len(df) == len(rows)
+    for r in df.itertuples():
+        got = None if pd_isna(r.filled) else round(float(r.filled), 4)
+        assert got == expect[int(r.event_id)]
+
+
+def test_interval_merge_union_replay(con):
+    """Union-of-intervals replayed with a classic sweep; facets:
+    covered_s >= 300·n_intervals (each merged island is >= one raw
+    interval) and <= 300·n_events."""
+    rows = con.execute(
+        """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT)
+           FROM events ORDER BY user_id, CAST(floor(epoch(ts)) AS BIGINT)"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, s in rows:
+        per[int(u)].append((int(s), int(s) + 300))
+    expect = {}
+    n_raw = {}
+    for u, ivs in per.items():
+        merged = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expect[u] = (len(merged), sum(e - s for s, e in merged))
+        n_raw[u] = len(ivs)
+    df = oracle_df(con, "q_interval_merge")
+    assert len(df) == len(expect)
+    for r in df.itertuples():
+        n, cov = expect[int(r.user_id)]
+        assert (int(r.n_intervals), int(r.covered_s)) == (n, cov)
+        assert 300 * n <= cov <= 300 * n_raw[int(r.user_id)]
+
+
+def test_window_ignore_nulls_purchase_scan(con):
+    """lag IGNORE NULLS + nth_value(2 IGNORE NULLS) replayed as a
+    running purchase-cents list per user, ordered by event_id."""
+    rows = con.execute(
+        """SELECT user_id, event_id,
+                  CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END
+           FROM events ORDER BY user_id, event_id"""
+    ).fetchall()
+    expect = {}
+    cur_user, seen = None, []
+    for u, e, c in rows:
+        if int(u) != cur_user:
+            cur_user, seen = int(u), []
+        prev = seen[-1] if seen else None  # lag: before current row
+        if c is not None:
+            seen.append(int(c))
+            # lag IGNORE NULLS at current row looks back BEFORE current
+            prev = seen[-2] if len(seen) >= 2 else None
+        second = seen[1] if len(seen) >= 2 else None
+        if int(e) % 23 == 0:
+            expect[int(e)] = (
+                None if c is None else int(c),
+                prev,
+                second,
+            )
+    df = oracle_df(con, "q_window_ignore_nulls")
+    assert len(df) == len(expect)
+    for r in df.itertuples():
+        cur = None if pd_isna(r.pur_cents) else int(r.pur_cents)
+        prev = None if pd_isna(r.prev_pur_cents) else int(r.prev_pur_cents)
+        sec = None if pd_isna(r.second_pur_cents) else int(r.second_pur_cents)
+        assert (cur, prev, sec) == expect[int(r.event_id)], r.event_id
+
+
+def test_window_range_bisect_replay(con):
+    """RANGE ±1000 frame replayed with bisect over each status's sorted
+    price list (inclusive bounds, double arithmetic identical)."""
+    import bisect
+
+    rows = con.execute(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    status_of = {}
+    for ok, st, p in rows:
+        per[st].append(float(p))
+        status_of[int(ok)] = st
+    pref = {}
+    for st, ps in per.items():
+        ps.sort()
+        c = [0]
+        for p in ps:
+            c.append(c[-1] + math.floor(p))
+        pref[st] = (ps, c)
+    df = oracle_df(con, "q_window_range")
+    assert len(df) == len(rows)
+    for r in df.itertuples():
+        ps, c = pref[status_of[int(r.o_orderkey)]]
+        p = float(r.o_totalprice)
+        lo = bisect.bisect_left(ps, p - 1000)
+        hi = bisect.bisect_right(ps, p + 1000)
+        assert int(r.n_similar) == hi - lo
+        assert int(r.sum_floor) == c[hi] - c[lo]
+
+
+def test_window_cume_dist_rank_definitions(con):
+    """PERCENT_RANK == (rank−1)/(n−1) and CUME_DIST == |{<= v}|/n
+    replayed with bisect per priority, micro-floored."""
+    import bisect
+
+    rows = con.execute(
+        """SELECT o_orderkey, o_orderpriority,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) FROM orders"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for _, p, c in rows:
+        per[p].append(int(c))
+    for p in per:
+        per[p].sort()
+    df = oracle_df(con, "q_window_cume_dist")
+    assert len(df) > 0
+    for r in df.itertuples():
+        ps = per[r.o_orderpriority]
+        c = int(r.cents)
+        rank = bisect.bisect_left(ps, c) + 1
+        below = bisect.bisect_right(ps, c)
+        n = len(ps)
+        assert int(r.pr_micro) == math.floor((rank - 1) / (n - 1) * 1_000_000)
+        assert int(r.cd_micro) == math.floor(below / n * 1_000_000)
+
+
+def test_window_firstlast_tuple_order_replay(con):
+    """FIRST/LAST over the 4-column composite order replayed with
+    Python min/max on the full key tuple."""
+    rows = con.execute(
+        """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                  l_extendedprice FROM lineitem"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for ok, ln, pk, sk, ep in rows:
+        per[int(ok)].append((int(ln), int(pk), int(sk), float(ep)))
+    df = oracle_df(con, "q_window_firstlast")
+    assert len(df) == len(per)
+    for r in df.itertuples():
+        lines = per[int(r.l_orderkey)]
+        assert int(r.first_part) == min(lines)[1]
+        assert int(r.last_part) == max(lines)[1]
+        assert int(r.n_lines) == len(lines)
+
+
+def test_dense_grid_completeness_and_zero_fill(con):
+    """Grid facets: |rows| == n_days × n_types (every cell present), the
+    zero-filled total equals the raw event count, and non-zero cells
+    match the census."""
+    from collections import Counter
+
+    rows = con.execute(
+        """SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d'), event_type
+           FROM events"""
+    ).fetchall()
+    census = Counter(rows)
+    days = {d for d, _ in rows}
+    types = {t for _, t in rows}
+    df = oracle_df(con, "q_dense_grid")
+    n_days = len(set(df["day"]))
+    assert len(df) == n_days * len(types)
+    assert n_days >= len(days)  # spine spans min..max, may include empty days
+    assert int(df["n"].sum()) == len(rows)
+    for r in df.itertuples():
+        assert int(r.n) == census.get((r.day, r.event_type), 0)
+
+
+def test_hopping_window_double_count(con):
+    """6h windows hopping by 3h: every event lands in exactly two
+    windows; Σn == 2·|events|; all window starts are 3h-aligned."""
+    from collections import Counter
+
+    rows = con.execute(
+        "SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) FROM events"
+    ).fetchall()
+    census = Counter()
+    for t, s in rows:
+        s = int(s)
+        for k in (0, 1):
+            census[(t, ((s - k * 10800) // 21600) * 21600 + k * 10800)] += 1
+    df = oracle_df(con, "q_hopping_window_batch")
+    assert int(df["n"].sum()) == 2 * len(rows)
+    got = {(r.event_type, int(r.win_start_s)): int(r.n) for r in df.itertuples()}
+    assert got == dict(census)
+    for _, ws in got:
+        assert ws % 10800 == 0
+
+
+def test_running_distinct_final_equals_distinct(con):
+    """Running-distinct facets: the last cumulative value per type is
+    exactly COUNT(DISTINCT user); the series is strictly increasing;
+    per-day new-user counts replay from first-seen days."""
+    rows = con.execute(
+        """SELECT event_type, user_id, STRFTIME(MIN(CAST(ts AS DATE)), '%Y-%m-%d')
+           FROM events GROUP BY event_type, user_id"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    new_per = Counter()
+    distinct = Counter()
+    for t, _, d in rows:
+        new_per[(t, d)] += 1
+        distinct[t] += 1
+    df = oracle_df(con, "q_running_distinct")
+    for t, grp in df.groupby("event_type"):
+        g = grp.sort_values("day")
+        cums = list(g["cum_distinct_users"])
+        assert cums == sorted(cums) and len(set(cums)) == len(cums)
+        assert int(cums[-1]) == distinct[t]
+        for r in g.itertuples():
+            assert int(r.new_users) == new_per[(t, r.day)]
+    assert int(df["new_users"].sum()) == len(rows)
+
+
+def test_topk_per_group_membership(con):
+    """Top-2 per customer replayed by sorting (price DESC, orderkey
+    ASC): exact row-set equality."""
+    rows = con.execute(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for ck, ok, p in rows:
+        per[int(ck)].append((-float(p), int(ok)))
+    expect = set()
+    for ck, lst in per.items():
+        for negp, ok in sorted(lst)[:2]:
+            expect.add((ck, ok))
+    df = oracle_df(con, "q_topk_per_group")
+    got = {(int(r.o_custkey), int(r.o_orderkey)) for r in df.itertuples()}
+    assert got == expect
+
+
+def test_zscore_outliers_flagged_set_numpy(con):
+    """|z| > 2.5 outlier set replayed with numpy per-type moments
+    (sample stddev), including the 3dp z values."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT event_id, event_type, value FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for e, t, v in rows:
+        per[t].append(float(v))
+    stats = {
+        t: (np.mean(vs), np.std(vs, ddof=1)) for t, vs in per.items()
+    }
+    expect = {}
+    for e, t, v in rows:
+        mu, sd = stats[t]
+        z = (float(v) - mu) / sd
+        if abs(z) > 2.5:
+            expect[int(e)] = round(z, 3)
+    df = oracle_df(con, "q_zscore_outliers")
+    got = {int(r.event_id): float(r.z) for r in df.itertuples()}
+    assert set(got) == set(expect)
+    for e, z in got.items():
+        assert abs(z - expect[e]) < 2e-3
+
+
+def test_funnel_monotone_and_null_semantics(con):
+    """Funnel facets: stage counts are monotone nonincreasing, and the
+    NULL-comparison semantics (a missing stage time never advances the
+    funnel) replay exactly from per-user min times."""
+    rows = con.execute(
+        """SELECT user_id, event_type, epoch_ns(ts) FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')"""
+    ).fetchall()
+    mins = {}
+    for u, t, ns in rows:
+        k = (int(u), t)
+        mins[k] = min(mins.get(k, int(ns)), int(ns))
+    users = {u for u, _ in mins}
+    n_s = n_c = n_p = 0
+    for u in users:
+        ts_ = mins.get((u, "signup"))
+        tc = mins.get((u, "click"))
+        tp = mins.get((u, "purchase"))
+        if ts_ is not None:
+            n_s += 1
+            if tc is not None and tc > ts_:
+                n_c += 1
+                if tp is not None and tp > tc:
+                    n_p += 1
+    got = oracle_df(con, "q_funnel").iloc[0]
+    assert (int(got["n_signup"]), int(got["n_click"]), int(got["n_purchase"])) == (
+        n_s,
+        n_c,
+        n_p,
+    )
+    assert n_s >= n_c >= n_p
+
+
+def test_retention_day0_equals_cohort_size(con):
+    """Retention facets: offset-0 count == cohort size for every
+    cohort (everyone is active on their first day), offsets bounded to
+    [0, 7], full census replay."""
+    rows = con.execute(
+        """WITH firsts AS (
+             SELECT user_id, MIN(CAST(ts AS DATE)) AS c FROM events GROUP BY user_id
+           )
+           SELECT DISTINCT e.user_id, STRFTIME(f.c, '%Y-%m-%d'),
+                  datediff('day', f.c, CAST(e.ts AS DATE))
+           FROM events e JOIN firsts f ON e.user_id = f.user_id"""
+    ).fetchall()
+    from collections import Counter
+
+    census = Counter()
+    cohort_size = Counter()
+    seen_users = set()
+    for u, c, off in rows:
+        if int(off) <= 7:
+            census[(c, int(off))] += 1
+        if u not in seen_users:
+            seen_users.add(u)
+        if int(off) == 0:
+            cohort_size[c] += 1
+    df = oracle_df(con, "q_retention")
+    got = {(r.cohort, int(r.day_offset)): int(r.n_users) for r in df.itertuples()}
+    assert got == dict(census)
+    for (c, off), n in got.items():
+        assert 0 <= off <= 7
+        assert n <= got[(c, 0)]  # nobody retained who wasn't in the cohort
+        assert got[(c, 0)] == cohort_size[c]
+
+
+def test_sessionized_funnel_total_sessions_cross_check(con):
+    """Cross-oracle: n_sessions equals the q_sessionize row count, and
+    the session-scoped funnel is monotone."""
+    got = oracle_df(con, "q_sessionized_funnel").iloc[0]
+    n_sessions = len(oracle_df(con, "q_sessionize"))
+    assert int(got["n_sessions"]) == n_sessions
+    assert (
+        int(got["n_sessions"])
+        >= int(got["n_signup"])
+        >= int(got["n_click"])
+        >= int(got["n_purchase"])
+    )
+
+
+def test_user_paths_prefix_census(con):
+    """First-5-event paths replayed with a Counter and the
+    (count DESC, path ASC) top-10 tie order."""
+    rows = con.execute(
+        """SELECT user_id, list(event_type ORDER BY ts, event_id)
+           FROM events GROUP BY user_id"""
+    ).fetchall()
+    from collections import Counter
+
+    paths = Counter(">".join(list(types)[:5]) for _, types in rows)
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    df = oracle_df(con, "q_user_paths")
+    got = [(r.path, int(r.n_users)) for r in df.itertuples()]
+    assert got == expect
+
+
+def test_rfm_segments_conservation_and_score_range(con):
+    """RFM facets: segment counts partition the customer base, segment
+    monetary sums conserve the total, and every score is in 1..5 with
+    the quintile-bound replay via numpy linear quantiles."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT o_custkey,
+                  DATEDIFF('day', MAX(CAST(o_orderdate AS DATE)),
+                           (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)),
+                  COUNT(*),
+                  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           FROM orders GROUP BY o_custkey"""
+    ).fetchall()
+    rec = np.array([-float(r) for _, r, _, _ in rows])
+    freq = np.array([float(f) for _, _, f, _ in rows])
+    mon = np.array([float(m) for _, _, _, m in rows])
+
+    def quints(a):
+        return [float(np.percentile(a, q, method="linear")) for q in (20, 40, 60, 80)]
+
+    rb, fb, mb = quints(rec), quints(freq), quints(mon)
+
+    def score(v, bs):
+        return 1 + sum(1 for b in bs if v > b)
+
+    from collections import Counter, defaultdict
+
+    census = Counter()
+    seg_mon = defaultdict(int)
+    for (_, r, f, m), rv in zip(rows, rec):
+        key = (score(rv, rb), score(float(f), fb), score(float(m), mb))
+        census[key] += 1
+        seg_mon[key] += int(m)
+    df = oracle_df(con, "q_rfm_segments")
+    assert int(df["n_customers"].sum()) == len(rows)
+    assert int(df["seg_monetary_cents"].sum()) == sum(int(m) for _, _, _, m in rows)
+    got = {
+        (int(r.r_score), int(r.f_score), int(r.m_score)): (
+            int(r.n_customers),
+            int(r.seg_monetary_cents),
+        )
+        for r in df.itertuples()
+    }
+    assert got == {k: (census[k], seg_mon[k]) for k in census}
+    for rs, fs, ms in got:
+        assert 1 <= rs <= 5 and 1 <= fs <= 5 and 1 <= ms <= 5
+
+
+def test_dp_noisy_count_laplace_seed_replay(con):
+    """The seeded Laplace noise replayed with hashlib: u from the first
+    13 md5 hex chars over 2^52, inverse-CDF transform, 4dp round."""
+    import hashlib
+    from collections import Counter
+
+    counts = Counter(
+        t for (t,) in con.execute("SELECT event_type FROM events").fetchall()
+    )
+    df = oracle_df(con, "q_dp_noisy_count")
+    assert len(df) == len(counts)
+    for r in df.itertuples():
+        u = (
+            int(hashlib.md5(f"{r.event_type}:dp-seed-42".encode()).hexdigest()[:13], 16)
+            / 4503599627370496.0
+            - 0.5
+        )
+        noisy = counts[r.event_type] + (-1.0 if u >= 0 else 1.0) * math.log(
+            1.0 - 2.0 * abs(u)
+        )
+        assert abs(float(r.noisy_n) - round(noisy, 4)) < 1e-9
+
+
+def test_table_diff_class_census_from_modulus(con):
+    """Diff classes replayed from the synthetic v2 rules: removed ==
+    keys %97==0, added == keys %1009==0 (shifted out of range), changed
+    == %7==0 survivors, and the four classes partition the FULL-join
+    row space."""
+    keys = [
+        int(k)
+        for (k,) in con.execute("SELECT o_orderkey FROM orders").fetchall()
+    ]
+    removed = sum(1 for k in keys if k % 97 == 0)
+    added = sum(1 for k in keys if k % 1009 == 0)
+    changed = sum(1 for k in keys if k % 7 == 0 and k % 97 != 0)
+    unchanged = len(keys) - removed - changed
+    df = oracle_df(con, "q_table_diff")
+    got = {r.diff_class: int(r.n) for r in df.itertuples()}
+    assert got == {
+        "removed": removed,
+        "added": added,
+        "changed": changed,
+        "unchanged": unchanged,
+    }
+    assert sum(got.values()) == len(keys) + added
+
+
+def test_hash_chain_audit_hashlib_replay(con):
+    """Per-user md5 fold chains and the global top hash replayed with
+    hashlib over the (ts, event_id)-ordered id sequences."""
+    import hashlib
+
+    rows = con.execute(
+        "SELECT user_id, event_id FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    from collections import defaultdict
+
+    ids = defaultdict(list)
+    for u, e in rows:
+        ids[int(u)].append(str(int(e)))
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    chains = {}
+    for u, lst in ids.items():
+        if len(lst) == 1:
+            chains[u] = lst[0]
+        else:
+            acc = lst[0]
+            for nxt in lst[1:]:
+                acc = md5(acc + nxt)
+            chains[u] = acc
+    ordered = [chains[u] for u in sorted(chains)]
+    top = ordered[0]
+    for nxt in ordered[1:]:
+        top = md5(top + nxt)
+    df = oracle_df(con, "q_hash_chain_audit")
+    assert len(df) == sum(1 for u in chains if u % 17 == 0)
+    for r in df.itertuples():
+        assert r.chain == chains[int(r.user_id)]
+        assert int(r.n_events) == len(ids[int(r.user_id)])
+        assert r.top_hash == top
+
+
+def test_pseudonymize_sha256_token_bijection(con):
+    """Tokenization replayed with hashlib sha256; facets: one token per
+    user (no collisions on this corpus), counts conserve the corpus."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    rows = con.execute("SELECT user_id, event_type FROM events").fetchall()
+    n_per = Counter()
+    types_per = defaultdict(set)
+    for u, t in rows:
+        tok = hashlib.sha256(f"salt42:{int(u)}".encode()).hexdigest()
+        n_per[tok] += 1
+        types_per[tok].add(t)
+    df = oracle_df(con, "q_pseudonymize")
+    assert len(df) == len(n_per) == len({int(u) for u, _ in rows})
+    assert int(df["n_events"].sum()) == len(rows)
+    for r in df.itertuples():
+        tok = r.user_token if isinstance(r.user_token, str) else bytes(r.user_token).hex()
+        assert int(r.n_events) == n_per[tok]
+        assert int(r.n_types) == len(types_per[tok])
