@@ -17746,3 +17746,671 @@ def test_pseudonymize_sha256_token_bijection(con):
         tok = r.user_token if isinstance(r.user_token, str) else bytes(r.user_token).hex()
         assert int(r.n_events) == n_per[tok]
         assert int(r.n_types) == len(types_per[tok])
+
+
+# ---- batch 76: LLM dedup / text / corpus family second facets ----
+
+
+def _round_ha(x, n=6):
+    """DuckDB ROUND (half away from zero) for nonnegative doubles —
+    Python's round() is half-even and disagrees on exact midpoints
+    (the fixture's /64 denominators land on them)."""
+    scale = 10 ** n
+    return math.floor(x * scale + 0.5) / scale
+
+
+def test_dedup_exact_group_conservation(con):
+    """Exact-dup groups replayed by text key; Σ n_copies == corpus."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d, t in con.execute("SELECT doc_id, text FROM documents").fetchall():
+        groups[t].append(int(d))
+    df = oracle_df(con, "q_dedup_exact")
+    assert len(df) == len(groups)
+    assert int(df["n_copies"].sum()) == sum(len(v) for v in groups.values())
+    got = {int(r.keep_id): int(r.n_copies) for r in df.itertuples()}
+    assert got == {min(v): len(v) for v in groups.values()}
+
+
+def _canon_key(text):
+    return " ".join(sorted(set(text.split(" "))))
+
+
+def test_dedup_canonical_key_replay(con):
+    """Canonical (sorted-distinct-words) groups replayed; only
+    multi-member groups emitted; exact dups are a refinement of
+    canonical groups (same text ⇒ same canonical key)."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d, t in con.execute("SELECT doc_id, text FROM documents").fetchall():
+        groups[_canon_key(t)].append(int(d))
+    expect = {
+        min(v): len(v) for v in groups.values() if len(v) > 1
+    }
+    df = oracle_df(con, "q_dedup_canonical")
+    got = {int(r.keep_id): int(r.n_copies) for r in df.itertuples()}
+    assert got == expect
+
+
+def test_dedup_simhash_hashlib_bits(con):
+    """16-bit SimHash replayed with hashlib: per word, hex nibbles 1-16
+    vote ±1 by their high bit; sign majority builds the signature."""
+    import hashlib
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    expect = {}
+    for d, t in docs:
+        sums = [0] * 16
+        for w in t.split(" "):
+            h = hashlib.md5(w.encode()).hexdigest()
+            for i in range(16):
+                sums[i] += 1 if h[i] in "89abcdef" else -1
+        expect[int(d)] = "".join("1" if s > 0 else "0" for s in sums)
+    df = oracle_df(con, "q_dedup_simhash")
+    got = {int(r.doc_id): r.simhash16 for r in df.itertuples()}
+    assert got == expect
+
+
+def test_dedup_containment_asymmetric_replay(con):
+    """Containment |A∩B|/|A| is asymmetric — replayed with Python sets
+    over same-language ordered pairs at the 0.9 threshold."""
+    docs = con.execute("SELECT doc_id, lang, text FROM documents").fetchall()
+    grams = {}
+    for d, lang, t in docs:
+        ws = t.split(" ")
+        if len(ws) >= 2:
+            grams[(int(d), lang)] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    expect = {}
+    keys = sorted(grams)
+    for da, la in keys:
+        for db, lb in keys:
+            if la != lb or da == db:
+                continue
+            ga, gb = grams[(da, la)], grams[(db, lb)]
+            c = len(ga & gb) / len(ga)
+            if c >= 0.9:
+                expect[(da, db)] = round(c, 6)
+    df = oracle_df(con, "q_dedup_containment")
+    got = {
+        (int(r.id_a), int(r.id_b)): float(r.containment) for r in df.itertuples()
+    }
+    assert set(got) == set(expect)
+    for k, v in got.items():
+        assert abs(v - expect[k]) < 5.1e-7
+
+
+def test_dedup_waterfall_monotone_ladder(con):
+    """The dedup ladder is monotone (each tier collapses at least as
+    much as the previous) and each distinct count replays in Python."""
+    texts = [t for (t,) in con.execute("SELECT text FROM documents").fetchall()]
+    n = len(texts)
+    after_exact = len(set(texts))
+    after_canon = len({_canon_key(t) for t in texts})
+    after_prefix8 = len({" ".join(t.split(" ")[:8]) for t in texts})
+    got = oracle_df(con, "q_dedup_waterfall").iloc[0]
+    assert int(got["n_docs"]) == n
+    assert int(got["after_exact"]) == after_exact
+    assert int(got["after_canonical"]) == after_canon
+    assert int(got["after_prefix8"]) == after_prefix8
+    assert n >= after_exact >= after_canon
+    assert int(got["exact_removed"]) == n - after_exact
+    assert int(got["canonical_removed"]) == after_exact - after_canon
+
+
+def _jaccard_edges(con, thr=0.5):
+    docs = con.execute("SELECT doc_id, lang, text FROM documents").fetchall()
+    grams = {}
+    for d, lang, t in docs:
+        ws = t.split(" ")
+        grams[(int(d), lang)] = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    keys = sorted(grams)
+    edges = []
+    for i, (da, la) in enumerate(keys):
+        for db, lb in keys[i + 1 :]:
+            if la != lb:
+                continue
+            ga, gb = grams[(da, la)], grams[(db, lb)]
+            inter = len(ga & gb)
+            if inter and inter / len(ga | gb) >= thr:
+                edges.append((da, db))
+    return edges
+
+
+def test_dedup_clusters_union_find_replay(con):
+    """Connected components replayed with union-find over the exact
+    bigram-Jaccard >= 0.5 edge set; component label == min member."""
+    edges = _jaccard_edges(con)
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    df = oracle_df(con, "q_dedup_clusters")
+    got = {int(r.doc_id): int(r.component) for r in df.itertuples()}
+    assert got == expect
+    for x, c in got.items():
+        assert c <= x  # label is the component minimum
+
+
+def test_dedup_apply_keep_drop_cross_check(con):
+    """Keep/drop accounting cross-checked against the cluster replay:
+    dropped == non-representative clustered docs per language, and
+    n_kept + n_dropped == n_docs."""
+    edges = _jaccard_edges(con)
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {x: find(x) for x in parent}
+    langs = dict(
+        (int(d), lang)
+        for d, lang in con.execute(
+            "SELECT doc_id, lang FROM documents"
+        ).fetchall()
+    )
+    from collections import Counter
+
+    n_docs, n_drop = Counter(), Counter()
+    for d, lang in langs.items():
+        n_docs[lang] += 1
+        if d in comp and comp[d] != d:
+            n_drop[lang] += 1
+    df = oracle_df(con, "q_dedup_apply")
+    assert len(df) == len(n_docs)
+    for r in df.itertuples():
+        assert int(r.n_docs) == n_docs[r.lang]
+        assert int(r.n_dropped) == n_drop[r.lang]
+        assert int(r.n_kept) + int(r.n_dropped) == int(r.n_docs)
+
+
+def _lev_band(a, b, k=3):
+    """Banded Levenshtein: exact when <= k, else returns k+1."""
+    if abs(len(a) - len(b)) > k:
+        return k + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i] + [0] * len(b)
+        lo = max(1, i - k)
+        hi = min(len(b), i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        if hi < len(b):
+            cur[hi + 1 :] = [k + 1] * (len(b) - hi)
+        if min(cur[lo - 1 : hi + 1]) > k:
+            return k + 1
+        prev = cur
+    return prev[len(b)]
+
+
+def test_fuzzy_levenshtein_banded_dp_replay(con):
+    """Edit distances replayed with a banded DP (k=3): every emitted
+    pair's distance matches, and completeness is verified exhaustively
+    on the two smallest brands."""
+    parts = con.execute(
+        "SELECT p_partkey, p_brand, p_name FROM part"
+    ).fetchall()
+    names = {int(pk): n for pk, _, n in parts}
+    df = oracle_df(con, "q_fuzzy_levenshtein")
+    assert len(df) > 0
+    for r in df.itertuples():
+        d = _lev_band(names[int(r.id_a)], names[int(r.id_b)])
+        assert d == int(r.dist) <= 3
+    from collections import defaultdict
+
+    by_brand = defaultdict(list)
+    for pk, b, n in parts:
+        by_brand[b].append((int(pk), n))
+    emitted = {(int(r.id_a), int(r.id_b)) for r in df.itertuples()}
+    smallest = sorted(by_brand, key=lambda b: len(by_brand[b]))[:2]
+    for b in smallest:
+        lst = sorted(by_brand[b])
+        for i, (ka, na) in enumerate(lst):
+            for kb, nb in lst[i + 1 :]:
+                if _lev_band(na, nb) <= 3:
+                    assert (ka, kb) in emitted
+                else:
+                    assert (ka, kb) not in emitted
+
+
+def test_golden_record_survivorship_replay(con):
+    """Survivorship replayed: canonical multi-groups, golden = longest
+    text then lowest doc_id, with member/lang/char stats."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = con.execute(
+        "SELECT doc_id, lang, n_chars, text FROM documents"
+    ).fetchall()
+    groups = defaultdict(list)
+    for d, lang, nc, t in rows:
+        ck = hashlib.md5(_canon_key(t).encode()).hexdigest()
+        groups[ck].append((int(d), lang, int(nc)))
+    expect = {}
+    for ck, members in groups.items():
+        if len(members) <= 1:
+            continue
+        golden = min(members, key=lambda m: (-m[2], m[0]))[0]
+        expect[ck] = (
+            golden,
+            len(members),
+            len({l for _, l, _ in members}),
+            max(nc for _, _, nc in members),
+        )
+    df = oracle_df(con, "q_golden_record")
+    got = {
+        r.group_key: (
+            int(r.golden_doc_id),
+            int(r.n_members),
+            int(r.n_langs),
+            int(r.max_chars),
+        )
+        for r in df.itertuples()
+    }
+    assert got == expect
+
+
+def test_doc_fingerprint_horner_over_chars(con):
+    """Rolling Horner hash over character codes replayed in Python."""
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    df = oracle_df(con, "q_doc_fingerprint")
+    got = {
+        int(r.doc_id): (int(r.fingerprint), int(r.n_chars_seen))
+        for r in df.itertuples()
+    }
+    assert len(got) == len(docs)
+    for d, t in docs:
+        acc = 0
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % 2147483647
+        assert got[int(d)] == (acc, len(t))
+
+
+def test_inverted_index_posting_lists(con):
+    """Posting lists replayed with Python sets (df band 2..400),
+    comma-joined in sorted order."""
+    from collections import defaultdict
+
+    postings = defaultdict(set)
+    for d, t in con.execute("SELECT doc_id, text FROM documents").fetchall():
+        for w in set(t.split(" ")):
+            postings[w].add(int(d))
+    expect = {
+        w: ",".join(map(str, sorted(ds)))
+        for w, ds in postings.items()
+        if 2 <= len(ds) <= 400
+    }
+    df = oracle_df(con, "q_inverted_index")
+    got = {r.term: r.posting_list for r in df.itertuples()}
+    assert got == expect
+    for r in df.itertuples():
+        assert int(r.doc_freq) == len(postings[r.term])
+
+
+def test_text_tfidf_top3_counter_replay(con):
+    """Per-doc top-3 TF-IDF replayed with Counters (6dp-rounded scores,
+    ties by word ASC)."""
+    from collections import Counter
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    tok = {int(d): t.split(" ") for d, t in docs}
+    n = len(tok)
+    df_t = Counter()
+    for ws in tok.values():
+        for w in set(ws):
+            df_t[w] += 1
+    expect = {}
+    for d, ws in tok.items():
+        c = Counter(ws)
+        scored = [
+            (_round_ha(cnt / len(ws) * math.log(n / df_t[w])), w)
+            for w, cnt in c.items()
+        ]
+        top = sorted(scored, key=lambda sw: (-sw[0], sw[1]))[:3]
+        expect[d] = [(w, s) for s, w in top]
+    df = oracle_df(con, "q_text_tfidf")
+    from collections import defaultdict
+
+    got = defaultdict(list)
+    for r in df.itertuples():
+        got[int(r.doc_id)].append((r.w, float(r.tfidf)))
+    assert set(got) == set(expect)
+    for d in expect:
+        # oracle row order is not rank order — sort by the same
+        # (score DESC, word ASC) criterion before comparing
+        g = sorted(got[d], key=lambda wv: (-wv[1], wv[0]))
+        assert [w for w, _ in g] == [w for w, _ in expect[d]]
+        for (gw, gs), (_, es) in zip(g, expect[d]):
+            assert abs(gs - es) < 2e-6
+
+
+def test_word_pmi_counter_replay(con):
+    """PMI over document co-occurrence replayed with Counters: only
+    pairs with n_ab >= 5, pmi = ln(n_ab·N / (df_a·df_b))."""
+    from collections import Counter
+    from itertools import combinations
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    n = len(docs)
+    df_t = Counter()
+    cooc = Counter()
+    for _, t in docs:
+        ws = sorted(set(t.split(" ")))
+        for w in ws:
+            df_t[w] += 1
+        for a, b in combinations(ws, 2):
+            cooc[(a, b)] += 1
+    expect = {
+        k: (v, round(math.log(v * n / (df_t[k[0]] * df_t[k[1]])), 6))
+        for k, v in cooc.items()
+        if v >= 5
+    }
+    df = oracle_df(con, "q_word_pmi")
+    got = {
+        (r.w_a, r.w_b): (int(r.n_ab), float(r.pmi)) for r in df.itertuples()
+    }
+    assert set(got) == set(expect)
+    for k, (cnt, pmi) in got.items():
+        assert cnt == expect[k][0]
+        assert abs(pmi - expect[k][1]) < 2e-6
+
+
+def test_text_entropy_bounds_and_replay(con):
+    """Shannon entropy per language replayed; 0 <= H <= log2(n_types)
+    (the uniform bound)."""
+    from collections import Counter, defaultdict
+
+    counts = defaultdict(Counter)
+    for lang, t in con.execute("SELECT lang, text FROM documents").fetchall():
+        for w in t.split(" "):
+            counts[lang][w] += 1
+    df = oracle_df(con, "q_text_entropy")
+    assert len(df) == len(counts)
+    for r in df.itertuples():
+        c = counts[r.lang]
+        tot = sum(c.values())
+        h = -sum((x / tot) * math.log(x / tot) for x in c.values()) / math.log(2)
+        assert int(r.n_tokens) == tot
+        assert int(r.n_types) == len(c)
+        assert abs(float(r.entropy_bits) - round(h, 4)) < 1e-9
+        assert 0.0 <= float(r.entropy_bits) <= math.log2(len(c)) + 1e-9
+
+
+def test_token_count_three_tokenizers(con):
+    """The three token estimates replayed: whitespace split, regex
+    [a-zA-Z0-9]+ via Python re, and ceil(chars/4); regex tokens <=
+    whitespace tokens can be violated (hyphens split) so no ordering
+    is asserted — only exact replay."""
+    import re as _re
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for lang, t, nc in con.execute(
+        "SELECT lang, text, n_chars FROM documents"
+    ).fetchall():
+        a = agg[lang]
+        a[0] += len(t.split(" "))
+        a[1] += len(_re.findall(r"[a-zA-Z0-9]+", t))
+        a[2] += math.ceil(int(nc) / 4.0)
+        a[3] += 1
+    df = oracle_df(con, "q_token_count")
+    assert len(df) == len(agg)
+    for r in df.itertuples():
+        ws, re_n, bpe, nd = agg[r.lang]
+        assert int(r.ws_tokens) == ws
+        assert int(r.re_tokens) == re_n
+        assert int(r.bpe_est) == bpe
+        assert int(r.n_docs) == nd
+
+
+def test_text_quality_score_formula_and_bounds(con):
+    """Quality score replayed from its four components; the weighted
+    blend is bounded in [0, 1]."""
+    docs = con.execute("SELECT doc_id, n_chars, text FROM documents").fetchall()
+    df = oracle_df(con, "q_text_quality")
+    got = {int(r.doc_id): r for r in df.itertuples()}
+    assert len(got) == len(docs)
+    stop = {"the", "a", "value", "row"}
+    for d, nc, t in docs:
+        toks = t.split(" ")
+        uniq = len(set(toks)) / len(toks)
+        awl = sum(len(x) for x in toks) / len(toks)
+        sr = sum(1 for x in toks if x in stop) / len(toks)
+        q = (
+            0.4 * uniq
+            + 0.3 * min(len(toks) / 20.0, 1.0)
+            + 0.2 * (1.0 - sr)
+            + 0.1 * min(awl / 6.0, 1.0)
+        )
+        r = got[int(d)]
+        assert int(r.n_words) == len(toks)
+        assert abs(float(r.uniq_ratio) - _round_ha(uniq)) < 1e-9
+        assert abs(float(r.avg_word_len) - _round_ha(awl)) < 1e-9
+        assert abs(float(r.stop_ratio) - _round_ha(sr)) < 1e-9
+        assert abs(float(r.quality_score) - _round_ha(q)) < 1e-9
+        assert 0.0 <= float(r.quality_score) <= 1.0
+
+
+def test_pii_scan_python_re_replay(con):
+    """PII counts replayed with Python re using the same email and
+    digit-run patterns; flagged docs <= total docs."""
+    import re as _re
+    from collections import defaultdict
+
+    email = _re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    digits = _re.compile(r"[0-9]{6,}")
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for src, t in con.execute("SELECT source, text FROM documents").fetchall():
+        a = agg[src]
+        ne = len(email.findall(t))
+        nd = len(digits.findall(t))
+        a[0] += 1
+        a[1] += ne
+        a[2] += nd
+        a[3] += 1 if (ne or nd) else 0
+    df = oracle_df(con, "q_pii_scan")
+    assert len(df) == len(agg)
+    for r in df.itertuples():
+        nd, ne, ndr, nf = agg[r.source]
+        assert int(r.n_docs) == nd
+        assert int(r.n_emails) == ne
+        assert int(r.n_long_digit_runs) == ndr
+        assert int(r.n_flagged_docs) == nf <= nd
+
+
+def test_word_burstiness_vmr_replay(con):
+    """Variance-to-mean ratio replayed in exact integers with the
+    (vmr DESC, word ASC) top-15 order."""
+    from collections import Counter, defaultdict
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    n_docs = len(docs)
+    per_word = defaultdict(list)
+    for _, t in docs:
+        for w, c in Counter(t.split(" ")).items():
+            per_word[w].append(c)
+    scored = []
+    for w, cs in per_word.items():
+        s1 = sum(cs)
+        s2 = sum(c * c for c in cs)
+        vmr = math.floor((n_docs * s2 - s1 * s1) / (n_docs * s1) * 1_000_000)
+        scored.append((-vmr, w, len(cs), s1))
+    expect = [
+        (w, nd, s1, -nv) for nv, w, nd, s1 in sorted(scored)[:15]
+    ]
+    df = oracle_df(con, "q_word_burstiness")
+    got = [
+        (r.word, int(r.n_docs_with), int(r.total_count), int(r.vmr_micro))
+        for r in df.itertuples()
+    ]
+    assert got == expect
+
+
+def test_repetition_score_bigram_replay(con):
+    """Per-language repetition (1 − unique/total bigrams) replayed;
+    avg_rep in [0, 1); repetitive census at the 0.2 threshold."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for lang, t in con.execute("SELECT lang, text FROM documents").fetchall():
+        ws = t.split(" ")
+        if len(ws) < 2:
+            continue
+        n_bi = len(ws) - 1
+        n_uniq = len({f"{a} {b}" for a, b in zip(ws, ws[1:])})
+        per[lang].append(1.0 - n_uniq / n_bi)
+    df = oracle_df(con, "q_repetition_score")
+    assert len(df) == len(per)
+    for r in df.itertuples():
+        reps = per[r.lang]
+        assert int(r.n_docs) == len(reps)
+        assert abs(float(r.avg_rep) - round(sum(reps) / len(reps), 6)) < 1e-9
+        assert int(r.n_repetitive) == sum(1 for x in reps if x > 0.2)
+        assert 0.0 <= float(r.avg_rep) < 1.0
+
+
+def test_decontaminate_trigram_containment_replay(con):
+    """Benchmark decontamination replayed: trigram sets of the held-out
+    docs (doc_id%97==7), any-overlap hit detection over the train
+    split, per-language keep/contaminated partition."""
+    docs = con.execute("SELECT doc_id, lang, text FROM documents").fetchall()
+
+    def trigrams(t):
+        ws = t.split(" ")
+        return {
+            f"{ws[i]} {ws[i+1]} {ws[i+2]}" for i in range(max(len(ws) - 2, 0))
+        }
+
+    bench = set()
+    for d, _, t in docs:
+        if int(d) % 97 == 7:
+            bench |= trigrams(t)
+    from collections import Counter
+
+    n_train, n_cont = Counter(), Counter()
+    for d, lang, t in docs:
+        if int(d) % 97 == 7:
+            continue
+        n_train[lang] += 1
+        if trigrams(t) & bench:
+            n_cont[lang] += 1
+    df = oracle_df(con, "q_decontaminate")
+    assert len(df) == len(n_train)
+    for r in df.itertuples():
+        assert int(r.n_train) == n_train[r.lang]
+        assert int(r.n_contaminated) == n_cont[r.lang]
+        assert int(r.n_clean) == n_train[r.lang] - n_cont[r.lang]
+
+
+def test_mixture_rates_share_conservation(con):
+    """Mixture planning identities: Σ share_micro == 1e6 exactly (the
+    remainder goes to the first language), planned <= available, and
+    epoch_tokens is the binding-language minimum."""
+    df = oracle_df(con, "q_mixture_rates")
+    assert int(df["share_micro"].sum()) == 1_000_000
+    epochs = set(int(x) for x in df["epoch_tokens"])
+    assert len(epochs) == 1
+    epoch = epochs.pop()
+    binding = []
+    for r in df.itertuples():
+        assert int(r.planned_tokens) <= int(r.avail_tokens)
+        assert int(r.planned_tokens) == (int(r.share_micro) * epoch) // 1_000_000
+        assert int(r.sample_rate_micro) <= 1_000_000
+        binding.append((int(r.avail_tokens) * 1_000_000) // int(r.share_micro))
+    assert epoch == min(binding)
+
+
+def test_doc_chunk_overlap_accounting(con):
+    """Sliding 64/48 chunking replayed: chunk count, 1-based starts on
+    the 48 grid, and tail-clamped lengths."""
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    expect = {}
+    for d, t in docs:
+        n = len(t.split(" "))
+        k = math.ceil(max(n - 16, 1) / 48.0)
+        for i in range(k):
+            expect[(int(d), i)] = (i * 48 + 1, min(i * 48 + 64, n) - i * 48)
+    df = oracle_df(con, "q_doc_chunk")
+    got = {
+        (int(r.doc_id), int(r.chunk_id)): (int(r.start_tok), int(r.chunk_len))
+        for r in df.itertuples()
+    }
+    assert got == expect
+
+
+def test_seq_pack_prefix_sum_boundaries(con):
+    """Greedy 512-token packing replayed via prefix sums in doc_id
+    order; per-language token totals conserve."""
+    rows = con.execute(
+        """SELECT lang, doc_id, len(string_split(text,' '))
+           FROM documents ORDER BY lang, doc_id"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    census = Counter()
+    tokens = Counter()
+    running = defaultdict(int)
+    for lang, _, n in rows:
+        seq = running[lang] // 512
+        census[(lang, seq)] += 1
+        tokens[(lang, seq)] += int(n)
+        running[lang] += int(n)
+    df = oracle_df(con, "q_seq_pack")
+    got_c = {(r.lang, int(r.seq_id)): int(r.n_docs) for r in df.itertuples()}
+    got_t = {(r.lang, int(r.seq_id)): int(r.n_tokens) for r in df.itertuples()}
+    assert got_c == dict(census)
+    assert got_t == dict(tokens)
+
+
+def test_dataset_card_summary_replay(con):
+    """Dataset-card fields replayed end to end: canonical-dup count,
+    micro dup rate, mean chars (integer division), top source."""
+    import hashlib
+    from collections import Counter
+
+    rows = con.execute(
+        "SELECT doc_id, lang, source, n_chars, text FROM documents"
+    ).fetchall()
+    ck = Counter(
+        hashlib.md5(_canon_key(t).encode()).hexdigest() for _, _, _, _, t in rows
+    )
+    n_dups = sum(c - 1 for c in ck.values() if c > 1)
+    n = len(rows)
+    srcs = Counter(s for _, _, s, _, _ in rows)
+    top_source = sorted(srcs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    got = oracle_df(con, "q_dataset_card").iloc[0]
+    assert int(got["n_docs"]) == n
+    assert int(got["n_langs"]) == len({l for _, l, _, _, _ in rows})
+    assert int(got["n_sources"]) == len(srcs)
+    assert int(got["n_tokens"]) == sum(len(t.split(" ")) for *_, t in rows)
+    assert int(got["mean_chars"]) == sum(int(nc) for _, _, _, nc, _ in rows) // n
+    assert int(got["n_exact_dups"]) == n_dups
+    assert int(got["dup_rate_micro"]) == (n_dups * 1_000_000) // n
+    assert got["top_source"] == top_source
