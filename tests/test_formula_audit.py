@@ -18414,3 +18414,555 @@ def test_dataset_card_summary_replay(con):
     assert int(got["n_exact_dups"]) == n_dups
     assert int(got["dup_rate_micro"]) == (n_dups * 1_000_000) // n
     assert got["top_source"] == top_source
+
+
+# ---- batch 77: embeddings / finance / cohort analytics second facets ----
+
+
+def test_embed_quantize_error_bound(con):
+    """int8-style quantization facets: max_code <= 127, the
+    reconstruction error is bounded by scale/2 (round-to-nearest), and
+    all three columns replay from raw."""
+    rows = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings"
+    ).fetchall()
+    df = oracle_df(con, "q_embed_quantize")
+    got = {int(r.vec_id): r for r in df.itertuples()}
+    assert len(got) == len(rows)
+    for vid, label, e in rows:
+        v = [float(x) for x in e]
+        scale = max(abs(x) for x in v) / 127.0
+        err = max(abs(x - math.floor(x / scale + 0.5) * scale) for x in v)
+        code = max(abs(math.floor(x / scale + 0.5)) for x in v)
+        r = got[int(vid)]
+        assert int(r.label) == int(label)
+        assert abs(float(r.scale) - scale) < 1e-6
+        assert abs(float(r.max_abs_err) - err) < 2e-6
+        assert int(r.max_code) == int(code) <= 127
+        assert err <= scale / 2 + 1e-12
+
+
+def test_embed_centroids_integer_mean_replay(con):
+    """Per-(label, pos) centroid in integer micro units: floor of the
+    mean of half-away-rounded micro components."""
+    rows = con.execute(
+        "SELECT label, embedding FROM embeddings"
+    ).fetchall()
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: [0, 0])
+    for label, e in rows:
+        for pos, x in enumerate(e, start=1):
+            k = (int(label), pos)
+            sums[k][0] += math.floor(float(x) * 1_000_000 + 0.5)
+            sums[k][1] += 1
+    df = oracle_df(con, "q_embed_centroids")
+    assert len(df) == len(sums)
+    for r in df.itertuples():
+        s, n = sums[(int(r.label), int(r.pos))]
+        assert int(r.c_micro) == math.floor(s / n)
+
+
+def test_knn_cosine_numpy_top5(con):
+    """Brute-force KNN replayed with numpy for the 8 query vectors:
+    top-5 neighbor sets, rank order by (cos DESC, match_id), and
+    6dp-close cosines."""
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(v) for v, _ in rows]
+    mat = np.array([e for _, e in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    df = oracle_df(con, "q_knn_cosine")
+    from collections import defaultdict
+
+    got = defaultdict(dict)
+    for r in df.itertuples():
+        got[int(r.query_id)][int(r.rn)] = (int(r.match_id), float(r.cos_sim))
+    assert set(got) == {i for i in ids if i < 8}
+    for qi, qid in enumerate(ids):
+        if qid >= 8:
+            continue
+        cos = mat @ mat[qi] / (norms * norms[qi])
+        cands = sorted(
+            (-cos[ci], cid) for ci, cid in enumerate(ids) if cid != qid
+        )[:5]
+        ranks = got[qid]
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+        for rn, (negc, cid) in enumerate(cands, start=1):
+            assert ranks[rn][0] == cid
+            assert abs(ranks[rn][1] - (-negc)) < 2e-6
+
+
+def test_negative_sampling_md5_replay(con):
+    """Contrastive triples replayed with hashlib: anchors %11, positive
+    = lowest same-label other id, negatives = md5-ranked top-3 from
+    other labels."""
+    import hashlib
+
+    rows = con.execute("SELECT vec_id, label FROM embeddings").fetchall()
+    vecs = [(int(v), int(l)) for v, l in rows]
+    anchors = [(v, l) for v, l in vecs if v % 11 == 0]
+    expect = set()
+    for a, la in anchors:
+        pos = min(v for v, l in vecs if l == la and v != a)
+        negs = sorted(
+            (hashlib.md5(f"{a}:{v}".encode()).hexdigest(), v)
+            for v, l in vecs
+            if l != la
+        )[:3]
+        for rnk, (_, nid) in enumerate(negs, start=1):
+            expect.add((a, pos, rnk, nid))
+    df = oracle_df(con, "q_negative_sampling")
+    got = {
+        (int(r.anchor_id), int(r.pos_id), int(r.neg_rank), int(r.neg_id))
+        for r in df.itertuples()
+    }
+    assert got == expect
+
+
+def test_basket_economics_census_and_p50(con):
+    """Basket stats per size replayed: order census, floored mean, and
+    numpy linear p50 of the basket cents."""
+    import numpy as np
+    from collections import defaultdict
+
+    baskets = defaultdict(lambda: [0, 0])
+    per_order = defaultdict(int)
+    for ok, cents in con.execute(
+        """SELECT l_orderkey,
+                  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT))
+           FROM lineitem GROUP BY l_orderkey"""
+    ).fetchall():
+        per_order[int(ok)] = int(cents)
+    n_items = dict(
+        con.execute(
+            "SELECT l_orderkey, COUNT(*) FROM lineitem GROUP BY l_orderkey"
+        ).fetchall()
+    )
+    from collections import defaultdict as dd
+
+    groups = dd(list)
+    for ok, cents in per_order.items():
+        groups[int(n_items[ok])].append(cents)
+    df = oracle_df(con, "q_basket_economics")
+    assert len(df) == len(groups)
+    for r in df.itertuples():
+        g = groups[int(r.n_items)]
+        assert int(r.n_orders) == len(g)
+        assert int(r.avg_basket_cents) == math.floor(sum(g) / len(g))
+        p50 = float(np.percentile(np.array(g, float), 50, method="linear"))
+        assert abs(float(r.p50_basket_cents) - p50) < 1e-9
+
+
+def test_series_corr_numpy_on_joined_hours(con):
+    """Pairwise hourly-series correlation replayed with numpy over the
+    INNER-joined hours (only hours where both types occur)."""
+    import numpy as np
+    from collections import defaultdict
+
+    rows = con.execute(
+        """SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H'),
+                  event_type, COUNT(*) FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    per = defaultdict(dict)
+    for h, t, n in rows:
+        per[t][h] = int(n)
+    types = sorted(per)
+    df = oracle_df(con, "q_series_corr")
+    got = {
+        (r.type_a, r.type_b): (float(r.r), int(r.n_hours))
+        for r in df.itertuples()
+    }
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            hours = sorted(set(per[a]) & set(per[b]))
+            if not hours:
+                assert (a, b) not in got
+                continue
+            xa = np.array([per[a][h] for h in hours], float)
+            xb = np.array([per[b][h] for h in hours], float)
+            r, n = got[(a, b)]
+            assert n == len(hours)
+            assert abs(r - float(np.corrcoef(xa, xb)[0, 1])) < 1e-3
+
+
+def test_spend_vs_activity_integer_pearson(con):
+    """Spend-activity correlation replayed from exact integer moment
+    sums with the floor-micro output."""
+    spend = dict(
+        con.execute(
+            """SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+               FROM orders GROUP BY o_custkey"""
+        ).fetchall()
+    )
+    act = dict(
+        con.execute(
+            "SELECT user_id, COUNT(*) FROM events GROUP BY user_id"
+        ).fetchall()
+    )
+    xs, ys = [], []
+    for k, x in spend.items():
+        if k in act:
+            xs.append(int(x))
+            ys.append(int(act[k]))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    corr = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    got = oracle_df(con, "q_spend_vs_activity").iloc[0]
+    assert int(got["n_matched"]) == n
+    assert int(got["corr_micro"]) == math.floor(corr * 1_000_000)
+
+
+def test_bitemporal_restatement_identity(con):
+    """Bitemporal facets: restatement == as-is − as-was per month, the
+    corrected keys are exactly %7==0, and restatement is nonnegative
+    (corrections only revise upward by 5%)."""
+    rows = con.execute(
+        """SELECT o_orderkey, STRFTIME(date_trunc('month', o_orderdate), '%Y-%m'),
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                  CAST(FLOOR(o_totalprice * 105 + 0.5) AS BIGINT)
+           FROM orders"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for ok, m, old, new in rows:
+        a = agg[m]
+        a[0] += int(old)
+        if int(ok) % 7 == 0:
+            a[1] += int(new)
+            a[2] += 1
+        else:
+            a[1] += int(old)
+    df = oracle_df(con, "q_bitemporal_aswas")
+    assert len(df) == len(agg)
+    for r in df.itertuples():
+        aswas, asis, nc = agg[r.month]
+        assert int(r.aswas_cents) == aswas
+        assert int(r.asis_cents) == asis
+        assert int(r.n_corrected) == nc
+        assert int(r.restatement_cents) == asis - aswas >= 0
+
+
+def test_max_drawdown_ledger_replay(con):
+    """Running-peak drawdown replayed per user from the signed cash
+    flows; top-20 by (drawdown DESC, user_id); drawdown >= 0."""
+    rows = con.execute(
+        """SELECT user_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    stats = {}
+    bal = defaultdict(int)
+    peak = defaultdict(int)
+    for u, t, c in rows:
+        u = int(u)
+        flow = int(c) if t == "purchase" else (-int(c) if t == "click" else 0)
+        if u not in stats:
+            stats[u] = [0, -(10**18), 0]  # max_dd, max_bal, n
+            bal[u] = 0
+            peak[u] = -(10**18)
+        bal[u] += flow
+        peak[u] = max(peak[u], bal[u])
+        stats[u][0] = max(stats[u][0], peak[u] - bal[u])
+        stats[u][1] = max(stats[u][1], bal[u])
+        stats[u][2] += 1
+    expect = sorted(
+        ((dd, u, mb, n) for u, (dd, mb, n) in stats.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    df = oracle_df(con, "q_max_drawdown")
+    got = [
+        (int(r.max_drawdown_cents), int(r.user_id), int(r.peak_cents), int(r.n_flows))
+        for r in df.itertuples()
+    ]
+    assert got == expect
+    for dd, _, _, _ in got:
+        assert dd >= 0
+
+
+def test_peak_detection_strict_local_maxima(con):
+    """Peaks replayed as strict interior local maxima of the daily
+    series; prominence == n − max(neighbors) > 0."""
+    rows = con.execute(
+        """SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d'), COUNT(*)
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    expect = {}
+    for i in range(1, len(rows) - 1):
+        d, n = rows[i]
+        p, nx = int(rows[i - 1][1]), int(rows[i + 1][1])
+        if int(n) > p and int(n) > nx:
+            expect[d] = (int(n), int(n) - max(p, nx))
+    df = oracle_df(con, "q_peak_detection")
+    got = {r.day: (int(r.n), int(r.prominence)) for r in df.itertuples()}
+    assert got == expect
+    for _, prom in got.values():
+        assert prom > 0
+
+
+def test_target_encode_loo_identity(con):
+    """Leave-one-out means: n·mean == LOO·(n−1) + own value — replayed
+    per event; singleton users are NULL."""
+    rows = con.execute(
+        """SELECT event_id, user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    grp = defaultdict(lambda: [0, 0])
+    for _, u, c in rows:
+        grp[int(u)][0] += 1
+        grp[int(u)][1] += int(c)
+    df = oracle_df(con, "q_target_encode")
+    assert len(df) == len(rows)
+    got = {int(r.event_id): r.loo_mean for r in df.itertuples()}
+    for e, u, c in rows:
+        n, s = grp[int(u)]
+        v = got[int(e)]
+        if n == 1:
+            assert pd_isna(v)
+        else:
+            assert abs(float(v) - (s - int(c)) / (n - 1) / 100.0) < 1e-9
+
+
+def test_impute_group_mean_fills_and_flags(con):
+    """Imputation replayed: holes at event_id%13, filled with the
+    non-null group mean; non-holes pass through unchanged."""
+    rows = con.execute(
+        """SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    grp = defaultdict(lambda: [0, 0])
+    for e, t, c in rows:
+        if int(e) % 13 != 0:
+            grp[t][0] += 1
+            grp[t][1] += int(c)
+    df = oracle_df(con, "q_impute_group_mean")
+    got = {int(r.event_id): (bool(r.was_imputed), float(r.value_filled)) for r in df.itertuples()}
+    assert len(got) == len(rows)
+    for e, t, c in rows:
+        was, val = got[int(e)]
+        if int(e) % 13 == 0:
+            n, s = grp[t]
+            assert was and abs(val - (s / n) / 100.0) < 1e-9
+        else:
+            assert not was and abs(val - int(c) / 100.0) < 1e-9
+
+
+def test_rare_collapse_threshold_census(con):
+    """Rare-category collapse replayed at the 100 threshold; total rows
+    conserve the part table."""
+    from collections import Counter
+
+    counts = Counter(
+        t for (t,) in con.execute("SELECT p_type FROM part").fetchall()
+    )
+    expect = Counter()
+    for t, n in counts.items():
+        expect[t if n >= 100 else "__other__"] += n
+    df = oracle_df(con, "q_rare_collapse")
+    got = {r.category: int(r.n) for r in df.itertuples()}
+    assert got == dict(expect)
+    assert sum(got.values()) == sum(counts.values())
+
+
+def test_new_vs_returning_event_conservation(con):
+    """New/returning split: per day the two classes partition that
+    day's events; globally Σ(new+returning) == corpus size."""
+    rows = con.execute(
+        """WITH firsts AS (
+             SELECT user_id, MIN(CAST(ts AS DATE)) AS fd FROM events GROUP BY user_id
+           )
+           SELECT STRFTIME(CAST(e.ts AS DATE), '%Y-%m-%d'),
+                  CAST(e.ts AS DATE) = f.fd,
+                  CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)
+           FROM events e JOIN firsts f ON e.user_id = f.user_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for d, is_new, c in rows:
+        a = agg[d]
+        if is_new:
+            a[0] += 1
+            a[2] += int(c)
+        else:
+            a[1] += 1
+            a[3] += int(c)
+    df = oracle_df(con, "q_new_vs_returning")
+    assert len(df) == len(agg)
+    assert int((df["new_events"] + df["returning_events"]).sum()) == len(rows)
+    for r in df.itertuples():
+        ne, re_, nc, rc = agg[r.day]
+        assert (int(r.new_events), int(r.returning_events)) == (ne, re_)
+        assert (int(r.new_cents), int(r.returning_cents)) == (nc, rc)
+
+
+def test_rolling_wau_window_census(con):
+    """7-day rolling WAU replayed with per-day active-user sets; WAU is
+    at least the day's DAU and at most the 7-day union bound."""
+    import datetime as dt
+    from collections import defaultdict
+
+    rows = con.execute(
+        "SELECT DISTINCT user_id, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') FROM events"
+    ).fetchall()
+    per_day = defaultdict(set)
+    for u, d in rows:
+        per_day[d].add(int(u))
+    df = oracle_df(con, "q_rolling_wau")
+    for r in df.itertuples():
+        day = dt.date.fromisoformat(r.day)
+        window = set()
+        for off in range(7):
+            window |= per_day.get((day - dt.timedelta(days=off)).isoformat(), set())
+        assert int(r.wau) == len(window)
+        assert int(r.wau) >= len(per_day.get(r.day, set()))
+
+
+def test_wow_growth_ratio_identity(con):
+    """Week-over-week growth replayed: wow == n/prev − 1 with the first
+    week NULL per type; weekly census from date_trunc('week')."""
+    from collections import defaultdict
+
+    rows = con.execute(
+        """SELECT event_type, STRFTIME(date_trunc('week', ts), '%Y-%m-%d'), COUNT(*)
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    per = defaultdict(dict)
+    for t, w, n in rows:
+        per[t][w] = int(n)
+    df = oracle_df(con, "q_wow_growth")
+    assert len(df) == len(rows)
+    for t, weeks in per.items():
+        ordered = sorted(weeks)
+        sub = df[df["event_type"] == t].sort_values("week_start")
+        assert list(sub["week_start"]) == ordered
+        prev = None
+        for r in sub.itertuples():
+            assert int(r.n) == weeks[r.week_start]
+            if prev is None:
+                assert pd_isna(r.wow_growth)
+            else:
+                assert abs(float(r.wow_growth) - (weeks[r.week_start] / prev - 1.0)) < 1e-12
+            prev = weeks[r.week_start]
+
+
+def test_yoy_aligned_isocalendar_replay(con):
+    """ISO-week-aligned YoY replayed with Python's isocalendar and the
+    floor-micro growth."""
+    from collections import defaultdict
+
+    rows = con.execute(
+        "SELECT o_orderdate, CAST(FLOOR(o_totalprice) AS BIGINT) FROM orders"
+    ).fetchall()
+    weekly = defaultdict(int)
+    for d, p in rows:
+        iso = d.isocalendar()
+        weekly[(iso[0], iso[1])] += int(p)
+    expect = {}
+    for (iy, iw), rev in weekly.items():
+        if iw <= 52 and (iy - 1, iw) in weekly:
+            prior = weekly[(iy - 1, iw)]
+            expect[(iy, iw)] = (rev, prior, math.floor((rev - prior) * 1_000_000 / prior))
+    df = oracle_df(con, "q_yoy_aligned")
+    got = {
+        (int(r.iso_year), int(r.iso_week)): (int(r.rev), int(r.rev_prior), int(r.yoy_micro))
+        for r in df.itertuples()
+    }
+    assert got == expect
+
+
+def test_percent_of_parent_share_sums(con):
+    """Hierarchical shares: floor-sums bound (within n of 1e6 per
+    region and overall) and exact integer-division replay."""
+    rows = con.execute(
+        """SELECT r_name, n_name, SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(dict)
+    for rn, nn, d in rows:
+        per[rn][nn] = int(d)
+    grand = sum(sum(v.values()) for v in per.values())
+    df = oracle_df(con, "q_percent_of_parent")
+    assert len(df) == len(rows)
+    for rn, vals in per.items():
+        tot = sum(vals.values())
+        sub = df[df["r_name"] == rn]
+        s = int(sub["share_of_region_micro"].sum())
+        assert 1_000_000 - len(vals) < s <= 1_000_000
+        for r in sub.itertuples():
+            assert int(r.share_of_region_micro) == (vals[r.n_name] * 1_000_000) // tot
+            assert int(r.share_of_total_micro) == (vals[r.n_name] * 1_000_000) // grand
+
+
+def test_top_share_head_replay(con):
+    """Top-1% revenue share replayed: k = ceil(n·0.01) head by
+    (cents DESC, orderkey), share = head/total <= 1."""
+    rows = con.execute(
+        """SELECT o_orderpriority, o_orderkey,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) FROM orders"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for p, ok, c in rows:
+        per[p].append((-int(c), int(ok)))
+    df = oracle_df(con, "q_top_share")
+    assert len(df) == len(per)
+    for r in df.itertuples():
+        lst = sorted(per[r.o_orderpriority])
+        n = len(lst)
+        k = math.ceil(n * 0.01)
+        head = sum(-c for c, _ in lst[:k])
+        total = sum(-c for c, _ in lst)
+        assert int(r.n) == n
+        assert int(r.top_k) == k
+        assert int(r.top_cents) == head
+        assert abs(float(r.top_share) - head / total) < 1e-12
+        assert 0.0 < float(r.top_share) <= 1.0
+
+
+def test_abc_classification_cumulative_cuts(con):
+    """ABC classes replayed from the cumulative-revenue cuts (80%/95%);
+    brand counts and class revenue conserve the totals."""
+    rows = con.execute(
+        """SELECT p_brand,
+                  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                      AS BIGINT))
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"""
+    ).fetchall()
+    ranked = sorted(((int(v), b) for b, v in rows), key=lambda x: (-x[0], x[1]))
+    total = sum(v for v, _ in ranked)
+    from collections import Counter
+
+    census, rev = Counter(), Counter()
+    cum = 0
+    for v, b in ranked:
+        cum += v
+        k = "A" if cum * 100 <= total * 80 else ("B" if cum * 100 <= total * 95 else "C")
+        census[k] += 1
+        rev[k] += v
+    df = oracle_df(con, "q_abc_classification")
+    got = {r.klass: (int(r.n_brands), int(r.class_rev_tc)) for r in df.itertuples()}
+    assert got == {k: (census[k], rev[k]) for k in census}
+    assert sum(v for _, v in got.values()) == total
+    assert sum(n for n, _ in got.values()) == len(rows)
