@@ -18966,3 +18966,567 @@ def test_abc_classification_cumulative_cuts(con):
     assert got == {k: (census[k], rev[k]) for k in census}
     assert sum(v for _, v in got.values()) == total
     assert sum(n for n, _ in got.values()) == len(rows)
+
+
+# ---- batch 78: attribution / SLA / calibration second facets ----
+
+
+def test_abandoned_clicks_partition_ns(con):
+    """Click→purchase 1h conversion replayed at ns precision; converted
+    + abandoned partition every click, per day."""
+    rows = con.execute(
+        "SELECT user_id, event_type, event_id, epoch_ns(ts), STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') FROM events"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    purchases = defaultdict(list)
+    for u, t, _, ns, _ in rows:
+        if t == "purchase":
+            purchases[int(u)].append(int(ns))
+    for v in purchases.values():
+        v.sort()
+    import bisect
+
+    conv, aband = Counter(), Counter()
+    hour = 3600 * 10**9
+    for u, t, _, ns, day in rows:
+        if t != "click":
+            continue
+        ps = purchases.get(int(u), [])
+        i = bisect.bisect_left(ps, int(ns))
+        if i < len(ps) and ps[i] <= int(ns) + hour:
+            conv[day] += 1
+        else:
+            aband[day] += 1
+    df = oracle_df(con, "q_abandoned_clicks")
+    for r in df.itertuples():
+        assert int(r.n_converted) == conv.get(r.day, 0)
+        assert int(r.n_abandoned) == aband.get(r.day, 0)
+        assert int(r.n_clicks) == int(r.n_converted) + int(r.n_abandoned)
+
+
+def test_attribution_decay_normalized_credit(con):
+    """Exponential-decay attribution replayed: weight 1e6 >> (age//7
+    weeks, capped 19); per-user credits are integer shares of 1e6."""
+    rows = con.execute(
+        """WITH conv AS (
+             SELECT user_id, MAX(ts) AS cts FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id
+           )
+           SELECT e.user_id, e.event_type,
+                  (epoch_us(c.cts) // 1000000 - epoch_us(e.ts) // 1000000)
+                    // 86400
+           FROM events e JOIN conv c ON e.user_id = c.user_id
+           WHERE e.ts <= c.cts AND e.event_type <> 'purchase'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    tw = defaultdict(int)
+    users_per_type = defaultdict(set)
+    for u, t, age in rows:
+        wt = 1_000_000 >> min(int(age) // 7, 19)
+        w[(int(u), t)] += wt
+        tw[int(u)] += wt
+        users_per_type[t].add(int(u))
+    credit = defaultdict(int)
+    for (u, t), wt in w.items():
+        credit[t] += (wt * 1_000_000) // tw[u]
+    df = oracle_df(con, "q_attribution_decay")
+    assert len(df) == len(credit)
+    for r in df.itertuples():
+        assert int(r.n_users) == len(users_per_type[r.event_type])
+        assert int(r.credit_micro_total) == credit[r.event_type]
+    # per-user credit shares telescope to <= 1e6 (floor loss only)
+    total_credit = sum(credit.values())
+    assert total_credit <= len(tw) * 1_000_000
+    assert total_credit > len(tw) * (1_000_000 - 10)
+
+
+def test_attribution_touch_first_last_scan(con):
+    """First/last non-purchase touch before each purchase replayed as
+    a running scan per user."""
+    rows = con.execute(
+        """SELECT user_id, event_id, event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    expect = {}
+    cur, first, last = None, None, None
+    for u, e, t, c in rows:
+        if int(u) != cur:
+            cur, first, last = int(u), None, None
+        if t == "purchase":
+            expect[int(e)] = (first, last, int(c))
+        else:
+            if first is None:
+                first = t
+            last = t
+    df = oracle_df(con, "q_attribution_touch")
+    assert len(df) == len(expect)
+    for r in df.itertuples():
+        f, l, c = expect[int(r.event_id)]
+        assert (None if pd_isna(r.first_touch) else r.first_touch) == f
+        assert (None if pd_isna(r.last_touch) else r.last_touch) == l
+        assert int(r.revenue_cents) == c
+
+
+def test_attribution_ushape_weight_schedule(con):
+    """U-shape weights replayed: 1e6 solo, 500k/500k for two touches,
+    400k endpoints + 200k/(n−2) middles otherwise; per-user totals stay
+    within floor loss of 1e6."""
+    rows = con.execute(
+        """WITH fp AS (
+             SELECT user_id, MIN(ts) AS pts FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id
+           )
+           SELECT e.user_id, e.event_type
+           FROM events e JOIN fp ON e.user_id = fp.user_id
+           WHERE e.ts < fp.pts AND e.event_type <> 'purchase'
+           ORDER BY e.user_id, e.ts, e.event_id"""
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for u, t in rows:
+        seqs[int(u)].append(t)
+    credit, touches = Counter(), Counter()
+    for u, seq in seqs.items():
+        n = len(seq)
+        user_total = 0
+        for pos, t in enumerate(seq, start=1):
+            if n == 1:
+                wt = 1_000_000
+            elif pos in (1, n):
+                wt = 500_000 if n == 2 else 400_000
+            else:
+                wt = math.floor(200_000.0 / (n - 2))
+            credit[t] += wt
+            touches[t] += 1
+            user_total += wt
+        assert 1_000_000 - (n - 2 if n > 2 else 0) - 2 <= user_total <= 1_000_000
+    df = oracle_df(con, "q_attribution_ushape")
+    assert len(df) == len(credit)
+    for r in df.itertuples():
+        assert int(r.n_touches) == touches[r.event_type]
+        assert int(r.credit_ppm) == credit[r.event_type]
+
+
+def test_event_type_affinity_user_day_jaccard(con):
+    """Type-affinity Jaccard over (user, day) incidence sets replayed
+    with Python sets."""
+    rows = con.execute(
+        "SELECT DISTINCT user_id, CAST(ts AS DATE), event_type FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    inc = defaultdict(set)
+    for u, d, t in rows:
+        inc[t].add((int(u), d))
+    types = sorted(inc)
+    df = oracle_df(con, "q_event_type_affinity")
+    got = {
+        (r.ta, r.tb): (int(r.n_both), int(r.jaccard_micro))
+        for r in df.itertuples()
+    }
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            both = len(inc[a] & inc[b])
+            if both == 0:
+                assert (a, b) not in got
+                continue
+            union = len(inc[a]) + len(inc[b]) - both
+            assert got[(a, b)] == (both, (both * 1_000_000) // union)
+
+
+def test_hour_profile_share_and_peak(con):
+    """Hourly profile replayed; share floors sum to within 24 of 1e6;
+    is_peak marks exactly the max-count hour(s)."""
+    from collections import Counter
+
+    hours = Counter(
+        int(h)
+        for (h,) in con.execute(
+            "SELECT EXTRACT(hour FROM ts) FROM events"
+        ).fetchall()
+    )
+    total = sum(hours.values())
+    mx = max(hours.values())
+    df = oracle_df(con, "q_hour_profile")
+    assert len(df) == len(hours)
+    assert 1_000_000 - len(hours) < int(df["share_micro"].sum()) <= 1_000_000
+    for r in df.itertuples():
+        n = hours[int(r.hour_of_day)]
+        assert int(r.n) == n
+        assert int(r.share_micro) == (n * 1_000_000) // total
+        assert bool(r.is_peak) == (n == mx)
+
+
+def test_interpurchase_gap_numpy_quantiles(con):
+    """Order-gap stats replayed: repeat-customer census, gap count, and
+    numpy linear quantiles."""
+    import numpy as np
+    from collections import defaultdict
+
+    rows = con.execute(
+        "SELECT o_custkey, CAST(o_orderdate AS DATE) FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"
+    ).fetchall()
+    per = defaultdict(list)
+    for ck, d in rows:
+        per[int(ck)].append(d)
+    gaps = []
+    n_repeat = 0
+    for ck, ds in per.items():
+        if len(ds) > 1:
+            n_repeat += 1
+            gaps.extend((b - a).days for a, b in zip(ds, ds[1:]))
+    got = oracle_df(con, "q_interpurchase_gap").iloc[0]
+    assert int(got["n_repeat_customers"]) == n_repeat
+    assert int(got["n_gaps"]) == len(gaps)
+    a = np.array(gaps, float)
+    for q, col in ((25, "p25_gap_days"), (50, "p50_gap_days"), (75, "p75_gap_days")):
+        assert abs(float(got[col]) - float(np.percentile(a, q, method="linear"))) < 1e-9
+    assert int(got["max_gap_days"]) == max(gaps)
+
+
+def test_log2_histogram_bitlength_buckets(con):
+    """Log2 buckets replayed via int.bit_length(); every min/max sits
+    inside [2^(b−1), 2^b); census conserves the order count."""
+    from collections import defaultdict
+
+    cents = [
+        int(c)
+        for (c,) in con.execute(
+            "SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) FROM orders"
+        ).fetchall()
+    ]
+    buckets = defaultdict(list)
+    for c in cents:
+        buckets[c.bit_length()].append(c)
+    df = oracle_df(con, "q_log2_histogram")
+    assert len(df) == len(buckets)
+    assert int(df["n"].sum()) == len(cents)
+    for r in df.itertuples():
+        b = int(r.bucket_bits)
+        vals = buckets[b]
+        assert int(r.n) == len(vals)
+        assert int(r.min_cents) == min(vals) >= 2 ** (b - 1)
+        assert int(r.max_cents) == max(vals) < 2**b
+
+
+def test_metric_decomposition_additivity(con):
+    """Volume/price decomposition identity: volume_effect +
+    price_effect == delta (each 4dp-rounded; slack 2e-4)."""
+    df = oracle_df(con, "q_metric_decomposition")
+    assert len(df) > 0
+    for r in df.itertuples():
+        delta_d = int(r.delta_cents) / 100.0
+        assert abs(float(r.volume_effect) + float(r.price_effect) - delta_d) < 2e-4
+        # components replay from the emitted wide sums
+        avg0 = int(r.rev0) / int(r.n0)
+        avg1 = int(r.rev1) / int(r.n1)
+        assert abs(float(r.volume_effect) - round((int(r.n1) - int(r.n0)) * avg0 / 100, 4)) < 1e-9
+        assert abs(float(r.price_effect) - round(int(r.n1) * (avg1 - avg0) / 100, 4)) < 1e-9
+
+
+def test_return_rates_wilson_interval(con):
+    """Wilson 95% interval replayed; lo <= point rate <= hi, interval
+    within [0, 1]."""
+    rows = con.execute(
+        """SELECT p_brand, COUNT(*),
+                  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"""
+    ).fetchall()
+    df = oracle_df(con, "q_return_rates")
+    got = {r.p_brand: r for r in df.itertuples()}
+    assert len(got) == len(rows)
+    z2 = 3.8416
+    for b, n, ret in rows:
+        p = int(ret) / int(n)
+        n = int(n)
+        center = (p + z2 / (2 * n)) / (1 + z2 / n)
+        half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / (1 + z2 / n)
+        r = got[b]
+        assert int(r.rate_ppm) == math.floor(p * 1_000_000)
+        assert int(r.wilson_lo_ppm) == math.floor((center - half) * 1_000_000)
+        assert int(r.wilson_hi_ppm) == math.floor((center + half) * 1_000_000)
+        assert int(r.wilson_lo_ppm) <= int(r.rate_ppm) <= int(r.wilson_hi_ppm) + 1
+        assert 0 <= int(r.wilson_lo_ppm) and int(r.wilson_hi_ppm) <= 1_000_000
+
+
+def test_revenue_bridge_exact_additivity(con):
+    """Bridge identity in exact integers: volume_effect + price_effect
+    == delta (price is defined as the residual, so the check is the
+    volume term's integer-floor replay)."""
+    df = oracle_df(con, "q_revenue_bridge")
+    assert len(df) > 0
+    rows = con.execute(
+        """SELECT p_brand, EXTRACT(year FROM o_orderdate),
+                  SUM(CAST(l_quantity AS BIGINT)),
+                  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+           GROUP BY 1, 2"""
+    ).fetchall()
+    per = {(b, int(y)): (int(q), int(r)) for b, y, q, r in rows}
+    for r in df.itertuples():
+        q1, r1 = per[(r.p_brand, 1997)]
+        q2, r2 = per[(r.p_brand, 1998)]
+        assert int(r.r1) == r1 and int(r.r2) == r2
+        # DuckDB // truncates toward zero on negatives; Python floors
+        num = (q2 - q1) * r1 * 1000
+        vol = -((-num) // q1) if num < 0 else num // q1
+        assert int(r.volume_effect_milli) == vol
+        assert int(r.delta_milli) == (r2 - r1) * 1000
+        assert int(r.volume_effect_milli) + int(r.price_effect_milli) == int(
+            r.delta_milli
+        )
+
+
+def test_segment_migration_matrix_conservation(con):
+    """Migration matrix replayed from the half-split median tiers; cell
+    counts sum to the users active in BOTH halves."""
+    import numpy as np
+
+    rows = con.execute(
+        """WITH bounds AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events)
+           SELECT user_id,
+                  CASE WHEN epoch_us(ts) - epoch_us(t0)
+                            < (epoch_us(t1) - epoch_us(t0)) / 2
+                       THEN 0 ELSE 1 END,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           FROM events CROSS JOIN bounds"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(int)
+    for u, h, c in rows:
+        per[(int(u), int(h))] += int(c)
+    halves = {0: [], 1: []}
+    for (u, h), c in per.items():
+        halves[h].append(c)
+    med = {
+        h: float(np.percentile(np.array(v, float), 50, method="linear"))
+        for h, v in halves.items()
+    }
+    from collections import Counter
+
+    mig = Counter()
+    users0 = {u for (u, h) in per if h == 0}
+    users1 = {u for (u, h) in per if h == 1}
+    for u in users0 & users1:
+        t1 = "hi" if per[(u, 0)] > med[0] else "lo"
+        t2 = "hi" if per[(u, 1)] > med[1] else "lo"
+        mig[(t1, t2)] += 1
+    df = oracle_df(con, "q_segment_migration")
+    got = {(r.tier_h1, r.tier_h2): int(r.n_users) for r in df.itertuples()}
+    assert got == dict(mig)
+    assert sum(got.values()) == len(users0 & users1)
+
+
+def test_ship_sla_quantiles_and_breaches(con):
+    """Ship-lag SLA replayed: numpy quantiles per priority and the
+    60-day breach census."""
+    import numpy as np
+    from collections import defaultdict
+
+    rows = con.execute(
+        """SELECT o_orderpriority,
+                  DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+    ).fetchall()
+    per = defaultdict(list)
+    for p, d in rows:
+        per[p].append(int(d))
+    df = oracle_df(con, "q_ship_sla")
+    assert len(df) == len(per)
+    for r in df.itertuples():
+        lags = np.array(per[r.o_orderpriority], float)
+        assert int(r.n_lines) == len(lags)
+        assert abs(float(r.p50_days) - float(np.percentile(lags, 50, method="linear"))) < 1e-9
+        assert abs(float(r.p75_days) - float(np.percentile(lags, 75, method="linear"))) < 1e-9
+        assert int(r.max_days) == int(lags.max())
+        assert int(r.n_breach_60d) == int((lags > 60).sum())
+
+
+def test_skyline_pareto_dominance(con):
+    """Skyline facets: no emitted row is dominated by ANY row of its
+    priority group, and every non-emitted row IS dominated — full
+    pareto replay on (price, day)."""
+    rows = con.execute(
+        """SELECT o_orderpriority, o_orderkey,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                  STRFTIME(o_orderdate, '%Y-%m-%d')
+           FROM orders"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for p, ok, c, d in rows:
+        per[p].append((int(ok), int(c), d))
+    expect = set()
+    for p, lst in per.items():
+        for ok, c, d in lst:
+            dominated = any(
+                (c2 >= c and d2 >= d and (c2 > c or d2 > d))
+                for _, c2, d2 in lst
+            )
+            if not dominated:
+                expect.add((p, ok))
+    df = oracle_df(con, "q_skyline")
+    got = {(r.o_orderpriority, int(r.o_orderkey)) for r in df.itertuples()}
+    assert got == expect
+
+
+def test_calibration_bins_census(con):
+    """Calibration bins replayed: per-bin counts, positives, mean score
+    and positive rate; bins partition the corpus."""
+    rows = con.execute(
+        """SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           FROM events"""
+    ).fetchall()
+    mx = max(c for c, _ in rows)
+    from collections import defaultdict
+
+    bins = defaultdict(lambda: [0, 0, 0])
+    for c, y in rows:
+        b = min(int(c) * 10 // (mx + 1), 9)
+        bins[b][0] += 1
+        bins[b][1] += int(y)
+        bins[b][2] += int(c)
+    df = oracle_df(con, "q_calibration_bins")
+    assert len(df) == len(bins)
+    assert int(df["n"].sum()) == len(rows)
+    for r in df.itertuples():
+        n, pos, s = bins[int(r.bin)]
+        assert int(r.n) == n and int(r.n_pos) == pos
+        assert abs(float(r.mean_score) - s / n / 100.0) < 1e-9
+        assert abs(float(r.pos_rate) - pos / n) < 1e-12
+
+
+def test_cusum_alarm_equals_stream_twin(con):
+    """Cross-oracle: q_cusum_alarm and q_stream_cusum compute the same
+    statistic (batch vs streaming twin) — frame equality."""
+    a = oracle_df(con, "q_cusum_alarm").sort_values("user_id").reset_index(drop=True)
+    b = oracle_df(con, "q_stream_cusum").sort_values("user_id").reset_index(drop=True)
+    assert sorted(a.columns) == sorted(b.columns)
+    assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
+
+
+def test_gains_deciles_lift_identities(con):
+    """Gains table facets: Σ pos_share == 1, Σ n == corpus, lift ==
+    (bin rate)/(base rate), NTILE replay by (score DESC, event_id)."""
+    rows = con.execute(
+        """SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           FROM events"""
+    ).fetchall()
+    ordered = sorted(rows, key=lambda r: (-int(r[1]), int(r[0])))
+    n = len(ordered)
+    tp = sum(y for _, _, y in ordered)
+    base, rem = divmod(n, 10)
+    from collections import defaultdict
+
+    stats = defaultdict(lambda: [0, 0])
+    i = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= rem else 0)
+        for _, _, y in ordered[i : i + size]:
+            stats[d][0] += 1
+            stats[d][1] += int(y)
+        i += size
+    df = oracle_df(con, "q_gains_deciles")
+    assert len(df) == 10
+    assert int(df["n"].sum()) == n
+    assert abs(float(df["pos_share"].sum()) - 1.0) < 1e-9
+    for r in df.itertuples():
+        cnt, pos = stats[int(r.decile)]
+        assert int(r.n) == cnt and int(r.n_pos) == pos
+        assert abs(float(r.pos_share) - pos / tp) < 1e-12
+        assert abs(float(r.lift) - (pos / cnt) / (tp / n)) < 1e-9
+
+
+def test_median_ci_order_statistics(con):
+    """Distribution-free median CI replayed: order-statistic ranks
+    k_med/k_lo/k_hi from the (cents, event_id) order; lo <= med <= hi."""
+    rows = con.execute(
+        """SELECT event_type, event_id,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) FROM events"""
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for t, e, c in rows:
+        per[t].append((int(c), int(e)))
+    df = oracle_df(con, "q_median_ci")
+    assert len(df) == len(per)
+    for r in df.itertuples():
+        vals = [c for c, _ in sorted(per[r.event_type])]
+        n = len(vals)
+        k_med = (n + 1) // 2
+        k_lo = max(math.floor(n / 2.0 - 0.98 * math.sqrt(n)), 1)
+        k_hi = min(math.ceil(n / 2.0 + 1 + 0.98 * math.sqrt(n)), n)
+        assert int(r.n) == n
+        assert int(r.median_cents) == vals[k_med - 1]
+        assert int(r.lo_cents) == vals[k_lo - 1]
+        assert int(r.hi_cents) == vals[k_hi - 1]
+        assert int(r.lo_cents) <= int(r.median_cents) <= int(r.hi_cents)
+
+
+def test_quantile_normalize_monotone_mapping(con):
+    """Quantile mapping replayed from sorted rank positions; both the
+    source and mapped decile series are nondecreasing (a quantile map
+    preserves order)."""
+    src = sorted(
+        (int(c), int(e))
+        for e, c in con.execute(
+            """SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               FROM events WHERE event_type = 'click'"""
+        ).fetchall()
+    )
+    tgt = sorted(
+        (int(c), int(e))
+        for e, c in con.execute(
+            """SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               FROM events WHERE event_type = 'purchase'"""
+        ).fetchall()
+    )
+    df = oracle_df(con, "q_quantile_normalize").sort_values("decile")
+    prev_s = prev_m = -1
+    for r in df.itertuples():
+        d = int(r.decile)
+        ks = max(d * len(src) // 10, 1)
+        kt = max(d * len(tgt) // 10, 1)
+        assert int(r.src_decile_cents) == src[ks - 1][0]
+        assert int(r.mapped_cents) == tgt[kt - 1][0]
+        assert int(r.src_decile_cents) >= prev_s
+        assert int(r.mapped_cents) >= prev_m
+        prev_s, prev_m = int(r.src_decile_cents), int(r.mapped_cents)
+
+
+def test_regression_discontinuity_numpy_fits(con):
+    """Per-side OLS replayed with numpy lstsq; pred_at_cutoff is the
+    line evaluated at the 25-unit threshold."""
+    import numpy as np
+
+    rows = con.execute(
+        """SELECT CAST(l_quantity AS BIGINT),
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+           FROM lineitem WHERE l_quantity <> 25"""
+    ).fetchall()
+    sides = {"below": [], "above": []}
+    for x, y in rows:
+        sides["below" if int(x) < 25 else "above"].append((int(x), int(y)))
+    df = oracle_df(con, "q_regression_discontinuity")
+    assert set(df["side"]) == {"below", "above"}
+    for r in df.itertuples():
+        pts = sides[r.side]
+        X = np.column_stack([np.ones(len(pts)), [x for x, _ in pts]])
+        beta, *_ = np.linalg.lstsq(X, np.array([y for _, y in pts], float), rcond=None)
+        assert int(r.n) == len(pts)
+        assert abs(float(r.slope) - beta[1]) < 1e-7
+        assert abs(float(r.intercept) - beta[0]) < 1e-6
+        assert abs(float(r.pred_at_cutoff) - (beta[1] * 25 + beta[0])) < 1e-5
