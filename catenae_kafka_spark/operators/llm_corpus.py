@@ -818,3 +818,264 @@ def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div avail_tokens"
         ).alias("sample_rate_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_boilerplate_lines",
+    tags=("llm", "corpus", "dedup"),
+    oracle="""
+WITH spans AS MATERIALIZED (
+  SELECT doc_id, lang,
+         md5(array_to_string(
+           string_split(text, ' ')[(i * 8 + 1):((i + 1) * 8)], ' ')) AS h
+  FROM documents,
+       unnest(generate_series(
+         0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1
+       )) AS t(i)
+), freq AS MATERIALIZED (
+  SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY h
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (f.ndocs >= 3) AS BIGINT) AS n_removed,
+       CAST(FLOOR(COUNT(*) FILTER (f.ndocs < 3) * 1000000.0 / COUNT(*)
+                  + 0.5) AS BIGINT) AS retained_ppm
+FROM spans s JOIN freq f USING (h)
+GROUP BY lang
+""",
+)
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global boilerplate-line removal: any line occurring in
+    >= 3 DISTINCT documents is boilerplate and is removed from EVERY
+    document (C4 / RefinedWeb's "repeated line" rule). Differs from
+    q_dedup_paragraph in the decision rule: that op keeps the FIRST
+    occurrence of a duplicated span; this one deletes ALL copies once
+    the cross-document frequency crosses the threshold — the navboxes/
+    cookie-banners case where no copy is worth keeping. Docs split into
+    fixed 8-token spans (stand-in for the newline breaks the fixture
+    lacks); per-language census of spans removed + retained ppm.
+
+    Scale shape: spans hash map-side; the frequency table groups on the
+    16-byte digest (uniform by construction) and joins back on the same
+    key — two shuffles, both on digests, text never moves. At 100 TB
+    the frequency table is the only wide state; heavy-hitter digests
+    (the actual boilerplate) are exactly the rows the threshold prunes,
+    so skew self-resolves after the filter."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    size = 8
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(size))).cast("int")
+    spans = c.documents.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("i") * size + 1, size)
+            )
+        ).alias("h"),
+    )
+    freq = spans.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    removed = F.sum(F.when(F.col("ndocs") >= 3, 1).otherwise(0))
+    kept = F.sum(F.when(F.col("ndocs") < 3, 1).otherwise(0))
+    return (
+        spans.join(freq, "h")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            removed.cast("bigint").alias("n_removed"),
+            F.floor(kept * 1000000.0 / F.count("*") + 0.5)
+            .cast("bigint")
+            .alias("retained_ppm"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_span_corruption",
+    tags=("llm", "corpus"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents
+), idx AS (
+  SELECT doc_id, lang, i,
+         ((doc_id % 100000) * 1103515245 + i * 37) % 1000 < 150 AS m,
+         CASE WHEN i = 1 THEN FALSE
+              ELSE ((doc_id % 100000) * 1103515245 + (i - 1) * 37) % 1000
+                   < 150 END AS mprev
+  FROM toks, unnest(generate_series(1, n)) AS t(i)
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (m) AS BIGINT) AS n_masked,
+       CAST(COUNT(*) FILTER (m AND NOT mprev) AS BIGINT) AS n_spans,
+       CAST(FLOOR(COUNT(*) FILTER (m) * 1000000.0 / COUNT(*) + 0.5)
+            AS BIGINT) AS mask_ppm
+FROM idx GROUP BY lang
+""",
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption PLAN: decide which token positions
+    get masked (target rate 15%, contiguous runs as spans) and report
+    the per-language mask census — tokens, masked tokens, sentinel/span
+    count, achieved ppm. The mask decision is a pure closed-form
+    function of (doc_id, position) — a tiny LCG, NOT engine hash(): a
+    deterministic noise source both engines compute identically, so the
+    span structure (consecutive-mask runs, mean length ~4, the T5
+    mean-3 regime) needs NO window function: a position's "am I a span
+    start" is m(i) AND NOT m(i-1), recomputable from the formula.
+
+    Scale shape: pure map-side explode + per-language aggregate — one
+    shuffle of 5 rows per language. The plan never materializes masked
+    text; downstream writers consume (doc_id, position) mask sets."""
+    c = catalog(spark, sf_dir)
+    n = F.size(F.split(F.col("text"), " "))
+
+    def masked(pos):
+        lcg = (
+            (F.col("doc_id") % 100000) * F.lit(1103515245) + pos * 37
+        ) % 1000
+        return lcg < 150
+
+    idx = c.documents.select(
+        "doc_id", "lang", F.explode(F.sequence(F.lit(1), n)).alias("i")
+    )
+    m = masked(F.col("i"))
+    mprev = F.when(F.col("i") == 1, F.lit(False)).otherwise(
+        masked(F.col("i") - 1)
+    )
+    return (
+        idx.select("doc_id", "lang", m.alias("m"), mprev.alias("mprev"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_masked"),
+            F.sum(F.when(F.col("m") & ~F.col("mprev"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.floor(
+                F.sum(F.when(F.col("m"), 1).otherwise(0))
+                * 1000000.0
+                / F.count("*")
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("mask_ppm"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_url_canonicalize",
+    tags=("llm", "corpus", "dedup"),
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+    'https://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site-' ELSE 'www.site-' END) ||
+    CAST(doc_id % 7 AS VARCHAR) ||
+    (CASE WHEN doc_id % 3 = 0 THEN '.COM' ELSE '.com' END) ||
+    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+    (CASE WHEN doc_id % 2 = 0
+          THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+          WHEN doc_id % 5 = 1
+          THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=brand'
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 6 = 3 THEN '#ref' ELSE '' END) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, url,
+    'https://' || lower(regexp_extract(u3, '^https://([^/]+)', 1)) ||
+    regexp_replace(u3, '^https://[^/]+', '') AS canonical_url
+  FROM (
+    SELECT doc_id, url,
+           regexp_replace(regexp_replace(regexp_replace(
+             url, '#.*$', ''), 'utm_[a-z]+=[^&]*&?', '', 'g'),
+             '[?&]$', '') AS u3
+    FROM raw) t
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+FROM canon GROUP BY canonical_url
+""",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-side pass that runs
+    before any text dedup: lowercase the host, strip tracking params
+    (utm_*), drop fragments, clean dangling separators, then group by
+    canonical URL to find fetch-duplicate groups. The fixture has no
+    URL column, so raw URLs are synthesized deterministically from
+    doc_id (case-varied hosts, utm-decorated queries, fragments) —
+    identically on both engines — and the CANONICALIZATION chain is the
+    operator under test: regexp fragment strip -> utm strip (removes
+    'param=value&' so a following param slides left) -> dangling '?'/
+    '&' cleanup -> host lowercased in place via regexp_extract, path
+    and query case preserved (real canonicalizers must not lowercase
+    paths).
+
+    Scale shape: the whole chain is map-side string work (JVM regexp,
+    no Python); the only shuffle is the final groupBy on the canonical
+    URL, whose cardinality is bounded by the distinct-page count. At
+    crawl scale this is the op that collapses ~20-40% of fetch lists
+    (tracking-param explosion), so it runs FIRST, before anything
+    content-based."""
+    c = catalog(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("WWW.Site-")).otherwise(F.lit("www.site-")),
+        (d % 7).cast("string"),
+        F.when(d % 3 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+        F.lit("/p/"),
+        (d % 50).cast("string"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (d % 10).cast("string")),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("?id="),
+                (d % 10).cast("string"),
+                F.lit("&utm_campaign=brand"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 3, F.lit("#ref")).otherwise(F.lit("")),
+    )
+    raw = c.documents.select("doc_id", url.alias("url"))
+    u3 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), "#.*$", ""),
+            "utm_[a-z]+=[^&]*&?",
+            "",
+        ),
+        "[?&]$",
+        "",
+    )
+    canon = raw.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.lower(F.regexp_extract(u3, "^https://([^/]+)", 1)),
+            F.regexp_replace(u3, "^https://[^/]+", ""),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+    )

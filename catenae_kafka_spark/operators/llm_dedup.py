@@ -1144,3 +1144,136 @@ def q_dedup_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("canonical_removed"),
     )
+
+
+@REGISTRY.register(
+    "q_semdedup",
+    tags=("llm", "dedup", "similarity"),
+    oracle="""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), nn AS MATERIALIZED (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+), cents AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, e AS ec, nrm AS nc FROM nn
+  WHERE vec_id % 61 = 0
+), scored AS MATERIALIZED (
+  SELECT a.vec_id, c.centroid_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> a.e[i] * c.ec[i])) / (a.nrm * c.nc)
+           AS cs
+  FROM nn a CROSS JOIN cents c
+), assigned AS MATERIALIZED (
+  SELECT s.vec_id, s.centroid_id AS cluster_id, b.e, b.nrm
+  FROM (SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored) s JOIN nn b USING (vec_id)
+  WHERE rn = 1
+), dropped AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, 64),
+                                i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)
+        >= 0.30
+)
+SELECT a.cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+GROUP BY a.cluster_id
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space with a coarse quantizer, then drop any vector that
+    has a LOWER-id in-cluster neighbor above the cosine threshold —
+    per-cluster keep/drop census out. Differs from q_dedup_embedding
+    (pair listing via hyperplane LSH) in both the candidate structure
+    (centroid partition, not hash buckets) and the output semantics (a
+    keep/drop decision per item, the thing a pipeline actually writes).
+
+    The quantizer is training-free and deterministic — centroids are
+    the corpus vectors with vec_id % 61 == 0 (same reproducibility
+    design as knn_ivf's coarse quantizer), so the DuckDB oracle replays
+    assignment bit-for-bit: both engines fold the 64-dim dot product in
+    index order, making the doubles identical and the argmin stable.
+    Threshold 0.30 is tuned to the random fixture (max cosine ~0.51);
+    production near-dup runs at >=0.9 and prunes far harder.
+
+    Scale shape: never all-pairs (SemDeDup's core trick) — assignment
+    costs O(N*k) map-side (centroids broadcast, per-row argmax), the
+    in-cluster pair join O(N * N/k) shuffled on cluster_id; k ~ sqrt(N)
+    balances the two, and the fixture's stride-61 quantizer sits near
+    that point at test scales (5000 vectors -> 82 centroids vs
+    sqrt=71). Production swaps the stride pick for trained centroids
+    (the paper's k=50k at LAION scale) — same plan, one DataFrame
+    swapped, and the only wide shuffle still keys on cluster_id,
+    uniform by construction."""
+    from catenae_kafka_spark.operators.llm_similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    c = catalog(spark, sf_dir)
+    nn = c.embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("e"),
+        _norm(_as_double("embedding")).alias("nrm"),
+    )
+    cents = nn.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ec"),
+        F.col("nrm").alias("nc"),
+    )
+    cs = _dot(F.col("e"), F.col("ec")) / (F.col("nrm") * F.col("nc"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        nn.crossJoin(F.broadcast(cents))
+        .withColumn("cs", cs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", F.col("centroid_id").alias("cluster_id"), "e", "nrm"
+        )
+    )
+    a = assigned.select(
+        F.col("cluster_id").alias("cl"),
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("cl"),
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    pair_cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    dropped = (
+        a.join(b, "cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cos >= 0.30)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(dropped, "vec_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.count(F.col("_drop")).cast("bigint").alias("n_dropped"),
+            (F.count("*") - F.count(F.col("_drop")))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

@@ -1442,3 +1442,88 @@ def q_self_bleu_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(prec_micro) div count(*)").alias("self_bleu2_micro"),
         F.max("prec_micro").cast("bigint").alias("max_pair_micro"),
     )
+
+
+@REGISTRY.register(
+    "q_perplexity_buckets",
+    tags=("llm", "text", "quality"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), vocab AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cw FROM toks GROUP BY word
+), n AS (
+  SELECT COUNT(*) AS total FROM toks
+), ppl AS MATERIALIZED (
+  SELECT doc_id, any_value(lang) AS lang,
+         CAST(ROUND(ROUND(exp((-SUM(ln(cw * 1.0 / total)) / COUNT(*))), 4)
+                    * 10000) AS BIGINT) AS ppl_e4
+  FROM toks JOIN vocab USING (word) CROSS JOIN n
+  GROUP BY doc_id
+), bucketed AS (
+  SELECT lang, ppl_e4,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY ppl_e4, doc_id) AS bucket
+  FROM ppl
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ppl_e4) AS BIGINT) AS sum_ppl_e4,
+       CAST(FLOOR(CAST(SUM(ppl_e4) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS mean_ppl_e4
+FROM bucketed GROUP BY lang, bucket
+""",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document under the
+    corpus unigram LM (q_doc_perplexity's signal), then split each
+    language into head/middle/tail terciles by perplexity — the
+    standard corpus-quality partition (CCNet trains on "head", audits
+    "tail"). Output: per (lang, bucket) doc count + summed/mean score.
+
+    Cross-engine determinism: the tercile boundary is a rank cut, so
+    the ORDER inside each language must be identical on both engines.
+    Raw double perplexities could differ in the last ulp (per-doc SUM
+    of logs is order-sensitive), so the sort key is the 4dp-ROUNDed
+    score lifted to integer e4 units (the exact value q_doc_perplexity
+    already hash-verifies cross-engine), tie-broken by doc_id — a total
+    order both engines agree on. NTILE(3) follows the SQL-standard
+    "first buckets take the remainder" rule in both engines; bucket
+    means use exact integer sums with explicit FLOOR division.
+
+    Scale shape: vocab table is bounded and broadcast back onto the
+    token stream (two passes over tokens, zero Python); the ntile
+    window partitions BY LANGUAGE — at 100 TB swap the exact ntile for
+    approx_percentile boundaries per language (documented trade: the
+    rank cut becomes approximate, the shuffle per language disappears)."""
+    c = catalog(spark, sf_dir)
+    toks = c.documents.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count("*").alias("cw"))
+    total = toks.agg(F.count("*").alias("total"))
+    logp = F.log(F.col("cw") * 1.0 / F.col("total"))
+    ppl = (
+        toks.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.round(
+                F.round(F.exp(-F.sum(logp) / F.count("*")), 4) * 10000
+            )
+            .cast("bigint")
+            .alias("ppl_e4"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("ppl_e4", "doc_id")
+    bucketed = ppl.select(
+        "lang", "ppl_e4", F.ntile(3).over(w).alias("bucket")
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ppl_e4").cast("bigint").alias("sum_ppl_e4"),
+        F.floor(F.sum("ppl_e4").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("mean_ppl_e4"),
+    )

@@ -32,6 +32,7 @@ NL_WHITELIST = {
     "q_quantile_normalize": "9-row decile spine joined on a rank inequality (bounded spine)",
     "q_rank_biased_overlap": "10-row depth spine x 25-row rank table (both constants)",
     "q_rendezvous_sharding": "8-row shard-constant broadcast cross per user (HRW scoring)",
+    "q_semdedup": "corpus x coarse-quantizer broadcast cross (same reviewed class as q_knn_ivf); k ~ sqrt(N) bounds both assignment and in-cluster pair cost",
     "q_rolling_origin_backtest": "3-row cutoff spine joined to the <=31-row daily series",
     "q_runs_test": "1-row median order-statistic broadcast cross onto the calendar-bounded day table",
     "q_t_closeness": "25-group x 11-bin spine cross + 1-row global-total cross (all dimension-bounded)",

@@ -19530,3 +19530,254 @@ def test_regression_discontinuity_numpy_fits(con):
         assert abs(float(r.slope) - beta[1]) < 1e-7
         assert abs(float(r.intercept) - beta[0]) < 1e-6
         assert abs(float(r.pred_at_cutoff) - (beta[1] * 25 + beta[0])) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Batch 79 (round 8 continuation): the five new corpus/dedup operators —
+# SemDeDup census, C4 boilerplate-line rule, T5 span-corruption plan, URL
+# canonicalization, CCNet perplexity terciles. Each recomputed from raw
+# fixture rows with an independent implementation (numpy / hashlib / re /
+# pure Python), no SQL shared with the oracle.
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_matches_numpy_replay(con):
+    import numpy as np
+
+    from collections import defaultdict
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows])
+    E = np.array([[float(x) for x in r[1]] for r in rows])
+    nrm = np.sqrt((E * E).sum(axis=1))
+    cmask = ids % 61 == 0
+    cid, C, cn = ids[cmask], E[cmask], nrm[cmask]
+    cos = (E @ C.T) / np.outer(nrm, cn)
+    # np.argmax returns the FIRST max; centroid columns are ascending by
+    # vec_id, so ties break toward the smaller centroid_id — the
+    # oracle's ORDER BY cs DESC, centroid_id rule
+    assign = cid[np.argmax(cos, axis=1)]
+    dropped = set()
+    for k in np.unique(assign):
+        mem = np.where(assign == k)[0]
+        sub = (E[mem] @ E[mem].T) / np.outer(nrm[mem], nrm[mem])
+        for ai in range(len(mem)):
+            for bi in range(len(mem)):
+                if ids[mem[ai]] < ids[mem[bi]] and sub[ai, bi] >= 0.30:
+                    dropped.add(int(ids[mem[bi]]))
+    census = defaultdict(lambda: [0, 0])
+    for i, k in zip(ids, assign):
+        census[int(k)][0] += 1
+        census[int(k)][1] += int(i) in dropped
+    expect = {
+        k: (n, d, n - d) for k, (n, d) in census.items()
+    }
+    got = {
+        int(r["cluster_id"]): (
+            int(r["n_vectors"]),
+            int(r["n_dropped"]),
+            int(r["n_kept"]),
+        )
+        for _, r in oracle_df(con, "q_semdedup").iterrows()
+    }
+    assert got == expect
+    # conservation: every vector lands in exactly one cluster row
+    assert sum(v[0] for v in got.values()) == len(ids)
+    # centroids can never be dropped BY a smaller id unless a smaller
+    # in-cluster neighbor exists; the minimum vec_id overall is always kept
+    assert int(ids.min()) not in dropped
+
+
+def test_boilerplate_lines_matches_global_frequency_rule(con):
+    import hashlib
+
+    from collections import defaultdict
+
+    span_docs = defaultdict(set)
+    spans = []
+    for doc_id, lang, _, text, _ in _docs(con):
+        toks = text.split(" ")
+        for i in range(math.ceil(len(toks) / 8)):
+            h = hashlib.md5(
+                " ".join(toks[i * 8 : (i + 1) * 8]).encode()
+            ).hexdigest()
+            spans.append((lang, int(doc_id), h))
+            span_docs[h].add(int(doc_id))
+    agg = defaultdict(lambda: [set(), 0, 0])
+    for lang, d, h in spans:
+        a = agg[lang]
+        a[0].add(d)
+        a[1] += 1
+        a[2] += len(span_docs[h]) >= 3
+    expect = {
+        lang: (
+            len(a[0]),
+            a[1],
+            a[2],
+            math.floor((a[1] - a[2]) * 1_000_000 / a[1] + 0.5),
+        )
+        for lang, a in agg.items()
+    }
+    got = {
+        r["lang"]: (
+            int(r["n_docs"]),
+            int(r["n_spans"]),
+            int(r["n_removed"]),
+            int(r["retained_ppm"]),
+        )
+        for _, r in oracle_df(con, "q_boilerplate_lines").iterrows()
+    }
+    assert got == expect
+    # the rule actually fires on this fixture (clone corpus guarantees
+    # cross-document span repeats)
+    assert sum(v[2] for v in got.values()) > 0
+    # removal differs from q_dedup_paragraph's keep-first: EVERY copy of
+    # a boilerplate span is removed, so removed >= (ndocs>=3 hash count)
+    n_boiler_hashes = sum(1 for h, ds in span_docs.items() if len(ds) >= 3)
+    assert sum(v[2] for v in got.values()) >= 3 * n_boiler_hashes
+
+
+def test_span_corruption_matches_lcg_replay(con):
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [set(), 0, 0, 0])
+    for doc_id, lang, _, text, _ in _docs(con):
+        n = len(text.split(" "))
+        d = int(doc_id)
+        m = [
+            ((d % 100000) * 1103515245 + i * 37) % 1000 < 150
+            for i in range(1, n + 1)
+        ]
+        a = agg[lang]
+        a[0].add(d)
+        a[1] += n
+        a[2] += sum(m)
+        a[3] += sum(
+            1 for j in range(n) if m[j] and (j == 0 or not m[j - 1])
+        )
+    expect = {
+        lang: (
+            len(a[0]),
+            a[1],
+            a[2],
+            a[3],
+            math.floor(a[2] * 1_000_000 / a[1] + 0.5),
+        )
+        for lang, a in agg.items()
+    }
+    got = {
+        r["lang"]: (
+            int(r["n_docs"]),
+            int(r["n_tokens"]),
+            int(r["n_masked"]),
+            int(r["n_spans"]),
+            int(r["mask_ppm"]),
+        )
+        for _, r in oracle_df(con, "q_span_corruption").iterrows()
+    }
+    assert got == expect
+    for lang, (nd, nt, nm, ns, ppm) in got.items():
+        # achieved mask rate tracks the 15% target
+        assert 100_000 <= ppm <= 200_000, lang
+        # span structure is non-degenerate: mean span length > 1 (the
+        # LCG step 37 < 150 makes consecutive masks possible) and spans
+        # can never outnumber masked tokens
+        assert ns < nm <= nt
+
+
+def test_url_canonicalize_matches_re_replay(con):
+    import re as _re
+
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: [0, set()])
+    for doc_id, *_ in _docs(con):
+        d = int(doc_id)
+        host = ("WWW.Site-" if d % 3 == 0 else "www.site-") + str(d % 7) + (
+            ".COM" if d % 3 == 0 else ".com"
+        )
+        if d % 2 == 0:
+            q = f"?utm_source=feed&id={d % 10}"
+        elif d % 5 == 1:
+            q = f"?id={d % 10}&utm_campaign=brand"
+        else:
+            q = ""
+        frag = "#ref" if d % 6 == 3 else ""
+        url = f"https://{host}/p/{d % 50}{q}{frag}"
+        u = _re.sub(r"#.*$", "", url)
+        u = _re.sub(r"utm_[a-z]+=[^&]*&?", "", u)
+        u = _re.sub(r"[?&]$", "", u)
+        mh = _re.match(r"^https://([^/]+)", u)
+        cu = "https://" + mh.group(1).lower() + u[mh.end():]
+        g = groups[cu]
+        g[0] += 1
+        g[1].add(url)
+    expect = {k: (v[0], len(v[1])) for k, v in groups.items()}
+    got = {
+        r["canonical_url"]: (int(r["n_docs"]), int(r["n_raw_variants"]))
+        for _, r in oracle_df(con, "q_url_canonicalize").iterrows()
+    }
+    assert got == expect
+    # canonical invariants: tracking params, fragments, dangling
+    # separators, and upper-case hosts are all gone
+    for cu in got:
+        assert "utm_" not in cu and "#" not in cu
+        assert not cu.endswith("?") and not cu.endswith("&")
+        assert _re.match(r"^https://([^/]+)", cu).group(1).islower() or (
+            _re.match(r"^https://([^/]+)", cu).group(1)
+            == _re.match(r"^https://([^/]+)", cu).group(1).lower()
+        )
+    # conservation: every doc lands in exactly one canonical group
+    assert sum(v[0] for v in got.values()) == len(_docs(con))
+
+
+def test_perplexity_buckets_matches_ntile_replay(con):
+    from collections import Counter, defaultdict
+
+    docs = _docs(con)
+    vocab = Counter()
+    total = 0
+    toks = {}
+    lang_of = {}
+    for doc_id, lang, _, text, _ in docs:
+        t = text.split(" ")
+        toks[int(doc_id)] = t
+        lang_of[int(doc_id)] = lang
+        vocab.update(t)
+        total += len(t)
+    per_lang = defaultdict(list)
+    for d, t in toks.items():
+        s = sum(math.log(vocab[w] / total) for w in t)
+        ppl_e4 = round(_round_ha(math.exp(-s / len(t)), 4) * 10000)
+        per_lang[lang_of[d]].append((ppl_e4, d))
+    expect = {}
+    for lang, lst in per_lang.items():
+        lst.sort()
+        n = len(lst)
+        base, rem = divmod(n, 3)
+        pos = 0
+        for b in range(1, 4):
+            size = base + (1 if b <= rem else 0)
+            chunk = lst[pos : pos + size]
+            pos += size
+            if size:
+                sm = sum(x for x, _ in chunk)
+                expect[(lang, b)] = (size, sm, sm // size)
+    got = {
+        (r["lang"], int(r["bucket"])): (
+            int(r["n_docs"]),
+            int(r["sum_ppl_e4"]),
+            int(r["mean_ppl_e4"]),
+        )
+        for _, r in oracle_df(con, "q_perplexity_buckets").iterrows()
+    }
+    assert got == expect
+    # tercile law: per language, bucket sizes differ by at most 1 and
+    # bucket means are monotone non-decreasing head -> tail
+    for lang, lst in per_lang.items():
+        sizes = [got[(lang, b)][0] for b in (1, 2, 3) if (lang, b) in got]
+        assert max(sizes) - min(sizes) <= 1
+        means = [got[(lang, b)][2] for b in (1, 2, 3) if (lang, b) in got]
+        assert means == sorted(means)
