@@ -1527,3 +1527,242 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_ppl_e4"),
     )
+
+
+@REGISTRY.register(
+    "q_quality_gopher",
+    tags=("llm", "text", "quality"),
+    oracle="""
+WITH per_doc AS MATERIALIZED (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, w -> len(w))) * 1.0 / len(toks)
+           AS mean_wlen,
+         1.0 - len(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1]))) * 1.0
+               / greatest(len(toks) - 1, 1) AS dup_bigram_frac,
+         (SELECT MAX(cnt) FROM (
+            SELECT COUNT(*) AS cnt FROM unnest(toks) AS u(w) GROUP BY w))
+           * 1.0 / len(toks) AS top_word_frac,
+         len(list_filter(toks, w -> w IN ('the','a','of','to','and','in')))
+           AS n_stop
+  FROM per_doc
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (n_words < 20) AS BIGINT) AS fail_len,
+       CAST(COUNT(*) FILTER (mean_wlen < 3 OR mean_wlen > 10) AS BIGINT)
+         AS fail_wlen,
+       CAST(COUNT(*) FILTER (dup_bigram_frac > 0.2) AS BIGINT) AS fail_rep,
+       CAST(COUNT(*) FILTER (top_word_frac > 0.2) AS BIGINT) AS fail_topword,
+       CAST(COUNT(*) FILTER (n_stop < 2) AS BIGINT) AS fail_stop,
+       CAST(COUNT(*) FILTER (n_words >= 20 AND mean_wlen >= 3
+             AND mean_wlen <= 10 AND dup_bigram_frac <= 0.2
+             AND top_word_frac <= 0.2 AND n_stop >= 2) AS BIGINT) AS n_pass
+FROM feats GROUP BY lang
+""",
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality FILTER CENSUS (Rae et al. 2021
+    Appendix A): per language, how many documents fail each hard rule —
+    min word count, mean-word-length band [3,10], duplicate-bigram
+    fraction <= 0.2, most-common-word share <= 0.2, >= 2 stopwords —
+    and how many pass all five. Differs from q_text_quality (a soft
+    composite score) in semantics: these are the hard REJECTIONS a
+    pipeline applies before any scoring, and the per-rule failure
+    breakdown is what its quality dashboard reports. Rules that never
+    fire on this fixture (word-length, repetition) are kept at their
+    published thresholds — a zero count is a finding, not dead code.
+
+    Scale shape: every feature is a per-row ARRAY expression (JVM
+    higher-order functions — transform/filter/array_distinct; the
+    top-word share scans the doc's own distinct tokens in place, d*n
+    per row, bounded by doc length) — zero explodes, zero joins; the
+    only shuffle is the 5-row-per-language census aggregate."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wlen = (
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        * 1.0
+        / n_words
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+        ),
+    )
+    dup_bigram_frac = 1.0 - F.size(F.array_distinct(bigrams)) * 1.0 / (
+        F.greatest(n_words - 1, F.lit(1))
+    )
+    top_word_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda w: F.size(F.filter(toks, lambda x: x == w)),
+            )
+        )
+        * 1.0
+        / n_words
+    )
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda w: w.isin("the", "a", "of", "to", "and", "in"),
+        )
+    )
+    feats = c.documents.select(
+        "lang",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        top_word_frac.alias("top_word_frac"),
+        n_stop.alias("n_stop"),
+    )
+    ok = (
+        (F.col("n_words") >= 20)
+        & (F.col("mean_wlen") >= 3)
+        & (F.col("mean_wlen") <= 10)
+        & (F.col("dup_bigram_frac") <= 0.2)
+        & (F.col("top_word_frac") <= 0.2)
+        & (F.col("n_stop") >= 2)
+    )
+
+    def fails(cond) -> "F.Column":
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return feats.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        fails(F.col("n_words") < 20).alias("fail_len"),
+        fails(
+            (F.col("mean_wlen") < 3) | (F.col("mean_wlen") > 10)
+        ).alias("fail_wlen"),
+        fails(F.col("dup_bigram_frac") > 0.2).alias("fail_rep"),
+        fails(F.col("top_word_frac") > 0.2).alias("fail_topword"),
+        fails(F.col("n_stop") < 2).alias("fail_stop"),
+        fails(ok).alias("n_pass"),
+    )
+
+
+@REGISTRY.register(
+    "q_heaps_law",
+    tags=("llm", "text", "stats"),
+    oracle="""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id + 1 AS rk, string_split(text, ' ') AS toks FROM documents
+), grams AS MATERIALIZED (
+  SELECT rk, toks[i] || ' ' || toks[i+1] AS g
+  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+), n AS (SELECT COUNT(*) AS n_docs FROM docs),
+first_seen AS MATERIALIZED (
+  SELECT g, MIN(rk) AS first_rk FROM grams GROUP BY g
+), doc_tokens AS MATERIALIZED (
+  SELECT rk, len(toks) - 1 AS n_gram FROM docs
+), ck AS (
+  SELECT k, CAST(FLOOR(n_docs * k / 10.0) AS BIGINT) AS cutoff
+  FROM n, unnest(generate_series(1, 10)) AS gg(k)
+), curve AS MATERIALIZED (
+  SELECT k, cutoff,
+         (SELECT CAST(SUM(n_gram) AS BIGINT) FROM doc_tokens
+          WHERE rk <= cutoff) AS grams_cum,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen
+          WHERE first_rk <= cutoff) AS vocab_cum
+  FROM ck
+), fit AS (
+  SELECT ROUND((COUNT(*) * SUM(lx*ly) - SUM(lx)*SUM(ly))
+               / (COUNT(*) * SUM(lx*lx) - SUM(lx)*SUM(lx)), 6)
+           AS heaps_beta
+  FROM (SELECT ln(grams_cum) AS lx, ln(vocab_cum) AS ly FROM curve)
+)
+SELECT k, cutoff AS n_docs_cum, grams_cum, vocab_cum, heaps_beta
+FROM curve CROSS JOIN fit
+""",
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct BIGRAM
+    vocabulary at 10 corpus checkpoints plus the fitted growth exponent
+    (OLS slope of ln(vocab) on ln(tokens) — Heaps V = K*n^beta). The
+    standard corpus-health diagnostic: natural text grows beta~0.5;
+    this fixture's 31-word closed vocabulary saturates its UNIGRAM
+    vocab inside the first decile, so the curve runs on bigrams (851 ->
+    916 across deciles), and the measured near-zero beta IS the correct
+    diagnosis of synthetic uniform text. doc_id is the fixture's
+    arrival order (contiguous from 0), so rank = doc_id + 1 with no
+    global sort; at scale the rank is any monotone ingest id.
+
+    Scale shape: NO cumulative window over the corpus — each
+    checkpoint is an independent bounded aggregate: per-word first-rank
+    (vocab-sized) and per-doc token counts (doc-level rollup) non-equi
+    join onto a broadcast 10-row constant cutoff spine (x10 bounded
+    fan-out, map-side), then group by k. The 10 checkpoint aggregates
+    parallelize perfectly; nothing ever single-partitions."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+        ),
+    )
+    docs = c.documents.select(
+        (F.col("doc_id") + 1).alias("rk"), bigrams.alias("grams")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    spine = (
+        spark.range(1, 11)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "k",
+            F.floor(F.col("n_docs") * F.col("k") / 10.0)
+            .cast("bigint")
+            .alias("cutoff"),
+        )
+    )
+    first_seen = (
+        docs.select("rk", F.explode("grams").alias("g"))
+        .groupBy("g")
+        .agg(F.min("rk").alias("first_rk"))
+    )
+    doc_tokens = docs.select("rk", F.size("grams").alias("n_gram"))
+    grams_cum = (
+        doc_tokens.join(
+            F.broadcast(spine), F.col("rk") <= F.col("cutoff")
+        )
+        .groupBy("k", "cutoff")
+        .agg(F.sum("n_gram").cast("bigint").alias("grams_cum"))
+    )
+    vocab_cum = (
+        first_seen.join(
+            F.broadcast(spine), F.col("first_rk") <= F.col("cutoff")
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("vocab_cum"))
+    )
+    curve = grams_cum.join(vocab_cum, "k")
+    lx = F.log(F.col("grams_cum"))
+    ly = F.log(F.col("vocab_cum"))
+    fit = curve.agg(
+        F.round(
+            (
+                F.count("*") * F.sum(lx * ly) - F.sum(lx) * F.sum(ly)
+            )
+            / (F.count("*") * F.sum(lx * lx) - F.sum(lx) * F.sum(lx)),
+            6,
+        ).alias("heaps_beta")
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        "k",
+        F.col("cutoff").alias("n_docs_cum"),
+        "grams_cum",
+        "vocab_cum",
+        "heaps_beta",
+    )

@@ -19781,3 +19781,95 @@ def test_perplexity_buckets_matches_ntile_replay(con):
         assert max(sizes) - min(sizes) <= 1
         means = [got[(lang, b)][2] for b in (1, 2, 3) if (lang, b) in got]
         assert means == sorted(means)
+
+
+def test_quality_gopher_matches_rule_replay(con):
+    from collections import Counter, defaultdict
+
+    agg = defaultdict(lambda: [0] * 7)
+    for _, lang, _, text, _ in _docs(con):
+        t = text.split(" ")
+        n = len(t)
+        mean_wlen = sum(len(w) for w in t) / n
+        bigrams = [f"{t[i]} {t[i+1]}" for i in range(n - 1)]
+        dup = 1.0 - len(set(bigrams)) / max(n - 1, 1)
+        topfrac = max(Counter(t).values()) / n
+        nstop = sum(w in ("the", "a", "of", "to", "and", "in") for w in t)
+        fails = [
+            n < 20,
+            mean_wlen < 3 or mean_wlen > 10,
+            dup > 0.2,
+            topfrac > 0.2,
+            nstop < 2,
+        ]
+        a = agg[lang]
+        a[0] += 1
+        for j, f in enumerate(fails):
+            a[1 + j] += f
+        a[6] += not any(fails)
+    expect = {lang: tuple(a) for lang, a in agg.items()}
+    got = {
+        r["lang"]: (
+            int(r["n_docs"]),
+            int(r["fail_len"]),
+            int(r["fail_wlen"]),
+            int(r["fail_rep"]),
+            int(r["fail_topword"]),
+            int(r["fail_stop"]),
+            int(r["n_pass"]),
+        )
+        for _, r in oracle_df(con, "q_quality_gopher").iterrows()
+    }
+    assert got == expect
+    # pass count can never exceed docs minus the largest single-rule
+    # failure count (pass requires surviving every rule)
+    for lang, row in got.items():
+        assert row[6] <= row[0] - max(row[1:6])
+    # at least one rule fires somewhere on the clone-bearing fixture
+    assert any(sum(row[1:6]) > 0 for row in got.values())
+
+
+def test_heaps_law_matches_incremental_vocab_replay(con):
+    docs = sorted((int(d), text.split(" ")) for d, _, _, text, _ in _docs(con))
+    n = len(docs)
+    cutoffs = [math.floor(n * k / 10.0) for k in range(1, 11)]
+    seen = set()
+    grams_cum = 0
+    curve = []
+    ci = 0
+    for rank, (_, toks) in enumerate(docs, start=1):
+        # rank = doc_id + 1 holds only if doc_ids are contiguous from 0 —
+        # the fixture contract the operator relies on; assert it
+        assert rank - 1 == docs[rank - 1][0]
+        grams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        grams_cum += len(grams)
+        seen.update(grams)
+        while ci < 10 and rank == cutoffs[ci]:
+            curve.append((ci + 1, rank, grams_cum, len(seen)))
+            ci += 1
+    xs = [math.log(g) for _, _, g, _ in curve]
+    ys = [math.log(v) for _, _, _, v in curve]
+    m = len(xs)
+    beta = (m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        m * sum(x * x for x in xs) - sum(xs) ** 2
+    )
+    got = sorted(
+        (
+            int(r["k"]),
+            int(r["n_docs_cum"]),
+            int(r["grams_cum"]),
+            int(r["vocab_cum"]),
+            float(r["heaps_beta"]),
+        )
+        for _, r in oracle_df(con, "q_heaps_law").iterrows()
+    )
+    assert [(k, c, g, v) for k, c, g, v, _ in got] == curve
+    for *_, b in got:
+        assert abs(b - beta) < 1e-5
+    # growth-curve laws: cumulative counts are monotone and the closed
+    # synthetic vocabulary keeps beta far below natural text's ~0.5
+    assert all(
+        got[i][2] < got[i + 1][2] and got[i][3] <= got[i + 1][3]
+        for i in range(9)
+    )
+    assert 0.0 <= beta < 0.1
