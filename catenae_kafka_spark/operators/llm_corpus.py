@@ -1079,3 +1079,175 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
     )
+
+
+@REGISTRY.register(
+    "q_mixture_temperature",
+    tags=("llm", "corpus"),
+    oracle="""
+WITH avail AS MATERIALIZED (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+), w AS MATERIALIZED (
+  SELECT source, avail_tokens,
+         CAST(FLOOR(sqrt(avail_tokens) * 1000000 + 0.5) AS BIGINT) AS w_micro
+  FROM avail
+), tot AS (
+  SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total,
+         CAST(SUM(avail_tokens) AS BIGINT) AS tok_total FROM w
+)
+SELECT source, avail_tokens, w_micro,
+       (w_micro * 1000000) // w_total AS share_ppm,
+       (((w_micro * 1000000) // w_total) * tok_total) // 1000000
+         AS planned_tokens,
+       ((((w_micro * 1000000) // w_total) * tok_total) // 1000000) * 1000
+         // avail_tokens AS upsample_milli
+FROM w CROSS JOIN tot
+""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture planner (the multilingual-pretraining
+    sampling rule, T=2 i.e. alpha=0.5): per SOURCE, sampling share
+    proportional to sqrt(available tokens) — big sources are
+    downweighted below their natural share, small ones upsampled, the
+    standard fix for low-resource starvation. Differs from
+    q_mixture_rates (uniform target over languages, largest
+    upsampling-free epoch) in both the weighting law and the output:
+    this one reports each source's share and its up/downsampling factor
+    at a one-epoch token budget. upsample_milli > 1000 marks sources a
+    sampler must repeat; < 1000 marks sources it subsamples.
+
+    Exact integer arithmetic end-to-end: sqrt(BIGINT) is one
+    correctly-rounded IEEE op (bit-identical on both engines), lifted
+    immediately to integer micro-units; every later step is integer
+    multiply/floor-divide, so no float summation order exists anywhere
+    (the q_mixture_rates discipline). Scale shape: one partial-agg
+    groupBy(source) over the corpus; everything after runs on the
+    20-row source rollup with the 1-row total broadcast back."""
+    c = catalog(spark, sf_dir)
+    avail = c.documents.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("avail_tokens")
+    )
+    w = avail.select(
+        "source",
+        "avail_tokens",
+        F.floor(F.sqrt(F.col("avail_tokens")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    tot = w.agg(
+        F.sum("w_micro").cast("bigint").alias("w_total"),
+        F.sum("avail_tokens").cast("bigint").alias("tok_total"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail_tokens",
+            "w_micro",
+            F.expr("(w_micro * 1000000) div w_total").alias("share_ppm"),
+            F.expr(
+                "(((w_micro * 1000000) div w_total) * tok_total) div 1000000"
+            ).alias("planned_tokens"),
+            F.expr(
+                "(((((w_micro * 1000000) div w_total) * tok_total)"
+                " div 1000000) * 1000) div avail_tokens"
+            ).alias("upsample_milli"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_source_overlap",
+    tags=("llm", "corpus", "dedup"),
+    oracle="""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT source,
+         string_split(text, ' ')[i] || ' ' ||
+         string_split(text, ' ')[i+1] || ' ' ||
+         string_split(text, ' ')[i+2] AS g
+  FROM documents,
+       unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS t(i)
+), per_src AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh
+  GROUP BY source
+), pairs AS MATERIALIZED (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+       p.n_shared,
+       (p.n_shared * 1000000) // (sa.n_shingles + sb.n_shingles - p.n_shared)
+         AS jaccard_ppm
+FROM pairs p
+JOIN per_src sa ON p.src_a = sa.source
+JOIN per_src sb ON p.src_b = sb.source
+""",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: distinct-trigram Jaccard between
+    every pair of sources that share at least one shingle — the
+    dump-vs-dump contamination audit run before merging crawl
+    snapshots or vendor corpora (the pairwise generalization of
+    q_decontaminate's one-directional eval-vs-train screen). Integer
+    jaccard_ppm via exact floor division.
+
+    Scale shape: shingles distinct per (source, shingle) map-side, the
+    pair join keys on the shingle string and fans out only to the
+    sources actually containing it (never a source x source cross);
+    per-source totals are a 20-row rollup broadcast onto the pair
+    counts. At 100 TB the honest upgrade is per-pair HLL sketches
+    (q_hll_sketch's machinery) instead of exact distinct-counting —
+    same output schema, sketch-mergeable, one pass; the exact form here
+    doubles as that path's ground truth."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.try_element_at(toks, i),
+            F.try_element_at(toks, i + 1),
+            F.try_element_at(toks, i + 2),
+        ),
+    )
+    sh = (
+        c.documents.select("source", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    per_src = sh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = per_src.select(
+        F.col("source").alias("src_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = per_src.select(
+        F.col("source").alias("src_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr(
+                "(n_shared * 1000000) div (n_a + n_b - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -1766,3 +1766,121 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_cum",
         "heaps_beta",
     )
+
+
+@REGISTRY.register(
+    "q_winnowing_fingerprint",
+    tags=("llm", "text", "dedup"),
+    oracle="""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), kg AS MATERIALIZED (
+  SELECT doc_id, len(toks) - 2 AS n_kg, i,
+         list_reduce(
+           [CAST(0 AS BIGINT)] ||
+             list_transform(
+               string_split(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2],
+                            ''),
+               ch -> CAST(ascii(ch) AS BIGINT)),
+           (acc, x) -> (acc * 31 + x) % 2147483647
+         ) AS h
+  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+), wins AS MATERIALIZED (
+  SELECT doc_id, n_kg, i - o AS j, i, h
+  FROM kg, unnest(generate_series(0, 3)) AS t(o)
+  WHERE i - o >= 1 AND i - o <= n_kg - 3
+), sel AS MATERIALIZED (
+  SELECT DISTINCT doc_id, n_kg, i
+  FROM (SELECT doc_id, n_kg, j, i,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, j
+                                  ORDER BY h, i DESC) AS rn
+        FROM wins)
+  WHERE rn = 1
+)
+SELECT doc_id,
+       CAST(MAX(n_kg) AS BIGINT) AS n_kgrams,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(FLOOR(COUNT(*) * 1000000.0 / MAX(n_kg) + 0.5) AS BIGINT)
+         AS density_ppm
+FROM sel GROUP BY doc_id
+""",
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every 3-token k-gram with the repo's
+    polynomial char hash (q_doc_fingerprint's rolling-hash core), then
+    from every window of w=4 consecutive k-gram hashes keep the
+    minimum (rightmost on ties); the distinct selected positions are
+    the document's fingerprint set. Guarantees any shared substring of
+    length >= w+k-1 tokens contributes a shared fingerprint — the
+    position-robust property plain every-Nth sampling lacks. Per-doc
+    census out: k-grams, fingerprints kept, selection density (theory:
+    2/(w+1) = 400000 ppm for random hashes).
+
+    Scale shape: the window structure needs NO window function —
+    each k-gram replicates to the <= w windows covering it (a constant
+    x4 map-side fan-out), then one groupBy(doc, window) picks the
+    rightmost-min via min_by over a (hash, -position) struct, and the
+    census groups by doc. All shuffle keys are (doc_id, ...) —
+    embarrassingly parallel across documents at any corpus size."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_kg = F.size(toks) - 2
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.try_element_at(toks, i),
+        F.try_element_at(toks, i + 1),
+        F.try_element_at(toks, i + 2),
+    )
+    kg = c.documents.select(
+        "doc_id",
+        n_kg.alias("n_kg"),
+        F.explode(F.sequence(F.lit(1), n_kg)).alias("i"),
+        toks.alias("_toks"),
+    ).select(
+        "doc_id",
+        "n_kg",
+        "i",
+        F.aggregate(
+            F.split(
+                F.concat_ws(
+                    " ",
+                    F.try_element_at(F.col("_toks"), F.col("i")),
+                    F.try_element_at(F.col("_toks"), F.col("i") + 1),
+                    F.try_element_at(F.col("_toks"), F.col("i") + 2),
+                ),
+                "",
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % 2147483647,
+        ).alias("h"),
+    )
+    wins = (
+        kg.select(
+            "doc_id",
+            "n_kg",
+            "i",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("o"),
+        )
+        .withColumn("j", F.col("i") - F.col("o"))
+        .filter((F.col("j") >= 1) & (F.col("j") <= F.col("n_kg") - 3))
+    )
+    sel = (
+        wins.groupBy("doc_id", "j")
+        .agg(
+            F.max("n_kg").alias("n_kg"),
+            F.min_by(
+                "i", F.struct(F.col("h"), (-F.col("i")).alias("ni"))
+            ).alias("i"),
+        )
+        .select("doc_id", "n_kg", "i")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("n_kg").cast("bigint").alias("n_kgrams"),
+        F.count("*").cast("bigint").alias("n_fingerprints"),
+        F.floor(F.count("*") * 1000000.0 / F.max("n_kg") + 0.5)
+        .cast("bigint")
+        .alias("density_ppm"),
+    )

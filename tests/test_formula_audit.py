@@ -19873,3 +19873,122 @@ def test_heaps_law_matches_incremental_vocab_replay(con):
         for i in range(9)
     )
     assert 0.0 <= beta < 0.1
+
+
+def test_mixture_temperature_matches_sqrt_weighting(con):
+    from collections import defaultdict
+
+    avail = defaultdict(int)
+    for _, _, source, text, _ in _docs(con):
+        avail[source] += len(text.split(" "))
+    w_micro = {s: math.floor(math.sqrt(n) * 1_000_000 + 0.5) for s, n in avail.items()}
+    w_total = sum(w_micro.values())
+    tok_total = sum(avail.values())
+    expect = {}
+    for s, n in avail.items():
+        share = (w_micro[s] * 1_000_000) // w_total
+        planned = (share * tok_total) // 1_000_000
+        expect[s] = (n, w_micro[s], share, planned, planned * 1000 // n)
+    got = {
+        r["source"]: (
+            int(r["avail_tokens"]),
+            int(r["w_micro"]),
+            int(r["share_ppm"]),
+            int(r["planned_tokens"]),
+            int(r["upsample_milli"]),
+        )
+        for _, r in oracle_df(con, "q_mixture_temperature").iterrows()
+    }
+    assert got == expect
+    # temperature law: a source with more tokens never gets a LARGER
+    # upsample factor, and sqrt flattening puts big sources below 1.0x
+    # and the smallest source above the largest source's factor
+    rows = sorted(got.values())
+    ups = [u for *_, u in rows]
+    assert all(ups[i] >= ups[i + 1] for i in range(len(ups) - 1))
+    # shares sum to <= 1e6 (floor division) and within 20 ppm of it
+    tot_share = sum(v[2] for v in got.values())
+    assert 1_000_000 - 20 * len(got) <= tot_share <= 1_000_000
+
+
+def test_source_overlap_matches_set_jaccard(con):
+    from collections import defaultdict
+
+    shingles = defaultdict(set)
+    for _, _, source, text, _ in _docs(con):
+        t = text.split(" ")
+        shingles[source].update(
+            f"{t[i]} {t[i+1]} {t[i+2]}" for i in range(len(t) - 2)
+        )
+    expect = {}
+    srcs = sorted(shingles)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(shingles[a] & shingles[b])
+            if inter:
+                union = len(shingles[a] | shingles[b])
+                expect[(a, b)] = (
+                    len(shingles[a]),
+                    len(shingles[b]),
+                    inter,
+                    inter * 1_000_000 // union,
+                )
+    got = {
+        (r["src_a"], r["src_b"]): (
+            int(r["n_a"]),
+            int(r["n_b"]),
+            int(r["n_shared"]),
+            int(r["jaccard_ppm"]),
+        )
+        for _, r in oracle_df(con, "q_source_overlap").iterrows()
+    }
+    assert got == expect
+    # matrix laws: shared <= min(n_a, n_b); jaccard in (0, 1e6]
+    for (a, b), (na, nb, sh, j) in got.items():
+        assert a < b and sh <= min(na, nb) and 0 < j <= 1_000_000
+
+
+def test_winnowing_matches_reference_selection(con):
+    P = 2147483647
+
+    def phash(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    expect = {}
+    for doc_id, _, _, text, _ in _docs(con):
+        t = text.split(" ")
+        hs = [phash(f"{t[i]} {t[i+1]} {t[i+2]}") for i in range(len(t) - 2)]
+        n_kg = len(hs)
+        sel = set()
+        for j in range(n_kg - 3):  # windows of 4: positions j..j+3
+            win = hs[j : j + 4]
+            m = min(win)
+            # rightmost minimum
+            pos = max(i for i in range(j, j + 4) if hs[i] == m)
+            sel.add(pos)
+        expect[int(doc_id)] = (
+            n_kg,
+            len(sel),
+            math.floor(len(sel) * 1_000_000 / n_kg + 0.5),
+        )
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_kgrams"]),
+            int(r["n_fingerprints"]),
+            int(r["density_ppm"]),
+        )
+        for _, r in oracle_df(con, "q_winnowing_fingerprint").iterrows()
+    }
+    assert got == expect
+    # winnowing guarantee: every window contributes a fingerprint and a
+    # position can serve at most w=4 windows, so per doc
+    # n_fp >= ceil(n_windows / 4); the random-hash expectation
+    # 2/(w+1) = 400000 ppm holds corpus-wide within a loose band
+    assert all(
+        fp >= math.ceil((kg - 3) / 4) for kg, fp, _ in got.values()
+    )
+    mean_density = sum(d for *_, d in got.values()) / len(got)
+    assert 300_000 <= mean_density <= 550_000
