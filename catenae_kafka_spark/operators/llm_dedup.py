@@ -1277,3 +1277,194 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@REGISTRY.register(
+    "q_substring_dedup_coverage",
+    tags=("llm", "dedup", "corpus"),
+    oracle="""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), kg AS MATERIALIZED (
+  SELECT doc_id, i, md5(array_to_string(toks[i:(i+7)], ' ')) AS h
+  FROM docs, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+), rep AS MATERIALIZED (
+  SELECT h FROM kg GROUP BY h HAVING COUNT(*) >= 2
+), cov AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cov FROM (
+    SELECT DISTINCT k.doc_id, k.i + o AS pos
+    FROM kg k JOIN rep USING (h), unnest(generate_series(0, 7)) AS t(o)
+  ) GROUP BY doc_id
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(d.toks)) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(c.n_cov, 0)) AS BIGINT) AS n_covered,
+       CAST(COUNT(*) FILTER (c.n_cov IS NOT NULL) AS BIGINT) AS n_docs_hit,
+       CAST(FLOOR(SUM(COALESCE(c.n_cov, 0)) * 1000000.0
+                  / SUM(len(d.toks)) + 0.5) AS BIGINT) AS covered_ppm
+FROM docs d LEFT JOIN cov c USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022's
+    suffix-array ExactSubstr dedup, reshaped for a shuffle engine):
+    every SLIDING 8-token window that occurs >= 2 times corpus-wide
+    marks its 8 positions as duplicated; per language, report how many
+    token positions sit inside some repeated substring. Differs from
+    q_boilerplate_lines (fixed non-overlapping 8-token blocks, >= 3
+    DISTINCT docs) in alignment and rule: sliding windows catch
+    repeats at ANY offset — the property suffix arrays give — and
+    within-corpus repetition counts even inside one document.
+
+    Scale shape: the suffix array itself doesn't distribute; the
+    equivalent join form does — window hashes (16-byte digests, text
+    never shuffles) group-count corpus-wide, the >=2 survivors
+    semi-join back, and position coverage is a bounded x8 fan-out +
+    distinct keyed on (doc, pos). Repeated-window skew is capped by
+    the fan-out being per-OCCURRENCE, not per-pair (the all-pairs
+    blow-up the suffix-array paper exists to avoid is avoided here by
+    never joining occurrences to each other)."""
+    c = catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    docs = c.documents.select(
+        "doc_id", "lang", toks.alias("toks")
+    )
+    kg = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - 7)
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), 8))
+        ).alias("h"),
+    )
+    rep = kg.groupBy("h").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= 2
+    ).select("h")
+    cov = (
+        kg.join(rep, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("o"),
+            "i",
+        )
+        .select("doc_id", (F.col("i") + F.col("o")).alias("pos"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_cov"))
+    )
+    return (
+        docs.select("doc_id", "lang", F.size("toks").alias("n_tok"))
+        .join(cov, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("n_cov"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.count(F.col("n_cov")).cast("bigint").alias("n_docs_hit"),
+            F.floor(
+                F.sum(F.coalesce(F.col("n_cov"), F.lit(0)))
+                * 1000000.0
+                / F.sum("n_tok")
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("covered_ppm"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_dup_growth_curve",
+    tags=("llm", "dedup", "stats"),
+    oracle="""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id + 1 AS rk,
+         md5(array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+  FROM documents
+), n AS (SELECT COUNT(*) AS n_docs FROM docs),
+first_seen AS MATERIALIZED (
+  SELECT h, MIN(rk) AS first_rk FROM docs GROUP BY h
+), ck AS (
+  SELECT k, CAST(FLOOR(n_docs * k / 10.0) AS BIGINT) AS cutoff
+  FROM n, unnest(generate_series(1, 10)) AS g(k)
+), curve AS (
+  SELECT k, cutoff,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen
+          WHERE first_rk <= cutoff) AS n_distinct
+  FROM ck
+)
+SELECT k, cutoff AS n_docs_cum, n_distinct,
+       cutoff - n_distinct AS n_dups,
+       CAST(FLOOR((cutoff - n_distinct) * 1000000.0 / cutoff + 0.5)
+            AS BIGINT) AS dup_ppm
+FROM curve
+""",
+)
+def q_dup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication growth curve: duplicate rate (under the canonical
+    permutation-proof key, q_dedup_canonical's signature — the fixture
+    has no byte-exact clones at sf0.01, but 54/500 canonical ones) at
+    10 cumulative corpus checkpoints. THE planning artifact for dedup
+    at scale: duplicate density grows superlinearly with corpus size
+    (every new doc can collide with everything before it), so the curve
+    tells you what dedup a 10x-larger crawl will face — sampling a
+    prefix and extrapolating linearly undercounts. doc_id is the
+    fixture's contiguous arrival order (rank = doc_id + 1, no sort).
+
+    Scale shape: q_heaps_law's checkpoint machinery — per-key
+    first-rank (key-space-sized, 16-byte digests) non-equi joins a
+    broadcast 10-row cutoff spine; 10 independent bounded aggregates,
+    no cumulative window, nothing single-partitions."""
+    c = catalog(spark, sf_dir)
+    canon = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("text", " "))), " "
+        )
+    )
+    docs = c.documents.select(
+        (F.col("doc_id") + 1).alias("rk"), canon.alias("h")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    spine = (
+        spark.range(1, 11)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "k",
+            F.floor(F.col("n_docs") * F.col("k") / 10.0)
+            .cast("bigint")
+            .alias("cutoff"),
+        )
+    )
+    first_seen = docs.groupBy("h").agg(F.min("rk").alias("first_rk"))
+    curve = (
+        first_seen.join(
+            F.broadcast(spine), F.col("first_rk") <= F.col("cutoff")
+        )
+        .groupBy("k", "cutoff")
+        .agg(F.count("*").cast("bigint").alias("n_distinct"))
+    )
+    return curve.select(
+        "k",
+        F.col("cutoff").alias("n_docs_cum"),
+        "n_distinct",
+        (F.col("cutoff") - F.col("n_distinct")).alias("n_dups"),
+        F.floor(
+            (F.col("cutoff") - F.col("n_distinct"))
+            * 1000000.0
+            / F.col("cutoff")
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )

@@ -21,6 +21,7 @@ NL_WHITELIST = {
     "q_dedup_threshold_sweep": "threshold grid (5 rows) x edge table",
     "q_dense_grid": "spine x type-domain cross is dimension-only",
     "q_heaps_law": "10-row constant checkpoint spine non-equi joined to vocab/doc rollups (bounded x10 fan-out)",
+    "q_dup_growth_curve": "10-row constant checkpoint spine non-equi joined to the key first-rank rollup (q_heaps_law class)",
     "q_isotonic_calibration": "minimax triple join on the 50-value quantity domain (corpus-independent)",
     "q_kendall_tau": "O(n^2) pairwise join on the 25-row brand rollup + 1-row count cross",
     "q_knn_cosine": "documented brute-force baseline; ANN siblings are the scale path",

@@ -19992,3 +19992,115 @@ def test_winnowing_matches_reference_selection(con):
     )
     mean_density = sum(d for *_, d in got.values()) / len(got)
     assert 300_000 <= mean_density <= 550_000
+
+
+def test_substring_dedup_coverage_matches_sliding_window_replay(con):
+    import hashlib
+
+    from collections import defaultdict
+
+    occurrences = defaultdict(int)
+    doc_grams = {}
+    meta = {}
+    for doc_id, lang, _, text, _ in _docs(con):
+        t = text.split(" ")
+        grams = [
+            hashlib.md5(" ".join(t[i : i + 8]).encode()).hexdigest()
+            for i in range(len(t) - 7)
+        ]
+        doc_grams[int(doc_id)] = grams
+        meta[int(doc_id)] = (lang, len(t))
+        for g in grams:
+            occurrences[g] += 1
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for d, grams in doc_grams.items():
+        lang, n_tok = meta[d]
+        covered = set()
+        for i, g in enumerate(grams):
+            if occurrences[g] >= 2:
+                covered.update(range(i, i + 8))
+        a = agg[lang]
+        a[0] += 1
+        a[1] += n_tok
+        a[2] += len(covered)
+        a[3] += bool(covered)
+    expect = {
+        lang: (
+            a[0],
+            a[1],
+            a[2],
+            a[3],
+            math.floor(a[2] * 1_000_000 / a[1] + 0.5),
+        )
+        for lang, a in agg.items()
+    }
+    got = {
+        r["lang"]: (
+            int(r["n_docs"]),
+            int(r["n_tokens"]),
+            int(r["n_covered"]),
+            int(r["n_docs_hit"]),
+            int(r["covered_ppm"]),
+        )
+        for _, r in oracle_df(con, "q_substring_dedup_coverage").iterrows()
+    }
+    assert got == expect
+    # the clone corpus guarantees repeated substrings somewhere, and
+    # covered positions can never exceed total positions
+    assert sum(v[2] for v in got.values()) > 0
+    for nd, nt, nc, nh, ppm in got.values():
+        assert nc <= nt and nh <= nd
+
+
+def test_dup_growth_curve_matches_canonical_first_seen(con):
+    import hashlib
+
+    docs = sorted(
+        (int(d), text) for d, _, _, text, _ in _docs(con)
+    )
+    n = len(docs)
+    cutoffs = [math.floor(n * k / 10.0) for k in range(1, 11)]
+    seen = set()
+    expect = []
+    ci = 0
+    for rank, (_, text) in enumerate(docs, start=1):
+        key = hashlib.md5(
+            " ".join(sorted(set(text.split(" ")))).encode()
+        ).hexdigest()
+        seen.add(key)
+        while ci < 10 and rank == cutoffs[ci]:
+            dups = rank - len(seen)
+            expect.append(
+                (
+                    ci + 1,
+                    rank,
+                    len(seen),
+                    dups,
+                    math.floor(dups * 1_000_000 / rank + 0.5),
+                )
+            )
+            ci += 1
+    got = sorted(
+        (
+            int(r["k"]),
+            int(r["n_docs_cum"]),
+            int(r["n_distinct"]),
+            int(r["n_dups"]),
+            int(r["dup_ppm"]),
+        )
+        for _, r in oracle_df(con, "q_dup_growth_curve").iterrows()
+    )
+    assert got == expect
+    # reconciliation with q_dedup_canonical's full-corpus count: the
+    # final checkpoint's n_distinct must equal the waterfall's
+    # after_canonical figure
+    full = con.execute(
+        """SELECT COUNT(DISTINCT md5(array_to_string(
+             list_sort(list_distinct(string_split(text,' '))), ' ')))
+           FROM documents"""
+    ).fetchone()[0]
+    assert got[-1][2] == full
+    # dup RATE is monotone non-decreasing on a clone-bearing corpus
+    # prefix ordered by arrival (each new doc can only add collisions)
+    rates = [r for *_, r in got]
+    assert rates[-1] > 0
