@@ -1468,3 +1468,87 @@ def q_dup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_ppm"),
     )
+
+
+@REGISTRY.register(
+    "q_dedup_incremental",
+    tags=("llm", "dedup", "dataops"),
+    oracle="""
+WITH keyed AS MATERIALIZED (
+  SELECT doc_id, lang,
+         md5(array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h,
+         doc_id % 2 = 1 AS is_arrival
+  FROM documents
+), index_keys AS MATERIALIZED (
+  SELECT DISTINCT h FROM keyed WHERE NOT is_arrival
+), arrivals AS MATERIALIZED (
+  SELECT k.doc_id, k.lang, k.h,
+         i.h IS NOT NULL AS dup_index,
+         ROW_NUMBER() OVER (PARTITION BY k.h ORDER BY k.doc_id) AS rn
+  FROM keyed k LEFT JOIN index_keys i USING (h)
+  WHERE k.is_arrival
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+       CAST(COUNT(*) FILTER (dup_index) AS BIGINT) AS n_dup_index,
+       CAST(COUNT(*) FILTER (NOT dup_index AND rn > 1) AS BIGINT)
+         AS n_dup_batch,
+       CAST(COUNT(*) FILTER (NOT dup_index AND rn = 1) AS BIGINT)
+         AS n_novel
+FROM arrivals GROUP BY lang
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (index-vs-batch) dedup — the nightly-ingest job: a
+    new arrival batch (doc_id odd, a deterministic 50/50 backfill
+    stand-in) dedups against the EXISTING corpus index first, then
+    within itself. Per arrival, three disjoint verdicts: duplicate of
+    an index key, intra-batch duplicate (first batch occurrence by
+    doc_id wins), or novel (these are what the index ingests). Keys are
+    q_dedup_canonical's permutation-proof signature. Per-language
+    census out — the three counts partition n_arrivals exactly.
+
+    Scale shape: the index is a DISTINCT-KEY table (16-byte digests,
+    not documents) — the production form is a bucketed/sorted key store
+    that new batches semi-join WITHOUT shuffling the index (arrivals
+    are small vs the corpus; broadcast or bucket-local join). Here both
+    phases key on the digest: one left join against index keys, one
+    windowed first-wins inside the batch (state bounded by batch size,
+    never corpus size). The corpus text itself is read once, map-side
+    hashed, and never shuffled."""
+    c = catalog(spark, sf_dir)
+    canon = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("text", " "))), " "
+        )
+    )
+    keyed = c.documents.select(
+        "doc_id",
+        "lang",
+        canon.alias("h"),
+        (F.col("doc_id") % 2 == 1).alias("is_arrival"),
+    )
+    index_keys = (
+        keyed.filter(~F.col("is_arrival")).select("h").distinct()
+        .withColumn("_in_index", F.lit(1))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    arrivals = (
+        keyed.filter(F.col("is_arrival"))
+        .join(index_keys, "h", "left")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    dup_index = F.col("_in_index").isNotNull()
+    return arrivals.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_arrivals"),
+        F.sum(F.when(dup_index, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_index"),
+        F.sum(F.when(~dup_index & (F.col("rn") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_batch"),
+        F.sum(F.when(~dup_index & (F.col("rn") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+    )

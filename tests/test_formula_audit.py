@@ -20104,3 +20104,91 @@ def test_dup_growth_curve_matches_canonical_first_seen(con):
     # prefix ordered by arrival (each new doc can only add collisions)
     rates = [r for *_, r in got]
     assert rates[-1] > 0
+
+
+def test_dedup_incremental_matches_index_batch_replay(con):
+    import hashlib
+
+    from collections import defaultdict
+
+    index_keys = set()
+    arrivals = []
+    for doc_id, lang, _, text, _ in sorted(
+        (int(d), l, s, t, n) for d, l, s, t, n in _docs(con)
+    ):
+        key = hashlib.md5(
+            " ".join(sorted(set(text.split(" ")))).encode()
+        ).hexdigest()
+        if doc_id % 2 == 1:
+            arrivals.append((doc_id, lang, key))
+        else:
+            index_keys.add(key)
+    seen_batch = set()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for _, lang, key in arrivals:  # doc_id order == first-wins order
+        a = agg[lang]
+        a[0] += 1
+        if key in index_keys:
+            a[1] += 1
+        elif key in seen_batch:
+            a[2] += 1
+        else:
+            a[3] += 1
+        seen_batch.add(key)
+    expect = {lang: tuple(a) for lang, a in agg.items()}
+    got = {
+        r["lang"]: (
+            int(r["n_arrivals"]),
+            int(r["n_dup_index"]),
+            int(r["n_dup_batch"]),
+            int(r["n_novel"]),
+        )
+        for _, r in oracle_df(con, "q_dedup_incremental").iterrows()
+    }
+    assert got == expect
+    # the three verdicts partition the batch exactly
+    for na, di, db, nv in got.values():
+        assert na == di + db + nv
+    # every category fires somewhere on the 50/50 split of the
+    # clone-bearing fixture
+    assert sum(v[1] for v in got.values()) > 0
+    assert sum(v[2] for v in got.values()) > 0
+    assert sum(v[3] for v in got.values()) > 0
+
+
+def test_boilerplate_positions_subset_of_substring_coverage(con):
+    """Cross-operator law: every token position inside a FULL 8-token
+    boilerplate block (q_boilerplate_lines: fixed-aligned, >= 3 distinct
+    docs) is also covered by q_substring_dedup_coverage's sliding >= 2
+    rule — the aligned occurrence is one of the sliding windows, and a
+    >=3-doc repeat is a fortiori a >=2 repeat. (Short final blocks are
+    exempt: no 8-token sliding window exists there.)"""
+    import hashlib
+
+    from collections import defaultdict
+
+    block_docs = defaultdict(set)
+    sliding_count = defaultdict(int)
+    docs = [(int(d), t.split(" ")) for d, _, _, t, _ in _docs(con)]
+    for d, toks in docs:
+        for i in range(math.ceil(len(toks) / 8)):
+            blk = toks[i * 8 : (i + 1) * 8]
+            block_docs[hashlib.md5(" ".join(blk).encode()).hexdigest()].add(d)
+        for i in range(len(toks) - 7):
+            sliding_count[
+                hashlib.md5(" ".join(toks[i : i + 8]).encode()).hexdigest()
+            ] += 1
+    checked = 0
+    for d, toks in docs:
+        covered = set()
+        for i in range(len(toks) - 7):
+            h = hashlib.md5(" ".join(toks[i : i + 8]).encode()).hexdigest()
+            if sliding_count[h] >= 2:
+                covered.update(range(i, i + 8))
+        for i in range(len(toks) // 8):  # FULL blocks only
+            blk = toks[i * 8 : (i + 1) * 8]
+            h = hashlib.md5(" ".join(blk).encode()).hexdigest()
+            if len(block_docs[h]) >= 3:
+                assert set(range(i * 8, i * 8 + 8)) <= covered, (d, i)
+                checked += 1
+    assert checked > 0  # the law is exercised, not vacuous
