@@ -1493,3 +1493,305 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         (F.col("true_label") == F.col("predicted_label")).alias("correct"),
     )
+
+
+@REGISTRY.register(
+    "q_embed_pq",
+    tags=("llm", "similarity", "vector"),
+    oracle="""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), sub AS MATERIALIZED (
+  SELECT vec_id, label, s, e[(s*8+1):(s*8+8)] AS sv
+  FROM v, unnest(generate_series(0, 7)) AS t(s)
+), cents AS MATERIALIZED (
+  SELECT s, vec_id AS cent_id, sv AS cv FROM sub WHERE vec_id % 61 = 0
+), scored AS MATERIALIZED (
+  SELECT a.vec_id, a.label, a.s, c.cent_id,
+         list_sum(list_transform(generate_series(1, 8),
+                  i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))) AS d2
+  FROM sub a JOIN cents c USING (s)
+), best AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(FLOOR(d2 * 1000000 + 0.5) AS BIGINT) AS d2_micro
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cent_id) AS rn
+        FROM scored) WHERE rn = 1
+), per_vec AS MATERIALIZED (
+  SELECT vec_id, any_value(label) AS label,
+         CAST(SUM(d2_micro) AS BIGINT) AS err_micro
+  FROM best GROUP BY vec_id
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(err_micro) AS BIGINT) AS sum_err_micro,
+       CAST(FLOOR(CAST(SUM(err_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS mean_err_micro
+FROM per_vec GROUP BY label
+""",
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011, the FAISS IVF-PQ
+    compression): split each 64-dim vector into 8 subvectors of 8 dims,
+    quantize each against a per-subspace codebook (training-free
+    deterministic centroids — the stride-61 vectors' subvectors, the
+    q_knn_ivf reproducibility design), and report per-label
+    reconstruction error. 8 codes x 1 byte vs 64 floats = 32x
+    compression; the error census is the quality side of that trade.
+
+    Parity discipline: the subvector L2 is folded in index order on
+    both engines (zip_with + ordered fold vs list_sum/list_transform),
+    quantized to integer micro-units PER SUBSPACE before any
+    cross-subspace or cross-vector summation — so no float summation
+    order exists past the single-expression fold.
+
+    Scale shape: the subspace explode is map-side (x8); codebooks are
+    per-subspace EQUI-joined (key = s, fan-out = codebook size — never
+    a cross join); argmin per (vec, subspace) and the label census are
+    the only shuffles, both on uniform keys. At production scale the
+    codebook is trained k-means (swap the cents DataFrame), assignment
+    stays identical."""
+    c = catalog(spark, sf_dir)
+    e = _as_double("embedding")
+    v = c.embeddings.select("vec_id", "label", e.alias("e"))
+    sub = v.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"),
+        "e",
+    ).select(
+        "vec_id",
+        "label",
+        "s",
+        F.slice(F.col("e"), F.col("s") * 8 + 1, 8).alias("sv"),
+    )
+    cents = sub.filter(F.col("vec_id") % 61 == 0).select(
+        "s", F.col("vec_id").alias("cent_id"), F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "cent_id")
+    best = (
+        sub.join(cents, "s")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.floor(F.col("d2") * 1000000 + 0.5)
+            .cast("bigint")
+            .alias("d2_micro"),
+        )
+    )
+    per_vec = best.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        F.sum("d2_micro").cast("bigint").alias("err_micro"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum("err_micro").cast("bigint").alias("sum_err_micro"),
+        F.floor(F.sum("err_micro").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("mean_err_micro"),
+    )
+
+
+@REGISTRY.register(
+    "q_embed_truncation_recall",
+    tags=("llm", "similarity", "vector"),
+    oracle="""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS MATERIALIZED (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm64,
+         sqrt(list_sum(list_transform(e[1:16], x -> x * x))) AS nrm16
+  FROM v
+), anchors AS (SELECT * FROM n WHERE vec_id < 8),
+scored AS MATERIALIZED (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+         list_sum(list_transform(generate_series(1, 64),
+                  i -> a.e[i] * b.e[i])) / (a.nrm64 * b.nrm64) AS cos64,
+         list_sum(list_transform(generate_series(1, 16),
+                  i -> a.e[i] * b.e[i])) / (a.nrm16 * b.nrm16) AS cos16
+  FROM anchors a JOIN n b ON a.vec_id <> b.vec_id
+), top64 AS (
+  SELECT anchor_id, cand_id FROM (
+    SELECT anchor_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY cos64 DESC, cand_id) rn
+    FROM scored) WHERE rn <= 5
+), top16 AS (
+  SELECT anchor_id, cand_id FROM (
+    SELECT anchor_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY cos16 DESC, cand_id) rn
+    FROM scored) WHERE rn <= 5
+)
+SELECT t64.anchor_id,
+       CAST(COUNT(t16.cand_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(t16.cand_id) * 200000 AS BIGINT) AS recall_ppm
+FROM top64 t64 LEFT JOIN top16 t16 USING (anchor_id, cand_id)
+GROUP BY t64.anchor_id
+""",
+)
+def q_embed_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall audit (the Matryoshka/MRL question:
+    can you search on the first 16 of 64 dims?): per anchor, top-5 by
+    full-dim cosine vs top-5 by 16-dim-prefix cosine, recall = overlap
+    / 5. Random fixture embeddings are NOT trained for truncation, so
+    the measured recall is LOW — which is the audit's point: run this
+    before enabling truncated search; MRL-trained embeddings score
+    high, untrained ones don't, and the operator is how you tell.
+
+    Scale shape: the 8-anchor probe is the reviewed bounded brute-force
+    class (q_knn_cosine baseline); both rank windows partition by
+    anchor. One scored pass feeds BOTH rankings (the 16-dim cosine is a
+    prefix fold of the same rows) — at corpus scale the candidate set
+    comes from the ANN path (q_knn_lsh/q_knn_ivf) and this audit runs
+    over candidates only."""
+    c = catalog(spark, sf_dir)
+    e = _as_double("embedding")
+    n = c.embeddings.select(
+        "vec_id",
+        e.alias("e"),
+        _norm(e).alias("nrm64"),
+        _norm(F.slice(e, 1, 16)).alias("nrm16"),
+    )
+    a = n.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("e").alias("e_a"),
+        F.col("nrm64").alias("a64"),
+        F.col("nrm16").alias("a16"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("e_b"),
+        F.col("nrm64").alias("b64"),
+        F.col("nrm16").alias("b16"),
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            (
+                _dot(F.col("e_a"), F.col("e_b"))
+                / (F.col("a64") * F.col("b64"))
+            ).alias("cos64"),
+            (
+                _dot(F.slice("e_a", 1, 16), F.slice("e_b", 1, 16))
+                / (F.col("a16") * F.col("b16"))
+            ).alias("cos16"),
+        )
+    )
+    w64 = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos64").desc(), "cand_id"
+    )
+    w16 = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos16").desc(), "cand_id"
+    )
+    top64 = (
+        scored.withColumn("rn", F.row_number().over(w64))
+        .filter(F.col("rn") <= 5)
+        .select("anchor_id", "cand_id")
+    )
+    top16 = (
+        scored.withColumn("rn", F.row_number().over(w16))
+        .filter(F.col("rn") <= 5)
+        .select("anchor_id", "cand_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        top64.join(top16, ["anchor_id", "cand_id"], "left")
+        .groupBy("anchor_id")
+        .agg(
+            F.count(F.col("_hit")).cast("bigint").alias("n_overlap"),
+            (F.count(F.col("_hit")) * 200000)
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+@REGISTRY.register(
+    "q_hard_negatives",
+    tags=("llm", "similarity", "vector"),
+    oracle="""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS MATERIALIZED (
+  SELECT vec_id, label, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+), anchors AS (SELECT * FROM n WHERE vec_id < 8)
+SELECT anchor_id, rn AS rank, cand_id, cos_sim FROM (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+               i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           ORDER BY list_sum(list_transform(generate_series(1, 64),
+                    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) DESC,
+                    b.vec_id) AS rn
+  FROM anchors a JOIN n b ON a.label <> b.label)
+WHERE rn <= 3
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-3 most-similar vectors with a DIFFERENT label — the negatives
+    that actually teach a bi-encoder something (random negatives are
+    trivially separable; the hard ones sit near the decision boundary).
+    Deterministic (cosine DESC, vec_id) ranking, 6dp-rounded scores.
+
+    Scale shape: the 8-anchor probe x corpus non-equi (label <>) join
+    is the reviewed bounded brute-force class; per-anchor rank windows.
+    In production the anchor batch is the training batch (hundreds),
+    candidates come from the ANN index (q_knn_lsh buckets), and the
+    label-exclusion filter rides the candidate join — identical
+    ranking logic over a pruned candidate set."""
+    c = catalog(spark, sf_dir)
+    e = _as_double("embedding")
+    n = c.embeddings.select(
+        "vec_id", "label", e.alias("e"), _norm(e).alias("nrm")
+    )
+    a = n.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("label_a"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_cos").desc(), "cand_id"
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("label_a") != F.col("label_b"))
+        .withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "anchor_id",
+            "rank",
+            "cand_id",
+            F.round(F.col("_cos"), 6).alias("cos_sim"),
+        )
+    )

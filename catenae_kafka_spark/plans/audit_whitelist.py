@@ -27,6 +27,8 @@ NL_WHITELIST = {
     "q_knn_cosine": "documented brute-force baseline; ANN siblings are the scale path",
     "q_knn_ivf": "probe x nearest-centroid shortlist; centroid table bounded by k",
     "q_knn_label_vote": "brute-force probe (20 rows) x corpus, same reviewed baseline as q_knn_cosine",
+    "q_embed_truncation_recall": "8-anchor bounded probe x corpus (q_knn_cosine reviewed baseline); production runs it over ANN candidates",
+    "q_hard_negatives": "8-anchor bounded probe x corpus with label-exclusion residual (q_knn_label_vote class)",
     "q_lang_tvd": "k(k-1)/2 language-pair table broadcast (non-equi, domain-bounded)",
     "q_ndcg_at5": "bounded knn probe (q_knn_cosine baseline) + 5-row constant discount table non-equi join",
     "q_negative_sampling": "anchor-slice x label-table non-equi join; bounded by the 1/11 anchor slice (pre-bucketed sampling at corpus scale, see docstring)",

@@ -20373,3 +20373,116 @@ def test_winnowing_shared_substring_guarantee(con):
             assert fingerprints(ta) & fingerprints(tb), (a, b)
             checked += 1
     assert checked > 0
+
+
+def test_embed_pq_matches_numpy_replay_and_codebook_monotonicity(con):
+    import numpy as np
+
+    from collections import defaultdict
+
+    rows = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows])
+    labels = [int(r[1]) for r in rows]
+    E = np.array([[float(x) for x in r[2]] for r in rows])
+
+    def pq_err_micro(stride):
+        cmask = ids % stride == 0
+        per_vec = np.zeros(len(ids), dtype=np.int64)
+        for s in range(8):
+            sv = E[:, s * 8 : (s + 1) * 8]
+            cv = sv[cmask]
+            d2 = ((sv[:, None, :] - cv[None, :, :]) ** 2).sum(axis=2)
+            # argmin with tie-break toward the smaller cent_id: columns
+            # are ascending by vec_id, np.argmin takes the first min
+            best = d2[np.arange(len(ids)), np.argmin(d2, axis=1)]
+            per_vec += np.floor(best * 1_000_000 + 0.5).astype(np.int64)
+        return per_vec
+
+    err61 = pq_err_micro(61)
+    agg = defaultdict(lambda: [0, 0])
+    for lab, err in zip(labels, err61):
+        agg[lab][0] += 1
+        agg[lab][1] += int(err)
+    expect = {
+        lab: (n, s, s // n) for lab, (n, s) in agg.items()
+    }
+    got = {
+        int(r["label"]): (
+            int(r["n_vectors"]),
+            int(r["sum_err_micro"]),
+            int(r["mean_err_micro"]),
+        )
+        for _, r in oracle_df(con, "q_embed_pq").iterrows()
+    }
+    assert got == expect
+    # quantization law: a FINER codebook (stride 31 -> superset of the
+    # stride-62 multiples, and more centroids than stride 61) can only
+    # reduce every vector's reconstruction error when its codebook is a
+    # superset; compare stride 61 against its strict refinement by
+    # adding the stride-31 centroids is not nested, so assert the
+    # corpus-level direction instead: more centroids -> lower total err
+    err31 = pq_err_micro(31)
+    assert err31.sum() < err61.sum()
+
+
+def test_embed_truncation_recall_matches_numpy_topk(con):
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows])
+    E = np.array([[float(x) for x in r[1]] for r in rows])
+    n64 = np.sqrt((E * E).sum(axis=1))
+    E16 = E[:, :16]
+    n16 = np.sqrt((E16 * E16).sum(axis=1))
+
+    def top5(anchor_idx, M, nrm):
+        cos = (M @ M[anchor_idx]) / (nrm * nrm[anchor_idx])
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[anchor_idx]),
+            key=lambda i: (-cos[i], ids[i]),
+        )
+        return {int(ids[i]) for i in order[:5]}
+
+    got = {
+        int(r["anchor_id"]): (int(r["n_overlap"]), int(r["recall_ppm"]))
+        for _, r in oracle_df(con, "q_embed_truncation_recall").iterrows()
+    }
+    for a in range(8):
+        ai = int(np.where(ids == a)[0][0])
+        ov = len(top5(ai, E, n64) & top5(ai, E16, n16))
+        assert got[a] == (ov, ov * 200_000)
+    # recall is a fraction of 5
+    assert all(0 <= o <= 5 for o, _ in got.values())
+
+
+def test_hard_negatives_matches_numpy_ranking(con):
+    import numpy as np
+
+    rows = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows])
+    labels = np.array([int(r[1]) for r in rows])
+    E = np.array([[float(x) for x in r[2]] for r in rows])
+    nrm = np.sqrt((E * E).sum(axis=1))
+    got = {}
+    for _, r in oracle_df(con, "q_hard_negatives").iterrows():
+        got[(int(r["anchor_id"]), int(r["rank"]))] = (
+            int(r["cand_id"]),
+            float(r["cos_sim"]),
+        )
+    for a in range(8):
+        ai = int(np.where(ids == a)[0][0])
+        cos = (E @ E[ai]) / (nrm * nrm[ai])
+        cands = [i for i in range(len(ids)) if labels[i] != labels[ai]]
+        order = sorted(cands, key=lambda i: (-cos[i], ids[i]))[:3]
+        for rk, i in enumerate(order, start=1):
+            cid, cs = got[(a, rk)]
+            assert cid == int(ids[i])
+            assert abs(cs - cos[i]) < 1e-5
+            # a hard negative really is a different class
+            assert labels[i] != labels[ai]
