@@ -776,3 +776,106 @@ def test_key_bound_filter_requires_top_level_conjunct(spark):
             if " OR " not in c and not c.startswith("NOT")
         ]
         assert all(not _KEY_BOUND_RE.search(c) for c in kept), cond
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operators: positive plan-shape pins (the global plan_audit bans
+# anti-patterns; these assert each new op's DESIGNED shape is what runs).
+# ---------------------------------------------------------------------------
+
+
+def test_quality_gopher_is_pure_row_expressions(spark):
+    """All five Gopher rules must evaluate as per-row array expressions:
+    no explode (Generate) and no join anywhere before the census agg."""
+    from catenae_kafka_spark.operators.llm_text import q_quality_gopher
+
+    plan = plan_of(q_quality_gopher(spark, SF))
+    assert "Generate" not in plan
+    assert "Join" not in plan
+
+
+def test_span_corruption_single_explode_no_join(spark):
+    """The mask plan is one positions-explode + census: closed-form LCG
+    means no window, no self-join, no second pass."""
+    from catenae_kafka_spark.operators.llm_corpus import q_span_corruption
+
+    plan = plan_of(q_span_corruption(spark, SF))
+    # one Generate NODE (the formatted plan names each node twice:
+    # once in the tree, once in the numbered detail section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_url_canonicalize_joinless_map_work(spark):
+    """The canonicalization chain is map-side string work; the only wide
+    operation is the final canonical-URL aggregate."""
+    from catenae_kafka_spark.operators.llm_corpus import q_url_canonicalize
+
+    plan = plan_of(q_url_canonicalize(spark, SF))
+    assert "Join" not in plan
+    assert "partial_count" in plan  # two-phase census
+
+
+def test_semdedup_pair_join_keys_on_cluster_never_cartesian(spark):
+    """Assignment is the whitelisted centroid broadcast; the PAIR join
+    must be an equi join on cluster_id (in-cluster only, never
+    all-pairs)."""
+    from catenae_kafka_spark.operators.llm_dedup import q_semdedup
+
+    plan = plan_of(q_semdedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the in-cluster pair join keys on the cluster column
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        plan.count("BroadcastHashJoin") >= 1
+    )
+
+
+def test_boilerplate_and_incremental_shuffle_digests(spark):
+    """Both dedup passes key every exchange on the md5 digest column —
+    document text must never be a shuffle key."""
+    from catenae_kafka_spark.operators.llm_corpus import q_boilerplate_lines
+    from catenae_kafka_spark.operators.llm_dedup import q_dedup_incremental
+
+    for fn in (q_boilerplate_lines, q_dedup_incremental):
+        plan = plan_of(fn(spark, SF))
+        assert "hashpartitioning(h#" in plan, fn.__name__
+        assert "hashpartitioning(text" not in plan, fn.__name__
+
+
+def test_substring_coverage_semi_joins_survivors(spark):
+    """The >=2 survivors come back via a semi join (occurrences never
+    pair with each other), and the position fan-out is bounded."""
+    from catenae_kafka_spark.operators.llm_dedup import (
+        q_substring_dedup_coverage,
+    )
+
+    plan = plan_of(q_substring_dedup_coverage(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_checkpoint_spine_ops_broadcast_the_spine(spark):
+    """Heaps/dup-curve checkpoints are a broadcast 10-row spine non-equi
+    join — never a shuffled or cartesian product of data with data."""
+    from catenae_kafka_spark.operators.llm_dedup import q_dup_growth_curve
+    from catenae_kafka_spark.operators.llm_text import q_heaps_law
+
+    for fn in (q_heaps_law, q_dup_growth_curve):
+        plan = plan_of(fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_embed_pq_codebook_is_equi_join(spark):
+    """PQ assignment joins vectors to codebooks ON THE SUBSPACE KEY —
+    an equi join with codebook-sized fan-out, not a nested loop (the
+    property that separates it from the brute-force whitelist class)."""
+    from catenae_kafka_spark.operators.llm_similarity import q_embed_pq
+
+    plan = plan_of(q_embed_pq(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
