@@ -20486,3 +20486,89 @@ def test_hard_negatives_matches_numpy_ranking(con):
             assert abs(cs - cos[i]) < 1e-5
             # a hard negative really is a different class
             assert labels[i] != labels[ai]
+
+
+# ---------------------------------------------------------------------------
+# Batch 81: cross-ORACLE reconciliations — independently-written oracles
+# over the same underlying quantities must agree exactly (a formula error
+# in either one breaks the identity even though each passes its own
+# Spark-parity check).
+# ---------------------------------------------------------------------------
+
+
+def test_dup_curve_endpoint_reconciles_with_waterfall_oracle(con):
+    """q_dup_growth_curve's final checkpoint and q_dedup_waterfall's
+    canonical tier were written independently (md5-of-sorted-tokens vs
+    COUNT DISTINCT of the raw canonical string) — their counts must
+    coincide."""
+    curve = oracle_df(con, "q_dup_growth_curve").sort_values("k")
+    wf = oracle_df(con, "q_dedup_waterfall").iloc[0]
+    assert int(curve["n_distinct"].iloc[-1]) == int(wf["after_canonical"])
+    assert int(curve["n_docs_cum"].iloc[-1]) == int(wf["n_docs"])
+    assert int(curve["n_dups"].iloc[-1]) == int(wf["n_docs"]) - int(
+        wf["after_canonical"]
+    )
+
+
+def test_mixture_temperature_reconciles_with_dataset_card_and_token_count(con):
+    """Three oracles count whitespace tokens through different paths
+    (per-source sums, one corpus total, per-language sums) — all must
+    agree on the corpus total."""
+    mix = oracle_df(con, "q_mixture_temperature")
+    card = oracle_df(con, "q_dataset_card").iloc[0]
+    tok = oracle_df(con, "q_token_count")
+    assert int(mix["avail_tokens"].sum()) == int(card["n_tokens"])
+    assert int(tok["ws_tokens"].sum()) == int(card["n_tokens"])
+    # and source cardinality agrees
+    assert len(mix) == int(card["n_sources"])
+
+
+def test_language_census_agrees_across_five_oracles(con):
+    """Per-language doc counts appear in five independently-written
+    oracles (gopher census, text stats, token count, boilerplate,
+    span corruption) — one census, five derivations."""
+    refs = {
+        r["lang"]: int(r["n_docs"])
+        for _, r in oracle_df(con, "q_text_stats").iterrows()
+    }
+    for q in (
+        "q_quality_gopher",
+        "q_token_count",
+        "q_boilerplate_lines",
+        "q_span_corruption",
+    ):
+        got = {
+            r["lang"]: int(r["n_docs"])
+            for _, r in oracle_df(con, q).iterrows()
+        }
+        assert got == refs, q
+    # and they sum to the dataset card's corpus count
+    card = oracle_df(con, "q_dataset_card").iloc[0]
+    assert sum(refs.values()) == int(card["n_docs"])
+
+
+def test_heaps_grams_reconcile_with_winnowing_kgram_totals(con):
+    """q_heaps_law's final grams_cum counts bigram TOKENS (n-1 per doc);
+    q_winnowing_fingerprint's n_kgrams counts trigram tokens (n-2 per
+    doc). Both derive from the same doc lengths: sum(bigrams) -
+    sum(trigrams) must equal the document count."""
+    heaps = oracle_df(con, "q_heaps_law").sort_values("k")
+    win = oracle_df(con, "q_winnowing_fingerprint")
+    n_docs = int(heaps["n_docs_cum"].iloc[-1])
+    assert len(win) == n_docs
+    assert int(heaps["grams_cum"].iloc[-1]) - int(win["n_kgrams"].sum()) == n_docs
+
+
+def test_substring_tokens_reconcile_with_text_stats(con):
+    """q_substring_dedup_coverage's per-language token totals must match
+    q_text_stats' avg_words * n_docs accounting (independent paths to
+    the same whitespace tokenization)."""
+    cov = {
+        r["lang"]: (int(r["n_docs"]), int(r["n_tokens"]))
+        for _, r in oracle_df(con, "q_substring_dedup_coverage").iterrows()
+    }
+    tok = {
+        r["lang"]: int(r["ws_tokens"])
+        for _, r in oracle_df(con, "q_token_count").iterrows()
+    }
+    assert {k: v[1] for k, v in cov.items()} == tok
