@@ -1207,14 +1207,19 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles as that path's ground truth."""
     c = catalog(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
+    # guard: sequence(1, n<=0) is DESCENDING in Spark (the oracle's
+    # generate_series is empty) — sub-3-token docs contribute nothing
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat_ws(
             " ",
             F.try_element_at(toks, i),
             F.try_element_at(toks, i + 1),
             F.try_element_at(toks, i + 2),
         ),
+    )
+    grams = F.when(F.size(toks) >= 3, trigrams).otherwise(
+        F.expr("CAST(array() AS array<string>)")
     )
     sh = (
         c.documents.select("source", F.explode(grams).alias("g"))

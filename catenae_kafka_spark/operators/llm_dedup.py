@@ -1331,11 +1331,15 @@ def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = c.documents.select(
         "doc_id", "lang", toks.alias("toks")
     )
+    # guard: sequence(1, n<=0) is DESCENDING in Spark (the oracle's
+    # generate_series is empty) — sub-8-token docs yield no windows
+    # and still reach the census via the left join's COALESCE(0)
+    positions = F.when(
+        F.size("toks") >= 8, F.sequence(F.lit(1), F.size("toks") - 7)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     kg = docs.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.size("toks") - 7)
-        ).alias("i"),
+        F.explode(positions).alias("i"),
         "toks",
     ).select(
         "doc_id",

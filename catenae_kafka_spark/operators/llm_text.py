@@ -1594,11 +1594,17 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1.0
         / n_words
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n_words - 1),
+    # guard: sequence(1, n<=0) is DESCENDING in Spark (the oracle's
+    # generate_series is empty) — a 1-token doc has no bigrams and a
+    # dup fraction pinned at 1.0 - 0/1 = 1.0 on both engines
+    bigrams_raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
         lambda i: F.concat_ws(
             " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
         ),
+    )
+    bigrams = F.when(n_words >= 2, bigrams_raw).otherwise(
+        F.expr("CAST(array() AS array<string>)")
     )
     dup_bigram_frac = 1.0 - F.size(F.array_distinct(bigrams)) * 1.0 / (
         F.greatest(n_words - 1, F.lit(1))
@@ -1677,10 +1683,14 @@ first_seen AS MATERIALIZED (
           WHERE first_rk <= cutoff) AS vocab_cum
   FROM ck
 ), fit AS (
-  SELECT ROUND((COUNT(*) * SUM(lx*ly) - SUM(lx)*SUM(ly))
-               / (COUNT(*) * SUM(lx*lx) - SUM(lx)*SUM(lx)), 6)
-           AS heaps_beta
-  FROM (SELECT ln(grams_cum) AS lx, ln(vocab_cum) AS ly FROM curve)
+  -- integer micro-unit OLS: quantize each ln term, sum in BIGINT
+  -- (order-independent), divide once — mirrors the Spark side op-for-op
+  SELECT FLOOR(CAST(COUNT(*) * SUM(lxu*lyu) - SUM(lxu)*SUM(lyu) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(lxu*lxu) - SUM(lxu)*SUM(lxu) AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS heaps_beta
+  FROM (SELECT CAST(FLOOR(ln(grams_cum) * 1000000 + 0.5) AS BIGINT) AS lxu,
+               CAST(FLOOR(ln(vocab_cum) * 1000000 + 0.5) AS BIGINT) AS lyu
+        FROM curve)
 )
 SELECT k, cutoff AS n_docs_cum, grams_cum, vocab_cum, heaps_beta
 FROM curve CROSS JOIN fit
@@ -1706,11 +1716,17 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelize perfectly; nothing ever single-partitions."""
     c = catalog(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+    # guard: sequence(1, n<=0) is DESCENDING in Spark (the oracle's
+    # generate_series is empty) — a 1-token doc contributes no bigrams
+    # and n_gram = 0, matching the oracle's len(toks) - 1
+    bigrams_raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
         lambda i: F.concat_ws(
             " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
         ),
+    )
+    bigrams = F.when(F.size(toks) >= 2, bigrams_raw).otherwise(
+        F.expr("CAST(array() AS array<string>)")
     )
     docs = c.documents.select(
         (F.col("doc_id") + 1).alias("rk"), bigrams.alias("grams")
@@ -1748,16 +1764,36 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("vocab_cum"))
     )
     curve = grams_cum.join(vocab_cum, "k")
-    lx = F.log(F.col("grams_cum"))
-    ly = F.log(F.col("vocab_cum"))
-    fit = curve.agg(
-        F.round(
+    # OLS slope from INTEGER micro-unit sums: ln() per row is one IEEE
+    # op on identical BIGINTs (portable), but a float SUM of the ln
+    # terms is aggregation-order-dependent — quantize each term to
+    # micro-units first so the sums are exact BIGINTs in any order,
+    # then divide once (the q_embed_centroids discipline). Slope is
+    # invariant to scaling both axes by 1e6, so beta is unchanged up
+    # to the 1e-6 quantization of each ln term.
+    lxu = F.floor(F.log(F.col("grams_cum")) * 1e6 + F.lit(0.5)).cast("bigint")
+    lyu = F.floor(F.log(F.col("vocab_cum")) * 1e6 + F.lit(0.5)).cast("bigint")
+    fit = (
+        curve.agg(
+            F.count("*").alias("_n"),
+            F.sum(lxu * lyu).alias("_sxy"),
+            F.sum(lxu).alias("_sx"),
+            F.sum(lyu).alias("_sy"),
+            F.sum(lxu * lxu).alias("_sxx"),
+        )
+        .select(
             (
-                F.count("*") * F.sum(lx * ly) - F.sum(lx) * F.sum(ly)
-            )
-            / (F.count("*") * F.sum(lx * lx) - F.sum(lx) * F.sum(lx)),
-            6,
-        ).alias("heaps_beta")
+                F.floor(
+                    (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+                    .cast("double")
+                    / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+                    .cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("heaps_beta")
+        )
     )
     return curve.crossJoin(F.broadcast(fit)).select(
         "k",
@@ -1826,16 +1862,15 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = catalog(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     n_kg = F.size(toks) - 2
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.try_element_at(toks, i),
-        F.try_element_at(toks, i + 1),
-        F.try_element_at(toks, i + 2),
-    )
+    # guard: sequence(1, n<=0) is DESCENDING in Spark (the oracle's
+    # generate_series is empty) — sub-3-token docs have no k-grams
+    positions = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(1), n_kg)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     kg = c.documents.select(
         "doc_id",
         n_kg.alias("n_kg"),
-        F.explode(F.sequence(F.lit(1), n_kg)).alias("i"),
+        F.explode(positions).alias("i"),
         toks.alias("_toks"),
     ).select(
         "doc_id",

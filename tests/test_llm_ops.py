@@ -325,3 +325,72 @@ def test_lsh_and_ivf_recall_on_planted_clusters(spark):
     ivf_recall = len(exact & ivf) / len(exact)
     assert lsh_recall >= 0.9, f"LSH recall on planted clusters: {lsh_recall:.2f}"
     assert ivf_recall >= 0.9, f"IVF recall on planted clusters: {ivf_recall:.2f}"
+
+
+def test_short_doc_shingle_guards_match_oracle(spark, tmp_path):
+    """Docs SHORTER than the shingle width must contribute an EMPTY gram
+    set, exactly like the oracle's generate_series(1, n<=0) -> empty.
+    Unguarded, Spark's sequence(1, 0) yields the DESCENDING [1, 0] and
+    try_element_at(toks, 0) throws INVALID_INDEX_OF_ZERO — the fixture
+    never exercises this (>=10 tokens everywhere), so this synthetic
+    corpus with 1/2/3/7-token docs pins the guard (ADVICE r8)."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "the quick brown fox jumps over the lazy dog now",
+        "one",  # 1 token: no bigrams, no trigrams, no 8-grams
+        "two tokens",  # 2 tokens: bigram but no trigram
+        "just three tokens",  # 3 tokens: trigram but no 4-gram window
+        "alpha beta gamma delta epsilon zeta eta",  # 7 < 8-gram width
+        "red green blue cyan magenta yellow black white grey pink",
+        "north south east west up down left right in out",
+        "one two three four five six seven eight nine ten",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "be or not to be",
+        "spark duck row col sum min max avg count join",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en", "de", "fr", "en", "de", "fr"] * 2,
+            "source": ["src0", "src1", "src2", "src0", "src1", "src2"] * 2,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    path = tmp_path / "documents.parquet"
+    docs.to_parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+
+    from catenae_kafka_spark.registry import all_specs
+
+    specs = all_specs()
+    for name in (
+        "q_source_overlap",
+        "q_substring_dedup_coverage",
+        "q_quality_gopher",
+        "q_heaps_law",
+        "q_winnowing_fingerprint",
+    ):
+        sdf = specs[name].fn(spark, str(tmp_path)).toPandas()
+        odf = con.execute(specs[name].oracle).fetchdf()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(odf.columns), name
+
+        def norm(df):
+            out = []
+            for row in df[cols].itertuples(index=False):
+                out.append(
+                    tuple(
+                        f"{v:.6f}" if isinstance(v, float) else str(v)
+                        for v in row
+                    )
+                )
+            return sorted(out)
+
+        assert norm(sdf) == norm(odf), name

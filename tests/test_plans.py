@@ -821,16 +821,28 @@ def test_url_canonicalize_joinless_map_work(spark):
 
 def test_semdedup_pair_join_keys_on_cluster_never_cartesian(spark):
     """Assignment is the whitelisted centroid broadcast; the PAIR join
-    must be an equi join on cluster_id (in-cluster only, never
-    all-pairs)."""
+    must be an equi join ON THE CLUSTER COLUMN (in-cluster only, never
+    all-pairs) — asserting the join KEY, not just that some hash join
+    exists somewhere (the assignment join alone satisfied the old
+    check, so a pair-stage regression to an all-pairs nested loop
+    could hide behind it — ADVICE r8)."""
+    import re
+
     from catenae_kafka_spark.operators.llm_dedup import q_semdedup
 
     plan = plan_of(q_semdedup(spark, SF))
     assert "CartesianProduct" not in plan
-    # the in-cluster pair join keys on the cluster column
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
-        plan.count("BroadcastHashJoin") >= 1
-    )
+    # the pair stage is a hash/sort-merge EQUI join keyed on cl (the
+    # renamed cluster_id) on both sides
+    assert re.search(r"Left keys \[1\]: \[cl#\d+", plan), plan[:2000]
+    assert re.search(r"Right keys \[1\]: \[cl#\d+", plan)
+    # every nested-loop node in the plan is the whitelisted
+    # centroid-broadcast CROSS (assignment); a pair-stage fallback
+    # would surface as an Inner BNLJ with the cosine condition
+    tree_types = re.findall(r"BroadcastNestedLoopJoin (\w+) Build", plan)
+    n_nodes = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert len(tree_types) == n_nodes
+    assert set(tree_types) == {"Cross"}, tree_types
 
 
 def test_boilerplate_and_incremental_shuffle_digests(spark):
