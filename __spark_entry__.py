@@ -38,6 +38,14 @@ _REVERIFY_FROM_ROUND = {
     "q_rle_compressibility": 6,  # eqNullSafe run-boundary fix, round 6
     "q_embed_centroids": 6,  # integer-micro centroid rewrite, round 6
     "q_tpch_q2": 6,  # best_cost -> integer e4 units, round 6
+    # round-9 short-doc guards + heaps integer-micro OLS (no prior
+    # driver rows exist for these, but record the rewrite round so a
+    # future row is attributed to the current code path)
+    "q_heaps_law": 9,
+    "q_quality_gopher": 9,
+    "q_source_overlap": 9,
+    "q_substring_dedup_coverage": 9,
+    "q_winnowing_fingerprint": 9,
 }
 
 
@@ -68,6 +76,19 @@ def _covered_in_prior_rounds() -> set[str]:
 # still uncovered are pinned to the very front of the rotation (in this
 # order); the rest of the uncovered group stays cost-ordered behind them.
 _PINNED_FIRST = (
+    # VERDICT r8 #1: the round-8 vector/dedup operators and the three
+    # headline streaming queries (bench-exercised every round but never
+    # driver-oracled) take the front of the rotation
+    "q_semdedup",
+    "q_embed_pq",
+    "q_embed_truncation_recall",
+    "q_hard_negatives",
+    "q_winnowing_fingerprint",
+    "q_substring_dedup_coverage",
+    "q_dup_growth_curve",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_dedup",
     # round-5/6 rewrites needing oracle RE-verification (ADVICE r5):
     # their old driver rows verified the pre-rewrite code paths
     "q_gains_deciles",

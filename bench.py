@@ -266,7 +266,101 @@ def main() -> None:
             # evidence too); the nonzero exit is the loud signal
             print(json.dumps(out))
             sys.exit(1)
+        # 10x scale rung (VERDICT r8 #6): time the batch headline set
+        # once more on the 10x-replicated sf0.1 staging (~sf1, 6M
+        # lineitem) so a super-linear scale regression gates the bench
+        # record automatically, not just the ad-hoc ladder runs.
+        if not os.environ.get("BENCH_SKIP_10X"):
+            try:
+                _scale10x_rung(spark, timings, out)
+            except Exception as exc:  # noqa: BLE001
+                # a staging/measurement failure degrades the rung, not
+                # the round's only bench record
+                out["sfx1_error"] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"sfx1 rung failed: {exc}", file=sys.stderr, flush=True)
     print(json.dumps(out))
+    if out.get("sfx1", {}).get("guard_breached"):
+        sys.exit(1)
+
+
+#: each 10x-input step may cost at most 15x wall (the scale_ladder
+#: LINEAR_SLACK x 10 gate); q_dedup_minhash's documented worst case on
+#: the clone-replicated corpus (pair OUTPUT grows ~45x) measured 2.7-6x.
+SCALE10X_SLACK = float(os.environ.get("BENCH_10X_SLACK", 15.0))
+N_RUNS_10X = 2
+
+
+def _scale10x_rung(spark, timings: dict, out: dict) -> None:
+    """Batch headline queries at the 10x replication; min-of-N wall per
+    query, ratio against the main loop's sf0.1 min, no-super-linear
+    guard with one re-measure for breached queries (host noise)."""
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "scale10x", os.path.join(here, "tools", "scale10x.py")
+    )
+    s10 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(s10)
+    dst = os.environ.get("SFX1_DIR", "/tmp/sfx1")
+    t_stage = 0.0
+    if not os.path.exists(f"{dst}/lineitem.parquet"):
+        t0 = time.perf_counter()
+        s10.replicate(spark, dst)
+        t_stage = round(time.perf_counter() - t0, 3)
+    specs = {
+        n: s
+        for n, s in all_specs().items()
+        if s.bench and not n.startswith("q_stream")
+    }
+
+    def measure(name, n_runs=N_RUNS_10X) -> float:
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, dst).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    t10: dict[str, float] = {}
+    for name in sorted(specs):
+        t10[name] = measure(name)
+        print(
+            json.dumps({"sfx1_query": name, "sec": t10[name]}),
+            file=sys.stderr,
+            flush=True,
+        )
+    ratios = {
+        n: round(t10[n] / timings[n], 2)
+        for n in t10
+        if timings.get(n)
+    }
+    # one re-measure for breached queries before declaring a regression:
+    # the denominators are min-of-5 interleaved samples while the rung
+    # gets min-of-2, so a contention burst inflates ratios here first
+    for n, r in list(ratios.items()):
+        if r > SCALE10X_SLACK:
+            t10[n] = min(t10[n], measure(n))
+            ratios[n] = round(t10[n] / timings[n], 2)
+    breached = {n: r for n, r in ratios.items() if r > SCALE10X_SLACK}
+    out["sfx1"] = {
+        "input_ratio": 10,
+        "queries": t10,
+        "value": round(sum(t10.values()), 3),
+        "ratio_vs_sf01_min": ratios,
+        "worst_ratio": max(ratios.values()) if ratios else None,
+        "slack": SCALE10X_SLACK,
+        "stage_sec": t_stage,
+        "guard_breached": breached or None,
+    }
+    if breached:
+        print(
+            f"BENCH GUARD: super-linear 10x scaling {breached}",
+            file=sys.stderr,
+            flush=True,
+        )
 
 
 def _sustained_stream_rate(spark, sf_dir: str, copies: int = 5) -> int:

@@ -18,6 +18,25 @@ from pyspark.sql import functions as F
 from catenae_kafka_spark.catalog import catalog
 from catenae_kafka_spark.registry import REGISTRY
 
+#: Driver-side collect cap for q_median_two_phase's coarse histogram:
+#: its size is groups x OCCUPIED buckets — domain-bounded, not
+#: data-bounded, but the bucket domain scales with the VALUE RANGE, so
+#: a fixture/schema drift to wide-range values must fail loudly here
+#: instead of OOMing the driver (the q_stream_batch_invariance
+#: discipline, VERDICT r8 #4).
+_HISTOGRAM_COLLECT_CAP = 100_000
+
+
+def _bounded_collect(df: DataFrame, cap: int, what: str) -> list:
+    """Collect ``df`` after proving its row count is under ``cap``."""
+    n = df.count()
+    if n > cap:
+        raise RuntimeError(
+            f"{what} has {n} rows, over the domain-bound cap {cap}; "
+            "refusing to collect a data-sized result to the driver"
+        )
+    return df.collect()
+
 
 @REGISTRY.register(
     "q_agg_global",
@@ -782,7 +801,9 @@ def q_median_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The collected histogram is groups x occupied-buckets rows — a
     driver-scalar-sized artifact (same discipline as k-means
-    centroids), never data.
+    centroids), never data. The bucket domain scales with the VALUE
+    RANGE though, so the collect is capped (_HISTOGRAM_COLLECT_CAP)
+    and refuses loudly if a fixture drift ever widens it.
 
     Exact: BIGINT cents, lower-median k = (n+1)//2, total (cents,
     event_id) order; rows outside the median bucket are strictly
@@ -793,10 +814,12 @@ def q_median_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = c.events.select(
         "event_type", cents.alias("cents"), "event_id"
     ).withColumn("bucket", F.expr("cents div 1000"))
-    hist = (
-        base.groupBy("event_type", "bucket")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .collect()
+    hist = _bounded_collect(
+        base.groupBy("event_type", "bucket").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        ),
+        _HISTOGRAM_COLLECT_CAP,
+        "two-phase median histogram (groups x occupied buckets)",
     )
     from collections import defaultdict
 

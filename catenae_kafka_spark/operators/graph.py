@@ -33,12 +33,33 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    checkpoint_every: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank, fixed iteration count.
 
     ``edges`` is (src, dst, w) with w > 0. Dangling nodes (no out-edges)
     keep only the teleport share. Returns (node, rank) with rank summing
-    to ~1 over non-dangling + dangling reachable nodes."""
+    to ~1 over non-dangling + dangling reachable nodes.
+
+    The helper is generic over ``iterations``, so the rank lineage is
+    TRUNCATED every ``checkpoint_every`` rounds (the connected_components
+    discipline): without it each round nests the previous plan inside
+    two more joins and a 20-iteration run compiles a 40-join tree.
+    ``localCheckpoint`` by default (fine for local/driver runs); pass
+    ``checkpoint_dir`` for a storage-backed reliable checkpoint that
+    survives executor loss on a real cluster. The registered 3-round
+    q_pagerank never hits the threshold, so its plan (and its parity
+    with the unrolled-SQL oracle) is unchanged."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     out_w = edges.groupBy(src).agg(F.sum(weight).alias("out_w"))
     norm = edges.join(out_w, src).select(
         F.col(src).alias("u"),
@@ -50,10 +71,15 @@ def pagerank(
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
+    if iterations > checkpoint_every:
+        # reused by every round: materialize once instead of recomputing
+        # the edge normalization + node dedup under each checkpoint
+        norm = ckpt(norm)
+        nodes = ckpt(nodes)
     n_nodes = nodes.count()  # driver scalar: node count, not data rows
     teleport = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             norm.join(ranks, norm.u == ranks.node)
             .groupBy("v")
@@ -69,6 +95,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ckpt(ranks)
     return ranks
 
 

@@ -891,3 +891,27 @@ def test_embed_pq_codebook_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pagerank_iteration_lineage_is_truncated(spark):
+    """The generic pagerank helper must not grow an unbounded plan with
+    the iteration count: lineage is checkpointed every 4 rounds, so at
+    iterations=20 the compiled plan carries at most the last 4 rounds'
+    joins (2 per round) — not 40 nested joins (VERDICT r8 #3; same
+    discipline connected_components already has)."""
+    import re
+
+    from catenae_kafka_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10, 1.0) for i in range(10)]
+        + [(i, (i + 3) % 10, 2.0) for i in range(10)],
+        "src bigint, dst bigint, w double",
+    )
+    ranks = pagerank(edges, iterations=20)
+    plan = plan_of(ranks)
+    n_joins = len(re.findall(r"\(\d+\) [A-Za-z]*Join", plan))
+    assert n_joins <= 10, f"{n_joins} join nodes: lineage not truncated"
+    # and the result is still a probability distribution
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9

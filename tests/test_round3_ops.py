@@ -2724,3 +2724,18 @@ def test_scan_csv_gzip_round_trips_content(spark):
     assert len(got) == len(nation)
     assert (got["n"] == 1).all()
     assert set(got["n_name"]) == set(nation["n_name"])
+
+
+def test_median_histogram_collect_refuses_over_cap(spark):
+    """The two-phase median's driver-side histogram collect is bounded:
+    over the domain cap it must raise instead of collecting (the bucket
+    domain scales with the value RANGE, so a fixture drift to
+    wide-range values would otherwise OOM the driver — VERDICT r8 #4)."""
+    import pytest as _pytest
+
+    from catenae_kafka_spark.operators.aggregates import _bounded_collect
+
+    small = spark.range(10)
+    assert len(_bounded_collect(small, 100, "probe")) == 10
+    with _pytest.raises(RuntimeError, match="over the domain-bound cap"):
+        _bounded_collect(spark.range(101), 100, "probe")
