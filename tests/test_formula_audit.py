@@ -20572,3 +20572,24 @@ def test_substring_tokens_reconcile_with_text_stats(con):
         for _, r in oracle_df(con, "q_token_count").iterrows()
     }
     assert {k: v[1] for k, v in cov.items()} == tok
+
+
+# Batch 82: exact replay of the round-9 integer-micro Heaps OLS — the
+# earlier beta checks are tolerance-based (float OLS / numpy polyfit);
+# this one replays the quantized pipeline bit-for-bit, so an off-by-one
+# in the floor/micro discipline cannot hide inside 1e-5.
+
+
+def test_heaps_beta_exact_integer_micro_replay(con):
+    df = oracle_df(con, "q_heaps_law").sort_values("k")
+    lxu = [math.floor(math.log(int(g)) * 1_000_000 + 0.5) for g in df["grams_cum"]]
+    lyu = [math.floor(math.log(int(v)) * 1_000_000 + 0.5) for v in df["vocab_cum"]]
+    n = len(lxu)
+    sxy = sum(x * y for x, y in zip(lxu, lyu))
+    sx, sy = sum(lxu), sum(lyu)
+    sxx = sum(x * x for x in lxu)
+    beta = math.floor(
+        float(n * sxy - sx * sy) / float(n * sxx - sx * sx) * 1_000_000 + 0.5
+    ) / 1_000_000
+    for b in df["heaps_beta"]:
+        assert float(b) == beta
