@@ -332,35 +332,45 @@ def _scale10x_rung(spark, timings: dict, out: dict) -> None:
             file=sys.stderr,
             flush=True,
         )
-    ratios = {
-        n: round(t10[n] / timings[n], 2)
-        for n in t10
-        if timings.get(n)
-    }
     # one re-measure for breached queries before declaring a regression:
     # the denominators are min-of-5 interleaved samples while the rung
     # gets min-of-2, so a contention burst inflates ratios here first
-    for n, r in list(ratios.items()):
-        if r > SCALE10X_SLACK:
-            t10[n] = min(t10[n], measure(n))
-            ratios[n] = round(t10[n] / timings[n], 2)
-    breached = {n: r for n, r in ratios.items() if r > SCALE10X_SLACK}
+    for n in _ratio_guard(t10, timings, SCALE10X_SLACK)["breached"]:
+        t10[n] = min(t10[n], measure(n))
+    g = _ratio_guard(t10, timings, SCALE10X_SLACK)
     out["sfx1"] = {
         "input_ratio": 10,
         "queries": t10,
         "value": round(sum(t10.values()), 3),
-        "ratio_vs_sf01_min": ratios,
-        "worst_ratio": max(ratios.values()) if ratios else None,
+        "ratio_vs_sf01_min": g["ratios"],
+        "worst_ratio": g["worst"],
         "slack": SCALE10X_SLACK,
         "stage_sec": t_stage,
-        "guard_breached": breached or None,
+        "guard_breached": g["breached"] or None,
     }
-    if breached:
+    if g["breached"]:
         print(
-            f"BENCH GUARD: super-linear 10x scaling {breached}",
+            f"BENCH GUARD: super-linear 10x scaling {g['breached']}",
             file=sys.stderr,
             flush=True,
         )
+
+
+def _ratio_guard(
+    t_big: dict[str, float], t_base: dict[str, float], slack: float
+) -> dict:
+    """Pure ratio/guard computation (unit-testable): per-query
+    big-scale/base-scale wall ratios and the set over ``slack``.
+    Queries with no (or zero/None) base timing are excluded — an
+    errored base query must not divide by zero or None here."""
+    ratios = {
+        n: round(t_big[n] / t_base[n], 2) for n in t_big if t_base.get(n)
+    }
+    return {
+        "ratios": ratios,
+        "worst": max(ratios.values()) if ratios else None,
+        "breached": {n: r for n, r in ratios.items() if r > slack},
+    }
 
 
 def _sustained_stream_rate(spark, sf_dir: str, copies: int = 5) -> int:

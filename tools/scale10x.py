@@ -117,29 +117,47 @@ SF01_ONLY = [
 ]
 
 
-def replicate(spark, dst: str) -> None:
+def replicate(spark, dst: str, k: int = K) -> None:
+    """Write a k-fold key-shifted replication of sf0.1 into ``dst``.
+
+    k=10 is the standard sfx1 (~sf1) rung; k=100 stages sfx10 (~sf10,
+    60M lineitem) for the 100x ladder step. Strides only need to exceed
+    the SOURCE (sf0.1) key ranges, so the same strides serve any k —
+    copy offsets stay disjoint (k=100 tops out at 99 x 10M = 9.9e8,
+    far inside BIGINT)."""
     c = catalog(spark, SRC)
     for t in TABLES:
         df = c.table(t)
         if t in STRIDES:
-            i = F.explode(F.array(*[F.lit(j) for j in range(K)])).alias("_i")
+            i = F.explode(
+                F.sequence(F.lit(0), F.lit(k - 1))
+            ).alias("_i")
             df = df.select("*", i)
             for col, stride in STRIDES[t].items():
                 df = df.withColumn(col, F.col(col) + F.col("_i") * stride)
             df = df.drop("_i")
+            # spread the write so the k-fold explode of a single-file
+            # source doesn't serialize through one task
+            df = df.repartition(max(k, 8))
         df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
 
 
 def main() -> None:
-    dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx1"
+    args = sys.argv[1:]
+    k = K
+    if "--k" in args:
+        i = args.index("--k")
+        k = int(args[i + 1])
+        del args[i : i + 2]
+    dst = args.pop(0) if args else "/tmp/sfx1"
     spark = get_spark("scale10x")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
     if not os.path.exists(f"{dst}/lineitem.parquet"):
-        replicate(spark, dst)
+        replicate(spark, dst, k)
     specs = all_specs()
-    only = set(sys.argv[2:])  # optional query-name filter
+    only = set(args)  # optional query-name filter
     if only:
         sf01 = [n for n in SF01_ONLY if n in only]
         headline = [n for n in HEADLINE if n in only]
