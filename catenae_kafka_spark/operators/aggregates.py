@@ -28,14 +28,18 @@ _HISTOGRAM_COLLECT_CAP = 100_000
 
 
 def _bounded_collect(df: DataFrame, cap: int, what: str) -> list:
-    """Collect ``df`` after proving its row count is under ``cap``."""
-    n = df.count()
-    if n > cap:
+    """Collect ``df``, refusing loudly past ``cap`` rows.
+
+    ONE job: collecting LIMIT cap+1 bounds driver memory to cap+1 rows
+    and proves the cap in the same pass (a count() pre-check would run
+    the whole aggregation twice)."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
         raise RuntimeError(
-            f"{what} has {n} rows, over the domain-bound cap {cap}; "
+            f"{what} has more than {cap} rows (domain-bound cap); "
             "refusing to collect a data-sized result to the driver"
         )
-    return df.collect()
+    return rows
 
 
 @REGISTRY.register(

@@ -51,15 +51,9 @@ def pagerank(
     survives executor loss on a real cluster. The registered 3-round
     q_pagerank never hits the threshold, so its plan (and its parity
     with the unrolled-SQL oracle) is unchanged."""
-    spark = edges.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    from catenae_kafka_spark.operators.checkpointing import make_checkpointer
 
-    def ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
+    ckpt = make_checkpointer(edges.sparkSession, checkpoint_dir)
     out_w = edges.groupBy(src).agg(F.sum(weight).alias("out_w"))
     norm = edges.join(out_w, src).select(
         F.col(src).alias("u"),

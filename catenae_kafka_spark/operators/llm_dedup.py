@@ -709,15 +709,9 @@ def connected_components(
     if the loop exits without converging — a silent cap would return
     labels that diverge from the recursive-CTE oracle with no error.
     """
-    spark = edges.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    from catenae_kafka_spark.operators.checkpointing import make_checkpointer
 
-    def ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
+    ckpt = make_checkpointer(edges.sparkSession, checkpoint_dir)
     und = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).toDF("src", "dst")

@@ -915,3 +915,27 @@ def test_pagerank_iteration_lineage_is_truncated(spark):
     # and the result is still a probability distribution
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir switches the iteration-lineage truncation to
+    storage-backed checkpoints (survives executor loss on a real
+    cluster) without changing the ranks."""
+    from catenae_kafka_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8, 1.0) for i in range(8)],
+        "src bigint, dst bigint, w double",
+    )
+    local = {
+        r["node"]: round(r["rank"], 12)
+        for r in pagerank(edges, iterations=9).collect()
+    }
+    reliable = {
+        r["node"]: round(r["rank"], 12)
+        for r in pagerank(
+            edges, iterations=9, checkpoint_dir=str(tmp_path / "pr_ckpt")
+        ).collect()
+    }
+    assert local == reliable
+    assert abs(sum(local.values()) - 1.0) < 1e-9

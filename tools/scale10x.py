@@ -117,6 +117,25 @@ SF01_ONLY = [
 ]
 
 
+#: completion marker written LAST by replicate(): checking any one
+#: table file (bench/ladder used lineitem.parquet, written mid-run)
+#: accepts a Ctrl-C'd partial staging forever; the marker also records
+#: WHICH k built the dir, so a 100x staging accidentally pointed at the
+#: 10x path re-stages instead of silently timing the wrong scale.
+MARKER = "_STAGED_OK"
+
+
+def staged(dst: str, k: int) -> bool:
+    """True iff ``dst`` holds a COMPLETE k-fold staging."""
+    import json
+
+    try:
+        with open(os.path.join(dst, MARKER)) as fh:
+            return json.load(fh).get("k") == k
+    except (OSError, ValueError):
+        return False
+
+
 def replicate(spark, dst: str, k: int = K) -> None:
     """Write a k-fold key-shifted replication of sf0.1 into ``dst``.
 
@@ -125,6 +144,11 @@ def replicate(spark, dst: str, k: int = K) -> None:
     the SOURCE (sf0.1) key ranges, so the same strides serve any k —
     copy offsets stay disjoint (k=100 tops out at 99 x 10M = 9.9e8,
     far inside BIGINT)."""
+    import json
+
+    marker = os.path.join(dst, MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)  # re-staging: invalidate until complete again
     c = catalog(spark, SRC)
     for t in TABLES:
         df = c.table(t)
@@ -140,6 +164,8 @@ def replicate(spark, dst: str, k: int = K) -> None:
             # source doesn't serialize through one task
             df = df.repartition(max(k, 8))
         df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    with open(marker, "w") as fh:
+        json.dump({"k": k, "src": SRC}, fh)
 
 
 def main() -> None:
@@ -154,7 +180,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
-    if not os.path.exists(f"{dst}/lineitem.parquet"):
+    if not staged(dst, k):
         replicate(spark, dst, k)
     specs = all_specs()
     only = set(args)  # optional query-name filter
