@@ -20992,3 +20992,138 @@ def test_project_filter_case_replay(con):
         p = float(r.o_totalprice)
         expect = "small" if p < 50000 else "medium" if p < 200000 else "large"
         assert bands[r.o_orderkey] == expect
+
+
+# Batch 84: scalar function-pack replays — each pack's row semantics
+# recomputed with Python stdlib (re, datetime, calendar, json) on raw
+# fixture rows. These are the operators where "parity" could hide a
+# shared misreading of a function contract (1-based SUBSTRING, DuckDB
+# dayofweek=0=Sunday, 1-based inclusive list slices, LIKE anchoring);
+# the stdlib replay is the independent reading.
+
+
+def test_str_funcs_replay(con):
+    import re as _re
+
+    cust = _tbl("customer").set_index("c_custkey")
+    got = oracle_df(con, "q_str_funcs")
+    assert len(got) == len(cust)
+    for r in got.head(300).itertuples():
+        name = cust.loc[r.c_custkey].c_name
+        seg = cust.loc[r.c_custkey].c_mktsegment
+        assert r.seg_up == seg.upper()
+        assert r.name_lo == name.lower()
+        assert r.trimmed == (seg + "  ").strip()
+        assert r.cust_num == name[9:18]  # SUBSTRING is 1-based
+        m = _re.search(r"([0-9]+)$", name)
+        assert int(r.cust_id_parsed) == int(m.group(1))
+        assert r.squeezed == _re.sub(r"0+", "0", name)
+        assert int(r.name_len) == len(name)
+        assert r.padded == str(r.c_custkey).rjust(12, "*")
+        assert r.prefix == name.split("#")[0]
+        assert r.seg_rev == seg[::-1]
+        assert r.seg_at == seg.replace("A", "@")
+        assert int(r.is_cust) == int(name.startswith("Customer#"))
+        assert int(r.hash_pos) == name.find("#") + 1  # POSITION is 1-based
+
+
+def test_math_funcs_replay(con):
+    li = _tbl("lineitem").set_index(["l_orderkey", "l_linenumber"]).sort_index()
+    got = oracle_df(con, "q_math_funcs")
+    assert len(got) == len(li)
+    seen = set()
+    for r in got.itertuples():
+        key = (r.l_orderkey, r.l_linenumber)
+        if key in seen:
+            continue  # fixture has duplicate linenumbers; check one
+        seen.add(key)
+        if len(seen) > 300:
+            break
+        src = li.loc[key]
+        if src.ndim > 1:
+            src = src.iloc[0]
+        price, disc, qty = (
+            float(src.l_extendedprice), float(src.l_discount), float(src.l_quantity)
+        )
+        assert abs(float(r.price_r0) - price) <= 0.5 + 1e-9
+        assert int(r.price_k_floor) == math.floor(price / 1000)
+        # exact IEEE replay, no epsilon: 0.07*100 = 7.000000000000001 in
+        # binary and the engines' CEIL sees that value (-> 8); fudging
+        # it away would diverge from what the query actually computes
+        assert int(r.disc_pct_ceil) == math.ceil(disc * 100)
+        assert float(r.qty_dev) == abs(qty - 25)
+        assert abs(float(r.qty_sq) - qty * qty) <= 5e-5
+        assert abs(float(r.price_sqrt) - math.sqrt(price)) <= 5e-7 + 1e-9
+        assert abs(float(r.price_ln) - math.log(price + 1)) <= 5e-7 + 1e-9
+        assert abs(float(r.price_log10) - math.log10(price + 1)) <= 5e-7 + 1e-9
+        assert abs(float(r.disc_exp) - math.exp(disc)) <= 5e-7 + 1e-9
+        assert float(r.qty_sign) == float((qty > 25) - (qty < 25))
+        assert int(r.key_mod) == r.l_orderkey % 7
+        assert float(r.qty_hi) == max(qty, 25.0)
+        assert float(r.qty_lo) == min(qty, 25.0)
+
+
+def test_date_funcs_replay(con):
+    import calendar
+    from datetime import date, timedelta
+
+    import pandas as pd
+
+    orders = _tbl("orders").set_index("o_orderkey")
+    got = oracle_df(con, "q_date_funcs")
+    assert len(got) == len(orders)
+    for r in got.head(300).itertuples():
+        d = pd.Timestamp(orders.loc[r.o_orderkey].o_orderdate)
+        dd = date(d.year, d.month, d.day)
+        assert int(r.yr) == dd.year and int(r.mo) == dd.month
+        assert int(r.dom) == dd.day
+        # DuckDB dayofweek: 0 = Sunday; Python weekday: 0 = Monday
+        assert int(r.dow) == (dd.weekday() + 1) % 7 + 1
+        assert int(r.qtr) == (dd.month - 1) // 3 + 1
+        assert r.month_start == dd.replace(day=1).isoformat()
+        assert int(r.days_to_2002) == (date(2002, 1, 1) - dd).days
+        assert r.due_date == (dd + timedelta(days=90)).isoformat()
+        eom = dd.replace(day=calendar.monthrange(dd.year, dd.month)[1])
+        assert r.eom == eom.isoformat()
+        assert int(r.doy) == dd.timetuple().tm_yday
+
+
+def test_array_funcs_replay(con):
+    docs = _tbl("documents").set_index("doc_id")
+    got = oracle_df(con, "q_array_funcs")
+    assert len(got) == len(docs)
+    for r in got.itertuples():
+        words = docs.loc[r.doc_id].text.split(" ")
+        assert int(r.n_words) == len(words)
+        assert bool(r.has_data) == ("data" in words)
+        assert r.first3 == "|".join(words[:3])  # 1-based INCLUSIVE slice
+        assert r.first_alpha == min(words)
+        assert r.head_up == words[0].upper()
+        assert int(r.n_long) == sum(1 for w in words if len(w) > 4)
+        assert int(r.total_chars) == sum(len(w) for w in words)
+
+
+def test_map_and_json_funcs_replay(con):
+    import json as _json
+
+    import pandas as pd
+
+    ev = _tbl("events").set_index("event_id")
+    got = oracle_df(con, "q_map_funcs")
+    assert len(got) == len(ev)
+    for r in got.head(200).itertuples():
+        src = ev.loc[r.event_id]
+        assert r.keys_joined == "type,user" and int(r.n_entries) == 2
+        assert r.type_val == src.event_type
+        assert r.user_val == str(src.user_id)
+    gj = oracle_df(con, "q_json_funcs")
+    assert len(gj) == len(ev)
+    for r in gj.head(200).itertuples():
+        props = _json.loads(ev.loc[r.event_id].props)
+        k = props.get("k")
+        if k is None:
+            assert pd.isna(r.k_val)
+        else:
+            assert int(r.k_val) == int(k)
+            assert int(r.k_bucket) == int(k) % 5
+        assert pd.isna(r.absent)
