@@ -21127,3 +21127,151 @@ def test_map_and_json_funcs_replay(con):
             assert int(r.k_val) == int(k)
             assert int(r.k_bucket) == int(k) % 5
         assert pd.isna(r.absent)
+
+
+# Batch 85: remaining replayable surface — URL parsing cross-checked
+# against urllib (a genuinely independent parser vs the oracle's
+# regexes), slice/title-case string packs, MERGE upsert conservation,
+# the PIVOT->UNPIVOT round-trip, stack/inline reshape, variant JSON,
+# and the calendar/timezone contract via zoneinfo.
+
+
+def test_parse_url_funcs_vs_urllib(con):
+    from urllib.parse import urlsplit
+
+    docs = _tbl("documents").set_index("doc_id")
+    got = oracle_df(con, "q_parse_url_funcs")
+    assert len(got) == len(docs)
+    for r in got.head(200).itertuples():
+        d = docs.loc[r.doc_id]
+        url = (
+            f"https://{d.source}.example.com/docs/{d.lang}"
+            f"/{r.doc_id}?chars={d.n_chars}#frag"
+        )
+        parts = urlsplit(url)
+        assert r.proto == parts.scheme
+        assert r.host == parts.netloc
+        assert r.path == parts.path
+        assert r.query == parts.query
+        assert int(r.chars_param) == int(d.n_chars)
+
+
+def test_str_slice_pack_replay(con):
+    cust = _tbl("customer").set_index("c_custkey")
+    got = oracle_df(con, "q_str_slice_pack")
+    assert len(got) == len(cust)
+    for r in got.head(300).itertuples():
+        src = cust.loc[r.c_custkey]
+        name, seg = src.c_name, src.c_mktsegment
+        assert r.name_left == name[:8]
+        assert r.name_right == name[-4:]
+        words = (seg.lower() + " " + name.lower()).split(" ")
+        assert r.title_cased == " ".join(w[:1].upper() + w[1:] for w in words)
+        assert r.bar == "=" * (r.c_custkey % 5 + 1)
+        assert r.upto_second_zero == "0".join(name.split("0")[:2])
+
+
+def test_merge_upsert_conservation(con):
+    sup = _tbl("supplier").set_index("s_suppkey")
+    got = oracle_df(con, "q_merge_upsert")
+    # MERGE invariant: exactly one output row per target key
+    assert sorted(got.s_suppkey.astype(int)) == sorted(sup.index.tolist())
+    for r in got.itertuples():
+        src = sup.loc[r.s_suppkey]
+        assert r.s_name == src.s_name
+        raw = float(src.s_acctbal)
+        expect = raw * 1.10 if r.s_suppkey % 3 == 0 else raw
+        assert abs(float(r.s_acctbal) - expect) <= 5e-5 + 1e-9
+
+
+def test_sql_pivot_unpivot_roundtrip(con):
+    from collections import defaultdict
+
+    cust, nation = _tbl("customer"), _tbl("nation")
+    nname = dict(zip(nation.n_nationkey, nation.n_name))
+    cells: dict = defaultdict(int)
+    segs = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+    for r in cust.itertuples():
+        if r.c_mktsegment in segs:
+            cells[(nname[r.c_nationkey], r.c_mktsegment.lower())] += math.floor(
+                float(r.c_acctbal) * 100 + 0.5
+            )
+    got = oracle_df(con, "q_sql_pivot_unpivot")
+    theirs = {
+        (r.n_name, r.seg): int(r.bal_cents) for r in got.itertuples()
+    }
+    # the round-trip drops exact zeros only; everything else survives
+    assert theirs == {k: v for k, v in cells.items() if v != 0}
+
+
+def test_stack_inline_replay(con):
+    from collections import Counter, defaultdict
+
+    orders = _tbl("orders")
+    n = Counter(orders.o_orderpriority.tolist())
+    cents: dict = defaultdict(int)
+    custs: dict = defaultdict(set)
+    for r in orders.itertuples():
+        cents[r.o_orderpriority] += math.floor(float(r.o_totalprice) * 100 + 0.5)
+        custs[r.o_orderpriority].add(r.o_custkey)
+    got = oracle_df(con, "q_stack_inline")
+    assert len(got) == 3 * len(n)  # three metrics per priority
+    vals = {(r.prio, r.metric): int(r.val) for r in got.itertuples()}
+    for prio in n:
+        assert vals[(prio, "n_orders")] == n[prio]
+        assert vals[(prio, "cents")] == cents[prio]
+        assert vals[(prio, "n_cust")] == len(custs[prio])
+
+
+def test_variant_funcs_replay(con):
+    import json as _json
+
+    import pandas as pd
+
+    ev = _tbl("events").set_index("event_id")
+    got = oracle_df(con, "q_variant_funcs")
+    assert len(got) == len(ev)
+    for r in got.head(200).itertuples():
+        k = _json.loads(ev.loc[r.event_id].props).get("k")
+        if k is None:
+            assert pd.isna(r.k_val)
+        else:
+            assert int(r.k_val) == int(k) and r.k_str == str(k)
+        assert bool(r.is_missing)
+
+
+def test_calendar_tz_contract_replay(con):
+    from zoneinfo import ZoneInfo
+
+    import pandas as pd
+
+    utc, tokyo, nyc = (
+        ZoneInfo("UTC"), ZoneInfo("Asia/Tokyo"), ZoneInfo("America/New_York")
+    )
+    ev = _tbl("events")
+    sample = ev[ev.event_id % 97 == 0]
+    got = oracle_df(con, "q_calendar_tz_contract").set_index("day")
+    days = sample.ts.dt.strftime("%Y-%m-%d")
+    assert set(got.index) == set(days)
+    for day, g in sample.groupby(days):
+        row = got.loc[day]
+        ts = pd.Timestamp(g.ts.iloc[0]).to_pydatetime()
+        iso = ts.date().isocalendar()
+        assert int(row.iso_week) == iso.week
+        assert int(row.iso_year) == iso.year
+        assert int(row.day_of_year) == ts.timetuple().tm_yday
+        assert int(row.qtr) == (ts.month - 1) // 3 + 1
+        # MIN over the day's timestamps: recompute from all rows
+        hrs_tok = [
+            pd.Timestamp(t).to_pydatetime().replace(tzinfo=utc)
+            .astimezone(tokyo).hour
+            for t in g.ts
+        ]
+        hrs_nyc = [
+            pd.Timestamp(t).to_pydatetime().replace(tzinfo=utc)
+            .astimezone(nyc).hour
+            for t in g.ts
+        ]
+        assert int(row.hr_tokyo) == min(hrs_tok)
+        assert int(row.hr_nyc) == min(hrs_nyc)
+        assert int(row.n) == len(g)
