@@ -279,7 +279,7 @@ def main() -> None:
                 out["sfx1_error"] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"sfx1 rung failed: {exc}", file=sys.stderr, flush=True)
     print(json.dumps(out))
-    if out.get("sfx1", {}).get("guard_breached"):
+    if out.get("sfx1", {}).get("guard_failed"):
         sys.exit(1)
 
 
@@ -359,8 +359,6 @@ def _scale10x_rung(spark, timings: dict, out: dict) -> None:
         except Exception as exc:  # noqa: BLE001
             errors[n] = f"{type(exc).__name__}: {exc}"[:300]
     g = _ratio_guard(t10, timings, SCALE10X_SLACK)
-    breached = dict(g["breached"])
-    breached.update(errors)
     out["sfx1"] = {
         "input_ratio": 10,
         "queries": t10,
@@ -369,12 +367,17 @@ def _scale10x_rung(spark, timings: dict, out: dict) -> None:
         "worst_ratio": g["worst"],
         "slack": SCALE10X_SLACK,
         "stage_sec": t_stage,
+        # guard_breached holds FLOAT ratios only (consumers compare it
+        # against slack numerically); crashed queries live in errors —
+        # both fail the run via guard_failed
         "errors": errors or None,
-        "guard_breached": breached or None,
+        "guard_breached": g["breached"] or None,
+        "guard_failed": bool(g["breached"] or errors),
     }
-    if breached:
+    if out["sfx1"]["guard_failed"]:
         print(
-            f"BENCH GUARD: 10x scale regression {breached}",
+            f"BENCH GUARD: 10x scale regression "
+            f"breached={g['breached']} errors={errors}",
             file=sys.stderr,
             flush=True,
         )

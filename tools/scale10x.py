@@ -125,13 +125,22 @@ SF01_ONLY = [
 MARKER = "_STAGED_OK"
 
 
+#: queries NOT timed at k >= 100 (canonical set — tools/scale_ladder.py
+#: imports it): the replicator gives every document k exact clones, so
+#: near-dup pair OUTPUT is quadratic in k (C(100,2) = 4950 pairs per
+#: clique vs C(10,2) = 45; measured 128.5 s at k=100) — the wall there
+#: measures the synthetic corpus, not the plan. Gate stays at k=10.
+X100_EXCLUDE = frozenset({"q_dedup_minhash"})
+
+
 def staged(dst: str, k: int) -> bool:
     """True iff ``dst`` holds a COMPLETE k-fold staging."""
     import json
 
     try:
         with open(os.path.join(dst, MARKER)) as fh:
-            return json.load(fh).get("k") == k
+            meta = json.load(fh)
+        return isinstance(meta, dict) and meta.get("k") == k
     except (OSError, ValueError):
         return False
 
@@ -173,8 +182,13 @@ def main() -> None:
     k = K
     if "--k" in args:
         i = args.index("--k")
+        if i + 1 >= len(args) or not args[i + 1].isdigit():
+            sys.exit("usage: scale10x.py [dst] [--k N] [--stage-only] [query ...]")
         k = int(args[i + 1])
         del args[i : i + 2]
+    stage_only = "--stage-only" in args
+    if stage_only:
+        args.remove("--stage-only")
     dst = args.pop(0) if args else "/tmp/sfx1"
     spark = get_spark("scale10x")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
@@ -182,6 +196,9 @@ def main() -> None:
     ).save()
     if not staged(dst, k):
         replicate(spark, dst, k)
+    if stage_only:
+        print(f"staged {dst} (k={k})", flush=True)
+        return
     specs = all_specs()
     only = set(args)  # optional query-name filter
     if only:
@@ -189,11 +206,14 @@ def main() -> None:
         headline = [n for n in HEADLINE if n in only]
     else:
         sf01, headline = SF01_ONLY, HEADLINE
+    if k >= 100:
+        # the clone-clique pathology is quadratic in k — see X100_EXCLUDE
+        headline = [n for n in headline if n not in X100_EXCLUDE]
     for name in sf01:
         t0 = time.perf_counter()
         specs[name].fn(spark, SRC).write.format("noop").mode("overwrite").save()
         print(f"sf0.1-only {name}: {time.perf_counter() - t0:.2f}s", flush=True)
-    for sf_dir, label in [(SRC, "sf0.1"), (dst, "sfx1(10x)")]:
+    for sf_dir, label in [(SRC, "sf0.1"), (dst, f"{dst}({k}x)")]:
         for name in headline:
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).write.format("noop").mode(
