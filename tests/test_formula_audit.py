@@ -21275,3 +21275,94 @@ def test_calendar_tz_contract_replay(con):
         assert int(row.hr_tokyo) == min(hrs_tok)
         assert int(row.hr_nyc) == min(hrs_nyc)
         assert int(row.n) == len(g)
+
+
+# Batch 86: the UDF-surface queries — the one §2B family whose Spark
+# side deliberately runs PYTHON (pandas_udf / applyInPandas / @udtf /
+# Arrow iterator / SQL UDF), so the oracle is what guarantees the
+# Python math. Replay each oracle's statistic from raw rows: if a UDF
+# and its oracle ever drift, parity catches it; if the oracle itself
+# misstates the documented formula, THIS does.
+
+
+def test_udf_scalar_clv_replay(con):
+    from collections import defaultdict
+
+    orders = _tbl("orders")
+    tot: dict = defaultdict(list)
+    for r in orders.itertuples():
+        tot[r.o_custkey].append(float(r.o_totalprice))
+    got = oracle_df(con, "q_udf_scalar")
+    assert set(got.o_custkey.astype(int)) == set(tot)
+    for r in got.head(300).itertuples():
+        vals = tot[r.o_custkey]
+        clv = (math.fsum(vals) / 1000.0) * (1.0 + min(len(vals), 10) * 0.05)
+        assert abs(float(r.clv) - clv) <= 5e-8 + abs(clv) * 1e-12
+
+
+def test_udaf_weighted_average_replay(con):
+    li = _tbl("lineitem")
+    got = {
+        r.l_returnflag: float(r.wavg_price)
+        for r in oracle_df(con, "q_udaf_grouped").itertuples()
+    }
+    for flag, g in li.groupby("l_returnflag"):
+        num = math.fsum(
+            float(p) * float(q)
+            for p, q in zip(g.l_extendedprice, g.l_quantity)
+        )
+        den = math.fsum(g.l_quantity)
+        assert abs(got[flag] - num / den) <= 5e-5 + 1e-9
+    assert set(got) == set(li.l_returnflag.unique())
+
+
+def test_udtf_word_explode_replay(con):
+    docs = _tbl("documents")
+    sub = docs[docs.doc_id < 50]
+    got = oracle_df(con, "q_udtf")
+    mine = []
+    for r in sub.itertuples():
+        words = r.text.split(" ")
+        mine += [(r.doc_id, w, len(words)) for w in words]
+    theirs = [
+        (int(r.doc_id), r.word, int(r.n_words)) for r in got.itertuples()
+    ]
+    assert sorted(mine) == sorted(theirs)
+
+
+def test_udtf_native_and_arrow_replay(con):
+    docs = _tbl("documents")
+    got = oracle_df(con, "q_udtf_native")
+    sub = docs[docs.doc_id < 30]
+    assert len(got) == 3 * len(sub)
+    for r in got.itertuples():
+        assert r.piece_id in (1, 2, 3)
+        assert int(r.n_chars) == len(
+            docs[docs.doc_id == r.doc_id].text.iloc[0]
+        )
+    ga = oracle_df(con, "q_udf_arrow").set_index("doc_id")
+    assert len(ga) == len(docs)
+    for r in docs.head(200).itertuples():
+        row = ga.loc[r.doc_id]
+        assert int(row.n_tokens) == len(r.text.split(" "))
+        assert int(row.n_chars) == len(r.text)
+
+
+def test_sql_udf_revenue_replay(con):
+    from collections import defaultdict
+
+    li = _tbl("lineitem")
+    rev: dict = defaultdict(int)
+    mid: dict = defaultdict(int)
+    for r in li.itertuples():
+        flag = r.l_returnflag
+        rev[flag] += math.floor(
+            float(r.l_extendedprice) * (1 - float(r.l_discount))
+        )
+        if 10 <= int(r.l_quantity) <= 40:
+            mid[flag] += 1
+    got = oracle_df(con, "q_sql_udf")
+    assert len(got) == len(rev)
+    for r in got.itertuples():
+        assert int(r.revenue) == rev[r.l_returnflag]
+        assert int(r.n_midrange) == mid[r.l_returnflag]
