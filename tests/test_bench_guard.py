@@ -45,3 +45,45 @@ def test_sf_from_dir():
     m = _bench()
     assert m.sf_from_dir("/root/testdata/sf0.1") == 0.1
     assert m.sf_from_dir("/nowhere") == -1.0
+
+
+def _scale10x():
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "scale10x.py",
+    )
+    spec = importlib.util.spec_from_file_location("scale10x_mod", p)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_replicate_rejects_k_below_one():
+    """ADVICE r9: k=0 builds F.sequence(0, -1) — a DESCENDING sequence
+    staging two copies with negative key offsets — and would then write
+    a marker recording the bogus dir as a valid staging."""
+    import pytest
+
+    m = _scale10x()
+    for k in (0, -3):
+        with pytest.raises(ValueError, match="must be >= 1"):
+            m.replicate(None, "/tmp/never-written", k)
+
+
+def test_staged_rejects_wrong_src_and_wrong_k(tmp_path):
+    """ADVICE r9: the marker records WHICH source fixture built the dir;
+    a staging of a different src must not pass as complete or it gets
+    silently timed against the wrong baseline."""
+    import json
+
+    m = _scale10x()
+    marker = tmp_path / m.MARKER
+    marker.write_text(json.dumps({"k": 10, "src": "/some/other/fixture"}))
+    assert not m.staged(str(tmp_path), 10)
+    marker.write_text(json.dumps({"k": 100, "src": m.SRC}))
+    assert not m.staged(str(tmp_path), 10)
+    marker.write_text(json.dumps({"k": 10, "src": m.SRC}))
+    assert m.staged(str(tmp_path), 10)
+    marker.unlink()
+    assert not m.staged(str(tmp_path), 10)

