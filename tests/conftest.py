@@ -28,5 +28,14 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def ckpt_root(tmp_path_factory) -> str:
+    """The ONE reliable-checkpoint root for the whole test session: the
+    checkpoint dir is SparkContext-global and make_checkpointer refuses
+    to redirect an already-active root (VERDICT r9), so every test that
+    exercises storage-backed checkpointing must share this directory."""
+    return str(tmp_path_factory.mktemp("reliable_ckpt"))
+
+
+@pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE

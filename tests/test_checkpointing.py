@@ -1,0 +1,41 @@
+"""make_checkpointer's session-global checkpoint-root policy
+(VERDICT r9): the SparkContext has ONE checkpoint root; the helper sets
+it only when unset, accepts a matching root, and raises on a conflicting
+one instead of silently redirecting the first caller's checkpoints."""
+
+from __future__ import annotations
+
+import pytest
+
+from catenae_kafka_spark.operators.checkpointing import (
+    _same_root,
+    make_checkpointer,
+)
+
+
+def test_same_root_matches_spark_uuid_subdir():
+    # setCheckpointDir(d) stores d/<uuid>, possibly scheme-qualified
+    assert _same_root("/a/b/3f2e-uuid", "/a/b")
+    assert _same_root("file:/a/b/3f2e-uuid", "/a/b")
+    assert _same_root("file:///a/b/3f2e-uuid", "/a/b/")
+    assert not _same_root("/a/b/3f2e-uuid", "/a/c")
+    assert not _same_root("/a/b/deeper/3f2e-uuid", "/a/b")
+
+
+def test_two_checkpoint_roots_in_one_session_conflict(spark, ckpt_root, tmp_path):
+    """First root wins and is reusable; a DIFFERENT root in the same
+    session raises at setup instead of last-writer-wins redirecting the
+    first caller's subsequent checkpoints."""
+    ck1 = make_checkpointer(spark, ckpt_root)
+    df = spark.range(10).withColumnRenamed("id", "v")
+    assert ck1(df).count() == 10
+    # same root again: fine (both callers checkpoint reliably)
+    ck1b = make_checkpointer(spark, ckpt_root)
+    assert ck1b(df).count() == 10
+    # a different root must refuse loudly
+    with pytest.raises(ValueError, match="checkpoint root"):
+        make_checkpointer(spark, str(tmp_path / "other_root"))
+    # the active root is untouched by the failed attempt
+    assert _same_root(spark.sparkContext.getCheckpointDir(), ckpt_root)
+    # and the None policy (localCheckpoint) is unaffected by all of it
+    assert make_checkpointer(spark, None)(df).count() == 10

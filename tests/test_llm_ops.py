@@ -229,10 +229,13 @@ def test_fuzzy_levenshtein_length_bucket_equals_brute_force(spark):
     assert len(brute) > 0
 
 
-def test_connected_components_reliable_checkpoint_and_loud_failure(spark, tmp_path):
+def test_connected_components_reliable_checkpoint_and_loud_failure(
+    spark, ckpt_root
+):
     """checkpoint_dir switches lineage truncation to storage-backed
     checkpoints (survives executor loss on a real cluster); max_rounds
-    exhaustion raises instead of silently returning partial labels."""
+    exhaustion raises instead of silently returning partial labels.
+    Uses the session-shared ckpt_root: the dir is SparkContext-global."""
     from catenae_kafka_spark.operators.llm_dedup import connected_components
 
     edges = spark.createDataFrame(
@@ -240,9 +243,7 @@ def test_connected_components_reliable_checkpoint_and_loud_failure(spark, tmp_pa
     )
     labels = {
         r["id"]: r["comp"]
-        for r in connected_components(
-            edges, checkpoint_dir=str(tmp_path / "cc_ckpt")
-        ).collect()
+        for r in connected_components(edges, checkpoint_dir=ckpt_root).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     # a 6-node path cannot converge in 1 round even with pointer jumping

@@ -917,10 +917,11 @@ def test_pagerank_iteration_lineage_is_truncated(spark):
     assert abs(total - 1.0) < 1e-9
 
 
-def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+def test_pagerank_reliable_checkpoint_matches_local(spark, ckpt_root):
     """checkpoint_dir switches the iteration-lineage truncation to
     storage-backed checkpoints (survives executor loss on a real
-    cluster) without changing the ranks."""
+    cluster) without changing the ranks. Uses the session-shared
+    ckpt_root: the dir is SparkContext-global."""
     from catenae_kafka_spark.operators.graph import pagerank
 
     edges = spark.createDataFrame(
@@ -934,7 +935,7 @@ def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
     reliable = {
         r["node"]: round(r["rank"], 12)
         for r in pagerank(
-            edges, iterations=9, checkpoint_dir=str(tmp_path / "pr_ckpt")
+            edges, iterations=9, checkpoint_dir=ckpt_root
         ).collect()
     }
     assert local == reliable
