@@ -29,6 +29,51 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _host_sample(label: str) -> dict:
+    """One host-load observation: 1-min load average plus cumulative
+    steal/total jiffies from /proc/stat. VERDICT r9 #4: the r9 bench
+    regression (+13% uniform across untouched queries) was attributed
+    to hypervisor contention only via cross-round min/median forensics;
+    sampling these around each query set puts the attribution IN the
+    bench record."""
+    d: dict = {"label": label}
+    try:
+        d["load1"] = float(open("/proc/loadavg").read().split()[0])
+    except Exception:  # noqa: BLE001 — /proc may be absent (non-Linux)
+        d["load1"] = None
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        # cpu: user nice system idle iowait irq softirq steal ...
+        d["_steal"] = v[7] if len(v) > 7 else 0
+        d["_total"] = sum(v)
+    except Exception:  # noqa: BLE001
+        d["_steal"] = None
+        d["_total"] = None
+    return d
+
+
+def _host_block(samples: list[dict]) -> dict:
+    """Fold the labeled samples into the JSON ``host`` block: load1 per
+    sample point and steal%% over each adjacent interval (guard-exempt
+    telemetry — see BASELINE.md)."""
+    block: dict = {
+        "cpus": os.cpu_count(),
+        "load1": {s["label"]: s["load1"] for s in samples},
+        "steal_pct": {},
+    }
+    for a, b in zip(samples, samples[1:]):
+        if (
+            a.get("_total") is not None
+            and b.get("_total") is not None
+            and b["_total"] > a["_total"]
+        ):
+            block["steal_pct"][f"{a['label']}->{b['label']}"] = round(
+                100.0 * (b["_steal"] - a["_steal"]) / (b["_total"] - a["_total"]),
+                2,
+            )
+    return block
+
+
 N_RUNS = 3  # streaming queries (per-run cost ~1-4 s)
 N_RUNS_BATCH = 5  # batch queries (cheap; more samples for a stable min)
 # Primary stat is the per-query MIN (timeit's convention): round-7
@@ -61,6 +106,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         # staging failure degrades the streaming queries, not the bench
         print(f"replay pre-stage failed: {exc}", file=sys.stderr, flush=True)
+    host_samples = [_host_sample("start")]
     specs = {n: s for n, s in all_specs().items() if s.bench}
     # INTERLEAVED rounds: run the whole query set once per round and
     # repeat, instead of running one query's N repeats back-to-back.
@@ -118,6 +164,7 @@ def main() -> None:
         else:
             timings[name] = round(min(runs), 3)
             medians[name] = round(sorted(runs)[len(runs) // 2], 3)
+    host_samples.append(_host_sample("headline_done"))
     measured = [t for t in timings.values() if t is not None]
     total = round(sum(measured), 3)
     med_measured = [t for t in medians.values() if t is not None]
@@ -166,6 +213,7 @@ def main() -> None:
         )
     except Exception as exc:  # noqa: BLE001
         print(f"sustained-stream bench failed: {exc}", file=sys.stderr, flush=True)
+    host_samples.append(_host_sample("sustained_done"))
 
     # Regression guard (VERDICT r5 #7): the round-5 streaming gains came
     # from replay batching + state-partition floors; hold that line. The
@@ -264,6 +312,7 @@ def main() -> None:
                 )
             # the JSON record still goes out (a guarded-failed bench is
             # evidence too); the nonzero exit is the loud signal
+            out["host"] = _host_block(host_samples)
             print(json.dumps(out))
             sys.exit(1)
         # 10x scale rung (VERDICT r8 #6): time the batch headline set
@@ -272,14 +321,52 @@ def main() -> None:
         # record automatically, not just the ad-hoc ladder runs.
         if not os.environ.get("BENCH_SKIP_10X"):
             try:
-                _scale10x_rung(spark, timings, out)
+                _scale_rung(
+                    spark,
+                    timings,
+                    out,
+                    key="sfx1",
+                    dst=os.environ.get("SFX1_DIR", "/tmp/sfx1"),
+                    k=10,
+                    slack=SCALE10X_SLACK,
+                    n_runs=N_RUNS_10X,
+                )
             except Exception as exc:  # noqa: BLE001
                 # a staging/measurement failure degrades the rung, not
                 # the round's only bench record
                 out["sfx1_error"] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"sfx1 rung failed: {exc}", file=sys.stderr, flush=True)
+            host_samples.append(_host_sample("sfx1_done"))
+        # 100x rung (VERDICT r9 #6): one more 10x step, ratioed against
+        # the sfx1 rung's timings (its true 10x-input base). Skipped
+        # when the sfx1 rung failed or was skipped — without the 10x
+        # base its step would be a 100x jump mislabeled as 10x (the
+        # scale_ladder discipline). q_dedup_minhash is excluded per
+        # tools/scale10x.py X100_EXCLUDE: the replicator's exact-clone
+        # cliques make near-dup pair OUTPUT quadratic in copy count, so
+        # its wall there measures the synthetic corpus, not the plan.
+        sfx1_ok = bool(out.get("sfx1")) and not out["sfx1"]["guard_failed"]
+        if not os.environ.get("BENCH_SKIP_100X") and sfx1_ok:
+            try:
+                _scale_rung(
+                    spark,
+                    out["sfx1"]["queries"],
+                    out,
+                    key="sfx10",
+                    dst=os.environ.get("SFX10_DIR", "/tmp/sfx10"),
+                    k=100,
+                    slack=SCALE100X_SLACK,
+                    n_runs=N_RUNS_100X,
+                )
+            except Exception as exc:  # noqa: BLE001
+                out["sfx10_error"] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"sfx10 rung failed: {exc}", file=sys.stderr, flush=True)
+            host_samples.append(_host_sample("sfx10_done"))
+    out["host"] = _host_block(host_samples)
     print(json.dumps(out))
-    if out.get("sfx1", {}).get("guard_failed"):
+    if out.get("sfx1", {}).get("guard_failed") or out.get("sfx10", {}).get(
+        "guard_failed"
+    ):
         sys.exit(1)
 
 
@@ -288,12 +375,30 @@ def main() -> None:
 #: the clone-replicated corpus (pair OUTPUT grows ~45x) measured 2.7-6x.
 SCALE10X_SLACK = float(os.environ.get("BENCH_10X_SLACK", 15.0))
 N_RUNS_10X = 2
+#: the sfx10 rung is a 10x step too (base = sfx1), so the same
+#: per-step slack applies; measured worst top-step growth there is
+#: 3.9x (BASELINE.md SCALING table)
+SCALE100X_SLACK = float(os.environ.get("BENCH_100X_SLACK", 15.0))
+#: min-of-2: a single cold shot at a new scale overestimates 2-4x
+#: (page cache + codegen reuse); the second run is warm
+N_RUNS_100X = 2
 
 
-def _scale10x_rung(spark, timings: dict, out: dict) -> None:
-    """Batch headline queries at the 10x replication; min-of-N wall per
-    query, ratio against the main loop's sf0.1 min, no-super-linear
-    guard with one re-measure for breached queries (host noise)."""
+def _scale_rung(
+    spark,
+    base_timings: dict,
+    out: dict,
+    *,
+    key: str,
+    dst: str,
+    k: int,
+    slack: float,
+    n_runs: int,
+) -> None:
+    """Batch headline queries at the k-fold replication of sf0.1;
+    min-of-n_runs wall per query, ratio against ``base_timings`` (the
+    rung one 10x step below), no-super-linear guard with one re-measure
+    for breached queries (host noise). Writes ``out[key]``."""
     import importlib.util
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -302,22 +407,24 @@ def _scale10x_rung(spark, timings: dict, out: dict) -> None:
     )
     s10 = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(s10)
-    dst = os.environ.get("SFX1_DIR", "/tmp/sfx1")
     t_stage = 0.0
     # completion marker, not a table-file probe: lineitem is written
     # mid-staging, so a file check accepts an interrupted staging
-    # forever; the marker also pins WHICH k built the dir
-    if not s10.staged(dst, 10):
+    # forever; the marker also pins WHICH k and src built the dir
+    if not s10.staged(dst, k):
         t0 = time.perf_counter()
-        s10.replicate(spark, dst, 10)
+        s10.replicate(spark, dst, k)
         t_stage = round(time.perf_counter() - t0, 3)
     specs = {
         n: s
         for n, s in all_specs().items()
         if s.bench and not n.startswith("q_stream")
     }
+    excluded = sorted(n for n in specs if k >= 100 and n in s10.X100_EXCLUDE)
+    for n in excluded:
+        del specs[n]
 
-    def measure(name, n_runs=N_RUNS_10X) -> float:
+    def measure(name) -> float:
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -327,46 +434,46 @@ def _scale10x_rung(spark, timings: dict, out: dict) -> None:
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 3)
 
-    # A query that CRASHES only at 10x is a scale regression and must
-    # fail the guard as loudly as a super-linear wall (the ADVICE-r6
-    # discipline the streaming floors follow) — per-query isolation so
-    # one crash can't erase the other queries' 10x evidence either.
-    t10: dict[str, float] = {}
+    # A query that CRASHES only at this scale is a scale regression and
+    # must fail the guard as loudly as a super-linear wall (the
+    # ADVICE-r6 discipline the streaming floors follow) — per-query
+    # isolation so one crash can't erase the other queries' evidence.
+    t_rung: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(specs):
         try:
-            t10[name] = measure(name)
+            t_rung[name] = measure(name)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         print(
-            json.dumps({"sfx1_query": name, "sec": t10[name]}),
+            json.dumps({f"{key}_query": name, "sec": t_rung[name]}),
             file=sys.stderr,
             flush=True,
         )
     # one re-measure for breached/errored queries before declaring a
-    # regression: the denominators are min-of-5 interleaved samples
-    # while the rung gets min-of-2, so a contention burst (or a
-    # transient env hiccup) shows up here first
-    retry = set(_ratio_guard(t10, timings, SCALE10X_SLACK)["breached"]) | set(
+    # regression: a contention burst (or a transient env hiccup) shows
+    # up here first
+    retry = set(_ratio_guard(t_rung, base_timings, slack)["breached"]) | set(
         errors
     )
     for n in retry:
         try:
             t = measure(n)
-            t10[n] = min(t, t10.get(n, float("inf")))
+            t_rung[n] = min(t, t_rung.get(n, float("inf")))
             errors.pop(n, None)
         except Exception as exc:  # noqa: BLE001
             errors[n] = f"{type(exc).__name__}: {exc}"[:300]
-    g = _ratio_guard(t10, timings, SCALE10X_SLACK)
-    out["sfx1"] = {
+    g = _ratio_guard(t_rung, base_timings, slack)
+    out[key] = {
         "input_ratio": 10,
-        "queries": t10,
-        "value": round(sum(t10.values()), 3),
-        "ratio_vs_sf01_min": g["ratios"],
+        "queries": t_rung,
+        "value": round(sum(t_rung.values()), 3),
+        "ratio_vs_base_min": g["ratios"],
         "worst_ratio": g["worst"],
-        "slack": SCALE10X_SLACK,
+        "slack": slack,
         "stage_sec": t_stage,
+        "excluded": excluded or None,
         # guard_breached holds FLOAT ratios only (consumers compare it
         # against slack numerically); crashed queries live in errors —
         # both fail the run via guard_failed
@@ -374,9 +481,9 @@ def _scale10x_rung(spark, timings: dict, out: dict) -> None:
         "guard_breached": g["breached"] or None,
         "guard_failed": bool(g["breached"] or errors),
     }
-    if out["sfx1"]["guard_failed"]:
+    if out[key]["guard_failed"]:
         print(
-            f"BENCH GUARD: 10x scale regression "
+            f"BENCH GUARD: {key} scale regression "
             f"breached={g['breached']} errors={errors}",
             file=sys.stderr,
             flush=True,

@@ -47,6 +47,34 @@ def test_sf_from_dir():
     assert m.sf_from_dir("/nowhere") == -1.0
 
 
+def test_host_block_reports_load_and_interval_steal():
+    """VERDICT r9 #4: the bench JSON must carry in-record host-load
+    attribution. steal% is computed over each adjacent sample interval
+    from cumulative /proc/stat jiffies; missing /proc data degrades to
+    absent keys, never a crash."""
+    m = _bench()
+    live = m._host_sample("probe")
+    assert live["label"] == "probe"  # on this Linux host both facets exist
+    assert live["load1"] is not None and live["_total"] is not None
+    s = [
+        {"label": "start", "load1": 1.0, "_steal": 100, "_total": 10_000},
+        {"label": "mid", "load1": 2.0, "_steal": 150, "_total": 10_500},
+        {"label": "end", "load1": 1.5, "_steal": 150, "_total": 11_500},
+    ]
+    b = m._host_block(s)
+    assert b["load1"] == {"start": 1.0, "mid": 2.0, "end": 1.5}
+    assert b["steal_pct"] == {"start->mid": 10.0, "mid->end": 0.0}
+    # a sample with unreadable /proc/stat contributes no interval
+    s[1]["_total"] = None
+    assert m._host_block(s)["steal_pct"] == {}
+    # non-monotonic totals (counter reset) are skipped, not negative
+    s2 = [
+        {"label": "a", "load1": None, "_steal": 500, "_total": 9_000},
+        {"label": "b", "load1": None, "_steal": 100, "_total": 5_000},
+    ]
+    assert m._host_block(s2)["steal_pct"] == {}
+
+
 def _scale10x():
     p = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
