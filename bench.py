@@ -466,7 +466,12 @@ def _scale_rung(
             errors[n] = f"{type(exc).__name__}: {exc}"[:300]
     g = _ratio_guard(t_rung, base_timings, slack)
     out[key] = {
+        # input_ratio is the step vs THIS rung's base (sfx10's base is
+        # sfx1); k and dst pin the absolute scale so the block stays
+        # self-describing if rung keys are ever processed generically
         "input_ratio": 10,
+        "k_vs_sf01": k,
+        "staging_dir": dst,
         "queries": t_rung,
         "value": round(sum(t_rung.values()), 3),
         "ratio_vs_base_min": g["ratios"],

@@ -20,26 +20,47 @@ subsequent checkpoints to the second caller's directory (VERDICT r9).
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+
+_URI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://(.*)$")
+
+
+def _canon(p: str) -> tuple[str | None, str]:
+    """Canonicalize a checkpoint path for root comparison: a
+    ``(scheme, path)`` pair. Remote URIs (``hdfs://nn:8020/ckpt``,
+    ``s3a://bucket/ckpt``) keep scheme + authority and normalize only
+    the path part — never ``os.path.abspath``, which would prepend the
+    CWD to a URI. Local forms (``/x``, ``file:/x``, ``file:///x``,
+    ``file://host/x``) all collapse to ``(None, realpath)`` so
+    scheme-qualification and symlinks can't fake a conflict (Spark
+    returns the qualified, resolved path)."""
+    m = _URI_RE.match(p)
+    if m and m.group(1).lower() != "file":
+        scheme, rest = m.group(1).lower(), m.group(2)
+        if "/" in rest:
+            authority, path = rest.split("/", 1)
+            return (scheme, authority + os.path.normpath("/" + path))
+        return (scheme, rest)
+    if m:  # file://[authority]/path
+        rest = m.group(2)
+        path = rest[rest.index("/"):] if "/" in rest else "/"
+    elif p.lower().startswith("file:"):  # file:/path (Hadoop's usual form)
+        path = p[len("file:"):]
+    else:
+        path = p
+    return (None, os.path.realpath(os.path.abspath(path)))
 
 
 def _same_root(active: str, requested: str) -> bool:
     """True when the context's active checkpoint path lives under the
     requested root. ``setCheckpointDir(d)`` stores ``d/<uuid>`` (a
-    fresh subdirectory per context), possibly scheme-qualified
-    (``file:/...``), so compare the PARENT of the active path against
-    the requested root, scheme-insensitively for local paths."""
-
-    def norm(p: str) -> str:
-        for prefix in ("file://", "file:"):
-            if p.startswith(prefix):
-                p = p[len(prefix):]
-                break
-        return os.path.normpath(p)
-
-    return norm(os.path.dirname(active)) == norm(os.path.abspath(requested))
+    fresh subdirectory per context), scheme-qualified by the
+    filesystem, so compare the PARENT of the active path against the
+    requested root after canonicalizing both."""
+    return _canon(os.path.dirname(active)) == _canon(requested)
 
 
 def make_checkpointer(

@@ -22,6 +22,34 @@ def test_same_root_matches_spark_uuid_subdir():
     assert not _same_root("/a/b/deeper/3f2e-uuid", "/a/b")
 
 
+def test_same_root_handles_remote_uris_and_file_uri_requests():
+    """Code-review r10: the first comparator normpath'd the full URI
+    (collapsing ``hdfs://`` to ``hdfs:/``) and abspath'd the requested
+    root (prepending the CWD to URIs), so an IDENTICAL remote root
+    raised a spurious conflict — on exactly the clusters the reliable
+    path exists for."""
+    assert _same_root("hdfs://nn:8020/ckpt/uuid-123", "hdfs://nn:8020/ckpt")
+    assert _same_root("hdfs://nn:8020/ckpt/uuid-123", "hdfs://nn:8020/ckpt/")
+    assert _same_root("s3a://bucket/pipe/ckpt/u-1", "s3a://bucket/pipe/ckpt")
+    assert not _same_root("hdfs://nn:8020/ckpt/u", "hdfs://other:8020/ckpt")
+    assert not _same_root("hdfs://nn:8020/a/u", "s3a://nn:8020/a")
+    assert not _same_root("s3a://bucket/a/u", "/bucket/a")
+    # the caller may hand a file: URI while Spark returns file:/ form
+    assert _same_root("file:/tmp/ck/u-1", "file:///tmp/ck")
+    assert _same_root("file:///tmp/ck/u-1", "file:/tmp/ck")
+
+
+def test_same_root_resolves_local_symlinks(tmp_path):
+    """Spark qualifies + resolves the local path; the requested root
+    may be a symlink to it and must still match."""
+    real = tmp_path / "real_root"
+    real.mkdir()
+    link = tmp_path / "link_root"
+    link.symlink_to(real)
+    assert _same_root(f"file:{real}/uuid-1", str(link))
+    assert _same_root(f"{link}/uuid-1", str(real))
+
+
 def test_two_checkpoint_roots_in_one_session_conflict(spark, ckpt_root, tmp_path):
     """First root wins and is reusable; a DIFFERENT root in the same
     session raises at setup instead of last-writer-wins redirecting the
