@@ -21396,3 +21396,502 @@ def test_sql_udf_revenue_replay(con):
     for r in got.itertuples():
         assert int(r.revenue) == rev[r.l_returnflag]
         assert int(r.n_midrange) == mid[r.l_returnflag]
+
+
+# Batch 87: the last 31 oracled queries with no independent replay —
+# the scan/sink/format surface, the remaining relational rows, the
+# stream contract proofs, and the constant-stating oracles (xpath,
+# count-min, multimodal fakes). Replays use pandas' parquet reader
+# (Arrow C++, independent of both Spark's JVM scan and DuckDB's scan),
+# the stdlib csv / xml.etree / hashlib modules as independent parsers,
+# and plain-Python arithmetic. Rounded-double aggregates compare
+# within half a unit in the last place (batch-83 convention);
+# integer/string outputs compare exactly.
+
+
+def test_scan_parquet_replay(con):
+    import datetime
+
+    li = _tbl("lineitem")
+    cut = datetime.datetime(2000, 1, 1)
+    mine = sorted(
+        (int(r.l_orderkey), int(r.l_partkey), float(r.l_quantity),
+         float(r.l_extendedprice))
+        for r in li.itertuples()
+        if r.l_shipdate >= cut and float(r.l_quantity) > 40
+    )
+    got = oracle_df(con, "q_scan_parquet")
+    theirs = sorted(
+        (int(r.l_orderkey), int(r.l_partkey), float(r.l_quantity),
+         float(r.l_extendedprice))
+        for r in got.itertuples()
+    )
+    assert mine == theirs and len(mine) > 0
+
+
+def test_scan_csv_json_and_sink_kv_and_xml_replay(con):
+    nation, region = _tbl("nation"), _tbl("region")
+    rnames = {int(r.r_regionkey): r.r_name for r in region.itertuples()}
+    mine = sorted(
+        (int(r.n_nationkey), r.n_name, rnames[int(r.n_regionkey)])
+        for r in nation.itertuples()
+    )
+    got = oracle_df(con, "q_scan_csv_json")
+    assert mine == sorted(
+        (int(r.n_nationkey), r.n_name, r.r_name) for r in got.itertuples()
+    )
+    # q_scan_xml and q_sink_custom_kv state the identical projection
+    base = sorted(
+        (int(r.n_nationkey), r.n_name, int(r.n_regionkey))
+        for r in nation.itertuples()
+    )
+    for q in ("q_scan_xml", "q_sink_custom_kv"):
+        rows = oracle_df(con, q)
+        assert base == sorted(
+            (int(r.n_nationkey), r.n_name, int(r.n_regionkey))
+            for r in rows.itertuples()
+        )
+    # q_scan_csv_gzip groups the same projection (keys are unique, so
+    # every group count is exactly 1)
+    gz = oracle_df(con, "q_scan_csv_gzip")
+    assert base == sorted(
+        (int(r.n_nationkey), r.n_name, int(r.n_regionkey))
+        for r in gz.itertuples()
+    )
+    assert all(int(r.n) == 1 for r in gz.itertuples())
+
+
+def test_sink_parquet_replay(con):
+    from collections import defaultdict
+
+    li = _tbl("lineitem")
+    sums: dict = defaultdict(float)
+    counts: dict = defaultdict(int)
+    for r in li.itertuples():
+        k = (r.l_returnflag, int(r.l_shipdate.year))
+        sums[k] += float(r.l_extendedprice)
+        counts[k] += 1
+    got = oracle_df(con, "q_sink_parquet")
+    assert len(got) == len(sums)
+    for r in got.itertuples():
+        k = (r.l_returnflag, int(r.ship_year))
+        assert int(r.n) == counts[k]
+        assert abs(float(r.sum_price) - sums[k]) <= 0.005 + 1e-9
+
+
+def test_join_broadcast_replay(con):
+    supplier, nation, region = _tbl("supplier"), _tbl("nation"), _tbl("region")
+    rn = {int(r.r_regionkey): r.r_name for r in region.itertuples()}
+    nat = {
+        int(r.n_nationkey): (r.n_name, rn[int(r.n_regionkey)])
+        for r in nation.itertuples()
+    }
+    mine = sorted(
+        (int(r.s_suppkey), r.s_name, nat[int(r.s_nationkey)][0],
+         nat[int(r.s_nationkey)][1])
+        for r in supplier.itertuples()
+        if nat[int(r.s_nationkey)][1] in ("ASIA", "EUROPE")
+    )
+    got = oracle_df(con, "q_join_broadcast")
+    assert mine == sorted(
+        (int(r.s_suppkey), r.s_name, r.n_name, r.r_name)
+        for r in got.itertuples()
+    )
+    assert len(mine) > 0
+
+
+def test_join_full_outer_replay(con):
+    from collections import defaultdict
+    import pandas as pd
+
+
+    customer, supplier = _tbl("customer"), _tbl("supplier")
+    ncust: dict = defaultdict(int)
+    for r in customer.itertuples():
+        if float(r.c_acctbal) > 9000:
+            ncust[int(r.c_nationkey)] += 1
+    nsupp: dict = defaultdict(int)
+    for r in supplier.itertuples():
+        nsupp[int(r.s_nationkey)] += 1
+    keys = set(ncust) | set(nsupp)
+    got = oracle_df(con, "q_join_full")
+    assert len(got) == len(keys)
+    for r in got.itertuples():
+        k = int(r.nationkey)
+        want_c = ncust.get(k)
+        want_s = nsupp.get(k)
+        got_c = None if pd.isna(r.n_cust) else int(r.n_cust)
+        got_s = None if pd.isna(r.n_supp) else int(r.n_supp)
+        assert (got_c, got_s) == (want_c, want_s), k
+
+
+def test_except_intersect_replay(con):
+    orders = _tbl("orders")
+    by_status: dict = {}
+    for r in orders.itertuples():
+        by_status.setdefault(r.o_orderstatus, set()).add(int(r.o_custkey))
+    f, p, o = (
+        by_status.get("F", set()),
+        by_status.get("P", set()),
+        by_status.get("O", set()),
+    )
+    exc = oracle_df(con, "q_except")
+    assert {int(r.custkey) for r in exc.itertuples()} == f - p
+    assert len(exc) == len(f - p)  # EXCEPT is set semantics: no dup rows
+    ix = oracle_df(con, "q_intersect")
+    assert {int(r.custkey) for r in ix.itertuples()} == f & o
+    assert len(ix) == len(f & o)
+
+
+def test_rollup_replay(con):
+    from collections import defaultdict
+    import pandas as pd
+
+
+    li = _tbl("lineitem")
+    sums: dict = defaultdict(float)
+    counts: dict = defaultdict(int)
+    for r in li.itertuples():
+        price = float(r.l_extendedprice)
+        for k in (
+            (r.l_returnflag, r.l_linestatus),  # leaf
+            (r.l_returnflag, None),  # per-flag subtotal
+            (None, None),  # grand total
+        ):
+            sums[k] += price
+            counts[k] += 1
+    got = oracle_df(con, "q_rollup")
+    assert len(got) == len(sums)
+    for r in got.itertuples():
+        k = (
+            None if pd.isna(r.l_returnflag) else r.l_returnflag,
+            None if pd.isna(r.l_linestatus) else r.l_linestatus,
+        )
+        assert int(r.n) == counts[k], k
+        assert abs(float(r.sum_price) - sums[k]) <= 0.005 + 1e-9, k
+
+
+def test_federated_join_replay(con):
+    from collections import defaultdict
+
+    orders, customer, nation = _tbl("orders"), _tbl("customer"), _tbl("nation")
+    nname = {int(r.n_nationkey): r.n_name for r in nation.itertuples()}
+    cnat = {int(r.c_custkey): int(r.c_nationkey) for r in customer.itertuples()}
+    n_orders: dict = defaultdict(int)
+    cents: dict = defaultdict(int)
+    for r in orders.itertuples():
+        name = nname[cnat[int(r.o_custkey)]]
+        n_orders[name] += 1
+        cents[name] += math.floor(float(r.o_totalprice) * 100 + 0.5)
+    got = oracle_df(con, "q_federated_join")
+    assert len(got) == len(n_orders)
+    for r in got.itertuples():
+        assert int(r.n_orders) == n_orders[r.n_name]
+        assert int(r.cents) == cents[r.n_name]
+
+
+def test_sql_pipe_syntax_replay(con):
+    from collections import defaultdict
+
+    li = _tbl("lineitem")
+    agg: dict = defaultdict(lambda: [0, 0, 0])  # rev_cents, n, qty
+    for r in li.itertuples():
+        if float(r.l_quantity) > 10:
+            k = (r.l_returnflag, r.l_linestatus)
+            agg[k][0] += math.floor(
+                float(r.l_extendedprice) * (1 - float(r.l_discount)) * 100 + 0.5
+            )
+            agg[k][1] += 1
+            agg[k][2] += int(r.l_quantity)
+    mine = {k: v for k, v in agg.items() if v[1] >= 100}
+    got = oracle_df(con, "q_sql_pipe_syntax")
+    assert len(got) == len(mine)
+    for r in got.itertuples():
+        want = mine[(r.l_returnflag, r.l_linestatus)]
+        assert [int(r.rev_cents), int(r.n_items), int(r.sum_qty)] == want
+
+
+def test_distribute_by_layout_replay(con):
+    from collections import defaultdict
+
+    orders = _tbl("orders")
+    n: dict = defaultdict(int)
+    cents: dict = defaultdict(int)
+    for r in orders.itertuples():
+        k = int(r.o_custkey)
+        n[k] += 1
+        cents[k] += math.floor(float(r.o_totalprice) * 100 + 0.5)
+    got = oracle_df(con, "q_distribute_by_layout")
+    assert len(got) == len(n)
+    for r in got.itertuples():
+        k = int(r.o_custkey)
+        assert (int(r.n_orders), int(r.total_cents)) == (n[k], cents[k])
+
+
+def test_count_min_and_stream_contract_oracles_replay(con):
+    """q_count_min / q_stream_count_min / the three streaming contract
+    proofs all declare exact per-type aggregates as their oracle (the
+    Spark side must converge to the true values); replay those
+    aggregates from raw events with a Counter."""
+    from collections import Counter, defaultdict
+
+    ev = _tbl("events")
+    n_by_type = Counter(ev["event_type"])
+    cents: dict = defaultdict(int)
+    for r in ev.itertuples():
+        cents[r.event_type] += math.floor(float(r.value) * 100 + 0.5)
+    for q in ("q_count_min", "q_stream_count_min"):
+        got = oracle_df(con, q)
+        assert len(got) == len(n_by_type)
+        for r in got.itertuples():
+            assert int(r.est) == n_by_type[r.item]
+    for q in ("q_stream_idempotent_sink", "q_stream_restart_recovery"):
+        got = oracle_df(con, q)
+        assert len(got) == len(n_by_type)
+        for r in got.itertuples():
+            assert int(r.n) == n_by_type[r.event_type]
+            assert int(r.cents) == cents[r.event_type]
+
+
+def test_stream_batch_invariance_oracle_replay(con):
+    from collections import defaultdict
+
+    ev = _tbl("events")
+    n: dict = defaultdict(int)
+    cents: dict = defaultdict(int)
+    for r in ev.itertuples():
+        win = r.ts.replace(minute=0, second=0, microsecond=0)
+        k = (win.strftime("%Y-%m-%d %H:%M:%S"), r.event_type)
+        n[k] += 1
+        cents[k] += math.floor(float(r.value) * 100 + 0.5)
+    got = oracle_df(con, "q_stream_batch_invariance")
+    assert len(got) == len(n)
+    for r in got.itertuples():
+        k = (r.win_start, r.event_type)
+        assert (int(r.n), int(r.cents)) == (n[k], cents[k])
+
+
+def test_stream_sink_partitioned_oracle_replay(con):
+    from collections import Counter
+
+    ev = _tbl("events")
+    n = Counter((r.event_type, int(r.ts.day)) for r in ev.itertuples())
+    got = oracle_df(con, "q_stream_sink_partitioned")
+    assert len(got) == len(n)
+    for r in got.itertuples():
+        assert int(r.n) == n[(r.event_type, int(r.day_of_month))]
+
+
+def test_csv_roundtrip_quoting_replay(con):
+    """Independent CSV codec: round-trip the tricky value (comma,
+    embedded quotes, embedded newline) through the stdlib csv module
+    and assert losslessness, then match the oracle's direct
+    construction."""
+    import csv
+    import io
+
+    nation = _tbl("nation")
+    mine = {}
+    for r in nation.itertuples():
+        tricky = f'name,"{r.n_name}"\nline2'
+        buf = io.StringIO()
+        csv.writer(buf, quoting=csv.QUOTE_ALL).writerow(
+            [r.n_nationkey, tricky, r.n_regionkey]
+        )
+        (back,) = list(csv.reader(io.StringIO(buf.getvalue())))
+        assert back[1] == tricky, "stdlib csv round-trip must be lossless"
+        mine[int(back[0])] = (back[1], int(back[2]))
+    got = oracle_df(con, "q_csv_roundtrip_quoting")
+    assert len(got) == len(mine)
+    for r in got.itertuples():
+        assert (r.tricky, int(r.n_regionkey)) == mine[int(r.n_nationkey)]
+
+
+def test_scan_csv_corrupt_oracle_replay(con):
+    nation = _tbl("nation")
+    n_good = len(nation)
+    n_corrupt = sum(1 for r in nation.itertuples() if int(r.n_nationkey) % 5 == 0)
+    key_sum = sum(int(r.n_nationkey) for r in nation.itertuples())
+    got = oracle_df(con, "q_scan_csv_corrupt")
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert int(r.n_rows_total) == n_good + n_corrupt
+    assert int(r.n_good) == n_good
+    assert int(r.n_corrupt) == n_corrupt
+    assert int(r.good_key_sum) == key_sum
+
+
+def test_scan_custom_source_oracle_replay(con):
+    from collections import defaultdict
+
+    types = ["click", "view", "signup", "purchase", "error"]
+    n: dict = defaultdict(int)
+    users: dict = defaultdict(set)
+    total: dict = defaultdict(float)
+    for i in range(10_000):
+        t = types[i % 5]
+        n[t] += 1
+        users[t].add(i % 1000)
+        total[t] += ((i * 2654435761) % 10_000) / 100.0
+    got = oracle_df(con, "q_scan_custom_source")
+    assert len(got) == 5
+    for r in got.itertuples():
+        assert int(r.n) == n[r.event_type]
+        assert int(r.n_users) == len(users[r.event_type])
+        assert abs(float(r.total_value) - total[r.event_type]) <= 0.005 + 1e-9
+
+
+def test_scan_file_metadata_and_orc_replay(con):
+    from collections import defaultdict
+
+    li = _tbl("lineitem")
+    got = oracle_df(con, "q_scan_file_metadata")
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.file_name == "lineitem.parquet"
+    assert int(r.n_rows) == len(li)
+    assert int(r.min_orderkey) == int(li["l_orderkey"].min())
+    assert int(r.max_orderkey) == int(li["l_orderkey"].max())
+    ev = _tbl("events")
+    n: dict = defaultdict(int)
+    s: dict = defaultdict(float)
+    for r in ev.itertuples():
+        n[r.event_type] += 1
+        s[r.event_type] += float(r.value)
+    orc = oracle_df(con, "q_scan_orc")
+    assert len(orc) == len(n)
+    for r in orc.itertuples():
+        assert int(r.n) == n[r.event_type]
+        assert abs(float(r.sum_value) - s[r.event_type]) <= 0.00005 + 1e-9
+
+
+def test_scan_schema_evolution_replay(con):
+    import pandas as pd
+
+    nation = _tbl("nation")
+    mine = {
+        int(r.n_nationkey): (
+            r.n_name,
+            None if int(r.n_nationkey) < 13 else int(r.n_regionkey) * 10,
+        )
+        for r in nation.itertuples()
+    }
+    got = oracle_df(con, "q_scan_schema_evolution")
+    assert len(got) == len(mine)
+    for r in got.itertuples():
+        want = mine[int(r.n_nationkey)]
+        code = None if pd.isna(r.region_code) else int(r.region_code)
+        assert (r.n_name, code) == want
+
+
+def test_scan_text_replay(con):
+    docs = _tbl("documents")
+    mine = {
+        int(r.doc_id): (r.lang, len(r.text), len(r.text.split(" ")))
+        for r in docs.itertuples()
+    }
+    got = oracle_df(con, "q_scan_text")
+    assert len(got) == len(mine)
+    for r in got.itertuples():
+        assert (r.lang, int(r.n_chars), int(r.n_words)) == mine[int(r.doc_id)]
+
+
+def test_scan_binaryfile_replay(con):
+    """hashlib.md5 as the independent digest implementation."""
+    import hashlib
+
+    docs = _tbl("documents")
+    mine = {
+        f"doc_{int(r.doc_id)}.txt": (
+            len(r.text.encode("utf-8")),
+            hashlib.md5(r.text.encode("utf-8")).hexdigest(),
+        )
+        for r in docs.itertuples()
+        if int(r.doc_id) < 20
+    }
+    got = oracle_df(con, "q_scan_binaryfile")
+    assert len(got) == len(mine) == 20
+    for r in got.itertuples():
+        assert (int(r.n_bytes), r.digest) == mine[r.fname]
+
+
+def test_xpath_funcs_replay(con):
+    """xml.etree as the independent XML parser: build the exact per-row
+    document the Spark side synthesizes, parse it, and re-derive every
+    extracted column."""
+    import xml.etree.ElementTree as ET
+
+    nation = _tbl("nation")
+    mine = {}
+    for r in nation.itertuples():
+        doc = (
+            f"<nation><name>{r.n_name}</name><key>{int(r.n_nationkey)}</key>"
+            f"<region>{int(r.n_regionkey)}</region></nation>"
+        )
+        root = ET.fromstring(doc)
+        mine[int(r.n_nationkey)] = (
+            root.findtext("name"),
+            int(root.findtext("key")),
+            root.find("region") is not None,
+            sum(1 for child in root if child.text),
+        )
+    got = oracle_df(con, "q_xpath_funcs")
+    assert len(got) == len(mine)
+    for r in got.itertuples():
+        want = mine[int(r.n_nationkey)]
+        assert (r.name_x, int(r.key_x), bool(r.has_region), int(r.n_children)) == want
+
+
+def test_tpch_q2_replay(con):
+    li, part, supplier = _tbl("lineitem"), _tbl("part"), _tbl("supplier")
+    unit: dict = {}
+    for r in li.itertuples():
+        k = (int(r.l_partkey), int(r.l_suppkey))
+        c = float(r.l_extendedprice) / float(r.l_quantity)
+        if k not in unit or c < unit[k]:
+            unit[k] = c
+    best: dict = {}
+    for (pk, _sk), c in unit.items():
+        if pk not in best or c < best[pk]:
+            best[pk] = c
+    small = {int(r.p_partkey): r.p_name for r in part.itertuples() if int(r.p_size) < 10}
+    sname = {int(r.s_suppkey): r.s_name for r in supplier.itertuples()}
+    mine = sorted(
+        (pk, small[pk], sname[sk], math.floor(c * 10_000 + 0.5))
+        for (pk, sk), c in unit.items()
+        if pk in small and c == best[pk]
+    )
+    got = oracle_df(con, "q_tpch_q2")
+    theirs = sorted(
+        (int(r.p_partkey), r.p_name, r.s_name, int(r.best_cost_e4))
+        for r in got.itertuples()
+    )
+    assert mine == theirs and len(mine) > 0
+
+
+def test_multimodal_resize_and_frames_replay(con):
+    docs = _tbl("documents")
+    resize = {
+        int(r.doc_id): (
+            ord(r.text[0]),
+            sum(ord(ch) for ch in r.text[:256]) % 65536,
+        )
+        for r in docs.itertuples()
+    }
+    got = oracle_df(con, "q_multimodal_resize")
+    assert len(got) == len(resize)
+    for r in got.itertuples():
+        want = resize[int(r.doc_id)]
+        assert int(r.n_bytes) == 256 and int(r.fake_width) == 32
+        assert (int(r.first_byte), int(r.byte_sum_mod)) == want
+    frames: dict = {}
+    for r in docs.itertuples():
+        n_frames = len(r.text) // 64
+        for idx in range(0, n_frames, 2):
+            frames[(int(r.doc_id), idx)] = sum(
+                ord(ch) for ch in r.text[idx * 64 : idx * 64 + 64]
+            )
+    got_f = oracle_df(con, "q_multimodal_frames")
+    assert len(got_f) == len(frames)
+    for r in got_f.itertuples():
+        assert int(r.frame_sum) == frames[(int(r.doc_id), int(r.frame_idx))]
