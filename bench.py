@@ -345,7 +345,7 @@ def main() -> None:
         # tools/scale10x.py X100_EXCLUDE: the replicator's exact-clone
         # cliques make near-dup pair OUTPUT quadratic in copy count, so
         # its wall there measures the synthetic corpus, not the plan.
-        sfx1_ok = bool(out.get("sfx1")) and not out["sfx1"]["guard_failed"]
+        sfx1_ok = bool(out.get("sfx1")) and not out["sfx1"].get("guard_failed")
         if not os.environ.get("BENCH_SKIP_100X") and sfx1_ok:
             try:
                 _scale_rung(
@@ -357,6 +357,7 @@ def main() -> None:
                     k=100,
                     slack=SCALE100X_SLACK,
                     n_runs=N_RUNS_100X,
+                    stage_if_missing=False,
                 )
             except Exception as exc:  # noqa: BLE001
                 out["sfx10_error"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -394,11 +395,18 @@ def _scale_rung(
     k: int,
     slack: float,
     n_runs: int,
+    stage_if_missing: bool = True,
 ) -> None:
     """Batch headline queries at the k-fold replication of sf0.1;
     min-of-n_runs wall per query, ratio against ``base_timings`` (the
     rung one 10x step below), no-super-linear guard with one re-measure
-    for breached queries (host noise). Writes ``out[key]``."""
+    for breached queries (host noise). Writes ``out[key]``.
+
+    ``stage_if_missing=False`` makes the rung marker-gated: when the
+    staging is absent it records a skip instead of replicating inline —
+    the 100x staging writes ~1.7 GB (~200 s), enough to endanger the
+    bench run's budget, and a blown bench run loses the round's only
+    record."""
     import importlib.util
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -412,6 +420,17 @@ def _scale_rung(
     # mid-staging, so a file check accepts an interrupted staging
     # forever; the marker also pins WHICH k and src built the dir
     if not s10.staged(dst, k):
+        if not stage_if_missing:
+            out[key] = {
+                "skipped": (
+                    f"staging absent; run `python tools/scale10x.py {dst} "
+                    f"--k {k} --stage-only` to restore this rung"
+                ),
+                "k_vs_sf01": k,
+                "staging_dir": dst,
+            }
+            print(f"{key} rung skipped: {dst} not staged", file=sys.stderr, flush=True)
+            return
         t0 = time.perf_counter()
         s10.replicate(spark, dst, k)
         t_stage = round(time.perf_counter() - t0, 3)

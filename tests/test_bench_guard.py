@@ -75,6 +75,30 @@ def test_host_block_reports_load_and_interval_steal():
     assert m._host_block(s2)["steal_pct"] == {}
 
 
+def test_scale_rung_skips_unstaged_dir_when_gated():
+    """The 100x rung must never replicate 1.7 GB inside the driver's
+    bench run — a blown budget there loses the round's only bench
+    record. With stage_if_missing=False an absent staging records a
+    skip (with the restore command) and returns before touching Spark."""
+    m = _bench()
+    out: dict = {}
+    m._scale_rung(
+        None,  # spark unused on the skip path
+        {},
+        out,
+        key="sfx10",
+        dst="/tmp/definitely-not-staged-xyz",
+        k=100,
+        slack=15.0,
+        n_runs=1,
+        stage_if_missing=False,
+    )
+    blk = out["sfx10"]
+    assert "tools/scale10x.py" in blk["skipped"]
+    assert blk["k_vs_sf01"] == 100
+    assert not blk.get("guard_failed")  # a skip is not a guard failure
+
+
 def _scale10x():
     p = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
