@@ -46,6 +46,9 @@ _REVERIFY_FROM_ROUND = {
     "q_source_overlap": 9,
     "q_substring_dedup_coverage": 9,
     "q_winnowing_fingerprint": 9,
+    # round-9 pagerank lineage-truncation refactor (graph.py): no prior
+    # driver rows exist, but any future row must postdate the refactor
+    "q_pagerank": 9,
 }
 
 
