@@ -111,3 +111,26 @@ def test_rotation_reverifies_rewritten_queries():
     assert statuses == sorted(statuses), (
         "rotation must order uncovered before covered"
     )
+
+
+def test_rotation_orders_uncovered_streams_before_batch():
+    """VERDICT r9 #3: streaming queries are the most expensive class to
+    re-verify later, so within the uncovered (front) segment every
+    still-pinned name comes first, then every streaming-tagged query,
+    then the batch remainder — each cost-ordered. If nothing relevant
+    is uncovered anymore (later rounds), the invariant holds vacuously."""
+    from catenae_kafka_spark.registry import all_specs
+
+    mod = _load_entry()
+    order = list(mod.queries())
+    covered = mod._covered_in_prior_rounds()
+    specs = all_specs()
+    uncovered = [n for n in order if n not in covered]
+    pinned = [n for n in mod._PINNED_FIRST if n in specs and n not in covered]
+    assert uncovered[: len(pinned)] == pinned
+    tail = uncovered[len(pinned):]
+    is_stream = ["streaming" in specs[n].tags for n in tail]
+    # all True (streams) must precede all False (batch)
+    assert is_stream == sorted(is_stream, reverse=True), (
+        "uncovered streaming queries must precede uncovered batch queries"
+    )
