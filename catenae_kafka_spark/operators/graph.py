@@ -71,6 +71,11 @@ def pagerank(
         norm = ckpt(norm)
         nodes = ckpt(nodes)
     n_nodes = nodes.count()  # driver scalar: node count, not data rows
+    if n_nodes == 0:
+        # an empty edge slice (e.g. a filtered day with no activity) is
+        # routine at scale — return empty ranks with the right schema
+        # instead of dividing by zero on the teleport share
+        return nodes.withColumn("rank", F.lit(0.0))
     teleport = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):

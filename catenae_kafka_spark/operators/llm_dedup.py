@@ -164,7 +164,10 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    signed: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signed: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a
     candidate pair. Linear explode (bands per doc) + shuffle by bucket;
@@ -175,9 +178,12 @@ def minhash_candidate_pairs(
     recall: on this corpus (31-word vocabulary) 2-row bands collide so
     often that a few buckets held hundreds of docs and the in-bucket
     pair join went quadratic (192 s at sf0.1); 4-row bands keep buckets
-    small (12 s) at the same effective recall."""
+    small (12 s) at the same effective recall.
+
+    ``id_col`` must name the same id column the signatures were built
+    with (minhash_signatures' ``id_col``)."""
     banded = signed.select(
-        "doc_id",
+        id_col,
         F.posexplode(
             F.array(
                 *[
@@ -199,10 +205,11 @@ def minhash_candidate_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
     )

@@ -254,6 +254,32 @@ def test_connected_components_reliable_checkpoint_and_loud_failure(
         connected_components(chain, max_rounds=1)
 
 
+def test_minhash_pipeline_custom_id_col_and_empty_input(spark):
+    """minhash_candidate_pairs takes the id column name the signatures
+    were built with (it used to hardcode doc_id while
+    minhash_signatures parameterized it — any caller with a different
+    id name got an unresolved-column crash); and the whole pipeline
+    degrades to empty output on empty input."""
+    from catenae_kafka_spark.operators.llm_dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different words in this one here now")],
+        "item_id long, body string",
+    )
+    signed = minhash_signatures(docs, text_col="body", id_col="item_id")
+    pairs = minhash_candidate_pairs(signed, id_col="item_id").collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = minhash_candidate_pairs(minhash_signatures(empty))
+    assert out.columns == ["id_a", "id_b"]
+    assert out.count() == 0
+
+
 def test_hll_sketch_tolerance(spark):
     """q_hll_sketch (weak oracle): per-type and unioned estimates stay
     within 5% of exact distinct counts, and the union row is consistent

@@ -917,6 +917,18 @@ def test_pagerank_iteration_lineage_is_truncated(spark):
     assert abs(total - 1.0) < 1e-9
 
 
+def test_pagerank_empty_edges_returns_empty_ranks(spark):
+    """An empty edge slice (a filtered day with no activity) is routine
+    at scale: empty (node, rank) result, not ZeroDivisionError on the
+    teleport share."""
+    from catenae_kafka_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint, w double")
+    out = pagerank(empty, iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
 def test_pagerank_reliable_checkpoint_matches_local(spark, ckpt_root):
     """checkpoint_dir switches the iteration-lineage truncation to
     storage-backed checkpoints (survives executor loss on a real
