@@ -147,3 +147,35 @@ def test_asof_tolerance_matches_pandas(spark, left_rows, right_rows):
     g = g[["key", "lts", "lval", "rts", "rval"]].astype("float64")
     e = e[["key", "lts", "lval", "rts", "rval"]].astype("float64")
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_custom_joins_degrade_on_empty_inputs(spark):
+    """Empty slices are routine at scale (a day with no fills, an
+    empty interval table): the custom joins must return correctly-
+    shaped empties — and a left as-of row with no right partner keeps
+    its left semantics (one row, null payload) — never crash."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from catenae_kafka_spark.operators.asof import asof_join, interval_join
+
+    L = spark.createDataFrame([], "k string, lts timestamp")
+    R = spark.createDataFrame([], "k string, rts timestamp, payload double")
+    both = asof_join(
+        L, R, on=["k"], left_ts="lts", right_ts="rts", right_payload=["payload"]
+    )
+    assert both.count() == 0
+    L1 = spark.createDataFrame(
+        [("a", datetime.datetime(2020, 1, 1))], "k string, lts timestamp"
+    )
+    left_only = asof_join(
+        L1, R, on=["k"], left_ts="lts", right_ts="rts", right_payload=["payload"]
+    ).collect()
+    assert len(left_only) == 1 and left_only[0]["payload"] is None
+    pts = spark.createDataFrame([], "x bigint")
+    iv = spark.createDataFrame([], "lo bigint, hi bigint")
+    out = interval_join(
+        pts, iv, F.col("x"), F.col("lo"), F.col("hi"), bucket_width=10
+    )
+    assert out.count() == 0

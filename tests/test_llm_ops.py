@@ -421,3 +421,35 @@ def test_short_doc_shingle_guards_match_oracle(spark, tmp_path):
             return sorted(out)
 
         assert norm(sdf) == norm(odf), name
+
+
+def test_similarity_and_jaccard_degrade_on_empty_inputs(spark):
+    """Empty corpus or query slices return empty results from every
+    ANN path (brute force, IVF, LSH) and from the exact-Jaccard
+    candidate generator — no div-by-zero on centroid counts, no
+    crash on empty bucket joins."""
+    from pyspark.sql import functions as F
+
+    from catenae_kafka_spark.operators.llm_dedup import (
+        jaccard_prefix_candidates,
+        word_bigrams,
+    )
+    from catenae_kafka_spark.operators.llm_similarity import (
+        knn_cosine,
+        knn_ivf,
+        knn_lsh,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id long, embedding array<double>"
+    )
+    q1 = spark.createDataFrame(
+        [(100, [0.1] * 8)], "vec_id long, embedding array<double>"
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    for fn in (knn_cosine, knn_ivf, knn_lsh):
+        assert fn(q1, empty).count() == 0, fn.__name__
+        assert fn(empty, corpus).count() == 0, fn.__name__
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    g = docs.select("doc_id", "lang", word_bigrams(F.col("text")).alias("bigrams"))
+    assert jaccard_prefix_candidates(g, 0.5).count() == 0
