@@ -421,15 +421,23 @@ def _scale_rung(
     # forever; the marker also pins WHICH k and src built the dir
     if not s10.staged(dst, k):
         if not stage_if_missing:
+            # staged() is also False for a PRESENT-but-stale dir (wrong
+            # k/src in the marker, or an interrupted replication) — say
+            # so, or whoever debugs the skip hunts a missing directory
             out[key] = {
                 "skipped": (
-                    f"staging absent; run `python tools/scale10x.py {dst} "
-                    f"--k {k} --stage-only` to restore this rung"
+                    "staging absent or stale (missing/mismatched "
+                    f"_STAGED_OK marker); run `python tools/scale10x.py "
+                    f"{dst} --k {k} --stage-only` to (re)stage this rung"
                 ),
                 "k_vs_sf01": k,
                 "staging_dir": dst,
             }
-            print(f"{key} rung skipped: {dst} not staged", file=sys.stderr, flush=True)
+            print(
+                f"{key} rung skipped: {dst} not staged (or marker stale)",
+                file=sys.stderr,
+                flush=True,
+            )
             return
         t0 = time.perf_counter()
         s10.replicate(spark, dst, k)

@@ -21398,7 +21398,7 @@ def test_sql_udf_revenue_replay(con):
         assert int(r.n_midrange) == mid[r.l_returnflag]
 
 
-# Batch 87: the last 31 oracled queries with no independent replay —
+# Batch 87: the last 32 oracled queries with no independent replay —
 # the scan/sink/format surface, the remaining relational rows, the
 # stream contract proofs, and the constant-stating oracles (xpath,
 # count-min, multimodal fakes). Replays use pandas' parquet reader
