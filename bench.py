@@ -4,10 +4,22 @@ Runs the headline query set (bench=True specs: flagship join-agg, fact
 join, TPC-H Q1 agg, as-of join, window rank, MinHash dedup, KNN cosine,
 language-ID, streaming tumbling window) at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS], forcing full execution JVM-side via the noop
-sink (no rows cross to Python), and prints:
+sink (no rows cross to Python).
+
+Record handoff (VERDICT r10 #1): the driver tail-captures a bounded
+window of stdout, and round 10's single final JSON line (queries +
+medians + sfx1 + sfx10 + host blocks) outgrew it — BENCH_r10 recorded
+``"parsed": null`` with the numbers surviving only in a truncated tail
+string. So stdout's ONE final line is now a COMPACT summary (see
+``_compact_record``; bounded by ``MAX_FINAL_LINE_BYTES``):
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": <sf>}
+     "queries": {per-query mins}, "sf": <sf>, "value_median": ...,
+     "stream_events_per_s": ..., "sfx1": {"worst_ratio", "guard_failed"},
+     "sfx10": {...}, "host": {"steal_pct_max", ...}, "full_record": path}
+
+while the FULL record goes to $BENCH_FULL_PATH (default:
+bench_full.json next to this file) and, belt-and-braces, to stderr.
 """
 
 from __future__ import annotations
@@ -38,11 +50,13 @@ def _host_sample(label: str) -> dict:
     bench record."""
     d: dict = {"label": label}
     try:
-        d["load1"] = float(open("/proc/loadavg").read().split()[0])
+        with open("/proc/loadavg") as fh:
+            d["load1"] = float(fh.read().split()[0])
     except Exception:  # noqa: BLE001 — /proc may be absent (non-Linux)
         d["load1"] = None
     try:
-        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        with open("/proc/stat") as fh:
+            v = [int(x) for x in fh.readline().split()[1:]]
         # cpu: user nice system idle iowait irq softirq steal ...
         d["_steal"] = v[7] if len(v) > 7 else 0
         d["_total"] = sum(v)
@@ -72,6 +86,93 @@ def _host_block(samples: list[dict]) -> dict:
                 2,
             )
     return block
+
+
+#: hard bound on the final stdout line. The driver's tail capture keeps
+#: ~2000 chars; round 10's full record was truncated MID-LINE there and
+#: the round lost its machine-readable bench row. 1500 leaves headroom
+#: for the driver's own wrapping. tests/test_bench_guard.py asserts a
+#: representative full record compacts under this bound with the
+#: driver-contract keys (metric/value/unit/queries/sf) intact.
+MAX_FINAL_LINE_BYTES = 1500
+
+
+def _compact_record(out: dict) -> dict:
+    """Project the full bench record onto the compact stdout summary:
+    driver-contract keys (metric, value, unit, queries, sf) plus the
+    headline evidence a round needs at a glance — value_median, stream
+    rates, per-rung worst_ratio/guard_failed, max steal/load — and the
+    path of the full record. Everything bulky (per-query medians and
+    sample counts, per-rung per-query timings/ratios, per-interval host
+    samples, retry samples) lives only in the full record."""
+    c: dict = {
+        "metric": out.get("metric"),
+        "value": out.get("value"),
+        "unit": out.get("unit"),
+        "stat": out.get("stat"),
+        "sf": out.get("sf"),
+        "queries": out.get("queries"),
+        "value_median": out.get("value_median"),
+    }
+    for k in ("stream_events_per_s", "stream_events_per_s_sustained"):
+        if k in out:
+            c[k] = out[k]
+    if out.get("errors"):
+        c["errors"] = {n: str(e)[:80] for n, e in out["errors"].items()}
+    for rung in ("sfx1", "sfx10"):
+        r = out.get(rung)
+        if not isinstance(r, dict):
+            continue
+        if "skipped" in r:
+            c[rung] = {"skipped": True}
+        else:
+            c[rung] = {
+                "worst_ratio": r.get("worst_ratio"),
+                "guard_failed": r.get("guard_failed"),
+                "value": r.get("value"),
+                "excluded": r.get("excluded"),
+            }
+    for k in ("sfx1_error", "sfx10_error"):
+        if k in out:
+            c[k] = str(out[k])[:120]
+    host = out.get("host") or {}
+    steals = [v for v in (host.get("steal_pct") or {}).values() if v is not None]
+    loads = [v for v in (host.get("load1") or {}).values() if v is not None]
+    c["host"] = {
+        "cpus": host.get("cpus"),
+        "steal_pct_max": max(steals) if steals else None,
+        "load1_max": max(loads) if loads else None,
+    }
+    if out.get("full_record_path"):
+        c["full_record"] = out["full_record_path"]
+    return c
+
+
+def _emit(out: dict) -> None:
+    """Write the FULL record to $BENCH_FULL_PATH and stderr, then print
+    the compact summary as the one stdout line. A final line over
+    ``MAX_FINAL_LINE_BYTES`` sheds optional fields before (last resort,
+    unreachable at the current 11-query headline set) the per-query
+    mins — the driver-contract scalars are never dropped."""
+    full_path = os.environ.get(
+        "BENCH_FULL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh)
+        out["full_record_path"] = full_path
+    except OSError as exc:
+        print(f"bench full-record write failed: {exc}", file=sys.stderr, flush=True)
+    print(json.dumps({"bench_full": out}), file=sys.stderr, flush=True)
+    compact = _compact_record(out)
+    line = json.dumps(compact)
+    for victim in ("errors", "host", "queries"):
+        if len(line) <= MAX_FINAL_LINE_BYTES:
+            break
+        compact.pop(victim, None)
+        line = json.dumps(compact)
+    print(line, flush=True)
 
 
 N_RUNS = 3  # streaming queries (per-run cost ~1-4 s)
@@ -313,7 +414,7 @@ def main() -> None:
             # the JSON record still goes out (a guarded-failed bench is
             # evidence too); the nonzero exit is the loud signal
             out["host"] = _host_block(host_samples)
-            print(json.dumps(out))
+            _emit(out)
             sys.exit(1)
         # 10x scale rung (VERDICT r8 #6): time the batch headline set
         # once more on the 10x-replicated sf0.1 staging (~sf1, 6M
@@ -364,7 +465,7 @@ def main() -> None:
                 print(f"sfx10 rung failed: {exc}", file=sys.stderr, flush=True)
             host_samples.append(_host_sample("sfx10_done"))
     out["host"] = _host_block(host_samples)
-    print(json.dumps(out))
+    _emit(out)
     if out.get("sfx1", {}).get("guard_failed") or out.get("sfx10", {}).get(
         "guard_failed"
     ):
