@@ -40,10 +40,14 @@ def _canon(p: str) -> tuple[str | None, str]:
     m = _URI_RE.match(p)
     if m and m.group(1).lower() != "file":
         scheme, rest = m.group(1).lower(), m.group(2)
-        if "/" in rest:
-            authority, path = rest.split("/", 1)
-            return (scheme, authority + os.path.normpath("/" + path))
-        return (scheme, rest)
+        # slash-less and trailing-slash roots must canonicalize the
+        # same way: a root AT the URI filesystem root otherwise
+        # self-conflicts — dirname('hdfs://nn:8020/uuid') is
+        # 'hdfs://nn:8020' while the user passes 'hdfs://nn:8020/',
+        # and a second make_checkpointer call with the identical root
+        # would raise a spurious conflict (ADVICE r10)
+        authority, _, path = rest.partition("/")
+        return (scheme, authority + os.path.normpath("/" + path))
     if m:  # file://[authority]/path
         rest = m.group(2)
         path = rest[rest.index("/"):] if "/" in rest else "/"

@@ -134,7 +134,11 @@ def minhash_signatures(
     # partition count is explicit because AQE would coalesce a bare
     # repartition(col) of small data straight back to one partition.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(par, F.col(id_col))
+    # backtick-quote the id ref so a dotted/spaced column name doesn't
+    # parse as a nested reference (ADVICE r10); bare-string refs below
+    # use the same quoted form for the same reason
+    id_ref = "`" + id_col.replace("`", "``") + "`"
+    docs = docs.repartition(par, F.col(id_ref))
     toks = F.split(F.col(text_col), " ")
     n_sh = F.greatest(F.size(toks) - (shingle_len - 1), F.lit(1))
     # try_element_at: docs shorter than shingle_len index past the end;
@@ -148,17 +152,17 @@ def minhash_signatures(
             ),
         )
     )
-    base = docs.select(F.col(id_col), shingles.alias("shingles"))
-    exploded = base.select(id_col, F.explode("shingles").alias("_sh"))
+    base = docs.select(F.col(id_ref), shingles.alias("shingles"))
+    exploded = base.select(id_ref, F.explode("shingles").alias("_sh"))
     hashed = exploded.select(
-        id_col,
+        id_ref,
         *[F.xxhash64(F.lit(h), F.col("_sh")).alias(f"_h{h}") for h in range(num_hashes)],
     )
-    sig = hashed.groupBy(id_col).agg(
+    sig = hashed.groupBy(id_ref).agg(
         *[F.min(f"_h{h}").alias(f"_m{h}") for h in range(num_hashes)]
     )
     packed = sig.select(
-        id_col, F.array(*[F.col(f"_m{h}") for h in range(num_hashes)]).alias("sig")
+        id_ref, F.array(*[F.col(f"_m{h}") for h in range(num_hashes)]).alias("sig")
     )
     return base.join(packed, id_col)
 
@@ -182,8 +186,12 @@ def minhash_candidate_pairs(
 
     ``id_col`` must name the same id column the signatures were built
     with (minhash_signatures' ``id_col``)."""
+    # backtick-quote the id refs: raw f-string/bare-string refs parse a
+    # dotted or spaced id_col as a nested/invalid reference even though
+    # minhash_signatures accepted the same name (ADVICE r10)
+    bt = "`" + id_col.replace("`", "``") + "`"
     banded = signed.select(
-        id_col,
+        bt,
         F.posexplode(
             F.array(
                 *[
@@ -205,11 +213,11 @@ def minhash_candidate_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{bt}") < F.col(f"b.{bt}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{bt}").alias("id_a"),
+            F.col(f"b.{bt}").alias("id_b"),
         )
         .distinct()
     )

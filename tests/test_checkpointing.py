@@ -39,6 +39,17 @@ def test_same_root_handles_remote_uris_and_file_uri_requests():
     assert _same_root("file:///tmp/ck/u-1", "file:/tmp/ck")
 
 
+def test_same_root_at_uri_filesystem_root():
+    """ADVICE r10: a checkpoint root AT the URI filesystem root —
+    dirname('hdfs://nn:8020/uuid') is the slash-less 'hdfs://nn:8020'
+    while the user passes 'hdfs://nn:8020/' — must canonicalize to the
+    same pair, or an identical-root second caller raises a spurious
+    conflict."""
+    assert _same_root("hdfs://nn:8020/uuid-123", "hdfs://nn:8020/")
+    assert _same_root("s3a://bucket/uuid-123", "s3a://bucket")
+    assert not _same_root("hdfs://nn:8020/uuid-123", "hdfs://other:8020/")
+
+
 def test_same_root_resolves_local_symlinks(tmp_path):
     """Spark qualifies + resolves the local path; the requested root
     may be a symlink to it and must still match."""

@@ -278,6 +278,13 @@ def test_minhash_pipeline_custom_id_col_and_empty_input(spark):
     out = minhash_candidate_pairs(minhash_signatures(empty))
     assert out.columns == ["id_a", "id_b"]
     assert out.count() == 0
+    # ADVICE r10: an id column with a dot (or space) parsed as a nested
+    # reference in the alias-qualified f-string refs and crashed with
+    # unresolved-column even though minhash_signatures accepted it
+    dotted = docs.withColumnRenamed("item_id", "item.id")
+    signed_d = minhash_signatures(dotted, text_col="body", id_col="item.id")
+    pairs_d = minhash_candidate_pairs(signed_d, id_col="item.id").collect()
+    assert {(r.id_a, r.id_b) for r in pairs_d} == {(1, 2)}
 
 
 def test_hll_sketch_tolerance(spark):
