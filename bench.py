@@ -442,10 +442,9 @@ def main() -> None:
         # the sfx1 rung's timings (its true 10x-input base). Skipped
         # when the sfx1 rung failed or was skipped — without the 10x
         # base its step would be a 100x jump mislabeled as 10x (the
-        # scale_ladder discipline). q_dedup_minhash is excluded per
-        # tools/scale10x.py X100_EXCLUDE: the replicator's exact-clone
-        # cliques make near-dup pair OUTPUT quadratic in copy count, so
-        # its wall there measures the synthetic corpus, not the plan.
+        # scale_ladder discipline). Since the near-dup jitter
+        # (VERDICT r10 #4, tools/scale10x.py) q_dedup_minhash is timed
+        # here like every other headline query — X100_EXCLUDE is empty.
         sfx1_ok = bool(out.get("sfx1")) and not out["sfx1"].get("guard_failed")
         if not os.environ.get("BENCH_SKIP_100X") and sfx1_ok:
             try:
@@ -528,8 +527,11 @@ def _scale_rung(
             out[key] = {
                 "skipped": (
                     "staging absent or stale (missing/mismatched "
-                    f"_STAGED_OK marker); run `python tools/scale10x.py "
-                    f"{dst} --k {k} --stage-only` to (re)stage this rung"
+                    "_STAGED_OK marker — note the marker format gained "
+                    "src in r10 and jitter mode in r11, so older "
+                    f"stagings are stale BY DESIGN); run `python "
+                    f"tools/scale10x.py {dst} --k {k} --stage-only` to "
+                    "(re)stage this rung"
                 ),
                 "k_vs_sf01": k,
                 "staging_dir": dst,

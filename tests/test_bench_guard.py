@@ -124,20 +124,28 @@ def test_replicate_rejects_k_below_one():
             m.replicate(None, "/tmp/never-written", k)
 
 
-def test_staged_rejects_wrong_src_and_wrong_k(tmp_path):
-    """ADVICE r9: the marker records WHICH source fixture built the dir;
-    a staging of a different src must not pass as complete or it gets
-    silently timed against the wrong baseline."""
-    import json
-
+def test_staged_rejects_wrong_src_k_or_jitter(tmp_path):
+    """ADVICE r9 + VERDICT r10 #4: the marker records WHICH source
+    fixture, k AND documents-jitter mode built the dir; a staging of a
+    different src/k/corpus must not pass as complete or it gets
+    silently timed against the wrong baseline. Pre-r11 markers (no
+    jitter key — legacy exact-clone documents) are stale BY DESIGN."""
     m = _scale10x()
     marker = tmp_path / m.MARKER
-    marker.write_text(json.dumps({"k": 10, "src": "/some/other/fixture"}))
+    marker.write_text(json.dumps({"k": 10, "src": "/some/other/fixture",
+                                  "jitter": m.JITTER_MODE}))
     assert not m.staged(str(tmp_path), 10)
-    marker.write_text(json.dumps({"k": 100, "src": m.SRC}))
+    marker.write_text(json.dumps({"k": 100, "src": m.SRC,
+                                  "jitter": m.JITTER_MODE}))
     assert not m.staged(str(tmp_path), 10)
+    # pre-r11 marker: right k/src but exact-clone documents
     marker.write_text(json.dumps({"k": 10, "src": m.SRC}))
+    assert not m.staged(str(tmp_path), 10)
+    assert m.staged(str(tmp_path), 10, jitter=None)  # explicit legacy probe
+    marker.write_text(json.dumps({"k": 10, "src": m.SRC,
+                                  "jitter": m.JITTER_MODE}))
     assert m.staged(str(tmp_path), 10)
+    assert not m.staged(str(tmp_path), 10, jitter=m.LEGACY_MODE)
     marker.unlink()
     assert not m.staged(str(tmp_path), 10)
 
@@ -289,3 +297,75 @@ def test_emit_sheds_optional_fields_never_contract_scalars(tmp_path, capsys, mon
     for k in ("metric", "value", "unit", "sf", "value_median"):
         assert k in c
     assert "errors" not in c  # shed first
+
+
+def test_neardup_jitter_caps_clone_cliques(spark):
+    """VERDICT r10 #4: the replicated documents corpus must not hand
+    every doc k-1 EXACT clones (C(k,2) near-dup pairs per clique made
+    the k=100 minhash rung measure pair materialization, not the plan).
+    Properties of the copy-keyed token jitter:
+
+    - copy 0 is pristine (each rung still contains the true corpus);
+    - identical source texts get identical jitter at the same copy
+      index (exact dups WITHIN a copy stay exact -> linear replication);
+    - cross-copy 3-shingle Jaccard lands near the designed ~0.14, far
+      below both the verify threshold (0.7) and the 16x4-band LSH
+      candidate knee (~0.5);
+    - end-to-end: a jittered 12-clique yields ZERO verified pairs and
+      (nearly) no candidates, where exact clones yield all C(12,2).
+    """
+    from pyspark.sql import functions as F
+
+    m = _scale10x()
+    base = " ".join(f"w{i % 31}" for i in range(54))  # fixture-like doc
+    rows = [(i, base) for i in range(12)]
+    df = spark.createDataFrame(rows, "_i int, text string")
+    jit = df.withColumn(
+        "text", m._jitter_text(F.split(F.col("text"), " "))
+    )
+    texts = {r._i: r.text for r in jit.collect()}
+    assert texts[0] == base  # copy 0 pristine
+    toks1 = texts[1].split(" ")
+    assert toks1[0] == "jt1" and toks1[4] == "jt5" and toks1[1] == "w1"
+    assert len(toks1) == 54
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def jacc(a, b):
+        sa, sb = shingles(a), shingles(b)
+        return len(sa & sb) / len(sa | sb)
+
+    js = [jacc(texts[i], texts[j]) for i in range(12) for j in range(i + 1, 12)]
+    assert max(js) < 0.30 and min(js) > 0.0, (min(js), max(js))
+    # determinism: same text + same copy index -> same jitter
+    again = {r._i: r.text for r in jit.collect()}
+    assert again == texts
+
+    # end-to-end clique cap through the real minhash pipeline
+    from catenae_kafka_spark.operators.llm_dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    signed = minhash_signatures(docs).cache()
+    cands = minhash_candidate_pairs(signed)
+    n_cands = cands.count()
+    assert n_cands <= 11, n_cands  # exact clones would give C(12,2)=66
+    verified = (
+        cands.join(signed.select(F.col("doc_id").alias("id_a"),
+                                 F.col("shingles").alias("sh_a")), "id_a")
+        .join(signed.select(F.col("doc_id").alias("id_b"),
+                            F.col("shingles").alias("sh_b")), "id_b")
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= 0.7
+        )
+    )
+    assert verified.count() == 0
+    signed.unpersist()

@@ -6,10 +6,24 @@ Usage: python tools/scale10x.py [dst_dir]  (default /tmp/sfx1)
 
 Key strides exceed the sf0.1 key ranges, so copies stay disjoint and
 every join key keeps referential integrity (the k-th copy of lineitem
-joins the k-th copy of orders, etc.). Note the replicated documents
-table gives every doc 9 exact clones — a *pathological* near-dup
-distribution (each clone cluster is a 10-clique), so the minhash pair
-OUTPUT grows ~45x while input grows 10x; see the scaling table.
+joins the k-th copy of orders, etc.).
+
+Documents are NEAR-DUP JITTERED by default (VERDICT r10 #4): a raw
+replication gives every doc k-1 exact clones, so near-dup CANDIDATES
+and OUTPUT grow as C(k,2) per clone clique — at k=100 that measured
+128.5 s of pair materialization, i.e. the synthetic corpus, not the
+plan. Copy i>0 instead gets every JITTER_STRIDE-th token replaced with
+a copy-keyed token from a 128-token alphabet: pairwise shingle-Jaccard
+between copies drops to ~0.14 (untouched-shingle fraction q=(3/4 of
+3-windows avoid a stride-4 position)=0.25, J=q/(2-q)), below the LSH
+candidate threshold (~0.5 at 16x4 banding), so cross-copy pairs are
+mostly non-candidates and never verified output, while exact dups
+WITHIN a copy replicate linearly. Copy 0 stays pristine. The alphabet
+is small (128 tokens) on purpose: vocab-bounded ops (q_ngram_lm's
+bigram space) grow 31 -> 159 words, not O(corpus). ``--exact-clones``
+restores the legacy pathological corpus for ad-hoc comparison; the
+staging marker records the mode so a bench run can't silently time the
+wrong corpus.
 """
 
 from __future__ import annotations
@@ -120,25 +134,40 @@ SF01_ONLY = [
 #: completion marker written LAST by replicate(): checking any one
 #: table file (bench/ladder used lineitem.parquet, written mid-run)
 #: accepts a Ctrl-C'd partial staging forever; the marker also records
-#: WHICH k built the dir, so a 100x staging accidentally pointed at the
-#: 10x path re-stages instead of silently timing the wrong scale.
+#: WHICH k, src and jitter mode built the dir, so a staging built for a
+#: different scale/corpus re-stages instead of being silently timed.
 MARKER = "_STAGED_OK"
 
+#: replace every JITTER_STRIDE-th token of copies i>0. 4 is the knee:
+#: with 3-token shingles, stride 3 leaves ZERO shared shingles (copies
+#: become unrelated, no verification pressure at all) while stride 6
+#: leaves q=0.5 -> J=0.33 -> ~17% of cross-copy pairs still collide in
+#: some band (4.3M candidates at k=100, back near the pathology).
+#: Stride 4 -> J~0.14 -> ~0.7% band-collision: bounded candidate
+#: pressure that still exercises the verify join at scale.
+JITTER_STRIDE = 4
+#: marker tag for the jittered corpus; bump when the scheme changes
+JITTER_MODE = "neardup-v1"
+LEGACY_MODE = "exact-clones"
 
 #: queries NOT timed at k >= 100 (canonical set — tools/scale_ladder.py
-#: imports it): the replicator gives every document k exact clones, so
-#: near-dup pair OUTPUT is quadratic in k (C(100,2) = 4950 pairs per
-#: clique vs C(10,2) = 45; measured 128.5 s at k=100) — the wall there
-#: measures the synthetic corpus, not the plan. Gate stays at k=10.
-X100_EXCLUDE = frozenset({"q_dedup_minhash"})
+#: imports it). Empty since the near-dup jitter (VERDICT r10 #4):
+#: q_dedup_minhash's k=100 pathology was the replicator's exact-clone
+#: cliques (C(100,2) pairs each, measured 128.5 s), not the plan — the
+#: jittered corpus caps clique candidates/output, so minhash is timed
+#: at every rung like everyone else.
+X100_EXCLUDE = frozenset()
 
 
-def staged(dst: str, k: int) -> bool:
-    """True iff ``dst`` holds a COMPLETE k-fold staging OF THIS SOURCE.
+def staged(dst: str, k: int, jitter: str = JITTER_MODE) -> bool:
+    """True iff ``dst`` holds a COMPLETE k-fold staging OF THIS SOURCE
+    in THIS jitter mode.
 
-    The src check matters as much as the k check: a dir staged from a
-    different fixture would otherwise pass and be silently timed
-    against the wrong baseline (ADVICE r9)."""
+    The src/jitter checks matter as much as the k check: a dir staged
+    from a different fixture — or with the legacy exact-clone documents
+    (markers written before r11 carry no ``jitter`` key and fail here
+    BY DESIGN) — would otherwise pass and be silently timed against the
+    wrong corpus (ADVICE r9/r10)."""
     import json
 
     try:
@@ -148,19 +177,48 @@ def staged(dst: str, k: int) -> bool:
             isinstance(meta, dict)
             and meta.get("k") == k
             and meta.get("src") == SRC
+            and meta.get("jitter") == jitter
         )
     except (OSError, ValueError):
         return False
 
 
-def replicate(spark, dst: str, k: int = K) -> None:
+def _jitter_text(toks):
+    """Copy-keyed token perturbation for replicated documents (column
+    expression; expects ``_i`` in scope). Every JITTER_STRIDE-th token
+    of copy i>0 becomes ``jt{(i+pos)%128}``: copies i != j < 128 never
+    agree on a replaced position, so replaced shingles are pairwise
+    distinct across copies while untouched shingles stay shared —
+    pairwise Jaccard ~0.14 by construction (module docstring math).
+    Deterministic in (copy index, position): two source docs with
+    IDENTICAL text get identical jitter, so exact dups WITHIN a copy
+    replicate linearly and stay exact."""
+    return F.array_join(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda tok, pos: F.when(
+                (F.col("_i") > 0) & (pos % JITTER_STRIDE == 0),
+                F.concat(
+                    F.lit("jt"),
+                    ((F.col("_i") + pos) % 128).cast("string"),
+                ),
+            ).otherwise(tok),
+        ),
+        " ",
+    )
+
+
+def replicate(spark, dst: str, k: int = K, jitter: str = JITTER_MODE) -> None:
     """Write a k-fold key-shifted replication of sf0.1 into ``dst``.
 
     k=10 is the standard sfx1 (~sf1) rung; k=100 stages sfx10 (~sf10,
     60M lineitem) for the 100x ladder step. Strides only need to exceed
     the SOURCE (sf0.1) key ranges, so the same strides serve any k —
     copy offsets stay disjoint (k=100 tops out at 99 x 10M = 9.9e8,
-    far inside BIGINT)."""
+    far inside BIGINT). ``jitter`` selects the documents-text mode:
+    JITTER_MODE (default, near-dup copies) or LEGACY_MODE (exact
+    clones, the pre-r11 pathological corpus)."""
     import json
 
     # k=0 would build F.sequence(0, -1) — a DESCENDING sequence, the
@@ -168,6 +226,8 @@ def replicate(spark, dst: str, k: int = K) -> None:
     # marker recording the bogus staging as valid (ADVICE r9)
     if k < 1:
         raise ValueError(f"replication factor k must be >= 1, got {k}")
+    if jitter not in (JITTER_MODE, LEGACY_MODE):
+        raise ValueError(f"unknown jitter mode {jitter!r}")
 
     marker = os.path.join(dst, MARKER)
     if os.path.exists(marker):
@@ -182,13 +242,17 @@ def replicate(spark, dst: str, k: int = K) -> None:
             df = df.select("*", i)
             for col, stride in STRIDES[t].items():
                 df = df.withColumn(col, F.col(col) + F.col("_i") * stride)
+            if t == "documents" and jitter == JITTER_MODE:
+                df = df.withColumn(
+                    "text", _jitter_text(F.split(F.col("text"), " "))
+                )
             df = df.drop("_i")
             # spread the write so the k-fold explode of a single-file
             # source doesn't serialize through one task
             df = df.repartition(max(k, 8))
         df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     with open(marker, "w") as fh:
-        json.dump({"k": k, "src": SRC}, fh)
+        json.dump({"k": k, "src": SRC, "jitter": jitter}, fh)
 
 
 def main() -> None:
@@ -202,19 +266,26 @@ def main() -> None:
             or not args[i + 1].isdigit()
             or int(args[i + 1]) < 1
         ):
-            sys.exit("usage: scale10x.py [dst] [--k N>=1] [--stage-only] [query ...]")
+            sys.exit(
+                "usage: scale10x.py [dst] [--k N>=1] [--stage-only] "
+                "[--exact-clones] [query ...]"
+            )
         k = int(args[i + 1])
         del args[i : i + 2]
     stage_only = "--stage-only" in args
     if stage_only:
         args.remove("--stage-only")
+    jitter = JITTER_MODE
+    if "--exact-clones" in args:
+        args.remove("--exact-clones")
+        jitter = LEGACY_MODE
     dst = args.pop(0) if args else "/tmp/sfx1"
     spark = get_spark("scale10x")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
-    if not staged(dst, k):
-        replicate(spark, dst, k)
+    if not staged(dst, k, jitter):
+        replicate(spark, dst, k, jitter)
     if stage_only:
         print(f"staged {dst} (k={k})", flush=True)
         return
@@ -226,7 +297,8 @@ def main() -> None:
     else:
         sf01, headline = SF01_ONLY, HEADLINE
     if k >= 100:
-        # the clone-clique pathology is quadratic in k — see X100_EXCLUDE
+        # empty since the near-dup jitter; kept as the one hook should a
+        # future query prove corpus-pathological at the top rung only
         headline = [n for n in headline if n not in X100_EXCLUDE]
     for name in sf01:
         t0 = time.perf_counter()
