@@ -134,3 +134,41 @@ def test_rotation_orders_uncovered_streams_before_batch():
     assert is_stream == sorted(is_stream, reverse=True), (
         "uncovered streaming queries must precede uncovered batch queries"
     )
+
+
+def test_rotation_coverage_shrinks_monotonically():
+    """VERDICT r10 #6: the set `registry − ∪CORRECTNESS_r*` must shrink
+    every round until empty — a rotation bug that re-runs covered
+    queries while uncovered ones remain would otherwise strand them
+    silently. History (r01–r10) newly covered 49–50 queries per 50-row
+    round; the law asserts ≥ NEW_MIN new coverages per round while that
+    many remain (slack for reverification pins re-spending rows), and
+    ALL remaining once fewer than NEW_MIN are left."""
+    import json
+    import re
+    from pathlib import Path
+
+    NEW_MIN = 40  # 50-row driver budget minus generous pin/reverify slack
+    mod = _load_entry()
+    reg = set(mod.queries())
+    files = sorted(
+        Path(ROOT).glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    cum: set = set()
+    for p in files:
+        try:
+            keys = set(json.loads(p.read_text()))
+        except ValueError:
+            continue  # a corrupt driver file is not a rotation bug
+        before = len(reg - cum)
+        cum |= keys
+        after = len(reg - cum)
+        newly = before - after
+        if before > 0:
+            assert newly >= min(before, NEW_MIN), (
+                f"{p.name}: only {newly} newly covered queries with "
+                f"{before} still uncovered — rotation is re-stranding "
+                "queries (check _covered_in_prior_rounds / queries() order)"
+            )
+        assert after <= before
