@@ -92,8 +92,11 @@ def _host_block(samples: list[dict]) -> dict:
 #: ~2000 chars; round 10's full record was truncated MID-LINE there and
 #: the round lost its machine-readable bench row. 1500 leaves headroom
 #: for the driver's own wrapping. tests/test_bench_guard.py asserts a
-#: representative full record compacts under this bound with the
-#: driver-contract keys (metric/value/unit/queries/sf) intact.
+#: representative full record compacts under this bound with every
+#: driver-contract key (metric/value/unit/queries/sf) intact; on
+#: pathological records _emit sheds optional fields and, as the very
+#: last resort, the per-query map — the scalar contract keys are never
+#: dropped and the bound is enforced unconditionally.
 MAX_FINAL_LINE_BYTES = 1500
 
 
@@ -150,10 +153,15 @@ def _compact_record(out: dict) -> dict:
 
 def _emit(out: dict) -> None:
     """Write the FULL record to $BENCH_FULL_PATH and stderr, then print
-    the compact summary as the one stdout line. A final line over
-    ``MAX_FINAL_LINE_BYTES`` sheds optional fields before (last resort,
-    unreachable at the current 11-query headline set) the per-query
-    mins — the driver-contract scalars are never dropped."""
+    the compact summary as the one stdout line. A line over
+    ``MAX_FINAL_LINE_BYTES`` sheds optional fields — full_record (the
+    env-controlled path is the one unbounded string), then errors,
+    host, and as the very last resort the per-query mins (everything
+    else is bounded: rung error strings are pre-truncated, the rung
+    blocks and contract scalars are fixed-shape) — and the bound is
+    re-checked after every shed so an over-long line can never reach
+    stdout, where the driver's tail capture would truncate it mid-line
+    (the exact r10 ``parsed: null`` failure)."""
     full_path = os.environ.get(
         "BENCH_FULL_PATH",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
@@ -167,10 +175,18 @@ def _emit(out: dict) -> None:
     print(json.dumps({"bench_full": out}), file=sys.stderr, flush=True)
     compact = _compact_record(out)
     line = json.dumps(compact)
-    for victim in ("errors", "host", "queries"):
-        if len(line) <= MAX_FINAL_LINE_BYTES:
+    for victim in ("full_record", "errors", "host", "queries"):
+        if len(line.encode()) <= MAX_FINAL_LINE_BYTES:
             break
         compact.pop(victim, None)
+        line = json.dumps(compact)
+    if len(line.encode()) > MAX_FINAL_LINE_BYTES:
+        # unreachable by construction (see docstring), but the bound is
+        # the contract: fall back to the bare driver-contract scalars
+        # rather than ever printing a truncatable line
+        compact = {
+            k: compact.get(k) for k in ("metric", "value", "unit", "stat", "sf")
+        }
         line = json.dumps(compact)
     print(line, flush=True)
 

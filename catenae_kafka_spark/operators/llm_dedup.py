@@ -39,6 +39,14 @@ from catenae_kafka_spark.registry import REGISTRY
 
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
+
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for string-ref contexts (select /
+    groupBy / F.col / alias-qualified refs): a raw name containing a
+    dot or space would otherwise parse as a nested/invalid reference
+    even where a DataFrame API accepted the same name (ADVICE r10)."""
+    return "`" + name.replace("`", "``") + "`"
+
 # The cluster chain (q_dedup_ngram_jaccard -> q_dedup_clusters ->
 # q_dedup_apply) shares its expensive stages: candidate pairs feed the
 # component labels feed the apply report. Run as three separate driver
@@ -134,10 +142,8 @@ def minhash_signatures(
     # partition count is explicit because AQE would coalesce a bare
     # repartition(col) of small data straight back to one partition.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    # backtick-quote the id ref so a dotted/spaced column name doesn't
-    # parse as a nested reference (ADVICE r10); bare-string refs below
-    # use the same quoted form for the same reason
-    id_ref = "`" + id_col.replace("`", "``") + "`"
+    # quoted id ref for the string-ref contexts below (ADVICE r10)
+    id_ref = _quote_ident(id_col)
     docs = docs.repartition(par, F.col(id_ref))
     toks = F.split(F.col(text_col), " ")
     n_sh = F.greatest(F.size(toks) - (shingle_len - 1), F.lit(1))
@@ -186,10 +192,7 @@ def minhash_candidate_pairs(
 
     ``id_col`` must name the same id column the signatures were built
     with (minhash_signatures' ``id_col``)."""
-    # backtick-quote the id refs: raw f-string/bare-string refs parse a
-    # dotted or spaced id_col as a nested/invalid reference even though
-    # minhash_signatures accepted the same name (ADVICE r10)
-    bt = "`" + id_col.replace("`", "``") + "`"
+    bt = _quote_ident(id_col)  # ADVICE r10 — see _quote_ident
     banded = signed.select(
         bt,
         F.posexplode(
@@ -364,6 +367,7 @@ def jaccard_prefix_candidates(
       extra stages.
     """
     block = list(block_cols)
+    qid = _quote_ident(id_col)  # ADVICE r10 — see _quote_ident
     sized = g.withColumn("_s", F.size(set_col)).filter(F.col("_s") > 0)
     plen = (F.col("_s") - F.ceil(F.lit(threshold) * F.col("_s")) + 1).cast("int")
     if order == "hash":
@@ -378,38 +382,38 @@ def jaccard_prefix_candidates(
             plen,
         )
         pref = sized.select(
-            *block, id_col, "_s", F.posexplode(pref_arr).alias("_p", "_pg")
-        ).select(*block, id_col, "_s", "_p", F.col("_pg.g").alias("_g"))
+            *block, qid, "_s", F.posexplode(pref_arr).alias("_p", "_pg")
+        ).select(*block, qid, "_s", "_p", F.col("_pg.g").alias("_g"))
     elif order == "df":
-        ex = sized.select(*block, id_col, "_s", F.explode(set_col).alias("_g"))
+        ex = sized.select(*block, qid, "_s", F.explode(set_col).alias("_g"))
         dfreq = ex.groupBy(*block, "_g").agg(F.count("*").alias("_df"))
         # broadcast keeps the probe side's explode map-side; with an
         # unbounded vocabulary drop the hint and let this shuffle
         ranked = ex.join(F.broadcast(dfreq), block + ["_g"])
         pref = (
-            ranked.groupBy(*block, id_col, "_s")
+            ranked.groupBy(*block, qid, "_s")
             .agg(F.array_sort(F.collect_list(F.struct("_df", "_g"))).alias("_sorted"))
             .select(
                 *block,
-                id_col,
+                qid,
                 "_s",
                 F.posexplode(F.slice("_sorted", F.lit(1), plen)).alias("_p", "_pg"),
             )
-            .select(*block, id_col, "_s", "_p", F.col("_pg._g").alias("_g"))
+            .select(*block, qid, "_s", "_p", F.col("_pg._g").alias("_g"))
         ).cache()  # self-joined below — uncached, the pipeline runs twice
     else:
         raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
     a = pref.select(
         *block,
         "_g",
-        F.col(id_col).alias("id_a"),
+        F.col(qid).alias("id_a"),
         F.col("_s").alias("_sa"),
         F.col("_p").alias("_pa"),
     )
     b = pref.select(
         *block,
         "_g",
-        F.col(id_col).alias("id_b"),
+        F.col(qid).alias("id_b"),
         F.col("_s").alias("_sb"),
         F.col("_p").alias("_pb"),
     )

@@ -369,3 +369,42 @@ def test_neardup_jitter_caps_clone_cliques(spark):
     )
     assert verified.count() == 0
     signed.unpersist()
+
+
+def test_replicate_rejects_k_beyond_jitter_alphabet():
+    """Code-review r11: copies i and i+JITTER_ALPHABET replace the same
+    positions with IDENTICAL tokens — exact clones again, i.e. the
+    clique pathology back at a bigger k while the marker vouches for
+    the jittered corpus. replicate() must refuse, not silently stage."""
+    import pytest
+
+    m = _scale10x()
+    with pytest.raises(ValueError, match="jitter alphabet"):
+        m.replicate(None, "/tmp/never-written", m.JITTER_ALPHABET + 1)
+    # legacy mode has no alphabet constraint (and no jitter)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        m.replicate(None, "/tmp/never-written", 0, m.LEGACY_MODE)
+
+
+def test_emit_sheds_unbounded_full_record_path(tmp_path, capsys, monkeypatch):
+    """Code-review r11: $BENCH_FULL_PATH is the one unbounded string in
+    the compact record; a pathologically long path must be shed (first)
+    and the bound re-checked, or the driver tail capture truncates the
+    line mid-JSON — the exact failure the compact record exists for."""
+    m = _bench()
+    deep = tmp_path
+    for i in range(60):
+        deep = deep / f"deeply-nested-ci-workspace-{i:03d}"
+    deep.mkdir(parents=True)
+    full_path = deep / "bench_full.json"
+    assert len(str(full_path)) > m.MAX_FINAL_LINE_BYTES  # genuinely oversized
+    monkeypatch.setenv("BENCH_FULL_PATH", str(full_path))
+    out = _full_record(m)
+    out.pop("full_record_path")
+    m._emit(out)
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()][-1]
+    assert len(line.encode()) <= m.MAX_FINAL_LINE_BYTES
+    c = json.loads(line)
+    assert "full_record" not in c  # shed
+    assert c["value"] == 9.517 and c["queries"]  # everything else intact
+    assert json.loads(full_path.read_text())["value"] == 9.517

@@ -14,8 +14,9 @@ and OUTPUT grow as C(k,2) per clone clique — at k=100 that measured
 128.5 s of pair materialization, i.e. the synthetic corpus, not the
 plan. Copy i>0 instead gets every JITTER_STRIDE-th token replaced with
 a copy-keyed token from a 128-token alphabet: pairwise shingle-Jaccard
-between copies drops to ~0.14 (untouched-shingle fraction q=(3/4 of
-3-windows avoid a stride-4 position)=0.25, J=q/(2-q)), below the LSH
+between copies drops to ~0.14 (untouched-shingle fraction q=0.25 —
+only 3-windows starting at s≡1 mod 4 avoid a stride-4 position —
+J=q/(2-q)≈0.14), below the LSH
 candidate threshold (~0.5 at 16x4 banding), so cross-copy pairs are
 mostly non-candidates and never verified output, while exact dups
 WITHIN a copy replicate linearly. Copy 0 stays pristine. The alphabet
@@ -146,6 +147,14 @@ MARKER = "_STAGED_OK"
 #: Stride 4 -> J~0.14 -> ~0.7% band-collision: bounded candidate
 #: pressure that still exercises the verify join at scale.
 JITTER_STRIDE = 4
+#: jitter-token alphabet size. Copies i and j agree on a replaced
+#: position iff i ≡ j (mod JITTER_ALPHABET), so copies 128 apart would
+#: be EXACT clones again — replicate() therefore rejects k >
+#: JITTER_ALPHABET in jitter mode rather than silently reintroducing
+#: the clique pathology at a bigger k. Kept small on purpose:
+#: vocab-bounded ops (q_ngram_lm's bigram space) must grow by O(1)
+#: words, not O(corpus).
+JITTER_ALPHABET = 128
 #: marker tag for the jittered corpus; bump when the scheme changes
 JITTER_MODE = "neardup-v1"
 LEGACY_MODE = "exact-clones"
@@ -201,7 +210,7 @@ def _jitter_text(toks):
                 (F.col("_i") > 0) & (pos % JITTER_STRIDE == 0),
                 F.concat(
                     F.lit("jt"),
-                    ((F.col("_i") + pos) % 128).cast("string"),
+                    ((F.col("_i") + pos) % JITTER_ALPHABET).cast("string"),
                 ),
             ).otherwise(tok),
         ),
@@ -228,6 +237,16 @@ def replicate(spark, dst: str, k: int = K, jitter: str = JITTER_MODE) -> None:
         raise ValueError(f"replication factor k must be >= 1, got {k}")
     if jitter not in (JITTER_MODE, LEGACY_MODE):
         raise ValueError(f"unknown jitter mode {jitter!r}")
+    if jitter == JITTER_MODE and k > JITTER_ALPHABET:
+        # copies i and i+JITTER_ALPHABET would replace the same
+        # positions with IDENTICAL tokens — exact clones again, i.e.
+        # the clique pathology back at a bigger k with a marker that
+        # vouches for the jittered corpus
+        raise ValueError(
+            f"k={k} exceeds the {JITTER_ALPHABET}-token jitter alphabet "
+            "(copies that far apart become exact clones); widen "
+            "JITTER_ALPHABET (and bump JITTER_MODE) or use --exact-clones"
+        )
 
     marker = os.path.join(dst, MARKER)
     if os.path.exists(marker):
