@@ -35,17 +35,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.functions.ident import quote_ident as _quote_ident
 from catenae_kafka_spark.registry import REGISTRY
 
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
-
-
-def _quote_ident(name: str) -> str:
-    """Backtick-quote a column name for string-ref contexts (select /
-    groupBy / F.col / alias-qualified refs): a raw name containing a
-    dot or space would otherwise parse as a nested/invalid reference
-    even where a DataFrame API accepted the same name (ADVICE r10)."""
-    return "`" + name.replace("`", "``") + "`"
 
 # The cluster chain (q_dedup_ngram_jaccard -> q_dedup_clusters ->
 # q_dedup_apply) shares its expensive stages: candidate pairs feed the

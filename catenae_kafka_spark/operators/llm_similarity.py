@@ -22,11 +22,19 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.functions.ident import quote_ident
 from catenae_kafka_spark.registry import REGISTRY
 
 
+def _c(name: str) -> Column:
+    """F.col with the name backtick-quoted — parameterized column names
+    (id_col/vec_col) must not parse as nested refs when they contain a
+    dot or space (ADVICE r10; see functions/ident.py)."""
+    return F.col(quote_ident(name))
+
+
 def _as_double(col) -> Column:
-    return F.transform(F.col(col) if isinstance(col, str) else col, lambda x: x.cast("double"))
+    return F.transform(_c(col) if isinstance(col, str) else col, lambda x: x.cast("double"))
 
 
 def _norm(e: Column) -> Column:
@@ -49,12 +57,12 @@ def knn_cosine(
     """Brute-force cosine top-k: every query row against every corpus
     row (corpus broadcast when small; flip to query-broadcast at scale)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"),
+        _c(id_col).alias("query_id"),
         _as_double(vec_col).alias("e_q"),
         _norm(_as_double(vec_col)).alias("n_q"),
     )
     c = corpus.select(
-        F.col(id_col).alias("match_id"),
+        _c(id_col).alias("match_id"),
         _as_double(vec_col).alias("e_c"),
         _norm(_as_double(vec_col)).alias("n_c"),
     )
@@ -131,8 +139,8 @@ def knn_ivf(
     list_id); probing multiplies query fan-out by nprobe but the join
     touches only nprobe/C of the corpus — the linear-scan term drops by
     ~C/nprobe vs brute force."""
-    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("centroid_id"),
+    cents = corpus.filter(_c(id_col) % centroid_stride == 0).select(
+        _c(id_col).alias("centroid_id"),
         _as_double(vec_col).alias("e_cent"),
         _norm(_as_double(vec_col)).alias("n_cent"),
     )
@@ -140,7 +148,7 @@ def knn_ivf(
 
     def scored_against_centroids(side: DataFrame, label: str) -> DataFrame:
         v = side.select(
-            F.col(id_col).alias(label),
+            _c(id_col).alias(label),
             _as_double(vec_col).alias("e_v"),
             _norm(_as_double(vec_col)).alias("n_v"),
         )
@@ -230,7 +238,7 @@ def hyperplane_cells(
         ).alias("_w"),
     )
     ex = vecs.select(
-        F.col(id_col).alias("_id"), F.posexplode(F.col(vec_col)).alias("_d", "_x")
+        _c(id_col).alias("_id"), F.posexplode(_c(vec_col)).alias("_d", "_x")
     )
     dots = (
         ex.join(F.broadcast(w), "_d")
@@ -334,12 +342,12 @@ def knn_lsh(
         .distinct()  # a pair found by several tables/probes scores once
     )
     qv = queries.select(
-        F.col(id_col).alias("query_id"),
+        _c(id_col).alias("query_id"),
         _as_double(vec_col).alias("e_q"),
         _norm(_as_double(vec_col)).alias("n_q"),
     )
     cv = corpus.select(
-        F.col(id_col).alias("match_id"),
+        _c(id_col).alias("match_id"),
         _as_double(vec_col).alias("e_c"),
         _norm(_as_double(vec_col)).alias("n_c"),
     )

@@ -460,3 +460,32 @@ def test_similarity_and_jaccard_degrade_on_empty_inputs(spark):
     docs = spark.createDataFrame([], "doc_id long, text string, lang string")
     g = docs.select("doc_id", "lang", word_bigrams(F.col("text")).alias("bigrams"))
     assert jaccard_prefix_candidates(g, 0.5).count() == 0
+
+
+def test_knn_and_prefix_candidates_accept_dotted_id_col(spark):
+    """ADVICE r10 follow-through (code-review r11): every operator that
+    takes a column-name parameter must accept a dotted name — the refs
+    are backtick-quoted via functions/ident.quote_ident, not parsed as
+    nested fields."""
+    from catenae_kafka_spark.operators.llm_dedup import (
+        jaccard_prefix_candidates,
+        word_bigrams,
+    )
+    from catenae_kafka_spark.operators.llm_similarity import knn_cosine
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "`v.id` long, emb array<double>",
+    )
+    out = knn_cosine(vecs.limit(1), vecs, k=2, id_col="v.id", vec_col="emb")
+    got = {(r.query_id, r.match_id) for r in out.collect()}
+    assert got == {(1, 2), (1, 3)}  # self-match excluded, top-2 of the rest
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c d e"), (2, "en", "a b c d x"), (3, "en", "p q r s t")],
+        "`d.id` long, lang string, text string",
+    )
+    g = docs.select("`d.id`", "lang", word_bigrams(F.col("text")).alias("bigrams"))
+    cands = jaccard_prefix_candidates(g, 0.5, id_col="d.id")
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
