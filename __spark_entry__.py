@@ -52,14 +52,15 @@ _REVERIFY_FROM_ROUND = {
 }
 
 
-def _covered_in_prior_rounds() -> set[str]:
-    """Query names that already have a driver-correctness row in a
-    prior round's CORRECTNESS_r*.json — excluding rows that predate a
-    rewrite of the query (see _REVERIFY_FROM_ROUND)."""
+def _last_verified_round() -> dict[str, int]:
+    """Latest round with a driver-correctness row per query, counting
+    only rows at or after the query's rewrite round (see
+    _REVERIFY_FROM_ROUND) — rows that verified an old code path don't
+    count as evidence for the current one."""
     import json
     import re
 
-    covered: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)", path.name)
         rnd = int(m.group(1)) if m else 0
@@ -67,10 +68,17 @@ def _covered_in_prior_rounds() -> set[str]:
             names = json.loads(path.read_text()).keys()
         except Exception:  # noqa: BLE001
             continue
-        covered.update(
-            n for n in names if rnd >= _REVERIFY_FROM_ROUND.get(n, 0)
-        )
-    return covered
+        for n in names:
+            if rnd >= _REVERIFY_FROM_ROUND.get(n, 0):
+                last[n] = max(last.get(n, 0), rnd)
+    return last
+
+
+def _covered_in_prior_rounds() -> set[str]:
+    """Query names that already have a driver-correctness row in a
+    prior round's CORRECTNESS_r*.json — excluding rows that predate a
+    rewrite of the query (see _REVERIFY_FROM_ROUND)."""
+    return set(_last_verified_round())
 
 
 # SURVEY-§2B-named and north-star-named operators: these are the queries
@@ -158,10 +166,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     any prior round go FIRST — SURVEY/north-star-named pins leading,
     then the rest cheapest-first. Self-rotating — each round's
     CORRECTNESS file pushes its newly-covered queries behind the
-    still-uncovered ones.
+    still-uncovered ones. The covered tail is ordered STALEST-FIRST
+    (ascending last-verified round, then cost): once every query is
+    covered (r11), the driver's 50-row budget cyclically REFRESHES the
+    oldest evidence instead of re-checking the same fixed 50 forever —
+    a regression in any query surfaces within one refresh cycle
+    (~registry/50 rounds) rather than never.
     """
     specs = all_specs()
-    covered = _covered_in_prior_rounds()
+    last = _last_verified_round()
+    covered = set(last)
     costs = _query_costs()
     known = sorted(costs.values())
     median = known[len(known) // 2] if known else 1.0
@@ -182,7 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rest = sorted(
         (n for n in uncovered if "streaming" not in specs[n].tags), key=cost_key
     )
-    ordered = pinned + streams + rest + [n for n in specs if n in covered]
+    stale_key = lambda n: (last[n], costs.get(n, median), n)  # noqa: E731
+    refreshed = sorted((n for n in specs if n in covered), key=stale_key)
+    ordered = pinned + streams + rest + refreshed
     return {name: specs[name].fn for name in ordered}
 
 

@@ -172,3 +172,21 @@ def test_rotation_coverage_shrinks_monotonically():
                 "queries (check _covered_in_prior_rounds / queries() order)"
             )
         assert after <= before
+
+
+def test_rotation_covered_tail_is_stalest_first():
+    """Round 11+: once every query is covered, the driver's 50-row
+    budget must cyclically REFRESH the oldest evidence — the covered
+    tail is ordered by ascending last-verified round (then cost), so a
+    regression in any covered query surfaces within one refresh cycle
+    instead of the same fixed 50 queries being re-checked forever."""
+    mod = _load_entry()
+    order = list(mod.queries())
+    last = mod._last_verified_round()
+    covered_tail = [n for n in order if n in last]
+    rounds = [last[n] for n in covered_tail]
+    assert rounds == sorted(rounds), "covered tail must be stalest-first"
+    # consistency: _covered_in_prior_rounds is exactly the keyset
+    assert mod._covered_in_prior_rounds() == set(last)
+    # sanity on the data: multiple distinct staleness levels exist
+    assert len(set(rounds)) >= 2
