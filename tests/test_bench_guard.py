@@ -342,6 +342,15 @@ def test_neardup_jitter_caps_clone_cliques(spark):
     # determinism: same text + same copy index -> same jitter
     again = {r._i: r.text for r in jit.collect()}
     assert again == texts
+    # vocab boundedness: jitter adds at most JITTER_ALPHABET new tokens
+    # (vocab-bounded ops like q_ngram_lm must grow by O(1) words, not
+    # O(corpus))
+    jitter_vocab = {
+        t for txt in texts.values() for t in txt.split(" ") if t.startswith("jt")
+    }
+    assert len(jitter_vocab) <= m.JITTER_ALPHABET
+    assert all(t[2:].isdigit() and int(t[2:]) < m.JITTER_ALPHABET
+               for t in jitter_vocab)
 
     # end-to-end clique cap through the real minhash pipeline
     from catenae_kafka_spark.operators.llm_dedup import (
