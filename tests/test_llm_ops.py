@@ -489,3 +489,24 @@ def test_knn_and_prefix_candidates_accept_dotted_id_col(spark):
     cands = jaccard_prefix_candidates(g, 0.5, id_col="d.id")
     pairs = {(r.id_a, r.id_b) for r in cands.collect()}
     assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+
+def test_quote_ident_handles_hostile_column_names(spark):
+    """The escaping rule itself: dots, spaces, and embedded backticks
+    (doubled per Spark's quoting) must all round-trip through
+    minhash_signatures' string-ref contexts."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from catenae_kafka_spark.functions.ident import quote_ident
+    from catenae_kafka_spark.operators.llm_dedup import minhash_signatures
+
+    assert quote_ident("a.b") == "`a.b`"
+    assert quote_ident("a`b") == "`a``b`"
+    for name in ("my.doc id", "we`ird", "normal_id"):
+        schema = StructType(
+            [StructField(name, LongType()), StructField("text", StringType())]
+        )
+        docs = spark.createDataFrame([(1, "a b c d"), (2, "x y z w")], schema)
+        signed = minhash_signatures(docs, id_col=name)
+        assert signed.columns[0] == name
+        assert signed.count() == 2
