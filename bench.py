@@ -167,19 +167,23 @@ def _emit(out: dict) -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
     )
     try:
+        # default=str: a non-JSON-native value (numpy scalar, exception
+        # object) must degrade to its repr, not raise TypeError and kill
+        # the stdout contract line this function exists to protect
+        # (ADVICE r11)
         with open(full_path, "w") as fh:
-            json.dump(out, fh)
+            json.dump(out, fh, default=str)
         out["full_record_path"] = full_path
-    except OSError as exc:
+    except (OSError, TypeError, ValueError) as exc:
         print(f"bench full-record write failed: {exc}", file=sys.stderr, flush=True)
-    print(json.dumps({"bench_full": out}), file=sys.stderr, flush=True)
+    print(json.dumps({"bench_full": out}, default=str), file=sys.stderr, flush=True)
     compact = _compact_record(out)
-    line = json.dumps(compact)
+    line = json.dumps(compact, default=str)
     for victim in ("full_record", "errors", "host", "queries"):
         if len(line.encode()) <= MAX_FINAL_LINE_BYTES:
             break
         compact.pop(victim, None)
-        line = json.dumps(compact)
+        line = json.dumps(compact, default=str)
     if len(line.encode()) > MAX_FINAL_LINE_BYTES:
         # unreachable by construction (see docstring), but the bound is
         # the contract: fall back to the bare driver-contract scalars
@@ -187,7 +191,7 @@ def _emit(out: dict) -> None:
         compact = {
             k: compact.get(k) for k in ("metric", "value", "unit", "stat", "sf")
         }
-        line = json.dumps(compact)
+        line = json.dumps(compact, default=str)
     print(line, flush=True)
 
 

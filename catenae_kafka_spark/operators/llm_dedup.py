@@ -135,10 +135,11 @@ def minhash_signatures(
     # partition count is explicit because AQE would coalesce a bare
     # repartition(col) of small data straight back to one partition.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    # quoted id ref for the string-ref contexts below (ADVICE r10)
+    # quoted refs for the string-ref contexts below (ADVICE r10/r11:
+    # every column-name parameter, not just id_col)
     id_ref = _quote_ident(id_col)
     docs = docs.repartition(par, F.col(id_ref))
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.col(_quote_ident(text_col)), " ")
     n_sh = F.greatest(F.size(toks) - (shingle_len - 1), F.lit(1))
     # try_element_at: docs shorter than shingle_len index past the end;
     # under Spark 4 ANSI mode plain element_at would throw. concat_ws
@@ -359,15 +360,21 @@ def jaccard_prefix_candidates(
       fixtures it saves only ~15% candidates, which doesn't pay for the
       extra stages.
     """
-    block = list(block_cols)
+    # Parsed string-ref contexts (select/groupBy/F.size/F.explode) get
+    # backtick-quoted names; join(on=[...]) lists resolve EXACT names and
+    # must stay raw (ADVICE r11 — extends the r10 id_col fix to every
+    # column-name parameter).
+    block = [_quote_ident(c) for c in block_cols]
+    block_on = list(block_cols)
     qid = _quote_ident(id_col)  # ADVICE r10 — see _quote_ident
-    sized = g.withColumn("_s", F.size(set_col)).filter(F.col("_s") > 0)
+    qset = _quote_ident(set_col)
+    sized = g.withColumn("_s", F.size(qset)).filter(F.col("_s") > 0)
     plen = (F.col("_s") - F.ceil(F.lit(threshold) * F.col("_s")) + 1).cast("int")
     if order == "hash":
         pref_arr = F.slice(
             F.array_sort(
                 F.transform(
-                    set_col,
+                    qset,
                     lambda x: F.struct(F.xxhash64(x).alias("h"), x.alias("g")),
                 )
             ),
@@ -378,11 +385,11 @@ def jaccard_prefix_candidates(
             *block, qid, "_s", F.posexplode(pref_arr).alias("_p", "_pg")
         ).select(*block, qid, "_s", "_p", F.col("_pg.g").alias("_g"))
     elif order == "df":
-        ex = sized.select(*block, qid, "_s", F.explode(set_col).alias("_g"))
+        ex = sized.select(*block, qid, "_s", F.explode(qset).alias("_g"))
         dfreq = ex.groupBy(*block, "_g").agg(F.count("*").alias("_df"))
         # broadcast keeps the probe side's explode map-side; with an
         # unbounded vocabulary drop the hint and let this shuffle
-        ranked = ex.join(F.broadcast(dfreq), block + ["_g"])
+        ranked = ex.join(F.broadcast(dfreq), block_on + ["_g"])
         pref = (
             ranked.groupBy(*block, qid, "_s")
             .agg(F.array_sort(F.collect_list(F.struct("_df", "_g"))).alias("_sorted"))
@@ -418,7 +425,7 @@ def jaccard_prefix_candidates(
     # zipfian vocabularies.
     alpha = F.ceil(F.lit(threshold / (1 + threshold)) * (F.col("_sa") + F.col("_sb")))
     return (
-        a.join(b, block + ["_g"])
+        a.join(b, block_on + ["_g"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # size filter: J >= t bounds the partner's size to [t*s, s/t]

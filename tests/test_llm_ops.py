@@ -510,3 +510,58 @@ def test_quote_ident_handles_hostile_column_names(spark):
         signed = minhash_signatures(docs, id_col=name)
         assert signed.columns[0] == name
         assert signed.count() == 2
+
+
+def test_text_set_and_block_col_params_accept_hostile_names(spark):
+    """ADVICE r11: the remaining column-name parameters — text_col
+    (minhash_signatures), set_col and block_cols
+    (jaccard_prefix_candidates) — are routed through quote_ident like
+    id_col, so dotted/spaced/backticked names work end-to-end in every
+    parsed string-ref context (join on-lists stay raw by design: they
+    resolve exact names)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from catenae_kafka_spark.operators.llm_dedup import (
+        jaccard_prefix_candidates,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        word_bigrams,
+    )
+
+    for tname in ("body.text col", "we`ird text"):
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField(tname, StringType())]
+        )
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "entirely different words in this one here now")],
+            schema,
+        )
+        signed = minhash_signatures(docs, text_col=tname)
+        pairs = minhash_candidate_pairs(signed).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}, tname
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang.code", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    base = spark.createDataFrame(
+        [(1, "en", "a b c d e"), (2, "en", "a b c d x"), (3, "fr", "a b c d e")],
+        schema,
+    )
+    g = base.select(
+        "doc_id",
+        F.col("`lang.code`"),
+        word_bigrams(F.col("text")).alias("my`grams"),
+    )
+    for order in ("hash", "df"):
+        cands = jaccard_prefix_candidates(
+            g, 0.5, block_cols=("lang.code",), set_col="my`grams", order=order
+        )
+        pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+        # 1-3 share identical text but different blocks; only 1-2 qualify
+        assert pairs == {(1, 2)}, order

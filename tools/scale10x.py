@@ -265,6 +265,10 @@ def replicate(spark, dst: str, k: int = K, jitter: str = JITTER_MODE) -> None:
                 df = df.withColumn(
                     "text", _jitter_text(F.split(F.col("text"), " "))
                 )
+                # jitter rewrites text; recompute the derived length so
+                # rung queries correlating text with n_chars never run
+                # on inconsistent data (ADVICE r11)
+                df = df.withColumn("n_chars", F.length("text"))
             df = df.drop("_i")
             # spread the write so the k-fold explode of a single-file
             # source doesn't serialize through one task
