@@ -30,6 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # listed round re-establishes Spark-vs-oracle equality for the current
 # code. (Round-5 scale rewrites: global single-partition sorts -> the
 # bucketed two-phase shape; their only prior rows are rounds 1-4.)
+#
+# Since round 12 this hand-maintained dict is only the FALLBACK FLOOR:
+# catenae_kafka_spark/evidence.py derives the cutoff mechanically from
+# git (query -> defining source file -> round of the last commit
+# touching it, dirty files -> current round) and _reverify_rounds()
+# merges the two taking the max per query, so a rewrite can no longer
+# silently keep stale evidence if nobody edits this dict (VERDICT r11
+# #1). The dict is used verbatim only when git introspection fails.
 _REVERIFY_FROM_ROUND = {
     "q_gains_deciles": 5,
     "q_quantile_normalize": 5,
@@ -52,14 +60,34 @@ _REVERIFY_FROM_ROUND = {
 }
 
 
+def _reverify_rounds() -> dict[str, int]:
+    """Per-query evidence cutoff: the earliest driver round whose
+    correctness row still vouches for the CURRENT implementation.
+    Mechanically derived from git via catenae_kafka_spark.evidence
+    (defining-file granularity), merged with the hand-maintained floor
+    above (max wins); the static dict alone only when git fails."""
+    out = dict(_REVERIFY_FROM_ROUND)
+    try:
+        from catenae_kafka_spark.evidence import reverify_rounds
+
+        mech = reverify_rounds()
+    except Exception:  # noqa: BLE001 — no git / not a checkout
+        return out
+    for q, r in mech.items():
+        if r > out.get(q, 0):
+            out[q] = r
+    return out
+
+
 def _last_verified_round() -> dict[str, int]:
     """Latest round with a driver-correctness row per query, counting
     only rows at or after the query's rewrite round (see
-    _REVERIFY_FROM_ROUND) — rows that verified an old code path don't
+    _reverify_rounds) — rows that verified an old code path don't
     count as evidence for the current one."""
     import json
     import re
 
+    cutoff = _reverify_rounds()
     last: dict[str, int] = {}
     for path in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)", path.name)
@@ -69,7 +97,7 @@ def _last_verified_round() -> dict[str, int]:
         except Exception:  # noqa: BLE001
             continue
         for n in names:
-            if rnd >= _REVERIFY_FROM_ROUND.get(n, 0):
+            if rnd >= cutoff.get(n, 0):
                 last[n] = max(last.get(n, 0), rnd)
     return last
 
@@ -77,8 +105,25 @@ def _last_verified_round() -> dict[str, int]:
 def _covered_in_prior_rounds() -> set[str]:
     """Query names that already have a driver-correctness row in a
     prior round's CORRECTNESS_r*.json — excluding rows that predate a
-    rewrite of the query (see _REVERIFY_FROM_ROUND)."""
+    rewrite of the query (see _reverify_rounds)."""
     return set(_last_verified_round())
+
+
+def _ever_sampled() -> set[str]:
+    """Query names with ANY driver row in any round, IGNORING rewrite
+    cutoffs. Used only for pinning: _PINNED_FIRST outranks the recency
+    order solely for queries the driver has literally never run —
+    a pin that was sampled and then mechanically re-invalidated
+    competes on rewrite recency like everything else."""
+    import json
+
+    seen: set[str] = set()
+    for path in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
+        try:
+            seen.update(json.loads(path.read_text()).keys())
+        except Exception:  # noqa: BLE001
+            continue
+    return seen
 
 
 # SURVEY-§2B-named and north-star-named operators: these are the queries
@@ -179,22 +224,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     costs = _query_costs()
     known = sorted(costs.values())
     median = known[len(known) // 2] if known else 1.0
-    pinned = [n for n in _PINNED_FIRST if n in specs and n not in covered]
-    # VERDICT r9 #3: the uncovered group is dominated by q_stream_*
-    # queries (the most expensive per-query class — micro-batch
-    # spin-up). Under the driver's 50-row budget, pure cost-ordering
-    # would push 7 of the 24 uncovered stream queries past the cut
-    # line; streaming evidence is the riskiest still outstanding
-    # (replay harness + sentinel semantics), so streaming-tagged
-    # uncovered queries go ahead of the batch remainder. The demoted
-    # tail is ~12 plain batch queries that fit r11's budget trivially.
+    reverify = _reverify_rounds()
+    never_sampled = set(specs) - _ever_sampled()
+    pinned = [n for n in _PINNED_FIRST if n in specs and n in never_sampled]
+    # VERDICT r9 #3: streaming evidence is the riskiest class to leave
+    # outstanding (replay harness + sentinel semantics, and the most
+    # expensive to spin up), so streaming-tagged uncovered queries go
+    # ahead of the batch remainder. Since round 12 the uncovered group
+    # is mostly queries invalidated MECHANICALLY (defining file touched
+    # after their last green row); within each group the most recently
+    # rewritten go first — this round's actual code changes carry the
+    # real regression risk, while a drive-by file touch from five
+    # rounds ago is housekeeping the refresh cycle clears over the
+    # following rounds — then cheapest-first to maximize rows under the
+    # driver's 50-row budget.
     uncovered = [n for n in specs if n not in covered and n not in set(pinned)]
-    cost_key = lambda n: (costs.get(n, median), n)  # noqa: E731
+    recency_key = lambda n: (-reverify.get(n, 0), costs.get(n, median), n)  # noqa: E731
     streams = sorted(
-        (n for n in uncovered if "streaming" in specs[n].tags), key=cost_key
+        (n for n in uncovered if "streaming" in specs[n].tags), key=recency_key
     )
     rest = sorted(
-        (n for n in uncovered if "streaming" not in specs[n].tags), key=cost_key
+        (n for n in uncovered if "streaming" not in specs[n].tags), key=recency_key
     )
     stale_key = lambda n: (last[n], costs.get(n, median), n)  # noqa: E731
     refreshed = sorted((n for n in specs if n in covered), key=stale_key)

@@ -78,34 +78,49 @@ def test_oracle_column_names_match_spark_schema(spark, sf_dir):
     assert not mismatches, f"column-name drift: {mismatches}"
 
 
+def _raw_rows_by_query() -> dict[str, list[int]]:
+    """Every driver round that recorded a row for each query, ignoring
+    rewrite cutoffs (the raw CORRECTNESS_r*.json contents)."""
+    import json
+    import re
+    from pathlib import Path
+
+    rows: dict[str, list[int]] = {}
+    for p in Path(ROOT).glob("CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.name)
+        try:
+            names = json.loads(p.read_text()).keys()
+        except Exception:  # noqa: BLE001
+            continue
+        for name in names:
+            rows.setdefault(name, []).append(int(m.group(1)))
+    return rows
+
+
 def test_rotation_reverifies_rewritten_queries():
-    """Evidence-policy guard (ADVICE r5): a driver-correctness row
-    RECORDED BEFORE a query's rewrite round must not count as coverage
-    — the rotation must resurface the query until a round >= the
-    rewrite round re-establishes Spark-vs-oracle equality."""
+    """Evidence-policy guard (ADVICE r5, mechanized per VERDICT r11 #1):
+    a driver-correctness row RECORDED BEFORE a query's rewrite round —
+    now derived from git per defining file, merged over the static
+    floor — must not count as coverage; the rotation must resurface the
+    query ahead of the covered tail until a round >= the rewrite round
+    re-establishes Spark-vs-oracle equality."""
     mod = _load_entry()
     order = list(mod.queries())
     covered = mod._covered_in_prior_rounds()
     pos = {n: i for i, n in enumerate(order)}
     n_uncovered = len(order) - len(covered)
-    for name, rnd in mod._REVERIFY_FROM_ROUND.items():
-        # has prior rows only from rounds < rnd -> must NOT be covered
-        import json
-        import re
-        from pathlib import Path
-
-        rows = []
-        for p in Path(ROOT).glob("CORRECTNESS_r*.json"):
-            m = re.search(r"CORRECTNESS_r(\d+)", p.name)
-            try:
-                if name in json.loads(p.read_text()):
-                    rows.append(int(m.group(1)))
-            except Exception:  # noqa: BLE001
-                continue
+    raw = _raw_rows_by_query()
+    for name, rnd in mod._reverify_rounds().items():
+        if name not in pos:
+            continue
+        rows = raw.get(name, [])
         if rows and max(rows) < rnd:
+            # stale evidence only -> must NOT be covered, and must sit
+            # in the uncovered (front) segment, ahead of the covered tail
             assert name not in covered, name
-            # and it must sit in the uncovered (front) segment
             assert pos[name] < n_uncovered, name
+        elif rows and max(rows) >= rnd:
+            assert name in covered, name
     # every uncovered query precedes every covered one
     statuses = [n in covered for n in order]
     assert statuses == sorted(statuses), (
@@ -113,12 +128,30 @@ def test_rotation_reverifies_rewritten_queries():
     )
 
 
+def test_mechanical_reverify_supersedes_manual_floor():
+    """The git-derived cutoff must dominate the hand-maintained dict:
+    every static entry's file was, by definition, last touched in or
+    after its recorded rewrite round, so the merged map can only be
+    stricter. (If git introspection broke, the merged map would sag to
+    the static floor and this test would catch it.)"""
+    mod = _load_entry()
+    merged = mod._reverify_rounds()
+    from catenae_kafka_spark.evidence import query_source_files
+
+    src = query_source_files()
+    assert set(src) >= set(mod.queries()), "every query must map to a file"
+    for name, rnd in mod._REVERIFY_FROM_ROUND.items():
+        assert merged.get(name, 0) >= rnd, (name, merged.get(name), rnd)
+
+
 def test_rotation_orders_uncovered_streams_before_batch():
-    """VERDICT r9 #3: streaming queries are the most expensive class to
-    re-verify later, so within the uncovered (front) segment every
-    still-pinned name comes first, then every streaming-tagged query,
-    then the batch remainder — each cost-ordered. If nothing relevant
-    is uncovered anymore (later rounds), the invariant holds vacuously."""
+    """VERDICT r9 #3 + r12 recency policy: within the uncovered (front)
+    segment, never-driver-sampled pins come first, then every
+    streaming-tagged query, then the batch remainder; within the stream
+    and batch groups the most recently REWRITTEN queries lead (this
+    round's code changes carry the real regression risk), ties
+    cheapest-first. If nothing relevant is uncovered anymore, the
+    invariant holds vacuously."""
     from catenae_kafka_spark.registry import all_specs
 
     mod = _load_entry()
@@ -126,7 +159,8 @@ def test_rotation_orders_uncovered_streams_before_batch():
     covered = mod._covered_in_prior_rounds()
     specs = all_specs()
     uncovered = [n for n in order if n not in covered]
-    pinned = [n for n in mod._PINNED_FIRST if n in specs and n not in covered]
+    never = set(specs) - mod._ever_sampled()
+    pinned = [n for n in mod._PINNED_FIRST if n in specs and n in never]
     assert uncovered[: len(pinned)] == pinned
     tail = uncovered[len(pinned):]
     is_stream = ["streaming" in specs[n].tags for n in tail]
@@ -134,6 +168,16 @@ def test_rotation_orders_uncovered_streams_before_batch():
     assert is_stream == sorted(is_stream, reverse=True), (
         "uncovered streaming queries must precede uncovered batch queries"
     )
+    # recency: within each group the rewrite round must be non-increasing
+    reverify = mod._reverify_rounds()
+    for group in (
+        [n for n in tail if "streaming" in specs[n].tags],
+        [n for n in tail if "streaming" not in specs[n].tags],
+    ):
+        rounds = [reverify.get(n, 0) for n in group]
+        assert rounds == sorted(rounds, reverse=True), (
+            "uncovered groups must order most-recently-rewritten first"
+        )
 
 
 def test_rotation_coverage_shrinks_monotonically():
