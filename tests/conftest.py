@@ -39,3 +39,59 @@ def ckpt_root(tmp_path_factory) -> str:
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# WEAKCHECK artifact (VERDICT r11 #5): the 8 weak-by-design queries are
+# rows-only in CORRECTNESS files forever; their real evidence lives in
+# property tests (recall vs ground truth, tolerance margins). Tests
+# covering them take the ``weakcheck`` fixture and record the MEASURED
+# numbers; at session end the records merge into WEAKCHECK_r{N}.json at
+# the repo root (N = current in-progress round from git markers), so a
+# judge can grade the weak queries without re-running the suite. Merge
+# semantics: read-modify-write per query key, so partial pytest runs
+# refresh their own entries without erasing the rest.
+# ---------------------------------------------------------------------------
+
+_WEAKCHECK: dict[str, dict] = {}
+
+
+@pytest.fixture
+def weakcheck():
+    def record(query: str, **metrics) -> None:
+        clean = {
+            k: (round(float(v), 6) if isinstance(v, float) else v)
+            for k, v in metrics.items()
+        }
+        _WEAKCHECK.setdefault(query, {}).update(clean)
+
+    return record
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if not _WEAKCHECK:
+        return
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        from catenae_kafka_spark.evidence import current_round
+
+        rnd = current_round()
+    except Exception:  # noqa: BLE001 — no git: fall back to driver files
+        import re
+
+        rounds = [
+            int(re.search(r"r(\d+)", p).group(1))
+            for p in os.listdir(root)
+            if p.startswith("CORRECTNESS_r")
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+    path = os.path.join(root, f"WEAKCHECK_r{rnd}.json")
+    try:
+        merged = json.load(open(path))
+    except Exception:  # noqa: BLE001
+        merged = {}
+    for q, metrics in _WEAKCHECK.items():
+        merged.setdefault(q, {}).update(metrics)
+    json.dump(merged, open(path, "w"), indent=1, sort_keys=True)

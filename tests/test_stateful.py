@@ -10,7 +10,7 @@ from catenae_kafka_spark.registry import all_specs
 SF = "/root/testdata/sf0.001"
 
 
-def test_circular_dedup_matches_reference_model(spark):
+def test_circular_dedup_matches_reference_model(spark, weakcheck):
     """The applyInPandasWithState op must reproduce catenae's
     CircularOrderedSet semantics exactly: per user, emit an event iff
     its type is not among the last 3 distinct types seen (FIFO)."""
@@ -33,6 +33,12 @@ def test_circular_dedup_matches_reference_model(spark):
             if len(recent) > 3:
                 recent.pop(0)
     assert got == expected
+    weakcheck(
+        "q_stream_circular_dedup",
+        exact_match_vs_reference_model=got == expected,
+        n_emitted=len(got),
+        n_input_events=len(rows),
+    )
 
 
 def test_ema_final_state_counts_every_event(spark):
