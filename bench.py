@@ -176,7 +176,10 @@ def _emit(out: dict) -> None:
         out["full_record_path"] = full_path
     except (OSError, TypeError, ValueError) as exc:
         print(f"bench full-record write failed: {exc}", file=sys.stderr, flush=True)
-    print(json.dumps({"bench_full": out}, default=str), file=sys.stderr, flush=True)
+    try:
+        print(json.dumps({"bench_full": out}, default=str), file=sys.stderr, flush=True)
+    except ValueError as exc:  # circular reference survives default=str
+        print(f"bench full-record stderr dump failed: {exc}", file=sys.stderr, flush=True)
     compact = _compact_record(out)
     line = json.dumps(compact, default=str)
     for victim in ("full_record", "errors", "host", "queries"):

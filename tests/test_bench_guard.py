@@ -417,3 +417,59 @@ def test_emit_sheds_unbounded_full_record_path(tmp_path, capsys, monkeypatch):
     assert "full_record" not in c  # shed
     assert c["value"] == 9.517 and c["queries"]  # everything else intact
     assert json.loads(full_path.read_text())["value"] == 9.517
+
+
+def test_emit_round_trips_simulated_driver_tail_capture(tmp_path, capsys, monkeypatch):
+    """VERDICT r11 #6: the driver keeps only ~2 KB of stdout TAIL.
+    Round 11 was the first round whose record parsed end-to-end; pin
+    that property structurally — simulate the capture (preceding log
+    noise, truncate the stream to its last 2048 bytes, take the last
+    full line) and the compact record must parse with the contract
+    scalars intact, so a future field addition can never regrow the
+    r10 parsed:null failure."""
+    m = _bench()
+    # structural precondition: one full compact line + newline always
+    # fits the capture window
+    assert m.MAX_FINAL_LINE_BYTES + 1 <= 2048
+    monkeypatch.setenv("BENCH_FULL_PATH", str(tmp_path / "f.json"))
+    out = _full_record(m)
+    out.pop("full_record_path")
+    # field growth in the FULL record (legitimately unbounded there)
+    out["future_diag"] = {f"stage_{i}": "x" * 50 for i in range(100)}
+    print("spark noise line\n" * 120, end="")  # stdout the window clips
+    m._emit(out)
+    stream = capsys.readouterr().out.encode()
+    tail = stream[-2048:]  # the driver's capture window
+    last = tail.decode(errors="ignore").strip().splitlines()[-1]
+    c = json.loads(last)  # r10 failed exactly here
+    for k in ("metric", "value", "unit", "sf", "queries"):
+        assert k in c
+    assert c["value"] == 9.517
+
+
+def test_emit_degrades_on_unserializable_full_record(tmp_path, capsys, monkeypatch):
+    """ADVICE r11: non-JSON-native values in the full record (numpy
+    scalars, exception objects) must degrade via default=str — the full
+    file still lands, stringified — and even a circular reference
+    (which no default= can save) must only cost the full-record copies,
+    never the stdout contract line."""
+    m = _bench()
+    monkeypatch.setenv("BENCH_FULL_PATH", str(tmp_path / "f.json"))
+    out = _full_record(m)
+    out.pop("full_record_path")
+    out["oops"] = ValueError("boom")
+    m._emit(out)
+    cap = capsys.readouterr()
+    line = [ln for ln in cap.out.splitlines() if ln.strip()][-1]
+    assert json.loads(line)["value"] == 9.517
+    stored = json.loads((tmp_path / "f.json").read_text())
+    assert "boom" in stored["oops"]  # stringified, not lost
+
+    out2 = _full_record(m)
+    out2.pop("full_record_path")
+    out2["cycle"] = out2  # circular: json raises ValueError regardless
+    m._emit(out2)
+    cap2 = capsys.readouterr()
+    line2 = [ln for ln in cap2.out.splitlines() if ln.strip()][-1]
+    assert json.loads(line2)["metric"] == out2["metric"]
+    assert "failed" in cap2.err  # degradation is loud on stderr
