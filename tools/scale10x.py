@@ -156,7 +156,9 @@ JITTER_STRIDE = 4
 #: words, not O(corpus).
 JITTER_ALPHABET = 128
 #: marker tag for the jittered corpus; bump when the scheme changes
-JITTER_MODE = "neardup-v1"
+# v2: n_chars is recomputed after the text jitter (ADVICE r11) — the
+# corpus bytes changed, so v1 stagings must invalidate and restage
+JITTER_MODE = "neardup-v2"
 LEGACY_MODE = "exact-clones"
 
 #: queries NOT timed at k >= 100 (canonical set — tools/scale_ladder.py
