@@ -170,9 +170,12 @@ def _emit(out: dict) -> None:
         # default=str: a non-JSON-native value (numpy scalar, exception
         # object) must degrade to its repr, not raise TypeError and kill
         # the stdout contract line this function exists to protect
-        # (ADVICE r11)
+        # (ADVICE r11). Serialize FULLY before opening: json.dump would
+        # truncate-then-stream, so a mid-serialization failure (circular
+        # ref) would clobber the previous good record with partial JSON.
+        payload = json.dumps(out, default=str)
         with open(full_path, "w") as fh:
-            json.dump(out, fh, default=str)
+            fh.write(payload)
         out["full_record_path"] = full_path
     except (OSError, TypeError, ValueError) as exc:
         print(f"bench full-record write failed: {exc}", file=sys.stderr, flush=True)

@@ -44,7 +44,10 @@ _MARKER_RE = re.compile(r"^round (\d+):")
 
 
 def repo_root() -> str:
-    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # realpath, matching query_source_files(): a symlinked checkout path
+    # must not make relpath produce keys that miss git's repo-relative
+    # paths (the mechanism would silently no-op otherwise)
+    return os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
 
 
 @functools.lru_cache(maxsize=1)
@@ -99,12 +102,15 @@ def file_rewrite_rounds() -> dict[str, int]:
     rounds: dict[str, int] = {}
     cur = 1
     for subject, files in reversed(commits):  # oldest → newest
-        for f in files:
-            rounds[f] = cur  # later (newer) commits overwrite
         m = _MARKER_RE.match(subject)
         if m:
-            # the marker commit records round N; work after it is N+1
+            # CORRECTNESS_rN is computed BEFORE the round-N marker
+            # commit exists, so a file changed in the marker commit
+            # itself is only vouched for by round >= N+1 rows — bump
+            # before assigning the marker's own files
             cur = int(m.group(1)) + 1
+        for f in files:
+            rounds[f] = cur  # later (newer) commits overwrite
     status = _git(root, "status", "--porcelain")
     for ln in status.splitlines():
         # "XY path" or "XY old -> new" (renames)
@@ -117,21 +123,36 @@ def file_rewrite_rounds() -> dict[str, int]:
 def reverify_rounds() -> dict[str, int]:
     """Query name → earliest driver round whose correctness row still
     counts as evidence for the CURRENT implementation (the round its
-    defining file was last touched in)."""
+    defining file was last touched in).
+
+    Raises if the query→file map and git's path universe don't overlap
+    at all (path-normalization bug, foreign checkout): a silent empty
+    result would disable the whole staleness mechanism while looking
+    like success — callers must fall back loudly, not sag quietly."""
     files = file_rewrite_rounds()
-    return {
-        q: files[path]
-        for q, path in query_source_files().items()
-        if path in files
-    }
+    src = query_source_files()
+    out = {q: files[path] for q, path in src.items() if path in files}
+    if src and not out:
+        raise RuntimeError(
+            "no registered query's defining file matches any git-tracked "
+            "path — path normalization broke; refusing to return an "
+            "empty staleness map"
+        )
+    return out
 
 
 def current_round() -> int:
-    """The in-progress round number (latest driver marker + 1)."""
+    """The in-progress round number (latest driver marker + 1),
+    derived from the same single cached history pass as
+    file_rewrite_rounds()."""
+    return max(_marker_rounds(), default=0) + 1
+
+
+@functools.lru_cache(maxsize=1)
+def _marker_rounds() -> tuple[int, ...]:
     log = _git(repo_root(), "log", "--first-parent", "--format=%s")
-    latest = 0
-    for subject in log.splitlines():
-        m = _MARKER_RE.match(subject)
-        if m:
-            latest = max(latest, int(m.group(1)))
-    return latest + 1
+    return tuple(
+        int(m.group(1))
+        for subject in log.splitlines()
+        if (m := _MARKER_RE.match(subject))
+    )

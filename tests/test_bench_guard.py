@@ -473,3 +473,6 @@ def test_emit_degrades_on_unserializable_full_record(tmp_path, capsys, monkeypat
     line2 = [ln for ln in cap2.out.splitlines() if ln.strip()][-1]
     assert json.loads(line2)["metric"] == out2["metric"]
     assert "failed" in cap2.err  # degradation is loud on stderr
+    # and the PREVIOUS good full record was not clobbered with partial
+    # JSON (serialization completes before the file is opened)
+    assert json.loads((tmp_path / "f.json").read_text())["value"] == 9.517

@@ -129,19 +129,35 @@ def test_rotation_reverifies_rewritten_queries():
 
 
 def test_mechanical_reverify_supersedes_manual_floor():
-    """The git-derived cutoff must dominate the hand-maintained dict:
-    every static entry's file was, by definition, last touched in or
-    after its recorded rewrite round, so the merged map can only be
-    stricter. (If git introspection broke, the merged map would sag to
-    the static floor and this test would catch it.)"""
+    """The git-derived map must actually be PRESENT and stricter than
+    the hand-maintained floor — not merely merged over it. (The
+    max-merge makes `merged >= floor` a tautology; the teeth are the
+    direct assertions on the mechanical map itself: total coverage of
+    the registry, recent rounds represented, and at least one manual
+    entry strictly raised by a later file touch.)"""
     mod = _load_entry()
     merged = mod._reverify_rounds()
-    from catenae_kafka_spark.evidence import query_source_files
+    from catenae_kafka_spark.evidence import (
+        current_round,
+        query_source_files,
+        reverify_rounds,
+    )
 
     src = query_source_files()
     assert set(src) >= set(mod.queries()), "every query must map to a file"
+    mech = reverify_rounds()  # raises on path-normalization breakage
+    assert set(mech) >= set(mod.queries()), "mechanical map must be total"
+    # git history is being read for real: recent rounds appear
+    assert max(mech.values()) >= current_round() - 1
+    assert min(mech.values()) >= 1
     for name, rnd in mod._REVERIFY_FROM_ROUND.items():
         assert merged.get(name, 0) >= rnd, (name, merged.get(name), rnd)
+    # the mechanical derivation strictly supersedes the floor somewhere
+    # (files keep being touched after their manual rewrite round)
+    assert any(
+        mech.get(name, 0) > rnd
+        for name, rnd in mod._REVERIFY_FROM_ROUND.items()
+    ), "mechanical map never exceeds the manual floor — git scan broken?"
 
 
 def test_rotation_orders_uncovered_streams_before_batch():

@@ -269,8 +269,10 @@ def replicate(spark, dst: str, k: int = K, jitter: str = JITTER_MODE) -> None:
                 )
                 # jitter rewrites text; recompute the derived length so
                 # rung queries correlating text with n_chars never run
-                # on inconsistent data (ADVICE r11)
-                df = df.withColumn("n_chars", F.length("text"))
+                # on inconsistent data (ADVICE r11). Cast back to the
+                # fixture's bigint (F.length returns int32 — a staged
+                # corpus must keep the documented schema)
+                df = df.withColumn("n_chars", F.length("text").cast("bigint"))
             df = df.drop("_i")
             # spread the write so the k-fold explode of a single-file
             # source doesn't serialize through one task
