@@ -156,9 +156,11 @@ JITTER_STRIDE = 4
 #: words, not O(corpus).
 JITTER_ALPHABET = 128
 #: marker tag for the jittered corpus; bump when the scheme changes
-# v2: n_chars is recomputed after the text jitter (ADVICE r11) — the
-# corpus bytes changed, so v1 stagings must invalidate and restage
-JITTER_MODE = "neardup-v2"
+# v2: n_chars recomputed after the text jitter (ADVICE r11); v3: the
+# recompute keeps the fixture's bigint type (v2 narrowed to int32).
+# Any change to staged OUTPUT must bump this string — staged() compares
+# it, and an unbumped change no-ops behind a still-valid marker.
+JITTER_MODE = "neardup-v3"
 LEGACY_MODE = "exact-clones"
 
 #: queries NOT timed at k >= 100 (canonical set — tools/scale_ladder.py
