@@ -250,3 +250,24 @@ def test_rotation_covered_tail_is_stalest_first():
     assert mod._covered_in_prior_rounds() == set(last)
     # sanity on the data: multiple distinct staleness levels exist
     assert len(set(rounds)) >= 2
+
+
+def test_every_weak_query_has_a_weakcheck_recorder():
+    """Static completeness for the WEAKCHECK artifact (VERDICT r11 #5):
+    every oracle-less query must be recorded by some property test via
+    the weakcheck fixture — grep the test sources for the recorder's
+    first argument and compare against the registry. A weak query
+    without a recorder would stay invisible in WEAKCHECK_r{N}.json
+    forever, the exact gap the artifact exists to close."""
+    import re
+    from pathlib import Path
+
+    from catenae_kafka_spark.registry import all_specs
+
+    weak = {n for n, s in all_specs().items() if s.oracle is None}
+    assert weak, "registry lost its weak queries?"
+    recorded: set[str] = set()
+    for p in Path(__file__).parent.glob("test_*.py"):
+        recorded |= set(re.findall(r'weakcheck\(\s*\n?\s*"(q_\w+)"', p.read_text()))
+    missing = weak - recorded
+    assert not missing, f"weak queries without a WEAKCHECK recorder: {missing}"
