@@ -2460,8 +2460,15 @@ def q_outlier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cc",
         "d",
         F.floor(
-            (agree * n_all - pe_num)
-            / (n_all.cast("double") * n_all - pe_num)
+            # try_divide, not /: when neither rule flags any row the
+            # denominator is exactly 0 and kappa is undefined — DuckDB
+            # yields NULL on x/0 and the oracle propagates it; ANSI
+            # Spark would raise (found by the seed-1 differential fuzz
+            # fixture, where no event clears either threshold)
+            F.try_divide(
+                agree * n_all - pe_num,
+                n_all.cast("double") * n_all - pe_num,
+            )
             * 1000000
         )
         .cast("bigint")
@@ -5703,30 +5710,38 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tot").alias("n_tot"),
         F.max("s_tot").alias("s_tot"),
         F.round(
-            F.sum(
-                (
-                    F.col("s").cast("double") / F.col("n")
-                    - F.col("s_tot").cast("double") / F.col("n_tot")
-                )
-                * (
-                    F.col("s").cast("double") / F.col("n")
-                    - F.col("s_tot").cast("double") / F.col("n_tot")
-                )
-            )
-            / (F.max("k") - 1),
+            # try_divide: k=1 (a single populated group) leaves the
+            # between-group variance undefined — oracle NULLs via x/0
+            F.try_divide(
+                F.sum(
+                    (
+                        F.col("s").cast("double") / F.col("n")
+                        - F.col("s_tot").cast("double") / F.col("n_tot")
+                    )
+                    * (
+                        F.col("s").cast("double") / F.col("n")
+                        - F.col("s_tot").cast("double") / F.col("n_tot")
+                    )
+                ),
+                (F.max("k") - 1).cast("double"),
+            ),
             6,
         ).alias("tau2"),
         (
             F.round(
                 F.sum(
-                    (
+                    # try_divide: a singleton group (n=1) has no
+                    # within-group variance evidence — its denominator
+                    # n*n*(n-1) is 0, DuckDB's x/0 -> NULL drops the
+                    # term from SUM while COUNT(*) still counts the
+                    # group; ANSI Spark would raise (seed-1 fuzz
+                    # fixture produced a one-customer nation)
+                    F.try_divide(
                         F.col("n").cast("double") * F.col("ss")
-                        - F.col("s").cast("double") * F.col("s")
-                    )
-                    / (
+                        - F.col("s").cast("double") * F.col("s"),
                         F.col("n").cast("double")
                         * F.col("n")
-                        * (F.col("n") - 1)
+                        * (F.col("n") - 1),
                     )
                 ),
                 6,
@@ -5734,7 +5749,9 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("k")
         ).alias("mean_se2"),
     )
-    b = F.col("tau2") / (F.col("tau2") + F.col("mean_se2"))
+    # try_divide: tau2 = mean_se2 = 0 (all groups identical) is 0/0,
+    # NULL in the oracle's IEEE-free arithmetic — keep parity
+    b = F.try_divide(F.col("tau2"), F.col("tau2") + F.col("mean_se2"))
     return (
         grp.join(
             F.broadcast(c.nation.select("n_nationkey", "n_name")),
