@@ -983,13 +983,19 @@ def q_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n log n) per user, no self-join at all — the standard rewrite
     that survives 100 TB where an EXISTS-per-click range self-join
     re-shuffles the fact table against itself. The descending running
-    min (rowsBetween UNBOUNDED PRECEDING) avoids Spark's
-    O(partition^2) UnboundedFollowing frame evaluation."""
+    min (RANGE UNBOUNDED PRECEDING) avoids Spark's O(partition^2)
+    UnboundedFollowing frame evaluation. The frame must be RANGE, not
+    ROWS: the oracle's EXISTS uses p.ts >= e.ts, so a purchase at the
+    SAME instant as the click converts it — a ROWS frame over a
+    tie-broken sort only sees same-ts purchases that happen to sort
+    before the click (found by the adversarial fuzz fixture's
+    duplicate (user, ts) event pairs), while RANGE's currentRow bound
+    includes all peers."""
     c = catalog(spark, sf_dir)
     wd = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col("ts").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     next_purchase = F.min(
         F.when(F.col("event_type") == "purchase", F.col("ts"))

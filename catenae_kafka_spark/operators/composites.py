@@ -264,11 +264,26 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(
-            # + 0.0 normalizes IEEE negative zero: a tiny negative
-            # correlation rounds to -0.0 on one engine and +0.0 on the
-            # other, which string-formats differently and breaks the
-            # value hash (surfaced by the sf0.001 sweep)
-            (F.round(F.corr("n_a", "n_b"), 4) + F.lit(0.0)).alias("r"),
+            # corr recomposed as try_divide(covar, sx*sy): a constant
+            # series (zero variance) makes ANSI F.corr raise
+            # DIVIDE_BY_ZERO where DuckDB's corr yields NULL (found by
+            # the adversarial fuzz fixture's coarse value grid);
+            # try_divide returns NULL on a 0 or NULL denominator,
+            # matching the oracle. + 0.0 normalizes IEEE negative
+            # zero: a tiny negative correlation rounds to -0.0 on one
+            # engine and +0.0 on the other, which string-formats
+            # differently and breaks the value hash (surfaced by the
+            # sf0.001 sweep)
+            (
+                F.round(
+                    F.try_divide(
+                        F.covar_samp("n_a", "n_b"),
+                        F.stddev_samp("n_a") * F.stddev_samp("n_b"),
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("r"),
             F.count("*").alias("n_hours"),
         )
     )

@@ -88,12 +88,14 @@ GROUP BY o_year
 """
 
 _Q9 = """
-SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       CAST(SUM(amount_e4) AS DOUBLE) / 10000 AS sum_profit
 FROM (
   SELECT n_name AS nation,
          EXTRACT(YEAR FROM o_orderdate) AS o_year,
-         l_extendedprice * (1 - l_discount)
-           - p_retailprice * 0.6 * l_quantity AS amount
+         CAST(FLOOR((l_extendedprice * (1 - l_discount)
+             - p_retailprice * 0.6 * l_quantity) * 10000 + 0.5)
+           AS BIGINT) AS amount_e4
   FROM lineitem
   JOIN part ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
@@ -230,7 +232,11 @@ _SUITE: dict[str, tuple[str, str, tuple[str, ...]]] = {
     ),
     "q_tpch_q9": (
         _Q9,
-        "supply cost proxied by p_retailprice * 0.6 (no partsupp)",
+        "supply cost proxied by p_retailprice * 0.6 (no partsupp); "
+        "per-row profit lifted to exact 1e-4 integer units before the "
+        "SUM — a multi-row double sum is summation-order-dependent "
+        "and ROUND(...,2) flipped a half-cent boundary between "
+        "engines on an adversarial fuzz fixture",
         ("lineitem", "part", "supplier", "orders", "nation"),
     ),
     "q_tpch_q10": (

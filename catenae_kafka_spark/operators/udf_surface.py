@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -124,24 +125,43 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_apply_in_pandas",
     tags=("udf",),
     oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), w AS (
+  SELECT o_custkey, o_orderkey, cents,
+         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+         CAST(SUM(cents) OVER (PARTITION BY o_custkey) AS BIGINT) AS s
+  FROM o
+)
 SELECT o_custkey, o_orderkey,
-       ROUND(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+       ROUND((CAST(cents AS DOUBLE) * n - s) / (100.0 * n), 6)
          AS price_dev
-FROM orders
+FROM w
 """,
 )
 def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-customer pandas frame in/out
     (demean each customer's order prices). The window-SQL oracle proves
-    the per-group Python path matches the declarative equivalent."""
+    the per-group Python path matches the declarative equivalent.
+
+    Cross-engine float discipline: x - mean(x) over raw doubles is
+    summation-order-dependent (pandas pairwise-sums, DuckDB doesn't —
+    an adversarial fuzz fixture landed a group mean on a 6dp half
+    boundary). Both sides lift 2dp prices to exact integer cents and
+    demean as (cents*n - sum_cents) / (100*n): one IEEE division of
+    exact integers per row, bit-identical on both engines."""
     c = catalog(spark, sf_dir)
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf[["o_custkey", "o_orderkey"]].copy()
+        cents = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype("int64")
+        n = len(cents)
+        s = int(cents.sum())
         # raw value out; rounding happens Spark-side — pandas .round is
-        # half-even while SQL ROUND is half-away, and demeaned 2dp
-        # prices land exactly on 4dp boundaries
-        out["price_dev"] = pdf["o_totalprice"] - pdf["o_totalprice"].mean()
+        # half-even while SQL ROUND is half-away
+        out["price_dev"] = (cents.astype("float64") * n - s) / (100.0 * n)
         return out
 
     return (
