@@ -1,0 +1,125 @@
+"""Differential fuzz regression: Spark-vs-oracle parity on RANDOMIZED
+fixtures (tools/fuzz_fixture.py), not just the fixed driver fixture.
+
+The driver verifies every oracled query on one fixed dataset (seed 42),
+so a query can pass by accident of that dataset's values. Round 12's
+fuzz sweeps proved the risk real: six queries diverged on the first two
+generated fixtures — ANSI DIVIDE_BY_ZERO where DuckDB yields NULL
+(q_eb_shrinkage, q_outlier_kappa, q_series_corr), a same-instant
+purchase dropped by a ROWS frame (q_abandoned_clicks), and two
+summation-order half-boundary flips (q_tpch_q9, q_apply_in_pandas).
+
+This module pins those exact seeds (1 benign, 2 adversarial) and runs a
+breadth subset of oracled queries through the same comparison the
+driver uses (tools/check.py's _run_one). Full-registry sweeps over
+fresh seeds stay a manual loop:
+
+    python tools/fuzz_fixture.py /tmp/fz --seed N [--adversarial]
+    SF_DIR=/tmp/fz python tools/check.py --jobs 8
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_tool(stem: str):
+    spec = importlib.util.spec_from_file_location(
+        f"tools_{stem}", os.path.join(REPO, "tools", f"{stem}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[f"tools_{stem}"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# The six round-12 fuzz-found regressions, then a breadth slice across
+# operator families (joins, aggs, windows, setops, function packs,
+# dedup/text/knn, TPC-H shapes, UDF surfaces).
+FUZZ_QUERIES = [
+    "q_abandoned_clicks",
+    "q_apply_in_pandas",
+    "q_series_corr",
+    "q_tpch_q9",
+    "q_eb_shrinkage",
+    "q_outlier_kappa",
+    "q_agg_groupby",
+    "q_agg_stats",
+    "q_case_when",
+    "q_join_inner",
+    "q_join_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_range",
+    "q_window_rank",
+    "q_window_lag",
+    "q_window_frame",
+    "q_topk_per_group",
+    "q_sort_multi",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_grouping_sets",
+    "q_rollup",
+    "q_cube",
+    "q_pivot",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_dedup_exact",
+    "q_text_stats",
+    "q_knn_cosine",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_udaf_grouped",
+    "q_udtf",
+]
+
+PROFILES = [("benign", 1, False), ("adversarial", 2, True)]
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(tmp_path_factory):
+    fuzz = _load_tool("fuzz_fixture")
+    check = _load_tool("check")
+    dirs, cons = {}, {}
+    for profile, seed, adv in PROFILES:
+        d = str(tmp_path_factory.mktemp(f"fuzz_{profile}"))
+        fuzz.generate(d, seed, adversarial=adv)
+        dirs[profile] = d
+        cons[profile] = check.duck_connection(d)
+    yield check, dirs, cons
+    for con in cons.values():
+        con.close()
+
+
+def test_fuzz_list_is_registered_and_oracled():
+    from catenae_kafka_spark.registry import all_specs
+
+    specs = all_specs()
+    missing = [q for q in FUZZ_QUERIES if q not in specs]
+    assert not missing, missing
+    unoracled = [q for q in FUZZ_QUERIES if specs[q].oracle is None]
+    assert not unoracled, unoracled
+
+
+@pytest.mark.parametrize("profile", [p[0] for p in PROFILES])
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_parity_on_randomized_fixture(spark, fuzz_env, profile, name):
+    from catenae_kafka_spark.registry import all_specs
+
+    check, dirs, cons = fuzz_env
+    status, line, _ = check._run_one(
+        spark, dirs[profile], name, all_specs()[name], cons[profile]
+    )
+    assert status == "ok", line
