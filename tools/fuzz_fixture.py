@@ -22,6 +22,14 @@ Two profiles per seed:
   orders on one date, planted exact- and near-duplicate documents,
   planted near-duplicate embedding pairs (cosine >= 0.9), boundary
   dates at the domain edges.
+- degenerate (``--profile degenerate``): the zero-information limit —
+  every money/value column CONSTANT (zero variance everywhere), all
+  customers in one nation, all orders on one date by one customer,
+  one event type at one timestamp, all documents byte-identical,
+  all embeddings the same vector. This is the profile that stresses
+  the NULL-on-zero-division parity class (corr/variance/shrinkage
+  denominators): ANSI Spark raises on x/0 while DuckDB yields NULL,
+  so any unguarded ratio diverges here by construction.
 
 Money-like doubles stay on 2-decimal grids in BOTH profiles (as in
 TPC-H and the driver fixture): cross-engine float discipline for
@@ -97,7 +105,74 @@ def _write(dst: str, name: str, schema: pa.Schema, cols: dict) -> None:
     pq.write_table(table, os.path.join(dst, f"{name}.parquet"))
 
 
-def generate(dst: str, seed: int, adversarial: bool = False) -> str:
+#: constant replacements applied by the degenerate profile — every
+#: non-key column collapses to one in-domain value, so any ratio whose
+#: denominator is a variance/spread is exactly 0 in every group
+_TS_DEGEN_ORDER = np.datetime64("1998-06-15T00:00:00.000000")
+_TS_DEGEN_SHIP = np.datetime64("1998-07-15T00:00:00.000000")
+_TS_DEGEN_EVENT = np.datetime64("2024-01-15T12:00:00.000000")
+_DEGEN_TEXT = "the fast spark table scan joins the slow batch stream"
+_DEGEN_OVERRIDES: dict[str, dict[str, object]] = {
+    "nation": {"n_regionkey": 2},
+    "customer": {"c_nationkey": 7, "c_acctbal": 1000.0, "c_mktsegment": "BUILDING"},
+    "supplier": {"s_nationkey": 7, "s_acctbal": 1000.0},
+    "part": {
+        "p_name": "red widget",
+        "p_brand": "Brand#5",
+        "p_type": "STANDARD",
+        "p_size": 25,
+        "p_retailprice": 910.0,
+    },
+    "orders": {
+        "o_custkey": 3,
+        "o_orderstatus": "O",
+        "o_totalprice": 25000.0,
+        "o_orderdate": _TS_DEGEN_ORDER,
+        "o_orderpriority": "3-MEDIUM",
+    },
+    "lineitem": {
+        "l_partkey": 5,
+        "l_suppkey": 2,
+        "l_quantity": 10.0,
+        "l_extendedprice": 1000.0,
+        "l_discount": 0.05,
+        "l_tax": 0.04,
+        "l_returnflag": "N",
+        "l_linestatus": "O",
+        "l_shipdate": _TS_DEGEN_SHIP,
+    },
+    "events": {
+        "ts": _TS_DEGEN_EVENT,
+        "user_id": 3,
+        "event_type": "click",
+        "value": 1.0,
+        "props": '{"k": 5}',
+    },
+    "documents": {
+        "text": _DEGEN_TEXT,
+        "lang": "en",
+        "source": "src0",
+        "n_chars": len(_DEGEN_TEXT),
+    },
+    "embeddings": {"embedding": [0.125] * EMB_DIM, "label": 5},
+}
+
+
+def _flatten_degenerate(dst: str) -> None:
+    for name, overrides in _DEGEN_OVERRIDES.items():
+        path = os.path.join(dst, f"{name}.parquet")
+        table = pq.read_table(path)
+        for col, value in overrides.items():
+            i = table.schema.get_field_index(col)
+            field = table.schema.field(i)
+            arr = pa.array([value] * len(table), type=field.type)
+            table = table.set_column(i, field, arr)
+        pq.write_table(table, path)
+
+
+def generate(
+    dst: str, seed: int, adversarial: bool = False, degenerate: bool = False
+) -> str:
     """Write the ten-table fixture into ``dst``; returns ``dst``."""
     os.makedirs(dst, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -394,6 +469,8 @@ def generate(dst: str, seed: int, adversarial: bool = False) -> str:
             "label": rng.integers(0, 10, nv).astype("int32"),
         },
     )
+    if degenerate:
+        _flatten_degenerate(dst)
     return dst
 
 
@@ -409,6 +486,10 @@ if __name__ == "__main__":
     ap.add_argument("dst")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--adversarial", action="store_true")
+    ap.add_argument("--degenerate", action="store_true")
     a = ap.parse_args()
-    generate(a.dst, a.seed, a.adversarial)
-    print(f"wrote randomized fixture to {a.dst} (seed={a.seed}, adversarial={a.adversarial})")
+    generate(a.dst, a.seed, a.adversarial, a.degenerate)
+    print(
+        f"wrote randomized fixture to {a.dst} (seed={a.seed}, "
+        f"adversarial={a.adversarial}, degenerate={a.degenerate})"
+    )
