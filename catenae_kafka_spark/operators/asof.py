@@ -33,6 +33,7 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     direction: str = "backward",
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the right row with the greatest
     ``right_ts <= left_ts`` (``direction="backward"``) or the smallest
@@ -43,26 +44,51 @@ def asof_join(
     no matching right row exists). Single shuffle on ``on``; forward is
     the same merge-scan with the time axis walked in reverse (window
     ordered descending), not a second algorithm.
+
+    ``right_order``: optional right-side tiebreak columns. When several
+    right rows share the boundary ``right_ts``, the match is otherwise
+    NONDETERMINISTIC (the window's last-write-wins depends on partition
+    order — surfaced by an adversarial fuzz fixture with duplicate
+    (key, ts) pairs). With ``right_order``, the row with the GREATEST
+    tiebreak tuple wins, deterministically; pass a unique column (an
+    event id) for full determinism.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    order_cols = list(right_order or [])
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     r = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
     # align schemas: left lacks right payload, right lacks left extras
+    for i, col in enumerate(order_cols):
+        l = l.withColumn(f"_tb_{i}", F.lit(None).cast(right.schema[col].dataType))
+        r = r.withColumn(f"_tb_{i}", F.col(col))
     for col in right_payload:
         l = l.withColumn(f"_r_{col}", F.lit(None).cast(right.schema[col].dataType))
         r = r.withColumn(f"_r_{col}", F.col(col))
-    keep = on + ["_side", "_ats"] + [f"_r_{c}" for c in right_payload]
+    keep = (
+        on
+        + ["_side", "_ats"]
+        + [f"_tb_{i}" for i in range(len(order_cols))]
+        + [f"_r_{c}" for c in right_payload]
+    )
     l_keep = l.select(*keep, *[c for c in lcols if c not in on])
     r_keep = r.select(*keep, *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on])
     u = l_keep.unionByName(r_keep)
     # right rows (side=0) sort before left rows at equal ts → inclusive
     # <= (backward) / >= (forward: time axis walked descending)
     ats = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
+    # tiebreak columns sort ascending AFTER _side, so among right rows
+    # at the boundary ts the greatest tiebreak tuple is written last
+    # and last(ignorenulls) picks it; left rows (side=1, null _tb)
+    # still sort after every tied right row
     w = (
         Window.partitionBy(*on)
-        .orderBy(ats, F.col("_side").asc())
+        .orderBy(
+            ats,
+            F.col("_side").asc(),
+            *[F.col(f"_tb_{i}").asc() for i in range(len(order_cols))],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
@@ -120,16 +146,25 @@ def interval_join(
     tags=("join", "asof"),
     bench=True,
     oracle="""
+WITH p AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
 SELECT c.event_id AS event_id, c.user_id AS user_id,
        STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
        p.value AS purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 """,
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: latest prior purchase for every click, per user."""
+    """As-of join: latest prior purchase for every click, per user.
+
+    Tie semantics (both sides): among simultaneous purchases the
+    highest event_id wins — the oracle tie-dedups via arg_max before
+    its native ASOF, the Spark scan tiebreaks in-window via
+    right_order (no extra shuffle)."""
     c = catalog(spark, sf_dir)
     ev = c.events
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -139,6 +174,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("p_ts"),
         F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("p_event_id"),
     )
     out = asof_join(
         clicks,
@@ -147,6 +183,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="p_ts",
         right_payload=["p_ts", "purchase_value"],
+        right_order=["p_event_id"],
     )
     return out.select(
         "event_id",
@@ -160,11 +197,15 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_asof_forward",
     tags=("join", "asof"),
     oracle="""
+WITH p AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
 SELECT c.event_id AS event_id, c.user_id AS user_id,
        STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
        p.value AS purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN p
   ON c.user_id = p.user_id AND c.ts <= p.ts
 """,
 )
@@ -172,7 +213,9 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: EARLIEST subsequent purchase for every click,
     per user — the event-attribution direction (what did this click lead
     to). Same single-shuffle merge-scan as backward, time axis
-    reversed."""
+    reversed. Same tie semantics as q_join_asof: highest event_id wins
+    among simultaneous purchases (arg_max dedup in the oracle,
+    right_order in the scan)."""
     c = catalog(spark, sf_dir)
     ev = c.events
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -182,6 +225,7 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("p_ts"),
         F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("p_event_id"),
     )
     out = asof_join(
         clicks,
@@ -191,6 +235,7 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="p_ts",
         right_payload=["p_ts", "purchase_value"],
         direction="forward",
+        right_order=["p_event_id"],
     )
     return out.select(
         "event_id",
@@ -208,7 +253,8 @@ WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
 p AS (SELECT * FROM events WHERE event_type = 'purchase'),
 m AS (
   SELECT c.event_id, p.ts AS p_ts, p.value AS p_value,
-         ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.ts DESC) AS rn
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
   FROM c JOIN p ON c.user_id = p.user_id
    AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 7 DAY
 )
@@ -225,7 +271,10 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implemented as the single-shuffle backward merge-scan followed by a
     map-side tolerance mask: the latest prior match being out of
     tolerance implies NO in-tolerance match exists, so masking is exact
-    (no second scan, no row explosion)."""
+    (no second scan, no row explosion). Ties (simultaneous purchases)
+    break to the highest event_id on both sides — without the tiebreak
+    the match is nondeterministic (found by the adversarial fuzz
+    fixture's duplicate (user, ts) pairs)."""
     c = catalog(spark, sf_dir)
     ev = c.events
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -235,6 +284,7 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("p_ts"),
         F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("p_event_id"),
     )
     out = asof_join(
         clicks,
@@ -243,6 +293,7 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="p_ts",
         right_payload=["p_ts", "purchase_value"],
+        right_order=["p_event_id"],
     )
     within = F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
     return out.select(
@@ -293,7 +344,10 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "asof"),
     oracle="""
 WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
-p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+p AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
 b AS (
   SELECT c.event_id, c.user_id, c.ts AS c_ts, p.ts AS b_ts, p.value AS b_val
   FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
@@ -322,7 +376,9 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase, before or after, ties to the earlier one. Composed as
     the backward and forward merge-scans (each one shuffle) joined on
     the probe key — completing the as-of family
-    (backward/forward/tolerance/nearest)."""
+    (backward/forward/tolerance/nearest). Simultaneous-purchase ties
+    break to the highest event_id in both scans (arg_max dedup in the
+    oracle, right_order here)."""
     c = catalog(spark, sf_dir)
     ev = c.events
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -332,10 +388,12 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("p_ts"),
         F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("p_event_id"),
     )
     back = asof_join(
         clicks, purchases, on=["user_id"], left_ts="ts", right_ts="p_ts",
         right_payload=["p_ts", "purchase_value"],
+        right_order=["p_event_id"],
     ).select(
         "event_id", "user_id", "ts",
         F.col("p_ts").alias("b_ts"), F.col("purchase_value").alias("b_val"),
@@ -343,6 +401,7 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = asof_join(
         clicks, purchases, on=["user_id"], left_ts="ts", right_ts="p_ts",
         right_payload=["p_ts", "purchase_value"], direction="forward",
+        right_order=["p_event_id"],
     ).select(
         F.col("event_id").alias("f_event_id"),
         F.col("p_ts").alias("f_ts"), F.col("purchase_value").alias("f_val"),
@@ -384,13 +443,16 @@ WITH b AS MATERIALIZED (
 ), grid AS MATERIALIZED (
   SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gt
   FROM b
+), e2 AS MATERIALIZED (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events GROUP BY user_id, ts
 ), bwd AS MATERIALIZED (
   SELECT g.user_id, g.gt, e.ts AS t0, e.value AS y0
-  FROM grid g ASOF JOIN events e
+  FROM grid g ASOF JOIN e2 e
     ON g.user_id = e.user_id AND g.gt >= e.ts
 ), fwd AS MATERIALIZED (
   SELECT g.user_id, g.gt, e.ts AS t1, e.value AS y1
-  FROM grid g ASOF JOIN events e
+  FROM grid g ASOF JOIN e2 e
     ON g.user_id = e.user_id AND g.gt < e.ts
 )
 SELECT w.user_id, STRFTIME(w.gt, '%Y-%m-%d %H:%M:%S') AS grid_ts,
@@ -409,7 +471,9 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-scans (one user_id shuffle each) and lerps between them;
     boundary points without both neighbors are dropped, and a grid
     point landing exactly on a reading degenerates to that reading
-    (the forward neighbor ties back to it)."""
+    (the forward neighbor ties back to it). Simultaneous readings
+    (duplicate (user, ts)) resolve to the highest event_id on both
+    sides — arg_max dedup in the oracle, right_order in the scans."""
     c = catalog(spark, sf_dir)
     bounds = c.events.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -420,11 +484,14 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("gt"),
     )
     readings = c.events.select(
-        "user_id", F.col("ts").alias("r_ts"), F.col("value").alias("r_v")
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_v"),
+        F.col("event_id").alias("r_eid"),
     )
     bwd = asof_join(
         grid, readings, on=["user_id"], left_ts="gt", right_ts="r_ts",
-        right_payload=["r_ts", "r_v"],
+        right_payload=["r_ts", "r_v"], right_order=["r_eid"],
     ).select(
         "user_id", "gt", F.col("r_ts").alias("t0"), F.col("r_v").alias("y0")
     )
@@ -441,6 +508,7 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid_eps.select("user_id", "gt", "gt_eps"),
         readings, on=["user_id"], left_ts="gt_eps", right_ts="r_ts",
         right_payload=["r_ts", "r_v"], direction="forward",
+        right_order=["r_eid"],
     ).select(
         F.col("user_id").alias("f_uid"), F.col("gt").alias("f_gt"),
         F.col("r_ts").alias("t1"), F.col("r_v").alias("y1"),

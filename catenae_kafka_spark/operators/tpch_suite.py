@@ -108,7 +108,9 @@ GROUP BY nation, o_year
 
 _Q10 = """
 SELECT c_custkey, c_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 10000
+         AS revenue,
        ROUND(c_acctbal, 2) AS c_acctbal, n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -118,7 +120,8 @@ WHERE o_orderdate >= TIMESTAMP '1995-01-01'
   AND o_orderdate < TIMESTAMP '1995-07-01'
   AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+ORDER BY SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                        + 0.5) AS BIGINT)) DESC, c_custkey
 LIMIT 20
 """
 
@@ -242,7 +245,8 @@ _SUITE: dict[str, tuple[str, str, tuple[str, ...]]] = {
     "q_tpch_q10": (
         _Q10,
         "verbatim shape (returned-item top-20; custkey tiebreak for "
-        "a deterministic LIMIT)",
+        "a deterministic LIMIT); revenue lifted to exact 1e-4 integer "
+        "units before the SUM — same summation-order discipline as Q9",
         ("customer", "orders", "lineitem", "nation"),
     ),
     "q_tpch_q12": (

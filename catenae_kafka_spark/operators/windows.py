@@ -781,7 +781,11 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
     )
-    rz = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    # try_divide: MAD = 0 whenever more than half a type's values equal
+    # its median (coarse grids do this), leaving the robust-z undefined
+    # — DuckDB's x/0 yields NULL and WHERE NULL>3 drops the row; ANSI
+    # Spark's / would raise (found by the adversarial fuzz fixture)
+    rz = F.try_divide(F.col("value") - F.col("med"), 1.4826 * F.col("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.abs(rz) > 3)

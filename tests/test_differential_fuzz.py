@@ -49,6 +49,12 @@ FUZZ_QUERIES = [
     "q_tpch_q9",
     "q_eb_shrinkage",
     "q_outlier_kappa",
+    "q_anomaly_mad",
+    "q_tpch_q10",
+    "q_join_asof_tolerance",
+    "q_join_asof_forward",
+    "q_join_asof_nearest",
+    "q_interpolate",
     "q_agg_groupby",
     "q_agg_stats",
     "q_case_when",
