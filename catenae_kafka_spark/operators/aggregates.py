@@ -174,7 +174,17 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
         F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qe"),
+        # corr recomposed as try_divide(covar, sx*sy): ANSI F.corr
+        # raises DIVIDE_BY_ZERO on a zero-variance group where DuckDB
+        # CORR yields NULL (degenerate fuzz fixture)
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity")
+                * F.stddev_samp("l_extendedprice"),
+            ),
+            6,
+        ).alias("corr_qe"),
         F.round(F.median("l_quantity"), 2).alias("med_qty"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qd"),
     )

@@ -447,12 +447,16 @@ def q_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).alias("ss"),
     )
     mu = F.col("s").cast("double") / F.col("n_days")
+    # try_divide: a type seen on a single day has no day-to-day
+    # variance — NULL limits on both engines (DuckDB x/0 -> NULL,
+    # ANSI / raises; degenerate fuzz fixture puts all events on one
+    # day), and the in/out flag is NULL for that type too
     sd = F.sqrt(
-        (
+        F.try_divide(
             F.col("ss").cast("double")
-            - F.col("s").cast("double") * F.col("s") / F.col("n_days")
+            - F.col("s").cast("double") * F.col("s") / F.col("n_days"),
+            (F.col("n_days") - 1).cast("double"),
         )
-        / (F.col("n_days") - 1)
     )
     lim = stats.select("event_type", mu.alias("mu"), sd.alias("sd"))
     j = daily.join(F.broadcast(lim), "event_type")
@@ -1901,14 +1905,24 @@ def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("l").alias("n_pts"),
     )
     slope = (7 * F.col("sxy") - 28 * F.col("sy")) / 196
+    # degenerate-input parity (fuzz): with NO k in 1..7 the oracle's
+    # list() is NULL, so every output is NULL (len(NULL), reduce over
+    # NULL); with FEWER than 7 offsets its l[i] lookups go out of
+    # bounds -> NULL sxy -> NULL slope/halflife while n_offsets stays
+    # the count. The closed-form x-moments (28, 196) assume exactly 7
+    # points, so NULL is also the honest answer there.
+    full = F.col("n_pts") == 7
     return sums.select(
-        F.col("n_pts").cast("bigint").alias("n_offsets"),
-        F.floor(slope * 1000000).cast("bigint").alias("slope_micro"),
-        F.when(slope >= 0, F.lit(None).cast("bigint"))
-        .otherwise(
-            F.floor(-F.log(F.lit(2.0)) / slope * 1000).cast("bigint")
-        )
-        .alias("halflife_millidays"),
+        F.when(F.col("n_pts") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("n_pts").cast("bigint"))
+        .alias("n_offsets"),
+        F.when(full, F.floor(slope * 1000000).cast("bigint")).alias(
+            "slope_micro"
+        ),
+        F.when(
+            full & (slope < 0),
+            F.floor(-F.log(F.lit(2.0)) / slope * 1000).cast("bigint"),
+        ).alias("halflife_millidays"),
     )
 
 
@@ -2665,7 +2679,12 @@ def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "top10_cents",
         "bottom40_cents",
-        F.expr("(top10_cents * 1000) div bottom40_cents").alias("palma_milli"),
+        # nullif: with a single customer the bottom-40% bucket is empty
+        # and the ratio is undefined — DuckDB x // 0 -> NULL, ANSI div
+        # raises (degenerate fuzz fixture); integer division kept
+        F.expr(
+            "(top10_cents * 1000) div nullif(bottom40_cents, 0)"
+        ).alias("palma_milli"),
     )
 
 
@@ -3132,9 +3151,11 @@ def q_attribution_window_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_days",
         "n_conversions",
         "n_click_credited",
-        F.expr("(n_click_credited * 1000000) div n_conversions").alias(
-            "credited_share_micro"
-        ),
+        # nullif: zero conversions -> share undefined, NULL on both
+        # engines (degenerate fuzz: no purchase events at all)
+        F.expr(
+            "(n_click_credited * 1000000) div nullif(n_conversions, 0)"
+        ).alias("credited_share_micro"),
     )
 
 
@@ -3897,11 +3918,18 @@ def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("area_s") == F.col("total_duration_s")).alias(
             "conservation_ok"
         ),
-        F.expr("(n_sessions * 1000000) div horizon_s").alias(
-            "lambda_micro"
+        # nullif: a zero-length horizon (every event at one instant)
+        # leaves the rates undefined — NULL on both engines (DuckDB
+        # // 0 -> NULL, ANSI div raises; degenerate fuzz fixture)
+        F.expr(
+            "(n_sessions * 1000000) div nullif(horizon_s, 0)"
+        ).alias("lambda_micro"),
+        F.expr("(area_s * 1000000) div nullif(horizon_s, 0)").alias(
+            "l_micro"
         ),
-        F.expr("(area_s * 1000000) div horizon_s").alias("l_micro"),
-        F.expr("(area_s * 1000000) div n_sessions").alias("w_micro"),
+        F.expr("(area_s * 1000000) div nullif(n_sessions, 0)").alias(
+            "w_micro"
+        ),
     )
 
 

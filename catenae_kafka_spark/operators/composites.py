@@ -468,11 +468,22 @@ def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.orders.o_custkey == F.col("c_custkey"),
     )
     ct = joined.stat.crosstab("c_mktsegment", "o_orderstatus")
+    # crosstab only emits columns for OBSERVED statuses; a status
+    # absent from the data (degenerate fuzz fixture has only 'O')
+    # must still appear as a zero column, like the oracle's
+    # conditional counts — otherwise the select is an unresolved-
+    # column error
+    present = set(ct.columns)
     return ct.select(
         F.col("c_mktsegment_o_orderstatus").alias("seg"),
-        F.col("F").cast("long").alias("f"),
-        F.col("O").cast("long").alias("o"),
-        F.col("P").cast("long").alias("p"),
+        *[
+            (
+                F.col(s).cast("long")
+                if s in present
+                else F.lit(0).cast("long")
+            ).alias(s.lower())
+            for s in ("F", "O", "P")
+        ],
     )
 
 

@@ -90,18 +90,24 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("mnp"),
         F.max("o_totalprice").alias("mxp"),
     )
+    # try_divide: a constant key column (max = min) has no grid to
+    # scale onto — 0/0 is NULL on both engines and the NULL coordinate
+    # propagates through the interleave into a single NULL bucket
+    # (degenerate fuzz fixture; ANSI / would raise)
     scaled = c.orders.crossJoin(F.broadcast(ext)).select(
         "o_custkey",
         "o_totalprice",
         F.floor(
-            (F.col("o_custkey") - F.col("mnc"))
-            * 1023.0
-            / (F.col("mxc") - F.col("mnc"))
+            F.try_divide(
+                (F.col("o_custkey") - F.col("mnc")) * 1023.0,
+                F.col("mxc") - F.col("mnc"),
+            )
         ).alias("nx"),
         F.floor(
-            (F.col("o_totalprice") - F.col("mnp"))
-            * 1023.0
-            / (F.col("mxp") - F.col("mnp"))
+            F.try_divide(
+                (F.col("o_totalprice") - F.col("mnp")) * 1023.0,
+                F.col("mxp") - F.col("mnp"),
+            )
         ).alias("ny"),
     )
     z = scaled.select(

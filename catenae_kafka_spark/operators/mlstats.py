@@ -179,9 +179,12 @@ def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "n_pos",
         "n_neg",
-        (
-            F.col("numer2").cast("double")
-            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+        # try_divide: AUC is undefined with no positives (or no
+        # negatives) — DuckDB's x/0 yields NULL; ANSI / would raise
+        # (degenerate fuzz fixture: a single event type)
+        F.try_divide(
+            F.col("numer2").cast("double"),
+            F.lit(2.0) * F.col("n_pos") * F.col("n_neg"),
         ).alias("auc"),
     )
 
@@ -792,9 +795,11 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ta").alias("n_a"),
             F.col("tb").alias("n_b"),
             F.col("s").alias("ks_at_score"),
-            (
-                F.col("cross_gap").cast("double")
-                / (F.col("ta") * F.col("tb"))
+            # try_divide: KS undefined when either sample is empty
+            # (oracle x/0 -> NULL; ANSI / raises)
+            F.try_divide(
+                F.col("cross_gap").cast("double"),
+                F.col("ta") * F.col("tb"),
             ).alias("ks_stat"),
         )
     )
@@ -904,12 +909,14 @@ def q_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n",
             "n_pos",
-            (F.col("n_pos").cast("double") / F.col("tp")).alias(
+            # try_divide: no positives at all -> share/lift undefined
+            # (oracle x/0 -> NULL; ANSI / raises)
+            F.try_divide(F.col("n_pos").cast("double"), F.col("tp")).alias(
                 "pos_share"
             ),
-            (
-                (F.col("n_pos").cast("double") / F.col("n"))
-                / (F.col("tp").cast("double") / F.col("tn"))
+            F.try_divide(
+                F.col("n_pos").cast("double") / F.col("n"),
+                F.col("tp").cast("double") / F.col("tn"),
             ).alias("lift"),
         )
     )
@@ -984,12 +991,17 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
     # epsilon-smoothed proportions: the conventional guard for bins
     # empty in one period (PSI is undefined at p = 0); mirrored in the
-    # oracle so the smoothing itself is hash-checked
+    # oracle so the smoothing itself is hash-checked. try_divide for
+    # an ENTIRE period being empty (degenerate fixture: every event on
+    # one day): x/0 -> NULL on both engines, and both greatest()s skip
+    # NULLs, so the epsilon floor applies to the missing period too
     p0 = F.greatest(
-        F.col("n0").cast("double") / F.col("t0"), F.lit(0.000001)
+        F.try_divide(F.col("n0").cast("double"), F.col("t0")),
+        F.lit(0.000001),
     )
     p1 = F.greatest(
-        F.col("n1").cast("double") / F.col("t1"), F.lit(0.000001)
+        F.try_divide(F.col("n1").cast("double"), F.col("t1")),
+        F.lit(0.000001),
     )
     return per.crossJoin(F.broadcast(tot)).select(
         "bin",
@@ -1024,9 +1036,16 @@ WITH spans AS (
   FROM per_t
 )
 SELECT t AS t_days, n_at_risk, d AS n_deaths, c AS n_censored,
-       ROUND(EXP(SUM(LN(CAST(n_at_risk - d AS DOUBLE) / n_at_risk))
-                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW)), 6) AS survival
+       ROUND(CASE WHEN SUM(CASE WHEN n_at_risk = d THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) > 0
+             THEN 0.0
+             ELSE EXP(SUM(LN(CASE WHEN n_at_risk = d THEN 1.0
+                             ELSE CAST(n_at_risk - d AS DOUBLE) / n_at_risk
+                             END))
+                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+             END, 6) AS survival
 FROM risk
 """,
 )
@@ -1075,13 +1094,23 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d") + F.col("c")).over(w_before), F.lit(0)
         ),
     )
-    surv = F.exp(
-        F.sum(
-            F.log(
-                (F.col("n_at_risk") - F.col("d")).cast("double")
-                / F.col("n_at_risk")
-            )
-        ).over(w_cum)
+    # extinction guard (mirrored in the oracle): once a day kills the
+    # whole risk set the product-limit factor is 0 and ln() is
+    # undefined — DuckDB's LN(0) raises outright (degenerate fuzz
+    # fixture: every user spans 0 days). Survival is pinned to exactly
+    # 0.0 from that day on; the ln argument is patched to 1 so the
+    # untaken branch can't blow up either engine.
+    extinct = F.sum(
+        F.when(F.col("n_at_risk") == F.col("d"), 1).otherwise(0)
+    ).over(w_cum)
+    factor = F.when(
+        F.col("n_at_risk") == F.col("d"), F.lit(1.0)
+    ).otherwise(
+        (F.col("n_at_risk") - F.col("d")).cast("double")
+        / F.col("n_at_risk")
+    )
+    surv = F.when(extinct > 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(factor)).over(w_cum))
     )
     return risk.select(
         F.col("t").alias("t_days"),
@@ -1486,14 +1515,20 @@ WITH per_order AS (
   FROM sums
 )
 SELECT n_orders,
-       ROUND(({_det3(_RHS, _C1, _C2)}) / ({_det3(_C0, _C1, _C2)}), 6)
+       ROUND(({_det3(_RHS, _C1, _C2)}) / NULLIF(({_det3(_C0, _C1, _C2)}), 0), 6)
          AS b0_cents,
-       ROUND(({_det3(_C0, _RHS, _C2)}) / ({_det3(_C0, _C1, _C2)}), 6)
+       ROUND(({_det3(_C0, _RHS, _C2)}) / NULLIF(({_det3(_C0, _C1, _C2)}), 0), 6)
          AS b1_cents_per_qty,
-       ROUND(({_det3(_C0, _C1, _RHS)}) / ({_det3(_C0, _C1, _C2)}), 6)
+       ROUND(({_det3(_C0, _C1, _RHS)}) / NULLIF(({_det3(_C0, _C1, _C2)}), 0), 6)
          AS b2_cents_per_line
 FROM f
 """
+# NULLIF on the normal-equation determinant: constant features make
+# the system singular (det exactly 0 on these integer sums) — both
+# dialects then emit NULL coefficients instead of DuckDB NULL vs an
+# ANSI Spark DIVIDE_BY_ZERO raise (found by the degenerate fuzz
+# fixture). NULLIF is the portable spelling of try_divide for SQL
+# shared verbatim across engines.
 
 
 @REGISTRY.register(
@@ -1548,16 +1583,19 @@ WITH per_user AS (
 SELECT n AS n_users,
        CAST(FLOOR(
          (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         / NULLIF(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0)
          * 1000000) AS BIGINT) AS theta_micro,
        CAST(FLOOR(
          ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
           * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         / NULLIF((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0)
          * 1000000) AS BIGINT) AS var_reduction_micro
 FROM s
 """
+# NULLIF on var(pre) (and the rho^2 denominator): a constant
+# pre-period makes CUPED undefined — portable NULL instead of an ANSI
+# raise; see the q_ols_multi note.
 
 
 @REGISTRY.register(
@@ -1985,9 +2023,14 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("between_raw - (s * s) div n").cast("bigint").alias("ssb_floor"),
         F.expr("ss - (s * s) div n").cast("bigint").alias("sst_floor"),
+        # explicit zero guard, not try_divide: eta2 must stay in exact
+        # INTEGER floor-division (try_divide is double division), and
+        # SST = 0 (constant values) is NULL on both engines — DuckDB's
+        # x // 0 yields NULL where ANSI div raises (degenerate fuzz)
         F.expr(
-            "((between_raw - (s * s) div n) * 1000000)"
-            " div (ss - (s * s) div n)"
+            "CASE WHEN ss - (s * s) div n = 0 THEN NULL"
+            " ELSE ((between_raw - (s * s) div n) * 1000000)"
+            " div (ss - (s * s) div n) END"
         ).alias("eta2_micro"),
     )
 
@@ -2287,16 +2330,16 @@ def q_multiple_testing_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("a").cast("double") * F.col("d") - F.col("b").cast(
         "double"
     ) * F.col("c")
-    chi2 = (
-        F.col("n").cast("double")
-        * num
-        * num
-        / (
-            (F.col("a").cast("double") + F.col("b"))
-            * (F.col("c").cast("double") + F.col("d"))
-            * (F.col("a").cast("double") + F.col("c"))
-            * (F.col("b").cast("double") + F.col("d"))
-        )
+    # try_divide: a margin of zero (e.g. a single event type makes
+    # c+d = 0) leaves chi2 undefined — NULL on both engines; the BH
+    # step-up then simply never rejects that row (NULL >= crit is
+    # NULL, excluded from the cutoff max)
+    chi2 = F.try_divide(
+        F.col("n").cast("double") * num * num,
+        (F.col("a").cast("double") + F.col("b"))
+        * (F.col("c").cast("double") + F.col("d"))
+        * (F.col("a").cast("double") + F.col("c"))
+        * (F.col("b").cast("double") + F.col("d")),
     )
     stat = cells.select(
         "event_type",
@@ -3025,8 +3068,13 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile", F.col("cents").alias(out_col)
         )
 
-    return pick("click", "src_decile_cents").join(
-        pick("purchase", "mapped_cents"), "decile"
+    # left joins from the 9-row decile spine: an EMPTY side (e.g. no
+    # purchase events at all) must yield NULL anchors on 9 rows, like
+    # the oracle's scalar subqueries over an empty CTE — an inner join
+    # would drop the spine entirely (degenerate fuzz fixture)
+    return (
+        d.join(pick("click", "src_decile_cents"), "decile", "left")
+        .join(pick("purchase", "mapped_cents"), "decile", "left")
     )
 
 
@@ -3553,9 +3601,12 @@ def q_survivorship_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_survivors"),
         F.expr("sum(cents) div count(*)").alias("all_users_mean_cents"),
+        # nullif guard keeps exact INTEGER division: zero survivors is
+        # NULL on both engines (DuckDB x // 0 -> NULL, ANSI div raises
+        # — degenerate fuzz fixture spans 0 weeks)
         F.expr(
             "sum(CASE WHEN survivor THEN cents ELSE 0 END)"
-            " div sum(CASE WHEN survivor THEN 1 ELSE 0 END)"
+            " div nullif(sum(CASE WHEN survivor THEN 1 ELSE 0 END), 0)"
         ).alias("survivors_mean_cents"),
     ).select(
         "n_users",
@@ -3563,7 +3614,8 @@ def q_survivorship_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         "all_users_mean_cents",
         "survivors_mean_cents",
         F.expr(
-            "(survivors_mean_cents * 1000) div all_users_mean_cents"
+            "(survivors_mean_cents * 1000)"
+            " div nullif(all_users_mean_cents, 0)"
         ).alias("bias_ratio_milli"),
     )
 
@@ -4059,9 +4111,11 @@ def q_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ss_cells_raw - ss_a_raw - ss_b_raw + cf"
             ).cast("bigint").alias("ss_interaction"),
             F.expr("ssq - ss_cells_raw").cast("bigint").alias("ss_error"),
+            # nullif: SST = 0 (constant response) leaves eta2
+            # undefined — NULL on both engines, exact int div kept
             F.expr(
                 "((ss_cells_raw - ss_a_raw - ss_b_raw + cf)"
-                " * 1000000) div (ssq - cf)"
+                " * 1000000) div nullif(ssq - cf, 0)"
             ).alias("interaction_eta2_micro"),
         )
     )
@@ -4578,12 +4632,14 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_region",
         "n_total",
         "chi2",
+        # try_divide: a 1xK (or Kx1) table has min(r-1, c-1) = 0 and V
+        # is undefined — NULL on both engines (degenerate fuzz fixture)
         F.round(
             F.sqrt(
-                F.col("chi2")
-                / (
+                F.try_divide(
+                    F.col("chi2"),
                     F.col("n_total")
-                    * F.least(F.col("n_seg") - 1, F.col("n_region") - 1)
+                    * F.least(F.col("n_seg") - 1, F.col("n_region") - 1),
                 )
             ),
             6,
@@ -5838,32 +5894,23 @@ def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
     )
-    slope_expr = F.round(
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (
-            F.col("n").cast("double") * F.col("sxx")
-            - F.col("sx").cast("double") * F.col("sx")
+    # try_divide: a side with CONSTANT x (zero running-variable
+    # variance) has no defined fit — oracle x/0 -> NULL; the NULL
+    # slope propagates through intercept and prediction identically
+    # on both engines (degenerate fuzz fixture)
+    slope_raw = F.try_divide(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
         ),
-        9,
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx"),
     )
     fits = sums.select(
         "side",
         "n",
-        slope_expr.alias("slope"),
+        F.round(slope_raw, 9).alias("slope"),
         F.round(
-            (
-                F.col("sy")
-                - (
-                    (
-                        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-                    ).cast("double")
-                    / (
-                        F.col("n").cast("double") * F.col("sxx")
-                        - F.col("sx").cast("double") * F.col("sx")
-                    )
-                )
-                * F.col("sx")
-            )
+            (F.col("sy") - slope_raw * F.col("sx"))
             / F.col("n").cast("double"),
             9,
         ).alias("intercept"),
@@ -5989,9 +6036,11 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(2 * n1 * n0 * 1000000) div n + 1000000"
         ).alias("mu_micro"),
+        # nullif: a single day (n=1) has no defined null variance —
+        # DuckDB // 0 -> NULL, ANSI div raises (degenerate fuzz)
         F.expr(
             "(2 * n1 * n0 * (2 * n1 * n0 - n) * 1000000)"
-            " div (n * n * (n - 1))"
+            " div nullif(n * n * (n - 1), 0)"
         ).alias("var_micro"),
     )
     sigma = F.floor(
@@ -6005,11 +6054,15 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mu_micro",
         "var_micro",
         sigma.alias("sigma_micro"),
+        # try_divide: sigma = 0 (all days on one side of the median)
+        # or NULL (n = 1) leaves z undefined — NULL on both engines
         F.floor(
-            (
-                (F.col("r") * 1000000 - F.col("mu_micro")) * 1000000
-            ).cast("double")
-            / sigma
+            F.try_divide(
+                (
+                    (F.col("r") * 1000000 - F.col("mu_micro")) * 1000000
+                ).cast("double"),
+                sigma,
+            )
         )
         .cast("bigint")
         .alias("z_micro"),
@@ -6151,9 +6204,11 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_total"),
         F.expr("CAST(ss_b div 10000 AS BIGINT)").alias("ss_between"),
         F.expr("CAST(ss_w div 10000 AS BIGINT)").alias("ss_within"),
+        # try_divide: one group (k=1) or zero within-group deviation
+        # makes F undefined — NULL on both engines (degenerate fuzz)
         F.expr(
-            "CAST(FLOOR(CAST(ss_b AS DOUBLE) * (n - k)"
-            " / ((k - 1) * CAST(ss_w AS DOUBLE)) * 1000000)"
+            "CAST(FLOOR(try_divide(CAST(ss_b AS DOUBLE) * (n - k),"
+            " (k - 1) * CAST(ss_w AS DOUBLE)) * 1000000)"
             " AS BIGINT)"
         ).alias("f_micro"),
     )
@@ -6494,6 +6549,8 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT CAST(n AS BIGINT) FROM tot) AS n
       )
       SELECT n, h_x AS h_type_nats, h_y AS h_dow_nats, mi AS mi_nats,
-             ROUND(mi / LEAST(h_x, h_y), 6) AS nmi
+             -- try_divide: both margins constant => H = 0 and NMI is
+             -- undefined; DuckDB's 0/0 -> NULL (degenerate fuzz)
+             ROUND(try_divide(mi, LEAST(h_x, h_y)), 6) AS nmi
       FROM ents
     """)

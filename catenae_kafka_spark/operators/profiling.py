@@ -155,10 +155,17 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = c.events.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
+    # try_divide: a constant column (hi = lo) makes the bin expression
+    # 0/0 -> NULL on both engines, and both engines' least() SKIPS the
+    # NULL so every row folds into bin 15 — identical one-bin result
+    # (degenerate fuzz fixture; ANSI / would raise instead)
     binned = c.events.crossJoin(F.broadcast(mm)).select(
         F.least(
             F.floor(
-                (F.col("value") - F.col("lo")) * 16.0 / (F.col("hi") - F.col("lo"))
+                F.try_divide(
+                    (F.col("value") - F.col("lo")) * 16.0,
+                    F.col("hi") - F.col("lo"),
+                )
             ).cast("bigint"),
             F.lit(15).cast("bigint"),
         ).alias("bin"),
@@ -461,10 +468,12 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def r(qxy: str, sx: str, sy: str, qxx: str, qyy: str):
-        return (
+        # try_divide: a constant column has zero variance and r is
+        # undefined — NULL on both engines (DuckDB x/0 -> NULL, ANSI /
+        # raises; degenerate fuzz fixture)
+        return F.try_divide(
             F.col("n").cast("double") * F.col(qxy)
-            - F.col(sx).cast("double") * F.col(sy)
-        ) / (
+            - F.col(sx).cast("double") * F.col(sy),
             F.sqrt(
                 F.col("n").cast("double") * F.col(qxx)
                 - F.col(sx).cast("double") * F.col(sx)
@@ -472,7 +481,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(
                 F.col("n").cast("double") * F.col(qyy)
                 - F.col(sy).cast("double") * F.col(sy)
-            )
+            ),
         )
 
     rows = [

@@ -296,7 +296,10 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").over(wp).alias("mu"),
         F.stddev_samp("value").over(wp).alias("sigma"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # try_divide: sigma = 0 (constant group) makes z undefined — the
+    # oracle's x/0 -> NULL fails the ABS(z) > 2.5 predicate and drops
+    # the row; ANSI / would raise instead (degenerate fuzz fixture)
+    z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
     return (
         st.filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", F.round(z, 3).alias("z"))

@@ -9,10 +9,17 @@ generated fixtures — ANSI DIVIDE_BY_ZERO where DuckDB yields NULL
 purchase dropped by a ROWS frame (q_abandoned_clicks), and two
 summation-order half-boundary flips (q_tpch_q9, q_apply_in_pandas).
 
-This module pins those exact seeds (1 benign, 2 adversarial) and runs a
-breadth subset of oracled queries through the same comparison the
-driver uses (tools/check.py's _run_one). Full-registry sweeps over
-fresh seeds stay a manual loop:
+The degenerate profile (every value column constant) then found 28
+more in one sweep — zero-variance/zero-count denominators where ANSI
+Spark raised but DuckDB NULLs, a crosstab whose pivot dropped unseen
+status columns, an oracle-side LN(0) crash (q_survival_km), and
+empty-input semantic drift (q_retention_halflife, q_quantile_normalize).
+
+This module pins those exact seeds (1 benign, 2 adversarial, 7
+degenerate) and runs every fuzz-found regression plus a breadth subset
+of oracled queries through the same comparison the driver uses
+(tools/check.py's _run_one). Full-registry sweeps over fresh seeds
+stay a manual loop:
 
     python tools/fuzz_fixture.py /tmp/fz --seed N [--adversarial]
     SF_DIR=/tmp/fz python tools/check.py --jobs 8
@@ -55,6 +62,35 @@ FUZZ_QUERIES = [
     "q_join_asof_forward",
     "q_join_asof_nearest",
     "q_interpolate",
+    # the 27 zero-variance / empty-input regressions from the
+    # degenerate-profile sweep (q_agg_stats is in the breadth slice)
+    "q_attribution_window_ladder",
+    "q_auc_rank",
+    "q_corr_matrix",
+    "q_cramers_v",
+    "q_cuped_adjustment",
+    "q_gains_deciles",
+    "q_histogram",
+    "q_ks_statistic",
+    "q_levene_test",
+    "q_littles_law",
+    "q_multiple_testing_fdr",
+    "q_mutual_information",
+    "q_ols_multi",
+    "q_palma_ratio",
+    "q_psi_drift",
+    "q_quantile_normalize",
+    "q_regression_discontinuity",
+    "q_retention_halflife",
+    "q_runs_test",
+    "q_seasonality_strength",
+    "q_spc_control_chart",
+    "q_stat_crosstab",
+    "q_survival_km",
+    "q_survivorship_bias",
+    "q_two_way_anova",
+    "q_zorder_layout",
+    "q_zscore_outliers",
     "q_agg_groupby",
     "q_agg_stats",
     "q_case_when",
@@ -91,7 +127,11 @@ FUZZ_QUERIES = [
     "q_udtf",
 ]
 
-PROFILES = [("benign", 1, False), ("adversarial", 2, True)]
+PROFILES = [
+    ("benign", 1, {}),
+    ("adversarial", 2, {"adversarial": True}),
+    ("degenerate", 7, {"degenerate": True}),
+]
 
 
 @pytest.fixture(scope="module")
@@ -99,9 +139,9 @@ def fuzz_env(tmp_path_factory):
     fuzz = _load_tool("fuzz_fixture")
     check = _load_tool("check")
     dirs, cons = {}, {}
-    for profile, seed, adv in PROFILES:
+    for profile, seed, kwargs in PROFILES:
         d = str(tmp_path_factory.mktemp(f"fuzz_{profile}"))
-        fuzz.generate(d, seed, adversarial=adv)
+        fuzz.generate(d, seed, **kwargs)
         dirs[profile] = d
         cons[profile] = check.duck_connection(d)
     yield check, dirs, cons
