@@ -224,6 +224,7 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+HAVING COUNT(*) > 0
 """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +238,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        HAVING COUNT(*) > 0
         """
     )
 
@@ -250,6 +252,7 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,6 +273,7 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,6 +661,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """,
 )
 def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,8 +856,11 @@ def q_median_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 targets.append((et, b, k - cum, n))
                 break
             cum += cnt
+    # explicit schema: an empty corpus yields zero targets and
+    # schema-from-data inference fails on an empty list
+    # (empty-fixture fuzz)
     tdf = spark.createDataFrame(
-        targets, ["event_type", "mbucket", "offset", "n"]
+        targets, "event_type string, mbucket bigint, offset bigint, n bigint"
     )
     phase2 = base.join(
         F.broadcast(tdf),

@@ -285,6 +285,7 @@ SELECT 'orders.parquet' AS file_name,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
 FROM orders
+HAVING COUNT(*) > 0
 """,
 )
 def q_lineage_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,8 +1201,12 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate",
         "n_child_distinct",
         "n_orphans",
+        # nullif: an empty child table has zero distinct values and
+        # containment is undefined — DuckDB // 0 -> NULL, ANSI div
+        # raises (empty-fixture fuzz); integer division kept
         F.expr(
-            "((n_child_distinct - n_orphans) * 1000000) div n_child_distinct"
+            "((n_child_distinct - n_orphans) * 1000000)"
+            " div nullif(n_child_distinct, 0)"
         ).alias("containment_micro"),
         (F.col("n_orphans") == 0).alias("is_fk"),
     )
@@ -1404,11 +1409,21 @@ def q_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = c.lineitem.agg(
         F.max(F.unix_micros("l_shipdate")).alias("m")
     ).collect()[0]["m"]
-    now_us = max(ev, od, sd)
+    # NULL-safe like the oracle: an EMPTY table has MAX = NULL, both
+    # engines' GREATEST skip NULLs, and the lag for a missing table is
+    # NULL (empty-fixture fuzz: max(None, None, None) raised here)
+    nonnull = [v for v in (ev, od, sd) if v is not None]
+    now_us = max(nonnull) if nonnull else None
+
+    def lag(v):
+        if now_us is None or v is None:
+            return None
+        return (now_us - v) // 1_000_000
+
     rows = [
-        ("events", (now_us - ev) // 1_000_000, 86_400),
-        ("orders", (now_us - od) // 1_000_000, 604_800),
-        ("lineitem", (now_us - sd) // 1_000_000, 604_800),
+        ("events", lag(ev), 86_400),
+        ("orders", lag(od), 604_800),
+        ("lineitem", lag(sd), 604_800),
     ]
     df = spark.createDataFrame(rows, "tbl string, lag_s long, slo_s long")
     return df.select(

@@ -1423,11 +1423,16 @@ def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_with_rec",
             "n_brands_recommended",
             "n_brands_catalog",
+            # nullif: an empty lake (no users with history / no
+            # catalog) leaves coverage undefined — NULL on both
+            # engines (empty-fixture fuzz); integer division kept
             F.expr(
-                "(n_users_with_rec * 1000000) div n_users_with_history"
+                "(n_users_with_rec * 1000000)"
+                " div nullif(n_users_with_history, 0)"
             ).alias("user_coverage_micro"),
             F.expr(
-                "(n_brands_recommended * 1000000) div n_brands_catalog"
+                "(n_brands_recommended * 1000000)"
+                " div nullif(n_brands_catalog, 0)"
             ).alias("catalog_coverage_micro"),
         )
     )

@@ -497,18 +497,18 @@ def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair",
         "n",
     )
-    return applied.groupBy("pair", "n").agg(
+    # GLOBAL aggregate, not groupBy(pair, n): the winning pair is a
+    # single row anyway (max == its value), and an EMPTY corpus must
+    # still emit the oracle's one all-NULL summary row — the grouped
+    # form vanished entirely (empty-fixture fuzz)
+    return applied.agg(
+        F.max("pair").alias("merged_pair"),
+        F.max("n").cast("bigint").alias("pair_count"),
         F.sum("n_before").cast("bigint").alias("tokens_before"),
         F.sum("n_after").cast("bigint").alias("tokens_after"),
         F.sum(F.col("n_before") - F.col("n_after"))
         .cast("bigint")
         .alias("n_merges"),
-    ).select(
-        F.col("pair").alias("merged_pair"),
-        F.col("n").alias("pair_count"),
-        "tokens_before",
-        "tokens_after",
-        "n_merges",
     )
 
 
@@ -569,29 +569,35 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ck"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
     )
+    # no coalesce on n_dups: the oracle's SUM over an empty cnt>1 set
+    # is NULL (zero-dup corpora and the empty fixture), and 0 would
+    # hash-mismatch it
     dup = (
         k.groupBy("ck")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > 1)
-        .agg(
-            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
-            .cast("bigint")
-            .alias("n_dups")
-        )
+        .agg(F.sum(F.col("cnt") - 1).cast("bigint").alias("n_dups"))
     )
+    # min_by over (-n, source) = highest count, lexicographic
+    # tie-break — as a 1-row GLOBAL aggregate it stays a row (NULL) on
+    # an empty corpus where orderBy().limit(1) vanished and its
+    # crossJoin annihilated the whole card (empty-fixture fuzz)
     top_source = (
         k.groupBy("source")
         .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("source"))
-        .limit(1)
-        .select(F.col("source").alias("top_source"))
+        .agg(
+            F.min_by(
+                "source", F.struct((-F.col("n")).alias("nn"), F.col("source"))
+            ).alias("top_source")
+        )
     )
     card = k.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        F.expr("sum(n_chars) div count(*)").alias("mean_chars"),
+        # nullif: empty corpus -> mean undefined (oracle // 0 -> NULL)
+        F.expr("sum(n_chars) div nullif(count(*), 0)").alias("mean_chars"),
     )
     return (
         card.crossJoin(F.broadcast(dup))
@@ -603,7 +609,9 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "mean_chars",
             F.col("n_dups").alias("n_exact_dups"),
-            F.expr("(n_dups * 1000000) div n_docs").alias("dup_rate_micro"),
+            F.expr(
+                "(n_dups * 1000000) div nullif(n_docs, 0)"
+            ).alias("dup_rate_micro"),
             "top_source",
         )
     )
@@ -692,11 +700,23 @@ def q_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pair")
         )
+        # min_by over (-n, pair) == ORDER BY n DESC, pair ASC LIMIT 1,
+        # but as a 1-row GLOBAL aggregate it still emits a (NULL) row
+        # on an empty corpus, matching the oracle's scalar subqueries
+        # (empty-fixture fuzz: limit(1) vanished and took every round's
+        # output row with it)
         top = (
             pairs.groupBy("pair")
             .agg(F.count("*").cast("bigint").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("pair"))
-            .limit(1)
+            .agg(
+                F.min_by(
+                    F.struct("pair", "n"),
+                    F.struct((-F.col("n")).alias("nn"), F.col("pair")),
+                ).alias("t")
+            )
+            .select(
+                F.col("t.pair").alias("pair"), F.col("t.n").alias("n")
+            )
         )
         corpus = (
             corpus.crossJoin(F.broadcast(top))

@@ -1464,12 +1464,19 @@ def q_dup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     first_seen = docs.groupBy("h").agg(F.min("rk").alias("first_rk"))
-    curve = (
+    per_k = (
         first_seen.join(
             F.broadcast(spine), F.col("first_rk") <= F.col("cutoff")
         )
-        .groupBy("k", "cutoff")
+        .groupBy("k")
         .agg(F.count("*").cast("bigint").alias("n_distinct"))
+    )
+    # spine left join + coalesce: a checkpoint with cutoff 0 (empty or
+    # <10-doc corpus) keeps its row with a 0 count like the oracle's
+    # scalar COUNT(*) — the inner-join form dropped it (fuzz); the ppm
+    # ratio is try_divide'd since cutoff 0 makes it 0/0 -> NULL
+    curve = spine.join(per_k, "k", "left").withColumn(
+        "n_distinct", F.coalesce("n_distinct", F.lit(0).cast("bigint"))
     )
     return curve.select(
         "k",
@@ -1477,9 +1484,10 @@ def q_dup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         (F.col("cutoff") - F.col("n_distinct")).alias("n_dups"),
         F.floor(
-            (F.col("cutoff") - F.col("n_distinct"))
-            * 1000000.0
-            / F.col("cutoff")
+            F.try_divide(
+                (F.col("cutoff") - F.col("n_distinct")) * 1000000.0,
+                F.col("cutoff"),
+            )
             + 0.5
         )
         .cast("bigint")

@@ -705,9 +705,12 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk") <= max_k
     )
     ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    # left join: an EMPTY corpus must keep the 3-row k spine with NULL
+    # coverage, matching the oracle's scalar subqueries over an empty
+    # ranking (empty-fixture fuzz) — inner dropped the spine entirely
     per_k = (
         F.broadcast(ks)
-        .join(ranked, ranked.rnk <= ks.k)
+        .join(ranked, ranked.rnk <= ks.k, "left")
         .groupBy("k")
         .agg(F.sum("n").alias("covered"))
     )
@@ -1688,8 +1691,13 @@ first_seen AS MATERIALIZED (
   SELECT FLOOR(CAST(COUNT(*) * SUM(lxu*lyu) - SUM(lxu)*SUM(lyu) AS DOUBLE)
                / CAST(COUNT(*) * SUM(lxu*lxu) - SUM(lxu)*SUM(lxu) AS DOUBLE)
                * 1000000 + 0.5) / 1000000 AS heaps_beta
-  FROM (SELECT CAST(FLOOR(ln(grams_cum) * 1000000 + 0.5) AS BIGINT) AS lxu,
-               CAST(FLOOR(ln(vocab_cum) * 1000000 + 0.5) AS BIGINT) AS lyu
+  -- NULLIF: an empty corpus has vocab_cum = 0 at every checkpoint
+  -- and DuckDB's ln(0) RAISES (not -inf); Spark's ln(0) is NULL, so
+  -- NULLIF makes both sides skip the undefined points identically
+  FROM (SELECT CAST(FLOOR(ln(NULLIF(grams_cum, 0)) * 1000000 + 0.5)
+                    AS BIGINT) AS lxu,
+               CAST(FLOOR(ln(NULLIF(vocab_cum, 0)) * 1000000 + 0.5)
+                    AS BIGINT) AS lyu
         FROM curve)
 )
 SELECT k, cutoff AS n_docs_cum, grams_cum, vocab_cum, heaps_beta
@@ -1753,7 +1761,7 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_tokens.join(
             F.broadcast(spine), F.col("rk") <= F.col("cutoff")
         )
-        .groupBy("k", "cutoff")
+        .groupBy("k")
         .agg(F.sum("n_gram").cast("bigint").alias("grams_cum"))
     )
     vocab_cum = (
@@ -1763,7 +1771,19 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").cast("bigint").alias("vocab_cum"))
     )
-    curve = grams_cum.join(vocab_cum, "k")
+    # re-attach the aggregates to the full 10-row spine: a checkpoint
+    # with cutoff 0 (empty or <10-doc corpus) has no joined rows, and
+    # the inner-join-only form dropped its row entirely where the
+    # oracle's scalar subqueries keep it with NULL cumulatives
+    # (empty-fixture fuzz). Both agg outputs are <=10 rows, so the
+    # left joins are trivial.
+    # vocab_cum coalesces to 0 (the oracle's scalar COUNT(*) is 0 over
+    # no rows) while grams_cum stays NULL (scalar SUM over no rows)
+    curve = (
+        spine.join(grams_cum, "k", "left")
+        .join(vocab_cum, "k", "left")
+        .withColumn("vocab_cum", F.coalesce("vocab_cum", F.lit(0).cast("bigint")))
+    )
     # OLS slope from INTEGER micro-unit sums: ln() per row is one IEEE
     # op on identical BIGINTs (portable), but a float SUM of the ln
     # terms is aggregation-order-dependent — quantize each term to

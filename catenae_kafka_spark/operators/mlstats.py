@@ -4179,17 +4179,27 @@ def q_anomaly_threshold_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") * F.col("n") - F.col("s"))
         * (F.col("cents").cast("double") * F.col("n") - F.col("s"))
     )
-    varterm = (
+    # try_divide: a single event (n=1) has no variance estimate — the
+    # oracle's x/0 -> NULL fails the > comparison and flags nothing
+    varterm = F.try_divide(
         F.col("n").cast("double") * F.col("ss")
-        - F.col("s").cast("double") * F.col("s")
-    ) / (F.col("n") - 1)
+        - F.col("s").cast("double") * F.col("s"),
+        (F.col("n") - 1).cast("double"),
+    )
+    # coalesce to 0: over an EMPTY corpus the conditional sums are
+    # NULL but the oracle's scalar COUNT(*) is 0 (empty-fixture fuzz);
+    # n_total stays NULL so the rate is NULL on both engines
     counts = flagged.agg(
         F.max("n").cast("bigint").alias("n_total"),
         *[
-            F.sum(
-                F.when(
-                    diff2 > F.lit(float(k * k)) * F.col("n") * varterm, 1
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        diff2 > F.lit(float(k * k)) * F.col("n") * varterm,
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias(f"f{k}")
@@ -4711,40 +4721,56 @@ def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("bigint").alias("q_tot"),
         F.count("*").cast("bigint").alias("n"),
     )
+    # nullif: a single-item input leaves one LOO replicate with
+    # q_tot - qty = 0 — DuckDB // 0 -> NULL, ANSI div raises
     loo = items.crossJoin(F.broadcast(tot)).select(
-        F.expr("(1000000 * (r_tot - rev)) div (q_tot - qty)").alias("r_micro"),
-        "r_tot",
-        "q_tot",
+        F.expr(
+            "(1000000 * (r_tot - rev)) div nullif(q_tot - qty, 0)"
+        ).alias("r_micro"),
         "n",
     )
     center = loo.agg(
         F.expr("CAST(sum(r_micro) AS BIGINT) div max(n)").alias("rbar_micro"),
     )
-    dev = (
+    # ss as a GLOBAL aggregate (one row even over an empty input, NULL
+    # ss) so the final select always emits the oracle's single summary
+    # row — the previous groupBy-keyed reduction vanished entirely on
+    # an empty table (empty-fixture fuzz: 0 rows vs the oracle's 1)
+    ss = (
         loo.crossJoin(F.broadcast(center))
-        .select(
-            "n",
-            "r_tot",
-            "q_tot",
-            "rbar_micro",
-            (
+        .agg(
+            F.sum(
                 (F.col("r_micro") - F.col("rbar_micro"))
                 * (F.col("r_micro") - F.col("rbar_micro"))
-            ).alias("d2"),
+            )
+            .cast("bigint")
+            .alias("ss")
         )
-        .groupBy("n", "r_tot", "q_tot", "rbar_micro")
-        .agg(F.sum("d2").cast("bigint").alias("ss"))
     )
-    return dev.select(
-        F.col("n").alias("n_items"),
-        F.expr("(1000000 * r_tot) div q_tot").alias("theta_micro"),
-        (
-            (F.col("n") - 1)
-            * (F.col("rbar_micro") - F.expr("(1000000 * r_tot) div q_tot"))
-        ).alias("bias_micro"),
-        F.floor(F.sqrt(F.expr("CAST(((n - 1) * ss) div n AS DOUBLE)")))
-        .cast("bigint")
-        .alias("se_micro"),
+    return (
+        tot.crossJoin(F.broadcast(center))
+        .crossJoin(F.broadcast(ss))
+        .select(
+            F.col("n").alias("n_items"),
+            F.expr("(1000000 * r_tot) div q_tot").alias("theta_micro"),
+            (
+                (F.col("n") - 1)
+                * (
+                    F.col("rbar_micro")
+                    - F.expr("(1000000 * r_tot) div q_tot")
+                )
+            ).alias("bias_micro"),
+            # nullif: n = 0 (empty input) — oracle // 0 -> NULL
+            F.floor(
+                F.sqrt(
+                    F.expr(
+                        "CAST(((n - 1) * ss) div nullif(n, 0) AS DOUBLE)"
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("se_micro"),
+        )
     )
 
 

@@ -21,6 +21,16 @@ from catenae_kafka_spark.catalog import catalog
 from catenae_kafka_spark.registry import REGISTRY
 
 
+def _fmt_or_null(spec: str, col):
+    """printf-parity: DuckDB printf(spec, NULL) is NULL, but Java's
+    String.format renders a null argument as the literal string
+    "null" — guard so an empty table's min/max profiles as NULL on
+    both engines (empty-fixture fuzz)."""
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.format_string(spec, col)
+    )
+
+
 @REGISTRY.register(
     "q_profile_columns",
     tags=("profiling",),
@@ -73,12 +83,12 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderpriority").alias("mx2"),
         F.count("o_custkey").alias("c3"),
         F.countDistinct("o_custkey").alias("d3"),
-        F.format_string("%d", F.min("o_custkey")).alias("mn3"),
-        F.format_string("%d", F.max("o_custkey")).alias("mx3"),
+        _fmt_or_null("%d", F.min("o_custkey")).alias("mn3"),
+        _fmt_or_null("%d", F.max("o_custkey")).alias("mx3"),
         F.count("o_totalprice").alias("c4"),
         F.countDistinct("o_totalprice").alias("d4"),
-        F.format_string("%.2f", F.min("o_totalprice")).alias("mn4"),
-        F.format_string("%.2f", F.max("o_totalprice")).alias("mx4"),
+        _fmt_or_null("%.2f", F.min("o_totalprice")).alias("mn4"),
+        _fmt_or_null("%.2f", F.max("o_totalprice")).alias("mx4"),
     )
 
     def row(name: str, i: int):
@@ -275,8 +285,17 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one real action drives the scan; metrics ride along for free
     observed.write.format("noop").mode("overwrite").save()
     row = obs.get
+    # NULL-safe: SUM over an empty scan observes None (the oracle's
+    # SUM is NULL too); float(None) raised here (empty-fixture fuzz)
+    sum_price = row["sum_price"]
     return spark.createDataFrame(
-        [(row["n_rows"], float(row["sum_price"]), row["n_discounted"])],
+        [
+            (
+                row["n_rows"],
+                float(sum_price) if sum_price is not None else None,
+                row["n_discounted"],
+            )
+        ],
         "n_rows long, sum_price double, n_discounted long",
     )
 

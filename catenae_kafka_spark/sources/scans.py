@@ -118,7 +118,10 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg.write.mode("overwrite").partitionBy("l_returnflag", "ship_year").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema on read-back: an EMPTY write leaves no footers
+    # to infer from (empty-fixture fuzz), and at scale it skips the
+    # footer-sampling inference job anyway
+    back = spark.read.schema(agg.schema).parquet(out)
     # partition columns come back typed by directory inference; restore
     # exact types + column order
     return back.select(
@@ -546,14 +549,20 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .cache()
     )
+    # NULL-shape mirrors the oracle on an EMPTY source (fuzz): its
+    # n_good is COUNT(*) (0), its n_corrupt is a SUM (NULL), and its
+    # n_rows_total is COUNT + SUM (NULL) — so count the good rows with
+    # COUNT and derive the total as good + corrupt
+    n_good = F.count(F.when(F.col("_corrupt_record").isNull(), 1)).cast(
+        "bigint"
+    )
+    n_corrupt = F.sum(
+        F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
     return parsed.agg(
-        F.count("*").alias("n_rows_total"),
-        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_good"),
-        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_corrupt"),
+        (n_good + n_corrupt).alias("n_rows_total"),
+        n_good.alias("n_good"),
+        n_corrupt.alias("n_corrupt"),
         F.sum(
             F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))
         )
@@ -620,7 +629,12 @@ def q_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     expect = rollup.agg(
         F.count("*").alias("rows"), F.sum("cents").alias("checksum")
     ).collect()[0]
-    if audit["rows"] == 0 or (audit["rows"], audit["checksum"]) != (
+    # the audit contract is staged == independently-recomputed, not
+    # staged-nonempty: a legitimately EMPTY rollup (empty source —
+    # fuzz fixture) must publish, while a lost/partial staging still
+    # aborts because its (rows, checksum) cannot match a non-empty
+    # expectation
+    if (audit["rows"], audit["checksum"]) != (
         expect["rows"],
         expect["checksum"],
     ):
@@ -732,6 +746,7 @@ SELECT 'lineitem.parquet' AS file_name,
        CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
        CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
 FROM lineitem
+HAVING COUNT(*) > 0
 """,
 )
 def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

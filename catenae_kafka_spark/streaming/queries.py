@@ -1593,8 +1593,11 @@ def q_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
+    # explicit schema: an EMPTY stream commits no part files and
+    # read-back inference fails (empty-fixture fuzz); also skips the
+    # footer-sampling job on the non-empty path
     return (
-        spark.read.parquet(sink)
+        spark.read.schema(proj.schema).parquet(sink)
         .groupBy(
             F.col("event_type").cast("string").alias("event_type"),
             F.col("day_of_month").cast("bigint").alias("day_of_month"),
@@ -1971,6 +1974,21 @@ def q_stream_backfill_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(min(ts))").alias("mn_us"),
         F.expr("unix_micros(max(ts))").alias("mx_us"),
     ).collect()[0]
+    if bounds.mn_us is None:
+        # EMPTY source: there is no seam to audit — mirror the
+        # oracle's aggregate-over-nothing row (count 0, NULL sums)
+        # instead of raising on None arithmetic (empty-fixture fuzz);
+        # no stream needs to run to prove an empty handoff
+        empty = ev.select(
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents")
+        )
+        return empty.agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum(F.lit(1)).cast("bigint").alias("n_overlap"),
+        )
     cutoff_us = (
         (bounds.mn_us + ((bounds.mx_us - bounds.mn_us) * 3) // 5)
         // 3600000000

@@ -15,8 +15,16 @@ Spark raised but DuckDB NULLs, a crosstab whose pivot dropped unseen
 status columns, an oracle-side LN(0) crash (q_survival_km), and
 empty-input semantic drift (q_retention_halflife, q_quantile_normalize).
 
+The empty profile (zero rows, schemas intact — the empty-partition
+case) found 28 more: vanishing spine/limit(1)/groupBy rows where the
+oracle's scalar subqueries keep a summary row, write-then-read-back
+schema inference with no footers, driver-side None crashes, and the
+documented engine difference on grouping sets over an empty relation
+(Spark emits no rows; the oracles now state HAVING COUNT(*) > 0).
+
 This module pins those exact seeds (1 benign, 2 adversarial, 7
-degenerate) and runs every fuzz-found regression plus a breadth subset
+degenerate, 99 empty) and runs every fuzz-found regression plus a
+breadth subset
 of oracled queries through the same comparison the driver uses
 (tools/check.py's _run_one). Full-registry sweeps over fresh seeds
 stay a manual loop:
@@ -91,6 +99,33 @@ FUZZ_QUERIES = [
     "q_two_way_anova",
     "q_zorder_layout",
     "q_zscore_outliers",
+    # the 28 empty-input regressions from the empty-profile sweep
+    # (several, e.g. q_zscore_outliers, are already listed above)
+    "q_anomaly_threshold_ladder",
+    "q_bpe_merge_apply",
+    "q_bpe_train3",
+    "q_compact_small_files",
+    "q_dataset_card",
+    "q_dup_growth_curve",
+    "q_dynamic_partition_pruning",
+    "q_freshness_slo",
+    "q_fk_discovery",
+    "q_grouping_id",
+    "q_heaps_law",
+    "q_jackknife_ratio",
+    "q_lineage_files",
+    "q_median_two_phase",
+    "q_observe_metrics",
+    "q_partition_prune",
+    "q_profile_columns",
+    "q_rec_coverage",
+    "q_scan_csv_corrupt",
+    "q_scan_file_metadata",
+    "q_sink_parquet",
+    "q_stream_backfill_seam",
+    "q_stream_sink_partitioned",
+    "q_vocab_coverage",
+    "q_write_audit_publish",
     "q_agg_groupby",
     "q_agg_stats",
     "q_case_when",
@@ -131,6 +166,7 @@ PROFILES = [
     ("benign", 1, {}),
     ("adversarial", 2, {"adversarial": True}),
     ("degenerate", 7, {"degenerate": True}),
+    ("empty", 99, {"empty": True}),
 ]
 
 

@@ -22,6 +22,12 @@ Two profiles per seed:
   orders on one date, planted exact- and near-duplicate documents,
   planted near-duplicate embedding pairs (cosine >= 0.9), boundary
   dates at the domain edges.
+- empty (``--empty``): every table truncated to ZERO rows with the
+  schemas intact — the empty-partition/empty-day case a production
+  pipeline hits routinely. Exercises agg-over-nothing semantics
+  (Spark emits no rows for ROLLUP/CUBE over an empty relation; scalar
+  SUM is NULL while scalar COUNT is 0), write-then-read-back schema
+  inference, and driver-side None handling.
 - degenerate (``--profile degenerate``): the zero-information limit —
   every money/value column CONSTANT (zero variance everywhere), all
   customers in one nation, all orders on one date by one customer,
@@ -170,8 +176,20 @@ def _flatten_degenerate(dst: str) -> None:
         pq.write_table(table, path)
 
 
+def _truncate_all(dst: str) -> None:
+    for f in os.listdir(dst):
+        if f.endswith(".parquet"):
+            p = os.path.join(dst, f)
+            t = pq.read_table(p)
+            pq.write_table(t.slice(0, 0), p)
+
+
 def generate(
-    dst: str, seed: int, adversarial: bool = False, degenerate: bool = False
+    dst: str,
+    seed: int,
+    adversarial: bool = False,
+    degenerate: bool = False,
+    empty: bool = False,
 ) -> str:
     """Write the ten-table fixture into ``dst``; returns ``dst``."""
     os.makedirs(dst, exist_ok=True)
@@ -471,6 +489,8 @@ def generate(
     )
     if degenerate:
         _flatten_degenerate(dst)
+    if empty:
+        _truncate_all(dst)
     return dst
 
 
@@ -487,9 +507,11 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--adversarial", action="store_true")
     ap.add_argument("--degenerate", action="store_true")
+    ap.add_argument("--empty", action="store_true")
     a = ap.parse_args()
-    generate(a.dst, a.seed, a.adversarial, a.degenerate)
+    generate(a.dst, a.seed, a.adversarial, a.degenerate, a.empty)
     print(
         f"wrote randomized fixture to {a.dst} (seed={a.seed}, "
-        f"adversarial={a.adversarial}, degenerate={a.degenerate})"
+        f"adversarial={a.adversarial}, degenerate={a.degenerate}, "
+        f"empty={a.empty})"
     )
