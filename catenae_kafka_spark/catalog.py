@@ -43,6 +43,52 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-process cache of INFERRED parquet schemas (optimization r12,
+# guide §5: the driver should do almost no data work). A bare
+# ``spark.read.parquet(path)`` pays ~70-90 ms of driver-side schema
+# inference (file listing + footer reads) at PLAN-BUILD time, every
+# time a query callable touches a table — the flagship's five tables
+# made build time ~50% of its sf0.1 wall. Production engines resolve
+# table schemas from a metastore/catalog; this dict is that catalog's
+# in-process stand-in: infer once per (app, path, dir-mtime), then
+# ``spark.read.schema(s).parquet(path)`` (~14 ms) for every later read.
+#
+# This caches METADATA only, never data or results — every query still
+# scans the parquet files. Invalidation: the key includes the table
+# directory's st_mtime_ns, so a rewritten fixture (overwrite mode
+# recreates the directory) re-infers; a fresh driver process starts
+# empty.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+_SCHEMA_CACHE_MAX = 4096  # fuzz suites touch many tmp dirs; bound it
+
+
+def _schema_key(spark: SparkSession, path: str) -> tuple | None:
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return None  # nonexistent/remote path: let the reader handle it
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — context torn down mid-call
+        return None
+    return (app, os.path.abspath(path), mtime)
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the inferred schema memoized per
+    (application, path, dir-mtime) — see ``_SCHEMA_CACHE``."""
+    key = _schema_key(spark, path)
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    if key is not None:
+        if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 @dataclass
 class Catalog:
     """Lazy accessor for the tables under one sf_dir.
@@ -75,7 +121,7 @@ class Catalog:
             import pyspark.sql.functions as F
 
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            raw = self.spark.read.parquet(path)
+            raw = _read_parquet_cached(self.spark, path)
             ts_type = dict(raw.dtypes).get("ts")
             if ts_type == "bigint":
                 # integer division: float division of epoch-ns int64s
@@ -92,7 +138,7 @@ class Catalog:
                 # cast is value-identical.
                 return raw.withColumn("ts", F.col("ts").cast("timestamp"))
             return raw
-        return self.spark.read.parquet(path)
+        return _read_parquet_cached(self.spark, path)
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:
