@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.functions.hof import bind
 from catenae_kafka_spark.registry import REGISTRY
 
 
@@ -77,16 +78,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere and the expensive side never repartitions."""
     c = catalog(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
-    trigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.try_element_at(toks, i),
-                F.try_element_at(toks, i + 1),
-                F.try_element_at(toks, i + 2),
-            ),
-        )
+    # bind: split evaluated once per row, not once per lambda reference
+    # (functions/hof.bind — optimization r12)
+    trigrams = bind(
+        toks,
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at(t, i),
+                    F.try_element_at(t, i + 1),
+                    F.try_element_at(t, i + 2),
+                ),
+            )
+        ),
     )
     grams = F.when(F.size(toks) >= 3, trigrams).otherwise(
         F.expr("CAST(array() AS array<string>)")
@@ -150,10 +156,15 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language aggregate."""
     c = catalog(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+    # bind: split evaluated once per row, not once per lambda reference
+    # (functions/hof.bind — optimization r12)
+    bigrams = bind(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(t, i), F.try_element_at(t, i + 1)
+            ),
         ),
     )
     d = (
@@ -377,16 +388,21 @@ def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     once map-side and shuffles only for its own per-doc aggregate."""
     c = catalog(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
-    trigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.try_element_at(toks, i),
-                F.try_element_at(toks, i + 1),
-                F.try_element_at(toks, i + 2),
-            ),
-        )
+    # bind: split evaluated once per row, not once per lambda reference
+    # (functions/hof.bind — optimization r12)
+    trigrams = bind(
+        toks,
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at(t, i),
+                    F.try_element_at(t, i + 1),
+                    F.try_element_at(t, i + 2),
+                ),
+            )
+        ),
     )
     gs = F.when(F.size(toks) >= 3, trigrams).otherwise(
         F.expr("CAST(array() AS array<string>)")
@@ -1228,14 +1244,19 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = catalog(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     # guard: sequence(1, n<=0) is DESCENDING in Spark (the oracle's
-    # generate_series is empty) — sub-3-token docs contribute nothing
-    trigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ",
-            F.try_element_at(toks, i),
-            F.try_element_at(toks, i + 1),
-            F.try_element_at(toks, i + 2),
+    # generate_series is empty) — sub-3-token docs contribute nothing.
+    # bind: split evaluated once per row, not once per lambda reference
+    # (functions/hof.bind — optimization r12)
+    trigrams = bind(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(t, i),
+                F.try_element_at(t, i + 1),
+                F.try_element_at(t, i + 2),
+            ),
         ),
     )
     grams = F.when(F.size(toks) >= 3, trigrams).otherwise(

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from catenae_kafka_spark.catalog import catalog
+from catenae_kafka_spark.functions.hof import bind
 from catenae_kafka_spark.registry import REGISTRY
 
 # tiny function-word list drawn from the fixtures' 31-word vocabulary
@@ -138,15 +139,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select(F.col("lang").alias("cand_lang"), "word")
     )
-    doc_words = docs.select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    # Classification pass (optimization r12, guide §2.3 "shuffle fewer
+    # bytes"): the profile is bounded (10 words × n_langs), so instead
+    # of exploding every doc's distinct tokens into (doc, word) rows
+    # and join+aggregating them back (the dominant stage at the 100×
+    # rung: ~2.7 s of 3.6 s), fold each language's profile into ONE
+    # 10-word array, broadcast the n_langs rows, and score hits per
+    # (doc, lang) as size(array_intersect(doc_toks, profile_words)) —
+    # no explode, no re-aggregation shuffle, one row per (doc, lang)
+    # with hits >= 1. Hit counts are identical: profile words are
+    # distinct per lang and doc tokens are array_distinct'ed, so the
+    # intersect size equals the old per-word join's COUNT(*).
+    lang_words = profile.groupBy("cand_lang").agg(
+        F.collect_list("word").alias("profile_words")
     )
     overlap = (
-        doc_words.join(F.broadcast(profile), "word")
-        .groupBy("doc_id", "true_lang", "cand_lang")
-        .agg(F.count("*").alias("hits"))
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+        .crossJoin(F.broadcast(lang_words))
+        .withColumn("hits", F.size(F.array_intersect("toks", "profile_words")))
+        .filter(F.col("hits") >= 1)
     )
     best_w = Window.partitionBy("doc_id").orderBy(
         F.col("hits").desc(), F.col("cand_lang")
@@ -1587,54 +1602,73 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is the 5-row-per-language census aggregate."""
     c = catalog(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
-    n_words = F.size(toks)
-    mean_wlen = (
-        F.aggregate(
-            F.transform(toks, lambda w: F.length(w)),
-            F.lit(0),
-            lambda acc, x: acc + x,
+
+    # Every feature references the token array many times from inside
+    # HOF lambdas (the top-word share is a d×n nested scan), and an
+    # inlined ``split`` re-runs once per reference — bind it to a
+    # lambda variable so it's evaluated once per row, and project the
+    # feature struct in its own SELECT so downstream field extraction
+    # doesn't re-inline it (functions/hof.bind — optimization r12;
+    # measured 3.4 s → 0.7 s at sf0.1, identical output).
+    def _feats_of(t):
+        n_words = F.size(t)
+        mean_wlen = (
+            F.aggregate(
+                F.transform(t, lambda w: F.length(w)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            * 1.0
+            / n_words
         )
-        * 1.0
-        / n_words
-    )
-    # guard: sequence(1, n<=0) is DESCENDING in Spark (the oracle's
-    # generate_series is empty) — a 1-token doc has no bigrams and a
-    # dup fraction pinned at 1.0 - 0/1 = 1.0 on both engines
-    bigrams_raw = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
-        ),
-    )
-    bigrams = F.when(n_words >= 2, bigrams_raw).otherwise(
-        F.expr("CAST(array() AS array<string>)")
-    )
-    dup_bigram_frac = 1.0 - F.size(F.array_distinct(bigrams)) * 1.0 / (
-        F.greatest(n_words - 1, F.lit(1))
-    )
-    top_word_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        # guard: sequence(1, n<=0) is DESCENDING in Spark (the oracle's
+        # generate_series is empty) — a 1-token doc has no bigrams and a
+        # dup fraction pinned at 1.0 - 0/1 = 1.0 on both engines
+        bigrams_raw = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(t, i), F.try_element_at(t, i + 1)
+            ),
+        )
+        bigrams = F.when(n_words >= 2, bigrams_raw).otherwise(
+            F.expr("CAST(array() AS array<string>)")
+        )
+        dup_bigram_frac = 1.0 - F.size(F.array_distinct(bigrams)) * 1.0 / (
+            F.greatest(n_words - 1, F.lit(1))
+        )
+        top_word_frac = (
+            F.array_max(
+                F.transform(
+                    F.array_distinct(t),
+                    lambda w: F.size(F.filter(t, lambda x: x == w)),
+                )
+            )
+            * 1.0
+            / n_words
+        )
+        n_stop = F.size(
+            F.filter(
+                t,
+                lambda w: w.isin("the", "a", "of", "to", "and", "in"),
             )
         )
-        * 1.0
-        / n_words
-    )
-    n_stop = F.size(
-        F.filter(
-            toks,
-            lambda w: w.isin("the", "a", "of", "to", "and", "in"),
+        return F.struct(
+            n_words.alias("n_words"),
+            mean_wlen.alias("mean_wlen"),
+            dup_bigram_frac.alias("dup_bigram_frac"),
+            top_word_frac.alias("top_word_frac"),
+            n_stop.alias("n_stop"),
         )
-    )
+
     feats = c.documents.select(
+        "lang", bind(toks, _feats_of).alias("_f")
+    ).select(
         "lang",
-        n_words.alias("n_words"),
-        mean_wlen.alias("mean_wlen"),
-        dup_bigram_frac.alias("dup_bigram_frac"),
-        top_word_frac.alias("top_word_frac"),
-        n_stop.alias("n_stop"),
+        "_f.n_words",
+        "_f.mean_wlen",
+        "_f.dup_bigram_frac",
+        "_f.top_word_frac",
+        "_f.n_stop",
     )
     ok = (
         (F.col("n_words") >= 20)
@@ -1726,11 +1760,16 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     # guard: sequence(1, n<=0) is DESCENDING in Spark (the oracle's
     # generate_series is empty) — a 1-token doc contributes no bigrams
-    # and n_gram = 0, matching the oracle's len(toks) - 1
-    bigrams_raw = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+    # and n_gram = 0, matching the oracle's len(toks) - 1.
+    # bind: split evaluated once per row, not once per lambda reference
+    # (functions/hof.bind — optimization r12)
+    bigrams_raw = bind(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(t, i), F.try_element_at(t, i + 1)
+            ),
         ),
     )
     bigrams = F.when(F.size(toks) >= 2, bigrams_raw).otherwise(
