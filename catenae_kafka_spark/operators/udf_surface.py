@@ -282,6 +282,15 @@ def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "left_semi",
     )
+    # pre-cluster BOTH cogroup sides on the key with few partitions
+    # (optimization r12, same discipline as q_apply_in_pandas above):
+    # the cogroup exchange requires only ClusteredDistribution, so it
+    # reuses this partitioning instead of fanning the post-filter
+    # reconciliation-scale groups across all shuffle partitions, each
+    # paying Arrow/python-worker fixed cost — measured 3.6 s → 1.0 s
+    # at sf0.01, identical output
+    orders = orders.repartition(8, F.col("o_orderkey"))
+    lines = lines.repartition(8, F.col("l_orderkey"))
 
     def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
