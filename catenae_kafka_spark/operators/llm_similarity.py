@@ -47,15 +47,21 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def knn_cosine(
+def _knn_cosine_hof(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force cosine top-k: every query row against every corpus
-    row (corpus broadcast when small; flip to query-broadcast at scale)."""
+    """Pure-JVM higher-order-function form of :func:`knn_cosine`.
+
+    Kept as the executable REFERENCE SEMANTICS for the Arrow kernel:
+    tests/test_knn_arrow_parity.py asserts the two paths produce
+    identical rows on clean, null-bearing, ragged-length, NaN and empty
+    inputs. Catalyst evaluates HOF lambdas interpreted (no codegen), so
+    at bench scale the scoring projection costs ~14 µs per pair-core —
+    the reason the registered path uses the kernel instead."""
     q = queries.select(
         _c(id_col).alias("query_id"),
         _as_double(vec_col).alias("e_q"),
@@ -71,6 +77,193 @@ def knn_cosine(
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("match_id"))
         .withColumn("cos_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "match_id", "cos_sim", "rn")
+    )
+
+
+def _knn_score_kernel(qinfo: list, qids_pa):
+    """Build the mapInArrow batch function scoring every corpus row
+    against the (small, already-collected) query set.
+
+    BIT-IDENTICAL to the HOF form by construction: dot products and
+    norms accumulate in ascending dimension order over float64
+    (``acc = acc + q[i] * c[i]``, one IEEE multiply + one IEEE add per
+    step, exactly the expression tree ``aggregate(zip_with(..))``
+    evaluates), ``sqrt`` and the final ``dot / (n_q * n_c)`` are single
+    correctly-rounded IEEE ops in both engines, and rounding stays
+    JVM-side (``F.round`` on the returned raw cosine). Null semantics
+    mirror zip_with/aggregate null propagation: a pair scores non-null
+    iff both vectors are non-null, null-element-free and equal-length
+    (zip_with pads mismatched lengths with nulls, which nulls the dot).
+
+    ``qinfo`` is a list of (length, norm, float64-ndarray) per query,
+    with ``None`` for queries that cannot score (null / null-element
+    vectors — their pairs stay null like the HOF form's). ``qids_pa``
+    is the matching pyarrow array of query ids, emitted directly so no
+    driver-side map table / broadcast join is needed downstream.
+    """
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        nq = len(qinfo)
+        for b in batches:
+            n = b.num_rows
+            if n == 0 or nq == 0:
+                continue
+            ids = b.column(0)
+            col = b.column(1)
+            row_null = (
+                col.is_null().to_numpy(zero_copy_only=False)
+                if col.null_count
+                else np.zeros(n, dtype=bool)
+            )
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(col), 0), dtype=np.int64
+            )
+            lens[row_null] = 0
+            vals = pc.list_flatten(col)
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            if vals.null_count:
+                ev_null = np.cumsum(
+                    np.concatenate(
+                        ([0], vals.is_null().to_numpy(zero_copy_only=False))
+                    )
+                )
+                has_null_elem = (ev_null[starts[1:]] - ev_null[starts[:-1]]) > 0
+            else:
+                has_null_elem = np.zeros(n, dtype=bool)
+            valid = ~row_null & ~has_null_elem
+            vals_np = vals.to_numpy(zero_copy_only=False)
+
+            # corpus norms, grouped by vector length (i-ascending acc)
+            n_c = np.empty(n, dtype=np.float64)
+            for length in np.unique(lens[valid]):
+                sel = valid & (lens == length)
+                idx = starts[:-1][sel]
+                acc = np.zeros(idx.shape[0], dtype=np.float64)
+                for i in range(int(length)):
+                    x = vals_np[idx + i]
+                    acc = acc + x * x
+                n_c[sel] = np.sqrt(acc)
+
+            cos_parts = []
+            mask_parts = []
+            for q in qinfo:
+                cos = np.zeros(n, dtype=np.float64)
+                ok = np.zeros(n, dtype=bool)
+                if q is not None:
+                    qlen, qnorm, qv = q
+                    sel = valid & (lens == qlen)
+                    idx = starts[:-1][sel]
+                    acc = np.zeros(idx.shape[0], dtype=np.float64)
+                    for i in range(qlen):
+                        acc = acc + qv[i] * vals_np[idx + i]
+                    denom = qnorm * n_c[sel]
+                    # ANSI parity: the HOF form's `dot / (n_q * n_c)`
+                    # raises DIVIDE_BY_ZERO for a non-null dot over a
+                    # zero norm product (Spark 4 ANSI divide); a pair
+                    # is non-null here exactly when it is in `sel`.
+                    if denom.size and np.any(denom == 0.0):
+                        raise ZeroDivisionError(
+                            "[DIVIDE_BY_ZERO] Division by zero: cosine "
+                            "norm product is 0 (zero-norm vector in "
+                            "queries/corpus), matching the ANSI "
+                            "semantics of the JVM reference form"
+                        )
+                    cos[sel] = acc / denom
+                    ok[sel] = True
+                cos_parts.append(cos)
+                mask_parts.append(ok)
+            take_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), nq))
+            qid_idx = pa.array(np.repeat(np.arange(nq, dtype=np.int64), n))
+            yield pa.record_batch(
+                [
+                    pc.take(qids_pa, qid_idx),
+                    pc.take(ids, take_idx),
+                    pa.array(
+                        np.concatenate(cos_parts),
+                        type=pa.float64(),
+                        mask=~np.concatenate(mask_parts),
+                    ),
+                ],
+                names=["query_id", "match_id", "cos_raw"],
+            )
+
+    return fn
+
+
+def knn_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query row scored against every
+    corpus row; exact, the correctness baseline (ANN siblings are the
+    100 TB candidate path).
+
+    Scoring runs in a ``mapInArrow`` NumPy kernel over the corpus
+    (optimization r12, guide §4.2): the former ``aggregate(zip_with)``
+    higher-order expressions are evaluated *interpreted* by Catalyst —
+    measured ~14 µs per pair-core, 2.2 s of q_knn_cosine's 2.3 s at the
+    100× bench rung — while the kernel streams the corpus through
+    Arrow once and does the same arithmetic vectorized (bit-identical
+    accumulation order; see :func:`_knn_score_kernel`). The query side
+    is collected at build time — bounded by design: this operator's
+    contract is a SMALL probe set against a corpus (8-20 rows at every
+    call site); corpus×corpus similarity goes through the ANN
+    operators. Ranking (round, top-k window) stays JVM-side,
+    unchanged from the reference form (:func:`_knn_cosine_hof`).
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_id_type = queries.select(_c(id_col)).schema[0].dataType
+    c_id_type = corpus.select(_c(id_col)).schema[0].dataType
+    qrows = queries.select(
+        _c(id_col).alias("query_id"), _as_double(vec_col).alias("e_q")
+    ).collect()
+
+    qinfo: list = []
+    for r in qrows:
+        vec = r[1]
+        if vec is None or any(x is None for x in vec):
+            qinfo.append(None)
+            continue
+        qv = np.asarray(vec, dtype=np.float64)
+        acc = 0.0
+        for x in qv:  # i-ascending, like the HOF norm
+            acc = acc + float(x) * float(x)
+        qinfo.append((len(qv), float(np.sqrt(acc)), qv))
+    qids_pa = pa.array([r[0] for r in qrows], type=to_arrow_type(q_id_type))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", q_id_type),
+            StructField("match_id", c_id_type),
+            StructField("cos_raw", DoubleType()),
+        ]
+    )
+    scored = (
+        corpus.select(
+            _c(id_col).alias("match_id"), _as_double(vec_col).alias("e_c")
+        )
+        .mapInArrow(_knn_score_kernel(qinfo, qids_pa), out_schema)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("cos_sim", F.round(F.col("cos_raw"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("match_id")

@@ -24,9 +24,10 @@ NL_WHITELIST = {
     "q_dup_growth_curve": "10-row constant checkpoint spine non-equi joined to the key first-rank rollup (q_heaps_law class)",
     "q_isotonic_calibration": "minimax triple join on the 50-value quantity domain (corpus-independent)",
     "q_kendall_tau": "O(n^2) pairwise join on the 25-row brand rollup + 1-row count cross",
-    "q_knn_cosine": "documented brute-force baseline; ANN siblings are the scale path",
+    # q_knn_cosine / q_knn_label_vote entries retired in r12: the brute-force
+    # scoring moved from a crossJoin of HOF expressions into a mapInArrow
+    # kernel over the corpus (no nested-loop join left in either plan).
     "q_knn_ivf": "probe x nearest-centroid shortlist; centroid table bounded by k",
-    "q_knn_label_vote": "brute-force probe (20 rows) x corpus, same reviewed baseline as q_knn_cosine",
     "q_embed_truncation_recall": "8-anchor bounded probe x corpus (q_knn_cosine reviewed baseline); production runs it over ANN candidates",
     "q_hard_negatives": "8-anchor bounded probe x corpus with label-exclusion residual (q_knn_label_vote class)",
     "q_lang_id": "top-10-words-per-language profile broadcast cross (10 x |languages|, domain-bounded; replaced the explode+join+re-agg classification pass in r12)",
