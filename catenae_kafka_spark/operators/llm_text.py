@@ -126,9 +126,13 @@ FROM best WHERE rnk = 1
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: build a top-10-words profile per language
     from the corpus itself, classify each doc by profile overlap
-    (argmax hits, lexicographic tiebreak). A self-contained n-gram-ish
-    classifier as one declarative plan: explode → count → window top-k
-    → semi-structured join → argmax window."""
+    (argmax hits, lexicographic tiebreak). Profile: explode → count →
+    window top-k, collected (bounded: 10 × n_langs rows); scoring: one
+    Arrow kernel pass over the corpus (see inline notes)."""
+    import numpy as np
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     c = catalog(spark, sf_dir)
     docs = c.documents
     w = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
@@ -139,45 +143,94 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select(F.col("lang").alias("cand_lang"), "word")
     )
-    # Classification pass (optimization r12, guide §2.3 "shuffle fewer
-    # bytes"): the profile is bounded (10 words × n_langs), so instead
-    # of exploding every doc's distinct tokens into (doc, word) rows
-    # and join+aggregating them back (the dominant stage at the 100×
-    # rung: ~2.7 s of 3.6 s), fold each language's profile into ONE
-    # 10-word array, broadcast the n_langs rows, and score hits per
-    # (doc, lang) as size(array_intersect(doc_toks, profile_words)) —
-    # no explode, no re-aggregation shuffle, one row per (doc, lang)
-    # with hits >= 1. Hit counts are identical: profile words are
-    # distinct per lang and doc tokens are array_distinct'ed, so the
-    # intersect size equals the old per-word join's COUNT(*).
-    lang_words = profile.groupBy("cand_lang").agg(
-        F.collect_list("word").alias("profile_words")
+    # Classification pass (optimization r12 session 2, guide §4.2): the
+    # profile is bounded (10 words × n_langs) so it is COLLECTED at
+    # build time (same bounded-side discipline as knn_cosine's probe
+    # set) and the per-doc scoring runs in a mapInArrow kernel —
+    # tokenize (split_pattern), match tokens against the ≤10·n_langs
+    # profile words (index_in), distinct the (doc, word) matches
+    # (np.unique — equals the former array_distinct + intersect
+    # semantics), count hits per language, argmax with the exact former
+    # tiebreak (hits DESC, cand_lang ASC NULLS FIRST == first max in
+    # None-first lex language order). All-integer/string arithmetic —
+    # no float path, so equivalence is exact set equality; verified
+    # exceptAll-identical at sf0.01/sf0.1/the 100× rung and pinned by
+    # the differential-fuzz suite. Replaced the broadcast
+    # profile-array cross + array_intersect scoring (session 1):
+    # measured 2.45 → 1.73 s min at the 100× rung, 0.63 → 0.50 s at
+    # sf0.1, and the former whole-corpus 5× row duplication and argmax
+    # exchange are gone (plans/r12/q_lang_id_after.txt).
+    prof_rows = profile.collect()
+    langs = sorted(
+        {r.cand_lang for r in prof_rows}, key=lambda x: (x is not None, x)
     )
-    overlap = (
-        docs.select(
-            "doc_id",
-            F.col("lang").alias("true_lang"),
-            F.array_distinct(F.split("text", " ")).alias("toks"),
-        )
-        .crossJoin(F.broadcast(lang_words))
-        .withColumn("hits", F.size(F.array_intersect("toks", "profile_words")))
-        .filter(F.col("hits") >= 1)
+    lang_of = {l: i for i, l in enumerate(langs)}
+    words = sorted({r.word for r in prof_rows})
+    word_of = {wd: i for i, wd in enumerate(words)}
+    word_langs = np.zeros((len(words), len(langs)), dtype=np.int64)
+    for r in prof_rows:
+        word_langs[word_of[r.word], lang_of[r.cand_lang]] = 1
+
+    lang_type = docs.schema["lang"].dataType
+    langs_np = np.array(langs, dtype=object)
+    pa_lang_type = to_arrow_type(lang_type)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not langs:  # empty corpus -> empty profile -> no matches
+            return
+        wtab = pa.array(words, type=pa.string())
+        n_words, n_langs = word_langs.shape
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            doc_id, true_lang, text = b.column(0), b.column(1), b.column(2)
+            toks = pc.split_pattern(text, " ")  # null text -> null row
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(toks), 0), dtype=np.int64
+            )
+            flat = pc.list_flatten(toks)
+            widx = np.asarray(
+                pc.fill_null(pc.index_in(flat, value_set=wtab), -1),
+                dtype=np.int64,
+            )
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            hits = np.zeros((n, n_langs), dtype=np.int64)
+            m = widx >= 0
+            if m.any():
+                # distinct (doc, word) pairs == array_distinct before
+                # the former intersect: multiplicity never counts
+                pairs = np.unique(doc_of[m] * n_words + widx[m])
+                np.add.at(hits, pairs // n_words, word_langs[pairs % n_words])
+            best = hits.max(axis=1)
+            # argmax -> FIRST max in langs order = ASC NULLS FIRST tiebreak
+            pred_i = hits.argmax(axis=1)
+            ki = np.flatnonzero(best >= 1)
+            tl = pc.take(true_lang, pa.array(ki))
+            pred = pa.array(langs_np[pred_i[ki]], type=pa_lang_type)
+            correct = pc.fill_null(
+                pc.cast(pc.equal(tl, pred), pa.int32()), 0
+            )
+            yield pa.record_batch(
+                [pc.take(doc_id, pa.array(ki)), tl, pred, correct],
+                names=["doc_id", "true_lang", "pred_lang", "correct"],
+            )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", docs.schema["doc_id"].dataType),
+            StructField("true_lang", lang_type),
+            StructField("pred_lang", lang_type),
+            StructField("correct", IntegerType()),
+        ]
     )
-    best_w = Window.partitionBy("doc_id").orderBy(
-        F.col("hits").desc(), F.col("cand_lang")
-    )
-    return (
-        overlap.withColumn("rnk", F.row_number().over(best_w))
-        .filter(F.col("rnk") == 1)
-        .select(
-            "doc_id",
-            "true_lang",
-            F.col("cand_lang").alias("pred_lang"),
-            F.when(F.col("cand_lang") == F.col("true_lang"), 1)
-            .otherwise(0)
-            .alias("correct"),
-        )
-    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    ).mapInArrow(kernel, out_schema)
 
 
 @REGISTRY.register(

@@ -30,7 +30,9 @@ NL_WHITELIST = {
     "q_knn_ivf": "probe x nearest-centroid shortlist; centroid table bounded by k",
     "q_embed_truncation_recall": "8-anchor bounded probe x corpus (q_knn_cosine reviewed baseline); production runs it over ANN candidates",
     "q_hard_negatives": "8-anchor bounded probe x corpus with label-exclusion residual (q_knn_label_vote class)",
-    "q_lang_id": "top-10-words-per-language profile broadcast cross (10 x |languages|, domain-bounded; replaced the explode+join+re-agg classification pass in r12)",
+    # q_lang_id entry retired in r12 session 2: the profile-cross scoring
+    # moved into a mapInArrow kernel (profile collected at build, bounded
+    # 10 x |languages|); no nested-loop join left in the plan.
     "q_lang_tvd": "k(k-1)/2 language-pair table broadcast (non-equi, domain-bounded)",
     "q_ndcg_at5": "bounded knn probe (q_knn_cosine baseline) + 5-row constant discount table non-equi join",
     "q_negative_sampling": "anchor-slice x label-table non-equi join; bounded by the 1/11 anchor slice (pre-bucketed sampling at corpus scale, see docstring)",
