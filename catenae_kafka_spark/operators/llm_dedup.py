@@ -167,15 +167,26 @@ def minhash_signatures(
     shingles = bind(toks, _shingles_of)
     base = docs.select(F.col(id_ref), shingles.alias("shingles"))
     exploded = base.select(id_ref, F.explode("shingles").alias("_sh"))
-    hashed = exploded.select(
+    # The 64-column projections/aggregations are built as parsed SQL
+    # expression strings, not composed Column objects (optimization r12,
+    # guide §5 — the driver should do almost no [plan-build] work):
+    # every F.xxhash64/F.min/F.col/.alias is 1-3 py4j round trips, and
+    # the three 64-column listcomps here measured ~4,700 round trips /
+    # ~1.0 s of the 1.16 s sf0.1 plan-build — per BENCH REP. selectExpr
+    # / F.expr parse the same expressions JVM-side in a handful of
+    # calls. Analyzed-plan-identical to the Column-object form (an SQL
+    # integer literal and F.lit(int) are both IntegerType), pinned by
+    # tests/test_minhash_build_parity.py.
+    hashed = exploded.selectExpr(
         id_ref,
-        *[F.xxhash64(F.lit(h), F.col("_sh")).alias(f"_h{h}") for h in range(num_hashes)],
+        *[f"xxhash64({h}, `_sh`) AS `_h{h}`" for h in range(num_hashes)],
     )
     sig = hashed.groupBy(id_ref).agg(
-        *[F.min(f"_h{h}").alias(f"_m{h}") for h in range(num_hashes)]
+        *[F.expr(f"min(`_h{h}`) AS `_m{h}`") for h in range(num_hashes)]
     )
-    packed = sig.select(
-        id_ref, F.array(*[F.col(f"_m{h}") for h in range(num_hashes)]).alias("sig")
+    packed = sig.selectExpr(
+        id_ref,
+        "array(" + ", ".join(f"`_m{h}`" for h in range(num_hashes)) + ") AS sig",
     )
     return base.join(packed, id_col)
 
@@ -211,22 +222,21 @@ def minhash_candidate_pairs(
     multi-band matches; this shuffles it once and was measured 2.3 s →
     1.7 s at the 100× bench rung with an identical pair set."""
     bt = _quote_ident(id_col)  # ADVICE r10 — see _quote_ident
-    banded = signed.select(
-        F.col(bt).alias("_cid"),
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.element_at(F.col("sig"), b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_bh"),
+    # Built as one parsed SQL expression, not bands×rows composed Column
+    # objects — same py4j plan-build discipline (and parity test) as
+    # minhash_signatures above.
+    band_hashes = ", ".join(
+        "xxhash64({b}, {rows})".format(
+            b=b,
+            rows=", ".join(
+                f"element_at(sig, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    banded = signed.selectExpr(
+        f"{bt} AS _cid", f"explode(array({band_hashes})) AS _bh"
     )
     buckets = (
         banded.groupBy("_bh")

@@ -1,0 +1,153 @@
+"""MinHash SQL-string plan build ≡ Column-object build (r12 opt).
+
+minhash_signatures / minhash_candidate_pairs construct their 64-column
+hash projections via parsed SQL expression strings (selectExpr/F.expr)
+instead of composed Column objects — a pure driver-side plan-BUILD
+optimization (~4,700 py4j round trips → a handful). These tests pin
+that the ANALYZED PLAN is identical to the Column-object reference
+form, which guarantees the executed computation is unchanged — an SQL
+integer literal and F.lit(int) must both stay IntegerType, or xxhash64
+would hash different bytes and every signature would change.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from catenae_kafka_spark.functions.hof import bind
+from catenae_kafka_spark.functions.ident import quote_ident
+from catenae_kafka_spark.operators.llm_dedup import (
+    minhash_candidate_pairs,
+    minhash_signatures,
+)
+
+
+def _old_signatures(docs, text_col="text", id_col="doc_id", num_hashes=64, shingle_len=3):
+    """The pre-r12 Column-object build, verbatim (the reference)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    id_ref = quote_ident(id_col)
+    docs = docs.repartition(par, F.col(id_ref))
+    toks = F.split(F.col(quote_ident(text_col)), " ")
+
+    def _shingles_of(t):
+        n_sh = F.greatest(F.size(t) - (shingle_len - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(
+                    " ", *[F.try_element_at(t, i + k) for k in range(shingle_len)]
+                ),
+            )
+        )
+
+    shingles = bind(toks, _shingles_of)
+    base = docs.select(F.col(id_ref), shingles.alias("shingles"))
+    exploded = base.select(id_ref, F.explode("shingles").alias("_sh"))
+    hashed = exploded.select(
+        id_ref,
+        *[
+            F.xxhash64(F.lit(h), F.col("_sh")).alias(f"_h{h}")
+            for h in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_ref).agg(
+        *[F.min(f"_h{h}").alias(f"_m{h}") for h in range(num_hashes)]
+    )
+    packed = sig.select(
+        id_ref, F.array(*[F.col(f"_m{h}") for h in range(num_hashes)]).alias("sig")
+    )
+    return base.join(packed, id_col)
+
+
+def _old_candidate_pairs(signed, bands=16, rows_per_band=4, id_col="doc_id"):
+    """The pre-r12 Column-object banding build, verbatim."""
+    bt = quote_ident(id_col)
+    banded = signed.select(
+        F.col(bt).alias("_cid"),
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bh"),
+    )
+    buckets = (
+        banded.groupBy("_bh")
+        .agg(F.collect_list("_cid").alias("_ds"))
+        .filter(F.size("_ds") > 1)
+    )
+    return (
+        buckets.select(F.explode("_ds").alias("id_a"), "_ds")
+        .select(
+            "id_a",
+            F.explode(F.filter("_ds", lambda y: y > F.col("id_a"))).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def _norm_plan(df) -> str:
+    """Analyzed plan with expression IDs and the session-global lambda
+    variable counter normalized away (both are naming, not structure)."""
+    p = df._jdf.queryExecution().analyzed().toString()
+    p = re.sub(r"#\d+", "#N", p)
+    p = re.sub(r"lambda x_\d+", "lambda x_K", p)
+    return p
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g"),
+            Row(doc_id=2, text="a b c d e f g"),
+            Row(doc_id=3, text="x y"),
+            Row(doc_id=4, text=None),
+            Row(doc_id=5, text=""),
+        ]
+    )
+
+
+def test_signature_build_plan_identical(spark):
+    docs = _docs(spark)
+    assert _norm_plan(minhash_signatures(docs)) == _norm_plan(
+        _old_signatures(docs)
+    )
+
+
+def test_candidate_pairs_build_plan_identical(spark):
+    docs = _docs(spark)
+    signed = minhash_signatures(docs)
+    # same upstream for both so the comparison isolates the banding build
+    assert _norm_plan(minhash_candidate_pairs(signed)) == _norm_plan(
+        _old_candidate_pairs(signed)
+    )
+
+
+def test_signature_values_match_reference(spark):
+    docs = _docs(spark)
+    new = minhash_signatures(docs).select("doc_id", "shingles", "sig")
+    old = _old_signatures(docs).select("doc_id", "shingles", "sig")
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_hostile_column_names_still_quoted(spark):
+    docs = spark.createDataFrame(
+        [Row(**{"doc.id": 1, "the text": "a b c d"})]
+    )
+    out = minhash_signatures(docs, text_col="the text", id_col="doc.id")
+    rows = minhash_candidate_pairs(
+        out, id_col="doc.id"
+    ).collect()  # no pairs expected; must not raise
+    assert rows == []
