@@ -61,6 +61,18 @@ def table_path(sf_dir: str, name: str) -> str:
 _SCHEMA_CACHE: dict[tuple, object] = {}
 _SCHEMA_CACHE_MAX = 4096  # fuzz suites touch many tmp dirs; bound it
 
+# Reader-DataFrame memo layered over the schema cache (optimization
+# r12, guide §5 — driver plan-build work): even with the schema known,
+# ``spark.read.schema(s).parquet(path)`` is ~20 ms of py4j round trips
+# per table per query BUILD (the flagship touches five tables → ~80 ms
+# per bench rep). A DataFrame is an immutable logical plan — handing
+# the same object to every query is metadata reuse, exactly like the
+# schema cache: no data, no results, and every action still scans the
+# parquet files. Keyed identically (applicationId, abspath, dir-mtime),
+# so a rewritten fixture or a new session rebuilds. Values are the
+# FINAL per-table DataFrames (events: after its ts normalization).
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
 
 def _schema_key(spark: SparkSession, path: str) -> tuple | None:
     try:
@@ -110,6 +122,19 @@ class Catalog:
 
     def _read(self, name: str) -> DataFrame:
         path = table_path(self.sf_dir, name)
+        key = _schema_key(self.spark, path)
+        if key is not None:
+            cached = _DF_CACHE.get(key)
+            if cached is not None:
+                return cached
+        df = self._read_uncached(name, path)
+        if key is not None:
+            if len(_DF_CACHE) >= _SCHEMA_CACHE_MAX:
+                _DF_CACHE.clear()
+            _DF_CACHE[key] = df
+        return df
+
+    def _read_uncached(self, name: str, path: str) -> DataFrame:
         if name == "events":
             # The fixture's events.ts encoding has DRIFTED between driver
             # runs: TIMESTAMP(NANOS) in round 1 (Spark 4 refuses; read as

@@ -57,23 +57,38 @@ def asof_join(
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     order_cols = list(right_order or [])
     lcols = left.columns
-    l = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
-    r = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
-    # align schemas: left lacks right payload, right lacks left extras
-    for i, col in enumerate(order_cols):
-        l = l.withColumn(f"_tb_{i}", F.lit(None).cast(right.schema[col].dataType))
-        r = r.withColumn(f"_tb_{i}", F.col(col))
-    for col in right_payload:
-        l = l.withColumn(f"_r_{col}", F.lit(None).cast(right.schema[col].dataType))
-        r = r.withColumn(f"_r_{col}", F.col(col))
-    keep = (
-        on
-        + ["_side", "_ats"]
-        + [f"_tb_{i}" for i in range(len(order_cols))]
-        + [f"_r_{c}" for c in right_payload]
+    # Each side is aligned in ONE select, not a withColumn chain: every
+    # withColumn is a full eager analysis pass over the growing plan
+    # (~10 passes / ~0.2 s of q_join_asof's sf0.1 plan-build, r12 opt,
+    # guide §5). Same columns in the same order as the former
+    # withColumn+select chain — CollapseProject made the optimized plan
+    # identical either way (pinned by tests/test_asof_build_parity.py).
+    l_keep = left.select(
+        *on,
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_ats"),
+        *[
+            F.lit(None).cast(right.schema[col].dataType).alias(f"_tb_{i}")
+            for i, col in enumerate(order_cols)
+        ],
+        *[
+            F.lit(None).cast(right.schema[col].dataType).alias(f"_r_{col}")
+            for col in right_payload
+        ],
+        *[c for c in lcols if c not in on],
     )
-    l_keep = l.select(*keep, *[c for c in lcols if c not in on])
-    r_keep = r.select(*keep, *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on])
+    r_keep = right.select(
+        *on,
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_ats"),
+        *[F.col(col).alias(f"_tb_{i}") for i, col in enumerate(order_cols)],
+        *[F.col(col).alias(f"_r_{col}") for col in right_payload],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in on
+        ],
+    )
     u = l_keep.unionByName(r_keep)
     # right rows (side=0) sort before left rows at equal ts → inclusive
     # <= (backward) / >= (forward: time axis walked descending)

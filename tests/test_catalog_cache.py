@@ -54,6 +54,29 @@ def test_rewrite_invalidates_by_mtime(spark, tbl_dir):
     assert fresh.collect() == [Row(a=1, b="x")]
 
 
+def test_df_memo_serves_same_object_and_invalidates(spark, tmp_path):
+    """Catalog._read memoizes the reader DataFrame per (app, path,
+    mtime); a rewritten directory must yield a fresh DataFrame."""
+    from catenae_kafka_spark.catalog import _DF_CACHE
+
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "region.parquet")
+    spark.createDataFrame([Row(r_regionkey=1, r_name="EUROPE")]).write.parquet(path)
+    df1 = Catalog(spark=spark, sf_dir=sf_dir).region
+    assert _schema_key(spark, path) in _DF_CACHE
+    df2 = Catalog(spark=spark, sf_dir=sf_dir).region
+    assert df2 is df1  # identical logical plan — metadata reuse only
+    spark.createDataFrame([Row(r_regionkey=2, r_name="ASIA", extra=1)]).write.mode(
+        "overwrite"
+    ).parquet(path)
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    df3 = Catalog(spark=spark, sf_dir=sf_dir).region
+    assert df3 is not df1
+    assert set(df3.columns) == {"r_regionkey", "r_name", "extra"}
+    assert df3.collect() == [Row(r_regionkey=2, r_name="ASIA", extra=1)]
+
+
 def test_catalog_table_uses_cache(spark, tmp_path):
     sf_dir = str(tmp_path)
     spark.createDataFrame(
