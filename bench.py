@@ -120,6 +120,12 @@ def _compact_record(out: dict) -> dict:
     for k in ("stream_events_per_s", "stream_events_per_s_sustained"):
         if k in out:
             c[k] = out[k]
+    sg = out.get("stream_guard")
+    if sg:
+        c["stream_guard"] = {
+            "breached": sorted(sg.get("breached") or {}),
+            "contention_suspect": sg.get("contention_suspect"),
+        }
     if out.get("errors"):
         c["errors"] = {n: str(e)[:80] for n, e in out["errors"].items()}
     for rung in ("sfx1", "sfx10"):
@@ -203,6 +209,14 @@ def _emit(out: dict) -> None:
 
 N_RUNS = 3  # streaming queries (per-run cost ~1-4 s)
 N_RUNS_BATCH = 5  # batch queries (cheap; more samples for a stable min)
+#: streaming-floor re-measures before declaring a breach (VERDICT r12
+#: #1: two retries were not enough to ride out a multi-minute
+#: contention burst; each retry costs ~2-6 s)
+N_GUARD_RETRIES = int(os.environ.get("BENCH_GUARD_RETRIES", 4))
+#: steal%% at or above which a floor breach is attributed to host
+#: contention rather than code. Quiet-host rounds record <=0.1-0.5%%;
+#: every documented false breach (r12, r13 baseline) ran at >=2%%.
+STEAL_SUSPECT_PCT = float(os.environ.get("BENCH_STEAL_SUSPECT_PCT", 1.0))
 # Primary stat is the per-query MIN (timeit's convention): round-7
 # measured the driver host stealing up to 23% CPU with 70% sys-time
 # spikes (vCPU descheduling + guest spinlock contention) — the same
@@ -370,15 +384,15 @@ def main() -> None:
         # Host-noise retry: the floors detect CODE regressions, but the
         # driver host's contention bursts (measured 23% steal) can sink
         # one streaming measurement 7x with zero code change. Before
-        # failing the whole bench record, re-measure only the breached
-        # metrics up to twice, keeping the best observation — a real
-        # code regression stays below the floor on every attempt.
+        # declaring a breach, re-measure only the breached metrics up
+        # to N_GUARD_RETRIES times, keeping the best observation — a
+        # real code regression stays below the floor on every attempt.
         # Every retry observation is recorded in the JSON record
         # (ADVICE r7): a metric that only passed via best-of-retries is
         # visible to the driver as retry_samples — an intermittent
         # regression (slow most runs, occasionally fast) can't hide.
         retry_samples: dict[str, list] = {}
-        for attempt in range(2):
+        for attempt in range(N_GUARD_RETRIES):
             broken = _breached()
             if not broken:
                 break
@@ -426,6 +440,23 @@ def main() -> None:
             out["retry_samples"] = retry_samples
         broken = _breached()
         if broken:
+            # VERDICT r12 #1: the r12 run breached this floor under 6%
+            # steal and exit(1) HERE killed the run before the sfx1 /
+            # sfx10 rungs — the round lost its only same-core scale
+            # measurement. A breach is now RECORDED (with the sampled
+            # steal so the driver can attribute it) and the rungs still
+            # run; the nonzero exit moves to the end of main() and only
+            # fires when the host was quiet (a breach at high steal is
+            # contention, not code — annotate, don't abort).
+            host_samples.append(_host_sample("guard_retries_done"))
+            steals = [
+                v
+                for v in _host_block(host_samples)["steal_pct"].values()
+                if v is not None
+            ]
+            out["stream_guard"] = _stream_guard_verdict(
+                broken, max(steals) if steals else None
+            )
             for k, (got, floor) in broken.items():
                 msg = (
                     f"metric missing (streaming bench failed?), floor {floor}"
@@ -433,15 +464,11 @@ def main() -> None:
                     else f"{got} below floor {floor}"
                 )
                 print(
-                    f"BENCH GUARD: {k}={msg}",
+                    f"BENCH GUARD: {k}={msg} "
+                    f"(steal_max={steal_max}%, continuing to scale rungs)",
                     file=sys.stderr,
                     flush=True,
                 )
-            # the JSON record still goes out (a guarded-failed bench is
-            # evidence too); the nonzero exit is the loud signal
-            out["host"] = _host_block(host_samples)
-            _emit(out)
-            sys.exit(1)
         # 10x scale rung (VERDICT r8 #6): time the batch headline set
         # once more on the 10x-replicated sf0.1 staging (~sf1, 6M
         # lineitem) so a super-linear scale regression gates the bench
@@ -491,8 +518,18 @@ def main() -> None:
             host_samples.append(_host_sample("sfx10_done"))
     out["host"] = _host_block(host_samples)
     _emit(out)
-    if out.get("sfx1", {}).get("guard_failed") or out.get("sfx10", {}).get(
-        "guard_failed"
+    # A streaming-floor breach is fatal only when the host was quiet
+    # (steal below STEAL_SUSPECT_PCT across every sampled interval): a
+    # quiet-host breach is a code regression; a contended-host breach is
+    # recorded evidence the driver reads from stream_guard.
+    sg = out.get("stream_guard") or {}
+    stream_breach_fatal = bool(sg.get("breached")) and not sg.get(
+        "contention_suspect"
+    )
+    if (
+        out.get("sfx1", {}).get("guard_failed")
+        or out.get("sfx10", {}).get("guard_failed")
+        or stream_breach_fatal
     ):
         sys.exit(1)
 
@@ -649,6 +686,21 @@ def _scale_rung(
             file=sys.stderr,
             flush=True,
         )
+
+
+def _stream_guard_verdict(broken: dict, steal_max) -> dict:
+    """Pure breach-attribution block (unit-testable): which floors are
+    breached, the max interval steal%% sampled during the run, and
+    whether the breach is contention-suspect (steal at/above
+    STEAL_SUSPECT_PCT, or unmeasurable). A contention-suspect breach is
+    recorded but does not fail the run; a quiet-host breach does."""
+    return {
+        "breached": {
+            k: {"got": got, "floor": floor} for k, (got, floor) in broken.items()
+        },
+        "steal_pct_max": steal_max,
+        "contention_suspect": steal_max is None or steal_max >= STEAL_SUSPECT_PCT,
+    }
 
 
 def _ratio_guard(

@@ -31,6 +31,8 @@ real matches on it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -191,11 +193,51 @@ def minhash_signatures(
     return base.join(packed, id_col)
 
 
+#: In-bucket pair generation materializes each LSH bucket's id list in
+#: ONE aggregation buffer (collect_list does not spill); a degenerate
+#: mega-bucket — e.g. thousands of near-empty docs sharing one shingle —
+#: would hold the whole bucket in memory at once (VERDICT r12 #5).
+#: Under the skew guard, buckets over this cap are routed through the
+#: classic two-sided self-join instead (many rows, no giant buffer,
+#: AQE skew-split eligible); the emitted pair set is identical either
+#: way. 1024 ids ≈ 8 KB buffer per bucket, and a 1024-doc bucket
+#: already yields ~524k pairs — any bigger bucket is better off as
+#: join rows.
+_LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", 1024))
+
+#: The guard itself costs ~40% on the candidate stage (measured
+#: interleaved at sf0.1: 0.86 → 1.39 s, and the 100× rung: 2.2 → 3.2 s
+#: — the bucket-size window sort plus the union's join branch), so it
+#: is INPUT-SIZE-ADAPTIVE (guide §2 — scale-adaptive, not a constant):
+#: below this estimated-bytes gate the r12 single-aggregation plan runs
+#: unguarded, which is provably OOM-safe there — the worst single
+#: buffer is every doc id in one bucket, 8-16 B × n_docs ≲ input_bytes
+#: / 4 ≤ ~256 MB at the gate — while past the gate (where a mega-bucket
+#: buffer could reach executor-heap scale) the guarded plan bounds
+#: every buffer at ``_LSH_BUCKET_CAP`` ids. The estimate is Catalyst's
+#: optimizedPlan sizeInBytes (driver-side metadata, no job); an
+#: unavailable estimate fails TOWARD the guard.
+_LSH_GUARD_GATE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LSH_GUARD_GATE", 1 << 30)
+)
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes; -1 when the
+    estimate cannot be obtained (callers must fail toward the
+    scale-safe branch)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — py4j/analysis failure
+        return -1
+
+
 def minhash_candidate_pairs(
     signed: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
     id_col: str = "doc_id",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a
     candidate pair. Linear explode (bands per doc) + shuffle by bucket;
@@ -220,7 +262,26 @@ def minhash_candidate_pairs(
     inside each bucket list. The former a⋈b self-join shuffled the
     exploded table twice (2 × bands × |docs| rows) and re-deduped the
     multi-band matches; this shuffles it once and was measured 2.3 s →
-    1.7 s at the 100× bench rung with an identical pair set."""
+    1.7 s at the 100× bench rung with an identical pair set.
+
+    Skew guard (optimization r13, guide §2.5/§5): when the input is
+    past ``_LSH_GUARD_GATE_BYTES`` (or ``bucket_cap`` is passed
+    explicitly), bucket sizes are counted with a window over the same
+    (one) exchange, and buckets over the cap bypass the collect_list
+    path — their pairs come from the two-sided self-join, which
+    produces many rows but never a single unbounded aggregation buffer
+    (and is AQE-skew-split eligible). Both branches emit exactly the
+    per-bucket a<b pairs, so the distinct'd union is the same pair set
+    as the uncapped form (pinned by tests/test_llm_ops.py on an
+    identical-docs skew fixture). Below the gate the unguarded r12
+    single-aggregation plan runs — see the gate constant's docstring
+    for why that is memory-safe there and why the guard is not free."""
+    guarded = bucket_cap is not None
+    if bucket_cap is None:
+        est = _estimated_bytes(signed)
+        if est < 0 or est >= _LSH_GUARD_GATE_BYTES:
+            guarded = True
+            bucket_cap = _LSH_BUCKET_CAP
     bt = _quote_ident(id_col)  # ADVICE r10 — see _quote_ident
     # Built as one parsed SQL expression, not bands×rows composed Column
     # objects — same py4j plan-build discipline (and parity test) as
@@ -238,21 +299,47 @@ def minhash_candidate_pairs(
     banded = signed.selectExpr(
         f"{bt} AS _cid", f"explode(array({band_hashes})) AS _bh"
     )
-    buckets = (
-        banded.groupBy("_bh")
+    if not guarded:
+        buckets = (
+            banded.groupBy("_bh")
+            .agg(F.collect_list("_cid").alias("_ds"))
+            .filter(F.size("_ds") > 1)
+        )
+        return (
+            buckets.select(F.explode("_ds").alias("id_a"), "_ds")
+            .select(
+                "id_a",
+                F.explode(F.filter("_ds", lambda y: y > F.col("id_a"))).alias(
+                    "id_b"
+                ),
+            )
+            .distinct()
+        )
+    counted = banded.select(
+        "_cid",
+        "_bh",
+        F.count("*").over(Window.partitionBy("_bh")).alias("_n"),
+    ).filter(F.col("_n") > 1)
+    small_pairs = (
+        counted.filter(F.col("_n") <= bucket_cap)
+        .groupBy("_bh")
         .agg(F.collect_list("_cid").alias("_ds"))
-        .filter(F.size("_ds") > 1)
-    )
-    return (
-        buckets.select(F.explode("_ds").alias("id_a"), "_ds")
+        .select(F.explode("_ds").alias("id_a"), "_ds")
         .select(
             "id_a",
             F.explode(F.filter("_ds", lambda y: y > F.col("id_a"))).alias(
                 "id_b"
             ),
         )
-        .distinct()
     )
+    big = counted.filter(F.col("_n") > bucket_cap)
+    big_pairs = (
+        big.select("_bh", F.col("_cid").alias("id_a"))
+        .join(big.select("_bh", F.col("_cid").alias("id_b")), "_bh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 @REGISTRY.register(

@@ -476,3 +476,47 @@ def test_emit_degrades_on_unserializable_full_record(tmp_path, capsys, monkeypat
     # and the PREVIOUS good full record was not clobbered with partial
     # JSON (serialization completes before the file is opened)
     assert json.loads((tmp_path / "f.json").read_text())["value"] == 9.517
+
+
+def test_stream_guard_verdict_attributes_contention():
+    """VERDICT r12 #1: a streaming-floor breach under host contention
+    killed the bench run BEFORE the sfx1/sfx10 rungs. The breach is now
+    attributed via the sampled interval steal: at/above
+    STEAL_SUSPECT_PCT (or unmeasurable) it is contention-suspect —
+    recorded, rungs still run, rc stays 0; below it the breach is a
+    quiet-host code regression and main() exits 1 at the END (after the
+    rungs)."""
+    m = _bench()
+    broken = {"stream_events_per_s": (59_445, 60_000)}
+    noisy = m._stream_guard_verdict(broken, steal_max=4.27)
+    assert noisy["contention_suspect"] is True
+    assert noisy["breached"]["stream_events_per_s"] == {
+        "got": 59_445,
+        "floor": 60_000,
+    }
+    quiet = m._stream_guard_verdict(broken, steal_max=0.05)
+    assert quiet["contention_suspect"] is False
+    # unmeasurable steal (no /proc) must not be treated as quiet-host
+    assert m._stream_guard_verdict(broken, steal_max=None)["contention_suspect"]
+    # threshold boundary: exactly at the threshold counts as suspect
+    at = m._stream_guard_verdict(broken, steal_max=m.STEAL_SUSPECT_PCT)
+    assert at["contention_suspect"] is True
+
+
+def test_compact_record_carries_stream_guard_breach():
+    """A recorded breach must survive into the one stdout line (the
+    driver's tail capture is the round's only evidence) in compact
+    form: breached metric names + attribution, not the full block."""
+    m = _bench()
+    full = _full_record(m)
+    full["stream_guard"] = m._stream_guard_verdict(
+        {"stream_events_per_s_sustained": (233_061, 250_000)}, steal_max=6.05
+    )
+    c = m._compact_record(full)
+    assert c["stream_guard"] == {
+        "breached": ["stream_events_per_s_sustained"],
+        "contention_suspect": True,
+    }
+    assert len(json.dumps(c)) <= m.MAX_FINAL_LINE_BYTES
+    # absent breach adds no key
+    assert "stream_guard" not in m._compact_record(_full_record(m))

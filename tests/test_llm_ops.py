@@ -658,3 +658,68 @@ def test_minhash_recall_row_is_self_consistent(spark, weakcheck):
         recall_ppm=r.recall_ppm,
         floor_ppm=950_000,
     )
+
+
+def test_lsh_skew_guard_pair_set_identical(spark, monkeypatch):
+    """VERDICT r12 #5: a degenerate mega-bucket (identical docs) must
+    not materialize the whole bucket in one collect_list buffer. The
+    guarded plan (bucket-size window + per-bucket routing: collect_list
+    under the cap, two-sided self-join over it) must emit EXACTLY the
+    unguarded plan's pair set — the guard changes memory shape, never
+    output."""
+    from pyspark.sql import functions as F
+
+    from catenae_kafka_spark.operators import llm_dedup as ld
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    signed = ld.minhash_signatures(docs).cache()
+    try:
+        # explicit cap below the 300-doc bucket -> every pair crosses the
+        # self-join branch; auto path at this size is the unguarded plan
+        capped = ld.minhash_candidate_pairs(signed, bucket_cap=64)
+        auto = ld.minhash_candidate_pairs(signed)
+        assert capped.exceptAll(auto).count() == 0
+        assert auto.exceptAll(capped).count() == 0
+        assert capped.count() == 300 * 299 // 2  # all-pairs, one bucket class
+        # a cap ABOVE the bucket size routes through collect_list and
+        # still matches (small-branch parity)
+        wide = ld.minhash_candidate_pairs(signed, bucket_cap=10_000)
+        assert wide.exceptAll(auto).count() == 0
+        assert auto.exceptAll(wide).count() == 0
+        # gate forced to 0: the AUTO path must pick the guarded plan
+        # (bucket-size window visible in the plan) and stay identical
+        monkeypatch.setattr(ld, "_LSH_GUARD_GATE_BYTES", 0)
+        gated = ld.minhash_candidate_pairs(signed)
+        assert "window" in gated._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert gated.exceptAll(auto).count() == 0
+        assert auto.exceptAll(gated).count() == 0
+    finally:
+        signed.unpersist()
+
+
+def test_knn_cosine_probe_collect_cap(spark, monkeypatch):
+    """VERDICT r12 #9: knn_cosine collects its queries side; the
+    operator contract (small probe set) is now ENFORCED — one row over
+    the cap raises a loud refusal instead of collecting a data-sized
+    side to the driver. At the cap, it still works."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from catenae_kafka_spark.operators import llm_similarity as ls
+
+    vecs = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") + 1).cast("double"), (F.col("id") + 2).cast("double")
+        ).alias("embedding"),
+    )
+    monkeypatch.setattr(ls, "_KNN_PROBE_COLLECT_CAP", 5)
+    with pytest.raises(RuntimeError, match="collect cap"):
+        ls.knn_cosine(vecs, vecs, k=2)
+    # at exactly the cap the operator works unchanged
+    probes = vecs.limit(5)
+    out = ls.knn_cosine(probes, vecs, k=2)
+    assert out.count() == 10  # 5 probes x top-2

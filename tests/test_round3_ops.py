@@ -2739,3 +2739,23 @@ def test_median_histogram_collect_refuses_over_cap(spark):
     assert len(_bounded_collect(small, 100, "probe")) == 10
     with _pytest.raises(RuntimeError, match="domain-bound cap"):
         _bounded_collect(spark.range(101), 100, "probe")
+
+
+def test_top_unshipped_broadcast_gate(spark, monkeypatch):
+    """VERDICT r12 #4: q_top_unshipped's forced-broadcast semi-join
+    pre-filter is size-gated on the orders footprint — below the gate
+    the plan keeps the broadcast LeftSemi (the r12-measured win); above
+    it the hint AND the pre-filter are dropped (the runtime Bloom
+    filter provides the pruning at that scale) with identical output."""
+    from catenae_kafka_spark.operators import composites as co
+
+    sf = "/root/testdata/sf0.01"
+    on = co.q_top_unshipped(spark, sf)
+    plan_on = on._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan_on  # gate passes at test scale
+    r_on = sorted(map(tuple, on.collect()))
+    monkeypatch.setattr(co, "_SEMI_BROADCAST_GATE_BYTES", 0)
+    off = co.q_top_unshipped(spark, sf)
+    plan_off = off._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan_off  # no forced hint above the gate
+    assert sorted(map(tuple, off.collect())) == r_on
