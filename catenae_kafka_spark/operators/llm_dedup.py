@@ -223,11 +223,19 @@ _LSH_GUARD_GATE_BYTES = int(
 
 
 def _estimated_bytes(df: DataFrame) -> int:
-    """Catalyst's optimized-plan size estimate in bytes; -1 when the
-    estimate cannot be obtained (callers must fail toward the
-    scale-safe branch)."""
+    """Estimated INPUT bytes of a plan: the sum of its leaf relations'
+    size estimates (parquet leaves report file bytes, local relations
+    their data size). Leaf stats are the reliable part of Catalyst's
+    size estimation — interior Join nodes multiply their children's
+    sizes without CBO, which inflates a 4-row test fixture's joined
+    plan to ~1e19 "bytes". Returns -1 when the estimate cannot be
+    obtained (callers must fail toward the scale-safe branch)."""
     try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        return sum(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
+        )
     except Exception:  # noqa: BLE001 — py4j/analysis failure
         return -1
 

@@ -41,6 +41,37 @@ def sf_dir() -> str:
     return SF_SMOKE
 
 
+@pytest.fixture(scope="session")
+def built_queries(spark, sf_dir):
+    """Every registered query BUILT ONCE at the smoke SF, shared by the
+    whole-registry tests (smoke run, oracle-column drift, the two plan
+    audits). Before r13 each of those four tests rebuilt all 512
+    queries itself — and for the 39 streaming queries a "build" runs
+    the whole finite replay — which made registry-sweep rebuilds ~2/3
+    of the suite's 28-minute wall (VERDICT r12 #3: the driver's verify
+    window outgrew the suite). DataFrames are immutable logical plans,
+    so sharing them across read-only consumers is safe; a query whose
+    BUILD raises is stored as the exception and reported by the smoke
+    test (the other consumers skip it — it is already red where it
+    belongs). Built on a small driver thread pool (guide §2.6, the
+    tools/check.py --jobs pattern)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from catenae_kafka_spark.registry import all_specs
+
+    specs = all_specs()
+
+    def build(item):
+        name, spec = item
+        try:
+            return name, spec.fn(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — surfaced by the smoke test
+            return name, exc
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(build, specs.items()))
+
+
 # ---------------------------------------------------------------------------
 # WEAKCHECK artifact (VERDICT r11 #5): the 8 weak-by-design queries are
 # rows-only in CORRECTNESS files forever; their real evidence lives in

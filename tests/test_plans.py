@@ -78,7 +78,7 @@ def test_agg_is_two_phase_with_pushdown(spark):
     assert "Batched: true" in plan  # vectorized parquet reader
 
 
-def test_no_python_udfs_in_relational_core(spark):
+def test_no_python_udfs_in_relational_core(spark, built_queries):
     """The relational/batch core must stay JVM-side: no BatchEvalPython
     (row-at-a-time Python) anywhere; Arrow nodes appear only in the
     explicit UDF-surface queries."""
@@ -86,11 +86,19 @@ def test_no_python_udfs_in_relational_core(spark):
 
     udf_allowed = {"q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_udtf_native",
                    "q_apply_in_pandas", "q_multimodal_features"}
-    for name, spec in all_specs().items():
+    # session-shared build (conftest.built_queries): before r13 this
+    # audit re-built all 512 queries itself — 68 s of the suite
+    # (VERDICT r12 #3); the walk over prebuilt plans is seconds
+    offenders = []
+    for name in all_specs():
         if name in udf_allowed or "stream" in name:
             continue
-        plan = plan_of(spec.fn(spark, SF))
-        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+        df = built_queries[name]
+        if isinstance(df, Exception):
+            continue  # already red in the smoke test
+        if "BatchEvalPython" in plan_of(df):
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python in: {offenders}"
 
 
 def test_ivf_broadcasts_centroids_no_big_cartesian(spark):
@@ -435,7 +443,9 @@ def test_session_continuation_ops_plan_shapes(spark):
     assert "Exchange" not in plan
 
 
-def test_no_unbounded_nested_loop_in_any_registered_batch_query(spark):
+def test_no_unbounded_nested_loop_in_any_registered_batch_query(
+    spark, built_queries
+):
     """Engine-wide invariant: NO registered batch query may plan a
     nested-loop/cartesian join without a provably scalar side — the one
     join shape that cannot survive 100 TB. A scalar (ungrouped
@@ -464,15 +474,20 @@ def test_no_unbounded_nested_loop_in_any_registered_batch_query(spark):
     assert unbounded_nested_loop_joins(orders.crossJoin(total)) == []
 
     WHITELIST = set(NL_WHITELIST)
+
+    # session-shared build (conftest.built_queries): before r13 this
+    # audit re-built all 512 queries itself — 65 s of the suite
+    # (VERDICT r12 #3). A query whose BUILD raised is an offender here
+    # too (building must never fail), not just in the smoke test.
     offenders = []
     for name, spec in sorted(all_specs().items()):
         if "streaming" in spec.tags or name in WHITELIST:
             continue
-        try:
-            bad = unbounded_nested_loop_joins(spec.fn(spark, SF))
-        except Exception as e:  # building must never fail either
-            offenders.append(f"{name}: build error {e}")
+        df = built_queries[name]
+        if isinstance(df, Exception):
+            offenders.append(f"{name}: build error {df}")
             continue
+        bad = unbounded_nested_loop_joins(df)
         if bad:
             offenders.append(f"{name}: {bad[0]}")
     assert not offenders, offenders
