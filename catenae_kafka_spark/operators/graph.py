@@ -65,9 +65,18 @@ def pagerank(
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    if iterations > checkpoint_every:
-        # reused by every round: materialize once instead of recomputing
-        # the edge normalization + node dedup under each checkpoint
+    if iterations > 1:
+        # Reused by EVERY round: materialize once instead of embedding
+        # the edge normalization + node dedup into each round's plan.
+        # Catalyst does not common-subexpression-eliminate repeated
+        # DataFrame subtrees, so without this the edge-BUILD pipeline
+        # (a fact⋈fact join for q_pagerank) is re-planned and
+        # re-executed per reference — measured 14 lineitem scans / 69
+        # Exchanges / 0 ReusedExchange in q_pagerank's physical plan
+        # (optimization r13, guide §5: materialize reused
+        # intermediates; same discipline as connected_components).
+        # Was gated on iterations > checkpoint_every, which left the
+        # registered 3-round queries unmaterialized.
         norm = ckpt(norm)
         nodes = ckpt(nodes)
     n_nodes = nodes.count()  # driver scalar: node count, not data rows
@@ -299,7 +308,15 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = brand_baskets(c)
     a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
     b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
-    weighted = (
+    # weighted is brand-pair bounded (~C(25,2) rows) and referenced by
+    # BOTH the top-edges and seed windows (and transitively by every
+    # frontier round) — materialize it once so the basket-build
+    # pipeline isn't re-planned/re-executed per reference (optimization
+    # r13, guide §5; Catalyst does not CSE repeated DataFrame subtrees:
+    # measured 20 lineitem scans / 79 Exchanges in this query's plan).
+    from catenae_kafka_spark.operators.checkpointing import make_checkpointer
+
+    weighted = make_checkpointer(spark, None)(
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
@@ -470,7 +487,12 @@ def q_shortest_path_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = brand_baskets(c)
     a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
     b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
-    weighted = (
+    # brand-pair bounded; referenced by sym (both union sides) and the
+    # seed — materialize once (optimization r13, guide §5: measured 60
+    # lineitem scans / 236 Exchanges in this query's plan without it)
+    from catenae_kafka_spark.operators.checkpointing import make_checkpointer
+
+    weighted = make_checkpointer(spark, None)(
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
@@ -828,8 +850,20 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 60)
         .select("u", "v")
     )
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # Materialize the (<=120-row) symmetrized edge list ONCE before the
+    # peel loop (optimization r13, guide §5): each peel round's plan
+    # embeds the previous round's, and Catalyst does not CSE repeated
+    # DataFrame subtrees, so the basket-build pipeline was duplicated
+    # near-exponentially — measured 100 lineitem scans / 374 Exchanges
+    # / 0 ReusedExchange in this query's physical plan (identical rows
+    # after; rung numbers in OPTIMIZATION_r13.md).
+    from catenae_kafka_spark.operators.checkpointing import make_checkpointer
+
+    ckpt = make_checkpointer(spark, None)
+    sym = ckpt(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
     k = 4
     for rnd in range(3):
@@ -924,7 +958,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
-    edges = (
+    # nation-pair bounded (<=600 rows); referenced by every LPA round
+    # plus the label init — materialize once (optimization r13, guide
+    # §5: measured 6 lineitem scans / 32 Exchanges in this query's
+    # plan without it; the edge build is a fact⋈fact join)
+    from catenae_kafka_spark.operators.checkpointing import make_checkpointer
+
+    edges = make_checkpointer(spark, None)(
         directed.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
         .unionAll(
             directed.select(
@@ -1576,7 +1616,13 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = brand_baskets(c)
     a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
     b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
-    weighted = (
+    # brand-pair bounded; the frontier rounds re-reference sym and the
+    # union/min-fold re-references dist — materialize the base once
+    # (optimization r13, guide §5: measured 60 lineitem scans / 240
+    # Exchanges in this query's plan without it)
+    from catenae_kafka_spark.operators.checkpointing import make_checkpointer
+
+    weighted = make_checkpointer(spark, None)(
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")

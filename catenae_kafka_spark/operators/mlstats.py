@@ -3248,7 +3248,17 @@ def q_absorption_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("cur"),
         F.lead("event_type").over(wl).alias("nxt"),
     ).filter(F.col("nxt").isNotNull())
-    tr = seq.groupBy("cur", "nxt").agg(F.count("*").cast("bigint").alias("c"))
+    # |types|²-bounded transition counts, re-referenced by every
+    # unrolled step (p3 nests p2 nests p1, each embedding q and r) —
+    # materialize once so the user-keyed window pass over events isn't
+    # re-planned/re-executed per reference (optimization r13, guide §5:
+    # measured 83 Exchanges / 0 ReusedExchange in this query's plan
+    # without it; Catalyst does not CSE repeated DataFrame subtrees)
+    from catenae_kafka_spark.operators.checkpointing import make_checkpointer
+
+    tr = make_checkpointer(spark, None)(
+        seq.groupBy("cur", "nxt").agg(F.count("*").cast("bigint").alias("c"))
+    )
     r = tr.groupBy("cur").agg(F.sum("c").cast("bigint").alias("rt"))
     q = tr.join(r, "cur").select(
         "cur", "nxt", F.expr("(c * 1000000000) div rt").alias("p_nano")
