@@ -26,6 +26,23 @@ DAMPING = 0.85
 ITERATIONS = 3
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly checkpoint a BOUNDED reused table (optimization r13,
+    guide §5): Catalyst does not common-subexpression-eliminate
+    repeated DataFrame subtrees, so a pair/edge table referenced by
+    several downstream branches re-plans and re-executes its whole
+    build pipeline per reference (measured up to 100 duplicated
+    lineitem scans / 374 Exchanges in one query's physical plan).
+    Callers pass brand-pair / nation-pair / customer×brand tables —
+    bounded or fact-fraction-sized, the standard "materialize the
+    similarity/edge table once" step of a graph job. localCheckpoint
+    (executor blocks) matches the connected_components r9 policy for
+    local/driver runs; every run still computes from parquet."""
+    from catenae_kafka_spark.operators.checkpointing import make_checkpointer
+
+    return make_checkpointer(df.sparkSession, None)(df)
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = DAMPING,
@@ -225,7 +242,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = brand_baskets(c)
     a = baskets.select("l_orderkey", F.col("p_brand").alias("u"))
     b = baskets.select("l_orderkey", F.col("p_brand").alias("v"))
-    edges = (
+    edges = _materialize(
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
@@ -407,7 +424,9 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 80)
         .select("u", "v")
     )
-    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _materialize(
+        edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     n1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
     n2 = sym.select(F.col("u").alias("x"), F.col("v").alias("b"))
@@ -600,8 +619,10 @@ def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 80)
         .select("u", "v")
     )
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    sym = _materialize(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     n1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
@@ -627,7 +648,7 @@ def q_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim_micro"),
         )
     )
-    owned = (
+    owned = _materialize(
         c.orders.select("o_custkey", "o_orderkey")
         .join(baskets, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_custkey", "p_brand")
@@ -737,8 +758,10 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 60)
         .select("u", "v")
     )
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    sym = _materialize(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     xy = (
@@ -1098,8 +1121,10 @@ def q_rec_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 50)
         .select("u", "v")
     )
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    sym = _materialize(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     n1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
@@ -1131,7 +1156,7 @@ def q_rec_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim_micro"),
         )
     )
-    owned = (
+    owned = _materialize(
         train_o.join(baskets, train_o["o_orderkey"] == baskets["l_orderkey"])
         .select("o_custkey", "p_brand")
         .distinct()
@@ -1257,7 +1282,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("w"))
     )
-    sym = (
+    sym = _materialize(
         directed.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
         .unionAll(
             directed.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
@@ -1390,8 +1415,10 @@ def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 80)
         .select("u", "v")
     )
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    sym = _materialize(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     n1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
@@ -1417,7 +1444,7 @@ def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim_micro"),
         )
     )
-    owned = (
+    owned = _materialize(
         c.orders.select("o_custkey", "o_orderkey")
         .join(baskets, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_custkey", "p_brand")
@@ -1725,8 +1752,10 @@ def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 80)
         .select("u", "v")
     )
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    sym = _materialize(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("d")
